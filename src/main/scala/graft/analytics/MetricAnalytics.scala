@@ -1,0 +1,269 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Pure `DataFrame => DataFrame` analytics operators — the relational core of
+ * the reference's `MetricStore` (reference: metrics/MetricStore.scala), each
+ * usable identically under batch and Structured Streaming (SURVEY.md §1.4).
+ *
+ * Input convention: a "samples" frame with columns
+ * `(ts: timestamp, node: string, value: double)` — the normalized long-form
+ * of the reference's per-tick `Map[node -> cpuLoad]` ring buffer
+ * (metrics/MetricStore.scala:8,11).
+ *
+ * Scale notes (100 TB honesty):
+ *  - every operator keys its shuffle on `node` (or is shuffle-free via a
+ *    window over an existing partitioning), so a 1000-executor cluster
+ *    partitions cleanly by node/time;
+ *  - the zero-fill scaffold is built from per-node `sequence()`, never a
+ *    `crossJoin` (SURVEY.md §7.5.6);
+ *  - windowed slices use window functions over (node × ts) rather than
+ *    per-node collects — no driver materialization anywhere.
+ */
+object MetricAnalytics {
+
+  // ---------------------------------------------------------------------
+  // A3 — ring-buffer retention (reference: utils/FixedList.scala:12-15,
+  // capacity 20 = Config.scala:98). Count-based form: keep the newest
+  // `capacity` samples per node.
+  // ---------------------------------------------------------------------
+  def retainLastN(samples: DataFrame, capacity: Int = 20): DataFrame = {
+    val w = Window.partitionBy("node").orderBy(col("ts").desc)
+    samples
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= capacity)
+      .drop("__rn")
+  }
+
+  /** A3 time-based form: keep samples within `minutes` of the global max ts
+    * (batch analog of `withWatermark(ts, "5 minutes")`). Uses a window max
+    * rather than a collected scalar so the plan stays fully distributed. */
+  def retainLastMinutes(samples: DataFrame, minutes: Int = 5): DataFrame = {
+    val maxTs = max(col("ts")).over(Window.partitionBy())
+    samples
+      .withColumn("__maxTs", maxTs)
+      .filter(col("ts") > col("__maxTs") - expr(s"INTERVAL $minutes MINUTES"))
+      .drop("__maxTs")
+  }
+
+  // ---------------------------------------------------------------------
+  // A2 — tail-window slice: last `n` samples per node = the evaluation
+  // window (reference: metrics/MetricStore.scala:39 `takeRight(4)`).
+  // ---------------------------------------------------------------------
+  def lastNPerNode(samples: DataFrame, n: Int = 4): DataFrame = retainLastN(samples, n)
+
+  // ---------------------------------------------------------------------
+  // A1 + F5 — per-node mean over the evaluation slice, dropping nodes with
+  // fewer than `minSamples` points (reference: metrics/MetricStore.scala:19-26
+  // — new/under-sampled nodes are excluded from the quorum until warm).
+  // Map-side partial aggregation is automatic (hash agg on `node`).
+  // ---------------------------------------------------------------------
+  def perNodeAvg(samples: DataFrame, minSamples: Int = 4): DataFrame =
+    samples
+      .groupBy("node")
+      .agg(count(col("value")).as("n_samples"), avg(col("value")).as("avg_value"))
+      .filter(col("n_samples") >= minSamples)
+
+  /** A1/A2/F5 fused: mean of each node's newest `n` samples, keeping only
+    * nodes that actually have `n` (the reference's exact semantics:
+    * `takeRight(4)` then drop if `size < 4`, MetricStore.scala:19-23,39). */
+  def oneMinuteAvg(samples: DataFrame, n: Int = 4): DataFrame =
+    perNodeAvg(lastNPerNode(samples, n), n)
+
+  // ---------------------------------------------------------------------
+  // A4 — zero-fill gather: the reference substitutes 0.0 for nodes missing
+  // from a tick (metrics/MetricStore.scala:20-22). Batch formulation: build
+  // a node × tick scaffold and left-join. The tick axis is generated with
+  // `sequence()` per node — NOT a crossJoin — so at scale the explode is
+  // distributed with the node keys (SURVEY.md §7.5.6).
+  // ---------------------------------------------------------------------
+  def zeroFill(samples: DataFrame, slideSeconds: Int): DataFrame = {
+    val bounds = samples.select(
+      min(unix_timestamp(col("ts"))).as("lo"),
+      max(unix_timestamp(col("ts"))).as("hi"))
+    val nodes = samples.select("node").distinct()
+    val scaffold = nodes
+      .join(bounds) // 1-row broadcast, not a data×data crossJoin
+      .select(
+        col("node"),
+        explode(sequence(col("lo"), col("hi"), lit(slideSeconds))).as("tick"))
+      .select(col("node"), col("tick").cast("timestamp").as("ts"))
+    scaffold
+      .join(samples, Seq("node", "ts"), "left")
+      .withColumn("value", coalesce(col("value"), lit(0.0)))
+  }
+
+  /** A4 on a pre-bucketed grain: fill every (node × bucket) with the mean of
+    * that node's samples in the bucket, 0.0 where absent. `bucket` is a
+    * truncation unit understood by `date_trunc` (e.g. "hour"). */
+  def zeroFillBuckets(samples: DataFrame, bucket: String): DataFrame = {
+    val bucketed = samples
+      .withColumn("bucket_ts", date_trunc(bucket, col("ts")))
+      .groupBy("node", "bucket_ts")
+      .agg(avg(col("value")).as("value"))
+    val step = bucket.toLowerCase match {
+      case "minute" => 60L
+      case "hour"   => 3600L
+      case "day"    => 86400L
+      case other    => throw new IllegalArgumentException(s"unsupported bucket: $other")
+    }
+    val bounds = bucketed.select(
+      min(unix_timestamp(col("bucket_ts"))).as("lo"),
+      max(unix_timestamp(col("bucket_ts"))).as("hi"))
+    val scaffold = bucketed
+      .select("node").distinct()
+      .join(bounds)
+      .select(col("node"),
+        explode(sequence(col("lo"), col("hi"), lit(step))).as("tick"))
+      .select(col("node"), col("tick").cast("timestamp").as("bucket_ts"))
+    scaffold
+      .join(bucketed, Seq("node", "bucket_ts"), "left")
+      .withColumn("value", coalesce(col("value"), lit(0.0)))
+  }
+
+  // ---------------------------------------------------------------------
+  // A5/A6/A7 — quorum predicates (reference: metrics/MetricStore.scala:49-75).
+  // `totalNodes` is the DENOMINATOR PINNED TO THE LAST TICK's node list, not
+  // the under-sample-filtered average set (MetricStore.scala:29-33,51 —
+  // SURVEY.md §7.5.2: preserve, do not "fix").
+  // Returns one row: (breached_high, breached_mid, total_nodes,
+  //                   is_greater, is_between, is_lower).
+  // ---------------------------------------------------------------------
+  def quorum(
+      samples: DataFrame,
+      expandThreshold: Double,
+      shrinkThreshold: Double,
+      nodesFraction: Double,
+      windowN: Int = 4): DataFrame = {
+    val avgs = oneMinuteAvgExact(samples, windowN)
+    val lastTickNodes = latestTickNodeCount(samples)
+    val counts = avgs.agg(
+      sum(when(col("avg_value") >= expandThreshold, 1).otherwise(0)).as("breached_high"),
+      sum(when(col("avg_value") > shrinkThreshold && col("avg_value") < expandThreshold, 1)
+        .otherwise(0)).as("breached_mid"))
+    counts
+      .join(lastTickNodes) // both single-row
+      .withColumn("is_greater",
+        col("breached_high") >= col("total_nodes") * lit(nodesFraction))
+      .withColumn("is_between",
+        col("breached_mid") >= col("total_nodes") * lit(nodesFraction))
+      // A7: "lower" is literally NOT-greater (MetricStore.scala:75), not a
+      // third quorum — preserve the negation exactly.
+      .withColumn("is_lower", !col("is_greater"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Reference-exact one-minute average (metrics/MetricStore.scala:19-39).
+  // Subtleties preserved verbatim (SURVEY.md §7.5.1-2):
+  //  * the node universe is the LAST tick's node list (getNodesList);
+  //  * each node's series is zero-filled over EVERY tick in the buffer
+  //    (`d.getOrElse(node, 0)`), so a node that joined recently averages
+  //    with zeros for ticks it missed;
+  //  * the ">= 4 points" filter is therefore a buffer-depth gate: with
+  //    fewer than `n` ticks collected the result is EMPTY (isCold).
+  // Plan shape: last-n tick dimension (tiny) crossJoin last-tick nodes
+  // (broadcast of <=4 rows), left-join samples — distributed, no collect.
+  // ---------------------------------------------------------------------
+  def oneMinuteAvgExact(samples: DataFrame, n: Int = 4): DataFrame = {
+    val tickW = Window.orderBy(col("ts").desc)
+    val ticks = samples.select("ts").distinct()
+      .withColumn("__tickrn", row_number().over(tickW))
+      .withColumn("__ticks_total", count(lit(1)).over(Window.partitionBy()))
+    val lastNTicks = ticks
+      .filter(col("__tickrn") <= n && col("__ticks_total") >= n)
+      .select("ts")
+    val lastTickNodes = samples
+      .withColumn("__maxTs", max(col("ts")).over(Window.partitionBy()))
+      .filter(col("ts") === col("__maxTs"))
+      .select("node").distinct()
+    lastTickNodes
+      .crossJoin(broadcast(lastNTicks)) // <= n rows on the right
+      .join(samples, Seq("node", "ts"), "left")
+      .withColumn("value", coalesce(col("value"), lit(0.0)))
+      .groupBy("node")
+      .agg(avg(col("value")).as("avg_value"))
+  }
+
+  /** F8/ST7 cold-start gate (reference: MetricStore.scala:17 `isCold` =
+    * `all.isEmpty`): true iff fewer than `n` ticks collected. */
+  def isCold(samples: DataFrame, n: Int = 4): Boolean =
+    samples.select("ts").distinct().limit(n).count() < n
+
+  /** Quorum denominator: number of distinct nodes present in the latest tick
+    * (reference `getNodesList`, MetricStore.scala:29-33). */
+  def latestTickNodeCount(samples: DataFrame): DataFrame =
+    samples
+      .withColumn("__maxTs", max(col("ts")).over(Window.partitionBy()))
+      .filter(col("ts") === col("__maxTs"))
+      .agg(countDistinct(col("node")).as("total_nodes"))
+
+  // ---------------------------------------------------------------------
+  // A8 — sum gauges (reference: metrics/TrinoMetricStore.scala:81,
+  // cluster/Workers.scala:55-57).
+  // ---------------------------------------------------------------------
+  def sumGauge(df: DataFrame, valueCol: String, as: String): DataFrame =
+    df.agg(sum(col(valueCol)).as(as))
+
+  // A9 — existential aggregate (reference: cluster/Workers.scala:59).
+  def existsTrue(df: DataFrame, boolCol: String, as: String): DataFrame =
+    df.agg((count(when(col(boolCol), 1)) > 0).as(as))
+
+  // ---------------------------------------------------------------------
+  // A10 — last-value gauge per key (reference: metrics/MetricStore.scala:14,
+  // TrinoMetricStore.scala:40-47 overwrite-latest vars). Deterministic
+  // tiebreak on `tieCol` because reference order was arrival order.
+  // ---------------------------------------------------------------------
+  def lastValuePerKey(df: DataFrame, key: String, ts: String, value: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts).desc, col(tieCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(key), col(value).as("last_value"))
+  }
+
+  // ---------------------------------------------------------------------
+  // F6 — idle predicate (reference: scaling/ScalingManager.scala:103-117):
+  // queued==0 && running==0 && every 5-min activity counter < 1. With exact
+  // windowed counts (not Trino's decayed rates) `< 1` means `== 0`
+  // (SURVEY.md §7.5.4). Input: the query-event stream
+  // (ts, event_type); counts are taken over the trailing `minutes` window.
+  // ---------------------------------------------------------------------
+  def idlePredicate(events: DataFrame, minutes: Int = 5): DataFrame = {
+    val recent = retainLastMinutes(events, minutes)
+    recent.agg(
+      sum(when(col("event_type") === "running", 1).otherwise(0)).as("running"),
+      sum(when(col("event_type") === "queued", 1).otherwise(0)).as("queued"),
+      count(lit(1)).as("total_recent"))
+      .withColumn("is_idle", col("running") === 0 && col("queued") === 0)
+  }
+
+  // ---------------------------------------------------------------------
+  // A13 — min/max clamp (reference: scaling/algo/StepScalingAlgorithm.scala:21-26):
+  // expand → least(greatest(running + step, required), maxCapacity)
+  // shrink → greatest(running - step, minCapacity)
+  // ---------------------------------------------------------------------
+  def clampExpand(running: Column, step: Column, required: Column, maxCap: Column): Column =
+    least(greatest(running + step, required), maxCap)
+
+  def clampShrink(running: Column, step: Column, minCap: Column): Column =
+    greatest(running - step, minCap)
+
+  // ---------------------------------------------------------------------
+  // A14 — uniform integer distribution (reference: cluster/Workers.scala:231-238):
+  // spread n over k slots, first (n mod k) slots get one extra.
+  // Column form over a `pos` column in [0, k).
+  // ---------------------------------------------------------------------
+  def distributeShare(n: Column, k: Column, pos: Column): Column =
+    floor(n / k) + when(pos < n % k, 1).otherwise(0)
+
+  /** A14 as a plain function (for driver-side control logic, ST6). */
+  def distribute(n: Int, k: Int): Seq[Int] = {
+    require(k > 0, "k must be positive")
+    val base = n / k
+    val extra = n % k
+    (0 until k).map(i => base + (if (i < extra) 1 else 0))
+  }
+}

@@ -1,0 +1,190 @@
+package graft.control
+
+import graft.analytics.MetricAnalytics
+import graft.decide.{CpuLoadEvaluator, MetricSummary, ScalingAlgorithm, StepScalingAlgorithm}
+import graft.model.{ClusterQueriesMetrics, ResizeAction, ResizeType, TaskState}
+
+import scala.collection.mutable
+
+/**
+ * Stateful control loop — the `foreachBatch` side of the engine
+ * (SURVEY.md §3.2). Pure analytics lives in [[graft.analytics]] /
+ * [[graft.decide]]; this package owns the mutable state the reference keeps
+ * on its driver: the cooldown clock (scaling/ScalingManager.scala:21-24),
+ * requested-capacity memory (ST4 dedupe), and suspension exclusion timers
+ * (cluster/Workers.scala:35,255-262).
+ *
+ * The clock is injected (`() => Long` millis) instead of
+ * `System.currentTimeMillis` so golden-trace tests and replays are
+ * deterministic (SURVEY.md §7.5.7).
+ */
+
+/** What the decision cascade needs to know about (and do to) the worker
+  * pool — the reference's `Workers` surface (cluster/Workers.scala:47-66). */
+trait WorkersView {
+  def running: Int
+  def requested: Int
+  def minCapacity: Int
+  def maxCapacity: Int
+  def isResizing: Boolean
+  def units: String
+  def resize(target: Int): Unit
+}
+
+/** An in-memory worker pool of one or more task groups, implementing the
+  * reference's multi-group semantics: concurrent distribution (ST6,
+  * cluster/Workers.scala:167-221), suspension exclusion (ST5, :255-262) and
+  * auto-heal (:277). Doubles as the simulation target for golden traces. */
+class SimulatedWorkers(
+    override val minCapacity: Int,
+    override val maxCapacity: Int,
+    val concurrent: Boolean = true,
+    groupIds: Seq[String] = Seq("g-1"),
+    clock: () => Long = () => System.currentTimeMillis(),
+    val suspendedStateDelayMs: Long = 600000L)
+  extends WorkersView {
+
+  override val units: String = "NODES"
+
+  private val states = mutable.LinkedHashMap(groupIds.map { id =>
+    id -> TaskState(id, id, "RUNNING", isResizing = false, isSuspended = false,
+      isExcluded = false, running = 0, requested = 0, message = "", lastSuspendedTimeMs = 0L)
+  }: _*)
+
+  /** Resize log, newest last — the K3 sink observed by tests. */
+  val actions: mutable.ArrayBuffer[(String, Int)] = mutable.ArrayBuffer.empty
+
+  // A8 sums over the managed groups (reference: cluster/Workers.scala:55-57)
+  override def running: Int = states.valuesIterator.map(_.running).sum
+  override def requested: Int = states.valuesIterator.map(_.requested).sum
+  // A9 existential (reference: cluster/Workers.scala:59)
+  override def isResizing: Boolean = states.valuesIterator.exists(_.isResizing)
+
+  /** ST6 — concurrent mode distributes the target across all groups when
+    * shrinking, and across non-excluded groups when expanding (F10)
+    * (reference: cluster/Workers.scala:167-192). Single mode resizes the
+    * first group only (A11 head semantics). */
+  override def resize(target: Int): Unit = {
+    val all = states.keys.toList
+    val eligible =
+      if (target >= running) all.filterNot(states(_).isExcluded) match {
+        case Nil => all // every group excluded: fall back rather than drop
+        case xs  => xs
+      }
+      else all
+    val groups = if (concurrent) eligible else eligible.take(1)
+    val shares = MetricAnalytics.distribute(target, groups.size)
+    groups.zip(shares).foreach { case (id, share) =>
+      val st = states(id)
+      if (st.requested != share) {
+        states(id) = st.copy(requested = share, isResizing = true)
+        actions += ((id, share))
+      }
+    }
+  }
+
+  /** Simulation hook: the "EMR control plane" completing resizes. */
+  def settle(): Unit = states.mapValuesInPlace { (_, st) =>
+    st.copy(running = st.requested, isResizing = false)
+  }
+
+  /** ST5 — ingest a topology refresh (reference: cluster/Workers.scala:241-279):
+    * carry the previous suspension time forward, stamp a new one when
+    * SUSPENDED, and mark the group excluded while within
+    * `suspendedStateDelayMs` of the PREVIOUS suspension time (the reference
+    * computes exclusion from `prevSuspendedTime`, not the refreshed stamp —
+    * preserved). Suspended groups are auto-healed by re-requesting their
+    * current running count (:277). */
+  def refresh(observed: Seq[TaskState]): Unit = {
+    val now = clock()
+    observed.filter(s => states.contains(s.id)).foreach { s =>
+      val prev = states(s.id).lastSuspendedTimeMs
+      val lastSuspended = if (s.isSuspended) now else prev
+      val excluded = (now - prev) <= suspendedStateDelayMs
+      states(s.id) = s.copy(lastSuspendedTimeMs = lastSuspended, isExcluded = excluded)
+    }
+    states.valuesIterator.filter(_.isSuspended).toList.foreach { g =>
+      val st = states(g.id)
+      states(g.id) = st.copy(requested = st.running, isResizing = true)
+      actions += ((g.id, st.running))
+    }
+  }
+
+  def snapshot: Seq[TaskState] = states.values.toList
+}
+
+/** ST2 + ST4 — the guarded decision cascade
+  * (reference: scaling/ScalingManager.scala:26-101). */
+class ScalingManager(
+    workers: WorkersView,
+    algorithm: ScalingAlgorithm,
+    clock: () => Long = () => System.currentTimeMillis(),
+    val scalingCoolDownTimeMs: Long = 120000L) {
+
+  private var scalingLastOpTimeMs: Long = 0L
+
+  def this(workers: WorkersView) =
+    this(workers, new StepScalingAlgorithm(new CpuLoadEvaluator,
+      minCapacity = workers.minCapacity, maxCapacity = workers.maxCapacity))
+
+  /** One evaluation tick (reference: ScalingManager.scala:26-46). Returns the
+    * action that was *performed* (post-guards), for the action-log sink. */
+  def evaluate(
+      queryStats: ClusterQueriesMetrics,
+      requiredWorkers: Int,
+      cpuSummary: MetricSummary): Option[ResizeAction] = {
+    if (ScalingManager.isIdle(queryStats)) {
+      evaluateAndPerform(ResizeAction(ResizeType.Shrink.name, workers.minCapacity))
+    } else if (workers.isResizing) {
+      // refresh the cooldown clock while a resize is in flight (:31-33)
+      scalingLastOpTimeMs = clock()
+      None
+    } else if (requiredWorkers > workers.running) {
+      evaluateAndPerform(ResizeAction(ResizeType.Expand.name, requiredWorkers))
+    } else if (clock() - scalingLastOpTimeMs > scalingCoolDownTimeMs) {
+      evaluateAndPerform(algorithm.evaluate(workers.running, requiredWorkers, cpuSummary))
+    } else None // F7 cooldown gate
+  }
+
+  /** ST4 guards (reference: ScalingManager.scala:67-101). */
+  private def evaluateAndPerform(op: ResizeAction): Option[ResizeAction] = {
+    val current = workers.running
+    ResizeType.fromString(op.action) match {
+      case ResizeType.Expand =>
+        if (current == workers.maxCapacity) None
+        else if (current > workers.maxCapacity) {
+          // manual resize above limits → clamp back down (:75-81)
+          workers.resize(workers.maxCapacity)
+          record(ResizeAction(ResizeType.Shrink.name, workers.maxCapacity))
+        } else {
+          workers.resize(op.capacity)
+          record(op)
+        }
+      case ResizeType.Shrink =>
+        if (current == workers.minCapacity) None
+        else if (workers.requested == op.capacity) None // dedupe (:90-91)
+        else {
+          workers.resize(op.capacity)
+          record(op)
+        }
+      case ResizeType.None => None
+    }
+  }
+
+  private def record(op: ResizeAction): Option[ResizeAction] = {
+    scalingLastOpTimeMs = clock()
+    Some(op)
+  }
+}
+
+object ScalingManager {
+  /** F6 — idle iff no queued/running queries and every 5-min activity
+    * counter `< 1` (reference: ScalingManager.scala:103-117; Trino's decayed
+    * counters never report exact 0 — with our exact windowed counts `< 1`
+    * degenerates to `== 0`, SURVEY.md §7.5.4). */
+  def isIdle(m: ClusterQueriesMetrics): Boolean =
+    m.queuedQueries == 0 && m.runningQueries == 0 &&
+      m.failedQueriesFiveMin < 1 && m.abandonedQueriesFiveMin < 1 &&
+      m.canceledQueriesFiveMin < 1 && m.completedQueriesFiveMin < 1 &&
+      m.submittedQueriesFiveMin < 1
+}

@@ -1,0 +1,113 @@
+package graft.decide
+
+import graft.model.{ResizeAction, ResizeType}
+
+/**
+ * The decision layer: evaluator → step-scaling → guarded cascade.
+ *
+ * These are pure functions over aggregate summaries that the Spark analytics
+ * layer ([[graft.analytics.MetricAnalytics]]) produces per micro-batch; the
+ * control loop invokes them from `foreachBatch` (SURVEY.md §3.2). Keeping
+ * them Spark-free makes the golden-trace tests (SURVEY.md §5.4) exact and
+ * fast, and mirrors the reference's split between pure analytics
+ * (metrics/MetricStore.scala) and stateful control
+ * (scaling/ScalingManager.scala).
+ */
+
+/** A summary of the metric window, as computed by the analytics layer.
+  * `oneMinuteAvg` is the zero-filled last-4-tick per-node mean;
+  * `totalNodes` the last tick's node-list size (the pinned quorum
+  * denominator, reference: metrics/MetricStore.scala:29-33,51). */
+final case class MetricSummary(
+    isCold: Boolean,
+    oneMinuteAvg: Map[String, Double],
+    totalNodes: Int)
+
+object MetricSummary {
+  val Cold: MetricSummary = MetricSummary(isCold = true, Map.empty, 0)
+
+  /** Quorum: nodes whose 1-min avg >= threshold reach `fraction` of the
+    * last tick's node list (reference: metrics/MetricStore.scala:62-71;
+    * note `>=` on both the value and the quorum comparison). */
+  def isAvgOneMinGreater(m: MetricSummary, fraction: Double, threshold: Double): Boolean = {
+    val numBreached = m.oneMinuteAvg.count(_._2 >= threshold)
+    numBreached >= m.totalNodes * fraction
+  }
+
+  /** Quorum on the open interval (min, max) — strict on both ends
+    * (reference: metrics/MetricStore.scala:49-57). */
+  def isAvgOneMinBetween(m: MetricSummary, fraction: Double, min: Double, max: Double): Boolean = {
+    val numBreached = m.oneMinuteAvg.count(p => p._2 > min && p._2 < max)
+    numBreached >= m.totalNodes * fraction
+  }
+
+  /** "Lower" is the literal negation of `isAvgOneMinGreater`, NOT a third
+    * quorum (reference: metrics/MetricStore.scala:75; SURVEY.md §7.5.3). */
+  def isAvgOneMinLower(m: MetricSummary, fraction: Double, threshold: Double): Boolean =
+    !isAvgOneMinGreater(m, fraction, threshold)
+}
+
+/** Extension point: window summary → resize verdict
+  * (reference: scaling/algo/Evaluator.scala:6-12). */
+trait Evaluator {
+  def label: String
+  def evaluate(metrics: MetricSummary): ResizeType
+}
+
+/** ST1 — the 3-way CPU classifier (reference:
+  * scaling/algo/CpuLoadEvaluator.scala:12-32). Constants are the CODE
+  * values 0.8/0.7/0.5; docs/scaling-logic.md:16-18 claims 0.8/0.4 but code
+  * wins (BASELINE.md). */
+class CpuLoadEvaluator(
+    val nodesFraction: Double = 0.8,
+    val expandThreshold: Double = 0.7,
+    val shrinkThreshold: Double = 0.5)
+  extends Evaluator {
+
+  override val label: String = "CPU Evaluation"
+
+  override def evaluate(m: MetricSummary): ResizeType =
+    if (m.isCold) ResizeType.None
+    else if (MetricSummary.isAvgOneMinGreater(m, nodesFraction, expandThreshold)) ResizeType.Expand
+    else if (MetricSummary.isAvgOneMinBetween(m, nodesFraction, shrinkThreshold, expandThreshold)) ResizeType.None
+    else ResizeType.Shrink
+}
+
+/** Sizing strategy (reference: scaling/algo/ScalingAlgorithm.scala:7-28). */
+trait ScalingAlgorithm {
+  def evaluator: Evaluator
+
+  /** ST3 — note the NONE branch: when the evaluator says NONE but
+    * `0 < required < capacity`, the reference STILL issues an EXPAND with
+    * the regular expand sizing (scaling/algo/ScalingAlgorithm.scala:17-19).
+    * Surprising (required is below capacity) but preserved verbatim. */
+  def evaluate(capacity: Int, required: Int, metrics: MetricSummary): ResizeAction =
+    evaluator.evaluate(metrics) match {
+      case ResizeType.Expand => ResizeAction(ResizeType.Expand.name, expand(capacity, required))
+      case ResizeType.Shrink => ResizeAction(ResizeType.Shrink.name, shrink(capacity))
+      case ResizeType.None =>
+        if (required > 0 && required < capacity)
+          ResizeAction(ResizeType.Expand.name, expand(capacity, required))
+        else ResizeAction(ResizeType.None.name, capacity)
+    }
+
+  def expand(running: Int, required: Int): Int
+  def shrink(running: Int): Int
+}
+
+/** ST3 sizing — step with clamp (reference:
+  * scaling/algo/StepScalingAlgorithm.scala:16-26). Defaults are the IG
+  * profile (application.conf:22-25); the IF profile is 8/160/40/24. */
+class StepScalingAlgorithm(
+    override val evaluator: Evaluator,
+    val minCapacity: Int = 0,
+    val maxCapacity: Int = 20,
+    val stepExpand: Int = 5,
+    val stepShrink: Int = 3)
+  extends ScalingAlgorithm {
+
+  override def expand(running: Int, required: Int): Int =
+    (running + stepExpand).max(required).min(maxCapacity)
+
+  override def shrink(running: Int): Int = (running - stepShrink).max(minCapacity)
+}

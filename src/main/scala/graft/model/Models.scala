@@ -1,0 +1,122 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/**
+ * Domain model for the Spark-native rebuild of the reference autoscaler
+ * (reference: the metrics/models, cluster, and scaling packages).
+ *
+ * Every record that the reference holds as an in-heap case class becomes a
+ * typed `Dataset[T]` row here (SURVEY.md §1.1). Timestamps are event-time
+ * `java.sql.Timestamp` (reference used epoch-millis `Long`,
+ * scaling/ScalingManager.scala:24,33); enumerations become sealed ADTs
+ * stored as strings in DataFrames.
+ */
+
+/** One time-series point: a metric sample from one node at one tick.
+  * Reference shape: `Map[node -> ProcessCpuLoad]` per tick
+  * (metrics/MetricStore.scala:8,11); here normalized to long rows, which is
+  * the scale-friendly layout (100 TB of samples partitions by ts/node). */
+final case class MetricSample(ts: Timestamp, node: String, metric: String, value: Double)
+
+/** Cluster-wide memory gauge snapshot
+  * (reference: metrics/models/ClusterMemoryMetrics.scala:4-9; BigInt → Long,
+  * byte counts < 2^63, SURVEY.md §1.2). */
+final case class ClusterMemoryMetrics(
+    ts: Timestamp,
+    clusterMemoryBytes: Long,
+    freeDistributedBytes: Long,
+    reservedDistributedBytes: Long,
+    totalDistributedBytes: Long,
+    numberOfLeakedQueries: Long,
+    clusterTotalMemoryReservation: Long)
+
+/** Cluster query counters snapshot
+  * (reference: metrics/models/ClusterQueriesMetrics.scala:4-15). The five
+  * `*OneMin`/`*FiveMin` fields are Trino's exponentially-decayed rates read
+  * as opaque doubles; our streaming rebuild produces exact sliding-window
+  * counts instead (SURVEY.md §2.6 note). */
+final case class ClusterQueriesMetrics(
+    ts: Timestamp,
+    runningQueries: Int,
+    queuedQueries: Int,
+    abandonedQueriesFiveMin: Double,
+    canceledQueriesFiveMin: Double,
+    completedQueriesFiveMin: Double,
+    failedQueriesFiveMin: Double,
+    submittedQueriesFiveMin: Double)
+
+/** Per-node CPU snapshot (reference: metrics/models/ClusterNodesCpuMetrics.scala:5-9). */
+final case class NodeCpuSample(
+    ts: Timestamp,
+    node: String,
+    availableProcessors: Int,
+    processCpuLoad: Double,
+    systemCpuLoad: Double,
+    systemLoadAverage: Double)
+
+/** Node topology row from the coordinator's node list
+  * (reference: metrics/models/EmrNodeStatus.scala:3-10). */
+final case class NodeInfo(
+    nodeId: String,
+    nodeURI: String,
+    nodeRole: String,
+    nodeState: String,
+    nodeVersion: String)
+
+/** Worker pool status row (reference: cluster/TaskState.scala:3-12). */
+final case class TaskState(
+    id: String,
+    name: String,
+    status: String,
+    isResizing: Boolean,
+    isSuspended: Boolean,
+    isExcluded: Boolean,
+    running: Int,
+    requested: Int,
+    message: String,
+    lastSuspendedTimeMs: Long)
+
+/** A managed worker pool spec (reference: cluster/TaskSpec.scala:3,
+  * cluster/Instance.scala:11). */
+final case class InstanceSpec(instanceType: String, weight: Int)
+final case class TaskSpec(name: String, market: String, instances: Seq[InstanceSpec])
+
+/** Scaling verdicts (reference: scaling/ResizeType.scala:3-9). */
+sealed trait ResizeType { def name: String }
+object ResizeType {
+  case object Expand extends ResizeType { val name = "EXPAND" }
+  case object Shrink extends ResizeType { val name = "SHRINK" }
+  case object None extends ResizeType { val name = "NONE" }
+  def fromString(s: String): ResizeType = s.toUpperCase match {
+    case "EXPAND" => Expand
+    case "SHRINK" => Shrink
+    case "NONE"   => None
+    case other    => throw new IllegalArgumentException(s"unknown resize type: $other")
+  }
+}
+
+/** Capacity unit of a worker pool (reference: cluster/WorkersUnit.scala:9-14). */
+sealed trait WorkersUnit { def name: String }
+object WorkersUnit {
+  case object Nodes extends WorkersUnit { val name = "NODES" }
+  case object Units extends WorkersUnit { val name = "UNITS" }
+}
+
+/** The decision the engine emits (reference: scaling/ResizeAction.scala:5). */
+final case class ResizeAction(action: String, capacity: Int)
+
+/** Aggregated view of one evaluation tick, the input to the decision
+  * cascade (SURVEY.md §3.2). Produced by analytics, consumed by
+  * [[graft.decide.ScalingManager]]. */
+final case class ClusterAggregates(
+    ts: Timestamp,
+    breachedHigh: Long,   // nodes whose 1-min avg >= expandThreshold (A5)
+    breachedMid: Long,    // nodes whose 1-min avg in (shrink, expand) (A5)
+    totalNodes: Long,     // quorum denominator: last tick's node count (A6)
+    runningQueries: Int,
+    queuedQueries: Int,
+    fiveMinEventCounts: Map[String, Double], // exact windowed counts (F6)
+    requiredWorkers: Int,
+    runningCapacity: Int, // A8 sum over managed pools
+    isResizing: Boolean)  // A9 existential

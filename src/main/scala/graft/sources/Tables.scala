@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Fixture/table loader.
+ *
+ * The driver-generated parquet stores timestamps as parquet
+ * `TIMESTAMP(NANOS)`, which Spark 4 rejects outright
+ * (PARQUET_TYPE_ILLEGAL) unless `spark.sql.legacy.parquet.nanosAsLong`
+ * is set — and then surfaces them as nanosecond `LongType`. This loader
+ * flips the flag (it is a runtime-settable SQLConf) and converts the known
+ * timestamp columns back to `TimestampType` via microsecond truncation,
+ * which is lossless for the fixtures (their values carry at most
+ * microsecond precision, TESTDATA.md).
+ */
+object Tables {
+
+  /** Columns that are timestamps in the fixture schema (FIXTURES.md §A). */
+  private val TimestampCols = Set("ts", "l_shipdate", "o_orderdate")
+
+  def load(spark: SparkSession, dir: String, table: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/$table.parquet")
+    raw.schema.fields.foldLeft(raw) { (df, f) =>
+      if (TimestampCols.contains(f.name) && f.dataType == LongType)
+        df.withColumn(f.name, timestamp_micros((col(f.name) / 1000L).cast("long")))
+      else df
+    }
+  }
+
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

@@ -1,0 +1,140 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+import java.sql.Timestamp
+
+/** Port of the reference unit suite
+  * (reference: src/test/scala/com/amazonaws/emr/metrics/MetricStoreTest.scala:1-73)
+  * against the Spark operators, same inputs and expected values, plus the
+  * zero-fill / retention / distribution operators the reference exercises
+  * implicitly. */
+class MetricAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Build a samples frame from a list of ticks, each a Map(node -> value) —
+    * the reference's ring-buffer shape (metrics/MetricStore.scala:8). */
+  private def samples(ticks: Seq[Map[String, Double]]): DataFrame =
+    ticks.zipWithIndex.flatMap { case (m, i) =>
+      m.map { case (n, v) => (new Timestamp(1700000000000L + i * 15000L), n, v) }
+    }.toDF("ts", "node", "value")
+
+  private val singleTick = Map("d1" -> 1.2)
+
+  test("oneMinuteAvgExact: under-sampled buffer (2 ticks) is empty") {
+    // MetricStoreTest.scala:45-48 — 2 appends → oneMinute == empty
+    val df = samples(Seq(singleTick, singleTick))
+    assert(MetricAnalytics.oneMinuteAvgExact(df).count() === 0)
+  }
+
+  test("oneMinuteAvgExact: 4 ticks → per-node average") {
+    // MetricStoreTest.scala:49-52
+    val df = samples(Seq.fill(4)(singleTick))
+    val out = MetricAnalytics.oneMinuteAvgExact(df).as[(String, Double)].collect().toMap
+    assert(out === Map("d1" -> 1.2))
+  }
+
+  test("oneMinuteAvgExact: average of 2,4,6,8 is 5") {
+    // MetricStoreTest.scala:39-43
+    val df = samples(Seq(Map("d1" -> 2.0), Map("d1" -> 4.0), Map("d1" -> 6.0), Map("d1" -> 8.0)))
+    val out = MetricAnalytics.oneMinuteAvgExact(df).as[(String, Double)].collect().toMap
+    assert(out("d1") === 5.0)
+  }
+
+  test("oneMinuteAvgExact: node missing from early ticks averages with zero-fill") {
+    // reference zero-fill semantics: MetricStore.scala:20-22 getOrElse(node, 0)
+    val df = samples(Seq(
+      Map("d1" -> 1.0),
+      Map("d1" -> 1.0),
+      Map("d1" -> 1.0),
+      Map("d1" -> 1.0, "d2" -> 4.0)))
+    val out = MetricAnalytics.oneMinuteAvgExact(df).as[(String, Double)].collect().toMap
+    assert(out === Map("d1" -> 1.0, "d2" -> 1.0)) // (0+0+0+4)/4
+  }
+
+  test("oneMinuteAvgExact: node universe pinned to LAST tick") {
+    // a node absent from the last tick is dropped even if it has history
+    val df = samples(Seq(
+      Map("d1" -> 1.0, "d2" -> 2.0),
+      Map("d1" -> 1.0, "d2" -> 2.0),
+      Map("d1" -> 1.0, "d2" -> 2.0),
+      Map("d1" -> 1.0)))
+    val out = MetricAnalytics.oneMinuteAvgExact(df).as[(String, Double)].collect().toMap
+    assert(out.keySet === Set("d1"))
+  }
+
+  test("oneMinuteAvgExact: only the newest 4 ticks enter the average") {
+    // takeRight(4): MetricStore.scala:39 — 5th-oldest tick (100.0) must not count
+    val df = samples(Seq(Map("d1" -> 100.0)) ++ Seq.fill(4)(Map("d1" -> 2.0)))
+    val out = MetricAnalytics.oneMinuteAvgExact(df).as[(String, Double)].collect().toMap
+    assert(out("d1") === 2.0)
+  }
+
+  test("isCold boundary at 4 ticks") {
+    // MetricStoreTest.scala:30-37
+    assert(MetricAnalytics.isCold(samples(Seq.fill(3)(singleTick))))
+    assert(!MetricAnalytics.isCold(samples(Seq.fill(4)(singleTick))))
+  }
+
+  test("quorum: isAvgOneMinGreater cases") {
+    // MetricStoreTest.scala:55-61 — {d1: 0.2, d2: 0.8} × 4 ticks
+    val df = samples(Seq.fill(4)(Map("d1" -> 0.2, "d2" -> 0.8)))
+    val r1 = MetricAnalytics.quorum(df, expandThreshold = 0.2, shrinkThreshold = 0.0, nodesFraction = 1.0)
+      .select("is_greater").as[Boolean].head()
+    assert(r1 === true)
+    val r2 = MetricAnalytics.quorum(df, expandThreshold = 0.8, shrinkThreshold = 0.0, nodesFraction = 0.5)
+      .select("is_greater").as[Boolean].head()
+    assert(r2 === true)
+  }
+
+  test("quorum: isAvgOneMinBetween cases incl. false case") {
+    // MetricStoreTest.scala:63-71 — {d1: 0.5, d2: 0.6} × 4 ticks
+    val df = samples(Seq.fill(4)(Map("d1" -> 0.5, "d2" -> 0.6)))
+    def between(fraction: Double, min: Double, max: Double): Boolean =
+      MetricAnalytics.quorum(df, expandThreshold = max, shrinkThreshold = min, nodesFraction = fraction)
+        .select("is_between").as[Boolean].head()
+    assert(between(1.0, 0.45, 0.65) === true)
+    assert(between(0.5, 0.45, 0.65) === true)
+    assert(between(0.5, 0.45, 0.55) === true)
+    assert(between(0.5, 0.25, 0.35) === false)
+  }
+
+  test("quorum: is_lower is the negation of is_greater") {
+    // MetricStore.scala:75 — SURVEY.md §7.5.3
+    val df = samples(Seq.fill(4)(Map("d1" -> 0.9, "d2" -> 0.9)))
+    val row = MetricAnalytics.quorum(df, 0.7, 0.5, 0.8)
+      .select("is_greater", "is_lower").as[(Boolean, Boolean)].head()
+    assert(row._1 === !row._2)
+  }
+
+  test("retainLastN keeps the newest N per node") {
+    val df = samples((1 to 25).map(i => Map("d1" -> i.toDouble)))
+    val kept = MetricAnalytics.retainLastN(df, 20).as[(Timestamp, String, Double)]
+      .collect().map(_._3).sorted
+    assert(kept.length === 20)
+    assert(kept.head === 6.0 && kept.last === 25.0)
+  }
+
+  test("zeroFillBuckets: every node × bucket has a value") {
+    val df = Seq(
+      (Timestamp.valueOf("2024-01-01 00:10:00"), "a", 2.0),
+      (Timestamp.valueOf("2024-01-01 02:10:00"), "a", 4.0),
+      (Timestamp.valueOf("2024-01-01 01:30:00"), "b", 6.0)
+    ).toDF("ts", "node", "value")
+    val out = MetricAnalytics.zeroFillBuckets(df, "hour")
+      .as[(String, Timestamp, Double)].collect()
+    assert(out.length === 6) // 2 nodes × 3 hourly buckets
+    val byKey = out.map(r => (r._1, r._2.toString) -> r._3).toMap
+    assert(byKey(("a", "2024-01-01 00:00:00.0")) === 2.0)
+    assert(byKey(("a", "2024-01-01 01:00:00.0")) === 0.0)
+    assert(byKey(("b", "2024-01-01 01:00:00.0")) === 6.0)
+  }
+
+  test("distribute matches reference example 5 over 3 = (2,2,1)") {
+    // cluster/Workers.scala:225-238
+    assert(MetricAnalytics.distribute(5, 3) === Seq(2, 2, 1))
+    assert(MetricAnalytics.distribute(0, 3) === Seq(0, 0, 0))
+    assert(MetricAnalytics.distribute(7, 7) === Seq.fill(7)(1))
+  }
+}

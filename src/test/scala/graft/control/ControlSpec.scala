@@ -1,0 +1,169 @@
+package graft.control
+
+import graft.decide.{CpuLoadEvaluator, MetricSummary, StepScalingAlgorithm}
+import graft.model.{ClusterQueriesMetrics, TaskState}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Golden decision traces — the e2e test the reference lacks
+  * (SURVEY.md §5.4): replay a canned multi-tick scenario through the full
+  * cascade and assert the exact ResizeAction sequence including warm-up,
+  * cooldown, and idle suppression. */
+class ControlSpec extends AnyFunSuite {
+
+  private val ts = new Timestamp(1700000000000L)
+
+  private def queryStats(running: Int, queued: Int, fiveMin: Double): ClusterQueriesMetrics =
+    ClusterQueriesMetrics(ts, running, queued, fiveMin, fiveMin, fiveMin, fiveMin, fiveMin)
+
+  private val busy = queryStats(running = 3, queued = 1, fiveMin = 12.0)
+  private val idle = queryStats(running = 0, queued = 0, fiveMin = 0.0)
+
+  private def warm(avg: Double, nodes: Int = 5): MetricSummary =
+    MetricSummary(isCold = false, (1 to nodes).map(i => s"n$i" -> avg).toMap, nodes)
+
+  /** A manual clock advanced 15 s per tick, mirroring the reference cadence.
+    * Starts large (like epoch millis) so the initial `lastOp = 0` means the
+    * first cooldown check passes, as in the reference. */
+  private class Clock { var now = 1000000000L; def tick(): Unit = now += 15000L }
+
+  private def newRig(initialRunning: Int = 5) = {
+    val clock = new Clock
+    val workers = new SimulatedWorkers(minCapacity = 0, maxCapacity = 20,
+      concurrent = true, groupIds = Seq("g-1"), clock = () => clock.now)
+    workers.resize(initialRunning); workers.settle(); workers.actions.clear()
+    val algo = new StepScalingAlgorithm(new CpuLoadEvaluator, minCapacity = 0, maxCapacity = 20)
+    val mgr = new ScalingManager(workers, algo, () => clock.now)
+    (clock, workers, mgr)
+  }
+
+  test("golden trace: warm-up → overload expand → plateau → cooldown-gated drain → idle shrink") {
+    val (clock, workers, mgr) = newRig(initialRunning = 5)
+    var trace = List.empty[String]
+    def step(stats: ClusterQueriesMetrics, required: Int, m: MetricSummary): Unit = {
+      val r = mgr.evaluate(stats, required, m)
+      trace :+= r.map(a => s"${a.action}:${a.capacity}").getOrElse("-")
+      workers.settle() // control plane completes instantly in simulation
+      clock.tick()
+    }
+
+    // ticks 1-4: cold store → step algo returns NONE → no action
+    (1 to 4).foreach(_ => step(busy, 0, MetricSummary.Cold))
+    // tick 5: overload (all nodes 0.9) → EXPAND 5+5=10
+    step(busy, 0, warm(0.9))
+    // tick 6: still hot but cooldown (120 s) gates the step algorithm
+    step(busy, 0, warm(0.9))
+    // ticks 7-13: plateau (0.6) — cooldown then NONE verdicts
+    (7 to 13).foreach(_ => step(busy, 0, warm(0.6)))
+    // tick 14: cooldown expired (last op at tick 5; 9 ticks × 15 s > 120 s)
+    // drain (0.2) → SHRINK 10-3=7
+    step(busy, 0, warm(0.2))
+    // tick 15: idle → immediate shrink-to-min, bypasses cooldown (ST2 priority)
+    step(idle, 0, warm(0.0))
+
+    assert(trace === List(
+      "-", "-", "-", "-",       // warm-up
+      "EXPAND:10",              // overload
+      "-",                      // cooldown gate
+      "-", "-", "-", "-", "-", "-", "-", // plateau (cooldown, then NONE verdicts)
+      "SHRINK:7",               // drain after cooldown
+      "SHRINK:0"))              // idle → min capacity
+    assert(workers.running === 0)
+  }
+
+  test("required-workers hint preempts cooldown and forces expand") {
+    val (_, workers, mgr) = newRig(initialRunning = 5)
+    val r = mgr.evaluate(busy, requiredWorkers = 12, warm(0.1))
+    assert(r.exists(a => a.action == "EXPAND" && a.capacity == 12))
+    workers.settle()
+    assert(workers.running === 12)
+  }
+
+  test("resizing in flight skips evaluation and refreshes the cooldown clock") {
+    val (clock, workers, mgr) = newRig(initialRunning = 5)
+    workers.resize(9) // now isResizing
+    assert(mgr.evaluate(busy, 0, warm(0.9)).isEmpty)
+    workers.settle()
+    // immediately after: hot metrics, but cooldown was refreshed at skip time
+    clock.tick()
+    assert(mgr.evaluate(busy, 0, warm(0.9)).isEmpty)
+  }
+
+  test("ST4 guards: expand at max is a no-op; duplicate shrink is deduped") {
+    val (clock, workers, mgr) = newRig(initialRunning = 20)
+    clock.now += 300000L // past cooldown
+    assert(mgr.evaluate(busy, 0, warm(0.9)).isEmpty) // at max → no-op
+    val (clock2, workers2, mgr2) = newRig(initialRunning = 3)
+    clock2.now += 300000L
+    // idle shrink to min=0 issues once...
+    assert(mgr2.evaluate(idle, 0, warm(0.0)).nonEmpty)
+    // ...but min already requested (not yet settled) → deduped
+    assert(mgr2.evaluate(idle, 0, warm(0.0)).isEmpty)
+    workers2.settle()
+    assert(workers2.running === 0)
+    // and at min capacity the shrink is a no-op
+    assert(mgr2.evaluate(idle, 0, warm(0.0)).isEmpty)
+  }
+
+  test("manual resize above max clamps back down") {
+    val (clock, workers, mgr) = newRig(initialRunning = 25) // above max=20
+    clock.now += 300000L
+    val r = mgr.evaluate(busy, 0, warm(0.9))
+    assert(r.exists(a => a.action == "SHRINK" && a.capacity == 20))
+    workers.settle()
+    assert(workers.running === 20)
+  }
+
+  test("ST6: concurrent distribution spreads target across groups (2,2,1)") {
+    val clock = new Clock
+    val w = new SimulatedWorkers(0, 20, concurrent = true,
+      groupIds = Seq("g-1", "g-2", "g-3"), clock = () => clock.now)
+    w.resize(5)
+    assert(w.actions.toList === List(("g-1", 2), ("g-2", 2), ("g-3", 1)))
+  }
+
+  test("ST5: suspended group is healed and excluded from expansion for 10 min") {
+    val clock = new Clock
+    val w = new SimulatedWorkers(0, 20, concurrent = true,
+      groupIds = Seq("g-1", "g-2"), clock = () => clock.now)
+    w.resize(10); w.settle() // 5 + 5
+    clock.now += 1000000L
+    val observed = w.snapshot.map(s =>
+      if (s.id == "g-1") s.copy(status = "SUSPENDED", isSuspended = true) else s)
+    w.actions.clear()
+    w.refresh(observed)
+    // heal: suspended group re-requested at its running count
+    assert(w.actions.toList === List(("g-1", 5)))
+    w.settle()
+    // second refresh inside the window: now the PREVIOUS suspension time is
+    // set → g-1 is excluded from expansion
+    clock.now += 30000L
+    w.refresh(w.snapshot.map(_.copy(isSuspended = false, isResizing = false)))
+    w.actions.clear()
+    w.resize(12) // expand: only g-2 eligible → gets all 12
+    assert(w.actions.toList === List(("g-2", 12)))
+    // after the 10-min window the exclusion lapses
+    clock.now += 700000L
+    w.refresh(w.snapshot.map(_.copy(isSuspended = false, isResizing = false)))
+    w.settle(); w.actions.clear()
+    w.resize(14)
+    assert(w.actions.map(_._1).toSet === Set("g-1", "g-2"))
+  }
+
+  test("isIdle matches reference predicate shape") {
+    assert(ScalingManager.isIdle(idle))
+    assert(!ScalingManager.isIdle(busy))
+    // decayed counters below 1 still count as idle (reference `< 1`)
+    assert(ScalingManager.isIdle(queryStats(0, 0, 0.7)))
+    assert(!ScalingManager.isIdle(queryStats(0, 1, 0.0)))
+  }
+
+  test("TaskState round-trips through refresh without unmanaged ids") {
+    val clock = new Clock
+    val w = new SimulatedWorkers(0, 20, groupIds = Seq("g-1"), clock = () => clock.now)
+    val foreign = TaskState("g-999", "x", "RUNNING", false, false, false, 1, 1, "", 0L)
+    w.refresh(Seq(foreign)) // F9 membership semantics: ignored
+    assert(w.snapshot.map(_.id) === Seq("g-1"))
+  }
+}

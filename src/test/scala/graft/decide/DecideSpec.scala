@@ -1,0 +1,107 @@
+package graft.decide
+
+import graft.analytics.MetricAnalytics
+import graft.model.ResizeType
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit + property tests for the pure decision layer (SURVEY.md §5.3). */
+class DecideSpec extends AnyFunSuite {
+
+  /** Run a scalacheck property under the plain scalatest runner (the
+    * scalatestplus bridge is not in the offline cache). */
+  private def check(prop: Prop): Unit = {
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  private def warm(avgs: Map[String, Double]): MetricSummary =
+    MetricSummary(isCold = false, avgs, avgs.size)
+
+  private val evaluator = new CpuLoadEvaluator // 0.8 / 0.7 / 0.5
+  private val algo = new StepScalingAlgorithm(evaluator) // min 0, max 20, +5/-3
+
+  test("cold store → NONE") {
+    assert(evaluator.evaluate(MetricSummary.Cold) === ResizeType.None)
+  }
+
+  test("quorum >= 0.7 on >= 80% of nodes → EXPAND") {
+    val m = warm(Map("a" -> 0.9, "b" -> 0.8, "c" -> 0.75, "d" -> 0.7, "e" -> 0.1))
+    assert(evaluator.evaluate(m) === ResizeType.Expand) // 4/5 = 0.8 quorum, 0.7 inclusive
+  }
+
+  test("quorum in (0.5, 0.7) → NONE; below → SHRINK") {
+    val mid = warm(Map("a" -> 0.6, "b" -> 0.6, "c" -> 0.55, "d" -> 0.65, "e" -> 0.6))
+    assert(evaluator.evaluate(mid) === ResizeType.None)
+    val low = warm(Map("a" -> 0.1, "b" -> 0.2, "c" -> 0.1, "d" -> 0.3, "e" -> 0.2))
+    assert(evaluator.evaluate(low) === ResizeType.Shrink)
+  }
+
+  test("mixed no-quorum → SHRINK (the otherwise branch)") {
+    // neither >= 0.7 quorum nor (0.5,0.7) quorum: falls through to SHRINK
+    val m = warm(Map("a" -> 0.9, "b" -> 0.1, "c" -> 0.9, "d" -> 0.1, "e" -> 0.6))
+    assert(evaluator.evaluate(m) === ResizeType.Shrink)
+  }
+
+  test("step scaling: expand clamps at max, honors required") {
+    assert(algo.expand(10, 0) === 15)
+    assert(algo.expand(18, 0) === 20)   // clamp to max
+    assert(algo.expand(10, 18) === 18)  // required wins over running+step
+    assert(algo.expand(10, 99) === 20)  // required clamped too
+  }
+
+  test("step scaling: shrink clamps at min") {
+    assert(algo.shrink(10) === 7)
+    assert(algo.shrink(2) === 0)
+  }
+
+  test("NONE-branch quirk: 0 < required < capacity still issues EXPAND") {
+    // reference: scaling/algo/ScalingAlgorithm.scala:17-19 — preserved verbatim
+    val m = warm(Map("a" -> 0.6, "b" -> 0.6)) // evaluator says NONE
+    val action = algo.evaluate(capacity = 10, required = 3, m)
+    assert(action.action === "EXPAND")
+    assert(action.capacity === 15) // max(10+5, 3) min 20
+  }
+
+  test("NONE with required == 0 stays NONE at current capacity") {
+    val m = warm(Map("a" -> 0.6, "b" -> 0.6))
+    val action = algo.evaluate(capacity = 10, required = 0, m)
+    assert(action.action === "NONE" && action.capacity === 10)
+  }
+
+  // ---- properties (SURVEY.md §5.3) ----
+
+  private val capGen = Gen.choose(0, 30)
+  private val reqGen = Gen.choose(0, 30)
+
+  test("property: resize capacity always within [min, max] once running is") {
+    check(Prop.forAll(capGen, reqGen) { (running: Int, required: Int) =>
+      running > algo.maxCapacity || {
+        val e = algo.expand(running, required)
+        val s = algo.shrink(running)
+        e >= algo.minCapacity && e <= algo.maxCapacity &&
+          s >= algo.minCapacity && s <= algo.maxCapacity
+      }
+    })
+  }
+
+  test("property: distribute sums to n with max spread 1") {
+    check(Prop.forAll(Gen.choose(0, 500), Gen.choose(1, 48)) { (n: Int, k: Int) =>
+      val d = MetricAnalytics.distribute(n, k)
+      d.sum == n && d.max - d.min <= 1 && d.length == k
+    })
+  }
+
+  test("property: quorum monotonicity — raising threshold never flips NONE→EXPAND") {
+    val avgGen = Gen.nonEmptyMap(Gen.zip(Gen.identifier, Gen.choose(0.0, 1.0)))
+    check(Prop.forAll(avgGen, Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) {
+      (avgs: Map[String, Double], t1: Double, t2: Double) =>
+        val m = warm(avgs)
+        val lo = math.min(t1, t2)
+        val hi = math.max(t1, t2)
+        val evLo = new CpuLoadEvaluator(expandThreshold = lo, shrinkThreshold = lo / 2)
+        val evHi = new CpuLoadEvaluator(expandThreshold = hi, shrinkThreshold = lo / 2)
+        evLo.evaluate(m) == ResizeType.Expand || evHi.evaluate(m) != ResizeType.Expand
+    })
+  }
+}

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: oracle_check.py <verify_out_dir> <sf_dir>
+
+Reads <verify_out_dir>/oracle_sql.json, registers each fixture parquet as a
+DuckDB view named after the table, runs every oracle SQL, and compares with
+the Spark-written parquet under <verify_out_dir>/<name>/ — columns sorted by
+name, rows sorted by all columns, values compared exactly.
+"""
+import json, sys, glob
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        if df[c].dtype == object:
+            df[c] = df[c].apply(lambda v: tuple(v.tolist()) if hasattr(v, "tolist") else v)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def describe_diff(e, a):
+    for c in e.columns:
+        if not e[c].equals(a[c]):
+            try:
+                d = (pd.to_numeric(e[c]) - pd.to_numeric(a[c])).abs().max()
+                return f"col {c} differs, max abs diff {d}"
+            except Exception:
+                ne = (e[c] != a[c]).sum()
+                return (f"col {c} differs in {ne} rows, e.g. "
+                        f"{e[c][e[c] != a[c]].head(2).tolist()} vs {a[c][e[c] != a[c]].head(2).tolist()}")
+    return "unknown diff"
+
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            expected = con.execute(sql).df()
+            files = glob.glob(f"{out_dir}/{name}/*.parquet")
+            if not files:
+                print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            actual = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+            e, a = normalize(expected), normalize(actual)
+            if e.shape != a.shape:
+                print(f"FAIL {name}: shape {a.shape} vs oracle {e.shape}"); n_fail += 1; continue
+            if list(e.columns) != list(a.columns):
+                print(f"FAIL {name}: cols {list(a.columns)} vs {list(e.columns)}"); n_fail += 1; continue
+            if e.equals(a):
+                print(f"PASS {name} ({len(e)} rows)"); n_pass += 1
+            else:
+                print(f"FAIL {name}: {describe_diff(e, a)}"); n_fail += 1
+        except Exception as ex:
+            print(f"FAIL {name}: {type(ex).__name__}: {ex}"); n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
