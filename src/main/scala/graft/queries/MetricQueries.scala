@@ -1,0 +1,396 @@
+package graft.queries
+
+import graft.analytics.MetricAnalytics
+import graft.sources.{JmxJson, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import QueryHelpers._
+
+/**
+ * The metric-analytics query battery — every windowed/quorum/control [Q]
+ * operator from SURVEY.md §2 expressed over the `events` fixture
+ * (FIXTURES.md: user_id ≡ node, value ≡ processCpuLoad, event_type ≡ metric
+ * family), each with a DuckDB oracle.
+ *
+ * Timestamps are emitted as epoch milliseconds (`unix_millis` /
+ * `epoch_ms`) so both engines produce identical BIGINT columns — the
+ * fixtures' nanosecond parquet timestamps would otherwise compare at
+ * different pandas precisions.
+ */
+object MetricQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1/A2 — per-node sliding mean over the newest 4 samples
+    // (reference: metrics/MetricStore.scala:26,36,39)
+    "m01_sliding_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, 0)
+      events(s, dir).select(
+        col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+        (sum(col("value").cast(Dec)).over(w).cast("double") /
+          count(lit(1)).over(w)).as("avg4"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // A3 — ring-buffer retention: newest 20 rows per node
+    // (reference: utils/FixedList.scala:12-15)
+    "m02_retention" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select("user_id", "event_id")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // A4 — zero-fill scaffold: every node × hourly bucket gets a value,
+    // absent buckets 0.0 (reference: metrics/MetricStore.scala:20-22).
+    // Scaffold from sequence(), not crossJoin-of-data (SURVEY.md §7.5.6).
+    "m03_zero_fill" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val buckets = ev.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((sum(col("value").cast(Dec)).cast("double") / count(lit(1))).as("v"))
+      val bounds = ev.select(
+        unix_timestamp(date_trunc("hour", min(col("ts")))).as("lo"),
+        unix_timestamp(date_trunc("hour", max(col("ts")))).as("hi"))
+      val grid = ev.select("user_id").distinct()
+        .join(bounds) // single-row broadcast
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), lit(3600L))).as("tick"))
+        .select(col("user_id"), col("tick").cast("timestamp").as("bucket"))
+      grid.join(buckets, Seq("user_id", "bucket"), "left")
+        .select(col("user_id"), unix_millis(col("bucket")).as("bucket_ms"),
+          coalesce(col("v"), lit(0.0)).as("value"))
+        .orderBy("user_id", "bucket_ms")
+    }),
+
+    // A1+F5 — per-node mean with min-sample exclusion
+    // (reference: metrics/MetricStore.scala:19-26)
+    "m04_min_samples" -> ((s, dir) =>
+      events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("n_samples"), decMean(col("value")).as("avg_value"))
+        .filter(col("n_samples") >= 4)
+        .orderBy("user_id")),
+
+    // A5/A6/A7 + ST1 — the quorum classifier over the last 4 hourly ticks,
+    // node universe pinned to the last tick, zero-filled window sums
+    // (reference: metrics/MetricStore.scala:49-75,
+    //  scaling/algo/CpuLoadEvaluator.scala:18-32)
+    "m05_quorum" -> ((s, dir) => {
+      val t = events(s, dir).select(col("user_id"),
+        date_trunc("hour", col("ts")).as("tick"), col("value"))
+      val m = t.agg(max(col("tick")).as("last_tick"))
+      val uni = t.join(broadcast(m), col("tick") === col("last_tick"))
+        .select("user_id").distinct()
+      val w = t.join(broadcast(m),
+          col("tick") >= col("last_tick") - expr("INTERVAL 3 HOURS"))
+        .groupBy("user_id")
+        .agg((sum(col("value").cast(Dec)).cast("double") / lit(4)).as("avg4"))
+      val j = uni.join(w, Seq("user_id"), "left")
+        .select(coalesce(col("avg4"), lit(0.0)).as("avg4"))
+      j.agg(
+        sum(when(col("avg4") >= 60.0, 1).otherwise(0)).as("breached_high"),
+        sum(when(col("avg4") > 30.0 && col("avg4") < 60.0, 1).otherwise(0)).as("breached_mid"),
+        count(lit(1)).as("total_nodes"))
+        .select(col("breached_high"), col("breached_mid"), col("total_nodes"),
+          (col("breached_high") >= col("total_nodes") * 0.8).as("is_greater"),
+          (col("breached_mid") >= col("total_nodes") * 0.8).as("is_between"),
+          (!(col("breached_high") >= col("total_nodes") * 0.8)).as("is_lower"),
+          when(col("breached_high") >= col("total_nodes") * 0.8, "EXPAND")
+            .when(col("breached_mid") >= col("total_nodes") * 0.8, "NONE")
+            .otherwise("SHRINK").as("decision"))
+    }),
+
+    // F6 — idle detection: per event family, activity count in the trailing
+    // 5 days; zero count = quiet (reference: scaling/ScalingManager.scala:103-117)
+    "m06_idle" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val mx = ev.agg(max(col("ts")).as("mx"))
+      val recent = ev.join(broadcast(mx),
+          col("ts") > col("mx") - expr("INTERVAL 5 DAYS"))
+        .groupBy("event_type").agg(count(lit(1)).as("recent_count"))
+      ev.select("event_type").distinct()
+        .join(recent, Seq("event_type"), "left")
+        .select(col("event_type"),
+          coalesce(col("recent_count"), lit(0L)).as("recent_count"),
+          (coalesce(col("recent_count"), lit(0L)) === 0).as("is_quiet"))
+        .orderBy("event_type")
+    }),
+
+    // A10 — last-value gauge per node (reference: metrics/MetricStore.scala:14)
+    "m07_last_gauge" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("value").as("last_value"),
+          unix_millis(col("ts")).as("last_ts_ms"))
+        .orderBy("user_id")
+    }),
+
+    // A8 — sum gauges per metric family
+    // (reference: metrics/TrinoMetricStore.scala:81)
+    "m08_sum_gauge" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(decSum(col("value")).as("total_value"), count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // A9 — existential aggregate (reference: cluster/Workers.scala:59)
+    "m09_exists" -> ((s, dir) =>
+      events(s, dir).groupBy("user_id")
+        .agg(count(when(col("value") > 190.0, 1)).as("n_spikes"))
+        .select(col("user_id"), col("n_spikes"), (col("n_spikes") > 0).as("has_spike"))
+        .orderBy("user_id")),
+
+    // A12 — distinct (reference: Config.scala:73)
+    "m10_distinct" -> ((s, dir) =>
+      events(s, dir).select("event_type").distinct().orderBy("event_type")),
+
+    // A13 — min/max clamp (reference: scaling/algo/StepScalingAlgorithm.scala:21-26)
+    "m11_clamp" -> ((s, dir) =>
+      events(s, dir).select(col("event_id"), col("value"),
+        MetricAnalytics.clampShrink(
+          MetricAnalytics.clampExpand(col("value"), lit(0.0), lit(50.0), lit(150.0)),
+          lit(0.0), lit(50.0)).as("clamped"))
+        .orderBy("event_id")),
+
+    // A14 — uniform integer distribution over a parameter grid
+    // (reference: cluster/Workers.scala:231-238, e.g. 5 over 3 → 2,2,1)
+    "m12_distribute" -> ((s, dir) => {
+      s.range(0, 21).select(col("id").as("n"))
+        .crossJoin(s.range(1, 5).select(col("id").as("k")))
+        .select(col("n"), col("k"), explode(sequence(lit(0L), col("k") - 1)).as("pos"))
+        .select(col("n"), col("k"), col("pos"),
+          MetricAnalytics.distributeShare(col("n"), col("k"), col("pos")).as("share"))
+        .orderBy("n", "k", "pos")
+    }),
+
+    // ST3 — step-scaling sizing over a parameter grid, including the
+    // NONE-branch expand quirk (reference: scaling/algo/ScalingAlgorithm.scala:12-21,
+    // StepScalingAlgorithm.scala:21-26; preserved verbatim)
+    "m13_step_scaling" -> ((s, dir) => {
+      import s.implicits._
+      val grid = s.range(0, 26).select(col("id").as("running"))
+        .crossJoin(Seq(0L, 3L, 10L, 25L, 30L).toDF("required"))
+        .crossJoin(Seq("EXPAND", "SHRINK", "NONE").toDF("verdict"))
+      val expandCap = least(greatest(col("running") + 5, col("required")), lit(20L))
+      val shrinkCap = greatest(col("running") - 3, lit(0L))
+      val noneExpands = col("verdict") === "NONE" &&
+        col("required") > 0 && col("required") < col("running")
+      grid.select(col("running"), col("required"), col("verdict"),
+        when(col("verdict") === "EXPAND" || noneExpands, "EXPAND")
+          .when(col("verdict") === "SHRINK", "SHRINK")
+          .otherwise("NONE").as("action"),
+        when(col("verdict") === "EXPAND" || noneExpands, expandCap)
+          .when(col("verdict") === "SHRINK", shrinkCap)
+          .otherwise(col("running")).as("capacity"))
+        .orderBy("running", "required", "verdict")
+    }),
+
+    // P3 + F4 — regex host extraction with empty-drop
+    // (reference: metrics/TrinoJmxRest.scala:65-70)
+    "m14_host_extract" -> ((s, dir) => {
+      val uri = when(col("event_id") % 97 === 0, lit("garbage-uri"))
+        .otherwise(format_string("http://10.0.%d.%d:8889/v1/status",
+          col("user_id") % 10, col("user_id")))
+      events(s, dir)
+        .select(col("event_id"), JmxJson.extractHost(uri).as("host"))
+        .filter(length(col("host")) > 0)
+        .orderBy("event_id")
+    }),
+
+    // P4 — JSON path pluck (reference: Config.scala:105-108)
+    "m15_json_pluck" -> ((s, dir) =>
+      events(s, dir).select(col("event_id"),
+        JmxJson.jsonPluck(col("props"), "$.k").cast(LongType).as("k"))
+        .orderBy("event_id")),
+
+    // P1 — JSON attribute explode (reference: metrics/TrinoJmxRest.scala:126-128)
+    "m16_attr_explode" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_id"),
+          explode(from_json(col("props"), MapType(StringType, LongType))))
+        .select(col("event_id"), col("key").as("attr_name"), col("value").as("attr_value"))
+        .orderBy("event_id", "attr_name")),
+
+    // P2 — typed projection with zero-fill default
+    // (reference: metrics/TrinoJmxRest.scala:33-58 getOrElse(..., 0))
+    "m17_proj_default" -> ((s, dir) =>
+      events(s, dir).select(col("event_id"),
+        coalesce(JmxJson.jsonPluck(col("props"), "$.k").cast(LongType), lit(0L)).as("k"),
+        coalesce(JmxJson.jsonPluck(col("props"), "$.absent").cast(LongType), lit(0L)).as("missing_defaulted"))
+        .orderBy("event_id")),
+
+    // P5/F1 — case-insensitive filter (reference: metrics/TrinoJmxEmr.scala:76-78)
+    "m18_ci_filter" -> ((s, dir) =>
+      events(s, dir).filter(lower(col("event_type")) === "click")
+        .groupBy("user_id").agg(count(lit(1)).as("clicks"))
+        .orderBy("user_id")),
+
+    // P8 — epoch-millis time arithmetic (reference: scaling/ScalingManager.scala:38)
+    "m19_time_arith" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+      val mx = ev.agg(max(col("ts_ms")).as("mx_ms"))
+      ev.join(broadcast(mx))
+        .select(col("event_id"), col("ts_ms"),
+          ((col("mx_ms") - col("ts_ms")) > 120000L).as("outside_cooldown"))
+        .orderBy("event_id")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "m01_sliding_avg" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS avg4
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "m02_retention" ->
+      """SELECT user_id, event_id FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) <= 20
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "m03_zero_fill" ->
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT u.user_id, h.bucket
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  CROSS JOIN (SELECT unnest(generate_series(date_trunc('hour', min(ts)),
+        |                                            date_trunc('hour', max(ts)),
+        |                                            INTERVAL 1 HOUR)) AS bucket FROM events) h)
+        |SELECT g.user_id, epoch_ms(g.bucket) AS bucket_ms, COALESCE(b.v, 0.0) AS value
+        |FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket
+        |ORDER BY 1, 2""".stripMargin,
+
+    "m04_min_samples" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+        |FROM events GROUP BY user_id HAVING COUNT(*) >= 4 ORDER BY user_id""".stripMargin,
+
+    "m05_quorum" ->
+      """WITH t AS (SELECT user_id, date_trunc('hour', ts) AS tick, value FROM events),
+        |m AS (SELECT max(tick) AS last_tick FROM t),
+        |uni AS (SELECT DISTINCT user_id FROM t, m WHERE tick = last_tick),
+        |w AS (SELECT t.user_id,
+        |             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / 4 AS avg4
+        |      FROM t, m WHERE t.tick >= last_tick - INTERVAL 3 HOUR
+        |      GROUP BY t.user_id),
+        |j AS (SELECT uni.user_id, COALESCE(w.avg4, 0.0) AS avg4
+        |      FROM uni LEFT JOIN w ON uni.user_id = w.user_id),
+        |agg AS (SELECT
+        |   CAST(SUM(CASE WHEN avg4 >= 60.0 THEN 1 ELSE 0 END) AS BIGINT) AS breached_high,
+        |   CAST(SUM(CASE WHEN avg4 > 30.0 AND avg4 < 60.0 THEN 1 ELSE 0 END) AS BIGINT) AS breached_mid,
+        |   CAST(COUNT(*) AS BIGINT) AS total_nodes FROM j)
+        |SELECT breached_high, breached_mid, total_nodes,
+        |       breached_high >= total_nodes * 0.8 AS is_greater,
+        |       breached_mid >= total_nodes * 0.8 AS is_between,
+        |       NOT (breached_high >= total_nodes * 0.8) AS is_lower,
+        |       CASE WHEN breached_high >= total_nodes * 0.8 THEN 'EXPAND'
+        |            WHEN breached_mid >= total_nodes * 0.8 THEN 'NONE'
+        |            ELSE 'SHRINK' END AS decision
+        |FROM agg""".stripMargin,
+
+    "m06_idle" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+        |r AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS recent_count
+        |      FROM events, m WHERE ts > mx - INTERVAL 5 DAY GROUP BY 1),
+        |u AS (SELECT DISTINCT event_type FROM events)
+        |SELECT u.event_type, COALESCE(r.recent_count, 0) AS recent_count,
+        |       COALESCE(r.recent_count, 0) = 0 AS is_quiet
+        |FROM u LEFT JOIN r ON u.event_type = r.event_type
+        |ORDER BY 1""".stripMargin,
+
+    "m07_last_gauge" ->
+      """SELECT user_id, value AS last_value, epoch_ms(ts) AS last_ts_ms FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "m08_sum_gauge" ->
+      """SELECT event_type,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "m09_exists" ->
+      """SELECT user_id,
+        |       CAST(COUNT(CASE WHEN value > 190.0 THEN 1 END) AS BIGINT) AS n_spikes,
+        |       COUNT(CASE WHEN value > 190.0 THEN 1 END) > 0 AS has_spike
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "m10_distinct" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+
+    "m11_clamp" ->
+      """SELECT event_id, value,
+        |       greatest(least(greatest(value, 50.0), 150.0), 50.0) AS clamped
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "m12_distribute" ->
+      """SELECT n, k, pos, (n // k) + (CASE WHEN pos < n % k THEN 1 ELSE 0 END) AS share
+        |FROM generate_series(0, 20) t(n), generate_series(1, 4) u(k),
+        |     generate_series(0, 3) v(pos)
+        |WHERE pos < k
+        |ORDER BY n, k, pos""".stripMargin,
+
+    "m13_step_scaling" ->
+      """WITH grid AS (
+        |  SELECT r.running, q.required, v.verdict
+        |  FROM generate_series(0, 25) r(running),
+        |       (VALUES (0), (3), (10), (25), (30)) q(required),
+        |       (VALUES ('EXPAND'), ('SHRINK'), ('NONE')) v(verdict)),
+        |c AS (SELECT running, CAST(required AS BIGINT) AS required, verdict,
+        |             least(greatest(running + 5, required), 20) AS expand_cap,
+        |             greatest(running - 3, 0) AS shrink_cap,
+        |             (verdict = 'NONE' AND required > 0 AND required < running) AS none_expands
+        |      FROM grid)
+        |SELECT running, required, verdict,
+        |       CASE WHEN verdict = 'EXPAND' OR none_expands THEN 'EXPAND'
+        |            WHEN verdict = 'SHRINK' THEN 'SHRINK' ELSE 'NONE' END AS action,
+        |       CAST(CASE WHEN verdict = 'EXPAND' OR none_expands THEN expand_cap
+        |            WHEN verdict = 'SHRINK' THEN shrink_cap ELSE running END AS BIGINT) AS capacity
+        |FROM c ORDER BY running, required, verdict""".stripMargin,
+
+    "m14_host_extract" ->
+      """WITH u AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 97 = 0 THEN 'garbage-uri'
+        |              ELSE printf('http://10.0.%d.%d:8889/v1/status', user_id % 10, user_id) END AS uri
+        |  FROM events),
+        |h AS (SELECT event_id, regexp_extract(uri, '.*//(.*):.*', 1) AS host FROM u)
+        |SELECT event_id, host FROM h WHERE length(host) > 0 ORDER BY event_id""".stripMargin,
+
+    "m15_json_pluck" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "m16_attr_explode" ->
+      """SELECT event_id, t.attr_name,
+        |       CAST(json_extract_string(props, '$.' || t.attr_name) AS BIGINT) AS attr_value
+        |FROM events, unnest(json_keys(props)) t(attr_name)
+        |ORDER BY event_id, attr_name""".stripMargin,
+
+    "m17_proj_default" ->
+      """SELECT event_id,
+        |       COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k,
+        |       COALESCE(CAST(json_extract_string(props, '$.absent') AS BIGINT), 0) AS missing_defaulted
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "m18_ci_filter" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS clicks FROM events
+        |WHERE lower(event_type) = 'click' GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "m19_time_arith" ->
+      """WITH e AS (SELECT event_id, epoch_ms(ts) AS ts_ms FROM events),
+        |m AS (SELECT max(ts_ms) AS mx_ms FROM e)
+        |SELECT event_id, ts_ms, (mx_ms - ts_ms) > 120000 AS outside_cooldown
+        |FROM e, m ORDER BY event_id""".stripMargin)
+}

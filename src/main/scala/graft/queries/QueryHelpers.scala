@@ -1,0 +1,26 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Helpers shared by the oracle-checked query battery.
+ *
+ * Cross-engine float determinism: a plain `SUM(double)` depends on
+ * partitioning and merge order, so Spark and the DuckDB oracle can disagree
+ * in the last ulp. The fixtures carry at most 2 decimal places
+ * (FIXTURES.md), so summing after a cast to DECIMAL(18,2) is EXACT and
+ * order-independent in both engines; casting the final decimal back to
+ * double is a single deterministic IEEE conversion. Every money/value
+ * aggregate in the battery uses this pattern on both sides.
+ */
+object QueryHelpers {
+  val Dec: DecimalType = DecimalType(18, 2)
+
+  /** Exact, order-independent sum of a 2-decimal double column. */
+  def decSum(c: Column): Column = sum(c.cast(Dec)).cast("double")
+
+  /** Exact mean: decimal sum / count (both deterministic). */
+  def decMean(c: Column): Column = decSum(c) / count(c)
+}

@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Schema-on-read operators for the JMX/REST ingestion edge
+ * (SURVEY.md §2.3, P1-P4).
+ *
+ * The reference parses mbean JSON payloads of shape
+ * `{"attributes": [{"name": "...", "value": <any>}]}` into a
+ * `Map[name -> value]` (reference: metrics/TrinoJmxRest.scala:122-131,
+ * metrics/models/Attribute.scala:3), then projects typed fields with
+ * zero-fill defaults (`getOrElse(..., 0)`, TrinoJmxRest.scala:33-58).
+ * Attribute values are heterogeneous (Double / BigInt / Boolean), so the
+ * permissive schema reads them as strings and the typed projection casts —
+ * the `variant`-style approach from SURVEY.md §1.2.
+ */
+object JmxJson {
+
+  /** Permissive mbean payload schema: values kept as strings, cast at
+    * projection time. */
+  val AttributesSchema: StructType = StructType(Seq(
+    StructField("attributes", ArrayType(StructType(Seq(
+      StructField("name", StringType),
+      StructField("value", StringType)))))))
+
+  /** P1 — JSON attribute list → `map<string,string>` column. A failed or
+    * empty payload degrades to an empty map, mirroring the reference's
+    * fallback-to-empty (TrinoJmxRest.scala:130; SURVEY.md §4 failure
+    * degradation). */
+  def attributesToMap(json: Column): Column = {
+    val parsed = from_json(json, AttributesSchema)
+    coalesce(
+      map_from_entries(parsed.getField("attributes")),
+      map(): Column)
+  }
+
+  /** P2 — typed projection with zero-fill default: `m.getOrElse(name, 0)`
+    * becomes `coalesce(cast(m[name] as <t>), 0)`. Zero-fill, not null —
+    * a semantic the reference relies on (SURVEY.md §1.2). */
+  def typedAttr(attrMap: Column, name: String, dataType: DataType): Column =
+    coalesce(element_at(attrMap, name).cast(dataType), lit(0).cast(dataType))
+
+  // P3 — regex host extraction from a node status URI (reference:
+  // TrinoJmxRest.scala:65-70, pattern  .*//(.*):.*  ); non-matching rows
+  // yield "" and are filtered by the caller (F4).
+  def extractHost(uri: Column): Column = regexp_extract(uri, ".*//(.*):.*", 1)
+
+  /** P4 — JSON path pluck (reference: Config.scala:105-108
+    * `(data \\ "jobFlowId")`). */
+  def jsonPluck(json: Column, path: String): Column =
+    get_json_object(json, path)
+
+  /** P1+P2 composed: parse a frame of raw mbean payloads into typed metric
+    * columns. `fields` maps output column name → (attribute name, type). */
+  def parsePayloads(
+      df: DataFrame,
+      jsonCol: String,
+      fields: Map[String, (String, DataType)]): DataFrame = {
+    val withMap = df.withColumn("__attrs", attributesToMap(col(jsonCol)))
+    fields.foldLeft(withMap) { case (acc, (out, (attr, t))) =>
+      acc.withColumn(out, typedAttr(col("__attrs"), attr, t))
+    }.drop("__attrs")
+  }
+}

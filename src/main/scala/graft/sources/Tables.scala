@@ -26,7 +26,9 @@ object Tables {
     val raw = spark.read.parquet(s"$dir/$table.parquet")
     raw.schema.fields.foldLeft(raw) { (df, f) =>
       if (TimestampCols.contains(f.name) && f.dataType == LongType)
-        df.withColumn(f.name, timestamp_micros((col(f.name) / 1000L).cast("long")))
+        // integer `div`, NOT `/`: the latter routes through double and is
+        // imprecise beyond 2^53 — nanosecond epochs are ~1.7e18
+        df.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000")))
       else df
     }
   }
