@@ -9,9 +9,11 @@ object SparkEntry {
     Replay.flagship(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.MetricQueries.queries
+    graft.queries.MetricQueries.queries ++
+      graft.queries.RelationalQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.MetricQueries.oracleSql
+    graft.queries.MetricQueries.oracleSql ++
+      graft.queries.RelationalQueries.oracleSql
 }

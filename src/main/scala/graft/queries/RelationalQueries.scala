@@ -1,0 +1,257 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import QueryHelpers._
+
+/**
+ * Relational query battery over the TPC-H-ish star schema — the join /
+ * semi-join / positional / first-match / carry-forward shapes of
+ * SURVEY.md §2.5 plus the aggregate forms of §2.6, sized so they stay
+ * meaningful at 100 TB:
+ *
+ *  - dimension joins (region/nation/customer) are broadcast-able and Spark
+ *    picks BroadcastHashJoin automatically; fact-fact joins
+ *    (lineitem ⋈ orders) shuffle on the join key with AQE re-planning;
+ *  - aggregations are partial (map-side) hash aggs on the group keys;
+ *  - money sums use the exact DECIMAL pattern (QueryHelpers) so results are
+ *    reproducible bit-for-bit at any partitioning.
+ */
+object RelationalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1/A8-style full-scan hash aggregation (TPC-H Q1 shape): partial
+    // aggregation + single shuffle on a 6-value grouping key.
+    "r01_pricing_summary" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= expr("TIMESTAMP '1999-12-31 00:00:00'"))
+      val disc = col("l_extendedprice").cast(Dec) * (lit(1).cast(Dec) - col("l_discount").cast(Dec))
+      val charge = disc * (lit(1).cast(Dec) + col("l_tax").cast(Dec))
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum(col("l_quantity")).as("sum_qty"), // integral doubles: exact in any order
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        sum(disc).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        decMean(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // J1-style equi join + top-k: fact ⋈ dimension, sort-limit with a
+    // unique tiebreak (A11 head made deterministic).
+    "r02_top_customers" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(decSum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    }),
+
+    // Deep dimension chain (TPC-H Q5 shape): lineitem ⋈ orders shuffles;
+    // customer/supplier/nation/region ride along as broadcasts. The
+    // s_nationkey = c_nationkey residual makes it a "local supplier" join.
+    "r03_region_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val su = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      val disc = col("l_extendedprice").cast(Dec) * (lit(1).cast(Dec) - col("l_discount").cast(Dec))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(sum(disc).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("r_name")
+    }),
+
+    // F9 — membership as a left-semi join (reference: cluster/Workers.scala:245-246)
+    "r04_semi_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "P")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // F9 complement — anti join (exclusion semantics, F10)
+    "r05_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "P")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // J3 — spec-matching first-match join: first (lowest-key) large part
+    // per brand (reference: cluster/Workers.scala:106-115 filter·filter·find)
+    "r06_first_match" -> ((s, dir) => {
+      val w = Window.partitionBy("p_brand").orderBy("p_partkey")
+      Tables.part(s, dir)
+        .filter(col("p_size") > 30)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("p_brand", "p_partkey", "p_type")
+        .orderBy("p_brand")
+    }),
+
+    // J2 — positional join (zip): suppliers ranked by balance zipped with
+    // nations ranked by key (reference: cluster/Workers.scala:300-302)
+    "r07_positional_zip" -> ((s, dir) => {
+      val sw = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      val nw = Window.orderBy(col("n_nationkey"))
+      val su = Tables.supplier(s, dir)
+        .select(row_number().over(sw).as("pos"), col("s_name"))
+      val na = Tables.nation(s, dir)
+        .select(row_number().over(nw).as("pos"), col("n_name"))
+      su.join(na, "pos").orderBy("pos")
+    }),
+
+    // J4 — carry-forward of previous state per key (reference:
+    // cluster/Workers.scala:255-262); batch formulation via lag()
+    "r08_prev_state" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_millis(col("o_orderdate")).as("order_ms"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // A11 — per-group head, deterministic: top-2 orders per customer
+    "r09_group_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk")
+    }),
+
+    // F1/F2/F3 — composite predicate filter + aggregate
+    "r10_filter_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R" &&
+          col("l_quantity").between(5, 40) &&
+          col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), decSum(col("l_extendedprice")).as("total_price"))
+        .orderBy("l_linestatus")),
+
+    // union (multi-fetcher merge, SURVEY.md §2.6): distinct name universe
+    "r11_union" -> ((s, dir) => {
+      val r = Tables.region(s, dir).select(col("r_name").as("name"))
+      val n = Tables.nation(s, dir).select(col("n_name").as("name"))
+      r.unionByName(n).distinct().orderBy("name")
+    }),
+
+    // J3 fleet-variant subset/collect: per region, ordered nation roster
+    // (string-joined for engine-portable comparison)
+    "r12_collect_roster" -> ((s, dir) => {
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(concat_ws(",", sort_array(collect_set(col("n_name")))).as("nations"),
+          countDistinct(col("n_name")).as("n_nations"))
+        .orderBy("r_name")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "r01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |  SUM(l_quantity) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "r02_top_customers" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "r03_region_revenue" ->
+      """SELECT r_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "r04_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "r05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "r06_first_match" ->
+      """SELECT p_brand, p_partkey, p_type FROM part WHERE p_size > 30
+        |QUALIFY row_number() OVER (PARTITION BY p_brand ORDER BY p_partkey) = 1
+        |ORDER BY p_brand""".stripMargin,
+
+    "r07_positional_zip" ->
+      """WITH su AS (SELECT row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS pos, s_name FROM supplier),
+        |na AS (SELECT row_number() OVER (ORDER BY n_nationkey) AS pos, n_name FROM nation)
+        |SELECT CAST(su.pos AS INT) AS pos, s_name, n_name FROM su JOIN na ON su.pos = na.pos
+        |ORDER BY 1""".stripMargin,
+
+    "r08_prev_state" ->
+      """SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS order_ms,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "r09_group_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+        |FROM orders
+        |QUALIFY rk <= 2 ORDER BY o_custkey, rk""".stripMargin,
+
+    "r10_filter_agg" ->
+      """SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity BETWEEN 5 AND 40
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "r11_union" ->
+      """SELECT r_name AS name FROM region UNION SELECT n_name FROM nation
+        |ORDER BY name""".stripMargin,
+
+    "r12_collect_roster" ->
+      """SELECT r_name,
+        |  array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
+        |  CAST(COUNT(DISTINCT n_name) AS BIGINT) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+}

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
@@ -29,6 +29,10 @@ object Tables {
         // integer `div`, NOT `/`: the latter routes through double and is
         // imprecise beyond 2^53 — nanosecond epochs are ~1.7e18
         df.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000")))
+      else if (TimestampCols.contains(f.name) && f.dataType == TimestampNTZType)
+        // some fixture tables store plain microsecond NTZ timestamps;
+        // normalize to session-TZ (UTC) instants so unix_millis etc. work
+        df.withColumn(f.name, col(f.name).cast(TimestampType))
       else df
     }
   }
