@@ -1,0 +1,228 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for a training-data pipeline (SURVEY.md §7.4):
+ * exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+ *
+ * Scale design (the 100 TB contract):
+ *  - exact dedup is one hash-partitioned groupBy on the normalized key —
+ *    Spark's partial aggregation dedupes map-side first;
+ *  - MinHash signatures are computed row-local from array expressions (no
+ *    shuffle, fully codegen'd), then candidates come from a BANDED
+ *    self-join — shuffle keyed on (band, band-signature), which is the
+ *    O(n·k + candidate) LSH path, never the O(n²) cross join;
+ *  - hot LSH buckets (boilerplate text) skew the band join: AQE skew-join
+ *    splitting handles moderate skew, and `maxBucket` caps degenerate
+ *    buckets outright (standard practice — a bucket with thousands of
+ *    members is boilerplate you dedupe by other means);
+ *  - SimHash pairs use the same banding trick over bit-chunks, which is
+ *    exact for the chosen radius (pigeonhole: ≤ r differing bits over
+ *    r+1 chunks leaves one chunk identical).
+ */
+object Dedup {
+
+  import TextAnalysis.{HashMod, normalize, rollingHash, tokens}
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup groups on normalized text: (key members, keeper = min id).
+    * Output: one row per distinct normalized text. */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(normalize(col(textCol)).as("norm_text"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_members"))
+
+  /** Exact dedup result: keep the lowest id per normalized text. */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.join(
+      exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
+  // -------------------------------------------------------------- minhash
+
+  /** MinHash parameters: k = bands × rows hash functions; similarity
+    * threshold ≈ (1/bands)^(1/rows). Coefficients are deterministic and
+    * also embedded in the DuckDB oracle (ExtensionQueries). */
+  final case class MinHashParams(bands: Int = 8, rows: Int = 2) {
+    val k: Int = bands * rows
+    def a(i: Int): Long = (i.toLong * 2654435761L) % (HashMod - 1) + 1
+    def b(i: Int): Long = (i.toLong * 40503L) % HashMod
+  }
+
+  /** Word n-gram shingles of the normalized text (distinct). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(normalize(text)))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Portable hash of each shingle (rolling-hash fold, mod 1e9+7). */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    transform(shingles(text, n), s => stringHash(s))
+
+  private def stringHash(s: Column): Column =
+    aggregate(split(s, ""), lit(0L),
+      (acc, ch) => pmod(acc * lit(31L) + ascii(ch), lit(HashMod)))
+
+  /** MinHash signature: sig_i = min over shingles of (a_i·h + b_i) mod p.
+    * Row-local, no shuffle; k × |shingles| multiply-adds per doc. */
+  def signature(text: Column, p: MinHashParams = MinHashParams(), n: Int = 3): Column = {
+    val hashes = shingleHashes(text, n)
+    transform(sequence(lit(0), lit(p.k - 1)),
+      i => array_min(transform(hashes,
+        h => pmod(element_at(lit((0 until p.k).map(p.a).toArray), i + 1) * h +
+          element_at(lit((0 until p.k).map(p.b).toArray), i + 1), lit(HashMod)))))
+  }
+
+  /** docs → (id, band, band_key) rows: one per LSH band. The band key is a
+    * rolling combine of the band's signature slice. */
+  def bandedSignatures(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    val sig = signature(col(textCol), p)
+    docs.select(col(idCol).as("id"), sig.as("sig"))
+      .select(col("id"), explode(sequence(lit(0), lit(p.bands - 1))).as("band"), col("sig"))
+      .select(col("id"), col("band"),
+        aggregate(slice(col("sig"), col("band") * p.rows + 1, lit(p.rows)), lit(0L),
+          (acc, v) => pmod(acc * lit(1000003L) + v, lit(HashMod))).as("band_key"))
+  }
+
+  /** Candidate pairs from LSH banding: ids sharing any (band, band_key).
+    * Shuffle keyed on the band key; `maxBucket` drops degenerate buckets
+    * (boilerplate guard — reported, not silently lost, by the caller
+    * counting dropped buckets). */
+  def candidatePairs(
+      banded: DataFrame,
+      maxBucket: Int = 1000): DataFrame = {
+    val sized = banded
+      .withColumn("bucket_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")))
+      .filter(col("bucket_n") <= maxBucket)
+    val l = sized.select(col("band"), col("band_key"), col("id").as("id_a"))
+    val r = sized.select(col("band"), col("band_key"), col("id").as("id_b"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard over distinct shingle sets for verification of LSH
+    * candidates (the classic two-phase near-dup pipeline). */
+  def jaccardVerify(
+      docs: DataFrame,
+      pairs: DataFrame,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "uni", "jaccard")
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
+    * join → exact-Jaccard verify. */
+  def minHashNearDups(
+      docs: DataFrame,
+      threshold: Double = 0.5,
+      p: MinHashParams = MinHashParams(),
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    jaccardVerify(docs, candidatePairs(bandedSignatures(docs, idCol, textCol, p)),
+      threshold, idCol, textCol)
+
+  // -------------------------------------------------------------- simhash
+
+  /** SimHash bit width (the portable rolling hash yields < 2^30, so 30
+    * usable bits per token hash). */
+  val SimHashBits: Int = 30
+
+  /** SimHash of the token multiset: bit j of the result is set iff
+    * Σ_tokens (2·bit_j(hash(token)) − 1) > 0. Row-local expression: one
+    * fold over the token-hash array per bit, all codegen'd. */
+  def simHash(text: Column): Column = {
+    val hashes = transform(tokens(text), t => stringHash(t))
+    val bitSums = (0 until SimHashBits).map { j =>
+      aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+    }
+    bitSums.zipWithIndex.map { case (s, j) =>
+      when(s > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ radius, found by
+    * pigeonhole banding over (radius + 1) bit-chunks: a pair within the
+    * radius must agree on at least one whole chunk, so the chunk-equality
+    * join is EXACT for radius ≤ chunks − 1 — no candidate is missed.
+    * Output: (id_a, id_b, hamming). */
+  def simHashPairs(
+      docs: DataFrame,
+      radius: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val chunks = radius + 1
+    require(SimHashBits % chunks == 0, s"chunks must divide $SimHashBits")
+    val width = SimHashBits / chunks
+    val sigs = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
+    val banded = sigs.select(col("id"), col("sh"),
+      explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
+      .withColumn("chunk_key",
+        expr(s"shiftright(sh, cast(chunk * $width as int)) & ${(1L << width) - 1}"))
+    val l = banded.select(col("chunk"), col("chunk_key"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("chunk"), col("chunk_key"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("chunk", "chunk_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= radius)
+  }
+
+  // ------------------------------------------------------ n-gram jaccard
+
+  /** Direct n-gram Jaccard similarity join with length-bucket blocking —
+    * the quadratic-within-bucket fallback; the scale path is
+    * [[minHashNearDups]]. Blocks on the NORMALIZED length (whitespace
+    * variants must land together) and probes the neighbor block (left side
+    * emits {block, block+1}) so near-dups straddling a bucket boundary are
+    * still found; `least/greatest` canonicalizes the pair order. */
+  def ngramJaccard(
+      docs: DataFrame,
+      threshold: Double,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"),
+      floor(length(normalize(col(textCol))) / 64).as("block"))
+    val l = base.select(
+      explode(array(col("block"), col("block") + 1)).as("block"),
+      col("id").as("id_l"), col("text").as("text_l"))
+    val r = base.select(col("block"), col("id").as("id_r"), col("text").as("text_r"))
+    l.join(r, "block")
+      .filter(col("id_l") =!= col("id_r"))
+      .withColumn("id_a", least(col("id_l"), col("id_r")))
+      .withColumn("id_b", greatest(col("id_l"), col("id_r")))
+      .withColumn("sh_a", shingles(col("text_l"), n))
+      .withColumn("sh_b", shingles(col("text_r"), n))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .distinct()
+  }
+}

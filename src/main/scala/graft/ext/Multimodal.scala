@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/**
+ * Multimodal column plumbing (SURVEY.md §7.4): media payloads travel as
+ * opaque `binary` columns next to a typed metadata struct; decode /
+ * feature-extraction runs batched per partition so a real decoder's
+ * per-partition init cost (model load, codec setup) is amortized —
+ * the Scala analog of a `mapInPandas` batch UDF.
+ *
+ * The actual byte→pixels/samples decode is STUBBED (this container has no
+ * image/audio codecs): [[FakeDecoder]] derives deterministic features from
+ * the raw bytes. The Spark-side contract — schema, binary column
+ * handling, partition-batched execution, feature vector shape — is real
+ * and tested; swapping in a true decoder only replaces the function body
+ * marked below.
+ */
+object Multimodal {
+
+  /** A media row: payload + typed metadata (kind/width/height/sampleRate
+    * model the usual image/audio attributes). */
+  final case class MediaRow(
+      doc_id: Long,
+      media: Array[Byte],
+      kind: String,
+      width: Int,
+      height: Int,
+      sample_rate: Int)
+
+  final case class MediaFeatures(
+      doc_id: Long,
+      kind: String,
+      byte_len: Int,
+      features: Array[Float])
+
+  /** Wrap a documents frame into the multimodal schema, using the UTF-8
+    * text bytes as a stand-in payload (deterministic; a real pipeline
+    * reads binary files or a parquet binary column here). */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      (col("doc_id") % 640 + 32).cast("int").as("width"),
+      (col("doc_id") % 480 + 32).cast("int").as("height"),
+      when(col("doc_id") % 3 === 1, 16000).otherwise(0).cast("int").as("sample_rate"))
+
+  /** Number of feature bins the (fake) extractor emits. */
+  val FeatureBins: Int = 16
+
+  /** STUB decoder: a deterministic byte-histogram "embedding". Replace the
+    * body with a real image/audio decode + model forward pass; the
+    * partition-batched shape stays identical. */
+  object FakeDecoder {
+    def init(): FakeDecoder.type = this // placeholder for model/codec load
+    def features(payload: Array[Byte]): Array[Float] = {
+      val bins = new Array[Float](FeatureBins)
+      var i = 0
+      while (i < payload.length) {
+        bins((payload(i) & 0xff) % FeatureBins) += 1f
+        i += 1
+      }
+      val n = math.max(payload.length, 1).toFloat
+      bins.map(_ / n)
+    }
+  }
+
+  /** Batched feature extraction: one decoder init per partition, then a
+    * streaming pass over the rows — the `mapInPandas`-style execution
+    * shape, in typed Scala. */
+  def extractFeatures(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val decoder = FakeDecoder.init() // amortized per-partition setup
+      rows.map { r =>
+        MediaFeatures(r.doc_id, r.kind, r.media.length, decoder.features(r.media))
+      }
+    }
+  }
+
+  /** The full pipeline as DataFrame → DataFrame (for the query battery):
+    * documents → media table → partition-batched features. */
+  def mediaFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    extractFeatures(asMediaTable(docs).as[MediaRow]).toDF()
+  }
+}

@@ -1,0 +1,121 @@
+package graft.ext
+
+import graft.functions.VectorFunctions.{vec_cosine, vec_dot}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (SURVEY.md §7.4). Two paths:
+ *
+ *  - [[bruteForceTopK]]: broadcast the (small) query set against the
+ *    corpus — a single pass, each corpus row scored against every query
+ *    inside WholeStageCodegen via the native [[graft.functions.CosineSimilarity]]
+ *    expression, then a per-query top-k window. Exact; scales linearly in
+ *    corpus size — the right choice whenever |queries| is small.
+ *
+ *  - [[lshBuckets]] / [[lshTopK]]: random-hyperplane LSH — bucket every
+ *    vector by the sign pattern of `planes` fixed pseudo-random
+ *    hyperplanes, then search only the query's bucket. Sub-linear probe
+ *    cost; recall is tunable via the plane count. The 100 TB layout:
+ *    write the corpus bucketed/partitioned by `bucket` so a query probes
+ *    one partition (partition pruning), and fan out to Hamming-1 neighbor
+ *    buckets when recall matters more than latency.
+ *
+ * The hyperplanes are generated from a deterministic integer recurrence
+ * (no RNG state), so buckets are reproducible across engines and the
+ * DuckDB oracle can re-derive them.
+ */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1]:
+    * plane(j)(d) = ((1 + j·1009 + d·9176) mod 1999 − 999) / 999. */
+  def planeComponent(j: Int, d: Int): Double =
+    (((1L + j * 1009L + d * 9176L) % 1999L) - 999L) / 999.0
+
+  /** The hyperplane matrix as literal columns (planes × dim). */
+  private def planeLit(j: Int, dim: Int): Column =
+    lit((0 until dim).map(d => planeComponent(j, d).toFloat).toArray)
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors (excluding itself). Deterministic tiebreak on corpus id. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", vec_cosine(col("query_vec"), col("neighbor_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Sign-pattern LSH bucket id from `planes` hyperplanes (bit j set iff
+    * dot(vec, plane_j) > 0). */
+  def bucketId(vec: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map { j =>
+      when(vec_dot(vec, planeLit(j, dim)) > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Corpus → (id, bucket) assignment. */
+  def lshBuckets(
+      corpus: DataFrame,
+      planes: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol), col(vecCol),
+      bucketId(col(vecCol), planes, dim).as("bucket"))
+
+  /** Bucketed ANN top-k: score only corpus vectors in the query's bucket.
+    * Same output shape as [[bruteForceTopK]]; recall < 1 by construction. */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      planes: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cb = lshBuckets(corpus, planes, dim, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"), col("bucket"))
+    val qb = lshBuckets(queries, planes, dim, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"), col("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", vec_cosine(col("query_vec"), col("neighbor_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine", "bucket")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: bucket with LSH, verify with
+    * exact cosine ≥ threshold inside buckets (the embedding analog of
+    * [[Dedup.minHashNearDups]]). */
+  def cosineNearDups(
+      corpus: DataFrame,
+      threshold: Double,
+      planes: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val b = lshBuckets(corpus, planes, dim, idCol, vecCol)
+    val l = b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val r = b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    l.join(r, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", vec_cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+      .distinct()
+  }
+}

@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for a large-scale training-data pipeline
+ * (SURVEY.md §7.4): normalization, tokenization, language ID, quality
+ * scoring, token counting, fingerprinting.
+ *
+ * Everything is built from codegen'd `org.apache.spark.sql.functions`
+ * column expressions — no UDFs — so the whole module stays inside
+ * WholeStageCodegen and scales linearly over a 100 TB documents table
+ * (narrow, shuffle-free transforms; the only shuffles are the callers'
+ * aggregations).
+ *
+ * Determinism contract: the rolling hash is plain 64-bit integer math
+ * (mod 1e9+7), chosen over xxhash64/md5 where the DuckDB oracle needs to
+ * reproduce the value with portable SQL.
+ */
+object TextAnalysis {
+
+  /** Mod for the portable rolling hash: keeps a*h+b within i64. */
+  val HashMod: Long = 1000000007L
+
+  /** Whitespace/casing normalization used by dedup and fingerprints. */
+  def normalize(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  /** BPE-ish subword segmentation: word pieces OR single non-word marks —
+    * the standard pre-tokenizer regex shape. */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0))
+
+  /** Portable polynomial rolling hash of a string column:
+    * fold(h = (h * 31 + codepoint) mod 1e9+7). Sequential left fold —
+    * reproducible in any engine with the same integer semantics. */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * lit(31L) + ascii(ch), lit(HashMod)))
+
+  /** Document fingerprint: rolling hash over the normalized text. */
+  def fingerprint(text: Column): Column = rollingHash(normalize(text))
+
+  /** Quality features (length / punctuation / stopword / word-shape
+    * ratios) — the usual cheap heuristics for corpus filtering. */
+  def qualityFeatures(text: Column): Map[String, Column] = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val nChars = length(text)
+    val nPunct = nChars - length(regexp_replace(text, "[.!?,;:]", ""))
+    val nStop = size(filter(toks, t => t.isin(Stopwords: _*)))
+    val sumWordLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+    Map(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTok,
+      "n_punct" -> nPunct,
+      "n_stopwords" -> nStop,
+      "stop_ratio" -> nStop.cast("double") / nTok,
+      "avg_word_len" -> sumWordLen.cast("double") / nTok)
+  }
+
+  /** Composite quality score in [0,1]: rewards stopword presence and
+    * mid-length words, penalizes punctuation soup. Deterministic double
+    * math over exact integer counts. */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val stopTerm = least(f("stop_ratio") * 2.0, lit(1.0))
+    val lenTerm = when(f("avg_word_len").between(3.0, 8.0), 1.0).otherwise(0.5)
+    val punctTerm = lit(1.0) - least(f("n_punct").cast("double") / f("n_chars"), lit(0.5))
+    (stopTerm * 0.4 + lenTerm * 0.3 + punctTerm * 0.3)
+  }
+
+  /** Language markers: tiny per-language function-word lists (the n-gram
+    * heuristic degenerated to unigrams — adequate for corpus routing). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "you", "wo", "ta"))
+
+  private val Stopwords: Seq[Column] =
+    LangMarkers.flatMap(_._2).distinct.map(lit)
+
+  /** Per-language marker-hit counts over the distinct token set. */
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val distinctToks = array_distinct(tokens(text))
+    LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(distinctToks, t => t.isin(markers.map(lit): _*)))
+    }
+  }
+
+  /** Predicted language: argmax of marker hits, ties broken by language
+    * code order (deterministic); zero hits → "und" (undetermined). */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // foldRight + otherwise-chaining: the FIRST language (alphabetical
+    // LangMarkers order) wins ties, matching the oracle's CASE chain.
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lang).otherwise(acc)
+    }
+  }
+}

@@ -1,0 +1,176 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions for the embedding-similarity hot path
+ * (SURVEY.md §7.4). A `zip_with`+`aggregate` lambda chain allocates an
+ * intermediate array per row and breaks whole-stage codegen into
+ * interpreted lambda calls; these expressions generate a tight primitive
+ * loop instead, keeping ANN scans inside WholeStageCodegen — the difference
+ * is ~an order of magnitude on a 100 TB embedding sweep.
+ *
+ * Math contract: accumulation is a SEQUENTIAL LEFT FOLD over doubles in
+ * element order — deliberately identical to `aggregate(zip_with(...))` and
+ * to the DuckDB oracle's `list_reduce(list_transform(...))`, so results are
+ * reproducible bit-for-bit across engines and partitionings.
+ */
+abstract class VectorFoldExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  protected def fold(a: ArrayData, b: ArrayData): Double
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) null
+    else {
+      val aa = a.asInstanceOf[ArrayData]
+      val bb = b.asInstanceOf[ArrayData]
+      if (aa.numElements() != bb.numElements()) null
+      else fold(aa, bb)
+    }
+  }
+}
+
+/** dot(a, b) = Σ aᵢ·bᵢ (left-to-right). Null on length mismatch. */
+case class DotProduct(left: Expression, right: Expression) extends VectorFoldExpression {
+  override def prettyName: String = "vec_dot"
+
+  override protected def fold(a: ArrayData, b: ArrayData): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    val acc = ctx.freshName("acc")
+    val code =
+      code"""
+        |${leftGen.code}
+        |${rightGen.code}
+        |boolean ${ev.isNull} = true;
+        |double ${ev.value} = 0.0;
+        |if (!${leftGen.isNull} && !${rightGen.isNull} &&
+        |    ${leftGen.value}.numElements() == ${rightGen.value}.numElements()) {
+        |  ${ev.isNull} = false;
+        |  double $acc = 0.0;
+        |  int $n = ${leftGen.value}.numElements();
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    $acc += (double) ${leftGen.value}.getFloat($i) *
+        |            (double) ${rightGen.value}.getFloat($i);
+        |  }
+        |  ${ev.value} = $acc;
+        |}
+      """.stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** cosine(a, b) = dot / (√Σaᵢ² · √Σbᵢ²), each Σ a left fold; null on
+  * length mismatch, 0.0 when either norm is zero. */
+case class CosineSimilarity(left: Expression, right: Expression) extends VectorFoldExpression {
+  override def prettyName: String = "vec_cosine"
+
+  override protected def fold(a: ArrayData, b: ArrayData): Double = {
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    val dot = ctx.freshName("dot")
+    val na = ctx.freshName("na")
+    val nb = ctx.freshName("nb")
+    val x = ctx.freshName("x")
+    val y = ctx.freshName("y")
+    val code =
+      code"""
+        |${leftGen.code}
+        |${rightGen.code}
+        |boolean ${ev.isNull} = true;
+        |double ${ev.value} = 0.0;
+        |if (!${leftGen.isNull} && !${rightGen.isNull} &&
+        |    ${leftGen.value}.numElements() == ${rightGen.value}.numElements()) {
+        |  ${ev.isNull} = false;
+        |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        |  int $n = ${leftGen.value}.numElements();
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    double $x = (double) ${leftGen.value}.getFloat($i);
+        |    double $y = (double) ${rightGen.value}.getFloat($i);
+        |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        |  }
+        |  ${ev.value} = ($na == 0.0 || $nb == 0.0)
+        |    ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        |}
+      """.stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column-level API + SQL registration. */
+object VectorFunctions {
+  import org.apache.spark.sql.GraftBridge.{toColumn, toExpression}
+
+  def vec_dot(a: Column, b: Column): Column =
+    toColumn(DotProduct(toExpression(a), toExpression(b)))
+  def vec_cosine(a: Column, b: Column): Column =
+    toColumn(CosineSimilarity(toExpression(a), toExpression(b)))
+
+  /** Register `vec_dot` / `vec_cosine` for spark.sql(...) use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => DotProduct(exprs.head, exprs(1)), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_cosine", exprs => CosineSimilarity(exprs.head, exprs(1)), "internal")
+  }
+}

@@ -1,0 +1,352 @@
+package graft.queries
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * LLM-pipeline extension battery (SURVEY.md §7.4): dedup, similarity
+ * search, text analysis, multimodal. Oracle SQL is GENERATED from the same
+ * Scala constants the operators use (minhash coefficients, LSH
+ * hyperplanes, language markers), so both engines compute literally the
+ * same integer/double recurrences. Queries whose execution path is not
+ * SQL-expressible (partition-batched decode) omit the oracle → the driver
+ * records the weaker rows-only check.
+ */
+object ExtensionQueries {
+
+  private val P = Dedup.MinHashParams() // 8 bands × 2 rows = 16 hashes
+  private val Mod = TextAnalysis.HashMod
+  private val JaccardThreshold = 0.35
+  private val CosineThreshold = 0.30
+  private val Planes = 8
+  private val Dim = 64
+
+  // ---- shared SQL fragments (DuckDB dialect) ----
+
+  /** Rolling hash of a string expression s: fold (a*31 + ascii(c)) % mod. */
+  private def sqlStringHash(s: String): String =
+    s"""list_reduce(list_concat([CAST(0 AS BIGINT)],
+       |  list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (a, b) -> (a * 31 + b) % $Mod)""".stripMargin
+
+  private val sqlNorm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
+
+  /** doc_id, t (normalized), w (tokens), shingles — the common dedup CTE. */
+  private val sqlShingleCte =
+    s"""norm AS (SELECT doc_id, $sqlNorm AS t FROM documents),
+       |tok AS (SELECT doc_id, t, string_split(t, ' ') AS w FROM norm),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(w) < 3 THEN [t]
+       |       ELSE list_distinct(list_transform(range(0, len(w) - 2),
+       |              i -> array_to_string(list_slice(w, i + 1, i + 3), ' ')))
+       |  END AS shingles FROM tok)""".stripMargin
+
+  private val aList = (0 until P.k).map(P.a).mkString("[", ",", "]")
+  private val bList = (0 until P.k).map(P.b).mkString("[", ",", "]")
+
+  /** Banded minhash signatures CTE (needs sh). */
+  private val sqlBandedCte =
+    s"""hs AS (SELECT doc_id, list_transform(shingles, s -> ${sqlStringHash("s")}) AS h FROM sh),
+       |sig AS (SELECT doc_id, list_transform(range(0, ${P.k}),
+       |  i -> list_min(list_transform(h, x -> ($aList[i+1] * x + $bList[i+1]) % $Mod))) AS sg
+       |  FROM hs),
+       |banded AS (SELECT doc_id, band,
+       |  list_reduce(list_concat([CAST(0 AS BIGINT)],
+       |    list_slice(sg, band * ${P.rows} + 1, band * ${P.rows} + ${P.rows})),
+       |    (a, b) -> (a * 1000003 + b) % $Mod) AS band_key
+       |  FROM sig, range(0, ${P.bands}) r(band))""".stripMargin
+
+  /** Fold-order dot product of two DuckDB lists (matches the Catalyst
+    * expressions' sequential accumulation). */
+  private def sqlDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, ${Dim + 1}),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  /** Hyperplane component replicated from Similarity.planeComponent —
+    * double → float → double exactly as the Scala literal array. */
+  private def sqlPlane(j: Int): String =
+    s"""list_transform(range(1, ${Dim + 1}),
+       |  d -> CAST(CAST((((1 + $j * 1009 + (d - 1) * 9176) % 1999) - 999) / 999.0 AS FLOAT) AS DOUBLE))""".stripMargin
+
+  private def sqlBucket(vec: String): String =
+    (0 until Planes).map { j =>
+      s"(CASE WHEN ${sqlDot(vec, sqlPlane(j))} > 0.0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private val langMarkerSql = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+    lang -> ms.map(m => s"'$m'").mkString("[", ",", "]")
+  }
+  private val stopwordsSql = TextAnalysis.LangMarkers.flatMap(_._2).distinct
+    .map(m => s"'$m'").mkString("(", ",", ")")
+
+  // =====================================================================
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup groups (hash-groupBy; map-side partial agg)
+    "x01_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir))
+        .select(md5(col("norm_text")).as("key_md5"), col("keep_id"), col("n_members"))
+        .orderBy("keep_id")),
+
+    // token counting: whitespace + BPE-ish regex segmentation
+    "x02_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
+        size(TextAnalysis.bpeishTokens(col("text"))).cast("long").as("n_bpeish"))
+        .orderBy("doc_id")),
+
+    // quality features + composite score
+    "x03_quality" -> ((s, dir) => {
+      val f = TextAnalysis.qualityFeatures(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        f("n_chars").cast("long").as("n_chars"),
+        f("n_tokens").cast("long").as("n_tokens"),
+        f("n_punct").cast("long").as("n_punct"),
+        f("n_stopwords").cast("long").as("n_stopwords"),
+        f("stop_ratio").as("stop_ratio"),
+        f("avg_word_len").as("avg_word_len"),
+        TextAnalysis.qualityScore(col("text")).as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // language ID via marker-word hits
+    "x04_langid" -> ((s, dir) => {
+      val scores = TextAnalysis.langScores(col("text"))
+      val base = Tables.documents(s, dir)
+      val withScores = scores.foldLeft(base) { case (df, (lang, sc)) =>
+        df.withColumn(s"score_$lang", sc.cast("long"))
+      }
+      withScores
+        .withColumn("predicted", TextAnalysis.langId(col("text")))
+        .select(col("doc_id") +: scores.map { case (l, _) => col(s"score_$l") } :+
+          col("predicted") :+ col("lang").as("labeled"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // document fingerprint: portable rolling hash + md5
+    "x05_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        md5(TextAnalysis.normalize(col("text"))).as("fp_md5"))
+        .orderBy("doc_id")),
+
+    // minhash banded signatures (shingle → hash → min-sketch → band key)
+    "x06_minhash_sig" -> ((s, dir) =>
+      Dedup.bandedSignatures(Tables.documents(s, dir), p = P)
+        .select(col("id").as("doc_id"), col("band").cast("long").as("band"), col("band_key"))
+        .orderBy("doc_id", "band")),
+
+    // full minhash-LSH near-dup pipeline with exact-Jaccard verification
+    "x07_minhash_pairs" -> ((s, dir) =>
+      Dedup.minHashNearDups(Tables.documents(s, dir), JaccardThreshold, P)
+        .select(col("id_a"), col("id_b"),
+          col("inter").cast("long").as("inter"), col("uni").cast("long").as("uni"),
+          col("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // simhash signatures
+    "x08_simhash" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    // simhash near-dup pairs (pigeonhole-banded, exact for radius 2)
+    "x09_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs(Tables.documents(s, dir), radius = 2)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")),
+
+    // brute-force cosine top-k (query set = vec_id < 5)
+    "x10_knn_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cosine"), 6).as("cosine_r"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // random-hyperplane LSH bucket assignment
+    "x11_lsh_buckets" -> ((s, dir) =>
+      Similarity.lshBuckets(Tables.embeddings(s, dir), Planes, Dim)
+        .select(col("vec_id"), col("bucket"))
+        .orderBy("vec_id")),
+
+    // embedding near-dup pairs: LSH-bucketed + exact cosine verify
+    "x12_cosine_neardups" -> ((s, dir) =>
+      Similarity.cosineNearDups(Tables.embeddings(s, dir), CosineThreshold, Planes, Dim)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
+        .orderBy("id_a", "id_b")),
+
+    // multimodal metadata + payload accounting (decode-independent)
+    "x13_media_meta" -> ((s, dir) =>
+      Multimodal.asMediaTable(Tables.documents(s, dir))
+        .select(col("doc_id"), col("kind"), col("width"), col("height"),
+          col("sample_rate"), length(col("media")).cast("long").as("byte_len"))
+        .orderBy("doc_id")),
+
+    // multimodal feature extraction — partition-batched stub decoder;
+    // NOT SQL-expressible → rows-only check (no oracle entry)
+    "x14_media_features" -> ((s, dir) =>
+      Multimodal.mediaFeatures(s, Tables.documents(s, dir))
+        .select(col("doc_id"), col("kind"), col("byte_len"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
+          round(element_at(col("features"), 2).cast("double"), 4).as("f1"))
+        .orderBy("doc_id")))
+
+  // =====================================================================
+
+  val oracleSql: Map[String, String] = Map(
+    "x01_dedup_exact" ->
+      s"""SELECT md5($sqlNorm) AS key_md5, CAST(min(doc_id) AS BIGINT) AS keep_id,
+         |       CAST(count(*) AS BIGINT) AS n_members
+         |FROM documents GROUP BY $sqlNorm ORDER BY keep_id""".stripMargin,
+
+    "x02_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x03_quality" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, length(text) AS n_chars,
+         |    len(string_split($sqlNorm, ' ')) AS n_tokens,
+         |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+         |    len(list_filter(string_split($sqlNorm, ' '), x -> x IN $stopwordsSql)) AS n_stopwords,
+         |    list_reduce(list_concat([0], list_transform(string_split($sqlNorm, ' '),
+         |      t -> length(t))), (a, b) -> a + b) AS sum_word_len
+         |  FROM documents),
+         |g AS (SELECT doc_id,
+         |    CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |    CAST(n_punct AS BIGINT) AS n_punct, CAST(n_stopwords AS BIGINT) AS n_stopwords,
+         |    CAST(n_stopwords AS DOUBLE) / n_tokens AS stop_ratio,
+         |    CAST(sum_word_len AS DOUBLE) / n_tokens AS avg_word_len FROM f)
+         |SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords, stop_ratio, avg_word_len,
+         |  (least(stop_ratio * 2.0, 1.0) * 0.4 +
+         |   (CASE WHEN avg_word_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
+         |   (1.0 - least(CAST(n_punct AS DOUBLE) / n_chars, 0.5)) * 0.3) AS quality_score
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "x04_langid" -> {
+      val scoreCols = TextAnalysis.LangMarkers.map { case (lang, _) =>
+        s"CAST(len(list_intersect(dw, ${langMarkerSql.toMap.apply(lang)})) AS BIGINT) AS score_$lang"
+      }.mkString(",\n  ")
+      val caseChain = TextAnalysis.LangMarkers.map { case (lang, _) =>
+        s"WHEN score_$lang = best AND best > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  list_distinct(string_split($sqlNorm, ' ')) AS dw FROM documents),
+         |sc AS (SELECT doc_id, lang AS labeled,
+         |  $scoreCols
+         |FROM t),
+         |b AS (SELECT *, greatest(${TextAnalysis.LangMarkers.map(m => s"score_${m._1}").mkString(", ")}) AS best FROM sc)
+         |SELECT doc_id, ${TextAnalysis.LangMarkers.map(m => s"score_${m._1}").mkString(", ")},
+         |  CASE $caseChain ELSE 'und' END AS predicted, labeled
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+
+    "x05_fingerprint" ->
+      s"""SELECT doc_id, ${sqlStringHash(sqlNorm)} AS fp, md5($sqlNorm) AS fp_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x06_minhash_sig" ->
+      s"""WITH $sqlShingleCte,
+         |$sqlBandedCte
+         |SELECT doc_id, band, band_key FROM banded ORDER BY doc_id, band""".stripMargin,
+
+    "x07_minhash_pairs" ->
+      s"""WITH $sqlShingleCte,
+         |$sqlBandedCte,
+         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+         |ver AS (SELECT id_a, id_b,
+         |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+         |    len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS uni
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni,
+         |       CAST(inter AS DOUBLE) / uni AS jaccard
+         |FROM ver WHERE CAST(inter AS DOUBLE) / uni >= $JaccardThreshold
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "x08_simhash" -> {
+      val bitSum = (j: Int) =>
+        s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END)"
+      val assemble = (0 until Dedup.SimHashBits).map { j =>
+        s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH norm AS (SELECT doc_id, $sqlNorm AS t FROM documents),
+         |tk AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+         |th AS (SELECT doc_id, ${sqlStringHash("tok")} AS th FROM tk),
+         |bs AS (SELECT doc_id, ${(0 until Dedup.SimHashBits).map(j => s"${bitSum(j)} AS s$j").mkString(", ")}
+         |  FROM th GROUP BY doc_id)
+         |SELECT doc_id, $assemble AS simhash FROM bs ORDER BY doc_id""".stripMargin
+    },
+
+    "x09_simhash_pairs" -> {
+      val bitSum = (j: Int) =>
+        s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END)"
+      val assemble = (0 until Dedup.SimHashBits).map { j =>
+        s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH norm AS (SELECT doc_id, $sqlNorm AS t FROM documents),
+         |tk AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+         |th AS (SELECT doc_id, ${sqlStringHash("tok")} AS th FROM tk),
+         |bs AS (SELECT doc_id, ${(0 until Dedup.SimHashBits).map(j => s"${bitSum(j)} AS s$j").mkString(", ")}
+         |  FROM th GROUP BY doc_id),
+         |sg AS (SELECT doc_id, $assemble AS sh FROM bs),
+         |banded AS (SELECT doc_id, sh, chunk, (sh >> CAST(chunk * 10 AS INT)) & 1023 AS ck
+         |  FROM sg, range(0, 3) r(chunk)),
+         |pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         |    bit_count(xor(l.sh, r.sh)) AS hamming
+         |  FROM banded l JOIN banded r
+         |    ON l.chunk = r.chunk AND l.ck = r.ck AND l.doc_id < r.doc_id)
+         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM pairs
+         |WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "x10_knn_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+         |s AS (SELECT query_id, neighbor_id,
+         |    ${sqlDot("qv", "nv")} /
+         |    (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("nv", "nv")})) AS cosine
+         |  FROM q, c WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM s)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+         |       round(cosine, 6) AS cosine_r
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "x11_lsh_buckets" ->
+      s"""SELECT vec_id, CAST(${sqlBucket("embedding")} AS BIGINT) AS bucket
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "x12_cosine_neardups" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |    CAST(${sqlBucket("embedding")} AS BIGINT) AS bucket FROM embeddings),
+         |p AS (SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         |    ${sqlDot("l.embedding", "r.embedding")} /
+         |    (sqrt(${sqlDot("l.embedding", "l.embedding")}) *
+         |     sqrt(${sqlDot("r.embedding", "r.embedding")})) AS cosine
+         |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+         |SELECT DISTINCT id_a, id_b, round(cosine, 6) AS cosine_r FROM p
+         |WHERE cosine >= $CosineThreshold ORDER BY id_a, id_b""".stripMargin,
+
+    "x13_media_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(doc_id % 640 + 32 AS INT) AS width,
+        |  CAST(doc_id % 480 + 32 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal accessor bridge: `classic.ExpressionUtils` is private[sql], so
+  * graft's custom Catalyst expressions convert Column ⇄ Expression through
+  * this object (the conventional escape hatch for Spark extensions that
+  * live outside the org.apache.spark.sql package). */
+object GraftBridge {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

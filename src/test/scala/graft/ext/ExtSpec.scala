@@ -1,0 +1,141 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions.{vec_cosine, vec_dot}
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the LLM-pipeline extension operators and the native
+  * vector expressions (SURVEY.md §7.4). */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river shore"),
+    (3L, "completely different text about spark catalyst expression codegen"),
+    (4L, "THE  quick brown fox jumps over the lazy dog near the river bank"),
+    (5L, "el perro y el gato de la casa que es grande y los arboles del parque")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup collapses case/whitespace variants") {
+    val groups = Dedup.exactGroups(docs).collect()
+    assert(groups.length === 4) // 1 and 4 normalize identically
+    val kept = Dedup.exactDedup(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 2L, 3L, 5L))
+  }
+
+  test("minhash-LSH finds the constructed near-dup pair") {
+    val pairs = Dedup.minHashNearDups(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical after normalize → jaccard 1.0
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // one-word diff
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs hash equal; near docs within small hamming") {
+    val sh = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) === sh(4L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(2L)) < 10)
+    assert(sh(1L) !== sh(3L))
+  }
+
+  test("ngram jaccard direct join agrees with minhash on the exact pair") {
+    val pairs = Dedup.ngramJaccard(docs, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("langId routes English and Spanish correctly") {
+    val out = docs.select(col("doc_id"), TextAnalysis.langId(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "en")
+    assert(out(5L) === "es")
+  }
+
+  test("quality score is in [0,1] and favors stopword-rich text") {
+    val out = docs.select(col("doc_id"), TextAnalysis.qualityScore(col("text")))
+      .as[(Long, Double)].collect().toMap
+    assert(out.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(out(1L) > out(3L)) // more function words → higher score
+  }
+
+  test("fingerprint is stable under normalization, distinct across texts") {
+    val fp = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) === fp(4L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  test("vec_dot and vec_cosine match the lambda-fold baseline bit-for-bit") {
+    val vs = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (2L, Array(0.5f, -1.5f, 2.25f), Array(-0.25f, 3.5f, 1.0f))
+    ).toDF("id", "a", "b")
+    val baselineDot = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val rows = vs.select(
+      vec_dot(col("a"), col("b")).as("nat"), baselineDot.as("base"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (nat, base) => assert(nat === base) }
+
+    val cos = vs.select(vec_cosine(col("a"), col("a"))).as[Double].collect()
+    cos.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("vec_dot is null on length mismatch; cosine 0 on zero vector") {
+    val vs = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 2.0f))
+    ).toDF("a", "b")
+    val r1 = vs.limit(1).select(vec_dot(col("a"), col("b"))).collect()(0)
+    assert(r1.isNullAt(0))
+    val r2 = vs.filter(size(col("a")) === size(col("b")))
+      .select(vec_cosine(col("a"), col("b"))).as[Double].collect()
+    assert(r2.headOption.contains(0.0))
+  }
+
+  test("vector expressions survive SQL registration and codegen") {
+    graft.functions.VectorFunctions.register(spark)
+    val out = spark.sql(
+      "SELECT vec_cosine(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c").as[Double].head()
+    assert(math.abs(out - 1.0) < 1e-12)
+  }
+
+  test("brute-force topK is deterministic and self-excluding") {
+    val emb = (0L until 20L).map { i =>
+      (i, Array.tabulate(8)(d => (((i * 7 + d * 13) % 19).toFloat - 9f) / 9f))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 2), k = 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect()
+    assert(out.length === 6)
+    assert(!out.exists(r => r._1 == r._3))
+  }
+
+  test("lsh buckets agree between corpus partitionings") {
+    val emb = (0L until 50L).map { i =>
+      (i, Array.tabulate(64)(d => (((i * 31 + d * 17) % 101).toFloat - 50f) / 50f))
+    }.toDF("vec_id", "embedding")
+    val b1 = Similarity.lshBuckets(emb, 8, 64).select("vec_id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    val b2 = Similarity.lshBuckets(emb.repartition(7), 8, 64).select("vec_id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    assert(b1 === b2)
+  }
+
+  test("multimodal features: partition-batched stub decoder is deterministic") {
+    val d = docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val f1 = Multimodal.mediaFeatures(spark, d)
+      .select("doc_id", "byte_len").as[(Long, Int)].collect().toMap
+    val f2 = Multimodal.mediaFeatures(spark, d.repartition(3))
+      .select("doc_id", "byte_len").as[(Long, Int)].collect().toMap
+    assert(f1 === f2)
+    // histogram features sum to ~1 (normalized by payload length)
+    val sums = Multimodal.mediaFeatures(spark, d)
+      .select(aggregate(col("features"), lit(0.0d), (a, v) => a + v.cast("double")))
+      .as[Double].collect()
+    sums.foreach(s => assert(math.abs(s - 1.0) < 1e-5))
+  }
+}
