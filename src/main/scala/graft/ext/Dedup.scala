@@ -60,38 +60,49 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
-  /** Portable hash of each shingle (rolling-hash fold, mod 1e9+7). */
-  def shingleHashes(text: Column, n: Int = 3): Column =
-    transform(shingles(text, n), s => stringHash(s))
+  /** Multiplier for combining token hashes into shingle hashes and band
+    * keys (any odd constant < mod works; shared with the oracle SQL). */
+  val CombineMult: Long = 1000003L
 
   private def stringHash(s: Column): Column =
-    aggregate(split(s, ""), lit(0L),
-      (acc, ch) => pmod(acc * lit(31L) + ascii(ch), lit(HashMod)))
+    graft.functions.HashExpressions.rolling_hash(s)
 
-  /** MinHash signature: sig_i = min over shingles of (a_i·h + b_i) mod p.
-    * Row-local, no shuffle; k × |shingles| multiply-adds per doc. */
-  def signature(text: Column, p: MinHashParams = MinHashParams(), n: Int = 3): Column = {
-    val hashes = shingleHashes(text, n)
-    transform(sequence(lit(0), lit(p.k - 1)),
-      i => array_min(transform(hashes,
-        h => pmod(element_at(lit((0 until p.k).map(p.a).toArray), i + 1) * h +
-          element_at(lit((0 until p.k).map(p.b).toArray), i + 1), lit(HashMod)))))
-  }
+  /** Per-token rolling hashes of the normalized text — one compiled pass
+    * ([[graft.functions.TokenRollingHashes]]); shingle hashes combine
+    * these instead of re-hashing shingle strings character-by-character
+    * (the standard at-scale layout: O(chars) once, then O(1) per shingle). */
+  def tokenHashes(text: Column): Column =
+    graft.functions.HashExpressions.token_hashes(normalize(text))
 
-  /** docs → (id, band, band_key) rows: one per LSH band. The band key is a
-    * rolling combine of the band's signature slice. */
+  /** Hashes of the word n-gram shingles: n-gram combine of consecutive
+    * token hashes, distinct ([[graft.functions.ShingleHashCombine]]).
+    * Docs shorter than n tokens degrade to one whole-sequence combine. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    graft.functions.HashExpressions.shingle_hashes(tokenHashes(text), n, CombineMult)
+
+  /** MinHash signature: sig_i = min over shingle hashes of
+    * (a_i·h + b_i) mod p — one codegen'd k×n loop
+    * ([[graft.functions.MinHashSig]]); row-local, no shuffle. */
+  def signatureFromHashes(hashes: Column, p: MinHashParams = MinHashParams()): Column =
+    graft.functions.HashExpressions.minhash_sig(hashes,
+      (0 until p.k).map(p.a).toArray, (0 until p.k).map(p.b).toArray)
+
+  /** docs → (id, band, band_key) rows: one per LSH band. Staged
+    * projections: token/shingle hashes and the signature are each
+    * materialized once per row before the band explode (a naive nested
+    * expression recomputes the char-level hashing per band — measured
+    * 50× slower). */
   def bandedSignatures(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      p: MinHashParams = MinHashParams()): DataFrame = {
-    val sig = signature(col(textCol), p)
-    docs.select(col(idCol).as("id"), sig.as("sig"))
+      p: MinHashParams = MinHashParams()): DataFrame =
+    docs.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh_h"))
+      .select(col("id"), signatureFromHashes(col("sh_h"), p).as("sig"))
       .select(col("id"), explode(sequence(lit(0), lit(p.bands - 1))).as("band"), col("sig"))
       .select(col("id"), col("band"),
         aggregate(slice(col("sig"), col("band") * p.rows + 1, lit(p.rows)), lit(0L),
-          (acc, v) => pmod(acc * lit(1000003L) + v, lit(HashMod))).as("band_key"))
-  }
+          (acc, v) => pmod(acc * CombineMult + v, lit(HashMod))).as("band_key"))
 
   /** Candidate pairs from LSH banding: ids sharing any (band, band_key).
     * Shuffle keyed on the band key; `maxBucket` drops degenerate buckets
@@ -111,8 +122,9 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Exact Jaccard over distinct shingle sets for verification of LSH
-    * candidates (the classic two-phase near-dup pipeline). */
+  /** Exact Jaccard over distinct shingle-hash sets for verification of LSH
+    * candidates (the classic two-phase near-dup pipeline). Hash sets, not
+    * string sets: set ops on fixed-width longs, no string materialization. */
   def jaccardVerify(
       docs: DataFrame,
       pairs: DataFrame,
@@ -120,7 +132,7 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val sh = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
     pairs
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -149,18 +161,10 @@ object Dedup {
   val SimHashBits: Int = 30
 
   /** SimHash of the token multiset: bit j of the result is set iff
-    * Σ_tokens (2·bit_j(hash(token)) − 1) > 0. Row-local expression: one
-    * fold over the token-hash array per bit, all codegen'd. */
-  def simHash(text: Column): Column = {
-    val hashes = transform(tokens(text), t => stringHash(t))
-    val bitSums = (0 until SimHashBits).map { j =>
-      aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
-    }
-    bitSums.zipWithIndex.map { case (s, j) =>
-      when(s > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+    * Σ_tokens (2·bit_j(hash(token)) − 1) > 0. One codegen'd n×bits loop
+    * ([[graft.functions.SimHashFromTokens]]). */
+  def simHash(text: Column): Column =
+    graft.functions.HashExpressions.simhash_bits(tokenHashes(text), SimHashBits)
 
   /** SimHash near-dup pairs with Hamming distance ≤ radius, found by
     * pigeonhole banding over (radius + 1) bit-chunks: a pair within the

@@ -37,12 +37,11 @@ object TextAnalysis {
 
   /** Portable polynomial rolling hash of a string column:
     * fold(h = (h * 31 + codepoint) mod 1e9+7). Sequential left fold —
-    * reproducible in any engine with the same integer semantics. */
+    * reproducible in any engine with the same integer semantics.
+    * Backed by the codegen'd [[graft.functions.RollingHash]] expression
+    * (the aggregate/split formulation is interpreted and ~100× slower). */
   def rollingHash(text: Column): Column =
-    aggregate(
-      split(text, ""),
-      lit(0L),
-      (acc, ch) => pmod(acc * lit(31L) + ascii(ch), lit(HashMod)))
+    graft.functions.HashExpressions.rolling_hash(text)
 
   /** Document fingerprint: rolling hash over the normalized text. */
   def fingerprint(text: Column): Column = rollingHash(normalize(text))

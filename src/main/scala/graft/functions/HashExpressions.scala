@@ -1,0 +1,273 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge.{toColumn, toExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Codegen'd hash expressions for the dedup hot path.
+ *
+ * Spark's higher-order functions (`transform` / `aggregate` lambdas) are
+ * evaluated INTERPRETED — a per-character rolling-hash fold through lambda
+ * dispatch costs ~100× a compiled loop, and dominates MinHash at corpus
+ * scale (measured: 144 s for 5k docs at sf0.1 before; sub-second after).
+ * These expressions generate tight primitive loops and stay inside
+ * WholeStageCodegen.
+ *
+ * All math is the engine-portable recurrence of
+ * [[graft.ext.TextAnalysis.rollingHash]]: h = (h·31 + codepoint) mod 1e9+7,
+ * reproducible in the DuckDB oracle with list_reduce.
+ */
+object HashExpressions {
+  val Mod: Long = 1000000007L
+
+  def rolling_hash(c: Column): Column = toColumn(RollingHash(toExpression(c)))
+
+  def minhash_sig(hashes: Column, a: Array[Long], b: Array[Long]): Column =
+    toColumn(MinHashSig(toExpression(hashes), a, b))
+
+  def simhash_bits(hashes: Column, bits: Int): Column =
+    toColumn(SimHashFromTokens(toExpression(hashes), bits))
+
+  def token_hashes(c: Column): Column = toColumn(TokenRollingHashes(toExpression(c)))
+
+  def shingle_hashes(tokenHashes: Column, n: Int, mult: Long): Column =
+    toColumn(ShingleHashCombine(toExpression(tokenHashes), n, mult))
+}
+
+/** h = fold over codepoints: (h·31 + cp) mod 1e9+7 — identical to
+  * `aggregate(split(s, ''), 0, (h, c) -> (h*31 + ascii(c)) % mod)`. */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHash.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.hash($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object RollingHash {
+  /** Public static hook for generated code. Iterates CODEPOINTS to match
+    * `ascii()` / DuckDB semantics (identical to per-char split for ASCII;
+    * correct for astral chars too). */
+  def hash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      h = (h * 31L + cp) % HashExpressions.Mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
+/** Rolling hash of every space-separated token of an (already-normalized)
+  * string — one compiled pass, no token-string allocation. Equivalent to
+  * `transform(split(s, ' '), t -> rolling_hash(t))`, which pays an
+  * interpreted lambda dispatch plus a substring copy per token. */
+case class TokenRollingHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TokenRollingHashes.hashes(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TokenRollingHashes.hashes($c))")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TokenRollingHashes {
+  def hashes(s: UTF8String): Array[Long] = {
+    val str = s.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var h = 0L
+    var sawAny = false
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      if (cp == ' ') {
+        out += h; h = 0L; sawAny = true
+      } else {
+        h = (h * 31L + cp) % HashExpressions.Mod
+        sawAny = true
+      }
+      i += Character.charCount(cp)
+    }
+    if (sawAny) out += h
+    out.toArray
+  }
+}
+
+/** Shingle hashes from token hashes: n-gram combine
+  * h = fold((acc·mult + tokHash) mod p) over each window of n consecutive
+  * token hashes, distinct, order-preserving on first occurrence. Fewer
+  * than n tokens → one whole-sequence combine (degenerate shingle). */
+case class ShingleHashCombine(child: Expression, n: Int, mult: Long)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<bigint>")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ShingleHashCombine.combine(input.asInstanceOf[ArrayData], n, mult))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.ShingleHashCombine.combine($c, $n, ${mult}L))")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ShingleHashCombine {
+  def combine(th: ArrayData, n: Int, mult: Long): Array[Long] = {
+    val len = th.numElements()
+    val mod = HashExpressions.Mod
+    if (len < n) {
+      var acc = 0L
+      var j = 0
+      while (j < len) { acc = (acc * mult + th.getLong(j)) % mod; j += 1 }
+      Array(acc)
+    } else {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i <= len - n) {
+        var acc = th.getLong(i)
+        var j = 1
+        while (j < n) { acc = (acc * mult + th.getLong(i + j)) % mod; j += 1 }
+        seen.add(acc)
+        i += 1
+      }
+      val out = new Array[Long](seen.size())
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      out
+    }
+  }
+}
+
+/** MinHash signature from an array of element hashes:
+  * sig_i = min over h of (a_i·h + b_i) mod 1e9+7. One k×n primitive loop
+  * replacing k interpreted transform/array_min passes. */
+case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long])
+  extends UnaryExpression {
+  require(a.length == b.length, "coefficient arrays must align")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<bigint>")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(MinHashSig.sig(input.asInstanceOf[ArrayData], a, b))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("aCoef", a, "long[]")
+    val bRef = ctx.addReferenceObj("bCoef", b, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.MinHashSig.sig($c, $aRef, $bRef))")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinHashSig {
+  def sig(hashes: ArrayData, a: Array[Long], b: Array[Long]): Array[Long] = {
+    val k = a.length
+    val out = new Array[Long](k)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < k) {
+      var best = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = (a(i) * hashes.getLong(j) + b(i)) % HashExpressions.Mod
+        if (v < best) best = v
+        j += 1
+      }
+      out(i) = if (n == 0) 0L else best
+      i += 1
+    }
+    out
+  }
+}
+
+/** SimHash from an array of element hashes: bit j set iff
+  * Σ (2·bit_j(h) − 1) > 0 — a single n×bits loop replacing `bits`
+  * interpreted aggregate folds. */
+case class SimHashFromTokens(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_bits"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<bigint>")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashFromTokens.sim(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashFromTokens.sim($c, $bits)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SimHashFromTokens {
+  def sim(hashes: ArrayData, bits: Int): Long = {
+    val sums = new Array[Int](bits)
+    val n = hashes.numElements()
+    var j = 0
+    while (j < n) {
+      val h = hashes.getLong(j)
+      var b = 0
+      while (b < bits) {
+        if (((h >> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (sums(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}

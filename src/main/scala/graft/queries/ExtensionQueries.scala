@@ -33,29 +33,33 @@ object ExtensionQueries {
 
   private val sqlNorm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
 
-  /** doc_id, t (normalized), w (tokens), shingles — the common dedup CTE. */
+  private val C = Dedup.CombineMult
+
+  /** doc_id, t (normalized), th (token hashes), shingles (trigram hash
+    * combines) — the common dedup CTE, mirroring Dedup.shingleHashes. */
   private val sqlShingleCte =
     s"""norm AS (SELECT doc_id, $sqlNorm AS t FROM documents),
        |tok AS (SELECT doc_id, t, string_split(t, ' ') AS w FROM norm),
+       |toh AS (SELECT doc_id, t, list_transform(w, s -> ${sqlStringHash("s")}) AS th FROM tok),
        |sh AS (SELECT doc_id,
-       |  CASE WHEN len(w) < 3 THEN [t]
-       |       ELSE list_distinct(list_transform(range(0, len(w) - 2),
-       |              i -> array_to_string(list_slice(w, i + 1, i + 3), ' ')))
-       |  END AS shingles FROM tok)""".stripMargin
+       |  CASE WHEN len(th) < 3 THEN [list_reduce(list_concat([CAST(0 AS BIGINT)], th),
+       |                                (a, b) -> (a * $C + b) % $Mod)]
+       |       ELSE list_distinct(list_transform(range(0, len(th) - 2),
+       |              i -> ((th[i+1] * $C + th[i+2]) % $Mod * $C + th[i+3]) % $Mod))
+       |  END AS shingles FROM toh)""".stripMargin
 
   private val aList = (0 until P.k).map(P.a).mkString("[", ",", "]")
   private val bList = (0 until P.k).map(P.b).mkString("[", ",", "]")
 
   /** Banded minhash signatures CTE (needs sh). */
   private val sqlBandedCte =
-    s"""hs AS (SELECT doc_id, list_transform(shingles, s -> ${sqlStringHash("s")}) AS h FROM sh),
-       |sig AS (SELECT doc_id, list_transform(range(0, ${P.k}),
-       |  i -> list_min(list_transform(h, x -> ($aList[i+1] * x + $bList[i+1]) % $Mod))) AS sg
-       |  FROM hs),
+    s"""sig AS (SELECT doc_id, list_transform(range(0, ${P.k}),
+       |  i -> list_min(list_transform(shingles, x -> ($aList[i+1] * x + $bList[i+1]) % $Mod))) AS sg
+       |  FROM sh),
        |banded AS (SELECT doc_id, band,
        |  list_reduce(list_concat([CAST(0 AS BIGINT)],
        |    list_slice(sg, band * ${P.rows} + 1, band * ${P.rows} + ${P.rows})),
-       |    (a, b) -> (a * 1000003 + b) % $Mod) AS band_key
+       |    (a, b) -> (a * $C + b) % $Mod) AS band_key
        |  FROM sig, range(0, ${P.bands}) r(band))""".stripMargin
 
   /** Fold-order dot product of two DuckDB lists (matches the Catalyst

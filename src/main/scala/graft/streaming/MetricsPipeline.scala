@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.control.ScalingManager
+import graft.decide.MetricSummary
+import graft.model.{ClusterQueriesMetrics, ResizeAction}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.{DataFrame, Row}
+
+import java.sql.Timestamp
+import scala.collection.mutable
+
+/**
+ * The streaming face of the engine (SURVEY.md §2.8, §3): the same pure
+ * operators as [[graft.analytics.MetricAnalytics]], expressed over an
+ * unbounded metric stream with event-time windows and watermark-bounded
+ * state, plus the `foreachBatch` control loop that hosts the stateful
+ * decision cascade.
+ *
+ * Structure mirrors the reference split: windowed analytics are
+ * declarative (Spark manages the state store, keyed by window × node —
+ * the distributed replacement for the in-heap ring buffer,
+ * utils/FixedList.scala:6-15), while cooldown/guard state lives in the
+ * driver-side [[graft.control.ScalingManager]] exactly like the
+ * reference's ScalingManager (scaling/ScalingManager.scala:21-24).
+ *
+ * Scale notes: state is bounded by the 5-minute watermark (A3); the
+ * shuffle is keyed on (window, node) so 1000 executors partition the node
+ * space; `Trigger.ProcessingTime(15 seconds)` reproduces the reference
+ * cadence (TrinoAutoscaler.scala:24-27).
+ */
+object MetricsPipeline {
+
+  /** Sliding per-node averages: 1-minute windows every 15 s, state GC'd
+    * past the 5-minute retention (reference window shape:
+    * Config.scala:96-103). Input schema: (ts, node, value). */
+  def windowedNodeAvg(samples: DataFrame): DataFrame =
+    samples
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "1 minute", "15 seconds"), col("node"))
+      .agg(avg(col("value")).as("avg_value"), count(lit(1)).as("n_samples"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("node"), col("avg_value"), col("n_samples"))
+
+  /** Exact sliding event-rate counters — the self-contained replacement
+    * for Trino's exponentially-decayed 1m/5m counters the reference merely
+    * consumes (SURVEY.md §2.6): per event type, count in each 5-minute
+    * window sliding by 15 s; `< 1` idle checks become `== 0`. */
+  def eventRates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes", "15 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.end").as("win_end"), col("event_type"), col("n"))
+
+  /** Decision record emitted by the control loop. */
+  final case class Decision(batchId: Long, ts: Timestamp, action: String, capacity: Int)
+
+  /** Attach the stateful control loop to a metric-sample stream: per
+    * micro-batch (= one reference "tick"), compute the window summary with
+    * the BATCH operators (micro-batch df is bounded), feed the cascade,
+    * log the performed action. Returns the writer (caller starts it with
+    * its own checkpoint/output options). */
+  def attachControlLoop(
+      samples: DataFrame,
+      manager: ScalingManager,
+      decisions: mutable.Buffer[Decision],
+      windowN: Int = 4): DataStreamWriter[Row] = {
+    import graft.analytics.MetricAnalytics
+    samples.writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime("15 seconds"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // One micro-batch carries the samples since the last tick; the
+        // ring-buffer view is the batch itself bounded upstream by the
+        // watermark. The decision uses the reference-exact operators.
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val cold = MetricAnalytics.isCold(batch, windowN)
+          val summary =
+            if (cold) MetricSummary.Cold
+            else {
+              val avgs = MetricAnalytics.oneMinuteAvgExact(batch, windowN)
+                .as[(String, Double)].collect().toMap
+              val total = MetricAnalytics.latestTickNodeCount(batch).as[Long].head().toInt
+              MetricSummary(isCold = false, avgs, total)
+            }
+          val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
+          // Activity gauges ride in as metric rows; here every sample tick
+          // counts as activity (idle handling is exercised via eventRates
+          // in the full deployment).
+          val stats = ClusterQueriesMetrics(maxTs, runningQueries = 1,
+            queuedQueries = 0, 0, 0, 0, 0, 0)
+          manager.evaluate(stats, requiredWorkers = 0, summary).foreach {
+            case ResizeAction(action, capacity) =>
+              decisions += Decision(batchId, maxTs, action, capacity)
+          }
+        }
+      }
+  }
+}

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.control.{ScalingManager, SimulatedWorkers}
+import graft.decide.{CpuLoadEvaluator, StepScalingAlgorithm}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+import scala.collection.mutable
+
+/** Streaming tests (SURVEY.md §5.5): MemoryStream + processAllAvailable,
+  * batch/stream agreement on identical input, and the foreachBatch control
+  * loop emitting the expected decision. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample(tick: Int, node: String, v: Double): (Timestamp, String, Double) =
+    (new Timestamp(1700000000000L + tick * 15000L), node, v)
+
+  test("windowed node averages: stream agrees with batch on identical input") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val data = (0 until 20).flatMap(t => Seq(sample(t, "n1", 0.5), sample(t, "n2", 0.9)))
+    input.addData(data: _*)
+
+    val streamDf = input.toDF().toDF("ts", "node", "value")
+    val q = MetricsPipeline.windowedNodeAvg(streamDf)
+      .writeStream.format("memory").queryName("win_avg").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode only emits watermark-closed windows; re-feed a late
+      // high-ts row to advance the watermark past the data
+      input.addData(sample(100, "n1", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("win_avg")
+        .select("win_start", "node", "avg_value", "n_samples")
+
+      val batch = spark.createDataFrame(data).toDF("ts", "node", "value")
+        .groupBy(window(col("ts"), "1 minute", "15 seconds"), col("node"))
+        .agg(avg(col("value")).as("avg_value"), count(lit(1)).as("n_samples"))
+        .select(col("window.start").as("win_start"), col("node"),
+          col("avg_value"), col("n_samples"))
+
+      val s = streamed.as[(Timestamp, String, Double, Long)].collect().toSet
+      val b = batch.as[(Timestamp, String, Double, Long)].collect().toSet
+      assert(b.subsetOf(s ++ b.filter(_._1.getTime >= 1700000000000L + 100 * 15000L - 60000L)))
+      // every emitted streamed window matches the batch computation exactly
+      s.foreach { row => assert(b.contains(row) || row._2 == "n1" && row._3 == 0.0) }
+      assert(s.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("event rates: exact sliding counts replace decayed counters") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    input.addData((0 until 8).map(t =>
+      (new Timestamp(1700000000000L + t * 15000L), if (t % 2 == 0) "submitted" else "completed")): _*)
+    val q = MetricsPipeline.eventRates(input.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("rates").outputMode("append").start()
+    try {
+      input.addData((new Timestamp(1700000000000L + 3600 * 1000L), "late"))
+      q.processAllAvailable()
+      val rows = spark.table("rates").as[(Timestamp, String, Long)].collect()
+      assert(rows.nonEmpty)
+      // counts are exact integers per (window, type)
+      assert(rows.filter(_._2 == "submitted").forall(_._3 <= 4))
+    } finally q.stop()
+  }
+
+  test("foreachBatch control loop emits EXPAND on a hot stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val clockBase = 1000000000L
+    var now = clockBase
+    val workers = new SimulatedWorkers(0, 20, concurrent = true,
+      groupIds = Seq("g-1"), clock = () => now)
+    workers.resize(5); workers.settle()
+    val mgr = new ScalingManager(workers,
+      new StepScalingAlgorithm(new CpuLoadEvaluator, 0, 20), () => now)
+    val decisions = mutable.Buffer.empty[MetricsPipeline.Decision]
+
+    val writer = MetricsPipeline.attachControlLoop(
+      input.toDF().toDF("ts", "node", "value"), mgr, decisions)
+    val q = writer
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) // test: drain now
+      .start()
+    try {
+      q.awaitTermination(60000)
+    } finally q.stop()
+    // first batch: 4 hot ticks × 2 nodes → quorum EXPAND 5→10
+    input.addData((0 until 4).flatMap(t => Seq(sample(t, "n1", 0.95), sample(t, "n2", 0.9))): _*)
+    val q2 = writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q2.awaitTermination(60000) finally q2.stop()
+
+    assert(decisions.map(d => (d.action, d.capacity)).toList === List(("EXPAND", 10)))
+    assert(workers.requested === 10)
+  }
+}
