@@ -95,6 +95,37 @@ trait ScalingAlgorithm {
   def shrink(running: Int): Int
 }
 
+/** Example custom evaluator for the extension surface (SURVEY.md §2.9):
+  * classify on a PERCENTILE of the per-node averages instead of a quorum —
+  * robust to a few straggler nodes. Demonstrates that an `Evaluator` is
+  * just a function over the window summary; an aggregating variant over
+  * raw samples would be `percentile_approx` in the analytics layer or an
+  * `Aggregator[IN,BUF,OUT]` registered via `udaf(...)`. */
+class PercentileCpuEvaluator(
+    val percentile: Double = 0.5,
+    val expandThreshold: Double = 0.7,
+    val shrinkThreshold: Double = 0.5)
+  extends Evaluator {
+
+  override val label: String = "CPU Percentile Evaluation"
+
+  /** Inverted-CDF percentile over the node averages (deterministic:
+    * sorted values, floor index). */
+  private def pct(values: Seq[Double]): Double = {
+    val sorted = values.sorted
+    sorted(math.min((sorted.size * percentile).toInt, sorted.size - 1))
+  }
+
+  override def evaluate(m: MetricSummary): ResizeType =
+    if (m.isCold || m.oneMinuteAvg.isEmpty) ResizeType.None
+    else {
+      val p = pct(m.oneMinuteAvg.values.toSeq)
+      if (p >= expandThreshold) ResizeType.Expand
+      else if (p > shrinkThreshold) ResizeType.None
+      else ResizeType.Shrink
+    }
+}
+
 /** ST3 sizing — step with clamp (reference:
   * scaling/algo/StepScalingAlgorithm.scala:16-26). Defaults are the IG
   * profile (application.conf:22-25); the IF profile is 8/160/40/24. */

@@ -1,0 +1,72 @@
+package graft.sinks
+
+import graft.model.ResizeAction
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.collection.mutable
+
+/**
+ * Sink family (SURVEY.md §2.2 K1-K5). Effectful endpoints are interfaces
+ * with in-memory/file implementations — the cloud-backed variants (real
+ * CloudWatch PutMetricData, real EMR resize) plug in behind the same
+ * traits from `foreachBatch`, which is where the reference performs its
+ * side effects too (SURVEY.md §3.2).
+ */
+
+/** K1/K2 — scalar + map fan-out metric publisher
+  * (reference: utils/CloudWatch.scala:17-58). */
+trait MetricPublisher {
+  def putMetric(namespace: String, name: String, value: Double): Unit
+
+  /** K2 — one datum per map entry, metric name `prefix.<node>`
+    * (reference: utils/CloudWatch.scala:38-58). */
+  def putMetricMap(namespace: String, prefix: String, values: Map[String, Double]): Unit =
+    values.foreach { case (k, v) => putMetric(namespace, s"$prefix.$k", v) }
+}
+
+/** In-memory publisher for tests/simulation; thread-safe enough for the
+  * single foreachBatch writer the pipeline uses. */
+class BufferingPublisher extends MetricPublisher {
+  val records: mutable.ArrayBuffer[(String, String, Double)] = mutable.ArrayBuffer.empty
+  override def putMetric(namespace: String, name: String, value: Double): Unit =
+    records.synchronized { records += ((namespace, name, value)) }
+}
+
+object MetricPublisher {
+  /** Dataframe-side fan-out for K2 when the metric map is a column:
+    * explode(map_entries(...)) before the writer (SURVEY.md §2.2). */
+  def explodeMetricMap(df: DataFrame, mapCol: String, prefix: String): DataFrame =
+    df.select(explode(map_entries(col(mapCol))).as("e"))
+      .select(concat(lit(prefix + "."), col("e.key")).as("metric_name"),
+        col("e.value").cast("double").as("value"))
+}
+
+/** K3 — resize endpoint (reference: cluster/Workers.scala:200-207,366-377).
+  * [[graft.control.SimulatedWorkers]] implements the in-memory variant;
+  * this trait is what a real EMR/K8s autoscaler target implements. */
+trait ResizeEndpoint {
+  def resize(groupId: String, targetCapacity: Int): Unit
+}
+
+/** K4 — idle-marker touch sink (reference: scaling/ScalingManager.scala:48-60:
+  * touch a marker file while the cluster is busy so an external
+  * auto-termination watchdog sees activity). */
+class IdleMarkerSink(path: String) {
+  def touchIfBusy(isIdle: Boolean): Unit =
+    if (!isIdle) {
+      val p = Paths.get(path)
+      if (Files.exists(p)) Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      else Files.write(p, Array.emptyByteArray, StandardOpenOption.CREATE)
+    }
+}
+
+/** K5 + action log — append-only decision journal (the observable K3
+  * record for tests and replay). */
+class ActionLogSink {
+  val actions: mutable.ArrayBuffer[(Long, ResizeAction)] = mutable.ArrayBuffer.empty
+  def append(batchId: Long, action: ResizeAction): Unit =
+    actions.synchronized { actions += ((batchId, action)) }
+}

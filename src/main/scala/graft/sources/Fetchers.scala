@@ -1,0 +1,102 @@
+package graft.sources
+
+import graft.model.NodeInfo
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Metric-fetcher strategy (SURVEY.md §2.1 S1-S4, S9).
+ *
+ * The reference selects between a coordinator-REST fetcher and a local-JMX
+ * fetcher by config string and rejects unknown names
+ * (metrics/TrinoJmx.scala:24-33); its trait contract (`:8-22`) is the
+ * per-tick scrape of memory / query-stats / required-workers / per-node
+ * CPU. Here the contract is "produce this tick's raw frames"; production
+ * impls do driver-side HTTP in `foreachBatch` (SURVEY.md §2.1 S1), the
+ * test impl replays fixture frames. Each payload degrades to empty on
+ * fetch failure rather than aborting the tick (TrinoJmxRest.scala:130).
+ */
+trait MetricsFetcher {
+  def name: String
+
+  /** Raw mbean payload frame for one tick: (node: string, payload: json
+    * string of {"attributes": [{name, value}]}). */
+  def fetchPayloads(spark: SparkSession): DataFrame
+
+  /** Node topology frame: the /v1/node | /v1/autoscale list. */
+  def fetchNodeList(spark: SparkSession): DataFrame
+}
+
+object MetricsFetcher {
+  /** S9 — strategy dispatch by name; unknown → IllegalArgumentException
+    * (preserved verbatim from metrics/TrinoJmx.scala:29-32). */
+  def apply(name: String, fixtureDir: Option[String] = None): MetricsFetcher =
+    name.toLowerCase match {
+      case "emr"  => new FixtureFetcher("emr", fixtureDir)
+      case "rest" => new FixtureFetcher("rest", fixtureDir)
+      case other  => throw new IllegalArgumentException(
+        s"Unsupported metrics fetcher: $other (expected 'emr' or 'rest')")
+    }
+}
+
+/** Replay fetcher: serves deterministic in-memory payloads (or a fixture
+  * directory) — the test/simulation strategy. */
+class FixtureFetcher(override val name: String, fixtureDir: Option[String])
+  extends MetricsFetcher {
+
+  override def fetchPayloads(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    fixtureDir match {
+      case Some(dir) =>
+        Tables.events(spark, dir).select(
+          concat(lit("node-"), col("user_id")).as("node"),
+          to_json(struct(array(struct(
+            lit("ProcessCpuLoad").as("name"),
+            (col("value") / 200.0).cast("string").as("value"))).as("attributes")))
+            .as("payload"))
+      case None =>
+        Seq(
+          ("node-1", """{"attributes":[{"name":"ProcessCpuLoad","value":0.72},{"name":"AvailableProcessors","value":8}]}"""),
+          ("node-2", """{"attributes":[{"name":"ProcessCpuLoad","value":0.35},{"name":"AvailableProcessors","value":8}]}"""),
+          ("node-3", "not json at all") // exercises the empty-map fallback
+        ).toDF("node", "payload")
+    }
+  }
+
+  override def fetchNodeList(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      NodeInfo("i-1", "http://172.31.1.47:8889/v1/status", "worker", "active", "414"),
+      NodeInfo("i-2", "http://172.31.1.48:8889/v1/status", "worker", "active", "414"),
+      NodeInfo("i-3", "http://172.31.1.49:8889/v1/status", "coordinator", "active", "414"),
+      NodeInfo("i-4", "http://172.31.1.50:8889/v1/status", "worker", "inactive", "414")
+    ).toDF()
+  }
+}
+
+/** S3/S4 — node-list JSON parsing: coordinator response body →
+  * NodeInfo frame (reference: metrics/TrinoJmxEmr.scala:114-123,
+  * models/EmrNodeStatus.scala:3-10), with F1 role/state filtering and P3
+  * host extraction fused in. */
+object NodeListSource {
+  val NodeSchema: StructType = StructType(Seq(
+    StructField("nodeId", StringType),
+    StructField("nodeURI", StringType),
+    StructField("nodeRole", StringType),
+    StructField("nodeState", StringType),
+    StructField("nodeVersion", StringType)))
+
+  /** Parse a frame of raw JSON node-list bodies (one array per row). */
+  def parse(raw: DataFrame, jsonCol: String = "body"): DataFrame =
+    raw.select(explode(from_json(col(jsonCol), ArrayType(NodeSchema))).as("n"))
+      .select("n.*")
+
+  /** F1 + P3: active workers with their host extracted from the URI
+    * (reference: TrinoJmxEmr.scala:74-85). */
+  def activeWorkerHosts(nodes: DataFrame): DataFrame =
+    nodes
+      .filter(lower(col("nodeRole")) === "worker" && lower(col("nodeState")) === "active")
+      .withColumn("host", JmxJson.extractHost(col("nodeURI")))
+      .filter(length(col("host")) > 0)
+}

@@ -1,0 +1,20 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    for (name <- Seq("r01_pricing_summary", "r03_region_revenue", "r10_filter_agg", "x06_minhash_sig", "x10_knn_topk", "m05_quorum")) {
+      val plan = graft.SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"===== $name =====")
+      println(plan.split("\n").take(40).mkString("\n"))
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,76 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.decide.{MetricSummary, PercentileCpuEvaluator}
+import graft.model.ResizeType
+import graft.sinks.{BufferingPublisher, IdleMarkerSink, MetricPublisher}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Specs for the ingestion edge (S1-S4, S9, P1-P4) and the sink family
+  * (K1-K5). */
+class SourcesSinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("S9: fetcher dispatch accepts emr/rest, rejects others") {
+    assert(MetricsFetcher("emr").name === "emr")
+    assert(MetricsFetcher("REST").name === "rest")
+    intercept[IllegalArgumentException](MetricsFetcher("bogus"))
+  }
+
+  test("P1/P2: malformed payload degrades to zero-filled projection") {
+    val payloads = MetricsFetcher("rest").fetchPayloads(spark)
+    val parsed = JmxJson.parsePayloads(payloads, "payload", Map(
+      "cpu" -> (("ProcessCpuLoad", DoubleType)),
+      "cores" -> (("AvailableProcessors", DoubleType))))
+    val byNode = parsed.select("node", "cpu", "cores")
+      .as[(String, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byNode("node-1") === ((0.72, 8.0)))
+    assert(byNode("node-3") === ((0.0, 0.0))) // fallback-to-empty → zero-fill
+  }
+
+  test("S3 + F1 + P3: node list parse, filter, host extraction") {
+    val body = Seq(
+      """[{"nodeId":"i-1","nodeURI":"http://172.31.1.47:8889/v1/status","nodeRole":"worker","nodeState":"active","nodeVersion":"414"},
+         {"nodeId":"i-2","nodeURI":"http://172.31.1.48:8889/v1/status","nodeRole":"coordinator","nodeState":"active","nodeVersion":"414"},
+         {"nodeId":"i-3","nodeURI":"bad-uri","nodeRole":"worker","nodeState":"active","nodeVersion":"414"},
+         {"nodeId":"i-4","nodeURI":"http://172.31.1.50:8889/v1/status","nodeRole":"worker","nodeState":"shutting_down","nodeVersion":"414"}]"""
+    ).toDF("body")
+    val hosts = NodeListSource.activeWorkerHosts(NodeListSource.parse(body))
+      .select("host").as[String].collect().sorted
+    assert(hosts === Array("172.31.1.47")) // coordinator, bad uri, inactive dropped
+  }
+
+  test("K1/K2: map fan-out publisher emits one datum per node") {
+    val pub = new BufferingPublisher
+    pub.putMetricMap("graft", "cpu", Map("n1" -> 0.5, "n2" -> 0.7))
+    assert(pub.records.toSet === Set(("graft", "cpu.n1", 0.5), ("graft", "cpu.n2", 0.7)))
+  }
+
+  test("K2 frame-side fan-out: explode(map_entries)") {
+    val df = Seq(Map("n1" -> 0.5, "n2" -> 0.7)).toDF("m")
+    val out = MetricPublisher.explodeMetricMap(df, "m", "cpu")
+      .as[(String, Double)].collect().toSet
+    assert(out === Set(("cpu.n1", 0.5), ("cpu.n2", 0.7)))
+  }
+
+  test("K4: idle marker touched only when busy") {
+    val f = java.nio.file.Files.createTempFile("graft-idle", ".marker")
+    java.nio.file.Files.delete(f)
+    val sink = new IdleMarkerSink(f.toString)
+    sink.touchIfBusy(isIdle = true)
+    assert(!java.nio.file.Files.exists(f))
+    sink.touchIfBusy(isIdle = false)
+    assert(java.nio.file.Files.exists(f))
+    java.nio.file.Files.delete(f)
+  }
+
+  test("percentile evaluator: robust to straggler nodes") {
+    val hot = MetricSummary(isCold = false,
+      Map("a" -> 0.9, "b" -> 0.85, "c" -> 0.95, "d" -> 0.1), 4)
+    // quorum (0.8 of 4 = 3.2 → needs 4 nodes) says no; median says expand
+    assert(new PercentileCpuEvaluator(0.5).evaluate(hot) === ResizeType.Expand)
+    val cold = MetricSummary.Cold
+    assert(new PercentileCpuEvaluator().evaluate(cold) === ResizeType.None)
+  }
+}
