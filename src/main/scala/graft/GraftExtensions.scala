@@ -1,0 +1,44 @@
+package graft
+
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSig, RollingHash, SimHashFromTokens, TokenRollingHashes, ShingleHashCombine}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * SparkSessionExtensions entry point: registers graft's native expressions
+ * for SQL use in any session built with
+ *
+ * {{{
+ *   spark.sql.extensions=graft.GraftExtensions
+ * }}}
+ *
+ * or `SparkSession.builder().withExtensions(new GraftExtensions)`. This is
+ * the idiomatic injection path for a library shipping custom Catalyst
+ * expressions (SURVEY.md §7.3) — no session-mutating registration calls
+ * needed at call sites.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(clazz: Class[_], name: String) =
+    new ExpressionInfo(clazz.getCanonicalName, null, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info(classOf[DotProduct], "vec_dot"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_cosine"),
+      info(classOf[CosineSimilarity], "vec_cosine"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      info(classOf[RollingHash], "rolling_hash"),
+      (es: Seq[Expression]) => RollingHash(es(0))))
+    ext.injectFunction((
+      FunctionIdentifier("token_hashes"),
+      info(classOf[TokenRollingHashes], "token_hashes"),
+      (es: Seq[Expression]) => TokenRollingHashes(es(0))))
+  }
+}

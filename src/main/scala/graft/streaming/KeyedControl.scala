@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/**
+ * Keyed control state via `mapGroupsWithState` — the off-driver layout for
+ * the reference's mutable control state (SURVEY.md §4: "driver vars
+ * suffice at reference scale; keyed state is the 100 TB-honest choice").
+ * With thousands of managed pools/clusters, suspension timers and cooldown
+ * clocks shard across executors in the state store and survive restarts
+ * via checkpointing, instead of living in a single driver map
+ * (reference: cluster/Workers.scala:33-35, scaling/ScalingManager.scala:21-24).
+ *
+ * Both operators work identically over a bounded Dataset (one batch, state
+ * folded in observation order) and a stream (update mode).
+ */
+object KeyedControl {
+
+  /** One topology refresh observation for a managed group
+    * (reference: cluster/Workers.scala:241-262). */
+  final case class GroupObs(
+      groupId: String, tsMs: Long, status: String,
+      isSuspended: Boolean, running: Int, requested: Int)
+
+  /** Tracked group status with the ST5 exclusion verdict and the
+    * auto-heal request (reference: cluster/Workers.scala:255-262,277). */
+  final case class GroupTrack(
+      groupId: String, tsMs: Long, lastSuspendedTimeMs: Long,
+      isExcluded: Boolean, healTo: Option[Int])
+
+  /** ST5 — suspension exclusion timers, keyed by group id. Exclusion is
+    * computed from the PREVIOUS suspension stamp (not the one being
+    * written), matching the reference's refresh exactly. */
+  def trackSuspensions(
+      obs: Dataset[GroupObs],
+      suspendedStateDelayMs: Long = 600000L)(implicit spark: SparkSession): Dataset[GroupTrack] = {
+    import spark.implicits._
+    obs.groupByKey(_.groupId)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (id: String, rows: Iterator[GroupObs], state: GroupState[Long]) =>
+          var prev = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r.tsMs, r.requested)).map { r =>
+            val excluded = (r.tsMs - prev) <= suspendedStateDelayMs
+            val last = if (r.isSuspended) r.tsMs else prev
+            prev = last
+            GroupTrack(id, r.tsMs, last, excluded,
+              if (r.isSuspended) Some(r.running) else None)
+          }
+          state.update(prev)
+          out.iterator
+      }
+  }
+
+  /** A decision candidate entering the cooldown gate (F7/ST2). */
+  final case class Candidate(clusterId: String, tsMs: Long, action: String, capacity: Int)
+
+  /** F7 — cooldown gating, keyed by cluster id: a candidate passes only if
+    * `cooldownMs` elapsed since the last PASSED action; passing refreshes
+    * the clock (reference: scaling/ScalingManager.scala:38-45). NONE
+    * candidates never pass and never refresh. */
+  def cooldownGate(
+      candidates: Dataset[Candidate],
+      cooldownMs: Long = 120000L)(implicit spark: SparkSession): Dataset[Candidate] = {
+    import spark.implicits._
+    candidates.groupByKey(_.clusterId)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Candidate], state: GroupState[Long]) =>
+          var lastOp = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.tsMs).flatMap { c =>
+            if (c.action != "NONE" && c.tsMs - lastOp > cooldownMs) {
+              lastOp = c.tsMs
+              Some(c)
+            } else None
+          }
+          state.update(lastOp)
+          out.iterator
+      }
+  }
+}

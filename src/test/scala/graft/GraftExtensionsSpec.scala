@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions injection path: the shared test session is
+  * built `withExtensions(new GraftExtensions)` (SparkSpec), so the native
+  * functions must resolve in plain SQL with no explicit registration. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("withExtensions session resolves vec_cosine / rolling_hash in SQL") {
+    val spark: SparkSession = SparkSpec.session
+    val cos = spark.sql(
+      "SELECT vec_cosine(array(3.0f, 0.0f), array(3.0f, 0.0f)) AS c").head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    val h = spark.sql("SELECT rolling_hash('ab') AS h").head().getLong(0)
+    assert(h === (97L * 31 + 98) % 1000000007L)
+    val th = spark.sql("SELECT token_hashes('ab ab') AS t").head().getSeq[Long](0)
+    assert(th === Seq(h, h))
+  }
+}

@@ -18,6 +18,7 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions) // exercised by GraftExtensionsSpec
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

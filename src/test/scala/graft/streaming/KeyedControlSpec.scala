@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.KeyedControl.{Candidate, GroupObs}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Keyed-state control tests: batch fold + streaming equivalence. */
+class KeyedControlSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val s: org.apache.spark.sql.SparkSession = spark
+
+  test("trackSuspensions: exclusion from previous stamp, heal on suspend") {
+    val obs = Seq(
+      GroupObs("g1", 1000000L, "RUNNING", isSuspended = false, 5, 5),
+      GroupObs("g1", 2000000L, "SUSPENDED", isSuspended = true, 5, 5),
+      GroupObs("g1", 2030000L, "RUNNING", isSuspended = false, 5, 5),   // within window
+      GroupObs("g1", 2700000L, "RUNNING", isSuspended = false, 5, 5),   // past window
+      GroupObs("g2", 2000000L, "RUNNING", isSuspended = false, 3, 3)
+    ).toDS()
+    val out = KeyedControl.trackSuspensions(obs).collect()
+      .map(t => (t.groupId, t.tsMs) -> t).toMap
+
+    // first obs: prev=0, ts-prev huge → not excluded
+    assert(!out(("g1", 1000000L)).isExcluded)
+    // suspension tick: exclusion still computed from prev=0 → false; heals
+    assert(!out(("g1", 2000000L)).isExcluded)
+    assert(out(("g1", 2000000L)).healTo.contains(5))
+    // within 10 min of the new stamp → excluded
+    assert(out(("g1", 2030000L)).isExcluded)
+    // 700 s later → lapsed
+    assert(!out(("g1", 2700000L)).isExcluded)
+    assert(!out(("g2", 2000000L)).isExcluded)
+  }
+
+  test("cooldownGate: passes refresh the clock; NONE never passes") {
+    val base = 1000000000L
+    val cands = Seq(
+      Candidate("c1", base, "EXPAND", 10),
+      Candidate("c1", base + 15000L, "EXPAND", 12),   // inside cooldown
+      Candidate("c1", base + 130000L, "NONE", 12),    // NONE: no pass, no refresh
+      Candidate("c1", base + 140000L, "SHRINK", 7),   // > 120 s after base → passes
+      Candidate("c2", base + 1000L, "SHRINK", 0)      // separate key
+    ).toDS()
+    val out = KeyedControl.cooldownGate(cands).collect()
+      .map(c => (c.clusterId, c.tsMs, c.action)).toSet
+    assert(out === Set(
+      ("c1", base, "EXPAND"),
+      ("c1", base + 140000L, "SHRINK"),
+      ("c2", base + 1000L, "SHRINK")))
+  }
+
+  test("streaming and batch agree on suspension tracking across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[GroupObs]
+    val q = KeyedControl.trackSuspensions(input.toDS())
+      .writeStream.format("memory").queryName("tracks").outputMode("append").start()
+    try {
+      input.addData(GroupObs("g1", 2000000L, "SUSPENDED", isSuspended = true, 5, 5))
+      q.processAllAvailable()
+      // state (the suspension stamp) must carry into the NEXT micro-batch
+      input.addData(GroupObs("g1", 2030000L, "RUNNING", isSuspended = false, 5, 5))
+      q.processAllAvailable()
+      val rows = spark.table("tracks").as[KeyedControl.GroupTrack].collect()
+        .map(t => t.tsMs -> t.isExcluded).toMap
+      assert(rows(2000000L) === false)
+      assert(rows(2030000L) === true) // excluded via state carried across batches
+    } finally q.stop()
+  }
+}
