@@ -220,11 +220,16 @@ object MetricQueries {
         .orderBy("event_id", "attr_name")),
 
     // P2 — typed projection with zero-fill default
-    // (reference: metrics/TrinoJmxRest.scala:33-58 getOrElse(..., 0))
+    // (reference: metrics/TrinoJmxRest.scala:33-58 getOrElse(..., 0)).
+    // One from_json parse feeding both fields (two get_json_object calls
+    // would parse the payload twice per row).
     "m17_proj_default" -> ((s, dir) =>
-      events(s, dir).select(col("event_id"),
-        coalesce(JmxJson.jsonPluck(col("props"), "$.k").cast(LongType), lit(0L)).as("k"),
-        coalesce(JmxJson.jsonPluck(col("props"), "$.absent").cast(LongType), lit(0L)).as("missing_defaulted"))
+      events(s, dir)
+        .select(col("event_id"),
+          from_json(col("props"), MapType(StringType, LongType)).as("m"))
+        .select(col("event_id"),
+          coalesce(element_at(col("m"), "k"), lit(0L)).as("k"),
+          coalesce(element_at(col("m"), "absent"), lit(0L)).as("missing_defaulted"))
         .orderBy("event_id")),
 
     // P5/F1 — case-insensitive filter (reference: metrics/TrinoJmxEmr.scala:76-78)

@@ -157,6 +157,18 @@ object RelationalQueries {
       r.unionByName(n).distinct().orderBy("name")
     }),
 
+    // rollup — hierarchical totals (absent in the reference; included for
+    // engine completeness, SURVEY.md §2.6 last row)
+    "r13_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")),
+
     // J3 fleet-variant subset/collect: per region, ordered nation roster
     // (string-joined for engine-portable comparison)
     "r12_collect_roster" -> ((s, dir) => {
@@ -247,6 +259,13 @@ object RelationalQueries {
     "r11_union" ->
       """SELECT r_name AS name FROM region UNION SELECT n_name FROM nation
         |ORDER BY name""".stripMargin,
+
+    "r13_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       CAST(COUNT(*) AS BIGINT) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
 
     "r12_collect_roster" ->
       """SELECT r_name,
