@@ -1,0 +1,87 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.streaming.KeyedControl
+import graft.streaming.KeyedControl.GroupObs
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Scale-behavior guards: LSH bucket caps, disk-partitioned ANN pruning,
+  * and keyed-state checkpoint recovery (SURVEY.md §7.5.5). */
+class ScaleGuardsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("candidatePairs: degenerate LSH buckets are capped, others survive") {
+    // 30 docs share one band key (boilerplate bucket), 3 docs share another
+    val banded = ((1L to 30L).map(i => (i, 0, 999L)) ++
+      Seq((101L, 0, 7L), (102L, 0, 7L), (103L, 0, 7L)))
+      .toDF("id", "band", "band_key")
+    val pairs = Dedup.candidatePairs(banded, maxBucket = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((101L, 102L), (101L, 103L), (102L, 103L)))
+  }
+
+  test("LSH-partitioned corpus layout prunes probes to one partition") {
+    val dir = Files.createTempDirectory("graft-lsh").toString
+    val emb = (0L until 200L).map { i =>
+      (i, Array.tabulate(64)(d => (((i * 31 + d * 17) % 101).toFloat - 50f) / 50f))
+    }.toDF("vec_id", "embedding")
+    Similarity.lshBuckets(emb, 8, 64)
+      .write.partitionBy("bucket").mode("overwrite").parquet(dir)
+
+    val probe = spark.read.parquet(dir).filter(col("bucket") === 37)
+    val plan = probe.queryExecution.executedPlan.toString
+    // partition pruning: the bucket predicate must land in PartitionFilters,
+    // not in a post-scan Filter
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"))
+    val buckets = probe.select("bucket").distinct().as[Long].collect()
+    assert(buckets.forall(_ == 37L))
+  }
+
+  test("keyed suspension state survives a query restart via checkpoint") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val srcDir = Files.createTempDirectory("graft-src").toString
+    val collected = scala.collection.mutable.ArrayBuffer.empty[KeyedControl.GroupTrack]
+    // a FILE source (not MemoryStream): file names are tracked in the
+    // checkpoint, so a brand-new query instance resumes cleanly — a fresh
+    // MemoryStream would restart its offsets and the recovered query
+    // would skip the "already seen" offset range
+    def writeObs(name: String, o: GroupObs): Unit =
+      Files.writeString(java.nio.file.Paths.get(srcDir, name),
+        s"""{"groupId":"${o.groupId}","tsMs":${o.tsMs},"status":"${o.status}",""" +
+          s""""isSuspended":${o.isSuspended},"running":${o.running},"requested":${o.requested}}""")
+
+    def run(): Unit = {
+      val obs = spark.readStream
+        .schema("groupId STRING, tsMs LONG, status STRING, isSuspended BOOLEAN, running INT, requested INT")
+        .json(srcDir).as[GroupObs]
+      val q = KeyedControl.trackSuspensions(obs)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[KeyedControl.GroupTrack], _: Long) =>
+          collected.synchronized { collected ++= b.collect() }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      q.stop()
+    }
+
+    writeObs("a.json", GroupObs("g1", 2000000L, "SUSPENDED", isSuspended = true, 5, 5))
+    run()
+    // brand-new query instance, same checkpoint → state (suspension stamp)
+    // must be recovered, so the next observation is excluded
+    writeObs("b.json", GroupObs("g1", 2030000L, "RUNNING", isSuspended = false, 5, 5))
+    run()
+
+    val byTs = collected.map(t => t.tsMs -> t).toMap
+    assert(byTs(2000000L).healTo.contains(5))
+    assert(byTs(2030000L).isExcluded,
+      s"suspension stamp lost across restart: ${collected.toList}")
+  }
+}

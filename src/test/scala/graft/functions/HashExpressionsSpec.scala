@@ -1,0 +1,70 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Edge cases for the native hash expressions (the statics the generated
+  * code calls, plus end-to-end column behavior). */
+class HashExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Mod = HashExpressions.Mod
+
+  test("RollingHash matches the portable recurrence and handles empties") {
+    assert(RollingHash.hash(UTF8String.fromString("")) === 0L)
+    assert(RollingHash.hash(UTF8String.fromString("a")) === 97L)
+    assert(RollingHash.hash(UTF8String.fromString("ab")) === (97L * 31 + 98) % Mod)
+    // supplementary codepoint: one iteration, not two surrogate halves
+    val cp = 0x1F600 // 😀
+    assert(RollingHash.hash(UTF8String.fromString(new String(Character.toChars(cp))))
+      === cp.toLong % Mod)
+  }
+
+  test("TokenRollingHashes: empty string → no tokens; single spaces split") {
+    assert(TokenRollingHashes.hashes(UTF8String.fromString("")).toSeq === Seq.empty)
+    val ab = RollingHash.hash(UTF8String.fromString("ab"))
+    assert(TokenRollingHashes.hashes(UTF8String.fromString("ab ab")).toSeq === Seq(ab, ab))
+    // leading/trailing spaces yield empty-token hashes (normalize() trims
+    // upstream; the expression itself is literal about the split)
+    assert(TokenRollingHashes.hashes(UTF8String.fromString(" ab")).toSeq === Seq(0L, ab))
+  }
+
+  test("ShingleHashCombine: degenerate short input and dedup order") {
+    val th = new GenericArrayData(Array(5L, 7L, 11L))
+    val c = ShingleHashCombine.combine(th, 3, 1000003L)
+    assert(c.toSeq === Seq(((5L * 1000003 + 7) % Mod * 1000003 + 11) % Mod))
+    val short = new GenericArrayData(Array(5L, 7L))
+    assert(ShingleHashCombine.combine(short, 3, 1000003L).toSeq
+      === Seq((5L * 1000003 + 7) % Mod))
+    assert(ShingleHashCombine.combine(new GenericArrayData(Array.empty[Long]), 3, 1000003L)
+      .toSeq === Seq(0L))
+    // duplicate shingles collapse, first-occurrence order kept
+    val dup = new GenericArrayData(Array(1L, 2L, 1L, 2L, 1L, 2L))
+    val out = ShingleHashCombine.combine(dup, 2, 10L)
+    assert(out.toSeq === Seq(12L, 21L))
+  }
+
+  test("MinHashSig: empty hash array yields zero signature") {
+    val sig = MinHashSig.sig(new GenericArrayData(Array.empty[Long]),
+      Array(3L, 5L), Array(1L, 2L))
+    assert(sig.toSeq === Seq(0L, 0L))
+  }
+
+  test("SimHashFromTokens: empty input is 0; single token echoes its bits") {
+    assert(SimHashFromTokens.sim(new GenericArrayData(Array.empty[Long]), 30) === 0L)
+    val h = 0x15555555L & ((1L << 30) - 1)
+    assert(SimHashFromTokens.sim(new GenericArrayData(Array(h)), 30) === h)
+  }
+
+  test("expressions agree between codegen and interpreted eval") {
+    val df = Seq("the quick brown fox", "a b", "").toDF("t")
+    val viaExpr = df.select(HashExpressions.rolling_hash(col("t"))).as[Long].collect()
+    // interpreted baseline: the original aggregate/split formulation
+    val viaFold = df.select(
+      aggregate(split(col("t"), ""), lit(0L),
+        (acc, ch) => pmod(acc * lit(31L) + ascii(ch), lit(Mod)))).as[Long].collect()
+    assert(viaExpr.toSeq === viaFold.toSeq)
+  }
+}
