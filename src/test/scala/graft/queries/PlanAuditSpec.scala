@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Plan-shape regression guards (SURVEY.md "optimize for scale"): the
+  * physical plans that make these queries viable at 100 TB — parquet
+  * pushdown + pruning, broadcast dimension joins, partial aggregation,
+  * codegen'd native expressions — are asserted, not assumed. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("r01: shipdate filter reaches the parquet scan; columns pruned") {
+    val p = planOf("r01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    assert(!p.contains("l_orderkey"), "unused columns must be pruned from the scan")
+  }
+
+  test("r03: all dimension joins are broadcast hash joins") {
+    val p = planOf("r03_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "dimension joins must not degrade to sort-merge at this scale")
+  }
+
+  test("r01: aggregation is partial (map-side) before the exchange") {
+    val p = planOf("r01_pricing_summary")
+    assert(p.contains("partial_sum"), s"expected partial aggregation:\n$p")
+  }
+
+  test("x10: native cosine in one projection; top-k limited BEFORE the shuffle") {
+    val p = planOf("x10_knn_topk")
+    assert(p.linesIterator.count(_.contains("vec_cosine")) === 1,
+      s"cosine must be computed once per pair:\n$p")
+    // Spark's WindowGroupLimit pushes the per-query top-3 below the
+    // exchange (partial mode) — at 100 TB this is what keeps the shuffle
+    // k-rows-per-query instead of corpus-sized.
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"expected partial window-group-limit before the exchange:\n$p")
+  }
+
+  test("r04/r05: semi and anti joins stay semi/anti (no materialized join)") {
+    assert(planOf("r04_semi_join").contains("LeftSemi"))
+    assert(planOf("r05_anti_join").contains("LeftAnti"))
+  }
+
+  test("m03: zero-fill scaffold contains no cross join of data frames") {
+    val p = planOf("m03_zero_fill")
+    // the only cartesian-ish node allowed is the single-row bounds join
+    // (BroadcastNestedLoopJoin over a 1-row aggregate)
+    assert(!p.contains("CartesianProduct"), s"data×data cross join:\n$p")
+  }
+
+  test("x06: minhash signatures are computed shuffle-free below the explode") {
+    val p = planOf("x06_minhash_sig")
+    // the plan prints top-down: everything AFTER the Generate line is its
+    // input subtree, which must be Project→Scan with no Exchange, and the
+    // signature expression must appear exactly once (no re-inlining)
+    val subtree = p.split("Generate explode", 2)(1)
+    assert(!subtree.contains("Exchange"),
+      s"signature computation must be shuffle-free:\n$p")
+    assert(p.linesIterator.count(_.contains("minhash_sig")) === 1,
+      s"signature must be materialized once per doc:\n$p")
+  }
+}

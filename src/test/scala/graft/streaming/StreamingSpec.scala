@@ -96,4 +96,39 @@ class StreamingSpec extends SparkSpec {
     assert(decisions.map(d => (d.action, d.capacity)).toList === List(("EXPAND", 10)))
     assert(workers.requested === 10)
   }
+
+  test("streaming golden trace: cold → overload → cooldown gate → drain") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    var now = 1000000000L
+    val workers = new SimulatedWorkers(0, 20, concurrent = true,
+      groupIds = Seq("g-1"), clock = () => now)
+    workers.resize(5); workers.settle()
+    val mgr = new ScalingManager(workers,
+      new StepScalingAlgorithm(new CpuLoadEvaluator, 0, 20), () => now)
+    val decisions = mutable.Buffer.empty[MetricsPipeline.Decision]
+    val writer = MetricsPipeline.attachControlLoop(
+      input.toDF().toDF("ts", "node", "value"), mgr, decisions)
+
+    var tick = 0
+    def phase(cpu: Double, nTicks: Int, advanceMs: Long): Unit = {
+      input.addData((0 until nTicks).flatMap { _ =>
+        tick += 1
+        Seq(sample(tick, "n1", cpu), sample(tick, "n2", cpu))
+      }: _*)
+      val q = writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination(60000) finally q.stop()
+      workers.settle()
+      now += advanceMs
+    }
+
+    phase(0.9, 2, 15000L)   // under-sampled batch → cold → no decision
+    phase(0.9, 4, 15000L)   // quorum overload → EXPAND 5→10
+    phase(0.9, 4, 200000L)  // still hot but inside 120 s cooldown → gated
+    phase(0.2, 4, 15000L)   // cooldown elapsed, drain → SHRINK 10→7
+
+    assert(decisions.map(d => (d.action, d.capacity)).toList ===
+      List(("EXPAND", 10), ("SHRINK", 7)))
+    assert(workers.running === 7)
+  }
 }
