@@ -98,6 +98,63 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine", "bucket")
   }
 
+  // ------------------------------------------------------------- IVF path
+
+  /** Number of IVF centroids (lists). */
+  val IvfLists: Int = 16
+
+  /** Deterministic pseudo-random centroid component in [-1, 1] — same
+    * integer recurrence family as the hyperplanes, different constants.
+    * A production pipeline would train these with k-means over a sample;
+    * the assignment/probe machinery is identical. */
+  def centroidComponent(c: Int, d: Int): Double =
+    (((7L + c * 2503L + d * 12289L) % 1999L) - 999L) / 999.0
+
+  private def centroidLit(c: Int, dim: Int): Column =
+    lit((0 until dim).map(d => centroidComponent(c, d).toFloat).toArray)
+
+  /** IVF list assignment: index of the centroid with the largest dot
+    * product (first max wins ties — deterministic). */
+  def ivfList(vec: Column, lists: Int = IvfLists, dim: Int = 64): Column = {
+    val scores = array((0 until lists).map(c => vec_dot(vec, centroidLit(c, dim))): _*)
+    (array_position(scores, array_max(scores)) - 1).cast("long")
+  }
+
+  /** Corpus → (id, list) IVF assignment. At scale the corpus is written
+    * `partitionBy("list")`, so probes read one partition (nprobe=1) or a
+    * few (nprobe>1). */
+  def ivfAssign(
+      corpus: DataFrame,
+      lists: Int = IvfLists,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol), col(vecCol), ivfList(col(vecCol), lists, dim).as("list"))
+
+  /** IVF-probed top-k: score only corpus vectors in the query's list
+    * (nprobe = 1). Same shape as [[bruteForceTopK]]; recall < 1. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      lists: Int = IvfLists,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cb = ivfAssign(corpus, lists, dim, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"), col("list"))
+    val qb = ivfAssign(queries, lists, dim, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"), col("list"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cb.join(broadcast(qb), Seq("list"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", vec_cosine(col("query_vec"), col("neighbor_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine", "list")
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucket with LSH, verify with
     * exact cosine ≥ threshold inside buckets (the embedding analog of
     * [[Dedup.minHashNearDups]]). */

@@ -187,6 +187,22 @@ object ExtensionQueries {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
         .orderBy("id_a", "id_b")),
 
+    // IVF list assignment (argmax-dot over deterministic centroids)
+    "x15_ivf_assign" -> ((s, dir) =>
+      Similarity.ivfAssign(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("list"))
+        .orderBy("vec_id")),
+
+    // IVF-probed top-k (nprobe=1) — rows-only check: recall semantics, not
+    // SQL-oracle'd (the assignment itself is verified by x15)
+    "x16_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cosine"), 6).as("cosine_r"), col("list"))
+        .orderBy("query_id", "rank")
+    }),
+
     // multimodal metadata + payload accounting (decode-independent)
     "x13_media_meta" -> ((s, dir) =>
       Multimodal.asMediaTable(Tables.documents(s, dir))
@@ -343,6 +359,17 @@ object ExtensionQueries {
          |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
          |SELECT DISTINCT id_a, id_b, round(cosine, 6) AS cosine_r FROM p
          |WHERE cosine >= $CosineThreshold ORDER BY id_a, id_b""".stripMargin,
+
+    "x15_ivf_assign" -> {
+      def cent(c: Int): String =
+        s"""list_transform(range(1, ${Dim + 1}),
+           |  d -> CAST(CAST((((7 + $c * 2503 + (d - 1) * 12289) % 1999) - 999) / 999.0 AS FLOAT) AS DOUBLE))""".stripMargin
+      val scores = (0 until Similarity.IvfLists)
+        .map(c => sqlDot("embedding", cent(c))).mkString("[", ",\n  ", "]")
+      s"""WITH s AS (SELECT vec_id, $scores AS scores FROM embeddings)
+         |SELECT vec_id, CAST(list_position(scores, list_max(scores)) - 1 AS BIGINT) AS list
+         |FROM s ORDER BY vec_id""".stripMargin
+    },
 
     "x13_media_meta" ->
       """SELECT doc_id,
