@@ -38,22 +38,27 @@ object Replay {
   def run(spark: SparkSession, sfDir: String, numTicks: Int): Unit = {
     import spark.implicits._
 
-    // The fixture's events become metric samples: one "tick" per 15-second
-    // bucket, node = user_id, cpu = value scaled into [0, 1].
+    // The fixture's events become metric samples: one "tick" per hour
+    // (events are sparse, so 15 s ticks would hold ~1 node each),
+    // node = user_id, cpu = the node's mean value scaled into [0, 1].
     val events = graft.sources.Tables.events(spark, sfDir)
-    val samples = events.select(
-      (floor(unix_timestamp(col("ts")) / 15) * 15).cast("timestamp").as("ts"),
-      concat(lit("node-"), col("user_id")).as("node"),
-      least(col("value") / lit(200.0), lit(1.0)).as("value"))
+    val samples = events
+      .groupBy(date_trunc("hour", col("ts")).as("ts"),
+        concat(lit("node-"), col("user_id")).as("node"))
+      .agg(least(avg(col("value")) / lit(150.0), lit(1.0)).as("value"))
 
     val ticks = samples.select("ts").distinct().orderBy("ts")
       .as[java.sql.Timestamp].take(numTicks + 20)
 
+    // simulated clock: one evaluation tick = 15 s of wall time, so the
+    // cooldown gate behaves as it would on the reference cadence
+    var simNow = 1000000000L
     val workers = new SimulatedWorkers(minCapacity = 0, maxCapacity = 20,
-      concurrent = true, groupIds = Seq("ig-1", "ig-2"))
+      concurrent = true, groupIds = Seq("ig-1", "ig-2"), clock = () => simNow)
     workers.resize(5); workers.settle()
     val mgr = new ScalingManager(workers,
-      new StepScalingAlgorithm(new CpuLoadEvaluator, minCapacity = 0, maxCapacity = 20))
+      new StepScalingAlgorithm(new CpuLoadEvaluator, minCapacity = 0, maxCapacity = 20),
+      clock = () => simNow)
 
     println(f"${"tick"}%-22s${"nodes"}%6s${"cold"}%6s${"decision"}%12s${"running"}%9s")
     ticks.take(numTicks).foreach { cursor =>
@@ -70,12 +75,13 @@ object Replay {
             .as[Long].head().toInt
           MetricSummary(isCold = false, avgs, total)
         }
-      // activity counters for the idle gate from the same window (F6)
+      // the replay keeps the cluster "busy" so the trace shows the CPU
+      // cascade; the idle short-circuit is exercised by ControlSpec
       val stats = ClusterQueriesMetrics(cursor,
-        runningQueries = summary.oneMinuteAvg.size, queuedQueries = 0,
-        0, 0, 0, 0, 0)
+        runningQueries = 1, queuedQueries = 0, 0, 0, 0, 0, 0)
       val decision = mgr.evaluate(stats, requiredWorkers = 0, summary)
       workers.settle()
+      simNow += 15000L * 9 // ~2 min+ between replayed ticks: cooldown visible but finite
       println(f"$cursor%-22s${summary.totalNodes}%6d$cold%6s${decision.map(a => s"${a.action}:${a.capacity}").getOrElse("-")}%12s${workers.running}%9d")
     }
   }

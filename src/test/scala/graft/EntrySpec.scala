@@ -1,0 +1,26 @@
+package graft
+
+/** Driver-contract smoke: entry() must return rows on sf0.001, and every
+  * oracleSql key must have a matching queries entry (the Verify gate pairs
+  * them by name). */
+class EntrySpec extends SparkSpec {
+
+  test("entry: flagship query returns rows at sf0.001") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.contains("decision"))
+  }
+
+  test("every oracle key has a query; names collide nowhere") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle keys without queries: ${o diff q}")
+    // rows-only (oracle-less) queries are the two deliberately
+    // non-SQL-expressible ones
+    assert((q diff o) === Set("x14_media_features", "x16_ivf_topk"))
+    val total = graft.queries.MetricQueries.queries.size +
+      graft.queries.RelationalQueries.queries.size +
+      graft.queries.ExtensionQueries.queries.size
+    assert(q.size === total, "duplicate query names across batteries")
+  }
+}
