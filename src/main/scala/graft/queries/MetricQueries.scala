@@ -238,6 +238,31 @@ object MetricQueries {
         .groupBy("user_id").agg(count(lit(1)).as("clicks"))
         .orderBy("user_id")),
 
+    // pivot — the reference's per-tick map shape `Map[node -> value]` as a
+    // wide frame (SURVEY.md §1.1: "the map shape = groupBy(ts).pivot(node)");
+    // fixed pivot values keep the schema static and the plan a single
+    // hash aggregation
+    "m20_pivot" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select(unix_millis(col("day")).as("day_ms"),
+          coalesce(col("click"), lit(0L)).as("click"),
+          coalesce(col("error"), lit(0L)).as("error"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"),
+          coalesce(col("signup"), lit(0L)).as("signup"),
+          coalesce(col("view"), lit(0L)).as("view"))
+        .orderBy("day_ms")),
+
+    // approx distinct (HLL++) — deterministic for fixed data but not
+    // SQL-oracle-able across engines → rows-only check
+    "m21_approx_distinct" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")),
+
     // P8 — epoch-millis time arithmetic (reference: scaling/ScalingManager.scala:38)
     "m19_time_arith" -> ((s, dir) => {
       val ev = events(s, dir).select(col("event_id"), unix_millis(col("ts")).as("ts_ms"))
@@ -392,6 +417,15 @@ object MetricQueries {
     "m18_ci_filter" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS clicks FROM events
         |WHERE lower(event_type) = 'click' GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "m20_pivot" ->
+      """SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+        |  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        |  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |  CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        |  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "m19_time_arith" ->
       """WITH e AS (SELECT event_id, epoch_ms(ts) AS ts_ms FROM events),

@@ -150,6 +150,18 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), decSum(col("l_extendedprice")).as("total_price"))
         .orderBy("l_linestatus")),
 
+    // intersect / except set ops (completing the union family)
+    "r14_set_ops" -> ((s, dir) => {
+      val withOrders = Tables.orders(s, dir).select(col("o_custkey").as("custkey")).distinct()
+      val bigSpenders = Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey").as("custkey")).distinct()
+      val both = withOrders.intersect(bigSpenders)
+        .withColumn("relation", lit("both"))
+      val onlySmall = withOrders.except(bigSpenders)
+        .withColumn("relation", lit("small_only"))
+      both.unionByName(onlySmall).orderBy("custkey", "relation")
+    }),
+
     // union (multi-fetcher merge, SURVEY.md §2.6): distinct name universe
     "r11_union" -> ((s, dir) => {
       val r = Tables.region(s, dir).select(col("r_name").as("name"))
@@ -259,6 +271,14 @@ object RelationalQueries {
     "r11_union" ->
       """SELECT r_name AS name FROM region UNION SELECT n_name FROM nation
         |ORDER BY name""".stripMargin,
+
+    "r14_set_ops" ->
+      """WITH wo AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+        |bs AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000.0)
+        |SELECT custkey, 'both' AS relation FROM (SELECT custkey FROM wo INTERSECT SELECT custkey FROM bs)
+        |UNION ALL
+        |SELECT custkey, 'small_only' AS relation FROM (SELECT custkey FROM wo EXCEPT SELECT custkey FROM bs)
+        |ORDER BY custkey, relation""".stripMargin,
 
     "r13_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,

@@ -15,9 +15,9 @@ class EntrySpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle keys without queries: ${o diff q}")
-    // rows-only (oracle-less) queries are the two deliberately
-    // non-SQL-expressible ones
-    assert((q diff o) === Set("x14_media_features", "x16_ivf_topk"))
+    // rows-only (oracle-less) queries are the deliberately
+    // non-SQL-expressible/engine-specific ones
+    assert((q diff o) === Set("x14_media_features", "x16_ivf_topk", "m21_approx_distinct"))
     val total = graft.queries.MetricQueries.queries.size +
       graft.queries.RelationalQueries.queries.size +
       graft.queries.ExtensionQueries.queries.size
