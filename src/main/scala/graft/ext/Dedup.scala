@@ -143,16 +143,42 @@ object Dedup {
       .select("id_a", "id_b", "inter", "uni", "jaccard")
   }
 
+  /** Banded signatures derived from a precomputed (id, sh) shingle-hash
+    * frame — lets callers share one shingle pass across banding and
+    * verification. */
+  def bandedFromShingles(sh: DataFrame, p: MinHashParams = MinHashParams()): DataFrame =
+    sh.select(col("id"), signatureFromHashes(col("sh"), p).as("sig"))
+      .select(col("id"), explode(sequence(lit(0), lit(p.bands - 1))).as("band"), col("sig"))
+      .select(col("id"), col("band"),
+        aggregate(slice(col("sig"), col("band") * p.rows + 1, lit(p.rows)), lit(0L),
+          (acc, v) => pmod(acc * CombineMult + v, lit(HashMod))).as("band_key"))
+
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
-    * join → exact-Jaccard verify. */
+    * join → exact-Jaccard verify. The shingle-hash frame is computed ONCE
+    * and persisted — the banding and both verify-join sides reference it,
+    * where a naive composition re-runs the text pass three times (at
+    * corpus scale the text scan dominates; signatures are ~1% of its
+    * size). The cached block is reclaimed by Spark's ContextCleaner once
+    * the frame is unreachable; long-lived pipelines should write the
+    * signature table out instead of caching. */
   def minHashNearDups(
       docs: DataFrame,
       threshold: Double = 0.5,
       p: MinHashParams = MinHashParams(),
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    jaccardVerify(docs, candidatePairs(bandedSignatures(docs, idCol, textCol, p)),
-      threshold, idCol, textCol)
+      textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
+      .persist()
+    val cands = candidatePairs(bandedFromShingles(sh, p))
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "uni", "jaccard")
+  }
 
   // -------------------------------------------------------------- simhash
 
@@ -179,7 +205,9 @@ object Dedup {
     val chunks = radius + 1
     require(SimHashBits % chunks == 0, s"chunks must divide $SimHashBits")
     val width = SimHashBits / chunks
+    // persisted: both self-join sides read the signatures, not the text
     val sigs = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
+      .persist()
     val banded = sigs.select(col("id"), col("sh"),
       explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
       .withColumn("chunk_key",
