@@ -1,0 +1,31 @@
+package graft.tools
+
+import graft.ext.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling-slope probe: run the MinHash near-dup pipeline on the sf0.1
+  * documents corpus replicated f× (ids shifted, texts salted per replica
+  * so replicas aren't trivial duplicates), and print seconds per scale.
+  * Demonstrates the O(n·k)+banded-join slope claimed in PERF.md. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.1")
+    for (f <- Seq(1, 5, 10, 20)) {
+      val grown = (0 until f).map { r =>
+        docs.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+          concat(col("text"), lit(s" replica token r$r")).as("text"))
+      }.reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val n = Dedup.minHashNearDups(grown, threshold = 0.35).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"scale=${f}x docs=${5000 * f}%6d pairs=$n%8d time=$dt%7.2f s")
+    }
+    spark.stop()
+  }
+}
