@@ -263,6 +263,21 @@ object MetricQueries {
           countDistinct(col("user_id")).as("exact_users"))
         .orderBy("event_type")),
 
+    // session windows — gap-based sessionization (30-minute inactivity
+    // gap) via Spark's native session_window; the oracle reproduces the
+    // semantics with the classic gaps-and-islands formulation. A new
+    // session starts when the gap is >= the timeout (Spark's session end
+    // is exclusive at lastEvent + gap).
+    "m22_sessionize" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          unix_millis(max(col("ts"))).as("last_event_ms"))
+        .select(col("user_id"),
+          unix_millis(col("session_window.start")).as("session_start_ms"),
+          col("n_events"), col("last_event_ms"))
+        .orderBy("user_id", "session_start_ms")),
+
     // P8 — epoch-millis time arithmetic (reference: scaling/ScalingManager.scala:38)
     "m19_time_arith" -> ((s, dir) => {
       val ev = events(s, dir).select(col("event_id"), unix_millis(col("ts")).as("ts_ms"))
@@ -426,6 +441,22 @@ object MetricQueries {
         |  CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
         |  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "m22_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM o)
+        |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       epoch_ms(max(ts)) AS last_event_ms
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start_ms""".stripMargin,
 
     "m19_time_arith" ->
       """WITH e AS (SELECT event_id, epoch_ms(ts) AS ts_ms FROM events),
