@@ -65,6 +65,10 @@ class SimulatedWorkers(
     * (reference: cluster/Workers.scala:167-192). Single mode resizes the
     * first group only (A11 head semantics). */
   override def resize(target: Int): Unit = {
+    // Nothing to do when the target equals the current size — the reference
+    // returns without touching group shares (cluster/Workers.scala:188-189);
+    // redistributing here would rebalance e.g. (3,1) → (2,2) as a side effect.
+    if (target == running) return
     val all = states.keys.toList
     val eligible =
       if (target >= running) all.filterNot(states(_).isExcluded) match {

@@ -106,8 +106,11 @@ object Dedup {
 
   /** Candidate pairs from LSH banding: ids sharing any (band, band_key).
     * Shuffle keyed on the band key; `maxBucket` drops degenerate buckets
-    * (boilerplate guard — reported, not silently lost, by the caller
-    * counting dropped buckets). */
+    * outright — the drop is SILENT on this fast path (no extra aggregate
+    * in the hot join). Callers that need the coverage accounting run
+    * [[overCapBuckets]] on the same banded frame and report/route those
+    * buckets separately (at scale: dedupe boilerplate by exact-hash
+    * instead of pairwise). */
   def candidatePairs(
       banded: DataFrame,
       maxBucket: Int = 1000): DataFrame = {
@@ -121,6 +124,14 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
+
+  /** The buckets [[candidatePairs]] drops at `maxBucket`: one row per
+    * over-cap (band, band_key) with its member count — the coverage report
+    * for the silent fast-path drop above. */
+  def overCapBuckets(banded: DataFrame, maxBucket: Int = 1000): DataFrame =
+    banded.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
 
   /** Exact Jaccard over distinct shingle-hash sets for verification of LSH
     * candidates (the classic two-phase near-dup pipeline). Hash sets, not

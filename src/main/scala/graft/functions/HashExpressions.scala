@@ -81,8 +81,12 @@ object RollingHash {
 
 /** Rolling hash of every space-separated token of an (already-normalized)
   * string — one compiled pass, no token-string allocation. Equivalent to
-  * `transform(split(s, ' '), t -> rolling_hash(t))`, which pays an
-  * interpreted lambda dispatch plus a substring copy per token. */
+  * `transform(split(s, ' '), t -> rolling_hash(t))` — which pays an
+  * interpreted lambda dispatch plus a substring copy per token — EXCEPT for
+  * the empty string: this returns `[]` where the split form yields
+  * `[""] -> [0]`. Downstream [[ShingleHashCombine]] maps both to `[0]`, so
+  * the dedup pipeline is unaffected; don't rely on the equivalence for
+  * empty input elsewhere. */
 case class TokenRollingHashes(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "token_hashes"
