@@ -242,30 +242,36 @@ object Dedup {
     * [[minHashNearDups]]. Blocks on the NORMALIZED length (whitespace
     * variants must land together) and probes the neighbor block (left side
     * emits {block, block+1}) so near-dups straddling a bucket boundary are
-    * still found; `least/greatest` canonicalizes the pair order. */
+    * still found; `least/greatest` canonicalizes the pair order.
+    *
+    * Scale shape: shingle-HASH arrays are computed once per doc BEFORE the
+    * join (computing them per pair re-runs the text pass |pairs|/|docs|
+    * times), and a size-ratio prefilter discards pairs that cannot reach
+    * the threshold (J ≥ t ⇒ min|sh| ≥ t·max|sh|) before the set
+    * intersection — the standard cheap-bound-then-verify layout. */
   def ngramJaccard(
       docs: DataFrame,
       threshold: Double,
       n: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"),
-      floor(length(normalize(col(textCol))) / 64).as("block"))
+    val base = docs.select(col(idCol).as("id"),
+        shingleHashes(col(textCol), n).as("sh"),
+        floor(length(normalize(col(textCol))) / 64).as("block"))
     val l = base.select(
       explode(array(col("block"), col("block") + 1)).as("block"),
-      col("id").as("id_l"), col("text").as("text_l"))
-    val r = base.select(col("block"), col("id").as("id_r"), col("text").as("text_r"))
+      col("id").as("id_l"), col("sh").as("sh_l"))
+    val r = base.select(col("block"), col("id").as("id_r"), col("sh").as("sh_r"))
     l.join(r, "block")
       .filter(col("id_l") =!= col("id_r"))
-      .withColumn("id_a", least(col("id_l"), col("id_r")))
-      .withColumn("id_b", greatest(col("id_l"), col("id_r")))
-      .withColumn("sh_a", shingles(col("text_l"), n))
-      .withColumn("sh_b", shingles(col("text_r"), n))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(least(size(col("sh_l")), size(col("sh_r"))).cast("double") >=
+        lit(threshold) * greatest(size(col("sh_l")), size(col("sh_r"))))
+      .withColumn("inter", size(array_intersect(col("sh_l"), col("sh_r"))))
+      .withColumn("uni", size(array_union(col("sh_l"), col("sh_r"))))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"), col("jaccard"))
       .distinct()
   }
 }

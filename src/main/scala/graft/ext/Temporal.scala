@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Temporal join operators the built-in API lacks as primitives: as-of
+ * join and bounded range join. Both are composed from existing operators
+ * (SURVEY.md §7.3 preference (a)) in shapes that survive 100 TB:
+ *
+ *  - [[asOfJoinBackward]] is the union + ordered-window formulation: tag
+ *    both inputs, union them, and carry the most recent right-side payload
+ *    forward with `last(ignoreNulls)` over a single key-partitioned sort.
+ *    ONE shuffle on the key, no time-range join explosion, no skew
+ *    amplification — each key's data is processed in one ordered pass,
+ *    which is how an as-of join should execute on a cluster (a naive
+ *    `l.ts >= r.ts` theta join degenerates to per-key cross products).
+ *
+ *  - [[rangeCountBackward]] buckets both sides by a time bucket equal to
+ *    the window width, so each left row probes exactly two buckets
+ *    (its own and the previous) — an equi-join Catalyst can hash-shuffle
+ *    or broadcast, with the exact range predicate applied as a cheap
+ *    residual filter. Work is O(|matches within ±width|), not O(n·m).
+ */
+object Temporal {
+
+  /**
+   * Backward as-of join: for each left row, attach `payloadCols` from the
+   * most recent right row with the same `keys` and `right.tsCol <=
+   * left.tsCol` (inclusive). Ties on ts among right rows resolve to the
+   * greatest `tieCol`; a right row exactly at the left row's ts matches.
+   * Left rows with no prior right row keep null payloads.
+   *
+   * Both inputs must carry `keys`, `tsCol`, and `tieCol`; payload columns
+   * live on the right side. Left columns pass through unchanged.
+   */
+  def asOfJoinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val leftOnly = left.columns.filterNot(c => keys.contains(c)).toSeq
+    require(leftOnly.intersect(payloadCols).isEmpty,
+      s"left/payload column collision: ${leftOnly.intersect(payloadCols).mkString(",")}")
+    val rTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val lTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
+
+    // Right rows sort BEFORE left rows at equal ts (side 0 < 1) → a right
+    // row at exactly the left ts is visible to it (inclusive semantics).
+    val l = left.select(
+      keys.map(col) ++
+        Seq(col(tsCol).as("_ts"), col(tieCol).as("_tie"), lit(1).as("_side")) ++
+        leftOnly.map(col) ++
+        payloadCols.map(c => lit(null).cast(rTypes(c)).as(c)): _*)
+    val r = right.select(
+      keys.map(col) ++
+        Seq(col(tsCol).as("_ts"), col(tieCol).as("_tie"), lit(0).as("_side")) ++
+        leftOnly.map(c => lit(null).cast(lTypes(c)).as(c)) ++
+        payloadCols.map(col): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts"), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(l.unionByName(r)) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .select(keys.map(col) ++ Seq(col("_ts").as(tsCol), col("_tie").as(tieCol)) ++
+        leftOnly.filterNot(c => c == tsCol || c == tieCol).map(col) ++
+        payloadCols.map(col): _*)
+  }
+
+  /**
+   * Backward range count: for each left row, the number of right rows with
+   * the same `keys` and `right.tsCol` in `[left.tsCol - widthMs,
+   * left.tsCol)` (half-open — the left row's own instant is excluded).
+   * Left rows with no matches get 0.
+   *
+   * `leftIdCol` must uniquely identify left rows (the count re-attaches by
+   * it, keeping the output exactly one row per left row).
+   */
+  def rangeCountBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      leftIdCol: String,
+      widthMs: Long,
+      countCol: String = "n_in_range"): DataFrame = {
+    def bucket(ts: Column): Column = floor(unix_millis(ts) / widthMs)
+    // A right row in [l.ts - width, l.ts) lands in the left row's bucket
+    // or the one before it — two probes cover the window exactly.
+    val probes = left.select(
+        col(leftIdCol).as("_lid") +: keys.map(col) :+ col(tsCol).as("_lts"): _*)
+      .withColumn("_bucket", explode(array(bucket(col("_lts")) - 1, bucket(col("_lts")))))
+    val r = right.select(keys.map(col) :+ col(tsCol).as("_rts"): _*)
+      .withColumn("_bucket", bucket(col("_rts")))
+    val counts = probes.join(r, keys :+ "_bucket")
+      .filter(col("_rts") >= col("_lts") - expr(s"INTERVAL $widthMs MILLISECONDS") &&
+        col("_rts") < col("_lts"))
+      .groupBy("_lid")
+      .agg(count(lit(1)).as(countCol))
+    left.join(counts, left(leftIdCol) === counts("_lid"), "left")
+      .drop("_lid")
+      .withColumn(countCol, coalesce(col(countCol), lit(0L)))
+  }
+}

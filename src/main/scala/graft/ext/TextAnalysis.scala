@@ -47,14 +47,20 @@ object TextAnalysis {
   def fingerprint(text: Column): Column = rollingHash(normalize(text))
 
   /** Quality features (length / punctuation / stopword / word-shape
-    * ratios) — the usual cheap heuristics for corpus filtering. */
+    * ratios) — the usual cheap heuristics for corpus filtering.
+    *
+    * `sum_word_len` uses the join identity `Σ len(tok) = len(norm) −
+    * (n_tokens − 1)` (norm is the tokens joined by single spaces) instead
+    * of an `aggregate` lambda — higher-order-function lambdas are
+    * interpreted and break whole-stage codegen (PERF.md lesson 1). */
   def qualityFeatures(text: Column): Map[String, Column] = {
-    val toks = tokens(text)
+    val norm = normalize(text)
+    val toks = split(norm, " ")
     val nTok = size(toks)
     val nChars = length(text)
     val nPunct = nChars - length(regexp_replace(text, "[.!?,;:]", ""))
     val nStop = size(filter(toks, t => t.isin(Stopwords: _*)))
-    val sumWordLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+    val sumWordLen = length(norm) - (nTok - 1)
     Map(
       "n_chars" -> nChars,
       "n_tokens" -> nTok,
@@ -64,16 +70,20 @@ object TextAnalysis {
       "avg_word_len" -> sumWordLen.cast("double") / nTok)
   }
 
-  /** Composite quality score in [0,1]: rewards stopword presence and
-    * mid-length words, penalizes punctuation soup. Deterministic double
-    * math over exact integer counts. */
-  def qualityScore(text: Column): Column = {
-    val f = qualityFeatures(text)
+  /** Quality score derived from ALREADY-COMPUTED feature columns — use
+    * this when the features are staged in a projection, so the token pass
+    * runs once instead of once per referencing expression. */
+  def qualityScoreFrom(f: Map[String, Column]): Column = {
     val stopTerm = least(f("stop_ratio") * 2.0, lit(1.0))
     val lenTerm = when(f("avg_word_len").between(3.0, 8.0), 1.0).otherwise(0.5)
     val punctTerm = lit(1.0) - least(f("n_punct").cast("double") / f("n_chars"), lit(0.5))
-    (stopTerm * 0.4 + lenTerm * 0.3 + punctTerm * 0.3)
+    stopTerm * 0.4 + lenTerm * 0.3 + punctTerm * 0.3
   }
+
+  /** Composite quality score in [0,1]: rewards stopword presence and
+    * mid-length words, penalizes punctuation soup. Deterministic double
+    * math over exact integer counts. */
+  def qualityScore(text: Column): Column = qualityScoreFrom(qualityFeatures(text))
 
   /** Language markers: tiny per-language function-word lists (the n-gram
     * heuristic degenerated to unigrams — adequate for corpus routing). */
@@ -87,23 +97,31 @@ object TextAnalysis {
   private val Stopwords: Seq[Column] =
     LangMarkers.flatMap(_._2).distinct.map(lit)
 
-  /** Per-language marker-hit counts over the distinct token set. */
-  def langScores(text: Column): Seq[(String, Column)] = {
-    val distinctToks = array_distinct(tokens(text))
+  /** Per-language marker-hit counts from an ALREADY-DISTINCT token array
+    * column. `array_intersect` (codegen'd set op) replaces the
+    * interpreted `filter(toks, isin)` lambda; both count the distinct
+    * marker tokens present. Stage `dw` in its own projection so the
+    * tokenize+distinct pass runs once, not once per language. */
+  def langScoresFromDistinct(distinctToks: Column): Seq[(String, Column)] =
     LangMarkers.map { case (lang, markers) =>
-      lang -> size(filter(distinctToks, t => t.isin(markers.map(lit): _*)))
+      lang -> size(array_intersect(distinctToks, typedLit(markers)))
     }
-  }
 
-  /** Predicted language: argmax of marker hits, ties broken by language
-    * code order (deterministic); zero hits → "und" (undetermined). */
-  def langId(text: Column): Column = {
-    val scores = langScores(text)
+  /** Per-language marker-hit counts over the distinct token set. */
+  def langScores(text: Column): Seq[(String, Column)] =
+    langScoresFromDistinct(array_distinct(tokens(text)))
+
+  /** Argmax language from ALREADY-COMPUTED score columns (same tie/zero
+    * rules as [[langId]]). */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    // foldRight + otherwise-chaining: the FIRST language (alphabetical
-    // LangMarkers order) wins ties, matching the oracle's CASE chain.
     scores.foldRight(lit("und")) { case ((lang, s), acc) =>
       when(s === best && best > 0, lang).otherwise(acc)
     }
   }
+
+  /** Predicted language: argmax of marker hits, ties broken by language
+    * code order (deterministic, first-in-LangMarkers wins — matches the
+    * oracle's CASE chain); zero hits → "und" (undetermined). */
+  def langId(text: Column): Column = langIdFromScores(langScores(text))
 }

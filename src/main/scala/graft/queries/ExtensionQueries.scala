@@ -19,6 +19,8 @@ object ExtensionQueries {
   private val P = Dedup.MinHashParams() // 8 bands × 2 rows = 16 hashes
   private val Mod = TextAnalysis.HashMod
   private val JaccardThreshold = 0.35
+  private val NgramThreshold = 0.5
+  private val EnSampleRate = 30L
   private val CosineThreshold = 0.30
   private val Planes = 8
   private val Dim = 64
@@ -79,6 +81,16 @@ object ExtensionQueries {
       s"(CASE WHEN ${sqlDot(vec, sqlPlane(j))} > 0.0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** IVF centroid component replicated from Similarity.centroidComponent
+    * (double → float → double exactly as the Scala literal array). */
+  private def sqlCentroid(c: Int): String =
+    s"""list_transform(range(1, ${Dim + 1}),
+       |  d -> CAST(CAST((((7 + $c * 2503 + (d - 1) * 12289) % 1999) - 999) / 999.0 AS FLOAT) AS DOUBLE))""".stripMargin
+
+  /** Dot-product scores of `embedding` against every IVF centroid. */
+  private val sqlIvfScores: String = (0 until Similarity.IvfLists)
+    .map(c => sqlDot("embedding", sqlCentroid(c))).mkString("[", ",\n  ", "]")
+
   private val langMarkerSql = TextAnalysis.LangMarkers.map { case (lang, ms) =>
     lang -> ms.map(m => s"'$m'").mkString("[", ",", "]")
   }
@@ -103,7 +115,9 @@ object ExtensionQueries {
         size(TextAnalysis.bpeishTokens(col("text"))).cast("long").as("n_bpeish"))
         .orderBy("doc_id")),
 
-    // quality features + composite score
+    // quality features + composite score. Staged: the feature columns are
+    // computed in ONE projection and the score derives from those columns —
+    // deriving both from raw text re-runs the token pass per reference.
     "x03_quality" -> ((s, dir) => {
       val f = TextAnalysis.qualityFeatures(col("text"))
       Tables.documents(s, dir).select(
@@ -113,22 +127,32 @@ object ExtensionQueries {
         f("n_punct").cast("long").as("n_punct"),
         f("n_stopwords").cast("long").as("n_stopwords"),
         f("stop_ratio").as("stop_ratio"),
-        f("avg_word_len").as("avg_word_len"),
-        TextAnalysis.qualityScore(col("text")).as("quality_score"))
+        f("avg_word_len").as("avg_word_len"))
+        .withColumn("quality_score", TextAnalysis.qualityScoreFrom(Map(
+          "stop_ratio" -> col("stop_ratio"),
+          "avg_word_len" -> col("avg_word_len"),
+          "n_punct" -> col("n_punct"),
+          "n_chars" -> col("n_chars"))))
         .orderBy("doc_id")
     }),
 
-    // language ID via marker-word hits
+    // language ID via marker-word hits. Staged: tokenize+distinct once
+    // (`dw`), then 5 codegen'd array_intersect scores, then the argmax —
+    // the naive single-expression form re-tokenizes per score reference.
     "x04_langid" -> ((s, dir) => {
-      val scores = TextAnalysis.langScores(col("text"))
-      val base = Tables.documents(s, dir)
-      val withScores = scores.foldLeft(base) { case (df, (lang, sc)) =>
-        df.withColumn(s"score_$lang", sc.cast("long"))
-      }
-      withScores
-        .withColumn("predicted", TextAnalysis.langId(col("text")))
-        .select(col("doc_id") +: scores.map { case (l, _) => col(s"score_$l") } :+
-          col("predicted") :+ col("lang").as("labeled"): _*)
+      val staged = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang").as("labeled"),
+        array_distinct(TextAnalysis.tokens(col("text"))).as("dw"))
+      val scores = TextAnalysis.langScoresFromDistinct(col("dw"))
+      val scored = staged.select(
+        col("doc_id") +:
+          scores.map { case (l, sc) => sc.cast("long").as(s"score_$l") } :+
+          col("labeled"): _*)
+      val scoreCols = TextAnalysis.LangMarkers.map { case (l, _) => l -> col(s"score_$l") }
+      scored.select(
+        col("doc_id") +: scoreCols.map(_._2) :+
+          TextAnalysis.langIdFromScores(scoreCols).as("predicted") :+
+          col("labeled"): _*)
         .orderBy("doc_id")
     }),
 
@@ -210,14 +234,51 @@ object ExtensionQueries {
           col("sample_rate"), length(col("media")).cast("long").as("byte_len"))
         .orderBy("doc_id")),
 
-    // multimodal feature extraction — partition-batched stub decoder;
-    // NOT SQL-expressible → rows-only check (no oracle entry)
+    // multimodal feature extraction — partition-batched stub decoder.
+    // Features are emitted as EXACT doubles (float→double widening is
+    // lossless): the fixture text is pure ASCII, so the oracle re-derives
+    // the byte histogram from codepoints and replicates the float math.
     "x14_media_features" -> ((s, dir) =>
       Multimodal.mediaFeatures(s, Tables.documents(s, dir))
         .select(col("doc_id"), col("kind"), col("byte_len"),
-          round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
-          round(element_at(col("features"), 2).cast("double"), 4).as("f1"))
-        .orderBy("doc_id")))
+          element_at(col("features"), 1).cast("double").as("f0"),
+          element_at(col("features"), 2).cast("double").as("f1"))
+        .orderBy("doc_id")),
+
+    // n-gram Jaccard near-dup pairs via length-block candidate generation —
+    // a different recall surface than x07's MinHash banding (finds pairs
+    // LSH can miss; misses pairs whose normalized lengths differ > 1 block)
+    "x17_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir), threshold = NgramThreshold)
+        .orderBy("id_a", "id_b")),
+
+    // deterministic hash-based sampling: per-language stratified downsample
+    // (en is over-represented → 30%) + reproducible train/val/test split.
+    // Hash-mod sampling is the only sampling that is stable across engines,
+    // re-runs, AND cluster repartitioning — rand()-based sampling is none.
+    "x18_sample_split" -> ((s, dir) => {
+      val sampleKey = pmod(graft.functions.HashExpressions.rolling_hash(
+        concat(col("doc_id").cast("string"), lit(":sample"))), lit(100L))
+      val splitKey = pmod(graft.functions.HashExpressions.rolling_hash(
+        concat(col("doc_id").cast("string"), lit(":split"))), lit(100L))
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), sampleKey.as("sample_key"),
+        (sampleKey < when(col("lang") === "en", EnSampleRate).otherwise(lit(100L)))
+          .as("sampled"),
+        when(splitKey < 90, "train").when(splitKey < 95, "val")
+          .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
+    // vocabulary build: top tokens by document frequency (distinct per doc)
+    // — two-stage aggregation: map-side partial counts, then a single
+    // shuffle on token; top-k is a sort-limit over the (small) vocab table
+    "x19_vocab" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token"))
+        .limit(20)))
 
   // =====================================================================
 
@@ -360,16 +421,78 @@ object ExtensionQueries {
          |SELECT DISTINCT id_a, id_b, round(cosine, 6) AS cosine_r FROM p
          |WHERE cosine >= $CosineThreshold ORDER BY id_a, id_b""".stripMargin,
 
-    "x15_ivf_assign" -> {
-      def cent(c: Int): String =
-        s"""list_transform(range(1, ${Dim + 1}),
-           |  d -> CAST(CAST((((7 + $c * 2503 + (d - 1) * 12289) % 1999) - 999) / 999.0 AS FLOAT) AS DOUBLE))""".stripMargin
-      val scores = (0 until Similarity.IvfLists)
-        .map(c => sqlDot("embedding", cent(c))).mkString("[", ",\n  ", "]")
-      s"""WITH s AS (SELECT vec_id, $scores AS scores FROM embeddings)
+    "x15_ivf_assign" ->
+      s"""WITH s AS (SELECT vec_id, $sqlIvfScores AS scores FROM embeddings)
          |SELECT vec_id, CAST(list_position(scores, list_max(scores)) - 1 AS BIGINT) AS list
-         |FROM s ORDER BY vec_id""".stripMargin
-    },
+         |FROM s ORDER BY vec_id""".stripMargin,
+
+    "x16_ivf_topk" ->
+      s"""WITH s AS (SELECT vec_id, embedding, $sqlIvfScores AS scores FROM embeddings),
+         |a AS (SELECT vec_id, embedding,
+         |    CAST(list_position(scores, list_max(scores)) - 1 AS BIGINT) AS list FROM s),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, list FROM a WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS nv, list FROM a),
+         |sc AS (SELECT query_id, neighbor_id, c.list,
+         |    ${sqlDot("qv", "nv")} /
+         |    (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("nv", "nv")})) AS cosine
+         |  FROM q JOIN c ON q.list = c.list AND neighbor_id <> query_id),
+         |r AS (SELECT query_id, neighbor_id, cosine, list,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM sc)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+         |       round(cosine, 6) AS cosine_r, list
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "x17_ngram_jaccard" ->
+      s"""WITH $sqlShingleCte,
+         |base AS (SELECT sh.doc_id AS id, sh.shingles AS s,
+         |    length(norm.t) // 64 AS block
+         |  FROM sh JOIN norm ON sh.doc_id = norm.doc_id),
+         |pr AS (SELECT least(l.id, r.id) AS id_a, greatest(l.id, r.id) AS id_b,
+         |    CAST(len(list_intersect(l.s, r.s)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(l.s, r.s))) AS jaccard
+         |  FROM base l JOIN base r
+         |    ON (r.block = l.block OR r.block = l.block + 1) AND l.id <> r.id
+         |  WHERE CAST(least(len(l.s), len(r.s)) AS DOUBLE) >=
+         |        $NgramThreshold * greatest(len(l.s), len(r.s)))
+         |SELECT DISTINCT id_a, id_b, jaccard FROM pr
+         |WHERE jaccard >= $NgramThreshold ORDER BY id_a, id_b""".stripMargin,
+
+    "x18_sample_split" ->
+      s"""WITH k AS (SELECT doc_id, lang,
+         |    ${sqlStringHash("CAST(doc_id AS VARCHAR) || ':sample'")} % 100 AS sample_key,
+         |    ${sqlStringHash("CAST(doc_id AS VARCHAR) || ':split'")} % 100 AS split_key
+         |  FROM documents)
+         |SELECT doc_id, lang, sample_key,
+         |  sample_key < (CASE WHEN lang = 'en' THEN $EnSampleRate ELSE 100 END) AS sampled,
+         |  CASE WHEN split_key < 90 THEN 'train'
+         |       WHEN split_key < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "x19_vocab" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    unnest(list_distinct(string_split($sqlNorm, ' '))) AS token
+         |  FROM documents)
+         |SELECT token, CAST(count(*) AS BIGINT) AS df
+         |FROM t GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin,
+
+    "x14_media_features" ->
+      """WITH ch AS (SELECT doc_id, ascii(unnest(string_split(text, ''))) AS b
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    SUM(CASE WHEN b % 16 = 0 THEN 1 ELSE 0 END) AS c0,
+        |    SUM(CASE WHEN b % 16 = 1 THEN 1 ELSE 0 END) AS c1
+        |  FROM ch GROUP BY doc_id),
+        |m AS (SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+        |         WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CAST(octet_length(encode(d.text)) AS INT) AS byte_len,
+        |    COALESCE(h.c0, 0) AS c0, COALESCE(h.c1, 0) AS c1
+        |  FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id)
+        |SELECT doc_id, kind, byte_len,
+        |  CAST(CAST(c0 AS FLOAT) / CAST(greatest(byte_len, 1) AS FLOAT) AS DOUBLE) AS f0,
+        |  CAST(CAST(c1 AS FLOAT) / CAST(greatest(byte_len, 1) AS FLOAT) AS DOUBLE) AS f1
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "x13_media_meta" ->
       """SELECT doc_id,

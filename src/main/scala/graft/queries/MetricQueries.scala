@@ -278,6 +278,16 @@ object MetricQueries {
           col("n_events"), col("last_event_ms"))
         .orderBy("user_id", "session_start_ms")),
 
+    // exact interpolated percentiles — the §2.9 extension-evaluator surface
+    // (decide.PercentileCpuEvaluator) as a declarative aggregate; exact
+    // sort-based percentile, not approx, so the oracle can match bit-for-bit
+    "m23_percentile" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.5)).as("p50"),
+          percentile(col("value"), lit(0.95)).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
     // P8 — epoch-millis time arithmetic (reference: scaling/ScalingManager.scala:38)
     "m19_time_arith" -> ((s, dir) => {
       val ev = events(s, dir).select(col("event_id"), unix_millis(col("ts")).as("ts_ms"))
@@ -457,6 +467,12 @@ object MetricQueries {
         |       epoch_ms(max(ts)) AS last_event_ms
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_start_ms""".stripMargin,
+
+    "m23_percentile" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+        |       quantile_cont(value, 0.95) AS p95,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "m19_time_arith" ->
       """WITH e AS (SELECT event_id, epoch_ms(ts) AS ts_ms FROM events),

@@ -181,6 +181,43 @@ object RelationalQueries {
           col("n"), col("sum_qty"))
         .orderBy("returnflag", "linestatus")),
 
+    // as-of join (absent in the reference and in stock Spark; a
+    // training-pipeline staple): each purchase event picks up the most
+    // recent click of the same user at-or-before its timestamp. Executed
+    // as ONE key-shuffle + ordered window pass (ext.Temporal), never a
+    // time-range theta join.
+    "r15_asof_join" -> ((s, dir) => {
+      val ev = graft.sources.Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.ext.Temporal.asOfJoinBackward(purchases, clicks,
+          keys = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+          payloadCols = Seq("click_id", "click_value"))
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("click_id"), col("click_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // bounded range join (range-count form): clicks per user in the 7 days
+    // before each purchase. Bucketed two-probe equi-join — O(matches), not
+    // O(n·m) (ext.Temporal.rangeCountBackward).
+    "r16_range_count" -> ((s, dir) => {
+      val ev = graft.sources.Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts")
+      graft.ext.Temporal.rangeCountBackward(purchases, clicks,
+          keys = Seq("user_id"), tsCol = "ts", leftIdCol = "event_id",
+          widthMs = 7L * 24 * 3600 * 1000, countCol = "n_clicks")
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("n_clicks"))
+        .orderBy("event_id")
+    }),
+
     // J3 fleet-variant subset/collect: per region, ordered nation roster
     // (string-joined for engine-portable comparison)
     "r12_collect_roster" -> ((s, dir) => {
@@ -286,6 +323,37 @@ object RelationalQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n, SUM(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "r15_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id AS tie, 0 AS side,
+        |         CAST(NULL AS BIGINT) AS p_event,
+        |         event_id AS click_id, value AS click_value
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 1, event_id,
+        |         CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(click_id IGNORE NULLS) OVER win AS asof_click_id,
+        |    last_value(click_value IGNORE NULLS) OVER win AS asof_click_value
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, tie
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, p_event AS event_id, epoch_ms(ts) AS ts_ms,
+        |       asof_click_id AS click_id, asof_click_value AS click_value
+        |FROM w WHERE side = 1 ORDER BY user_id, event_id""".stripMargin,
+
+    "r16_range_count" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+        |       CAST(count(c.user_id) AS BIGINT) AS n_clicks
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |  AND c.ts >= p.ts - INTERVAL 7 DAY AND c.ts < p.ts
+        |GROUP BY p.event_id, p.user_id, p.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "r12_collect_roster" ->
       """SELECT r_name,

@@ -16,8 +16,10 @@ class EntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle keys without queries: ${o diff q}")
     // rows-only (oracle-less) queries are the deliberately
-    // non-SQL-expressible/engine-specific ones
-    assert((q diff o) === Set("x14_media_features", "x16_ivf_topk", "m21_approx_distinct"))
+    // engine-specific ones (HLL++ sketches differ across engines; x14/x16
+    // gained oracles in round 2 — the stub decode is ASCII-replicable and
+    // IVF probing is deterministic)
+    assert((q diff o) === Set("m21_approx_distinct"))
     val total = graft.queries.MetricQueries.queries.size +
       graft.queries.RelationalQueries.queries.size +
       graft.queries.ExtensionQueries.queries.size

@@ -1,0 +1,84 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Hand-computed cases for the temporal join operators. */
+class TemporalSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val clicks = {
+    import spark.implicits._
+    Seq(
+      // (user, ts, id, value)
+      (1L, ts("2024-01-01 10:00:00"), 100L, 1.0),
+      (1L, ts("2024-01-01 10:05:00"), 101L, 2.0),
+      (1L, ts("2024-01-01 10:05:00"), 102L, 3.0), // same ts, higher id wins ties
+      (2L, ts("2024-01-01 11:00:00"), 200L, 4.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+  }
+
+  private lazy val purchases = {
+    import spark.implicits._
+    Seq(
+      (1L, ts("2024-01-01 10:03:00"), 500L), // after click 100 only
+      (1L, ts("2024-01-01 10:05:00"), 501L), // ties with 101/102 → 102 (inclusive, max tie)
+      (1L, ts("2024-01-01 09:00:00"), 502L), // before any click → null
+      (3L, ts("2024-01-01 12:00:00"), 503L)  // user with no clicks → null
+    ).toDF("user_id", "ts", "event_id")
+  }
+
+  test("asOfJoinBackward: inclusive backward match, tie → max tiebreak, null when none") {
+    val out = Temporal.asOfJoinBackward(purchases, clicks,
+        keys = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+        payloadCols = Seq("click_id", "click_value"))
+      .orderBy("event_id")
+      .select("event_id", "click_id", "click_value")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+    assert(out.toSeq === Seq(
+      (500L, 100L),  // latest click at/before 10:03
+      (501L, 102L),  // equal-ts click visible; id 102 beats 101
+      (502L, null),  // nothing before 09:00
+      (503L, null))) // user 3 has no clicks
+  }
+
+  test("asOfJoinBackward keeps every left row exactly once") {
+    val out = Temporal.asOfJoinBackward(purchases, clicks,
+      Seq("user_id"), "ts", "event_id", Seq("click_id", "click_value"))
+    assert(out.count() === purchases.count())
+  }
+
+  test("rangeCountBackward: half-open [ts-width, ts) window counts") {
+    // width 5 minutes; purchase at 10:05 counts clicks in [10:00, 10:05):
+    // click 100 at 10:00 is IN (closed lower), 101/102 at 10:05 are OUT
+    // (open upper)
+    val out = Temporal.rangeCountBackward(purchases, clicks.select("user_id", "ts"),
+        keys = Seq("user_id"), tsCol = "ts", leftIdCol = "event_id",
+        widthMs = 5L * 60 * 1000, countCol = "n_clicks")
+      .orderBy("event_id")
+      .select("event_id", "n_clicks")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq(
+      (500L, 1L),  // [09:58,10:03) → click 100
+      (501L, 1L),  // [10:00,10:05) → click 100 (10:05 excluded)
+      (502L, 0L),
+      (503L, 0L)))
+  }
+
+  test("rangeCountBackward spans bucket boundaries") {
+    import spark.implicits._
+    // width 60 s; right row 30 s before left sits in the PREVIOUS bucket
+    // when the left ts is just past a bucket edge
+    val l = Seq((1L, ts("2024-01-01 00:01:05"), 1L)).toDF("k", "ts", "id")
+    val r = Seq((1L, ts("2024-01-01 00:00:35"))).toDF("k", "ts")
+    val out = Temporal.rangeCountBackward(l, r, Seq("k"), "ts", "id", 60000L)
+      .select("n_in_range").collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(1L))
+  }
+}
