@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -40,6 +40,9 @@ object HashExpressions {
 
   def shingle_hashes(tokenHashes: Column, n: Int, mult: Long): Column =
     toColumn(ShingleHashCombine(toExpression(tokenHashes), n, mult))
+
+  def sorted_jaccard(a: Column, b: Column, threshold: Double): Column =
+    toColumn(SortedJaccard(toExpression(a), toExpression(b), threshold))
 }
 
 /** h = fold over codepoints: (h·31 + cp) mod 1e9+7 — identical to
@@ -273,5 +276,65 @@ object SimHashFromTokens {
       b += 1
     }
     out
+  }
+}
+
+/** Jaccard similarity of two SORTED-ascending distinct long arrays in one
+  * merge pass — O(|a|+|b|) with no per-pair hash-set allocation (the
+  * `array_intersect`/`array_union` pair builds two hash sets per row,
+  * which dominates candidate verification in similarity joins).
+  *
+  * Returns −1.0 (below any valid threshold) as soon as the remaining
+  * elements cannot reach `threshold`: J ≥ t ⇔ |∩| ≥ t·(|a|+|b|)/(1+t),
+  * and the achievable |∩| from position (i, j) is bounded by
+  * inter + min(remaining_a, remaining_b). Callers filter `>= threshold`,
+  * so the sentinel only skips pairs the filter would drop anyway.
+  * Degenerate empty∪empty also returns −1.0 (the SQL 0/0 is NULL and is
+  * likewise dropped by the threshold filter). */
+case class SortedJaccard(left: Expression, right: Expression, threshold: Double)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_jaccard"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires two array<bigint> arguments")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedJaccard.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedJaccard.jaccard($a, $b, $threshold)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SortedJaccard {
+  def jaccard(a: ArrayData, b: ArrayData, t: Double): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na + nb == 0) return -1.0
+    // J >= t  <=>  inter >= t*(na+nb)/(1+t); bail when unreachable
+    val needed = t * (na + nb) / (1.0 + t)
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val rem = math.min(na - i, nb - j)
+      if (inter + rem < needed) return -1.0
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
   }
 }

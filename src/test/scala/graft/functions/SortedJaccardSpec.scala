@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit cases for the merge-pass jaccard expression, cross-checked against
+  * the array_intersect/array_union formulation it replaces. */
+class SortedJaccardSpec extends SparkSpec {
+
+  private def j(a: Seq[Long], b: Seq[Long], t: Double): Double = {
+    import spark.implicits._
+    Seq((a, b)).toDF("a", "b")
+      .select(HashExpressions.sorted_jaccard(
+        sort_array(col("a")), sort_array(col("b")), t).as("j"))
+      .collect().head.getDouble(0)
+  }
+
+  test("matches the set formulation on overlapping arrays") {
+    // {1,2,3,4} vs {3,4,5}: inter 2, union 5
+    assert(j(Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L), 0.0) === 2.0 / 5.0)
+  }
+
+  test("identical arrays give 1.0; disjoint give sentinel under threshold") {
+    assert(j(Seq(7L, 8L, 9L), Seq(7L, 8L, 9L), 0.5) === 1.0)
+    // disjoint with t=0.5 → early-exit sentinel (filtered out by callers)
+    assert(j(Seq(1L, 2L), Seq(3L, 4L), 0.5) === -1.0)
+  }
+
+  test("disjoint with t=0 reports exact 0.0 (no early exit at zero bound)") {
+    assert(j(Seq(1L, 2L), Seq(3L, 4L), 0.0) === 0.0)
+  }
+
+  test("early exit never fires on pairs at or above the threshold") {
+    // J exactly at threshold: {1,2,3} vs {2,3,4}: inter 2, union 4, J=0.5
+    assert(j(Seq(1L, 2L, 3L), Seq(2L, 3L, 4L), 0.5) === 0.5)
+  }
+
+  test("agrees with interpreted set ops on random arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val cases = (1 to 50).map { i =>
+      val a = Seq.fill(rnd.nextInt(20) + 1)(rnd.nextInt(30).toLong).distinct
+      val b = Seq.fill(rnd.nextInt(20) + 1)(rnd.nextInt(30).toLong).distinct
+      (i, a, b)
+    }
+    val out = cases.toDF("i", "a", "b")
+      .select(col("i"), HashExpressions.sorted_jaccard(
+        sort_array(col("a")), sort_array(col("b")), 0.0).as("j"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    cases.foreach { case (i, a, b) =>
+      val expected = a.toSet.intersect(b.toSet).size.toDouble / a.toSet.union(b.toSet).size
+      assert(out(i) === expected, s"a=$a b=$b")
+    }
+  }
+}
