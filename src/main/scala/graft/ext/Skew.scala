@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Skew-mitigation operators (SURVEY.md §7.5 / the 100 TB contract).
+ *
+ * AQE's skew-join splitting handles moderate skew at runtime; these are
+ * the explicit layouts for the degenerate cases AQE cannot fix:
+ *
+ *  - a JOIN key where one value carries a large fraction of all rows
+ *    (AQE can split a skewed sort-merge partition, but a broadcast-able
+ *    small side replicated per salt is often cheaper and deterministic);
+ *  - a DISTINCT-style aggregation where one group's distinct-value set is
+ *    too large for a single reducer (partial aggregation does not help —
+ *    map-side combine still funnels one group's survivors into one task).
+ *
+ * Everything is deterministic: salts derive from `hash()` of data
+ * columns, never from randomness, so results are reproducible and
+ * re-executable (a retried task computes the same salt).
+ */
+object Skew {
+
+  /**
+   * Inner equi-join resilient to one-sided key skew: the BIG side gets a
+   * deterministic salt in [0, salts); the SMALL side is replicated once
+   * per salt value; the join runs on (keys, salt). Each hot key's rows
+   * spread over `salts` reducers instead of one.
+   *
+   * Result equals `big.join(small, keys)` exactly (same rows, modulo
+   * order). Cost: |small| × salts replication — keep the small side small
+   * or the salt count modest.
+   */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      salts: Int,
+      saltBy: Seq[String] = Nil): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    // Salt from non-key columns when given (rows of ONE hot key must
+    // scatter, so the salt cannot be a function of the key alone);
+    // falls back to a round-robin-ish hash of the whole row.
+    val saltCols: Seq[Column] =
+      if (saltBy.nonEmpty) saltBy.map(col) else big.columns.toSeq.map(col)
+    val saltedBig = big.withColumn("_salt", pmod(hash(saltCols: _*), lit(salts)))
+    val replicatedSmall = small
+      .withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(replicatedSmall, keys :+ "_salt").drop("_salt")
+  }
+
+  /**
+   * Exact per-key distinct count that never funnels one key's distinct
+   * set through a single reducer: stage 1 groups by (keys, salt) where
+   * the salt is `hash(value) % salts` — every duplicate of a value lands
+   * in the SAME salt, so a per-salt distinct count is exact — and stage 2
+   * sums the per-salt counts. Two bounded shuffles instead of one
+   * unbounded one.
+   */
+  def saltedDistinctCount(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      salts: Int,
+      outCol: String = "n_distinct"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    df.groupBy((keys.map(col) :+
+        pmod(hash(col(valueCol)), lit(salts)).as("_salt")): _*)
+      .agg(countDistinct(col(valueCol)).as("_partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_partial")).as(outCol))
+  }
+}

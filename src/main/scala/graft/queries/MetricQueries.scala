@@ -288,6 +288,16 @@ object MetricQueries {
           count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // skew-resilient exact distinct (ext.Skew.saltedDistinctCount): the
+    // two-stage salted plan must produce exactly what COUNT(DISTINCT)
+    // produces — the oracle proves the rewrite, the shape survives a key
+    // whose distinct set dwarfs one reducer
+    "m24_salted_distinct" -> ((s, dir) =>
+      graft.ext.Skew.saltedDistinctCount(events(s, dir),
+          keys = Seq("event_type"), valueCol = "user_id", salts = 32,
+          outCol = "n_users")
+        .orderBy("event_type")),
+
     // P8 — epoch-millis time arithmetic (reference: scaling/ScalingManager.scala:38)
     "m19_time_arith" -> ((s, dir) => {
       val ev = events(s, dir).select(col("event_id"), unix_millis(col("ts")).as("ts_ms"))
@@ -472,6 +482,10 @@ object MetricQueries {
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
         |       quantile_cont(value, 0.95) AS p95,
         |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "m24_salted_distinct" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "m19_time_arith" ->

@@ -8,8 +8,11 @@ object ExplainAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("r01_pricing_summary", "r03_region_revenue", "r10_filter_agg", "x06_minhash_sig", "x10_knn_topk", "m05_quorum")) {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("r01_pricing_summary", "r03_region_revenue", "r10_filter_agg",
+        "x06_minhash_sig", "x10_knn_topk", "m05_quorum")
+    for (name <- names) {
       val plan = graft.SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       println(s"===== $name =====")

@@ -1,0 +1,49 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Salted operators must agree exactly with their unsalted forms. */
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one hot key (k=1 carries 90% of rows) + a long tail
+  private lazy val big = ((1 to 900).map(i => (1L, i.toLong)) ++
+    (1 to 100).map(i => ((i % 7 + 2).toLong, i.toLong)))
+    .toDF("k", "v")
+  private lazy val small = (1L to 8L).map(k => (k, s"dim-$k")).toDF("k", "name")
+
+  test("saltedJoin equals the plain join") {
+    val plain = big.join(small, Seq("k"))
+      .select("k", "v", "name").as[(Long, Long, String)].collect().sorted
+    val salted = Skew.saltedJoin(big, small, Seq("k"), salts = 8, saltBy = Seq("v"))
+      .select("k", "v", "name").as[(Long, Long, String)].collect().sorted
+    assert(salted.toSeq === plain.toSeq)
+    assert(salted.nonEmpty)
+  }
+
+  test("saltedJoin default row-hash salt also matches") {
+    val plain = big.join(small, Seq("k")).count()
+    assert(Skew.saltedJoin(big, small, Seq("k"), salts = 4).count() === plain)
+  }
+
+  test("saltedDistinctCount equals countDistinct, including duplicate values") {
+    val df = ((1 to 500).map(i => ("hot", (i % 37).toLong)) ++
+      (1 to 50).map(i => ("cold", (i % 5).toLong))).toDF("k", "v")
+    val expected = df.groupBy("k").agg(countDistinct("v").as("n"))
+      .as[(String, Long)].collect().toMap
+    val got = Skew.saltedDistinctCount(df, Seq("k"), "v", salts = 16)
+      .as[(String, Long)].collect().toMap
+    assert(got === expected)
+    assert(got("hot") === 37L)
+    assert(got("cold") === 5L)
+  }
+
+  test("salt values are deterministic (same input → same salted plan output)") {
+    val a = Skew.saltedJoin(big, small, Seq("k"), 8, Seq("v"))
+      .select("k", "v").as[(Long, Long)].collect().sorted.toSeq
+    val b = Skew.saltedJoin(big, small, Seq("k"), 8, Seq("v"))
+      .select("k", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(a === b)
+  }
+}
