@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/**
+ * Streaming exact deduplication — the unbounded counterpart of
+ * [[graft.ext.Dedup.exactDedup]] for an arriving document stream
+ * (training-data ingest: drop re-crawls/re-posts as they arrive instead
+ * of re-deduping the corpus from scratch).
+ *
+ * Two layouts, both keyed on the normalized-text fingerprint so state is
+ * one long per distinct document (not the text itself):
+ *
+ *  - [[dedupWithinWatermark]]: built-in `dropDuplicatesWithinWatermark` —
+ *    declarative, state GC'd by the event-time watermark. Use when "the
+ *    same doc re-arrives within Δ" is the dedup contract.
+ *
+ *  - [[firstWins]]: explicit `flatMapGroupsWithState` keeping a
+ *    seen-marker per fingerprint with a processing-time TTL; within a
+ *    micro-batch the lowest doc id wins (deterministic). Use when the
+ *    contract needs custom state (keep-best-quality, counters) — the
+ *    state type here is the extension point.
+ *
+ * Scale: state is hash-partitioned by fingerprint across executors; the
+ * 100 TB ingest shape is this stream + a periodic batch
+ * [[graft.ext.Dedup.minHashNearDups]] sweep for near-dups (streaming
+ * near-dup LSH would need cross-partition candidate state — a batch
+ * concern by design).
+ */
+object StreamingDedup {
+
+  /** (fingerprint, first-seen doc) record emitted by [[firstWins]]. */
+  final case class DedupedDoc(fp: Long, doc_id: Long, text: String)
+
+  /** Attach a fingerprint column (portable rolling hash of the normalized
+    * text — same function the batch dedup and the DuckDB oracle use). */
+  def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+
+  /** Declarative streaming dedup: first arrival of each fingerprint within
+    * the watermark delay passes, later duplicates are dropped. Input must
+    * carry an event-time column `tsCol`. */
+  def dedupWithinWatermark(
+      docs: DataFrame,
+      tsCol: String = "ts",
+      delay: String = "10 minutes",
+      textCol: String = "text"): DataFrame =
+    withFingerprint(docs, textCol)
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Explicit keyed-state dedup: per fingerprint, the first micro-batch
+    * to see it emits ONE row (lowest doc_id — deterministic under batch
+    * reordering); every later arrival is dropped until the TTL expires
+    * the state. `ttl = None` keeps state forever (bounded-input runs and
+    * tests — pending processing-time timeouts keep an AvailableNow query
+    * alive, so finite drains want NoTimeout). */
+  def firstWins(
+      docs: Dataset[DedupedDoc],
+      ttl: Option[String] = Some("30 minutes"))(implicit spark: SparkSession): Dataset[DedupedDoc] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    docs.groupByKey(_.fp)
+      .flatMapGroupsWithState[Boolean, DedupedDoc](
+        OutputMode.Append(), timeoutConf) {
+        (fp: Long, rows: Iterator[DedupedDoc], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            Iterator.empty // fingerprint already emitted — drop duplicates
+          } else {
+            state.update(true)
+            ttl.foreach(state.setTimeoutDuration)
+            val first = rows.reduceLeft((a, b) => if (a.doc_id <= b.doc_id) a else b)
+            Iterator.single(first)
+          }
+      }
+  }
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.StreamingDedup.DedupedDoc
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import java.sql.Timestamp
+
+/** Streaming dedup: duplicates across micro-batches are dropped, first
+  * arrival (lowest id within a batch) survives.
+  *
+  * Queries run with Trigger.AvailableNow: stateful operators schedule
+  * extra no-data batches for state maintenance, so an always-on query +
+  * processAllAvailable busy-loops in a test harness; AvailableNow drains
+  * the queued MemoryStream batches (each addData = one micro-batch) and
+  * terminates. */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int): Timestamp = new Timestamp(1700000000000L + m * 60000L)
+
+  test("dedupWithinWatermark: later identical normalized text is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    // two queued micro-batches; the duplicate arrives in the SECOND
+    input.addData((ts(0), 1L, "alpha beta"), (ts(1), 2L, "gamma"))
+    input.addData((ts(2), 3L, "  Alpha   BETA "), (ts(3), 4L, "delta"))
+    val q = StreamingDedup.dedupWithinWatermark(
+        input.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("sdedup").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "query did not drain in time")
+      val ids = spark.table("sdedup").select("doc_id").as[Long].collect().toSet
+      assert(ids === Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
+  test("firstWins: lowest doc_id per fingerprint, cross-batch duplicates dropped") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DedupedDoc]
+    // NoTimeout: with no pending timeouts the query quiesces between
+    // processAllAvailable calls (the KeyedControlSpec pattern), so the two
+    // addData calls below are guaranteed distinct micro-batches
+    val q = StreamingDedup.firstWins(input.toDS(), ttl = None)
+      .writeStream.format("memory").queryName("fwin").outputMode("append")
+      .start()
+    try {
+      // batch 1: two rows with the same fingerprint → lowest id (5) wins
+      input.addData(DedupedDoc(100L, 7L, "x"), DedupedDoc(100L, 5L, "x"),
+        DedupedDoc(200L, 1L, "y"))
+      q.processAllAvailable()
+      // batch 2: fingerprint 100 re-arrives → dropped via carried state
+      input.addData(DedupedDoc(100L, 2L, "x"), DedupedDoc(300L, 9L, "z"))
+      q.processAllAvailable()
+      val out = spark.table("fwin").as[DedupedDoc].collect()
+        .map(d => d.fp -> d.doc_id).toMap
+      assert(out === Map(100L -> 5L, 200L -> 1L, 300L -> 9L))
+    } finally q.stop()
+  }
+}
