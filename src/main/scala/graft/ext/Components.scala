@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Connected components over an undirected edge list — the cluster step of
+ * near-duplicate deduplication: pair output ([[Dedup.minHashNearDups]])
+ * → components → one keeper per component.
+ *
+ * Algorithm: iterated min-label propagation. Every node starts labeled
+ * with its own id; each round every node takes the minimum label among
+ * itself and its neighbors; converged when no label changes. Each round
+ * is one shuffle-keyed join + aggregate — the standard large-cluster CC
+ * layout (rounds ≤ component diameter; near-dup clusters are shallow, so
+ * 3-5 rounds in practice). The driver loop only reads a per-round
+ * changed-row COUNT (a scalar action), never the data.
+ *
+ * Determinism: the fixpoint is unique (min over a component), so the
+ * result is independent of join order, partitioning, and round count —
+ * which is what lets a recursive-CTE oracle reproduce it exactly.
+ */
+object Components {
+
+  /**
+   * Label every node with the minimum node id reachable from it.
+   *
+   * @param edges   two columns `src`, `dst` (undirected; one direction
+   *                per pair suffices — symmetrized internally)
+   * @param nodes   one column `id`: the node universe (nodes without
+   *                edges become singleton components)
+   * @return (id, component) — component = min id in the component
+   */
+  def connectedComponents(
+      edges: DataFrame,
+      nodes: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    // localCheckpoint, not persist: each round's plan references the
+    // previous round's — without truncating lineage the logical plan (and
+    // Catalyst's per-round optimization time) grows with the iteration
+    // count. Checkpointing keeps every round's plan flat. (A fault-
+    // tolerant deployment would use reliable checkpoint(dir) instead.)
+    var labels = nodes.select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // phase 1: neighbor-propagated minimum label per node
+      val fromNeighbors = sym
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("component")).as("neighbor_min"))
+      val propagated = labels
+        .join(fromNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("neighbor_min"), col("component")))
+            .as("component"))
+      // phase 2: pointer jump — component := component's component. Plain
+      // neighbor propagation moves a label ONE hop per round (a path of n
+      // nodes needs n−1 rounds); jumping halves the remaining distance
+      // each round → O(log n) rounds total.
+      val next = propagated.alias("l")
+        .join(propagated.select(col("id").as("component"),
+          col("component").as("parent")).alias("m"), Seq("component"))
+        .select(col("id"), col("parent").as("component"))
+        .localCheckpoint(true)
+      val changed = next.alias("n")
+        .join(labels.alias("p"), Seq("id"))
+        .filter(col("n.component") =!= col("p.component"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
+    labels
+  }
+
+  /** Near-dup dedup clusters of a document corpus: MinHash-LSH pairs →
+    * components → keeper flag (minimum doc id per cluster). Singleton
+    * docs are their own keeper. */
+  def nearDupClusters(
+      spark: SparkSession,
+      docs: DataFrame,
+      threshold: Double,
+      p: Dedup.MinHashParams = Dedup.MinHashParams(),
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val pairs = Dedup.minHashNearDups(docs, threshold, p, idCol, textCol)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val nodes = docs.select(col(idCol).as("id"))
+    connectedComponents(pairs, nodes)
+      .select(col("id").as(idCol), col("component").as("cluster_id"),
+        (col("id") === col("component")).as("is_keeper"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Components, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -270,6 +270,14 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // near-dup dedup CLUSTERS: MinHash pairs → connected components
+    // (iterated min-label propagation) → keeper per cluster. The unique
+    // fixpoint (min id per component) is engine-independent, so a
+    // recursive-CTE oracle reproduces it exactly.
+    "x20_dedup_clusters" -> ((s, dir) =>
+      Components.nearDupClusters(s, Tables.documents(s, dir), JaccardThreshold, P)
+        .orderBy("doc_id")),
+
     // vocabulary build: top tokens by document frequency (distinct per doc)
     // — two-stage aggregation: map-side partial counts, then a single
     // shuffle on token; top-k is a sort-limit over the (small) vocab table
@@ -457,6 +465,28 @@ object ExtensionQueries {
          |        $NgramThreshold * greatest(len(l.s), len(r.s)))
          |SELECT DISTINCT id_a, id_b, jaccard FROM pr
          |WHERE jaccard >= $NgramThreshold ORDER BY id_a, id_b""".stripMargin,
+
+    "x20_dedup_clusters" ->
+      s"""WITH RECURSIVE $sqlShingleCte,
+         |$sqlBandedCte,
+         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+         |ver AS (SELECT id_a, id_b,
+         |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+         |    len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS uni
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+         |pairs AS (SELECT id_a, id_b FROM ver
+         |  WHERE CAST(inter AS DOUBLE) / uni >= $JaccardThreshold),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |walk(id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)
+         |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id,
+         |       id = min(label) AS is_keeper
+         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "x18_sample_split" ->
       s"""WITH k AS (SELECT doc_id, lang,

@@ -1,0 +1,47 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Min-label propagation must find exact components, handle chains
+  * (multi-hop propagation), singletons, and be independent of edge
+  * direction. */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chain, triangle, and singleton components resolve to min id") {
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, singleton 99
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 99L).toDF("id")
+    val out = Components.connectedComponents(edges, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+  }
+
+  test("long path needs multiple rounds and still converges") {
+    val n = 30L
+    val edges = (1L until n).map(i => (i + 1, i)).toDF("src", "dst")
+    val nodes = (1L to n).toDF("id")
+    val out = Components.connectedComponents(edges, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(out.values.toSet === Set(1L))
+    assert(out.size === n.toInt)
+  }
+
+  test("nearDupClusters: keeper is the minimum doc of each cluster") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "completely different text about training data pipelines at scale"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again")
+    ).toDF("doc_id", "text")
+    val out = Components.nearDupClusters(spark, docs, threshold = 0.5)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) === ((1L, true)))
+    assert(out(2L) === ((1L, false)))
+    assert(out(4L) === ((1L, false)))
+    assert(out(3L) === ((3L, true)))
+  }
+}
