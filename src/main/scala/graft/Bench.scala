@@ -32,7 +32,11 @@ object Bench {
 
     // A failed query records its elapsed time NEGATED (sentinel) and its
     // name in "failed" — a fast failure must not look like a fast success.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the battery (iteration aid; the
+    // driver runs the full set)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (k, _) => only.forall(_.contains(k)) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

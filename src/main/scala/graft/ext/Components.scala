@@ -25,6 +25,14 @@ object Components {
   /**
    * Label every node with the minimum node id reachable from it.
    *
+   * Graphs whose edge list fits comfortably on the driver
+   * (≤ `smallGraphThreshold` edges) are solved with in-memory union-find
+   * instead of the iterative join loop — the same small-side switch Spark
+   * itself makes for broadcast joins: a dozen distributed rounds cost
+   * seconds of scheduling that a megabyte of driver memory removes. The
+   * distributed path takes over exactly when the driver path stops being
+   * safe.
+   *
    * @param edges   two columns `src`, `dst` (undirected; one direction
    *                per pair suffices — symmetrized internally)
    * @param nodes   one column `id`: the node universe (nodes without
@@ -32,6 +40,40 @@ object Components {
    * @return (id, component) — component = min id in the component
    */
   def connectedComponents(
+      edges: DataFrame,
+      nodes: DataFrame,
+      maxIter: Int = 25,
+      smallGraphThreshold: Long = 1000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val edgeCount = edges.count()
+    if (edgeCount <= smallGraphThreshold) {
+      import spark.implicits._
+      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+      }
+      // ship the root table back as a broadcast-joined frame (a literal
+      // map expression would embed the whole table in the plan tree)
+      val roots = es.flatMap(e => Seq(e._1, e._2)).distinct.map(v => (v, find(v)))
+      val rootsDf = roots.toSeq.toDF("id", "root")
+      return nodes.join(broadcast(rootsDf), Seq("id"), "left")
+        .select(col("id"), coalesce(col("root"), col("id")).as("component"))
+    }
+    distributedComponents(edges, nodes, maxIter)
+  }
+
+  /** The iterative distributed path (see [[connectedComponents]]). */
+  private[ext] def distributedComponents(
       edges: DataFrame,
       nodes: DataFrame,
       maxIter: Int = 25): DataFrame = {
@@ -84,7 +126,12 @@ object Components {
 
   /** Near-dup dedup clusters of a document corpus: MinHash-LSH pairs →
     * components → keeper flag (minimum doc id per cluster). Singleton
-    * docs are their own keeper. */
+    * docs are their own keeper.
+    *
+    * The iterative CC runs ONLY over edge endpoints (near-dup docs are a
+    * small fraction of any real corpus); singletons — the vast majority —
+    * join in afterward with `coalesce(component, id)` and never pay the
+    * per-round loop. */
   def nearDupClusters(
       spark: SparkSession,
       docs: DataFrame,
@@ -94,9 +141,17 @@ object Components {
       textCol: String = "text"): DataFrame = {
     val pairs = Dedup.minHashNearDups(docs, threshold, p, idCol, textCol)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val nodes = docs.select(col(idCol).as("id"))
-    connectedComponents(pairs, nodes)
-      .select(col("id").as(idCol), col("component").as("cluster_id"),
-        (col("id") === col("component")).as("is_keeper"))
+      .persist()
+    val endpoints = pairs
+      .select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
+    val labels = connectedComponents(pairs, endpoints)
+    val out = docs.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("component"), col("id")).as("cluster_id"),
+        (col("id") === coalesce(col("component"), col("id"))).as("is_keeper"))
+    pairs.unpersist()
+    out
   }
 }

@@ -286,7 +286,31 @@ object ExtensionQueries {
         .select(explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("token"))
-        .limit(20)))
+        .limit(20)),
+
+    // TF-IDF top terms per document. Ranking uses the ROUNDED score
+    // (round 6) so cross-engine libm log differences (≤1 ulp) can never
+    // flip the order; rounded ties break on the token. Shape: tf is one
+    // (doc, token) shuffle; df one (token) shuffle; N rides in as a
+    // broadcast scalar — no driver-side count.
+    "x21_tfidf" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val toks = d.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "token").join(broadcast(n))
+        .withColumn("tfidf_r", round(col("tf") *
+          (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1.0), 6))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy(col("tfidf_r").desc, col("token"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("token"), col("tfidf_r"))
+        .orderBy("doc_id", "rank")
+    }))
 
   // =====================================================================
 
@@ -505,6 +529,24 @@ object ExtensionQueries {
          |  FROM documents)
          |SELECT token, CAST(count(*) AS BIGINT) AS df
          |FROM t GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin,
+
+    "x21_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(string_split($sqlNorm, ' ')) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks GROUP BY doc_id, token),
+         |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+         |  FROM tf GROUP BY token),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |scored AS (SELECT tf.doc_id, tf.token,
+         |    round(tf.tf * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (d2.df + 1)) + 1.0), 6) AS tfidf_r
+         |  FROM tf, dfreq d2, n WHERE tf.token = d2.token),
+         |r AS (SELECT doc_id, token, tfidf_r,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY tfidf_r DESC, token) AS rank
+         |  FROM scored)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tfidf_r
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "x14_media_features" ->
       """WITH ch AS (SELECT doc_id, ascii(unnest(string_split(text, ''))) AS b

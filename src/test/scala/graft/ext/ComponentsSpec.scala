@@ -8,22 +8,33 @@ import graft.SparkSpec
 class ComponentsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("chain, triangle, and singleton components resolve to min id") {
+  private val expectedSmall = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+    10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L)
+
+  test("chain, triangle, and singleton components resolve to min id (driver path)") {
     // chain 1-2-3-4 (diameter 3), triangle 10-11-12, singleton 99
     val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
       .toDF("src", "dst")
     val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 99L).toDF("id")
     val out = Components.connectedComponents(edges, nodes)
       .as[(Long, Long)].collect().toMap
-    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+    assert(out === expectedSmall)
   }
 
-  test("long path needs multiple rounds and still converges") {
+  test("distributed path agrees with the driver path") {
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 99L).toDF("id")
+    val out = Components.connectedComponents(edges, nodes, smallGraphThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(out === expectedSmall)
+  }
+
+  test("long path needs multiple rounds and still converges (distributed path)") {
     val n = 30L
     val edges = (1L until n).map(i => (i + 1, i)).toDF("src", "dst")
     val nodes = (1L to n).toDF("id")
-    val out = Components.connectedComponents(edges, nodes)
+    val out = Components.connectedComponents(edges, nodes, smallGraphThreshold = 0L)
       .as[(Long, Long)].collect().toMap
     assert(out.values.toSet === Set(1L))
     assert(out.size === n.toInt)
