@@ -40,6 +40,33 @@ class ComponentsSpec extends SparkSpec {
     assert(out.size === n.toInt)
   }
 
+  test("random graph: both paths match a BFS reference") {
+    val rnd = new scala.util.Random(13)
+    val n = 60
+    val edgeSeq = (1 to 80).map(_ =>
+      ((rnd.nextInt(n) + 1).toLong, (rnd.nextInt(n) + 1).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val adj = edgeSeq.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    def bfsComponent(start: Long): Set[Long] = {
+      var seen = Set(start); var frontier = Set(start)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Set.empty)) -- seen
+        seen ++= frontier
+      }
+      seen
+    }
+    val expected = (1L to n.toLong).map(v => v -> bfsComponent(v).min).toMap
+    val edges = edgeSeq.toDF("src", "dst")
+    val nodes = (1L to n.toLong).toDF("id")
+    val driverOut = Components.connectedComponents(edges, nodes)
+      .as[(Long, Long)].collect().toMap
+    val distOut = Components.connectedComponents(edges, nodes, smallGraphThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(driverOut === expected)
+    assert(distOut === expected)
+  }
+
   test("nearDupClusters: keeper is the minimum doc of each cluster") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

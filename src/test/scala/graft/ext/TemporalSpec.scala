@@ -71,6 +71,53 @@ class TemporalSpec extends SparkSpec {
       (503L, 0L)))
   }
 
+  test("asOfJoinBackward matches a per-row reference on randomized data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val users = 1L to 12L
+    val rights = (1 to 300).map { i =>
+      (users(rnd.nextInt(users.size)), ts(s"2024-01-01 ${10 + rnd.nextInt(10)}:${rnd.nextInt(60)}:00"), 1000L + i, rnd.nextDouble())
+    }
+    val lefts = (1 to 200).map { i =>
+      (users(rnd.nextInt(users.size)), ts(s"2024-01-01 ${10 + rnd.nextInt(10)}:${rnd.nextInt(60)}:00"), 5000L + i)
+    }
+    val rightDf = rights.toDF("user_id", "ts", "event_id", "value")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("click_id"))
+    val leftDf = lefts.toDF("user_id", "ts", "event_id")
+    val got = Temporal.asOfJoinBackward(leftDf, rightDf,
+        Seq("user_id"), "ts", "event_id", Seq("click_id"))
+      .select("event_id", "click_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val expected = lefts.map { case (u, t, id) =>
+      val matches = rights.filter(r => r._1 == u &&
+        (r._2.before(t) || r._2.equals(t)))
+      id -> (if (matches.isEmpty) -1L
+             else matches.maxBy(r => (r._2.getTime, r._3))._3)
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("rangeCountBackward matches a per-row reference on randomized data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = 1700000000000L
+    val rights = (1 to 400).map(i =>
+      ((rnd.nextInt(8) + 1).toLong, new Timestamp(base + rnd.nextInt(3600) * 1000L)))
+    val lefts = (1 to 150).map(i =>
+      ((rnd.nextInt(8) + 1).toLong, new Timestamp(base + rnd.nextInt(3600) * 1000L), i.toLong))
+    val width = 600000L // 10 minutes
+    val got = Temporal.rangeCountBackward(
+        lefts.toDF("k", "ts", "id"), rights.toDF("k", "ts"),
+        Seq("k"), "ts", "id", width)
+      .select("id", "n_in_range").as[(Long, Long)].collect().toMap
+    val expected = lefts.map { case (k, t, id) =>
+      id -> rights.count(r => r._1 == k &&
+        r._2.getTime >= t.getTime - width && r._2.getTime < t.getTime).toLong
+    }.toMap
+    assert(got === expected)
+  }
+
   test("rangeCountBackward spans bucket boundaries") {
     import spark.implicits._
     // width 60 s; right row 30 s before left sits in the PREVIOUS bucket
