@@ -135,7 +135,10 @@ object Dedup {
 
   /** Exact Jaccard over distinct shingle-hash sets for verification of LSH
     * candidates (the classic two-phase near-dup pipeline). Hash sets, not
-    * string sets: set ops on fixed-width longs, no string materialization. */
+    * string sets — and SORTED sets, so verification is a single native
+    * merge pass ([[graft.functions.SortedInterUnion]]) instead of two
+    * hash-set builds per pair (the dominant term once candidates number
+    * in the millions). */
   def jaccardVerify(
       docs: DataFrame,
       pairs: DataFrame,
@@ -143,16 +146,24 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
+    val sh = docs.select(col(idCol).as("id"),
+      sort_array(shingleHashes(col(textCol), n)).as("sh"))
+    verifyPairs(pairs, sh, threshold)
+  }
+
+  /** Shared verification tail: join pair ids to a sorted shingle frame
+    * `(id, sh)` and keep pairs at/above the Jaccard threshold. */
+  private def verifyPairs(pairs: DataFrame, sortedSh: DataFrame, threshold: Double): DataFrame =
     pairs
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .join(sortedSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sortedSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("iu",
+        graft.functions.HashExpressions.sorted_inter_union(col("sh_a"), col("sh_b")))
+      .select(col("id_a"), col("id_b"),
+        col("iu.inter").as("inter"), col("iu.uni").as("uni"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "uni", "jaccard")
-  }
 
   /** Banded signatures derived from a precomputed (id, sh) shingle-hash
     * frame — lets callers share one shingle pass across banding and
@@ -178,17 +189,13 @@ object Dedup {
       p: MinHashParams = MinHashParams(),
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingleHashes(col(textCol)).as("sh"))
+    // sorted on write: the signature pass is O(n log n) per doc once; the
+    // verification merge pass then needs no per-pair hash sets
+    val sh = docs.select(col(idCol).as("id"),
+        sort_array(shingleHashes(col(textCol))).as("sh"))
       .persist()
     val cands = candidatePairs(bandedFromShingles(sh, p))
-    cands
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "inter", "uni", "jaccard")
+    verifyPairs(cands, sh, threshold)
   }
 
   // -------------------------------------------------------------- simhash

@@ -43,6 +43,9 @@ object HashExpressions {
 
   def sorted_jaccard(a: Column, b: Column, threshold: Double): Column =
     toColumn(SortedJaccard(toExpression(a), toExpression(b), threshold))
+
+  def sorted_inter_union(a: Column, b: Column): Column =
+    toColumn(SortedInterUnion(toExpression(a), toExpression(b)))
 }
 
 /** h = fold over codepoints: (h·31 + cp) mod 1e9+7 — identical to
@@ -336,5 +339,54 @@ object SortedJaccard {
       else j += 1
     }
     inter.toDouble / (na + nb - inter)
+  }
+}
+
+/** (intersection, union) sizes of two SORTED-ascending distinct long
+  * arrays in one merge pass — the no-early-exit sibling of
+  * [[SortedJaccard]] for callers that need the exact counts in their
+  * output (e.g. near-dup verification emitting inter/uni columns). */
+case class SortedInterUnion(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("inter", IntegerType, nullable = false),
+    StructField("uni", IntegerType, nullable = false)))
+  override def prettyName: String = "sorted_inter_union"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires two array<bigint> arguments")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedInterUnion.interUnion(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedInterUnion.interUnion($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SortedInterUnion {
+  def interUnion(a: ArrayData, b: ArrayData): InternalRow = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    InternalRow(inter, na + nb - inter)
   }
 }

@@ -24,7 +24,29 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       val n = Dedup.minHashNearDups(grown, threshold = 0.35).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"scale=${f}x docs=${5000 * f}%6d pairs=$n%8d time=$dt%7.2f s")
+      println(f"neardup scale=${f}x docs=${5000 * f}%6d pairs=$n%8d time=$dt%7.2f s")
+    }
+
+    // As-of join slope: events replicated f× with disjoint user spaces —
+    // the union+window layout should track input size (one key shuffle,
+    // per-key ordered pass; users partition across replicas).
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.1")
+    for (f <- Seq(1, 5, 10, 20)) {
+      val grown = (0 until f).map { r =>
+        events.select((col("user_id") + lit(r * 10000000L)).as("user_id"),
+          col("ts"), (col("event_id") + lit(r * 1000000000L)).as("event_id"),
+          col("event_type"), col("value"))
+      }.reduce(_ unionByName _)
+      val purchases = grown.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val clicks = grown.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_id").as("click_id"))
+      val t0 = System.nanoTime()
+      val n = graft.ext.Temporal.asOfJoinBackward(purchases, clicks,
+        Seq("user_id"), "ts", "event_id", Seq("click_id")).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"asof    scale=${f}x events=${100000 * f}%7d rows=$n%8d time=$dt%7.2f s")
     }
     spark.stop()
   }
