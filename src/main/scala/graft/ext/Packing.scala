@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Sequence packing for LLM training batches: assign documents to bins so
+ * each bin's token count stays within a budget (one bin = one training
+ * sequence's worth of concatenated docs).
+ *
+ * Greedy packing is inherently sequential — bin state resets as docs
+ * stream by, which no window function expresses — so the distributed
+ * layout shards first: docs are hash-assigned to `shards` independent
+ * shards, and the greedy scan runs per shard inside one task
+ * (`flatMapGroups` over a sorted group). Shards pack in parallel across
+ * the cluster; the shard count scales with it. Per-shard packing loses
+ * nothing vs global packing at corpus scale (any shard has millions of
+ * docs to fill bins from).
+ *
+ * Determinism: shard = doc_id mod shards, scan order = doc_id — both
+ * engine-portable, so the per-shard greedy recurrence is reproducible as
+ * a recursive CTE in the oracle.
+ */
+object Packing {
+
+  // public: Dataset encoders generate bytecode that constructs these
+  final case class DocTok(shard: Long, doc_id: Long, n_tokens: Long)
+  final case class Packed(doc_id: Long, shard: Long, bin: Long, n_tokens: Long)
+
+  /**
+   * Pack docs into per-shard bins of at most `budget` tokens (a doc
+   * larger than the budget gets a bin of its own). Output: one row per
+   * doc with its (shard, bin) assignment.
+   *
+   * @param docsWithTokens columns (doc_id, n_tokens)
+   */
+  def packGreedy(
+      spark: SparkSession,
+      docsWithTokens: DataFrame,
+      budget: Long,
+      shards: Int): DataFrame = {
+    import spark.implicits._
+    require(budget > 0 && shards > 0)
+    docsWithTokens
+      .select(pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        col("doc_id"), col("n_tokens"))
+      .as[DocTok]
+      .groupByKey(_.shard)
+      .flatMapGroups { (shard, it) =>
+        // one shard = one task; sort is in-memory per shard, which is the
+        // point of sharding (pick `shards` so a shard fits an executor)
+        val sorted = it.toArray.sortBy(_.doc_id)
+        var bin = 0L
+        var acc = 0L
+        sorted.iterator.map { d =>
+          if (acc + d.n_tokens > budget && acc > 0) { bin += 1; acc = 0L }
+          acc += d.n_tokens
+          Packed(d.doc_id, shard, bin, d.n_tokens)
+        }
+      }
+      .toDF()
+  }
+}

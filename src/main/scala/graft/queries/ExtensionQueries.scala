@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Components, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Components, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -21,6 +21,8 @@ object ExtensionQueries {
   private val JaccardThreshold = 0.35
   private val NgramThreshold = 0.5
   private val EnSampleRate = 30L
+  private val PackBudget = 256L
+  private val PackShards = 8
   private val CosineThreshold = 0.30
   private val Planes = 8
   private val Dim = 64
@@ -288,6 +290,18 @@ object ExtensionQueries {
         .orderBy(col("df").desc, col("token"))
         .limit(20)),
 
+    // sequence packing: token-budget bin assignment, greedy per hash
+    // shard (the sequential scan no window function expresses — sharding
+    // is what distributes it; the oracle replays the same recurrence with
+    // a recursive CTE)
+    "x22_pack" -> ((s, dir) => {
+      val withTok = Tables.documents(s, dir).select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      Packing.packGreedy(s, withTok, budget = PackBudget, shards = PackShards)
+        .select(col("doc_id"), col("shard"), col("bin"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF top terms per document. Ranking uses the ROUNDED score
     // (round 6) so cross-engine libm log differences (≤1 ulp) can never
     // flip the order; rounded ties break on the token. Shape: tf is one
@@ -529,6 +543,24 @@ object ExtensionQueries {
          |  FROM documents)
          |SELECT token, CAST(count(*) AS BIGINT) AS df
          |FROM t GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin,
+
+    "x22_pack" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, doc_id % $PackShards AS shard,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM t),
+         |walk(shard, rn, doc_id, n_tokens, bin, acc) AS (
+         |  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+         |  FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+         |    CASE WHEN w.acc + r.n_tokens > $PackBudget AND w.acc > 0
+         |         THEN w.bin + 1 ELSE w.bin END,
+         |    CASE WHEN w.acc + r.n_tokens > $PackBudget AND w.acc > 0
+         |         THEN r.n_tokens ELSE w.acc + r.n_tokens END
+         |  FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin, n_tokens
+         |FROM walk ORDER BY doc_id""".stripMargin,
 
     "x21_tfidf" ->
       s"""WITH toks AS (SELECT doc_id,

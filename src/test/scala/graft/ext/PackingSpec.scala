@@ -1,0 +1,51 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Greedy per-shard packing invariants. */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, 100L), (8L, 100L), (16L, 100L), // shard 0: 100+100 fit, third spills
+    (1L, 300L),                          // shard 1: oversize doc → own bin
+    (9L, 50L),
+    (2L, 256L), (10L, 1L)                // shard 2: exact fit, then new bin
+  ).toDF("doc_id", "n_tokens")
+
+  private lazy val packed =
+    Packing.packGreedy(spark, docs, budget = 256L, shards = 8)
+      .as[(Long, Long, Long, Long)].collect() // doc_id, shard, bin, n_tokens
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("every doc is packed exactly once") {
+    assert(packed.keySet === Set(0L, 8L, 16L, 1L, 9L, 2L, 10L))
+  }
+
+  test("greedy fill: two fit, third starts a new bin") {
+    assert(packed(0L) === ((0L, 0L)))
+    assert(packed(8L) === ((0L, 0L)))  // 200 <= 256
+    assert(packed(16L) === ((0L, 1L))) // 300 > 256 → bin 1
+  }
+
+  test("oversize doc gets its own bin; scan continues after it") {
+    assert(packed(1L) === ((1L, 0L)))  // 300 > 256 but acc was 0 → stays bin 0
+    assert(packed(9L) === ((1L, 1L)))  // next doc starts a fresh bin
+  }
+
+  test("exact-budget fill closes the bin") {
+    assert(packed(2L) === ((2L, 0L)))
+    assert(packed(10L) === ((2L, 1L))) // 256+1 > 256 → new bin
+  }
+
+  test("no bin exceeds the budget except single oversize docs") {
+    val out = Packing.packGreedy(spark, docs, budget = 256L, shards = 8)
+    val binSums = out.groupBy("shard", "bin")
+      .agg(sum("n_tokens").as("total"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long, Long)].collect()
+    binSums.foreach { case (_, _, total, n) =>
+      assert(total <= 256L || n == 1L)
+    }
+  }
+}
