@@ -89,4 +89,28 @@ object Multimodal {
     implicit val s: SparkSession = spark
     extractFeatures(asMediaTable(docs).as[MediaRow]).toDF()
   }
+
+  /** Resize stub: halve the spatial metadata (floor, min 1) — a real
+    * pipeline would also transcode the payload; the metadata contract and
+    * column flow are what downstream operators consume. */
+  def resizeHalf(media: DataFrame): DataFrame =
+    media.withColumn("width", greatest(floor(col("width") / 2), lit(1)).cast("int"))
+      .withColumn("height", greatest(floor(col("height") / 2), lit(1)).cast("int"))
+
+  /** Frame sampling stub: fixed-size frames every `stride` bytes of the
+    * payload — `n_frames` plus a portable rolling hash of frame 0 (the
+    * identity a real decoder would replace with pixel data). Pure column
+    * expressions: byte slicing needs no per-partition batching. */
+  def frameSample(media: DataFrame, frameSize: Int, stride: Int): DataFrame = {
+    val len = length(col("media"))
+    val nFrames = greatest(lit(0L),
+      (floor((len - frameSize).cast("double") / stride) + 1).cast("long"))
+    media
+      .withColumn("n_frames", nFrames)
+      .withColumn("f0_hash",
+        when(len >= frameSize,
+          graft.functions.HashExpressions.rolling_hash(
+            substring(col("media").cast("string"), 1, frameSize)))
+          .otherwise(lit(null)))
+  }
 }

@@ -290,6 +290,17 @@ object ExtensionQueries {
         .orderBy(col("df").desc, col("token"))
         .limit(20)),
 
+    // multimodal resize + frame-sample stubs: metadata transform and
+    // byte-stride frame extraction (the decode-adjacent plumbing of a
+    // video/image pipeline; payload math is deterministic byte slicing)
+    "x23_media_sample" -> ((s, dir) =>
+      Multimodal.frameSample(
+          Multimodal.resizeHalf(Multimodal.asMediaTable(Tables.documents(s, dir))),
+          frameSize = 64, stride = 48)
+        .select(col("doc_id"), col("kind"), col("width"), col("height"),
+          col("n_frames"), col("f0_hash"))
+        .orderBy("doc_id")),
+
     // sequence packing: token-budget bin assignment, greedy per hash
     // shard (the sequential scan no window function expresses — sharding
     // is what distributes it; the oracle replays the same recurrence with
@@ -543,6 +554,17 @@ object ExtensionQueries {
          |  FROM documents)
          |SELECT token, CAST(count(*) AS BIGINT) AS df
          |FROM t GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin,
+
+    "x23_media_sample" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  CAST(greatest((doc_id % 640 + 32) // 2, 1) AS INT) AS width,
+         |  CAST(greatest((doc_id % 480 + 32) // 2, 1) AS INT) AS height,
+         |  CAST(greatest(0, CAST(floor(CAST(length(text) - 64 AS DOUBLE) / 48) AS BIGINT) + 1) AS BIGINT) AS n_frames,
+         |  CASE WHEN length(text) >= 64
+         |       THEN ${sqlStringHash("substr(text, 1, 64)")} ELSE NULL END AS f0_hash
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x22_pack" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, doc_id % $PackShards AS shard,
