@@ -155,6 +155,29 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine", "list")
   }
 
+  /** Per-dimension min-max int8-style quantization (0..255) — the
+    * storage-compression step of an embedding pipeline. Exploded layout
+    * (vec_id, dim, q): per-dim stats are one small aggregate broadcast
+    * back; all arithmetic is deterministic double math on exact float
+    * inputs, so a SQL oracle reproduces every code. Constant dimensions
+    * (max == min) map to 0. */
+  def quantizeMinMax(
+      corpus: DataFrame,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val exploded = corpus.select(col(idCol),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col(idCol), col("dim"), col("v").cast("double").as("v"))
+    val stats = exploded.groupBy("dim")
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    exploded.join(broadcast(stats), "dim")
+      .select(col(idCol), col("dim").cast("long").as("dim"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(round((col("v") - col("mn")) * 255.0 / (col("mx") - col("mn")), 0)
+            .cast("long")).as("q"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucket with LSH, verify with
     * exact cosine ≥ threshold inside buckets (the embedding analog of
     * [[Dedup.minHashNearDups]]). */

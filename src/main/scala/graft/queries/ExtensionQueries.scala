@@ -93,6 +93,29 @@ object ExtensionQueries {
   private val sqlIvfScores: String = (0 until Similarity.IvfLists)
     .map(c => sqlDot("embedding", sqlCentroid(c))).mkString("[", ",\n  ", "]")
 
+  /** Quality-feature CTE chain (f raw counts → g typed/ratios) shared by
+    * x03 and x25 — the score expression must be textually identical in
+    * both so the doubles agree. */
+  private lazy val sqlQualityCtes =
+    s"""f AS (
+       |  SELECT doc_id, length(text) AS n_chars,
+       |    len(string_split($sqlNorm, ' ')) AS n_tokens,
+       |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+       |    len(list_filter(string_split($sqlNorm, ' '), x -> x IN $stopwordsSql)) AS n_stopwords,
+       |    list_reduce(list_concat([0], list_transform(string_split($sqlNorm, ' '),
+       |      t -> length(t))), (a, b) -> a + b) AS sum_word_len
+       |  FROM documents),
+       |g AS (SELECT doc_id,
+       |    CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |    CAST(n_punct AS BIGINT) AS n_punct, CAST(n_stopwords AS BIGINT) AS n_stopwords,
+       |    CAST(n_stopwords AS DOUBLE) / n_tokens AS stop_ratio,
+       |    CAST(sum_word_len AS DOUBLE) / n_tokens AS avg_word_len FROM f)""".stripMargin
+
+  private val sqlQualityScore =
+    """(least(stop_ratio * 2.0, 1.0) * 0.4 +
+      |   (CASE WHEN avg_word_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
+      |   (1.0 - least(CAST(n_punct AS DOUBLE) / n_chars, 0.5)) * 0.3)""".stripMargin
+
   private val langMarkerSql = TextAnalysis.LangMarkers.map { case (lang, ms) =>
     lang -> ms.map(m => s"'$m'").mkString("[", ",", "]")
   }
@@ -290,6 +313,30 @@ object ExtensionQueries {
         .orderBy(col("df").desc, col("token"))
         .limit(20)),
 
+    // embedding quantization: per-dim min-max scale to 0..255 (the
+    // vector-storage compression step; exploded layout so the oracle
+    // checks every single code)
+    "x24_quantize" -> ((s, dir) =>
+      Similarity.quantizeMinMax(Tables.embeddings(s, dir))
+        .orderBy("vec_id", "dim")),
+
+    // corpus pruning end-to-end: near-dup clusters (x20) × quality scores
+    // (x03) → per cluster keep the highest-quality doc (ties: lowest id).
+    // The full "dedupe a training corpus" decision in one query.
+    "x25_keep_best" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val clusters = Components.nearDupClusters(s, d, JaccardThreshold, P)
+      val quality = d.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+        .orderBy(col("q").desc, col("doc_id"))
+      clusters.join(quality, "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .select(col("doc_id"), col("cluster_id"),
+          round(col("q"), 6).as("quality_r"), (col("rk") === 1).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal resize + frame-sample stubs: metadata transform and
     // byte-stride frame extraction (the decode-adjacent plumbing of a
     // video/image pipeline; payload math is deterministic byte slicing)
@@ -352,23 +399,9 @@ object ExtensionQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x03_quality" ->
-      s"""WITH f AS (
-         |  SELECT doc_id, length(text) AS n_chars,
-         |    len(string_split($sqlNorm, ' ')) AS n_tokens,
-         |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
-         |    len(list_filter(string_split($sqlNorm, ' '), x -> x IN $stopwordsSql)) AS n_stopwords,
-         |    list_reduce(list_concat([0], list_transform(string_split($sqlNorm, ' '),
-         |      t -> length(t))), (a, b) -> a + b) AS sum_word_len
-         |  FROM documents),
-         |g AS (SELECT doc_id,
-         |    CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
-         |    CAST(n_punct AS BIGINT) AS n_punct, CAST(n_stopwords AS BIGINT) AS n_stopwords,
-         |    CAST(n_stopwords AS DOUBLE) / n_tokens AS stop_ratio,
-         |    CAST(sum_word_len AS DOUBLE) / n_tokens AS avg_word_len FROM f)
+      s"""WITH $sqlQualityCtes
          |SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords, stop_ratio, avg_word_len,
-         |  (least(stop_ratio * 2.0, 1.0) * 0.4 +
-         |   (CASE WHEN avg_word_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
-         |   (1.0 - least(CAST(n_punct AS DOUBLE) / n_chars, 0.5)) * 0.3) AS quality_score
+         |  $sqlQualityScore AS quality_score
          |FROM g ORDER BY doc_id""".stripMargin,
 
     "x04_langid" -> {
@@ -554,6 +587,45 @@ object ExtensionQueries {
          |  FROM documents)
          |SELECT token, CAST(count(*) AS BIGINT) AS df
          |FROM t GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin,
+
+    "x24_quantize" ->
+      s"""WITH e AS (SELECT vec_id, r.d, CAST(embedding[r.d] AS DOUBLE) AS v
+         |  FROM embeddings, range(1, ${Dim + 1}) r(d)),
+         |st AS (SELECT d, min(v) AS mn, max(v) AS mx FROM e GROUP BY d)
+         |SELECT e.vec_id, CAST(e.d - 1 AS BIGINT) AS dim,
+         |  CASE WHEN st.mx = st.mn THEN 0
+         |       ELSE CAST(round((e.v - st.mn) * 255.0 / (st.mx - st.mn), 0) AS BIGINT)
+         |  END AS q
+         |FROM e JOIN st ON e.d = st.d ORDER BY vec_id, dim""".stripMargin,
+
+    "x25_keep_best" ->
+      s"""WITH RECURSIVE $sqlShingleCte,
+         |$sqlBandedCte,
+         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+         |ver AS (SELECT id_a, id_b,
+         |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+         |    len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS uni
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+         |prs AS (SELECT id_a, id_b FROM ver
+         |  WHERE CAST(inter AS DOUBLE) / uni >= $JaccardThreshold),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION SELECT id_b, id_a FROM prs),
+         |walk(id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+         |clus AS (SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+         |  FROM walk GROUP BY id),
+         |$sqlQualityCtes,
+         |qs AS (SELECT doc_id, $sqlQualityScore AS q FROM g),
+         |j AS (SELECT c.doc_id, c.cluster_id, qs.q
+         |  FROM clus c JOIN qs ON c.doc_id = qs.doc_id),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |                                    ORDER BY q DESC, doc_id) AS rk FROM j)
+         |SELECT doc_id, cluster_id, round(q, 6) AS quality_r, rk = 1 AS keep
+         |FROM rr ORDER BY doc_id""".stripMargin,
 
     "x23_media_sample" ->
       s"""SELECT doc_id,
