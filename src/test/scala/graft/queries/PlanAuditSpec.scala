@@ -56,6 +56,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"data×data cross join:\n$p")
   }
 
+  test("r15: as-of join plans NO join — one key shuffle feeding an ordered window") {
+    val p = planOf("r15_asof_join")
+    assert(p.contains("Window"), s"expected a window:\n$p")
+    assert(!p.contains("Join"), s"as-of must be join-free (union+window):\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"exactly one key shuffle expected:\n$p")
+  }
+
+  test("r16: range count joins on equi buckets, never a cartesian/theta join") {
+    val p = planOf("r16_range_count")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join must not degrade to a product:\n$p")
+  }
+
+  test("x17: verification is the native merge pass, no hash-set ops") {
+    val p = planOf("x17_ngram_jaccard")
+    // predicate pushdown inlines the expression into both the Filter and
+    // the Project — 2 sites, NOT an n-fold re-inline. The filter-side
+    // evaluation early-exits for failing pairs (the overwhelming
+    // majority), so the duplicated site costs one cheap bail per pair.
+    assert(p.linesIterator.count(_.contains("sorted_jaccard")) === 2,
+      s"sorted_jaccard expected in filter + project only:\n$p")
+    assert(!p.contains("array_intersect"), s"no hash-set set ops in the hot path:\n$p")
+  }
+
+  test("x22: packing is one shard shuffle into MapGroups") {
+    val p = planOf("x22_pack")
+    assert(p.contains("MapGroups"), s"expected per-shard MapGroups:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"one shard shuffle expected:\n$p")
+  }
+
+  test("x24: per-dim stats come back as a broadcast, not a shuffle join") {
+    val p = planOf("x24_quantize")
+    assert(p.contains("BroadcastHashJoin"), s"stats join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"stats join must broadcast:\n$p")
+  }
+
   test("x06: minhash signatures are computed shuffle-free below the explode") {
     val p = planOf("x06_minhash_sig")
     // the plan prints top-down: everything AFTER the Generate line is its
