@@ -323,22 +323,30 @@ object SortedJaccard {
   def jaccard(a: ArrayData, b: ArrayData, t: Double): Double = {
     val na = a.numElements()
     val nb = b.numElements()
-    if (na + nb == 0) return -1.0
-    // J >= t  <=>  inter >= t*(na+nb)/(1+t); bail when unreachable
-    val needed = t * (na + nb) / (1.0 + t)
+    val total = na + nb
+    if (total == 0) return -1.0
+    // J >= t  <=>  inter >= t*total/(1+t). The closed form evaluated in
+    // floating point can overshoot the true rational bound (e.g. t=0.4,
+    // total=21 → 6.0000000000000009 > 6, dropping an exactly-at-threshold
+    // pair), so align the integer bound with the EXACT comparison the
+    // caller's filter performs: need = smallest i with i/(total-i) >= t.
+    var need = math.ceil(t * total / (1.0 + t)).toInt
+    if (need < 0) need = 0
+    while (need > 0 && (need - 1).toDouble / (total - (need - 1)) >= t) need -= 1
+    while (need < total && need.toDouble / (total - need) < t) need += 1
     var i = 0
     var j = 0
     var inter = 0
     while (i < na && j < nb) {
       val rem = math.min(na - i, nb - j)
-      if (inter + rem < needed) return -1.0
+      if (inter + rem < need) return -1.0
       val x = a.getLong(i)
       val y = b.getLong(j)
       if (x == y) { inter += 1; i += 1; j += 1 }
       else if (x < y) i += 1
       else j += 1
     }
-    inter.toDouble / (na + nb - inter)
+    inter.toDouble / (total - inter)
   }
 }
 

@@ -35,6 +35,26 @@ class SortedJaccardSpec extends SparkSpec {
     assert(j(Seq(1L, 2L, 3L), Seq(2L, 3L, 4L), 0.5) === 0.5)
   }
 
+  test("early-exit bound never drops a pair at or above the threshold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val t = 0.4
+    val cases = (1 to 200).map { i =>
+      val a = Seq.fill(rnd.nextInt(25) + 1)(rnd.nextInt(20).toLong).distinct
+      val b = Seq.fill(rnd.nextInt(25) + 1)(rnd.nextInt(20).toLong).distinct
+      (i, a, b)
+    }
+    val out = cases.toDF("i", "a", "b")
+      .select(col("i"), HashExpressions.sorted_jaccard(
+        sort_array(col("a")), sort_array(col("b")), t).as("j"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    cases.foreach { case (i, a, b) =>
+      val exact = a.toSet.intersect(b.toSet).size.toDouble / a.toSet.union(b.toSet).size
+      if (exact >= t) assert(out(i) === exact, s"dropped >=t pair a=$a b=$b")
+      else assert(out(i) === -1.0 || out(i) === exact, s"bad sentinel a=$a b=$b")
+    }
+  }
+
   test("agrees with interpreted set ops on random arrays") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
