@@ -275,8 +275,13 @@ object Dedup {
     val r = base.select(col("block"), col("id").as("id_r"), col("sh").as("sh_r"))
     l.join(r, "block")
       .filter(col("id_l") =!= col("id_r"))
-      .filter(least(size(col("sh_l")), size(col("sh_r"))).cast("double") >=
-        lit(threshold) * greatest(size(col("sh_l")), size(col("sh_r"))))
+      // division form, NOT `min >= t*max`: J <= min/max holds in rationals,
+      // and correctly-rounded division is monotone, so double(J) <=
+      // double(min/max) — this prefilter can never drop a pair the final
+      // jaccard filter would keep. (`t*max` in doubles can overshoot and
+      // drop an exact-subset pair at the threshold.)
+      .filter(least(size(col("sh_l")), size(col("sh_r"))).cast("double") /
+        greatest(size(col("sh_l")), size(col("sh_r"))) >= threshold)
       .withColumn("jaccard",
         graft.functions.HashExpressions.sorted_jaccard(col("sh_l"), col("sh_r"), threshold))
       .filter(col("jaccard") >= threshold)

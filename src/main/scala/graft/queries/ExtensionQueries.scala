@@ -543,8 +543,8 @@ object ExtensionQueries {
          |    len(list_distinct(list_concat(l.s, r.s))) AS jaccard
          |  FROM base l JOIN base r
          |    ON (r.block = l.block OR r.block = l.block + 1) AND l.id <> r.id
-         |  WHERE CAST(least(len(l.s), len(r.s)) AS DOUBLE) >=
-         |        $NgramThreshold * greatest(len(l.s), len(r.s)))
+         |  WHERE CAST(least(len(l.s), len(r.s)) AS DOUBLE) /
+         |        greatest(len(l.s), len(r.s)) >= $NgramThreshold)
          |SELECT DISTINCT id_a, id_b, jaccard FROM pr
          |WHERE jaccard >= $NgramThreshold ORDER BY id_a, id_b""".stripMargin,
 
