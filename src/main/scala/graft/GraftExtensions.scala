@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSig, RollingHash, SimHashFromTokens, TokenRollingHashes, ShingleHashCombine}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSig, RollingHash, SimHashFromTokens, SortedInterUnion, SortedJaccard, TokenRollingHashes, ShingleHashCombine}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -40,5 +41,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("token_hashes"),
       info(classOf[TokenRollingHashes], "token_hashes"),
       (es: Seq[Expression]) => TokenRollingHashes(es(0))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_jaccard"),
+      info(classOf[SortedJaccard], "sorted_jaccard"),
+      (es: Seq[Expression]) => SortedJaccard(es(0), es(1), es(2) match {
+        case Literal(v: Double, _) => v
+        case other => throw new IllegalArgumentException(
+          s"sorted_jaccard threshold must be a double literal, got $other")
+      })))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_inter_union"),
+      info(classOf[SortedInterUnion], "sorted_inter_union"),
+      (es: Seq[Expression]) => SortedInterUnion(es(0), es(1))))
   }
 }

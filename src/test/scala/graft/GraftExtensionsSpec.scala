@@ -18,4 +18,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val th = spark.sql("SELECT token_hashes('ab ab') AS t").head().getSeq[Long](0)
     assert(th === Seq(h, h))
   }
+
+  test("sorted_jaccard and sorted_inter_union resolve in SQL") {
+    val spark: SparkSession = SparkSpec.session
+    val j = spark.sql(
+      """SELECT sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L), 0.1d) AS j""")
+      .head().getDouble(0)
+    assert(j === 0.5)
+    val iu = spark.sql(
+      """SELECT sorted_inter_union(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS iu""")
+      .head().getStruct(0)
+    assert(iu.getInt(0) === 2 && iu.getInt(1) === 4)
+  }
 }
