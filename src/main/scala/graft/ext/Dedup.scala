@@ -198,6 +198,57 @@ object Dedup {
     verifyPairs(cands, sh, threshold)
   }
 
+  /**
+   * Incremental near-dup pass for corpus ingest: all near-dup pairs that
+   * involve at least one INCOMING doc — equivalent to running the full
+   * pipeline over (corpus ∪ incoming) and keeping pairs that touch the
+   * incoming batch, WITHOUT re-reading any corpus text. The corpus side
+   * is its stored signature state: the sorted shingle-hash table
+   * (verification) and the banded table (candidates) — together ~1% of
+   * the text size, which is all a daily ingest should ever scan.
+   *
+   * Bucket capping uses the bucket sizes of the UNION (same totals the
+   * full run would see), so results match the full run exactly.
+   *
+   * @param corpusSh     stored (id, sh) — sh = SORTED distinct shingle
+   *                     hashes, as produced by `sort_array(shingleHashes)`
+   * @param corpusBanded stored (id, band, band_key), as produced by
+   *                     [[bandedFromShingles]] on corpusSh
+   * @param incoming     raw new docs (idCol, textCol); ids must not
+   *                     collide with corpus ids
+   */
+  def incrementalNearDups(
+      corpusSh: DataFrame,
+      corpusBanded: DataFrame,
+      incoming: DataFrame,
+      threshold: Double = 0.5,
+      p: MinHashParams = MinHashParams(),
+      maxBucket: Int = 1000,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val newSh = incoming.select(col(idCol).as("id"),
+        sort_array(shingleHashes(col(textCol))).as("sh"))
+      .persist()
+    val newBanded = bandedFromShingles(newSh, p)
+    val allBanded = corpusBanded.select(col("id"), col("band"), col("band_key"))
+      .withColumn("is_new", lit(false))
+      .unionByName(newBanded.withColumn("is_new", lit(true)))
+    // cap on union totals — identical drop decisions to the full run
+    val sized = allBanded
+      .withColumn("bucket_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")))
+      .filter(col("bucket_n") <= maxBucket)
+    val l = sized.filter(col("is_new"))
+      .select(col("band"), col("band_key"), col("id").as("id_l"))
+    val r = sized.select(col("band"), col("band_key"), col("id").as("id_r"))
+    val cands = l.join(r, Seq("band", "band_key"))
+      .filter(col("id_l") =!= col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"))
+      .distinct()
+    verifyPairs(cands, corpusSh.unionByName(newSh), threshold)
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** SimHash bit width (the portable rolling hash yields < 2^30, so 30

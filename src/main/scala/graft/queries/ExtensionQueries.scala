@@ -23,6 +23,7 @@ object ExtensionQueries {
   private val EnSampleRate = 30L
   private val PackBudget = 256L
   private val PackShards = 8
+  private val IncrementalSplit = 400L
   private val CosineThreshold = 0.30
   private val Planes = 8
   private val Dim = 64
@@ -313,6 +314,24 @@ object ExtensionQueries {
         .orderBy(col("df").desc, col("token"))
         .limit(20)),
 
+    // incremental ingest dedup: near-dup pairs touching the "incoming"
+    // batch (doc_id >= split), computed against the corpus's STORED
+    // signature state — no corpus text re-read. Matches the full run
+    // filtered to incoming-touching pairs (equivalence spec'd in ExtSpec).
+    "x26_incremental_dedup" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      val corpus = all.filter(col("doc_id") < IncrementalSplit)
+      val incoming = all.filter(col("doc_id") >= IncrementalSplit)
+      val corpusSh = corpus.select(col("doc_id").as("id"),
+        sort_array(Dedup.shingleHashes(col("text"))).as("sh"))
+      Dedup.incrementalNearDups(corpusSh, Dedup.bandedFromShingles(corpusSh, P),
+          incoming, JaccardThreshold, P)
+        .select(col("id_a"), col("id_b"),
+          col("inter").cast("long").as("inter"), col("uni").cast("long").as("uni"),
+          col("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // embedding quantization: per-dim min-max scale to 0..255 (the
     // vector-storage compression step; exploded layout so the oracle
     // checks every single code)
@@ -587,6 +606,23 @@ object ExtensionQueries {
          |  FROM documents)
          |SELECT token, CAST(count(*) AS BIGINT) AS df
          |FROM t GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin,
+
+    "x26_incremental_dedup" ->
+      s"""WITH $sqlShingleCte,
+         |$sqlBandedCte,
+         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+         |ver AS (SELECT id_a, id_b,
+         |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+         |    len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS uni
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni,
+         |       CAST(inter AS DOUBLE) / uni AS jaccard
+         |FROM ver
+         |WHERE CAST(inter AS DOUBLE) / uni >= $JaccardThreshold
+         |  AND (id_a >= $IncrementalSplit OR id_b >= $IncrementalSplit)
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "x24_quantize" ->
       s"""WITH e AS (SELECT vec_id, r.d, CAST(embedding[r.d] AS DOUBLE) AS v

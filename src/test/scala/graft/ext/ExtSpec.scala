@@ -40,6 +40,25 @@ class ExtSpec extends SparkSpec {
     assert(sh(1L) !== sh(3L))
   }
 
+  test("incrementalNearDups equals the full run filtered to pairs touching incoming") {
+    val all = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val split = 400L
+    val corpus = all.filter(col("doc_id") < split)
+    val incoming = all.filter(col("doc_id") >= split)
+    val corpusSh = corpus.select(col("doc_id").as("id"),
+      sort_array(Dedup.shingleHashes(col("text"))).as("sh"))
+    val corpusBanded = Dedup.bandedFromShingles(corpusSh)
+    val inc = Dedup.incrementalNearDups(corpusSh, corpusBanded, incoming, threshold = 0.35)
+      .select("id_a", "id_b", "inter", "uni")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    val full = Dedup.minHashNearDups(all, threshold = 0.35)
+      .filter(col("id_a") >= split || col("id_b") >= split)
+      .select("id_a", "id_b", "inter", "uni")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(inc === full)
+    assert(inc.nonEmpty, "fixture should contain near-dups across the split")
+  }
+
   test("ngram jaccard direct join agrees with minhash on the exact pair") {
     val pairs = Dedup.ngramJaccard(docs, threshold = 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
