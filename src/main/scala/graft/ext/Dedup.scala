@@ -249,6 +249,43 @@ object Dedup {
     verifyPairs(cands, corpusSh.unionByName(newSh), threshold)
   }
 
+  /**
+   * Benchmark decontamination: training docs whose n-gram Jaccard with
+   * ANY benchmark doc reaches `threshold` — the drop-list of the classic
+   * train/test-overlap sweep. One row per contaminated training doc with
+   * its best-matching benchmark doc (max jaccard, ties → lowest bench
+   * id). Mechanically the asymmetric variant of the near-dup pipeline:
+   * benchmark bands probe training bands, so cost is
+   * O(|bench| + touching-candidates), never corpus².
+   */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      threshold: Double = 0.5,
+      p: MinHashParams = MinHashParams(),
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def sh(df: DataFrame) = df.select(col(idCol).as("id"),
+      sort_array(shingleHashes(col(textCol))).as("sh"))
+    val corpSh = sh(corpus).persist()
+    val benchSh = sh(benchmark).persist()
+    val cands = bandedFromShingles(corpSh, p)
+      .join(bandedFromShingles(benchSh, p)
+          .withColumnRenamed("id", "bench_id"),
+        Seq("band", "band_key"))
+      .select(col("id").as("id_a"), col("bench_id").as("id_b"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id_a")
+      .orderBy(col("jaccard").desc, col("id_b"))
+    // corpus and benchmark ids must be disjoint (verification joins both
+    // sides against the union of the two shingle frames)
+    verifyPairs(cands, corpSh.unionByName(benchSh), threshold)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("id_a").as(idCol), col("id_b").as("matched_bench_id"),
+        col("jaccard"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** SimHash bit width (the portable rolling hash yields < 2^30, so 30

@@ -24,6 +24,7 @@ object ExtensionQueries {
   private val PackBudget = 256L
   private val PackShards = 8
   private val IncrementalSplit = 400L
+  private val DecontamThreshold = 0.35
   private val CosineThreshold = 0.30
   private val Planes = 8
   private val Dim = 64
@@ -332,6 +333,48 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // benchmark decontamination: training docs n-gram-overlapping any
+    // benchmark doc (deterministic pseudo-benchmark: doc_id % 97 == 0).
+    // The drop-list every training corpus needs before eval.
+    "x27_decontaminate" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      Dedup.decontaminate(
+          all.filter(col("doc_id") % 97 =!= 0),
+          all.filter(col("doc_id") % 97 === 0),
+          DecontamThreshold, P)
+        .orderBy("doc_id")
+    }),
+
+    // intra-document repetition ratio (Gopher/C4-style quality rule):
+    // 1 − distinct/total trigram shingles; high ratio = boilerplate loops
+    "x28_repetition" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.HashExpressions.token_hashes(
+            TextAnalysis.normalize(col("text"))).as("th"))
+        .select(col("doc_id"),
+          when(size(col("th")) < 3, lit(1L))
+            .otherwise((size(col("th")) - 2).cast("long")).as("n_total"),
+          size(graft.functions.HashExpressions.shingle_hashes(
+            col("th"), 3, Dedup.CombineMult)).cast("long").as("n_distinct"))
+        .withColumn("rep_ratio",
+          lit(1.0) - col("n_distinct").cast("double") / col("n_total"))
+        .withColumn("is_repetitive", col("rep_ratio") > 0.2)
+        .orderBy("doc_id")),
+
+    // pattern flags (PII-ish / C4-style signals): digit runs, capitalized
+    // words, email presence — regex counts, fully codegen'd
+    "x29_pattern_flags" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\d+"), lit(0)))
+          .cast("long").as("n_digit_runs"),
+        size(regexp_extract_all(col("text"), lit("[A-Z][a-z]+"), lit(0)))
+          .cast("long").as("n_cap_words"),
+        (size(regexp_extract_all(col("text"),
+          lit("[\\w.+-]+@[\\w-]+\\.[\\w.]+"), lit(0))) > 0).as("has_email"))
+        .orderBy("doc_id")),
+
     // embedding quantization: per-dim min-max scale to 0..255 (the
     // vector-storage compression step; exploded layout so the oracle
     // checks every single code)
@@ -606,6 +649,43 @@ object ExtensionQueries {
          |  FROM documents)
          |SELECT token, CAST(count(*) AS BIGINT) AS df
          |FROM t GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin,
+
+    "x27_decontaminate" ->
+      s"""WITH $sqlShingleCte,
+         |$sqlBandedCte,
+         |cand AS (SELECT DISTINCT c.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded c JOIN banded b
+         |    ON c.band = b.band AND c.band_key = b.band_key
+         |  WHERE c.doc_id % 97 <> 0 AND b.doc_id % 97 = 0),
+         |ver AS (SELECT id_a, id_b,
+         |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+         |    len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS uni
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+         |fl AS (SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
+         |  FROM ver WHERE CAST(inter AS DOUBLE) / uni >= $DecontamThreshold),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY id_a
+         |                                   ORDER BY jaccard DESC, id_b) AS rk FROM fl)
+         |SELECT id_a AS doc_id, id_b AS matched_bench_id, jaccard
+         |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "x28_repetition" ->
+      s"""WITH $sqlShingleCte,
+         |t AS (SELECT toh.doc_id,
+         |    CASE WHEN len(toh.th) < 3 THEN 1 ELSE len(toh.th) - 2 END AS n_total,
+         |    len(sh.shingles) AS n_distinct
+         |  FROM toh JOIN sh ON toh.doc_id = sh.doc_id)
+         |SELECT doc_id, CAST(n_total AS BIGINT) AS n_total,
+         |  CAST(n_distinct AS BIGINT) AS n_distinct,
+         |  1.0 - CAST(n_distinct AS DOUBLE) / n_total AS rep_ratio,
+         |  (1.0 - CAST(n_distinct AS DOUBLE) / n_total) > 0.2 AS is_repetitive
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "x29_pattern_flags" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\d+')) AS BIGINT) AS n_digit_runs,
+        |  CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT) AS n_cap_words,
+        |  len(regexp_extract_all(text, '[\w.+-]+@[\w-]+\.[\w.]+')) > 0 AS has_email
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x26_incremental_dedup" ->
       s"""WITH $sqlShingleCte,
