@@ -333,6 +333,46 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // document chunking with overlap (context-window prep): fixed-size
+    // character chunks every `step` chars, exploded via sequence() —
+    // row-local, shuffle-free, covers the full text
+    "x30_chunk" -> ((s, dir) => {
+      val chunkLen = 200
+      val step = 150
+      val n = length(col("text"))
+      val nChunks = when(n <= chunkLen, lit(1L))
+        .otherwise(ceil((n - chunkLen).cast("double") / step).cast("long") + 1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+        .withColumn("chunk",
+          col("text").substr((col("chunk_idx") * step + 1).cast("int"), lit(chunkLen)))
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk")).cast("long").as("chunk_len"),
+          graft.functions.HashExpressions.rolling_hash(col("chunk")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // out-of-vocabulary profiling: per doc, the fraction of token
+    // occurrences outside the global top-20 vocabulary (x19's build) —
+    // exploded tokens ⋈ broadcast vocab, two-stage agg back to one row
+    "x31_oov" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val vocab = Tables.documents(s, dir)
+        .select(explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token")).limit(20)
+        .select(col("token"), lit(1).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("in_vocab"), lit(0))).as("n_in_vocab"))
+        .select(col("doc_id"), col("n_tokens"), col("n_in_vocab"),
+          (lit(1.0) - col("n_in_vocab").cast("double") / col("n_tokens")).as("oov_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // benchmark decontamination: training docs n-gram-overlapping any
     // benchmark doc (deterministic pseudo-benchmark: doc_id % 97 == 0).
     // The drop-list every training corpus needs before eval.
@@ -649,6 +689,35 @@ object ExtensionQueries {
          |  FROM documents)
          |SELECT token, CAST(count(*) AS BIGINT) AS df
          |FROM t GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin,
+
+    "x30_chunk" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n,
+         |    CASE WHEN length(text) <= 200 THEN 1
+         |         ELSE CAST(ceil(CAST(length(text) - 200 AS DOUBLE) / 150) AS BIGINT) + 1
+         |    END AS n_chunks
+         |  FROM documents),
+         |ix AS (SELECT doc_id, text, unnest(range(n_chunks)) AS chunk_idx FROM d),
+         |c AS (SELECT doc_id, chunk_idx,
+         |    substr(text, CAST(chunk_idx * 150 + 1 AS BIGINT), 200) AS chunk
+         |  FROM ix)
+         |SELECT doc_id, chunk_idx, CAST(length(chunk) AS BIGINT) AS chunk_len,
+         |       ${sqlStringHash("chunk")} AS chunk_hash
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "x31_oov" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split($sqlNorm, ' ')) AS token
+         |  FROM documents),
+         |dv AS (SELECT doc_id, unnest(list_distinct(string_split($sqlNorm, ' '))) AS token
+         |  FROM documents),
+         |vocab AS (SELECT token, 1 AS in_vocab FROM (
+         |    SELECT token, count(*) AS df FROM dv GROUP BY token
+         |    ORDER BY df DESC, token LIMIT 20)),
+         |j AS (SELECT t.doc_id, COALESCE(v.in_vocab, 0) AS iv
+         |  FROM toks t LEFT JOIN vocab v ON t.token = v.token)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(iv) AS BIGINT) AS n_in_vocab,
+         |  1.0 - CAST(sum(iv) AS DOUBLE) / count(*) AS oov_ratio
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "x27_decontaminate" ->
       s"""WITH $sqlShingleCte,
