@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  import TextAnalysis.{HashMod, normalize, rollingHash, tokens}
+  import TextAnalysis.{HashMod, normalize, tokens}
 
   // ---------------------------------------------------------------- exact
 
@@ -63,9 +63,6 @@ object Dedup {
   /** Multiplier for combining token hashes into shingle hashes and band
     * keys (any odd constant < mod works; shared with the oracle SQL). */
   val CombineMult: Long = 1000003L
-
-  private def stringHash(s: Column): Column =
-    graft.functions.HashExpressions.rolling_hash(s)
 
   /** Per-token rolling hashes of the normalized text — one compiled pass
     * ([[graft.functions.TokenRollingHashes]]); shingle hashes combine
