@@ -39,6 +39,25 @@ class PackingSpec extends SparkSpec {
     assert(packed(10L) === ((2L, 1L))) // 256+1 > 256 → new bin
   }
 
+  test("random docs match a per-shard scala reference") {
+    val rnd = new scala.util.Random(21)
+    val docs2 = (1L to 300L).map(id => (id, (rnd.nextInt(120) + 1).toLong))
+    val budget = 100L
+    val shards = 4
+    val got = Packing.packGreedy(spark, docs2.toDF("doc_id", "n_tokens"), budget, shards)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val expected = docs2.groupBy(_._1 % shards).flatMap { case (shard, ds) =>
+      var bin = 0L; var acc = 0L
+      ds.sortBy(_._1).map { case (id, n) =>
+        if (acc + n > budget && acc > 0) { bin += 1; acc = 0L }
+        acc += n
+        id -> (shard, bin)
+      }
+    }
+    assert(got === expected)
+  }
+
   test("no bin exceeds the budget except single oversize docs") {
     val out = Packing.packGreedy(spark, docs, budget = 256L, shards = 8)
     val binSums = out.groupBy("shard", "bin")
