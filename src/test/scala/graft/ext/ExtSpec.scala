@@ -40,6 +40,18 @@ class ExtSpec extends SparkSpec {
     assert(sh(1L) !== sh(3L))
   }
 
+  test("decontaminate flags corpus docs overlapping the benchmark, best match wins") {
+    val corpus = docs.filter(col("doc_id") =!= 2L)
+    val bench = docs.filter(col("doc_id") === 2L)
+      .select((col("doc_id") + 100L).as("doc_id"), col("text")) // disjoint ids
+    val out = Dedup.decontaminate(corpus, bench, threshold = 0.5)
+      .select("doc_id", "matched_bench_id").as[(Long, Long)].collect().toMap
+    // docs 1 and 4 are near-dups of benchmark doc 102 (one-word diff);
+    // 3 and 5 share nothing
+    assert(out.keySet === Set(1L, 4L))
+    assert(out.values.toSet === Set(102L))
+  }
+
   test("incrementalNearDups equals the full run filtered to pairs touching incoming") {
     val all = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val split = 400L
