@@ -76,8 +76,15 @@ object TextAnalysis {
   def qualityScoreFrom(f: Map[String, Column]): Column = {
     val stopTerm = least(f("stop_ratio") * 2.0, lit(1.0))
     val lenTerm = when(f("avg_word_len").between(3.0, 8.0), 1.0).otherwise(0.5)
-    val punctTerm = lit(1.0) - least(f("n_punct").cast("double") / f("n_chars"), lit(0.5))
-    stopTerm * 0.4 + lenTerm * 0.3 + punctTerm * 0.3
+    // greatest(n_chars, 1): identity for every non-empty doc; for empty
+    // text it avoids ANSI DIVIDE_BY_ZERO (Spark 4 default) — 0/1 = 0
+    val punctTerm = lit(1.0) -
+      least(f("n_punct").cast("double") / greatest(f("n_chars"), lit(1)), lit(0.5))
+    // null-strict: least/greatest SKIP nulls, so without the guard a null
+    // doc would score a phantom 0.7 instead of null
+    when(f("n_chars").isNotNull,
+      stopTerm * 0.4 + lenTerm * 0.3 + punctTerm * 0.3)
+      .otherwise(lit(null).cast("double"))
   }
 
   /** Composite quality score in [0,1]: rewards stopword presence and

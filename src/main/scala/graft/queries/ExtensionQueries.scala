@@ -116,7 +116,7 @@ object ExtensionQueries {
   private val sqlQualityScore =
     """(least(stop_ratio * 2.0, 1.0) * 0.4 +
       |   (CASE WHEN avg_word_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
-      |   (1.0 - least(CAST(n_punct AS DOUBLE) / n_chars, 0.5)) * 0.3)""".stripMargin
+      |   (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 0.5)) * 0.3)""".stripMargin
 
   private val langMarkerSql = TextAnalysis.LangMarkers.map { case (lang, ms) =>
     lang -> ms.map(m => s"'$m'").mkString("[", ",", "]")

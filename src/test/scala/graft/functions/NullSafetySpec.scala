@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** The fixtures are null-free, so nothing in the oracle gate exercises
+  * null inputs — this spec pins the native expressions' null contract:
+  * null in → null out (UnaryExpression/BinaryExpression null-safe eval),
+  * never an NPE, and empty strings behave as documented. */
+class NullSafetySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Option("hello world")),
+    (2L, None: Option[String]),
+    (3L, Option(""))
+  ).toDF("id", "text")
+
+  test("rolling_hash / token_hashes: null → null, empty string documented") {
+    val out = df.select(col("id"),
+        HashExpressions.rolling_hash(col("text")).as("h"),
+        HashExpressions.token_hashes(col("text")).as("th"))
+      .orderBy("id").collect()
+    assert(!out(0).isNullAt(1) && !out(0).isNullAt(2))
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+    assert(out(2).getLong(1) === 0L)          // rolling_hash("") = 0
+    assert(out(2).getSeq[Long](2).isEmpty)    // token_hashes("") = [] (documented)
+  }
+
+  test("sorted_jaccard / sorted_inter_union: null side → null result") {
+    val pairs = Seq(
+      (1L, Option(Seq(1L, 2L)), Option(Seq(2L, 3L))),
+      (2L, None: Option[Seq[Long]], Option(Seq(2L, 3L))),
+      (3L, Option(Seq(1L, 2L)), None: Option[Seq[Long]])
+    ).toDF("id", "a", "b")
+    val out = pairs.select(col("id"),
+        HashExpressions.sorted_jaccard(col("a"), col("b"), 0.0).as("j"),
+        HashExpressions.sorted_inter_union(col("a"), col("b")).as("iu"))
+      .orderBy("id").collect()
+    assert(!out(0).isNullAt(1) && !out(0).isNullAt(2))
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
+  }
+
+  test("text analysis columns survive null text (null out, no NPE)") {
+    val out = df.select(col("id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .orderBy("id").collect()
+    assert(out(1).isNullAt(1))
+    // langId's when-chain falls through to the "und" literal on null scores
+    assert(out(1).getString(2) === "und")
+    assert(out(1).isNullAt(3))
+  }
+}
