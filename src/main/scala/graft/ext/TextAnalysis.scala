@@ -27,6 +27,16 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", " ")
 
+  /** Boilerplate cleaning (C4-style pre-normalization): strip URLs and
+    * emails, collapse whitespace. Order matters — URL first, or the email
+    * regex eats scheme-less host fragments. */
+  def cleanBoilerplate(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "https?://\\S+", " "),
+        "[\\w.+-]+@[\\w-]+\\.[\\w.]+", " "),
+      "\\s+", " ")
+
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normalize(text), " ")
 

@@ -333,6 +333,45 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // boilerplate cleaning: URL/email strip + whitespace collapse; the
+    // hash pins the cleaned text without shipping it
+    "x32_clean" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        length(TextAnalysis.cleanBoilerplate(col("text"))).cast("long").as("clean_len"),
+        graft.functions.HashExpressions.rolling_hash(
+          TextAnalysis.cleanBoilerplate(col("text"))).as("clean_hash"),
+        (length(col("text")) - length(TextAnalysis.cleanBoilerplate(col("text"))))
+          .cast("long").as("n_stripped"))
+        .orderBy("doc_id")),
+
+    // the composite C4-style KEEP verdict: quality, repetition, and
+    // language-agreement rules in one funnel, with a reject reason (first
+    // failing rule wins) — the decision a corpus filter actually emits
+    "x33_filter_verdict" -> ((s, dir) => {
+      val f = TextAnalysis.qualityFeatures(col("text"))
+      val base = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.qualityScoreFrom(f).as("q"),
+        array_distinct(TextAnalysis.tokens(col("text"))).as("dw"),
+        graft.functions.HashExpressions.token_hashes(
+          TextAnalysis.normalize(col("text"))).as("th"))
+      val rep = lit(1.0) -
+        size(graft.functions.HashExpressions.shingle_hashes(
+          col("th"), 3, Dedup.CombineMult)).cast("double") /
+          when(size(col("th")) < 3, lit(1)).otherwise(size(col("th")) - 2)
+      val scored = base.select(col("doc_id"), col("lang"), col("q"),
+        rep.as("rep_ratio"),
+        TextAnalysis.langIdFromScores(
+          TextAnalysis.langScoresFromDistinct(col("dw"))).as("predicted"))
+      scored.select(col("doc_id"), round(col("q"), 6).as("quality_r"),
+        col("rep_ratio"), col("predicted"), col("lang").as("labeled"),
+        when(col("q") < 0.5, "low_quality")
+          .when(col("rep_ratio") > 0.2, "repetitive")
+          .when(col("predicted") =!= col("lang"), "lang_mismatch")
+          .otherwise("keep").as("verdict"))
+        .orderBy("doc_id")
+    }),
+
     // document chunking with overlap (context-window prep): fixed-size
     // character chunks every `step` chars, exploded via sequence() —
     // row-local, shuffle-free, covers the full text
@@ -689,6 +728,51 @@ object ExtensionQueries {
          |  FROM documents)
          |SELECT token, CAST(count(*) AS BIGINT) AS df
          |FROM t GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin,
+
+    "x32_clean" -> {
+      val cleaned =
+        """regexp_replace(regexp_replace(regexp_replace(text,
+          |  'https?://\S+', ' ', 'g'),
+          |  '[\w.+-]+@[\w-]+\.[\w.]+', ' ', 'g'),
+          |  '\s+', ' ', 'g')""".stripMargin
+      s"""SELECT doc_id,
+         |  CAST(length($cleaned) AS BIGINT) AS clean_len,
+         |  ${sqlStringHash(s"($cleaned)")} AS clean_hash,
+         |  CAST(length(text) - length($cleaned) AS BIGINT) AS n_stripped
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "x33_filter_verdict" -> {
+      val scoreCols = TextAnalysis.LangMarkers.map { case (lang, _) =>
+        s"len(list_intersect(dw, ${langMarkerSql.toMap.apply(lang)})) AS score_$lang"
+      }.mkString(",\n  ")
+      val best = TextAnalysis.LangMarkers.map(m => s"score_${m._1}").mkString(", ")
+      val caseChain = TextAnalysis.LangMarkers.map { case (lang, _) =>
+        s"WHEN score_$lang = best AND best > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH $sqlShingleCte,
+         |$sqlQualityCtes,
+         |qv AS (SELECT doc_id, $sqlQualityScore AS q FROM g),
+         |rp AS (SELECT toh.doc_id,
+         |    1.0 - CAST(len(sh.shingles) AS DOUBLE) /
+         |      (CASE WHEN len(toh.th) < 3 THEN 1 ELSE len(toh.th) - 2 END) AS rep_ratio
+         |  FROM toh JOIN sh ON toh.doc_id = sh.doc_id),
+         |dv AS (SELECT n2.doc_id, d.lang, list_distinct(string_split(n2.t, ' ')) AS dw
+         |  FROM norm n2 JOIN documents d ON n2.doc_id = d.doc_id),
+         |sc AS (SELECT doc_id, lang,
+         |  $scoreCols
+         |FROM dv),
+         |b AS (SELECT *, greatest($best) AS best FROM sc),
+         |p AS (SELECT doc_id, lang, CASE $caseChain ELSE 'und' END AS predicted FROM b)
+         |SELECT qv.doc_id, round(qv.q, 6) AS quality_r, rp.rep_ratio,
+         |  p.predicted, p.lang AS labeled,
+         |  CASE WHEN qv.q < 0.5 THEN 'low_quality'
+         |       WHEN rp.rep_ratio > 0.2 THEN 'repetitive'
+         |       WHEN p.predicted <> p.lang THEN 'lang_mismatch'
+         |       ELSE 'keep' END AS verdict
+         |FROM qv JOIN rp ON qv.doc_id = rp.doc_id JOIN p ON qv.doc_id = p.doc_id
+         |ORDER BY qv.doc_id""".stripMargin
+    },
 
     "x30_chunk" ->
       s"""WITH d AS (SELECT doc_id, text, length(text) AS n,
