@@ -45,6 +45,11 @@ object Bench {
           false
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      // Between queries (outside the timing): drop cached blocks left by
+      // operators that persist() internally (near-dup pipelines). Each
+      // query is standalone; leftover blocks from predecessors only add
+      // storage pressure and evict-churn to successors.
+      spark.catalog.clearCache()
       (name, if (ok) elapsed else -elapsed, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
