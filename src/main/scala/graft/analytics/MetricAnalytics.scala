@@ -39,12 +39,15 @@ object MetricAnalytics {
   }
 
   /** A3 time-based form: keep samples within `minutes` of the global max ts
-    * (batch analog of `withWatermark(ts, "5 minutes")`). Uses a window max
-    * rather than a collected scalar so the plan stays fully distributed. */
+    * (batch analog of `withWatermark(ts, "5 minutes")`). The global max is a
+    * 1-row aggregate broadcast back into a filter — NOT a partition-less
+    * window, which would shuffle the whole frame into one task to find a
+    * scalar (the zeroFill pattern below; plan shape asserted by
+    * PlanAuditSpec's no-partition-less-window guard). */
   def retainLastMinutes(samples: DataFrame, minutes: Int = 5): DataFrame = {
-    val maxTs = max(col("ts")).over(Window.partitionBy())
+    val maxTs = samples.agg(max(col("ts")).as("__maxTs"))
     samples
-      .withColumn("__maxTs", maxTs)
+      .join(broadcast(maxTs))
       .filter(col("ts") > col("__maxTs") - expr(s"INTERVAL $minutes MINUTES"))
       .drop("__maxTs")
   }
@@ -168,16 +171,19 @@ object MetricAnalytics {
   // (broadcast of <=4 rows), left-join samples — distributed, no collect.
   // ---------------------------------------------------------------------
   def oneMinuteAvgExact(samples: DataFrame, n: Int = 4): DataFrame = {
-    val tickW = Window.orderBy(col("ts").desc)
-    val ticks = samples.select("ts").distinct()
-      .withColumn("__tickrn", row_number().over(tickW))
-      .withColumn("__ticks_total", count(lit(1)).over(Window.partitionBy()))
-    val lastNTicks = ticks
-      .filter(col("__tickrn") <= n && col("__ticks_total") >= n)
+    // Global scalars (newest n ticks, tick total, max ts) come from
+    // TakeOrderedAndProject / 1-row aggregates broadcast back — never a
+    // partition-less window, which would funnel the whole samples frame
+    // through one task (the #1 scale-killer flagged in round 2).
+    val distinctTs = samples.select("ts").distinct()
+    val tickTotal = distinctTs.agg(count(lit(1)).as("__ticks_total"))
+    val lastNTicks = distinctTs.orderBy(col("ts").desc).limit(n)
+      .join(broadcast(tickTotal))
+      .filter(col("__ticks_total") >= n)
       .select("ts")
+    val maxTs = samples.agg(max(col("ts")).as("__maxTs"))
     val lastTickNodes = samples
-      .withColumn("__maxTs", max(col("ts")).over(Window.partitionBy()))
-      .filter(col("ts") === col("__maxTs"))
+      .join(broadcast(maxTs), col("ts") === col("__maxTs"))
       .select("node").distinct()
     lastTickNodes
       .crossJoin(broadcast(lastNTicks)) // <= n rows on the right
@@ -193,12 +199,14 @@ object MetricAnalytics {
     samples.select("ts").distinct().limit(n).count() < n
 
   /** Quorum denominator: number of distinct nodes present in the latest tick
-    * (reference `getNodesList`, MetricStore.scala:29-33). */
-  def latestTickNodeCount(samples: DataFrame): DataFrame =
+    * (reference `getNodesList`, MetricStore.scala:29-33). Scalar max via a
+    * 1-row aggregate broadcast, not a partition-less window. */
+  def latestTickNodeCount(samples: DataFrame): DataFrame = {
+    val maxTs = samples.agg(max(col("ts")).as("__maxTs"))
     samples
-      .withColumn("__maxTs", max(col("ts")).over(Window.partitionBy()))
-      .filter(col("ts") === col("__maxTs"))
+      .join(broadcast(maxTs), col("ts") === col("__maxTs"))
       .agg(countDistinct(col("node")).as("total_nodes"))
+  }
 
   // ---------------------------------------------------------------------
   // A8 — sum gauges (reference: metrics/TrinoMetricStore.scala:81,

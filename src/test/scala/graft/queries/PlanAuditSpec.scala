@@ -94,6 +94,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"stats join must broadcast:\n$p")
   }
 
+  test("m05/m06 + MetricAnalytics lineage: no partition-less window (global sort funnel)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.functions._
+    import graft.analytics.MetricAnalytics
+
+    def partitionlessWindows(plan: SparkPlan): Seq[WindowExec] = {
+      val here = plan match {
+        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+        case _ => Nil
+      }
+      val kids = plan match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case p => p.children
+      }
+      here ++ kids.flatMap(partitionlessWindows)
+    }
+
+    val samples = graft.sources.Tables.events(spark, dir)
+      .select(col("ts"), col("user_id").cast("string").as("node"), col("value"))
+    val events = graft.sources.Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"))
+    val frames = Map(
+      "m05_quorum" -> SparkEntry.queries("m05_quorum")(spark, dir),
+      "m06_idle" -> SparkEntry.queries("m06_idle")(spark, dir),
+      "lib:quorum" -> MetricAnalytics.quorum(samples, 0.7, 0.5, 0.8),
+      "lib:idlePredicate" -> MetricAnalytics.idlePredicate(events),
+      "lib:retainLastMinutes" -> MetricAnalytics.retainLastMinutes(samples),
+      "lib:oneMinuteAvgExact" -> MetricAnalytics.oneMinuteAvgExact(samples),
+      "lib:latestTickNodeCount" -> MetricAnalytics.latestTickNodeCount(samples))
+    frames.foreach { case (name, df) =>
+      val bad = partitionlessWindows(df.queryExecution.executedPlan)
+      assert(bad.isEmpty,
+        s"$name funnels the frame through a single-partition window:\n" +
+          df.queryExecution.executedPlan.toString)
+    }
+  }
+
   test("x06: minhash signatures are computed shuffle-free below the explode") {
     val p = planOf("x06_minhash_sig")
     // the plan prints top-down: everything AFTER the Generate line is its
