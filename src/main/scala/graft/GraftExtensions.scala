@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSig, RollingHash, SimHashFromTokens, SortedInterUnion, SortedJaccard, TokenRollingHashes, ShingleHashCombine}
+import graft.functions.{CosineSimilarity, DotProduct, RollingHash, SortedInterUnion, SortedJaccard, TokenRollingHashes}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier

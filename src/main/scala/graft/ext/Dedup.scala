@@ -285,34 +285,53 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  /** SimHash bit width (the portable rolling hash yields < 2^30, so 30
-    * usable bits per token hash). */
-  val SimHashBits: Int = 30
+  /** SimHash signature width: 4 chunks × 16 bits = a full 64-bit i64
+    * signature. The portable rolling hash yields < 2^30, so each chunk
+    * draws its 16 bits from an independent affine remix of the token hash
+    * ([[graft.functions.SimHashDerived]]) — a 30-bit signature space would
+    * collide heavily at billion-doc scale (round-2 finding). */
+  val SimHashChunks: Int = 4
+  val SimHashChunkWidth: Int = 16
+  val SimHashBits: Int = SimHashChunks * SimHashChunkWidth
 
-  /** SimHash of the token multiset: bit j of the result is set iff
-    * Σ_tokens (2·bit_j(hash(token)) − 1) > 0. One codegen'd n×bits loop
-    * ([[graft.functions.SimHashFromTokens]]). */
+  /** Per-chunk remix coefficients (same deterministic family as
+    * [[MinHashParams]]; chunk 0 is the identity remix a=1, b=0). Shared
+    * with the DuckDB oracle. */
+  def simHashA(c: Int): Long = (c.toLong * 2654435761L) % (HashMod - 1) + 1
+  def simHashB(c: Int): Long = (c.toLong * 40503L) % HashMod
+
+  /** 64-bit SimHash of the token multiset: bit c·16+i set iff
+    * Σ_tokens (2·bit_i((a_c·hash(token)+b_c) mod p) − 1) > 0. One
+    * codegen'd n×64 loop ([[graft.functions.SimHashDerived]]). */
   def simHash(text: Column): Column =
-    graft.functions.HashExpressions.simhash_bits(tokenHashes(text), SimHashBits)
+    graft.functions.HashExpressions.simhash_derived(tokenHashes(text),
+      (0 until SimHashChunks).map(simHashA).toArray,
+      (0 until SimHashChunks).map(simHashB).toArray,
+      SimHashChunkWidth)
 
   /** SimHash near-dup pairs with Hamming distance ≤ radius, found by
-    * pigeonhole banding over (radius + 1) bit-chunks: a pair within the
+    * pigeonhole banding over the 4 16-bit chunks: a pair within the
     * radius must agree on at least one whole chunk, so the chunk-equality
-    * join is EXACT for radius ≤ chunks − 1 — no candidate is missed.
+    * join is EXACT for radius ≤ chunks − 1 = 3 — no candidate is missed.
+    * 16-bit chunk keys give 65k buckets per chunk (vs 1k at the old
+    * 10-bit width — bucket population, and thus the within-bucket
+    * quadratic term, drops 64×). The hamming filter runs BEFORE the
+    * distinct so the dedup sees only surviving pairs.
     * Output: (id_a, id_b, hamming). */
   def simHashPairs(
       docs: DataFrame,
       radius: Int = 2,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val chunks = radius + 1
-    require(SimHashBits % chunks == 0, s"chunks must divide $SimHashBits")
-    val width = SimHashBits / chunks
+    val chunks = SimHashChunks
+    val width = SimHashChunkWidth
+    require(radius <= chunks - 1, s"banding is exact only for radius <= ${chunks - 1}")
     // persisted: both self-join sides read the signatures, not the text
     val sigs = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
       .persist()
     val banded = sigs.select(col("id"), col("sh"),
       explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
+      // arithmetic shift + mask is sign-safe for the top chunk
       .withColumn("chunk_key",
         expr(s"shiftright(sh, cast(chunk * $width as int)) & ${(1L << width) - 1}"))
     val l = banded.select(col("chunk"), col("chunk_key"),
@@ -323,8 +342,8 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= radius)
+      .distinct()
   }
 
   // ------------------------------------------------------ n-gram jaccard

@@ -33,8 +33,8 @@ object HashExpressions {
   def minhash_sig(hashes: Column, a: Array[Long], b: Array[Long]): Column =
     toColumn(MinHashSig(toExpression(hashes), a, b))
 
-  def simhash_bits(hashes: Column, bits: Int): Column =
-    toColumn(SimHashFromTokens(toExpression(hashes), bits))
+  def simhash_derived(hashes: Column, a: Array[Long], b: Array[Long], width: Int): Column =
+    toColumn(SimHashDerived(toExpression(hashes), a, b, width))
 
   def token_hashes(c: Column): Column = toColumn(TokenRollingHashes(toExpression(c)))
 
@@ -237,12 +237,20 @@ object MinHashSig {
   }
 }
 
-/** SimHash from an array of element hashes: bit j set iff
-  * Σ (2·bit_j(h) − 1) > 0 — a single n×bits loop replacing `bits`
-  * interpreted aggregate folds. */
-case class SimHashFromTokens(child: Expression, bits: Int) extends UnaryExpression {
+/** SimHash over DERIVED per-chunk hashes: the source rolling hash carries
+  * < 2^30 usable bits, so each 16-bit signature chunk c draws its bits from
+  * an independent affine remix h_c = (a_c·h + b_c) mod 1e9+7 — giving a
+  * full 64-bit signature (bits · chunks can't exceed what one 30-bit hash
+  * provides directly; a 30-bit signature space saturates at billion-doc
+  * corpora, the round-2 scale finding). Bit j = c·width + i of the result
+  * is set iff Σ_tokens (2·bit_i(h_c) − 1) > 0. One n×(chunks·width)
+  * primitive loop, codegen'd. */
+case class SimHashDerived(child: Expression, a: Array[Long], b: Array[Long], width: Int)
+  extends UnaryExpression {
+  require(a.length == b.length && a.length * width <= 64,
+    "chunks×width must fit in 64 bits")
   override def dataType: DataType = LongType
-  override def prettyName: String = "simhash_bits"
+  override def prettyName: String = "simhash_derived"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -250,33 +258,46 @@ case class SimHashFromTokens(child: Expression, bits: Int) extends UnaryExpressi
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    SimHashFromTokens.sim(input.asInstanceOf[ArrayData], bits)
+    SimHashDerived.sim(input.asInstanceOf[ArrayData], a, b, width)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashFromTokens.sim($c, $bits)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("aCoef", a, "long[]")
+    val bRef = ctx.addReferenceObj("bCoef", b, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SimHashDerived.sim($c, $aRef, $bRef, $width)")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-object SimHashFromTokens {
-  def sim(hashes: ArrayData, bits: Int): Long = {
+object SimHashDerived {
+  def sim(hashes: ArrayData, a: Array[Long], b: Array[Long], width: Int): Long = {
+    val chunks = a.length
+    val bits = chunks * width
     val sums = new Array[Int](bits)
     val n = hashes.numElements()
+    val mod = HashExpressions.Mod
     var j = 0
     while (j < n) {
       val h = hashes.getLong(j)
-      var b = 0
-      while (b < bits) {
-        if (((h >> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
-        b += 1
+      var c = 0
+      while (c < chunks) {
+        val hc = (a(c) * h + b(c)) % mod
+        var i = 0
+        while (i < width) {
+          if (((hc >> i) & 1L) == 1L) sums(c * width + i) += 1
+          else sums(c * width + i) -= 1
+          i += 1
+        }
+        c += 1
       }
       j += 1
     }
     var out = 0L
-    var b = 0
-    while (b < bits) {
-      if (sums(b) > 0) out |= (1L << b)
-      b += 1
+    var bIdx = 0
+    while (bIdx < bits) {
+      if (sums(bIdx) > 0) out |= (1L << bIdx)
+      bIdx += 1
     }
     out
   }

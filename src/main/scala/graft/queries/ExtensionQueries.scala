@@ -95,6 +95,32 @@ object ExtensionQueries {
   private val sqlIvfScores: String = (0 until Similarity.IvfLists)
     .map(c => sqlDot("embedding", sqlCentroid(c))).mkString("[", ",\n  ", "]")
 
+  /** 64-bit derived-chunk SimHash CTE chain (norm → tk → th → bs → sg),
+    * mirroring Dedup.simHash / graft.functions.SimHashDerived: chunk c
+    * draws its 16 bits from (a_c·th + b_c) mod p. Bit 63's weight is
+    * Long.MIN_VALUE — assembled as the signed two's-complement term both
+    * engines agree on. */
+  private lazy val sqlSimHashCtes: String = {
+    val width = Dedup.SimHashChunkWidth
+    def remix(c: Int) = s"((th * ${Dedup.simHashA(c)} + ${Dedup.simHashB(c)}) % $Mod)"
+    val bitSum = (j: Int) => {
+      val c = j / width; val i = j % width
+      s"SUM(CASE WHEN (${remix(c)} >> $i) & 1 = 1 THEN 1 ELSE -1 END)"
+    }
+    val assemble = (0 until Dedup.SimHashBits).map { j =>
+      val term =
+        if (j == 63) "(-9223372036854775807 - 1)"
+        else s"CAST(${1L << j} AS BIGINT)"
+      s"(CASE WHEN s$j > 0 THEN $term ELSE 0 END)"
+    }.mkString(" + ")
+    s"""norm AS (SELECT doc_id, $sqlNorm AS t FROM documents),
+       |tk AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+       |th AS (SELECT doc_id, ${sqlStringHash("tok")} AS th FROM tk),
+       |bs AS (SELECT doc_id, ${(0 until Dedup.SimHashBits).map(j => s"${bitSum(j)} AS s$j").mkString(", ")}
+       |  FROM th GROUP BY doc_id),
+       |sg AS (SELECT doc_id, CAST($assemble AS BIGINT) AS sh FROM bs)""".stripMargin
+  }
+
   /** Quality-feature CTE chain (f raw counts → g typed/ratios) shared by
     * x03 and x25 — the score expression must be textually identical in
     * both so the doubles agree. */
@@ -587,34 +613,16 @@ object ExtensionQueries {
          |FROM ver WHERE CAST(inter AS DOUBLE) / uni >= $JaccardThreshold
          |ORDER BY id_a, id_b""".stripMargin,
 
-    "x08_simhash" -> {
-      val bitSum = (j: Int) =>
-        s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END)"
-      val assemble = (0 until Dedup.SimHashBits).map { j =>
-        s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH norm AS (SELECT doc_id, $sqlNorm AS t FROM documents),
-         |tk AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
-         |th AS (SELECT doc_id, ${sqlStringHash("tok")} AS th FROM tk),
-         |bs AS (SELECT doc_id, ${(0 until Dedup.SimHashBits).map(j => s"${bitSum(j)} AS s$j").mkString(", ")}
-         |  FROM th GROUP BY doc_id)
-         |SELECT doc_id, $assemble AS simhash FROM bs ORDER BY doc_id""".stripMargin
-    },
+    "x08_simhash" ->
+      s"""WITH $sqlSimHashCtes
+         |SELECT doc_id, sh AS simhash FROM sg ORDER BY doc_id""".stripMargin,
 
     "x09_simhash_pairs" -> {
-      val bitSum = (j: Int) =>
-        s"SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END)"
-      val assemble = (0 until Dedup.SimHashBits).map { j =>
-        s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH norm AS (SELECT doc_id, $sqlNorm AS t FROM documents),
-         |tk AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
-         |th AS (SELECT doc_id, ${sqlStringHash("tok")} AS th FROM tk),
-         |bs AS (SELECT doc_id, ${(0 until Dedup.SimHashBits).map(j => s"${bitSum(j)} AS s$j").mkString(", ")}
-         |  FROM th GROUP BY doc_id),
-         |sg AS (SELECT doc_id, $assemble AS sh FROM bs),
-         |banded AS (SELECT doc_id, sh, chunk, (sh >> CAST(chunk * 10 AS INT)) & 1023 AS ck
-         |  FROM sg, range(0, 3) r(chunk)),
+      val w = Dedup.SimHashChunkWidth
+      s"""WITH $sqlSimHashCtes,
+         |banded AS (SELECT doc_id, sh, chunk,
+         |    (sh >> CAST(chunk * $w AS INT)) & ${(1L << w) - 1} AS ck
+         |  FROM sg, range(0, ${Dedup.SimHashChunks}) r(chunk)),
          |pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
          |    bit_count(xor(l.sh, r.sh)) AS hamming
          |  FROM banded l JOIN banded r

@@ -52,10 +52,27 @@ class HashExpressionsSpec extends SparkSpec {
     assert(sig.toSeq === Seq(0L, 0L))
   }
 
-  test("SimHashFromTokens: empty input is 0; single token echoes its bits") {
-    assert(SimHashFromTokens.sim(new GenericArrayData(Array.empty[Long]), 30) === 0L)
+  test("SimHashDerived: empty input is 0; single token echoes its remixed bits") {
+    val a = Array(1L, 3L); val b = Array(0L, 7L); val width = 16
+    assert(SimHashDerived.sim(new GenericArrayData(Array.empty[Long]), a, b, width) === 0L)
+    // one token: every bit sum is ±1, so the signature IS the remixed
+    // chunk bits — chunk 0 (identity remix) echoes the hash's low 16 bits,
+    // chunk 1 echoes (3h+7) mod p's low 16 bits shifted into place
     val h = 0x15555555L & ((1L << 30) - 1)
-    assert(SimHashFromTokens.sim(new GenericArrayData(Array(h)), 30) === h)
+    val expected = (h & 0xFFFFL) | ((((3 * h + 7) % Mod) & 0xFFFFL) << width)
+    assert(SimHashDerived.sim(new GenericArrayData(Array(h)), a, b, width) === expected)
+  }
+
+  test("SimHashDerived: bit 63 lands in the sign bit without overflow") {
+    // a token hash whose chunk-3 remix has bit 15 set forces bit 63 of the
+    // 4×16 signature; the result must be the negative two's-complement long
+    val a = (0 until 4).map(c => graft.ext.Dedup.simHashA(c)).toArray
+    val b = (0 until 4).map(c => graft.ext.Dedup.simHashB(c)).toArray
+    val hit = (0L until 200000L).find { h =>
+      (((a(3) * h + b(3)) % Mod) & 0x8000L) != 0L
+    }.get
+    val sig = SimHashDerived.sim(new GenericArrayData(Array(hit)), a, b, 16)
+    assert(sig < 0L, s"bit63 signature must be negative, got $sig")
   }
 
   test("expressions agree between codegen and interpreted eval") {
