@@ -160,10 +160,10 @@ object Similarity {
     * (vec_id, dim, q): per-dim stats are one small aggregate broadcast
     * back; all arithmetic is deterministic double math on exact float
     * inputs, so a SQL oracle reproduces every code. Constant dimensions
-    * (max == min) map to 0. */
+    * (max == min) map to 0. Quantizes whatever length each vector has —
+    * `posexplode` + per-dim grouping need no declared dimensionality. */
   def quantizeMinMax(
       corpus: DataFrame,
-      dim: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val exploded = corpus.select(col(idCol),
@@ -180,17 +180,38 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs: bucket with LSH, verify with
     * exact cosine ≥ threshold inside buckets (the embedding analog of
-    * [[Dedup.minHashNearDups]]). */
+    * [[Dedup.minHashNearDups]]).
+    *
+    * 100 TB shape (round-2 fixes): `planes` defaults to 16 — 65k buckets,
+    * so bucket population scales with corpus/65k instead of corpus/256 —
+    * and degenerate buckets (embedding boilerplate: zero vectors, cluster
+    * collapse) are dropped outright at `maxBucket`, mirroring
+    * [[Dedup.candidatePairs]]; run [[overCapEmbeddingBuckets]] on the same
+    * assignment for the coverage report. The recall cost of the finer
+    * bucketing is bought back with Hamming-1 multiprobe: each vector also
+    * probes the `planes` buckets one sign-flip away, so any pair agreeing
+    * on ≥ planes−1 hyperplane signs is still compared. Probe fan-out is
+    * `planes+1` rows per vector — linear, never quadratic. */
   def cosineNearDups(
       corpus: DataFrame,
       threshold: Double,
-      planes: Int = 8,
+      planes: Int = 16,
       dim: Int = 64,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val b = lshBuckets(corpus, planes, dim, idCol, vecCol)
-    val l = b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val r = b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+      vecCol: String = "embedding",
+      maxBucket: Int = 1000): DataFrame = {
+    val sized = lshBuckets(corpus, planes, dim, idCol, vecCol)
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("bucket")))
+      .filter(col("bucket_n") <= maxBucket)
+    // Hamming-1 probes are symmetric (a^bit = b ⟺ b^bit = a), so exploding
+    // the LEFT side only still generates every qualifying pair in both
+    // orientations; id_a < id_b then keeps each exactly once (pre-distinct:
+    // a pair can arrive via several probes).
+    val probes = array(col("bucket") +:
+      (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)
+    val l = sized.select(explode(probes).as("bucket"),
+      col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val r = sized.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     l.join(r, "bucket")
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", vec_cosine(col("vec_a"), col("vec_b")))
@@ -198,4 +219,19 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
       .distinct()
   }
+
+  /** The buckets [[cosineNearDups]] drops at `maxBucket` — the coverage
+    * report for the silent fast-path drop (the embedding analog of
+    * [[Dedup.overCapBuckets]]). */
+  def overCapEmbeddingBuckets(
+      corpus: DataFrame,
+      planes: Int = 16,
+      dim: Int = 64,
+      maxBucket: Int = 1000,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    lshBuckets(corpus, planes, dim, idCol, vecCol)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
 }

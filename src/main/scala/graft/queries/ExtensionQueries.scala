@@ -26,7 +26,9 @@ object ExtensionQueries {
   private val IncrementalSplit = 400L
   private val DecontamThreshold = 0.35
   private val CosineThreshold = 0.30
-  private val Planes = 8
+  private val Planes = 8        // x11 bucket-assignment surface
+  private val CosinePlanes = 16 // x12 near-dup banding (65k buckets + multiprobe)
+  private val CosineMaxBucket = 1000
   private val Dim = 64
 
   // ---- shared SQL fragments (DuckDB dialect) ----
@@ -80,8 +82,8 @@ object ExtensionQueries {
     s"""list_transform(range(1, ${Dim + 1}),
        |  d -> CAST(CAST((((1 + $j * 1009 + (d - 1) * 9176) % 1999) - 999) / 999.0 AS FLOAT) AS DOUBLE))""".stripMargin
 
-  private def sqlBucket(vec: String): String =
-    (0 until Planes).map { j =>
+  private def sqlBucket(vec: String, planes: Int = Planes): String =
+    (0 until planes).map { j =>
       s"(CASE WHEN ${sqlDot(vec, sqlPlane(j))} > 0.0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
@@ -258,9 +260,11 @@ object ExtensionQueries {
         .select(col("vec_id"), col("bucket"))
         .orderBy("vec_id")),
 
-    // embedding near-dup pairs: LSH-bucketed + exact cosine verify
+    // embedding near-dup pairs: 16-plane LSH buckets (capped at maxBucket)
+    // + Hamming-1 multiprobe + exact cosine verify
     "x12_cosine_neardups" -> ((s, dir) =>
-      Similarity.cosineNearDups(Tables.embeddings(s, dir), CosineThreshold, Planes, Dim)
+      Similarity.cosineNearDups(Tables.embeddings(s, dir), CosineThreshold,
+          CosinePlanes, Dim, maxBucket = CosineMaxBucket)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
         .orderBy("id_a", "id_b")),
 
@@ -651,12 +655,18 @@ object ExtensionQueries {
 
     "x12_cosine_neardups" ->
       s"""WITH b AS (SELECT vec_id, embedding,
-         |    CAST(${sqlBucket("embedding")} AS BIGINT) AS bucket FROM embeddings),
+         |    CAST(${sqlBucket("embedding", CosinePlanes)} AS BIGINT) AS bucket FROM embeddings),
+         |c AS (SELECT * FROM b
+         |  QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= $CosineMaxBucket),
+         |pr AS (SELECT vec_id, embedding,
+         |    unnest([bucket] || list_transform(range(0, $CosinePlanes),
+         |      j -> xor(bucket, CAST(1 AS BIGINT) << j))) AS bucket
+         |  FROM c),
          |p AS (SELECT l.vec_id AS id_a, r.vec_id AS id_b,
          |    ${sqlDot("l.embedding", "r.embedding")} /
          |    (sqrt(${sqlDot("l.embedding", "l.embedding")}) *
          |     sqrt(${sqlDot("r.embedding", "r.embedding")})) AS cosine
-         |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+         |  FROM pr l JOIN c r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
          |SELECT DISTINCT id_a, id_b, round(cosine, 6) AS cosine_r FROM p
          |WHERE cosine >= $CosineThreshold ORDER BY id_a, id_b""".stripMargin,
 

@@ -27,6 +27,24 @@ object ScaleProbe {
       println(f"neardup scale=${f}x docs=${5000 * f}%6d pairs=$n%8d time=$dt%7.2f s")
     }
 
+    // Embedding near-dup slope: embeddings replicated f× (ids shifted,
+    // vectors perturbed per replica via a deterministic per-dim nudge so
+    // replicas land in neighboring-but-not-identical buckets). With 16
+    // planes + Hamming-1 multiprobe + maxBucket the pair join must track
+    // Σ bucket² of CAPPED buckets — near-linear while buckets stay small.
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    for (f <- Seq(1, 5, 10, 20)) {
+      val grown = (0 until f).map { r =>
+        emb.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
+          transform(col("embedding"),
+            (v, i) => v + (i % (r + 2)).cast("float") * 0.01f).as("embedding"))
+      }.reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val n = graft.ext.Similarity.cosineNearDups(grown, threshold = 0.30).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"cosine  scale=${f}x vecs=${5000 * f}%7d pairs=$n%8d time=$dt%7.2f s")
+    }
+
     // As-of join slope: events replicated f× with disjoint user spaces —
     // the union+window layout should track input size (one key shuffle,
     // per-key ordered pass; users partition across replicas).
