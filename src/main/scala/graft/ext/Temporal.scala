@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.{Column, DataFrame}
 
 /**
@@ -50,27 +51,36 @@ object Temporal {
 
     // Right rows sort BEFORE left rows at equal ts (side 0 < 1) → a right
     // row at exactly the left ts is visible to it (inclusive semantics).
+    //
+    // ALL payload columns travel inside ONE struct carried by a single
+    // last(ignoreNulls) — carrying each column independently would stitch
+    // values from DIFFERENT right rows whenever the latest right row has a
+    // null in one payload column (per-column carry skips just that null
+    // and back-fills it from an older row, breaking matched-row as-of
+    // semantics). The struct from the matched row is non-null as a whole
+    // even when fields inside it are null, so nulls pass through faithfully.
+    val payloadStructType = StructType(payloadCols.map(c =>
+      StructField(c, rTypes(c), nullable = true)))
     val l = left.select(
       keys.map(col) ++
         Seq(col(tsCol).as("_ts"), col(tieCol).as("_tie"), lit(1).as("_side")) ++
-        leftOnly.map(col) ++
-        payloadCols.map(c => lit(null).cast(rTypes(c)).as(c)): _*)
+        leftOnly.map(col) :+
+        lit(null).cast(payloadStructType).as("_payload"): _*)
     val r = right.select(
       keys.map(col) ++
         Seq(col(tsCol).as("_ts"), col(tieCol).as("_tie"), lit(0).as("_side")) ++
-        leftOnly.map(c => lit(null).cast(lTypes(c)).as(c)) ++
-        payloadCols.map(col): _*)
+        leftOnly.map(c => lit(null).cast(lTypes(c)).as(c)) :+
+        struct(payloadCols.map(col): _*).as("_payload"): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ts"), col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(l.unionByName(r)) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
+    val carried = l.unionByName(r)
+      .withColumn("_payload", last(col("_payload"), ignoreNulls = true).over(w))
     carried.filter(col("_side") === 1)
       .select(keys.map(col) ++ Seq(col("_ts").as(tsCol), col("_tie").as(tieCol)) ++
         leftOnly.filterNot(c => c == tsCol || c == tieCol).map(col) ++
-        payloadCols.map(col): _*)
+        payloadCols.map(p => col("_payload")(p).as(p)): _*)
   }
 
   /**

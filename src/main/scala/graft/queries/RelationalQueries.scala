@@ -328,21 +328,19 @@ object RelationalQueries {
       """WITH u AS (
         |  SELECT user_id, ts, event_id AS tie, 0 AS side,
         |         CAST(NULL AS BIGINT) AS p_event,
-        |         event_id AS click_id, value AS click_value
+        |         struct_pack(click_id := event_id, click_value := value) AS payload
         |  FROM events WHERE event_type = 'click'
         |  UNION ALL
         |  SELECT user_id, ts, event_id, 1, event_id,
-        |         CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+        |         CAST(NULL AS STRUCT(click_id BIGINT, click_value DOUBLE))
         |  FROM events WHERE event_type = 'purchase'),
         |w AS (
-        |  SELECT *,
-        |    last_value(click_id IGNORE NULLS) OVER win AS asof_click_id,
-        |    last_value(click_value IGNORE NULLS) OVER win AS asof_click_value
+        |  SELECT *, last_value(payload IGNORE NULLS) OVER win AS p
         |  FROM u
         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, tie
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT user_id, p_event AS event_id, epoch_ms(ts) AS ts_ms,
-        |       asof_click_id AS click_id, asof_click_value AS click_value
+        |       p.click_id AS click_id, p.click_value AS click_value
         |FROM w WHERE side = 1 ORDER BY user_id, event_id""".stripMargin,
 
     "r16_range_count" ->

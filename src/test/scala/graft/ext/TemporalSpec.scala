@@ -54,6 +54,27 @@ class TemporalSpec extends SparkSpec {
     assert(out.count() === purchases.count())
   }
 
+  test("asOfJoinBackward: null payload fields come from the MATCHED row, not back-filled") {
+    import spark.implicits._
+    // The latest right row before the probe has click_id set but
+    // click_value NULL. Per-column carry would back-fill click_value from
+    // the OLDER row (stitching two right rows together); matched-row
+    // semantics must emit (101, null).
+    val r = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, Some(1.0)),
+      (1L, ts("2024-01-01 10:05:00"), 101L, Option.empty[Double])
+    ).toDF("user_id", "ts", "event_id", "click_value")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("click_id"), col("click_value"))
+    val l = Seq((1L, ts("2024-01-01 10:06:00"), 500L))
+      .toDF("user_id", "ts", "event_id")
+    val out = Temporal.asOfJoinBackward(l, r,
+        Seq("user_id"), "ts", "event_id", Seq("click_id", "click_value"))
+      .select("click_id", "click_value").collect().head
+    assert(out.getLong(0) === 101L)
+    assert(out.isNullAt(1), "click_value must be the matched row's NULL")
+  }
+
   test("rangeCountBackward: half-open [ts-width, ts) window counts") {
     // width 5 minutes; purchase at 10:05 counts clicks in [10:00, 10:05):
     // click 100 at 10:00 is IN (closed lower), 101/102 at 10:05 are OUT
