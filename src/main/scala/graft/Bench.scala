@@ -33,10 +33,15 @@ object Bench {
     // A failed query records its elapsed time NEGATED (sentinel) and its
     // name in "failed" — a fast failure must not look like a fast success.
     // SPARK_GRAFT_ONLY=q1,q2 restricts the battery (iteration aid; the
-    // driver runs the full set)
+    // driver runs the full set). SPARK_GRAFT_RUNS=N (default 3) runs each
+    // query N times and reports the per-query MEDIAN — single-shot timings
+    // on this box have documented ±40% noise (PERF.md), which burned two
+    // rounds on regression adjudication; medians make timings comparable
+    // across rounds.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
     val selected = SparkEntry.queries.filter { case (k, _) => only.forall(_.contains(k)) }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -45,12 +50,23 @@ object Bench {
           false
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      // Between queries (outside the timing): drop cached blocks left by
+      // Between runs (outside the timing): drop cached blocks left by
       // operators that persist() internally (near-dup pipelines). Each
       // query is standalone; leftover blocks from predecessors only add
       // storage pressure and evict-churn to successors.
       spark.catalog.clearCache()
-      (name, if (ok) elapsed else -elapsed, ok)
+      (elapsed, ok)
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val trials = (1 to runs).map(_ => timeOnce(name, fn))
+      val ok = trials.forall(_._2)
+      val m = median(trials.map(_._1))
+      (name, if (ok) m else -m, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
