@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Positional (zip-style) operators — the J2 shape of SURVEY.md §2.5
+ * (reference: cluster/Workers.scala:300-302 zips config-sized lists by
+ * index).
+ *
+ * The naive formulation is `row_number().over(Window.orderBy(...))` — a
+ * partition-less window that funnels the entire input through ONE task to
+ * assign a global rank. Fine for the reference's config-sized lists, fatal
+ * for a 100 TB table. The library shape here is the classic two-pass
+ * global index:
+ *
+ *   1. range-repartition on the sort key (rows in partition i all sort
+ *      before rows in partition i+1);
+ *   2. per-partition local `row_number()` (window partitioned by the
+ *      physical partition id — fully parallel);
+ *   3. per-partition counts → driver-side prefix sum (≤ numPartitions
+ *      longs — a control-plane collect, sanctioned by SURVEY §3.2) →
+ *      broadcast the offsets back and add `offset + local_rank`.
+ *
+ * The intermediate is persisted so the count job and the output job see
+ * the same physical partitioning (range-partitioner sampling is
+ * deterministic on recompute, but the persist avoids paying the pass
+ * twice).
+ */
+object Positional {
+
+  private val PidCol = "__graft_pid"
+  private val LocalCol = "__graft_local_rn"
+  private val OffCol = "__graft_off"
+
+  /**
+   * Adds `posCol` (1-based LongType global position by `order`) without a
+   * partition-less window. `order` must be a total order (include a unique
+   * tiebreak column) — ties across a partition boundary would otherwise
+   * make the rank nondeterministic.
+   */
+  def withGlobalPosition(df: DataFrame, order: Seq[Column], posCol: String): DataFrame = {
+    val ranged = df
+      .repartitionByRange(order: _*)
+      .withColumn(PidCol, spark_partition_id())
+    val local = ranged
+      .withColumn(LocalCol, row_number().over(
+        Window.partitionBy(PidCol).orderBy(order: _*)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = local.groupBy(PidCol).count().collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (p, c) => val o = acc; acc += c; (p, o) }
+    val offDf = df.sparkSession.createDataFrame(offsets.toSeq).toDF(PidCol, OffCol)
+    local.join(broadcast(offDf), PidCol)
+      .withColumn(posCol, col(OffCol) + col(LocalCol).cast("long"))
+      .drop(PidCol, LocalCol, OffCol)
+  }
+
+  /**
+   * Positional (index) join: left ranked by `leftOrder` zipped with right
+   * ranked by `rightOrder` on equal 1-based position. Output keeps `posCol`
+   * plus all columns of both sides. Inner-join semantics on position
+   * (unmatched tail of the longer side drops), matching Scala's `zip`.
+   */
+  def zipByPosition(left: DataFrame, leftOrder: Seq[Column],
+                    right: DataFrame, rightOrder: Seq[Column],
+                    posCol: String = "pos"): DataFrame = {
+    val l = withGlobalPosition(left, leftOrder, posCol)
+    val r = withGlobalPosition(right, rightOrder, posCol)
+    l.join(r, posCol)
+  }
+}

@@ -107,15 +107,19 @@ object RelationalQueries {
     }),
 
     // J2 — positional join (zip): suppliers ranked by balance zipped with
-    // nations ranked by key (reference: cluster/Workers.scala:300-302)
+    // nations ranked by key (reference: cluster/Workers.scala:300-302).
+    // Global positions come from ext.Positional's two-pass partition-offset
+    // rank (range repartition → local row_number → prefix-summed offsets),
+    // NOT a partition-less window — supplier grows with scale factor and a
+    // global-sort funnel would put the whole table through one task.
     "r07_positional_zip" -> ((s, dir) => {
-      val sw = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
-      val nw = Window.orderBy(col("n_nationkey"))
-      val su = Tables.supplier(s, dir)
-        .select(row_number().over(sw).as("pos"), col("s_name"))
-      val na = Tables.nation(s, dir)
-        .select(row_number().over(nw).as("pos"), col("n_name"))
-      su.join(na, "pos").orderBy("pos")
+      val su = Tables.supplier(s, dir).select("s_acctbal", "s_suppkey", "s_name")
+      val na = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      graft.ext.Positional.zipByPosition(
+          su, Seq(col("s_acctbal").desc, col("s_suppkey")),
+          na, Seq(col("n_nationkey")))
+        .select(col("pos").cast("int").as("pos"), col("s_name"), col("n_name"))
+        .orderBy("pos")
     }),
 
     // J4 — carry-forward of previous state per key (reference:

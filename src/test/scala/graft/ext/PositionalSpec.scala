@@ -1,0 +1,50 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PositionalSpec extends SparkSpec {
+
+  test("withGlobalPosition matches a global sort rank, multi-partition") {
+    import spark.implicits._
+    // 1000 rows, shuffled insertion order, values with duplicates so the
+    // tiebreak column is load-bearing.
+    val rows = scala.util.Random.shuffle((1 to 1000).toList)
+      .map(i => (i % 97, i)) // (value with dups, unique id)
+    val df = rows.toDF("v", "id").repartition(7)
+    val got = Positional.withGlobalPosition(df, Seq(col("v"), col("id")), "pos")
+      .orderBy("pos").select("v", "id", "pos").as[(Int, Int, Long)].collect()
+    val want = rows.sorted.zipWithIndex.map { case ((v, id), i) => (v, id, i + 1L) }
+    assert(got.toSeq === want)
+  }
+
+  test("zipByPosition zips two differently-ordered frames by rank") {
+    import spark.implicits._
+    val l = Seq((3, "c"), (1, "a"), (2, "b"), (4, "d")).toDF("lk", "lv")
+    val r = Seq((30, "z"), (10, "x"), (20, "y")).toDF("rk", "rv")
+    val got = Positional.zipByPosition(l, Seq(col("lk")), r, Seq(col("rk").desc))
+      .select("pos", "lv", "rv").as[(Long, String, String)].collect().sortBy(_._1)
+    // left asc by lk: a,b,c,d; right desc by rk: z,y,x; inner zip drops "d"
+    assert(got.toSeq === Seq((1L, "a", "z"), (2L, "b", "y"), (3L, "c", "x")))
+  }
+
+  test("withGlobalPosition plans no partition-less window") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i, s"n$i")).toDF("k", "name")
+    val out = Positional.withGlobalPosition(df, Seq(col("k")), "pos")
+    def bad(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+      val here = p match {
+        case w: WindowExec => w.partitionSpec.isEmpty
+        case _ => false
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case x => x.children
+      }
+      here || kids.exists(bad)
+    }
+    assert(!bad(out.queryExecution.executedPlan))
+  }
+}

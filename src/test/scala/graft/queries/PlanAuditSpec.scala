@@ -94,24 +94,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"stats join must broadcast:\n$p")
   }
 
-  test("m05/m06 + MetricAnalytics lineage: no partition-less window (global sort funnel)") {
-    import org.apache.spark.sql.execution.SparkPlan
+  private def partitionlessWindows(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec
+    val here = plan match {
+      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+      case _ => Nil
+    }
+    val kids = plan match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case p => p.children
+    }
+    here ++ kids.flatMap(partitionlessWindows)
+  }
+
+  test("m05/m06 + MetricAnalytics lineage: no partition-less window (global sort funnel)") {
     import org.apache.spark.sql.functions._
     import graft.analytics.MetricAnalytics
-
-    def partitionlessWindows(plan: SparkPlan): Seq[WindowExec] = {
-      val here = plan match {
-        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
-        case _ => Nil
-      }
-      val kids = plan match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case p => p.children
-      }
-      here ++ kids.flatMap(partitionlessWindows)
-    }
 
     val samples = graft.sources.Tables.events(spark, dir)
       .select(col("ts"), col("user_id").cast("string").as("node"), col("value"))
@@ -131,6 +131,14 @@ class PlanAuditSpec extends SparkSpec {
         s"$name funnels the frame through a single-partition window:\n" +
           df.queryExecution.executedPlan.toString)
     }
+  }
+
+  test("r07: positional zip has no partition-less window (two-pass global index)") {
+    val df = SparkEntry.queries("r07_positional_zip")(spark, dir)
+    val bad = partitionlessWindows(df.queryExecution.executedPlan)
+    assert(bad.isEmpty,
+      s"r07 funnels a table through a single-partition window:\n" +
+        df.queryExecution.executedPlan.toString)
   }
 
   test("x06: minhash signatures are computed shuffle-free below the explode") {
