@@ -64,6 +64,11 @@ object Dedup {
     * keys (any odd constant < mod works; shared with the oracle SQL). */
   val CombineMult: Long = 1000003L
 
+  /** Default degenerate-bucket cap for all LSH candidate joins — shared
+    * with the DuckDB oracles (ExtensionQueries), so engine and oracle
+    * provably apply the same drop policy at any scale factor. */
+  val DefaultMaxBucket: Int = 1000
+
   /** Per-token rolling hashes of the normalized text — one compiled pass
     * ([[graft.functions.TokenRollingHashes]]); shingle hashes combine
     * these instead of re-hashing shingle strings character-by-character
@@ -110,11 +115,18 @@ object Dedup {
     * instead of pairwise). */
   def candidatePairs(
       banded: DataFrame,
-      maxBucket: Int = 1000): DataFrame = {
-    val sized = banded
-      .withColumn("bucket_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")))
-      .filter(col("bucket_n") <= maxBucket)
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // The cap is applied as a broadcast ANTI join against the over-cap
+    // bucket list: groupBy sizes aggregate map-side, and only pathological
+    // buckets exceed the cap so the list is tiny at any scale. A
+    // per-bucket window count would shuffle every member of a degenerate
+    // bucket into ONE task just to discard it — the exact skew funnel the
+    // cap exists to avoid. `banded` is persisted because three consumers
+    // (sizes, both join sides) would otherwise recompute the signature
+    // projection.
+    val b = banded.persist()
+    val over = overCapBuckets(b, maxBucket).select("band", "band_key")
+    val sized = b.join(broadcast(over), Seq("band", "band_key"), "left_anti")
     val l = sized.select(col("band"), col("band_key"), col("id").as("id_a"))
     val r = sized.select(col("band"), col("band_key"), col("id").as("id_b"))
     l.join(r, Seq("band", "band_key"))
@@ -125,7 +137,7 @@ object Dedup {
   /** The buckets [[candidatePairs]] drops at `maxBucket`: one row per
     * over-cap (band, band_key) with its member count — the coverage report
     * for the silent fast-path drop above. */
-  def overCapBuckets(banded: DataFrame, maxBucket: Int = 1000): DataFrame =
+  def overCapBuckets(banded: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame =
     banded.groupBy("band", "band_key")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)
@@ -220,7 +232,7 @@ object Dedup {
       incoming: DataFrame,
       threshold: Double = 0.5,
       p: MinHashParams = MinHashParams(),
-      maxBucket: Int = 1000,
+      maxBucket: Int = DefaultMaxBucket,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val newSh = incoming.select(col(idCol).as("id"),
@@ -230,11 +242,15 @@ object Dedup {
     val allBanded = corpusBanded.select(col("id"), col("band"), col("band_key"))
       .withColumn("is_new", lit(false))
       .unionByName(newBanded.withColumn("is_new", lit(true)))
-    // cap on union totals — identical drop decisions to the full run
-    val sized = allBanded
-      .withColumn("bucket_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")))
-      .filter(col("bucket_n") <= maxBucket)
+      .persist()
+    // cap on union totals — identical drop decisions to the full run;
+    // broadcast anti-join against the over-cap list, same rationale as
+    // candidatePairs (no per-bucket window funnel)
+    val over = allBanded.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select("band", "band_key")
+    val sized = allBanded.join(broadcast(over), Seq("band", "band_key"), "left_anti")
     val l = sized.filter(col("is_new"))
       .select(col("band"), col("band_key"), col("id").as("id_l"))
     val r = sized.select(col("band"), col("band_key"), col("id").as("id_r"))
@@ -260,13 +276,21 @@ object Dedup {
       benchmark: DataFrame,
       threshold: Double = 0.5,
       p: MinHashParams = MinHashParams(),
+      maxBucket: Int = DefaultMaxBucket,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     def sh(df: DataFrame) = df.select(col(idCol).as("id"),
       sort_array(shingleHashes(col(textCol))).as("sh"))
     val corpSh = sh(corpus).persist()
     val benchSh = sh(benchmark).persist()
-    val cands = bandedFromShingles(corpSh, p)
+    // Degenerate CORPUS buckets (boilerplate that lands thousands of
+    // training docs on one band key) are dropped at `maxBucket`, same
+    // policy and anti-join shape as candidatePairs — the benchmark side
+    // is small by construction and stays uncapped.
+    val corpBanded = bandedFromShingles(corpSh, p).persist()
+    val over = overCapBuckets(corpBanded, maxBucket).select("band", "band_key")
+    val corpCapped = corpBanded.join(broadcast(over), Seq("band", "band_key"), "left_anti")
+    val cands = corpCapped
       .join(bandedFromShingles(benchSh, p)
           .withColumnRenamed("id", "bench_id"),
         Seq("band", "band_key"))

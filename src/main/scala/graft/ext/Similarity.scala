@@ -200,9 +200,18 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       maxBucket: Int = 1000): DataFrame = {
-    val sized = lshBuckets(corpus, planes, dim, idCol, vecCol)
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("bucket")))
-      .filter(col("bucket_n") <= maxBucket)
+    // Bucket assignment is persisted (two join sides would otherwise
+    // recompute the 16×dim LSH projection per vector), and the cap is a
+    // broadcast ANTI join against the tiny over-cap bucket list — a
+    // per-bucket window count would shuffle a degenerate bucket's whole
+    // membership into one task just to drop it, the exact skew funnel
+    // the cap exists to avoid (groupBy sizes aggregate map-side, as
+    // overCapEmbeddingBuckets already does).
+    val buckets = lshBuckets(corpus, planes, dim, idCol, vecCol).persist()
+    val over = buckets.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select("bucket")
+    val sized = buckets.join(broadcast(over), Seq("bucket"), "left_anti")
     // Hamming-1 probes are symmetric (a^bit = b ⟺ b^bit = a), so exploding
     // the LEFT side only still generates every qualifying pair in both
     // orientations; id_a < id_b then keeps each exactly once (pre-distinct:

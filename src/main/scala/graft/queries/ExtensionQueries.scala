@@ -70,6 +70,15 @@ object ExtensionQueries {
        |    (a, b) -> (a * $C + b) % $Mod) AS band_key
        |  FROM sig, range(0, ${P.bands}) r(band))""".stripMargin
 
+  /** Banded CTE with the engine's degenerate-bucket cap applied
+    * ([[Dedup.DefaultMaxBucket]]) — oracle-side parity with
+    * [[Dedup.candidatePairs]]' drop policy. No sf0.01 bucket exceeds the
+    * cap today; the point is that engine and oracle share the SAME drop
+    * rule at any scale factor instead of silently diverging. */
+  private val sqlCappedBandedCte =
+    s"""bandedc AS (SELECT * FROM banded
+       |  QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= ${Dedup.DefaultMaxBucket})""".stripMargin
+
   /** Fold-order dot product of two DuckDB lists (matches the Catalyst
     * expressions' sequential accumulation). */
   private def sqlDot(a: String, b: String): String =
@@ -605,8 +614,9 @@ object ExtensionQueries {
     "x07_minhash_pairs" ->
       s"""WITH $sqlShingleCte,
          |$sqlBandedCte,
+         |$sqlCappedBandedCte,
          |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-         |  FROM banded l JOIN banded r
+         |  FROM bandedc l JOIN bandedc r
          |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
          |ver AS (SELECT id_a, id_b,
          |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
@@ -710,8 +720,9 @@ object ExtensionQueries {
     "x20_dedup_clusters" ->
       s"""WITH RECURSIVE $sqlShingleCte,
          |$sqlBandedCte,
+         |$sqlCappedBandedCte,
          |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-         |  FROM banded l JOIN banded r
+         |  FROM bandedc l JOIN bandedc r
          |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
          |ver AS (SELECT id_a, id_b,
          |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
@@ -824,10 +835,12 @@ object ExtensionQueries {
     "x27_decontaminate" ->
       s"""WITH $sqlShingleCte,
          |$sqlBandedCte,
+         |corpc AS (SELECT * FROM banded WHERE doc_id % 97 <> 0
+         |  QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= ${Dedup.DefaultMaxBucket}),
          |cand AS (SELECT DISTINCT c.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded c JOIN banded b
+         |  FROM corpc c JOIN banded b
          |    ON c.band = b.band AND c.band_key = b.band_key
-         |  WHERE c.doc_id % 97 <> 0 AND b.doc_id % 97 = 0),
+         |  WHERE b.doc_id % 97 = 0),
          |ver AS (SELECT id_a, id_b,
          |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
          |    len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS uni
@@ -861,8 +874,9 @@ object ExtensionQueries {
     "x26_incremental_dedup" ->
       s"""WITH $sqlShingleCte,
          |$sqlBandedCte,
+         |$sqlCappedBandedCte,
          |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-         |  FROM banded l JOIN banded r
+         |  FROM bandedc l JOIN bandedc r
          |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
          |ver AS (SELECT id_a, id_b,
          |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
@@ -888,8 +902,9 @@ object ExtensionQueries {
     "x25_keep_best" ->
       s"""WITH RECURSIVE $sqlShingleCte,
          |$sqlBandedCte,
+         |$sqlCappedBandedCte,
          |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-         |  FROM banded l JOIN banded r
+         |  FROM bandedc l JOIN bandedc r
          |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
          |ver AS (SELECT id_a, id_b,
          |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
