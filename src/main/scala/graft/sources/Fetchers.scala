@@ -30,14 +30,104 @@ trait MetricsFetcher {
 
 object MetricsFetcher {
   /** S9 — strategy dispatch by name; unknown → IllegalArgumentException
-    * (preserved verbatim from metrics/TrinoJmx.scala:29-32). */
-  def apply(name: String, fixtureDir: Option[String] = None): MetricsFetcher =
+    * (preserved verbatim from metrics/TrinoJmx.scala:29-32). A
+    * `coordinatorUrl` selects the live-socket [[RestFetcher]] for the
+    * "rest" strategy; without one both strategies replay fixtures. */
+  def apply(name: String, fixtureDir: Option[String] = None,
+            coordinatorUrl: Option[String] = None,
+            user: String = "trino", password: String = ""): MetricsFetcher =
     name.toLowerCase match {
       case "emr"  => new FixtureFetcher("emr", fixtureDir)
-      case "rest" => new FixtureFetcher("rest", fixtureDir)
+      case "rest" => coordinatorUrl
+        .map(new RestFetcher(_, user, password))
+        .getOrElse(new FixtureFetcher("rest", fixtureDir))
       case other  => throw new IllegalArgumentException(
         s"Unsupported metrics fetcher: $other (expected 'emr' or 'rest')")
     }
+}
+
+/**
+ * S1/S2 — the live REST scrape (reference: metrics/TrinoJmxRest.scala):
+ * GET with basic auth and a 5 s timeout (`:26`), per-request
+ * fall-back-to-empty so one dead node degrades its own payload instead of
+ * aborting the tick (`:122-131`). HTTP happens on the DRIVER — the node
+ * list is cluster-sized (hundreds of rows), a control-plane fetch per
+ * SURVEY.md §2.1; the resulting frames then flow through the distributed
+ * pipeline like any other source.
+ *
+ * @param coordinatorUrl e.g. "http://coordinator:8889" — also determines
+ *                       the scheme/port used for per-node scrapes when
+ *                       `nodePort` is not given (reference builds node
+ *                       URLs from TrinoRestSchema/TrinoServerPort,
+ *                       TrinoJmxRest.scala:92)
+ */
+class RestFetcher(
+    coordinatorUrl: String,
+    user: String = "trino",
+    password: String = "",
+    nodePort: Option[Int] = None,
+    timeoutSeconds: Long = 5) extends MetricsFetcher {
+
+  override val name: String = "rest"
+
+  private val JmxPath = "v1/jmx/mbean"
+  private val OsMBean = "java.lang:type=OperatingSystem"
+  private val timeout = java.time.Duration.ofSeconds(timeoutSeconds)
+  private val parsedUrl = new java.net.URI(coordinatorUrl)
+  private val scheme = Option(parsedUrl.getScheme).getOrElse("http")
+  private val port = nodePort.getOrElse(
+    if (parsedUrl.getPort > 0) parsedUrl.getPort else 8889)
+  private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(timeout)
+    .build()
+
+  /** GET with basic auth; any non-2xx / connect / timeout / parse failure
+    * → None (the reference's `fallbackTo(Map.empty)`). */
+  private def get(url: String): Option[String] =
+    try {
+      val auth = java.util.Base64.getEncoder.encodeToString(
+        s"$user:$password".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(timeout)
+        .header("Authorization", s"Basic $auth")
+        .GET().build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 == 2) Some(resp.body()) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Worker hosts from the coordinator's /v1/node list — the
+    * scheme-slash-host-colon regex extraction of TrinoJmxRest.scala:66-71,
+    * done driver-side on the raw JSON (Jackson ships with Spark). */
+  private[sources] def nodeHosts(): Seq[String] = {
+    val body = get(s"$coordinatorUrl/v1/node").getOrElse("[]")
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(body)
+      (0 until root.size()).flatMap { i =>
+        val uri = root.get(i).path("uri").asText("")
+        "//([^:/]+)".r.findFirstMatchIn(uri).map(_.group(1))
+      }.filter(_.nonEmpty)
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+
+  /** One mbean payload per node; a node that fails to answer contributes
+    * an EMPTY payload (downstream JmxJson parses it to the empty
+    * attribute map — reference behavior at TrinoJmxRest.scala:130). */
+  override def fetchPayloads(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = nodeHosts().map { h =>
+      (h, get(s"$scheme://$h:$port/$JmxPath/$OsMBean").getOrElse(""))
+    }
+    rows.toDF("node", "payload")
+  }
+
+  /** S4 — the /v1/autoscale EmrNodeStatus list as a NodeInfo frame;
+    * a fetch failure yields the empty frame, not an aborted tick. */
+  override def fetchNodeList(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val body = get(s"$coordinatorUrl/v1/autoscale").getOrElse("[]")
+    NodeListSource.parse(Seq(body).toDF("body"))
+  }
 }
 
 /** Replay fetcher: serves deterministic in-memory payloads (or a fixture

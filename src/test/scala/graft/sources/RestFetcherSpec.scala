@@ -1,0 +1,105 @@
+package graft.sources
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.SparkSpec
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+
+/** S1/S2 live-socket coverage: RestFetcher against an in-process HTTP stub
+  * serving reference-shaped payloads — basic auth enforced, per-node
+  * fallback-to-empty, short timeout (reference:
+  * metrics/TrinoJmxRest.scala:26,122-131). */
+class RestFetcherSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val expectedAuth =
+    "Basic " + Base64.getEncoder.encodeToString("trino:secret".getBytes(UTF_8))
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  /** Stub coordinator+worker in one server: 401 on any request without the
+    * expected basic-auth header. */
+  private def withStub[A](f: (HttpServer, Int) => A): A = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val port = server.getAddress.getPort
+    server.createContext("/", (ex: HttpExchange) => {
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      if (!auth.contains(expectedAuth)) respond(ex, 401, "unauthorized")
+      else ex.getRequestURI.getPath match {
+        case "/v1/node" => respond(ex, 200,
+          s"""[{"uri":"http://127.0.0.1:$port/v1/status","recentRequests":1.0,
+             |  "recentFailures":0,"recentSuccesses":1.0,
+             |  "lastRequestTime":"2023-03-03T15:32:01.895Z",
+             |  "lastResponseTime":"2023-03-03T15:32:01.895Z",
+             |  "recentFailureRatio":0,"age":"49.06m"},
+             | {"uri":"http://10.255.255.1:1/v1/status","recentRequests":0.0,
+             |  "recentFailures":0,"recentSuccesses":0.0,
+             |  "lastRequestTime":"2023-03-03T15:32:01.895Z",
+             |  "lastResponseTime":"2023-03-03T15:32:01.895Z",
+             |  "recentFailureRatio":0,"age":"1m"}]""".stripMargin)
+        case "/v1/jmx/mbean/java.lang:type=OperatingSystem" => respond(ex, 200,
+          """{"attributes":[{"name":"ProcessCpuLoad","value":0.42},
+            |               {"name":"AvailableProcessors","value":8}]}""".stripMargin)
+        case "/v1/autoscale" => respond(ex, 200,
+          """[{"nodeId":"i-1","nodeURI":"http://172.31.1.47:8889/v1/status",
+            |  "nodeRole":"worker","nodeState":"active","nodeVersion":"414"},
+            | {"nodeId":"i-2","nodeURI":"http://172.31.1.48:8889/v1/status",
+            |  "nodeRole":"coordinator","nodeState":"active","nodeVersion":"414"}]""".stripMargin)
+        case _ => respond(ex, 404, "not found")
+      }
+    })
+    server.start()
+    try f(server, port) finally server.stop(0)
+  }
+
+  test("S1: live scrape — node list, per-node mbean GET, dead node → empty payload") {
+    withStub { (_, port) =>
+      // dead-node timeout is 1 s so the fallback path doesn't stall the suite
+      val fetcher = new RestFetcher(s"http://127.0.0.1:$port", "trino", "secret",
+        timeoutSeconds = 1)
+      assert(fetcher.nodeHosts() === Seq("127.0.0.1", "10.255.255.1"))
+      val payloads = fetcher.fetchPayloads(spark)
+        .as[(String, String)].collect().toMap
+      assert(payloads("127.0.0.1").contains("ProcessCpuLoad"))
+      assert(payloads("10.255.255.1") === "") // per-node fallback-to-empty
+      // the empty payload zero-fills downstream, exactly like the fixture path
+      val parsed = JmxJson.parsePayloads(fetcher.fetchPayloads(spark), "payload",
+        Map("cpu" -> (("ProcessCpuLoad", org.apache.spark.sql.types.DoubleType))))
+      val byNode = parsed.select("node", "cpu").as[(String, Double)].collect().toMap
+      assert(byNode("127.0.0.1") === 0.42)
+      assert(byNode("10.255.255.1") === 0.0)
+    }
+  }
+
+  test("S4: /v1/autoscale node list round-trips into the NodeInfo frame") {
+    withStub { (_, port) =>
+      val fetcher = new RestFetcher(s"http://127.0.0.1:$port", "trino", "secret")
+      val nodes = fetcher.fetchNodeList(spark)
+        .select("nodeId", "nodeRole", "nodeState")
+        .as[(String, String, String)].collect().sortBy(_._1)
+      assert(nodes === Array(("i-1", "worker", "active"), ("i-2", "coordinator", "active")))
+    }
+  }
+
+  test("auth: wrong password → 401 on every request → empty frames, no throw") {
+    withStub { (_, port) =>
+      val fetcher = new RestFetcher(s"http://127.0.0.1:$port", "trino", "WRONG")
+      assert(fetcher.nodeHosts() === Seq.empty)
+      assert(fetcher.fetchPayloads(spark).count() === 0)
+      assert(fetcher.fetchNodeList(spark).count() === 0)
+    }
+  }
+
+  test("S9 dispatch: rest + coordinatorUrl selects the live fetcher") {
+    val live = MetricsFetcher("rest", coordinatorUrl = Some("http://127.0.0.1:1"))
+    assert(live.isInstanceOf[RestFetcher])
+    assert(MetricsFetcher("rest").isInstanceOf[FixtureFetcher])
+  }
+}
