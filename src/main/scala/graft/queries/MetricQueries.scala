@@ -255,12 +255,18 @@ object MetricQueries {
           coalesce(col("view"), lit(0L)).as("view"))
         .orderBy("day_ms")),
 
-    // approx distinct (HLL++) — deterministic for fixed data but not
-    // SQL-oracle-able across engines → rows-only check
+    // approx distinct (HLL++) — the estimate itself is engine-specific, so
+    // the oracle-able contract is the TOLERANCE: emit the exact count plus
+    // a boolean asserting the HLL++ estimate landed within 3× the default
+    // rsd (0.05); the DuckDB oracle emits the same exact count with TRUE.
+    // An out-of-tolerance estimate hash-mismatches → real failure signal.
     "m21_approx_distinct" -> ((s, dir) =>
       events(s, dir).groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * lit(3 * 0.05)).as("within_rsd"))
         .orderBy("event_type")),
 
     // session windows — gap-based sessionization (30-minute inactivity
@@ -461,6 +467,11 @@ object MetricQueries {
         |  CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
         |  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "m21_approx_distinct" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_rsd
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "m22_sessionize" ->
       """WITH o AS (

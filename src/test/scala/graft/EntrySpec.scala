@@ -15,11 +15,10 @@ class EntrySpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle keys without queries: ${o diff q}")
-    // rows-only (oracle-less) queries are the deliberately
-    // engine-specific ones (HLL++ sketches differ across engines; x14/x16
-    // gained oracles in round 2 — the stub decode is ASCII-replicable and
-    // IVF probing is deterministic)
-    assert((q diff o) === Set("m21_approx_distinct"))
+    // every query has an oracle — m21 (HLL++), the last rows-only hold-out,
+    // gained a tolerance-form oracle in round 4 (exact count + within-rsd
+    // boolean; the engine-specific estimate never appears in the output)
+    assert((q diff o) === Set.empty)
     val total = graft.queries.MetricQueries.queries.size +
       graft.queries.RelationalQueries.queries.size +
       graft.queries.ExtensionQueries.queries.size
