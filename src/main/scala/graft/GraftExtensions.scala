@@ -44,10 +44,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("sorted_jaccard"),
       info(classOf[SortedJaccard], "sorted_jaccard"),
+      // SQL parses `0.5` as a DecimalType literal and `1` as integral —
+      // accept every numeric literal form, not just Double
       (es: Seq[Expression]) => SortedJaccard(es(0), es(1), es(2) match {
         case Literal(v: Double, _) => v
+        case Literal(v: Float, _) => v.toDouble
+        case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+        case Literal(v: Int, _) => v.toDouble
+        case Literal(v: Long, _) => v.toDouble
+        case Literal(v: Short, _) => v.toDouble
+        case Literal(v: Byte, _) => v.toDouble
         case other => throw new IllegalArgumentException(
-          s"sorted_jaccard threshold must be a double literal, got $other")
+          s"sorted_jaccard threshold must be a numeric literal, got $other")
       })))
     ext.injectFunction((
       FunctionIdentifier("sorted_inter_union"),

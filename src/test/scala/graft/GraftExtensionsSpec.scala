@@ -30,4 +30,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head().getStruct(0)
     assert(iu.getInt(0) === 2 && iu.getInt(1) === 4)
   }
+
+  test("sorted_jaccard accepts plain decimal and integral threshold literals") {
+    val spark: SparkSession = SparkSpec.session
+    // `0.5` parses as DecimalType, `0` as IntegerType — both must resolve
+    val jDec = spark.sql(
+      """SELECT sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L), 0.5) AS j""")
+      .head().getDouble(0)
+    assert(jDec === 0.5)
+    val jInt = spark.sql(
+      """SELECT sorted_jaccard(array(1L, 2L, 3L), array(1L, 2L, 3L), 1) AS j""")
+      .head().getDouble(0)
+    assert(jInt === 1.0)
+    val err = intercept[Exception](spark.sql(
+      "SELECT sorted_jaccard(array(1L), array(1L), 'x')").head())
+    assert(err.getMessage.contains("numeric literal"))
+  }
 }
