@@ -540,10 +540,13 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
-    // TF-IDF top terms per document. Ranking uses the ROUNDED score
-    // (round 6) so cross-engine libm log differences (≤1 ulp) can never
-    // flip the order; rounded ties break on the token. Shape: tf is one
-    // (doc, token) shuffle; df one (token) shuffle; N rides in as a
+    // TF-IDF top terms per document. RANKING is on the exact integer
+    // tuple (tf desc, df asc, token) — term frequency first, rarity
+    // second — so no floating-point score (whose libm log can differ by
+    // 1 ulp across engines and flip a rank at a rounding boundary) ever
+    // decides row membership; the log-scaled tfidf score is computed for
+    // DISPLAY only (rounded for cross-engine value parity). Shape: tf is
+    // one (doc, token) shuffle; df one (token) shuffle; N rides in as a
     // broadcast scalar — no driver-side count.
     "x21_tfidf" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -556,7 +559,7 @@ object ExtensionQueries {
         .withColumn("tfidf_r", round(col("tf") *
           (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1.0), 6))
       val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-        .orderBy(col("tfidf_r").desc, col("token"))
+        .orderBy(col("tf").desc, col("df"), col("token"))
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank").cast("long").as("rank"),
@@ -966,12 +969,12 @@ object ExtensionQueries {
          |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
          |  FROM tf GROUP BY token),
          |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-         |scored AS (SELECT tf.doc_id, tf.token,
+         |scored AS (SELECT tf.doc_id, tf.token, tf.tf, d2.df,
          |    round(tf.tf * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (d2.df + 1)) + 1.0), 6) AS tfidf_r
          |  FROM tf, dfreq d2, n WHERE tf.token = d2.token),
          |r AS (SELECT doc_id, token, tfidf_r,
          |    row_number() OVER (PARTITION BY doc_id
-         |                       ORDER BY tfidf_r DESC, token) AS rank
+         |                       ORDER BY tf DESC, df, token) AS rank
          |  FROM scored)
          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tfidf_r
          |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
