@@ -1,0 +1,145 @@
+package graft
+
+/**
+ * S8 — the configuration surface (reference: Config.scala:20-108 +
+ * src/main/resources/application.conf), mirroring the reference's HOCON
+ * key names exactly so a reference deployment's .conf drops in unchanged.
+ *
+ * The sandbox classpath has no typesafe-config jar, so this carries a
+ * minimal parser for the HOCON SUBSET the reference's application.conf
+ * actually uses — `#`/`//` comments, dotted keys, `=`/`:` separators,
+ * quoted/bare scalars, and string lists. Unknown keys are retained (an
+ * over-strict parser would reject the akka tuning block a real conf
+ * carries); typed accessors fail fast with the key name on missing or
+ * malformed values, like typesafe-config's.
+ */
+final class GraftConfig private (
+    val entries: Map[String, String],
+    val lists: Map[String, Seq[String]]) {
+
+  private def require(key: String): String =
+    entries.getOrElse(key,
+      throw new IllegalArgumentException(s"missing config key: $key"))
+
+  def getString(key: String): String = require(key)
+  def getInt(key: String): Int =
+    try require(key).toInt
+    catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(s"config key $key is not an int: ${entries(key)}") }
+  def getBoolean(key: String): Boolean = require(key).toLowerCase match {
+    case "true" | "yes" | "on" => true
+    case "false" | "no" | "off" => false
+    case v => throw new IllegalArgumentException(s"config key $key is not a boolean: $v")
+  }
+  def getDouble(key: String): Double =
+    try require(key).toDouble
+    catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(s"config key $key is not a double: ${entries(key)}") }
+  def getStringList(key: String): Seq[String] =
+    lists.getOrElse(key,
+      throw new IllegalArgumentException(s"missing config list key: $key"))
+
+  /** Merge: `other`'s entries win — `parse(userConf).withFallback(default)`. */
+  def withFallback(fallback: GraftConfig): GraftConfig =
+    new GraftConfig(fallback.entries ++ entries, fallback.lists ++ lists)
+
+  // ----- typed surface, names and defaults from reference Config.scala -----
+
+  def clusterId: String = getString("cluster.id")
+  def publishMetrics: Boolean = getBoolean("cw.publish")
+  def cloudWatchDimension: String = getString("cw.dimension")
+  def cloudWatchNamespace: String = getString("cw.namespace")
+  def trinoUser: String = getString("trino.user")
+  def trinoPassword: String = getString("trino.password")
+
+  def igMinNumNodes: Int = getInt("scaling.ig.nodes.min")
+  def igMaxNumNodes: Int = getInt("scaling.ig.nodes.max")
+  def igScaleConcurrently: Boolean = getBoolean("scaling.ig.concurrently")
+  def igScaleStepExpand: Int = getInt("scaling.ig.step.expand")
+  def igScaleStepShrink: Int = getInt("scaling.ig.step.shrink")
+  def igInstanceTypes: Seq[String] = getStringList("scaling.ig.instance.types").distinct
+  def igShouldUseSpot: Boolean = getBoolean("scaling.ig.useSpot")
+
+  def ifMinNumUnits: Int = getInt("scaling.if.units.min")
+  def ifMaxNumUnits: Int = getInt("scaling.if.units.max")
+  def ifScaleStepExpand: Int = getInt("scaling.if.step.expand")
+  def ifScaleStepShrink: Int = getInt("scaling.if.step.shrink")
+  def ifInstanceTypes: Seq[String] = getStringList("scaling.if.instance.types")
+  def ifInstanceTypesUnits: Seq[String] = getStringList("scaling.if.instance.units")
+  def ifShouldUseSpot: Boolean = getBoolean("scaling.if.useSpot")
+}
+
+object GraftConfig {
+
+  /** Fixed cadence constants (reference Config.scala:90-108, the
+    * "DO NOT MODIFY" block) — deliberately NOT configurable, like the
+    * reference. */
+  val MetricsMaxDataPoints = 20
+  val MetricsDataPointsOneMin = 4
+  val MetricsCollectIntervalSec = 15
+  val MetricsEvaluationIntervalSec = 15
+  val WorkersNamePrefix = "AutoScaling-TASK"
+  val MaxInstanceGroupsLimit = 48
+
+  private val KeyValue = """^([A-Za-z0-9._-]+)\s*[=:]\s*(.+?)\s*$""".r
+
+  private def unquote(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\"")) t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** Parse the HOCON subset of the reference's application.conf. */
+  def parse(text: String): GraftConfig = {
+    val kv = Map.newBuilder[String, String]
+    val lists = Map.newBuilder[String, Seq[String]]
+    text.linesIterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("//"))
+      .foreach {
+        case KeyValue(key, raw) =>
+          if (raw.startsWith("[")) {
+            val inner = raw.stripPrefix("[").stripSuffix("]").trim
+            val items =
+              if (inner.isEmpty) Seq.empty[String]
+              else inner.split(",").toSeq.map(unquote)
+            lists += key -> items
+          } else kv += key -> unquote(raw)
+        case line => throw new IllegalArgumentException(s"unparseable config line: $line")
+      }
+    new GraftConfig(kv.result(), lists.result())
+  }
+
+  def load(path: String): GraftConfig = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try parse(src.mkString).withFallback(default) finally src.close()
+  }
+
+  /** The reference's shipped application.conf defaults, verbatim key for
+    * key (reference src/main/resources/application.conf). */
+  val default: GraftConfig = parse(
+    """cluster.id = ""
+      |cw.publish = false
+      |cw.dimension = "JobFlowId"
+      |cw.namespace = "AWS/EMR"
+      |trino.user = "trino-autoscale"
+      |trino.password = ""
+      |scaling.ig.nodes.min = 0
+      |scaling.ig.nodes.max = 20
+      |scaling.ig.step.shrink = 3
+      |scaling.ig.step.expand = 5
+      |scaling.ig.instance.types = ["m5.4xlarge","m5.8xlarge","m6g.4xlarge","r5.4xlarge"]
+      |scaling.ig.useSpot = true
+      |scaling.ig.concurrently = true
+      |scaling.if.units.min = 8
+      |scaling.if.units.max = 160
+      |scaling.if.step.shrink = 24
+      |scaling.if.step.expand = 40
+      |scaling.if.instance.types = ["m5.2xlarge","m5.4xlarge","m5.8xlarge","m6g.4xlarge","r5.4xlarge"]
+      |scaling.if.instance.units = ["8","16","32","16","16"]
+      |scaling.if.useSpot = true
+      |""".stripMargin)
+
+  /** `cluster.id = ""` means "empty → derive from environment" in the
+    * reference (Config.scala:29-31); parse keeps the empty string. */
+}

@@ -17,12 +17,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * sliding cursor of ticks, and prints the ResizeAction trace — the e2e the
  * reference never had (SURVEY.md §5.4).
  *
- * Usage: runMain graft.Replay [sfDir] [numTicks]
+ * Usage: runMain graft.Replay [sfDir] [numTicks] [confPath]
  */
 object Replay {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val numTicks = args.lift(1).map(_.toInt).getOrElse(12)
+    val conf = args.lift(2).map(GraftConfig.load).getOrElse(GraftConfig.default)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .appName("graft-replay")
@@ -31,11 +32,12 @@ object Replay {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, sfDir, numTicks)
+    try run(spark, sfDir, numTicks, conf)
     finally spark.stop()
   }
 
-  def run(spark: SparkSession, sfDir: String, numTicks: Int): Unit = {
+  def run(spark: SparkSession, sfDir: String, numTicks: Int,
+          conf: GraftConfig = GraftConfig.default): Unit = {
     import spark.implicits._
 
     // The fixture's events become metric samples: one "tick" per hour
@@ -53,11 +55,17 @@ object Replay {
     // simulated clock: one evaluation tick = 15 s of wall time, so the
     // cooldown gate behaves as it would on the reference cadence
     var simNow = 1000000000L
-    val workers = new SimulatedWorkers(minCapacity = 0, maxCapacity = 20,
-      concurrent = true, groupIds = Seq("ig-1", "ig-2"), clock = () => simNow)
+    // scaling bounds/steps come from the S8 config surface (reference key
+    // names scaling.ig.*; defaults reproduce application.conf)
+    val workers = new SimulatedWorkers(
+      minCapacity = conf.igMinNumNodes, maxCapacity = conf.igMaxNumNodes,
+      concurrent = conf.igScaleConcurrently,
+      groupIds = Seq("ig-1", "ig-2"), clock = () => simNow)
     workers.resize(5); workers.settle()
     val mgr = new ScalingManager(workers,
-      new StepScalingAlgorithm(new CpuLoadEvaluator, minCapacity = 0, maxCapacity = 20),
+      new StepScalingAlgorithm(new CpuLoadEvaluator,
+        minCapacity = conf.igMinNumNodes, maxCapacity = conf.igMaxNumNodes,
+        stepExpand = conf.igScaleStepExpand, stepShrink = conf.igScaleStepShrink),
       clock = () => simNow)
 
     println(f"${"tick"}%-22s${"nodes"}%6s${"cold"}%6s${"decision"}%12s${"running"}%9s")

@@ -35,7 +35,8 @@ object MetricsFetcher {
     * "rest" strategy; without one both strategies replay fixtures. */
   def apply(name: String, fixtureDir: Option[String] = None,
             coordinatorUrl: Option[String] = None,
-            user: String = "trino", password: String = ""): MetricsFetcher =
+            user: String = graft.GraftConfig.default.trinoUser,
+            password: String = graft.GraftConfig.default.trinoPassword): MetricsFetcher =
     name.toLowerCase match {
       case "emr"  => new FixtureFetcher("emr", fixtureDir)
       case "rest" => coordinatorUrl

@@ -31,13 +31,22 @@ import scala.collection.mutable
  */
 object MetricsPipeline {
 
+  import graft.GraftConfig.{MetricsCollectIntervalSec, MetricsDataPointsOneMin, MetricsEvaluationIntervalSec, MetricsMaxDataPoints}
+
+  // The reference's fixed cadence constants (Config.scala:96-103) drive
+  // every window width here: 20 points × 15 s retention, 4-point (1 min)
+  // averaging windows sliding at the collect interval.
+  private val RetentionDuration = s"${MetricsMaxDataPoints * MetricsCollectIntervalSec} seconds"
+  private val AvgWindowDuration = s"${MetricsDataPointsOneMin * MetricsCollectIntervalSec} seconds"
+  private val SlideDuration = s"$MetricsCollectIntervalSec seconds"
+
   /** Sliding per-node averages: 1-minute windows every 15 s, state GC'd
     * past the 5-minute retention (reference window shape:
     * Config.scala:96-103). Input schema: (ts, node, value). */
   def windowedNodeAvg(samples: DataFrame): DataFrame =
     samples
-      .withWatermark("ts", "5 minutes")
-      .groupBy(window(col("ts"), "1 minute", "15 seconds"), col("node"))
+      .withWatermark("ts", RetentionDuration)
+      .groupBy(window(col("ts"), AvgWindowDuration, SlideDuration), col("node"))
       .agg(avg(col("value")).as("avg_value"), count(lit(1)).as("n_samples"))
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("node"), col("avg_value"), col("n_samples"))
@@ -65,11 +74,11 @@ object MetricsPipeline {
       samples: DataFrame,
       manager: ScalingManager,
       decisions: mutable.Buffer[Decision],
-      windowN: Int = 4): DataStreamWriter[Row] = {
+      windowN: Int = MetricsDataPointsOneMin): DataStreamWriter[Row] = {
     import graft.analytics.MetricAnalytics
     samples.writeStream
       .outputMode("update")
-      .trigger(Trigger.ProcessingTime("15 seconds"))
+      .trigger(Trigger.ProcessingTime(s"$MetricsEvaluationIntervalSec seconds"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // One micro-batch carries the samples since the last tick; the
         // ring-buffer view is the batch itself bounded upstream by the

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+/** S8 — the config surface: reference key names, .conf fixture loading,
+  * fallback merge, and the shipped defaults reproducing the reference's
+  * application.conf constants. */
+class GraftConfigSpec extends AnyFunSuite {
+
+  test("defaults reproduce the reference application.conf") {
+    val c = GraftConfig.default
+    assert(c.clusterId === "")
+    assert(!c.publishMetrics)
+    assert(c.cloudWatchNamespace === "AWS/EMR")
+    assert(c.trinoUser === "trino-autoscale")
+    assert(c.igMinNumNodes === 0 && c.igMaxNumNodes === 20)
+    assert(c.igScaleStepExpand === 5 && c.igScaleStepShrink === 3)
+    assert(c.igScaleConcurrently && c.igShouldUseSpot)
+    assert(c.igInstanceTypes === Seq("m5.4xlarge", "m5.8xlarge", "m6g.4xlarge", "r5.4xlarge"))
+    assert(c.ifMinNumUnits === 8 && c.ifMaxNumUnits === 160)
+    assert(c.ifScaleStepExpand === 40 && c.ifScaleStepShrink === 24)
+    assert(c.ifInstanceTypesUnits === Seq("8", "16", "32", "16", "16"))
+    // the fixed "DO NOT MODIFY" block (reference Config.scala:90-108)
+    assert(GraftConfig.MetricsMaxDataPoints === 20)
+    assert(GraftConfig.MetricsDataPointsOneMin === 4)
+    assert(GraftConfig.MetricsCollectIntervalSec === 15)
+  }
+
+  test("load merges a .conf fixture over the defaults") {
+    val conf = Files.createTempFile("graft", ".conf")
+    Files.write(conf,
+      """# fixture: override a few keys, leave the rest to defaults
+        |cluster.id = "j-TEST123"
+        |scaling.ig.nodes.max = 50
+        |scaling.ig.step.expand: 7
+        |trino.user = "alice"
+        |scaling.ig.instance.types = ["c5.xlarge"]
+        |// an akka-style passthrough line the parser must tolerate
+        |akka.http.client.connecting-timeout=1s
+        |""".stripMargin.getBytes(UTF_8))
+    try {
+      val c = GraftConfig.load(conf.toString)
+      assert(c.clusterId === "j-TEST123")
+      assert(c.igMaxNumNodes === 50)
+      assert(c.igScaleStepExpand === 7)
+      assert(c.trinoUser === "alice")
+      assert(c.igInstanceTypes === Seq("c5.xlarge"))
+      assert(c.getString("akka.http.client.connecting-timeout") === "1s")
+      // untouched keys fall back
+      assert(c.igMinNumNodes === 0)
+      assert(c.igScaleStepShrink === 3)
+      assert(c.cloudWatchDimension === "JobFlowId")
+    } finally Files.delete(conf)
+  }
+
+  test("typed accessors fail fast with the key name") {
+    val c = GraftConfig.parse("a.b = notanint")
+    val e1 = intercept[IllegalArgumentException](c.getInt("a.b"))
+    assert(e1.getMessage.contains("a.b"))
+    val e2 = intercept[IllegalArgumentException](c.getString("nope"))
+    assert(e2.getMessage.contains("nope"))
+    val e3 = intercept[IllegalArgumentException](GraftConfig.parse("}{ bad"))
+    assert(e3.getMessage.contains("unparseable"))
+  }
+}
