@@ -43,9 +43,11 @@ object Components {
       edges: DataFrame,
       nodes: DataFrame,
       maxIter: Int = 25,
-      smallGraphThreshold: Long = 1000000L): DataFrame = {
+      smallGraphThreshold: Long = 1000000L,
+      knownEdgeCount: Option[Long] = None): DataFrame = {
     val spark = edges.sparkSession
-    val edgeCount = edges.count()
+    // callers that already hold the edge count pass it in and skip one job
+    val edgeCount = knownEdgeCount.getOrElse(edges.count())
     if (edgeCount <= smallGraphThreshold) {
       import spark.implicits._
       val es = edges.select(col("src").cast("long"), col("dst").cast("long"))

@@ -33,12 +33,17 @@ object Packing {
    * doc with its (shard, bin) assignment.
    *
    * @param docsWithTokens columns (doc_id, n_tokens)
+   * @param maxShardDocs   fail-fast budget for one shard's in-memory scan
+   *                       — a misconfigured (too-low) `shards` would
+   *                       otherwise OOM an executor with no actionable
+   *                       message
    */
   def packGreedy(
       spark: SparkSession,
       docsWithTokens: DataFrame,
       budget: Long,
-      shards: Int): DataFrame = {
+      shards: Int,
+      maxShardDocs: Long = 10000000L): DataFrame = {
     import spark.implicits._
     require(budget > 0 && shards > 0)
     docsWithTokens
@@ -49,7 +54,15 @@ object Packing {
       .flatMapGroups { (shard, it) =>
         // one shard = one task; sort is in-memory per shard, which is the
         // point of sharding (pick `shards` so a shard fits an executor)
-        val sorted = it.toArray.sortBy(_.doc_id)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[DocTok]
+        it.foreach { d =>
+          if (buf.size.toLong >= maxShardDocs)
+            throw new IllegalStateException(
+              s"packGreedy: shard $shard exceeds maxShardDocs=$maxShardDocs " +
+                s"— raise `shards` (currently $shards) so each shard's doc list fits in one task")
+          buf += d
+        }
+        val sorted = buf.toArray.sortBy(_.doc_id)
         var bin = 0L
         var acc = 0L
         sorted.iterator.map { d =>

@@ -35,9 +35,14 @@ object ScaleProbe {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.1")
     for (f <- Seq(1, 5, 10, 20)) {
       val grown = (0 until f).map { r =>
+        // replica 0 is the UNMODIFIED corpus so the 1x point measures the
+        // raw embeddings; only added replicas get the per-dim nudge
+        val vec =
+          if (r == 0) col("embedding")
+          else transform(col("embedding"),
+            (v, i) => v + (i % (r + 2)).cast("float") * 0.01f)
         emb.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
-          transform(col("embedding"),
-            (v, i) => v + (i % (r + 2)).cast("float") * 0.01f).as("embedding"))
+          vec.as("embedding"))
       }.reduce(_ unionByName _)
       val t0 = System.nanoTime()
       val n = graft.ext.Similarity.cosineNearDups(grown, threshold = 0.30).count()

@@ -21,6 +21,19 @@ class ComponentsSpec extends SparkSpec {
     assert(out === expectedSmall)
   }
 
+  test("knownEdgeCount skips the counting job, same results") {
+    val edges = Seq((2L, 1L), (2L, 3L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val out = Components.connectedComponents(edges, nodes, knownEdgeCount = Some(2L))
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // a known count above the threshold routes to the distributed path
+    val outDist = Components.connectedComponents(edges, nodes,
+      smallGraphThreshold = 1L, knownEdgeCount = Some(2L))
+      .as[(Long, Long)].collect().toMap
+    assert(outDist === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("distributed path agrees with the driver path") {
     val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
       .toDF("src", "dst")

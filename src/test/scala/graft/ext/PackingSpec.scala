@@ -58,6 +58,16 @@ class PackingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("shard-size guard fails fast with an actionable message") {
+    val many = (1L to 50L).map(id => (id, 10L)).toDF("doc_id", "n_tokens")
+    val e = intercept[org.apache.spark.SparkException] {
+      Packing.packGreedy(spark, many, budget = 100L, shards = 1, maxShardDocs = 20L)
+        .collect()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("maxShardDocs") && msg.contains("raise `shards`"))
+  }
+
   test("no bin exceeds the budget except single oversize docs") {
     val out = Packing.packGreedy(spark, docs, budget = 256L, shards = 8)
     val binSums = out.groupBy("shard", "bin")
