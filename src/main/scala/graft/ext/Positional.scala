@@ -1,6 +1,5 @@
 package graft.ext
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.storage.StorageLevel
@@ -16,18 +15,23 @@ import org.apache.spark.storage.StorageLevel
  * for a 100 TB table. The library shape here is the classic two-pass
  * global index:
  *
- *   1. range-repartition on the sort key (rows in partition i all sort
- *      before rows in partition i+1);
- *   2. per-partition local `row_number()` (window partitioned by the
- *      physical partition id — fully parallel);
+ *   1. range-repartition on the sort key and sort within partitions
+ *      (rows in partition i all sort before rows in partition i+1) —
+ *      the ONLY full shuffle of the operator;
+ *   2. per-partition local offsets from `monotonically_increasing_id()`
+ *      over the sorted partitions: mid = (pid << 33) + row-index, so
+ *      pid and the local 0-based rank fall out with two bit ops — no
+ *      window, no second exchange, no per-partition sort beyond step 1
+ *      (the expression is nondeterministic to Catalyst, which is what
+ *      pins it after the sort);
  *   3. per-partition counts → driver-side prefix sum (≤ numPartitions
  *      longs — a control-plane collect, sanctioned by SURVEY §3.2) →
  *      broadcast the offsets back and add `offset + local_rank`.
  *
  * The intermediate is persisted so the count job and the output job see
- * the same physical partitioning (range-partitioner sampling is
- * deterministic on recompute, but the persist avoids paying the pass
- * twice).
+ * the same physical partitioning and row order (range-partitioner
+ * sampling and the sort are deterministic on recompute, but the persist
+ * avoids paying the pass twice).
  */
 object Positional {
 
@@ -42,12 +46,12 @@ object Positional {
    * make the rank nondeterministic.
    */
   def withGlobalPosition(df: DataFrame, order: Seq[Column], posCol: String): DataFrame = {
-    val ranged = df
+    val local = df
       .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
       .withColumn(PidCol, spark_partition_id())
-    val local = ranged
-      .withColumn(LocalCol, row_number().over(
-        Window.partitionBy(PidCol).orderBy(order: _*)))
+      .withColumn(LocalCol,
+        monotonically_increasing_id() - shiftleft(col(PidCol).cast("long"), 33))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val counts = local.groupBy(PidCol).count().collect()
       .map(r => (r.getInt(0), r.getLong(1)))
@@ -56,7 +60,7 @@ object Positional {
     val offsets = counts.map { case (p, c) => val o = acc; acc += c; (p, o) }
     val offDf = df.sparkSession.createDataFrame(offsets.toSeq).toDF(PidCol, OffCol)
     local.join(broadcast(offDf), PidCol)
-      .withColumn(posCol, col(OffCol) + col(LocalCol).cast("long"))
+      .withColumn(posCol, col(OffCol) + col(LocalCol) + lit(1L))
       .drop(PidCol, LocalCol, OffCol)
   }
 
