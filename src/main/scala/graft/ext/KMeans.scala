@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Distributed Lloyd's k-means over a vector column — the trainer for the
+ * IVF coarse quantizer ([[Similarity.ivfAssign]]'s synthetic centroids
+ * document this as "the production path"; this is that path).
+ *
+ * Scale design (Spark MLlib's layout, re-expressed on DataFrames):
+ *  - ASSIGNMENT is one map-side pass: centroids ride to executors as
+ *    literal arrays (k×dim doubles — a few KB), each row computes its
+ *    nearest centroid; no shuffle.
+ *  - UPDATE is one partial aggregation: per (cluster, dim) sums/counts
+ *    shuffle k×dim rows, which collect to the driver (k·dim ≤ a few
+ *    thousand — a control-plane collect, SURVEY §3.2) to form the next
+ *    round's literals. Iterations are driver-coordinated like every
+ *    production k-means.
+ *
+ * Determinism contract (what makes a DuckDB oracle possible): with
+ * INTEGER-valued input vectors (e.g. the [[Similarity.quantizeMinMax]]
+ * codes), per-dim sums are exact longs regardless of partitioning, so
+ * centroid means (long/long in double) are bit-identical across engines;
+ * distances fold sequentially over dims in both engines; ties break on
+ * the lowest cluster index. Float-valued input works too but its sums are
+ * then order-dependent at the ulp level — fine for training quality, not
+ * for bit-exact replication.
+ *
+ * Init: the k vectors with the smallest ids (deterministic, replicable).
+ * K-means++ sampling would converge faster; init quality is orthogonal to
+ * the distributed layout.
+ */
+object KMeans {
+
+  /** One centroid: index, per-dim means, member count of the update that
+    * produced it (count 0 = never updated, centroid carried unchanged). */
+  final case class Centroid(cluster: Int, center: Array[Double], n: Long)
+
+  private def distCol(vec: Column, center: Array[Double]): Column =
+    aggregate(
+      zip_with(vec, lit(center), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Squared-L2 distances to every centroid, as one array column (index =
+    * cluster id). Sequential per-dim fold — the order the oracle
+    * replicates. */
+  private def distances(vec: Column, centroids: Seq[Centroid]): Column =
+    array(centroids.sortBy(_.cluster).map(c => distCol(vec, c.center)): _*)
+
+  /** Nearest-centroid assignment: first minimum wins ties (= lowest
+    * cluster index). Input: (idCol, vecCol array<numeric>). Output adds
+    * `cluster`. */
+  def assign(
+      vecs: DataFrame,
+      centroids: Seq[Centroid],
+      idCol: String = "vec_id",
+      vecCol: String = "qvec"): DataFrame = {
+    val d = distances(col(vecCol).cast("array<double>"), centroids)
+    vecs.withColumn("cluster",
+      (array_position(d, array_min(d)) - 1).cast("long"))
+  }
+
+  /** Train k centroids with `iters` Lloyd iterations. Returns the final
+    * centroid table (driver-side — it IS broadcast-sized by construction).
+    * An empty cluster keeps its previous centroid. */
+  def fit(
+      vecs: DataFrame,
+      k: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "qvec"): Seq[Centroid] = {
+    require(k > 0 && iters >= 0)
+    val src = vecs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .persist()
+    val init = src.orderBy("id").limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) => Centroid(i, r.getSeq[Double](1).toArray, 0L) }
+    require(init.length == k, s"need at least $k vectors to init $k centroids")
+    var centroids: Seq[Centroid] = init.toSeq
+    for (_ <- 0 until iters) {
+      val sums = assign(src, centroids, "id", "v")
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getInt(1), r.getDouble(2), r.getLong(3)))
+      val byCluster = sums.groupBy(_._1)
+      centroids = centroids.map { c =>
+        byCluster.get(c.cluster) match {
+          case Some(dims) =>
+            val center = dims.sortBy(_._2).map { case (_, _, s, n) => s / n }
+            Centroid(c.cluster, center, dims.head._4)
+          case None => c // empty cluster: carry unchanged
+        }
+      }
+    }
+    src.unpersist()
+    centroids
+  }
+
+  /** Within-cluster sum of squared distances — the quantity Lloyd
+    * iterations monotonically non-increase (the property the spec
+    * asserts). */
+  def wcss(
+      vecs: DataFrame,
+      centroids: Seq[Centroid],
+      idCol: String = "vec_id",
+      vecCol: String = "qvec"): Double = {
+    val d = distances(col(vecCol).cast("array<double>"), centroids)
+    vecs.select(array_min(d).as("d2")).agg(sum("d2")).head().getDouble(0)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Components, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.ext.{Components, Dedup, KMeans, Multimodal, Packing, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -30,6 +30,8 @@ object ExtensionQueries {
   private val CosinePlanes = 16 // x12 near-dup banding (65k buckets + multiprobe)
   private val CosineMaxBucket = 1000
   private val Dim = 64
+  private val KmClusters = 8    // x34 trained-IVF coarse quantizer
+  private val KmIters = 2
 
   // ---- shared SQL fragments (DuckDB dialect) ----
 
@@ -499,6 +501,22 @@ object ExtensionQueries {
     "x24_quantize" -> ((s, dir) =>
       Similarity.quantizeMinMax(Tables.embeddings(s, dir))
         .orderBy("vec_id", "dim")),
+
+    // TRAINED IVF coarse quantizer: k-means (ext.KMeans, 2 Lloyd
+    // iterations, deterministic smallest-id init) over the QUANTIZED
+    // embedding grid (x24 codes) — integer per-dim sums are exact in any
+    // partitioning, so the oracle unrolls both iterations and matches the
+    // final assignment bit-for-bit. Output: each vector's trained list.
+    "x34_ivf_kmeans" -> ((s, dir) => {
+      val qvecs = Similarity.quantizeMinMax(Tables.embeddings(s, dir))
+        .groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("q")))),
+          x => x.getField("q").cast("double")).as("qvec"))
+      val cents = KMeans.fit(qvecs, k = KmClusters, iters = KmIters)
+      KMeans.assign(qvecs, cents)
+        .select(col("vec_id"), col("cluster"))
+        .orderBy("vec_id")
+    }),
 
     // corpus pruning end-to-end: near-dup clusters (x20) × quality scores
     // (x03) → per cluster keep the highest-quality doc (ties: lowest id).
@@ -978,6 +996,50 @@ object ExtensionQueries {
          |  FROM scored)
          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tfidf_r
          |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "x34_ivf_kmeans" -> {
+      // distance fold replicated from KMeans.distCol: seed 0.0, then
+      // (v_i − c_i)² accumulated in index order
+      def dist(v: String, c: String) =
+        s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+           |      list_transform(range(1, ${Dim + 1}),
+           |        i -> ($v[i] - $c[i]) * ($v[i] - $c[i]))), (a, b) -> a + b)""".stripMargin
+      // one Lloyd iteration: assignment vs `cin` → integer-exact per-dim
+      // sums → mean centroids, empty clusters carrying cin's center
+      def iteration(cin: String, a: String, cout: String) =
+        s"""$a AS (SELECT vec_id, qvec, cluster FROM (
+           |    SELECT v.vec_id, v.qvec, c.cluster,
+           |      ${dist("v.qvec", "c.center")} AS d2
+           |    FROM qv v, $cin c)
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1),
+           |$cout AS (SELECT c.cluster, COALESCE(u.center, c.center) AS center
+           |  FROM $cin c LEFT JOIN (
+           |    SELECT cluster, list(s / n ORDER BY d) AS center FROM (
+           |      SELECT cluster, r.d, SUM(qvec[r.d]) AS s, COUNT(*) AS n
+           |      FROM $a, range(1, ${Dim + 1}) r(d) GROUP BY cluster, r.d)
+           |    GROUP BY cluster) u ON c.cluster = u.cluster)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, r.d, CAST(embedding[r.d] AS DOUBLE) AS v
+         |  FROM embeddings, range(1, ${Dim + 1}) r(d)),
+         |st AS (SELECT d, min(v) AS mn, max(v) AS mx FROM e GROUP BY d),
+         |q AS (SELECT e.vec_id, e.d,
+         |    CASE WHEN st.mx = st.mn THEN 0
+         |         ELSE CAST(round((e.v - st.mn) * 255.0 / (st.mx - st.mn), 0) AS BIGINT)
+         |    END AS qc
+         |  FROM e JOIN st ON e.d = st.d),
+         |qv AS (SELECT vec_id, list(CAST(qc AS DOUBLE) ORDER BY d) AS qvec
+         |  FROM q GROUP BY vec_id),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+         |    qvec AS center
+         |  FROM qv QUALIFY row_number() OVER (ORDER BY vec_id) <= $KmClusters),
+         |${iteration("c0", "a1", "c1")},
+         |${iteration("c1", "a2", "c2")}
+         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM (
+         |  SELECT vec_id, cluster FROM (
+         |      SELECT v.vec_id, c.cluster, ${dist("v.qvec", "c.center")} AS d2
+         |      FROM qv v, c2 c)
+         |    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1)
+         |ORDER BY vec_id""".stripMargin
+    },
 
     "x14_media_features" ->
       """WITH ch AS (SELECT doc_id, ascii(unnest(string_split(text, ''))) AS b

@@ -1,0 +1,57 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three well-separated integer blobs in 4-d, plus deterministic jitter
+  private def blobs() = {
+    val centers = Seq(Array(0L, 0L, 0L, 0L), Array(100L, 100L, 0L, 0L), Array(0L, 0L, 100L, 100L))
+    (0 until 60).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(v => (v + (i * 7) % 5).toDouble).toSeq)
+    }.toDF("vec_id", "qvec")
+  }
+
+  test("wcss is non-increasing over Lloyd iterations") {
+    val df = blobs()
+    val w = (0 to 4).map(it => KMeans.wcss(df, KMeans.fit(df, k = 3, iters = it)))
+    w.sliding(2).foreach { case Seq(a, b) => assert(b <= a + 1e-9, s"wcss rose: $w") }
+  }
+
+  test("assignment is the brute-force nearest centroid") {
+    val df = blobs()
+    val cents = KMeans.fit(df, k = 3, iters = 3)
+    val got = KMeans.assign(df, cents).select("vec_id", "cluster")
+      .as[(Long, Long)].collect().toMap
+    val rows = df.as[(Long, Seq[Double])].collect()
+    rows.foreach { case (id, v) =>
+      val dists = cents.sortBy(_.cluster).map(c =>
+        c.center.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum)
+      assert(got(id) === dists.indexOf(dists.min).toLong)
+    }
+  }
+
+  test("deterministic across partitionings (integer-valued input)") {
+    val df = blobs()
+    val a = KMeans.fit(df.repartition(7), k = 3, iters = 3)
+    val b = KMeans.fit(df.repartition(2), k = 3, iters = 3)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.cluster === y.cluster)
+      assert(x.center.toSeq === y.center.toSeq)
+    }
+  }
+
+  test("empty cluster carries its previous centroid") {
+    // two identical points, k=2: init picks both as centroids; all points
+    // land on cluster 0 (tie → lowest), cluster 1 empties and must keep
+    // its init centroid
+    val df = Seq((1L, Seq(5.0, 5.0)), (2L, Seq(5.0, 5.0))).toDF("vec_id", "qvec")
+    val cents = KMeans.fit(df, k = 2, iters = 2)
+    assert(cents.map(_.cluster) === Seq(0, 1))
+    assert(cents(1).center.toSeq === Seq(5.0, 5.0))
+    assert(cents(1).n === 0L)
+  }
+}
