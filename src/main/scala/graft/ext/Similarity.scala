@@ -155,6 +155,34 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine", "list")
   }
 
+  /** IVF-probed top-k against TRAINED centroids ([[KMeans.fit]]) instead
+    * of the synthetic recurrence: both sides take their nearest trained
+    * centroid (nprobe = 1) and score within the list. The corpus-side
+    * assignment is what `partitionBy("list")` persists at scale; queries
+    * assign at probe time. */
+  def ivfTopKTrained(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      centroids: Seq[KMeans.Centroid],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cb = KMeans.assign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"),
+        col("cluster").as("list"))
+    val qb = KMeans.assign(queries, centroids, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+        col("cluster").as("list"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cb.join(broadcast(qb), Seq("list"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", vec_cosine(col("query_vec"), col("neighbor_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine", "list")
+  }
+
   /** Per-dimension min-max int8-style quantization (0..255) — the
     * storage-compression step of an embedding pipeline. Exploded layout
     * (vec_id, dim, q): per-dim stats are one small aggregate broadcast

@@ -294,6 +294,22 @@ object MetricQueries {
           count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // approx percentile (KLL-style sketch) — same tolerance-oracle
+    // pattern as m21: the sketch value itself is engine-specific, so the
+    // contract is that it lands inside the exact [p45, p55] value bracket
+    // (accuracy 100 bounds rank error by 1%; the bracket allows 5%).
+    // Output carries the EXACT p50 (oracle-matchable) plus the bracket
+    // verdict; an out-of-bracket sketch hash-mismatches.
+    "m25_approx_percentile" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(percentile_approx(col("value"), lit(0.5), lit(100)).as("p50_a"),
+          percentile(col("value"), lit(0.5)).as("p50_exact"),
+          percentile(col("value"), lit(0.45)).as("p45"),
+          percentile(col("value"), lit(0.55)).as("p55"))
+        .select(col("event_type"), col("p50_exact"),
+          col("p50_a").between(col("p45"), col("p55")).as("approx_in_bracket"))
+        .orderBy("event_type")),
+
     // skew-resilient exact distinct (ext.Skew.saltedDistinctCount): the
     // two-stage salted plan must produce exactly what COUNT(DISTINCT)
     // produces — the oracle proves the rewrite, the shape survives a key
@@ -497,6 +513,11 @@ object MetricQueries {
 
     "m24_salted_distinct" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "m25_approx_percentile" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50_exact,
+        |  TRUE AS approx_in_bracket
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "m19_time_arith" ->

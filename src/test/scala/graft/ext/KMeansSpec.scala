@@ -44,6 +44,23 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("trained IVF probe: neighbors come from the query's trained list") {
+    val df = blobs().select(col("vec_id"),
+      col("qvec").cast("array<float>").as("embedding"))
+    val cents = KMeans.fit(df, k = 3, iters = 3, vecCol = "embedding")
+    val queries = df.filter(col("vec_id") < 2)
+    val out = Similarity.ivfTopKTrained(df, queries, k = 2, cents)
+      .select("query_id", "rank", "neighbor_id", "list")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(out.groupBy(_._1).forall(_._2.length == 2))
+    val assigned = KMeans.assign(df, cents, vecCol = "embedding")
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    out.foreach { case (q, _, n, list) =>
+      assert(assigned(q) === list && assigned(n) === list)
+      assert(q !== n)
+    }
+  }
+
   test("empty cluster carries its previous centroid") {
     // two identical points, k=2: init picks both as centroids; all points
     // land on cluster 0 (tie → lowest), cluster 1 empties and must keep
