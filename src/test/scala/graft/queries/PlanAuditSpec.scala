@@ -141,6 +141,30 @@ class PlanAuditSpec extends SparkSpec {
         df.queryExecution.executedPlan.toString)
   }
 
+  test("x34: k-means assignment is one shuffle-free map-side pass") {
+    import graft.ext.KMeans
+    import org.apache.spark.sql.functions._
+    val qvecs = graft.ext.Similarity.quantizeMinMax(
+        graft.sources.Tables.embeddings(spark, dir))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("q")))),
+        x => x.getField("q").cast("double")).as("qvec"))
+    val cents = (0 until 4).map(i =>
+      KMeans.Centroid(i, Array.fill(64)(i * 10.0), 0L))
+    // centroids ride as literals: from the qvec input on, assignment must
+    // add NO exchange (the k-by-dim centroid matrix is the broadcast)
+    val before = qvecs.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    val after = KMeans.assign(qvecs, cents).queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(after === before, "k-means assignment added a shuffle")
+  }
+
+  test("r07: partition offsets join back as a broadcast, not a shuffle") {
+    val p = planOf("r07_positional_zip")
+    assert(p.contains("BroadcastHashJoin"), s"offset join must broadcast:\n$p")
+  }
+
   test("x06: minhash signatures are computed shuffle-free below the explode") {
     val p = planOf("x06_minhash_sig")
     // the plan prints top-down: everything AFTER the Generate line is its
