@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[CosineSimilarity], "vec_cosine"),
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
     ext.injectFunction((
+      FunctionIdentifier("vec_l2sq"),
+      info(classOf[graft.functions.VecL2Sq], "vec_l2sq"),
+      (es: Seq[Expression]) => graft.functions.VecL2Sq(es(0), es(1))))
+    ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       info(classOf[RollingHash], "rolling_hash"),
       (es: Seq[Expression]) => RollingHash(es(0))))

@@ -37,10 +37,12 @@ object KMeans {
     * produced it (count 0 = never updated, centroid carried unchanged). */
   final case class Centroid(cluster: Int, center: Array[Double], n: Long)
 
+  // Native codegen'd fold (graft.functions.VecL2Sq) — identical
+  // sequential accumulation to aggregate(zip_with(...)) and the oracle,
+  // but it stays inside WholeStageCodegen (PERF.md lesson 1: interpreted
+  // higher-order lambdas are the wrong shape for an n×k×dim hot loop).
   private def distCol(vec: Column, center: Array[Double]): Column =
-    aggregate(
-      zip_with(vec, lit(center), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.vec_l2sq(vec, lit(center))
 
   /** Squared-L2 distances to every centroid, as one array column (index =
     * cluster id). Sequential per-dim fold — the order the oracle

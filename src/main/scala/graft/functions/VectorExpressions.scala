@@ -157,6 +157,89 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorF
     copy(left = l, right = r)
 }
 
+/** l2sq(a, b) = Σ (aᵢ−bᵢ)² (left-to-right) — the k-means / IVF assignment
+  * distance. Accepts array<float> OR array<double> on either side (the
+  * k-means path compares double vectors against double centroid literals;
+  * the ANN path compares float embeddings). Null on length mismatch.
+  * Fold order matches `aggregate(zip_with(...))` and the DuckDB oracle
+  * exactly, like every expression in this file. */
+case class VecL2Sq(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vec_l2sq"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(elemType(_).isDefined)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  private def get(e: Expression, a: ArrayData, i: Int): Double =
+    if (elemType(e).contains(FloatType)) a.getFloat(i).toDouble else a.getDouble(i)
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) null
+    else {
+      val aa = a.asInstanceOf[ArrayData]
+      val bb = b.asInstanceOf[ArrayData]
+      if (aa.numElements() != bb.numElements()) null
+      else {
+        var acc = 0.0
+        var i = 0
+        val n = aa.numElements()
+        while (i < n) {
+          val d = get(left, aa, i) - get(right, bb, i)
+          acc += d * d
+          i += 1
+        }
+        acc
+      }
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    val acc = ctx.freshName("acc")
+    val d = ctx.freshName("d")
+    def getJava(e: Expression, arr: String): String =
+      if (elemType(e).contains(FloatType)) s"(double) $arr.getFloat($i)"
+      else s"$arr.getDouble($i)"
+    val code =
+      code"""
+        |${leftGen.code}
+        |${rightGen.code}
+        |boolean ${ev.isNull} = true;
+        |double ${ev.value} = 0.0;
+        |if (!${leftGen.isNull} && !${rightGen.isNull} &&
+        |    ${leftGen.value}.numElements() == ${rightGen.value}.numElements()) {
+        |  ${ev.isNull} = false;
+        |  double $acc = 0.0;
+        |  int $n = ${leftGen.value}.numElements();
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    double $d = ${getJava(left, leftGen.value.toString)} -
+        |                ${getJava(right, rightGen.value.toString)};
+        |    $acc += $d * $d;
+        |  }
+        |  ${ev.value} = $acc;
+        |}
+      """.stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-level API + SQL registration. */
 object VectorFunctions {
   import org.apache.spark.sql.GraftBridge.{toColumn, toExpression}
@@ -165,12 +248,16 @@ object VectorFunctions {
     toColumn(DotProduct(toExpression(a), toExpression(b)))
   def vec_cosine(a: Column, b: Column): Column =
     toColumn(CosineSimilarity(toExpression(a), toExpression(b)))
+  def vec_l2sq(a: Column, b: Column): Column =
+    toColumn(VecL2Sq(toExpression(a), toExpression(b)))
 
-  /** Register `vec_dot` / `vec_cosine` for spark.sql(...) use. */
+  /** Register `vec_dot` / `vec_cosine` / `vec_l2sq` for spark.sql(...) use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => DotProduct(exprs.head, exprs(1)), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_cosine", exprs => CosineSimilarity(exprs.head, exprs(1)), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_l2sq", exprs => VecL2Sq(exprs.head, exprs(1)), "internal")
   }
 }

@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** VecL2Sq must be bit-identical to the interpreted
+  * aggregate(zip_with(...)) fold it replaces (same sequential order), for
+  * both element types, and null-safe on mismatch. */
+class VecL2SqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def interpretedFold = {
+    (v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(v, c, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+  }
+
+  test("matches the interpreted fold bit-for-bit (double arrays)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextDouble() * 10 - 5), Seq.fill(64)(rnd.nextDouble() * 10 - 5))
+    }.toDF("id", "a", "b")
+    val out = rows.select(
+        VectorFunctions.vec_l2sq(col("a"), col("b")).as("native"),
+        interpretedFold(col("a"), col("b")).as("interp"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (n, i) =>
+      assert(java.lang.Double.doubleToLongBits(n) === java.lang.Double.doubleToLongBits(i))
+    }
+  }
+
+  test("matches the interpreted fold bit-for-bit (float arrays)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 4 - 2), Seq.fill(16)(rnd.nextFloat() * 4 - 2))
+    }.toDF("id", "a", "b")
+    // the interpreted fold on floats promotes per-element to double the
+    // same way the expression does (cast before subtract)
+    val out = rows.select(
+        VectorFunctions.vec_l2sq(col("a"), col("b")).as("native"),
+        interpretedFold(col("a").cast("array<double>"), col("b").cast("array<double>")).as("interp"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (n, i) =>
+      assert(java.lang.Double.doubleToLongBits(n) === java.lang.Double.doubleToLongBits(i))
+    }
+  }
+
+  test("null on length mismatch and null input; SQL name resolves") {
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    assert(df.select(VectorFunctions.vec_l2sq(col("a"), col("b"))).head().isNullAt(0))
+    assert(df.select(VectorFunctions.vec_l2sq(lit(null).cast("array<double>"), col("a")))
+      .head().isNullAt(0))
+    val v = spark.sql("SELECT vec_l2sq(array(0.0d, 3.0d), array(4.0d, 0.0d)) AS d")
+      .head().getDouble(0)
+    assert(v === 25.0)
+  }
+}
