@@ -101,6 +101,17 @@ object KMeans {
     centroids
   }
 
+  /** The `nprobe` nearest cluster ids for a vector, nearest first (ties
+    * on the lower cluster id): argsort the distance array via a
+    * struct-sort. This is the multi-list probe of an IVF search. */
+  def nearestClusters(vec: Column, centroids: Seq[Centroid], nprobe: Int): Column = {
+    require(nprobe >= 1 && nprobe <= centroids.size)
+    val entries = centroids.sortBy(_.cluster).map(c =>
+      struct(distCol(vec, c.center).as("d"), lit(c.cluster.toLong).as("c")))
+    transform(slice(array_sort(array(entries: _*)), 1, nprobe),
+      s => s.getField("c"))
+  }
+
   /** Within-cluster sum of squared distances — the quantity Lloyd
     * iterations monotonically non-increase (the property the spec
     * asserts). */

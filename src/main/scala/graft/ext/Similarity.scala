@@ -183,6 +183,48 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine", "list")
   }
 
+  /** Materialize the IVF index: corpus assigned to its trained list and
+    * written `partitionBy("list")` — the 100 TB layout where a probe
+    * reads `nprobe` partitions instead of the corpus
+    * (partition pruning; see [[probeIvfIndex]]). */
+  def writeIvfIndex(
+      corpus: DataFrame,
+      path: String,
+      centroids: Seq[KMeans.Centroid],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit =
+    KMeans.assign(corpus, centroids, idCol, vecCol)
+      .withColumnRenamed("cluster", "list")
+      .write.partitionBy("list").mode("overwrite").parquet(path)
+
+  /** Probe a written IVF index: each query fans out to its `nprobe`
+    * nearest lists and scores only those partitions' vectors. The join is
+    * on the PARTITION column with a broadcast query side, so Spark's
+    * dynamic partition pruning drops unprobed partitions at the scan —
+    * the physical realization of "IVF reads nprobe lists". */
+  def probeIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      centroids: Seq[KMeans.Centroid],
+      nprobe: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val idx = spark.read.parquet(path)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"), col("list"))
+    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+        explode(KMeans.nearestClusters(col(vecCol), centroids, nprobe)).as("list"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    idx.join(broadcast(qb), Seq("list"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", vec_cosine(col("query_vec"), col("neighbor_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine", "list")
+  }
+
   /** Per-dimension min-max int8-style quantization (0..255) — the
     * storage-compression step of an embedding pipeline. Exploded layout
     * (vec_id, dim, q): per-dim stats are one small aggregate broadcast

@@ -1,0 +1,75 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The materialized IVF index: partitionBy("list") layout, pruned probe,
+  * and nprobe semantics (nprobe = k ≡ exact search). */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus() = {
+    val centers = Seq(Array(0.0, 0.0, 0.0, 0.0), Array(50.0, 50.0, 0.0, 0.0),
+      Array(0.0, 0.0, 50.0, 50.0))
+    (0 until 45).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(v => (v + (i * 11) % 7).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("written index round-trips; nprobe=1 probe equals the trained in-memory probe") {
+    val df = corpus()
+    val cents = KMeans.fit(df, k = 3, iters = 3, vecCol = "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    try {
+      Similarity.writeIvfIndex(df, dir, cents)
+      val queries = df.filter(col("vec_id") < 3)
+      val probed = Similarity.probeIvfIndex(spark, dir, queries, k = 2, cents)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+      val inMem = Similarity.ivfTopKTrained(df, queries, k = 2, cents)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(probed === inMem)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("nprobe = number of lists makes the probe exact (= brute force)") {
+    val df = corpus()
+    val cents = KMeans.fit(df, k = 3, iters = 3, vecCol = "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    try {
+      Similarity.writeIvfIndex(df, dir, cents)
+      val queries = df.filter(col("vec_id") < 2)
+      val probed = Similarity.probeIvfIndex(spark, dir, queries, k = 3, cents, nprobe = 3)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+      val exact = Similarity.bruteForceTopK(df, queries, k = 3)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(probed === exact)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("probe scan carries a partition filter on list (pruning, not a full read)") {
+    val df = corpus()
+    val cents = KMeans.fit(df, k = 3, iters = 3, vecCol = "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    try {
+      Similarity.writeIvfIndex(df, dir, cents)
+      val queries = df.filter(col("vec_id") === 0L)
+      val plan = Similarity.probeIvfIndex(spark, dir, queries, k = 2, cents)
+        .queryExecution.executedPlan.toString
+      // the list join key must reach the scan as a partition filter —
+      // either statically or as a dynamic pruning subquery
+      assert(plan.contains("PartitionFilters: [isnotnull(list") ||
+        plan.contains("dynamicpruning"), s"no partition pruning in:\n$plan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+}
