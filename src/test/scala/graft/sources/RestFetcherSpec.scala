@@ -97,6 +97,48 @@ class RestFetcherSpec extends SparkSpec {
     }
   }
 
+  test("e2e: live poll loop — scrape → parse → window analytics → EXPAND decision") {
+    import graft.analytics.MetricAnalytics
+    import graft.control.{ScalingManager, SimulatedWorkers}
+    import graft.model.ClusterQueriesMetrics
+    import org.apache.spark.sql.functions._
+    withStub { (_, port) =>
+      // the stub serves ProcessCpuLoad 0.42 — patch in a HOT node set by
+      // replaying 4 live scrape ticks and scaling the parsed value above
+      // the 0.7 expand threshold (the transform is the P7 cast path; the
+      // VALUES come off the live socket each tick)
+      val fetcher = new RestFetcher(s"http://127.0.0.1:$port", "trino", "secret",
+        timeoutSeconds = 1)
+      var simNow = 1000000000L
+      val workers = new SimulatedWorkers(minCapacity = 0, maxCapacity = 20,
+        clock = () => simNow)
+      workers.resize(2); workers.settle()
+      val mgr = new ScalingManager(workers, new graft.decide.StepScalingAlgorithm(
+        new graft.decide.CpuLoadEvaluator, minCapacity = 0, maxCapacity = 20),
+        clock = () => simNow)
+      var decisions = List.empty[String]
+      val ticks = (0 until 4).map { tick =>
+        val parsed = JmxJson.parsePayloads(fetcher.fetchPayloads(spark), "payload",
+          Map("cpu" -> (("ProcessCpuLoad", org.apache.spark.sql.types.DoubleType))))
+        parsed.filter(col("cpu") > 0.0) // drop the dead node's zero-fill
+          .select(lit(new java.sql.Timestamp(1700000000000L + tick * 15000L)).as("ts"),
+            col("node"), (col("cpu") * 2).as("value")) // 0.42 → 0.84 hot
+      }.reduce(_ unionByName _).persist()
+      val buffer = MetricAnalytics.retainLastN(ticks, 20)
+      assert(!MetricAnalytics.isCold(buffer, 4), "4 live ticks should clear cold start")
+      val nodeAvgs = MetricAnalytics.oneMinuteAvgExact(buffer, 4)
+        .as[(String, Double)].collect().toMap
+      val total = MetricAnalytics.latestTickNodeCount(buffer).as[Long].head().toInt
+      simNow += 600000L // past cooldown
+      val decision = mgr.evaluate(
+        ClusterQueriesMetrics(new java.sql.Timestamp(simNow), 1, 0, 0, 0, 0, 0, 0),
+        requiredWorkers = 0,
+        graft.decide.MetricSummary(isCold = false, nodeAvgs, total))
+      assert(decision.map(_.action) === Some("EXPAND"),
+        s"hot live-scraped cluster must expand (avgs=$nodeAvgs, total=$total)")
+    }
+  }
+
   test("S9 dispatch: rest + coordinatorUrl selects the live fetcher") {
     val live = MetricsFetcher("rest", coordinatorUrl = Some("http://127.0.0.1:1"))
     assert(live.isInstanceOf[RestFetcher])

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ext.Dedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming ingest near-dup: each micro-batch of incoming docs probes the
+  * STORED signature state (sorted shingle hashes + banded table — the ~1%
+  * footprint a daily ingest keeps), flags near-dup pairs, then appends its
+  * own signatures to the state. Two streamed batches must flag exactly the
+  * pairs a full batch run flags for the same docs — the streaming face of
+  * x26's full-run-equivalence, carried across state updates. */
+class StreamingIngestDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two streamed ingest batches flag exactly the full-run pairs touching them") {
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val split = 350L
+    val mid = 425L
+
+    var storedSh = all.filter(col("doc_id") < split)
+      .select(col("doc_id").as("id"),
+        sort_array(Dedup.shingleHashes(col("text"))).as("sh"))
+      .persist()
+    var storedBanded = Dedup.bandedFromShingles(storedSh)
+    val flagged = scala.collection.mutable.Set.empty[(Long, Long)]
+
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          flagged ++= Dedup.incrementalNearDups(storedSh, storedBanded, batch,
+              threshold = 0.35)
+            .select("id_a", "id_b").as[(Long, Long)].collect()
+          // state update: append the batch's signatures (what a real
+          // deployment writes back to the signature store)
+          val newSh = batch.select(col("doc_id").as("id"),
+            sort_array(Dedup.shingleHashes(col("text"))).as("sh"))
+          storedSh = storedSh.unionByName(newSh).persist()
+          storedBanded = Dedup.bandedFromShingles(storedSh)
+        }
+      }
+      .start()
+    try {
+      val rows = all.filter(col("doc_id") >= split).as[(Long, String)].collect()
+      input.addData(rows.filter(_._1 < mid).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(rows.filter(_._1 >= mid).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val full = Dedup.minHashNearDups(all, threshold = 0.35)
+      .filter(col("id_a") >= split || col("id_b") >= split)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(flagged.toSet === full)
+    assert(flagged.nonEmpty, "fixture should contain near-dups across the split")
+  }
+}
