@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -141,4 +141,51 @@ object TextAnalysis {
     * code order (deterministic, first-in-LangMarkers wins — matches the
     * oracle's CASE chain); zero hits → "und" (undetermined). */
   def langId(text: Column): Column = langIdFromScores(langScores(text))
+
+  /** All single-character-deletion variants of a token, plus the token
+    * itself — the SymSpell neighborhood key set: two strings are within
+    * edit distance 1 iff they share a variant (equality covers match,
+    * one-sided deletion covers insert/delete, common deletion covers
+    * substitution). */
+  def deletionVariants(tok: Column): Column =
+    array_distinct(concat(array(tok),
+      transform(sequence(lit(1), length(tok)), i =>
+        concat(tok.substr(lit(1), i - 1), tok.substr(i + 1, length(tok))))))
+
+  /**
+   * Vocabulary-consolidation fuzzy pairs: distinct corpus tokens within
+   * edit distance 1 of each other (typo clusters). Candidates come from a
+   * deletion-neighborhood equi-join — fan-out is len+1 variants per token,
+   * so the join stays linear in vocabulary size instead of the quadratic
+   * all-pairs (or the length-block near-quadratic) a naive fuzzy join
+   * costs at 100 TB; verification is the exact `levenshtein`. Degenerate
+   * variant buckets (ultra-common fragments) drop at `maxBucket`, same
+   * policy and anti-join shape as [[Dedup.candidatePairs]].
+   *
+   * Tokens outside [2, maxTokenLen] chars are ignored (1-char tokens pair
+   * with everything via the empty-string variant; overlong tokens are
+   * noise for a typo model).
+   */
+  def fuzzyTokenPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      maxTokenLen: Int = 20,
+      maxBucket: Int = 1000): DataFrame = {
+    val toks = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .distinct()
+      .filter(length(col("tok")).between(2, maxTokenLen))
+    val variants = toks
+      .select(col("tok"), explode(deletionVariants(col("tok"))).as("v"))
+      .persist()
+    val over = variants.groupBy("v").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select("v")
+    val capped = variants.join(broadcast(over), Seq("v"), "left_anti")
+    val l = capped.select(col("v"), col("tok").as("tok_a"))
+    val r = capped.select(col("v"), col("tok").as("tok_b"))
+    l.join(r, Seq("v"))
+      .filter(col("tok_a") < col("tok_b"))
+      .select("tok_a", "tok_b").distinct()
+      .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")))
+      .filter(col("dist") <= 1)
+  }
 }

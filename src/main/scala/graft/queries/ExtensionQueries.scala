@@ -502,6 +502,27 @@ object ExtensionQueries {
       Similarity.quantizeMinMax(Tables.embeddings(s, dir))
         .orderBy("vec_id", "dim")),
 
+    // fuzzy vocabulary consolidation: distinct-token pairs within edit
+    // distance 1 via the SymSpell deletion-neighborhood join (linear
+    // candidate generation), exact levenshtein verification — all-integer
+    // output, so the oracle is exact. The fixture vocabulary is clean, so
+    // the query first injects deterministic OCR-style noise (docs with
+    // doc_id % 31 == 0 drop each long token's 2nd char) — the typo-variant
+    // population a real corpus carries.
+    "x35_fuzzy_vocab" -> ((s, dir) => {
+      val corrupt = concat_ws(" ",
+        transform(TextAnalysis.tokens(col("text")), t =>
+          when(length(t) >= 4,
+            concat(t.substr(lit(1), lit(1)), t.substr(lit(3), length(t))))
+            .otherwise(t)))
+      val noisy = Tables.documents(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(31)) === 0, corrupt)
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.fuzzyTokenPairs(noisy)
+        .select(col("tok_a"), col("tok_b"), col("dist").cast("int").as("dist"))
+        .orderBy("tok_a", "tok_b")
+    }),
+
     // TRAINED IVF coarse quantizer: k-means (ext.KMeans, 2 Lloyd
     // iterations, deterministic smallest-id init) over the QUANTIZED
     // embedding grid (x24 codes) — integer per-dim sums are exact in any
@@ -996,6 +1017,29 @@ object ExtensionQueries {
          |  FROM scored)
          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tfidf_r
          |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "x35_fuzzy_vocab" ->
+      s"""WITH noisy AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 31 = 0 THEN array_to_string(
+         |      list_transform(string_split($sqlNorm, ' '),
+         |        t -> CASE WHEN len(t) >= 4 THEN substr(t, 1, 1) || substr(t, 3)
+         |             ELSE t END), ' ')
+         |    ELSE text END AS text
+         |  FROM documents),
+         |toks AS (SELECT DISTINCT unnest(string_split(
+         |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+         |  FROM noisy),
+         |t2 AS (SELECT tok FROM toks WHERE len(tok) BETWEEN 2 AND 20),
+         |vars AS (SELECT tok, unnest(list_distinct(list_concat([tok],
+         |    list_transform(range(1, len(tok) + 1),
+         |      i -> substr(tok, 1, CAST(i - 1 AS INT)) || substr(tok, CAST(i + 1 AS INT)))))) AS v
+         |  FROM t2),
+         |varc AS (SELECT * FROM vars QUALIFY COUNT(*) OVER (PARTITION BY v) <= 1000),
+         |cand AS (SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+         |  FROM varc a JOIN varc b ON a.v = b.v AND a.tok < b.tok)
+         |SELECT tok_a, tok_b, CAST(levenshtein(tok_a, tok_b) AS INT) AS dist
+         |FROM cand WHERE levenshtein(tok_a, tok_b) <= 1
+         |ORDER BY tok_a, tok_b""".stripMargin,
 
     "x34_ivf_kmeans" -> {
       // distance fold replicated from KMeans.distCol: seed 0.0, then

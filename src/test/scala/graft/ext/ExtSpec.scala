@@ -71,6 +71,32 @@ class ExtSpec extends SparkSpec {
     assert(inc.nonEmpty, "fixture should contain near-dups across the split")
   }
 
+  test("fuzzy token pairs: deletion neighborhood = brute-force lev<=1, complete") {
+    val d = Seq((1L, "bank banks tank spark sparks catalyst the"),
+      (2L, "rank bank codegen codegem")).toDF("doc_id", "text")
+    val got = TextAnalysis.fuzzyTokenPairs(d)
+      .select("tok_a", "tok_b").as[(String, String)].collect().toSet
+    // brute-force reference over the distinct in-range tokens
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val toks = d.select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .distinct().as[String].collect().filter(t => t.length >= 2 && t.length <= 20)
+    val brute = (for {
+      a <- toks; b <- toks if a < b && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(got === brute)
+    assert(got.contains(("bank", "banks")) && got.contains(("bank", "tank")) &&
+      got.contains(("codegem", "codegen")))
+    assert(!got.exists(p => p._1 == "catalyst" || p._2 == "catalyst"))
+  }
+
   test("ngram jaccard direct join agrees with minhash on the exact pair") {
     val pairs = Dedup.ngramJaccard(docs, threshold = 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
