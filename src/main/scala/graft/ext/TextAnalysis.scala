@@ -142,6 +142,24 @@ object TextAnalysis {
     * oracle's CASE chain); zero hits → "und" (undetermined). */
   def langId(text: Column): Column = langIdFromScores(langScores(text))
 
+  /** PII patterns (RE2-safe constructs only — no lookaround/backrefs — so
+    * Spark's java.util.regex and DuckDB's RE2 match identically; shared
+    * with the oracle SQL). */
+  val EmailRe = "[\\w.+-]+@[\\w-]+\\.[\\w.]+"
+  val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** C4-style PII redaction: emails → [EMAIL], then IPv4 → [IP], then
+    * phone-shaped digit groups → [PHONE]. Email first — its local part
+    * can contain digit runs the later patterns would mangle. Pure
+    * codegen'd regexp_replace chain, shuffle-free. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        IpRe, "[IP]"),
+      PhoneRe, "[PHONE]")
+
   /** All single-character-deletion variants of a token, plus the token
     * itself — the SymSpell neighborhood key set: two strings are within
     * edit distance 1 iff they share a variant (equality covers match,

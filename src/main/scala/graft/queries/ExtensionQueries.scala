@@ -502,6 +502,44 @@ object ExtensionQueries {
       Similarity.quantizeMinMax(Tables.embeddings(s, dir))
         .orderBy("vec_id", "dim")),
 
+    // PII redaction (C4-style): emails/IPv4/phone-shaped digit groups →
+    // placeholders; output = per-kind counts + redacted-text length/hash
+    // (the x32 shape). Narrow codegen'd regex chain, shuffle-free.
+    "x36_pii_redact" -> ((s, dir) => {
+      val red = TextAnalysis.redactPii(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(TextAnalysis.EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(TextAnalysis.IpRe), lit(0)))
+          .cast("long").as("n_ips"),
+        size(regexp_extract_all(col("text"), lit(TextAnalysis.PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        length(red).cast("long").as("red_len"),
+        graft.functions.HashExpressions.rolling_hash(red).as("red_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // packed-sequence materialization: the x22 bin assignment joined back
+    // to the text and concatenated per bin with an <eos> separator — the
+    // actual training-sequence payload. One shard shuffle (packing) + one
+    // (shard, bin) aggregation.
+    "x37_pack_sequences" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val withTok = d.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      val seq = concat_ws(" <eos> ",
+        transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")))
+      Packing.packGreedy(s, withTok, budget = PackBudget, shards = PackShards)
+        .join(d.select("doc_id", "text"), "doc_id")
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+          length(seq).cast("long").as("seq_len"),
+          graft.functions.HashExpressions.rolling_hash(seq).as("seq_hash"))
+        .orderBy("shard", "bin")
+    }),
+
     // fuzzy vocabulary consolidation: distinct-token pairs within edit
     // distance 1 via the SymSpell deletion-neighborhood join (linear
     // candidate generation), exact levenshtein verification — all-integer
@@ -1017,6 +1055,48 @@ object ExtensionQueries {
          |  FROM scored)
          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tfidf_r
          |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "x36_pii_redact" -> {
+      val red =
+        s"""regexp_replace(regexp_replace(regexp_replace(text,
+           |  '${TextAnalysis.EmailRe}', '[EMAIL]', 'g'),
+           |  '${TextAnalysis.IpRe}', '[IP]', 'g'),
+           |  '${TextAnalysis.PhoneRe}', '[PHONE]', 'g')""".stripMargin
+      s"""WITH r AS (SELECT doc_id, text, $red AS red FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.IpRe}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  CAST(len(red) AS BIGINT) AS red_len,
+         |  ${sqlStringHash("red")} AS red_hash
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
+    "x37_pack_sequences" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, doc_id % $PackShards AS shard,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM t),
+         |walk(shard, rn, doc_id, n_tokens, bin, acc) AS (
+         |  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+         |  FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+         |    CASE WHEN w.acc + r.n_tokens > $PackBudget AND w.acc > 0
+         |         THEN w.bin + 1 ELSE w.bin END,
+         |    CASE WHEN w.acc + r.n_tokens > $PackBudget AND w.acc > 0
+         |         THEN r.n_tokens ELSE w.acc + r.n_tokens END
+         |  FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1),
+         |j AS (SELECT w.shard, w.bin, w.n_tokens, w.doc_id, d.text
+         |  FROM walk w JOIN documents d USING (doc_id)),
+         |g AS (SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |    string_agg(text, ' <eos> ' ORDER BY doc_id) AS seq
+         |  FROM j GROUP BY shard, bin)
+         |SELECT CAST(shard AS BIGINT) AS shard, bin, n_docs, total_tokens,
+         |  CAST(len(seq) AS BIGINT) AS seq_len,
+         |  ${sqlStringHash("seq")} AS seq_hash
+         |FROM g ORDER BY shard, bin""".stripMargin,
 
     "x35_fuzzy_vocab" ->
       s"""WITH noisy AS (SELECT doc_id,

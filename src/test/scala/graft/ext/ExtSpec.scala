@@ -71,6 +71,17 @@ class ExtSpec extends SparkSpec {
     assert(inc.nonEmpty, "fixture should contain near-dups across the split")
   }
 
+  test("PII redaction replaces emails, IPs, and phone shapes; counts match") {
+    val d = Seq((1L,
+      "mail a.user+tag@host-x.example.com or 10.0.0.1 or call 555-123-4567 now"))
+      .toDF("doc_id", "text")
+    val out = d.select(TextAnalysis.redactPii(col("text"))).as[String].head()
+    assert(out === "mail [EMAIL] or [IP] or call [PHONE] now")
+    val clean = Seq((2L, "no pii here just words")).toDF("doc_id", "text")
+    assert(clean.select(TextAnalysis.redactPii(col("text"))).as[String].head()
+      === "no pii here just words")
+  }
+
   test("fuzzy token pairs: deletion neighborhood = brute-force lev<=1, complete") {
     val d = Seq((1L, "bank banks tank spark sparks catalyst the"),
       (2L, "rank bank codegen codegem")).toDF("doc_id", "text")
