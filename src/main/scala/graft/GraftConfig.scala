@@ -6,12 +6,14 @@ package graft
  * key names exactly so a reference deployment's .conf drops in unchanged.
  *
  * The sandbox classpath has no typesafe-config jar, so this carries a
- * minimal parser for the HOCON SUBSET the reference's application.conf
- * actually uses — `#`/`//` comments, dotted keys, `=`/`:` separators,
+ * minimal parser for the HOCON SUBSET the reference's deployments use —
+ * `#`/`//` comments (leading and inline), dotted keys, `key { ... }`
+ * brace nesting (flattened to dotted keys), `=`/`:` separators,
  * quoted/bare scalars, and string lists. Unknown keys are retained (an
  * over-strict parser would reject the akka tuning block a real conf
- * carries); typed accessors fail fast with the key name on missing or
- * malformed values, like typesafe-config's.
+ * carries, in either its dotted or braced spelling); typed accessors
+ * fail fast with the key name on missing or malformed values, like
+ * typesafe-config's.
  */
 final class GraftConfig private (
     val entries: Map[String, String],
@@ -37,11 +39,19 @@ final class GraftConfig private (
       throw new IllegalArgumentException(s"config key $key is not a double: ${entries(key)}") }
   def getStringList(key: String): Seq[String] =
     lists.getOrElse(key,
-      throw new IllegalArgumentException(s"missing config list key: $key"))
+      if (entries.contains(key))
+        throw new IllegalArgumentException(
+          s"config key $key is a scalar (${entries(key)}), expected a [list]")
+      else throw new IllegalArgumentException(s"missing config list key: $key"))
 
-  /** Merge: `other`'s entries win — `parse(userConf).withFallback(default)`. */
+  /** Merge: this config's entries win — `parse(userConf).withFallback
+    * (default)`. An override REPLACES the key whatever its type: a scalar
+    * in the user conf shadows a list default (and errors loudly at the
+    * typed accessor) instead of being silently ignored. */
   def withFallback(fallback: GraftConfig): GraftConfig =
-    new GraftConfig(fallback.entries ++ entries, fallback.lists ++ lists)
+    new GraftConfig(
+      (fallback.entries -- lists.keys) ++ entries,
+      (fallback.lists -- entries.keys) ++ lists)
 
   // ----- typed surface, names and defaults from reference Config.scala -----
 
@@ -82,6 +92,7 @@ object GraftConfig {
   val MaxInstanceGroupsLimit = 48
 
   private val KeyValue = """^([A-Za-z0-9._-]+)\s*[=:]\s*(.+?)\s*$""".r
+  private val BlockOpen = """^([A-Za-z0-9._-]+)\s*\{\s*$""".r
 
   private def unquote(s: String): String = {
     val t = s.trim
@@ -89,24 +100,52 @@ object GraftConfig {
     else t
   }
 
-  /** Parse the HOCON subset of the reference's application.conf. */
+  /** Strip an unquoted trailing `#` / `//` comment. */
+  private def stripInlineComment(line: String): String = {
+    var inQuote = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (c == '"') inQuote = !inQuote
+      else if (!inQuote && (c == '#' ||
+        (c == '/' && i + 1 < line.length && line.charAt(i + 1) == '/')))
+        return line.substring(0, i)
+      i += 1
+    }
+    line
+  }
+
+  /** Parse the HOCON subset the reference's deployments use: comments
+    * (leading and inline), dotted keys, `key { ... }` brace nesting
+    * (flattened to dotted keys), `=`/`:` separators, quoted/bare scalars,
+    * string lists. */
   def parse(text: String): GraftConfig = {
     val kv = Map.newBuilder[String, String]
     val lists = Map.newBuilder[String, Seq[String]]
+    val prefix = scala.collection.mutable.Stack.empty[String]
+    def full(key: String): String = (prefix.reverseIterator ++ Iterator(key)).mkString(".")
     text.linesIterator
-      .map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("//"))
+      .map(l => stripInlineComment(l).trim)
+      .filter(_.nonEmpty)
       .foreach {
+        case BlockOpen(key) => prefix.push(key)
+        case "}" =>
+          if (prefix.isEmpty)
+            throw new IllegalArgumentException("unbalanced '}' in config")
+          prefix.pop()
         case KeyValue(key, raw) =>
           if (raw.startsWith("[")) {
             val inner = raw.stripPrefix("[").stripSuffix("]").trim
             val items =
               if (inner.isEmpty) Seq.empty[String]
               else inner.split(",").toSeq.map(unquote)
-            lists += key -> items
-          } else kv += key -> unquote(raw)
+            lists += full(key) -> items
+          } else kv += full(key) -> unquote(raw)
         case line => throw new IllegalArgumentException(s"unparseable config line: $line")
       }
+    if (prefix.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unclosed config block(s): ${prefix.mkString(", ")}")
     new GraftConfig(kv.result(), lists.result())
   }
 

@@ -123,7 +123,12 @@ object Dedup {
     // bucket into ONE task just to discard it — the exact skew funnel the
     // cap exists to avoid. `banded` is persisted because three consumers
     // (sizes, both join sides) would otherwise recompute the signature
-    // projection.
+    // projection. The persist outlives the call (the returned frame's
+    // lineage needs it) — one-shot batch operators in this family
+    // (candidatePairs, decontaminate, cosineNearDups, fuzzyTokenPairs)
+    // leave cache release to the caller/session (Bench and Verify clear
+    // between queries); the per-micro-batch operator
+    // (incrementalNearDups) releases its own temporaries instead.
     val b = banded.persist()
     val over = overCapBuckets(b, maxBucket).select("band", "band_key")
     val sized = b.join(broadcast(over), Seq("band", "band_key"), "left_anti")
@@ -219,6 +224,13 @@ object Dedup {
    * Bucket capping uses the bucket sizes of the UNION (same totals the
    * full run would see), so results match the full run exactly.
    *
+   * The result comes back MATERIALIZED (persisted + counted) and the
+   * call's internal temporaries are unpersisted before returning — this
+   * operator runs once per micro-batch in a streaming ingest loop
+   * (StreamingIngestDedupSpec), where leaked per-call cache entries
+   * would accumulate forever. Unpersist the returned frame once
+   * consumed.
+   *
    * @param corpusSh     stored (id, sh) — sh = SORTED distinct shingle
    *                     hashes, as produced by `sort_array(shingleHashes)`
    * @param corpusBanded stored (id, band, band_key), as produced by
@@ -259,7 +271,11 @@ object Dedup {
       .select(least(col("id_l"), col("id_r")).as("id_a"),
         greatest(col("id_l"), col("id_r")).as("id_b"))
       .distinct()
-    verifyPairs(cands, corpusSh.unionByName(newSh), threshold)
+    val out = verifyPairs(cands, corpusSh.unionByName(newSh), threshold).persist()
+    out.count() // materialize so the per-call temporaries can be released
+    newSh.unpersist()
+    allBanded.unpersist()
+    out
   }
 
   /**

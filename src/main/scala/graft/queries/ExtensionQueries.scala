@@ -33,6 +33,12 @@ object ExtensionQueries {
   private val KmClusters = 8    // x34 trained-IVF coarse quantizer
   private val KmIters = 2
 
+  /** Whitespace token count — ONE definition shared by the packing
+    * queries (x22 assignment, x37 materialization) so their bin math can
+    * never desync. */
+  private def wsTokenCount(c: org.apache.spark.sql.Column) =
+    size(split(trim(c), "\\s+")).cast("long")
+
   // ---- shared SQL fragments (DuckDB dialect) ----
 
   /** Rolling hash of a string expression s: fold (a*31 + ascii(c)) % mod. */
@@ -526,8 +532,7 @@ object ExtensionQueries {
     // (shard, bin) aggregation.
     "x37_pack_sequences" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val withTok = d.select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      val withTok = d.select(col("doc_id"), wsTokenCount(col("text")).as("n_tokens"))
       val seq = concat_ws(" <eos> ",
         transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
           x => x.getField("text")))
@@ -611,20 +616,22 @@ object ExtensionQueries {
     // a recursive CTE)
     "x22_pack" -> ((s, dir) => {
       val withTok = Tables.documents(s, dir).select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        wsTokenCount(col("text")).as("n_tokens"))
       Packing.packGreedy(s, withTok, budget = PackBudget, shards = PackShards)
         .select(col("doc_id"), col("shard"), col("bin"), col("n_tokens"))
         .orderBy("doc_id")
     }),
 
-    // TF-IDF top terms per document. RANKING is on the exact integer
-    // tuple (tf desc, df asc, token) — term frequency first, rarity
-    // second — so no floating-point score (whose libm log can differ by
-    // 1 ulp across engines and flip a rank at a rounding boundary) ever
-    // decides row membership; the log-scaled tfidf score is computed for
-    // DISPLAY only (rounded for cross-engine value parity). Shape: tf is
-    // one (doc, token) shuffle; df one (token) shuffle; N rides in as a
-    // broadcast scalar — no driver-side count.
+    // TF-IDF top terms per document. RANKING is on the ROUNDED score
+    // with EXACT integer tiebreaks (tf desc, df asc, token): rank order
+    // can never contradict the displayed tfidf_r (it's the primary key),
+    // and ties at the displayed precision resolve on integers, so no raw
+    // libm double ever decides an order. A 1-ulp cross-engine ln
+    // difference at a round-6 boundary would already flip the DISPLAYED
+    // value (a hash mismatch on its own) — ranking on it adds zero
+    // additional flake surface. Shape: tf is one (doc, token) shuffle;
+    // df one (token) shuffle; N rides in as a broadcast scalar — no
+    // driver-side count.
     "x21_tfidf" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val toks = d.select(col("doc_id"),
@@ -636,7 +643,7 @@ object ExtensionQueries {
         .withColumn("tfidf_r", round(col("tf") *
           (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1.0), 6))
       val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-        .orderBy(col("tf").desc, col("df"), col("token"))
+        .orderBy(col("tfidf_r").desc, col("tf").desc, col("df"), col("token"))
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank").cast("long").as("rank"),
@@ -1051,7 +1058,7 @@ object ExtensionQueries {
          |  FROM tf, dfreq d2, n WHERE tf.token = d2.token),
          |r AS (SELECT doc_id, token, tfidf_r,
          |    row_number() OVER (PARTITION BY doc_id
-         |                       ORDER BY tf DESC, df, token) AS rank
+         |                       ORDER BY tfidf_r DESC, tf DESC, df, token) AS rank
          |  FROM scored)
          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tfidf_r
          |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,

@@ -82,19 +82,41 @@ class RestFetcher(
     .connectTimeout(timeout)
     .build()
 
+  private def request(url: String): java.net.http.HttpRequest = {
+    val auth = java.util.Base64.getEncoder.encodeToString(
+      s"$user:$password".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(timeout)
+      .header("Authorization", s"Basic $auth")
+      .GET().build()
+  }
+
   /** GET with basic auth; any non-2xx / connect / timeout / parse failure
     * → None (the reference's `fallbackTo(Map.empty)`). */
   private def get(url: String): Option[String] =
     try {
-      val auth = java.util.Base64.getEncoder.encodeToString(
-        s"$user:$password".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-        .timeout(timeout)
-        .header("Authorization", s"Basic $auth")
-        .GET().build()
-      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      val resp = client.send(request(url), java.net.http.HttpResponse.BodyHandlers.ofString())
       if (resp.statusCode() / 100 == 2) Some(resp.body()) else None
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Concurrent GETs — the per-node scrapes are independent, and issuing
+    * them serially would spend (dead nodes × timeout) of the 15 s tick
+    * budget; the reference's future-based scrape is concurrent for the
+    * same reason (TrinoJmxRest.scala:91-104). */
+  private def getAll(urls: Seq[String]): Seq[Option[String]] = {
+    val futures = urls.map { u =>
+      try client.sendAsync(request(u), java.net.http.HttpResponse.BodyHandlers.ofString())
+      catch { case scala.util.control.NonFatal(_) => null }
+    }
+    futures.map { f =>
+      if (f == null) None
+      else
+        try {
+          val resp = f.get(timeoutSeconds + 1, java.util.concurrent.TimeUnit.SECONDS)
+          if (resp.statusCode() / 100 == 2) Some(resp.body()) else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
 
   /** Worker hosts from the coordinator's /v1/node list — the
     * scheme-slash-host-colon regex extraction of TrinoJmxRest.scala:66-71,
@@ -116,10 +138,9 @@ class RestFetcher(
     * attribute map — reference behavior at TrinoJmxRest.scala:130). */
   override def fetchPayloads(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val rows = nodeHosts().map { h =>
-      (h, get(s"$scheme://$h:$port/$JmxPath/$OsMBean").getOrElse(""))
-    }
-    rows.toDF("node", "payload")
+    val hosts = nodeHosts()
+    val bodies = getAll(hosts.map(h => s"$scheme://$h:$port/$JmxPath/$OsMBean"))
+    hosts.zip(bodies.map(_.getOrElse(""))).toDF("node", "payload")
   }
 
   /** S4 — the /v1/autoscale EmrNodeStatus list as a NodeInfo frame;

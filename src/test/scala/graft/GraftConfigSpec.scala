@@ -56,6 +56,30 @@ class GraftConfigSpec extends AnyFunSuite {
     } finally Files.delete(conf)
   }
 
+  test("brace blocks flatten to dotted keys; inline comments stripped") {
+    val c = GraftConfig.parse(
+      """akka {
+        |  http {
+        |    client.connecting-timeout = 1s  # inline comment
+        |  }
+        |}
+        |scaling.ig.nodes.max = 7 // trailing note
+        |note = "a # inside quotes survives"
+        |""".stripMargin)
+    assert(c.getString("akka.http.client.connecting-timeout") === "1s")
+    assert(c.getInt("scaling.ig.nodes.max") === 7)
+    assert(c.getString("note") === "a # inside quotes survives")
+    val e = intercept[IllegalArgumentException](GraftConfig.parse("a {\nb = 1\n"))
+    assert(e.getMessage.contains("unclosed"))
+  }
+
+  test("a scalar override shadows a list default and errors loudly, not silently") {
+    val c = GraftConfig.parse("scaling.ig.instance.types = m5.xlarge")
+      .withFallback(GraftConfig.default)
+    val e = intercept[IllegalArgumentException](c.igInstanceTypes)
+    assert(e.getMessage.contains("expected a [list]"))
+  }
+
   test("typed accessors fail fast with the key name") {
     val c = GraftConfig.parse("a.b = notanint")
     val e1 = intercept[IllegalArgumentException](c.getInt("a.b"))

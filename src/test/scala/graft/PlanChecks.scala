@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Shared plan-shape assertions for the spec suites (one traversal so a
+  * new wrapper node — another AdaptiveSparkPlanExec-style indirection —
+  * is handled in exactly one place). */
+object PlanChecks {
+
+  /** Every WindowExec in the plan with an EMPTY partition spec — the
+    * global-sort funnel no 100 TB plan may contain. */
+  def partitionlessWindows(plan: SparkPlan): Seq[WindowExec] = {
+    val here = plan match {
+      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+      case _ => Nil
+    }
+    val kids = plan match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case p => p.children
+    }
+    here ++ kids.flatMap(partitionlessWindows)
+  }
+}

@@ -29,22 +29,9 @@ class PositionalSpec extends SparkSpec {
   }
 
   test("withGlobalPosition plans no partition-less window") {
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.window.WindowExec
     import spark.implicits._
     val df = (1 to 100).map(i => (i, s"n$i")).toDF("k", "name")
     val out = Positional.withGlobalPosition(df, Seq(col("k")), "pos")
-    def bad(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
-      val here = p match {
-        case w: WindowExec => w.partitionSpec.isEmpty
-        case _ => false
-      }
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case x => x.children
-      }
-      here || kids.exists(bad)
-    }
-    assert(!bad(out.queryExecution.executedPlan))
+    assert(graft.PlanChecks.partitionlessWindows(out.queryExecution.executedPlan).isEmpty)
   }
 }

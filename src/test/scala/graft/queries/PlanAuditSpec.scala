@@ -94,20 +94,8 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"stats join must broadcast:\n$p")
   }
 
-  private def partitionlessWindows(plan: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.window.WindowExec
-    val here = plan match {
-      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
-      case _ => Nil
-    }
-    val kids = plan match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case p => p.children
-    }
-    here ++ kids.flatMap(partitionlessWindows)
-  }
+  private def partitionlessWindows(plan: org.apache.spark.sql.execution.SparkPlan) =
+    graft.PlanChecks.partitionlessWindows(plan)
 
   test("m05/m06 + MetricAnalytics lineage: no partition-less window (global sort funnel)") {
     import org.apache.spark.sql.functions._

@@ -32,14 +32,20 @@ class StreamingIngestDedupSpec extends SparkSpec {
     val q = input.toDF().toDF("doc_id", "text").writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          flagged ++= Dedup.incrementalNearDups(storedSh, storedBanded, batch,
-              threshold = 0.35)
-            .select("id_a", "id_b").as[(Long, Long)].collect()
-          // state update: append the batch's signatures (what a real
-          // deployment writes back to the signature store)
+          val pairs = Dedup.incrementalNearDups(storedSh, storedBanded, batch,
+            threshold = 0.35)
+          flagged ++= pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+          pairs.unpersist() // returned materialized; release once consumed
+          // state rotation: append the batch's signatures (what a real
+          // deployment writes back to the signature store) and release
+          // the superseded cached state — the loop must not accumulate
+          // one pinned frame per micro-batch
           val newSh = batch.select(col("doc_id").as("id"),
             sort_array(Dedup.shingleHashes(col("text"))).as("sh"))
-          storedSh = storedSh.unionByName(newSh).persist()
+          val next = storedSh.unionByName(newSh).persist()
+          next.count() // materialize before dropping the old state's cache
+          storedSh.unpersist()
+          storedSh = next
           storedBanded = Dedup.bandedFromShingles(storedSh)
         }
       }
