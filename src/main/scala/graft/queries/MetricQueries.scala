@@ -269,6 +269,24 @@ object MetricQueries {
             col("exact_users") * lit(3 * 0.05)).as("within_rsd"))
         .orderBy("event_type")),
 
+    // time-RANGE window frame (vs m01's row frame): trailing 60 s count
+    // and average per event type keyed on the event-time axis — the frame
+    // every "rate over the last minute" gauge needs when samples are
+    // irregular (row frames assume fixed cadence). Peers at equal ts are
+    // all included — identical semantics in both engines.
+    "m26_range_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts_ms"))
+        .rangeBetween(-60000L, 0L)
+      events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("ts_ms"), col("value"))
+        .withColumn("n_60s", count(lit(1)).over(w))
+        .withColumn("avg_60s", avg(col("value")).over(w))
+        .select("event_id", "event_type", "ts_ms", "n_60s", "avg_60s")
+        .orderBy("event_id")
+    }),
+
     // session windows — gap-based sessionization (30-minute inactivity
     // gap) via Spark's native session_window; the oracle reproduces the
     // semantics with the classic gaps-and-islands formulation. A new
@@ -519,6 +537,15 @@ object MetricQueries {
       """SELECT event_type, quantile_cont(value, 0.5) AS p50_exact,
         |  TRUE AS approx_in_bracket
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "m26_range_window" ->
+      """SELECT event_id, event_type, epoch_ms(ts) AS ts_ms,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_60s,
+        |  AVG(value) OVER w AS avg_60s
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ms(ts)
+        |             RANGE BETWEEN 60000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "m19_time_arith" ->
       """WITH e AS (SELECT event_id, epoch_ms(ts) AS ts_ms FROM events),

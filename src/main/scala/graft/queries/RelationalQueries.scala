@@ -222,6 +222,20 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // full outer join (completing the join-type family): nations' rich
+    // customers vs in-debt suppliers — either side can be absent, so both
+    // null-extension directions are exercised
+    "r17_full_outer" -> ((s, dir) => {
+      val cn = Tables.customer(s, dir).filter(col("c_acctbal") > 9000)
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_rich_customers"))
+      val sn = Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+        .groupBy("s_nationkey").agg(count(lit(1)).as("n_poor_suppliers"))
+      cn.join(sn, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          col("n_rich_customers"), col("n_poor_suppliers"))
+        .orderBy("nationkey")
+    }),
+
     // J3 fleet-variant subset/collect: per region, ordered nation roster
     // (string-joined for engine-portable comparison)
     "r12_collect_roster" -> ((s, dir) => {
@@ -356,6 +370,16 @@ object RelationalQueries {
         |  AND c.ts >= p.ts - INTERVAL 7 DAY AND c.ts < p.ts
         |GROUP BY p.event_id, p.user_id, p.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "r17_full_outer" ->
+      """WITH cn AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_rich_customers
+        |  FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey),
+        |sn AS (SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_poor_suppliers
+        |  FROM supplier WHERE s_acctbal < 0 GROUP BY s_nationkey)
+        |SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+        |  n_rich_customers, n_poor_suppliers
+        |FROM cn FULL JOIN sn ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
 
     "r12_collect_roster" ->
       """SELECT r_name,

@@ -1,0 +1,47 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The bucketing leg of the 100 TB contract (SURVEY "partitioning &
+  * shuffle"): two tables bucketed on the join key co-locate, so the join
+  * plans NO exchange on either side — at scale this is the difference
+  * between a fact-fact join that shuffles 100 TB and one that shuffles
+  * nothing. */
+class BucketedJoinSpec extends SparkSpec {
+
+  test("bucketed-by-key tables join with zero exchanges") {
+    val dir = "/root/testdata/sf0.001"
+    val warehouse = new java.io.File("spark-warehouse")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join so the exchange question is real
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.sources.Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("g_orders_bucketed")
+      graft.sources.Tables.customer(spark, dir)
+        .select("c_custkey", "c_name")
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("g_customer_bucketed")
+      val joined = spark.table("g_orders_bucketed")
+        .join(spark.table("g_customer_bucketed"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      // and it still computes the right thing
+      val n = joined.count()
+      val expected = graft.sources.Tables.orders(spark, dir)
+        .join(graft.sources.Tables.customer(spark, dir),
+          col("o_custkey") === col("c_custkey")).count()
+      assert(n === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS g_orders_bucketed")
+      spark.sql("DROP TABLE IF EXISTS g_customer_bucketed")
+      if (warehouse.exists()) org.apache.commons.io.FileUtils.deleteDirectory(warehouse)
+    }
+  }
+}
