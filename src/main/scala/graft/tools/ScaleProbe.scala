@@ -47,7 +47,7 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       val n = graft.ext.Similarity.cosineNearDups(grown, threshold = 0.30).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"cosine  scale=${f}x vecs=${5000 * f}%7d pairs=$n%8d time=$dt%7.2f s")
+      println(f"cosine  scale=${f}x vecs=${2000 * f}%7d pairs=$n%8d time=$dt%7.2f s")
     }
 
     // As-of join slope: events replicated f× with disjoint user spaces —
@@ -70,6 +70,40 @@ object ScaleProbe {
         Seq("user_id"), "ts", "event_id", Seq("click_id")).count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"asof    scale=${f}x events=${100000 * f}%7d rows=$n%8d time=$dt%7.2f s")
+    }
+
+    // k-means slope: assignment is map-side (no shuffle) and each Lloyd
+    // round's update shuffles only k×dim partial sums, so wall time per
+    // iteration should track input size linearly.
+    for (f <- Seq(1, 5, 10, 20)) {
+      val grown = (0 until f).map { r =>
+        val vec =
+          if (r == 0) col("embedding")
+          else transform(col("embedding"),
+            (v, i) => v + (i % (r + 2)).cast("float") * 0.01f)
+        emb.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"), vec.as("embedding"))
+      }.reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val cents = graft.ext.KMeans.fit(grown, k = 16, iters = 3, vecCol = "embedding")
+      val assigned = graft.ext.KMeans.assign(grown, cents, vecCol = "embedding").count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"kmeans  scale=${f}x vecs=${2000 * f}%7d rows=$assigned%8d time=$dt%7.2f s")
+    }
+
+    // fuzzy-vocab slope: deletion-neighborhood candidates are linear in
+    // vocabulary size × token length; replicas salt tokens with a suffix
+    // so the vocab actually grows with f.
+    for (f <- Seq(1, 5, 10, 20)) {
+      val grown = (0 until f).map { r =>
+        docs.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+          if (r == 0) col("text")
+          else concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(t, lit(s"x$r")))).as("text"))
+      }.reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val n = graft.ext.TextAnalysis.fuzzyTokenPairs(grown).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"fuzzy   scale=${f}x docs=${5000 * f}%7d pairs=$n%8d time=$dt%7.2f s")
     }
     spark.stop()
   }
