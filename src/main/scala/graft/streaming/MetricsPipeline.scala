@@ -62,6 +62,37 @@ object MetricsPipeline {
       .agg(count(lit(1)).as("n"))
       .select(col("window.end").as("win_end"), col("event_type"), col("n"))
 
+  /** Fully-declarative streaming quorum — the reference's core predicate
+    * ("do ≥ frac of nodes average ≥ threshold CPU over the window?",
+    * metrics/MetricStore.scala:49-75) as a CHAINED pair of event-time
+    * window aggregations, no foreachBatch: per-(window, node) averages,
+    * re-aggregated per window into hot/mid node counts and the quorum
+    * verdicts. Spark ≥ 3.5 executes multiple stateful aggregations in
+    * append mode when both group on the same time window; state for both
+    * stages is watermark-bounded. Denominator = nodes PRESENT in the
+    * window (the streaming analog of the batch operator's last-tick node
+    * list — in a stream the window's node set IS the live set). */
+  def streamingQuorum(
+      samples: DataFrame,
+      expandThreshold: Double,
+      shrinkThreshold: Double,
+      nodesFraction: Double): DataFrame =
+    samples
+      .withWatermark("ts", RetentionDuration)
+      .groupBy(window(col("ts"), AvgWindowDuration, SlideDuration), col("node"))
+      .agg(avg(col("value")).as("avg_value"))
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("total_nodes"),
+        sum(when(col("avg_value") >= expandThreshold, 1).otherwise(0)).as("breached_high"),
+        sum(when(col("avg_value") > shrinkThreshold &&
+          col("avg_value") < expandThreshold, 1).otherwise(0)).as("breached_mid"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("total_nodes"), col("breached_high"), col("breached_mid"),
+        (col("breached_high") >= col("total_nodes") * lit(nodesFraction)).as("is_greater"),
+        (col("breached_mid") >= col("total_nodes") * lit(nodesFraction)).as("is_between"))
+      // A7: "lower" is literally NOT-greater (MetricStore.scala:75)
+      .withColumn("is_lower", !col("is_greater"))
+
   /** Decision record emitted by the control loop. */
   final case class Decision(batchId: Long, ts: Timestamp, action: String, capacity: Int)
 

@@ -51,6 +51,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("declarative streaming quorum: chained window aggs agree with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    // n1/n2 hot, n3 cold → 2/3 of nodes ≥ 0.7: quorum at frac 0.6, not at 0.8
+    val data = (0 until 20).flatMap(t =>
+      Seq(sample(t, "n1", 0.9), sample(t, "n2", 0.8), sample(t, "n3", 0.1)))
+    input.addData(data: _*)
+    val q = MetricsPipeline.streamingQuorum(
+        input.toDF().toDF("ts", "node", "value"),
+        expandThreshold = 0.7, shrinkThreshold = 0.5, nodesFraction = 0.6)
+      .writeStream.format("memory").queryName("squorum").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      input.addData(sample(200, "n1", 0.0)) // advance watermark, close windows
+      q.processAllAvailable()
+      val out = spark.table("squorum")
+        .select("win_start", "total_nodes", "breached_high", "is_greater", "is_lower")
+        .as[(Timestamp, Long, Long, Boolean, Boolean)].collect()
+      assert(out.nonEmpty)
+      // full windows (all 3 nodes present): 2 hot of 3 ≥ 0.6·3 → quorum
+      val full = out.filter(_._2 == 3)
+      assert(full.nonEmpty)
+      full.foreach { case (_, total, hot, greater, lower) =>
+        assert(hot === 2L && greater && !lower)
+      }
+      // batch re-computation of the same formula over the same input must
+      // agree on every emitted full window
+      val batch = spark.createDataFrame(data).toDF("ts", "node", "value")
+        .groupBy(window(col("ts"), "60 seconds", "15 seconds"), col("node"))
+        .agg(avg(col("value")).as("avg_value"))
+        .groupBy(col("window"))
+        .agg(count(lit(1)).as("total_nodes"),
+          sum(when(col("avg_value") >= 0.7, 1).otherwise(0)).as("breached_high"))
+        .select(col("window.start"), col("total_nodes"), col("breached_high"))
+        .as[(Timestamp, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      out.filter(r => batch.contains(r._1)).foreach { case (w, total, hot, _, _) =>
+        assert(batch(w) === ((total, hot)), s"window $w disagrees with batch")
+      }
+    } finally q.stop()
+  }
+
   test("event rates: exact sliding counts replace decayed counters") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
