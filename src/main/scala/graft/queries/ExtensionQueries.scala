@@ -87,6 +87,30 @@ object ExtensionQueries {
     s"""bandedc AS (SELECT * FROM banded
        |  QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= ${Dedup.DefaultMaxBucket})""".stripMargin
 
+  /** Near-dup CLUSTER CTE chain (shared by x20 and x38, one definition so
+    * their cluster math can never desync): shingles → capped banded
+    * candidates → verified pairs → symmetric edges → recursive min-label
+    * walk. Labels come from `SELECT id, min(label) FROM walk GROUP BY id`. */
+  private lazy val sqlClusterCtes =
+    s"""$sqlShingleCte,
+       |$sqlBandedCte,
+       |$sqlCappedBandedCte,
+       |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM bandedc l JOIN bandedc r
+       |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+       |ver AS (SELECT id_a, id_b,
+       |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+       |    len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS uni
+       |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+       |pairs AS (SELECT id_a, id_b FROM ver
+       |  WHERE CAST(inter AS DOUBLE) / uni >= $JaccardThreshold),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |walk(id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)""".stripMargin
+
   /** Fold-order dot product of two DuckDB lists (matches the Catalyst
     * expressions' sequential accumulation). */
   private def sqlDot(a: String, b: String): String =
@@ -508,6 +532,23 @@ object ExtensionQueries {
       Similarity.quantizeMinMax(Tables.embeddings(s, dir))
         .orderBy("vec_id", "dim")),
 
+    // leakage-safe train/val/test split: hash the CLUSTER id, not the doc
+    // id, so every member of a near-dup cluster lands in the same split —
+    // per-doc hashing (x18) puts near-duplicates of training docs into
+    // eval sets, the classic contamination bug this operator exists to
+    // prevent.
+    "x38_cluster_split" -> ((s, dir) => {
+      val clusters = Components
+        .nearDupClusters(s, Tables.documents(s, dir), JaccardThreshold, P)
+        .select(col("doc_id"), col("cluster_id"))
+      val splitKey = pmod(graft.functions.HashExpressions.rolling_hash(
+        concat(col("cluster_id").cast("string"), lit(":csplit"))), lit(100L))
+      clusters.select(col("doc_id"), col("cluster_id"),
+        when(splitKey < 90, "train").when(splitKey < 95, "val")
+          .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
     // PII redaction (C4-style): emails/IPv4/phone-shaped digit groups →
     // placeholders; output = per-kind counts + redacted-text length/hash
     // (the x32 shape). Narrow codegen'd regex chain, shuffle-free.
@@ -805,27 +846,22 @@ object ExtensionQueries {
          |WHERE jaccard >= $NgramThreshold ORDER BY id_a, id_b""".stripMargin,
 
     "x20_dedup_clusters" ->
-      s"""WITH RECURSIVE $sqlShingleCte,
-         |$sqlBandedCte,
-         |$sqlCappedBandedCte,
-         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-         |  FROM bandedc l JOIN bandedc r
-         |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
-         |ver AS (SELECT id_a, id_b,
-         |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
-         |    len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS uni
-         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
-         |pairs AS (SELECT id_a, id_b FROM ver
-         |  WHERE CAST(inter AS DOUBLE) / uni >= $JaccardThreshold),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |walk(id, label) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)
+      s"""WITH RECURSIVE $sqlClusterCtes
          |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id,
          |       id = min(label) AS is_keeper
          |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "x38_cluster_split" ->
+      s"""WITH RECURSIVE $sqlClusterCtes,
+         |cl AS (SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+         |  FROM walk GROUP BY id),
+         |k AS (SELECT doc_id, cluster_id,
+         |    ${sqlStringHash("CAST(cluster_id AS VARCHAR) || ':csplit'")} % 100 AS split_key
+         |  FROM cl)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN split_key < 90 THEN 'train'
+         |       WHEN split_key < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM k ORDER BY doc_id""".stripMargin,
 
     "x18_sample_split" ->
       s"""WITH k AS (SELECT doc_id, lang,
