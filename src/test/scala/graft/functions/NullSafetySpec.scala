@@ -54,4 +54,20 @@ class NullSafetySpec extends SparkSpec {
     assert(out(1).getString(2) === "und")
     assert(out(1).isNullAt(3))
   }
+
+  test("redaction / deletion variants: null text → null, no NPE; fuzzy drops nulls") {
+    val out = df.select(col("id"),
+        TextAnalysis.redactPii(col("text")).as("red"),
+        TextAnalysis.deletionVariants(col("text")).as("dv"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) === "hello world")
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+    assert(out(2).getString(1) === "")
+    // a null-text doc contributes no tokens (explode drops null arrays);
+    // the operator must not throw
+    val pairs = TextAnalysis.fuzzyTokenPairs(
+      Seq((1L, Option("bank tank")), (2L, None: Option[String])).toDF("doc_id", "text"))
+    assert(pairs.select("tok_a", "tok_b").as[(String, String)].collect().toSet
+      === Set(("bank", "tank")))
+  }
 }
