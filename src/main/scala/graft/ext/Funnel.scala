@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** N-stage ordered funnel: for each user, the earliest timestamp of stage
+  * k that occurs STRICTLY AFTER the user's stage-(k-1) timestamp — the
+  * "view -> click -> purchase, in that order" conversion question. A plain
+  * per-type min() gets this wrong (a purchase before the first view would
+  * count); the ordering constraint is the operator.
+  *
+  * Shape: one filtered aggregate per stage, each joined on the user key to
+  * the accumulated stage frame. The event table is never shuffled whole —
+  * each stage shuffles only its own filtered slice (partial-aggregated
+  * map-side first), and the accumulator is one row per converted user, so
+  * AQE broadcasts it against the next slice when it is small. Stage count
+  * is config-sized (a funnel has 3-7 steps), so the join chain depth is
+  * bounded. At 100 TB this is #stages scans of a partition-pruned event
+  * source vs. one full shuffle for a collect_list-per-user formulation —
+  * the scan is the cheaper side of that trade when stages filter hard.
+  */
+object Funnel {
+
+  /** Per-user stage timestamps `t1..tN` (null once the chain breaks) plus
+    * `stage`: the deepest stage reached. Only users who completed stage 1
+    * appear — a funnel is anchored at its entry event.
+    */
+  def stageTimes(
+      events: DataFrame,
+      stages: Seq[String],
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    var acc = events.filter(col(typeCol) === stages.head)
+      .groupBy(userCol).agg(min(tsCol).as("t1"))
+    stages.zipWithIndex.drop(1).foreach { case (stage, i) =>
+      val prev = s"t$i"
+      val cur = s"t${i + 1}"
+      val next = events.filter(col(typeCol) === stage)
+        .join(acc.select(col(userCol), col(prev)), Seq(userCol))
+        .filter(col(tsCol) > col(prev))
+        .groupBy(userCol).agg(min(tsCol).as(cur))
+      acc = acc.join(next, Seq(userCol), "left")
+    }
+    // deepest non-null stage wins; the chain is monotone (t_k set implies
+    // t_{k-1} set), so a deepest-first coalesce is exact
+    val checks: Seq[Column] =
+      (stages.length until 1 by -1).map(k => when(col(s"t$k").isNotNull, lit(k.toLong)))
+    acc.withColumn("stage", coalesce(checks :+ lit(1L): _*))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Single-pass data profiling: per-column completeness, distinctness and
+  * range over an arbitrary frame — the validation gate every ingest
+  * pipeline runs before training data is admitted (the Deequ-style
+  * "profile then check constraints" pattern).
+  *
+  * Shape: ONE aggregate job computes every column's stats (count/min/max
+  * fold map-side; the distinct counts expand the input #cols ways and
+  * shuffle per-column partials — the standard multi-distinct plan). The
+  * result is one row, exploded driver-free into a (column, stats) row per
+  * profiled column. At 100 TB the exact distinct counts are the expensive
+  * part; swap `countDistinct` for `approx_count_distinct` when the profile
+  * feeds a dashboard rather than an exactness gate — the plan shape is
+  * otherwise identical.
+  *
+  * min/max are surfaced as strings so one schema covers heterogeneous
+  * column types; numeric columns should be profiled on integral/decimal
+  * types (float formatting is engine-specific).
+  */
+object Profiling {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__${c}__nn"),
+        countDistinct(col(c)).as(s"__${c}__nd"),
+        min(col(c)).cast("string").as(s"__${c}__min"),
+        max(col(c)).cast("string").as(s"__${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__${c}__nn")).as("n_null"),
+        col(s"__${c}__nd").as("n_distinct"),
+        col(s"__${c}__min").as("min_s"),
+        col(s"__${c}__max").as("max_s"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Components, Dedup, KMeans, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.ext.{Components, Dedup, KMeans, Multimodal, Packing, Profiling, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -32,6 +32,7 @@ object ExtensionQueries {
   private val Dim = 64
   private val KmClusters = 8    // x34 trained-IVF coarse quantizer
   private val KmIters = 2
+  private val SourceCapK = 10L  // x39 per-source document cap
 
   /** Whitespace token count — ONE definition shared by the packing
     * queries (x22 assignment, x37 materialization) so their bin math can
@@ -549,6 +550,29 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // per-source document cap (RefinedWeb-style domain capping): keep the
+    // K longest documents per source, flag the rest. Window ranks inside
+    // each source partition — the shuffle key is the source, so skew risk
+    // is one hot domain; at 100 TB a hot source would be pre-filtered by
+    // the same groupBy-count + anti-join pattern the LSH caps use.
+    "x39_source_cap" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("kept", col("rnk") <= SourceCapK)
+        .orderBy("doc_id")
+    }),
+
+    // single-pass data profiling (ext.Profiling): per-column completeness /
+    // distinctness / range — the Deequ-style admission gate. One aggregate
+    // job for every column, exploded into a row per column.
+    "x40_profile" -> ((s, dir) =>
+      Profiling.profile(Tables.documents(s, dir),
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy("column")),
+
     // PII redaction (C4-style): emails/IPv4/phone-shaped digit groups →
     // placeholders; output = per-kind counts + redacted-text length/hash
     // (the x32 shape). Narrow codegen'd regex chain, shuffle-free.
@@ -862,6 +886,34 @@ object ExtensionQueries {
          |  CASE WHEN split_key < 90 THEN 'train'
          |       WHEN split_key < 95 THEN 'val' ELSE 'test' END AS split
          |FROM k ORDER BY doc_id""".stripMargin,
+
+    "x39_source_cap" ->
+      s"""SELECT doc_id, source, n_chars,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |       ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |       ORDER BY n_chars DESC, doc_id) AS BIGINT) <= $SourceCapK AS kept
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x40_profile" ->
+      """WITH p AS (
+        |  SELECT 'doc_id' AS col, COUNT(*) AS n_rows,
+        |    COUNT(*) - COUNT(doc_id) AS n_null,
+        |    COUNT(DISTINCT doc_id) AS n_distinct,
+        |    CAST(MIN(doc_id) AS VARCHAR) AS min_s,
+        |    CAST(MAX(doc_id) AS VARCHAR) AS max_s FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+        |    COUNT(DISTINCT lang), MIN(lang), MAX(lang) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+        |    COUNT(DISTINCT source), MIN(source), MAX(source) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+        |    COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR),
+        |    CAST(MAX(n_chars) AS VARCHAR) FROM documents)
+        |SELECT col AS "column", n_rows, n_null, n_distinct, min_s, max_s
+        |FROM p ORDER BY "column"""".stripMargin,
 
     "x18_sample_split" ->
       s"""WITH k AS (SELECT doc_id, lang,

@@ -346,7 +346,21 @@ object MetricQueries {
         .select(col("event_id"), col("ts_ms"),
           ((col("mx_ms") - col("ts_ms")) > 120000L).as("outside_cooldown"))
         .orderBy("event_id")
-    }))
+    }),
+
+    // ordered funnel conversion (ext.Funnel): earliest view -> first click
+    // strictly after it -> first purchase strictly after that, per user.
+    // The ordering constraint is what a per-type min() cannot express —
+    // each stage joins the accumulated per-user frame back to its filtered
+    // event slice (see Funnel.scala scale notes).
+    "m27_funnel" -> ((s, dir) =>
+      graft.ext.Funnel.stageTimes(events(s, dir), Seq("view", "click", "purchase"))
+        .select(col("user_id"),
+          unix_millis(col("t1")).as("first_view_ms"),
+          unix_millis(col("t2")).as("first_click_ms"),
+          unix_millis(col("t3")).as("first_purchase_ms"),
+          col("stage"))
+        .orderBy("user_id")))
 
   val oracleSql: Map[String, String] = Map(
     "m01_sliding_avg" ->
@@ -551,5 +565,26 @@ object MetricQueries {
       """WITH e AS (SELECT event_id, epoch_ms(ts) AS ts_ms FROM events),
         |m AS (SELECT max(ts_ms) AS mx_ms FROM e)
         |SELECT event_id, ts_ms, (mx_ms - ts_ms) > 120000 AS outside_cooldown
-        |FROM e, m ORDER BY event_id""".stripMargin)
+        |FROM e, m ORDER BY event_id""".stripMargin,
+
+    "m27_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT s1.user_id, epoch_ms(s1.t1) AS first_view_ms,
+        |       epoch_ms(s2.t2) AS first_click_ms,
+        |       epoch_ms(s3.t3) AS first_purchase_ms,
+        |       CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+        |                 WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s2.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin)
 }

@@ -1,0 +1,49 @@
+package graft.ext
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+/** Ordered-funnel semantics: stage k counts only strictly after stage k-1. */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(min * 60000L)
+
+  // u1 completes in order; u2 purchases BEFORE clicking (stage stops at 2);
+  // u3 has a click before its first view (that click must not count) and a
+  // later one that does; u4 never views (absent — funnel anchors on stage 1)
+  private lazy val events = Seq(
+    (1L, "view", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(20)),
+    (2L, "purchase", ts(1)), (2L, "view", ts(2)), (2L, "click", ts(3)),
+    (3L, "click", ts(0)), (3L, "view", ts(5)), (3L, "click", ts(7)),
+    (4L, "click", ts(1)), (4L, "purchase", ts(2))
+  ).toDF("user_id", "event_type", "ts")
+
+  private lazy val out =
+    Funnel.stageTimes(events, Seq("view", "click", "purchase"))
+      .as[(Long, Timestamp, Option[Timestamp], Option[Timestamp], Long)]
+      .collect().map(r => r._1 -> r).toMap
+
+  test("in-order completion reaches the last stage") {
+    val (_, t1, t2, t3, stage) = out(1L)
+    assert(t1 === ts(0) && t2 === Some(ts(10)) && t3 === Some(ts(20)))
+    assert(stage === 3L)
+  }
+
+  test("out-of-order purchase does not count; stage stops where the chain breaks") {
+    val (_, t1, t2, t3, stage) = out(2L)
+    assert(t1 === ts(2) && t2 === Some(ts(3)) && t3 === None)
+    assert(stage === 2L)
+  }
+
+  test("pre-anchor events are ignored; first qualifying event is strict-after") {
+    val (_, t1, t2, _, stage) = out(3L)
+    assert(t1 === ts(5) && t2 === Some(ts(7)))
+    assert(stage === 2L)
+  }
+
+  test("users who never enter stage 1 are absent") {
+    assert(!out.contains(4L))
+    assert(out.size === 3)
+  }
+}

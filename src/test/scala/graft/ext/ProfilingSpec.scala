@@ -1,0 +1,41 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Profiling: null accounting, distinctness, and min/max per column from
+  * one aggregate pass. */
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Some("en"), 10L),
+    (2L, None, 30L),
+    (3L, Some("de"), 10L),
+    (4L, Some("en"), 20L)
+  ).toDF("id", "lang", "n")
+
+  private lazy val rows =
+    Profiling.profile(df, Seq("id", "lang", "n"))
+      .as[(String, Long, Long, Long, String, String)]
+      .collect().map(r => r._1 -> r).toMap
+
+  test("null counting and distinctness exclude nulls") {
+    val (_, nRows, nNull, nDistinct, _, _) = rows("lang")
+    assert(nRows === 4L && nNull === 1L && nDistinct === 2L)
+  }
+
+  test("complete columns report zero nulls and full range") {
+    val (_, nRows, nNull, nDistinct, minS, maxS) = rows("id")
+    assert(nRows === 4L && nNull === 0L && nDistinct === 4L)
+    assert(minS === "1" && maxS === "4")
+  }
+
+  test("duplicates collapse in n_distinct but not the range") {
+    val (_, _, _, nDistinct, minS, maxS) = rows("n")
+    assert(nDistinct === 3L && minS === "10" && maxS === "30")
+  }
+
+  test("one row per profiled column") {
+    assert(rows.keySet === Set("id", "lang", "n"))
+  }
+}
