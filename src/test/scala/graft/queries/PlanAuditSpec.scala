@@ -164,4 +164,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("minhash_sig")) === 1,
       s"signature must be materialized once per doc:\n$p")
   }
+
+  test("x39: source-cap window is partitioned by source (no global funnel)") {
+    val df = SparkEntry.queries("x39_source_cap")(spark, dir)
+    assert(partitionlessWindows(df.queryExecution.executedPlan).isEmpty,
+      s"x39 must rank inside source partitions:\n" +
+        df.queryExecution.executedPlan.toString)
+  }
+
+  test("m27: funnel stages partial-aggregate before their exchanges; no cartesian") {
+    val p = planOf("m27_funnel")
+    assert(p.contains("partial_min"), s"stage mins must partial-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), s"funnel must never go cartesian:\n$p")
+  }
+
+  test("x40: profile is one aggregate job — no join, no window") {
+    val p = planOf("x40_profile")
+    assert(!p.contains("Join"), s"profile must not join:\n$p")
+    assert(!p.contains("WindowExec"), s"profile must not window:\n$p")
+    // multi-distinct goes through the standard Expand plan; the base
+    // min/max/count stats still fold map-side first
+    assert(p.contains("Expand"), s"expected the multi-distinct expand plan:\n$p")
+  }
 }
