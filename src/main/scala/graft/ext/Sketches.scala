@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import graft.functions.HashExpressions
+
+/** Count-Min frequency sketch, declaratively: `depth` hash rows × `width`
+  * buckets of counts; a key's estimate is the MIN of its `depth` bucket
+  * counts — an overestimate by at most the collision mass (the classic
+  * eps·N bound with eps ≈ e/width).
+  *
+  * Why a sketch when groupBy(key).count() is exact: the sketch is
+  * FIXED-SIZE (depth × width rows) regardless of key cardinality, so at
+  * 100 TB it partial-aggregates map-side into a frame that always
+  * broadcasts, mergeable across shards/days by cell-wise addition —
+  * the frequency analog of HLL++ (m21) and KLL (m25). The hash chain is
+  * pure integer arithmetic (rolling hash % width), so unlike those two the
+  * whole sketch is engine-reproducible bit-for-bit.
+  */
+object Sketches {
+
+  /** (j, bucket) for hash row j of the key column. */
+  private def cmsBucket(key: Column, j: Column, width: Long): Column =
+    pmod(HashExpressions.rolling_hash(
+      concat(key, lit(":cms"), j.cast("string"))), lit(width))
+
+  /** The sketch: one (j, bucket, c) row per non-empty cell. */
+  def countMin(rows: DataFrame, keyCol: String, depth: Int, width: Long): DataFrame =
+    rows
+      .select(col(keyCol).cast("string").as("key"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .select(col("j"), cmsBucket(col("key"), col("j"), width).as("bucket"))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("c"))
+
+  /** Point-estimate every distinct key in `rows` against the sketch built
+    * from those same rows; carries the exact count so the caller (and the
+    * oracle) can see the overcount directly. The sketch side is
+    * depth × width rows, so the probe join broadcasts it.
+    */
+  def countMinEstimates(
+      rows: DataFrame, keyCol: String, depth: Int, width: Long): DataFrame = {
+    val sketch = countMin(rows, keyCol, depth, width)
+    val exact = rows.select(col(keyCol).cast("string").as("key"))
+      .groupBy("key").agg(count(lit(1)).as("exact_n"))
+    exact
+      .select(col("key"), col("exact_n"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("bucket", cmsBucket(col("key"), col("j"), width))
+      .join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy("key", "exact_n").agg(min(col("c")).as("est"))
+      .select(col("key"), col("exact_n"), col("est"),
+        (col("est") - col("exact_n")).as("overcount"))
+  }
+}

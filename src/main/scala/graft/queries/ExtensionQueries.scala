@@ -33,6 +33,8 @@ object ExtensionQueries {
   private val KmClusters = 8    // x34 trained-IVF coarse quantizer
   private val KmIters = 2
   private val SourceCapK = 10L  // x39 per-source document cap
+  private val CmsDepth = 4      // x41 count-min hash rows
+  private val CmsWidth = 256L   // x41 count-min buckets per row
 
   /** Whitespace token count — ONE definition shared by the packing
     * queries (x22 assignment, x37 materialization) so their bin math can
@@ -573,6 +575,20 @@ object ExtensionQueries {
           Seq("doc_id", "lang", "source", "n_chars"))
         .orderBy("column")),
 
+    // Count-Min token-frequency sketch (ext.Sketches): fixed-size
+    // depth×width counts, per-token estimate = min over hash rows. The
+    // frequency analog of m21's HLL++ / m25's KLL — but integer-exact, so
+    // the oracle rebuilds the sketch bit-for-bit instead of tolerance-
+    // checking it. Carries the exact count per token; overcount is the
+    // visible collision mass.
+    "x41_cms_counts" -> ((s, dir) =>
+      graft.ext.Sketches.countMinEstimates(
+          Tables.documents(s, dir)
+            .select(explode(TextAnalysis.tokens(col("text"))).as("token")),
+          "token", CmsDepth, CmsWidth)
+        .select(col("key").as("token"), col("exact_n"), col("est"), col("overcount"))
+        .orderBy("token")),
+
     // PII redaction (C4-style): emails/IPv4/phone-shaped digit groups →
     // placeholders; output = per-kind counts + redacted-text length/hash
     // (the x32 shape). Narrow codegen'd regex chain, shuffle-free.
@@ -914,6 +930,23 @@ object ExtensionQueries {
         |    CAST(MAX(n_chars) AS VARCHAR) FROM documents)
         |SELECT col AS "column", n_rows, n_null, n_distinct, min_s, max_s
         |FROM p ORDER BY "column"""".stripMargin,
+
+    "x41_cms_counts" ->
+      s"""WITH t AS (SELECT unnest(string_split($sqlNorm, ' ')) AS key FROM documents),
+         |h AS (SELECT key, j,
+         |    ${sqlStringHash("key || ':cms' || CAST(j AS VARCHAR)")} % $CmsWidth AS bucket
+         |  FROM t, generate_series(0, ${CmsDepth - 1}) g(j)),
+         |sk AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS c
+         |  FROM h GROUP BY j, bucket),
+         |e AS (SELECT key, CAST(count(*) AS BIGINT) AS exact_n FROM t GROUP BY key),
+         |p AS (SELECT e.key, e.exact_n, g.j,
+         |    ${sqlStringHash("e.key || ':cms' || CAST(g.j AS VARCHAR)")} % $CmsWidth AS bucket
+         |  FROM e, generate_series(0, ${CmsDepth - 1}) g(j))
+         |SELECT p.key AS token, p.exact_n,
+         |       CAST(min(sk.c) AS BIGINT) AS est,
+         |       CAST(min(sk.c) - p.exact_n AS BIGINT) AS overcount
+         |FROM p JOIN sk ON p.j = sk.j AND p.bucket = sk.bucket
+         |GROUP BY p.key, p.exact_n ORDER BY token""".stripMargin,
 
     "x18_sample_split" ->
       s"""WITH k AS (SELECT doc_id, lang,

@@ -1,0 +1,41 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Count-Min invariants: never undercounts, exact when collision-free,
+  * and the sketch stays fixed-size. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rows =
+    (Seq.fill(50)("alpha") ++ Seq.fill(20)("beta") ++ Seq.fill(1)("gamma"))
+      .toDF("k")
+
+  private lazy val est =
+    Sketches.countMinEstimates(rows, "k", depth = 4, width = 256L)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+
+  test("estimates never undercount (overcount >= 0)") {
+    assert(est.values.forall { case (_, exact, e, over) =>
+      e >= exact && over === e - exact
+    })
+  }
+
+  test("exact counts are carried per key") {
+    assert(est("alpha")._2 === 50L)
+    assert(est("beta")._2 === 20L)
+    assert(est("gamma")._2 === 1L)
+  }
+
+  test("3 keys in 4x256 cells collide nowhere: estimates are exact") {
+    assert(est.values.forall { case (_, exact, e, _) => e === exact })
+  }
+
+  test("sketch is bounded by depth x width regardless of input size") {
+    val sk = Sketches.countMin(rows, "k", depth = 4, width = 8L)
+    assert(sk.count() <= 4L * 8L)
+    // total mass per hash row equals the input size
+    val mass = sk.groupBy("j").sum("c").as[(Int, Long)].collect()
+    assert(mass.length === 4 && mass.forall(_._2 === 71L))
+  }
+}
