@@ -178,6 +178,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"funnel must never go cartesian:\n$p")
   }
 
+  test("x41: sketch probe join is a broadcast (the sketch is fixed-size)") {
+    val p = planOf("x41_cms_counts")
+    assert(p.contains("BroadcastHashJoin"), s"sketch join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a depth x width sketch must never sort-merge:\n$p")
+  }
+
   test("x40: profile is one aggregate job — no join, no window") {
     val p = planOf("x40_profile")
     assert(!p.contains("Join"), s"profile must not join:\n$p")
