@@ -346,9 +346,9 @@ object ExtensionQueries {
           element_at(col("features"), 2).cast("double").as("f1"))
         .orderBy("doc_id")),
 
-    // n-gram Jaccard near-dup pairs via length-block candidate generation —
-    // a different recall surface than x07's MinHash banding (finds pairs
-    // LSH can miss; misses pairs whose normalized lengths differ > 1 block)
+    // n-gram Jaccard near-dup pairs via PPJoin prefix filtering — EXACT
+    // (every pair with J >= t), unlike x07's probabilistic MinHash banding;
+    // the oracle below is the brute-force all-pairs join for that reason
     "x17_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir), threshold = NgramThreshold)
         .orderBy("id_a", "id_b")),
@@ -870,19 +870,18 @@ object ExtensionQueries {
          |       round(cosine, 6) AS cosine_r, list
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
+    // the engine's PPJoin prefix filter is EXACT, so the oracle is the
+    // brute-force all-pairs join — any candidate-generation bug (dropped
+    // prefix token, off-by-one prefix length) shows up as a missing row
     "x17_ngram_jaccard" ->
       s"""WITH $sqlShingleCte,
-         |base AS (SELECT sh.doc_id AS id, sh.shingles AS s,
-         |    length(norm.t) // 64 AS block
-         |  FROM sh JOIN norm ON sh.doc_id = norm.doc_id),
-         |pr AS (SELECT least(l.id, r.id) AS id_a, greatest(l.id, r.id) AS id_b,
-         |    CAST(len(list_intersect(l.s, r.s)) AS DOUBLE) /
-         |    len(list_distinct(list_concat(l.s, r.s))) AS jaccard
-         |  FROM base l JOIN base r
-         |    ON (r.block = l.block OR r.block = l.block + 1) AND l.id <> r.id
-         |  WHERE CAST(least(len(l.s), len(r.s)) AS DOUBLE) /
-         |        greatest(len(l.s), len(r.s)) >= $NgramThreshold)
-         |SELECT DISTINCT id_a, id_b, jaccard FROM pr
+         |pr AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+         |    CAST(len(list_intersect(l.shingles, r.shingles)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(l.shingles, r.shingles))) AS jaccard
+         |  FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+         |  WHERE CAST(least(len(l.shingles), len(r.shingles)) AS DOUBLE) /
+         |        greatest(len(l.shingles), len(r.shingles)) >= $NgramThreshold)
+         |SELECT id_a, id_b, jaccard FROM pr
          |WHERE jaccard >= $NgramThreshold ORDER BY id_a, id_b""".stripMargin,
 
     "x20_dedup_clusters" ->

@@ -10,13 +10,16 @@ import org.apache.spark.sql.functions._
   * Demonstrates the O(n·k)+banded-join slope claimed in PERF.md. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    // optional section filter: `runMain graft.tools.ScaleProbe ppjoin`
+    // runs only that probe (all sections when no args)
+    def on(section: String): Boolean = args.isEmpty || args.contains(section)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.1")
-    for (f <- Seq(1, 5, 10, 20)) {
+    if (on("neardup")) for (f <- Seq(1, 5, 10, 20)) {
       val grown = (0 until f).map { r =>
         docs.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
           concat(col("text"), lit(s" replica token r$r")).as("text"))
@@ -27,13 +30,35 @@ object ScaleProbe {
       println(f"neardup scale=${f}x docs=${5000 * f}%6d pairs=$n%8d time=$dt%7.2f s")
     }
 
+    // PPJoin n-gram Jaccard slope on a LENGTH-CONCENTRATED corpus: every
+    // doc truncated to the same 48-token window — the chat-turn /
+    // fixed-window-chunk shape that collapsed the old length blocking
+    // into one quadratic block. Prefix-filter candidates track shingle
+    // document frequency instead, so the slope should stay near-linear.
+    // Replica tokens are salted per replica (xN suffix) so replicas are
+    // NOT near-dups of each other and the true output grows ~linearly.
+    if (on("ppjoin")) for (f <- Seq(1, 5, 10, 20)) {
+      val grown = (0 until f).map { r =>
+        val toks = split(col("text"), " ")
+        val salted = if (r == 0) toks
+          else transform(toks, t => concat(t, lit(s"x$r")))
+        docs.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+          concat_ws(" ", slice(salted, 1, 48)).as("text"))
+      }.reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val n = Dedup.ngramJaccard(grown, threshold = 0.5).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // release the per-call docOrd persist
+      println(f"ppjoin  scale=${f}x docs=${5000 * f}%7d pairs=$n%8d time=$dt%7.2f s")
+    }
+
     // Embedding near-dup slope: embeddings replicated f× (ids shifted,
     // vectors perturbed per replica via a deterministic per-dim nudge so
     // replicas land in neighboring-but-not-identical buckets). With 16
     // planes + Hamming-1 multiprobe + maxBucket the pair join must track
     // Σ bucket² of CAPPED buckets — near-linear while buckets stay small.
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.1")
-    for (f <- Seq(1, 5, 10, 20)) {
+    if (on("cosine")) for (f <- Seq(1, 5, 10, 20)) {
       val grown = (0 until f).map { r =>
         // replica 0 is the UNMODIFIED corpus so the 1x point measures the
         // raw embeddings; only added replicas get the per-dim nudge
@@ -54,7 +79,7 @@ object ScaleProbe {
     // the union+window layout should track input size (one key shuffle,
     // per-key ordered pass; users partition across replicas).
     val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.1")
-    for (f <- Seq(1, 5, 10, 20)) {
+    if (on("asof")) for (f <- Seq(1, 5, 10, 20)) {
       val grown = (0 until f).map { r =>
         events.select((col("user_id") + lit(r * 10000000L)).as("user_id"),
           col("ts"), (col("event_id") + lit(r * 1000000000L)).as("event_id"),
@@ -75,7 +100,7 @@ object ScaleProbe {
     // k-means slope: assignment is map-side (no shuffle) and each Lloyd
     // round's update shuffles only k×dim partial sums, so wall time per
     // iteration should track input size linearly.
-    for (f <- Seq(1, 5, 10, 20)) {
+    if (on("kmeans")) for (f <- Seq(1, 5, 10, 20)) {
       val grown = (0 until f).map { r =>
         val vec =
           if (r == 0) col("embedding")
@@ -93,7 +118,7 @@ object ScaleProbe {
     // fuzzy-vocab slope: deletion-neighborhood candidates are linear in
     // vocabulary size × token length; replicas salt tokens with a suffix
     // so the vocab actually grows with f.
-    for (f <- Seq(1, 5, 10, 20)) {
+    if (on("fuzzy")) for (f <- Seq(1, 5, 10, 20)) {
       val grown = (0 until f).map { r =>
         docs.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
           if (r == 0) col("text")

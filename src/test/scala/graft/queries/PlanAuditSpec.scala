@@ -81,6 +81,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("array_intersect"), s"no hash-set set ops in the hot path:\n$p")
   }
 
+  test("x17: PPJoin candidate generation — partial df count, no product join") {
+    val p = planOf("x17_ngram_jaccard")
+    // the global shingle document-frequency aggregate must be map-side
+    // partial (it runs over every shingle of the corpus)
+    assert(p.contains("partial_count"), s"df count must map-side combine:\n$p")
+    // prefix slice is the candidate key source; no plan degradation to a
+    // cartesian/theta product anywhere in the self-join
+    assert(p.contains("slice"), s"prefix slice expected:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix-token join must stay an equi join:\n$p")
+  }
+
   test("x22: packing is one shard shuffle into MapGroups") {
     val p = planOf("x22_pack")
     assert(p.contains("MapGroups"), s"expected per-shard MapGroups:\n$p")
