@@ -1,0 +1,193 @@
+package graft.aws
+
+import graft.GraftConfig
+import graft.analytics.MetricAnalytics
+import graft.control.{SuspensionClock, WorkersView}
+import graft.model.TaskState
+
+/**
+ * Live EMR-backed worker pools (SURVEY.md §2.1 S5-S7, §2.2 K3): the
+ * [[graft.control.WorkersView]] the decision cascade drives, implemented
+ * against the real EMR control plane via [[EmrApiClient]] instead of
+ * [[graft.control.SimulatedWorkers]]' in-memory state. Semantics are the
+ * reference's `IgWorkers`/`IfWorkers` (cluster/Workers.scala:85-413),
+ * re-expressed on the shared graft state helpers — concurrent
+ * distribution (ST6), suspension exclusion with prev-stamp carry-forward
+ * (ST5, via [[SuspensionClock]]), suspended-group auto-heal, and
+ * adopt-or-create group initialization.
+ *
+ * `refresh()` is the 30 s topology tick the reference schedules
+ * (cluster/Workers.scala:43); here the streaming pipeline's trigger calls
+ * it (SURVEY.md §3.2 — Structured Streaming owns the clock, not Akka).
+ */
+trait LiveWorkers extends WorkersView {
+  /** Pull group/fleet status from the control plane and auto-heal. */
+  def refresh(): Unit
+  /** Last refreshed per-group state (observability + specs). */
+  def snapshot: Seq[TaskState]
+}
+
+object EmrWorkers {
+  /** Factory dispatch on the cluster's collection type via
+    * DescribeCluster (reference: cluster/Workers.scala:71-81). */
+  def forCluster(client: EmrApiClient, cfg: GraftConfig,
+                 clock: () => Long = () => System.currentTimeMillis()): LiveWorkers =
+    if (client.describeClusterCollectionType(cfg.clusterId)
+        .equalsIgnoreCase("INSTANCE_FLEET"))
+      new EmrIfWorkers(client, cfg, clock)
+    else new EmrIgWorkers(client, cfg, clock)
+
+  /** Adopt-or-create group name, reference naming scheme
+    * (cluster/Workers.scala:100-102). */
+  private[aws] def groupName(prefix: String, market: String, instanceType: String) =
+    s"$prefix-$market-$instanceType"
+
+  private[aws] val NamePrefix = "graft-task"
+}
+
+/** Instance-group pool: one TASK group per configured instance type,
+  * adopted when a matching group exists, created with count 0 otherwise
+  * (reference: cluster/Workers.scala:96-147). */
+class EmrIgWorkers(client: EmrApiClient, cfg: GraftConfig,
+                   clock: () => Long = () => System.currentTimeMillis(),
+                   suspendedStateDelayMs: Long = 600000L) extends LiveWorkers {
+
+  override val minCapacity: Int = cfg.igMinNumNodes
+  override val maxCapacity: Int = cfg.igMaxNumNodes
+  override val units: String = "NODES"
+  private val clusterId = cfg.clusterId
+  private val market = if (cfg.igShouldUseSpot) "SPOT" else "ON_DEMAND"
+  private val concurrent = cfg.igScaleConcurrently
+
+  /** Managed group ids in configured-type order (resize head semantics
+    * depend on this order being stable). */
+  private val managed: Seq[String] = {
+    val existing = client.listInstanceGroups(clusterId)
+      .filter(_.groupType.equalsIgnoreCase("TASK"))
+    cfg.igInstanceTypes.map { it =>
+      val name = EmrWorkers.groupName(EmrWorkers.NamePrefix, market, it)
+      existing.find(g => g.name.equalsIgnoreCase(name) &&
+          g.instanceType.equalsIgnoreCase(it) &&
+          g.market.equalsIgnoreCase(market))
+        .map(_.id)
+        .getOrElse(client.addInstanceGroup(clusterId, name, it, market))
+    }
+  }
+
+  private var states: Map[String, TaskState] = Map.empty
+  refresh()
+
+  override def refresh(): Unit = {
+    val now = clock()
+    val observed = client.listInstanceGroups(clusterId)
+      .filter(g => managed.contains(g.id))
+      .map { g =>
+        TaskState(g.id, g.name, g.state,
+          isResizing = g.state.equalsIgnoreCase("RESIZING"),
+          isSuspended = g.state.equalsIgnoreCase("SUSPENDED"),
+          isExcluded = false, running = g.running, requested = g.requested,
+          message = g.message, lastSuspendedTimeMs = 0L)
+      }
+    states = observed.map { s =>
+      val prev = states.get(s.id).map(_.lastSuspendedTimeMs).getOrElse(0L)
+      s.id -> SuspensionClock.stamp(s, prev, now, suspendedStateDelayMs)
+    }.toMap
+    // auto-heal: re-request the running count of suspended groups in one
+    // batched modify (reference: cluster/Workers.scala:277)
+    val healed = snapshot.filter(_.isSuspended).map(g => (g.id, g.running))
+    if (healed.nonEmpty) client.modifyInstanceGroups(clusterId, healed)
+  }
+
+  override def running: Int = states.valuesIterator.map(_.running).sum
+  override def requested: Int = states.valuesIterator.map(_.requested).sum
+  override def isResizing: Boolean = states.valuesIterator.exists(_.isResizing)
+  override def snapshot: Seq[TaskState] = managed.flatMap(states.get)
+
+  /** ST6 — same eligibility/distribution semantics as
+    * [[graft.control.SimulatedWorkers.resize]] (shrink over all groups,
+    * expand over non-excluded, single mode uses the head group), with the
+    * API round trip batched into one ModifyInstanceGroups call. */
+  override def resize(target: Int): Unit = {
+    if (target == running) return
+    val eligible =
+      if (target >= running) managed.filterNot(id => states.get(id).exists(_.isExcluded)) match {
+        case Nil => managed
+        case xs  => xs
+      }
+      else managed
+    val groups = if (concurrent) eligible else eligible.take(1)
+    val shares = MetricAnalytics.distribute(target, groups.size)
+    val changes = groups.zip(shares)
+      .filter { case (id, share) => !states.get(id).map(_.requested).contains(share) }
+    if (changes.nonEmpty) {
+      client.modifyInstanceGroups(clusterId, changes)
+      // optimistic local echo so requested/isResizing hold until the next
+      // topology refresh confirms (the reference reads them from its 30 s
+      // refresh cache the same way)
+      changes.foreach { case (id, share) =>
+        states.get(id).foreach(st =>
+          states = states.updated(id, st.copy(requested = share, isResizing = true)))
+      }
+    }
+  }
+}
+
+/** Instance-fleet pool: a single TASK fleet sized in weighted units;
+  * spot/on-demand capacity routing by config; no exclusion semantics
+  * (reference: cluster/Workers.scala:287-413). */
+class EmrIfWorkers(client: EmrApiClient, cfg: GraftConfig,
+                   clock: () => Long = () => System.currentTimeMillis()) extends LiveWorkers {
+
+  override val minCapacity: Int = cfg.ifMinNumUnits
+  override val maxCapacity: Int = cfg.ifMaxNumUnits
+  override val units: String = "UNITS"
+  private val clusterId = cfg.clusterId
+  private val useSpot = cfg.ifShouldUseSpot
+
+  /** Adopt the existing TASK fleet when its instance types cover the
+    * configured ones; a mismatching existing fleet is a hard error, and
+    * no fleet means create one (reference: cluster/Workers.scala:317-348
+    * — a cluster has at most one TASK fleet). */
+  private val fleetId: String = {
+    val specs = cfg.ifInstanceTypes.zip(cfg.ifInstanceTypesUnits.map(_.toInt))
+    require(specs.nonEmpty, "Wrong Instance Fleet configurations")
+    val existing = client.listInstanceFleets(clusterId)
+      .filter(_.fleetType.equalsIgnoreCase("TASK"))
+    existing.find(f => f.name.equalsIgnoreCase(EmrWorkers.NamePrefix) &&
+        specs.map(_._1).forall(t => f.instanceTypes.map(_._1).contains(t))) match {
+      case Some(f) => f.id
+      case None if existing.nonEmpty =>
+        throw new RuntimeException("Existing TASK fleet doesn't match scaling specifications")
+      case None =>
+        val (od, spot) = if (useSpot) (0, cfg.ifMinNumUnits) else (cfg.ifMinNumUnits, 0)
+        client.addInstanceFleet(clusterId, EmrWorkers.NamePrefix, specs, od, spot)
+    }
+  }
+
+  private var state: Option[TaskState] = None
+  refresh()
+
+  override def refresh(): Unit = {
+    state = client.listInstanceFleets(clusterId).find(_.id == fleetId).map { f =>
+      val (run, req) =
+        if (useSpot) (f.provisionedSpot, f.targetSpot)
+        else (f.provisionedOnDemand, f.targetOnDemand)
+      TaskState(f.id, f.name, f.state,
+        isResizing = f.state.equalsIgnoreCase("RESIZING"),
+        isSuspended = f.state.equalsIgnoreCase("SUSPENDED"),
+        isExcluded = false, running = run, requested = req,
+        message = f.message, lastSuspendedTimeMs = 0L)
+    }
+  }
+
+  override def running: Int = state.map(_.running).getOrElse(0)
+  override def requested: Int = state.map(_.requested).getOrElse(0)
+  override def isResizing: Boolean = state.exists(_.isResizing)
+  override def snapshot: Seq[TaskState] = state.toSeq
+
+  override def resize(target: Int): Unit = {
+    val (od, spot) = if (useSpot) (0, target) else (target, 0)
+    client.modifyInstanceFleet(clusterId, fleetId, od, spot)
+    state = state.map(_.copy(requested = target, isResizing = true))
+  }
+}

@@ -19,6 +19,21 @@ import scala.collection.mutable
  * deterministic (SURVEY.md §7.5.7).
  */
 
+/** ST5 carry-forward stamping, shared by [[SimulatedWorkers]] and the
+  * live [[graft.aws.EmrWorkers]]: stamp a fresh suspension time when the
+  * group reports SUSPENDED, carry the previous one otherwise, and compute
+  * exclusion from the PREVIOUS stamp — the reference derives `isExcluded`
+  * from `prevSuspendedTime`, not the refreshed value
+  * (cluster/Workers.scala:255-262), so a group is excluded starting one
+  * refresh AFTER its first suspension; preserved. */
+object SuspensionClock {
+  def stamp(observed: TaskState, prevSuspendedMs: Long, now: Long,
+            delayMs: Long): TaskState =
+    observed.copy(
+      lastSuspendedTimeMs = if (observed.isSuspended) now else prevSuspendedMs,
+      isExcluded = (now - prevSuspendedMs) <= delayMs)
+}
+
 /** What the decision cascade needs to know about (and do to) the worker
   * pool — the reference's `Workers` surface (cluster/Workers.scala:47-66). */
 trait WorkersView {
@@ -102,10 +117,8 @@ class SimulatedWorkers(
   def refresh(observed: Seq[TaskState]): Unit = {
     val now = clock()
     observed.filter(s => states.contains(s.id)).foreach { s =>
-      val prev = states(s.id).lastSuspendedTimeMs
-      val lastSuspended = if (s.isSuspended) now else prev
-      val excluded = (now - prev) <= suspendedStateDelayMs
-      states(s.id) = s.copy(lastSuspendedTimeMs = lastSuspended, isExcluded = excluded)
+      states(s.id) = SuspensionClock.stamp(s,
+        states(s.id).lastSuspendedTimeMs, now, suspendedStateDelayMs)
     }
     states.valuesIterator.filter(_.isSuspended).toList.foreach { g =>
       val st = states(g.id)

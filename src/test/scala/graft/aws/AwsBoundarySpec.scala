@@ -1,0 +1,296 @@
+package graft.aws
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.GraftConfig
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.Instant
+import scala.collection.mutable
+
+/** S5-S7/K1-K3 live-wire coverage: the SigV4 signer against the
+  * AWS-documented test vector, and the EMR / CloudWatch clients against an
+  * in-process HTTP stub serving EMR-shaped JSON — adopt-or-create init,
+  * suspension carry-forward + auto-heal, concurrent resize distribution,
+  * fleet spot routing, and single-request metric-map publish. */
+class AwsBoundarySpec extends AnyFunSuite {
+
+  // ---- SigV4 --------------------------------------------------------
+
+  test("SigV4 reproduces the AWS-documented signature for the IAM example") {
+    // "Examples of the complete Signature Version 4 signing process" —
+    // GET https://iam.amazonaws.com/?Action=ListUsers&Version=2010-05-08
+    // with AKIDEXAMPLE / the documented example secret.
+    val auth = SigV4.authorization(
+      method = "GET",
+      path = "/",
+      rawQuery = "Action=ListUsers&Version=2010-05-08",
+      headers = Seq(
+        "content-type" -> "application/x-www-form-urlencoded; charset=utf-8",
+        "host" -> "iam.amazonaws.com",
+        "x-amz-date" -> "20150830T123600Z"),
+      payload = Array.emptyByteArray,
+      amzDate = "20150830T123600Z",
+      region = "us-east-1",
+      service = "iam",
+      accessKey = "AKIDEXAMPLE",
+      secretKey = "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY")
+    assert(auth === "AWS4-HMAC-SHA256 " +
+      "Credential=AKIDEXAMPLE/20150830/us-east-1/iam/aws4_request, " +
+      "SignedHeaders=content-type;host;x-amz-date, " +
+      "Signature=5d672d79c15b13162d9279b0855cfba6789a8edb4c82c400e06b5924a6f2b5d7")
+  }
+
+  // ---- stub plumbing ------------------------------------------------
+
+  private case class Recorded(target: String, contentType: String,
+                              auth: String, body: String)
+
+  /** One-route stub: records every request and answers from `respond`,
+    * which sees the X-Amz-Target (JSON protocol) or "" (Query protocol)
+    * plus the body. */
+  private def withStub[A](respond: (String, String) => String)(
+      f: (String, mutable.Buffer[Recorded]) => A): A = {
+    val recorded = mutable.Buffer.empty[Recorded]
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val target = Option(ex.getRequestHeaders.getFirst("X-Amz-Target")).getOrElse("")
+      recorded.synchronized {
+        recorded += Recorded(target,
+          Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse(""),
+          Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse(""),
+          body)
+      }
+      val resp = respond(target, body).getBytes(UTF_8)
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}", recorded)
+    finally server.stop(0)
+  }
+
+  private val settings = AwsSettings(region = "us-east-1",
+    accessKey = "AKIDTEST", secretKey = "secret",
+    clock = () => Instant.parse("2026-01-05T12:00:00Z"))
+
+  private def igConf(concurrently: Boolean = true) = GraftConfig.parse(
+    s"""cluster.id = "j-TEST"
+       |scaling.ig.instance.types = ["m5.4xlarge","r5.4xlarge"]
+       |scaling.ig.useSpot = false
+       |scaling.ig.concurrently = ${concurrently.toString}
+       |""".stripMargin).withFallback(GraftConfig.default)
+
+  private def group(id: String, name: String, tpe: String, state: String,
+                    running: Int, requested: Int, instanceType: String = "m5.4xlarge",
+                    market: String = "ON_DEMAND"): String =
+    s"""{"Id":"$id","Name":"$name","InstanceGroupType":"$tpe","Market":"$market",
+       |"InstanceType":"$instanceType","RunningInstanceCount":$running,
+       |"RequestedInstanceCount":$requested,
+       |"Status":{"State":"$state","StateChangeReason":{"Message":"ok"}}}""".stripMargin
+
+  // ---- EMR instance groups ------------------------------------------
+
+  test("S6/S7: IG adopt-or-create, TASK filter, signed JSON-1.1 wire shape") {
+    // adoptable group for m5.4xlarge exists; the listed r5 group has the
+    // right NAME but the wrong market (SPOT), so adoption must reject it
+    // and CREATE a fresh group — which then appears in later lists
+    var created = false
+    def groupsJson = s"""{"InstanceGroups":[
+      |${group("ig-M", "master", "MASTER", "RUNNING", 1, 1)},
+      |${group("ig-C", "core", "CORE", "RUNNING", 2, 2)},
+      |${group("ig-A", "graft-task-ON_DEMAND-m5.4xlarge", "TASK", "RUNNING", 2, 2)},
+      |${group("ig-X", "graft-task-ON_DEMAND-r5.4xlarge", "TASK", "RUNNING", 1, 1, "r5.4xlarge", "SPOT")}
+      |${if (created) "," + group("ig-B", "graft-task-ON_DEMAND-r5.4xlarge", "TASK", "RUNNING", 0, 0, "r5.4xlarge") else ""}]}""".stripMargin
+    withStub {
+      case ("ElasticMapReduce.DescribeCluster", _) =>
+        """{"Cluster":{"Id":"j-TEST","InstanceCollectionType":"INSTANCE_GROUP"}}"""
+      case ("ElasticMapReduce.ListInstanceGroups", _) => groupsJson
+      case ("ElasticMapReduce.AddInstanceGroups", _) =>
+        created = true; """{"InstanceGroupIds":["ig-B"]}"""
+      case ("ElasticMapReduce.ModifyInstanceGroups", _) => ""
+      case _ => "{}"
+    } { (url, recorded) =>
+      val client = new EmrApiClient(url, settings)
+      val workers = EmrWorkers.forCluster(client, igConf(), clock = () => 1000000000L)
+      assert(workers.isInstanceOf[EmrIgWorkers])
+      assert(workers.units === "NODES")
+      val targets = recorded.map(_.target).toList
+      assert(targets.head === "ElasticMapReduce.DescribeCluster")
+      assert(targets.contains("ElasticMapReduce.ListInstanceGroups"))
+      val add = recorded.find(_.target == "ElasticMapReduce.AddInstanceGroups").get
+      assert(add.body.contains(""""JobFlowId":"j-TEST"""") &&
+        add.body.contains(""""InstanceRole":"TASK"""") &&
+        add.body.contains(""""InstanceType":"r5.4xlarge"""") &&
+        add.body.contains(""""InstanceCount":0"""))
+      // managed = adopted ig-A + created ig-B; MASTER/CORE/ig-X ignored
+      assert(workers.snapshot.map(_.id) === Seq("ig-A", "ig-B"))
+      assert(workers.running === 2 && workers.requested === 2)
+      // wire shape: signed JSON 1.1
+      val describe = recorded.head
+      assert(describe.contentType === "application/x-amz-json-1.1")
+      assert(describe.body === """{"ClusterId":"j-TEST"}""")
+      assert(describe.auth.startsWith("AWS4-HMAC-SHA256 Credential=" +
+        "AKIDTEST/20260105/us-east-1/elasticmapreduce/aws4_request"))
+      assert(describe.auth.contains(
+        "SignedHeaders=content-type;host;x-amz-date;x-amz-target"))
+    }
+  }
+
+  test("S5: ListInstances scan parses instance rows") {
+    withStub {
+      case ("ElasticMapReduce.ListInstances", _) =>
+        """{"Instances":[
+          |{"Id":"ci-1","Ec2InstanceId":"i-0abc","PrivateIpAddress":"172.31.1.5",
+          | "Status":{"State":"RUNNING"}},
+          |{"Id":"ci-2","Ec2InstanceId":"i-0def","PrivateIpAddress":"172.31.1.6",
+          | "Status":{"State":"TERMINATED"}}]}""".stripMargin
+      case _ => "{}"
+    } { (url, recorded) =>
+      val client = new EmrApiClient(url, settings)
+      val got = client.listInstances("j-TEST", Some("ig-A"))
+      assert(got === Seq(
+        EmrInstance("ci-1", "i-0abc", "RUNNING", "172.31.1.5"),
+        EmrInstance("ci-2", "i-0def", "TERMINATED", "172.31.1.6")))
+      assert(recorded.head.body.contains(""""InstanceGroupId":"ig-A""""))
+    }
+  }
+
+  test("ST5/ST6 live: suspension carry-forward, auto-heal, concurrent resize") {
+    // stateful stub: group list JSON swapped between phases
+    var phase = "init"
+    def listJson: String = phase match {
+      case "init" => s"""{"InstanceGroups":[
+        |${group("ig-A", "graft-task-ON_DEMAND-m5.4xlarge", "TASK", "RUNNING", 3, 3)},
+        |${group("ig-B", "graft-task-ON_DEMAND-r5.4xlarge", "TASK", "RUNNING", 2, 2, "r5.4xlarge")}]}""".stripMargin
+      case "suspended" => s"""{"InstanceGroups":[
+        |${group("ig-A", "graft-task-ON_DEMAND-m5.4xlarge", "TASK", "SUSPENDED", 3, 5)},
+        |${group("ig-B", "graft-task-ON_DEMAND-r5.4xlarge", "TASK", "RUNNING", 2, 2, "r5.4xlarge")}]}""".stripMargin
+    }
+    var now = 1000000000L
+    withStub {
+      case ("ElasticMapReduce.ListInstanceGroups", _) => listJson
+      case ("ElasticMapReduce.ModifyInstanceGroups", _) => ""
+      case _ => "{}"
+    } { (url, recorded) =>
+      val client = new EmrApiClient(url, settings)
+      val workers = new EmrIgWorkers(client, igConf(), clock = () => now)
+      assert(workers.running === 5)
+
+      // group A suspends: first refresh stamps the time and AUTO-HEALS by
+      // re-requesting its running count; exclusion still false (computed
+      // from the PREVIOUS stamp — reference quirk preserved)
+      phase = "suspended"; now += 30000
+      workers.refresh()
+      val heal = recorded.filter(_.target == "ElasticMapReduce.ModifyInstanceGroups")
+      assert(heal.size === 1)
+      assert(heal.head.body ===
+        """{"ClusterId":"j-TEST","InstanceGroups":[{"InstanceGroupId":"ig-A","InstanceCount":3}]}""")
+      assert(!workers.snapshot.find(_.id == "ig-A").get.isExcluded)
+
+      // next refresh: still suspended → now excluded (within the 10 min
+      // window of the previous stamp); expansion must route around it
+      now += 30000
+      workers.refresh()
+      assert(workers.snapshot.find(_.id == "ig-A").get.isExcluded)
+      recorded.clear()
+      workers.resize(8) // running=5 → expand; only ig-B eligible
+      val resizes = recorded.filter(_.target == "ElasticMapReduce.ModifyInstanceGroups")
+      assert(resizes.size === 1)
+      assert(resizes.head.body ===
+        """{"ClusterId":"j-TEST","InstanceGroups":[{"InstanceGroupId":"ig-B","InstanceCount":8}]}""")
+
+      // shrink considers ALL groups concurrently: distribute(3, 2) = (2,1)
+      // batched into ONE ModifyInstanceGroups call
+      recorded.clear()
+      workers.resize(3)
+      val shrink = recorded.filter(_.target == "ElasticMapReduce.ModifyInstanceGroups")
+      assert(shrink.size === 1)
+      assert(shrink.head.body === """{"ClusterId":"j-TEST","InstanceGroups":[""" +
+        """{"InstanceGroupId":"ig-A","InstanceCount":2},""" +
+        """{"InstanceGroupId":"ig-B","InstanceCount":1}]}""")
+    }
+  }
+
+  // ---- EMR instance fleet -------------------------------------------
+
+  test("S6/K3 fleet: create-when-absent, spot capacity routing, resize") {
+    var created = false
+    withStub {
+      case ("ElasticMapReduce.DescribeCluster", _) =>
+        """{"Cluster":{"Id":"j-TEST","InstanceCollectionType":"INSTANCE_FLEET"}}"""
+      case ("ElasticMapReduce.ListInstanceFleets", _) =>
+        if (!created) """{"InstanceFleets":[]}"""
+        else """{"InstanceFleets":[
+          |{"Id":"if-1","Name":"graft-task","InstanceFleetType":"TASK",
+          | "TargetSpotCapacity":8,"TargetOnDemandCapacity":0,
+          | "ProvisionedSpotCapacity":8,"ProvisionedOnDemandCapacity":0,
+          | "Status":{"State":"RUNNING","StateChangeReason":{"Message":""}},
+          | "InstanceTypeSpecifications":[
+          |   {"InstanceType":"m5.2xlarge","WeightedCapacity":8},
+          |   {"InstanceType":"m5.4xlarge","WeightedCapacity":16},
+          |   {"InstanceType":"m5.8xlarge","WeightedCapacity":32},
+          |   {"InstanceType":"m6g.4xlarge","WeightedCapacity":16},
+          |   {"InstanceType":"r5.4xlarge","WeightedCapacity":16}]}]}""".stripMargin
+      case ("ElasticMapReduce.AddInstanceFleet", _) =>
+        created = true; """{"InstanceFleetId":"if-1"}"""
+      case ("ElasticMapReduce.ModifyInstanceFleet", _) => ""
+      case _ => "{}"
+    } { (url, recorded) =>
+      val client = new EmrApiClient(url, settings)
+      val cfg = GraftConfig.parse("cluster.id = \"j-TEST\"\n")
+        .withFallback(GraftConfig.default) // if.useSpot=true, min 8 units
+      val workers = EmrWorkers.forCluster(client, cfg)
+      assert(workers.isInstanceOf[EmrIfWorkers] && workers.units === "UNITS")
+      val add = recorded.find(_.target == "ElasticMapReduce.AddInstanceFleet").get
+      // spot cluster: min units land on TargetSpotCapacity, on-demand 0
+      assert(add.body.contains(""""TargetSpotCapacity":8""") &&
+        add.body.contains(""""TargetOnDemandCapacity":0"""))
+      assert(add.body.contains(""""InstanceType":"m5.2xlarge","WeightedCapacity":8"""))
+      assert(workers.running === 8 && workers.requested === 8)
+
+      recorded.clear()
+      workers.resize(40)
+      val mod = recorded.find(_.target == "ElasticMapReduce.ModifyInstanceFleet").get
+      assert(mod.body === """{"ClusterId":"j-TEST","InstanceFleet":""" +
+        """{"InstanceFleetId":"if-1","TargetSpotCapacity":40,"TargetOnDemandCapacity":0}}"""
+        || mod.body === """{"ClusterId":"j-TEST","InstanceFleet":""" +
+        """{"InstanceFleetId":"if-1","TargetOnDemandCapacity":0,"TargetSpotCapacity":40}}""")
+      assert(workers.requested === 40 && workers.isResizing)
+    }
+  }
+
+  // ---- CloudWatch ----------------------------------------------------
+
+  test("K1/K2: PutMetricData Query protocol; metric map batches into ONE request") {
+    withStub { case _ => "<PutMetricDataResponse/>" } { (url, recorded) =>
+      val pub = new CloudWatchHttpPublisher(url, "JobFlowId", "j-TEST", settings)
+      pub.putMetric("AWS/EMR", "trino.cpu", 0.5)
+      pub.putMetricMap("AWS/EMR", "trino.nodes", Map("i-1" -> 1.0, "i-2" -> 2.0))
+      assert(recorded.size === 2)
+
+      def params(body: String): Map[String, String] = body.split("&").map { p =>
+        val Array(k, v) = p.split("=", 2)
+        java.net.URLDecoder.decode(k, UTF_8) -> java.net.URLDecoder.decode(v, UTF_8)
+      }.toMap
+
+      val single = params(recorded(0).body)
+      assert(recorded(0).contentType.startsWith("application/x-www-form-urlencoded"))
+      assert(single("Action") === "PutMetricData" && single("Namespace") === "AWS/EMR")
+      assert(single("MetricData.member.1.MetricName") === "trino.cpu")
+      assert(single("MetricData.member.1.Value") === "0.5")
+      assert(single("MetricData.member.1.Unit") === "Count")
+      assert(single("MetricData.member.1.Dimensions.member.1.Name") === "JobFlowId")
+      assert(single("MetricData.member.1.Dimensions.member.1.Value") === "j-TEST")
+      assert(recorded(0).auth.contains("/monitoring/aws4_request"))
+
+      val fanned = params(recorded(1).body)
+      assert(fanned("MetricData.member.1.MetricName") === "trino.nodes.i-1")
+      assert(fanned("MetricData.member.2.MetricName") === "trino.nodes.i-2")
+      assert(fanned("MetricData.member.2.Value") === "2.0")
+    }
+  }
+}
