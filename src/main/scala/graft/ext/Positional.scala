@@ -32,6 +32,23 @@ import org.apache.spark.storage.StorageLevel
  * the same physical partitioning and row order (range-partitioner
  * sampling and the sort are deterministic on recompute, but the persist
  * avoids paying the pass twice).
+ *
+ * ==Cache-hygiene policy (library-wide)==
+ * Any graft operator that persists internally follows ONE of two
+ * contracts, stated in its Scaladoc:
+ *
+ *   1. '''self-releasing''' — the operator materializes its result
+ *      eagerly (persist + count), unpersists every internal temporary
+ *      before returning, and the CALLER unpersists the returned frame
+ *      once consumed ([[Dedup.incrementalNearDups]],
+ *      [[Positional.withGlobalPosition]], [[Positional.zipByPosition]]);
+ *   2. '''session-scoped''' — the operator returns a lazy plan over a
+ *      persisted temporary and relies on the caller clearing blocks
+ *      between queries (`spark.catalog.clearCache()`, as Verify/Bench
+ *      do) — acceptable only inside [[graft.queries]] one-shot query
+ *      definitions, never in library operators a long-lived session
+ *      calls repeatedly (a leaked MEMORY_AND_DISK block per call
+ *      accumulates forever in a streaming loop).
  */
 object Positional {
 
@@ -44,6 +61,12 @@ object Positional {
    * partition-less window. `order` must be a total order (include a unique
    * tiebreak column) — ties across a partition boundary would otherwise
    * make the rank nondeterministic.
+   *
+   * Self-releasing (cache-hygiene policy above): the result comes back
+   * MATERIALIZED and the sorted intermediate is unpersisted before
+   * returning — a long-lived session calling this per batch must not
+   * accumulate a MEMORY_AND_DISK block per call. Unpersist the returned
+   * frame once consumed.
    */
   def withGlobalPosition(df: DataFrame, order: Seq[Column], posCol: String): DataFrame = {
     val local = df
@@ -59,9 +82,13 @@ object Positional {
     var acc = 0L
     val offsets = counts.map { case (p, c) => val o = acc; acc += c; (p, o) }
     val offDf = df.sparkSession.createDataFrame(offsets.toSeq).toDF(PidCol, OffCol)
-    local.join(broadcast(offDf), PidCol)
+    val out = local.join(broadcast(offDf), PidCol)
       .withColumn(posCol, col(OffCol) + col(LocalCol) + lit(1L))
       .drop(PidCol, LocalCol, OffCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize while `local` is still cached, then release it
+    local.unpersist(blocking = false)
+    out
   }
 
   /**
@@ -69,12 +96,19 @@ object Positional {
    * ranked by `rightOrder` on equal 1-based position. Output keeps `posCol`
    * plus all columns of both sides. Inner-join semantics on position
    * (unmatched tail of the longer side drops), matching Scala's `zip`.
+   *
+   * Self-releasing: both ranked sides are unpersisted once the join has
+   * materialized; unpersist the returned frame once consumed.
    */
   def zipByPosition(left: DataFrame, leftOrder: Seq[Column],
                     right: DataFrame, rightOrder: Seq[Column],
                     posCol: String = "pos"): DataFrame = {
     val l = withGlobalPosition(left, leftOrder, posCol)
     val r = withGlobalPosition(right, rightOrder, posCol)
-    l.join(r, posCol)
+    val out = l.join(r, posCol).persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    l.unpersist(blocking = false)
+    r.unpersist(blocking = false)
+    out
   }
 }

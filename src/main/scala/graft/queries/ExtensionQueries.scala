@@ -487,14 +487,16 @@ object ExtensionQueries {
     }),
 
     // benchmark decontamination: training docs n-gram-overlapping any
-    // benchmark doc (deterministic pseudo-benchmark: doc_id % 97 == 0).
-    // The drop-list every training corpus needs before eval.
+    // benchmark doc — the drop-list every training corpus needs before
+    // eval. The pseudo-benchmark is every 97th doc's text VERBATIM under
+    // a shifted id, so contamination exists BY CONSTRUCTION (the source
+    // doc and its near-dups sit in the corpus) and the oracle compare is
+    // non-vacuous at every scale factor.
     "x27_decontaminate" -> ((s, dir) => {
       val all = Tables.documents(s, dir)
-      Dedup.decontaminate(
-          all.filter(col("doc_id") % 97 =!= 0),
-          all.filter(col("doc_id") % 97 === 0),
-          DecontamThreshold, P)
+      val bench = all.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+      Dedup.decontaminate(all, bench, DecontamThreshold, P)
         .orderBy("doc_id")
     }),
 
@@ -1042,16 +1044,19 @@ object ExtensionQueries {
     "x27_decontaminate" ->
       s"""WITH $sqlShingleCte,
          |$sqlBandedCte,
-         |corpc AS (SELECT * FROM banded WHERE doc_id % 97 <> 0
+         |corpc AS (SELECT * FROM banded
          |  QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= ${Dedup.DefaultMaxBucket}),
+         |benchb AS (SELECT doc_id + 10000000 AS doc_id, band, band_key
+         |  FROM banded WHERE doc_id % 97 = 0),
+         |shb AS (SELECT doc_id + 10000000 AS doc_id, shingles
+         |  FROM sh WHERE doc_id % 97 = 0),
          |cand AS (SELECT DISTINCT c.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM corpc c JOIN banded b
-         |    ON c.band = b.band AND c.band_key = b.band_key
-         |  WHERE b.doc_id % 97 = 0),
+         |  FROM corpc c JOIN benchb b
+         |    ON c.band = b.band AND c.band_key = b.band_key),
          |ver AS (SELECT id_a, id_b,
          |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
          |    len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS uni
-         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN shb sb ON sb.doc_id = id_b),
          |fl AS (SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
          |  FROM ver WHERE CAST(inter AS DOUBLE) / uni >= $DecontamThreshold),
          |r AS (SELECT *, row_number() OVER (PARTITION BY id_a

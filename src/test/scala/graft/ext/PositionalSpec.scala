@@ -33,5 +33,24 @@ class PositionalSpec extends SparkSpec {
     val df = (1 to 100).map(i => (i, s"n$i")).toDF("k", "name")
     val out = Positional.withGlobalPosition(df, Seq(col("k")), "pos")
     assert(graft.PlanChecks.partitionlessWindows(out.queryExecution.executedPlan).isEmpty)
+    out.unpersist(blocking = true)
+  }
+
+  test("cache hygiene: zipByPosition leaks no blocks beyond the returned handle") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val l = (1 to 500).map(i => (i, s"l$i")).toDF("lk", "lv").repartition(5)
+    val r = (1 to 400).map(i => (i, s"r$i")).toDF("rk", "rv").repartition(3)
+    val out = Positional.zipByPosition(l, Seq(col("lk")), r, Seq(col("rk")))
+    assert(out.count() === 400)
+    // self-releasing contract: the ONLY live block added by the call is
+    // the returned materialized frame — the sorted intermediates and the
+    // per-side ranked frames must already be released...
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.size === 1, s"expected 1 held block (the result), got $during")
+    // ...and caller release drops the last one: zero leaked blocks
+    out.unpersist(blocking = true)
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty, s"leaked persisted blocks: $after")
   }
 }
