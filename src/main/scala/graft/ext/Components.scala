@@ -78,7 +78,17 @@ object Components {
   private[ext] def distributedComponents(
       edges: DataFrame,
       nodes: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25): DataFrame =
+    distributedComponentsWithRounds(edges, nodes, maxIter)._1
+
+  /** [[distributedComponents]] plus the number of rounds it took —
+    * the observable for the O(log n) convergence guard (a path graph of n
+    * nodes must converge in ~log2(n) rounds thanks to pointer jumping;
+    * plain propagation would need n−1). */
+  private[graft] def distributedComponentsWithRounds(
+      edges: DataFrame,
+      nodes: DataFrame,
+      maxIter: Int = 25): (DataFrame, Int) = {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -123,7 +133,7 @@ object Components {
     sym.unpersist()
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
-    labels
+    (labels, iter)
   }
 
   /** Near-dup dedup clusters of a document corpus: MinHash-LSH pairs →

@@ -4,6 +4,24 @@ import graft.ext.Dedup
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+/** Per-task duration collector for the skew probes: max vs median task
+  * time is the observable that distinguishes "one straggler task owns the
+  * hot key" from "the plan went quadratic". */
+class TaskStats(spark: SparkSession) extends org.apache.spark.scheduler.SparkListener {
+  private val durations = scala.collection.mutable.ArrayBuffer.empty[Long]
+  spark.sparkContext.addSparkListener(this)
+  override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+    durations.synchronized { durations += t.taskInfo.duration }
+  def maxAndMedianMs(): (Long, Long) = durations.synchronized {
+    if (durations.isEmpty) (0L, 0L)
+    else {
+      val s = durations.sorted
+      (s.last, s(s.size / 2))
+    }
+  }
+  def detach(): Unit = spark.sparkContext.removeSparkListener(this)
+}
+
 /** Scaling-slope probe: run the MinHash near-dup pipeline on the sf0.1
   * documents corpus replicated f× (ids shifted, texts salted per replica
   * so replicas aren't trivial duplicates), and print seconds per scale.
@@ -113,6 +131,68 @@ object ScaleProbe {
       val assigned = graft.ext.KMeans.assign(grown, cents, vecCol = "embedding").count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"kmeans  scale=${f}x vecs=${2000 * f}%7d rows=$assigned%8d time=$dt%7.2f s")
+    }
+
+    // CC round growth: pointer-jumping on a path graph (worst case for
+    // label propagation) — rounds must track ~log2(n), never n.
+    if (on("ccrounds")) for (n <- Seq(1000L, 10000L, 100000L, 1000000L)) {
+      val edges = spark.range(1L, n)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      val nodes = spark.range(1L, n + 1).select(col("id"))
+      val t0 = System.nanoTime()
+      val (labels, rounds) =
+        graft.ext.Components.distributedComponentsWithRounds(edges, nodes)
+      val allMin = labels.filter(col("component") === 1).count() == n
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"ccround n=$n%8d rounds=$rounds%3d log2=${(math.log(n.toDouble) / math.log(2)).round}%3d allMin=$allMin time=$dt%7.2f s")
+    }
+
+    // Skewed-corpus near-dup: 30% of all docs share ONE boilerplate text,
+    // so every replica lands the same band keys on one bucket — the cap
+    // anti-join must drop it and keep wall time linear and the max task
+    // bounded (without the cap this is a (0.3n)^2 self-join).
+    if (on("skewdocs")) for (f <- Seq(1, 5, 10, 20)) {
+      val boiler = "the quick brown fox jumps over the lazy dog and then " +
+        "does it again and again exactly the same every single time"
+      val grown = (0 until f).map { r =>
+        docs.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+          when(col("doc_id") % 10 < 3, lit(boiler))
+            .otherwise(concat(col("text"), lit(s" rep$r"))).as("text"))
+      }.reduce(_ unionByName _)
+      val stats = new TaskStats(spark)
+      val t0 = System.nanoTime()
+      val n = Dedup.minHashNearDups(grown, threshold = 0.35).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val (mx, med) = stats.maxAndMedianMs()
+      stats.detach()
+      spark.catalog.clearCache()
+      println(f"skewdoc scale=${f}x docs=${5000 * f}%7d pairs=$n%8d time=$dt%7.2f s maxTask=${mx}ms medTask=${med}ms ratio=${mx.toDouble / math.max(med, 1)}%5.1f")
+    }
+
+    // Skewed as-of: ONE user owns 30% of all events across every replica —
+    // the union+window layout puts that key in one task; AQE + the single
+    // ordered pass must keep the max task near the key's share, not blow up.
+    if (on("skewasof")) for (f <- Seq(1, 5, 10, 20)) {
+      val grown = (0 until f).map { r =>
+        events.select(
+          when(col("event_id") % 10 < 3, lit(0L))
+            .otherwise(col("user_id") + lit(r * 10000000L)).as("user_id"),
+          col("ts"), (col("event_id") + lit(r * 1000000000L)).as("event_id"),
+          col("event_type"), col("value"))
+      }.reduce(_ unionByName _)
+      val purchases = grown.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val clicks = grown.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_id").as("click_id"))
+      val stats = new TaskStats(spark)
+      val t0 = System.nanoTime()
+      val n = graft.ext.Temporal.asOfJoinBackward(purchases, clicks,
+        Seq("user_id"), "ts", "event_id", Seq("click_id")).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val (mx, med) = stats.maxAndMedianMs()
+      stats.detach()
+      println(f"skewasf scale=${f}x events=${100000 * f}%7d rows=$n%8d time=$dt%7.2f s maxTask=${mx}ms medTask=${med}ms ratio=${mx.toDouble / math.max(med, 1)}%5.1f")
     }
 
     // fuzzy-vocab slope: deletion-neighborhood candidates are linear in

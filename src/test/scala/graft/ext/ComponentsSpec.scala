@@ -53,6 +53,31 @@ class ComponentsSpec extends SparkSpec {
     assert(out.size === n.toInt)
   }
 
+  test("round guard: a 1024-node chain converges in O(log n) rounds, not O(n)") {
+    // worst case for label propagation — a single path; pointer jumping
+    // must halve the remaining label distance each round, so ~log2(1024)
+    // rounds (+ slack for the handoff between the two phases). Plain
+    // one-hop propagation would need 1023 rounds — a regression here is
+    // the difference between 10 and 1000 shuffles at corpus scale.
+    val n = 1024L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val nodes = (1L to n).toDF("id")
+    val (labels, rounds) = Components.distributedComponentsWithRounds(edges, nodes)
+    val out = labels.as[(Long, Long)].collect().toMap
+    assert(out.size === n.toInt && out.values.toSet === Set(1L))
+    assert(rounds <= 14, s"chain-1024 took $rounds rounds — pointer jumping broken")
+  }
+
+  test("maxIter failure path: non-converged run raises instead of returning wrong labels") {
+    val n = 256L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val nodes = (1L to n).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      Components.distributedComponents(edges, nodes, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge in 2 rounds"))
+  }
+
   test("random graph: both paths match a BFS reference") {
     val rnd = new scala.util.Random(13)
     val n = 60
