@@ -386,6 +386,46 @@ object Dedup {
       .distinct()
   }
 
+  // ------------------------------------------- benchmark n-gram overlap
+
+  /** Token-level benchmark n-gram overlap scan — the published eval-
+    * decontamination method (flag any training doc sharing a verbatim
+    * n-token run with a benchmark item; n=13 is the convention) plus the
+    * containment score |sh(doc) ∩ benchGrams| / |sh(doc)| for
+    * quote/subset filtering. Complementary to [[decontaminate]]'s
+    * DOC-level Jaccard: a 10k-token doc quoting one benchmark answer
+    * verbatim has near-zero Jaccard but a guaranteed n-gram hit.
+    *
+    * Scale shape: the benchmark gram set is an eval suite — small by
+    * construction — so it ships as a BROADCAST to every executor and the
+    * scan is one map-side semi-join + partial-agg count over the corpus
+    * grams: no shuffle of corpus text, no pairwise anything. Set
+    * `broadcastBench = false` for a pathological benchmark side and the
+    * same plan degrades to a shuffle equi-join.
+    *
+    * @return (idCol, n_grams, n_hits, containment) for docs with ≥ 1 hit
+    */
+  def benchGramOverlap(
+      corpus: DataFrame,
+      bench: DataFrame,
+      n: Int = 13,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      broadcastBench: Boolean = true): DataFrame = {
+    val grams = bench.select(explode(shingleHashes(col(textCol), n)).as("h")).distinct()
+    val b = if (broadcastBench) broadcast(grams) else grams
+    corpus.select(col(idCol), shingleHashes(col(textCol), n).as("sh"))
+      .select(col(idCol), size(col("sh")).cast("long").as("n_grams"),
+        explode(col("sh")).as("h"))
+      .join(b, "h")
+      // shingle arrays are DISTINCT per doc, so this counts distinct
+      // matching grams; n_grams is functionally dependent on the id
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col(idCol), col("n_grams"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_grams")).as("containment"))
+  }
+
   // ------------------------------------------------------ n-gram jaccard
 
   /** Direct n-gram Jaccard similarity join via PPJoin-style PREFIX

@@ -25,6 +25,9 @@ object ExtensionQueries {
   private val PackShards = 8
   private val IncrementalSplit = 400L
   private val DecontamThreshold = 0.35
+  /** x43: flag docs whose trigram containment in the benchmark gram set
+    * reaches this fraction (shared with the oracle SQL). */
+  private val ContainmentThreshold = 0.5
   private val CosineThreshold = 0.30
   private val Planes = 8        // x11 bucket-assignment surface
   private val CosinePlanes = 16 // x12 near-dup banding (65k buckets + multiprobe)
@@ -66,6 +69,31 @@ object ExtensionQueries {
        |       ELSE list_distinct(list_transform(range(0, len(th) - 2),
        |              i -> ((th[i+1] * $C + th[i+2]) % $Mod * $C + th[i+3]) % $Mod))
        |  END AS shingles FROM toh)""".stripMargin
+
+  /** x42/x43 oracle: benchmark n-gram overlap for arbitrary n — the
+    * general form of [[sqlShingleCte]]'s trigram combine (a list_reduce
+    * fold from 0 equals the engine's running combine for any n, since
+    * 0·C + t₁ = t₁). Benchmark = every 97th doc, as in the engine. */
+  private def sqlBenchOverlap(n: Int, where: String): String =
+    s"""WITH norm AS (SELECT doc_id, $sqlNorm AS t FROM documents),
+       |tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+       |toh AS (SELECT doc_id, list_transform(w, s -> ${sqlStringHash("s")}) AS th FROM tok),
+       |shn AS (SELECT doc_id,
+       |  CASE WHEN len(th) < $n THEN [list_reduce(list_concat([CAST(0 AS BIGINT)], th),
+       |                                 (a, b) -> (a * $C + b) % $Mod)]
+       |       ELSE list_distinct(list_transform(range(0, len(th) - ${n - 1}),
+       |              i -> list_reduce(
+       |                     list_concat([CAST(0 AS BIGINT)], list_slice(th, i + 1, i + $n)),
+       |                     (a, b) -> (a * $C + b) % $Mod)))
+       |  END AS shingles FROM toh),
+       |bg AS (SELECT DISTINCT unnest(shingles) AS h FROM shn WHERE doc_id % 97 = 0),
+       |cg AS (SELECT doc_id, len(shingles) AS n_grams, unnest(shingles) AS h FROM shn),
+       |j AS (SELECT cg.doc_id, cg.n_grams, count(*) AS n_hits
+       |  FROM cg JOIN bg ON cg.h = bg.h GROUP BY 1, 2)
+       |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       |  CAST(n_hits AS BIGINT) AS n_hits,
+       |  CAST(n_hits AS DOUBLE) / n_grams AS containment
+       |FROM j $where ORDER BY doc_id""".stripMargin
 
   private val aList = (0 until P.k).map(P.a).mkString("[", ",", "]")
   private val bList = (0 until P.k).map(P.b).mkString("[", ",", "]")
@@ -591,6 +619,29 @@ object ExtensionQueries {
         .select(col("key").as("token"), col("exact_n"), col("est"), col("overcount"))
         .orderBy("token")),
 
+    // token-level benchmark 13-gram decontamination (the published eval-
+    // decontamination convention): flag any doc sharing a verbatim
+    // 13-token run with a benchmark item. Complementary to x27's
+    // doc-level Jaccard — a long doc quoting one benchmark answer has
+    // near-zero Jaccard but a guaranteed 13-gram hit. Same
+    // by-construction benchmark as x27 (every 97th doc verbatim).
+    "x42_ngram_decontaminate" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      Dedup.benchGramOverlap(all, all.filter(col("doc_id") % 97 === 0), n = 13)
+        .orderBy("doc_id")
+    }),
+
+    // containment (asymmetric-Jaccard) filter: fraction of a doc's
+    // trigram shingles that appear ANYWHERE in the benchmark set —
+    // catches docs that are mostly quoted/boilerplate benchmark material
+    // even when no single benchmark doc is a Jaccard near-dup of them.
+    "x43_containment" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      Dedup.benchGramOverlap(all, all.filter(col("doc_id") % 97 === 0), n = 3)
+        .filter(col("containment") >= ContainmentThreshold)
+        .orderBy("doc_id")
+    }),
+
     // PII redaction (C4-style): emails/IPv4/phone-shaped digit groups →
     // placeholders; output = per-kind counts + redacted-text length/hash
     // (the x32 shape). Narrow codegen'd regex chain, shuffle-free.
@@ -948,6 +999,11 @@ object ExtensionQueries {
          |       CAST(min(sk.c) - p.exact_n AS BIGINT) AS overcount
          |FROM p JOIN sk ON p.j = sk.j AND p.bucket = sk.bucket
          |GROUP BY p.key, p.exact_n ORDER BY token""".stripMargin,
+
+    "x42_ngram_decontaminate" -> sqlBenchOverlap(13, ""),
+
+    "x43_containment" -> sqlBenchOverlap(3,
+      s"WHERE CAST(n_hits AS DOUBLE) / n_grams >= $ContainmentThreshold"),
 
     "x18_sample_split" ->
       s"""WITH k AS (SELECT doc_id, lang,

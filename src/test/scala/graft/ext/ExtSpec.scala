@@ -108,6 +108,30 @@ class ExtSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == "catalyst" || p._2 == "catalyst"))
   }
 
+  test("benchGramOverlap flags a verbatim 13-token quote that doc-level jaccard misses") {
+    // a LONG doc (120 filler tokens) quoting one 13-token benchmark run:
+    // doc-level Jaccard vs the benchmark is ~13/120 ≈ 0.11 — far below
+    // any dedup threshold — but eval decontamination must still flag it
+    val benchText = "what is the capital of france the answer is paris of course indeed"
+    val filler = (1 to 120).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (10L, s"$filler $benchText"),     // quotes the full benchmark run
+      (11L, filler),                    // clean doc, zero overlap
+      (12L, benchText)                  // verbatim copy: containment 1.0
+    ).toDF("doc_id", "text")
+    val bench = Seq((99L, benchText)).toDF("doc_id", "text")
+    val got = Dedup.benchGramOverlap(corpus, bench, n = 13)
+      .select("doc_id", "n_hits", "containment")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got.contains(10L) && got(10L)._1 >= 1L) // the quote is caught
+    assert(!got.contains(11L))                     // clean doc untouched
+    assert(got(12L)._2 === 1.0)                    // full copy: containment 1
+    // the jaccard pipeline indeed misses the quoting doc at any sane threshold
+    val jac = Dedup.decontaminate(corpus, bench, threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!jac.contains(10L) && jac.contains(12L))
+  }
+
   test("ngram jaccard direct join agrees with minhash on the exact pair") {
     val pairs = Dedup.ngramJaccard(docs, threshold = 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -93,6 +93,15 @@ class PlanAuditSpec extends SparkSpec {
       s"prefix-token join must stay an equi join:\n$p")
   }
 
+  test("x42: benchmark gram set ships as a broadcast; hit count aggregates map-side") {
+    val p = planOf("x42_ngram_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench grams must broadcast (eval suites are small):\n$p")
+    assert(p.contains("partial_count"),
+      s"per-doc hit count must map-side combine:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-side shuffle join:\n$p")
+  }
+
   test("x22: packing is one shard shuffle into MapGroups") {
     val p = planOf("x22_pack")
     assert(p.contains("MapGroups"), s"expected per-shard MapGroups:\n$p")
