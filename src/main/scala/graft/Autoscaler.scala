@@ -1,0 +1,160 @@
+package graft
+
+import graft.aws.{AwsSettings, CloudWatchHttpPublisher, EmrApiClient, EmrWorkers, LiveWorkers}
+import graft.control.{ScalingManager, SimulatedWorkers, WorkersView}
+import graft.decide.{CpuLoadEvaluator, StepScalingAlgorithm}
+import graft.sinks.{BufferingPublisher, MetricPublisher}
+import graft.sources.{JmxJson, MetricsFetcher}
+import graft.streaming.MetricsPipeline
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DoubleType
+
+import java.sql.Timestamp
+import scala.collection.mutable
+
+/**
+ * Production entry point — the reference's application wiring
+ * (`TrinoAutoscaler.scala:14-34`: Akka scheduler → scrape every 15 s →
+ * evaluate → resize, plus the 30 s topology refresh at
+ * `cluster/Workers.scala:43`) re-expressed on Structured Streaming
+ * (SURVEY.md §3.2): a rate source ticks the loop, `foreachBatch` is the
+ * effect boundary, and the odd ticks refresh worker topology
+ * (modulo-tick — SURVEY §2.7 ST8).
+ *
+ * Composition per tick ([[Autoscaler.ControlLoop.tick]]):
+ *   1. scrape the fetcher (S1-S4; driver-side control-plane HTTP),
+ *   2. parse payloads → per-node CPU (P1/P2), push into the one-minute
+ *      ring (A3 retention — the window the reference's MetricStore keeps),
+ *   3. evaluate the window through the quorum + cascade
+ *      ([[MetricsPipeline.evaluateWindow]] → [[ScalingManager]]),
+ *   4. resize through [[WorkersView]] (K3: live = EMR wire client),
+ *   5. publish gauges (K1/K2: live = CloudWatch Query protocol).
+ *
+ * `--dry-run` swaps the cloud boundary for [[SimulatedWorkers]] + a
+ * buffering publisher; everything upstream of the boundary is identical.
+ */
+object Autoscaler {
+
+  /** The per-tick driver loop. The ring holds `windowN` scrape frames
+    * (node-count rows each) — control-plane state, same budget as the
+    * reference's in-memory MetricStore. */
+  final class ControlLoop(
+      spark: SparkSession,
+      fetcher: MetricsFetcher,
+      manager: ScalingManager,
+      workers: WorkersView,
+      publisher: MetricPublisher,
+      namespace: String,
+      publish: Boolean,
+      windowN: Int = 4,
+      clock: () => Long = () => System.currentTimeMillis()) {
+
+    private val ring = mutable.Queue.empty[Seq[(Timestamp, String, Double)]]
+
+    /** One tick: scrape → ring → evaluate → publish. Returns the action
+      * the cascade PERFORMED this tick (None while cold/gated/idle). */
+    def tick(): Option[MetricsPipeline.Decision] = {
+      val sp = spark
+      import sp.implicits._
+      val now = new Timestamp(clock())
+      val nodes = JmxJson.parsePayloads(fetcher.fetchPayloads(spark), "payload",
+          Map("cpu" -> (("ProcessCpuLoad", DoubleType))))
+        .select(col("node"), col("cpu"))
+        .as[(String, Double)].collect().toSeq
+      ring.enqueue(nodes.map { case (n, c) => (now, n, c) })
+      while (ring.size > windowN) ring.dequeue()
+      val window = ring.toSeq.flatten.toDF("ts", "node", "value")
+      val decision = MetricsPipeline.evaluateWindow(window, manager, windowN)
+      if (publish && nodes.nonEmpty) {
+        // reference gauge set (metrics/TrinoMetricStore.scala:56-62),
+        // node map fanned out as one multi-datum request (K2)
+        publisher.putMetricMap(namespace, "trino.cpu", nodes.toMap)
+        publisher.putMetric(namespace, "trino.totalWorkers", nodes.size.toDouble)
+        publisher.putMetric(namespace, "trino.runningWorkers", workers.running.toDouble)
+        publisher.putMetric(namespace, "trino.requestedWorkers", workers.requested.toDouble)
+        decision.foreach(d =>
+          publisher.putMetric(namespace, "trino.targetCapacity", d.capacity.toDouble))
+      }
+      decision
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    var confPath: Option[String] = None
+    var dryRun = false
+    var coordinator: Option[String] = None
+    var region = "us-east-1"
+    var emrEndpoint: Option[String] = None
+    var cwEndpoint: Option[String] = None
+    var maxTicks: Option[Int] = None
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--conf"         => confPath = Some(args(i + 1)); i += 2
+        case "--dry-run"      => dryRun = true; i += 1
+        case "--coordinator"  => coordinator = Some(args(i + 1)); i += 2
+        case "--region"       => region = args(i + 1); i += 2
+        case "--emr-endpoint" => emrEndpoint = Some(args(i + 1)); i += 2
+        case "--cw-endpoint"  => cwEndpoint = Some(args(i + 1)); i += 2
+        case "--ticks"        => maxTicks = Some(args(i + 1).toInt); i += 2
+        case other => throw new IllegalArgumentException(s"unknown flag: $other")
+      }
+    }
+    val cfg = confPath.map(GraftConfig.load).getOrElse(GraftConfig.default)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-autoscaler")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val fetcher = MetricsFetcher(
+      if (coordinator.isDefined) "rest" else "emr",
+      coordinatorUrl = coordinator,
+      user = cfg.trinoUser, password = cfg.trinoPassword)
+    // standard AWS credential env names; SigV4 needs them only live
+    val settings = AwsSettings(region,
+      sys.env.getOrElse("AWS_ACCESS_KEY_ID", ""),
+      sys.env.getOrElse("AWS_SECRET_ACCESS_KEY", ""))
+    val workers: WorkersView =
+      if (dryRun) new SimulatedWorkers(cfg.igMinNumNodes, cfg.igMaxNumNodes)
+      else EmrWorkers.forCluster(new EmrApiClient(
+        emrEndpoint.getOrElse(s"https://elasticmapreduce.$region.amazonaws.com"),
+        settings), cfg)
+    val publisher: MetricPublisher =
+      if (dryRun) new BufferingPublisher
+      else new CloudWatchHttpPublisher(
+        cwEndpoint.getOrElse(s"https://monitoring.$region.amazonaws.com"),
+        cfg.cloudWatchDimension, cfg.clusterId, settings)
+    val manager = new ScalingManager(workers, new StepScalingAlgorithm(
+      new CpuLoadEvaluator, workers.minCapacity, workers.maxCapacity))
+    val loop = new ControlLoop(spark, fetcher, manager, workers, publisher,
+      cfg.cloudWatchNamespace, publish = dryRun || cfg.publishMetrics)
+
+    val ticks = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+      .writeStream.outputMode("append")
+      .trigger(Trigger.ProcessingTime(
+        s"${GraftConfig.MetricsEvaluationIntervalSec} seconds"))
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val t = ticks.incrementAndGet()
+        loop.tick().foreach(d =>
+          println(s"[autoscaler] tick=$t ${d.action} -> ${d.capacity} ${workers.units}"))
+        // 30 s topology refresh = every other 15 s tick (ST8 modulo-tick)
+        if (batchId % 2 == 1) workers match {
+          case lw: LiveWorkers => lw.refresh()
+          case _               => ()
+        }
+      }.start()
+    maxTicks match {
+      case Some(n) =>
+        while (ticks.get() < n && q.isActive) Thread.sleep(200)
+        q.stop()
+      case None => q.awaitTermination()
+    }
+    spark.stop()
+  }
+}

@@ -96,6 +96,41 @@ object MetricsPipeline {
   /** Decision record emitted by the control loop. */
   final case class Decision(batchId: Long, ts: Timestamp, action: String, capacity: Int)
 
+  /** One window evaluation — the micro-batch body of
+    * [[attachControlLoop]], shared with the polling entry point
+    * ([[graft.Autoscaler]]). The batch IS the one-minute ring window;
+    * the decision uses the reference-exact operators. */
+  def evaluateWindow(
+      batch: DataFrame,
+      manager: ScalingManager,
+      windowN: Int = MetricsDataPointsOneMin,
+      batchId: Long = -1L): Option[Decision] = {
+    import graft.analytics.MetricAnalytics
+    if (batch.isEmpty) None
+    else {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val cold = MetricAnalytics.isCold(batch, windowN)
+      val summary =
+        if (cold) MetricSummary.Cold
+        else {
+          val avgs = MetricAnalytics.oneMinuteAvgExact(batch, windowN)
+            .as[(String, Double)].collect().toMap
+          val total = MetricAnalytics.latestTickNodeCount(batch).as[Long].head().toInt
+          MetricSummary(isCold = false, avgs, total)
+        }
+      val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
+      // Activity gauges ride in as metric rows; here every sample tick
+      // counts as activity (idle handling is exercised via eventRates
+      // in the full deployment).
+      val stats = ClusterQueriesMetrics(maxTs, runningQueries = 1,
+        queuedQueries = 0, 0, 0, 0, 0, 0)
+      manager.evaluate(stats, requiredWorkers = 0, summary).map {
+        case ResizeAction(action, capacity) => Decision(batchId, maxTs, action, capacity)
+      }
+    }
+  }
+
   /** Attach the stateful control loop to a metric-sample stream: per
     * micro-batch (= one reference "tick"), compute the window summary with
     * the BATCH operators (micro-batch df is bounded), feed the cascade,
@@ -105,38 +140,11 @@ object MetricsPipeline {
       samples: DataFrame,
       manager: ScalingManager,
       decisions: mutable.Buffer[Decision],
-      windowN: Int = MetricsDataPointsOneMin): DataStreamWriter[Row] = {
-    import graft.analytics.MetricAnalytics
+      windowN: Int = MetricsDataPointsOneMin): DataStreamWriter[Row] =
     samples.writeStream
       .outputMode("update")
       .trigger(Trigger.ProcessingTime(s"$MetricsEvaluationIntervalSec seconds"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // One micro-batch carries the samples since the last tick; the
-        // ring-buffer view is the batch itself bounded upstream by the
-        // watermark. The decision uses the reference-exact operators.
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          import spark.implicits._
-          val cold = MetricAnalytics.isCold(batch, windowN)
-          val summary =
-            if (cold) MetricSummary.Cold
-            else {
-              val avgs = MetricAnalytics.oneMinuteAvgExact(batch, windowN)
-                .as[(String, Double)].collect().toMap
-              val total = MetricAnalytics.latestTickNodeCount(batch).as[Long].head().toInt
-              MetricSummary(isCold = false, avgs, total)
-            }
-          val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
-          // Activity gauges ride in as metric rows; here every sample tick
-          // counts as activity (idle handling is exercised via eventRates
-          // in the full deployment).
-          val stats = ClusterQueriesMetrics(maxTs, runningQueries = 1,
-            queuedQueries = 0, 0, 0, 0, 0, 0)
-          manager.evaluate(stats, requiredWorkers = 0, summary).foreach {
-            case ResizeAction(action, capacity) =>
-              decisions += Decision(batchId, maxTs, action, capacity)
-          }
-        }
+        evaluateWindow(batch, manager, windowN, batchId).foreach(decisions += _)
       }
-  }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import graft.control.{ScalingManager, SimulatedWorkers}
+import graft.decide.{CpuLoadEvaluator, StepScalingAlgorithm}
+import graft.sinks.BufferingPublisher
+import graft.sources.MetricsFetcher
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The production entry-point loop ([[Autoscaler.ControlLoop]]) driven
+  * end-to-end with a stub fetcher: scrape → ring window → cold gate →
+  * EXPAND → gauge publish → cooldown → drain SHRINK — the
+  * TrinoAutoscaler.scala:14-34 composition with every boundary injected. */
+class AutoscalerSpec extends SparkSpec {
+
+  private class StubFetcher(cpu: () => Double) extends MetricsFetcher {
+    override val name = "stub"
+    override def fetchPayloads(s: SparkSession): DataFrame = {
+      import s.implicits._
+      Seq("n1", "n2").map(n => (n,
+        s"""{"attributes":[{"name":"ProcessCpuLoad","value":${cpu()}}]}"""))
+        .toDF("node", "payload")
+    }
+    override def fetchNodeList(s: SparkSession): DataFrame = {
+      import s.implicits._
+      Seq.empty[String].toDF("body")
+    }
+  }
+
+  test("tick loop: cold 3 ticks, EXPAND on the 4th, gauges out, drain after cooldown") {
+    var now = 1000000000L
+    var cpu = 0.9
+    val workers = new SimulatedWorkers(0, 20, clock = () => now)
+    workers.resize(5); workers.settle()
+    val mgr = new ScalingManager(workers,
+      new StepScalingAlgorithm(new CpuLoadEvaluator, 0, 20), () => now)
+    val pub = new BufferingPublisher
+    val loop = new Autoscaler.ControlLoop(spark, new StubFetcher(() => cpu),
+      mgr, workers, pub, "AWS/EMR", publish = true, clock = () => now)
+
+    val first4 = (1 to 4).map { _ =>
+      val r = loop.tick(); workers.settle(); now += 15000L; r
+    }
+    // one-minute ring needs 4 samples per node before any decision
+    assert(first4.take(3).forall(_.isEmpty), "must stay cold until the window fills")
+    assert(first4(3).exists(_.action == "EXPAND"))
+    assert(workers.requested === 10)
+    // K1/K2 gauges: per-node CPU fan-out + scalar worker gauges + target
+    val names = pub.records.map(_._2).toSet
+    assert(names.contains("trino.cpu.n1") && names.contains("trino.cpu.n2"))
+    assert(names.contains("trino.runningWorkers") && names.contains("trino.targetCapacity"))
+    assert(pub.records.forall(_._1 == "AWS/EMR"))
+
+    // drain: CPU drops, but the ring still holds 3 hot samples — the
+    // first post-cooldown tick legitimately re-EXPANDs on the stale-hot
+    // window (the ring is the reference's MetricStore semantics). Flush
+    // the window with 4 cool ticks, let the new cooldown lapse, and the
+    // fully-cool window must SHRINK.
+    cpu = 0.2
+    now += 120001L
+    (1 to 4).foreach { _ => loop.tick(); workers.settle(); now += 15000L }
+    now += 120001L
+    val drain = (1 to 2).map { _ =>
+      val r = loop.tick(); workers.settle(); now += 15000L; r
+    }
+    assert(drain.flatten.exists(_.action == "SHRINK"),
+      s"expected a drain SHRINK, got ${drain.flatten}")
+  }
+}
