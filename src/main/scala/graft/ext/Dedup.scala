@@ -479,10 +479,12 @@ object Dedup {
     val plen = (size(col("ord")) -
       ceil(lit(threshold) * size(col("ord")) - lit(1e-9)) + 1).cast("int")
     val pre = docOrd.select(col("id"), col("sh"),
-        explode(slice(col("ord"), lit(1), plen)).as("p"))
-      .select(col("p").getField("h").as("tok"), col("id"), col("sh"))
-    val l = pre.select(col("tok"), col("id").as("id_l"), col("sh").as("sh_l"))
-    val r = pre.select(col("tok"), col("id").as("id_r"), col("sh").as("sh_r"))
+        posexplode(slice(col("ord"), lit(1), plen)).as(Seq("pos", "p")))
+      .select(col("p").getField("h").as("tok"), col("id"), col("sh"), col("pos"))
+    val l = pre.select(col("tok"), col("id").as("id_l"), col("sh").as("sh_l"),
+      col("pos").as("pos_l"))
+    val r = pre.select(col("tok"), col("id").as("id_r"), col("sh").as("sh_r"),
+      col("pos").as("pos_r"))
     l.join(r, "tok")
       // `<` canonicalizes the pair once per shared prefix token
       .filter(col("id_l") < col("id_r"))
@@ -493,8 +495,22 @@ object Dedup {
       // drop an exact-subset pair at the threshold.)
       .filter(least(size(col("sh_l")), size(col("sh_r"))).cast("double") /
         greatest(size(col("sh_l")), size(col("sh_r"))) >= threshold)
+      // PPJoin POSITIONAL filter: both shingle lists are sorted by the
+      // same global order, so every intersection element other than the
+      // shared token sits AFTER it (0-based pos) in both lists —
+      // |∩| ≤ 1 + min(remaining_l, remaining_r). J ≥ t needs
+      // |∩| ≥ t/(1+t)·(|l|+|r|); prune occurrences that cannot reach it.
+      // Per-occurrence pruning is safe: a qualifying pair's SMALLEST
+      // common token occurrence always passes (all other intersection
+      // elements rank after it in both lists), and one surviving
+      // occurrence is all the pair dedup needs.
+      .filter(lit(1) +
+        least(size(col("sh_l")) - col("pos_l"), size(col("sh_r")) - col("pos_r")) - lit(1) >=
+        ceil(lit(threshold / (1.0 + threshold)) *
+          (size(col("sh_l")) + size(col("sh_r"))) - lit(1e-9)))
       // a pair sharing k prefix shingles appears k times: dedup BEFORE the
       // merge-pass verify so each survivor is verified exactly once
+      .drop("pos_l", "pos_r")
       .dropDuplicates("id_l", "id_r")
       .withColumn("jaccard",
         graft.functions.HashExpressions.sorted_jaccard(col("sh_l"), col("sh_r"), threshold))
