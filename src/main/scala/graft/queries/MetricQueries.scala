@@ -59,14 +59,20 @@ object MetricQueries {
       val bounds = ev.select(
         unix_timestamp(date_trunc("hour", min(col("ts")))).as("lo"),
         unix_timestamp(date_trunc("hour", max(col("ts")))).as("hi"))
-      val grid = ev.select("user_id").distinct()
+      // The zero-filled grid (users × hours) is the OUTPUT — it must never
+      // be a shuffle-join side. Regroup the (already aggregated) buckets
+      // into one bucket→value map per user (bounded by the time range,
+      // ~720 entries/month), then explode the full hour sequence with a
+      // map-side lookup: the only shuffles are the two aggregations over
+      // input-sized data; the grid is born in its final task.
+      buckets.groupBy("user_id")
+        .agg(map_from_entries(collect_list(struct(col("bucket"), col("v")))).as("m"))
         .join(bounds) // single-row broadcast
         .select(col("user_id"),
-          explode(sequence(col("lo"), col("hi"), lit(3600L))).as("tick"))
-        .select(col("user_id"), col("tick").cast("timestamp").as("bucket"))
-      grid.join(buckets, Seq("user_id", "bucket"), "left")
-        .select(col("user_id"), unix_millis(col("bucket")).as("bucket_ms"),
-          coalesce(col("v"), lit(0.0)).as("value"))
+          explode(sequence(col("lo"), col("hi"), lit(3600L))).as("tick"), col("m"))
+        .select(col("user_id"), (col("tick") * 1000L).as("bucket_ms"),
+          coalesce(element_at(col("m"), col("tick").cast("timestamp")), lit(0.0))
+            .as("value"))
         .orderBy("user_id", "bucket_ms")
     }),
 
