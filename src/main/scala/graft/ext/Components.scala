@@ -163,7 +163,14 @@ object Components {
       .select(col("id").as(idCol),
         coalesce(col("component"), col("id")).as("cluster_id"),
         (col("id") === coalesce(col("component"), col("id"))).as("is_keeper"))
-    pairs.unpersist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // self-releasing (Positional's cache-hygiene policy #1): `endpoints`
+    // inside the labels join still reads `pairs`, so materialize the
+    // result BEFORE releasing it — unpersisting first made every
+    // downstream action re-run the whole MinHash pipeline (measured 1.6×
+    // on x25 at sf1). Callers unpersist the returned frame once consumed.
+    out.count()
+    pairs.unpersist(blocking = false)
     out
   }
 }
