@@ -49,7 +49,8 @@ object Autoscaler {
       namespace: String,
       publish: Boolean,
       windowN: Int = 4,
-      clock: () => Long = () => System.currentTimeMillis()) {
+      clock: () => Long = () => System.currentTimeMillis(),
+      idleMarker: Option[graft.sinks.IdleMarkerSink] = None) {
 
     private val ring = mutable.Queue.empty[Seq[(Timestamp, String, Double)]]
 
@@ -66,7 +67,25 @@ object Autoscaler {
       ring.enqueue(nodes.map { case (n, c) => (now, n, c) })
       while (ring.size > windowN) ring.dequeue()
       val window = ring.toSeq.flatten.toDF("ts", "node", "value")
-      val decision = MetricsPipeline.evaluateWindow(window, manager, windowN)
+      // QueryManager gauges drive the idle gate; a BLANK payload (fetcher
+      // can't see query stats) must read as "assume active", never as
+      // idle — idle shrinks the cluster to min
+      val queryStats = {
+        val payloads = fetcher.fetchQueryStats(spark)
+          .select(col("payload")).as[String].collect().filter(_.nonEmpty)
+        if (payloads.isEmpty) (1L, 0L)
+        else {
+          val parsed = JmxJson.parsePayloads(
+            payloads.toSeq.toDF("payload"), "payload",
+            Map("running" -> (("RunningQueries", org.apache.spark.sql.types.LongType)),
+              "queued" -> (("QueuedQueries", org.apache.spark.sql.types.LongType))))
+            .select(col("running"), col("queued")).as[(Long, Long)].head()
+          parsed
+        }
+      }
+      idleMarker.foreach(_.touchIfBusy(queryStats._1 == 0 && queryStats._2 == 0))
+      val decision = MetricsPipeline.evaluateWindow(window, manager, windowN,
+        runningQueries = queryStats._1.toInt, queuedQueries = queryStats._2.toInt)
       if (publish && nodes.nonEmpty) {
         // reference gauge set (metrics/TrinoMetricStore.scala:56-62),
         // node map fanned out as one multi-datum request (K2)
@@ -89,6 +108,7 @@ object Autoscaler {
     var emrEndpoint: Option[String] = None
     var cwEndpoint: Option[String] = None
     var maxTicks: Option[Int] = None
+    var idleMarkerPath: Option[String] = None
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -99,6 +119,7 @@ object Autoscaler {
         case "--emr-endpoint" => emrEndpoint = Some(args(i + 1)); i += 2
         case "--cw-endpoint"  => cwEndpoint = Some(args(i + 1)); i += 2
         case "--ticks"        => maxTicks = Some(args(i + 1).toInt); i += 2
+        case "--idle-marker"  => idleMarkerPath = Some(args(i + 1)); i += 2
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
     }
@@ -132,7 +153,8 @@ object Autoscaler {
     val manager = new ScalingManager(workers, new StepScalingAlgorithm(
       new CpuLoadEvaluator, workers.minCapacity, workers.maxCapacity))
     val loop = new ControlLoop(spark, fetcher, manager, workers, publisher,
-      cfg.cloudWatchNamespace, publish = dryRun || cfg.publishMetrics)
+      cfg.cloudWatchNamespace, publish = dryRun || cfg.publishMetrics,
+      idleMarker = idleMarkerPath.map(new graft.sinks.IdleMarkerSink(_)))
 
     val ticks = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = spark.readStream.format("rate").option("rowsPerSecond", 1).load()

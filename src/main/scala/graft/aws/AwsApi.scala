@@ -107,12 +107,23 @@ final case class AwsSettings(
     secretKey: String = "",
     clock: () => Instant = () => Instant.now())
 
+/** A non-2xx AWS response; terminal (4xx except 429) or retryable. */
+final case class AwsHttpError(code: Int, body: String, service: String)
+  extends java.io.IOException(s"$service POST $code: $body")
+
 /** One signed AWS endpoint: POSTs a payload with SigV4 headers. Shared by
-  * the JSON-1.1 (EMR) and Query (CloudWatch) protocol clients. Any
-  * non-2xx response raises — the control loop's tick guard decides
-  * whether to retry, same as the SDK's RetryPolicy boundary. */
+  * the JSON-1.1 (EMR) and Query (CloudWatch) protocol clients.
+  *
+  * Bounded retry, the SDK's `RetryPolicy.maxErrorRetry` boundary
+  * (reference: cluster/Workers.scala:38-40, utils/CloudWatch.scala:14-16):
+  * throttles (429), server errors (5xx) and connect/timeout failures
+  * retry up to `maxRetries` times with exponential backoff, RE-SIGNING
+  * each attempt (a retried request with a stale x-amz-date is rejected);
+  * other 4xx are terminal — a malformed request never retries. */
 class AwsEndpoint(endpoint: String, service: String, settings: AwsSettings,
-                  timeoutSeconds: Long = 10) {
+                  timeoutSeconds: Long = 10,
+                  maxRetries: Int = 3,
+                  retryBaseDelayMs: Long = 200) {
   private val uri = URI.create(endpoint)
   private val hostHeader = {
     val p = uri.getPort
@@ -121,8 +132,8 @@ class AwsEndpoint(endpoint: String, service: String, settings: AwsSettings,
   private val timeout = java.time.Duration.ofSeconds(timeoutSeconds)
   private lazy val client = HttpClient.newBuilder().connectTimeout(timeout).build()
 
-  def post(contentType: String, extraHeaders: Seq[(String, String)],
-           body: Array[Byte]): String = {
+  private def attemptOnce(contentType: String, extraHeaders: Seq[(String, String)],
+                          body: Array[Byte]): HttpResponse[String] = {
     val amzDate = SigV4.AmzDateFormat.format(settings.clock())
     val signedHeaders = Seq(
       "content-type" -> contentType,
@@ -136,11 +147,30 @@ class AwsEndpoint(endpoint: String, service: String, settings: AwsSettings,
       .header("X-Amz-Date", amzDate)
       .header("Authorization", auth)
     extraHeaders.foreach { case (k, v) => builder.header(k, v) }
-    val resp = client.send(builder.POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+    client.send(builder.POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
       HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() / 100 != 2)
-      throw new java.io.IOException(s"$service POST ${resp.statusCode()}: ${resp.body()}")
-    resp.body()
+  }
+
+  def post(contentType: String, extraHeaders: Seq[(String, String)],
+           body: Array[Byte]): String = {
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt <= maxRetries) {
+      if (attempt > 0) Thread.sleep(retryBaseDelayMs << (attempt - 1))
+      try {
+        val resp = attemptOnce(contentType, extraHeaders, body)
+        val code = resp.statusCode()
+        if (code / 100 == 2) return resp.body()
+        val err = AwsHttpError(code, resp.body(), service)
+        if (code == 429 || code / 100 == 5) lastErr = err
+        else throw err // terminal 4xx: never retried
+      } catch {
+        case e: AwsHttpError => throw e
+        case scala.util.control.NonFatal(e) => lastErr = e // connect/timeout
+      }
+      attempt += 1
+    }
+    throw lastErr
   }
 }
 

@@ -26,6 +26,16 @@ trait MetricsFetcher {
 
   /** Node topology frame: the /v1/node | /v1/autoscale list. */
   def fetchNodeList(spark: SparkSession): DataFrame
+
+  /** Coordinator query-stats payload for the tick (the QueryManager
+    * mbean scrape the reference's idle/activity gates read —
+    * metrics/TrinoJmxRest.scala query-stats fetch): a 1-row (payload)
+    * frame. Default = blank payload; [[graft.Autoscaler]] treats a blank
+    * as "assume active" — a fetcher that cannot see query stats must
+    * never fabricate an idle signal (idle triggers shrink-to-min). */
+  def fetchQueryStats(spark: SparkSession): DataFrame =
+    spark.range(1).select(
+      org.apache.spark.sql.functions.lit("").as("payload"))
 }
 
 object MetricsFetcher {
@@ -73,6 +83,7 @@ class RestFetcher(
 
   private val JmxPath = "v1/jmx/mbean"
   private val OsMBean = "java.lang:type=OperatingSystem"
+  private val QueryMBean = "trino.execution:name=QueryManager"
   private val timeout = java.time.Duration.ofSeconds(timeoutSeconds)
   private val parsedUrl = new java.net.URI(coordinatorUrl)
   private val scheme = Option(parsedUrl.getScheme).getOrElse("http")
@@ -150,6 +161,14 @@ class RestFetcher(
     val body = get(s"$coordinatorUrl/v1/autoscale").getOrElse("[]")
     NodeListSource.parse(Seq(body).toDF("body"))
   }
+
+  /** Coordinator QueryManager mbean (running/queued gauges); blank on
+    * failure → the loop assumes active rather than idle-shrinking. */
+  override def fetchQueryStats(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val body = get(s"$coordinatorUrl/$JmxPath/$QueryMBean").getOrElse("")
+    Seq(body).toDF("payload")
+  }
 }
 
 /** Replay fetcher: serves deterministic in-memory payloads (or a fixture
@@ -184,6 +203,13 @@ class FixtureFetcher(override val name: String, fixtureDir: Option[String])
       NodeInfo("i-3", "http://172.31.1.49:8889/v1/status", "coordinator", "active", "414"),
       NodeInfo("i-4", "http://172.31.1.50:8889/v1/status", "worker", "inactive", "414")
     ).toDF()
+  }
+
+  override def fetchQueryStats(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq("""{"attributes":[{"name":"RunningQueries","value":3},
+           |{"name":"QueuedQueries","value":1}]}""".stripMargin)
+      .toDF("payload")
   }
 }
 

@@ -104,7 +104,9 @@ object MetricsPipeline {
       batch: DataFrame,
       manager: ScalingManager,
       windowN: Int = MetricsDataPointsOneMin,
-      batchId: Long = -1L): Option[Decision] = {
+      batchId: Long = -1L,
+      runningQueries: Int = 1,
+      queuedQueries: Int = 0): Option[Decision] = {
     import graft.analytics.MetricAnalytics
     if (batch.isEmpty) None
     else {
@@ -120,11 +122,11 @@ object MetricsPipeline {
           MetricSummary(isCold = false, avgs, total)
         }
       val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
-      // Activity gauges ride in as metric rows; here every sample tick
-      // counts as activity (idle handling is exercised via eventRates
-      // in the full deployment).
-      val stats = ClusterQueriesMetrics(maxTs, runningQueries = 1,
-        queuedQueries = 0, 0, 0, 0, 0, 0)
+      // Activity gauges default to "assume active" (runningQueries = 1);
+      // [[graft.Autoscaler]] passes real QueryManager gauges so the idle
+      // shrink-to-min path actually fires on a quiet cluster.
+      val stats = ClusterQueriesMetrics(maxTs, runningQueries,
+        queuedQueries, 0, 0, 0, 0, 0)
       manager.evaluate(stats, requiredWorkers = 0, summary).map {
         case ResizeAction(action, capacity) => Decision(batchId, maxTs, action, capacity)
       }

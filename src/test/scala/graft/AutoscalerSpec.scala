@@ -12,7 +12,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * TrinoAutoscaler.scala:14-34 composition with every boundary injected. */
 class AutoscalerSpec extends SparkSpec {
 
-  private class StubFetcher(cpu: () => Double) extends MetricsFetcher {
+  private class StubFetcher(cpu: () => Double,
+                            queries: () => Option[(Long, Long)] = () => None)
+    extends MetricsFetcher {
     override val name = "stub"
     override def fetchPayloads(s: SparkSession): DataFrame = {
       import s.implicits._
@@ -23,6 +25,15 @@ class AutoscalerSpec extends SparkSpec {
     override def fetchNodeList(s: SparkSession): DataFrame = {
       import s.implicits._
       Seq.empty[String].toDF("body")
+    }
+    override def fetchQueryStats(s: SparkSession): DataFrame = {
+      import s.implicits._
+      queries() match {
+        case None => Seq("").toDF("payload")
+        case Some((run, q)) => Seq(
+          s"""{"attributes":[{"name":"RunningQueries","value":$run},
+             |{"name":"QueuedQueries","value":$q}]}""".stripMargin).toDF("payload")
+      }
     }
   }
 
@@ -64,5 +75,37 @@ class AutoscalerSpec extends SparkSpec {
     }
     assert(drain.flatten.exists(_.action == "SHRINK"),
       s"expected a drain SHRINK, got ${drain.flatten}")
+  }
+
+  test("idle gauges shrink to min; blank query stats must NOT read as idle") {
+    var now = 2000000000L
+    var queries: Option[(Long, Long)] = Some((3L, 1L))
+    val workers = new SimulatedWorkers(2, 20, clock = () => now)
+    workers.resize(8); workers.settle()
+    val mgr = new ScalingManager(workers,
+      new StepScalingAlgorithm(new CpuLoadEvaluator, 2, 20), () => now)
+    val marker = java.nio.file.Files.createTempFile("graft-idle", ".marker")
+    java.nio.file.Files.delete(marker)
+    val loop = new Autoscaler.ControlLoop(spark,
+      new StubFetcher(() => 0.6, () => queries), mgr, workers,
+      new BufferingPublisher, "AWS/EMR", publish = false, clock = () => now,
+      idleMarker = Some(new graft.sinks.IdleMarkerSink(marker.toString)))
+
+    // busy cluster: K4 marker is touched, no idle shrink
+    loop.tick(); workers.settle(); now += 15000L
+    assert(java.nio.file.Files.exists(marker), "busy tick must touch the marker")
+    assert(workers.requested === 8)
+
+    // blank stats (fetcher blind): assume ACTIVE - still no idle shrink
+    queries = None
+    loop.tick(); workers.settle(); now += 15000L
+    assert(workers.requested === 8, "blank query stats must not idle-shrink")
+
+    // truly idle: running=queued=0 -> immediate shrink to minCapacity
+    queries = Some((0L, 0L))
+    val d = loop.tick()
+    assert(d.exists(a => a.action == "SHRINK" && a.capacity == 2),
+      s"expected idle shrink to min, got $d")
+    assert(workers.requested === 2)
   }
 }

@@ -263,6 +263,41 @@ class AwsBoundarySpec extends AnyFunSuite {
     }
   }
 
+  // ---- retry policy --------------------------------------------------
+
+  test("retry: 5xx retries with re-sign, terminal 4xx does not") {
+    var calls = 0
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val dates = mutable.Buffer.empty[String]
+    var code = 500
+    server.createContext("/", (ex: HttpExchange) => {
+      calls += 1
+      dates += Option(ex.getRequestHeaders.getFirst("X-Amz-Date")).getOrElse("")
+      val c = if (code == 500 && calls >= 3) 200 else code
+      val b = "{}".getBytes(UTF_8)
+      ex.sendResponseHeaders(c, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    server.start()
+    try {
+      // each attempt re-signs with a fresh clock reading
+      var t = 0L
+      val s = settings.copy(clock = () => { t += 1000; Instant.ofEpochSecond(t) })
+      val ep = new AwsEndpoint(s"http://127.0.0.1:${server.getAddress.getPort}",
+        "elasticmapreduce", s, maxRetries = 3, retryBaseDelayMs = 1)
+      assert(ep.post("application/x-amz-json-1.1", Seq.empty, "{}".getBytes(UTF_8)) === "{}")
+      assert(calls === 3) // 500, 500, 200
+      assert(dates.distinct.size === 3, "every attempt must be re-signed")
+
+      calls = 0; code = 400
+      val e = intercept[AwsHttpError] {
+        ep.post("application/x-amz-json-1.1", Seq.empty, "{}".getBytes(UTF_8))
+      }
+      assert(e.code === 400 && calls === 1, "terminal 4xx must not retry")
+    } finally server.stop(0)
+  }
+
   // ---- CloudWatch ----------------------------------------------------
 
   test("K1/K2: PutMetricData Query protocol; metric map batches into ONE request") {
