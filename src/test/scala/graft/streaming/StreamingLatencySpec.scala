@@ -37,6 +37,15 @@ class StreamingLatencySpec extends SparkSpec {
     // triggerExecution duration, which is what the 15 s production
     // trigger must cover
     val q = writer.trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    // q.recentProgress is a RING of the last ~100 updates, and the 100 ms
+    // trigger records a progress entry for every EMPTY batch too — on a
+    // loaded machine the empty-tick churn evicts early data batches, so
+    // the ring is harvested after every tick and merged by batchId
+    val progress = mutable.Map.empty[Long, Long]
+    def harvest(): Unit = q.recentProgress.foreach { p =>
+      if (p.numInputRows > 0)
+        progress(p.batchId) = p.durationMs.get("triggerExecution").toLong
+    }
     try {
       (1 to 40).foreach { tick =>
         // hot cluster: each micro-batch carries the one-minute ring
@@ -45,12 +54,11 @@ class StreamingLatencySpec extends SparkSpec {
         input.addData((tick * 4 until (tick + 1) * 4).flatMap(t => nodes.map(n =>
           (new Timestamp(1700000000000L + t * 15000L), n, 0.9))))
         q.processAllAvailable()
+        harvest()
         workers.settle()
         now += 15000L
       }
-      val exec = q.recentProgress.toSeq
-        .filter(_.numInputRows > 0)
-        .map(_.durationMs.get("triggerExecution").toLong)
+      val exec = progress.values.toSeq
       assert(exec.size >= 40, s"expected 40 data batches, saw ${exec.size}")
       val maxMs = exec.max
       val medMs = exec.sorted.apply(exec.size / 2)
