@@ -426,6 +426,53 @@ object Dedup {
         (col("n_hits").cast("double") / col("n_grams")).as("containment"))
   }
 
+  /** [[benchGramOverlap]] behind a BLOOM-FILTER prefilter
+    * ([[Sketches.bloomBuild]]): the benchmark gram set folds into a
+    * fixed-size bit array (one row, ~`bits/64` map entries), and every
+    * corpus gram is screened by pure per-row bit arithmetic BEFORE any
+    * join — only Bloom candidates reach the exact verify join that kills
+    * the false positives.
+    *
+    * Why this exists next to the broadcast semi-join: at 100 TB the
+    * broadcast of the raw gram set costs O(|bench grams|) memory per
+    * executor and a hash probe per corpus gram; the Bloom costs a FIXED
+    * 8 KB regardless of benchmark size and drops ~all non-matching grams
+    * in the scan stage, so the verify join's input is a sliver of the
+    * corpus. The output exposes the sketch honestly: `n_bloom_hits` (with
+    * false positives) next to `n_true_hits` (exact) per doc, so the
+    * observed FP mass is auditable — and `n_true_hits`/`containment` are
+    * EXACT, proving the prefilter dropped nothing it shouldn't
+    * (no false negatives by construction).
+    *
+    * @return (idCol, n_grams, n_bloom_hits, n_true_hits, containment)
+    *         for docs with ≥ 1 Bloom candidate gram
+    */
+  def bloomBenchOverlap(
+      corpus: DataFrame,
+      bench: DataFrame,
+      n: Int = 13,
+      bits: Long = 1L << 16,
+      k: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = bench.select(explode(shingleHashes(col(textCol), n)).as("h")).distinct()
+    val bloom = Sketches.bloomBuild(grams, "h", bits, k)
+    val cand = corpus
+      .select(col(idCol), shingleHashes(col(textCol), n).as("sh"))
+      .select(col(idCol), size(col("sh")).cast("long").as("n_grams"),
+        explode(col("sh")).as("h"))
+      .join(broadcast(bloom)) // single-row sketch
+      .filter(Sketches.bloomMightContain(col("bloom"), col("h"), bits, k))
+      .drop("bloom")
+    cand
+      .join(broadcast(grams.withColumn("true_hit", lit(1L))), Seq("h"), "left")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(lit(1)).as("n_bloom_hits"),
+        count(col("true_hit")).as("n_true_hits"))
+      .select(col(idCol), col("n_grams"), col("n_bloom_hits"), col("n_true_hits"),
+        (col("n_true_hits").cast("double") / col("n_grams")).as("containment"))
+  }
+
   // ------------------------------------------------------ n-gram jaccard
 
   /** Direct n-gram Jaccard similarity join via PPJoin-style PREFIX

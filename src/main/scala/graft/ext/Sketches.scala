@@ -51,4 +51,55 @@ object Sketches {
       .select(col("key"), col("exact_n"), col("est"),
         (col("est") - col("exact_n")).as("overcount"))
   }
+
+  // --------------------------------------------------- Bloom membership
+
+  /** Affine position hashes for the Bloom rows — the [[graft.ext.Dedup
+    * .MinHashParams]] constant family at an offset index, so the Bloom
+    * positions are uncorrelated with the minhash permutations while
+    * staying pure integer arithmetic the oracle reproduces verbatim. */
+  def bloomA(j: Int): Long = ((j.toLong + 13) * 2654435761L) % (Mod - 1) + 1
+  def bloomB(j: Int): Long = ((j.toLong + 13) * 40503L) % Mod
+  private val Mod = graft.ext.TextAnalysis.HashMod
+
+  /** Bloom filter over a LONG key column, built declaratively: the k
+    * affine hashes map each key to bit positions, positions fold into
+    * 64-bit words with a `bit_or` aggregate (map-side combinable — the
+    * sketch never sees more than `bits/64` rows per partition), and the
+    * words land in ONE row holding a word→bits map. No driver collect:
+    * the single row broadcasts to the probe side like any 1-row frame.
+    *
+    * Fixed size (`bits/64` map entries ≈ 8 KB at 2^16 bits) regardless of
+    * key cardinality — the membership analog of [[countMin]]: at 100 TB
+    * the build is one map-side pass over the key side, and the probe is
+    * pure per-row bit arithmetic with NO join against the key set. */
+  def bloomBuild(keys: DataFrame, keyCol: String, bits: Long, k: Int): DataFrame = {
+    val posCol = pmod(
+      element_at(typedlit((0 until k).map(bloomA)), (col("j") + 1).cast("int")) * col("key") +
+        element_at(typedlit((0 until k).map(bloomB)), (col("j") + 1).cast("int")),
+      lit(Mod)) % bits
+    keys
+      .select(col(keyCol).cast("long").as("key"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .select((posCol / 64L).cast("long").as("word"),
+        call_function("shiftleft", lit(1L), (posCol % 64L).cast("int")).as("mask"))
+      .groupBy("word").agg(bit_or(col("mask")).as("wbits"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("wbits")))).as("bloom"))
+  }
+
+  /** Membership probe against [[bloomBuild]]'s map column: true iff all k
+    * positions' bits are set. False positives possible (collision mass),
+    * false negatives impossible — the standard Bloom contract, so a probe
+    * is a safe PREFILTER for an exact verify. Codegen'd builtins only
+    * (`forall`/`getbit`), no UDF, no join. */
+  def bloomMightContain(bloom: Column, key: Column, bits: Long, k: Int): Column =
+    forall(sequence(lit(0), lit(k - 1)), j => {
+      val pos = pmod(
+        element_at(typedlit((0 until k).map(bloomA)), (j + 1).cast("int")) * key +
+          element_at(typedlit((0 until k).map(bloomB)), (j + 1).cast("int")),
+        lit(Mod)) % bits
+      call_function("getbit",
+        coalesce(element_at(bloom, (pos / 64L).cast("long")), lit(0L)),
+        (pos % 64L).cast("int")) === 1
+    })
 }

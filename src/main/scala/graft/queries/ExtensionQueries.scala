@@ -38,6 +38,8 @@ object ExtensionQueries {
   private val SourceCapK = 10L  // x39 per-source document cap
   private val CmsDepth = 4      // x41 count-min hash rows
   private val CmsWidth = 256L   // x41 count-min buckets per row
+  private val BloomBits = 1L << 16 // x44 bloom sketch size (1024 words)
+  private val BloomK = 4           // x44 bloom hash rows
 
   /** Whitespace token count — ONE definition shared by the packing
     * queries (x22 assignment, x37 materialization) so their bin math can
@@ -70,12 +72,14 @@ object ExtensionQueries {
        |              i -> ((th[i+1] * $C + th[i+2]) % $Mod * $C + th[i+3]) % $Mod))
        |  END AS shingles FROM toh)""".stripMargin
 
-  /** x42/x43 oracle: benchmark n-gram overlap for arbitrary n — the
-    * general form of [[sqlShingleCte]]'s trigram combine (a list_reduce
-    * fold from 0 equals the engine's running combine for any n, since
-    * 0·C + t₁ = t₁). Benchmark = every 97th doc, as in the engine. */
-  private def sqlBenchOverlap(n: Int, where: String): String =
-    s"""WITH norm AS (SELECT doc_id, $sqlNorm AS t FROM documents),
+  /** Per-doc n-gram shingle sets CTE for arbitrary n — the general form
+    * of [[sqlShingleCte]]'s trigram combine (a list_reduce fold from 0
+    * equals the engine's running combine for any n, since 0·C + t₁ = t₁).
+    * Defines `shn(doc_id, shingles)`, plus `bg` (distinct benchmark grams
+    * — every 97th doc, as in the engine) and `cg` (corpus grams with
+    * per-doc totals). */
+  private def sqlShnCte(n: Int): String =
+    s"""norm AS (SELECT doc_id, $sqlNorm AS t FROM documents),
        |tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
        |toh AS (SELECT doc_id, list_transform(w, s -> ${sqlStringHash("s")}) AS th FROM tok),
        |shn AS (SELECT doc_id,
@@ -87,13 +91,42 @@ object ExtensionQueries {
        |                     (a, b) -> (a * $C + b) % $Mod)))
        |  END AS shingles FROM toh),
        |bg AS (SELECT DISTINCT unnest(shingles) AS h FROM shn WHERE doc_id % 97 = 0),
-       |cg AS (SELECT doc_id, len(shingles) AS n_grams, unnest(shingles) AS h FROM shn),
+       |cg AS (SELECT doc_id, len(shingles) AS n_grams, unnest(shingles) AS h FROM shn)""".stripMargin
+
+  /** x42/x43 oracle: benchmark n-gram overlap for arbitrary n. */
+  private def sqlBenchOverlap(n: Int, where: String): String =
+    s"""WITH ${sqlShnCte(n)},
        |j AS (SELECT cg.doc_id, cg.n_grams, count(*) AS n_hits
        |  FROM cg JOIN bg ON cg.h = bg.h GROUP BY 1, 2)
        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        |  CAST(n_hits AS BIGINT) AS n_hits,
        |  CAST(n_hits AS DOUBLE) / n_grams AS containment
        |FROM j $where ORDER BY doc_id""".stripMargin
+
+  /** x44 oracle: the Bloom sketch replayed exactly — the distinct set of
+    * benchmark bit POSITIONS is the bit array (position equality is the
+    * only collision mechanism), a corpus gram is a Bloom candidate iff
+    * all $BloomK of its positions are present, and the exact join then
+    * separates true hits from Bloom false positives. */
+  private def sqlBloomOverlap(n: Int): String = {
+    val aL = (0 until BloomK).map(graft.ext.Sketches.bloomA).mkString("[", ",", "]")
+    val bL = (0 until BloomK).map(graft.ext.Sketches.bloomB).mkString("[", ",", "]")
+    s"""WITH ${sqlShnCte(n)},
+       |bpos AS (SELECT DISTINCT (($aL[j+1] * h + $bL[j+1]) % $Mod) % $BloomBits AS pos
+       |  FROM bg CROSS JOIN range(0, $BloomK) r(j)),
+       |cp AS (SELECT doc_id, n_grams, h, unnest(list_transform(range(0, $BloomK),
+       |    j -> (($aL[j+1] * h + $bL[j+1]) % $Mod) % $BloomBits)) AS pos FROM cg),
+       |cand AS (SELECT doc_id, n_grams, h FROM cp JOIN bpos USING (pos)
+       |  GROUP BY 1, 2, 3 HAVING count(*) = $BloomK),
+       |j AS (SELECT c.doc_id, c.n_grams, count(*) AS n_bloom_hits,
+       |    count(bg.h) AS n_true_hits
+       |  FROM cand c LEFT JOIN bg ON c.h = bg.h GROUP BY 1, 2)
+       |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       |  CAST(n_bloom_hits AS BIGINT) AS n_bloom_hits,
+       |  CAST(n_true_hits AS BIGINT) AS n_true_hits,
+       |  CAST(n_true_hits AS DOUBLE) / n_grams AS containment
+       |FROM j ORDER BY doc_id""".stripMargin
+  }
 
   private val aList = (0 until P.k).map(P.a).mkString("[", ",", "]")
   private val bList = (0 until P.k).map(P.b).mkString("[", ",", "]")
@@ -642,6 +675,18 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // x42 behind a fixed-size Bloom prefilter: benchmark grams fold into
+    // a 2^16-bit sketch (one broadcast row), every corpus gram is screened
+    // by per-row bit arithmetic BEFORE any join, and the exact verify join
+    // runs only on Bloom candidates. Output exposes the sketch honestly:
+    // n_bloom_hits (may overcount) next to exact n_true_hits.
+    "x44_bloom_decontaminate" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      Dedup.bloomBenchOverlap(all, all.filter(col("doc_id") % 97 === 0),
+          n = 13, bits = BloomBits, k = BloomK)
+        .orderBy("doc_id")
+    }),
+
     // PII redaction (C4-style): emails/IPv4/phone-shaped digit groups →
     // placeholders; output = per-kind counts + redacted-text length/hash
     // (the x32 shape). Narrow codegen'd regex chain, shuffle-free.
@@ -1004,6 +1049,8 @@ object ExtensionQueries {
 
     "x43_containment" -> sqlBenchOverlap(3,
       s"WHERE CAST(n_hits AS DOUBLE) / n_grams >= $ContainmentThreshold"),
+
+    "x44_bloom_decontaminate" -> sqlBloomOverlap(13),
 
     "x18_sample_split" ->
       s"""WITH k AS (SELECT doc_id, lang,

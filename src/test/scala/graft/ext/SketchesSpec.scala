@@ -38,4 +38,38 @@ class SketchesSpec extends SparkSpec {
     val mass = sk.groupBy("j").sum("c").as[(Int, Long)].collect()
     assert(mass.length === 4 && mass.forall(_._2 === 71L))
   }
+
+  // ---- Bloom membership ----
+
+  private val BloomBits = 1L << 16
+  private val BloomK = 4
+
+  test("bloom has NO false negatives and bounded size") {
+    import org.apache.spark.sql.functions._
+    val keys = (1L to 500L).map(_ * 7919L).toDF("h")
+    val bloom = Sketches.bloomBuild(keys, "h", BloomBits, BloomK)
+    // single-row sketch, word map bounded by bits/64
+    val words = bloom.select(map_keys(col("bloom"))).as[Seq[Long]].head()
+    assert(bloom.count() === 1L && words.size <= (BloomBits / 64).toInt)
+    // every inserted key must probe true — the Bloom contract that makes
+    // it a SAFE prefilter for an exact verify
+    val misses = keys.join(broadcast(bloom))
+      .filter(!Sketches.bloomMightContain(col("bloom"), col("h"), BloomBits, BloomK))
+      .count()
+    assert(misses === 0L)
+  }
+
+  test("bloom false-positive rate at 65536 bits / 500 keys is tiny") {
+    import org.apache.spark.sql.functions._
+    val keys = (1L to 500L).map(_ * 7919L).toDF("h")
+    val bloom = Sketches.bloomBuild(keys, "h", BloomBits, BloomK)
+    // 10k keys DISJOINT from the inserted set (different residue stream)
+    val probes = (1L to 10000L).map(_ * 7919L + 3L).toDF("h")
+    val fp = probes.join(broadcast(bloom))
+      .filter(Sketches.bloomMightContain(col("bloom"), col("h"), BloomBits, BloomK))
+      .count()
+    // theoretical fp ≈ (1 - e^(-kn/m))^k ≈ 8e-7 at k=4, n=2000 set bits,
+    // m=65536; 50/10000 leaves three orders of margin over noise
+    assert(fp <= 50L, s"$fp of 10000 disjoint probes hit — fp rate too high")
+  }
 }
