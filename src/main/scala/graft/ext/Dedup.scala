@@ -473,6 +473,72 @@ object Dedup {
         (col("n_true_hits").cast("double") / col("n_grams")).as("containment"))
   }
 
+  // ------------------------------------------------ duplicated passages
+
+  /** Positional n-gram hashes: every window's combine in token-position
+    * order (index i = starting token of gram i), no dedup —
+    * [[shingleHashes]]' span-level sibling. */
+  def positionalShingleHashes(text: Column, n: Int): Column =
+    graft.functions.HashExpressions.shingle_hashes_pos(tokenHashes(text), n, CombineMult)
+
+  /** EXACT duplicated-passage detection (the substring-level dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022 — there via a suffix array; here re-expressed
+    * relationally): find every maximal token span of a doc whose length-n
+    * token windows ALL verbatim-recur in some other document, the spans
+    * a span-cutting dedup pass would remove. Doc-level dedup (x01/x07)
+    * misses these entirely: two long docs sharing one 50-token boilerplate
+    * block are nowhere near Jaccard-duplicates.
+    *
+    * Relational form: positional grams → grams seen in ≥ 2 distinct docs
+    * (`min(doc) ≠ max(doc)` — no distinct-count needed) → matched
+    * positions per doc → maximal spans by interval merge (positions whose
+    * token windows overlap or touch fuse; a gap starts a new span) via one
+    * running-max window.
+    *
+    * Scale shape: the gram-frequency agg partial-aggregates map-side; the
+    * dup-gram join is keyed on the gram hash (AQE splits boilerplate-gram
+    * skew) and its output is bounded by the corpus gram count — each gram
+    * occurrence matches the dup set at most once, so nothing here is
+    * pairwise. The window pass is one shuffle keyed on the doc id.
+    * Within-doc repeats are deliberately excluded (self-repetition is
+    * x28's signal, not cross-doc contamination).
+    *
+    * @return (idCol, span_start, span_end, span_tokens, n_dup_grams) —
+    *         token positions, inclusive
+    */
+  def dupSpans(
+      docs: DataFrame,
+      n: Int = 13,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("th"))
+      .select(col("id"), size(col("th")).cast("long").as("n_tok"),
+        posexplode(graft.functions.HashExpressions.shingle_hashes_pos(
+          col("th"), n, CombineMult)).as(Seq("pos", "h")))
+    val dup = grams.groupBy("h")
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("h")
+    val matched = grams.join(dup, "h").select("id", "n_tok", "pos")
+    val wOrd = Window.partitionBy("id").orderBy("pos")
+    val prevEnd = max(col("pos") + lit(n - 1))
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    matched
+      .withColumn("new_span",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1, 1).otherwise(0))
+      .withColumn("span_id", sum(col("new_span")).over(wOrd))
+      .groupBy(col("id"), col("n_tok"), col("span_id"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        least(max(col("pos")) + lit(n - 1), col("n_tok") - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_dup_grams"))
+  }
+
   // ------------------------------------------------------ n-gram jaccard
 
   /** Direct n-gram Jaccard similarity join via PPJoin-style PREFIX

@@ -41,6 +41,12 @@ object HashExpressions {
   def shingle_hashes(tokenHashes: Column, n: Int, mult: Long): Column =
     toColumn(ShingleHashCombine(toExpression(tokenHashes), n, mult))
 
+  /** POSITIONAL variant: every window's combine in position order, no
+    * dedup — index i IS the token position of the gram, which is what
+    * span-level operators (duplicated-passage detection) consume. */
+  def shingle_hashes_pos(tokenHashes: Column, n: Int, mult: Long): Column =
+    toColumn(ShingleHashCombine(toExpression(tokenHashes), n, mult, distinct = false))
+
   def sorted_jaccard(a: Column, b: Column, threshold: Double): Column =
     toColumn(SortedJaccard(toExpression(a), toExpression(b), threshold))
 
@@ -137,9 +143,12 @@ object TokenRollingHashes {
 
 /** Shingle hashes from token hashes: n-gram combine
   * h = fold((acc·mult + tokHash) mod p) over each window of n consecutive
-  * token hashes, distinct, order-preserving on first occurrence. Fewer
-  * than n tokens → one whole-sequence combine (degenerate shingle). */
-case class ShingleHashCombine(child: Expression, n: Int, mult: Long)
+  * token hashes — distinct and order-preserving on first occurrence by
+  * default, or EVERY window in position order when `distinct = false`
+  * (index i = token position of gram i). Fewer than n tokens → one
+  * whole-sequence combine (degenerate shingle). */
+case class ShingleHashCombine(child: Expression, n: Int, mult: Long,
+    distinct: Boolean = true)
   extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
@@ -150,18 +159,19 @@ case class ShingleHashCombine(child: Expression, n: Int, mult: Long)
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    new GenericArrayData(ShingleHashCombine.combine(input.asInstanceOf[ArrayData], n, mult))
+    new GenericArrayData(
+      ShingleHashCombine.combine(input.asInstanceOf[ArrayData], n, mult, distinct))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.ShingleHashCombine.combine($c, $n, ${mult}L))")
+        s"graft.functions.ShingleHashCombine.combine($c, $n, ${mult}L, $distinct))")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 object ShingleHashCombine {
-  def combine(th: ArrayData, n: Int, mult: Long): Array[Long] = {
+  def combine(th: ArrayData, n: Int, mult: Long, distinct: Boolean = true): Array[Long] = {
     val len = th.numElements()
     val mod = HashExpressions.Mod
     if (len < n) {
@@ -169,7 +179,7 @@ object ShingleHashCombine {
       var j = 0
       while (j < len) { acc = (acc * mult + th.getLong(j)) % mod; j += 1 }
       Array(acc)
-    } else {
+    } else if (distinct) {
       val seen = new java.util.LinkedHashSet[java.lang.Long]()
       var i = 0
       while (i <= len - n) {
@@ -183,6 +193,17 @@ object ShingleHashCombine {
       val it = seen.iterator()
       var k = 0
       while (it.hasNext) { out(k) = it.next(); k += 1 }
+      out
+    } else {
+      val out = new Array[Long](len - n + 1)
+      var i = 0
+      while (i <= len - n) {
+        var acc = th.getLong(i)
+        var j = 1
+        while (j < n) { acc = (acc * mult + th.getLong(i + j)) % mod; j += 1 }
+        out(i) = acc
+        i += 1
+      }
       out
     }
   }

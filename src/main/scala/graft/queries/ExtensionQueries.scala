@@ -40,6 +40,7 @@ object ExtensionQueries {
   private val CmsWidth = 256L   // x41 count-min buckets per row
   private val BloomBits = 1L << 16 // x44 bloom sketch size (1024 words)
   private val BloomK = 4           // x44 bloom hash rows
+  private val DupSpanN = 13        // x45 duplicated-passage window (tokens)
 
   /** Whitespace token count — ONE definition shared by the packing
     * queries (x22 assignment, x37 materialization) so their bin math can
@@ -687,6 +688,14 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // exact duplicated-passage spans (substring-level dedup, Lee et al.
+    // 2022 re-expressed relationally): maximal token spans whose 13-token
+    // windows all recur verbatim in another doc — what a span-cutting
+    // dedup removes. Doc-level near-dup (x07) cannot see these.
+    "x45_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(Tables.documents(s, dir), n = DupSpanN)
+        .orderBy("doc_id", "span_start")),
+
     // PII redaction (C4-style): emails/IPv4/phone-shaped digit groups →
     // placeholders; output = per-kind counts + redacted-text length/hash
     // (the x32 shape). Narrow codegen'd regex chain, shuffle-free.
@@ -1051,6 +1060,41 @@ object ExtensionQueries {
       s"WHERE CAST(n_hits AS DOUBLE) / n_grams >= $ContainmentThreshold"),
 
     "x44_bloom_decontaminate" -> sqlBloomOverlap(13),
+
+    // POSITIONAL grams (no list_distinct — index i is the token position),
+    // cross-doc dup grams by min≠max, interval-merge via running-max
+    // window: the engine's dupSpans replayed window-for-window.
+    "x45_dup_spans" ->
+      s"""WITH norm AS (SELECT doc_id, $sqlNorm AS t FROM documents),
+         |tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+         |toh AS (SELECT doc_id, list_transform(w, s -> ${sqlStringHash("s")}) AS th FROM tok),
+         |gpl AS (SELECT doc_id, len(th) AS n_tok,
+         |    unnest(list_transform(
+         |      range(0, CASE WHEN len(th) < $DupSpanN THEN 1
+         |                    ELSE len(th) - ${DupSpanN - 1} END),
+         |      i -> struct_pack(pos := CAST(i AS BIGINT),
+         |        h := list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |               list_slice(th, i + 1, i + $DupSpanN)),
+         |             (a, b) -> (a * $C + b) % $Mod)))) AS g
+         |  FROM toh),
+         |gp AS (SELECT doc_id, n_tok, g.pos AS pos, g.h AS h FROM gpl),
+         |dup AS (SELECT h FROM gp GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+         |m AS (SELECT doc_id, n_tok, pos FROM gp JOIN dup USING (h)),
+         |pe AS (SELECT *, max(pos + ${DupSpanN - 1}) OVER
+         |    (PARTITION BY doc_id ORDER BY pos
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM m),
+         |isl AS (SELECT doc_id, n_tok, pos,
+         |    CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS new_span
+         |  FROM pe),
+         |isl2 AS (SELECT *, sum(new_span) OVER
+         |    (PARTITION BY doc_id ORDER BY pos) AS span_id FROM isl),
+         |sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |    CAST(least(max(pos) + ${DupSpanN - 1}, min(n_tok) - 1) AS BIGINT) AS span_end,
+         |    CAST(count(*) AS BIGINT) AS n_dup_grams
+         |  FROM isl2 GROUP BY doc_id, span_id)
+         |SELECT doc_id, span_start, span_end,
+         |  span_end - span_start + 1 AS span_tokens, n_dup_grams
+         |FROM sp ORDER BY doc_id, span_start""".stripMargin,
 
     "x18_sample_split" ->
       s"""WITH k AS (SELECT doc_id, lang,

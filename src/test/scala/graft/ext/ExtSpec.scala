@@ -132,6 +132,63 @@ class ExtSpec extends SparkSpec {
     assert(!jac.contains(10L) && jac.contains(12L))
   }
 
+  test("bloomBenchOverlap: exact columns equal benchGramOverlap; bloom >= true") {
+    val benchText = "what is the capital of france the answer is paris of course indeed"
+    val filler = (1 to 120).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (10L, s"$filler $benchText"), (11L, filler), (12L, benchText)
+    ).toDF("doc_id", "text")
+    val bench = Seq((99L, benchText)).toDF("doc_id", "text")
+    val exact = Dedup.benchGramOverlap(corpus, bench, n = 13)
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toMap
+    val bloom = Dedup.bloomBenchOverlap(corpus, bench, n = 13)
+      .select("doc_id", "n_bloom_hits", "n_true_hits")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // no false negatives: every exact hit survives the prefilter, and the
+    // exact columns agree with the un-sketched operator
+    assert(exact.keySet.subsetOf(bloom.keySet))
+    exact.foreach { case (id, hits) => assert(bloom(id)._2 === hits) }
+    // candidates can only exceed true hits (FPs), never undershoot
+    assert(bloom.values.forall { case (cand, truth) => cand >= truth })
+  }
+
+  test("dupSpans finds the shared passage, merges overlap, ignores unique text") {
+    // doc 20 and 21 share one verbatim 20-token block at different offsets;
+    // doc 22 is clean. 20-token block with n=13 → 8 matched gram positions
+    // per doc, all overlapping → ONE maximal span of exactly 20 tokens.
+    val block = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val pre = (1 to 7).map(i => s"pre$i").mkString(" ")
+    val post = (1 to 9).map(i => s"post$i").mkString(" ")
+    val d = Seq(
+      (20L, s"$pre $block $post"),
+      (21L, s"$block $post"),
+      (22L, (1 to 40).map(i => s"uniq$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(d, n = 13)
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // doc 20: block sits at tokens 7..26; doc 21: tokens 0..19 — but the
+    // 13-gram windows starting inside `post` overlap doc 20's post too,
+    // so the shared suffix extends each span by the shared post tokens
+    assert(got.map(_._1).toSeq === Seq(20L, 21L))
+    val s20 = got(0); val s21 = got(1)
+    // span starts exactly where the shared block starts
+    assert(s20._2 === 7L && s21._2 === 0L)
+    // spans cover at least the 20-token block and stay inside the doc
+    assert(s20._4 >= 20L && s21._4 >= 20L)
+    // ONE merged span per doc, not 8 per-gram fragments
+    assert(got.length === 2)
+  }
+
+  test("dupSpans excludes within-doc repetition (cross-doc only)") {
+    val rep = (1 to 15).map(i => s"r$i").mkString(" ")
+    val d = Seq(
+      (30L, s"$rep $rep"),                               // self-repeat only
+      (31L, (1 to 30).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    assert(Dedup.dupSpans(d, n = 13).count() === 0L)
+  }
+
   test("ngram jaccard direct join agrees with minhash on the exact pair") {
     val pairs = Dedup.ngramJaccard(docs, threshold = 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
