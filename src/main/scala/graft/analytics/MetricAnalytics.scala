@@ -274,4 +274,42 @@ object MetricAnalytics {
     val extra = n % k
     (0 until k).map(i => base + (if (i < extra) 1 else 0))
   }
+
+  // ---------------------------------------------------------------------
+  // Robust per-key anomaly detection: median/MAD outliers. A mean/stddev
+  // z-score is itself dragged by the outliers it hunts (one stuck-at-100%
+  // node shifts the mean, masking a second bad node); median and MAD have
+  // a 50% breakdown point, the standard robust-statistics choice for
+  // exactly this "is one node behaving unlike its fleet history" check.
+  // ---------------------------------------------------------------------
+
+  /** Per-key robust outlier summary: median, MAD, and how many samples
+    * sit beyond `k` MADs (with the max deviation for triage). Exact
+    * interpolated percentiles — deterministic, oracle-matchable (the m23
+    * contract) — which buffer each key's values in its reducer: right
+    * for the control-plane cardinality this serves (nodes × bounded
+    * window). For an unbounded-cardinality corpus swap in
+    * `percentile_approx` (the m25 tolerance pattern). Two passes by
+    * construction (MAD needs the median first); the tiny per-key
+    * threshold frames broadcast back, so only the two percentile
+    * aggregations shuffle. MAD = 0 (>50% identical samples) flags any
+    * nonzero deviation — both engines share that exact-zero semantics. */
+  def robustOutliers(
+      metrics: DataFrame,
+      keyCol: String,
+      valCol: String,
+      k: Double = 3.0): DataFrame = {
+    val med = metrics.groupBy(keyCol)
+      .agg(percentile(col(valCol), lit(0.5)).as("med"))
+    val dev = metrics.join(broadcast(med), keyCol)
+      .withColumn("adev", abs(col(valCol) - col("med")))
+    val mad = dev.groupBy(col(keyCol), col("med"))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.drop("med")
+      .join(broadcast(mad), keyCol)
+      .groupBy(col(keyCol), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("adev") > lit(k) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
+        max(col("adev")).as("max_dev"))
+  }
 }

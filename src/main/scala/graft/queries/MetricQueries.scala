@@ -366,6 +366,17 @@ object MetricQueries {
           unix_millis(col("t2")).as("first_click_ms"),
           unix_millis(col("t3")).as("first_purchase_ms"),
           col("stage"))
+        .orderBy("user_id")),
+
+    // robust per-node anomaly detection: median/MAD outlier counts — the
+    // "is one node behaving unlike its own history" check a mean/stddev
+    // z-score fails at (the outlier drags the mean that should expose it;
+    // median/MAD have a 50% breakdown point). Exact percentiles → m23's
+    // cross-engine determinism contract.
+    "m28_anomaly" -> ((s, dir) =>
+      MetricAnalytics.robustOutliers(events(s, dir), "user_id", "value", k = 3.0)
+        .select(col("user_id"), col("med"), col("mad"), col("n"),
+          col("n_outliers"), col("max_dev"))
         .orderBy("user_id")))
 
   val oracleSql: Map[String, String] = Map(
@@ -592,5 +603,23 @@ object MetricQueries {
         |                 WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         |        LEFT JOIN s3 ON s2.user_id = s3.user_id
-        |ORDER BY s1.user_id""".stripMargin)
+        |ORDER BY s1.user_id""".stripMargin,
+
+    "m28_anomaly" ->
+      """WITH med AS (
+        |  SELECT user_id, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY user_id),
+        |d AS (
+        |  SELECT e.user_id, m.med, abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m ON e.user_id = m.user_id),
+        |mad AS (
+        |  SELECT user_id, med, quantile_cont(adev, 0.5) AS mad
+        |  FROM d GROUP BY user_id, med)
+        |SELECT d.user_id, mad.med, mad.mad, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN d.adev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outliers,
+        |       max(d.adev) AS max_dev
+        |FROM d JOIN mad ON d.user_id = mad.user_id
+        |GROUP BY d.user_id, mad.med, mad.mad
+        |ORDER BY d.user_id""".stripMargin)
 }

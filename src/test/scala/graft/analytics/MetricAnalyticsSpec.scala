@@ -131,6 +131,30 @@ class MetricAnalyticsSpec extends SparkSpec {
     assert(byKey(("b", "2024-01-01 01:00:00.0")) === 6.0)
   }
 
+  test("robustOutliers: MAD flags the spike a mean/stddev z-score masks") {
+    // node A: stable 10.0 with TWO spikes — the second spike inflates a
+    // mean/stddev enough to mask the first; median/MAD flags both.
+    // node B: all-identical values → MAD 0, zero outliers.
+    // 10x10.0, 5x9.8, 5x10.2 → med 10.0, MAD 0.2; spikes 100 and 80
+    val vals = Seq.fill(10)(10.0) ++ Seq.fill(5)(9.8) ++ Seq.fill(5)(10.2) ++
+      Seq(100.0, 80.0)
+    val df = (vals.map(("a", _)) ++ Seq.fill(10)(("b", 5.0)))
+      .toDF("node", "value")
+    val got = MetricAnalytics.robustOutliers(df, "node", "value", k = 3.0)
+      .select("node", "med", "mad", "n_outliers")
+      .as[(String, Double, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("a")._2 === 10.0)
+    assert(got("a")._4 === 2L) // both spikes flagged
+    assert(got("b")._3 === 0.0 && got("b")._4 === 0L)
+    // the classical z-score on node a: stddev ~ dragged to ~20, so the
+    // 80.0 spike sits under 3 sigma — exactly the masking MAD avoids
+    val (mean, sd) = {
+      val a = vals; val m = a.sum / a.size
+      (m, math.sqrt(a.map(v => (v - m) * (v - m)).sum / a.size))
+    }
+    assert((80.0 - mean) / sd < 3.0)
+  }
+
   test("distribute matches reference example 5 over 3 = (2,2,1)") {
     // cluster/Workers.scala:225-238
     assert(MetricAnalytics.distribute(5, 3) === Seq(2, 2, 1))
