@@ -299,6 +299,70 @@ object Similarity {
       .distinct()
   }
 
+  // --------------------------------------------------- product quantization
+
+  /** Train PQ codebooks: split the vector into `m` subspaces and run the
+    * [[KMeans]] trainer on each slice independently (Jégou, Douze,
+    * Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
+    * 2011). Compression: dim doubles → m small codes; the codebook
+    * universe is kᵐ distinct reconstructions from only m·k·(dim/m)
+    * stored floats.
+    *
+    * Scale shape inherits [[KMeans.fit]]'s: assignment rides as literal
+    * centroid arrays (map-side), updates are partial aggregations whose
+    * k×subdim sums collect driver-side — a control-plane collect per
+    * subspace per iteration. `vecs` should be persisted by the caller:
+    * every subspace's fit re-reads it (the [[graft.ext.Positional]]
+    * policy: caller-release).
+    *
+    * Determinism contract = [[KMeans]]'s: INTEGER-valued inputs (the
+    * [[quantizeMinMax]] codes) make every centroid and distance exact,
+    * so the DuckDB oracle unrolls the same iterations bit-for-bit. */
+  def pqTrain(
+      vecs: DataFrame,
+      m: Int,
+      k: Int,
+      iters: Int,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "qvec"): Seq[Seq[KMeans.Centroid]] = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subDim = dim / m
+    (0 until m).map { s =>
+      KMeans.fit(
+        vecs.select(col(idCol),
+          slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim).as(vecCol)),
+        k, iters, idCol, vecCol)
+    }
+  }
+
+  /** Encode every vector against trained PQ codebooks: per subspace the
+    * nearest-centroid code (ties → lowest code, the [[KMeans.assign]]
+    * rule), plus the total squared reconstruction error — the quantity
+    * an ADC search would accumulate from lookup tables. ONE map-side
+    * pass: the m·k centroids ride as literals, nothing shuffles.
+    *
+    * @return (idCol, codes array<long> of length m, recon_err)
+    */
+  def pqEncode(
+      vecs: DataFrame,
+      codebooks: Seq[Seq[KMeans.Centroid]],
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "qvec"): DataFrame = {
+    val m = codebooks.size
+    val subDim = dim / m
+    val perSub = codebooks.zipWithIndex.map { case (cb, s) =>
+      val sub = slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim)
+      val d = array(cb.sortBy(_.cluster).map(c =>
+        graft.functions.VectorFunctions.vec_l2sq(sub, lit(c.center))): _*)
+      ((array_position(d, array_min(d)) - 1).cast("long"), array_min(d))
+    }
+    vecs.select(col(idCol),
+      array(perSub.map(_._1): _*).as("codes"),
+      perSub.map(_._2).reduce(_ + _).as("recon_err"))
+  }
+
   /** The buckets [[cosineNearDups]] drops at `maxBucket` — the coverage
     * report for the silent fast-path drop (the embedding analog of
     * [[Dedup.overCapBuckets]]). */

@@ -41,6 +41,8 @@ object ExtensionQueries {
   private val BloomBits = 1L << 16 // x44 bloom sketch size (1024 words)
   private val BloomK = 4           // x44 bloom hash rows
   private val DupSpanN = 13        // x45 duplicated-passage window (tokens)
+  private val PqM = 4              // x46 PQ subspaces (64 dims → 4×16)
+  private val PqK = 8              // x46 PQ codes per subspace
 
   /** Whitespace token count — ONE definition shared by the packing
     * queries (x22 assignment, x37 materialization) so their bin math can
@@ -770,6 +772,24 @@ object ExtensionQueries {
         .orderBy("vec_id")
     }),
 
+    // product quantization (Jégou et al. 2011): per-subspace k-means
+    // codebooks over the x24 quantized grid, then ONE map-side encode
+    // pass — 64 doubles compress to 4 codes + the reconstruction error
+    // an ADC search would accumulate. Training math is integer-exact, so
+    // the oracle unrolls all subspaces' Lloyd iterations bit-for-bit.
+    "x46_pq_encode" -> ((s, dir) => {
+      val qvecs = Similarity.quantizeMinMax(Tables.embeddings(s, dir))
+        .groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("q")))),
+          x => x.getField("q").cast("double")).as("qvec"))
+        // PqM subspace fits + the encode each re-read this (caller-release
+        // persist policy; Verify/Bench clear blocks between queries)
+        .persist()
+      val books = Similarity.pqTrain(qvecs, m = PqM, k = PqK, iters = KmIters, dim = Dim)
+      Similarity.pqEncode(qvecs, books, dim = Dim)
+        .orderBy("vec_id")
+    }),
+
     // corpus pruning end-to-end: near-dup clusters (x20) × quality scores
     // (x03) → per cluster keep the highest-quality doc (ties: lowest id).
     // The full "dedupe a training corpus" decision in one query.
@@ -1442,6 +1462,55 @@ object ExtensionQueries {
          |      FROM qv v, c2 c)
          |    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1)
          |ORDER BY vec_id""".stripMargin
+    },
+
+    "x46_pq_encode" -> {
+      val subDim = Dim / PqM
+      // x34's quantize + Lloyd machinery generalized by a subspace column
+      // s: every CTE carries (s, ...) so ONE iteration block trains all
+      // PqM codebooks at once, exactly as the engine's independent fits
+      def dist(v: String, c: String) =
+        s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+           |      list_transform(range(1, ${subDim + 1}),
+           |        i -> ($v[i] - $c[i]) * ($v[i] - $c[i]))), (a, b) -> a + b)""".stripMargin
+      def iteration(cin: String, a: String, cout: String) =
+        s"""$a AS (SELECT vec_id, s, sv, cluster FROM (
+           |    SELECT v.vec_id, v.s, v.sv, c.cluster, ${dist("v.sv", "c.center")} AS d2
+           |    FROM sub v JOIN $cin c ON v.s = c.s)
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cluster) = 1),
+           |$cout AS (SELECT c.s, c.cluster, COALESCE(u.center, c.center) AS center
+           |  FROM $cin c LEFT JOIN (
+           |    SELECT s, cluster, list(sm / n ORDER BY d) AS center FROM (
+           |      SELECT s, cluster, r.d, SUM(sv[r.d]) AS sm, COUNT(*) AS n
+           |      FROM $a, range(1, ${subDim + 1}) r(d) GROUP BY s, cluster, r.d)
+           |    GROUP BY s, cluster) u ON c.s = u.s AND c.cluster = u.cluster)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, r.d, CAST(embedding[r.d] AS DOUBLE) AS v
+         |  FROM embeddings, range(1, ${Dim + 1}) r(d)),
+         |st AS (SELECT d, min(v) AS mn, max(v) AS mx FROM e GROUP BY d),
+         |q AS (SELECT e.vec_id, e.d,
+         |    CASE WHEN st.mx = st.mn THEN 0
+         |         ELSE CAST(round((e.v - st.mn) * 255.0 / (st.mx - st.mn), 0) AS BIGINT)
+         |    END AS qc
+         |  FROM e JOIN st ON e.d = st.d),
+         |qv AS (SELECT vec_id, list(CAST(qc AS DOUBLE) ORDER BY d) AS qvec
+         |  FROM q GROUP BY vec_id),
+         |sub AS (SELECT vec_id, r.s,
+         |    list_slice(qvec, r.s * $subDim + 1, r.s * $subDim + $subDim) AS sv
+         |  FROM qv, range(0, $PqM) r(s)),
+         |c0 AS (SELECT s,
+         |    CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+         |    sv AS center
+         |  FROM sub QUALIFY row_number() OVER (PARTITION BY s ORDER BY vec_id) <= $PqK),
+         |${iteration("c0", "a1", "c1")},
+         |${iteration("c1", "a2", "c2")},
+         |enc AS (SELECT vec_id, s, cluster, d2 FROM (
+         |    SELECT v.vec_id, v.s, c.cluster, ${dist("v.sv", "c.center")} AS d2
+         |    FROM sub v JOIN c2 c ON v.s = c.s)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cluster) = 1)
+         |SELECT vec_id, list(cluster ORDER BY s) AS codes,
+         |  list_reduce(list_concat([CAST(0 AS DOUBLE)], list(d2 ORDER BY s)),
+         |    (a, b) -> a + b) AS recon_err
+         |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
     },
 
     "x14_media_features" ->

@@ -71,4 +71,49 @@ class KMeansSpec extends SparkSpec {
     assert(cents(1).center.toSeq === Seq(5.0, 5.0))
     assert(cents(1).n === 0L)
   }
+
+  // ---- product quantization ----
+
+  test("pq: k distinct patterns per subspace encode losslessly (recon 0)") {
+    // 8-d vectors, m=2 subspaces of 4; each subspace uses exactly 2
+    // patterns and ids 0/1 cover both → init IS the pattern set, Lloyd
+    // fixes it, every vector reconstructs exactly
+    val pA = Seq(0.0, 0.0, 0.0, 0.0); val pB = Seq(50.0, 50.0, 50.0, 50.0)
+    val df = (0 until 20).map { i =>
+      (i.toLong, (if (i % 2 == 0) pA else pB) ++ (if (i % 2 == 0) pB else pA))
+    }.toDF("vec_id", "qvec")
+    val books = Similarity.pqTrain(df, m = 2, k = 2, iters = 2, dim = 8)
+    assert(books.size === 2 && books.forall(_.size === 2))
+    val enc = Similarity.pqEncode(df, books, dim = 8)
+      .as[(Long, Seq[Long], Double)].collect()
+    assert(enc.forall(_._3 === 0.0))
+    // per-subspace independence: code_0 tracks the first half's pattern,
+    // code_1 the second's — and they differ for the same vector
+    val byId = enc.map(e => e._1 -> e._2).toMap
+    assert(byId(0L)(0) === byId(2L)(0))
+    assert(byId(0L)(0) !== byId(1L)(0)) // different subspace-0 pattern → code
+    assert(byId(0L)(1) !== byId(1L)(1)) // same, independently in subspace 1
+  }
+
+  test("pq: encoding uses the nearest codebook entry per subspace") {
+    val df = blobs().withColumn("qvec", concat(col("qvec"), col("qvec")))
+    val books = Similarity.pqTrain(df, m = 2, k = 3, iters = 2, dim = 8)
+    val enc = Similarity.pqEncode(df, books, dim = 8)
+      .as[(Long, Seq[Long], Double)].collect()
+    val rows = df.as[(Long, Seq[Double])].collect().toMap
+    def l2(a: Seq[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    enc.foreach { case (id, codes, err) =>
+      val v = rows(id)
+      val bruteCodes = Seq(0, 1).map { s =>
+        val sub = v.slice(s * 4, s * 4 + 4)
+        books(s).minBy(c => (l2(sub, c.center), c.cluster)).cluster.toLong
+      }
+      assert(codes === bruteCodes, s"vec $id")
+      val bruteErr = Seq(0, 1).map { s =>
+        l2(v.slice(s * 4, s * 4 + 4), books(s)(codes(s).toInt).center)
+      }.sum
+      assert(math.abs(err - bruteErr) < 1e-9)
+    }
+  }
 }
