@@ -363,6 +363,50 @@ object Similarity {
       perSub.map(_._2).reduce(_ + _).as("recon_err"))
   }
 
+  /** ADC top-k over PQ codes (the search half of [[pqEncode]]): each
+    * query builds its m×k lookup table of subspace distances ONCE (m·k
+    * `vec_l2sq` literals per query row), and every corpus vector is then
+    * scored by m array lookups instead of a dim-length fold — the PQ
+    * speedup: O(m) per candidate vs O(dim), against a corpus that stores
+    * only codes (dim doubles → m bytes-worth), so at 100 TB the scan side
+    * is ~1/16th the bytes and the distance math ~1/16th the flops.
+    * Queries broadcast like [[bruteForceTopK]]'s; nothing else shuffles
+    * until the per-query top-k window. Distances are ASYMMETRIC
+    * (exact query vs quantized neighbor): ranking quality sits between
+    * exact brute force and symmetric code-to-code distance.
+    *
+    * @param codes corpus as (idCol, codes array<long>) from [[pqEncode]]
+    * @return (query_id, rank, neighbor_id, adc) — adc ascending
+    */
+  def pqTopK(
+      codes: DataFrame,
+      queries: DataFrame,
+      codebooks: Seq[Seq[KMeans.Centroid]],
+      k: Int,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "qvec"): DataFrame = {
+    val m = codebooks.size
+    val subDim = dim / m
+    val luts = codebooks.zipWithIndex.map { case (cb, s) =>
+      val sub = slice(col("query_vec").cast("array<double>"), s * subDim + 1, subDim)
+      array(cb.sortBy(_.cluster).map(c =>
+        graft.functions.VectorFunctions.vec_l2sq(sub, lit(c.center))): _*).as(s"lut_$s")
+    }
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+      .select(col("query_id") +: luts: _*)
+    val adc = (0 until m).map(s =>
+      element_at(col(s"lut_$s"), col("codes").getItem(s).cast("int") + 1)).reduce(_ + _)
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
+    codes.select(col(idCol).as("neighbor_id"), col("codes"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc")
+  }
+
   /** The buckets [[cosineNearDups]] drops at `maxBucket` — the coverage
     * report for the silent fast-path drop (the embedding analog of
     * [[Dedup.overCapBuckets]]). */

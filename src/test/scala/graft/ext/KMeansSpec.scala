@@ -95,6 +95,33 @@ class KMeansSpec extends SparkSpec {
     assert(byId(0L)(1) !== byId(1L)(1)) // same, independently in subspace 1
   }
 
+  test("pq: ADC top-k equals exact L2 top-k when codebooks are lossless") {
+    // with recon_err 0 everywhere (k patterns per subspace), the
+    // asymmetric distance IS the exact squared L2 — so pqTopK must
+    // reproduce the brute-force ranking bit-for-bit
+    val pA = Seq(0.0, 0.0, 0.0, 0.0); val pB = Seq(50.0, 50.0, 50.0, 50.0)
+    val pC = Seq(10.0, 10.0, 10.0, 10.0)
+    val df = (0 until 12).map { i =>
+      val first = Seq(pA, pB, pC)(i % 3); val second = Seq(pB, pC, pA)(i % 3)
+      (i.toLong, first ++ second)
+    }.toDF("vec_id", "qvec")
+    val books = Similarity.pqTrain(df, m = 2, k = 3, iters = 2, dim = 8)
+    val codes = Similarity.pqEncode(df, books, dim = 8).select("vec_id", "codes")
+    val got = Similarity.pqTopK(codes, df.filter(col("vec_id") < 2), books, k = 3, dim = 8)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2, r._3)).toSet
+    val rows = df.as[(Long, Seq[Double])].collect().toMap
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val brute = (for {
+      q <- Seq(0L, 1L)
+      ranked = rows.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (l2(rows(q), v), id) }.sorted.take(3)
+      (r, i) <- ranked.zipWithIndex
+    } yield (q, i + 1, r._2)).toSet
+    assert(got === brute)
+  }
+
   test("pq: encoding uses the nearest codebook entry per subspace") {
     val df = blobs().withColumn("qvec", concat(col("qvec"), col("qvec")))
     val books = Similarity.pqTrain(df, m = 2, k = 3, iters = 2, dim = 8)
