@@ -301,23 +301,26 @@ object Similarity {
 
   // --------------------------------------------------- product quantization
 
-  /** Train PQ codebooks: split the vector into `m` subspaces and run the
-    * [[KMeans]] trainer on each slice independently (Jégou, Douze,
-    * Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
-    * 2011). Compression: dim doubles → m small codes; the codebook
-    * universe is kᵐ distinct reconstructions from only m·k·(dim/m)
-    * stored floats.
+  /** Train PQ codebooks: split the vector into `m` subspaces and Lloyd-
+    * iterate each slice's k-means independently (Jégou, Douze, Schmid,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+    * Compression: dim doubles → m small codes; the codebook universe is
+    * kᵐ distinct reconstructions from only m·k·(dim/m) stored floats.
     *
-    * Scale shape inherits [[KMeans.fit]]'s: assignment rides as literal
-    * centroid arrays (map-side), updates are partial aggregations whose
-    * k×subdim sums collect driver-side — a control-plane collect per
-    * subspace per iteration. `vecs` should be persisted by the caller:
-    * every subspace's fit re-reads it (the [[graft.ext.Positional]]
-    * policy: caller-release).
+    * FUSED training: the m subspace problems are independent but share
+    * every scan, so the corpus explodes ONCE to (id, s, subvector) and
+    * each iteration is a single pass — assignment picks its subspace's
+    * centroid literals through a lazily-evaluated CASE chain (only the
+    * matching branch's k distances compute per row), and the update is
+    * one partial aggregation keyed (s, cluster, dim) whose m·k·subdim
+    * sums collect driver-side (the same control-plane collect as
+    * [[KMeans.fit]], m problems batched). m separate fits would scan the
+    * corpus m·(iters+1) times; this scans iters+2 times total.
     *
-    * Determinism contract = [[KMeans]]'s: INTEGER-valued inputs (the
-    * [[quantizeMinMax]] codes) make every centroid and distance exact,
-    * so the DuckDB oracle unrolls the same iterations bit-for-bit. */
+    * Per-subspace arithmetic (init = k smallest ids, sequential distance
+    * fold, tie → lowest cluster, empty cluster carries) is IDENTICAL to
+    * running [[KMeans.fit]] per slice — the x46/x47 oracles hold the
+    * fused trainer to that bit-for-bit. */
   def pqTrain(
       vecs: DataFrame,
       m: Int,
@@ -328,12 +331,52 @@ object Similarity {
       vecCol: String = "qvec"): Seq[Seq[KMeans.Centroid]] = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val subDim = dim / m
-    (0 until m).map { s =>
-      KMeans.fit(
-        vecs.select(col(idCol),
-          slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim).as(vecCol)),
-        k, iters, idCol, vecCol)
+    val sub = vecs.select(col(idCol).as("id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim)): _*))
+          .as(Seq("s", "sv")))
+      .persist()
+    // init: per subspace, the k vectors with the smallest ids (KMeans.fit's
+    // rule) — one job for all m subspaces
+    val w = Window.partitionBy("s").orderBy("id")
+    val init = sub.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("s", "rn", "sv").collect()
+      .map(r => (r.getInt(0), r.getInt(1) - 1, r.getSeq[Double](2).toArray))
+    var books: Seq[Seq[KMeans.Centroid]] = (0 until m).map { s =>
+      val rows = init.filter(_._1 == s).sortBy(_._2)
+      require(rows.length == k, s"need at least $k vectors to init subspace $s")
+      rows.toSeq.map { case (_, c, v) => KMeans.Centroid(c, v, 0L) }
     }
+    for (_ <- 0 until iters) {
+      // CASE chain: branch values evaluate lazily, so each row computes
+      // only its own subspace's k distances
+      val d = (0 until m).foldLeft(Option.empty[Column]) { (acc, s) =>
+        val arr = array(books(s).sortBy(_.cluster).map(c =>
+          graft.functions.VectorFunctions.vec_l2sq(col("sv"), lit(c.center))): _*)
+        Some(acc.fold(when(col("s") === s, arr))(_.when(col("s") === s, arr)))
+      }.get
+      val sums = sub
+        .withColumn("cluster", (array_position(d, array_min(d)) - 1).cast("long"))
+        .select(col("s"), col("cluster"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy("s", "cluster", "dim")
+        .agg(sum(col("x")).as("sum"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1).toInt, r.getInt(2), r.getDouble(3), r.getLong(4)))
+      books = books.zipWithIndex.map { case (cb, s) =>
+        val byCluster = sums.filter(_._1 == s).groupBy(_._2)
+        cb.map { c =>
+          byCluster.get(c.cluster) match {
+            case Some(dims) =>
+              val center = dims.sortBy(_._3).map { case (_, _, _, sm, n) => sm / n }
+              KMeans.Centroid(c.cluster, center, dims.head._5)
+            case None => c // empty cluster: carry unchanged
+          }
+        }
+      }
+    }
+    sub.unpersist()
+    books
   }
 
   /** Encode every vector against trained PQ codebooks: per subspace the
