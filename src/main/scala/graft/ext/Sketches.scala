@@ -90,16 +90,15 @@ object Sketches {
   /** Membership probe against [[bloomBuild]]'s map column: true iff all k
     * positions' bits are set. False positives possible (collision mass),
     * false negatives impossible — the standard Bloom contract, so a probe
-    * is a safe PREFILTER for an exact verify. Codegen'd builtins only
-    * (`forall`/`getbit`), no UDF, no join. */
+    * is a safe PREFILTER for an exact verify. The k probes UNROLL into a
+    * literal-constant AND chain (k is a Scala constant): pure codegen'd
+    * arithmetic per row, no higher-order-function lambda dispatch on the
+    * corpus-gram hot path (PERF.md lesson 1), no UDF, no join. */
   def bloomMightContain(bloom: Column, key: Column, bits: Long, k: Int): Column =
-    forall(sequence(lit(0), lit(k - 1)), j => {
-      val pos = pmod(
-        element_at(typedlit((0 until k).map(bloomA)), (j + 1).cast("int")) * key +
-          element_at(typedlit((0 until k).map(bloomB)), (j + 1).cast("int")),
-        lit(Mod)) % bits
+    (0 until k).map { j =>
+      val pos = pmod(lit(bloomA(j)) * key + lit(bloomB(j)), lit(Mod)) % bits
       call_function("getbit",
         coalesce(element_at(bloom, (pos / 64L).cast("long")), lit(0L)),
         (pos % 64L).cast("int")) === 1
-    })
+    }.reduce(_ && _)
 }
