@@ -518,6 +518,10 @@ object Dedup {
       .select(col("id"), size(col("th")).cast("long").as("n_tok"),
         posexplode(graft.functions.HashExpressions.shingle_hashes_pos(
           col("th"), n, CombineMult)).as(Seq("pos", "h")))
+      // consumed twice (frequency agg + join-back): persist so the
+      // tokenize/gram pass runs once (caller-release contract as
+      // simHashPairs; Verify/Bench clear blocks between queries)
+      .persist()
     val dup = grams.groupBy("h")
       .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
       .filter(col("mn") =!= col("mx"))

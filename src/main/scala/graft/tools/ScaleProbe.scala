@@ -195,6 +195,52 @@ object ScaleProbe {
       println(f"skewasf scale=${f}x events=${100000 * f}%7d rows=$n%8d time=$dt%7.2f s maxTask=${mx}ms medTask=${med}ms ratio=${mx.toDouble / math.max(med, 1)}%5.1f")
     }
 
+    // dup-span slope: positional grams → map-side-combinable frequency
+    // agg → bounded join-back → one per-doc window pass. Join output is
+    // bounded by the corpus gram count (nothing pairwise), so wall time
+    // must track f. Replicas salt tokens so cross-replica grams never
+    // match and true spans grow linearly; 30% of docs share ONE
+    // boilerplate text WITHIN each replica so the hottest gram's groupBy
+    // and join stay bounded under real skew (max/med task recorded).
+    if (on("dupspans")) for (f <- Seq(1, 5, 10, 20)) {
+      val boiler = "the quick brown fox jumps over the lazy dog and then " +
+        "does it again and again exactly the same every single time for sure"
+      val grown = (0 until f).map { r =>
+        val base = when(col("doc_id") % 10 < 3, lit(boiler)).otherwise(col("text"))
+        docs.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+          (if (r == 0) base
+           else concat_ws(" ", transform(split(base, " "),
+             t => concat(t, lit(s"x$r"))))).as("text"))
+      }.reduce(_ unionByName _)
+      val stats = new TaskStats(spark)
+      val t0 = System.nanoTime()
+      val n = Dedup.dupSpans(grown, n = 13).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val (mx, med) = stats.maxAndMedianMs()
+      stats.detach()
+      spark.catalog.clearCache() // release the per-call grams persist
+      println(f"dupspan scale=${f}x docs=${5000 * f}%7d spans=$n%8d time=$dt%7.2f s maxTask=${mx}ms medTask=${med}ms ratio=${mx.toDouble / math.max(med, 1)}%5.1f")
+    }
+
+    // bloom-prefilter slope: the sketch is a FIXED 8 KB however large the
+    // corpus grows, the probe is constant arithmetic per gram, and salted
+    // replicas never hit the benchmark — so flagged docs stay ~constant
+    // while the corpus scales, the shape that makes the prefilter pay at
+    // 100 TB (output-bound verify join, input-bound scan).
+    if (on("bloom")) for (f <- Seq(1, 5, 10, 20)) {
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val grown = (0 until f).map { r =>
+        docs.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+          (if (r == 0) col("text")
+           else concat_ws(" ", transform(split(col("text"), " "),
+             t => concat(t, lit(s"x$r"))))).as("text"))
+      }.reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val n = Dedup.bloomBenchOverlap(grown, bench, n = 13).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"bloom   scale=${f}x docs=${5000 * f}%7d flagged=$n%6d time=$dt%7.2f s")
+    }
+
     // fuzzy-vocab slope: deletion-neighborhood candidates are linear in
     // vocabulary size × token length; replicas salt tokens with a suffix
     // so the vocab actually grows with f.
