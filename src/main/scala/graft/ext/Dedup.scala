@@ -543,6 +543,51 @@ object Dedup {
         col("n_dup_grams"))
   }
 
+  /** APPLY [[dupSpans]]: cut every duplicated span's tokens out of the
+    * (normalized) text and reassemble — the span-cutting dedup transform
+    * itself, completing the find→cut pipeline of Lee et al. 2022. Every
+    * doc comes back (spanless docs pass through whole; fully-covered docs
+    * come back empty), with before/after token accounting and the rolling
+    * hash of the cleaned text for cheap equality audits.
+    *
+    * Scale shape: tokens explode once (positions align with [[dupSpans]]'
+    * by construction — same normalize/split); the span table is
+    * output-bound (≪ corpus) and the cut is a LEFT ANTI join keyed on the
+    * doc id with a range residual — each token row tests only its own
+    * doc's spans. Reassembly is one per-doc aggregation; the sort inside
+    * is row-local (collect_list + array_sort), not a shuffle sort.
+    *
+    * @return (idCol, n_tokens, kept_tokens, cut_tokens, clean_hash)
+    */
+  def cutSpans(
+      docs: DataFrame,
+      n: Int = 13,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spans = dupSpans(docs, n, idCol, textCol)
+      .select(col(idCol).as("sid"), col("span_start"), col("span_end"))
+    val base = docs.select(col(idCol).as("id"),
+      tokens(col(textCol)).as("tk"))
+    val t = base.select(col("id"), size(col("tk")).cast("long").as("n_tokens"),
+      posexplode(col("tk")).as(Seq("pos", "tok")))
+    val kept = t.join(spans,
+        col("id") === col("sid") &&
+          col("pos") >= col("span_start") && col("pos") <= col("span_end"),
+        "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("clean_text"))
+    base.select(col("id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("cut_tokens"),
+        graft.functions.HashExpressions.rolling_hash(
+          coalesce(col("clean_text"), lit(""))).as("clean_hash"))
+  }
+
   // ------------------------------------------------------ n-gram jaccard
 
   /** Direct n-gram Jaccard similarity join via PPJoin-style PREFIX

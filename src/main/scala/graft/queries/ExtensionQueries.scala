@@ -96,6 +96,39 @@ object ExtensionQueries {
        |bg AS (SELECT DISTINCT unnest(shingles) AS h FROM shn WHERE doc_id % 97 = 0),
        |cg AS (SELECT doc_id, len(shingles) AS n_grams, unnest(shingles) AS h FROM shn)""".stripMargin
 
+  /** x45/x48 shared CTE chain: positional $DupSpanN-grams (struct-unnest
+    * keeps index = token position), cross-doc duplicate grams via
+    * min≠max, running-max interval merge → `sp(doc_id, span_start,
+    * span_end, n_dup_grams)`. Also leaves `tok(doc_id, w)` in scope. */
+  private lazy val sqlDupSpanCte: String =
+    s"""norm AS (SELECT doc_id, $sqlNorm AS t FROM documents),
+       |tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+       |toh AS (SELECT doc_id, list_transform(w, s -> ${sqlStringHash("s")}) AS th FROM tok),
+       |gpl AS (SELECT doc_id, len(th) AS n_tok,
+       |    unnest(list_transform(
+       |      range(0, CASE WHEN len(th) < $DupSpanN THEN 1
+       |                    ELSE len(th) - ${DupSpanN - 1} END),
+       |      i -> struct_pack(pos := CAST(i AS BIGINT),
+       |        h := list_reduce(list_concat([CAST(0 AS BIGINT)],
+       |               list_slice(th, i + 1, i + $DupSpanN)),
+       |             (a, b) -> (a * $C + b) % $Mod)))) AS g
+       |  FROM toh),
+       |gp AS (SELECT doc_id, n_tok, g.pos AS pos, g.h AS h FROM gpl),
+       |dup AS (SELECT h FROM gp GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+       |m AS (SELECT doc_id, n_tok, pos FROM gp JOIN dup USING (h)),
+       |pe AS (SELECT *, max(pos + ${DupSpanN - 1}) OVER
+       |    (PARTITION BY doc_id ORDER BY pos
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM m),
+       |isl AS (SELECT doc_id, n_tok, pos,
+       |    CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS new_span
+       |  FROM pe),
+       |isl2 AS (SELECT *, sum(new_span) OVER
+       |    (PARTITION BY doc_id ORDER BY pos) AS span_id FROM isl),
+       |sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |    CAST(least(max(pos) + ${DupSpanN - 1}, min(n_tok) - 1) AS BIGINT) AS span_end,
+       |    CAST(count(*) AS BIGINT) AS n_dup_grams
+       |  FROM isl2 GROUP BY doc_id, span_id)""".stripMargin
+
   /** x42/x43 oracle: benchmark n-gram overlap for arbitrary n. */
   private def sqlBenchOverlap(n: Int, where: String): String =
     s"""WITH ${sqlShnCte(n)},
@@ -698,6 +731,13 @@ object ExtensionQueries {
       Dedup.dupSpans(Tables.documents(s, dir), n = DupSpanN)
         .orderBy("doc_id", "span_start")),
 
+    // the cut itself: x45's spans removed from the normalized token
+    // stream, text reassembled, before/after accounting + clean-text
+    // rolling hash. Spanless docs pass through whole.
+    "x48_cut_spans" -> ((s, dir) =>
+      Dedup.cutSpans(Tables.documents(s, dir), n = DupSpanN)
+        .orderBy("doc_id")),
+
     // PII redaction (C4-style): emails/IPv4/phone-shaped digit groups →
     // placeholders; output = per-kind counts + redacted-text length/hash
     // (the x32 shape). Narrow codegen'd regex chain, shuffle-free.
@@ -1103,36 +1143,35 @@ object ExtensionQueries {
     // cross-doc dup grams by min≠max, interval-merge via running-max
     // window: the engine's dupSpans replayed window-for-window.
     "x45_dup_spans" ->
-      s"""WITH norm AS (SELECT doc_id, $sqlNorm AS t FROM documents),
-         |tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
-         |toh AS (SELECT doc_id, list_transform(w, s -> ${sqlStringHash("s")}) AS th FROM tok),
-         |gpl AS (SELECT doc_id, len(th) AS n_tok,
-         |    unnest(list_transform(
-         |      range(0, CASE WHEN len(th) < $DupSpanN THEN 1
-         |                    ELSE len(th) - ${DupSpanN - 1} END),
-         |      i -> struct_pack(pos := CAST(i AS BIGINT),
-         |        h := list_reduce(list_concat([CAST(0 AS BIGINT)],
-         |               list_slice(th, i + 1, i + $DupSpanN)),
-         |             (a, b) -> (a * $C + b) % $Mod)))) AS g
-         |  FROM toh),
-         |gp AS (SELECT doc_id, n_tok, g.pos AS pos, g.h AS h FROM gpl),
-         |dup AS (SELECT h FROM gp GROUP BY h HAVING min(doc_id) <> max(doc_id)),
-         |m AS (SELECT doc_id, n_tok, pos FROM gp JOIN dup USING (h)),
-         |pe AS (SELECT *, max(pos + ${DupSpanN - 1}) OVER
-         |    (PARTITION BY doc_id ORDER BY pos
-         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM m),
-         |isl AS (SELECT doc_id, n_tok, pos,
-         |    CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS new_span
-         |  FROM pe),
-         |isl2 AS (SELECT *, sum(new_span) OVER
-         |    (PARTITION BY doc_id ORDER BY pos) AS span_id FROM isl),
-         |sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-         |    CAST(least(max(pos) + ${DupSpanN - 1}, min(n_tok) - 1) AS BIGINT) AS span_end,
-         |    CAST(count(*) AS BIGINT) AS n_dup_grams
-         |  FROM isl2 GROUP BY doc_id, span_id)
+      s"""WITH $sqlDupSpanCte
          |SELECT doc_id, span_start, span_end,
          |  span_end - span_start + 1 AS span_tokens, n_dup_grams
          |FROM sp ORDER BY doc_id, span_start""".stripMargin,
+
+    // x48: tokens with positions, NOT EXISTS against the span ranges,
+    // reassemble with string_agg ORDER BY pos, rolling-hash the result —
+    // the engine's cutSpans anti-join replayed.
+    "x48_cut_spans" ->
+      s"""WITH $sqlDupSpanCte,
+         |tp AS (SELECT doc_id,
+         |    unnest(list_transform(range(0, len(w)),
+         |      i -> struct_pack(pos := CAST(i AS BIGINT), tok := w[i+1]))) AS g
+         |  FROM tok),
+         |tpos AS (SELECT doc_id, g.pos AS pos, g.tok AS tok FROM tp),
+         |keep AS (SELECT doc_id, pos, tok FROM tpos t
+         |  WHERE NOT EXISTS (SELECT 1 FROM sp
+         |    WHERE sp.doc_id = t.doc_id
+         |      AND t.pos BETWEEN sp.span_start AND sp.span_end)),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+         |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |  FROM keep GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tokens,
+         |  COALESCE(a.kept_tokens, 0) AS kept_tokens,
+         |  b.n_tokens - COALESCE(a.kept_tokens, 0) AS cut_tokens,
+         |  ${sqlStringHash("COALESCE(a.clean_text, '')")} AS clean_hash
+         |FROM (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM tok) b
+         |LEFT JOIN agg a ON b.doc_id = a.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
 
     "x18_sample_split" ->
       s"""WITH k AS (SELECT doc_id, lang,

@@ -180,6 +180,30 @@ class ExtSpec extends SparkSpec {
     assert(got.length === 2)
   }
 
+  test("cutSpans removes exactly the duplicated spans; clean docs intact") {
+    val block = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val pre = (1 to 7).map(i => s"pre$i").mkString(" ")
+    val post = (1 to 9).map(i => s"post$i").mkString(" ")
+    val d = Seq(
+      (20L, s"$pre $block $post"),   // spans: tokens 7..35 (block+post shared)
+      (21L, s"$block $post"),        // spans: tokens 0..28 → fully covered
+      (22L, (1 to 40).map(i => s"uniq$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.cutSpans(d, n = 13)
+      .select("doc_id", "n_tokens", "kept_tokens", "cut_tokens")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(20L) === ((20L, 36L, 7L, 29L)))  // only `pre` survives
+    assert(got(21L) === ((21L, 29L, 0L, 29L)))  // fully cut
+    assert(got(22L) === ((22L, 40L, 40L, 0L)))  // untouched
+    // the cleaned text of doc 20 is exactly the pre tokens
+    val hash20 = Dedup.cutSpans(d, n = 13).filter(col("doc_id") === 20L)
+      .select("clean_hash").as[Long].head()
+    val expected = Seq((0L, pre)).toDF("doc_id", "text")
+      .select(graft.functions.HashExpressions.rolling_hash(col("text")))
+      .as[Long].head()
+    assert(hash20 === expected)
+  }
+
   test("dupSpans excludes within-doc repetition (cross-doc only)") {
     val rep = (1 to 15).map(i => s"r$i").mkString(" ")
     val d = Seq(
