@@ -214,4 +214,52 @@ class PlanAuditSpec extends SparkSpec {
     // min/max/count stats still fold map-side first
     assert(p.contains("Expand"), s"expected the multi-distinct expand plan:\n$p")
   }
+
+  test("x44: bloom screen is a filter on the corpus side, joins broadcast-only") {
+    val p = planOf("x44_bloom_decontaminate")
+    // the 1-row sketch and the gram set ride as broadcasts; the corpus
+    // gram stream must never shuffle into a sort-merge join
+    assert(!p.contains("SortMergeJoin"), s"corpus grams must not sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct"), s"only the 1-row BNLJ is allowed:\n$p")
+    // the unrolled probe is plain arithmetic: getbit over the map lookup
+    assert(p.contains("getbit"), s"expected the unrolled bit probe:\n$p")
+    assert(!p.toLowerCase.contains("arrayforall"),
+      s"the probe must not go through an interpreted forall lambda:\n$p")
+  }
+
+  test("x45: dup-gram agg is partial; exactly one window pass keyed on the doc") {
+    val p = planOf("x45_dup_spans")
+    assert(p.contains("partial_min") || p.contains("partial_max"),
+      s"gram frequency agg must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"span detection must never go pairwise:\n$p")
+    // both window functions (running max + island sum) share ONE sort/
+    // partitioning — two WindowExec nodes but no second exchange between
+    val lines = p.linesIterator.toSeq
+    val exchanges = lines.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 4, s"unexpected extra shuffles ($exchanges):\n$p")
+  }
+
+  test("x46: PQ encode adds ONLY a projection — no join, no window, no shuffle") {
+    import org.apache.spark.sql.functions._
+    // a Range-backed input isolates the encode stage (and cannot be
+    // constant-folded away): anything beyond Range + Project in the
+    // plan was added by pqEncode
+    val vecs = spark.range(16).select(col("id").as("vec_id"),
+      array(Seq.fill(8)((col("id") % 4).cast("double") * 10.0): _*).as("qvec"))
+    val books = graft.ext.Similarity.pqTrain(vecs, m = 2, k = 4, iters = 1, dim = 8)
+    val p = graft.ext.Similarity.pqEncode(vecs, books, dim = 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"encode must not join:\n$p")
+    assert(!p.contains("WindowExec"), s"encode must not window:\n$p")
+    assert(!p.contains("Exchange"), s"encode must not shuffle:\n$p")
+    assert(p.contains("vec_l2sq"), s"distances must be the native expression:\n$p")
+  }
+
+  test("x47: ADC scores against a broadcast query side; top-k limited before shuffle") {
+    val p = planOf("x47_pq_topk")
+    assert(!p.contains("SortMergeJoin"),
+      s"the code-scan side must never sort-merge:\n$p")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"expected partial window-group-limit before the exchange:\n$p")
+  }
 }
