@@ -283,6 +283,44 @@ object MetricAnalytics {
   // exactly this "is one node behaving unlike its fleet history" check.
   // ---------------------------------------------------------------------
 
+  /** Per-key exponentially-weighted moving average over the trailing
+    * `lastN` samples: y₀ = x₀, yᵢ = α·xᵢ + (1−α)·yᵢ₋₁ — the true decayed
+    * gauge (recent samples dominate, old spikes fade geometrically),
+    * where the tail-window mean (A2) weighs all samples equally.
+    *
+    * The recurrence is inherently sequential, which no window frame
+    * expresses — so each key's trailing samples fold ROW-LOCALLY: one
+    * aggregation collects the (bounded, lastN-capped) sample list and a
+    * single `aggregate` fold runs the recurrence in timestamp order.
+    * The fold order is total (ts, then the unique event id), so with
+    * α = 0.5 — every weight an exact binary fraction — the result is
+    * deterministic and engine-reproducible (the oracle runs the same
+    * fold via list_reduce). The per-key state is the metric ring buffer
+    * (A3): tiny by construction, never a shuffle concern. */
+  def ewmaGauge(
+      metrics: DataFrame,
+      keyCol: String,
+      valCol: String,
+      tsCol: String,
+      ordCol: String,
+      lastN: Int = 20,
+      alpha: Double = 0.5): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).desc, col(ordCol).desc)
+    metrics
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= lastN)
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col(tsCol), col(ordCol), col(valCol)))),
+            x => x.getField(valCol)),
+          lit(Double.NaN),
+          (acc, x) => when(isnan(acc), x)
+            .otherwise(lit(alpha) * x + lit(1 - alpha) * acc)).as("ewma"))
+  }
+
   /** Per-key robust outlier summary: median, MAD, and how many samples
     * sit beyond `k` MADs (with the max deviation for triage). Exact
     * interpolated percentiles — deterministic, oracle-matchable (the m23

@@ -377,6 +377,14 @@ object MetricQueries {
       MetricAnalytics.robustOutliers(events(s, dir), "user_id", "value", k = 3.0)
         .select(col("user_id"), col("med"), col("mad"), col("n"),
           col("n_outliers"), col("max_dev"))
+        .orderBy("user_id")),
+
+    // true exponentially-decayed gauge (the reference's decayed-counter
+    // semantics, SURVEY §2.6): y = αx + (1−α)y over the trailing ring
+    // window, α = 0.5 so every weight is an exact binary fraction and the
+    // row-local fold replays identically in the oracle's list_reduce.
+    "m29_ewma" -> ((s, dir) =>
+      MetricAnalytics.ewmaGauge(events(s, dir), "user_id", "value", "ts", "event_id")
         .orderBy("user_id")))
 
   val oracleSql: Map[String, String] = Map(
@@ -621,5 +629,17 @@ object MetricQueries {
         |       max(d.adev) AS max_dev
         |FROM d JOIN mad ON d.user_id = mad.user_id
         |GROUP BY d.user_id, mad.med, mad.mad
-        |ORDER BY d.user_id""".stripMargin)
+        |ORDER BY d.user_id""".stripMargin,
+
+    "m29_ewma" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |       list_reduce(list(value ORDER BY ts, event_id),
+        |                   (a, b) -> 0.5 * b + 0.5 * a) AS ewma
+        |FROM r WHERE rn <= 20
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

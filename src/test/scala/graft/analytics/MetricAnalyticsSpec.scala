@@ -131,6 +131,22 @@ class MetricAnalyticsSpec extends SparkSpec {
     assert(byKey(("b", "2024-01-01 01:00:00.0")) === 6.0)
   }
 
+  test("ewmaGauge: recurrence in time order, ring truncation, exact halves") {
+    // values 4, 2, 8 in time order: y = 4 → 0.5·2+0.5·4 = 3 → 0.5·8+0.5·3 = 5.5
+    val df = Seq(
+      (new Timestamp(1000L), 1L, "a", 4.0),
+      (new Timestamp(2000L), 2L, "a", 2.0),
+      (new Timestamp(3000L), 3L, "a", 8.0)
+    ).toDF("ts", "event_id", "node", "value")
+    val full = MetricAnalytics.ewmaGauge(df, "node", "value", "ts", "event_id")
+      .as[(String, Long, Double)].head()
+    assert(full === (("a", 3L, 5.5)))
+    // lastN = 2 keeps only the newest two samples: y = 2 → 0.5·8+0.5·2 = 5
+    val trunc = MetricAnalytics.ewmaGauge(df, "node", "value", "ts", "event_id", lastN = 2)
+      .as[(String, Long, Double)].head()
+    assert(trunc === (("a", 2L, 5.0)))
+  }
+
   test("robustOutliers: MAD flags the spike a mean/stddev z-score masks") {
     // node A: stable 10.0 with TWO spikes — the second spike inflates a
     // mean/stddev enough to mask the first; median/MAD flags both.
