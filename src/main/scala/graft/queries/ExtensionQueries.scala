@@ -191,6 +191,24 @@ object ExtensionQueries {
     * their cluster math can never desync): shingles → capped banded
     * candidates → verified pairs → symmetric edges → recursive min-label
     * walk. Labels come from `SELECT id, min(label) FROM walk GROUP BY id`. */
+  /** x12/x49 shared CTE chain: capped LSH buckets → Hamming-1 probes →
+    * verified cosine pairs `p(id_a, id_b, cosine)` (threshold applied by
+    * the consumer). */
+  private lazy val sqlCosinePairCtes =
+    s"""b AS (SELECT vec_id, embedding,
+       |    CAST(${sqlBucket("embedding", CosinePlanes)} AS BIGINT) AS bucket FROM embeddings),
+       |c AS (SELECT * FROM b
+       |  QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= $CosineMaxBucket),
+       |pr AS (SELECT vec_id, embedding,
+       |    unnest([bucket] || list_transform(range(0, $CosinePlanes),
+       |      j -> xor(bucket, CAST(1 AS BIGINT) << j))) AS bucket
+       |  FROM c),
+       |p AS (SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+       |    ${sqlDot("l.embedding", "r.embedding")} /
+       |    (sqrt(${sqlDot("l.embedding", "l.embedding")}) *
+       |     sqrt(${sqlDot("r.embedding", "r.embedding")})) AS cosine
+       |  FROM pr l JOIN c r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)""".stripMargin
+
   private lazy val sqlClusterCtes =
     s"""$sqlShingleCte,
        |$sqlBandedCte,
@@ -423,6 +441,22 @@ object ExtensionQueries {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), round(col("cosine"), 6).as("cosine_r"), col("list"))
         .orderBy("query_id", "rank")
+    }),
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023's shape): x12's
+    // embedding near-dup pairs → connected components → keep the lowest
+    // vec_id per cluster. The embedding analog of x20's text clusters —
+    // catches paraphrases that share no shingles.
+    "x49_semantic_clusters" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Similarity.cosineNearDups(emb, threshold = CosineThreshold,
+        planes = CosinePlanes, maxBucket = CosineMaxBucket)
+      Components.connectedComponents(
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+          emb.select(col("vec_id").as("id")))
+        .select(col("id").as("vec_id"), col("component").cast("long").as("cluster_id"),
+          (col("id") === col("component")).as("is_keeper"))
+        .orderBy("vec_id")
     }),
 
     // multimodal metadata + payload accounting (decode-independent)
@@ -1017,21 +1051,25 @@ object ExtensionQueries {
          |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "x12_cosine_neardups" ->
-      s"""WITH b AS (SELECT vec_id, embedding,
-         |    CAST(${sqlBucket("embedding", CosinePlanes)} AS BIGINT) AS bucket FROM embeddings),
-         |c AS (SELECT * FROM b
-         |  QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= $CosineMaxBucket),
-         |pr AS (SELECT vec_id, embedding,
-         |    unnest([bucket] || list_transform(range(0, $CosinePlanes),
-         |      j -> xor(bucket, CAST(1 AS BIGINT) << j))) AS bucket
-         |  FROM c),
-         |p AS (SELECT l.vec_id AS id_a, r.vec_id AS id_b,
-         |    ${sqlDot("l.embedding", "r.embedding")} /
-         |    (sqrt(${sqlDot("l.embedding", "l.embedding")}) *
-         |     sqrt(${sqlDot("r.embedding", "r.embedding")})) AS cosine
-         |  FROM pr l JOIN c r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+      s"""WITH $sqlCosinePairCtes
          |SELECT DISTINCT id_a, id_b, round(cosine, 6) AS cosine_r FROM p
          |WHERE cosine >= $CosineThreshold ORDER BY id_a, id_b""".stripMargin,
+
+    // x49: x12's verified pair set → symmetric edges → recursive
+    // min-label walk (the x20 cluster machinery on the embedding graph)
+    "x49_semantic_clusters" ->
+      s"""WITH RECURSIVE $sqlCosinePairCtes,
+         |cpairs AS (SELECT DISTINCT id_a, id_b FROM p
+         |  WHERE cosine >= $CosineThreshold),
+         |cedges AS (SELECT id_a AS src, id_b AS dst FROM cpairs
+         |  UNION SELECT id_b, id_a FROM cpairs),
+         |cwalk(id, label) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.dst, w.label FROM cwalk w JOIN cedges e ON e.src = w.id)
+         |SELECT id AS vec_id, CAST(min(label) AS BIGINT) AS cluster_id,
+         |       id = min(label) AS is_keeper
+         |FROM cwalk GROUP BY id ORDER BY vec_id""".stripMargin,
 
     "x15_ivf_assign" ->
       s"""WITH s AS (SELECT vec_id, $sqlIvfScores AS scores FROM embeddings)
