@@ -142,6 +142,39 @@ object TextAnalysis {
     * oracle's CASE chain); zero hits → "und" (undetermined). */
   def langId(text: Column): Column = langIdFromScores(langScores(text))
 
+  /** Bigram-fluency scoring: the fraction of a doc's token bigrams
+    * (POSITIONAL — every occurrence counts, unlike the distinct-shingle
+    * dedup path) that rank in the corpus's top-`k` bigrams by occurrence
+    * count. A zero-model fluency proxy: word salad and boilerplate-free
+    * garbage score near 0, idiomatic prose near its corpus's base rate —
+    * the bigram analog of the OOV rate (x31), used the same way as a
+    * cheap pre-LM quality filter.
+    *
+    * Scale shape: the bigram count is one map-side-combinable agg over
+    * corpus grams; top-k is a TakeOrdered over the (distinct-bigram-
+    * bounded) count table with a total order (count desc, hash asc — the
+    * tie rule the oracle shares); the scoring join broadcasts the k-row
+    * set; per-doc aggregation partial-aggregates. Everything linear.
+    *
+    * @return (idCol, n_bigrams, n_fluent, fluency)
+    */
+  def bigramFluency(
+      docs: DataFrame,
+      k: Int = 1000,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(Dedup.positionalShingleHashes(col(textCol), 2)).as("h"))
+    val top = grams.groupBy("h").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("h")).limit(k)
+      .select(col("h"), lit(1L).as("fluent"))
+    grams.join(broadcast(top), Seq("h"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), count(col("fluent")).as("n_fluent"))
+      .select(col(idCol), col("n_bigrams"), col("n_fluent"),
+        (col("n_fluent").cast("double") / col("n_bigrams")).as("fluency"))
+  }
+
   /** PII patterns (RE2-safe constructs only — no lookaround/backrefs — so
     * Spark's java.util.regex and DuckDB's RE2 match identically; shared
     * with the oracle SQL). */

@@ -43,6 +43,7 @@ object ExtensionQueries {
   private val DupSpanN = 13        // x45 duplicated-passage window (tokens)
   private val PqM = 4              // x46 PQ subspaces (64 dims → 4×16)
   private val PqK = 8              // x46 PQ codes per subspace
+  private val FluentTopK = 1000    // x50 corpus top-bigram set size
 
   /** Whitespace token count — ONE definition shared by the packing
     * queries (x22 assignment, x37 materialization) so their bin math can
@@ -442,6 +443,13 @@ object ExtensionQueries {
           col("neighbor_id"), round(col("cosine"), 6).as("cosine_r"), col("list"))
         .orderBy("query_id", "rank")
     }),
+
+    // bigram-fluency quality signal: fraction of a doc's token bigrams
+    // (every occurrence) that rank in the corpus top-1000 bigrams — the
+    // zero-model fluency proxy (bigram analog of x31's OOV rate).
+    "x50_bigram_fluency" -> ((s, dir) =>
+      TextAnalysis.bigramFluency(Tables.documents(s, dir), k = FluentTopK)
+        .orderBy("doc_id")),
 
     // SemDeDup-style semantic dedup (Abbas et al. 2023's shape): x12's
     // embedding near-dup pairs → connected components → keep the lowest
@@ -1176,6 +1184,28 @@ object ExtensionQueries {
       s"WHERE CAST(n_hits AS DOUBLE) / n_grams >= $ContainmentThreshold"),
 
     "x44_bloom_decontaminate" -> sqlBloomOverlap(13),
+
+    // POSITIONAL bigrams (every occurrence), corpus top-K by
+    // (count DESC, hash ASC) — the engine's TakeOrdered tie rule
+    "x50_bigram_fluency" ->
+      s"""WITH norm AS (SELECT doc_id, $sqlNorm AS t FROM documents),
+         |tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+         |toh AS (SELECT doc_id, list_transform(w, s -> ${sqlStringHash("s")}) AS th FROM tok),
+         |b2 AS (SELECT doc_id,
+         |    unnest(list_transform(range(0, CASE WHEN len(th) < 2 THEN 1
+         |                                       ELSE len(th) - 1 END),
+         |      i -> list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |             list_slice(th, i + 1, i + 2)),
+         |           (a, b) -> (a * $C + b) % $Mod))) AS h
+         |  FROM toh),
+         |cnt AS (SELECT h, count(*) AS c FROM b2 GROUP BY h),
+         |top AS (SELECT h FROM cnt ORDER BY c DESC, h LIMIT $FluentTopK),
+         |j AS (SELECT b2.doc_id, count(*) AS n_bigrams, count(t.h) AS n_fluent
+         |  FROM b2 LEFT JOIN top t ON b2.h = t.h GROUP BY b2.doc_id)
+         |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+         |  CAST(n_fluent AS BIGINT) AS n_fluent,
+         |  CAST(n_fluent AS DOUBLE) / n_bigrams AS fluency
+         |FROM j ORDER BY doc_id""".stripMargin,
 
     // POSITIONAL grams (no list_distinct — index i is the token position),
     // cross-doc dup grams by min≠max, interval-merge via running-max

@@ -219,6 +219,18 @@ class ExtSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("bigramFluency: idiomatic repetition scores 1, word salad 0") {
+    // 10 docs of alternating "a b" dominate the bigram counts; with k=2
+    // only (a b) and (b a) are "fluent" — the salad doc shares none
+    val d = ((0 until 10).map(i => (i.toLong, "a b a b a b")) :+
+      (99L, "x y z w v u")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramFluency(d, k = 2)
+      .select("doc_id", "n_bigrams", "fluency")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L)._2 === 5L && got(0L)._3 === 1.0)
+    assert(got(99L)._2 === 5L && got(99L)._3 === 0.0)
+  }
+
   test("langId routes English and Spanish correctly") {
     val out = docs.select(col("doc_id"), TextAnalysis.langId(col("text")))
       .as[(Long, String)].collect().toMap
