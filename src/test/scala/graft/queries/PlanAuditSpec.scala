@@ -262,4 +262,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
       s"expected partial window-group-limit before the exchange:\n$p")
   }
+
+  test("x48: span cut is a range-residual anti join, never a cartesian") {
+    val p = planOf("x48_cut_spans")
+    assert(p.contains("LeftAnti"), s"the cut must be an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"token x span matching must stay keyed on the doc id:\n$p")
+  }
+
+  test("m28: percentile threshold frames broadcast back (no sort-merge)") {
+    val p = planOf("m28_anomaly")
+    assert(p.contains("BroadcastHashJoin"), s"threshold joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"per-key medians are node-cardinality — never sort-merge:\n$p")
+  }
+
+  test("m29: ring truncation limits rows BEFORE the fold aggregation") {
+    val p = planOf("m29_ewma")
+    // row_number <= lastN runs in the window pass; the collect_list fold
+    // then aggregates only the truncated ring — WindowGroupLimit pushes
+    // the rank cut below the exchange
+    assert(p.contains("WindowGroupLimit"), s"expected rank-limit pushdown:\n$p")
+    assert(!p.contains("Join"), s"the gauge is window+agg only:\n$p")
+  }
+
+  test("x50: top-K bigrams is a TakeOrdered, scoring join broadcasts") {
+    val p = planOf("x50_bigram_fluency")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K must be a bounded heap, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"the 1000-row fluent set must broadcast:\n$p")
+  }
+
+  test("x49: cluster edges come from capped buckets; no cartesian anywhere") {
+    val p = planOf("x49_semantic_clusters")
+    assert(!p.contains("CartesianProduct"),
+      s"the embedding pair join must stay bucket-keyed:\n$p")
+  }
 }
