@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.ext.{Dedup, Sketches}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Streaming ingest-time decontamination — the unbounded counterpart of
+ * [[graft.ext.Dedup.bloomBenchOverlap]] (x44): keep benchmark text out of
+ * an ARRIVING training stream instead of sweeping the corpus after the
+ * fact.
+ *
+ * Build once, filter forever: the benchmark's n-gram Bloom sketch
+ * ([[Sketches.bloomBuild]]) collects its single row to the driver
+ * (`bits/64` longs ≈ 8 KB) and rides to every executor as a LITERAL map,
+ * so the streaming filter is pure per-row arithmetic — no state store, no
+ * stream-static join, no shuffle, nothing for a watermark to manage. A
+ * micro-batch's cost is exactly the batch scan's map-side cost.
+ *
+ * The Bloom contract carries over: zero false negatives (no benchmark
+ * 13-gram run ever slips through the screen), false positives possible —
+ * route flagged docs to the exact verify (the batch x44 join) instead of
+ * dropping them outright when FP loss matters.
+ */
+object StreamingDecontaminate {
+
+  /** The benchmark sketch as a literal column — built BATCH-side, once.
+    * Safe to close over in a long-lived streaming query: it is plan
+    * metadata, not state. */
+  def bloomLiteral(
+      bench: DataFrame,
+      n: Int = 13,
+      bits: Long = 1L << 16,
+      k: Int = 4,
+      textCol: String = "text"): Column = {
+    val grams = bench.select(explode(Dedup.shingleHashes(col(textCol), n)).as("h"))
+      .distinct()
+    val row = Sketches.bloomBuild(grams, "h", bits, k).head()
+    typedlit(row.getMap[Long, Long](0).toMap)
+  }
+
+  /** Per-doc Bloom-candidate gram count against [[bloomLiteral]]'s map —
+    * usable on a stream or a batch frame identically (the spec's
+    * agreement contract). `n_bloom_hits >= 1` marks a doc contaminated
+    * at screen level. */
+  def withBloomHits(
+      docs: DataFrame,
+      bloom: Column,
+      n: Int = 13,
+      bits: Long = 1L << 16,
+      k: Int = 4,
+      textCol: String = "text"): DataFrame =
+    docs.withColumn("n_bloom_hits",
+      size(filter(Dedup.shingleHashes(col(textCol), n),
+        h => Sketches.bloomMightContain(bloom, h, bits, k))).cast("long"))
+
+  /** The pass-through stream: docs with NO Bloom-candidate grams (clean
+    * by construction — no false negatives), flagged ones dropped. */
+  def cleanStream(
+      docs: DataFrame,
+      bloom: Column,
+      n: Int = 13,
+      bits: Long = 1L << 16,
+      k: Int = 4,
+      textCol: String = "text"): DataFrame =
+    withBloomHits(docs, bloom, n, bits, k, textCol)
+      .filter(col("n_bloom_hits") === 0L)
+      .drop("n_bloom_hits")
+}

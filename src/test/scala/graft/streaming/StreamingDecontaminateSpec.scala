@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ext.Dedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Ingest-time decontamination: the streaming screen must agree with the
+  * batch x44 operator doc-for-doc (no false negatives is the Bloom
+  * contract — a flagged-by-batch doc may NEVER pass the stream). */
+class StreamingDecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val benchText =
+    "what is the capital of france the answer is paris of course indeed"
+  private val filler = (1 to 120).map(i => s"tok$i").mkString(" ")
+
+  test("streaming screen agrees with batch bloomBenchOverlap across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (10L, s"$filler $benchText"), // quotes the benchmark -> must drop
+      (11L, filler),                // clean -> must pass
+      (12L, benchText),             // verbatim copy -> must drop
+      (13L, (1 to 50).map(i => s"z$i").mkString(" "))
+    )
+    val bench = Seq((99L, benchText)).toDF("doc_id", "text")
+    val bloom = StreamingDecontaminate.bloomLiteral(bench)
+
+    // batch truth: docs with >= 1 bloom-candidate gram
+    val flagged = Dedup.bloomBenchOverlap(
+        corpus.toDF("doc_id", "text"), bench)
+      .select("doc_id").as[Long].collect().toSet
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDecontaminate.cleanStream(
+        input.toDF().toDF("doc_id", "text"), bloom)
+      .writeStream.format("memory").queryName("decon_clean")
+      .outputMode("append").start()
+    try {
+      input.addData(corpus.take(2))
+      q.processAllAvailable()
+      input.addData(corpus.drop(2))
+      q.processAllAvailable()
+      val passed = spark.table("decon_clean").select("doc_id").as[Long].collect().toSet
+      // agreement: passed = corpus minus batch-flagged; in particular no
+      // batch-flagged doc slipped through (false-negative check)
+      assert(passed === corpus.map(_._1).toSet -- flagged)
+      assert(flagged.intersect(passed).isEmpty)
+      assert(passed.contains(11L) && !passed.contains(12L))
+    } finally q.stop()
+    // the stateless screen holds NO streaming state
+    assert(q.lastProgress.stateOperators.isEmpty ||
+      q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L))
+  }
+}
