@@ -241,6 +241,25 @@ object ScaleProbe {
       println(f"bloom   scale=${f}x docs=${5000 * f}%7d flagged=$n%6d time=$dt%7.2f s")
     }
 
+    // fused-PQ slope: training is iters+2 passes over the subspace-
+    // exploded corpus with driver-side m·k·subdim collects; encode is one
+    // map-side pass — both must track input size linearly.
+    if (on("pq")) for (f <- Seq(1, 5, 10, 20)) {
+      val grown = (0 until f).map { r =>
+        val vec =
+          if (r == 0) col("embedding")
+          else transform(col("embedding"),
+            (v, i) => v + (i % (r + 2)).cast("float") * 0.01f)
+        emb.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
+          vec.cast("array<double>").as("qvec"))
+      }.reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val books = graft.ext.Similarity.pqTrain(grown, m = 4, k = 8, iters = 2, dim = 64)
+      val n = graft.ext.Similarity.pqEncode(grown, books, dim = 64).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"pq      scale=${f}x vecs=${2000 * f}%7d rows=$n%8d time=$dt%7.2f s")
+    }
+
     // fuzzy-vocab slope: deletion-neighborhood candidates are linear in
     // vocabulary size × token length; replicas salt tokens with a suffix
     // so the vocab actually grows with f.
