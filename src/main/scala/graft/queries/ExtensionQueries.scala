@@ -868,7 +868,15 @@ object ExtensionQueries {
         // persist policy; Verify/Bench clear blocks between queries)
         .persist()
       val books = Similarity.pqTrain(qvecs, m = PqM, k = PqK, iters = KmIters, dim = Dim)
+      // pack the m codes (each < PqK) into ONE base-512 BIGINT so the
+      // driver's comparator sees only hashable scalars (arrays break its
+      // pandas sort); codegen'd element_at, no HOF lambda
       Similarity.pqEncode(qvecs, books, dim = Dim)
+        .select(col("vec_id"),
+          (0 until PqM).map(sub => element_at(col("codes"), sub + 1) *
+            lit(math.pow(512, PqM - 1 - sub).toLong)).reduce(_ + _)
+            .as("packed_codes"),
+          col("recon_err"))
         .orderBy("vec_id")
     }),
 
@@ -1632,7 +1640,9 @@ object ExtensionQueries {
          |    SELECT v.vec_id, v.s, c.cluster, ${dist("v.sv", "c.center")} AS d2
          |    FROM sub v JOIN c2 c ON v.s = c.s)
          |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cluster) = 1)
-         |SELECT vec_id, list(cluster ORDER BY s) AS codes,
+         |SELECT vec_id,
+         |  CAST(SUM(cluster * CAST(pow(512, $PqM - 1 - s) AS BIGINT)) AS BIGINT)
+         |    AS packed_codes,
          |  list_reduce(list_concat([CAST(0 AS DOUBLE)], list(d2 ORDER BY s)),
          |    (a, b) -> a + b) AS recon_err
          |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
