@@ -2,6 +2,7 @@ package graft
 
 import graft.aws.{AwsSettings, CloudWatchHttpPublisher, EmrApiClient, EmrWorkers, LiveWorkers}
 import graft.control.{ScalingManager, SimulatedWorkers, WorkersView}
+import graft.model.QueryActivity
 import graft.decide.{CpuLoadEvaluator, StepScalingAlgorithm}
 import graft.sinks.{BufferingPublisher, MetricPublisher}
 import graft.sources.{JmxJson, MetricsFetcher}
@@ -9,7 +10,7 @@ import graft.streaming.MetricsPipeline
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import java.sql.Timestamp
 import scala.collection.mutable
@@ -61,40 +62,73 @@ object Autoscaler {
       import sp.implicits._
       val now = new Timestamp(clock())
       val nodes = JmxJson.parsePayloads(fetcher.fetchPayloads(spark), "payload",
-          Map("cpu" -> (("ProcessCpuLoad", DoubleType))))
-        .select(col("node"), col("cpu"))
-        .as[(String, Double)].collect().toSeq
-      ring.enqueue(nodes.map { case (n, c) => (now, n, c) })
+          Map("cpu" -> (("ProcessCpuLoad", DoubleType)),
+            "cores" -> (("AvailableProcessors", LongType))))
+        .select(col("node"), col("cpu"), col("cores"))
+        .as[(String, Double, Long)].collect().toSeq
+      ring.enqueue(nodes.map { case (n, c, _) => (now, n, c) })
       while (ring.size > windowN) ring.dequeue()
       val window = ring.toSeq.flatten.toDF("ts", "node", "value")
-      // QueryManager gauges drive the idle gate; a BLANK payload (fetcher
-      // can't see query stats) must read as "assume active", never as
-      // idle — idle shrinks the cluster to min
-      val queryStats = {
+      // QueryManager gauges + the five 5-minute decayed counters drive
+      // the idle gate (reference: scaling/ScalingManager.scala:103-117 —
+      // a DRAINING cluster shows running=queued=0 with counters >= 1 and
+      // must not idle-shrink); a BLANK payload (fetcher can't see query
+      // stats) must read as "assume active", never as idle
+      val activity = {
         val payloads = fetcher.fetchQueryStats(spark)
           .select(col("payload")).as[String].collect().filter(_.nonEmpty)
-        if (payloads.isEmpty) (1L, 0L)
+        if (payloads.isEmpty) QueryActivity.AssumeActive
         else {
-          val parsed = JmxJson.parsePayloads(
+          val r = JmxJson.parsePayloads(
             payloads.toSeq.toDF("payload"), "payload",
-            Map("running" -> (("RunningQueries", org.apache.spark.sql.types.LongType)),
-              "queued" -> (("QueuedQueries", org.apache.spark.sql.types.LongType))))
-            .select(col("running"), col("queued")).as[(Long, Long)].head()
-          parsed
+            Map("running" -> (("RunningQueries", LongType)),
+              "queued" -> (("QueuedQueries", LongType)),
+              "abandoned5m" -> (("AbandonedQueries.FiveMinute.Count", DoubleType)),
+              "canceled5m" -> (("CanceledQueries.FiveMinute.Count", DoubleType)),
+              "completed5m" -> (("CompletedQueries.FiveMinute.Count", DoubleType)),
+              "failed5m" -> (("FailedQueries.FiveMinute.Count", DoubleType)),
+              "submitted5m" -> (("SubmittedQueries.FiveMinute.Count", DoubleType)),
+              "failed1m" -> (("FailedQueries.OneMinute.Count", DoubleType))))
+            .select(col("running"), col("queued"), col("abandoned5m"),
+              col("canceled5m"), col("completed5m"), col("failed5m"),
+              col("submitted5m"), col("failed1m")).head()
+          QueryActivity(r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2),
+            r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+            r.getDouble(7))
         }
       }
-      idleMarker.foreach(_.touchIfBusy(queryStats._1 == 0 && queryStats._2 == 0))
+      // ClusterSizeMonitor scaling hint (reference:
+      // metrics/TrinoJmxRest.scala:106-109, docs/scaling-hints.md):
+      // required > running expands ahead of the cooldown gate
+      val requiredWorkers = {
+        val payloads = fetcher.fetchRequiredWorkers(spark)
+          .select(col("payload")).as[String].collect().filter(_.nonEmpty)
+        if (payloads.isEmpty) 0
+        else JmxJson.parsePayloads(payloads.toSeq.toDF("payload"), "payload",
+            Map("required" -> (("RequiredWorkers", LongType))))
+          .select(col("required")).as[Long].head().toInt
+      }
+      idleMarker.foreach(_.touchIfBusy(
+        graft.control.ScalingManager.isIdle(activity.stamped(now))))
       val decision = MetricsPipeline.evaluateWindow(window, manager, windowN,
-        runningQueries = queryStats._1.toInt, queuedQueries = queryStats._2.toInt)
+        activity = activity, requiredWorkers = requiredWorkers)
       if (publish && nodes.nonEmpty) {
-        // reference gauge set (metrics/TrinoMetricStore.scala:56-62),
-        // node map fanned out as one multi-datum request (K2)
-        publisher.putMetricMap(namespace, "trino.cpu", nodes.toMap)
-        publisher.putMetric(namespace, "trino.totalWorkers", nodes.size.toDouble)
-        publisher.putMetric(namespace, "trino.runningWorkers", workers.running.toDouble)
-        publisher.putMetric(namespace, "trino.requestedWorkers", workers.requested.toDouble)
-        decision.foreach(d =>
-          publisher.putMetric(namespace, "trino.targetCapacity", d.capacity.toDouble))
+        // node map fanned out as one multi-datum request (K2), then the
+        // reference's full scalar gauge block
+        // (metrics/TrinoMetricStore.scala:54-68) in a second one —
+        // 7 metric families per tick in 2 requests, not N round trips
+        publisher.putMetricMap(namespace, "trino.cpu",
+          nodes.map { case (n, c, _) => n -> c }.toMap)
+        publisher.putMetrics(namespace, Seq(
+          "trino.requiredWorkers" -> requiredWorkers.toDouble,
+          "trino.totalWorkers" -> nodes.size.toDouble,
+          "trino.totalAvailableCores" -> nodes.map(_._3).sum.toDouble,
+          "trino.totalOneMinFailedQueries" -> activity.failed1m,
+          "trino.totalQueuedQueries" -> activity.queued.toDouble,
+          "trino.totalRunningQueries" -> activity.running.toDouble,
+          "trino.runningWorkers" -> workers.running.toDouble,
+          "trino.requestedWorkers" -> workers.requested.toDouble) ++
+          decision.map(d => "trino.targetCapacity" -> d.capacity.toDouble))
       }
       decision
     }

@@ -69,7 +69,7 @@ object Replay {
       clock = () => simNow)
 
     println(f"${"tick"}%-22s${"nodes"}%6s${"cold"}%6s${"decision"}%12s${"running"}%9s")
-    ticks.take(numTicks).foreach { cursor =>
+    ticks.take(numTicks).zipWithIndex.foreach { case (cursor, tickIdx) =>
       // ring buffer as of this cursor: the newest 20 ticks (A3)
       val visible = samples.filter(col("ts") <= lit(cursor))
       val buffer = MetricAnalytics.retainLastN(visible, 20)
@@ -87,7 +87,12 @@ object Replay {
       // cascade; the idle short-circuit is exercised by ControlSpec
       val stats = ClusterQueriesMetrics(cursor,
         runningQueries = 1, queuedQueries = 0, 0, 0, 0, 0, 0)
-      val decision = mgr.evaluate(stats, requiredWorkers = 0, summary)
+      // one deterministic ClusterSizeMonitor hint tick mid-replay: the
+      // scaling-hints branch (required > running expands ahead of the
+      // cooldown gate — reference scaling/ScalingManager.scala:34-36)
+      // is visible in the trace, not just in ControlSpec
+      val requiredWorkers = if (tickIdx == 6) workers.running + 3 else 0
+      val decision = mgr.evaluate(stats, requiredWorkers, summary)
       workers.settle()
       simNow += 15000L * 9 // ~2 min+ between replayed ticks: cooldown visible but finite
       println(f"$cursor%-22s${summary.totalNodes}%6d$cold%6s${decision.map(a => s"${a.action}:${a.capacity}").getOrElse("-")}%12s${workers.running}%9d")

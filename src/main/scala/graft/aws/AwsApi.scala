@@ -376,4 +376,9 @@ class CloudWatchHttpPublisher(
     if (values.nonEmpty)
       putRequest(namespace, values.toSeq.sortBy(_._1)
         .map { case (k, v) => (s"$prefix.$k", v) })
+
+  /** K1 batched — the whole scalar gauge block as ONE multi-datum
+    * request. */
+  override def putMetrics(namespace: String, values: Seq[(String, Double)]): Unit =
+    if (values.nonEmpty) putRequest(namespace, values)
 }

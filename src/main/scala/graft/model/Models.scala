@@ -46,6 +46,33 @@ final case class ClusterQueriesMetrics(
     failedQueriesFiveMin: Double,
     submittedQueriesFiveMin: Double)
 
+/** One tick's coordinator activity gauges before the window evaluation
+  * stamps a timestamp on them: the QueryManager running/queued gauges
+  * plus the five 5-minute decayed counters the idle gate reads
+  * (reference: scaling/ScalingManager.scala:103-117) and the 1-minute
+  * failed counter published to CloudWatch
+  * (metrics/TrinoMetricStore.scala:58). */
+final case class QueryActivity(
+    running: Int,
+    queued: Int,
+    abandoned5m: Double,
+    canceled5m: Double,
+    completed5m: Double,
+    failed5m: Double,
+    submitted5m: Double,
+    failed1m: Double = 0.0) {
+  def stamped(ts: Timestamp): ClusterQueriesMetrics =
+    ClusterQueriesMetrics(ts, running, queued,
+      abandoned5m, canceled5m, completed5m, failed5m, submitted5m)
+}
+
+object QueryActivity {
+  /** Blank-payload default: a fetcher that cannot see query stats must
+    * read as "assume active" (running=1), never as idle — idle shrinks
+    * the cluster to min. */
+  val AssumeActive: QueryActivity = QueryActivity(1, 0, 0, 0, 0, 0, 0)
+}
+
 /** Per-node CPU snapshot (reference: metrics/models/ClusterNodesCpuMetrics.scala:5-9). */
 final case class NodeCpuSample(
     ts: Timestamp,

@@ -24,6 +24,13 @@ trait MetricPublisher {
     * (reference: utils/CloudWatch.scala:38-58). */
   def putMetricMap(namespace: String, prefix: String, values: Map[String, Double]): Unit =
     values.foreach { case (k, v) => putMetric(namespace, s"$prefix.$k", v) }
+
+  /** Several scalar gauges at once — the per-tick gauge block the
+    * reference publishes (metrics/TrinoMetricStore.scala:54-68). Live
+    * impls batch ALL datums into one request so N gauges never cost N
+    * round trips. */
+  def putMetrics(namespace: String, values: Seq[(String, Double)]): Unit =
+    values.foreach { case (n, v) => putMetric(namespace, n, v) }
 }
 
 /** In-memory publisher for tests/simulation; thread-safe enough for the

@@ -36,6 +36,15 @@ trait MetricsFetcher {
   def fetchQueryStats(spark: SparkSession): DataFrame =
     spark.range(1).select(
       org.apache.spark.sql.functions.lit("").as("payload"))
+
+  /** Coordinator ClusterSizeMonitor payload — the required-workers gauge
+    * the reference reads as a scaling hint and expands to ahead of the
+    * cooldown gate (metrics/TrinoJmxRest.scala:106-109,
+    * scaling/ScalingManager.scala:34-36). A 1-row (payload) frame; blank
+    * payload = no hint (parses to 0, which never exceeds `running`). */
+  def fetchRequiredWorkers(spark: SparkSession): DataFrame =
+    spark.range(1).select(
+      org.apache.spark.sql.functions.lit("").as("payload"))
 }
 
 object MetricsFetcher {
@@ -84,6 +93,7 @@ class RestFetcher(
   private val JmxPath = "v1/jmx/mbean"
   private val OsMBean = "java.lang:type=OperatingSystem"
   private val QueryMBean = "trino.execution:name=QueryManager"
+  private val SizeMBean = "trino.execution:name=ClusterSizeMonitor"
   private val timeout = java.time.Duration.ofSeconds(timeoutSeconds)
   private val parsedUrl = new java.net.URI(coordinatorUrl)
   private val scheme = Option(parsedUrl.getScheme).getOrElse("http")
@@ -169,6 +179,14 @@ class RestFetcher(
     val body = get(s"$coordinatorUrl/$JmxPath/$QueryMBean").getOrElse("")
     Seq(body).toDF("payload")
   }
+
+  /** ClusterSizeMonitor mbean (required-workers scaling hint); blank on
+    * failure → no hint, never a fabricated expansion. */
+  override def fetchRequiredWorkers(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val body = get(s"$coordinatorUrl/$JmxPath/$SizeMBean").getOrElse("")
+    Seq(body).toDF("payload")
+  }
 }
 
 /** Replay fetcher: serves deterministic in-memory payloads (or a fixture
@@ -208,7 +226,19 @@ class FixtureFetcher(override val name: String, fixtureDir: Option[String])
   override def fetchQueryStats(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq("""{"attributes":[{"name":"RunningQueries","value":3},
-           |{"name":"QueuedQueries","value":1}]}""".stripMargin)
+           |{"name":"QueuedQueries","value":1},
+           |{"name":"AbandonedQueries.FiveMinute.Count","value":0.2},
+           |{"name":"CanceledQueries.FiveMinute.Count","value":0.0},
+           |{"name":"CompletedQueries.FiveMinute.Count","value":4.7},
+           |{"name":"FailedQueries.FiveMinute.Count","value":0.5},
+           |{"name":"SubmittedQueries.FiveMinute.Count","value":5.1},
+           |{"name":"FailedQueries.OneMinute.Count","value":0.1}]}""".stripMargin)
+      .toDF("payload")
+  }
+
+  override def fetchRequiredWorkers(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq("""{"attributes":[{"name":"RequiredWorkers","value":0}]}""")
       .toDF("payload")
   }
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.control.ScalingManager
 import graft.decide.MetricSummary
-import graft.model.{ClusterQueriesMetrics, ResizeAction}
+import graft.model.{QueryActivity, ResizeAction}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.{DataFrame, Row}
@@ -105,8 +105,8 @@ object MetricsPipeline {
       manager: ScalingManager,
       windowN: Int = MetricsDataPointsOneMin,
       batchId: Long = -1L,
-      runningQueries: Int = 1,
-      queuedQueries: Int = 0): Option[Decision] = {
+      activity: QueryActivity = QueryActivity.AssumeActive,
+      requiredWorkers: Int = 0): Option[Decision] = {
     import graft.analytics.MetricAnalytics
     if (batch.isEmpty) None
     else {
@@ -122,12 +122,13 @@ object MetricsPipeline {
           MetricSummary(isCold = false, avgs, total)
         }
       val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
-      // Activity gauges default to "assume active" (runningQueries = 1);
-      // [[graft.Autoscaler]] passes real QueryManager gauges so the idle
-      // shrink-to-min path actually fires on a quiet cluster.
-      val stats = ClusterQueriesMetrics(maxTs, runningQueries,
-        queuedQueries, 0, 0, 0, 0, 0)
-      manager.evaluate(stats, requiredWorkers = 0, summary).map {
+      // Activity gauges default to "assume active"; [[graft.Autoscaler]]
+      // passes the real QueryManager gauges AND the five 5-minute decayed
+      // counters, so a draining cluster (counters >= 1 with zero
+      // running/queued) is NOT idle, and the ClusterSizeMonitor scaling
+      // hint so required > running expands ahead of the cooldown gate
+      // (reference: scaling/ScalingManager.scala:34-36,103-117).
+      manager.evaluate(activity.stamped(maxTs), requiredWorkers, summary).map {
         case ResizeAction(action, capacity) => Decision(batchId, maxTs, action, capacity)
       }
     }

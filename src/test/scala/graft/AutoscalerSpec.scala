@@ -13,13 +13,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 class AutoscalerSpec extends SparkSpec {
 
   private class StubFetcher(cpu: () => Double,
-                            queries: () => Option[(Long, Long)] = () => None)
+                            queries: () => Option[(Long, Long)] = () => None,
+                            fiveMinCompleted: () => Double = () => 0.0,
+                            required: () => Option[Long] = () => None)
     extends MetricsFetcher {
     override val name = "stub"
     override def fetchPayloads(s: SparkSession): DataFrame = {
       import s.implicits._
       Seq("n1", "n2").map(n => (n,
-        s"""{"attributes":[{"name":"ProcessCpuLoad","value":${cpu()}}]}"""))
+        s"""{"attributes":[{"name":"ProcessCpuLoad","value":${cpu()}},
+           |{"name":"AvailableProcessors","value":8}]}""".stripMargin))
         .toDF("node", "payload")
     }
     override def fetchNodeList(s: SparkSession): DataFrame = {
@@ -32,7 +35,19 @@ class AutoscalerSpec extends SparkSpec {
         case None => Seq("").toDF("payload")
         case Some((run, q)) => Seq(
           s"""{"attributes":[{"name":"RunningQueries","value":$run},
-             |{"name":"QueuedQueries","value":$q}]}""".stripMargin).toDF("payload")
+             |{"name":"QueuedQueries","value":$q},
+             |{"name":"CompletedQueries.FiveMinute.Count","value":${fiveMinCompleted()}},
+             |{"name":"FailedQueries.OneMinute.Count","value":0.25}]}""".stripMargin)
+          .toDF("payload")
+      }
+    }
+    override def fetchRequiredWorkers(s: SparkSession): DataFrame = {
+      import s.implicits._
+      required() match {
+        case None => Seq("").toDF("payload")
+        case Some(r) => Seq(
+          s"""{"attributes":[{"name":"RequiredWorkers","value":$r}]}""")
+          .toDF("payload")
       }
     }
   }
@@ -107,5 +122,91 @@ class AutoscalerSpec extends SparkSpec {
     assert(d.exists(a => a.action == "SHRINK" && a.capacity == 2),
       s"expected idle shrink to min, got $d")
     assert(workers.requested === 2)
+  }
+
+  test("scaling hint: required > running expands to required AHEAD of the cooldown gate") {
+    var now = 3000000000L
+    var required: Option[Long] = Some(9L)
+    val workers = new SimulatedWorkers(0, 20, clock = () => now)
+    workers.resize(5); workers.settle()
+    val mgr = new ScalingManager(workers,
+      new StepScalingAlgorithm(new CpuLoadEvaluator, 0, 20), () => now)
+    val loop = new Autoscaler.ControlLoop(spark,
+      new StubFetcher(() => 0.55, () => Some((2L, 0L)), required = () => required),
+      mgr, workers, new BufferingPublisher, "AWS/EMR", publish = false,
+      clock = () => now)
+
+    // tick 1: hint 9 > running 5 -> EXPAND:9 immediately (cold window is
+    // irrelevant: the hint branch precedes the CPU cascade entirely)
+    val d1 = loop.tick(); workers.settle(); now += 15000L
+    assert(d1.exists(a => a.action == "EXPAND" && a.capacity == 9),
+      s"hint must expand to required, got $d1")
+
+    // tick 2, 15 s later — DEEP inside the 2-min cooldown a CPU-driven
+    // action would wait out: a larger hint must still expand
+    required = Some(12L)
+    val d2 = loop.tick(); workers.settle(); now += 15000L
+    assert(d2.exists(a => a.action == "EXPAND" && a.capacity == 12),
+      s"hint must bypass the cooldown gate, got $d2")
+    assert(workers.requested === 12)
+
+    // tick 3: hint gone (blank payload -> 0); mid CPU + fresh cooldown ->
+    // the ordinary gated path does nothing
+    required = None
+    val d3 = loop.tick()
+    assert(d3.isEmpty, s"without a hint the cooldown gate must hold, got $d3")
+  }
+
+  test("draining cluster: zero running/queued with hot 5-min counters must NOT idle-shrink") {
+    var now = 4000000000L
+    var completed5m = 3.2 // last queries finished <5 min ago (decayed counter >= 1)
+    val workers = new SimulatedWorkers(2, 20, clock = () => now)
+    workers.resize(8); workers.settle()
+    val mgr = new ScalingManager(workers,
+      new StepScalingAlgorithm(new CpuLoadEvaluator, 2, 20), () => now)
+    val loop = new Autoscaler.ControlLoop(spark,
+      new StubFetcher(() => 0.6, () => Some((0L, 0L)),
+        fiveMinCompleted = () => completed5m),
+      mgr, workers, new BufferingPublisher, "AWS/EMR", publish = false,
+      clock = () => now)
+
+    // draining: running=queued=0 but CompletedQueries.FiveMinute >= 1 —
+    // reference idle needs ALL five decayed counters < 1
+    // (scaling/ScalingManager.scala:103-117)
+    loop.tick(); workers.settle(); now += 15000L
+    assert(workers.requested === 8,
+      "a draining cluster must not shrink-to-min a tick early")
+
+    // counters decay below 1 -> now genuinely idle -> shrink to min
+    completed5m = 0.4
+    val d = loop.tick()
+    assert(d.exists(a => a.action == "SHRINK" && a.capacity == 2),
+      s"expected idle shrink once counters decay, got $d")
+  }
+
+  test("publish tick emits the reference's full 7-family CloudWatch gauge set") {
+    var now = 5000000000L
+    val workers = new SimulatedWorkers(0, 20, clock = () => now)
+    workers.resize(5); workers.settle()
+    val mgr = new ScalingManager(workers,
+      new StepScalingAlgorithm(new CpuLoadEvaluator, 0, 20), () => now)
+    val pub = new BufferingPublisher
+    val loop = new Autoscaler.ControlLoop(spark,
+      new StubFetcher(() => 0.55, () => Some((4L, 2L)), required = () => Some(3L)),
+      mgr, workers, pub, "AWS/EMR", publish = true, clock = () => now)
+    loop.tick()
+    val names = pub.records.map(_._2).toSet
+    // metrics/TrinoMetricStore.scala:54-68 family set
+    val expected = Set("trino.cpu.n1", "trino.cpu.n2", "trino.requiredWorkers",
+      "trino.totalWorkers", "trino.totalAvailableCores",
+      "trino.totalOneMinFailedQueries", "trino.totalQueuedQueries",
+      "trino.totalRunningQueries")
+    assert(expected.subsetOf(names), s"missing ${expected -- names}")
+    val byName = pub.records.map(r => r._2 -> r._3).toMap
+    assert(byName("trino.totalAvailableCores") === 16.0) // 2 nodes x 8
+    assert(byName("trino.totalRunningQueries") === 4.0)
+    assert(byName("trino.totalQueuedQueries") === 2.0)
+    assert(byName("trino.totalOneMinFailedQueries") === 0.25)
+    assert(byName("trino.requiredWorkers") === 3.0)
   }
 }

@@ -328,4 +328,33 @@ class AwsBoundarySpec extends AnyFunSuite {
       assert(fanned("MetricData.member.2.Value") === "2.0")
     }
   }
+
+  test("K1 batched: the tick's whole scalar gauge block is ONE multi-datum request") {
+    withStub { case _ => "<PutMetricDataResponse/>" } { (url, recorded) =>
+      val pub = new CloudWatchHttpPublisher(url, "JobFlowId", "j-TEST", settings)
+      // the reference's per-tick gauge families
+      // (metrics/TrinoMetricStore.scala:54-68), minus the node map
+      val gauges = Seq(
+        "trino.requiredWorkers" -> 3.0,
+        "trino.totalWorkers" -> 2.0,
+        "trino.totalAvailableCores" -> 16.0,
+        "trino.totalOneMinFailedQueries" -> 0.25,
+        "trino.totalQueuedQueries" -> 2.0,
+        "trino.totalRunningQueries" -> 4.0)
+      pub.putMetrics("AWS/EMR", gauges)
+      assert(recorded.size === 1, "6 gauges must not cost 6 round trips")
+
+      def params(body: String): Map[String, String] = body.split("&").map { p =>
+        val Array(k, v) = p.split("=", 2)
+        java.net.URLDecoder.decode(k, UTF_8) -> java.net.URLDecoder.decode(v, UTF_8)
+      }.toMap
+
+      val p = params(recorded(0).body)
+      gauges.zipWithIndex.foreach { case ((name, value), i) =>
+        assert(p(s"MetricData.member.${i + 1}.MetricName") === name)
+        assert(p(s"MetricData.member.${i + 1}.Value") === value.toString)
+      }
+      assert(!p.contains("MetricData.member.7.MetricName"))
+    }
+  }
 }
