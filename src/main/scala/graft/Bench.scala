@@ -62,7 +62,20 @@ object Bench {
       val n = s.length
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
+    // Between QUERIES (never inside a timing): force a full GC and let
+    // the JVM settle. A heavy neighbor (x17's PPJoin) otherwise leaves
+    // GC debt + dangling shuffle state that inflated its successors by
+    // 3-6x in the round-6 battery (x20 read 8.3 s in-battery vs 1.6 s
+    // isolated). System.gc() also lets the ContextCleaner reap shuffle
+    // files whose RDDs are now unreachable. The settle time is NOT in
+    // the reported metric — the JSON total is the sum of query medians.
+    def settle(): Unit = {
+      spark.catalog.clearCache()
+      System.gc(); System.gc()
+      Thread.sleep(sys.env.getOrElse("SPARK_GRAFT_SETTLE_MS", "300").toLong)
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      settle()
       val trials = (1 to runs).map(_ => timeOnce(name, fn))
       val ok = trials.forall(_._2)
       val m = median(trials.map(_._1))
