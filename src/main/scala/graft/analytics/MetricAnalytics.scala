@@ -316,8 +316,13 @@ object MetricAnalytics {
           transform(
             array_sort(collect_list(struct(col(tsCol), col(ordCol), col(valCol)))),
             x => x.getField(valCol)),
-          lit(Double.NaN),
-          (acc, x) => when(isnan(acc), x)
+          // null sentinel, NOT NaN: the fold starts at the first sample
+          // (the oracle's init-less list_reduce), and a genuine NaN
+          // sample mid-window must POISON the recurrence onward exactly
+          // as it does in the oracle — a NaN sentinel would silently
+          // restart it there instead
+          lit(null).cast("double"),
+          (acc, x) => when(acc.isNull, x)
             .otherwise(lit(alpha) * x + lit(1 - alpha) * acc)).as("ewma"))
   }
 

@@ -55,11 +55,13 @@ object Sketches {
   // --------------------------------------------------- Bloom membership
 
   /** Affine position hashes for the Bloom rows — the [[graft.ext.Dedup
-    * .MinHashParams]] constant family at an offset index, so the Bloom
-    * positions are uncorrelated with the minhash permutations while
-    * staying pure integer arithmetic the oracle reproduces verbatim. */
-  def bloomA(j: Int): Long = ((j.toLong + 13) * 2654435761L) % (Mod - 1) + 1
-  def bloomB(j: Int): Long = ((j.toLong + 13) * 40503L) % Mod
+    * .MinHashParams]] constant family at offset 64, safely past any
+    * minhash permutation index in use (default params use j < 16), so
+    * the Bloom positions never reuse a minhash coefficient pair while
+    * staying pure integer arithmetic the oracle reproduces verbatim
+    * (the oracle derives its literals from these functions). */
+  def bloomA(j: Int): Long = ((j.toLong + 64) * 2654435761L) % (Mod - 1) + 1
+  def bloomB(j: Int): Long = ((j.toLong + 64) * 40503L) % Mod
   private val Mod = graft.ext.TextAnalysis.HashMod
 
   /** Bloom filter over a LONG key column, built declaratively: the k

@@ -163,8 +163,13 @@ object TextAnalysis {
       k: Int = 1000,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // persisted: the top-k agg AND the scoring join both consume grams —
+    // without this the normalize/tokenize/shingle pass runs over the
+    // whole corpus twice (caller-release convention: Verify/Bench clear
+    // cached blocks between queries)
     val grams = docs.select(col(idCol),
       explode(Dedup.positionalShingleHashes(col(textCol), 2)).as("h"))
+      .persist()
     val top = grams.groupBy("h").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("h")).limit(k)
       .select(col("h"), lit(1L).as("fluent"))
