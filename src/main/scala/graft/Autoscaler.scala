@@ -143,6 +143,7 @@ object Autoscaler {
     var cwEndpoint: Option[String] = None
     var maxTicks: Option[Int] = None
     var idleMarkerPath: Option[String] = None
+    var jmxUrl: Option[String] = None
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -154,6 +155,7 @@ object Autoscaler {
         case "--cw-endpoint"  => cwEndpoint = Some(args(i + 1)); i += 2
         case "--ticks"        => maxTicks = Some(args(i + 1).toInt); i += 2
         case "--idle-marker"  => idleMarkerPath = Some(args(i + 1)); i += 2
+        case "--jmx-url"      => jmxUrl = Some(args(i + 1)); i += 2
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
     }
@@ -166,10 +168,14 @@ object Autoscaler {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // strategy selection: a coordinator URL → REST scrape; a JMX service
+    // URL → coordinator-local JMX-RMI (the reference's TrinoJmxEmr
+    // transport); neither → fixture replay
     val fetcher = MetricsFetcher(
       if (coordinator.isDefined) "rest" else "emr",
       coordinatorUrl = coordinator,
-      user = cfg.trinoUser, password = cfg.trinoPassword)
+      user = cfg.trinoUser, password = cfg.trinoPassword,
+      jmxUrl = jmxUrl)
     // standard AWS credential env names; SigV4 needs them only live
     val settings = AwsSettings(region,
       sys.env.getOrElse("AWS_ACCESS_KEY_ID", ""),

@@ -51,13 +51,18 @@ object MetricsFetcher {
   /** S9 — strategy dispatch by name; unknown → IllegalArgumentException
     * (preserved verbatim from metrics/TrinoJmx.scala:29-32). A
     * `coordinatorUrl` selects the live-socket [[RestFetcher]] for the
-    * "rest" strategy; without one both strategies replay fixtures. */
+    * "rest" strategy; a `jmxUrl` selects the live JMX-RMI
+    * [[JmxRmiFetcher]] for the "emr" (coordinator-local) strategy;
+    * without either, both strategies replay fixtures. */
   def apply(name: String, fixtureDir: Option[String] = None,
             coordinatorUrl: Option[String] = None,
             user: String = graft.GraftConfig.default.trinoUser,
-            password: String = graft.GraftConfig.default.trinoPassword): MetricsFetcher =
+            password: String = graft.GraftConfig.default.trinoPassword,
+            jmxUrl: Option[String] = None): MetricsFetcher =
     name.toLowerCase match {
-      case "emr"  => new FixtureFetcher("emr", fixtureDir)
+      case "emr"  => jmxUrl
+        .map(new JmxRmiFetcher(_))
+        .getOrElse(new FixtureFetcher("emr", fixtureDir))
       case "rest" => coordinatorUrl
         .map(new RestFetcher(_, user, password))
         .getOrElse(new FixtureFetcher("rest", fixtureDir))

@@ -1,0 +1,105 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import javax.management.remote.{JMXConnector, JMXConnectorFactory, JMXServiceURL}
+import javax.management.{MBeanServerConnection, ObjectName}
+import scala.util.control.NonFatal
+
+/**
+ * S2 — the LOCAL JMX fetcher: coordinator-side mbean scrape over the
+ * JMX-RMI connector (reference: metrics/TrinoJmxEmr.scala:29-37 connects
+ * `service:jmx:rmi:///jndi/rmi://localhost:9080/jmxrmi` and reads gauges
+ * via `MBeanServerConnection.getAttribute`). The "emr" strategy's live
+ * transport — used when the autoscaler runs ON the coordinator host and
+ * the JMX registry is reachable without HTTP.
+ *
+ * Emits the SAME (node, payload) attribute-list JSON frames as
+ * [[RestFetcher]], so everything downstream ([[JmxJson.parsePayloads]],
+ * the typed zero-fill projection, the decision cascade) is transport-
+ * agnostic — one parse path for both strategies.
+ *
+ * Failure posture mirrors the REST fetcher: any connect/read failure
+ * degrades that payload to empty (→ empty attribute map → zero-fill /
+ * assume-active downstream), never an aborted tick; the connector is
+ * re-established on the next scrape after a failure.
+ */
+class JmxRmiFetcher(
+    serviceUrl: String = "service:jmx:rmi:///jndi/rmi://localhost:9080/jmxrmi",
+    nodeName: String = "localhost") extends MetricsFetcher {
+
+  override val name: String = "emr"
+
+  private val OsMBean = "java.lang:type=OperatingSystem"
+  private val QueryMBean = "trino.execution:name=QueryManager"
+  private val SizeMBean = "trino.execution:name=ClusterSizeMonitor"
+
+  private var connector: Option[JMXConnector] = None
+
+  private def connection(): Option[MBeanServerConnection] = synchronized {
+    try {
+      if (connector.isEmpty)
+        connector = Some(JMXConnectorFactory.connect(new JMXServiceURL(serviceUrl)))
+      connector.map(_.getMBeanServerConnection)
+    } catch {
+      case NonFatal(_) => connector = None; None
+    }
+  }
+
+  def close(): Unit = synchronized {
+    connector.foreach(c => try c.close() catch { case NonFatal(_) => () })
+    connector = None
+  }
+
+  /** Scan every readable NUMERIC/boolean attribute of one mbean into the
+    * shared attribute-list JSON shape (the REST endpoint's response
+    * shape, which the whole parse path consumes). Non-numeric attributes
+    * are skipped — the reference reads only numeric gauges, and numbers
+    * need no JSON string escaping. */
+  private[sources] def payloadOf(objName: String): String = {
+    connection() match {
+      case None => ""
+      case Some(mbs) =>
+        try {
+          val on = new ObjectName(objName)
+          val names = mbs.getMBeanInfo(on).getAttributes
+            .filter(_.isReadable).map(_.getName)
+          val attrs = names.flatMap { n =>
+            try mbs.getAttribute(on, n) match {
+              case v: java.lang.Number => Some(s"""{"name":"$n","value":$v}""")
+              case v: java.lang.Boolean =>
+                Some(s"""{"name":"$n","value":${if (v) 1 else 0}}""")
+              case _ => None
+            } catch { case NonFatal(_) => None }
+          }
+          s"""{"attributes":[${attrs.mkString(",")}]}"""
+        } catch {
+          case NonFatal(_) => close(); "" // reconnect next scrape
+        }
+    }
+  }
+
+  /** One payload for the local node — the coordinator-host scrape; the
+    * cluster-wide per-node view is the REST strategy's job. */
+  override def fetchPayloads(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((nodeName, payloadOf(OsMBean))).toDF("node", "payload")
+  }
+
+  /** No node-list endpoint over local JMX; empty frame (the caller pairs
+    * this strategy with the EMR instance-group topology source). */
+  override def fetchNodeList(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[String].toDF("body").transform(NodeListSource.parse(_))
+  }
+
+  override def fetchQueryStats(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(payloadOf(QueryMBean)).toDF("payload")
+  }
+
+  override def fetchRequiredWorkers(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(payloadOf(SizeMBean)).toDF("payload")
+  }
+}

@@ -1,0 +1,125 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import java.lang.management.ManagementFactory
+import java.rmi.registry.LocateRegistry
+import javax.management._
+import javax.management.remote.{JMXConnectorServer, JMXConnectorServerFactory, JMXServiceURL}
+
+/** S2 live transport: [[JmxRmiFetcher]] against an in-process JMX-RMI
+  * connector server (the JDK's own remote-JMX stack — the same registry
+  * protocol the reference's TrinoJmxEmr dials at
+  * metrics/TrinoJmxEmr.scala:29-37), with a fixture QueryManager mbean
+  * registered under the Trino object name. Proves the local-JMX strategy
+  * produces the SAME payload frames the REST strategy does, through the
+  * same parse path, and degrades to empty on a dead registry. */
+class JmxRmiFetcherSpec extends SparkSpec {
+
+  /** Fixture mbean: a read-only DynamicMBean over a constant attribute
+    * map (JMX getter-name derivation can't express dotted attribute
+    * names like `FailedQueries.FiveMinute.Count`, hence dynamic). */
+  private class FixtureMBean(attrs: Map[String, Object]) extends DynamicMBean {
+    override def getAttribute(name: String): Object =
+      attrs.getOrElse(name, throw new AttributeNotFoundException(name))
+    override def setAttribute(a: Attribute): Unit =
+      throw new UnsupportedOperationException
+    override def getAttributes(names: Array[String]): AttributeList = {
+      val l = new AttributeList()
+      names.foreach(n => attrs.get(n).foreach(v => l.add(new Attribute(n, v))))
+      l
+    }
+    override def setAttributes(l: AttributeList): AttributeList = new AttributeList()
+    override def invoke(op: String, p: Array[Object], s: Array[String]): Object =
+      throw new UnsupportedOperationException
+    override def getMBeanInfo: MBeanInfo = new MBeanInfo(
+      getClass.getName, "fixture",
+      attrs.keys.toArray.sorted.map(n =>
+        new MBeanAttributeInfo(n, "java.lang.Double", n, true, false, false)),
+      Array.empty, Array.empty, Array.empty)
+  }
+
+  private def withConnectorServer(test: String => Unit): Unit = {
+    val mbs = ManagementFactory.getPlatformMBeanServer
+    val qmName = new ObjectName("trino.execution:name=QueryManager")
+    val szName = new ObjectName("trino.execution:name=ClusterSizeMonitor")
+    val port = 19780 + scala.util.Random.nextInt(200)
+    LocateRegistry.createRegistry(port)
+    val url = s"service:jmx:rmi:///jndi/rmi://localhost:$port/jmxrmi"
+    var server: JMXConnectorServer = null
+    try {
+      mbs.registerMBean(new FixtureMBean(Map(
+        "RunningQueries" -> java.lang.Long.valueOf(2L),
+        "QueuedQueries" -> java.lang.Long.valueOf(0L),
+        "CompletedQueries.FiveMinute.Count" -> java.lang.Double.valueOf(3.5),
+        "FailedQueries.FiveMinute.Count" -> java.lang.Double.valueOf(0.25),
+        "QueryManagerExecutor.PoolSize" -> "not-a-number")), qmName)
+      mbs.registerMBean(new FixtureMBean(Map(
+        "RequiredWorkers" -> java.lang.Long.valueOf(7L))), szName)
+      server = JMXConnectorServerFactory.newJMXConnectorServer(
+        new JMXServiceURL(url), null, mbs)
+      server.start()
+      test(url)
+    } finally {
+      if (server != null) try server.stop() catch { case _: Throwable => () }
+      try mbs.unregisterMBean(qmName) catch { case _: Throwable => () }
+      try mbs.unregisterMBean(szName) catch { case _: Throwable => () }
+    }
+  }
+
+  test("S2: local JMX-RMI scrape flows through the shared parse path") {
+    withConnectorServer { url =>
+      val f = new JmxRmiFetcher(url, nodeName = "coordinator")
+      try {
+        // OS mbean: the platform one is real — ProcessCpuLoad and
+        // AvailableProcessors are present and parse as numbers
+        val os = JmxJson.parsePayloads(f.fetchPayloads(spark), "payload",
+          Map("cpu" -> (("ProcessCpuLoad", DoubleType)),
+            "cores" -> (("AvailableProcessors", LongType))))
+          .select("node", "cpu", "cores").head()
+        assert(os.getString(0) === "coordinator")
+        assert(os.getDouble(1) >= 0.0)
+        assert(os.getLong(2) >= 1L)
+
+        // fixture QueryManager: exact values through the typed projection,
+        // dotted decayed-counter names included; the string attribute is
+        // skipped by the numeric scan (not an empty payload)
+        val qs = JmxJson.parsePayloads(f.fetchQueryStats(spark), "payload",
+          Map("running" -> (("RunningQueries", LongType)),
+            "queued" -> (("QueuedQueries", LongType)),
+            "completed5m" -> (("CompletedQueries.FiveMinute.Count", DoubleType)),
+            "failed5m" -> (("FailedQueries.FiveMinute.Count", DoubleType))))
+          .select("running", "queued", "completed5m", "failed5m").head()
+        assert(qs.getLong(0) === 2L && qs.getLong(1) === 0L)
+        assert(qs.getDouble(2) === 3.5 && qs.getDouble(3) === 0.25)
+
+        // ClusterSizeMonitor: the scaling hint rides the same shape
+        val req = JmxJson.parsePayloads(f.fetchRequiredWorkers(spark), "payload",
+          Map("required" -> (("RequiredWorkers", LongType))))
+          .select("required").head().getLong(0)
+        assert(req === 7L)
+      } finally f.close()
+    }
+  }
+
+  test("S2: dead registry degrades to empty payloads, never an aborted tick") {
+    val f = new JmxRmiFetcher("service:jmx:rmi:///jndi/rmi://localhost:1/jmxrmi")
+    import spark.implicits._
+    val payloads = f.fetchPayloads(spark).select("payload").as[String].collect()
+    assert(payloads.toSeq === Seq(""))
+    // empty payload -> empty attribute map -> zero-fill (the REST
+    // fetcher's exact failure posture)
+    val parsed = JmxJson.parsePayloads(f.fetchQueryStats(spark), "payload",
+      Map("running" -> (("RunningQueries", LongType)))).select("running").head()
+    assert(parsed.getLong(0) === 0L)
+  }
+
+  test("S9: jmxUrl selects the live JMX-RMI transport for the emr strategy") {
+    assert(MetricsFetcher("emr",
+      jmxUrl = Some("service:jmx:rmi:///jndi/rmi://localhost:9080/jmxrmi"))
+      .isInstanceOf[JmxRmiFetcher])
+    assert(MetricsFetcher("emr").isInstanceOf[FixtureFetcher])
+  }
+}
