@@ -143,11 +143,17 @@ object MetricsPipeline {
       samples: DataFrame,
       manager: ScalingManager,
       decisions: mutable.Buffer[Decision],
-      windowN: Int = MetricsDataPointsOneMin): DataStreamWriter[Row] =
+      windowN: Int = MetricsDataPointsOneMin,
+      activity: () => QueryActivity = () => QueryActivity.AssumeActive,
+      requiredWorkers: () => Int = () => 0): DataStreamWriter[Row] =
     samples.writeStream
       .outputMode("update")
       .trigger(Trigger.ProcessingTime(s"$MetricsEvaluationIntervalSec seconds"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        evaluateWindow(batch, manager, windowN, batchId).foreach(decisions += _)
+        // providers are re-read per micro-batch — the streaming analog of
+        // the polling loop's per-tick QueryManager/ClusterSizeMonitor
+        // scrape (same gauges, same cascade)
+        evaluateWindow(batch, manager, windowN, batchId,
+          activity(), requiredWorkers()).foreach(decisions += _)
       }
 }

@@ -147,6 +147,22 @@ class MetricAnalyticsSpec extends SparkSpec {
     assert(trunc === (("a", 2L, 5.0)))
   }
 
+  test("ewmaGauge: a NaN sample poisons the recurrence onward (no silent restart)") {
+    // the uninitialized-accumulator sentinel is NULL, not NaN: a genuine
+    // NaN mid-window must propagate through every later step (the
+    // oracle's init-less list_reduce behavior), never restart the fold
+    val df = Seq(
+      (new Timestamp(1000L), 1L, "a", 4.0),
+      (new Timestamp(2000L), 2L, "a", Double.NaN),
+      (new Timestamp(3000L), 3L, "a", 8.0),
+      (new Timestamp(1000L), 1L, "b", 2.0) // control key: unaffected
+    ).toDF("ts", "event_id", "node", "value")
+    val got = MetricAnalytics.ewmaGauge(df, "node", "value", "ts", "event_id")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got("a").isNaN, "NaN must poison the recurrence, not restart it")
+    assert(got("b") === 2.0)
+  }
+
   test("robustOutliers: MAD flags the spike a mean/stddev z-score masks") {
     // node A: stable 10.0 with TWO spikes — the second spike inflates a
     // mean/stddev enough to mask the first; median/MAD flags both.

@@ -139,6 +139,50 @@ class StreamingSpec extends SparkSpec {
     assert(workers.requested === 10)
   }
 
+  test("streaming loop threads activity + scaling hint: drain-hold then hinted EXPAND") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    var now = 1000000000L
+    var completed5m = 2.5 // draining: last queries finished < 5 min ago
+    var hint = 0
+    val workers = new SimulatedWorkers(2, 20, concurrent = true,
+      groupIds = Seq("g-1"), clock = () => now)
+    workers.resize(6); workers.settle()
+    val mgr = new ScalingManager(workers,
+      new StepScalingAlgorithm(new CpuLoadEvaluator, 2, 20), () => now)
+    val decisions = mutable.Buffer.empty[MetricsPipeline.Decision]
+    val writer = MetricsPipeline.attachControlLoop(
+      input.toDF().toDF("ts", "node", "value"), mgr, decisions,
+      activity = () => graft.model.QueryActivity(0, 0, 0, 0, completed5m, 0, 0),
+      requiredWorkers = () => hint)
+    def drain(): Unit = {
+      val q = writer.trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination(60000) finally q.stop()
+      workers.settle(); now += 15000L
+    }
+
+    // batch 1: running=queued=0 but a decayed counter >= 1 → NOT idle,
+    // mid CPU → no action; the cluster must hold its 6 workers
+    input.addData(Seq(sample(0, "n1", 0.6), sample(0, "n2", 0.6)): _*)
+    drain()
+    assert(decisions.isEmpty && workers.requested === 6,
+      "draining stream must not idle-shrink")
+
+    // batch 2: a ClusterSizeMonitor hint arrives → EXPAND to required
+    // regardless of the (still cold) CPU window
+    hint = 11
+    input.addData(Seq(sample(1, "n1", 0.6), sample(1, "n2", 0.6)): _*)
+    drain()
+    assert(decisions.map(d => (d.action, d.capacity)).toList === List(("EXPAND", 11)))
+
+    // batch 3: hint gone, counters decayed → genuinely idle → shrink-to-min
+    hint = 0; completed5m = 0.3
+    input.addData(Seq(sample(2, "n1", 0.6), sample(2, "n2", 0.6)): _*)
+    drain()
+    assert(decisions.last.action === "SHRINK" && decisions.last.capacity === 2)
+  }
+
   test("streaming golden trace: cold → overload → cooldown gate → drain") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
