@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Domain-mixture rebalancing — the "data mixing" step of a training-data
+ * pipeline: given a multi-source corpus whose source proportions are
+ * whatever the crawl produced, downsample the over-represented sources so
+ * every source contributes (up to) an equal share of the kept corpus.
+ *
+ * Deterministic and reproducible by construction: the keep decision for a
+ * document is a pure function of its id (portable rolling hash → uniform
+ * key in [0, M)), the corpus size, and its source's size — no RNG state,
+ * so reruns, retries, and the DuckDB oracle all agree bit-for-bit, and a
+ * document's fate never depends on partitioning.
+ *
+ * Keep rule for source s with n_s docs out of N total across S sources:
+ * keep iff `u · n_s · S < N · M` — the integer cross-multiplied form of
+ * `u/M < (N/S)/n_s` (the uniform target share over the source's actual
+ * share). Sources at or below their fair share keep everything; a source
+ * with k× its fair share keeps ~1/k of its docs.
+ *
+ * Scale shape: ONE map-side pass over the corpus; the per-source counts
+ * and the (N, S) totals are dimension-sized aggregates that broadcast
+ * back (no corpus shuffle). Long arithmetic is exact while
+ * `M · n_s · S < 2^63` (n_s up to ~10^12 at M = 10^6); past that, cast
+ * the comparison operands to decimal — DuckDB's BIGINT auto-promotes to
+ * HUGEINT at the same boundary.
+ */
+object Mixture {
+
+  /** Uniform-share keep key space: hash(doc_id || ":mix") mod M. */
+  val M = 1000000L
+
+  /** Per-doc uniform rebalancing verdict:
+    * (idCol, sourceCol, mix_key, kept). */
+  def rebalanceUniform(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    val counts = docs.groupBy(sourceCol).agg(count(lit(1)).as("n_src"))
+    val totals = docs.agg(count(lit(1)).as("n_total"),
+      countDistinct(col(sourceCol)).as("n_sources"))
+    val u = pmod(graft.functions.HashExpressions.rolling_hash(
+      concat(col(idCol).cast("string"), lit(":mix"))), lit(M))
+    docs
+      .join(broadcast(counts), sourceCol)
+      .crossJoin(broadcast(totals)) // 1-row totals scaffold
+      .select(col(idCol), col(sourceCol), u.as("mix_key"),
+        (u * col("n_src") * col("n_sources") <
+          col("n_total") * lit(M)).as("kept"))
+  }
+}

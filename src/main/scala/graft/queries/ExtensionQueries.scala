@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Components, Dedup, KMeans, Multimodal, Packing, Profiling, Similarity, TextAnalysis}
+import graft.ext.{Components, Dedup, KMeans, Mixture, Multimodal, Packing, Profiling, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -698,6 +698,16 @@ object ExtensionQueries {
     // each source partition — the shuffle key is the source, so skew risk
     // is one hot domain; at 100 TB a hot source would be pre-filtered by
     // the same groupBy-count + anti-join pattern the LSH caps use.
+    // domain-mixture rebalancing (ext.Mixture): deterministic
+    // hash-sampled downsampling of over-represented sources to uniform
+    // target shares — one map-side pass, dimension-sized count frames
+    // broadcast back, integer cross-multiplied keep rule (no float
+    // rate compare to drift between engines)
+    "x51_mix_rebalance" -> ((s, dir) =>
+      Mixture.rebalanceUniform(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), col("mix_key"), col("kept"))
+        .orderBy("doc_id")),
+
     "x39_source_cap" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
@@ -1140,6 +1150,21 @@ object ExtensionQueries {
          |  CASE WHEN split_key < 90 THEN 'train'
          |       WHEN split_key < 95 THEN 'val' ELSE 'test' END AS split
          |FROM k ORDER BY doc_id""".stripMargin,
+
+    "x51_mix_rebalance" ->
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         |  FROM documents),
+         |k AS (SELECT doc_id, source,
+         |    ${sqlStringHash("CAST(doc_id AS VARCHAR) || ':mix'")} % ${Mixture.M}
+         |      AS mix_key
+         |  FROM documents)
+         |SELECT k.doc_id, k.source, k.mix_key,
+         |  k.mix_key * c.n_src * t.n_sources < t.n_total * ${Mixture.M} AS kept
+         |FROM k JOIN c USING (source) CROSS JOIN t
+         |ORDER BY k.doc_id""".stripMargin,
 
     "x39_source_cap" ->
       s"""SELECT doc_id, source, n_chars,

@@ -323,4 +323,27 @@ class ExtSpec extends SparkSpec {
       .as[Double].collect()
     sums.foreach(s => assert(math.abs(s - 1.0) < 1e-5))
   }
+
+  test("mixture rebalance: under-represented sources keep everything; rule is exact") {
+    // source "a" holds 8/10 docs (1.6x its fair share of 5), "b" holds 2
+    val d = ((0 until 8).map(i => (i.toLong, "a")) ++
+      Seq((100L, "b"), (101L, "b"))).toDF("doc_id", "source")
+    val out = Mixture.rebalanceUniform(d)
+      .select("doc_id", "source", "mix_key", "kept")
+      .as[(Long, String, Long, Boolean)].collect()
+    assert(out.length === 10)
+    // a source at or below fair share never loses a doc: u*2*2 < 10*M
+    // holds for every u < M
+    assert(out.filter(_._2 == "b").forall(_._4), "small source must keep all")
+    // the verdict is exactly the integer cross-multiplied rule on the
+    // emitted key — no hidden float rate anywhere
+    out.foreach { case (_, src, u, kept) =>
+      val nSrc = if (src == "a") 8L else 2L
+      assert(kept === (u * nSrc * 2L < 10L * Mixture.M))
+    }
+    // determinism: a doc's fate is a pure function of its id
+    val again = Mixture.rebalanceUniform(d)
+      .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+    out.foreach { case (id, _, _, kept) => assert(again(id) === kept) }
+  }
 }

@@ -263,6 +263,14 @@ class PlanAuditSpec extends SparkSpec {
       s"expected partial window-group-limit before the exchange:\n$p")
   }
 
+  test("x51: mixture rebalance broadcasts the count frames; corpus never sort-merges") {
+    val p = planOf("x51_mix_rebalance")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source counts must broadcast back to the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus side must never sort-merge against a count frame:\n$p")
+  }
+
   test("x48: span cut is a range-residual anti join, never a cartesian") {
     val p = planOf("x48_cut_spans")
     assert(p.contains("LeftAnti"), s"the cut must be an anti join:\n$p")
