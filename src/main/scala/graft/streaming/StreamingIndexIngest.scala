@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.ext.KMeans
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.{DataFrame, Row}
+
+/**
+ * Streaming ANN-index ingest — the unbounded counterpart of
+ * [[graft.ext.Similarity.writeIvfIndex]] for an arriving embedding
+ * stream: each micro-batch of new vectors is assigned to its trained IVF
+ * coarse list (map-side — the m·k centroid literals ride in the plan, no
+ * shuffle, no join) and APPENDED to the partition-pruned index layout,
+ * so [[graft.ext.Similarity.probeIvfIndex]] sees new vectors at the next
+ * probe without any corpus re-read or index rebuild.
+ *
+ * The batch/streaming split mirrors IVF practice at scale: the coarse
+ * quantizer is trained offline on a sample (drift retraining is a
+ * periodic batch job); ingest only ever ENCODES against the frozen
+ * centroids, which is embarrassingly parallel and partition-local.
+ * Duplicate ids within a batch resolve deterministically (lowest id
+ * first — dropDuplicates on the id after an in-batch min); cross-batch
+ * re-arrivals are the upstream dedup's contract
+ * ([[StreamingDedup.firstWins]] composes in front of this sink).
+ *
+ * Delivery: with a checkpoint, completed batches are never re-appended
+ * across restarts; a failure INSIDE a batch re-runs that batch's append
+ * (at-least-once — `foreachBatch`'s contract). A recovery path that
+ * needs exactness dedupes on the id at probe time or re-bootstraps the
+ * index from the batch corpus.
+ */
+object StreamingIndexIngest {
+
+  /** Attach the ingest sink; caller starts the writer with its own
+    * checkpoint/trigger options. */
+  def attach(
+      vectors: DataFrame,
+      path: String,
+      centroids: Seq[KMeans.Centroid],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataStreamWriter[Row] =
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          KMeans.assign(batch.dropDuplicates(idCol), centroids, idCol, vecCol)
+            .withColumnRenamed("cluster", "list")
+            .write.partitionBy("list").mode("append").parquet(path)
+      }
+}

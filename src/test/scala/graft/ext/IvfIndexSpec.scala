@@ -17,6 +17,51 @@ class IvfIndexSpec extends SparkSpec {
     }.toDF("vec_id", "embedding")
   }
 
+  test("streaming ingest: two appended micro-batches == one full batch index build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val all = corpus()
+    val base = all.filter(col("vec_id") < 15)
+    val cents = KMeans.fit(base, k = 3, iters = 3, vecCol = "embedding")
+    val grown = java.nio.file.Files.createTempDirectory("graft-ivf-s").toString
+    val full = java.nio.file.Files.createTempDirectory("graft-ivf-f").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivf-c").toString
+    try {
+      // batch bootstrap from the trained sample, then stream the rest in
+      Similarity.writeIvfIndex(base, grown, cents)
+      val input = MemoryStream[(Long, Seq[Float])]
+      // ONE checkpoint across restarts: the second drain must resume
+      // after batch 1, not re-append it (exactly-once on the index path)
+      val writer = graft.streaming.StreamingIndexIngest.attach(
+        input.toDF().toDF("vec_id", "embedding"), grown, cents)
+        .option("checkpointLocation", ckpt)
+      def drain(lo: Long, hi: Long): Unit = {
+        input.addData(all.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .as[(Long, Seq[Float])].collect(): _*)
+        val q = writer.trigger(
+          org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination(60000) finally q.stop()
+      }
+      drain(15L, 30L)
+      drain(30L, 45L)
+      // a probe over the grown index == the same probe over an index
+      // built from the full corpus in one batch write
+      Similarity.writeIvfIndex(all, full, cents)
+      val queries = all.filter(col("vec_id") < 3)
+      def probe(dir: String) =
+        Similarity.probeIvfIndex(spark, dir, queries, k = 3, cents, nprobe = 3)
+          .select("query_id", "rank", "neighbor_id")
+          .as[(Long, Int, Long)].collect().toSet
+      val g = probe(grown)
+      assert(g === probe(full))
+      assert(g.nonEmpty && g.exists(_._3 >= 15L),
+        "streamed vectors must be reachable from the probe")
+    } finally {
+      Seq(grown, full, ckpt).foreach(d => org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   test("written index round-trips; nprobe=1 probe equals the trained in-memory probe") {
     val df = corpus()
     val cents = KMeans.fit(df, k = 3, iters = 3, vecCol = "embedding")
