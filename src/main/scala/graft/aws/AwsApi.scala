@@ -210,6 +210,27 @@ class EmrApiClient(endpoint: String, settings: AwsSettings = AwsSettings()) {
   private def textOf(n: JsonNode, field: String, default: String = ""): String =
     Option(n.get(field)).map(_.asText).getOrElse(default)
 
+  /** Drain a paginated EMR list call: the List* operations return one
+    * page plus a `Marker` cursor — a large cluster's instance list does
+    * NOT fit one response, and reading only page 1 would silently
+    * truncate the topology the resize/suspension logic sees. Page count
+    * is defensively bounded (a misbehaving endpoint echoing a constant
+    * marker must not hang the tick). */
+  private def paged(op: String, body: ObjectNode, arrayField: String): Seq[JsonNode] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[JsonNode]
+    var marker: Option[String] = None
+    var pages = 0
+    while (pages == 0 || (marker.isDefined && pages < 100)) {
+      val b = body.deepCopy()
+      marker.foreach(b.put("Marker", _))
+      val resp = call(op, b)
+      out ++= resp.path(arrayField).elements().asScala
+      marker = Option(resp.get("Marker")).map(_.asText).filter(_.nonEmpty)
+      pages += 1
+    }
+    out.toSeq
+  }
+
   /** S7 — DescribeCluster; returns the instance collection type
     * (INSTANCE_GROUP | INSTANCE_FLEET), the factory dispatch input
     * (reference: cluster/Workers.scala:76-81). */
@@ -220,8 +241,8 @@ class EmrApiClient(endpoint: String, settings: AwsSettings = AwsSettings()) {
 
   /** S6 — ListInstanceGroups (reference: cluster/Workers.scala:151-157). */
   def listInstanceGroups(clusterId: String): Seq[EmrGroup] = {
-    val resp = call("ListInstanceGroups", obj().put("ClusterId", clusterId))
-    resp.path("InstanceGroups").elements().asScala.map { g =>
+    paged("ListInstanceGroups", obj().put("ClusterId", clusterId),
+      "InstanceGroups").map { g =>
       EmrGroup(
         id = textOf(g, "Id"),
         name = textOf(g, "Name"),
@@ -237,8 +258,8 @@ class EmrApiClient(endpoint: String, settings: AwsSettings = AwsSettings()) {
 
   /** S6 — ListInstanceFleets (reference: cluster/Workers.scala:351-365). */
   def listInstanceFleets(clusterId: String): Seq[EmrFleet] = {
-    val resp = call("ListInstanceFleets", obj().put("ClusterId", clusterId))
-    resp.path("InstanceFleets").elements().asScala.map { f =>
+    paged("ListInstanceFleets", obj().put("ClusterId", clusterId),
+      "InstanceFleets").map { f =>
       EmrFleet(
         id = textOf(f, "Id"),
         name = textOf(f, "Name"),
@@ -259,8 +280,7 @@ class EmrApiClient(endpoint: String, settings: AwsSettings = AwsSettings()) {
   def listInstances(clusterId: String, groupId: Option[String] = None): Seq[EmrInstance] = {
     val body = obj().put("ClusterId", clusterId)
     groupId.foreach(body.put("InstanceGroupId", _))
-    val resp = call("ListInstances", body)
-    resp.path("Instances").elements().asScala.map { i =>
+    paged("ListInstances", body, "Instances").map { i =>
       EmrInstance(
         id = textOf(i, "Id"),
         ec2InstanceId = textOf(i, "Ec2InstanceId"),

@@ -265,6 +265,29 @@ class AwsBoundarySpec extends AnyFunSuite {
 
   // ---- retry policy --------------------------------------------------
 
+  test("S5 pagination: ListInstances drains the Marker cursor across pages") {
+    def inst(id: String) =
+      s"""{"Id":"$id","Ec2InstanceId":"i-$id","Status":{"State":"RUNNING"},
+         |"PrivateIpAddress":"10.0.0.1"}""".stripMargin
+    withStub { (target, body) =>
+      if (target.endsWith("ListInstances")) {
+        if (body.contains("\"Marker\":\"p3\"")) s"""{"Instances":[${inst("ci-3")}]}"""
+        else if (body.contains("\"Marker\":\"p2\""))
+          s"""{"Instances":[${inst("ci-2")}],"Marker":"p3"}"""
+        else s"""{"Instances":[${inst("ci-1")}],"Marker":"p2"}"""
+      } else "{}"
+    } { (url, recorded) =>
+      val client = new EmrApiClient(url, settings)
+      val got = client.listInstances("j-TEST")
+      assert(got.map(_.id) === Seq("ci-1", "ci-2", "ci-3"),
+        "a multi-page instance list must be drained, not truncated at page 1")
+      assert(recorded.count(_.target.endsWith("ListInstances")) === 3)
+      // the cursor echoes back exactly as received
+      assert(recorded(1).body.contains("\"Marker\":\"p2\""))
+      assert(recorded(2).body.contains("\"Marker\":\"p3\""))
+    }
+  }
+
   test("retry: 5xx retries with re-sign, terminal 4xx does not") {
     var calls = 0
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
