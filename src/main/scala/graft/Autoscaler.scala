@@ -77,9 +77,13 @@ object Autoscaler {
       val activity = {
         val payloads = fetcher.fetchQueryStats(spark)
           .select(col("payload")).as[String].collect().filter(_.nonEmpty)
-        if (payloads.isEmpty) QueryActivity.AssumeActive
-        else {
-          val r = JmxJson.parsePayloads(
+        // the gate is the RunningQueries gauge being PRESENT, not the
+        // payload being non-blank: a malformed or attribute-less payload
+        // (degraded scrape) would otherwise zero-fill running/queued and
+        // every counter — reading as idle, which shrinks to min
+        val parsed =
+          if (payloads.isEmpty) Array.empty[org.apache.spark.sql.Row]
+          else JmxJson.parsePayloads(
             payloads.toSeq.toDF("payload"), "payload",
             Map("running" -> (("RunningQueries", LongType)),
               "queued" -> (("QueuedQueries", LongType)),
@@ -88,13 +92,17 @@ object Autoscaler {
               "completed5m" -> (("CompletedQueries.FiveMinute.Count", DoubleType)),
               "failed5m" -> (("FailedQueries.FiveMinute.Count", DoubleType)),
               "submitted5m" -> (("SubmittedQueries.FiveMinute.Count", DoubleType)),
-              "failed1m" -> (("FailedQueries.OneMinute.Count", DoubleType))))
+              "failed1m" -> (("FailedQueries.OneMinute.Count", DoubleType))),
+            keepWhenPresent = Some("RunningQueries"))
             .select(col("running"), col("queued"), col("abandoned5m"),
               col("canceled5m"), col("completed5m"), col("failed5m"),
-              col("submitted5m"), col("failed1m")).head()
-          QueryActivity(r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2),
-            r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
-            r.getDouble(7))
+              col("submitted5m"), col("failed1m")).collect()
+        parsed.headOption match {
+          case None => QueryActivity.AssumeActive
+          case Some(r) =>
+            QueryActivity(r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2),
+              r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+              r.getDouble(7))
         }
       }
       // ClusterSizeMonitor scaling hint (reference:
@@ -170,7 +178,12 @@ object Autoscaler {
 
     // strategy selection: a coordinator URL → REST scrape; a JMX service
     // URL → coordinator-local JMX-RMI (the reference's TrinoJmxEmr
-    // transport); neither → fixture replay
+    // transport); neither → fixture replay. BOTH is a misconfiguration —
+    // failing loud beats silently scraping over the transport the
+    // operator didn't think was active.
+    if (coordinator.isDefined && jmxUrl.isDefined)
+      throw new IllegalArgumentException(
+        "--coordinator and --jmx-url select different transports; pass one")
     val fetcher = MetricsFetcher(
       if (coordinator.isDefined) "rest" else "emr",
       coordinatorUrl = coordinator,

@@ -316,14 +316,18 @@ object MetricAnalytics {
           transform(
             array_sort(collect_list(struct(col(tsCol), col(ordCol), col(valCol)))),
             x => x.getField(valCol)),
-          // null sentinel, NOT NaN: the fold starts at the first sample
-          // (the oracle's init-less list_reduce), and a genuine NaN
-          // sample mid-window must POISON the recurrence onward exactly
-          // as it does in the oracle — a NaN sentinel would silently
-          // restart it there instead
-          lit(null).cast("double"),
-          (acc, x) => when(acc.isNull, x)
-            .otherwise(lit(alpha) * x + lit(1 - alpha) * acc)).as("ewma"))
+          // "fold started" rides a struct flag, NOT an in-band sentinel:
+          // a NaN (or NULL) sentinel is indistinguishable from a genuine
+          // NaN/NULL sample and would silently RESTART the recurrence at
+          // the next sample; with the flag, the first sample initializes
+          // y and any NaN/NULL sample poisons the recurrence onward —
+          // exactly the oracle's init-less list_reduce semantics
+          struct(lit(false).as("started"), lit(0.0).as("y")),
+          (acc, x) => struct(lit(true).as("started"),
+            when(!acc.getField("started"), x)
+              .otherwise(lit(alpha) * x + lit(1 - alpha) * acc.getField("y"))
+              .as("y")),
+          acc => when(acc.getField("started"), acc.getField("y"))).as("ewma"))
   }
 
   /** Per-key robust outlier summary: median, MAD, and how many samples

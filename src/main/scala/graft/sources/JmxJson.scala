@@ -54,13 +54,21 @@ object JmxJson {
     get_json_object(json, path)
 
   /** P1+P2 composed: parse a frame of raw mbean payloads into typed metric
-    * columns. `fields` maps output column name → (attribute name, type). */
+    * columns. `fields` maps output column name → (attribute name, type).
+    * `keepWhenPresent` drops rows whose attribute map lacks the named
+    * attribute — the caller's "this gauge was actually scraped" gate,
+    * distinguishing a degraded/malformed payload (which would otherwise
+    * zero-fill EVERY field) from a genuine zero reading. */
   def parsePayloads(
       df: DataFrame,
       jsonCol: String,
-      fields: Map[String, (String, DataType)]): DataFrame = {
+      fields: Map[String, (String, DataType)],
+      keepWhenPresent: Option[String] = None): DataFrame = {
     val withMap = df.withColumn("__attrs", attributesToMap(col(jsonCol)))
-    fields.foldLeft(withMap) { case (acc, (out, (attr, t))) =>
+    val gated = keepWhenPresent.foldLeft(withMap) { (acc, attr) =>
+      acc.filter(element_at(col("__attrs"), attr).isNotNull)
+    }
+    fields.foldLeft(gated) { case (acc, (out, (attr, t))) =>
       acc.withColumn(out, typedAttr(col("__attrs"), attr, t))
     }.drop("__attrs")
   }

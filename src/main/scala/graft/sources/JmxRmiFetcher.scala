@@ -56,21 +56,36 @@ class JmxRmiFetcher(
     * shape, which the whole parse path consumes). Non-numeric attributes
     * are skipped — the reference reads only numeric gauges, and numbers
     * need no JSON string escaping. */
+  /** Render one numeric attribute as a JSON member — FINITE values only:
+    * a NaN/Infinity gauge (idle-coordinator decayed stats, containerized
+    * CpuLoad) interpolated raw would make the whole payload unparseable
+    * JSON, zero-filling every gauge downstream into a false idle. */
+  private def jsonAttr(n: String, v: Any): Option[String] = v match {
+    case d: java.lang.Double if d.isNaN || d.isInfinite => None
+    case f: java.lang.Float if f.isNaN || f.isInfinite => None
+    case v: java.lang.Number => Some(s"""{"name":"$n","value":$v}""")
+    case v: java.lang.Boolean => Some(s"""{"name":"$n","value":${if (v) 1 else 0}}""")
+    case _ => None
+  }
+
   private[sources] def payloadOf(objName: String): String = {
     connection() match {
       case None => ""
       case Some(mbs) =>
         try {
           val on = new ObjectName(objName)
-          val names = mbs.getMBeanInfo(on).getAttributes
-            .filter(_.isReadable).map(_.getName)
+          val names =
+            // a PERMANENTLY absent mbean (older engine without the
+            // ClusterSizeMonitor) is an empty payload, NOT a connection
+            // failure — it must not tear down the connector the other
+            // two per-tick scrapes share
+            try mbs.getMBeanInfo(on).getAttributes
+              .filter(_.isReadable).map(_.getName)
+            catch { case _: javax.management.InstanceNotFoundException =>
+              Array.empty[String] }
           val attrs = names.flatMap { n =>
-            try mbs.getAttribute(on, n) match {
-              case v: java.lang.Number => Some(s"""{"name":"$n","value":$v}""")
-              case v: java.lang.Boolean =>
-                Some(s"""{"name":"$n","value":${if (v) 1 else 0}}""")
-              case _ => None
-            } catch { case NonFatal(_) => None }
+            try jsonAttr(n, mbs.getAttribute(on, n))
+            catch { case NonFatal(_) => None }
           }
           s"""{"attributes":[${attrs.mkString(",")}]}"""
         } catch {

@@ -18,9 +18,9 @@ import org.apache.spark.sql.{DataFrame, Row}
  * quantizer is trained offline on a sample (drift retraining is a
  * periodic batch job); ingest only ever ENCODES against the frozen
  * centroids, which is embarrassingly parallel and partition-local.
- * Duplicate ids within a batch resolve deterministically (lowest id
- * first — dropDuplicates on the id after an in-batch min); cross-batch
- * re-arrivals are the upstream dedup's contract
+ * Duplicate ids within a batch resolve deterministically (min over the
+ * vector per id — a pure function of batch contents, not partition
+ * order); cross-batch re-arrivals are the upstream dedup's contract
  * ([[StreamingDedup.firstWins]] composes in front of this sink).
  *
  * Delivery: with a checkpoint, completed batches are never re-appended
@@ -42,9 +42,17 @@ object StreamingIndexIngest {
     vectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          KMeans.assign(batch.dropDuplicates(idCol), centroids, idCol, vecCol)
+        if (!batch.isEmpty) {
+          // duplicate ids inside a batch resolve by MIN over the vector
+          // (arrays order lexicographically) — a pure function of the
+          // batch CONTENTS, unlike dropDuplicates' partition-order pick,
+          // so the documented at-least-once batch replay re-appends the
+          // identical row
+          val dedup = batch.groupBy(col(idCol))
+            .agg(min(col(vecCol)).as(vecCol))
+          KMeans.assign(dedup, centroids, idCol, vecCol)
             .withColumnRenamed("cluster", "list")
             .write.partitionBy("list").mode("append").parquet(path)
+        }
       }
 }

@@ -33,6 +33,8 @@ class AutoscalerSpec extends SparkSpec {
       import s.implicits._
       queries() match {
         case None => Seq("").toDF("payload")
+        case Some((-1L, _)) => // degraded scrape: non-blank, no gauges
+          Seq("""{"attributes":[]}""").toDF("payload")
         case Some((run, q)) => Seq(
           s"""{"attributes":[{"name":"RunningQueries","value":$run},
              |{"name":"QueuedQueries","value":$q},
@@ -115,6 +117,13 @@ class AutoscalerSpec extends SparkSpec {
     queries = None
     loop.tick(); workers.settle(); now += 15000L
     assert(workers.requested === 8, "blank query stats must not idle-shrink")
+
+    // attribute-less payload (degraded scrape, non-blank): the gate is
+    // the RunningQueries gauge being PRESENT - zero-filling it would
+    // read as idle and shrink a busy cluster to min
+    queries = Some((-1L, -1L)) // sentinel: StubFetcher emits an empty attribute list
+    loop.tick(); workers.settle(); now += 15000L
+    assert(workers.requested === 8, "attribute-less stats must not idle-shrink")
 
     // truly idle: running=queued=0 -> immediate shrink to minCapacity
     queries = Some((0L, 0L))

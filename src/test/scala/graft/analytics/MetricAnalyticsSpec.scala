@@ -163,6 +163,20 @@ class MetricAnalyticsSpec extends SparkSpec {
     assert(got("b") === 2.0)
   }
 
+  test("ewmaGauge: a NULL sample also poisons the recurrence (flag, not sentinel)") {
+    // the started-flag accumulator distinguishes "fold not started" from
+    // a genuine NULL mid-window — an in-band NULL sentinel would restart
+    // the recurrence at the 8.0 instead of propagating the NULL
+    val df = Seq(
+      (new Timestamp(1000L), 1L, "a", Some(4.0)),
+      (new Timestamp(2000L), 2L, "a", None),
+      (new Timestamp(3000L), 3L, "a", Some(8.0))
+    ).toDF("ts", "event_id", "node", "value")
+    val row = MetricAnalytics.ewmaGauge(df, "node", "value", "ts", "event_id")
+      .select("ewma").head()
+    assert(row.isNullAt(0), "NULL must propagate to the gauge, not restart it")
+  }
+
   test("robustOutliers: MAD flags the spike a mean/stddev z-score masks") {
     // node A: stable 10.0 with TWO spikes — the second spike inflates a
     // mean/stddev enough to mask the first; median/MAD flags both.

@@ -45,8 +45,15 @@ class JmxRmiFetcherSpec extends SparkSpec {
     val mbs = ManagementFactory.getPlatformMBeanServer
     val qmName = new ObjectName("trino.execution:name=QueryManager")
     val szName = new ObjectName("trino.execution:name=ClusterSizeMonitor")
-    val port = 19780 + scala.util.Random.nextInt(200)
-    LocateRegistry.createRegistry(port)
+    // retry across candidate ports (a parallel suite or leftover
+    // registry on one port must not flake the test), and unexport the
+    // registry afterwards so reruns in the same JVM find a free slot
+    val (registry, port) = (0 until 20).iterator.map { i =>
+      val p = 19780 + ((scala.util.Random.nextInt(2000) + i * 7) % 2000)
+      try Some((LocateRegistry.createRegistry(p), p))
+      catch { case _: java.rmi.server.ExportException => None }
+    }.collectFirst { case Some(r) => r }
+      .getOrElse(fail("no free RMI registry port after 20 attempts"))
     val url = s"service:jmx:rmi:///jndi/rmi://localhost:$port/jmxrmi"
     var server: JMXConnectorServer = null
     try {
@@ -55,6 +62,9 @@ class JmxRmiFetcherSpec extends SparkSpec {
         "QueuedQueries" -> java.lang.Long.valueOf(0L),
         "CompletedQueries.FiveMinute.Count" -> java.lang.Double.valueOf(3.5),
         "FailedQueries.FiveMinute.Count" -> java.lang.Double.valueOf(0.25),
+        // a NaN gauge (idle decayed stat) must be SKIPPED, not
+        // interpolated into the JSON where it would poison the payload
+        "AbandonedQueries.FiveMinute.Count" -> java.lang.Double.valueOf(Double.NaN),
         "QueryManagerExecutor.PoolSize" -> "not-a-number")), qmName)
       mbs.registerMBean(new FixtureMBean(Map(
         "RequiredWorkers" -> java.lang.Long.valueOf(7L))), szName)
@@ -66,6 +76,8 @@ class JmxRmiFetcherSpec extends SparkSpec {
       if (server != null) try server.stop() catch { case _: Throwable => () }
       try mbs.unregisterMBean(qmName) catch { case _: Throwable => () }
       try mbs.unregisterMBean(szName) catch { case _: Throwable => () }
+      try java.rmi.server.UnicastRemoteObject.unexportObject(registry, true)
+      catch { case _: Throwable => () }
     }
   }
 
@@ -84,13 +96,15 @@ class JmxRmiFetcherSpec extends SparkSpec {
         assert(os.getLong(2) >= 1L)
 
         // fixture QueryManager: exact values through the typed projection,
-        // dotted decayed-counter names included; the string attribute is
-        // skipped by the numeric scan (not an empty payload)
+        // dotted decayed-counter names included; the string attribute and
+        // the NaN gauge are skipped by the finite-numeric scan WITHOUT
+        // poisoning the rest of the payload
         val qs = JmxJson.parsePayloads(f.fetchQueryStats(spark), "payload",
           Map("running" -> (("RunningQueries", LongType)),
             "queued" -> (("QueuedQueries", LongType)),
             "completed5m" -> (("CompletedQueries.FiveMinute.Count", DoubleType)),
-            "failed5m" -> (("FailedQueries.FiveMinute.Count", DoubleType))))
+            "failed5m" -> (("FailedQueries.FiveMinute.Count", DoubleType))),
+          keepWhenPresent = Some("RunningQueries"))
           .select("running", "queued", "completed5m", "failed5m").head()
         assert(qs.getLong(0) === 2L && qs.getLong(1) === 0L)
         assert(qs.getDouble(2) === 3.5 && qs.getDouble(3) === 0.25)
