@@ -1,0 +1,91 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus-curation integration: the operators composed the way
+  * a training-data pipeline actually runs them —
+  *
+  *   quality/lang admission → exact dedup → near-dup keep-best →
+  *   eval decontamination → mixture rebalance → sequence packing
+  *
+  * Each stage is individually oracle-checked (x01-x51); this spec pins
+  * the COMPOSITION invariants: stages only ever narrow the corpus, every
+  * survivor decision is reproducible, nothing contaminated or duplicated
+  * survives to packing, and every packed bin respects the token budget.
+  * Runs on the sf0.001 fixture (the smoke-scale driver contract). */
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curation pipeline composes: narrowing, dedup, decontamination, budget") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"), col("text"))
+    val total = docs.count()
+
+    // 1. admission: language routed + above a floor quality score
+    val admitted = docs
+      .withColumn("lang", TextAnalysis.langId(col("text")))
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .filter(col("lang") =!= "und" && col("q") > 0.2)
+    val nAdmitted = admitted.count()
+    assert(nAdmitted > 0 && nAdmitted <= total)
+
+    // 2. exact dedup (normalized-text fingerprint, lowest id wins)
+    val deduped = Dedup.exactDedup(admitted)
+    val nDeduped = deduped.count()
+    assert(nDeduped <= nAdmitted)
+    val fps = deduped.select(TextAnalysis.fingerprint(col("text"))).as[Long].collect()
+    assert(fps.length === fps.distinct.length, "no duplicate fingerprints survive")
+
+    // 3. near-dup clusters -> keep best quality per cluster (ties: low id)
+    val clusters = Components.nearDupClusters(spark, deduped, threshold = 0.35,
+      Dedup.MinHashParams())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("q").desc, col("doc_id"))
+    val kept = deduped
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+    val nKept = kept.count()
+    assert(nKept <= nDeduped)
+
+    // 4. decontamination: docs overlapping the "benchmark" (a fixed slice
+    // of the corpus) drop out; the bench slice itself must be flagged
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val flagged = Dedup.bloomBenchOverlap(kept, bench, n = 13)
+      .filter(col("n_true_hits") > 0).select("doc_id")
+    val clean = kept.join(flagged, Seq("doc_id"), "left_anti")
+    val nClean = clean.count()
+    assert(nClean <= nKept)
+    assert(clean.join(bench, Seq("doc_id"), "left_semi").count() === 0,
+      "no benchmark-slice doc survives decontamination")
+
+    // 5. mixture rebalance: over-represented sources downsample
+    val balanced = clean.join(
+      Mixture.rebalanceUniform(clean).filter(col("kept")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val nBalanced = balanced.count()
+    assert(nBalanced > 0 && nBalanced <= nClean)
+
+    // 6. sequence packing under a hard token budget
+    val budget = 256L
+    val withTok = balanced.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") <= budget)
+    val packed = Packing.packGreedy(spark, withTok, budget = budget, shards = 4)
+    val binLoads = packed.groupBy("shard", "bin")
+      .agg(sum("n_tokens").as("load")).select("load").as[Long].collect()
+    assert(binLoads.nonEmpty && binLoads.forall(_ <= budget),
+      "every packed bin respects the token budget")
+    assert(packed.count() === withTok.count(), "packing loses no documents")
+
+    // reproducibility: the whole pipeline is deterministic end-to-end
+    val again = clean.join(
+      Mixture.rebalanceUniform(clean).filter(col("kept")).select("doc_id"),
+      Seq("doc_id"), "left_semi").count()
+    assert(again === nBalanced)
+  }
+}
