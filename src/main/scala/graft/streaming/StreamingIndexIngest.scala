@@ -10,9 +10,11 @@ import org.apache.spark.sql.{DataFrame, Row}
  * [[graft.ext.Similarity.writeIvfIndex]] for an arriving embedding
  * stream: each micro-batch of new vectors is assigned to its trained IVF
  * coarse list (map-side — the m·k centroid literals ride in the plan, no
- * shuffle, no join) and APPENDED to the partition-pruned index layout,
- * so [[graft.ext.Similarity.probeIvfIndex]] sees new vectors at the next
- * probe without any corpus re-read or index rebuild.
+ * join) and APPENDED to the partition-pruned index layout, so
+ * [[graft.ext.Similarity.probeIvfIndex]] sees new vectors at the next
+ * probe without any corpus re-read or index rebuild. The only shuffle is
+ * the in-batch id dedup agg, keyed on the id over the (bounded)
+ * micro-batch — never the accumulated index.
  *
  * The batch/streaming split mirrors IVF practice at scale: the coarse
  * quantizer is trained offline on a sample (drift retraining is a
