@@ -49,6 +49,37 @@ class KeyedControlSpec extends SparkSpec {
       ("c2", base + 1000L, "SHRINK")))
   }
 
+  test("suspension state survives a query RESTART from checkpoint (state-store recovery)") {
+    // SURVEY §7.5 risk 5: driver-held control state must survive query
+    // restarts. The suspension stamp lives in the state store keyed by
+    // group; a NEW query started from the same checkpoint must recover
+    // it — not just carry it across micro-batches of one run.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[GroupObs]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kc-ckpt").toString
+    val got = scala.collection.mutable.Buffer.empty[KeyedControl.GroupTrack]
+    def runOnce(): Unit = {
+      val q = KeyedControl.trackSuspensions(input.toDS())
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[KeyedControl.GroupTrack], _: Long) =>
+          got.synchronized { got ++= b.collect() }; ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    try {
+      input.addData(GroupObs("g1", 2000000L, "SUSPENDED", isSuspended = true, 5, 5))
+      runOnce() // query #1 stamps the suspension into the state store
+      input.addData(GroupObs("g1", 2030000L, "RUNNING", isSuspended = false, 5, 5))
+      runOnce() // query #2, fresh instance, same checkpoint
+      val byTs = got.map(t => t.tsMs -> t.isExcluded).toMap
+      assert(byTs(2000000L) === false)
+      assert(byTs(2030000L) === true,
+        "the restarted query must recover the suspension stamp from the state store")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+  }
+
   test("streaming and batch agree on suspension tracking across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[GroupObs]
