@@ -36,6 +36,7 @@ object ExtensionQueries {
   private val KmClusters = 8    // x34 trained-IVF coarse quantizer
   private val KmIters = 2
   private val SourceCapK = 10L  // x39 per-source document cap
+  private val StratK = 25L      // x52 per-source sample size
   private val CmsDepth = 4      // x41 count-min hash rows
   private val CmsWidth = 256L   // x41 count-min buckets per row
   private val BloomBits = 1L << 16 // x44 bloom sketch size (1024 words)
@@ -708,6 +709,23 @@ object ExtensionQueries {
         .select(col("doc_id"), col("source"), col("mix_key"), col("kept"))
         .orderBy("doc_id")),
 
+    // per-source exact-k stratified sample: rank docs inside each source
+    // by a deterministic uniform hash key (ties: doc id) and flag the
+    // first K — the "random K per stratum" counterpart of x39's
+    // keep-K-longest cap. One shuffle keyed on source, no global sort;
+    // a keep-only variant (filter on the rank instead of flagging) gets
+    // Spark's partial WindowGroupLimit and drops non-survivors map-side.
+    "x52_stratified_sample" -> ((s, dir) => {
+      val key = pmod(graft.functions.HashExpressions.rolling_hash(
+        concat(col("doc_id").cast("string"), lit(":strat"))), lit(Mod))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("strat_key"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), key.as("strat_key"))
+        .withColumn("sampled", row_number().over(w) <= StratK)
+        .orderBy("doc_id")
+    }),
+
     "x39_source_cap" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
@@ -1149,6 +1167,15 @@ object ExtensionQueries {
          |SELECT doc_id, cluster_id,
          |  CASE WHEN split_key < 90 THEN 'train'
          |       WHEN split_key < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "x52_stratified_sample" ->
+      s"""WITH k AS (SELECT doc_id, source,
+         |    ${sqlStringHash("CAST(doc_id AS VARCHAR) || ':strat'")} AS strat_key
+         |  FROM documents)
+         |SELECT doc_id, source, strat_key,
+         |  row_number() OVER (PARTITION BY source ORDER BY strat_key, doc_id)
+         |    <= $StratK AS sampled
          |FROM k ORDER BY doc_id""".stripMargin,
 
     "x51_mix_rebalance" ->
