@@ -61,9 +61,14 @@ object Autoscaler {
       val sp = spark
       import sp.implicits._
       val now = new Timestamp(clock())
+      // presence gate on the CPU gauge: a failed scrape's blank payload
+      // must DROP OUT of the window, not read as 0% CPU and bias the
+      // quorum toward SHRINK (reference drops empty attribute maps —
+      // TrinoJmxEmr.scala:91 `if (m.isEmpty) None`)
       val nodes = JmxJson.parsePayloads(fetcher.fetchPayloads(spark), "payload",
           Map("cpu" -> (("ProcessCpuLoad", DoubleType)),
-            "cores" -> (("AvailableProcessors", LongType))))
+            "cores" -> (("AvailableProcessors", LongType))),
+          keepWhenPresent = Some("ProcessCpuLoad"))
         .select(col("node"), col("cpu"), col("cores"))
         .as[(String, Double, Long)].collect().toSeq
       ring.enqueue(nodes.map { case (n, c, _) => (now, n, c) })

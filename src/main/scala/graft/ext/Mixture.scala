@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions._
  *
  * Scale shape: ONE map-side pass over the corpus; the per-source counts
  * and the (N, S) totals are dimension-sized aggregates that broadcast
- * back (no corpus shuffle). Long arithmetic is exact while
- * `M · n_s · S < 2^63` (n_s up to ~10^12 at M = 10^6); past that, cast
- * the comparison operands to decimal — DuckDB's BIGINT auto-promotes to
- * HUGEINT at the same boundary.
+ * back (no corpus shuffle). The keep comparison runs in decimal(38,0)
+ * unconditionally: Long would wrap silently past `M · n_s · S ≥ 2^63`
+ * (n_s ~10^12 at M = 10^6 — reachable for a 100 TB corpus) and flip
+ * verdicts, while DuckDB BIGINT×BIGINT raises on overflow rather than
+ * auto-promoting — decimal keeps both engines exact and in agreement to
+ * 38 digits. The operands are broadcast dimension columns, so the wider
+ * type costs nothing at corpus scale.
  */
 object Mixture {
 
@@ -48,7 +51,7 @@ object Mixture {
       .join(broadcast(counts), sourceCol)
       .crossJoin(broadcast(totals)) // 1-row totals scaffold
       .select(col(idCol), col(sourceCol), u.as("mix_key"),
-        (u * col("n_src") * col("n_sources") <
-          col("n_total") * lit(M)).as("kept"))
+        (u.cast("decimal(38,0)") * col("n_src") * col("n_sources") <
+          col("n_total").cast("decimal(38,0)") * lit(M)).as("kept"))
   }
 }

@@ -1189,7 +1189,8 @@ object ExtensionQueries {
          |      AS mix_key
          |  FROM documents)
          |SELECT k.doc_id, k.source, k.mix_key,
-         |  k.mix_key * c.n_src * t.n_sources < t.n_total * ${Mixture.M} AS kept
+         |  CAST(k.mix_key AS DECIMAL(38,0)) * c.n_src * t.n_sources
+         |    < CAST(t.n_total AS DECIMAL(38,0)) * ${Mixture.M} AS kept
          |FROM k JOIN c USING (source) CROSS JOIN t
          |ORDER BY k.doc_id""".stripMargin,
 

@@ -61,7 +61,7 @@ object MetricsFetcher {
             jmxUrl: Option[String] = None): MetricsFetcher =
     name.toLowerCase match {
       case "emr"  => jmxUrl
-        .map(new JmxRmiFetcher(_))
+        .map(new JmxRmiFetcher(_, user = user, password = password))
         .getOrElse(new FixtureFetcher("emr", fixtureDir))
       case "rest" => coordinatorUrl
         .map(new RestFetcher(_, user, password))
@@ -165,6 +165,42 @@ class RestFetcher(
   override def fetchPayloads(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val hosts = nodeHosts()
+    val bodies = getAll(hosts.map(h => s"$scheme://$h:$port/$JmxPath/$OsMBean"))
+    hosts.zip(bodies.map(_.getOrElse(""))).toDF("node", "payload")
+  }
+
+  /** Active-WORKER hosts from /v1/autoscale — the EMR/local-JMX
+    * strategy's node discovery (reference: TrinoJmxEmr.scala:78-90
+    * filters nodeRole=worker, nodeState=active and plucks the host out
+    * of the node URI). Distinct from [[nodeHosts]], which serves the
+    * pure-REST strategy's /v1/node view including the coordinator. */
+  private[sources] def autoscaleWorkerHosts(): Seq[String] = {
+    val body = get(s"$coordinatorUrl/v1/autoscale").getOrElse("[]")
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(body)
+      (0 until root.size()).flatMap { i =>
+        val n = root.get(i)
+        if (n.path("nodeRole").asText("").equalsIgnoreCase("worker") &&
+            n.path("nodeState").asText("").equalsIgnoreCase("active"))
+          "//([^:/]+)".r.findFirstMatchIn(n.path("nodeURI").asText(""))
+            .map(_.group(1)).filter(_.nonEmpty)
+        else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+
+  /** Per-WORKER OS-mbean scrape for the EMR/local-JMX strategy: even
+    * when query stats ride JMX-RMI, per-worker CPU can only come over
+    * REST (the coordinator's JMX registry knows nothing about worker
+    * CPUs — reference: TrinoJmxEmr.getClusterNodesCpuStats scrapes each
+    * worker's OperatingSystem mbean over HTTP). Failed nodes degrade to
+    * empty payloads; the caller gates them out with
+    * `keepWhenPresent("ProcessCpuLoad")` (the reference's
+    * `if (m.isEmpty) None` drop at TrinoJmxEmr.scala:91). */
+  private[sources] def fetchWorkerPayloads(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val hosts = autoscaleWorkerHosts()
     val bodies = getAll(hosts.map(h => s"$scheme://$h:$port/$JmxPath/$OsMBean"))
     hosts.zip(bodies.map(_.getOrElse(""))).toDF("node", "payload")
   }

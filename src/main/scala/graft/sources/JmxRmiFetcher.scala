@@ -23,14 +23,32 @@ import scala.util.control.NonFatal
  * degrades that payload to empty (→ empty attribute map → zero-fill /
  * assume-active downstream), never an aborted tick; the connector is
  * re-established on the next scrape after a failure.
+ *
+ * PER-WORKER CPU STILL RIDES REST: the coordinator-local JMX registry
+ * exposes only the coordinator's own OperatingSystem mbean, and a CPU
+ * cascade driven by coordinator CPU would step-shrink a busy cluster
+ * whose coordinator idles. The reference's local-JMX transport has the
+ * same split (TrinoJmxEmr.getClusterNodesCpuStats: /v1/autoscale node
+ * discovery + per-worker OS-mbean HTTP scrape, while memory/query/size
+ * gauges ride the RMI connector) — so [[fetchPayloads]] and
+ * [[fetchNodeList]] delegate to an embedded [[RestFetcher]] pointed at
+ * the coordinator (`restBase`, default localhost — this strategy runs ON
+ * the coordinator host), and only the coordinator-scoped gauges
+ * (QueryManager, ClusterSizeMonitor) use the JMX connector.
  */
 class JmxRmiFetcher(
     serviceUrl: String = "service:jmx:rmi:///jndi/rmi://localhost:9080/jmxrmi",
-    nodeName: String = "localhost") extends MetricsFetcher {
+    restBase: String = "http://localhost:8889",
+    user: String = "trino",
+    password: String = "",
+    nodePort: Option[Int] = None,
+    restTimeoutSeconds: Long = 5) extends MetricsFetcher {
 
   override val name: String = "emr"
 
-  private val OsMBean = "java.lang:type=OperatingSystem"
+  private val rest =
+    new RestFetcher(restBase, user, password, nodePort, restTimeoutSeconds)
+
   private val QueryMBean = "trino.execution:name=QueryManager"
   private val SizeMBean = "trino.execution:name=ClusterSizeMonitor"
 
@@ -85,7 +103,16 @@ class JmxRmiFetcher(
               Array.empty[String] }
           val attrs = names.flatMap { n =>
             try jsonAttr(n, mbs.getAttribute(on, n))
-            catch { case NonFatal(_) => None }
+            catch {
+              // connection-level failure mid-scan: rethrow so the outer
+              // handler tears the connector down NOW — swallowing it
+              // per-attribute would emit {"attributes":[]} (zero-filled
+              // gauges) and defer reconnect by a whole degraded tick
+              case io: java.io.IOException => throw io
+              // attribute-level failure (unsupported / unreadable gauge):
+              // skip the one gauge, keep the payload
+              case NonFatal(_) => None
+            }
           }
           s"""{"attributes":[${attrs.mkString(",")}]}"""
         } catch {
@@ -94,19 +121,19 @@ class JmxRmiFetcher(
     }
   }
 
-  /** One payload for the local node — the coordinator-host scrape; the
-    * cluster-wide per-node view is the REST strategy's job. */
-  override def fetchPayloads(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    Seq((nodeName, payloadOf(OsMBean))).toDF("node", "payload")
-  }
+  /** Per-WORKER OS scrape over REST (see class doc): /v1/autoscale
+    * active-worker discovery + per-node mbean GET. A failed worker
+    * degrades to an empty payload the caller drops with
+    * `keepWhenPresent("ProcessCpuLoad")`; an unreachable coordinator
+    * degrades to the EMPTY FRAME (no samples this tick), never to a
+    * fabricated 0%-CPU coordinator row. */
+  override def fetchPayloads(spark: SparkSession): DataFrame =
+    rest.fetchWorkerPayloads(spark)
 
-  /** No node-list endpoint over local JMX; empty frame (the caller pairs
-    * this strategy with the EMR instance-group topology source). */
-  override def fetchNodeList(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    Seq.empty[String].toDF("body").transform(NodeListSource.parse(_))
-  }
+  /** The /v1/autoscale node list over REST — same source the per-worker
+    * CPU discovery uses. */
+  override def fetchNodeList(spark: SparkSession): DataFrame =
+    rest.fetchNodeList(spark)
 
   override def fetchQueryStats(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -13,10 +13,44 @@ import javax.management.remote.{JMXConnectorServer, JMXConnectorServerFactory, J
   * connector server (the JDK's own remote-JMX stack — the same registry
   * protocol the reference's TrinoJmxEmr dials at
   * metrics/TrinoJmxEmr.scala:29-37), with a fixture QueryManager mbean
-  * registered under the Trino object name. Proves the local-JMX strategy
-  * produces the SAME payload frames the REST strategy does, through the
-  * same parse path, and degrades to empty on a dead registry. */
+  * registered under the Trino object name, PLUS an HTTP stub coordinator:
+  * the strategy's split transport means query/size gauges ride RMI while
+  * per-worker CPU rides REST (/v1/autoscale discovery + per-node OS
+  * scrape — TrinoJmxEmr.getClusterNodesCpuStats). Proves both halves
+  * produce the SAME payload frames through the shared parse path, and
+  * degrade to empty on a dead registry / unreachable coordinator. */
 class JmxRmiFetcherSpec extends SparkSpec {
+
+  import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+  /** Stub coordinator+worker HTTP endpoint for the REST half: serves the
+    * /v1/autoscale worker list (one active worker = this host, plus an
+    * inactive one that must be filtered out) and the worker OS mbean. */
+  private def withHttpStub[A](f: Int => A): A = {
+    def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(code, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val port = server.getAddress.getPort
+    server.createContext("/", (ex: HttpExchange) => ex.getRequestURI.getPath match {
+      case "/v1/autoscale" => respond(ex, 200,
+        s"""[{"nodeId":"i-1","nodeURI":"http://127.0.0.1:$port/v1/status",
+           |  "nodeRole":"worker","nodeState":"active","nodeVersion":"414"},
+           | {"nodeId":"i-2","nodeURI":"http://10.255.255.1:1/v1/status",
+           |  "nodeRole":"worker","nodeState":"inactive","nodeVersion":"414"},
+           | {"nodeId":"i-3","nodeURI":"http://127.0.0.1:$port/v1/status",
+           |  "nodeRole":"coordinator","nodeState":"active","nodeVersion":"414"}]""".stripMargin)
+      case "/v1/jmx/mbean/java.lang:type=OperatingSystem" => respond(ex, 200,
+        """{"attributes":[{"name":"ProcessCpuLoad","value":0.42},
+          |               {"name":"AvailableProcessors","value":8}]}""".stripMargin)
+      case _ => respond(ex, 404, "not found")
+    })
+    server.start()
+    try f(port) finally server.stop(0)
+  }
 
   /** Fixture mbean: a read-only DynamicMBean over a constant attribute
     * map (JMX getter-name derivation can't express dotted attribute
@@ -81,19 +115,25 @@ class JmxRmiFetcherSpec extends SparkSpec {
     }
   }
 
-  test("S2: local JMX-RMI scrape flows through the shared parse path") {
+  test("S2: split transport — query/size gauges over JMX-RMI, per-worker CPU over REST") {
     withConnectorServer { url =>
-      val f = new JmxRmiFetcher(url, nodeName = "coordinator")
+      withHttpStub { port =>
+      val f = new JmxRmiFetcher(url, restBase = s"http://127.0.0.1:$port",
+        nodePort = Some(port))
       try {
-        // OS mbean: the platform one is real — ProcessCpuLoad and
-        // AvailableProcessors are present and parse as numbers
+        // per-worker CPU: discovered from /v1/autoscale (ACTIVE WORKERS
+        // only — the inactive worker and the coordinator are filtered)
+        // and scraped over REST, exactly one row for the live worker
         val os = JmxJson.parsePayloads(f.fetchPayloads(spark), "payload",
           Map("cpu" -> (("ProcessCpuLoad", DoubleType)),
             "cores" -> (("AvailableProcessors", LongType))))
-          .select("node", "cpu", "cores").head()
-        assert(os.getString(0) === "coordinator")
-        assert(os.getDouble(1) >= 0.0)
-        assert(os.getLong(2) >= 1L)
+          .select("node", "cpu", "cores").collect()
+        assert(os.length === 1)
+        assert(os.head.getString(0) === "127.0.0.1")
+        assert(os.head.getDouble(1) === 0.42)
+        assert(os.head.getLong(2) === 8L)
+        // node list rides the same /v1/autoscale source
+        assert(f.fetchNodeList(spark).count() === 3)
 
         // fixture QueryManager: exact values through the typed projection,
         // dotted decayed-counter names included; the string attribute and
@@ -115,16 +155,22 @@ class JmxRmiFetcherSpec extends SparkSpec {
           .select("required").head().getLong(0)
         assert(req === 7L)
       } finally f.close()
+      }
     }
   }
 
-  test("S2: dead registry degrades to empty payloads, never an aborted tick") {
-    val f = new JmxRmiFetcher("service:jmx:rmi:///jndi/rmi://localhost:1/jmxrmi")
+  test("S2: dead registry + unreachable coordinator degrade, never an aborted tick") {
+    val f = new JmxRmiFetcher("service:jmx:rmi:///jndi/rmi://localhost:1/jmxrmi",
+      restBase = "http://127.0.0.1:1", restTimeoutSeconds = 1)
+    // unreachable coordinator -> EMPTY worker frame: no samples this
+    // tick (the window starves), NOT a fabricated 0%-CPU row that would
+    // bias the quorum toward SHRINK
+    assert(f.fetchPayloads(spark).count() === 0)
     import spark.implicits._
-    val payloads = f.fetchPayloads(spark).select("payload").as[String].collect()
+    // dead registry -> blank gauge payload -> zero-fill under the parse
+    // (the Autoscaler's keepWhenPresent gate reads blank as assume-active)
+    val payloads = f.fetchQueryStats(spark).select("payload").as[String].collect()
     assert(payloads.toSeq === Seq(""))
-    // empty payload -> empty attribute map -> zero-fill (the REST
-    // fetcher's exact failure posture)
     val parsed = JmxJson.parsePayloads(f.fetchQueryStats(spark), "payload",
       Map("running" -> (("RunningQueries", LongType)))).select("running").head()
     assert(parsed.getLong(0) === 0L)
