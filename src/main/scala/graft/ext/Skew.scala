@@ -51,6 +51,64 @@ object Skew {
   }
 
   /**
+   * Exact per-key top-K verdict that never funnels one hot key through a
+   * single task. `Window.partitionBy(key)` + `row_number` serializes the
+   * WHOLE hot key's rows into one reducer — with one source at 60% of a
+   * 100 TB corpus, that one task is the query. Two phases instead:
+   *
+   *  1. rank within `(partCol, salt)` where the salt spreads the key's
+   *     rows over `salts` tasks. Any row of the true global top-K has at
+   *     most K-1 rows above it ANYWHERE — in particular inside its own
+   *     salt slice — so local rank > K proves global rank > K: verdict
+   *     false, no second look. This discards all but ≤ K·salts candidate
+   *     rows per key while the hot key is spread `salts` ways.
+   *  2. re-rank only the surviving candidates in one window per key —
+   *     bounded at K·salts rows per key (constants), never corpus-sized.
+   *
+   * The top-K-of-candidates equals the global top-K exactly (candidates
+   * are a superset of the top-K, and ranking a superset's prefix agrees
+   * with the full order's prefix), so kept verdicts and the ranks of KEPT
+   * rows are exact. Non-kept rows get a NULL rank: their exact global
+   * rank is the one thing that genuinely requires a full per-key sort,
+   * and no capping/sampling consumer needs it.
+   *
+   * `order` must be a deterministic total order (break ties on a unique
+   * id) and `saltBy` should hash a high-cardinality column (the unique
+   * id) so one hot key's rows actually scatter.
+   */
+  def saltedTopK(
+      df: DataFrame,
+      partCol: String,
+      order: Seq[Column],
+      saltBy: Seq[String],
+      k: Long,
+      salts: Int,
+      rankCol: String = "rnk",
+      keptCol: String = "kept"): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(salts > 0, "salts must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val salted = df.withColumn("_salt",
+      pmod(hash(saltBy.map(col): _*), lit(salts)))
+    val w1 = Window.partitionBy(col(partCol), col("_salt")).orderBy(order: _*)
+    val local = salted.withColumn("_lrnk", row_number().over(w1))
+    // provably-out rows: verdict without a second shuffle (the branch is
+    // a pass-through projection off the phase-1 exchange, which Spark
+    // reuses for both branches)
+    val out = local.filter(col("_lrnk") > k).drop("_salt", "_lrnk")
+      .withColumn(rankCol, lit(null).cast("long"))
+      .withColumn(keptCol, lit(false))
+    val w2 = Window.partitionBy(col(partCol)).orderBy(order: _*)
+    val finalists = local.filter(col("_lrnk") <= k).drop("_salt", "_lrnk")
+      .withColumn("_grnk", row_number().over(w2))
+      .withColumn(rankCol,
+        when(col("_grnk") <= k, col("_grnk").cast("long")))
+      .withColumn(keptCol, col("_grnk") <= k)
+      .drop("_grnk")
+    finalists.unionByName(out)
+  }
+
+  /**
    * Exact per-key distinct count that never funnels one key's distinct
    * set through a single reducer: stage 1 groups by (keys, salt) where
    * the salt is `hash(value) % salts` — every duplicate of a value lands

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Components, Dedup, KMeans, Mixture, Multimodal, Packing, Profiling, Similarity, TextAnalysis}
+import graft.ext.{Components, Dedup, KMeans, Mixture, Multimodal, Packing, Profiling, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -17,7 +17,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object ExtensionQueries {
 
   private val P = Dedup.MinHashParams() // 8 bands × 2 rows = 16 hashes
-  private val Mod = TextAnalysis.HashMod
+  private[queries] val Mod = TextAnalysis.HashMod
   private val JaccardThreshold = 0.35
   private val NgramThreshold = 0.5
   private val EnSampleRate = 30L
@@ -37,10 +37,11 @@ object ExtensionQueries {
   private val KmIters = 2
   private val SourceCapK = 10L  // x39 per-source document cap
   private val StratK = 25L      // x52 per-source sample size
+  private val TopKSalts = 8     // x39/x52 salt fan-out for the hot source
   private val CmsDepth = 4      // x41 count-min hash rows
   private val CmsWidth = 256L   // x41 count-min buckets per row
-  private val BloomBits = 1L << 16 // x44 bloom sketch size (1024 words)
-  private val BloomK = 4           // x44 bloom hash rows
+  private[queries] val BloomBits = 1L << 16 // x44 bloom sketch size (1024 words)
+  private[queries] val BloomK = 4           // x44 bloom hash rows
   private val DupSpanN = 13        // x45 duplicated-passage window (tokens)
   private val PqM = 4              // x46 PQ subspaces (64 dims → 4×16)
   private val PqK = 8              // x46 PQ codes per subspace
@@ -55,12 +56,12 @@ object ExtensionQueries {
   // ---- shared SQL fragments (DuckDB dialect) ----
 
   /** Rolling hash of a string expression s: fold (a*31 + ascii(c)) % mod. */
-  private def sqlStringHash(s: String): String =
+  private[queries] def sqlStringHash(s: String): String =
     s"""list_reduce(list_concat([CAST(0 AS BIGINT)],
        |  list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))),
        |  (a, b) -> (a * 31 + b) % $Mod)""".stripMargin
 
-  private val sqlNorm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
+  private[queries] val sqlNorm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
 
   private val C = Dedup.CombineMult
 
@@ -83,7 +84,7 @@ object ExtensionQueries {
     * Defines `shn(doc_id, shingles)`, plus `bg` (distinct benchmark grams
     * — every 97th doc, as in the engine) and `cg` (corpus grams with
     * per-doc totals). */
-  private def sqlShnCte(n: Int): String =
+  private[queries] def sqlShnCte(n: Int): String =
     s"""norm AS (SELECT doc_id, $sqlNorm AS t FROM documents),
        |tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
        |toh AS (SELECT doc_id, list_transform(w, s -> ${sqlStringHash("s")}) AS th FROM tok),
@@ -694,11 +695,6 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
-    // per-source document cap (RefinedWeb-style domain capping): keep the
-    // K longest documents per source, flag the rest. Window ranks inside
-    // each source partition — the shuffle key is the source, so skew risk
-    // is one hot domain; at 100 TB a hot source would be pre-filtered by
-    // the same groupBy-count + anti-join pattern the LSH caps use.
     // domain-mixture rebalancing (ext.Mixture): deterministic
     // hash-sampled downsampling of over-represented sources to uniform
     // target shares — one map-side pass, dimension-sized count frames
@@ -712,29 +708,42 @@ object ExtensionQueries {
     // per-source exact-k stratified sample: rank docs inside each source
     // by a deterministic uniform hash key (ties: doc id) and flag the
     // first K — the "random K per stratum" counterpart of x39's
-    // keep-K-longest cap. One shuffle keyed on source, no global sort;
-    // a keep-only variant (filter on the rank instead of flagging) gets
-    // Spark's partial WindowGroupLimit and drops non-survivors map-side.
+    // keep-K-longest cap. SKEW-SAFE: a real corpus has one dominant
+    // source (Common Crawl at 50-70%), and a plain
+    // Window.partitionBy(source) would funnel it through ONE task — so
+    // both x52 and x39 rank via Skew.saltedTopK: phase 1 ranks within
+    // (source, salt) and discards everything provably outside the top-K,
+    // phase 2 re-ranks the <= K*salts survivors per source.
     "x52_stratified_sample" -> ((s, dir) => {
       val key = pmod(graft.functions.HashExpressions.rolling_hash(
         concat(col("doc_id").cast("string"), lit(":strat"))), lit(Mod))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy(col("strat_key"), col("doc_id"))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"), key.as("strat_key"))
-        .withColumn("sampled", row_number().over(w) <= StratK)
+      Skew.saltedTopK(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), key.as("strat_key")),
+        partCol = "source",
+        order = Seq(col("strat_key"), col("doc_id")),
+        saltBy = Seq("doc_id"),
+        k = StratK, salts = TopKSalts,
+        rankCol = "_rnk", keptCol = "sampled")
+        .select("doc_id", "source", "strat_key", "sampled")
         .orderBy("doc_id")
     }),
 
-    "x39_source_cap" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .withColumn("kept", col("rnk") <= SourceCapK)
-        .orderBy("doc_id")
-    }),
+    // per-source document cap (RefinedWeb-style domain capping): keep the
+    // K longest documents per source, flag the rest. Exact global rank is
+    // emitted for KEPT rows only (losers get NULL) — full per-source
+    // ranks for every row would force the single-task funnel the salted
+    // two-phase layout exists to avoid, and the cap verdict never needs
+    // them.
+    "x39_source_cap" -> ((s, dir) =>
+      Skew.saltedTopK(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        partCol = "source",
+        order = Seq(col("n_chars").desc, col("doc_id")),
+        saltBy = Seq("doc_id"),
+        k = SourceCapK, salts = TopKSalts)
+        .orderBy("doc_id")),
 
     // single-pass data profiling (ext.Profiling): per-column completeness /
     // distinctness / range — the Deequ-style admission gate. One aggregate
@@ -1195,12 +1204,14 @@ object ExtensionQueries {
          |ORDER BY k.doc_id""".stripMargin,
 
     "x39_source_cap" ->
-      s"""SELECT doc_id, source, n_chars,
-         |  CAST(row_number() OVER (PARTITION BY source
-         |       ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk,
-         |  CAST(row_number() OVER (PARTITION BY source
-         |       ORDER BY n_chars DESC, doc_id) AS BIGINT) <= $SourceCapK AS kept
-         |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""WITH r AS (SELECT doc_id, source, n_chars,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |         ORDER BY n_chars DESC, doc_id) AS BIGINT) AS g
+         |  FROM documents)
+         |SELECT doc_id, source, n_chars,
+         |  CASE WHEN g <= $SourceCapK THEN g END AS rnk,
+         |  g <= $SourceCapK AS kept
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "x40_profile" ->
       """WITH p AS (

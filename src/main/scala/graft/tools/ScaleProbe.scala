@@ -260,6 +260,51 @@ object ScaleProbe {
       println(f"pq      scale=${f}x vecs=${2000 * f}%7d rows=$n%8d time=$dt%7.2f s")
     }
 
+    // Hot-source per-source top-K: ONE source ("cc") owns 60% of every
+    // replica — the Common-Crawl-dominance shape that serializes a plain
+    // Window.partitionBy(source) through one task. Skew.saltedTopK must
+    // keep wall time ~linear in f and the max/med task ratio bounded
+    // (the hot source spreads over `salts` tasks in phase 1, and phase 2
+    // ranks only <= K*salts survivors per source).
+    if (on("topk")) for (f <- Seq(1, 5, 10, 20)) {
+      val grown = (0 until f).map { r =>
+        docs.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+          when(col("doc_id") % 10 < 6, lit("cc"))
+            .otherwise(col("source")).as("source"),
+          col("n_chars"))
+      }.reduce(_ unionByName _)
+      val stats = new TaskStats(spark)
+      val t0 = System.nanoTime()
+      val kept = graft.ext.Skew.saltedTopK(grown, "source",
+        order = Seq(col("n_chars").desc, col("doc_id")),
+        saltBy = Seq("doc_id"), k = 100, salts = 8)
+        .filter(col("kept")).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val (mx, med) = stats.maxAndMedianMs()
+      stats.detach()
+      println(f"topk    scale=${f}x docs=${5000 * f}%7d kept=$kept%6d time=$dt%7.2f s maxTask=${mx}ms medTask=${med}ms ratio=${mx.toDouble / math.max(med, 1)}%5.1f")
+    }
+
+    // Mixture-rebalance slope on the same 60%-hot corpus: one map-side
+    // pass + broadcast count frames, so wall time must track f and no
+    // task may own the hot source (there is no source-keyed shuffle of
+    // the corpus at all — the groupBy count partially aggregates).
+    if (on("mixture")) for (f <- Seq(1, 5, 10, 20)) {
+      val grown = (0 until f).map { r =>
+        docs.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+          when(col("doc_id") % 10 < 6, lit("cc"))
+            .otherwise(col("source")).as("source"))
+      }.reduce(_ unionByName _)
+      val stats = new TaskStats(spark)
+      val t0 = System.nanoTime()
+      val kept = graft.ext.Mixture.rebalanceUniform(grown)
+        .filter(col("kept")).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val (mx, med) = stats.maxAndMedianMs()
+      stats.detach()
+      println(f"mixture scale=${f}x docs=${5000 * f}%7d kept=$kept%6d time=$dt%7.2f s maxTask=${mx}ms medTask=${med}ms ratio=${mx.toDouble / math.max(med, 1)}%5.1f")
+    }
+
     // fuzzy-vocab slope: deletion-neighborhood candidates are linear in
     // vocabulary size × token length; replicas salt tokens with a suffix
     // so the vocab actually grows with f.

@@ -9,6 +9,21 @@ import org.apache.spark.sql.execution.window.WindowExec
   * is handled in exactly one place). */
 object PlanChecks {
 
+  /** Partition specs (as expression lists) of every WindowExec in the
+    * plan — lets suites pin salted two-phase shapes (one (key, salt)
+    * window over the corpus, one key-only window over survivors). */
+  def windowPartitionSpecs(plan: SparkPlan): Seq[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = {
+    val here = plan match {
+      case w: WindowExec => Seq(w.partitionSpec)
+      case _ => Nil
+    }
+    val kids = plan match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case p => p.children
+    }
+    here ++ kids.flatMap(windowPartitionSpecs)
+  }
+
   /** Every WindowExec in the plan with an EMPTY partition spec — the
     * global-sort funnel no 100 TB plan may contain. */
   def partitionlessWindows(plan: SparkPlan): Seq[WindowExec] = {

@@ -39,6 +39,48 @@ class SkewSpec extends SparkSpec {
     assert(got("cold") === 5L)
   }
 
+  // 60%-hot-source corpus for the top-K probes: source "cc" owns 600 of
+  // 1000 rows (the Common-Crawl-dominance shape), scores collide freely
+  private lazy val skewedDocs = ((1 to 600).map(i => (i.toLong, "cc", (i % 83).toLong)) ++
+    (1 to 300).map(i => (600L + i, "wiki", (i % 41).toLong)) ++
+    (1 to 100).map(i => (900L + i, "books", (i % 13).toLong)))
+    .toDF("id", "src", "score")
+
+  test("saltedTopK: kept set and kept ranks equal the plain-window top-K") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("score").desc, col("id"))
+    val plain = skewedDocs.withColumn("g", row_number().over(w).cast("long"))
+      .select(col("id"), when(col("g") <= 25, col("g")).as("rnk"),
+        (col("g") <= 25).as("kept"))
+      .as[(Long, Option[Long], Boolean)].collect().sortBy(_._1)
+    val salted = Skew.saltedTopK(skewedDocs, "src",
+        order = Seq(col("score").desc, col("id")), saltBy = Seq("id"),
+        k = 25, salts = 8)
+      .select(col("id"), col("rnk"), col("kept"))
+      .as[(Long, Option[Long], Boolean)].collect().sortBy(_._1)
+    assert(salted.toSeq === plain.toSeq)
+    assert(salted.count(_._3) === 75) // 25 kept per source
+  }
+
+  test("saltedTopK: k >= group size keeps everything with exact ranks") {
+    val got = Skew.saltedTopK(skewedDocs.filter(col("src") === "books"), "src",
+        order = Seq(col("score").desc, col("id")), saltBy = Seq("id"),
+        k = 1000, salts = 4)
+      .select(col("id"), col("rnk"), col("kept"))
+      .as[(Long, Option[Long], Boolean)].collect()
+    assert(got.length === 100 && got.forall(_._3))
+    assert(got.flatMap(_._2).sorted.toSeq === (1L to 100L))
+  }
+
+  test("saltedTopK is deterministic across runs") {
+    def run() = Skew.saltedTopK(skewedDocs, "src",
+        order = Seq(col("score").desc, col("id")), saltBy = Seq("id"),
+        k = 10, salts = 8)
+      .select(col("id"), col("rnk"), col("kept"))
+      .as[(Long, Option[Long], Boolean)].collect().sortBy(_._1).toSeq
+    assert(run() === run())
+  }
+
   test("salt values are deterministic (same input → same salted plan output)") {
     val a = Skew.saltedJoin(big, small, Seq("k"), 8, Seq("v"))
       .select("k", "v").as[(Long, Long)].collect().sorted.toSeq

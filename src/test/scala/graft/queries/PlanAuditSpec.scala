@@ -118,6 +118,9 @@ class PlanAuditSpec extends SparkSpec {
   private def partitionlessWindows(plan: org.apache.spark.sql.execution.SparkPlan) =
     graft.PlanChecks.partitionlessWindows(plan)
 
+  private def windowPartitionSpecs(plan: org.apache.spark.sql.execution.SparkPlan) =
+    graft.PlanChecks.windowPartitionSpecs(plan)
+
   test("m05/m06 + MetricAnalytics lineage: no partition-less window (global sort funnel)") {
     import org.apache.spark.sql.functions._
     import graft.analytics.MetricAnalytics
@@ -186,11 +189,24 @@ class PlanAuditSpec extends SparkSpec {
       s"signature must be materialized once per doc:\n$p")
   }
 
-  test("x39: source-cap window is partitioned by source (no global funnel)") {
-    val df = SparkEntry.queries("x39_source_cap")(spark, dir)
-    assert(partitionlessWindows(df.queryExecution.executedPlan).isEmpty,
-      s"x39 must rank inside source partitions:\n" +
-        df.queryExecution.executedPlan.toString)
+  test("x39/x52: per-source top-K is the salted two-phase shape, no hot-source funnel") {
+    for (q <- Seq("x39_source_cap", "x52_stratified_sample")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      assert(partitionlessWindows(plan).isEmpty,
+        s"$q must never rank globally:\n$plan")
+      // phase 1 must window over (source, _salt) — the full corpus never
+      // flows through a window keyed on source alone; phase 2's
+      // source-only window sees <= K*salts survivors per source
+      val specs = windowPartitionSpecs(plan)
+      assert(specs.exists(_.size === 2),
+        s"$q phase 1 must partition by (source, salt):\n$plan")
+      // the corpus-sized window input (the one below the salted window)
+      // must not be keyed on source alone anywhere upstream of the
+      // candidate filter: exactly one single-column window (phase 2)
+      assert(specs.count(_.size === 1) === 1,
+        s"$q must have exactly one survivors-only source window:\n$plan")
+    }
   }
 
   test("m27: funnel stages partial-aggregate before their exchanges; no cartesian") {
