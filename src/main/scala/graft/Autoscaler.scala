@@ -157,6 +157,7 @@ object Autoscaler {
     var maxTicks: Option[Int] = None
     var idleMarkerPath: Option[String] = None
     var jmxUrl: Option[String] = None
+    var stateDir: Option[String] = None
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -169,6 +170,7 @@ object Autoscaler {
         case "--ticks"        => maxTicks = Some(args(i + 1).toInt); i += 2
         case "--idle-marker"  => idleMarkerPath = Some(args(i + 1)); i += 2
         case "--jmx-url"      => jmxUrl = Some(args(i + 1)); i += 2
+        case "--state-dir"    => stateDir = Some(args(i + 1)); i += 2
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
     }
@@ -208,8 +210,15 @@ object Autoscaler {
       else new CloudWatchHttpPublisher(
         cwEndpoint.getOrElse(s"https://monitoring.$region.amazonaws.com"),
         cfg.cloudWatchDimension, cfg.clusterId, settings)
+    // --state-dir: persist the cooldown clock so a restarted loop honors
+    // the in-flight cooldown instead of re-resizing immediately
+    val store = stateDir.map { d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      new graft.control.ControlStateStore(s"$d/last_op_ms")
+    }
     val manager = new ScalingManager(workers, new StepScalingAlgorithm(
-      new CpuLoadEvaluator, workers.minCapacity, workers.maxCapacity))
+      new CpuLoadEvaluator, workers.minCapacity, workers.maxCapacity),
+      store = store)
     val loop = new ControlLoop(spark, fetcher, manager, workers, publisher,
       cfg.cloudWatchNamespace, publish = dryRun || cfg.publishMetrics,
       idleMarker = idleMarkerPath.map(new graft.sinks.IdleMarkerSink(_)))

@@ -11,11 +11,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.MetricQueries.queries ++
       graft.queries.RelationalQueries.queries ++
-      graft.queries.ExtensionQueries.queries
+      graft.queries.ExtensionQueries.queries ++
+      graft.queries.StreamingQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.MetricQueries.oracleSql ++
       graft.queries.RelationalQueries.oracleSql ++
-      graft.queries.ExtensionQueries.oracleSql
+      graft.queries.ExtensionQueries.oracleSql ++
+      graft.queries.StreamingQueries.oracleSql
 }

@@ -25,6 +25,24 @@ trait LiveWorkers extends WorkersView {
   def refresh(): Unit
   /** Last refreshed per-group state (observability + specs). */
   def snapshot: Seq[TaskState]
+
+  /** Degrade-not-die boundary for control-plane WRITES: a resize that
+    * still fails after [[AwsEndpoint]]'s bounded retry must not kill the
+    * control loop — the tick logs and moves on, the local echo is NOT
+    * applied (so `requested` keeps reporting the server's last confirmed
+    * truth), and the next post-cooldown evaluation re-derives the delta
+    * from a fresh `refresh()` and re-issues only what is still missing.
+    * Because Modify* carries absolute per-group TARGETS (not increments),
+    * a HALF-APPLIED concurrent resize reconciles the same way: the
+    * applied group no longer differs, the failed group gets re-requested.
+    * Returns true when the write went through. */
+  protected def attemptModify(what: String)(write: => Unit): Boolean =
+    try { write; true }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[emr] $what failed (will reconcile next tick): ${e.getMessage}")
+        false
+    }
 }
 
 object EmrWorkers {
@@ -95,7 +113,9 @@ class EmrIgWorkers(client: EmrApiClient, cfg: GraftConfig,
     // auto-heal: re-request the running count of suspended groups in one
     // batched modify (reference: cluster/Workers.scala:277)
     val healed = snapshot.filter(_.isSuspended).map(g => (g.id, g.running))
-    if (healed.nonEmpty) client.modifyInstanceGroups(clusterId, healed)
+    if (healed.nonEmpty)
+      attemptModify("auto-heal ModifyInstanceGroups")(
+        client.modifyInstanceGroups(clusterId, healed))
   }
 
   override def running: Int = states.valuesIterator.map(_.running).sum
@@ -119,11 +139,14 @@ class EmrIgWorkers(client: EmrApiClient, cfg: GraftConfig,
     val shares = MetricAnalytics.distribute(target, groups.size)
     val changes = groups.zip(shares)
       .filter { case (id, share) => !states.get(id).map(_.requested).contains(share) }
-    if (changes.nonEmpty) {
-      client.modifyInstanceGroups(clusterId, changes)
+    if (changes.nonEmpty &&
+        attemptModify("resize ModifyInstanceGroups")(
+          client.modifyInstanceGroups(clusterId, changes))) {
       // optimistic local echo so requested/isResizing hold until the next
       // topology refresh confirms (the reference reads them from its 30 s
-      // refresh cache the same way)
+      // refresh cache the same way); skipped on a failed write — the
+      // local view must keep the server's last confirmed truth so the
+      // next evaluation recomputes the full remaining delta
       changes.foreach { case (id, share) =>
         states.get(id).foreach(st =>
           states = states.updated(id, st.copy(requested = share, isResizing = true)))
@@ -187,7 +210,8 @@ class EmrIfWorkers(client: EmrApiClient, cfg: GraftConfig,
 
   override def resize(target: Int): Unit = {
     val (od, spot) = if (useSpot) (0, target) else (target, 0)
-    client.modifyInstanceFleet(clusterId, fleetId, od, spot)
-    state = state.map(_.copy(requested = target, isResizing = true))
+    if (attemptModify("resize ModifyInstanceFleet")(
+        client.modifyInstanceFleet(clusterId, fleetId, od, spot)))
+      state = state.map(_.copy(requested = target, isResizing = true))
   }
 }

@@ -130,15 +130,58 @@ class SimulatedWorkers(
   def snapshot: Seq[TaskState] = states.values.toList
 }
 
+/** Durable last-resize clock — the one piece of cascade state whose loss
+  * on a loop restart is OBSERVABLE as a wrong action: a restart
+  * mid-cooldown with a zeroed clock re-evaluates immediately and can
+  * re-resize seconds after the previous op (the reference has the same
+  * hole — its clock is actor memory). Suspension timers already survive
+  * via the streaming checkpoint (KeyedControl); requested-capacity memory
+  * is re-read from the control plane by `refresh()`; the cooldown clock
+  * is the remaining process-local piece, persisted here as one stamped
+  * file (atomic tmp+move, fsync'd — torn writes lose at most the stamp,
+  * degrading to the conservative no-op of an expired cooldown being
+  * honored as expired). */
+class ControlStateStore(path: String) {
+  private val target = java.nio.file.Paths.get(path)
+
+  def saveLastOp(ms: Long): Unit =
+    try {
+      val tmp = java.nio.file.Files.createTempFile(
+        target.toAbsolutePath.getParent, ".graft-state", ".tmp")
+      java.nio.file.Files.writeString(tmp, ms.toString)
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[control] state save failed: ${e.getMessage}")
+    }
+
+  def loadLastOp(): Option[Long] =
+    try {
+      if (java.nio.file.Files.exists(target))
+        Some(java.nio.file.Files.readString(target).trim.toLong)
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+}
+
 /** ST2 + ST4 — the guarded decision cascade
   * (reference: scaling/ScalingManager.scala:26-101). */
 class ScalingManager(
     workers: WorkersView,
     algorithm: ScalingAlgorithm,
     clock: () => Long = () => System.currentTimeMillis(),
-    val scalingCoolDownTimeMs: Long = 120000L) {
+    val scalingCoolDownTimeMs: Long = 120000L,
+    store: Option[ControlStateStore] = None) {
 
-  private var scalingLastOpTimeMs: Long = 0L
+  // restart continuity: resume the cooldown clock from the store so a
+  // loop restart mid-cooldown does NOT immediately re-resize
+  private var scalingLastOpTimeMs: Long =
+    store.flatMap(_.loadLastOp()).getOrElse(0L)
+
+  private def stampLastOp(ms: Long): Unit = {
+    scalingLastOpTimeMs = ms
+    store.foreach(_.saveLastOp(ms))
+  }
 
   def this(workers: WorkersView) =
     this(workers, new StepScalingAlgorithm(new CpuLoadEvaluator,
@@ -154,7 +197,7 @@ class ScalingManager(
       evaluateAndPerform(ResizeAction(ResizeType.Shrink.name, workers.minCapacity))
     } else if (workers.isResizing) {
       // refresh the cooldown clock while a resize is in flight (:31-33)
-      scalingLastOpTimeMs = clock()
+      stampLastOp(clock())
       None
     } else if (requiredWorkers > workers.running) {
       evaluateAndPerform(ResizeAction(ResizeType.Expand.name, requiredWorkers))
@@ -189,7 +232,7 @@ class ScalingManager(
   }
 
   private def record(op: ResizeAction): Option[ResizeAction] = {
-    scalingLastOpTimeMs = clock()
+    stampLastOp(clock())
     Some(op)
   }
 }

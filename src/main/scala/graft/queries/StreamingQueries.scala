@@ -1,0 +1,211 @@
+package graft.queries
+
+import graft.ext.{KMeans, Similarity, TextAnalysis}
+import graft.sources.Tables
+import graft.streaming.{StreamingDecontaminate, StreamingDedup, StreamingIndexIngest}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Oracle-checked STREAMING counterparts (x53-x55): each entry drives the
+ * real Structured Streaming operator — keyed state / literal-sketch
+ * filter / foreachBatch index append — over the fixture corpus split into
+ * two genuine micro-batches, then returns the drained sink as a batch
+ * frame for the DuckDB compare. Until these, the streaming operators were
+ * covered by batch-agreement specs only; these put them behind the same
+ * hard rows+schema+hash gate as everything else.
+ *
+ * Harness note: MemoryStream is fed driver-side — a documented
+ * fixture-sized injection (the production ingest edge is a file/queue
+ * source; the operator under test is everything downstream of the
+ * source). The two batches split on the id midpoint, so batch 1 holds
+ * strictly lower ids than batch 2 — that makes cross-batch first-wins
+ * state deterministic AND SQL-expressible (the first batch to see a
+ * fingerprint necessarily holds its minimum id).
+ */
+object StreamingQueries {
+
+  /** Fixture ids are dense from 0; split at the midpoint of the observed
+    * range so both batches are non-empty on every scale factor. */
+  private def splitPoint(ids: Seq[Long]): Long = {
+    val (lo, hi) = (ids.min, ids.max)
+    lo + (hi - lo) / 2
+  }
+
+  /** Drain a started streaming query over two deterministic micro-batches
+    * and return the memory-sink table. */
+  private def twoBatchDrain[A](
+      s: SparkSession,
+      input: MemoryStream[A],
+      batch1: Seq[A],
+      batch2: Seq[A],
+      sink: org.apache.spark.sql.DataFrame => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+      toStream: MemoryStream[A] => DataFrame): DataFrame = {
+    val qn = "sq_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val q = sink(toStream(input)).queryName(qn).format("memory")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(qn)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // streaming exact dedup (StreamingDedup.firstWins): keyed
+    // flatMapGroupsWithState carries a seen-marker per fingerprint across
+    // micro-batches; the survivor per fingerprint is the min doc id
+    // (in-batch reduce + the ordered batch split — see class doc)
+    "x53_stream_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = StreamingDedup.withFingerprint(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .select(col("fp"), col("doc_id"), col("text"))
+        .as[StreamingDedup.DedupedDoc].collect().toSeq
+      val split = splitPoint(rows.map(_.doc_id))
+      val input = MemoryStream[StreamingDedup.DedupedDoc]
+      twoBatchDrain(s, input,
+        rows.filter(_.doc_id <= split), rows.filter(_.doc_id > split),
+        (df: DataFrame) => StreamingDedup
+          .firstWins(df.as[StreamingDedup.DedupedDoc], ttl = None)
+          .toDF().writeStream,
+        (ms: MemoryStream[StreamingDedup.DedupedDoc]) => ms.toDF())
+        .select(col("fp"), col("doc_id").as("keep_id"))
+        .orderBy("keep_id")
+    }),
+
+    // streaming decontamination (StreamingDecontaminate.withBloomHits):
+    // the benchmark's Bloom sketch is built batch-side and rides the
+    // streaming plan as a LITERAL — the per-batch filter is stateless
+    // map-side arithmetic. Output = flagged docs with their candidate
+    // gram counts (the screen half of x44; zero false negatives)
+    "x54_stream_decontaminate" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val bloom = StreamingDecontaminate.bloomLiteral(
+        docs.filter(col("doc_id") % 97 === 0), n = 13,
+        bits = ExtensionQueries.BloomBits, k = ExtensionQueries.BloomK)
+      val rows = docs.as[(Long, String)].collect().toSeq
+      val split = splitPoint(rows.map(_._1))
+      val input = MemoryStream[(Long, String)]
+      twoBatchDrain(s, input,
+        rows.filter(_._1 <= split), rows.filter(_._1 > split),
+        (df: DataFrame) => StreamingDecontaminate
+          .withBloomHits(df.toDF("doc_id", "text"), bloom, n = 13,
+            bits = ExtensionQueries.BloomBits, k = ExtensionQueries.BloomK)
+          .filter(col("n_bloom_hits") >= 1L).writeStream,
+        (ms: MemoryStream[(Long, String)]) => ms.toDF())
+        .select(col("doc_id"), col("n_bloom_hits"))
+        .orderBy("doc_id")
+    }),
+
+    // streaming ANN-index ingest (StreamingIndexIngest.attach): two
+    // micro-batches of vectors assigned map-side against frozen centroid
+    // literals and APPENDED to the partition-pruned parquet layout; the
+    // read-back of the grown index is what a probe would see. Centroids
+    // here are the deterministic x15 recurrence (as KMeans.Centroid
+    // records), so the nearest-centroid assignment is SQL-expressible
+    // without replaying k-means training.
+    "x55_stream_index_ingest" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val cents = StreamingQueries.recurrenceCentroids
+      val rows = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq
+      val split = splitPoint(rows.map(_._1))
+      val path = java.nio.file.Files.createTempDirectory("graft_x55_").toString
+      // ONE checkpoint across both drains — without it the second
+      // AvailableNow start would replay batch 1 and double-append
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x55_ck_").toString
+      val input = MemoryStream[(Long, Seq[Float])]
+      val writer = StreamingIndexIngest.attach(
+        input.toDF().toDF("vec_id", "embedding"), path, cents,
+        idCol = "vec_id", vecCol = "embedding")
+        .option("checkpointLocation", ckpt)
+      def drain(batch: Seq[(Long, Seq[Float])]): Unit = {
+        input.addData(batch)
+        val q = writer.trigger(
+          org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination(120000) finally q.stop()
+      }
+      drain(rows.filter(_._1 <= split))
+      drain(rows.filter(_._1 > split))
+      s.read.parquet(path)
+        .select(col("vec_id"), col("list").cast("long").as("list"))
+        .orderBy("vec_id")
+    }))
+
+  /** The x15 deterministic-recurrence centroids as KMeans.Centroid
+    * records — the frozen coarse quantizer the ingest encodes against. */
+  private[queries] def recurrenceCentroids: Seq[KMeans.Centroid] =
+    (0 until Similarity.IvfLists).map { c =>
+      KMeans.Centroid(c,
+        Array.tabulate(64)(d => Similarity.centroidComponent(c, d)), 0L)
+    }
+
+  /** L2-distance fold to one centroid, replicated from KMeans.distCol's
+    * sequential accumulation (seed 0.0, per-dim (v-c)^2 in index order). */
+  private def sqlDistTo(c: Int): String = {
+    val lit = (0 until 64).map(d => Similarity.centroidComponent(c, d))
+      .mkString("[", ",", "]")
+    s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+       |      list_transform(range(1, 65),
+       |        i -> (CAST(embedding[i] AS DOUBLE) - ($lit)[i])
+       |           * (CAST(embedding[i] AS DOUBLE) - ($lit)[i]))),
+       |      (a, b) -> a + b)""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+
+    // the streamed first-wins winner per fingerprint IS the min doc id
+    // (ordered batch split) — the same grouping the batch x01 checks,
+    // keyed by the portable rolling hash the engine streams on
+    "x53_stream_dedup" ->
+      s"""WITH n AS (SELECT doc_id,
+         |    ${ExtensionQueries.sqlStringHash(ExtensionQueries.sqlNorm)} AS fp
+         |  FROM documents)
+         |SELECT fp, CAST(min(doc_id) AS BIGINT) AS keep_id
+         |FROM n GROUP BY fp ORDER BY keep_id""".stripMargin,
+
+    // the Bloom screen replayed exactly (x44's candidate mechanics minus
+    // the exact verify): distinct benchmark bit positions = the bit
+    // array; a gram is a candidate iff all K positions are set
+    "x54_stream_decontaminate" -> {
+      val aL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomA).mkString("[", ",", "]")
+      val bL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomB).mkString("[", ",", "]")
+      val mod = ExtensionQueries.Mod
+      val bits = ExtensionQueries.BloomBits
+      val k = ExtensionQueries.BloomK
+      s"""WITH ${ExtensionQueries.sqlShnCte(13)},
+         |bpos AS (SELECT DISTINCT (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits AS pos
+         |  FROM bg CROSS JOIN range(0, $k) r(j)),
+         |cp AS (SELECT doc_id, h, unnest(list_transform(range(0, $k),
+         |    j -> (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits)) AS pos FROM cg),
+         |cand AS (SELECT doc_id, h FROM cp JOIN bpos USING (pos)
+         |  GROUP BY 1, 2 HAVING count(*) = $k)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits
+         |FROM cand GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // nearest-centroid (first-min argmin) against the recurrence centroid
+    // literals — the read-back of the streamed index must equal a direct
+    // batch assignment of every vector
+    "x55_stream_index_ingest" -> {
+      val dists = (0 until Similarity.IvfLists).map(sqlDistTo)
+        .mkString("[\n", ",\n", "]")
+      s"""WITH d AS (SELECT vec_id, $dists AS ds FROM embeddings)
+         |SELECT vec_id,
+         |  CAST(list_position(ds, list_min(ds)) - 1 AS BIGINT) AS list
+         |FROM d ORDER BY vec_id""".stripMargin
+    })
+}

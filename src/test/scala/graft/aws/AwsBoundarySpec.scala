@@ -321,6 +321,96 @@ class AwsBoundarySpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("K3 fault: half-applied concurrent resize degrades the tick; next tick reconciles") {
+    // stateful stub cluster: two adoptable TASK groups at (running 2,
+    // requested 2) each. Modify modes: "half" applies the FIRST entry of
+    // the batched request then 500s (a write that partially lands before
+    // the control plane errors — the worst concurrent-resize failure);
+    // "heal1" does the same once, then applies everything on the retry;
+    // "ok" applies everything.
+    val counts = mutable.LinkedHashMap("ig-A" -> (2, 2), "ig-B" -> (2, 2))
+    var mode = "half"
+    var modifyAttempts = 0
+    val modifyBodies = mutable.Buffer.empty[String]
+    val entryRx = """\{"InstanceGroupId":"([^"]+)","InstanceCount":(\d+)\}""".r
+    def applyEntries(body: String, firstOnly: Boolean): Unit = {
+      val entries = entryRx.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toInt).toList
+      (if (firstOnly) entries.take(1) else entries).foreach { case (id, n) =>
+        counts.get(id).foreach { case (run, _) => counts(id) = (run, n) }
+      }
+    }
+    def groupsJson = s"""{"InstanceGroups":[
+      |${group("ig-A", "graft-task-ON_DEMAND-m5.4xlarge", "TASK", "RUNNING",
+          counts("ig-A")._1, counts("ig-A")._2)},
+      |${group("ig-B", "graft-task-ON_DEMAND-r5.4xlarge", "TASK", "RUNNING",
+          counts("ig-B")._1, counts("ig-B")._2, "r5.4xlarge")}]}""".stripMargin
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val target = Option(ex.getRequestHeaders.getFirst("X-Amz-Target")).getOrElse("")
+      val (code, resp) = target match {
+        case "ElasticMapReduce.DescribeCluster" =>
+          (200, """{"Cluster":{"Id":"j-TEST","InstanceCollectionType":"INSTANCE_GROUP"}}""")
+        case "ElasticMapReduce.ListInstanceGroups" => (200, groupsJson)
+        case "ElasticMapReduce.ModifyInstanceGroups" =>
+          modifyAttempts += 1
+          modifyBodies += body
+          mode match {
+            case "half" => applyEntries(body, firstOnly = true); (500, "{}")
+            case "heal1" =>
+              if (modifyAttempts == 1) { applyEntries(body, firstOnly = true); (500, "{}") }
+              else { applyEntries(body, firstOnly = false); (200, "") }
+            case _ => applyEntries(body, firstOnly = false); (200, "")
+          }
+        case _ => (200, "{}")
+      }
+      val b = resp.getBytes(UTF_8)
+      ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length)
+      if (b.nonEmpty) ex.getResponseBody.write(b)
+      ex.close()
+    })
+    server.start()
+    try {
+      val client = new EmrApiClient(s"http://127.0.0.1:${server.getAddress.getPort}",
+        settings)
+      val workers = EmrWorkers.forCluster(client, igConf(), clock = () => 1000000000L)
+      assert(workers.running === 4 && workers.requested === 4)
+
+      // EXPAND to 10 → one batched modify (5,5); the server lands ig-A's
+      // target then fails terminally across the bounded retry
+      workers.resize(10)
+      assert(modifyAttempts === 4, "initial attempt + 3 re-signed retries")
+      assert(counts("ig-A") === ((2, 5)) && counts("ig-B") === ((2, 2)),
+        "the failure left the resize HALF-APPLIED server-side")
+      // the tick survived (no throw) and the local view did NOT echo the
+      // unconfirmed write — it still reports the last confirmed truth
+      assert(workers.requested === 4)
+
+      // === next tick: refresh re-reads server truth, the re-issued
+      // target carries ONLY the still-missing group ===
+      mode = "ok"; modifyAttempts = 0; modifyBodies.clear()
+      workers.asInstanceOf[LiveWorkers].refresh()
+      assert(workers.requested === 7, "refresh must adopt the half-applied state")
+      workers.resize(10)
+      assert(modifyAttempts === 1)
+      assert(modifyBodies.head.contains("ig-B") && !modifyBodies.head.contains("ig-A"),
+        "reconcile must re-issue only the group the failed write missed")
+      assert(counts("ig-A")._2 === 5 && counts("ig-B")._2 === 5)
+      assert(workers.requested === 10)
+
+      // === transient variant: the 5xx retry itself completes a
+      // half-application, because targets are absolute (idempotent) ===
+      counts("ig-A") = (5, 5); counts("ig-B") = (5, 5)
+      workers.asInstanceOf[LiveWorkers].refresh()
+      mode = "heal1"; modifyAttempts = 0
+      workers.resize(16) // (8, 8)
+      assert(modifyAttempts === 2, "500-then-200: one retry completes it")
+      assert(counts("ig-A")._2 === 8 && counts("ig-B")._2 === 8)
+      assert(workers.requested === 16, "confirmed write echoes locally")
+    } finally server.stop(0)
+  }
+
   // ---- CloudWatch ----------------------------------------------------
 
   test("K1/K2: PutMetricData Query protocol; metric map batches into ONE request") {

@@ -151,6 +151,56 @@ class ControlSpec extends AnyFunSuite {
     assert(w.actions.map(_._1).toSet === Set("g-1", "g-2"))
   }
 
+  test("restart continuity: a restarted manager honors the persisted cooldown") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ctl-state")
+    val store = new ControlStateStore(s"$dir/last_op_ms")
+    val clock = new Clock
+    val workers = new SimulatedWorkers(minCapacity = 0, maxCapacity = 20,
+      concurrent = true, groupIds = Seq("g-1"), clock = () => clock.now)
+    workers.resize(5); workers.settle(); workers.actions.clear()
+    val algo = new StepScalingAlgorithm(new CpuLoadEvaluator, 0, 20)
+    val mgr = new ScalingManager(workers, algo, () => clock.now, store = Some(store))
+
+    // hot window → EXPAND performed, cooldown stamped AND persisted
+    assert(mgr.evaluate(busy, 0, warm(0.9)).exists(_.action == "EXPAND"))
+    workers.settle()
+
+    // === restart: a FRESH manager over the same store, 15 s later ===
+    clock.tick()
+    val restarted = new ScalingManager(workers, algo, () => clock.now,
+      store = Some(store))
+    // still inside the 2-minute cooldown: the hot window must NOT act
+    assert(restarted.evaluate(busy, 0, warm(0.9)).isEmpty,
+      "restarted loop must honor the in-flight cooldown")
+    // the guarded failure mode, on an independent rig: an amnesiac
+    // restart (no store) resets the clock to 0 and acts immediately
+    val (aClock, aWorkers, _) = newRig()
+    val amnesiac = new ScalingManager(aWorkers,
+      new StepScalingAlgorithm(new CpuLoadEvaluator, 0, 20), () => aClock.now)
+    assert(amnesiac.evaluate(busy, 0, warm(0.9)).nonEmpty)
+
+    // cooldown lapses → the restarted manager acts normally
+    clock.now += 120001L
+    assert(restarted.evaluate(busy, 0, warm(0.9)).exists(_.action == "EXPAND"))
+
+    // the idle shrink-to-min path bypasses the cooldown by design
+    // (reference ScalingManager.scala:27-29) — restart does not change that
+    val s2 = new ScalingManager(workers, algo, () => clock.now, store = Some(store))
+    workers.settle()
+    assert(s2.evaluate(idle, 0, warm(0.1)).exists(_.action == "SHRINK"))
+  }
+
+  test("state store: torn/missing file degrades to expired cooldown, never a crash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ctl-state2")
+    val path = s"$dir/last_op_ms"
+    assert(new ControlStateStore(path).loadLastOp().isEmpty)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), "not-a-number")
+    assert(new ControlStateStore(path).loadLastOp().isEmpty)
+    val store = new ControlStateStore(path)
+    store.saveLastOp(42L)
+    assert(store.loadLastOp() === Some(42L))
+  }
+
   test("isIdle matches reference predicate shape") {
     assert(ScalingManager.isIdle(idle))
     assert(!ScalingManager.isIdle(busy))
