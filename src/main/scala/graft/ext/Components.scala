@@ -22,6 +22,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object Components {
 
+  /** Driver↔distributed switch point (edges). Overridable via
+    * `GRAFT_CC_SMALL_THRESHOLD` — an ops/audit knob: setting it to 0
+    * forces every caller (x20/x49/x25/x38 pipelines included) through the
+    * distributed pointer-jumping path, which is how the correctness
+    * battery audits the 100 TB code path at fixture scales whose edge
+    * counts would otherwise take the driver shortcut. */
+  val DefaultSmallGraphThreshold: Long =
+    sys.env.get("GRAFT_CC_SMALL_THRESHOLD").map(_.toLong).getOrElse(1000000L)
+
   /**
    * Label every node with the minimum node id reachable from it.
    *
@@ -43,7 +52,7 @@ object Components {
       edges: DataFrame,
       nodes: DataFrame,
       maxIter: Int = 25,
-      smallGraphThreshold: Long = 1000000L,
+      smallGraphThreshold: Long = Components.DefaultSmallGraphThreshold,
       knownEdgeCount: Option[Long] = None): DataFrame = {
     val spark = edges.sparkSession
     // callers that already hold the edge count pass it in and skip one job

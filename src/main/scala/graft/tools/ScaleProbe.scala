@@ -241,6 +241,66 @@ object ScaleProbe {
       println(f"bloom   scale=${f}x docs=${5000 * f}%7d flagged=$n%6d time=$dt%7.2f s")
     }
 
+    // ANN recall report (PERF.md): recall@10 of the approximate paths
+    // against their exact baselines — the number a user tunes nprobe/m/k
+    // against. The battery's bit-exact oracles prove the MATH of each
+    // approximation; this probe measures the retrieval quality the
+    // approximation trades away. IVF is measured against exact cosine
+    // top-10; ADC against exact L2 top-10 in the SAME quantized-vector
+    // space it approximates (comparing ADC to cosine would conflate PQ
+    // error with the metric change).
+    if (on("recall")) {
+      import spark.implicits._
+      val k = 10
+      def toSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+          .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+      def recallOf(got: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double =
+        exact.map { case (q, ex) =>
+          (got.getOrElse(q, Set.empty) & ex).size.toDouble / ex.size
+        }.sum / exact.size
+
+      val queries = emb.filter(col("vec_id") < 50)
+      val exactCos = toSets(graft.ext.Similarity.bruteForceTopK(emb, queries, k))
+      // trained coarse quantizer + materialized partition-pruned index —
+      // the x15/x16 production shape with k-means centroids
+      val cents = graft.ext.KMeans.fit(emb, k = 16, iters = 3, vecCol = "embedding")
+      val dir = java.nio.file.Files.createTempDirectory("graft-recall").toString
+      graft.ext.Similarity.writeIvfIndex(emb, dir, cents)
+      for (np <- Seq(1, 2, 4, 8)) {
+        val got = toSets(graft.ext.Similarity.probeIvfIndex(
+          spark, dir, queries, k, cents, nprobe = np))
+        println(f"recall  ivf(lists=16) nprobe=$np%d recall@$k=${recallOf(got, exactCos)}%6.3f")
+      }
+
+      // ADC: PQ codebooks over the quantized grid (the x46/x47 shape),
+      // exact baseline = brute-force L2 top-10 on the same qvecs
+      val qvecs = graft.ext.Similarity.quantizeMinMax(emb)
+        .groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("q")))),
+          x => x.getField("q").cast("double")).as("qvec"))
+        .persist()
+      val q50 = qvecs.filter(col("vec_id") < 50)
+      val exactL2 = toSets {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
+        qvecs.select(col("vec_id").as("neighbor_id"), col("qvec").as("nv"))
+          .join(broadcast(q50.select(col("vec_id").as("query_id"),
+            col("qvec").as("qv"))), col("neighbor_id") =!= col("query_id"))
+          .withColumn("d2", graft.functions.VectorFunctions.vec_l2sq(col("nv"), col("qv")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+      }
+      for ((m, kk) <- Seq((4, 8), (4, 16), (8, 16), (8, 64), (16, 64))) {
+        val books = graft.ext.Similarity.pqTrain(qvecs, m = m, k = kk, iters = 2, dim = 64)
+        val codes = graft.ext.Similarity.pqEncode(qvecs, books, dim = 64)
+          .select("vec_id", "codes")
+        val got = toSets(graft.ext.Similarity.pqTopK(codes, q50, books, k = k, dim = 64))
+        println(f"recall  pq-adc m=$m%d k=$kk%2d recall@$k=${recallOf(got, exactL2)}%6.3f")
+      }
+      qvecs.unpersist()
+    }
+
     // fused-PQ slope: training is iters+2 passes over the subspace-
     // exploded corpus with driver-side m·k·subdim collects; encode is one
     // map-side pass — both must track input size linearly.

@@ -21,7 +21,8 @@ class EntrySpec extends SparkSpec {
     assert((q diff o) === Set.empty)
     val total = graft.queries.MetricQueries.queries.size +
       graft.queries.RelationalQueries.queries.size +
-      graft.queries.ExtensionQueries.queries.size
+      graft.queries.ExtensionQueries.queries.size +
+      graft.queries.StreamingQueries.queries.size
     assert(q.size === total, "duplicate query names across batteries")
   }
 }
