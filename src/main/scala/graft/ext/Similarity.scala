@@ -331,13 +331,12 @@ object Similarity {
       vecCol: String = "qvec"): Seq[Seq[KMeans.Centroid]] = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val subDim = dim / m
-    val sub = vecs.select(col(idCol).as("id"),
-        posexplode(array((0 until m).map(s =>
-          slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim)): _*))
-          .as(Seq("s", "sv")))
-      .persist()
     // init: per subspace, the k vectors with the smallest ids (KMeans.fit's
     // rule) — one job for all m subspaces
+    val sub = vecs.select(col(idCol).as("id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim)): _*))
+        .as(Seq("s", "sv")))
     val w = Window.partitionBy("s").orderBy("id")
     val init = sub.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -348,17 +347,27 @@ object Similarity {
       require(rows.length == k, s"need at least $k vectors to init subspace $s")
       rows.toSeq.map { case (_, c, v) => KMeans.Centroid(c, v, 0L) }
     }
+    // Lloyd iterations over the WHOLE-vector layout: one native m×k
+    // distance table per row (vec_pq_dists — fixed codegen size at any
+    // codebook size; the old per-subspace CASE chain generated m·k l2sq
+    // terms and fell out of codegen past m·k ≈ 512), per-subspace argmin
+    // from k-length slices, then the per-(subspace, cluster, dim)
+    // integer-exact sums the centroid update needs.
+    val whole = vecs.select(col(vecCol).cast("array<double>").as("v")).persist()
     for (_ <- 0 until iters) {
-      // CASE chain: branch values evaluate lazily, so each row computes
-      // only its own subspace's k distances
-      val d = (0 until m).foldLeft(Option.empty[Column]) { (acc, s) =>
-        val arr = array(books(s).sortBy(_.cluster).map(c =>
-          graft.functions.VectorFunctions.vec_l2sq(col("sv"), lit(c.center))): _*)
-        Some(acc.fold(when(col("s") === s, arr))(_.when(col("s") === s, arr)))
-      }.get
-      val sums = sub
-        .withColumn("cluster", (array_position(d, array_min(d)) - 1).cast("long"))
-        .select(col("s"), col("cluster"), posexplode(col("sv")).as(Seq("dim", "x")))
+      val dists = graft.functions.VectorFunctions.vec_pq_dists(
+        col("v"), lit(flatCodebook(books)), lit(m))
+      val codes = array((0 until m).map { s =>
+        val sl = slice(col("_pqd"), s * k + 1, k)
+        (array_position(sl, array_min(sl)) - 1).cast("int")
+      }: _*)
+      val sums = whole.withColumn("_pqd", dists)
+        .select(codes.as("codes"), posexplode(col("v")).as(Seq("gd", "x")))
+        .select((col("gd") / subDim).cast("int").as("s"),
+          (col("gd") % subDim).as("dim"),
+          element_at(col("codes"),
+            (col("gd") / subDim).cast("int") + 1).cast("long").as("cluster"),
+          col("x"))
         .groupBy("s", "cluster", "dim")
         .agg(sum(col("x")).as("sum"), count(lit(1)).as("n"))
         .collect()
@@ -375,7 +384,7 @@ object Similarity {
         }
       }
     }
-    sub.unpersist()
+    whole.unpersist()
     books
   }
 
@@ -394,17 +403,28 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "qvec"): DataFrame = {
     val m = codebooks.size
-    val subDim = dim / m
-    val perSub = codebooks.zipWithIndex.map { case (cb, s) =>
-      val sub = slice(col(vecCol).cast("array<double>"), s * subDim + 1, subDim)
-      val d = array(cb.sortBy(_.cluster).map(c =>
-        graft.functions.VectorFunctions.vec_l2sq(sub, lit(c.center))): _*)
-      ((array_position(d, array_min(d)) - 1).cast("long"), array_min(d))
+    val k = codebooks.head.size
+    // ONE native expression computes the whole m×k distance table (fixed
+    // codegen size — m·k separate l2sq terms blow the 64 KB method limit
+    // at production codebook sizes, k=256); argmin/min per subspace then
+    // derive from k-length slices with O(m) terms. The table column is
+    // materialized in its own projection (CollapseProject keeps expensive
+    // multi-referenced aliases un-inlined) so it computes once per row.
+    val dists = graft.functions.VectorFunctions.vec_pq_dists(
+      col(vecCol).cast("array<double>"), lit(flatCodebook(codebooks)), lit(m))
+    val perSub = (0 until m).map { s =>
+      val sl = slice(col("_pqd"), s * k + 1, k)
+      ((array_position(sl, array_min(sl)) - 1).cast("long"), array_min(sl))
     }
-    vecs.select(col(idCol),
+    vecs.withColumn("_pqd", dists).select(col(idCol),
       array(perSub.map(_._1): _*).as("codes"),
       perSub.map(_._2).reduce(_ + _).as("recon_err"))
   }
+
+  /** Codebooks flattened (subspace, code, dim)-major — the literal layout
+    * [[graft.functions.VecPqDists]] consumes. */
+  private def flatCodebook(codebooks: Seq[Seq[KMeans.Centroid]]): Array[Double] =
+    codebooks.flatMap(_.sortBy(_.cluster).flatMap(_.center)).toArray
 
   /** ADC top-k over PQ codes (the search half of [[pqEncode]]): each
     * query builds its m×k lookup table of subspace distances ONCE (m·k
@@ -430,17 +450,18 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "qvec"): DataFrame = {
     val m = codebooks.size
-    val subDim = dim / m
-    val luts = codebooks.zipWithIndex.map { case (cb, s) =>
-      val sub = slice(col("query_vec").cast("array<double>"), s * subDim + 1, subDim)
-      array(cb.sortBy(_.cluster).map(c =>
-        graft.functions.VectorFunctions.vec_l2sq(sub, lit(c.center))): _*).as(s"lut_$s")
-    }
+    val codesPerSub = codebooks.head.size
+    // the per-query lookup table is the same native m×k distance table
+    // the encoder uses (see pqEncode — O(m) terms at any codebook size);
+    // entry s·k + code_s is the subspace-s distance to the neighbor's code
     val q = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
-      .select(col("query_id") +: luts: _*)
+      .select(col(idCol).as("query_id"),
+        graft.functions.VectorFunctions.vec_pq_dists(
+          col(vecCol).cast("array<double>"),
+          lit(flatCodebook(codebooks)), lit(m)).as("lut"))
     val adc = (0 until m).map(s =>
-      element_at(col(s"lut_$s"), col("codes").getItem(s).cast("int") + 1)).reduce(_ + _)
+      element_at(col("lut"),
+        lit(s * codesPerSub) + col("codes").getItem(s).cast("int") + 1)).reduce(_ + _)
     val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
     codes.select(col(idCol).as("neighbor_id"), col("codes"))
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))

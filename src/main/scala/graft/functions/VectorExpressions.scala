@@ -240,6 +240,141 @@ case class VecL2Sq(left: Expression, right: Expression) extends BinaryExpression
     copy(left = l, right = r)
 }
 
+/** pq_dists(vec, flatCodebook, m) — the full m×k PQ distance table as ONE
+  * array<double> of length m·k: entry s·k+c = l2sq of the vector's s-th
+  * subspace slice against codebook entry (s, c). `flatCodebook` is the
+  * codebook flattened (s, c, d)-major (k·dim doubles); k and subDim are
+  * INFERRED (k = |codebook|/dim, subDim = dim/m), so codebook size never
+  * appears in the expression tree.
+  *
+  * Exists because building this table from m·k separate `vec_l2sq` terms
+  * generates O(m·k) source — past m·k ≈ 512 (a PRODUCTION codebook is
+  * k=256) the generated method exceeds the JVM's 64 KB limit and the
+  * whole projection falls back to interpreted evaluation. Here the
+  * codebook size only changes LOOP BOUNDS: encode (per-subspace argmin)
+  * and ADC lookup tables both derive from this one array with O(m)
+  * downstream terms, keeping PQ inside WholeStageCodegen at any k.
+  *
+  * Per-entry math is the same sequential per-dimension fold as
+  * [[VecL2Sq]] — bit-identical to the m·k-literal formulation and to the
+  * DuckDB oracle. Null when the vector is null or dimensions don't agree
+  * (m ∤ dim or dim ∤ |codebook|). */
+case class VecPqDists(vec: Expression, codebook: Expression, m: Expression)
+  extends Expression {
+
+  override def prettyName: String = "vec_pq_dists"
+  override def children: Seq[Expression] = Seq(vec, codebook, m)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def vecElem: Option[DataType] = vec.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val cbOk = codebook.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val mOk = m.dataType == IntegerType
+    if (vecElem.isDefined && cbOk && mOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, array<double>, int), got " +
+        s"(${vec.dataType.simpleString}, ${codebook.dataType.simpleString}, " +
+        s"${m.dataType.simpleString})")
+  }
+
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def eval(input: InternalRow): Any = {
+    val v = vec.eval(input)
+    val cb = codebook.eval(input)
+    val mm = m.eval(input)
+    if (v == null || cb == null || mm == null) return null
+    val va = v.asInstanceOf[ArrayData]
+    val cba = cb.asInstanceOf[ArrayData]
+    val mi = mm.asInstanceOf[Int]
+    val dim = va.numElements()
+    if (mi <= 0 || dim == 0 || dim % mi != 0 || cba.numElements() % dim != 0)
+      return null
+    val subDim = dim / mi
+    val k = cba.numElements() / dim
+    val isFloat = vecElem.contains(FloatType)
+    val out = new Array[Double](mi * k)
+    var s = 0
+    while (s < mi) {
+      var c = 0
+      while (c < k) {
+        var acc = 0.0
+        var d = 0
+        val vbase = s * subDim
+        val cbase = (s * k + c) * subDim
+        while (d < subDim) {
+          val dv = (if (isFloat) va.getFloat(vbase + d).toDouble
+                    else va.getDouble(vbase + d)) - cba.getDouble(cbase + d)
+          acc += dv * dv
+          d += 1
+        }
+        out(s * k + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vGen = vec.genCode(ctx)
+    val cbGen = codebook.genCode(ctx)
+    val mGen = m.genCode(ctx)
+    val s = ctx.freshName("s"); val c = ctx.freshName("c"); val d = ctx.freshName("d")
+    val dim = ctx.freshName("dim"); val sub = ctx.freshName("sub")
+    val k = ctx.freshName("k"); val out = ctx.freshName("out")
+    val acc = ctx.freshName("acc"); val dv = ctx.freshName("dv")
+    val vb = ctx.freshName("vb"); val cbb = ctx.freshName("cb")
+    val getV =
+      if (vecElem.contains(FloatType)) s"(double) ${vGen.value}.getFloat($vb + $d)"
+      else s"${vGen.value}.getDouble($vb + $d)"
+    val code =
+      code"""
+        |${vGen.code}
+        |${cbGen.code}
+        |${mGen.code}
+        |boolean ${ev.isNull} = true;
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        |if (!${vGen.isNull} && !${cbGen.isNull} && !${mGen.isNull}) {
+        |  int $dim = ${vGen.value}.numElements();
+        |  if (${mGen.value} > 0 && $dim > 0 && $dim % ${mGen.value} == 0 &&
+        |      ${cbGen.value}.numElements() % $dim == 0) {
+        |    int $sub = $dim / ${mGen.value};
+        |    int $k = ${cbGen.value}.numElements() / $dim;
+        |    double[] $out = new double[${mGen.value} * $k];
+        |    for (int $s = 0; $s < ${mGen.value}; $s++) {
+        |      for (int $c = 0; $c < $k; $c++) {
+        |        double $acc = 0.0;
+        |        int $vb = $s * $sub;
+        |        int $cbb = ($s * $k + $c) * $sub;
+        |        for (int $d = 0; $d < $sub; $d++) {
+        |          double $dv = $getV - ${cbGen.value}.getDouble($cbb + $d);
+        |          $acc += $dv * $dv;
+        |        }
+        |        $out[$s * $k + $c] = $acc;
+        |      }
+        |    }
+        |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        |    ${ev.isNull} = false;
+        |  }
+        |}
+      """.stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(vec = newChildren(0), codebook = newChildren(1), m = newChildren(2))
+}
+
 /** Column-level API + SQL registration. */
 object VectorFunctions {
   import org.apache.spark.sql.GraftBridge.{toColumn, toExpression}
@@ -250,6 +385,8 @@ object VectorFunctions {
     toColumn(CosineSimilarity(toExpression(a), toExpression(b)))
   def vec_l2sq(a: Column, b: Column): Column =
     toColumn(VecL2Sq(toExpression(a), toExpression(b)))
+  def vec_pq_dists(vec: Column, flatCodebook: Column, m: Column): Column =
+    toColumn(VecPqDists(toExpression(vec), toExpression(flatCodebook), toExpression(m)))
 
   /** Register `vec_dot` / `vec_cosine` / `vec_l2sq` for spark.sql(...) use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

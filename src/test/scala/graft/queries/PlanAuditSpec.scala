@@ -268,7 +268,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"encode must not join:\n$p")
     assert(!p.contains("WindowExec"), s"encode must not window:\n$p")
     assert(!p.contains("Exchange"), s"encode must not shuffle:\n$p")
-    assert(p.contains("vec_l2sq"), s"distances must be the native expression:\n$p")
+    // the whole m×k distance table must be ONE native expression (m·k
+    // separate l2sq terms fall out of codegen at production codebook
+    // sizes), materialized once — not inlined per argmin reference
+    assert(p.linesIterator.count(_.contains("vec_pq_dists")) === 1,
+      s"distances must be the native table expression, computed once:\n$p")
   }
 
   test("x47: ADC scores against a broadcast query side; top-k limited before shuffle") {
