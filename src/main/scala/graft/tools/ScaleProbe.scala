@@ -365,6 +365,59 @@ object ScaleProbe {
       println(f"mixture scale=${f}x docs=${5000 * f}%7d kept=$kept%6d time=$dt%7.2f s maxTask=${mx}ms medTask=${med}ms ratio=${mx.toDouble / math.max(med, 1)}%5.1f")
     }
 
+    // CC edge-count audit: the number of verified near-dup edges the
+    // x20 (text) and x49 (embedding) pipelines feed connectedComponents
+    // at a fixture dir — the observable Components.DefaultSmallGraphThreshold
+    // keys the driver↔distributed switch on. Run with
+    // SPARK_GRAFT_SF_DIR=<dir> to audit a specific tier (the sf1
+    // correctness record in PERF.md cites this number).
+    if (on("ccedges")) {
+      val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val d = graft.sources.Tables.documents(spark, dir)
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      val textEdges = Dedup.minHashNearDups(d, threshold = 0.35).count()
+      val embEdges = graft.ext.Similarity
+        .cosineNearDups(e, threshold = 0.30).count()
+      println(s"ccedges dir=$dir text_x20=$textEdges emb_x49=$embEdges " +
+        s"switch=${graft.ext.Components.DefaultSmallGraphThreshold}")
+    }
+
+    // x17 sf1 correctness audit: the DuckDB all-pairs oracle is
+    // intractable at 50k docs (~1.25B pair evaluations of interpreted
+    // list lambdas), so the sf1 check is cross-ALGORITHM instead —
+    // brute-force all-pairs (the oracle's exact shape, running in Spark
+    // codegen where a billion merge passes is feasible) vs the PPJoin
+    // prefix+positional-filter path. Exact output-set equality; both
+    // sides share ONE shingle pass so any divergence is in the candidate
+    // pruning, which is precisely what the audit targets.
+    if (on("x17audit")) {
+      val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val d = graft.sources.Tables.documents(spark, dir)
+      val t = 0.5
+      val t0 = System.nanoTime()
+      val pp = Dedup.ngramJaccard(d, threshold = t)
+        .select("id_a", "id_b", "jaccard").persist()
+      val nPP = pp.count()
+      val t1 = System.nanoTime()
+      val sh = d.select(col("doc_id").as("id"),
+        sort_array(Dedup.shingleHashes(col("text"))).as("sh")).persist()
+      val bf = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")),
+          col("id_a") < col("id_b"))
+        .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double") /
+          greatest(size(col("sh_a")), size(col("sh_b"))) >= t)
+        .withColumn("jaccard", graft.functions.HashExpressions
+          .sorted_jaccard(col("sh_a"), col("sh_b"), t))
+        .filter(col("jaccard") >= t)
+        .select("id_a", "id_b", "jaccard").persist()
+      val nBF = bf.count()
+      val t2 = System.nanoTime()
+      val diff = pp.exceptAll(bf).count() + bf.exceptAll(pp).count()
+      println(f"x17audit dir=$dir ppjoin=$nPP%d (${(t1 - t0) / 1e9}%.1f s) " +
+        f"bruteforce=$nBF%d (${(t2 - t1) / 1e9}%.1f s) sym_diff=$diff%d")
+      pp.unpersist(); bf.unpersist(); sh.unpersist()
+    }
+
     // fuzzy-vocab slope: deletion-neighborhood candidates are linear in
     // vocabulary size × token length; replicas salt tokens with a suffix
     // so the vocab actually grows with f.

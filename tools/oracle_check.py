@@ -38,7 +38,7 @@ def describe_diff(e, a):
     return "unknown diff"
 
 
-def main(out_dir, sf_dir):
+def main(out_dir, sf_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         # driver fixtures are single parquet files; GenScale-derived tiers
@@ -49,6 +49,9 @@ def main(out_dir, sf_dir):
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:  # optional comma-separated subset, mirroring SPARK_GRAFT_ONLY
+        keep = set(only.split(","))
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -73,4 +76,5 @@ def main(out_dir, sf_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
