@@ -428,10 +428,11 @@ object Dedup {
 
   /** [[benchGramOverlap]] behind a BLOOM-FILTER prefilter
     * ([[Sketches.bloomBuild]]): the benchmark gram set folds into a
-    * fixed-size bit array (one row, ~`bits/64` map entries), and every
-    * corpus gram is screened by pure per-row bit arithmetic BEFORE any
-    * join — only Bloom candidates reach the exact verify join that kills
-    * the false positives.
+    * fixed-size bit array, collected once (8 KB) into a flat-literal
+    * bitset, and every corpus doc's gram array is screened by ONE
+    * codegen'd loop ([[Sketches.bloomCandidates]]) BEFORE any join or
+    * explode — only Bloom candidates reach the exact verify join that
+    * kills the false positives.
     *
     * Why this exists next to the broadcast semi-join: at 100 TB the
     * broadcast of the raw gram set costs O(|bench grams|) memory per
@@ -456,14 +457,15 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val grams = bench.select(explode(shingleHashes(col(textCol), n)).as("h")).distinct()
-    val bloom = Sketches.bloomBuild(grams, "h", bits, k)
+    // the sketch rides the plan as a flat literal bitset (8 KB control-
+    // plane collect — the same bytes a broadcast would ship) so the
+    // screen is one codegen'd loop over each doc's gram array; only the
+    // surviving grams are exploded into the verify join
+    val words = Sketches.bloomDenseWords(Sketches.bloomBuild(grams, "h", bits, k), bits)
     val cand = corpus
       .select(col(idCol), shingleHashes(col(textCol), n).as("sh"))
       .select(col(idCol), size(col("sh")).cast("long").as("n_grams"),
-        explode(col("sh")).as("h"))
-      .join(broadcast(bloom)) // single-row sketch
-      .filter(Sketches.bloomMightContain(col("bloom"), col("h"), bits, k))
-      .drop("bloom")
+        explode(Sketches.bloomCandidates(col("sh"), words, bits, k)).as("h"))
     cand
       .join(broadcast(grams.withColumn("true_hit", lit(1L))), Seq("h"), "left")
       .groupBy(col(idCol), col("n_grams"))

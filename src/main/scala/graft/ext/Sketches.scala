@@ -103,4 +103,27 @@ object Sketches {
         coalesce(element_at(bloom, (pos / 64L).cast("long")), lit(0L)),
         (pos % 64L).cast("int")) === 1
     }.reduce(_ && _)
+
+  /** [[bloomBuild]]'s single row as the dense `bits/64` word array the
+    * native [[graft.functions.BloomCandidates]] screen consumes. The
+    * collect is control-plane-sized (8 KB at 2^16 bits — the same bytes
+    * a broadcast of the row would ship) and buys the probe side O(1)
+    * word indexing: `element_at` on the map column is a linear key scan
+    * per probe, ~1000× the work at a full 1024-word sketch. */
+  def bloomDenseWords(bloom: DataFrame, bits: Long): Array[Long] = {
+    val m = bloom.head().getMap[Long, Long](0)
+    val words = new Array[Long]((bits / 64).toInt)
+    m.foreach { case (w, v) => words(w.toInt) = v }
+    words
+  }
+
+  /** Native Bloom screen over a gram-array column: the subset of grams
+    * whose k probe bits are all set (same hash family and exact
+    * agreement with a per-key [[bloomMightContain]] filter — spec'd).
+    * One codegen'd loop per row against the flat-literal bitset; use
+    * this form on corpus-scan hot paths, `bloomMightContain` for
+    * exploded/scalar keys. */
+  def bloomCandidates(grams: Column, words: Array[Long], bits: Long, k: Int): Column =
+    HashExpressions.bloom_candidates(grams, words,
+      Array.tabulate(k)(bloomA), Array.tabulate(k)(bloomB), bits)
 }

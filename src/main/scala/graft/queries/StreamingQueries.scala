@@ -82,14 +82,15 @@ object StreamingQueries {
 
     // streaming decontamination (StreamingDecontaminate.withBloomHits):
     // the benchmark's Bloom sketch is built batch-side and rides the
-    // streaming plan as a LITERAL — the per-batch filter is stateless
-    // map-side arithmetic. Output = flagged docs with their candidate
-    // gram counts (the screen half of x44; zero false negatives)
+    // streaming plan as a flat LITERAL bitset — the per-batch filter is
+    // one stateless codegen'd loop per doc. Output = flagged docs with
+    // their candidate gram counts (the screen half of x44; zero false
+    // negatives)
     "x54_stream_decontaminate" -> ((s, dir) => {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val bloom = StreamingDecontaminate.bloomLiteral(
+      val bloom = StreamingDecontaminate.bloomWords(
         docs.filter(col("doc_id") % 97 === 0), n = 13,
         bits = ExtensionQueries.BloomBits, k = ExtensionQueries.BloomK)
       val rows = docs.as[(Long, String)].collect().toSeq

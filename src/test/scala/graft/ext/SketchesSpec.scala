@@ -59,6 +59,27 @@ class SketchesSpec extends SparkSpec {
     assert(misses === 0L)
   }
 
+  test("native bloomCandidates agrees with per-key bloomMightContain exactly") {
+    import org.apache.spark.sql.functions._
+    val keys = (1L to 500L).map(_ * 7919L).toDF("h")
+    val bloomDf = Sketches.bloomBuild(keys, "h", BloomBits, BloomK)
+    val words = Sketches.bloomDenseWords(bloomDf, BloomBits)
+    // mixed member/non-member probe arrays, one per row
+    val probes = (0L until 50L).map(r =>
+      (r, (0L until 40L).map(i => (r * 40 + i) * 7919L + (i % 3)).toArray))
+      .toDF("row_id", "grams")
+    val native = probes.select(col("row_id"),
+        explode(Sketches.bloomCandidates(col("grams"), words, BloomBits, BloomK)).as("h"))
+      .as[(Long, Long)].collect().toSet
+    val declarative = probes.select(col("row_id"), explode(col("grams")).as("h"))
+      .join(broadcast(bloomDf))
+      .filter(Sketches.bloomMightContain(col("bloom"), col("h"), BloomBits, BloomK))
+      .select(col("row_id"), col("h"))
+      .as[(Long, Long)].collect().toSet
+    assert(native === declarative)
+    assert(native.nonEmpty, "fixture must exercise at least one surviving gram")
+  }
+
   test("bloom false-positive rate at 65536 bits / 500 keys is tiny") {
     import org.apache.spark.sql.functions._
     val keys = (1L to 500L).map(_ * 7919L).toDF("h")

@@ -231,16 +231,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Expand"), s"expected the multi-distinct expand plan:\n$p")
   }
 
-  test("x44: bloom screen is a filter on the corpus side, joins broadcast-only") {
+  test("x44: bloom screen is a native pre-explode filter, joins broadcast-only") {
     val p = planOf("x44_bloom_decontaminate")
-    // the 1-row sketch and the gram set ride as broadcasts; the corpus
-    // gram stream must never shuffle into a sort-merge join
+    // the sketch rides as a flat literal bitset — no join of any kind
+    // gets the corpus gram stream before the screen, and the exact
+    // verify join broadcasts the gram set
     assert(!p.contains("SortMergeJoin"), s"corpus grams must not sort-merge:\n$p")
-    assert(!p.contains("CartesianProduct"), s"only the 1-row BNLJ is allowed:\n$p")
-    // the unrolled probe is plain arithmetic: getbit over the map lookup
-    assert(p.contains("getbit"), s"expected the unrolled bit probe:\n$p")
-    assert(!p.toLowerCase.contains("arrayforall"),
-      s"the probe must not go through an interpreted forall lambda:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no pairwise join allowed:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the literal-bitset screen needs no sketch join at all:\n$p")
+    // the screen is ONE codegen'd loop over the gram array, applied
+    // BEFORE the explode so only candidates become rows
+    assert(p.contains("bloom_candidates"), s"expected the native bloom screen:\n$p")
+    assert(!p.toLowerCase.contains("arrayforall") && !p.toLowerCase.contains("arrayfilter"),
+      s"the probe must not go through an interpreted lambda:\n$p")
   }
 
   test("x45: dup-gram agg is partial; exactly one window pass keyed on the doc") {

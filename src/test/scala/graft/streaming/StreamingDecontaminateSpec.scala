@@ -24,7 +24,7 @@ class StreamingDecontaminateSpec extends SparkSpec {
       (13L, (1 to 50).map(i => s"z$i").mkString(" "))
     )
     val bench = Seq((99L, benchText)).toDF("doc_id", "text")
-    val bloom = StreamingDecontaminate.bloomLiteral(bench)
+    val bloom = StreamingDecontaminate.bloomWords(bench)
 
     // batch truth: docs with >= 1 bloom-candidate gram
     val flagged = Dedup.bloomBenchOverlap(
