@@ -249,7 +249,7 @@ object ScaleProbe {
     // top-10; ADC against exact L2 top-10 in the SAME quantized-vector
     // space it approximates (comparing ADC to cosine would conflate PQ
     // error with the metric change).
-    if (on("recall")) {
+    def recallReport(embIn: org.apache.spark.sql.DataFrame, label: String): Unit = {
       import spark.implicits._
       val k = 10
       def toSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
@@ -260,22 +260,22 @@ object ScaleProbe {
           (got.getOrElse(q, Set.empty) & ex).size.toDouble / ex.size
         }.sum / exact.size
 
-      val queries = emb.filter(col("vec_id") < 50)
-      val exactCos = toSets(graft.ext.Similarity.bruteForceTopK(emb, queries, k))
+      val queries = embIn.filter(col("vec_id") < 50)
+      val exactCos = toSets(graft.ext.Similarity.bruteForceTopK(embIn, queries, k))
       // trained coarse quantizer + materialized partition-pruned index —
       // the x15/x16 production shape with k-means centroids
-      val cents = graft.ext.KMeans.fit(emb, k = 16, iters = 3, vecCol = "embedding")
+      val cents = graft.ext.KMeans.fit(embIn, k = 16, iters = 3, vecCol = "embedding")
       val dir = java.nio.file.Files.createTempDirectory("graft-recall").toString
-      graft.ext.Similarity.writeIvfIndex(emb, dir, cents)
+      graft.ext.Similarity.writeIvfIndex(embIn, dir, cents)
       for (np <- Seq(1, 2, 4, 8)) {
         val got = toSets(graft.ext.Similarity.probeIvfIndex(
           spark, dir, queries, k, cents, nprobe = np))
-        println(f"recall  ivf(lists=16) nprobe=$np%d recall@$k=${recallOf(got, exactCos)}%6.3f")
+        println(f"recall[$label] ivf(lists=16) nprobe=$np%d recall@$k=${recallOf(got, exactCos)}%6.3f")
       }
 
       // ADC: PQ codebooks over the quantized grid (the x46/x47 shape),
       // exact baseline = brute-force L2 top-10 on the same qvecs
-      val qvecs = graft.ext.Similarity.quantizeMinMax(emb)
+      val qvecs = graft.ext.Similarity.quantizeMinMax(embIn)
         .groupBy("vec_id")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("q")))),
           x => x.getField("q").cast("double")).as("qvec"))
@@ -296,9 +296,29 @@ object ScaleProbe {
         val codes = graft.ext.Similarity.pqEncode(qvecs, books, dim = 64)
           .select("vec_id", "codes")
         val got = toSets(graft.ext.Similarity.pqTopK(codes, q50, books, k = k, dim = 64))
-        println(f"recall  pq-adc m=$m%d k=$kk%2d recall@$k=${recallOf(got, exactL2)}%6.3f")
+        println(f"recall[$label] pq-adc m=$m%d k=$kk%2d recall@$k=${recallOf(got, exactL2)}%6.3f")
       }
       qvecs.unpersist()
+    }
+    if (on("recall")) recallReport(emb, "uniform")
+
+    // Clustered-corpus recall: the fixture embeddings are near-uniform —
+    // the WORST case for coarse quantization (every cell boundary cuts
+    // through dense space). Real embedding clouds cluster; this mode
+    // substantiates the PERF.md claim that recall runs far higher at the
+    // same nprobe/m·k on clustered data: 2000 vectors in 16 deterministic
+    // Gaussian-ish clusters (hash-derived centers ±1, per-vector jitter
+    // ±0.15 — well-separated at 64 dims).
+    if (on("recallc")) {
+      val clustered = spark.range(2000).select(col("id").as("vec_id"),
+        array((0 until 64).map { d =>
+          (((col("id") % 16) * 37 + lit(d * 101)) % 1999 - lit(999)).cast("double")
+            .divide(999.0)
+            .plus(((col("id") * 13 + lit(d * 7)) % 201 - lit(100)).cast("double")
+              .divide(100.0).multiply(0.15))
+            .cast("float")
+        }: _*).as("embedding"))
+      recallReport(clustered, "clustered")
     }
 
     // fused-PQ slope: training is iters+2 passes over the subspace-
