@@ -54,4 +54,43 @@ object Mixture {
         (u.cast("decimal(38,0)") * col("n_src") * col("n_sources") <
           col("n_total").cast("decimal(38,0)") * lit(M)).as("kept"))
   }
+
+  /**
+   * Temperature-based source sampling at τ = 1/2 — the standard
+   * multilingual/multi-domain mixing rule (sample source s with
+   * probability ∝ n_s^τ, i.e. per-document keep rate ∝ n_s^(τ-1)):
+   * large sources are downsampled SUB-linearly, so they still
+   * contribute more documents than small ones (unlike
+   * [[rebalanceUniform]], which flattens every source to an equal
+   * share). Keep rate for source s: `min(1, R / √n_s)` with `R` the
+   * scale knob — sources at or below R² docs keep everything, a source
+   * with k·R² docs keeps 1/√k of them.
+   *
+   * τ = 1/2 is the one temperature where the fractional-power compare
+   * has an EXACT integer form: `u/M < R/√n_s  ⟺  u²·n_s < R²·M²`
+   * (both sides non-negative, square is monotone) — no engine-divergent
+   * floating-point `pow` anywhere, so reruns and the DuckDB oracle
+   * agree bit-for-bit. Same decimal(38,0) discipline as the uniform
+   * rule: u² alone reaches 10¹², times a 100 TB-corpus n_s would wrap
+   * Long silently.
+   *
+   * Scale shape: identical to [[rebalanceUniform]] — one map-side pass,
+   * dimension-sized per-source counts broadcast back, zero corpus
+   * shuffles.
+   */
+  def sampleTemperatureSqrt(
+      docs: DataFrame,
+      r: Long,
+      idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    require(r > 0, "r must be positive")
+    val counts = docs.groupBy(sourceCol).agg(count(lit(1)).as("n_src"))
+    val u = pmod(graft.functions.HashExpressions.rolling_hash(
+      concat(col(idCol).cast("string"), lit(":temp"))), lit(M))
+    docs
+      .join(broadcast(counts), sourceCol)
+      .select(col(idCol), col(sourceCol), u.as("temp_key"),
+        (u.cast("decimal(38,0)") * u * col("n_src") <
+          lit(r * r).cast("decimal(38,0)") * lit(M) * lit(M)).as("kept"))
+  }
 }

@@ -92,6 +92,46 @@ object Positional {
   }
 
   /**
+   * Adds `outCol` = the GLOBAL inclusive running sum of `valueCol` in
+   * `order` (a total order — include a unique tiebreak column), without
+   * a partition-less window: range-shuffle into sorted partitions,
+   * per-partition sums (one collect of numPartitions longs)
+   * prefix-summed on the driver and broadcast back, then a
+   * partition-LOCAL running-sum window — every window partition is
+   * range-partitioner-bounded, never corpus-sized.
+   *
+   * Self-releasing (cache-hygiene policy above): result materialized,
+   * internals released; caller unpersists the returned frame.
+   */
+  def withGlobalRunningSum(df: DataFrame, order: Seq[Column],
+                           valueCol: String, outCol: String): DataFrame = {
+    val local = df
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn(PidCol, spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sums = local.groupBy(PidCol).agg(sum(col(valueCol)).as("s")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (p, s) => val o = acc; acc += s; (p, o) }
+    val offDf = df.sparkSession.createDataFrame(offsets.toSeq).toDF(PidCol, OffCol)
+    // the window re-shuffles by pid (hash), but a pid partition is exactly
+    // one range partition's rows — bounded, and the sort inside is the
+    // already-established order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(PidCol).orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val out = local.join(broadcast(offDf), PidCol)
+      .withColumn(outCol, col(OffCol) + sum(col(valueCol)).over(w))
+      .drop(PidCol, OffCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    local.unpersist(blocking = false)
+    out
+  }
+
+  /**
    * Positional (index) join: left ranked by `leftOrder` zipped with right
    * ranked by `rightOrder` on equal 1-based position. Output keeps `posCol`
    * plus all columns of both sides. Inner-join semantics on position

@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-shard layout operators — the write-side step of a
+ * training-data pipeline: once a corpus is curated, it must be (a)
+ * globally shuffled so consecutive training examples are independent,
+ * and (b) cut into fixed-size shards each training worker streams
+ * sequentially. Both must be deterministic: a rerun (or a retried task)
+ * has to place every document in the same shard at the same offset, or
+ * checkpoint-resumed training silently sees a different data order.
+ *
+ * ==Shard assignment ([[assignShards]])==
+ * `shard = hash(id) mod S` gives hash-uniform shard sizes (no salting
+ * needed — the key IS the uniformizer), and a second independent hash
+ * orders documents inside the shard, which together implement a global
+ * shuffle: position (shard, pos) is a pure function of the document id.
+ * The per-shard `row_number` window is safe at any corpus size because
+ * `S` scales with the corpus (a shard is a training FILE — ~250k docs /
+ * ~0.5 GB each at production settings), so a window partition is
+ * file-sized by construction, never corpus-sized. One shuffle total; the
+ * cumulative token offset rides the same window as the rank.
+ *
+ * ==Token-budget cut ([[tokenBudgetCut]])==
+ * "Keep documents, in global shuffle order, until the corpus reaches B
+ * tokens" — the exact-budget variant of rate-based sampling. Needs a
+ * GLOBAL ordered running sum, which a naive
+ * `Window.orderBy(...)` (no partitionBy) would compute by funnelling
+ * the whole corpus through ONE task. Instead this rides
+ * [[Positional.withGlobalRunningSum]]: range-shuffle into sorted
+ * partitions, per-partition token sums (one tiny collect of
+ * numPartitions longs) prefix-summed on the driver and broadcast back,
+ * partition-local running-sum windows — every window partition-bounded.
+ *
+ * Self-releasing (cache-hygiene policy in [[Positional]]): the
+ * budget-cut result comes back materialized with internals released;
+ * the caller unpersists the returned frame once consumed.
+ */
+object Sharding {
+
+  /** Deterministic global shuffle + shard layout:
+    * (idCol, shard, n_tokens, pos, tok_offset). `pos` is the 1-based
+    * rank inside the shard; `tok_offset` the tokens preceding the doc
+    * in its shard (the byte-offset analog a shard writer needs). */
+  def assignShards(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numShards: Int = 8): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val shard = pmod(graft.functions.HashExpressions.rolling_hash(
+      concat(col(idCol).cast("string"), lit(":shard"))), lit(numShards.toLong))
+    val orderKey = graft.functions.HashExpressions.rolling_hash(
+      concat(col(idCol).cast("string"), lit(":order")))
+    val nTokens = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("order_key"), col(idCol))
+    docs
+      .select(col(idCol), shard.as("shard"), orderKey.as("order_key"),
+        nTokens.as("n_tokens"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("tok_offset",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("order_key")
+  }
+
+  /** Exact token-budget head in deterministic shuffle order:
+    * (idCol, n_tokens, cum_tokens, kept) where `cum_tokens` is the
+    * inclusive global running total and `kept = cum_tokens <= budget`
+    * (a document is kept only if it fits the budget WHOLE — the
+    * standard cut rule, so the kept set is a prefix of the shuffle
+    * order). Materialized; caller unpersists once consumed. */
+  def tokenBudgetCut(
+      docs: DataFrame,
+      budget: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val orderKey = graft.functions.HashExpressions.rolling_hash(
+      concat(col(idCol).cast("string"), lit(":order")))
+    val nTokens = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    val keyed = docs.select(col(idCol), orderKey.as("order_key"),
+      nTokens.as("n_tokens"))
+    Positional.withGlobalRunningSum(
+        keyed, Seq(col("order_key"), col(idCol)), "n_tokens", "cum_tokens")
+      .withColumn("kept", col("cum_tokens") <= budget)
+      .drop("order_key")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Components, Dedup, KMeans, Mixture, Multimodal, Packing, Profiling, Similarity, Skew, TextAnalysis}
+import graft.ext.{Components, Dedup, KMeans, Mixture, Multimodal, Packing, Profiling, Sharding, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -46,6 +46,9 @@ object ExtensionQueries {
   private val PqM = 4              // x46 PQ subspaces (64 dims → 4×16)
   private val PqK = 8              // x46 PQ codes per subspace
   private val FluentTopK = 1000    // x50 corpus top-bigram set size
+  private val NumShards = 8        // x56 training-shard count
+  private val TempR = 3L           // x57 τ=1/2 sampling scale (rate = R/√n_src)
+  private val TokenBudget = 12000L // x58 global token budget
 
   /** Whitespace token count — ONE definition shared by the packing
     * queries (x22 assignment, x37 materialization) so their bin math can
@@ -729,6 +732,38 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // training-shard layout (ext.Sharding): hash-uniform shard + a second
+    // independent hash ordering docs inside the shard = a deterministic
+    // global shuffle; cumulative token offset rides the same window as
+    // the rank. Window partitions are shard-sized by construction (S
+    // scales with the corpus — a shard is a training file), never
+    // corpus-sized; one shuffle total.
+    "x56_shard_assign" -> ((s, dir) =>
+      Sharding.assignShards(Tables.documents(s, dir), numShards = NumShards)
+        .orderBy("doc_id")),
+
+    // temperature sampling at τ=1/2 (ext.Mixture): keep rate ∝ 1/√n_src
+    // — large sources downsampled SUB-linearly (vs x51's flatten-to-
+    // uniform). The one temperature whose fractional-power compare has
+    // an exact integer form (u²·n_src < R²·M²), so no engine-divergent
+    // pow anywhere. Map-side pass, broadcast count frame, zero corpus
+    // shuffles.
+    "x57_temperature_sample" -> ((s, dir) =>
+      Mixture.sampleTemperatureSqrt(Tables.documents(s, dir), TempR)
+        .select(col("doc_id"), col("source"), col("temp_key"), col("kept"))
+        .orderBy("doc_id")),
+
+    // exact token-budget head in deterministic shuffle order
+    // (ext.Sharding): global inclusive running sum of tokens WITHOUT a
+    // partition-less window — range shuffle, per-partition sums prefix-
+    // summed on the driver (numPartitions longs) and broadcast back,
+    // partition-local running-sum windows (Positional.withGlobalRunningSum).
+    "x58_token_budget" -> ((s, dir) => {
+      val out = Sharding.tokenBudgetCut(Tables.documents(s, dir), TokenBudget)
+        .orderBy("doc_id")
+      out
+    }),
+
     // per-source document cap (RefinedWeb-style domain capping): keep the
     // K longest documents per source, flag the rest. Exact global rank is
     // emitted for KEPT rows only (losers get NULL) — full per-source
@@ -1186,6 +1221,53 @@ object ExtensionQueries {
          |  row_number() OVER (PARTITION BY source ORDER BY strat_key, doc_id)
          |    <= $StratK AS sampled
          |FROM k ORDER BY doc_id""".stripMargin,
+
+    "x56_shard_assign" ->
+      s"""WITH k AS (SELECT doc_id,
+         |    ${sqlStringHash("CAST(doc_id AS VARCHAR) || ':shard'")} % $NumShards
+         |      AS shard,
+         |    ${sqlStringHash("CAST(doc_id AS VARCHAR) || ':order'")} AS okey,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(row_number() OVER
+         |    (PARTITION BY shard ORDER BY okey, doc_id) AS BIGINT) AS pos,
+         |  CAST(COALESCE(SUM(n_tokens) OVER
+         |    (PARTITION BY shard ORDER BY okey, doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS tok_offset
+         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "x57_temperature_sample" ->
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+         |  FROM documents GROUP BY source),
+         |k AS (SELECT doc_id, source,
+         |    ${sqlStringHash("CAST(doc_id AS VARCHAR) || ':temp'")} % ${Mixture.M}
+         |      AS temp_key
+         |  FROM documents)
+         |SELECT k.doc_id, k.source, k.temp_key,
+         |  CAST(k.temp_key AS DECIMAL(38,0)) * k.temp_key * c.n_src
+         |    < CAST(${TempR * TempR} AS DECIMAL(38,0))
+         |      * ${Mixture.M} * ${Mixture.M} AS kept
+         |FROM k JOIN c USING (source)
+         |ORDER BY k.doc_id""".stripMargin,
+
+    "x58_token_budget" ->
+      s"""WITH k AS (SELECT doc_id,
+         |    ${sqlStringHash("CAST(doc_id AS VARCHAR) || ':order'")} AS okey,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |r AS (SELECT doc_id, n_tokens,
+         |    CAST(SUM(n_tokens) OVER
+         |      (ORDER BY okey, doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_tokens
+         |  FROM k)
+         |SELECT doc_id, n_tokens, cum_tokens,
+         |  cum_tokens <= $TokenBudget AS kept
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "x51_mix_rebalance" ->
       s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src

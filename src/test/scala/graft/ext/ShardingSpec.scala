@@ -1,0 +1,108 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Shard layout + token-budget cut: deterministic placement, exact
+  * offsets, and the scale guard (no partition-less window anywhere). */
+class ShardingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = 4
+  private lazy val docs = (1 to 200)
+    .map(i => (i.toLong, ("tok " * (i % 7 + 1)).trim, s"src${i % 3}"))
+    .toDF("doc_id", "text", "source")
+
+  test("assignShards: every doc placed once, shards in range, pos contiguous per shard") {
+    val out = Sharding.assignShards(docs, numShards = S)
+      .select("doc_id", "shard", "n_tokens", "pos", "tok_offset")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length === 200)
+    assert(out.map(_._1).distinct.length === 200)
+    assert(out.forall(r => r._2 >= 0 && r._2 < S))
+    // pos is 1..n_shard contiguous inside every shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+  }
+
+  test("assignShards: tok_offset is the running token total in (pos) order") {
+    val out = Sharding.assignShards(docs, numShards = S)
+      .select("shard", "pos", "n_tokens", "tok_offset")
+      .as[(Long, Long, Long, Long)].collect()
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).foreach { case (_, _, n, off) =>
+        assert(off === acc)
+        acc += n
+      }
+    }
+  }
+
+  test("assignShards is repartition-invariant (placement is a function of the id alone)") {
+    val a = Sharding.assignShards(docs, numShards = S)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().sorted
+    val b = Sharding.assignShards(docs.repartition(13), numShards = S)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("withGlobalRunningSum matches the single-partition cumulative sum") {
+    val df = (1 to 500).map(i => (i.toLong, (i % 11 + 1).toLong)).toDF("id", "v")
+      .repartition(16)
+    val got = Positional.withGlobalRunningSum(df, Seq(col("id")), "v", "cum")
+    val rows = got.select("id", "v", "cum").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    var acc = 0L
+    rows.foreach { case (_, v, cum) => acc += v; assert(cum === acc) }
+    got.unpersist()
+  }
+
+  test("tokenBudgetCut: kept set is exactly the budget-fitting prefix of the hash order") {
+    val budget = 300L
+    val got = Sharding.tokenBudgetCut(docs, budget)
+    val rows = got.select("doc_id", "n_tokens", "cum_tokens", "kept")
+      .as[(Long, Long, Long, Boolean)].collect()
+    // cum order: recompute the hash order driver-side from the emitted cums
+    val inOrder = rows.sortBy(_._3)
+    var acc = 0L
+    inOrder.foreach { case (_, n, cum, kept) =>
+      acc += n
+      assert(cum === acc)
+      assert(kept === (cum <= budget))
+    }
+    assert(rows.count(_._4) > 0 && rows.count(!_._4) > 0,
+      "budget must split the fixture non-trivially")
+    got.unpersist()
+  }
+
+  test("sharding plans contain no partition-less window") {
+    val shard = Sharding.assignShards(docs, numShards = S)
+    val cut = Sharding.tokenBudgetCut(docs, 300L)
+    assert(graft.PlanChecks.partitionlessWindows(
+      shard.queryExecution.executedPlan).isEmpty)
+    assert(graft.PlanChecks.partitionlessWindows(
+      cut.queryExecution.executedPlan).isEmpty)
+    cut.unpersist()
+  }
+
+  test("sampleTemperatureSqrt: verdicts match exact BigInt math; sub-R² sources keep all") {
+    // skewed corpus: big source 160 docs, small source 9 docs (< R²=16 → keep all at R=4)
+    val skewed = ((1 to 160).map(i => (i.toLong, "big")) ++
+      (1 to 9).map(i => (1000L + i, "tiny"))).toDF("doc_id", "source")
+      .withColumn("text", lit("t"))
+    val r = 4L
+    val out = Mixture.sampleTemperatureSqrt(skewed, r)
+      .select("doc_id", "source", "temp_key", "kept")
+      .as[(Long, String, Long, Boolean)].collect()
+    val counts = Map("big" -> 160L, "tiny" -> 9L)
+    out.foreach { case (_, src, key, kept) =>
+      val u = BigInt(key)
+      val expect = u * u * counts(src) < BigInt(r * r) * Mixture.M * Mixture.M
+      assert(kept === expect)
+    }
+    assert(out.filter(_._2 == "tiny").forall(_._4), "tiny source below R² keeps everything")
+    val bigKept = out.count(r => r._2 == "big" && r._4)
+    assert(bigKept > 0 && bigKept < 160, "big source must be genuinely downsampled")
+  }
+}

@@ -295,6 +295,33 @@ class PlanAuditSpec extends SparkSpec {
       s"the corpus side must never sort-merge against a count frame:\n$p")
   }
 
+  test("x56: shard layout windows by shard only — one shuffle, no global funnel") {
+    val df = SparkEntry.queries("x56_shard_assign")(spark, dir)
+    val plan = df.queryExecution.executedPlan
+    assert(partitionlessWindows(plan).isEmpty,
+      s"shard layout must never window globally:\n$plan")
+    val specs = windowPartitionSpecs(plan)
+    assert(specs.nonEmpty && specs.forall(_.nonEmpty),
+      s"every window must partition by shard:\n$plan")
+  }
+
+  test("x57: temperature sampling broadcasts the count frame; corpus never sort-merges") {
+    val p = planOf("x57_temperature_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source counts must broadcast back to the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus side must never sort-merge against a count frame:\n$p")
+  }
+
+  test("x58: token-budget cut has no partition-less window (two-pass running sum)") {
+    val df = SparkEntry.queries("x58_token_budget")(spark, dir)
+    val bad = partitionlessWindows(df.queryExecution.executedPlan)
+    assert(bad.isEmpty,
+      s"x58 funnels the corpus through a single-partition window:\n" +
+        df.queryExecution.executedPlan.toString)
+    df.unpersist()
+  }
+
   test("x48: span cut is a range-residual anti join, never a cartesian") {
     val p = planOf("x48_cut_spans")
     assert(p.contains("LeftAnti"), s"the cut must be an anti join:\n$p")
