@@ -471,6 +471,53 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "adc")
   }
 
+  /** IVF-PQ top-k — the composed production ANN index: the coarse
+    * quantizer (IVF list) prunes candidates BEFORE any distance math,
+    * and the surviving candidates score by ADC (m array lookups against
+    * the query's LUT, as [[pqTopK]]). Both inputs carry a `list` column
+    * (corpus side from its stored assignment, query side assigned at
+    * probe time — multi-probe queries pre-explode one row per probed
+    * list), so the join is an EQUI-join on the partition column with a
+    * broadcast query side: against a [[writeIvfIndex]]-layout corpus
+    * this is the partition-pruned scan, and the per-candidate cost is
+    * O(m) lookups over stored codes instead of a dim-length fold over
+    * stored doubles — the two multiplicative savings (read nprobe/lists
+    * of the data, 1/16th the bytes and flops per row) that make
+    * 100 TB-corpus ANN serving tractable. Compare [[pqTopK]]'s
+    * broadcast-nested-loop over the FULL corpus: correct, but it reads
+    * everything.
+    *
+    * @param codes   corpus as (idCol, codes array<long>, list)
+    * @param queries probe side as (idCol, vecCol, list)
+    * @return (query_id, rank, neighbor_id, adc, list) — adc ascending
+    */
+  def ivfPqTopK(
+      codes: DataFrame,
+      queries: DataFrame,
+      codebooks: Seq[Seq[KMeans.Centroid]],
+      k: Int,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "qvec"): DataFrame = {
+    val m = codebooks.size
+    val codesPerSub = codebooks.head.size
+    val q = queries.select(col(idCol).as("query_id"), col("list"),
+      graft.functions.VectorFunctions.vec_pq_dists(
+        col(vecCol).cast("array<double>"),
+        lit(flatCodebook(codebooks)), lit(m)).as("lut"))
+    val adc = (0 until m).map(s =>
+      element_at(col("lut"),
+        lit(s * codesPerSub) + col("codes").getItem(s).cast("int") + 1)).reduce(_ + _)
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
+    codes.select(col(idCol).as("neighbor_id"), col("codes"), col("list"))
+      .join(broadcast(q), Seq("list"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc", "list")
+  }
+
   /** The buckets [[cosineNearDups]] drops at `maxBucket` — the coverage
     * report for the silent fast-path drop (the embedding analog of
     * [[Dedup.overCapBuckets]]). */

@@ -970,6 +970,31 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-PQ composed index probe (the FAISS-style production ANN stack):
+    // coarse list prunes candidates BEFORE any distance math, survivors
+    // score by ADC. Joins on the LIST column (broadcast equi-join — the
+    // partition-pruned scan shape) instead of x47's nested-loop over the
+    // whole corpus; same queries/k as x10/x16/x47 so brute vs IVF vs PQ
+    // vs IVF-PQ ranking is directly comparable across the battery.
+    "x59_ivfpq_topk" -> ((s, dir) => {
+      val raw = Tables.embeddings(s, dir)
+      val lists = raw.select(col("vec_id"),
+        Similarity.ivfList(col("embedding"), Similarity.IvfLists, Dim).as("list"))
+      val qvecs = Similarity.quantizeMinMax(raw)
+        .groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("q")))),
+          x => x.getField("q").cast("double")).as("qvec"))
+        .persist() // PqM fits + encode + query side (caller-release)
+      val books = Similarity.pqTrain(qvecs, m = PqM, k = PqK, iters = KmIters, dim = Dim)
+      val codes = Similarity.pqEncode(qvecs, books, dim = Dim)
+        .join(lists, "vec_id").select("vec_id", "codes", "list")
+      val queries = qvecs.filter(col("vec_id") < 5).join(lists, "vec_id")
+      Similarity.ivfPqTopK(codes, queries, books, k = 3, dim = Dim)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("adc"), col("list"))
+        .orderBy("query_id", "rank")
+    }),
+
     // corpus pruning end-to-end: near-dup clusters (x20) × quality scores
     // (x03) → per cluster keep the highest-quality doc (ties: lowest id).
     // The full "dedupe a training corpus" decision in one query.
@@ -1794,62 +1819,11 @@ object ExtensionQueries {
          |FROM enc GROUP BY vec_id ORDER BY vec_id""".stripMargin
     },
 
-    "x47_pq_topk" -> {
-      val subDim = Dim / PqM
-      def dist(v: String, c: String) =
-        s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
-           |      list_transform(range(1, ${subDim + 1}),
-           |        i -> ($v[i] - $c[i]) * ($v[i] - $c[i]))), (a, b) -> a + b)""".stripMargin
-      def iteration(cin: String, a: String, cout: String) =
-        s"""$a AS (SELECT vec_id, s, sv, cluster FROM (
-           |    SELECT v.vec_id, v.s, v.sv, c.cluster, ${dist("v.sv", "c.center")} AS d2
-           |    FROM sub v JOIN $cin c ON v.s = c.s)
-           |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cluster) = 1),
-           |$cout AS (SELECT c.s, c.cluster, COALESCE(u.center, c.center) AS center
-           |  FROM $cin c LEFT JOIN (
-           |    SELECT s, cluster, list(sm / n ORDER BY d) AS center FROM (
-           |      SELECT s, cluster, r.d, SUM(sv[r.d]) AS sm, COUNT(*) AS n
-           |      FROM $a, range(1, ${subDim + 1}) r(d) GROUP BY s, cluster, r.d)
-           |    GROUP BY s, cluster) u ON c.s = u.s AND c.cluster = u.cluster)""".stripMargin
-      s"""WITH e AS (SELECT vec_id, r.d, CAST(embedding[r.d] AS DOUBLE) AS v
-         |  FROM embeddings, range(1, ${Dim + 1}) r(d)),
-         |st AS (SELECT d, min(v) AS mn, max(v) AS mx FROM e GROUP BY d),
-         |q AS (SELECT e.vec_id, e.d,
-         |    CASE WHEN st.mx = st.mn THEN 0
-         |         ELSE CAST(round((e.v - st.mn) * 255.0 / (st.mx - st.mn), 0) AS BIGINT)
-         |    END AS qc
-         |  FROM e JOIN st ON e.d = st.d),
-         |qv AS (SELECT vec_id, list(CAST(qc AS DOUBLE) ORDER BY d) AS qvec
-         |  FROM q GROUP BY vec_id),
-         |sub AS (SELECT vec_id, r.s,
-         |    list_slice(qvec, r.s * $subDim + 1, r.s * $subDim + $subDim) AS sv
-         |  FROM qv, range(0, $PqM) r(s)),
-         |c0 AS (SELECT s,
-         |    CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
-         |    sv AS center
-         |  FROM sub QUALIFY row_number() OVER (PARTITION BY s ORDER BY vec_id) <= $PqK),
-         |${iteration("c0", "a1", "c1")},
-         |${iteration("c1", "a2", "c2")},
-         |enc AS (SELECT vec_id, s, cluster FROM (
-         |    SELECT v.vec_id, v.s, c.cluster, ${dist("v.sv", "c.center")} AS d2
-         |    FROM sub v JOIN c2 c ON v.s = c.s)
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cluster) = 1),
-         |qsub AS (SELECT vec_id AS query_id, s, sv FROM sub WHERE vec_id < 5),
-         |lutd AS (SELECT qs.query_id, e.vec_id AS neighbor_id, e.s,
-         |    ${dist("qs.sv", "c.center")} AS ds
-         |  FROM qsub qs JOIN enc e ON qs.s = e.s
-         |  JOIN c2 c ON c.s = e.s AND c.cluster = e.cluster
-         |  WHERE e.vec_id <> qs.query_id),
-         |adc AS (SELECT query_id, neighbor_id,
-         |    list_reduce(list_concat([CAST(0 AS DOUBLE)], list(ds ORDER BY s)),
-         |      (a, b) -> a + b) AS adc
-         |  FROM lutd GROUP BY query_id, neighbor_id)
-         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc FROM (
-         |  SELECT *, row_number() OVER
-         |      (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
-         |  FROM adc)
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
-    },
+    "x47_pq_topk" -> pqAdcOracleSql(withIvf = false),
+
+    // identical generated PQ pipeline with the IVF coarse-list candidate
+    // filter switched ON — the oracle for the composed x59 probe
+    "x59_ivfpq_topk" -> pqAdcOracleSql(withIvf = true),
 
     "x14_media_features" ->
       """WITH ch AS (SELECT doc_id, ascii(unnest(string_split(text, ''))) AS b
@@ -1878,4 +1852,77 @@ object ExtensionQueries {
         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
         |FROM documents ORDER BY doc_id""".stripMargin)
+
+  /** Generated DuckDB oracle for the PQ/ADC family (x47, x59): quantize
+    * → per-subspace Lloyd (unrolled) → encode → per-query ADC ranking.
+    * `withIvf` adds the coarse-list candidate filter: both sides take
+    * their synthetic-centroid argmax list and only same-list pairs score
+    * — the SQL mirror of the partition-pruned probe. */
+  private def pqAdcOracleSql(withIvf: Boolean): String = {
+      val subDim = Dim / PqM
+      def dist(v: String, c: String) =
+        s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+           |      list_transform(range(1, ${subDim + 1}),
+           |        i -> ($v[i] - $c[i]) * ($v[i] - $c[i]))), (a, b) -> a + b)""".stripMargin
+      def iteration(cin: String, a: String, cout: String) =
+        s"""$a AS (SELECT vec_id, s, sv, cluster FROM (
+           |    SELECT v.vec_id, v.s, v.sv, c.cluster, ${dist("v.sv", "c.center")} AS d2
+           |    FROM sub v JOIN $cin c ON v.s = c.s)
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cluster) = 1),
+           |$cout AS (SELECT c.s, c.cluster, COALESCE(u.center, c.center) AS center
+           |  FROM $cin c LEFT JOIN (
+           |    SELECT s, cluster, list(sm / n ORDER BY d) AS center FROM (
+           |      SELECT s, cluster, r.d, SUM(sv[r.d]) AS sm, COUNT(*) AS n
+           |      FROM $a, range(1, ${subDim + 1}) r(d) GROUP BY s, cluster, r.d)
+           |    GROUP BY s, cluster) u ON c.s = u.s AND c.cluster = u.cluster)""".stripMargin
+      val listCte = if (!withIvf) "" else
+        s"""ls AS (SELECT vec_id,
+           |    CAST(list_position(scores, list_max(scores)) - 1 AS BIGINT) AS list
+           |  FROM (SELECT vec_id, $sqlIvfScores AS scores FROM embeddings)),
+           |""".stripMargin
+      val listJoins = if (!withIvf) "" else
+        "\n  JOIN ls ql ON ql.vec_id = qs.query_id" +
+        "\n  JOIN ls nl ON nl.vec_id = e.vec_id AND nl.list = ql.list"
+      val listSel = if (withIvf) " ql.list," else ""
+      val listGrp = if (withIvf) ", list" else ""
+      val listOut = if (withIvf) ", list" else ""
+      s"""WITH e AS (SELECT vec_id, r.d, CAST(embedding[r.d] AS DOUBLE) AS v
+         |  FROM embeddings, range(1, ${Dim + 1}) r(d)),
+         |st AS (SELECT d, min(v) AS mn, max(v) AS mx FROM e GROUP BY d),
+         |q AS (SELECT e.vec_id, e.d,
+         |    CASE WHEN st.mx = st.mn THEN 0
+         |         ELSE CAST(round((e.v - st.mn) * 255.0 / (st.mx - st.mn), 0) AS BIGINT)
+         |    END AS qc
+         |  FROM e JOIN st ON e.d = st.d),
+         |qv AS (SELECT vec_id, list(CAST(qc AS DOUBLE) ORDER BY d) AS qvec
+         |  FROM q GROUP BY vec_id),
+         |sub AS (SELECT vec_id, r.s,
+         |    list_slice(qvec, r.s * $subDim + 1, r.s * $subDim + $subDim) AS sv
+         |  FROM qv, range(0, $PqM) r(s)),
+         |c0 AS (SELECT s,
+         |    CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+         |    sv AS center
+         |  FROM sub QUALIFY row_number() OVER (PARTITION BY s ORDER BY vec_id) <= $PqK),
+         |${iteration("c0", "a1", "c1")},
+         |${iteration("c1", "a2", "c2")},
+         |enc AS (SELECT vec_id, s, cluster FROM (
+         |    SELECT v.vec_id, v.s, c.cluster, ${dist("v.sv", "c.center")} AS d2
+         |    FROM sub v JOIN c2 c ON v.s = c.s)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cluster) = 1),
+         |${listCte}qsub AS (SELECT vec_id AS query_id, s, sv FROM sub WHERE vec_id < 5),
+         |lutd AS (SELECT qs.query_id, e.vec_id AS neighbor_id, e.s,$listSel
+         |    ${dist("qs.sv", "c.center")} AS ds
+         |  FROM qsub qs JOIN enc e ON qs.s = e.s
+         |  JOIN c2 c ON c.s = e.s AND c.cluster = e.cluster$listJoins
+         |  WHERE e.vec_id <> qs.query_id),
+         |adc AS (SELECT query_id, neighbor_id$listGrp,
+         |    list_reduce(list_concat([CAST(0 AS DOUBLE)], list(ds ORDER BY s)),
+         |      (a, b) -> a + b) AS adc
+         |  FROM lutd GROUP BY query_id, neighbor_id$listGrp)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc$listOut FROM (
+         |  SELECT *, row_number() OVER
+         |      (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+         |  FROM adc)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
 }

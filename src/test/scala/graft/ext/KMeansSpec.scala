@@ -143,4 +143,37 @@ class KMeansSpec extends SparkSpec {
       assert(math.abs(err - bruteErr) < 1e-9)
     }
   }
+
+  test("ivfPqTopK equals pqTopK restricted to same-list candidate pairs") {
+    val pA = Seq(0.0, 0.0, 0.0, 0.0); val pB = Seq(50.0, 50.0, 50.0, 50.0)
+    val pC = Seq(10.0, 10.0, 10.0, 10.0)
+    val df = (0 until 24).map { i =>
+      val first = Seq(pA, pB, pC)(i % 3); val second = Seq(pB, pC, pA)(i % 3)
+      (i.toLong, first ++ second)
+    }.toDF("vec_id", "qvec")
+    // coarse lists: an arbitrary deterministic 2-way split of the corpus
+    val withList = df.withColumn("list", (col("vec_id") % 2).cast("int"))
+    val books = Similarity.pqTrain(df, m = 2, k = 3, iters = 2, dim = 8)
+    val codes = Similarity.pqEncode(df, books, dim = 8)
+      .join(withList.select("vec_id", "list"), "vec_id")
+      .select("vec_id", "codes", "list")
+    val queries = withList.filter(col("vec_id") < 2)
+    val got = Similarity.ivfPqTopK(codes, queries, books, k = 3, dim = 8)
+      .select("query_id", "rank", "neighbor_id", "adc")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    // reference: full ADC ranking, then keep only same-list pairs, re-rank
+    val full = Similarity.pqTopK(
+        codes.select("vec_id", "codes"), df.filter(col("vec_id") < 2), books,
+        k = 24, dim = 8)
+      .as[(Long, Int, Long, Double)].collect()
+    val listOf = withList.select("vec_id", "list").as[(Long, Int)].collect().toMap
+    val expect = full
+      .filter { case (q, _, n, _) => listOf(q) == listOf(n) }
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy(r => (r._4, r._3)).take(3).zipWithIndex
+          .map { case ((_, _, n, adc), i) => (q, i + 1, n, adc) }
+      }.toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
 }

@@ -322,6 +322,14 @@ class PlanAuditSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("x59: IVF-PQ probe equi-joins on the list (pruned scan), never nested-loops the corpus") {
+    val p = planOf("x59_ivfpq_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate generation must be a broadcast equi-join on list:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the corpus scan must be list-pruned, not an all-pairs loop (x47's shape):\n$p")
+  }
+
   test("x48: span cut is a range-residual anti join, never a cartesian") {
     val p = planOf("x48_cut_spans")
     assert(p.contains("LeftAnti"), s"the cut must be an anti join:\n$p")
