@@ -298,6 +298,23 @@ object ScaleProbe {
         val got = toSets(graft.ext.Similarity.pqTopK(codes, q50, books, k = k, dim = 64))
         println(f"recall[$label] pq-adc m=$m%d k=$kk%2d recall@$k=${recallOf(got, exactL2)}%6.3f")
       }
+      // composed IVF-PQ (x59 shape, trained coarse quantizer over the
+      // same quantized space): recall loses BOTH from the pruned
+      // candidate set and from code distortion — the number a user
+      // actually serves with, so it gets its own rows
+      val cents2 = graft.ext.KMeans.fit(qvecs, k = 16, iters = 3, vecCol = "qvec")
+      val corpusLists = graft.ext.KMeans.assign(qvecs, cents2, vecCol = "qvec")
+        .select(col("vec_id"), col("cluster").as("list"))
+      for ((m, kk) <- Seq((8, 64), (16, 64)); np <- Seq(1, 2, 4)) {
+        val books = graft.ext.Similarity.pqTrain(qvecs, m = m, k = kk, iters = 2, dim = 64)
+        val codesL = graft.ext.Similarity.pqEncode(qvecs, books, dim = 64)
+          .join(corpusLists, "vec_id").select("vec_id", "codes", "list")
+        val qs = q50.select(col("vec_id"), col("qvec"),
+          explode(graft.ext.KMeans.nearestClusters(col("qvec"), cents2, np))
+            .as("list"))
+        val got = toSets(graft.ext.Similarity.ivfPqTopK(codesL, qs, books, k = k, dim = 64))
+        println(f"recall[$label] ivfpq m=$m%2d k=$kk%2d nprobe=$np%d recall@$k=${recallOf(got, exactL2)}%6.3f")
+      }
       qvecs.unpersist()
     }
     if (on("recall")) recallReport(emb, "uniform")
