@@ -93,4 +93,44 @@ object Mixture {
         (u.cast("decimal(38,0)") * u * col("n_src") <
           lit(r * r).cast("decimal(38,0)") * lit(M) * lit(M)).as("kept"))
   }
+
+  /**
+   * Corpus-relative score bucketing — the curriculum/filtering step
+   * ("keep the top quality decile", "order batches easy→hard"): each
+   * row's integer score is ranked against the WHOLE corpus distribution
+   * and assigned bucket `1 + ⌊buckets · |below| / N⌋` (clamped to
+   * `buckets`), where |below| counts rows with a strictly smaller
+   * score. Ties share a bucket; the verdict is a pure function of the
+   * score's position in the corpus histogram, so reruns and the oracle
+   * agree exactly (integer division only — no float quantile estimate).
+   *
+   * Scale shape: a naive `ntile() OVER (ORDER BY score)` funnels the
+   * corpus through one task. Instead the cumulative ranks come from the
+   * score HISTOGRAM — `scoreCol` must be an integer grid (e.g. a
+   * quality score rounded to 1e-6), so the histogram's cardinality is
+   * bounded by the GRID (≤ ~10⁶ rows), not the corpus. The one
+   * partition-less window in this operator runs over that bounded
+   * histogram — the same control-plane-sized class as r07's broadcast
+   * offsets — and the per-row bucketing is a broadcast join back.
+   */
+  def scoreBuckets(
+      scored: DataFrame,
+      scoreCol: String = "score_r",
+      idCol: String = "doc_id",
+      buckets: Int = 10): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val hist = scored.groupBy(scoreCol).agg(count(lit(1)).as("c"))
+    val wBelow = org.apache.spark.sql.expressions.Window
+      .orderBy(scoreCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = hist.select(col(scoreCol),
+      coalesce(sum(col("c")).over(wBelow), lit(0L)).as("below"))
+    val n = scored.agg(count(lit(1)).as("n_total"))
+    scored
+      .join(broadcast(cum), scoreCol)
+      .crossJoin(broadcast(n)) // 1-row total scaffold
+      .select(col(idCol), col(scoreCol),
+        least(lit(buckets.toLong),
+          lit(1L) + expr(s"($buckets * below) div n_total")).as("bucket"))
+  }
 }

@@ -764,6 +764,18 @@ object ExtensionQueries {
       out
     }),
 
+    // corpus-relative quality deciles (ext.Mixture.scoreBuckets): the
+    // curriculum / top-decile-filter step. NOT an ntile-over-corpus
+    // (single-task funnel): cumulative ranks come from the score
+    // HISTOGRAM (cardinality bounded by the 1e-6 grid, not the corpus)
+    // and broadcast back; bucket math is integer division only.
+    "x60_quality_buckets" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir).select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+          .cast("long").as("score_r"))
+      Mixture.scoreBuckets(scored).orderBy("doc_id")
+    }),
+
     // per-source document cap (RefinedWeb-style domain capping): keep the
     // K longest documents per source, flag the rest. Exact global rank is
     // emitted for KEPT rows only (losers get NULL) — full per-source
@@ -1246,6 +1258,24 @@ object ExtensionQueries {
          |  row_number() OVER (PARTITION BY source ORDER BY strat_key, doc_id)
          |    <= $StratK AS sampled
          |FROM k ORDER BY doc_id""".stripMargin,
+
+    "x60_quality_buckets" ->
+      s"""WITH $sqlQualityCtes,
+         |qs AS (SELECT doc_id,
+         |    CAST(round(($sqlQualityScore) * 1000000, 0) AS BIGINT) AS score_r
+         |  FROM g),
+         |h AS (SELECT score_r, CAST(count(*) AS BIGINT) AS c
+         |  FROM qs GROUP BY score_r),
+         |cum AS (SELECT score_r,
+         |    CAST(COALESCE(SUM(c) OVER (ORDER BY score_r
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS below
+         |  FROM h),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+         |SELECT qs.doc_id, qs.score_r,
+         |  CAST(least(10, 1 + (10 * cum.below) // n.n_total) AS BIGINT) AS bucket
+         |FROM qs JOIN cum USING (score_r) CROSS JOIN n
+         |ORDER BY qs.doc_id""".stripMargin,
 
     "x56_shard_assign" ->
       s"""WITH k AS (SELECT doc_id,

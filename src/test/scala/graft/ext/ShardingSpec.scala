@@ -105,4 +105,25 @@ class ShardingSpec extends SparkSpec {
     val bigKept = out.count(r => r._2 == "big" && r._4)
     assert(bigKept > 0 && bigKept < 160, "big source must be genuinely downsampled")
   }
+
+  test("scoreBuckets matches the exact rank formula; ties share a bucket") {
+    // skewed scores with heavy ties: 1000 rows over 37 distinct values
+    val scored = (1 to 1000)
+      .map(i => (i.toLong, ((i * i) % 37).toLong)).toDF("doc_id", "score_r")
+    val got = Mixture.scoreBuckets(scored)
+      .select("doc_id", "score_r", "bucket")
+      .as[(Long, Long, Long)].collect()
+    val all = scored.as[(Long, Long)].collect()
+    val n = all.length.toLong
+    got.foreach { case (_, s, b) =>
+      val below = all.count(_._2 < s).toLong
+      val expect = math.min(10L, 1L + (10L * below) / n)
+      assert(b === expect, s"score $s")
+    }
+    assert(got.map(_._3).distinct.length > 3, "skewed fixture still spans buckets")
+    // equal scores always land in the same bucket
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.length === 1)
+    }
+  }
 }

@@ -330,6 +330,17 @@ class PlanAuditSpec extends SparkSpec {
       s"the corpus scan must be list-pruned, not an all-pairs loop (x47's shape):\n$p")
   }
 
+  test("x60: bucketing windows over the HISTOGRAM; the corpus joins back by broadcast") {
+    val p = planOf("x60_quality_buckets")
+    // the one partition-less window is over the grid-bounded histogram —
+    // its input must be an aggregate, and the per-row bucketing must be a
+    // broadcast join, never a corpus shuffle
+    assert(p.contains("BroadcastHashJoin"),
+      s"cumulative ranks must broadcast back to the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never sort-merge against the histogram:\n$p")
+  }
+
   test("x48: span cut is a range-residual anti join, never a cartesian") {
     val p = planOf("x48_cut_spans")
     assert(p.contains("LeftAnti"), s"the cut must be an anti join:\n$p")
