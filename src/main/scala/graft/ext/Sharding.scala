@@ -68,6 +68,31 @@ object Sharding {
       .drop("order_key")
   }
 
+  /** Materialize the shard layout: the corpus joined to its
+    * [[assignShards]] placement and written `partitionBy("shard")` with
+    * rows sorted by `pos` INSIDE each shard file — one output file per
+    * shard per write task, so a training worker streams its shard
+    * sequentially in the planned order. `repartition(shard)` puts each
+    * shard's rows in exactly one task before the partitioned write
+    * (without it every write task would emit a sliver of every shard),
+    * and `sortWithinPartitions(pos)` makes the file order THE shuffle
+    * order. Read back with `spark.read.parquet(path)` — shard is a
+    * partition column, so a per-shard read prunes to one directory. */
+  def writeShards(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numShards: Int = 8): Unit = {
+    val placed = docs.join(
+      assignShards(docs, idCol, textCol, numShards).select(idCol, "shard", "pos"),
+      idCol)
+    placed
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+  }
+
   /** Exact token-budget head in deterministic shuffle order:
     * (idCol, n_tokens, cum_tokens, kept) where `cum_tokens` is the
     * inclusive global running total and `kept = cum_tokens <= budget`

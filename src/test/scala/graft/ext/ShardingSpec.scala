@@ -106,6 +106,29 @@ class ShardingSpec extends SparkSpec {
     assert(bigKept > 0 && bigKept < 160, "big source must be genuinely downsampled")
   }
 
+  test("writeShards round-trips: partition dirs by shard, file order = planned pos order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    Sharding.writeShards(docs, dir, numShards = S)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 200)
+    // shard is a partition column and prunes to one directory per shard
+    val one = back.filter(col("shard") === 0)
+    assert(one.count() > 0)
+    // within every shard the FILE order is the planned pos order: reading
+    // a single shard partition without any sort yields ascending pos
+    (0 until S).foreach { sh =>
+      val rows = spark.read.parquet(s"$dir/shard=$sh")
+        .select("pos").as[Long].collect()
+      assert(rows.toSeq === rows.sorted.toSeq, s"shard $sh file order")
+    }
+    // placement agrees with assignShards exactly
+    val plan = Sharding.assignShards(docs, numShards = S)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().toSet
+    val got = back.select(col("doc_id"), col("shard").cast("long"), col("pos"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === plan)
+  }
+
   test("scoreBuckets matches the exact rank formula; ties share a bucket") {
     // skewed scores with heavy ties: 1000 rows over 37 distinct values
     val scored = (1 to 1000)
