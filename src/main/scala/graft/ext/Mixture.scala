@@ -133,4 +133,80 @@ object Mixture {
         least(lit(buckets.toLong),
           lit(1L) + expr(s"($buckets * below) div n_total")).as("bucket"))
   }
+
+  /**
+   * DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling", arXiv:2302.03169):
+   * score every document by how much its HASHED-BIGRAM distribution
+   * looks like a target domain rather than the raw corpus —
+   * `w(doc) = Σ_grams log p̂_target(bucket(gram)) − log p̂_raw(bucket(gram))`
+   * with add-1-smoothed bucket unigram models. High-weight docs are the
+   * ones importance resampling keeps when curating toward the target.
+   *
+   * Scale shape: the two bucket models are aggregates over a FIXED
+   * `buckets`-sized key space (map-side partial combine, then a
+   * `buckets`-row dimension that broadcasts back); the per-document
+   * score is one (doc, bucket)-count shuffle joined against that
+   * broadcast dimension. Nothing in the plan grows super-linearly.
+   *
+   * Cross-engine determinism: each bucket's log-ratio is a fixed-order
+   * scalar expression on exact integer counts, rounded to 9 decimals
+   * and cast to DECIMAL(19,9); the per-document score is
+   * Σ n_occurrences · lr_bucket in exact decimal arithmetic
+   * (order-independent), cast to double and rounded only at the end.
+   *
+   * @param docs     corpus with `idCol` / `textCol`
+   * @param isTarget per-row predicate marking the target-domain docs
+   *                 (must be computable from the row alone)
+   * @param buckets  hashed-feature space size (paper uses 10^4). Use a
+   *                 PRIME: the bigram hash is `(t₁·C + t₂) mod p` with a
+   *                 fixed multiplier, so a power-of-two modulus keys on
+   *                 the hash's low bits and structurally-related token
+   *                 pairs collide in lockstep (same-length tokens differ
+   *                 by k·(C+1) — divisible by 32 for this C — so mod 1024
+   *                 whole bigram FAMILIES share buckets and the two
+   *                 domain models blur into each other)
+   * @return (idCol, n_grams, weight_r) — docs with no bigrams (empty
+   *         text still yields one unigram-fallback gram, so none) keep
+   *         their row
+   */
+  def dsirLogWeights(
+      docs: DataFrame,
+      isTarget: org.apache.spark.sql.Column,
+      buckets: Int = 1021,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    // persisted: the raw model, the target model, and the per-doc counts
+    // all consume the gram stream (caller-release convention as in
+    // TextAnalysis.bigramFluency)
+    val grams = docs.select(col(idCol), isTarget.as("is_t"),
+        explode(Dedup.positionalShingleHashes(col(textCol), 2)).as("h"))
+      .withColumn("b", pmod(col("h"), lit(buckets.toLong)))
+      .persist()
+    val raw = grams.groupBy("b").agg(count(lit(1)).as("n_r"))
+    val tgt = grams.filter(col("is_t")).groupBy("b").agg(count(lit(1)).as("n_t"))
+    val totals = grams.agg(count(lit(1)).as("tot_r"),
+      sum(col("is_t").cast("long")).as("tot_t"))
+    // log-ratio per OBSERVED bucket (unobserved buckets never join a doc)
+    val lr = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(
+          log((coalesce(col("n_t"), lit(0L)) + 1).cast("double") / (col("tot_t") + buckets)) -
+            log((col("n_r") + 1).cast("double") / (col("tot_r") + buckets)),
+          9).cast("decimal(19,9)").as("lr"))
+    val perDocBucket = grams.groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("n"))
+    perDocBucket
+      .join(broadcast(lr), Seq("b"))
+      .groupBy(idCol)
+      .agg(sum(col("n")).as("n_grams"),
+        // 9+19+1 = 29 ≤ 38: the product stays DECIMAL in BOTH engines
+        // (DuckDB silently converts to DOUBLE past precision 38, which
+        // would forfeit the order-independent exact sum)
+        sum(col("n").cast("decimal(9,0)") * col("lr")).as("w_d"))
+      .select(col(idCol), col("n_grams"),
+        round(col("w_d").cast("double"), 6).as("weight_r"))
+  }
 }

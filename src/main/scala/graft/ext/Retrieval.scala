@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Full-text retrieval over the document corpus: inverted-index BM25
+ * scoring and reciprocal-rank fusion of a sparse (BM25) and a dense
+ * (embedding-cosine) rank list — the retrieval half of a training-data
+ * curation stack (benchmark decontamination by retrieval, targeted
+ * corpus search, hybrid RAG-style lookup).
+ *
+ * Scale shape (the part that matters at 100 TB):
+ *  - The query-term set is a tiny literal dimension, BROADCAST to the
+ *    token stream; non-matching postings are dropped map-side BEFORE
+ *    the only wide shuffle (the per-(doc, term) tf aggregation), so
+ *    shuffle volume is O(matching postings), not O(corpus tokens).
+ *  - Document length (dl) rides the token explode as a projected
+ *    column — `groupBy(doc, dl, term)` — so no second corpus-wide join
+ *    is ever needed to recover it.
+ *  - df and the corpus stats (N, Σdl) are one tiny agg each, broadcast
+ *    back; the final top-k is a per-query window over only the scored
+ *    (query, doc) pairs.
+ *
+ * Cross-engine determinism: every per-term score is a FIXED-ORDER
+ * scalar expression (both engines evaluate textually identical
+ * arithmetic), rounded to 6 decimals and cast to DECIMAL(18,6) BEFORE
+ * the per-document sum — decimal addition is exact, hence
+ * order-independent, so Spark's partial-agg order vs DuckDB's scan
+ * order cannot produce 1-ulp rank flips. Ranking orders on the exact
+ * decimal with an integer doc-id tiebreak.
+ */
+object Retrieval {
+
+  /** BM25 constants (the Robertson/Lucene defaults). The derived
+    * constants are materialized once in Scala and printed into the
+    * oracle SQL via shortest-round-trip `Double.toString`, so both
+    * engines plug in bit-identical doubles. */
+  val K1: Double = 1.2
+  val B: Double = 0.75
+  val K1Plus1: Double = K1 + 1.0
+  val OneMinusB: Double = 1.0 - B
+
+  /**
+   * BM25 top-k per query.
+   *
+   * @param docs    corpus with `idCol` and `textCol`
+   * @param queries (query_id: Long, term: String) rows — the literal
+   *                query dimension; duplicate terms per query are the
+   *                caller's bug (each contributes independently)
+   * @return (query_id, rank, idCol, score) — rank 1..k by BM25 score
+   *         desc, doc id asc on ties at the displayed precision
+   */
+  def bm25TopK(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("w"))
+    // dl rides the explode as a projection — groupBy(doc, dl, term) keeps
+    // it through the tf shuffle for free (functionally dependent on doc)
+    val posted = tok
+      .select(col(idCol), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
+      .join(broadcast(queries.select("term").distinct()), Seq("term"))
+    val tf = posted.groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = tok.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("w")).cast("long")).as("sum_dl"))
+
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val denom = col("tf") + lit(K1) * (lit(OneMinusB) + lit(B) * col("dl").cast("double") / avgdl)
+    val termScore = idf * (col("tf") * lit(K1Plus1)) / denom
+
+    val perDoc = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(queries), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col(idCol),
+        round(termScore, 6).cast("decimal(18,6)").as("ts"))
+      .groupBy("query_id", idCol)
+      .agg(sum(col("ts")).as("score_d"))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_d").desc, col(idCol))
+    perDoc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col(idCol), col("score_d").cast("double").as("score"))
+  }
+
+  /**
+   * Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of a sparse and
+   * a dense rank list: `score(q, d) = Σ_lists 1/(c + rank)`, absent
+   * list contributes 0. Pure fixed-order two-term arithmetic — no
+   * aggregation of doubles anywhere — so the fused score is
+   * deterministic by construction. Both inputs are per-query top-k
+   * frames (already small: O(queries × k) rows), so the fusion join is
+   * a sliver regardless of corpus size.
+   *
+   * @param sparse (query_id, id, rank)
+   * @param dense  (query_id, id, rank)
+   * @return (query_id, rank, id, rrf_r, rank_sparse, rank_dense) —
+   *         fused rank 1..k; source ranks null where absent
+   */
+  def rrfFuse(
+      sparse: DataFrame,
+      dense: DataFrame,
+      k: Int,
+      c: Int = 60): DataFrame = {
+    val s = sparse.select(col("query_id"), col("id"), col("rank").as("rank_sparse"))
+    val d = dense.select(col("query_id"), col("id"), col("rank").as("rank_dense"))
+    val fused = s.join(d, Seq("query_id", "id"), "full_outer")
+      .withColumn("rrf_r", round(
+        coalesce(lit(1.0) / (lit(c) + col("rank_sparse")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rank_dense")), lit(0.0)), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_r").desc, col("id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("id"), col("rrf_r"), col("rank_sparse"), col("rank_dense"))
+  }
+}

@@ -131,6 +131,68 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame =
     corpus.select(col(idCol), col(vecCol), ivfList(col(vecCol), lists, dim).as("list"))
 
+  /**
+   * SemDeDup (Abbas et al. 2023, arXiv:2303.09540) re-expressed
+   * relationally: cluster the embedding space, then prune near-duplicate
+   * pairs WITHIN each cluster — the trick that makes semantic dedup
+   * scale is that pairwise cosine is only ever computed inside a
+   * bounded cell, never across the corpus. Complements
+   * [[cosineNearDups]]+connected-components (the x49 path): that one
+   * LSH-buckets and keeps the lowest id per component; this one follows
+   * the paper's policy of keeping, among semantic duplicates, the point
+   * FURTHEST from its cluster centroid (lowest centroid-cosine — the
+   * most "atypical" exemplar), which preserves diversity.
+   *
+   * Pruning rule (the one-pass relational form of the paper's greedy
+   * scan): a vector is pruned iff some same-cell vector within
+   * `threshold` cosine of it is strictly preferred — lower
+   * centroid-cosine, vec id as the integer tiebreak. Deterministic, and
+   * exactly replayable in SQL.
+   *
+   * Scale: the self-join shuffles on `list` only; cells past `maxCell`
+   * rows are EXCLUDED from pairwise (their members pass through
+   * kept=true, capped=true — loud, bounded, same discipline as
+   * [[cosineNearDups]]'s maxBucket). Production sizes `lists` so cells
+   * stay under the cap (k ≈ N/targetCell, the paper uses k in the
+   * tens of thousands); the cap is the guard rail, not the plan.
+   *
+   * @return (idCol, list, cos_centroid_r, capped, kept)
+   */
+  def semDedupCells(
+      corpus: DataFrame,
+      threshold: Double,
+      lists: Int = IvfLists,
+      dim: Int = 64,
+      maxCell: Int = 10000,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val centroidCos = element_at(
+      array((0 until lists).map(c => vec_cosine(col(vecCol), centroidLit(c, dim))): _*),
+      col("list").cast("int") + 1)
+    val assigned = ivfAssign(corpus, lists, dim, idCol, vecCol)
+      .withColumn("cos_c", centroidCos)
+    val cellSizes = assigned.groupBy("list").agg(count(lit(1)).as("cell_n"))
+    val inCell = assigned
+      .join(broadcast(cellSizes), Seq("list"))
+      .filter(col("cell_n") <= maxCell)
+    val l = inCell.select(col("list"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("cos_c").as("ca"))
+    val r = inCell.select(col("list"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("cos_c").as("cb"))
+    val pruned = l.join(r, Seq("list"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(vec_cosine(col("va"), col("vb")) > threshold)
+      .filter(col("cb") < col("ca") ||
+        (col("cb") === col("ca") && col("id_b") < col("id_a")))
+      .select(col("id_a").as(idCol)).distinct()
+    assigned
+      .join(broadcast(cellSizes), Seq("list"))
+      .join(pruned.withColumn("hit", lit(1L)), Seq(idCol), "left")
+      .select(col(idCol), col("list"), round(col("cos_c"), 6).as("cos_centroid_r"),
+        (col("cell_n") > maxCell).as("capped"),
+        col("hit").isNull.as("kept"))
+  }
+
   /** IVF-probed top-k: score only corpus vectors in the query's list
     * (nprobe = 1). Same shape as [[bruteForceTopK]]; recall < 1. */
   def ivfTopK(

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Components, Dedup, KMeans, Mixture, Multimodal, Packing, Profiling, Sharding, Similarity, Skew, TextAnalysis}
+import graft.ext.{Components, Dedup, KMeans, Mixture, Multimodal, Packing, Profiling, Retrieval, Sharding, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -47,6 +47,18 @@ object ExtensionQueries {
   private val PqK = 8              // x46 PQ codes per subspace
   private val FluentTopK = 1000    // x50 corpus top-bigram set size
   private val NumShards = 8        // x56 training-shard count
+  private val Bm25K = 10           // x61 results per query
+  private val HybridK = 20         // x61/x62 candidate depth fed into fusion
+  private val RrfK = 10            // x62 fused results per query
+  private val RrfC = 60            // x62 RRF constant (Cormack et al.'s 60)
+  private val SemDedupMaxCell = 10000 // x63 pairwise-cell size guard
+  private val DsirBuckets = 1021   // x64 hashed-bigram feature space (PRIME — see Mixture.dsirLogWeights)
+  /** x61/x62 literal query dimension: (query_id, term) — qids 0..2 double
+    * as the embedding-side query vec_ids for the hybrid fusion. */
+  private val RetrievalQueryTerms: Seq[(Long, String)] = Seq(
+    (0L, "spark"), (0L, "join"),
+    (1L, "window"), (1L, "filter"), (1L, "sort"),
+    (2L, "stream"), (2L, "hash"), (2L, "merge"))
   private val TempR = 3L           // x57 τ=1/2 sampling scale (rate = R/√n_src)
   private val TokenBudget = 12000L // x58 global token budget
 
@@ -261,6 +273,49 @@ object ExtensionQueries {
   /** Dot-product scores of `embedding` against every IVF centroid. */
   private val sqlIvfScores: String = (0 until Similarity.IvfLists)
     .map(c => sqlDot("embedding", sqlCentroid(c))).mkString("[", ",\n  ", "]")
+
+  /** Cosine of `embedding` against every IVF centroid — same na-first
+    * dot/(√na·√nb) shape as the vec_cosine expression. */
+  private val sqlIvfCosines: String = (0 until Similarity.IvfLists)
+    .map { c =>
+      s"""${sqlDot("embedding", sqlCentroid(c))} /
+         |  (sqrt(${sqlDot("embedding", "embedding")}) * sqrt(${sqlDot(sqlCentroid(c), sqlCentroid(c))}))""".stripMargin
+    }.mkString("[", ",\n  ", "]")
+
+  /** x61/x62 literal query-term dimension as a VALUES CTE. */
+  private val sqlQueryTermsCte: String =
+    "q(query_id, term) AS (VALUES " +
+      RetrievalQueryTerms.map { case (qid, t) => s"($qid, '$t')" }.mkString(", ") + ")"
+
+  /** BM25 CTE chain shared by x61/x62 → `br(query_id, doc_id, sd, rank)`.
+    * Every double op is forced through an explicit DOUBLE operand so
+    * DuckDB's decimal literals can't take an exact-decimal shortcut the
+    * Spark side (pure double arithmetic) doesn't take; the BM25 constants
+    * print via shortest-round-trip Double.toString, so both engines plug
+    * in bit-identical values. Per-term scores round→DECIMAL(18,6) before
+    * the order-independent exact sum, as in the engine. */
+  private val sqlBm25Ctes: String =
+    s"""$sqlQueryTermsCte,
+       |norm AS (SELECT doc_id, $sqlNorm AS t FROM documents),
+       |tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+       |posted AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM tok),
+       |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM posted
+       |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, dl, term),
+       |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(w)) AS BIGINT) AS sum_dl FROM tok),
+       |sc AS (SELECT q.query_id, tf.doc_id,
+       |    CAST(round((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |        * (CAST(tf AS DOUBLE) * ${Retrieval.K1Plus1}))
+       |      / (tf + ${Retrieval.K1} * (${Retrieval.OneMinusB}
+       |          + ${Retrieval.B} * CAST(dl AS DOUBLE)
+       |            / (CAST(sum_dl AS DOUBLE) / n_docs))), 6)
+       |      AS DECIMAL(18,6)) AS ts
+       |  FROM tf JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN stats),
+       |ag AS (SELECT query_id, doc_id, sum(ts) AS sd FROM sc GROUP BY query_id, doc_id),
+       |br AS (SELECT query_id, doc_id, sd,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sd DESC, doc_id) AS rank
+       |  FROM ag)""".stripMargin
 
   /** 64-bit derived-chunk SimHash CTE chain (norm → tk → th → bs → sg),
     * mirroring Dedup.simHash / graft.functions.SimHashDerived: chunk c
@@ -1074,7 +1129,45 @@ object ExtensionQueries {
         .select(col("doc_id"), col("rank").cast("long").as("rank"),
           col("token"), col("tfidf_r"))
         .orderBy("doc_id", "rank")
-    }))
+    }),
+
+    // inverted-index BM25 top-10: the broadcast query-term dim drops
+    // non-matching postings map-side BEFORE the tf shuffle; dl rides the
+    // groupBy; per-term scores round→decimal before the exact sum
+    "x61_bm25_topk" -> ((s, dir) => {
+      val q = s.createDataFrame(RetrievalQueryTerms).toDF("query_id", "term")
+      Retrieval.bm25TopK(Tables.documents(s, dir), q, k = Bm25K)
+        .orderBy("query_id", "rank")
+    }),
+
+    // hybrid retrieval: RRF fusion of the BM25 top-20 (sparse) and the
+    // exact-cosine top-20 (dense, query vectors = vec_ids 0..2) — the
+    // fusion join runs over O(queries × k) rows regardless of corpus size
+    "x62_hybrid_rrf" -> ((s, dir) => {
+      val q = s.createDataFrame(RetrievalQueryTerms).toDF("query_id", "term")
+      val sparse = Retrieval.bm25TopK(Tables.documents(s, dir), q, k = HybridK)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val emb = Tables.embeddings(s, dir)
+      val dense = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = HybridK)
+        .select(col("query_id"), col("neighbor_id").as("id"),
+          col("rank").cast("long").as("rank"))
+      Retrieval.rrfFuse(sparse, dense, k = RrfK, c = RrfC)
+        .orderBy("query_id", "rank")
+    }),
+
+    // SemDeDup: IVF-cell-bounded pairwise semantic dedup keeping the
+    // exemplar FURTHEST from its centroid (vs x49's LSH+CC keep-lowest-id)
+    "x63_semdedup_cells" -> ((s, dir) =>
+      Similarity.semDedupCells(Tables.embeddings(s, dir),
+          threshold = CosineThreshold, maxCell = SemDedupMaxCell)
+        .orderBy("vec_id")),
+
+    // DSIR importance weights toward the lang='en' slice: hashed-bigram
+    // bucket models (broadcast dims) + exact-decimal per-doc log-ratio sum
+    "x64_dsir_weights" -> ((s, dir) =>
+      Mixture.dsirLogWeights(Tables.documents(s, dir),
+          isTarget = col("lang") === "en", buckets = DsirBuckets)
+        .orderBy("doc_id")))
 
   // =====================================================================
 
@@ -1881,7 +1974,95 @@ object ExtensionQueries {
         |  CAST(doc_id % 480 + 32 AS INT) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x61_bm25_topk" ->
+      s"""WITH $sqlBm25Ctes
+         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+         |  doc_id, CAST(sd AS DOUBLE) AS score
+         |FROM br WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin,
+
+    // x62: BM25 top-20 ∪ exact-cosine top-20 → RRF — the fused score is
+    // fixed-order two-term double arithmetic, no aggregation anywhere
+    "x62_hybrid_rrf" ->
+      s"""WITH $sqlBm25Ctes,
+         |bs AS (SELECT query_id, doc_id AS id, rank AS rank_sparse
+         |  FROM br WHERE rank <= $HybridK),
+         |qd AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+         |cd AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+         |ds AS (SELECT query_id, neighbor_id,
+         |    ${sqlDot("qv", "nv")} /
+         |    (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("nv", "nv")})) AS cosine
+         |  FROM qd, cd WHERE query_id <> neighbor_id),
+         |dr AS (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM ds),
+         |bd AS (SELECT query_id, neighbor_id AS id, rank AS rank_dense
+         |  FROM dr WHERE rank <= $HybridK),
+         |f AS (SELECT coalesce(bs.query_id, bd.query_id) AS query_id,
+         |    coalesce(bs.id, bd.id) AS id, rank_sparse, rank_dense,
+         |    round(coalesce(1.0 / ($RrfC + rank_sparse), 0.0)
+         |        + coalesce(1.0 / ($RrfC + rank_dense), 0.0), 6) AS rrf_r
+         |  FROM bs FULL JOIN bd ON bs.query_id = bd.query_id AND bs.id = bd.id),
+         |fr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_r DESC, id) AS rank
+         |  FROM f)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+         |  id, rrf_r, CAST(rank_sparse AS BIGINT) AS rank_sparse,
+         |  CAST(rank_dense AS BIGINT) AS rank_dense
+         |FROM fr WHERE rank <= $RrfK ORDER BY query_id, rank""".stripMargin,
+
+    // x63: argmax-list assignment (x15's CTE), centroid-cosine from the
+    // per-list cosine array, within-cell dominated-by-a-duplicate prune
+    "x63_semdedup_cells" ->
+      s"""WITH s AS (SELECT vec_id, embedding, $sqlIvfScores AS scores FROM embeddings),
+         |a AS (SELECT vec_id, embedding,
+         |    CAST(list_position(scores, list_max(scores)) - 1 AS BIGINT) AS list FROM s),
+         |ac AS (SELECT vec_id, embedding, list,
+         |    ($sqlIvfCosines)[CAST(list + 1 AS INT)] AS cos_c FROM a),
+         |cn AS (SELECT list, CAST(count(*) AS BIGINT) AS cell_n FROM ac GROUP BY list),
+         |ic AS (SELECT ac.* FROM ac JOIN cn USING (list) WHERE cell_n <= $SemDedupMaxCell),
+         |pr AS (SELECT DISTINCT l.vec_id
+         |  FROM ic l JOIN ic r ON l.list = r.list AND l.vec_id <> r.vec_id
+         |  WHERE ${sqlDot("l.embedding", "r.embedding")} /
+         |      (sqrt(${sqlDot("l.embedding", "l.embedding")})
+         |       * sqrt(${sqlDot("r.embedding", "r.embedding")})) > $CosineThreshold
+         |    AND (r.cos_c < l.cos_c OR (r.cos_c = l.cos_c AND r.vec_id < l.vec_id)))
+         |SELECT ac.vec_id, ac.list, round(ac.cos_c, 6) AS cos_centroid_r,
+         |  (cn.cell_n > $SemDedupMaxCell) AS capped,
+         |  (pr.vec_id IS NULL) AS kept
+         |FROM ac JOIN cn USING (list) LEFT JOIN pr ON ac.vec_id = pr.vec_id
+         |ORDER BY ac.vec_id""".stripMargin,
+
+    // x64: x50's positional-bigram CTE + bucket models; the per-doc sum
+    // is exact DECIMAL(9,0)×DECIMAL(19,9) arithmetic in both engines
+    "x64_dsir_weights" ->
+      s"""WITH norm AS (SELECT doc_id, lang = 'en' AS is_t, $sqlNorm AS t FROM documents),
+         |tok AS (SELECT doc_id, is_t, string_split(t, ' ') AS w FROM norm),
+         |toh AS (SELECT doc_id, is_t, list_transform(w, s -> ${sqlStringHash("s")}) AS th FROM tok),
+         |b2 AS (SELECT doc_id, is_t,
+         |    unnest(list_transform(range(0, CASE WHEN len(th) < 2 THEN 1
+         |                                       ELSE len(th) - 1 END),
+         |      i -> list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |             list_slice(th, i + 1, i + 2)),
+         |           (a, b) -> (a * $C + b) % $Mod))) AS h
+         |  FROM toh),
+         |bb AS (SELECT doc_id, is_t, h % $DsirBuckets AS b FROM b2),
+         |raw AS (SELECT b, CAST(count(*) AS BIGINT) AS n_r FROM bb GROUP BY b),
+         |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS n_t FROM bb WHERE is_t GROUP BY b),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS tot_r,
+         |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tot_t FROM bb),
+         |lr AS (SELECT raw.b,
+         |    CAST(round(ln(CAST(coalesce(n_t, 0) + 1 AS DOUBLE) / (tot_t + $DsirBuckets))
+         |             - ln(CAST(n_r + 1 AS DOUBLE) / (tot_r + $DsirBuckets)), 9)
+         |      AS DECIMAL(19,9)) AS lr
+         |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+         |pdb AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n FROM bb GROUP BY doc_id, b),
+         |w AS (SELECT doc_id, sum(n) AS n_grams,
+         |    sum(CAST(n AS DECIMAL(9,0)) * lr) AS w_d
+         |  FROM pdb JOIN lr USING (b) GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |  round(CAST(w_d AS DOUBLE), 6) AS weight_r
+         |FROM w ORDER BY doc_id""".stripMargin)
 
   /** Generated DuckDB oracle for the PQ/ADC family (x47, x59): quantize
     * → per-subspace Lloyd (unrolled) → encode → per-query ADC ranking.

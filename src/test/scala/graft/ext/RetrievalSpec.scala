@@ -1,0 +1,120 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BM25 / RRF retrieval, SemDeDup cell pruning, and DSIR importance
+  * weights — semantics on constructed fixtures (the cross-engine hash
+  * equality is the oracle battery's job; these pin the RULES). */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "spark join spark join spark"), // tf-heavy on both query terms
+    (2L, "spark join and a window over a stream of rows"),
+    (3L, "window window window filter sort"),
+    (4L, "completely unrelated text about dogs and rivers"),
+    (5L, "spark"), // short doc: length normalization should boost it
+    (6L, "spark alpha beta gamma delta epsilon zeta eta theta iota")
+  ).toDF("doc_id", "text")
+
+  private lazy val q = Seq((0L, "spark"), (0L, "join"), (1L, "window"))
+    .toDF("query_id", "term")
+
+  test("bm25: matching docs only, ranked, non-matching absent") {
+    val out = Retrieval.bm25TopK(docs, q, k = 10)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect()
+    val q0 = out.filter(_._1 == 0L).sortBy(_._2).map(_._3)
+    // doc 1 repeats both terms → top; doc 4 matches nothing → absent
+    assert(q0.head === 1L)
+    assert(!out.exists(_._3 == 4L))
+    assert(out.filter(_._1 == 1L).map(_._3).toSet === Set(2L, 3L))
+    // scores strictly ordered within a query at the displayed precision
+    val s0 = out.filter(_._1 == 0L).sortBy(_._2).map(_._4)
+    assert(s0.zip(s0.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("bm25: length normalization favors the short doc at equal tf") {
+    val out = Retrieval.bm25TopK(docs, q, k = 10)
+      .filter(col("query_id") === 0L)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    // docs 5 and 6 both match ONLY 'spark' with tf = 1, but 5 is 10× shorter
+    assert(out(5L) > out(6L))
+  }
+
+  test("rrf: fusion rewards presence in both lists; one-sided ranks are null") {
+    val sparse = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("query_id", "id", "rank")
+    val dense = Seq((0L, 11L, 1L), (0L, 12L, 2L)).toDF("query_id", "id", "rank")
+    val fused = Retrieval.rrfFuse(sparse, dense, k = 10)
+      .select("rank", "id", "rrf_r").as[(Long, Long, Double)].collect().sortBy(_._1)
+    // 11 appears in both lists (1/62 + 1/61) and must outrank both singles
+    assert(fused.head._2 === 11L)
+    assert(math.abs(fused.head._3 - (1.0 / 62 + 1.0 / 61)) < 1e-5)
+    val nulls = Retrieval.rrfFuse(sparse, dense, k = 10)
+      .filter(col("id") === 12L).select("rank_sparse").collect().head
+    assert(nulls.isNullAt(0))
+  }
+
+  test("semdedup: duplicate cell member furthest from centroid survives") {
+    // two near-identical vectors land in the same cell; the one with the
+    // LOWER centroid-cosine must be the keeper
+    val out = Similarity.semDedupCells(
+      graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      threshold = 0.30)
+    val rows = out.select("vec_id", "cos_centroid_r", "kept")
+      .as[(Long, Double, Boolean)].collect()
+    assert(rows.length === 500 && rows.exists(!_._3)) // pruning happened
+    // within every cell, the minimum-centroid-cosine member is never pruned
+    val byCell = out.select("list", "cos_centroid_r", "kept")
+      .as[(Long, Double, Boolean)].collect().groupBy(_._1)
+    byCell.values.foreach { cell =>
+      val keeper = cell.minBy(r => (r._2, r._1))
+      assert(keeper._3, s"cell-min member pruned: $keeper")
+    }
+  }
+
+  test("semdedup: over-cap cells pass through unpruned and flagged") {
+    val out = Similarity.semDedupCells(
+      graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      threshold = 0.30, maxCell = 1)
+    val rows = out.select("capped", "kept").as[(Boolean, Boolean)].collect()
+    assert(rows.forall { case (capped, kept) => !capped || kept })
+    assert(rows.exists(_._1)) // every real cell exceeds 1
+  }
+
+  test("dsir: target-typical docs outweigh off-target docs") {
+    // target = docs made of 'aa bb' grams; raw corpus also has 'zz yy'
+    // docs. Weights are SUMS of per-gram log-ratios, so only docs with
+    // the same gram count are comparable — 1/3/4 all have 4 bigrams.
+    val corpus = Seq(
+      (1L, "aa bb aa bb aa", true),
+      (2L, "aa bb aa", true),
+      (3L, "zz yy zz yy zz", false),
+      (4L, "aa bb zz yy aa", false)
+    ).toDF("doc_id", "text", "t")
+    val w = Mixture.dsirLogWeights(corpus, isTarget = col("t"), buckets = 1021)
+      .select("doc_id", "weight_r").as[(Long, Double)].collect().toMap
+    assert(w(1L) > w(3L)) // pure-target grams beat pure-off-target grams
+    assert(w(4L) > w(3L) && w(4L) < w(1L)) // mixed doc lands between
+    corpus.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
+  test("dsir: weight is per-gram log-ratio sum (hand-checked two-bucket case)") {
+    val corpus = Seq((1L, "aa bb", true), (2L, "cc dd", false))
+      .toDF("doc_id", "text", "t")
+    val out = Mixture.dsirLogWeights(corpus, isTarget = col("t"), buckets = 1021)
+      .select("doc_id", "n_grams", "weight_r")
+      .as[(Long, Long, Double)].collect()
+      .map { case (d, n, w) => (d, (n, w)) }.toMap
+    // each doc contributes exactly one bigram ('aa bb' / 'cc dd')
+    assert(out(1L)._1 === 1L && out(2L)._1 === 1L)
+    // target model: gram-of-doc-1 count 1 of 1 target gram; raw: 1 of 2
+    // (buckets wide enough that the two grams land in distinct buckets)
+    val expT = math.log(2.0 / 1022.0) - math.log(2.0 / 1023.0)
+    val expR = math.log(1.0 / 1022.0) - math.log(2.0 / 1023.0)
+    assert(math.abs(out(1L)._2 - expT) < 1e-5, s"got ${out(1L)._2} want $expT")
+    assert(math.abs(out(2L)._2 - expR) < 1e-5)
+    corpus.sparkSession.sharedState.cacheManager.clearCache()
+  }
+}

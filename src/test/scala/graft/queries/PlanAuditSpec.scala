@@ -377,4 +377,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"the embedding pair join must stay bucket-keyed:\n$p")
   }
+
+  test("x61: query-term dim broadcasts before the tf shuffle; no cartesian") {
+    val p = planOf("x61_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the literal term set must broadcast into the posting stream:\n$p")
+    assert(p.contains("partial_count"),
+      s"tf must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row stats scaffold must broadcast, never go cartesian:\n$p")
+  }
+
+  test("x62: fusion never goes cartesian; corpus-side dims broadcast") {
+    val p = planOf("x62_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bm25 term dim must broadcast inside the sparse arm:\n$p")
+  }
+
+  test("x63: pairwise cosine is a cell-keyed equi join; cell sizes broadcast") {
+    val p = planOf("x63_semdedup_cells")
+    assert(!p.contains("CartesianProduct"),
+      s"within-cell pairs must join on list, never cross:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 16-row cell-size dim must broadcast:\n$p")
+    assert(!p.contains("WindowExec"),
+      s"the prune rule is a join predicate — no global ranking window:\n$p")
+  }
+
+  test("x64: bucket log-ratio dim joins back as a broadcast; exact-decimal sum partial-aggregates") {
+    val p = planOf("x64_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=buckets-row model dim must broadcast:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-doc weight must partial-aggregate:\n$p")
+  }
 }
