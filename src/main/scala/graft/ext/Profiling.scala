@@ -44,4 +44,40 @@ object Profiling {
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /**
+   * Per-group z-score calibration of an integer metric — the
+   * "normalize within domain before thresholding globally" step of
+   * corpus curation (a 300-token doc is short for a books source and
+   * long for a chat source; absolute cutoffs misfire across domains).
+   *
+   * Shape: one per-group aggregate over EXACT integer sums (Σx as
+   * DECIMAL(38,0), Σx² likewise — x² stays within Long per row for any
+   * realistic token count, the summation is decimal so a 100 TB group
+   * cannot wrap), broadcast back to the rows; μ/σ/z are then fixed-order
+   * double expressions computed identically by any engine from those
+   * exact sums. Population σ; a constant-valued group (σ = 0) yields
+   * z = 0 rather than NaN.
+   *
+   * @return input rows + (mu_r, sigma_r, z_r) rounded to 6
+   */
+  def groupZscore(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String): DataFrame = {
+    val stats = df.groupBy(groupCol).agg(
+      count(lit(1)).as("g_n"),
+      sum(col(valueCol).cast("decimal(38,0)")).as("g_s1"),
+      sum((col(valueCol) * col(valueCol)).cast("decimal(38,0)")).as("g_s2"))
+    val mu = col("g_s1").cast("double") / col("g_n")
+    val variance = col("g_s2").cast("double") / col("g_n") - mu * mu
+    val sigma = sqrt(variance)
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn("mu_r", round(mu, 6))
+      .withColumn("sigma_r", round(sigma, 6))
+      .withColumn("z_r",
+        round(when(sigma > 0.0, (col(valueCol) - mu) / sigma)
+          .otherwise(lit(0.0)), 6))
+      .drop("g_n", "g_s1", "g_s2")
+  }
 }

@@ -57,6 +57,36 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /**
+   * Hard-negative mining for contrastive/embedding-model training: for
+   * each anchor, the k nearest corpus vectors with a DIFFERENT label —
+   * the near-misses a triplet/InfoNCE loss learns the most from.
+   * Same single-pass broadcast shape as [[bruteForceTopK]]; the label
+   * inequality rides the join condition, so disqualified pairs are
+   * dropped before any cosine is computed.
+   *
+   * @return (query_id, rank, neighbor_id, label_q, label_n, cosine)
+   */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+      col(labelCol).as("label_q"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"),
+      col(labelCol).as("label_n"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("label_n") =!= col("label_q"))
+      .withColumn("cosine", vec_cosine(col("query_vec"), col("neighbor_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "label_q", "label_n", "cosine")
+  }
+
   /** Sign-pattern LSH bucket id from `planes` hyperplanes (bit j set iff
     * dot(vec, plane_j) > 0). */
   def bucketId(vec: Column, planes: Int, dim: Int): Column =

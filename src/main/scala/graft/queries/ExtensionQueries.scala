@@ -1167,7 +1167,31 @@ object ExtensionQueries {
     "x64_dsir_weights" -> ((s, dir) =>
       Mixture.dsirLogWeights(Tables.documents(s, dir),
           isTarget = col("lang") === "en", buckets = DsirBuckets)
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // per-source token-count calibration: exact-decimal group sums →
+    // broadcast → fixed-order double z — "short/long FOR ITS source"
+    "x65_source_zscore" -> ((s, dir) =>
+      Profiling.groupZscore(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("source"),
+              wsTokenCount(col("text")).as("n_tokens")),
+          valueCol = "n_tokens", groupCol = "source")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("mu_r"), col("sigma_r"), col("z_r"))
+        .orderBy("doc_id")),
+
+    // hard-negative mining: per anchor (vec_id < 5), nearest k corpus
+    // vectors with a DIFFERENT label — x10's broadcast shape, label
+    // inequality dropped into the join condition
+    "x66_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5), k = 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("label_q"), col("label_n"),
+          round(col("cosine"), 6).as("cosine_r"))
+        .orderBy("query_id", "rank")
+    }))
 
   // =====================================================================
 
@@ -2062,7 +2086,45 @@ object ExtensionQueries {
          |  FROM pdb JOIN lr USING (b) GROUP BY doc_id)
          |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
          |  round(CAST(w_d AS DOUBLE), 6) AS weight_r
-         |FROM w ORDER BY doc_id""".stripMargin)
+         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // x65: exact integer group sums, then μ/σ/z as the SAME fixed-order
+    // double expressions the engine computes from those sums
+    "x65_source_zscore" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS g_n,
+        |    CAST(sum(n_tokens) AS DECIMAL(38,0)) AS g_s1,
+        |    CAST(sum(n_tokens * n_tokens) AS DECIMAL(38,0)) AS g_s2
+        |  FROM t GROUP BY source),
+        |z AS (SELECT t.doc_id, t.source, t.n_tokens,
+        |    CAST(g_s1 AS DOUBLE) / g_n AS mu,
+        |    sqrt(CAST(g_s2 AS DOUBLE) / g_n
+        |         - (CAST(g_s1 AS DOUBLE) / g_n) * (CAST(g_s1 AS DOUBLE) / g_n)) AS sigma
+        |  FROM t JOIN g USING (source))
+        |SELECT doc_id, source, n_tokens, round(mu, 6) AS mu_r,
+        |  round(sigma, 6) AS sigma_r,
+        |  round(CASE WHEN sigma > 0.0 THEN (n_tokens - mu) / sigma
+        |             ELSE 0.0 END, 6) AS z_r
+        |FROM z ORDER BY doc_id""".stripMargin,
+
+    // x66: x10's cosine CTE with the label-inequality predicate in the
+    // pair join
+    "x66_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS label_q
+         |  FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS nv, label AS label_n
+         |  FROM embeddings),
+         |p AS (SELECT query_id, neighbor_id, label_q, label_n,
+         |    ${sqlDot("qv", "nv")} /
+         |    (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("nv", "nv")})) AS cosine
+         |  FROM q, c WHERE label_n <> label_q),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rank FROM p)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+         |  label_q, label_n, round(cosine, 6) AS cosine_r
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
 
   /** Generated DuckDB oracle for the PQ/ADC family (x47, x59): quantize
     * → per-subspace Lloyd (unrolled) → encode → per-query ADC ranking.

@@ -117,4 +117,29 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(out(2L)._2 - expR) < 1e-5)
     corpus.sparkSession.sharedState.cacheManager.clearCache()
   }
+
+  test("group z-score: hand-computed stats; zero-variance group yields z = 0") {
+    val rows = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), // μ=20, σ=√(200/3)
+      (4L, "b", 7L), (5L, "b", 7L) // constant group → σ=0 → z=0
+    ).toDF("doc_id", "source", "n_tokens")
+    val out = Profiling.groupZscore(rows, "n_tokens", "source")
+      .select("doc_id", "z_r").as[(Long, Double)].collect().toMap
+    val sigmaA = math.sqrt((100.0 + 0.0 + 100.0) / 3.0)
+    assert(math.abs(out(1L) - (10.0 - 20.0) / sigmaA) < 1e-5)
+    assert(math.abs(out(3L) - (30.0 - 20.0) / sigmaA) < 1e-5)
+    assert(out(4L) === 0.0 && out(5L) === 0.0)
+  }
+
+  test("hard negatives: same-label neighbors excluded, nearest different-label first") {
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(0.99f, 0.1f), 0), // nearest overall, but same label
+      (2L, Array(0.9f, 0.2f), 1), // nearest different-label
+      (3L, Array(-1f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(emb, emb.filter(col("vec_id") === 0L), k = 2)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq === Seq(2L, 3L)) // 1 (same label) never appears
+  }
 }

@@ -412,4 +412,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum"),
       s"per-doc weight must partial-aggregate:\n$p")
   }
+
+  test("x65: group stats join back as a broadcast; sums partial-aggregate") {
+    val p = planOf("x65_source_zscore")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-source stats dim must broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"group sums must fold map-side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a dimension-sized stats join must never sort-merge:\n$p")
+  }
+
+  test("x66: anchors broadcast against the corpus; top-k limits before the shuffle") {
+    val p = planOf("x66_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the label-inequality pair join must broadcast the anchor set:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k must cut below the exchange:\n$p")
+  }
 }
