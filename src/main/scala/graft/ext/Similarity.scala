@@ -87,6 +87,49 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "label_q", "label_n", "cosine")
   }
 
+  /**
+   * Hard-negative mining at scale — the bucketed form of
+   * [[hardNegatives]]: both sides go through the IVF coarse quantizer
+   * ([[ivfList]] — exactly [[ivfTopK]]'s candidate plan) and candidates
+   * come from an EQUI-join on `list`, with the label inequality as a
+   * post-join filter. Where [[hardNegatives]] broadcasts the anchor set
+   * against the FULL corpus (O(N·Q) cosines — quadratic in the real
+   * mining regime where anchors ≈ corpus), this scores only same-list
+   * candidates: per-anchor work is O(N/lists · nprobe), and against a
+   * [[writeIvfIndex]]-layout corpus the join is the partition-pruned
+   * scan. Recall < 1 by construction (a near-miss in an unprobed list is
+   * lost); `nprobe > 1` fans each anchor out to its nearest lists to buy
+   * recall back linearly. `nprobe = lists` degenerates to the exact
+   * all-pairs semantics (every list probed — the spec's equivalence
+   * anchor).
+   *
+   * @return (query_id, rank, neighbor_id, label_q, label_n, cosine, list)
+   */
+  def hardNegativesBucketed(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 1,
+      lists: Int = IvfLists,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"),
+      col(labelCol).as("label_n"), ivfList(col(vecCol), lists, dim).as("list"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+      col(labelCol).as("label_q"),
+      explode(ivfNearestLists(col(vecCol), nprobe, lists, dim)).as("list"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("list"))
+      .filter(col("label_n") =!= col("label_q"))
+      .withColumn("cosine", vec_cosine(col("query_vec"), col("neighbor_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "label_q", "label_n", "cosine", "list")
+  }
+
   /** Sign-pattern LSH bucket id from `planes` hyperplanes (bit j set iff
     * dot(vec, plane_j) > 0). */
   def bucketId(vec: Column, planes: Int, dim: Int): Column =
@@ -148,6 +191,23 @@ object Similarity {
   def ivfList(vec: Column, lists: Int = IvfLists, dim: Int = 64): Column = {
     val scores = array((0 until lists).map(c => vec_dot(vec, centroidLit(c, dim))): _*)
     (array_position(scores, array_max(scores)) - 1).cast("long")
+  }
+
+  /** The `nprobe` IVF lists with the LARGEST centroid dot products,
+    * nearest first (ties → lower list id — the [[ivfList]] argmax rule,
+    * so element 1 always equals `ivfList`) — the multi-probe fan-out of
+    * the synthetic-recurrence quantizer; cf. [[KMeans.nearestClusters]]
+    * for the trained path. */
+  def ivfNearestLists(
+      vec: Column,
+      nprobe: Int,
+      lists: Int = IvfLists,
+      dim: Int = 64): Column = {
+    require(nprobe >= 1 && nprobe <= lists, s"nprobe $nprobe out of [1, $lists]")
+    val entries = (0 until lists).map { c =>
+      struct((-vec_dot(vec, centroidLit(c, dim))).as("d"), lit(c.toLong).as("c"))
+    }
+    transform(slice(array_sort(array(entries: _*)), 1, nprobe), s => s.getField("c"))
   }
 
   /** Corpus → (id, list) IVF assignment. At scale the corpus is written

@@ -1191,6 +1191,20 @@ object ExtensionQueries {
           col("neighbor_id"), col("label_q"), col("label_n"),
           round(col("cosine"), 6).as("cosine_r"))
         .orderBy("query_id", "rank")
+    }),
+
+    // hard-negative mining, PRODUCTION shape: candidates from the IVF
+    // list equi-join (x16's partition-pruned plan) instead of x66's
+    // all-pairs broadcast loop — per-anchor work is O(N/lists), the
+    // regime where anchors ≈ corpus stays linear. Recall < 1 (nprobe=1);
+    // the spec proves nprobe=lists degenerates to x66's exact semantics.
+    "x67_hard_negatives_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegativesBucketed(emb, emb.filter(col("vec_id") < 5), k = 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("label_q"), col("label_n"),
+          round(col("cosine"), 6).as("cosine_r"), col("list"))
+        .orderBy("query_id", "rank")
     }))
 
   // =====================================================================
@@ -2124,6 +2138,26 @@ object ExtensionQueries {
          |    ORDER BY cosine DESC, neighbor_id) AS rank FROM p)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
          |  label_q, label_n, round(cosine, 6) AS cosine_r
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // x67: x16's argmax-list CTE + x66's label-inequality predicate —
+    // candidates restricted to the anchor's coarse list
+    "x67_hard_negatives_ivf" ->
+      s"""WITH s AS (SELECT vec_id, embedding, label, $sqlIvfScores AS scores FROM embeddings),
+         |a AS (SELECT vec_id, embedding, label,
+         |    CAST(list_position(scores, list_max(scores)) - 1 AS BIGINT) AS list FROM s),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, label AS label_q, list
+         |  FROM a WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS nv, label AS label_n, list
+         |  FROM a),
+         |sc AS (SELECT query_id, neighbor_id, label_q, label_n, c.list,
+         |    ${sqlDot("qv", "nv")} /
+         |    (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("nv", "nv")})) AS cosine
+         |  FROM q JOIN c ON q.list = c.list AND label_n <> label_q),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+         |  label_q, label_n, round(cosine, 6) AS cosine_r, list
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
 
   /** Generated DuckDB oracle for the PQ/ADC family (x47, x59): quantize

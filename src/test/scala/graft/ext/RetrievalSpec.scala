@@ -131,6 +131,39 @@ class RetrievalSpec extends SparkSpec {
     assert(out(4L) === 0.0 && out(5L) === 0.0)
   }
 
+  test("bucketed hard negatives: nprobe=lists degenerates to the exact all-pairs result") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val anchors = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.hardNegatives(emb, anchors, k = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val full = Similarity.hardNegativesBucketed(emb, anchors, k = 3,
+        nprobe = Similarity.IvfLists)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(full === exact, "probing every list must recover the exact top-k")
+  }
+
+  test("bucketed hard negatives: nprobe=1 candidates share the anchor's list; recall grows with nprobe") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val anchors = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.hardNegatives(emb, anchors, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(nprobe: Int): Double = {
+      val got = Similarity.hardNegativesBucketed(emb, anchors, k = 3, nprobe = nprobe)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r1 = recall(1)
+    val r4 = recall(4)
+    assert(r1 > 0.0, "nprobe=1 must find some exact neighbors")
+    assert(r4 >= r1, s"recall must be monotone in nprobe ($r1 -> $r4)")
+    // every mined negative carries a different label by construction
+    val labels = Similarity.hardNegativesBucketed(emb, anchors, k = 3)
+      .select("label_q", "label_n").as[(Int, Int)].collect()
+    assert(labels.nonEmpty && labels.forall { case (a, b) => a != b })
+  }
+
   test("hard negatives: same-label neighbors excluded, nearest different-label first") {
     val emb = Seq(
       (0L, Array(1f, 0f), 0),

@@ -422,6 +422,16 @@ class PlanAuditSpec extends SparkSpec {
       s"a dimension-sized stats join must never sort-merge:\n$p")
   }
 
+  test("x67: candidates come from a list EQUI-join (pruned scan), never x66's all-pairs loop") {
+    val p = planOf("x67_hard_negatives_ivf")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate generation must be a broadcast equi-join on list:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the corpus scan must be list-pruned, not an all-pairs loop (x66's shape):\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k must cut below the exchange:\n$p")
+  }
+
   test("x66: anchors broadcast against the corpus; top-k limits before the shuffle") {
     val p = planOf("x66_hard_negatives")
     assert(p.contains("BroadcastNestedLoopJoin"),
