@@ -58,7 +58,12 @@ object Retrieval {
       k: Int,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // ONE tokenize pass: `tok` feeds both the postings arm and the
+    // (N, Σdl) stats arm, so it is persisted (caller-release convention,
+    // as Mixture.dsirLogWeights / cosineNearDups) — without it the corpus
+    // tokenizes twice per query batch
     val tok = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("w"))
+      .persist()
     // dl rides the explode as a projection — groupBy(doc, dl, term) keeps
     // it through the tf shuffle for free (functionally dependent on doc)
     val posted = tok
@@ -70,7 +75,20 @@ object Retrieval {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = tok.agg(count(lit(1)).as("n_docs"),
       sum(size(col("w")).cast("long")).as("sum_dl"))
+    scoreAndRank(tf, dfreq, stats, queries, k, idCol)
+  }
 
+  /** The BM25 scoring tail shared by the from-raw-text and from-index
+    * paths — ONE definition, so the two can never drift: per-term score
+    * (fixed-order double arithmetic) → round→DECIMAL(18,6) → exact
+    * order-independent per-doc sum → per-query rank window. */
+  private def scoreAndRank(
+      tf: DataFrame,
+      dfreq: DataFrame,
+      stats: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String): DataFrame = {
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
     val denom = col("tf") + lit(K1) * (lit(OneMinusB) + lit(B) * col("dl").cast("double") / avgdl)
@@ -91,6 +109,95 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col(idCol), col("score_d").cast("double").as("score"))
+  }
+
+  // -------------------------------------------------- materialized index
+
+  /** Postings-layout partition count: postings write partitioned by the
+    * term-hash bucket, so a probe's scan prunes to the query terms'
+    * buckets instead of reading the corpus-sized postings table. */
+  val TermBuckets = 64
+
+  /** Term → partition bucket (portable rolling hash, as every other
+    * deterministic route in the engine). */
+  def termBucket(term: Column): Column =
+    pmod(graft.functions.HashExpressions.rolling_hash(term), lit(TermBuckets.toLong))
+
+  /**
+   * Materialize the BM25 inverted index — the production shape where the
+   * corpus is tokenized ONCE at build time and every query batch reads
+   * only its terms' partitions:
+   *
+   *  - `path/postings`: (idCol, dl, term, tf) written
+   *    `partitionBy("tb")` (term-hash bucket) — the probe's scan prunes
+   *    to the query terms' buckets.
+   *  - `path/stats`: one (n_docs, sum_dl) row PER build/ingest batch —
+   *    append-friendly (a streaming ingest appends its batch's row;
+   *    probes merge by summation), the same merge-on-read discipline as
+   *    the IVF index's partition appends.
+   *
+   * df is NOT materialized: it is derivable exactly from the pruned
+   * postings at probe time (postings hold every (doc, term) pair), which
+   * keeps the index append-only — no read-modify-write of a df table on
+   * ingest.
+   */
+  def writeBm25Index(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit =
+    appendBm25Batch(docs, path, idCol, textCol, mode = "overwrite")
+
+  /** One build/ingest batch of the index: the batch's postings into the
+    * term-bucket layout + ONE stats row. `mode = "append"` is the
+    * streaming-ingest path ([[graft.streaming.StreamingBm25Ingest]]) —
+    * both writes are append-only, so growing the index never rewrites
+    * existing data. */
+  private[graft] def appendBm25Batch(
+      docs: DataFrame,
+      path: String,
+      idCol: String,
+      textCol: String,
+      mode: String): Unit = {
+    val tok = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("w"))
+      .persist()
+    tok.select(col(idCol), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb", termBucket(col("term")))
+      .write.partitionBy("tb").mode(mode).parquet(s"$path/postings")
+    tok.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("w")).cast("long")).as("sum_dl"))
+      .write.mode(mode).parquet(s"$path/stats")
+    tok.unpersist()
+    ()
+  }
+
+  /** BM25 top-k against a [[writeBm25Index]] layout: the postings scan is
+    * partition-pruned to the query terms' buckets (the bucket list is a
+    * driver-side literal — query terms are control-plane-sized), tf/dl
+    * come pre-aggregated from the index, df derives exactly from the
+    * pruned slice, and corpus stats merge by summation over the
+    * append-only stats rows. Identical output to [[bm25TopK]] over the
+    * indexed corpus (shared scoring tail). */
+  def bm25TopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val qTerms = queries.select("term").distinct()
+    val buckets = qTerms.select(termBucket(col("term")).as("tb"))
+      .distinct().collect().map(_.getLong(0))
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("tb").isin(buckets: _*))
+      .join(broadcast(qTerms), Seq("term"))
+      .select(col(idCol), col("dl"), col("term"), col("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    scoreAndRank(tf, dfreq, stats, queries, k, idCol)
   }
 
   /**

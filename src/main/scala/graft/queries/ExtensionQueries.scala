@@ -47,7 +47,7 @@ object ExtensionQueries {
   private val PqK = 8              // x46 PQ codes per subspace
   private val FluentTopK = 1000    // x50 corpus top-bigram set size
   private val NumShards = 8        // x56 training-shard count
-  private val Bm25K = 10           // x61 results per query
+  private[queries] val Bm25K = 10  // x61 results per query (shared: x68 probes the streamed index)
   private val HybridK = 20         // x61/x62 candidate depth fed into fusion
   private val RrfK = 10            // x62 fused results per query
   private val RrfC = 60            // x62 RRF constant (Cormack et al.'s 60)
@@ -55,7 +55,7 @@ object ExtensionQueries {
   private val DsirBuckets = 1021   // x64 hashed-bigram feature space (PRIME — see Mixture.dsirLogWeights)
   /** x61/x62 literal query dimension: (query_id, term) — qids 0..2 double
     * as the embedding-side query vec_ids for the hybrid fusion. */
-  private val RetrievalQueryTerms: Seq[(Long, String)] = Seq(
+  private[queries] val RetrievalQueryTerms: Seq[(Long, String)] = Seq(
     (0L, "spark"), (0L, "join"),
     (1L, "window"), (1L, "filter"), (1L, "sort"),
     (2L, "stream"), (2L, "hash"), (2L, "merge"))

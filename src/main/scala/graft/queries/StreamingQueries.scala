@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ext.{KMeans, Similarity, TextAnalysis}
 import graft.sources.Tables
-import graft.streaming.{StreamingDecontaminate, StreamingDedup, StreamingIndexIngest}
+import graft.streaming.{StreamingBm25Ingest, StreamingDecontaminate, StreamingDedup, StreamingIndexIngest}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -142,6 +142,38 @@ object StreamingQueries {
       s.read.parquet(path)
         .select(col("vec_id"), col("list").cast("long").as("list"))
         .orderBy("vec_id")
+    }),
+
+    // streaming BM25-postings ingest (StreamingBm25Ingest.attach): two
+    // micro-batches of documents tokenized batch-locally and APPENDED to
+    // the term-bucket postings layout + one stats row each; the probe of
+    // the grown index (bm25TopKFromIndex — pruned scan, df from
+    // postings, stats merged by summation) must equal x61's full-corpus
+    // BM25 exactly, so the oracle IS x61's
+    "x68_stream_bm25_ingest" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq
+      val split = splitPoint(rows.map(_._1))
+      val path = java.nio.file.Files.createTempDirectory("graft_x68_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x68_ck_").toString
+      val input = MemoryStream[(Long, String)]
+      val writer = StreamingBm25Ingest.attach(
+        input.toDF().toDF("doc_id", "text"), path)
+        .option("checkpointLocation", ckpt)
+      def drain(batch: Seq[(Long, String)]): Unit = {
+        input.addData(batch)
+        val q = writer.trigger(
+          org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination(120000) finally q.stop()
+      }
+      drain(rows.filter(_._1 <= split))
+      drain(rows.filter(_._1 > split))
+      val q = s.createDataFrame(ExtensionQueries.RetrievalQueryTerms)
+        .toDF("query_id", "term")
+      graft.ext.Retrieval.bm25TopKFromIndex(s, path, q, k = ExtensionQueries.Bm25K)
+        .orderBy("query_id", "rank")
     }))
 
   /** The x15 deterministic-recurrence centroids as KMeans.Centroid
@@ -208,5 +240,9 @@ object StreamingQueries {
          |SELECT vec_id,
          |  CAST(list_position(ds, list_min(ds)) - 1 AS BIGINT) AS list
          |FROM d ORDER BY vec_id""".stripMargin
-    })
+    },
+
+    // the streamed postings index probed over the full query set must
+    // equal batch BM25 over the whole corpus — x61's oracle verbatim
+    "x68_stream_bm25_ingest" -> ExtensionQueries.oracleSql("x61_bm25_topk"))
 }

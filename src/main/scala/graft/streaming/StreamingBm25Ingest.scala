@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.ext.Retrieval
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.{DataFrame, Row}
+
+/**
+ * Streaming BM25-index ingest — the unbounded counterpart of
+ * [[graft.ext.Retrieval.writeBm25Index]] for an arriving document
+ * stream, the same batch/streaming split [[StreamingIndexIngest]] uses
+ * for the IVF index: each micro-batch tokenizes ONLY its own documents,
+ * appends their (doc, dl, term, tf) postings into the term-bucket
+ * partition layout, and appends ONE (n_docs, sum_dl) stats row — so
+ * [[graft.ext.Retrieval.bm25TopKFromIndex]] sees the new documents at
+ * the next probe with no corpus re-read or index rebuild (df derives
+ * from postings at probe time; corpus stats merge by summation over the
+ * appended rows — both append-only by design, no read-modify-write).
+ *
+ * The only shuffle per batch is the in-batch (doc, term) tf aggregation
+ * — bounded by the micro-batch, never the accumulated index. Duplicate
+ * ids within a batch resolve deterministically (min over the text per
+ * id — a pure function of batch contents); cross-batch re-arrivals are
+ * the upstream dedup's contract ([[StreamingDedup.firstWins]] composes
+ * in front, as with the IVF ingest).
+ *
+ * Delivery matches [[StreamingIndexIngest]]: checkpointed batches never
+ * re-append across restarts; a failure inside a batch re-runs that
+ * batch's appends (at-least-once, `foreachBatch`'s contract).
+ */
+object StreamingBm25Ingest {
+
+  /** Attach the ingest sink; caller starts the writer with its own
+    * checkpoint/trigger options. */
+  def attach(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val dedup = batch.groupBy(col(idCol)).agg(min(col(textCol)).as(textCol))
+          Retrieval.appendBm25Batch(dedup, path, idCol, textCol, mode = "append")
+        }
+      }
+}

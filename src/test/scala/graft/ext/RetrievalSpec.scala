@@ -43,6 +43,34 @@ class RetrievalSpec extends SparkSpec {
     assert(out(5L) > out(6L))
   }
 
+  test("bm25 index: pruned probe of the materialized postings equals from-raw-text scoring") {
+    val path = java.nio.file.Files.createTempDirectory("graft_bm25idx_").toString
+    Retrieval.writeBm25Index(docs, path)
+    val direct = Retrieval.bm25TopK(docs, q, k = 10)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val probed = Retrieval.bm25TopKFromIndex(spark, path, q, k = 10)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(probed === direct)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("bm25 index: appended second batch merges on read (stats summed, df from postings)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_bm25idx2_").toString
+    Retrieval.writeBm25Index(docs.filter(col("doc_id") <= 3), path)
+    Retrieval.appendBm25Batch(docs.filter(col("doc_id") > 3), path,
+      "doc_id", "text", mode = "append")
+    val full = Retrieval.bm25TopK(docs, q, k = 10)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val grown = Retrieval.bm25TopKFromIndex(spark, path, q, k = 10)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(grown === full, "two appends must be indistinguishable from one build")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("rrf: fusion rewards presence in both lists; one-sided ranks are null") {
     val sparse = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("query_id", "id", "rank")
     val dense = Seq((0L, 11L, 1L), (0L, 12L, 2L)).toDF("query_id", "id", "rank")

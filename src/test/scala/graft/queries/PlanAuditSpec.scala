@@ -388,11 +388,23 @@ class PlanAuditSpec extends SparkSpec {
       s"the 1-row stats scaffold must broadcast, never go cartesian:\n$p")
   }
 
-  test("x62: fusion never goes cartesian; corpus-side dims broadcast") {
+  test("x61: ONE tokenize pass (tok cached) and the rank cut sits below the exchange") {
+    val p = planOf("x61_bm25_topk")
+    // the postings arm and the (N, Σdl) stats arm both read the persisted
+    // token frame — without the cache the corpus tokenizes twice
+    assert(p.contains("InMemoryTableScan"),
+      s"tok must be persisted so the corpus tokenizes once:\n$p")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"rank<=k must cut partial below the exchange (hot-term guard):\n$p")
+  }
+
+  test("x62: fusion never goes cartesian; corpus-side dims broadcast; rank cuts below exchanges") {
     val p = planOf("x62_hybrid_rrf")
     assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"bm25 term dim must broadcast inside the sparse arm:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"every rank<=k arm must push its group limit below the exchange:\n$p")
   }
 
   test("x63: pairwise cosine is a cell-keyed equi join; cell sizes broadcast") {
