@@ -261,6 +261,47 @@ object Similarity {
       col("list").cast("int") + 1)
     val assigned = ivfAssign(corpus, lists, dim, idCol, vecCol)
       .withColumn("cos_c", centroidCos)
+    semDedupPrune(assigned, threshold, maxCell, idCol, vecCol)
+  }
+
+  /** SemDeDup against TRAINED centroids ([[KMeans.fit]]) instead of the
+    * synthetic recurrence — the production path (the paper clusters with
+    * k-means sized `lists ≈ N/targetCell`; cf. [[ivfTopKTrained]] /
+    * [[writeIvfIndex]] for the same batch/trained split on the ANN side).
+    * Assignment is [[KMeans.assign]]'s map-side argmin over the centroid
+    * literals; the keep policy and the bounded within-cell pairwise
+    * prune are IDENTICAL to [[semDedupCells]] (shared rule). `vecCol`
+    * may be array<double> (e.g. the quantized grid the trainer ran on —
+    * integer-exact, hence oracle-replayable) or raw floats. */
+  def semDedupCellsTrained(
+      corpus: DataFrame,
+      threshold: Double,
+      centroids: Seq[KMeans.Centroid],
+      maxCell: Int = 10000,
+      idCol: String = "vec_id",
+      vecCol: String = "qvec"): DataFrame = {
+    val sorted = centroids.sortBy(_.cluster)
+    val centroidCos = element_at(
+      array(sorted.map(c => vec_cosine(col(vecCol), lit(c.center))): _*),
+      col("list").cast("int") + 1)
+    val assigned = KMeans.assign(corpus, centroids, idCol, vecCol)
+      .withColumnRenamed("cluster", "list")
+      .withColumn("cos_c", centroidCos)
+      .select(col(idCol), col(vecCol), col("list"), col("cos_c"))
+    semDedupPrune(assigned, threshold, maxCell, idCol, vecCol)
+  }
+
+  /** The shared SemDeDup prune: within each (bounded) cell, a vector is
+    * pruned iff some same-cell vector within `threshold` cosine of it is
+    * strictly preferred — lower centroid-cosine (the paper's
+    * furthest-from-centroid keep), id as the integer tiebreak. Input:
+    * (idCol, vecCol, list, cos_c). */
+  private def semDedupPrune(
+      assigned: DataFrame,
+      threshold: Double,
+      maxCell: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
     val cellSizes = assigned.groupBy("list").agg(count(lit(1)).as("cell_n"))
     val inCell = assigned
       .join(broadcast(cellSizes), Seq("list"))

@@ -26,16 +26,29 @@ abstract class VectorFoldExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _                       => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float> arguments, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  /** Each side is array<float> OR array<double> independently (the
+    * trained-centroid paths fold double vectors against double centroid
+    * literals; the ANN scan folds float embeddings — same dual-type
+    * contract as [[VecL2Sq]]). */
+  protected def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
   }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(elemType(_).isDefined)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  protected def get(e: Expression, a: ArrayData, i: Int): Double =
+    if (elemType(e).contains(FloatType)) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Java accessor for codegen — `(double) arr.getFloat(i)` or
+    * `arr.getDouble(i)` by the side's element type. */
+  protected def getJava(e: Expression, arr: String, i: String): String =
+    if (elemType(e).contains(FloatType)) s"(double) $arr.getFloat($i)"
+    else s"$arr.getDouble($i)"
 
   protected def fold(a: ArrayData, b: ArrayData): Double
 
@@ -61,7 +74,7 @@ case class DotProduct(left: Expression, right: Expression) extends VectorFoldExp
     var i = 0
     val n = a.numElements()
     while (i < n) {
-      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      acc += get(left, a, i) * get(right, b, i)
       i += 1
     }
     acc
@@ -85,8 +98,8 @@ case class DotProduct(left: Expression, right: Expression) extends VectorFoldExp
         |  double $acc = 0.0;
         |  int $n = ${leftGen.value}.numElements();
         |  for (int $i = 0; $i < $n; $i++) {
-        |    $acc += (double) ${leftGen.value}.getFloat($i) *
-        |            (double) ${rightGen.value}.getFloat($i);
+        |    $acc += ${getJava(left, leftGen.value.toString, i)} *
+        |            ${getJava(right, rightGen.value.toString, i)};
         |  }
         |  ${ev.value} = $acc;
         |}
@@ -110,8 +123,8 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorF
     var i = 0
     val n = a.numElements()
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = get(left, a, i)
+      val y = get(right, b, i)
       dot += x * y
       na += x * x
       nb += y * y
@@ -142,8 +155,8 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorF
         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
         |  int $n = ${leftGen.value}.numElements();
         |  for (int $i = 0; $i < $n; $i++) {
-        |    double $x = (double) ${leftGen.value}.getFloat($i);
-        |    double $y = (double) ${rightGen.value}.getFloat($i);
+        |    double $x = ${getJava(left, leftGen.value.toString, i)};
+        |    double $y = ${getJava(right, rightGen.value.toString, i)};
         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
         |  }
         |  ${ev.value} = ($na == 0.0 || $nb == 0.0)

@@ -52,6 +52,10 @@ object ExtensionQueries {
   private val RrfK = 10            // x62 fused results per query
   private val RrfC = 60            // x62 RRF constant (Cormack et al.'s 60)
   private val SemDedupMaxCell = 10000 // x63 pairwise-cell size guard
+  /** x69 near-dup threshold in QUANTIZED space: min-max codes are all
+    * non-negative, so random-pair cosines sit ≈0.90 (99.9th pct ≈0.94 on
+    * the fixture) — 0.93 isolates the true near-duplicate tail. */
+  private val SemDedupTrainedThreshold = 0.93
   private val DsirBuckets = 1021   // x64 hashed-bigram feature space (PRIME — see Mixture.dsirLogWeights)
   /** x61/x62 literal query dimension: (query_id, term) — qids 0..2 double
     * as the embedding-side query vec_ids for the hybrid fusion. */
@@ -1193,6 +1197,22 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // SemDeDup against TRAINED centroids (x34's k-means over the
+    // integer-exact quantized grid — the paper's production path, cells
+    // sized by the trainer) with the same furthest-from-centroid keep
+    // rule as x63; the oracle replays the full Lloyd unroll + prune
+    "x69_semdedup_trained" -> ((s, dir) => {
+      val qvecs = Similarity.quantizeMinMax(Tables.embeddings(s, dir))
+        .groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("q")))),
+          x => x.getField("q").cast("double")).as("qvec"))
+        .persist() // fit + assignment + pairwise re-read (caller-release)
+      val cents = KMeans.fit(qvecs, k = KmClusters, iters = KmIters)
+      Similarity.semDedupCellsTrained(qvecs,
+          threshold = SemDedupTrainedThreshold, cents, maxCell = SemDedupMaxCell)
+        .orderBy("vec_id")
+    }),
+
     // hard-negative mining, PRODUCTION shape: candidates from the IVF
     // list equi-join (x16's partition-pruned plan) instead of x66's
     // all-pairs broadcast loop — per-anchor work is O(N/lists), the
@@ -2139,6 +2159,67 @@ object ExtensionQueries {
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
          |  label_q, label_n, round(cosine, 6) AS cosine_r
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // x69: x34's quantize + unrolled-Lloyd CTEs (trained assignment),
+    // then x63's prune rule with centroid-cosine against the TRAINED
+    // center — every cosine the same dot/(√·√) fold as vec_cosine
+    "x69_semdedup_trained" -> {
+      def dist(v: String, c: String) =
+        s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+           |      list_transform(range(1, ${Dim + 1}),
+           |        i -> ($v[i] - $c[i]) * ($v[i] - $c[i]))), (a, b) -> a + b)""".stripMargin
+      def dotq(a: String, b: String) =
+        s"""list_reduce(list_transform(range(1, ${Dim + 1}),
+           |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+      def cosq(a: String, b: String) =
+        s"""${dotq(a, b)} /
+           |  (sqrt(${dotq(a, a)}) * sqrt(${dotq(b, b)}))""".stripMargin
+      def iteration(cin: String, a: String, cout: String) =
+        s"""$a AS (SELECT vec_id, qvec, cluster FROM (
+           |    SELECT v.vec_id, v.qvec, c.cluster,
+           |      ${dist("v.qvec", "c.center")} AS d2
+           |    FROM qv v, $cin c)
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1),
+           |$cout AS (SELECT c.cluster, COALESCE(u.center, c.center) AS center
+           |  FROM $cin c LEFT JOIN (
+           |    SELECT cluster, list(s / n ORDER BY d) AS center FROM (
+           |      SELECT cluster, r.d, SUM(qvec[r.d]) AS s, COUNT(*) AS n
+           |      FROM $a, range(1, ${Dim + 1}) r(d) GROUP BY cluster, r.d)
+           |    GROUP BY cluster) u ON c.cluster = u.cluster)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, r.d, CAST(embedding[r.d] AS DOUBLE) AS v
+         |  FROM embeddings, range(1, ${Dim + 1}) r(d)),
+         |st AS (SELECT d, min(v) AS mn, max(v) AS mx FROM e GROUP BY d),
+         |q AS (SELECT e.vec_id, e.d,
+         |    CASE WHEN st.mx = st.mn THEN 0
+         |         ELSE CAST(round((e.v - st.mn) * 255.0 / (st.mx - st.mn), 0) AS BIGINT)
+         |    END AS qc
+         |  FROM e JOIN st ON e.d = st.d),
+         |qv AS (SELECT vec_id, list(CAST(qc AS DOUBLE) ORDER BY d) AS qvec
+         |  FROM q GROUP BY vec_id),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+         |    qvec AS center
+         |  FROM qv QUALIFY row_number() OVER (ORDER BY vec_id) <= $KmClusters),
+         |${iteration("c0", "a1", "c1")},
+         |${iteration("c1", "a2", "c2")},
+         |asn AS (SELECT vec_id, qvec, CAST(cluster AS BIGINT) AS list FROM (
+         |    SELECT v.vec_id, v.qvec, c.cluster, ${dist("v.qvec", "c.center")} AS d2
+         |    FROM qv v, c2 c)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1),
+         |ac AS (SELECT a.vec_id, a.qvec, a.list,
+         |    ${cosq("a.qvec", "c.center")} AS cos_c
+         |  FROM asn a JOIN c2 c ON c.cluster = a.list),
+         |cn AS (SELECT list, CAST(count(*) AS BIGINT) AS cell_n FROM ac GROUP BY list),
+         |ic AS (SELECT ac.* FROM ac JOIN cn USING (list) WHERE cell_n <= $SemDedupMaxCell),
+         |pr AS (SELECT DISTINCT l.vec_id
+         |  FROM ic l JOIN ic r ON l.list = r.list AND l.vec_id <> r.vec_id
+         |  WHERE ${cosq("l.qvec", "r.qvec")} > $SemDedupTrainedThreshold
+         |    AND (r.cos_c < l.cos_c OR (r.cos_c = l.cos_c AND r.vec_id < l.vec_id)))
+         |SELECT ac.vec_id, ac.list, round(ac.cos_c, 6) AS cos_centroid_r,
+         |  (cn.cell_n > $SemDedupMaxCell) AS capped,
+         |  (pr.vec_id IS NULL) AS kept
+         |FROM ac JOIN cn USING (list) LEFT JOIN pr ON ac.vec_id = pr.vec_id
+         |ORDER BY ac.vec_id""".stripMargin
+    },
 
     // x67: x16's argmax-list CTE + x66's label-inequality predicate —
     // candidates restricted to the anchor's coarse list

@@ -111,6 +111,48 @@ class RetrievalSpec extends SparkSpec {
     assert(rows.exists(_._1)) // every real cell exceeds 1
   }
 
+  test("semdedup trained: matches a driver-side per-cell brute force on a trained assignment") {
+    val qvecs = Similarity.quantizeMinMax(
+        graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001"))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("q")))),
+        x => x.getField("q").cast("double")).as("qvec"))
+      .persist()
+    val cents = KMeans.fit(qvecs, k = 8, iters = 2)
+    val th = 0.93
+    val got = Similarity.semDedupCellsTrained(qvecs, th, cents)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+
+    // independent brute force: same fold order as vec_cosine, per cell
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i); val y = b(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val centers = cents.map(c => c.cluster.toLong -> c.center.toSeq).toMap
+    val rows = KMeans.assign(qvecs, cents)
+      .select("vec_id", "qvec", "cluster")
+      .as[(Long, Seq[Double], Long)].collect()
+    val expected = rows.groupBy(_._3).values.flatMap { cell =>
+      val withCos = cell.map { case (id, v, c) => (id, v, cos(v, centers(c))) }
+      withCos.map { case (id, v, cc) =>
+        val pruned = withCos.exists { case (oid, ov, occ) =>
+          oid != id && cos(v, ov) > th &&
+            (occ < cc || (occ == cc && oid < id))
+        }
+        id -> !pruned
+      }
+    }.toMap
+    assert(got === expected)
+    assert(got.values.exists(!_), "the threshold must prune something on the fixture")
+    qvecs.unpersist()
+  }
+
   test("dsir: target-typical docs outweigh off-target docs") {
     // target = docs made of 'aa bb' grams; raw corpus also has 'zz yy'
     // docs. Weights are SUMS of per-gram log-ratios, so only docs with
