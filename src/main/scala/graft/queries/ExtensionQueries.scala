@@ -1197,6 +1197,35 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // hybrid retrieval over the PRODUCTION probes: RRF fuses BM25 (x61's
+    // sparse arm) with the IVF-PQ composed index probe (x59's dense arm)
+    // — the pairing a 100 TB deployment actually serves (x62 fuses
+    // against EXACT cosine, the recall ceiling; this is the indexed
+    // path: partition-pruned candidate scan + O(m) ADC per candidate)
+    "x70_hybrid_rrf_ivfpq" -> ((s, dir) => {
+      val q = s.createDataFrame(RetrievalQueryTerms).toDF("query_id", "term")
+      val sparse = Retrieval.bm25TopK(Tables.documents(s, dir), q, k = HybridK)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val raw = Tables.embeddings(s, dir)
+      val lists = raw.select(col("vec_id"),
+        Similarity.ivfList(col("embedding"), Similarity.IvfLists, Dim).as("list"))
+      val qvecs = Similarity.quantizeMinMax(raw)
+        .groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("q")))),
+          x => x.getField("q").cast("double")).as("qvec"))
+        .persist() // PqM fits + encode + query side (caller-release)
+      val books = Similarity.pqTrain(qvecs, m = PqM, k = PqK, iters = KmIters, dim = Dim)
+      val codes = Similarity.pqEncode(qvecs, books, dim = Dim)
+        .join(lists, "vec_id").select("vec_id", "codes", "list")
+      val dense = Similarity.ivfPqTopK(codes,
+          qvecs.filter(col("vec_id") < 3).join(lists, "vec_id"), books,
+          k = HybridK, dim = Dim)
+        .select(col("query_id"), col("neighbor_id").as("id"),
+          col("rank").cast("long").as("rank"))
+      Retrieval.rrfFuse(sparse, dense, k = RrfK, c = RrfC)
+        .orderBy("query_id", "rank")
+    }),
+
     // SemDeDup against TRAINED centroids (x34's k-means over the
     // integer-exact quantized grid — the paper's production path, cells
     // sized by the trainer) with the same furthest-from-centroid keep
@@ -2160,6 +2189,30 @@ object ExtensionQueries {
          |  label_q, label_n, round(cosine, 6) AS cosine_r
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
+    // x70: x62's fusion frame with the dense arm swapped to the IVF-PQ
+    // oracle (the full quantize→train→encode→probe unroll, nested as a
+    // derived table so its CTE names scope independently of the BM25
+    // chain's)
+    "x70_hybrid_rrf_ivfpq" ->
+      s"""WITH $sqlBm25Ctes,
+         |bs AS (SELECT query_id, doc_id AS id, rank AS rank_sparse
+         |  FROM br WHERE rank <= $HybridK),
+         |bd AS (SELECT query_id, neighbor_id AS id, rank AS rank_dense FROM (
+         |    ${pqAdcOracleSql(withIvf = true, queryMax = 3, k = HybridK)
+                .replace("\n", "\n    ")}
+         |  )),
+         |f AS (SELECT coalesce(bs.query_id, bd.query_id) AS query_id,
+         |    coalesce(bs.id, bd.id) AS id, rank_sparse, rank_dense,
+         |    round(coalesce(1.0 / ($RrfC + rank_sparse), 0.0)
+         |        + coalesce(1.0 / ($RrfC + rank_dense), 0.0), 6) AS rrf_r
+         |  FROM bs FULL JOIN bd ON bs.query_id = bd.query_id AND bs.id = bd.id),
+         |fr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_r DESC, id) AS rank
+         |  FROM f)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+         |  id, rrf_r, CAST(rank_sparse AS BIGINT) AS rank_sparse,
+         |  CAST(rank_dense AS BIGINT) AS rank_dense
+         |FROM fr WHERE rank <= $RrfK ORDER BY query_id, rank""".stripMargin,
+
     // x69: x34's quantize + unrolled-Lloyd CTEs (trained assignment),
     // then x63's prune rule with centroid-cosine against the TRAINED
     // center — every cosine the same dot/(√·√) fold as vec_cosine
@@ -2246,7 +2299,10 @@ object ExtensionQueries {
     * `withIvf` adds the coarse-list candidate filter: both sides take
     * their synthetic-centroid argmax list and only same-list pairs score
     * — the SQL mirror of the partition-pruned probe. */
-  private def pqAdcOracleSql(withIvf: Boolean): String = {
+  private def pqAdcOracleSql(
+      withIvf: Boolean,
+      queryMax: Int = 5,
+      k: Int = 3): String = {
       val subDim = Dim / PqM
       def dist(v: String, c: String) =
         s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
@@ -2297,7 +2353,7 @@ object ExtensionQueries {
          |    SELECT v.vec_id, v.s, c.cluster, ${dist("v.sv", "c.center")} AS d2
          |    FROM sub v JOIN c2 c ON v.s = c.s)
          |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cluster) = 1),
-         |${listCte}qsub AS (SELECT vec_id AS query_id, s, sv FROM sub WHERE vec_id < 5),
+         |${listCte}qsub AS (SELECT vec_id AS query_id, s, sv FROM sub WHERE vec_id < $queryMax),
          |lutd AS (SELECT qs.query_id, e.vec_id AS neighbor_id, e.s,$listSel
          |    ${dist("qs.sv", "c.center")} AS ds
          |  FROM qsub qs JOIN enc e ON qs.s = e.s
@@ -2311,6 +2367,6 @@ object ExtensionQueries {
          |  SELECT *, row_number() OVER
          |      (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
          |  FROM adc)
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+         |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 }

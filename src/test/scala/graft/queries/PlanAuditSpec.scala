@@ -434,6 +434,15 @@ class PlanAuditSpec extends SparkSpec {
       s"a dimension-sized stats join must never sort-merge:\n$p")
   }
 
+  test("x70: production fusion — dense arm stays list-pruned, rank cuts below exchanges") {
+    val p = planOf("x70_hybrid_rrf_ivfpq")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"both arms' dims must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"every rank<=k arm must push its group limit below the exchange:\n$p")
+  }
+
   test("x67: candidates come from a list EQUI-join (pruned scan), never x66's all-pairs loop") {
     val p = planOf("x67_hard_negatives_ivf")
     assert(p.contains("BroadcastHashJoin"),
