@@ -170,6 +170,61 @@ object Mixture {
    *         text still yields one unigram-fallback gram, so none) keep
    *         their row
    */
+  /**
+   * DSIR end-to-end selection — the resampling step the paper runs on
+   * the [[dsirLogWeights]] output: keep (approximately) the
+   * `keepNum/keepDen` fraction of the corpus with the HIGHEST importance
+   * weights. Deterministic and exact where a Gumbel top-k would be
+   * RNG-bound: weight tiers (the 1e-6-rounded weight grid) are ranked by
+   * a cumulative histogram; every tier that fits entirely under the
+   * rational cut `N·keepNum/keepDen` keeps all members, and the one
+   * BOUNDARY tier is thinned by the same deterministic-hash rule as
+   * [[rebalanceUniform]] — keep iff `u·tier_n·keepDen <
+   * (N·keepNum − abv·keepDen)·M`, the integer cross-multiplied form of
+   * `u/M < remaining/tier_n`. The kept set is a pure function of
+   * (weights, doc-id hash): no RNG, no partition-order dependence, and
+   * both factors are SQL-replicable.
+   *
+   * Scale shape: [[dsirLogWeights]]' plan + a weight-grid histogram
+   * (cardinality bounded by the 1e-6 GRID, not the corpus — the same
+   * control-plane-sized class as [[scoreBuckets]]' cumulative window)
+   * broadcast back to the rows. No corpus-sized shuffle beyond the
+   * weight computation itself.
+   *
+   * @return (idCol, weight_r, imp_key, kept)
+   */
+  def selectByImportance(
+      docs: DataFrame,
+      isTarget: org.apache.spark.sql.Column,
+      keepNum: Long,
+      keepDen: Long,
+      buckets: Int = 1021,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(keepNum > 0 && keepDen > 0 && keepNum <= keepDen,
+      s"keep fraction $keepNum/$keepDen must be in (0, 1]")
+    val w = dsirLogWeights(docs, isTarget, buckets, idCol, textCol)
+      .select(col(idCol), col("weight_r"))
+    val hist = w.groupBy("weight_r").agg(count(lit(1)).as("tier_n"))
+    val wAbove = org.apache.spark.sql.expressions.Window
+      .orderBy(col("weight_r").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = hist.select(col("weight_r"), col("tier_n"),
+      coalesce(sum(col("tier_n")).over(wAbove), lit(0L)).as("abv"))
+    val n = w.agg(count(lit(1)).as("n_total"))
+    val u = pmod(graft.functions.HashExpressions.rolling_hash(
+      concat(col(idCol).cast("string"), lit(":imp"))), lit(M))
+    val target = col("n_total").cast("decimal(38,0)") * keepNum
+    val spent = col("abv").cast("decimal(38,0)") * keepDen
+    w.join(broadcast(cum), Seq("weight_r"))
+      .crossJoin(broadcast(n)) // 1-row total scaffold
+      .select(col(idCol), col("weight_r"), u.as("imp_key"),
+        (((col("abv") + col("tier_n")).cast("decimal(38,0)") * keepDen <= target) ||
+          (spent < target &&
+            u.cast("decimal(38,0)") * col("tier_n") * keepDen <
+              (target - spent) * lit(M))).as("kept"))
+  }
+
   def dsirLogWeights(
       docs: DataFrame,
       isTarget: org.apache.spark.sql.Column,

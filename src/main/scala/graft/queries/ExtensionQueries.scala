@@ -57,6 +57,8 @@ object ExtensionQueries {
     * the fixture) — 0.93 isolates the true near-duplicate tail. */
   private val SemDedupTrainedThreshold = 0.93
   private val DsirBuckets = 1021   // x64 hashed-bigram feature space (PRIME — see Mixture.dsirLogWeights)
+  private val DsirKeepNum = 1L     // x71 keep fraction numerator
+  private val DsirKeepDen = 4L     // x71 keep fraction denominator (keep top ~1/4 by weight)
   /** x61/x62 literal query dimension: (query_id, term) — qids 0..2 double
     * as the embedding-side query vec_ids for the hybrid fusion. */
   private[queries] val RetrievalQueryTerms: Seq[(Long, String)] = Seq(
@@ -285,6 +287,35 @@ object ExtensionQueries {
       s"""${sqlDot("embedding", sqlCentroid(c))} /
          |  (sqrt(${sqlDot("embedding", "embedding")}) * sqrt(${sqlDot(sqlCentroid(c), sqlCentroid(c))}))""".stripMargin
     }.mkString("[", ",\n  ", "]")
+
+  /** x64/x71 shared DSIR CTE chain → `w(doc_id, n_grams, w_d)` —
+    * positional-bigram hashes, add-1-smoothed bucket models, exact
+    * decimal per-doc log-ratio sum. */
+  private lazy val sqlDsirCtes: String =
+    s"""norm AS (SELECT doc_id, lang = 'en' AS is_t, $sqlNorm AS t FROM documents),
+       |tok AS (SELECT doc_id, is_t, string_split(t, ' ') AS w FROM norm),
+       |toh AS (SELECT doc_id, is_t, list_transform(w, s -> ${sqlStringHash("s")}) AS th FROM tok),
+       |b2 AS (SELECT doc_id, is_t,
+       |    unnest(list_transform(range(0, CASE WHEN len(th) < 2 THEN 1
+       |                                       ELSE len(th) - 1 END),
+       |      i -> list_reduce(list_concat([CAST(0 AS BIGINT)],
+       |             list_slice(th, i + 1, i + 2)),
+       |           (a, b) -> (a * $C + b) % $Mod))) AS h
+       |  FROM toh),
+       |bb AS (SELECT doc_id, is_t, h % $DsirBuckets AS b FROM b2),
+       |raw AS (SELECT b, CAST(count(*) AS BIGINT) AS n_r FROM bb GROUP BY b),
+       |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS n_t FROM bb WHERE is_t GROUP BY b),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS tot_r,
+       |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tot_t FROM bb),
+       |lr AS (SELECT raw.b,
+       |    CAST(round(ln(CAST(coalesce(n_t, 0) + 1 AS DOUBLE) / (tot_t + $DsirBuckets))
+       |             - ln(CAST(n_r + 1 AS DOUBLE) / (tot_r + $DsirBuckets)), 9)
+       |      AS DECIMAL(19,9)) AS lr
+       |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+       |pdb AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n FROM bb GROUP BY doc_id, b),
+       |w AS (SELECT doc_id, sum(n) AS n_grams,
+       |    sum(CAST(n AS DECIMAL(9,0)) * lr) AS w_d
+       |  FROM pdb JOIN lr USING (b) GROUP BY doc_id)""".stripMargin
 
   /** x61/x62 literal query-term dimension as a VALUES CTE. */
   private val sqlQueryTermsCte: String =
@@ -1196,6 +1227,16 @@ object ExtensionQueries {
           round(col("cosine"), 6).as("cosine_r"))
         .orderBy("query_id", "rank")
     }),
+
+    // DSIR end-to-end: importance weights (x64) → keep the top ~1/4 by
+    // weight — whole tiers under the rational cut keep everything, the
+    // boundary tier thins by the deterministic doc-id hash (x51's u-rule)
+    // — the kept set is a pure function of (weights, hash), no RNG
+    "x71_dsir_select" -> ((s, dir) =>
+      Mixture.selectByImportance(Tables.documents(s, dir),
+          isTarget = col("lang") === "en",
+          keepNum = DsirKeepNum, keepDen = DsirKeepDen, buckets = DsirBuckets)
+        .orderBy("doc_id")),
 
     // hybrid retrieval over the PRODUCTION probes: RRF fuses BM25 (x61's
     // sparse arm) with the IVF-PQ composed index probe (x59's dense arm)
@@ -2123,33 +2164,38 @@ object ExtensionQueries {
     // x64: x50's positional-bigram CTE + bucket models; the per-doc sum
     // is exact DECIMAL(9,0)×DECIMAL(19,9) arithmetic in both engines
     "x64_dsir_weights" ->
-      s"""WITH norm AS (SELECT doc_id, lang = 'en' AS is_t, $sqlNorm AS t FROM documents),
-         |tok AS (SELECT doc_id, is_t, string_split(t, ' ') AS w FROM norm),
-         |toh AS (SELECT doc_id, is_t, list_transform(w, s -> ${sqlStringHash("s")}) AS th FROM tok),
-         |b2 AS (SELECT doc_id, is_t,
-         |    unnest(list_transform(range(0, CASE WHEN len(th) < 2 THEN 1
-         |                                       ELSE len(th) - 1 END),
-         |      i -> list_reduce(list_concat([CAST(0 AS BIGINT)],
-         |             list_slice(th, i + 1, i + 2)),
-         |           (a, b) -> (a * $C + b) % $Mod))) AS h
-         |  FROM toh),
-         |bb AS (SELECT doc_id, is_t, h % $DsirBuckets AS b FROM b2),
-         |raw AS (SELECT b, CAST(count(*) AS BIGINT) AS n_r FROM bb GROUP BY b),
-         |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS n_t FROM bb WHERE is_t GROUP BY b),
-         |tot AS (SELECT CAST(count(*) AS BIGINT) AS tot_r,
-         |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tot_t FROM bb),
-         |lr AS (SELECT raw.b,
-         |    CAST(round(ln(CAST(coalesce(n_t, 0) + 1 AS DOUBLE) / (tot_t + $DsirBuckets))
-         |             - ln(CAST(n_r + 1 AS DOUBLE) / (tot_r + $DsirBuckets)), 9)
-         |      AS DECIMAL(19,9)) AS lr
-         |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
-         |pdb AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n FROM bb GROUP BY doc_id, b),
-         |w AS (SELECT doc_id, sum(n) AS n_grams,
-         |    sum(CAST(n AS DECIMAL(9,0)) * lr) AS w_d
-         |  FROM pdb JOIN lr USING (b) GROUP BY doc_id)
+      s"""WITH $sqlDsirCtes
          |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
          |  round(CAST(w_d AS DOUBLE), 6) AS weight_r
          |FROM w ORDER BY doc_id""".stripMargin,
+
+    // x71: x64's weight chain + tier histogram + cumulative above-count;
+    // kept = the same decimal cross-multiplied rule the engine computes
+    "x71_dsir_select" ->
+      s"""WITH $sqlDsirCtes,
+         |ws AS (SELECT doc_id, round(CAST(w_d AS DOUBLE), 6) AS weight_r FROM w),
+         |hist AS (SELECT weight_r, CAST(count(*) AS BIGINT) AS tier_n
+         |  FROM ws GROUP BY weight_r),
+         |cum AS (SELECT weight_r, tier_n,
+         |    CAST(coalesce(sum(tier_n) OVER (ORDER BY weight_r DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS abv
+         |  FROM hist),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ws),
+         |k AS (SELECT doc_id,
+         |    ${sqlStringHash("CAST(doc_id AS VARCHAR) || ':imp'")} % ${Mixture.M}
+         |      AS imp_key
+         |  FROM documents)
+         |SELECT ws.doc_id, ws.weight_r, k.imp_key,
+         |  ((CAST(abv + tier_n AS DECIMAL(38,0)) * $DsirKeepDen
+         |      <= CAST(n_total AS DECIMAL(38,0)) * $DsirKeepNum)
+         |   OR (CAST(abv AS DECIMAL(38,0)) * $DsirKeepDen
+         |         < CAST(n_total AS DECIMAL(38,0)) * $DsirKeepNum
+         |       AND CAST(k.imp_key AS DECIMAL(38,0)) * tier_n * $DsirKeepDen
+         |         < (CAST(n_total AS DECIMAL(38,0)) * $DsirKeepNum
+         |            - CAST(abv AS DECIMAL(38,0)) * $DsirKeepDen) * ${Mixture.M}))
+         |    AS kept
+         |FROM ws JOIN cum USING (weight_r) JOIN k USING (doc_id) CROSS JOIN nt
+         |ORDER BY ws.doc_id""".stripMargin,
 
     // x65: exact integer group sums, then μ/σ/z as the SAME fixed-order
     // double expressions the engine computes from those sums

@@ -188,6 +188,32 @@ class RetrievalSpec extends SparkSpec {
     corpus.sparkSession.sharedState.cacheManager.clearCache()
   }
 
+  test("dsir select: monotone-in-weight keep with a single hash-thinned boundary tier") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val out = Mixture.selectByImportance(docs, isTarget = col("lang") === "en",
+        keepNum = 1, keepDen = 4)
+      .select("doc_id", "weight_r", "kept")
+      .as[(Long, Double, Boolean)].collect()
+    val n = out.length
+    val byTier = out.groupBy(_._2)
+    val mixedTiers = byTier.values.filter(t =>
+      t.exists(_._3) && t.exists(!_._3)).toSeq
+    assert(mixedTiers.size <= 1, "at most ONE boundary tier may be hash-thinned")
+    // all tiers strictly above the boundary keep everything; below drop everything
+    val boundaryW = mixedTiers.headOption.map(_.head._2)
+    byTier.foreach { case (wt, members) =>
+      boundaryW.foreach { bw =>
+        if (wt > bw) assert(members.forall(_._3), s"tier $wt above boundary must keep all")
+        if (wt < bw) assert(members.forall(!_._3), s"tier $wt below boundary must drop all")
+      }
+    }
+    val kept = out.count(_._3)
+    assert(math.abs(kept - n / 4.0) <= math.max(10.0, 0.1 * n),
+      s"kept $kept of $n should approximate the 1/4 target")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("group z-score: hand-computed stats; zero-variance group yields z = 0") {
     val rows = Seq(
       (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), // μ=20, σ=√(200/3)

@@ -434,6 +434,15 @@ class PlanAuditSpec extends SparkSpec {
       s"a dimension-sized stats join must never sort-merge:\n$p")
   }
 
+  test("x71: tier histogram broadcasts back; no corpus-sized partition-less window") {
+    val df = SparkEntry.queries("x71_dsir_select")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the weight-grid tier dim must broadcast back to the rows:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never sort-merge against the histogram:\n$p")
+  }
+
   test("x70: production fusion — dense arm stays list-pruned, rank cuts below exchanges") {
     val p = planOf("x70_hybrid_rrf_ivfpq")
     assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
