@@ -86,7 +86,17 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // The driver's record keeps only the last 2000 chars of output — too
+    // short for the full per-query map at 110+ queries. Persist the full
+    // JSON as a repo artifact so per-query baselines never depend on
+    // scraping a truncated tail (PERF.md points here).
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(json)
     spark.stop()
   }
 }

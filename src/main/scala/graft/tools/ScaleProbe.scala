@@ -319,6 +319,72 @@ object ScaleProbe {
     }
     if (on("recall")) recallReport(emb, "uniform")
 
+    // Hard-negative mining recall (x66 exact vs x67 bucketed): fraction
+    // of the exact different-label top-k recovered by the IVF-list
+    // candidate path, per nprobe — the quality the bucketing trades for
+    // dropping the O(N·Q) all-pairs scan.
+    if (on("hardneg")) {
+      import spark.implicits._
+      val k = 10
+      def toSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+          .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+      val anchors = emb.filter(col("vec_id") < 50)
+      val exact = toSets(graft.ext.Similarity.hardNegatives(emb, anchors, k))
+      for (np <- Seq(1, 2, 4, 8, 16)) {
+        val got = toSets(graft.ext.Similarity.hardNegativesBucketed(
+          emb, anchors, k, nprobe = np))
+        val r = exact.map { case (q, ex) =>
+          (got.getOrElse(q, Set.empty) & ex).size.toDouble / ex.size
+        }.sum / exact.size
+        println(f"hardneg ivf(lists=16) nprobe=$np%2d recall@$k=$r%6.3f")
+      }
+    }
+
+    // Fusion quality (x62 exact vs x70 production): overlap@10 of the
+    // RRF-fused lists when the dense arm swaps exact cosine for the
+    // IVF-PQ probe — the BM25 arm is shared, so the difference isolates
+    // the index error surviving fusion.
+    if (on("fusion")) {
+      import spark.implicits._
+      val qTerms = Seq((0L, "spark"), (0L, "join"), (1L, "window"),
+        (1L, "filter"), (1L, "sort"), (2L, "stream"), (2L, "hash"), (2L, "merge"))
+        .toDF("query_id", "term")
+      val sparse = graft.ext.Retrieval.bm25TopK(docs, qTerms, k = 20)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val denseExact = graft.ext.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 3), k = 20)
+        .select(col("query_id"), col("neighbor_id").as("id"),
+          col("rank").cast("long").as("rank"))
+      val lists = emb.select(col("vec_id"),
+        graft.ext.Similarity.ivfList(col("embedding")).as("list"))
+      val qvecs = graft.ext.Similarity.quantizeMinMax(emb)
+        .groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("q")))),
+          x => x.getField("q").cast("double")).as("qvec"))
+        .persist()
+      val books = graft.ext.Similarity.pqTrain(qvecs, m = 4, k = 8, iters = 2, dim = 64)
+      val codes = graft.ext.Similarity.pqEncode(qvecs, books, dim = 64)
+        .join(lists, "vec_id").select("vec_id", "codes", "list")
+      val denseIvfPq = graft.ext.Similarity.ivfPqTopK(codes,
+          qvecs.filter(col("vec_id") < 3).join(lists, "vec_id"), books,
+          k = 20, dim = 64)
+        .select(col("query_id"), col("neighbor_id").as("id"),
+          col("rank").cast("long").as("rank"))
+      def fusedSets(dense: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        graft.ext.Retrieval.rrfFuse(sparse, dense, k = 10)
+          .select("query_id", "id").as[(Long, Long)].collect()
+          .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+      val ex = fusedSets(denseExact)
+      val got = fusedSets(denseIvfPq)
+      val overlap = ex.map { case (q, s) =>
+        (got.getOrElse(q, Set.empty) & s).size.toDouble / s.size
+      }.sum / ex.size
+      println(f"fusion x70-vs-x62 overlap@10=$overlap%6.3f (m=4 k=8 nprobe=1)")
+      qvecs.unpersist()
+      spark.catalog.clearCache()
+    }
+
     // Clustered-corpus recall: the fixture embeddings are near-uniform —
     // the WORST case for coarse quantization (every cell boundary cuts
     // through dense space). Real embedding clouds cluster; this mode
