@@ -27,6 +27,21 @@ class TaskStats(spark: SparkSession) extends org.apache.spark.scheduler.SparkLis
   * so replicas aren't trivial duplicates), and print seconds per scale.
   * Demonstrates the O(n·k)+banded-join slope claimed in PERF.md. */
 object ScaleProbe {
+
+  /** The recallc corpus: 2000 vectors in 16 deterministic Gaussian-ish
+    * clusters (hash-derived centers ±1, per-vector jitter ±0.15 —
+    * well-separated at 64 dims). Shared by the clustered recall and
+    * clustered hard-negative probes. */
+  private def clusteredCorpus(spark: SparkSession): org.apache.spark.sql.DataFrame =
+    spark.range(2000).select(col("id").as("vec_id"),
+      array((0 until 64).map { d =>
+        (((col("id") % 16) * 37 + lit(d * 101)) % 1999 - lit(999)).cast("double")
+          .divide(999.0)
+          .plus(((col("id") * 13 + lit(d * 7)) % 201 - lit(100)).cast("double")
+            .divide(100.0).multiply(0.15))
+          .cast("float")
+      }: _*).as("embedding"))
+
   def main(args: Array[String]): Unit = {
     // optional section filter: `runMain graft.tools.ScaleProbe ppjoin`
     // runs only that probe (all sections when no args)
@@ -341,6 +356,87 @@ object ScaleProbe {
       }
     }
 
+    // Clustered-corpus hard-negative recall: same probe over the recallc
+    // corpus (16 deterministic clusters) with labels vec_id % 4 — real
+    // embedding clouds cluster, and same-cluster vectors land in the
+    // same IVF list, so the bucketed candidate path recovers far more of
+    // the exact top-k at the same nprobe than the uniform fixture
+    // (PERF.md's worst-case caveat, quantified for mining).
+    if (on("hardnegc")) {
+      import spark.implicits._
+      val k = 10
+      val clustered = clusteredCorpus(spark)
+        .withColumn("label", (col("vec_id") % 4).cast("int"))
+      def toSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+          .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+      val anchors = clustered.filter(col("vec_id") < 50)
+      val exact = toSets(graft.ext.Similarity.hardNegatives(clustered, anchors, k))
+      for (np <- Seq(1, 2, 4, 8)) {
+        val got = toSets(graft.ext.Similarity.hardNegativesBucketed(
+          clustered, anchors, k, nprobe = np))
+        val r = exact.map { case (q, ex) =>
+          (got.getOrElse(q, Set.empty) & ex).size.toDouble / ex.size
+        }.sum / exact.size
+        println(f"hardnegc[clustered] ivf(lists=16) nprobe=$np%2d recall@$k=$r%6.3f")
+      }
+    }
+
+    // sf1 cross-path audit for x69 (its DuckDB oracle OOMs at 20k
+    // vectors — PERF.md round-10): the join-predicate prune vs an
+    // INDEPENDENT per-cell brute force running as Scala loops inside
+    // flatMapGroups (no Catalyst join, no SQL — the x17audit pattern).
+    // Both paths must agree row-for-row on (vec_id, kept).
+    if (on("semdedupaudit")) {
+      import spark.implicits._
+      val dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+      val embT = graft.sources.Tables.embeddings(spark, dir)
+      val qvecs = graft.ext.Similarity.quantizeMinMax(embT)
+        .groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("q")))),
+          x => x.getField("q").cast("double")).as("qvec"))
+        .persist()
+      val cents = graft.ext.KMeans.fit(qvecs, k = 8, iters = 2)
+      val th = 0.93
+      val t0 = System.nanoTime()
+      val viaJoin = graft.ext.Similarity.semDedupCellsTrained(qvecs, th, cents)
+        .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+      val tJoin = (System.nanoTime() - t0) / 1e9
+      def cosD(a: Seq[Double], b: Seq[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          val x = a(i); val y = b(i); dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val centers = cents.map(c => c.cluster.toLong -> c.center.toSeq).toMap
+      val t1 = System.nanoTime()
+      val viaGroups = graft.ext.KMeans.assign(qvecs, cents)
+        .select("vec_id", "qvec", "cluster")
+        .as[(Long, Seq[Double], Long)]
+        .groupByKey(_._3)
+        .flatMapGroups { (cell, it) =>
+          val members = it.toArray
+          val center = centers(cell)
+          val cc = members.map { case (_, v, _) => cosD(v, center) }
+          members.indices.iterator.map { i =>
+            val (id, v, _) = members(i)
+            val pruned = members.indices.exists { j =>
+              j != i && {
+                val (oid, ov, _) = members(j)
+                cosD(v, ov) > th && (cc(j) < cc(i) || (cc(j) == cc(i) && oid < id))
+              }
+            }
+            (id, !pruned)
+          }
+        }.collect().toMap
+      val tGroups = (System.nanoTime() - t1) / 1e9
+      val diff = (viaJoin.keySet ++ viaGroups.keySet)
+        .count(k2 => viaJoin.get(k2) != viaGroups.get(k2))
+      println(f"semdedupaudit n=${viaJoin.size}%d joinPath=$tJoin%6.1f s bruteGroups=$tGroups%6.1f s symmetric-diff=$diff%d")
+      qvecs.unpersist()
+    }
+
     // Fusion quality (x62 exact vs x70 production): overlap@10 of the
     // RRF-fused lists when the dense arm swaps exact cosine for the
     // IVF-PQ probe — the BM25 arm is shared, so the difference isolates
@@ -392,17 +488,7 @@ object ScaleProbe {
     // same nprobe/m·k on clustered data: 2000 vectors in 16 deterministic
     // Gaussian-ish clusters (hash-derived centers ±1, per-vector jitter
     // ±0.15 — well-separated at 64 dims).
-    if (on("recallc")) {
-      val clustered = spark.range(2000).select(col("id").as("vec_id"),
-        array((0 until 64).map { d =>
-          (((col("id") % 16) * 37 + lit(d * 101)) % 1999 - lit(999)).cast("double")
-            .divide(999.0)
-            .plus(((col("id") * 13 + lit(d * 7)) % 201 - lit(100)).cast("double")
-              .divide(100.0).multiply(0.15))
-            .cast("float")
-        }: _*).as("embedding"))
-      recallReport(clustered, "clustered")
-    }
+    if (on("recallc")) recallReport(clusteredCorpus(spark), "clustered")
 
     // fused-PQ slope: training is iters+2 passes over the subspace-
     // exploded corpus with driver-side m·k·subdim collects; encode is one

@@ -56,6 +56,20 @@ class RetrievalSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("bm25 index: the postings scan is PARTITION-PRUNED to the query terms' buckets") {
+    val path = java.nio.file.Files.createTempDirectory("graft_bm25idx3_").toString
+    Retrieval.writeBm25Index(docs, path)
+    val p = Retrieval.bm25TopKFromIndex(spark, path, q, k = 10)
+      .queryExecution.executedPlan.toString
+    // the tb filter must reach the scan as a PARTITION filter (the layout
+    // exists so a probe reads its terms' buckets, not the corpus)
+    assert(p.contains("PartitionFilters: [tb"),
+      s"tb bucket filter must prune partitions at the postings scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the pruned postings slice joins the broadcast term dim:\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("bm25 index: appended second batch merges on read (stats summed, df from postings)") {
     val path = java.nio.file.Files.createTempDirectory("graft_bm25idx2_").toString
     Retrieval.writeBm25Index(docs.filter(col("doc_id") <= 3), path)

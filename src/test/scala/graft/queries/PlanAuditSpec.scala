@@ -434,6 +434,16 @@ class PlanAuditSpec extends SparkSpec {
       s"a dimension-sized stats join must never sort-merge:\n$p")
   }
 
+  test("x69: trained-cell pairwise is a list-keyed equi join; no window, no cartesian") {
+    val p = planOf("x69_semdedup_trained")
+    assert(!p.contains("CartesianProduct"),
+      s"within-cell pairs must join on the trained list, never cross:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the cell-size dim must broadcast:\n$p")
+    assert(!p.contains("WindowExec"),
+      s"the prune rule is a join predicate — no global ranking window:\n$p")
+  }
+
   test("x71: tier histogram broadcasts back; no corpus-sized partition-less window") {
     val df = SparkEntry.queries("x71_dsir_select")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
