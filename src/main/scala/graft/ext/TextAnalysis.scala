@@ -180,6 +180,75 @@ object TextAnalysis {
         (col("n_fluent").cast("double") / col("n_bigrams")).as("fluency"))
   }
 
+  /**
+   * Bigram-LM negative log-likelihood — the CCNet/Wenzek-style
+   * perplexity quality signal (Wenzek et al. 2020, "CCNet: Extracting
+   * High Quality Monolingual Datasets from Web Crawl Data"; there a
+   * KenLM 5-gram, here the add-one-smoothed bigram LM the corpus itself
+   * trains): score every document by the mean negative log-probability
+   * of its token bigrams under the corpus model,
+   * `nll(doc) = −(1/n) Σ log((c(w₁w₂)+1)/(c(w₁·)+V))` with `c(w₁·)` the
+   * prefix count over bigram positions and `V` the corpus vocabulary.
+   * Low nll = fluent/typical text; high nll = rare or garbled
+   * constructions — the standard "perplexity filter" ranking (kept in
+   * log space: no engine-divergent `exp`, and monotone either way).
+   *
+   * Tokens are the portable rolling hashes, so a hash collision merges
+   * two token types' counts (the hashed-LM semantics [[graft.ext.Mixture.dsirLogWeights]]
+   * documents for its feature space); the model key is the (prefix,
+   * bigram) hash PAIR, so conditional counts never conflate across
+   * different prefixes.
+   *
+   * Scale shape: the model dims are map-side-combinable aggregates over
+   * the gram stream (persisted — model build and scoring both consume
+   * it); scoring joins back on the MODEL key (bounded by distinct
+   * corpus bigrams, not corpus size), V is a 1-row broadcast scaffold,
+   * and the per-doc sum is exact DECIMAL(9,0)×DECIMAL(19,9) arithmetic
+   * (the x64 discipline), so partial aggregation order can never move a
+   * score. Docs with fewer than 2 tokens carry (n_bigrams=0, nll_r=0).
+   *
+   * @return (idCol, n_bigrams, nll_r)
+   */
+  def bigramNll(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val th = docs.select(col(idCol), Dedup.tokenHashes(col(textCol)).as("th"))
+      .persist() // vocabulary agg + gram stream + the final all-docs join
+    // vocabulary over ALL docs' tokens (incl. docs too short to score)
+    val vocab = th.select(explode(col("th")).as("h"))
+      .agg(countDistinct(col("h")).as("v"))
+    // (doc, prefix hash, bigram hash) — positional bigram combines with
+    // the prefix recovered by index; docs under 2 tokens emit nothing
+    val g = th.filter(size(col("th")) >= 2)
+      .select(col(idCol), col("th"),
+        posexplode(graft.functions.HashExpressions.shingle_hashes_pos(
+          col("th"), 2, Dedup.CombineMult)).as(Seq("i", "h12")))
+      .select(col(idCol), element_at(col("th"), col("i") + 1).as("h1"), col("h12"))
+      .persist() // bigram model + prefix model + per-doc counts
+    val cb = g.groupBy("h1", "h12").agg(count(lit(1)).as("cb"))
+    val cp = g.groupBy("h1").agg(count(lit(1)).as("cp"))
+    val lp = cb.join(cp, Seq("h1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("h1"), col("h12"),
+        round(log((col("cb") + 1).cast("double") / (col("cp") + col("v"))), 9)
+          .cast("decimal(19,9)").as("lp"))
+    val perDoc = g.groupBy(col(idCol), col("h1"), col("h12"))
+      .agg(count(lit(1)).as("n"))
+    val scored = perDoc
+      .join(lp, Seq("h1", "h12"))
+      .groupBy(idCol)
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(col("n").cast("decimal(9,0)") * col("lp")).as("sp"))
+      .select(col(idCol), col("n_bigrams"),
+        round(-col("sp").cast("double") / col("n_bigrams"), 6).as("nll_r"))
+    th.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_r"), lit(0.0)).as("nll_r"))
+  }
+
   /** PII patterns (RE2-safe constructs only — no lookaround/backrefs — so
     * Spark's java.util.regex and DuckDB's RE2 match identically; shared
     * with the oracle SQL). */

@@ -1228,6 +1228,14 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // bigram-LM perplexity (CCNet-style quality filter): mean negative
+    // log-prob of each doc's bigrams under the corpus-trained add-one
+    // bigram model — (prefix, bigram) hash-pair keyed conditionals,
+    // exact-decimal per-doc sums (the x64 discipline), log-space output
+    "x72_bigram_nll" -> ((s, dir) =>
+      TextAnalysis.bigramNll(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
     // DSIR end-to-end: importance weights (x64) → keep the top ~1/4 by
     // weight — whole tiers under the rational cut keep everything, the
     // boundary tier thins by the deterministic doc-id hash (x51's u-rule)
@@ -2234,6 +2242,36 @@ object ExtensionQueries {
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
          |  label_q, label_n, round(cosine, 6) AS cosine_r
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // x72: bigram conditionals keyed on the (prefix, bigram) hash pair;
+    // per-bigram log-prob round→DECIMAL(19,9) before the exact per-doc
+    // sum (x64's discipline); short docs carry (0, 0.0)
+    "x72_bigram_nll" ->
+      s"""WITH norm AS (SELECT doc_id, $sqlNorm AS t FROM documents),
+         |tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+         |toh AS (SELECT doc_id, list_transform(w, s -> ${sqlStringHash("s")}) AS th FROM tok),
+         |v AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS v
+         |  FROM (SELECT unnest(th) AS h FROM toh)),
+         |g AS (SELECT doc_id,
+         |    unnest(list_transform(range(0, len(th) - 1),
+         |      i -> struct_pack(h1 := th[i+1],
+         |        h12 := (th[i+1] * $C + th[i+2]) % $Mod))) AS s
+         |  FROM toh WHERE len(th) >= 2),
+         |ge AS (SELECT doc_id, s.h1 AS h1, s.h12 AS h12 FROM g),
+         |cb AS (SELECT h1, h12, CAST(count(*) AS BIGINT) AS cb FROM ge GROUP BY 1, 2),
+         |cp AS (SELECT h1, CAST(count(*) AS BIGINT) AS cp FROM ge GROUP BY 1),
+         |lp AS (SELECT cb.h1, cb.h12,
+         |    CAST(round(ln(CAST(cb + 1 AS DOUBLE) / (cp + v)), 9) AS DECIMAL(19,9)) AS lp
+         |  FROM cb JOIN cp USING (h1) CROSS JOIN v),
+         |pd AS (SELECT doc_id, h1, h12, CAST(count(*) AS BIGINT) AS n
+         |  FROM ge GROUP BY 1, 2, 3),
+         |sc AS (SELECT doc_id, sum(n) AS n_bigrams,
+         |    sum(CAST(n AS DECIMAL(9,0)) * lp) AS sp
+         |  FROM pd JOIN lp USING (h1, h12) GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  coalesce(round(-CAST(sp AS DOUBLE) / n_bigrams, 6), 0.0) AS nll_r
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // x70: x62's fusion frame with the dense arm swapped to the IVF-PQ
     // oracle (the full quantize→train→encode→probe unroll, nested as a

@@ -228,6 +228,34 @@ class RetrievalSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("bigram nll: hand-computed add-one model; short docs score (0, 0.0)") {
+    val corpus = Seq(
+      (1L, "aa bb aa"), // bigrams (aa,bb), (bb,aa)
+      (2L, "zz zz"),    // bigram (zz,zz)
+      (3L, "cc cc cc"), // bigram (cc,cc) twice — repeated bigram
+      (4L, "dd")        // single token: no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramNll(corpus)
+      .select("doc_id", "n_bigrams", "nll_r")
+      .as[(Long, Long, Double)].collect()
+      .map { case (d, n, s) => d -> ((n, s)) }.toMap
+    val vocab = 5.0 // distinct tokens: aa bb zz cc dd (short docs count toward V)
+    // every cb=1 bigram with cp=1 prefix: lp = ln(2/(1+5))
+    val lp1 = math.log(2.0 / (1.0 + vocab))
+    // doc3: cb=2, cp=2 -> lp = ln(3/(2+5))
+    val lp3 = math.log(3.0 / (2.0 + vocab))
+    assert(out(1L)._1 === 2L)
+    assert(math.abs(out(1L)._2 - (-(2 * lp1) / 2)) < 1e-5)
+    assert(out(2L)._1 === 1L)
+    assert(math.abs(out(2L)._2 - (-lp1)) < 1e-5)
+    assert(out(3L)._1 === 2L)
+    assert(math.abs(out(3L)._2 - (-lp3)) < 1e-5)
+    assert(out(4L) === ((0L, 0.0)))
+    // the repeated (typical) bigram scores MORE fluent (lower nll)
+    assert(out(3L)._2 < out(2L)._2)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("group z-score: hand-computed stats; zero-variance group yields z = 0") {
     val rows = Seq(
       (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), // μ=20, σ=√(200/3)

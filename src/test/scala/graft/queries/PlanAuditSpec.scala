@@ -444,6 +444,16 @@ class PlanAuditSpec extends SparkSpec {
       s"the prune rule is a join predicate — no global ranking window:\n$p")
   }
 
+  test("x72: model aggs fold map-side; scoring joins stay keyed (no cartesian)") {
+    val p = planOf("x72_bigram_nll")
+    assert(p.contains("partial_count"),
+      s"bigram/prefix model counts must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row vocabulary scaffold may broadcast-nest:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the gram stream must be persisted (model build + scoring share it):\n$p")
+  }
+
   test("x71: tier histogram broadcasts back; no corpus-sized partition-less window") {
     val df = SparkEntry.queries("x71_dsir_select")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
