@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Maintenance for the append-grown index layouts (the operational
+ * companion of the streaming ingest paths): every
+ * [[graft.streaming.StreamingIndexIngest]] /
+ * [[graft.streaming.StreamingBm25Ingest]] micro-batch appends one file
+ * per (batch × touched partition), so a long-running ingest degrades a
+ * probe's pruned scan into thousands of small-file opens per partition.
+ * Compaction rewrites a generation with ONE file per partition value
+ * and collapses the append-only stats rows to their merged form.
+ *
+ * Generations, not in-place rewrite: compaction writes to `dst` (the
+ * next index generation) while probes keep reading `src` — the
+ * publish step is the caller's pointer swap (at 100 TB, an atomic
+ * metadata update; overwriting a live index in place would race
+ * concurrent probes with missing-file failures).
+ */
+object IndexMaintenance {
+
+  /** Rewrite a `partitionBy(partitionCol)` parquet layout with one file
+    * per partition value (hash repartition on the partition column puts
+    * each value's rows in exactly one task). Row content is preserved
+    * verbatim. */
+  def compactPartitioned(
+      spark: SparkSession,
+      src: String,
+      dst: String,
+      partitionCol: String): Unit =
+    spark.read.parquet(src)
+      .repartition(col(partitionCol))
+      .write.partitionBy(partitionCol).mode("overwrite").parquet(dst)
+
+  /** Compact an IVF index generation ([[Similarity.writeIvfIndex]] /
+    * streamed appends): one file per list. */
+  def compactIvfIndex(spark: SparkSession, src: String, dst: String): Unit =
+    compactPartitioned(spark, src, dst, "list")
+
+  /** Compact a BM25 index generation ([[Retrieval.writeBm25Index]] /
+    * streamed appends): one postings file per term bucket, and the
+    * per-batch stats rows collapsed to the single merged row a probe
+    * would sum them to. */
+  def compactBm25Index(spark: SparkSession, src: String, dst: String): Unit = {
+    compactPartitioned(spark, s"$src/postings", s"$dst/postings", "tb")
+    spark.read.parquet(s"$src/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$dst/stats")
+  }
+}

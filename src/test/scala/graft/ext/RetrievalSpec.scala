@@ -85,6 +85,57 @@ class RetrievalSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("bm25 index compaction: one file per bucket, one stats row, identical probe results") {
+    val src = java.nio.file.Files.createTempDirectory("graft_bm25cmp_src_").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_bm25cmp_dst_").toString
+    Retrieval.writeBm25Index(docs.filter(col("doc_id") <= 3), src)
+    Retrieval.appendBm25Batch(docs.filter(col("doc_id") > 3), src,
+      "doc_id", "text", mode = "append")
+    IndexMaintenance.compactBm25Index(spark, src, dst)
+    def results(path: String) =
+      Retrieval.bm25TopKFromIndex(spark, path, q, k = 10)
+        .select("query_id", "rank", "doc_id", "score")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    assert(results(dst) === results(src))
+    // exactly one parquet file per term-bucket dir; one merged stats row
+    val buckets = new java.io.File(s"$dst/postings").listFiles()
+      .filter(_.getName.startsWith("tb="))
+    assert(buckets.nonEmpty)
+    buckets.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"bucket ${d.getName} has ${files.length} files")
+    }
+    assert(spark.read.parquet(s"$dst/stats").count() === 1L)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("ivf index compaction: one file per list, identical probe results") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = KMeans.fit(emb, k = 8, iters = 1, vecCol = "embedding")
+    val src = java.nio.file.Files.createTempDirectory("graft_ivfcmp_src_").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_ivfcmp_dst_").toString
+    // two appends — the streamed-ingest file pattern
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < 250), src, cents)
+    KMeans.assign(emb.filter(col("vec_id") >= 250), cents,
+        idCol = "vec_id", vecCol = "embedding")
+      .withColumnRenamed("cluster", "list")
+      .write.partitionBy("list").mode("append").parquet(src)
+    IndexMaintenance.compactIvfIndex(spark, src, dst)
+    def results(path: String) =
+      Similarity.probeIvfIndex(spark, path, emb.filter(col("vec_id") < 5),
+          k = 3, cents, nprobe = 2)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+    assert(results(dst) === results(src))
+    val lists = new java.io.File(dst).listFiles()
+      .filter(_.getName.startsWith("list="))
+    assert(lists.nonEmpty)
+    lists.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"list ${d.getName} has ${files.length} files")
+    }
+  }
+
   test("rrf: fusion rewards presence in both lists; one-sided ranks are null") {
     val sparse = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("query_id", "id", "rank")
     val dense = Seq((0L, 11L, 1L), (0L, 12L, 2L)).toDF("query_id", "id", "rank")
