@@ -441,6 +441,56 @@ object Similarity {
             .cast("long")).as("q"))
   }
 
+  /** Per-dimension (min, max) quantization stats, collected driver-side —
+    * dim-count rows, a control-plane collect. These are the FROZEN
+    * artifact a streaming encoder quantizes against (global min-max
+    * cannot be recomputed per micro-batch); train-time and ingest-time
+    * quantization agree exactly when the stats frame is shared. */
+  def quantizeStats(
+      corpus: DataFrame,
+      vecCol: String = "embedding"): Seq[(Double, Double)] =
+    corpus.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("dim"), col("v").cast("double").as("v"))
+      .groupBy("dim").agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy("dim").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+
+  /** Quantize against FROZEN stats in ONE map-side projection (no
+    * explode, no shuffle — the stats ride as literals): qvec[d] =
+    * round((v_d − mn_d)·255/(mx_d − mn_d)), constant dims → 0. Produces
+    * exactly [[quantizeMinMax]]'s codes (same expression, literal
+    * operands) when `stats` came from [[quantizeStats]] over the same
+    * corpus — the spec's equivalence anchor and the streaming encoder's
+    * contract. */
+  def quantizeWithStats(
+      corpus: DataFrame,
+      stats: Seq[(Double, Double)],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val qvec = array(stats.zipWithIndex.map { case ((mn, mx), d) =>
+      val v = element_at(col(vecCol), d + 1).cast("double")
+      if (mx == mn) lit(0.0)
+      else round((v - lit(mn)) * 255.0 / lit(mx - mn), 0)
+    }: _*)
+    corpus.select(col(idCol), qvec.as("qvec"))
+  }
+
+  /** Probe a written IVF-PQ codes layout (the
+    * [[graft.streaming.StreamingPqIngest]] / `partitionBy("list")`
+    * generation): list-pruned candidate scan + ADC, as [[ivfPqTopK]]. */
+  def probeIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      codebooks: Seq[Seq[KMeans.Centroid]],
+      k: Int,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "qvec"): DataFrame =
+    ivfPqTopK(spark.read.parquet(path)
+        .select(col(idCol), col("codes"), col("list")),
+      queries, codebooks, k, dim, idCol, vecCol)
+
   /** Embedding-cosine near-duplicate pairs: bucket with LSH, verify with
     * exact cosine ≥ threshold inside buckets (the embedding analog of
     * [[Dedup.minHashNearDups]]).

@@ -32,9 +32,9 @@ object ExtensionQueries {
   private val Planes = 8        // x11 bucket-assignment surface
   private val CosinePlanes = 16 // x12 near-dup banding (65k buckets + multiprobe)
   private val CosineMaxBucket = 1000
-  private val Dim = 64
-  private val KmClusters = 8    // x34 trained-IVF coarse quantizer
-  private val KmIters = 2
+  private[queries] val Dim = 64
+  private[queries] val KmClusters = 8    // x34 trained-IVF coarse quantizer
+  private[queries] val KmIters = 2
   private val SourceCapK = 10L  // x39 per-source document cap
   private val StratK = 25L      // x52 per-source sample size
   private val TopKSalts = 8     // x39/x52 salt fan-out for the hot source
@@ -43,8 +43,8 @@ object ExtensionQueries {
   private[queries] val BloomBits = 1L << 16 // x44 bloom sketch size (1024 words)
   private[queries] val BloomK = 4           // x44 bloom hash rows
   private val DupSpanN = 13        // x45 duplicated-passage window (tokens)
-  private val PqM = 4              // x46 PQ subspaces (64 dims → 4×16)
-  private val PqK = 8              // x46 PQ codes per subspace
+  private[queries] val PqM = 4              // x46 PQ subspaces (64 dims → 4×16)
+  private[queries] val PqK = 8              // x46 PQ codes per subspace
   private val FluentTopK = 1000    // x50 corpus top-bigram set size
   private val NumShards = 8        // x56 training-shard count
   private[queries] val Bm25K = 10  // x61 results per query (shared: x68 probes the streamed index)

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ext.{KMeans, Similarity, TextAnalysis}
 import graft.sources.Tables
-import graft.streaming.{StreamingBm25Ingest, StreamingDecontaminate, StreamingDedup, StreamingIndexIngest}
+import graft.streaming.{StreamingBm25Ingest, StreamingDecontaminate, StreamingDedup, StreamingIndexIngest, StreamingPqIngest}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -144,6 +144,57 @@ object StreamingQueries {
         .orderBy("vec_id")
     }),
 
+    // streaming IVF-PQ code ingest (StreamingPqIngest.attach): stats,
+    // codebooks and the synthetic coarse quantizer are frozen batch-side
+    // (trained on the full fixture corpus, exactly x59's artifacts);
+    // two micro-batches of raw vectors quantize/encode/assign against
+    // the frozen literals and append to the list-partitioned codes
+    // layout; the probe of the grown index must equal x59's in-memory
+    // IVF-PQ exactly, so the oracle IS x59's
+    "x73_stream_ivfpq_ingest" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val raw = Tables.embeddings(s, dir)
+      val stats = Similarity.quantizeStats(raw)
+      val qvecs = Similarity.quantizeMinMax(raw)
+        .groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("q")))),
+          x => x.getField("q").cast("double")).as("qvec"))
+        .persist() // PqM fits + query side (caller-release)
+      val books = Similarity.pqTrain(qvecs,
+        m = ExtensionQueries.PqM, k = ExtensionQueries.PqK,
+        iters = ExtensionQueries.KmIters, dim = ExtensionQueries.Dim)
+      val rows = raw.select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq
+      val split = splitPoint(rows.map(_._1))
+      val path = java.nio.file.Files.createTempDirectory("graft_x73_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x73_ck_").toString
+      val input = MemoryStream[(Long, Seq[Float])]
+      val writer = StreamingPqIngest.attach(
+        input.toDF().toDF("vec_id", "embedding"), path, stats, books,
+        dim = ExtensionQueries.Dim)
+        .option("checkpointLocation", ckpt)
+      def drain(batch: Seq[(Long, Seq[Float])]): Unit = {
+        input.addData(batch)
+        val q = writer.trigger(
+          org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination(120000) finally q.stop()
+      }
+      drain(rows.filter(_._1 <= split))
+      drain(rows.filter(_._1 > split))
+      val lists = raw.select(col("vec_id"),
+        Similarity.ivfList(col("embedding"), Similarity.IvfLists,
+          ExtensionQueries.Dim).as("list"))
+      val queries = qvecs.filter(col("vec_id") < 5).join(lists, "vec_id")
+      Similarity.probeIvfPqIndex(s, path, queries, books, k = 3,
+          dim = ExtensionQueries.Dim)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"),
+          // the partition column reads back as the inferred int type
+          col("adc"), col("list").cast("long").as("list"))
+        .orderBy("query_id", "rank")
+    }),
+
     // streaming BM25-postings ingest (StreamingBm25Ingest.attach): two
     // micro-batches of documents tokenized batch-locally and APPENDED to
     // the term-bucket postings layout + one stats row each; the probe of
@@ -244,5 +295,9 @@ object StreamingQueries {
 
     // the streamed postings index probed over the full query set must
     // equal batch BM25 over the whole corpus — x61's oracle verbatim
-    "x68_stream_bm25_ingest" -> ExtensionQueries.oracleSql("x61_bm25_topk"))
+    "x68_stream_bm25_ingest" -> ExtensionQueries.oracleSql("x61_bm25_topk"),
+
+    // the streamed IVF-PQ codes probed over x59's query set must equal
+    // the in-memory composed probe — x59's oracle verbatim
+    "x73_stream_ivfpq_ingest" -> ExtensionQueries.oracleSql("x59_ivfpq_topk"))
 }

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.ext.{KMeans, Similarity}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.{DataFrame, Row}
+
+/**
+ * Streaming IVF-PQ code ingest — completes the index lifecycle for the
+ * composed production ANN stack ([[graft.ext.Similarity.ivfPqTopK]]):
+ * each micro-batch of raw vectors is quantized against the FROZEN
+ * per-dim stats ([[graft.ext.Similarity.quantizeWithStats]] — global
+ * min-max cannot be recomputed per batch), PQ-encoded against the
+ * frozen codebooks (m·k centroid literals in the plan, no join),
+ * assigned its coarse list, and APPENDED to the `partitionBy("list")`
+ * codes layout that [[graft.ext.Similarity.probeIvfPqIndex]] scans
+ * list-pruned. Quantize/encode/assign are map-side (stats and
+ * codebooks ride as literals); the only in-batch shuffles are the id
+ * dedup and the codes↔list join, both bounded by the micro-batch.
+ *
+ * The batch/streaming split mirrors [[StreamingIndexIngest]]: stats,
+ * codebooks and the coarse quantizer are trained offline (drift
+ * retraining is a periodic batch job that writes a NEW generation —
+ * codes from different codebook generations must never mix, which is
+ * why the artifacts are parameters, not state); ingest only encodes.
+ * Duplicate ids within a batch resolve by min over the vector (pure
+ * function of batch contents); cross-batch re-arrivals are the
+ * upstream dedup's contract. Delivery: checkpointed batches never
+ * re-append; an in-batch failure replays that batch (at-least-once).
+ */
+object StreamingPqIngest {
+
+  /** Attach the ingest sink; caller starts the writer with its own
+    * checkpoint/trigger options. `lists`/`dim` parameterize the
+    * synthetic coarse quantizer ([[graft.ext.Similarity.ivfList]]);
+    * pass trained centroids via `coarse` to use the k-means path. */
+  def attach(
+      vectors: DataFrame,
+      path: String,
+      stats: Seq[(Double, Double)],
+      codebooks: Seq[Seq[KMeans.Centroid]],
+      dim: Int,
+      lists: Int = Similarity.IvfLists,
+      coarse: Option[Seq[KMeans.Centroid]] = None,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataStreamWriter[Row] =
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val dedup = batch.groupBy(col(idCol)).agg(min(col(vecCol)).as(vecCol))
+          val listed = coarse match {
+            case Some(cents) =>
+              KMeans.assign(dedup, cents, idCol, vecCol)
+                .withColumnRenamed("cluster", "list")
+            case None =>
+              dedup.withColumn("list", Similarity.ivfList(col(vecCol), lists, dim))
+          }
+          val qvecs = Similarity.quantizeWithStats(listed, stats, idCol, vecCol)
+          Similarity.pqEncode(qvecs, codebooks, dim, idCol, "qvec")
+            .select(col(idCol), col("codes"))
+            .join(listed.select(col(idCol), col("list")), Seq(idCol))
+            .write.partitionBy("list").mode("append").parquet(path)
+          ()
+        }
+      }
+}

@@ -109,6 +109,20 @@ class RetrievalSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("quantizeWithStats: frozen driver-side stats reproduce quantizeMinMax exactly") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val stats = Similarity.quantizeStats(emb)
+    val frozen = Similarity.quantizeWithStats(emb, stats)
+      .select("vec_id", "qvec").as[(Long, Seq[Double])].collect().toMap
+    val exploded = Similarity.quantizeMinMax(emb)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("q")))),
+        x => x.getField("q").cast("double")).as("qvec"))
+      .select("vec_id", "qvec").as[(Long, Seq[Double])].collect().toMap
+    assert(frozen === exploded,
+      "streaming-time quantization must equal the corpus-global codes")
+  }
+
   test("ivf index compaction: one file per list, identical probe results") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cents = KMeans.fit(emb, k = 8, iters = 1, vecCol = "embedding")
