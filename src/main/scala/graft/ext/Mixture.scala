@@ -56,6 +56,41 @@ object Mixture {
   }
 
   /**
+   * TOKEN-weighted uniform rebalancing — [[rebalanceUniform]] with the
+   * share measured in TOKENS, the unit an LLM mixture is actually
+   * defined over (a source of few huge documents is over-represented in
+   * training even when its DOC count is modest). Keep rule for source s
+   * with `t_s` tokens out of `T` total across `S` sources:
+   * keep iff `u · t_s · S < T · M` — each document keeps/drops whole
+   * (per-doc hash verdict), so the KEPT token mass per source lands at
+   * ≈ its uniform share in expectation while every decision stays a
+   * pure function of (doc id, source token sums).
+   *
+   * Same decimal(38,0) discipline and scale shape as the doc-count
+   * rule: one map-side pass, dimension-sized exact token sums broadcast
+   * back (u ≤ 10⁶, t_s ≤ ~10¹³ tokens at 100 TB, S ≤ 10³ —
+   * ~10²² ≪ 10³⁸).
+   */
+  def rebalanceUniformByTokens(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      sourceCol: String = "source",
+      tokenCol: String = "n_tokens"): DataFrame = {
+    val counts = docs.groupBy(sourceCol)
+      .agg(sum(col(tokenCol).cast("decimal(38,0)")).as("t_src"))
+    val totals = docs.agg(sum(col(tokenCol).cast("decimal(38,0)")).as("t_total"),
+      countDistinct(col(sourceCol)).as("n_sources"))
+    val u = pmod(graft.functions.HashExpressions.rolling_hash(
+      concat(col(idCol).cast("string"), lit(":mixt"))), lit(M))
+    docs
+      .join(broadcast(counts), sourceCol)
+      .crossJoin(broadcast(totals)) // 1-row totals scaffold
+      .select(col(idCol), col(sourceCol), col(tokenCol), u.as("mix_key"),
+        (u.cast("decimal(38,0)") * col("t_src") * col("n_sources") <
+          col("t_total") * lit(M)).as("kept"))
+  }
+
+  /**
    * Temperature-based source sampling at τ = 1/2 — the standard
    * multilingual/multi-domain mixing rule (sample source s with
    * probability ∝ n_s^τ, i.e. per-document keep rate ∝ n_s^(τ-1)):

@@ -1228,6 +1228,16 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // token-weighted uniform mixture: x51's keep rule with the source
+    // share measured in TOKENS (the unit an LLM mixture is defined
+    // over); exact decimal token sums broadcast back
+    "x74_mix_tokens" -> ((s, dir) =>
+      Mixture.rebalanceUniformByTokens(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("source"),
+              wsTokenCount(col("text")).as("n_tokens")))
+        .orderBy("doc_id")),
+
     // bigram-LM perplexity (CCNet-style quality filter): mean negative
     // log-prob of each doc's bigrams under the corpus-trained add-one
     // bigram model — (prefix, bigram) hash-pair keyed conditionals,
@@ -2242,6 +2252,26 @@ object ExtensionQueries {
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
          |  label_q, label_n, round(cosine, 6) AS cosine_r
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // x74: x51's decimal cross-multiplied verdict over exact token sums
+    "x74_mix_tokens" ->
+      s"""WITH t0 AS (SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT source, CAST(sum(n_tokens) AS DECIMAL(38,0)) AS t_src
+         |  FROM t0 GROUP BY source),
+         |t AS (SELECT CAST(sum(n_tokens) AS DECIMAL(38,0)) AS t_total,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         |  FROM t0),
+         |k AS (SELECT doc_id, source, n_tokens,
+         |    ${sqlStringHash("CAST(doc_id AS VARCHAR) || ':mixt'")} % ${Mixture.M}
+         |      AS mix_key
+         |  FROM t0)
+         |SELECT k.doc_id, k.source, k.n_tokens, k.mix_key,
+         |  CAST(k.mix_key AS DECIMAL(38,0)) * c.t_src * t.n_sources
+         |    < t.t_total * ${Mixture.M} AS kept
+         |FROM k JOIN c USING (source) CROSS JOIN t
+         |ORDER BY k.doc_id""".stripMargin,
 
     // x72: bigram conditionals keyed on the (prefix, bigram) hash pair;
     // per-bigram log-prob round→DECIMAL(19,9) before the exact per-doc

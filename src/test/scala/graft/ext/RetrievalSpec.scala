@@ -267,6 +267,24 @@ class RetrievalSpec extends SparkSpec {
     corpus.sparkSession.sharedState.cacheManager.clearCache()
   }
 
+  test("token-weighted mixture: balanced token mass keeps everything where doc-count would cut") {
+    // source a: 1 doc of 100 tokens; source b: 100 docs of 1 token —
+    // equal TOKEN mass (each at its fair share -> all kept), wildly
+    // unequal DOC counts (the doc-count rule thins b ~50x)
+    val docs = (Seq((0L, "a", 100L)) ++
+      (1L to 100L).map(i => (i, "b", 1L))).toDF("doc_id", "source", "n_tokens")
+    val byTokens = Mixture.rebalanceUniformByTokens(docs)
+      .select("doc_id", "kept").as[(Long, Boolean)].collect()
+    assert(byTokens.forall(_._2), "sources at their fair token share keep everything")
+    val textDocs = docs.select(col("doc_id"), col("source"),
+      concat_ws(" ", transform(sequence(lit(1), col("n_tokens")),
+        i => concat(lit("t"), i))).as("text"))
+    val byDocs = Mixture.rebalanceUniform(textDocs)
+      .select("doc_id", "kept").as[(Long, Boolean)].collect()
+    assert(byDocs.count(!_._2) > 30,
+      "the doc-count rule must thin the many-small-docs source")
+  }
+
   test("dsir select: monotone-in-weight keep with a single hash-thinned boundary tier") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("lang"), col("text"))

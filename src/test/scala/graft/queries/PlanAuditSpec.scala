@@ -444,6 +444,15 @@ class PlanAuditSpec extends SparkSpec {
       s"the prune rule is a join predicate — no global ranking window:\n$p")
   }
 
+  test("x74: token sums broadcast back; corpus never sort-merges") {
+    val p = planOf("x74_mix_tokens")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source token sums must broadcast back to the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus side must never sort-merge against a sum frame:\n$p")
+    assert(p.contains("partial_sum"), s"token sums must fold map-side:\n$p")
+  }
+
   test("x72: model aggs fold map-side; scoring joins stay keyed (no cartesian)") {
     val p = planOf("x72_bigram_nll")
     assert(p.contains("partial_count"),
