@@ -91,11 +91,14 @@ object Bench {
     // The driver's record keeps only the last 2000 chars of output — too
     // short for the full per-query map at 110+ queries. Persist the full
     // JSON as a repo artifact so per-query baselines never depend on
-    // scraping a truncated tail (PERF.md points here).
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // scraping a truncated tail (PERF.md points here). FULL-battery runs
+    // only — a SPARK_GRAFT_ONLY iteration run must not clobber the
+    // authoritative record.
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     println(json)
     spark.stop()
   }
