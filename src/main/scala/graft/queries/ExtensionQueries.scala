@@ -288,6 +288,31 @@ object ExtensionQueries {
          |  (sqrt(${sqlDot("embedding", "embedding")}) * sqrt(${sqlDot(sqlCentroid(c), sqlCentroid(c))}))""".stripMargin
     }.mkString("[", ",\n  ", "]")
 
+  /** x70/x75 shared oracle: BM25 fused with the IVF-PQ probe — x62's
+    * fusion frame with the dense arm swapped to the full
+    * quantize→train→encode→probe unroll (nested as a derived table so
+    * its CTE names scope independently of the BM25 chain's). x75 probes
+    * the WRITTEN indexes, which must reproduce this exactly. */
+  private lazy val sqlHybridRrfIvfPq: String =
+    s"""WITH $sqlBm25Ctes,
+       |bs AS (SELECT query_id, doc_id AS id, rank AS rank_sparse
+       |  FROM br WHERE rank <= $HybridK),
+       |bd AS (SELECT query_id, neighbor_id AS id, rank AS rank_dense FROM (
+       |    ${pqAdcOracleSql(withIvf = true, queryMax = 3, k = HybridK)
+              .replace("\n", "\n    ")}
+       |  )),
+       |f AS (SELECT coalesce(bs.query_id, bd.query_id) AS query_id,
+       |    coalesce(bs.id, bd.id) AS id, rank_sparse, rank_dense,
+       |    round(coalesce(1.0 / ($RrfC + rank_sparse), 0.0)
+       |        + coalesce(1.0 / ($RrfC + rank_dense), 0.0), 6) AS rrf_r
+       |  FROM bs FULL JOIN bd ON bs.query_id = bd.query_id AND bs.id = bd.id),
+       |fr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_r DESC, id) AS rank
+       |  FROM f)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       |  id, rrf_r, CAST(rank_sparse AS BIGINT) AS rank_sparse,
+       |  CAST(rank_dense AS BIGINT) AS rank_dense
+       |FROM fr WHERE rank <= $RrfK ORDER BY query_id, rank""".stripMargin
+
   /** x64/x71 shared DSIR CTE chain → `w(doc_id, n_grams, w_d)` —
     * positional-bigram hashes, add-1-smoothed bucket models, exact
     * decimal per-doc log-ratio sum. */
@@ -1277,6 +1302,40 @@ object ExtensionQueries {
       val codes = Similarity.pqEncode(qvecs, books, dim = Dim)
         .join(lists, "vec_id").select("vec_id", "codes", "list")
       val dense = Similarity.ivfPqTopK(codes,
+          qvecs.filter(col("vec_id") < 3).join(lists, "vec_id"), books,
+          k = HybridK, dim = Dim)
+        .select(col("query_id"), col("neighbor_id").as("id"),
+          col("rank").cast("long").as("rank"))
+      Retrieval.rrfFuse(sparse, dense, k = RrfK, c = RrfC)
+        .orderBy("query_id", "rank")
+    }),
+
+    // the fully-MATERIALIZED serving path: both fusion arms probe
+    // written indexes — BM25 from the term-bucket postings layout (x68's
+    // artifact), dense from the list-partitioned IVF-PQ codes (x73's) —
+    // and must reproduce x70's in-memory fusion exactly (same oracle):
+    // what a 100 TB deployment actually runs, index build amortized
+    // across query batches, probes pruned at both scans
+    "x75_hybrid_rrf_indexed" -> ((s, dir) => {
+      val q = s.createDataFrame(RetrievalQueryTerms).toDF("query_id", "term")
+      val bmPath = java.nio.file.Files.createTempDirectory("graft_x75_bm_").toString
+      Retrieval.writeBm25Index(Tables.documents(s, dir), bmPath)
+      val sparse = Retrieval.bm25TopKFromIndex(s, bmPath, q, k = HybridK)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val raw = Tables.embeddings(s, dir)
+      val lists = raw.select(col("vec_id"),
+        Similarity.ivfList(col("embedding"), Similarity.IvfLists, Dim).as("list"))
+      val qvecs = Similarity.quantizeMinMax(raw)
+        .groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("q")))),
+          x => x.getField("q").cast("double")).as("qvec"))
+        .persist() // PqM fits + encode + query side (caller-release)
+      val books = Similarity.pqTrain(qvecs, m = PqM, k = PqK, iters = KmIters, dim = Dim)
+      val pqPath = java.nio.file.Files.createTempDirectory("graft_x75_pq_").toString
+      Similarity.pqEncode(qvecs, books, dim = Dim)
+        .join(lists, "vec_id").select("vec_id", "codes", "list")
+        .write.partitionBy("list").mode("overwrite").parquet(pqPath)
+      val dense = Similarity.probeIvfPqIndex(s, pqPath,
           qvecs.filter(col("vec_id") < 3).join(lists, "vec_id"), books,
           k = HybridK, dim = Dim)
         .select(col("query_id"), col("neighbor_id").as("id"),
@@ -2307,25 +2366,11 @@ object ExtensionQueries {
     // oracle (the full quantize→train→encode→probe unroll, nested as a
     // derived table so its CTE names scope independently of the BM25
     // chain's)
-    "x70_hybrid_rrf_ivfpq" ->
-      s"""WITH $sqlBm25Ctes,
-         |bs AS (SELECT query_id, doc_id AS id, rank AS rank_sparse
-         |  FROM br WHERE rank <= $HybridK),
-         |bd AS (SELECT query_id, neighbor_id AS id, rank AS rank_dense FROM (
-         |    ${pqAdcOracleSql(withIvf = true, queryMax = 3, k = HybridK)
-                .replace("\n", "\n    ")}
-         |  )),
-         |f AS (SELECT coalesce(bs.query_id, bd.query_id) AS query_id,
-         |    coalesce(bs.id, bd.id) AS id, rank_sparse, rank_dense,
-         |    round(coalesce(1.0 / ($RrfC + rank_sparse), 0.0)
-         |        + coalesce(1.0 / ($RrfC + rank_dense), 0.0), 6) AS rrf_r
-         |  FROM bs FULL JOIN bd ON bs.query_id = bd.query_id AND bs.id = bd.id),
-         |fr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_r DESC, id) AS rank
-         |  FROM f)
-         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
-         |  id, rrf_r, CAST(rank_sparse AS BIGINT) AS rank_sparse,
-         |  CAST(rank_dense AS BIGINT) AS rank_dense
-         |FROM fr WHERE rank <= $RrfK ORDER BY query_id, rank""".stripMargin,
+    "x70_hybrid_rrf_ivfpq" -> sqlHybridRrfIvfPq,
+
+    // x75: probing the written indexes must reproduce the in-memory
+    // fusion exactly — x70's oracle verbatim
+    "x75_hybrid_rrf_indexed" -> sqlHybridRrfIvfPq,
 
     // x69: x34's quantize + unrolled-Lloyd CTEs (trained assignment),
     // then x63's prune rule with centroid-cosine against the TRAINED
