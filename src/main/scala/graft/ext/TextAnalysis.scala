@@ -267,6 +267,110 @@ object TextAnalysis {
         IpRe, "[IP]"),
       PhoneRe, "[PHONE]")
 
+  /**
+   * Gopher-style n-gram repetition signals (Rae et al. 2021, "Scaling
+   * Language Models: Methods, Analysis & Insights from Training Gopher",
+   * Table A1): per document,
+   *   - `top2_frac` / `top3_frac` — fraction of the document's characters
+   *     covered by ALL occurrences of its single most frequent 2-gram /
+   *     3-gram (threshold flags at the paper's 0.20 / 0.18), and
+   *   - `dup5_frac` — fraction of characters in 5-grams that occur at
+   *     least twice within the document (flag at the paper's 0.15).
+   * `gopher_keep` is the composite verdict (no flag fired). The paper's
+   * line-based rules are inapplicable to single-line documents; these
+   * n-gram rules are the family that survives, and they subsume the
+   * "repetition soup" failure mode x28's distinct/total ratio only
+   * bounds loosely.
+   *
+   * Character mass of a gram = (token chars + inner spaces) × occurrence
+   * count, over the whitespace-normalized text; fractions can exceed 1
+   * for overlapping repeats (both engines share the definition, so the
+   * comparison stays exact). Flags are INTEGER cross-multiplications
+   * (`mass·100 > n_chars·20`) — no float threshold drift; the reported
+   * fraction is one deterministic division, display-only.
+   *
+   * Scale shape: ONE scan of the corpus text (the exploded position
+   * frame is persisted; doc char totals are re-derived from it as
+   * `Σ len + n_tok − 1` rather than re-scanning), one doc-partitioned
+   * window pass (cumulative char offsets + `lead`s yield every gram
+   * hash AND its exact char length with no self-join — gram hash at
+   * position i is the inline polynomial combine of `lead(th, ·)`), then
+   * per-(doc, gram) counts with partial aggregation and a rank-1 cut
+   * the optimizer pushes below the exchange (WindowGroupLimit,
+   * guard-asserted). Windows partition by doc_id — bounded by document
+   * length, never corpus-sized.
+   *
+   * @return (idCol, n_chars, top2_mass, top2_frac_r, flag_top2,
+   *         top3_mass, top3_frac_r, flag_top3, dup5_mass, dup5_frac_r,
+   *         flag_dup5, gopher_keep)
+   */
+  def gopherRepetition(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cm = Dedup.CombineMult
+    val pos = docs.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("i", "w")))
+      .select(col(idCol), col("i"),
+        length(col("w")).cast("long").as("cl"), rollingHash(col("w")).as("th"))
+    val wl = Window.partitionBy(idCol).orderBy("i")
+    val cum = wl.rowsBetween(Window.unboundedPreceding, 0)
+    // cc = chars of tokens 0..i; gram(a, n) char length = cc(a+n−1) −
+    // (cc(a) − cl(a)) + (n−1): the prefix-sum identity that replaces a
+    // per-gram string build (interpreted HOF lambdas — PERF.md lesson 1)
+    val g = pos.withColumn("cc", sum(col("cl")).over(cum))
+      .select(col(idCol) +: col("cl") +: col("th") +: col("cc") +:
+        ((1 to 4).map(j => lead(col("th"), j).over(wl).as(s"th$j")) ++
+          Seq(1, 2, 4).map(j => lead(col("cc"), j).over(wl).as(s"cc$j"))): _*)
+      .persist()
+    def chain(hs: Column*): Column =
+      hs.reduce((a, b) => (a * cm + b) % HashMod)
+    def gramCounts(n: Int, h: Column, ccEnd: Column): DataFrame =
+      g.filter(col(s"th${n - 1}").isNotNull)
+        .select(col(idCol), h.as("h"),
+          (ccEnd - col("cc") + col("cl") + (n - 1)).as("l"))
+        .groupBy(col(idCol), col("h"))
+        .agg(count(lit(1)).as("c"), min(col("l")).as("l"))
+    def topMass(cnts: DataFrame, out: String): DataFrame = {
+      val ord = Window.partitionBy(idCol)
+        .orderBy(col("c").desc, (col("c") * col("l")).desc, col("h"))
+      cnts.withColumn("rn", row_number().over(ord))
+        .filter(col("rn") === 1)
+        .select(col(idCol), (col("c") * col("l")).as(out))
+    }
+    val top2 = topMass(gramCounts(2, chain(col("th"), col("th1")), col("cc1")),
+      "top2_mass")
+    val top3 = topMass(
+      gramCounts(3, chain(col("th"), col("th1"), col("th2")), col("cc2")),
+      "top3_mass")
+    val dup5 = gramCounts(5,
+        chain(col("th"), col("th1"), col("th2"), col("th3"), col("th4")),
+        col("cc4"))
+      .filter(col("c") >= 2)
+      .groupBy(idCol).agg(sum(col("c") * col("l")).as("dup5_mass"))
+    val base = g.groupBy(idCol)
+      .agg((sum(col("cl")) + count(lit(1)) - 1).as("n_chars"))
+    def frac(mass: Column, nChars: Column): Column =
+      round(mass.cast("double") / greatest(nChars, lit(1L)), 6)
+    base.join(top2, Seq(idCol), "left")
+      .join(top3, Seq(idCol), "left")
+      .join(dup5, Seq(idCol), "left")
+      .select(col(idCol), col("n_chars"),
+        coalesce(col("top2_mass"), lit(0L)).as("top2_mass"),
+        coalesce(col("top3_mass"), lit(0L)).as("top3_mass"),
+        coalesce(col("dup5_mass"), lit(0L)).as("dup5_mass"))
+      .select(col(idCol), col("n_chars"),
+        col("top2_mass"), frac(col("top2_mass"), col("n_chars")).as("top2_frac_r"),
+        (col("top2_mass") * 100 > col("n_chars") * 20).as("flag_top2"),
+        col("top3_mass"), frac(col("top3_mass"), col("n_chars")).as("top3_frac_r"),
+        (col("top3_mass") * 100 > col("n_chars") * 18).as("flag_top3"),
+        col("dup5_mass"), frac(col("dup5_mass"), col("n_chars")).as("dup5_frac_r"),
+        (col("dup5_mass") * 100 > col("n_chars") * 15).as("flag_dup5"))
+      .withColumn("gopher_keep",
+        !(col("flag_top2") || col("flag_top3") || col("flag_dup5")))
+  }
+
   /** All single-character-deletion variants of a token, plus the token
     * itself — the SymSpell neighborhood key set: two strings are within
     * edit distance 1 iff they share a variant (equality covers match,

@@ -1271,6 +1271,15 @@ object ExtensionQueries {
       TextAnalysis.bigramNll(Tables.documents(s, dir))
         .orderBy("doc_id")),
 
+    // Gopher repetition rules (Rae et al. 2021 Table A1, the n-gram
+    // family): top-2/3-gram char fraction + duplicated-5-gram char
+    // fraction, integer cross-multiplied threshold flags (0.20/0.18/0.15)
+    // and the composite keep verdict — one text scan, one doc-bounded
+    // window pass, rank-1 cut under WindowGroupLimit
+    "x76_gopher_rep" -> ((s, dir) =>
+      TextAnalysis.gopherRepetition(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
     // DSIR end-to-end: importance weights (x64) → keep the top ~1/4 by
     // weight — whole tiers under the rational cut keep everything, the
     // boundary tier thins by the deterministic doc-id hash (x51's u-rule)
@@ -2361,6 +2370,59 @@ object ExtensionQueries {
          |  coalesce(round(-CAST(sp AS DOUBLE) / n_bigrams, 6), 0.0) AS nll_r
          |FROM documents d LEFT JOIN sc USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // x76: gram char mass from list slices (token lens + inner spaces),
+    // per-(doc, gram) counts with min-length collision rule, rank-1 by
+    // (count, mass, hash) for the top gram, Σ mass where count ≥ 2 for
+    // the dup-5 rule — flags by the same integer cross-multiplication
+    "x76_gopher_rep" -> {
+      def gramCte(n: Int, g: String, c: String): String = {
+        val h = (1 to n).map(j => s"th[i+$j]")
+          .reduce((a, b) => s"($a * $C + $b) % $Mod")
+        val l = (1 to n).map(j => s"len(w[i+$j])").mkString(" + ") +
+          s" + ${n - 1}"
+        s"""$g AS (SELECT doc_id,
+           |    unnest(list_transform(range(0, CASE WHEN len(th) < $n THEN 0
+           |                                       ELSE len(th) - ${n - 1} END),
+           |      i -> struct_pack(h := $h, l := CAST($l AS BIGINT)))) AS s
+           |  FROM toh),
+           |$c AS (SELECT doc_id, s.h AS h, CAST(count(*) AS BIGINT) AS c,
+           |    min(s.l) AS l FROM $g GROUP BY doc_id, s.h)""".stripMargin
+      }
+      def topCte(c: String, t: String): String =
+        s"""$t AS (SELECT doc_id, c * l AS mass FROM $c
+           |  QUALIFY row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY c DESC, c * l DESC, h) = 1)""".stripMargin
+      s"""WITH norm AS (SELECT doc_id, $sqlNorm AS t FROM documents),
+         |tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+         |toh AS (SELECT doc_id, w, list_transform(w, s -> ${sqlStringHash("s")}) AS th FROM tok),
+         |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_chars FROM norm),
+         |${gramCte(2, "g2", "c2")},
+         |${topCte("c2", "t2")},
+         |${gramCte(3, "g3", "c3")},
+         |${topCte("c3", "t3")},
+         |${gramCte(5, "g5", "c5")},
+         |d5 AS (SELECT doc_id, CAST(sum(c * l) AS BIGINT) AS mass
+         |  FROM c5 WHERE c >= 2 GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_chars,
+         |  COALESCE(t2.mass, 0) AS top2_mass,
+         |  round(CAST(COALESCE(t2.mass, 0) AS DOUBLE) / greatest(b.n_chars, 1), 6) AS top2_frac_r,
+         |  COALESCE(t2.mass, 0) * 100 > b.n_chars * 20 AS flag_top2,
+         |  COALESCE(t3.mass, 0) AS top3_mass,
+         |  round(CAST(COALESCE(t3.mass, 0) AS DOUBLE) / greatest(b.n_chars, 1), 6) AS top3_frac_r,
+         |  COALESCE(t3.mass, 0) * 100 > b.n_chars * 18 AS flag_top3,
+         |  COALESCE(d5.mass, 0) AS dup5_mass,
+         |  round(CAST(COALESCE(d5.mass, 0) AS DOUBLE) / greatest(b.n_chars, 1), 6) AS dup5_frac_r,
+         |  COALESCE(d5.mass, 0) * 100 > b.n_chars * 15 AS flag_dup5,
+         |  NOT (COALESCE(t2.mass, 0) * 100 > b.n_chars * 20
+         |    OR COALESCE(t3.mass, 0) * 100 > b.n_chars * 18
+         |    OR COALESCE(d5.mass, 0) * 100 > b.n_chars * 15) AS gopher_keep
+         |FROM base b
+         |LEFT JOIN t2 USING (doc_id)
+         |LEFT JOIN t3 USING (doc_id)
+         |LEFT JOIN d5 USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin
+    },
 
     // x70: x62's fusion frame with the dense arm swapped to the IVF-PQ
     // oracle (the full quantize→train→encode→probe unroll, nested as a

@@ -231,6 +231,27 @@ class ExtSpec extends SparkSpec {
     assert(got(99L)._2 === 5L && got(99L)._3 === 0.0)
   }
 
+  test("gopherRepetition: repetition soup flags, diverse text keeps, dup-5-gram mass exact") {
+    // A: "aa bb aa bb aa" — top 2-gram ("aa bb" ×2, 5 chars) mass 10 of 14
+    //    chars; top 3-gram ("aa bb aa" ×2, 8 chars) mass 16 (>1 — the
+    //    documented overlap semantics); no repeated 5-gram.
+    // B: 30 distinct tokens — nothing repeats, all rules keep.
+    // C: "a b c d e" ×3 + x — the 5-gram repeats 3× (9 chars → 27) and
+    //    each of its 4 rotations repeats 2× (9 chars → 18): mass 99.
+    val d = Seq(
+      (0L, "aa bb aa bb aa"),
+      (1L, (1 to 30).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c d e a b c d e a b c d e x")).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRepetition(d)
+      .select("doc_id", "n_chars", "top2_mass", "top3_mass", "dup5_mass",
+        "flag_top2", "flag_top3", "flag_dup5", "gopher_keep")
+      .as[(Long, Long, Long, Long, Long, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(0L) === ((0L, 14L, 10L, 16L, 0L, true, true, false, false)))
+    assert(got(1L)._2 === 110L && got(1L)._3 === 7L && got(1L)._9 === true)
+    assert(got(2L)._5 === 99L && got(2L)._8 === true)
+  }
+
   test("langId routes English and Spanish correctly") {
     val out = docs.select(col("doc_id"), TextAnalysis.langId(col("text")))
       .as[(Long, String)].collect().toMap

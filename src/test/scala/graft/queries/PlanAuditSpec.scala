@@ -491,6 +491,17 @@ class PlanAuditSpec extends SparkSpec {
       s"rank<=k must cut below the exchange:\n$p")
   }
 
+  test("x76: one persisted gram pass; rank-1 cut below the exchange; counts fold map-side") {
+    val p = planOf("x76_gopher_rep")
+    assert(p.contains("WindowGroupLimit"),
+      s"the top-gram rank-1 cut must push below the exchange:\n$p")
+    assert(p.contains("partial_count"),
+      s"per-(doc, gram) counts must map-side combine:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the windowed position frame must be persisted (four consumers):\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+  }
+
   test("x66: anchors broadcast against the corpus; top-k limits before the shuffle") {
     val p = planOf("x66_hard_negatives")
     assert(p.contains("BroadcastNestedLoopJoin"),
