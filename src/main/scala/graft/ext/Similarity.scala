@@ -58,6 +58,54 @@ object Similarity {
   }
 
   /**
+   * Matryoshka truncated-dimension rerank cascade (Kusupati et al. 2022,
+   * "Matryoshka Representation Learning"): stage 1 scores every
+   * candidate by cosine over only the FIRST `dPrime` dimensions (the MRL
+   * prefix subvector — at dPrime = dim/4 that is 4× fewer FLOPs and 4×
+   * less memory bandwidth per pair than the full-dimension scan) and
+   * keeps the top `k·expand` per query; stage 2 reranks only those
+   * survivors with the exact full-dimension cosine and returns the top
+   * k. Recall < 1 is possible only when a true neighbor's truncated
+   * cosine falls outside the stage-1 expansion — the trade MRL vectors
+   * are trained to make safe.
+   *
+   * Scale shape: one corpus scan; the stage-1 rank cut pushes below the
+   * exchange (WindowGroupLimit partial mode, guard-asserted), so the
+   * shuffle carries k·expand rows per query, not the corpus; stage 2
+   * reuses the same query_id partitioning (no second exchange) and
+   * touches Q·k·expand vectors total. Both cosines are the fixed-order
+   * [[graft.functions.VectorFunctions.vec_cosine]] fold — deterministic
+   * doubles the oracle reproduces exactly.
+   *
+   * @return (query_id, rank, neighbor_id, cosine, t_cosine)
+   */
+  def truncatedRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dPrime: Int = 16,
+      expand: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+      slice(col(vecCol), 1, dPrime).as("query_t"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"),
+      slice(col(vecCol), 1, dPrime).as("neighbor_t"))
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("t_cosine").desc, col("neighbor_id"))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("t_cosine", vec_cosine(col("query_t"), col("neighbor_t")))
+      .withColumn("t_rank", row_number().over(w1))
+      .filter(col("t_rank") <= k * expand)
+      .withColumn("cosine", vec_cosine(col("query_vec"), col("neighbor_vec")))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine", "t_cosine")
+  }
+
+  /**
    * Hard-negative mining for contrastive/embedding-model training: for
    * each anchor, the k nearest corpus vectors with a DIFFERENT label —
    * the near-misses a triplet/InfoNCE loss learns the most from.

@@ -52,6 +52,8 @@ object ExtensionQueries {
   private val RrfK = 10            // x62 fused results per query
   private val RrfC = 60            // x62 RRF constant (Cormack et al.'s 60)
   private val SemDedupMaxCell = 10000 // x63 pairwise-cell size guard
+  private[queries] val TruncDim = 16  // x77 MRL stage-1 prefix dims
+  private val TruncExpand = 4         // x77 stage-1 candidate expansion (k·4)
   /** x69 near-dup threshold in QUANTIZED space: min-max codes are all
     * non-negative, so random-pair cosines sit ≈0.90 (99.9th pct ≈0.94 on
     * the fixture) — 0.93 isolates the true near-duplicate tail. */
@@ -531,6 +533,20 @@ object ExtensionQueries {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), round(col("cosine"), 6).as("cosine_r"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Matryoshka truncated-dim rerank cascade: stage 1 scores the FIRST
+    // 16 of 64 dims (4× fewer FLOPs/pair) and keeps top k·4 per query
+    // under a WindowGroupLimit cut; stage 2 reranks survivors with the
+    // exact full-dim cosine — the MRL serving pattern
+    "x77_truncated_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.truncatedRerank(emb, emb.filter(col("vec_id") < 5), k = 3,
+          dPrime = TruncDim, expand = TruncExpand)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cosine"), 6).as("cosine_r"),
+          round(col("t_cosine"), 6).as("t_cosine_r"))
         .orderBy("query_id", "rank")
     }),
 
@@ -1477,6 +1493,34 @@ object ExtensionQueries {
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
          |       round(cosine, 6) AS cosine_r
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // x77: x10's cosine fold twice — once over list_slice(·, 1, 16)
+    // (the MRL prefix), once full-dim — with the two QUALIFY stages
+    // replaying the engine's cascade (top k·4 by truncated, top k by
+    // exact among survivors; both tiebreak on neighbor_id)
+    "x77_truncated_rerank" -> {
+      def dotN(a: String, b: String, n: Int) =
+        s"""list_reduce(list_transform(range(1, ${n + 1}),
+           |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+      def cosN(a: String, b: String, n: Int) =
+        s"""${dotN(a, b, n)} /
+           |  (sqrt(${dotN(a, a, n)}) * sqrt(${dotN(b, b, n)}))""".stripMargin
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+         |s1 AS (SELECT query_id, neighbor_id, qv, nv,
+         |    ${cosN("qv", "nv", TruncDim)} AS t_cosine
+         |  FROM q, c WHERE query_id <> neighbor_id
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY t_cosine DESC, neighbor_id) <= 12),
+         |s2 AS (SELECT query_id, neighbor_id, t_cosine,
+         |    ${cosN("qv", "nv", Dim)} AS cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ${cosN("qv", "nv", Dim)} DESC, neighbor_id) AS rank
+         |  FROM s1)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+         |  round(cosine, 6) AS cosine_r, round(t_cosine, 6) AS t_cosine_r
+         |FROM s2 WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
 
     "x11_lsh_buckets" ->
       s"""SELECT vec_id, CAST(${sqlBucket("embedding")} AS BIGINT) AS bucket

@@ -319,6 +319,21 @@ class ExtSpec extends SparkSpec {
     assert(!out.exists(r => r._1 == r._3))
   }
 
+  test("truncatedRerank with corpus-wide expansion equals exact brute force") {
+    // the nprobe=lists ≡ exact pattern: when stage 1 keeps every
+    // candidate, stage 2 IS bruteForceTopK — pins the cascade's rerank
+    // against the exact operator
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(64)(d => (((i * 13 + d * 7) % 101).toFloat - 50f) / 50f))
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 4)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val casc = Similarity.truncatedRerank(emb, q, k = 4, dPrime = 16, expand = 10)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(casc === exact)
+  }
+
   test("lsh buckets agree between corpus partitionings") {
     val emb = (0L until 50L).map { i =>
       (i, Array.tabulate(64)(d => (((i * 31 + d * 17) % 101).toFloat - 50f) / 50f))

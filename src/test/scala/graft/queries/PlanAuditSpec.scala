@@ -502,6 +502,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
   }
 
+  test("x77: truncated cosine once per pair; stage-1 cut below the exchange; one shuffle for both stages") {
+    val p = planOf("x77_truncated_rerank")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"the stage-1 k·expand cut must push below the exchange:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning(query_id")) === 1,
+      s"stage 2 must reuse stage 1's query_id partitioning (one exchange):\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("x66: anchors broadcast against the corpus; top-k limits before the shuffle") {
     val p = planOf("x66_hard_negatives")
     assert(p.contains("BroadcastNestedLoopJoin"),
