@@ -91,6 +91,62 @@ object Mixture {
   }
 
   /**
+   * Token-budget epoch planner — the data-budgeting step of a
+   * data-constrained training run (Muennighoff et al. 2023, "Scaling
+   * Data-Constrained Language Models": when a source's unique tokens
+   * fall short of its mixture share, the shortfall is served by
+   * REPEATING the source for multiple epochs). For a global token
+   * budget `B` and the uniform target mixture (each of the S sources
+   * owes `floor(B/S)` tokens — x51's policy in token units), emits one
+   * row per source:
+   *   - `avail_tokens` — the source's unique token mass,
+   *   - `target_tokens` — its budget share,
+   *   - `epochs` — `ceil(target/avail)`: full passes over the source
+   *     needed to serve the share (1 = no repetition),
+   *   - `deficit_tokens` — `max(0, target − avail)`: the repeated mass,
+   *   - `is_repeated` and the display-only `unique_frac_r`
+   *     (`min(avail, target)/target`).
+   *
+   * All planning math is INTEGER (long) arithmetic — `ceil` as
+   * `(t + a − 1) div a`, shortfalls as differences, no float shares —
+   * so the plan is bit-stable across engines and reruns. Long bounds:
+   * a 100 T-token corpus is ~10¹⁴, budget likewise; `t + a` stays ≪
+   * 2⁶³. The output is dimension-sized (one row per source): a single
+   * partially-aggregated pass over the corpus plus a 1-row totals
+   * scaffold — zero corpus-sized shuffles.
+   *
+   * @return (sourceCol, n_docs, avail_tokens, target_tokens, epochs,
+   *         deficit_tokens, is_repeated, unique_frac_r)
+   */
+  def epochPlan(
+      docs: DataFrame,
+      budget: Long,
+      sourceCol: String = "source",
+      tokenCol: String = "n_tokens"): DataFrame = {
+    val counts = docs.groupBy(sourceCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).cast("long").as("avail_tokens"))
+    val totals = docs.agg(countDistinct(col(sourceCol)).as("n_sources"))
+    // `div` (integral division), not `/` (double division): at 10¹⁴-token
+    // budgets the double quotient rounds, and floor-of-rounded can differ
+    // from the oracle's integer floor by 1; greatest(·, 1) guards the
+    // 0-token source
+    val target = expr(s"CAST($budget AS BIGINT) div n_sources")
+    counts.crossJoin(broadcast(totals)) // 1-row totals scaffold
+      .select(col(sourceCol), col("n_docs"), col("avail_tokens"),
+        target.as("target_tokens"))
+      .select(col(sourceCol), col("n_docs"), col("avail_tokens"),
+        col("target_tokens"),
+        expr("(target_tokens + greatest(avail_tokens, 1) - 1) div greatest(avail_tokens, 1)")
+          .cast("long").as("epochs"),
+        greatest(col("target_tokens") - col("avail_tokens"), lit(0L))
+          .as("deficit_tokens"),
+        (col("avail_tokens") < col("target_tokens")).as("is_repeated"),
+        round(least(col("avail_tokens"), col("target_tokens")).cast("double") /
+          greatest(col("target_tokens"), lit(1L)), 6).as("unique_frac_r"))
+  }
+
+  /**
    * Temperature-based source sampling at τ = 1/2 — the standard
    * multilingual/multi-domain mixing rule (sample source s with
    * probability ∝ n_s^τ, i.e. per-document keep rate ∝ n_s^(τ-1)):

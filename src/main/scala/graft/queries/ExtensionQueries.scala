@@ -68,6 +68,7 @@ object ExtensionQueries {
     (1L, "window"), (1L, "filter"), (1L, "sort"),
     (2L, "stream"), (2L, "hash"), (2L, "merge"))
   private val TempR = 3L           // x57 τ=1/2 sampling scale (rate = R/√n_src)
+  private val EpochBudget = 100000L // x78 global token budget to plan against
   private val TokenBudget = 12000L // x58 global token budget
 
   /** Whitespace token count — ONE definition shared by the packing
@@ -1279,6 +1280,19 @@ object ExtensionQueries {
               wsTokenCount(col("text")).as("n_tokens")))
         .orderBy("doc_id")),
 
+    // token-budget epoch planner (Muennighoff et al. 2023 data
+    // budgeting): per source, unique tokens vs uniform budget share →
+    // epochs = ceil(target/avail), deficit, repetition verdict — all
+    // integer `div`/difference math, one partial-agg pass + 1-row
+    // scaffold, dimension-sized output
+    "x78_epoch_plan" -> ((s, dir) =>
+      Mixture.epochPlan(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("source"),
+              wsTokenCount(col("text")).as("n_tokens")),
+          budget = EpochBudget)
+        .orderBy("source")),
+
     // bigram-LM perplexity (CCNet-style quality filter): mean negative
     // log-prob of each doc's bigrams under the corpus-trained add-one
     // bigram model — (prefix, bigram) hash-pair keyed conditionals,
@@ -2384,6 +2398,29 @@ object ExtensionQueries {
          |    < t.t_total * ${Mixture.M} AS kept
          |FROM k JOIN c USING (source) CROSS JOIN t
          |ORDER BY k.doc_id""".stripMargin,
+
+    // x78: the planning identities in integer SQL — target = budget //
+    // n_sources, epochs = (target + avail − 1) // avail, deficit as a
+    // greatest() difference; unique_frac one deterministic division
+    "x78_epoch_plan" ->
+      s"""WITH t0 AS (SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
+         |  FROM t0 GROUP BY source),
+         |t AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM t0),
+         |p AS (SELECT source, n_docs, avail_tokens,
+         |    $EpochBudget // n_sources AS target_tokens
+         |  FROM c CROSS JOIN t)
+         |SELECT source, n_docs, avail_tokens, target_tokens,
+         |  (target_tokens + greatest(avail_tokens, 1) - 1) // greatest(avail_tokens, 1)
+         |    AS epochs,
+         |  greatest(target_tokens - avail_tokens, 0) AS deficit_tokens,
+         |  avail_tokens < target_tokens AS is_repeated,
+         |  round(CAST(least(avail_tokens, target_tokens) AS DOUBLE)
+         |    / greatest(target_tokens, 1), 6) AS unique_frac_r
+         |FROM p ORDER BY source""".stripMargin,
 
     // x72: bigram conditionals keyed on the (prefix, bigram) hash pair;
     // per-bigram log-prob round→DECIMAL(19,9) before the exact per-doc

@@ -319,6 +319,22 @@ class ExtSpec extends SparkSpec {
     assert(!out.exists(r => r._1 == r._3))
   }
 
+  test("epochPlan: integer ceil/deficit identities on a hand-built mixture") {
+    // budget 90, 3 sources → target 30 each; a:50 tokens (1 epoch, no
+    // deficit), b:10 (3 epochs, deficit 20), c:7 (ceil(30/7)=5, deficit 23)
+    val d = Seq(
+      (0L, "a", 50L), (1L, "b", 4L), (2L, "b", 6L), (3L, "c", 7L)
+    ).toDF("doc_id", "source", "n_tokens")
+    val got = Mixture.epochPlan(d, budget = 90L)
+      .select("source", "n_docs", "avail_tokens", "target_tokens", "epochs",
+        "deficit_tokens", "is_repeated")
+      .as[(String, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("a") === (("a", 1L, 50L, 30L, 1L, 0L, false)))
+    assert(got("b") === (("b", 2L, 10L, 30L, 3L, 20L, true)))
+    assert(got("c") === (("c", 1L, 7L, 30L, 5L, 23L, true)))
+  }
+
   test("truncatedRerank with corpus-wide expansion equals exact brute force") {
     // the nprobe=lists ≡ exact pattern: when stage 1 keeps every
     // candidate, stage 2 IS bruteForceTopK — pins the cascade's rerank
