@@ -1,0 +1,138 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/**
+ * Distributed byte-pair-encoding merge training (Sennrich et al. 2016,
+ * "Neural Machine Translation of Rare Words with Subword Units") — the
+ * tokenizer-induction step of a training-data pipeline, run over the
+ * word-frequency dictionary exactly as the original algorithm specifies:
+ *
+ *  1. VOCAB: one corpus-wide `(word, count)` aggregation — the only
+ *     corpus-sized shuffle; everything after runs over the dictionary,
+ *     whose size is independent of corpus size (~10⁷ rows at 100 TB).
+ *  2. Each word starts as its character-symbol sequence. Per merge
+ *     round: adjacent-pair counts weighted by word count (partial-agg
+ *     shuffle bounded by distinct pairs), the argmax pair via
+ *     TakeOrdered-1 (a 1-row control-plane collect, the
+ *     [[KMeans]] iteration pattern), then a map-side left-to-right
+ *     non-overlapping merge of that pair in every word.
+ *
+ * Determinism contract: pair totals are exact integer sums; the argmax
+ * tie-breaks on (count DESC, left ASC, right ASC); the merge fold is a
+ * sequential left fold both engines replay symbol-for-symbol — so the
+ * learned merge table is a pure function of the corpus.
+ *
+ * Scale notes: per-round cost is O(Σ|word| over vocab) map work + one
+ * pair-count shuffle — corpus-size-independent. Production tokenizers
+ * train 30k–100k merges; one Spark job per merge is the honest
+ * per-round dependency structure (merge m+1's counts depend on merge
+ * m), and at vocab scale each round is sub-second; the standard
+ * batching trick (apply the top-B pairwise-non-interfering pairs per
+ * round) drops round count ~B× at identical results and composes with
+ * this layout, but changes the artifact when pairs interfere, so the
+ * reference algorithm is what ships. The per-round merge fold is an
+ * interpreted higher-order `aggregate` — acceptable off the corpus hot
+ * path (dictionary-sized input, PERF.md lesson 1 applies to corpus
+ * scans).
+ */
+object Bpe {
+
+  /** `(word, n)` dictionary of the normalized corpus — the one
+    * corpus-sized aggregation. Empty words dropped (an empty document's
+    * sole token). */
+  def wordVocab(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Left-to-right non-overlapping merge of the symbol pair (a, b) in a
+    * symbol-array column: the Sennrich merge step as a sequential left
+    * fold. `get(acc, size−1)` (null-safe, never ANSI-throws on the empty
+    * accumulator) reads the last emitted symbol. */
+  def mergePair(sym: Column, a: String, b: String): Column =
+    aggregate(sym, array().cast("array<string>"),
+      (acc, x) =>
+        when(get(acc, size(acc) - 1) === lit(a) && (x === lit(b)),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** One learned merge: rank (1-based), the pair, its weighted count at
+    * the time it was chosen. */
+  final case class Merge(rank: Int, left: String, right: String, pairCount: Long)
+
+  /** Adjacent symbol pairs of each word, weighted by word count →
+    * (l, r, t) totals. */
+  private[ext] def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.filter(size(col("sym")) >= 2)
+      .select(col("n"), explode(transform(
+        sequence(lit(0), size(col("sym")) - 2),
+        i => struct(element_at(col("sym"), i + 1).as("l"),
+          element_at(col("sym"), i + 2).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("n")).as("t"))
+
+  /**
+   * Train `numMerges` BPE merges over the corpus. Stops early if the
+   * dictionary runs out of adjacent pairs (every word fused). Each round
+   * persists the merged dictionary and releases the previous one —
+   * lineage stays one fold deep regardless of round count.
+   */
+  def trainMerges(
+      docs: DataFrame,
+      numMerges: Int,
+      textCol: String = "text"): Seq[Merge] = {
+    var vocab = wordVocab(docs, textCol)
+      .select(col("word"), col("n"), split(col("word"), "").as("sym"))
+      .persist()
+    val merges = Seq.newBuilder[Merge]
+    var done = false
+    var rank = 1
+    while (rank <= numMerges && !done) {
+      val best = pairCounts(vocab)
+        .orderBy(col("t").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r, t) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Merge(rank, l, r, t)
+        val next = vocab
+          .select(col("word"), col("n"), mergePair(col("sym"), l, r).as("sym"))
+          .persist()
+        next.count() // materialize before releasing the parent
+        vocab.unpersist()
+        vocab = next
+        rank += 1
+      }
+    }
+    vocab.unpersist()
+    merges.result()
+  }
+
+  /** The learned merge table as a DataFrame — the tokenizer artifact
+    * (rank, lhs, rhs, pair_count); `lhs`/`rhs`, not `left`/`right`,
+    * which are reserved in most SQL dialects. */
+  def merges(spark: SparkSession, ms: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    ms.toDF("rank", "lhs", "rhs", "pair_count")
+      .select(col("rank").cast("long").as("rank"), col("lhs"), col("rhs"),
+        col("pair_count"))
+  }
+
+  /** Apply an ordered merge list to a symbol-array column (the ENCODE
+    * side: rank order, each merge a full left-to-right pass — the
+    * original algorithm's reference encoder). Builds one nested column
+    * expression; intended for dictionary-sized frames or short merge
+    * lists (a trie/priority-queue encoder is the production shape for
+    * 100k merges). */
+  def applyMerges(sym: Column, ms: Seq[Merge]): Column =
+    ms.foldLeft(sym)((c, m) => mergePair(c, m.left, m.right))
+
+  /** Encode the corpus dictionary with the learned merges:
+    * (word, n, pieces). */
+  def encodeVocab(docs: DataFrame, ms: Seq[Merge], textCol: String = "text"): DataFrame =
+    wordVocab(docs, textCol)
+      .select(col("word"), col("n"),
+        applyMerges(split(col("word"), ""), ms).as("pieces"))
+}

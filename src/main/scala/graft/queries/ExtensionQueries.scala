@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Components, Dedup, KMeans, Mixture, Multimodal, Packing, Profiling, Retrieval, Sharding, Similarity, Skew, TextAnalysis}
+import graft.ext.{Bpe, Components, Dedup, KMeans, Mixture, Multimodal, Packing, Profiling, Retrieval, Sharding, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -69,6 +69,7 @@ object ExtensionQueries {
     (2L, "stream"), (2L, "hash"), (2L, "merge"))
   private val TempR = 3L           // x57 τ=1/2 sampling scale (rate = R/√n_src)
   private val EpochBudget = 100000L // x78 global token budget to plan against
+  private[queries] val BpeMerges = 6 // x79 learned merge count (oracle unrolls per merge)
   private val TokenBudget = 12000L // x58 global token budget
 
   /** Whitespace token count — ONE definition shared by the packing
@@ -1293,6 +1294,15 @@ object ExtensionQueries {
           budget = EpochBudget)
         .orderBy("source")),
 
+    // distributed BPE merge training (Sennrich 2016): word-frequency
+    // dictionary (the only corpus shuffle) → per round, weighted
+    // adjacent-pair argmax (TakeOrdered-1 control-plane collect, the
+    // k-means iteration pattern) + map-side left-to-right merge — the
+    // learned merge table IS the tokenizer artifact
+    "x79_bpe_merges" -> ((s, dir) =>
+      Bpe.merges(s, Bpe.trainMerges(Tables.documents(s, dir), numMerges = BpeMerges))
+        .orderBy("rank")),
+
     // bigram-LM perplexity (CCNet-style quality filter): mean negative
     // log-prob of each doc's bigrams under the corpus-trained add-one
     // bigram model — (prefix, bigram) hash-pair keyed conditionals,
@@ -2398,6 +2408,37 @@ object ExtensionQueries {
          |    < t.t_total * ${Mixture.M} AS kept
          |FROM k JOIN c USING (source) CROSS JOIN t
          |ORDER BY k.doc_id""".stripMargin,
+
+    // x79: the merge loop unrolled — per round, pair totals from
+    // positional struct grams, argmax via ORDER BY t DESC, l, r LIMIT 1,
+    // then the SAME left-fold merge (singleton-list elements inject the
+    // accumulator type) — engine round m ≡ CTEs (p_m, b_m, s_m)
+    "x79_bpe_merges" -> {
+      def round(m: Int): String =
+        s"""p$m AS (SELECT pr.l AS l, pr.r AS r, CAST(sum(n) AS BIGINT) AS t FROM (
+           |    SELECT n, unnest(list_transform(range(0, len(sym) - 1),
+           |      i -> struct_pack(l := sym[i+1], r := sym[i+2]))) AS pr
+           |    FROM s${m - 1} WHERE len(sym) >= 2)
+           |  GROUP BY pr.l, pr.r),
+           |b$m AS (SELECT l, r, t FROM p$m ORDER BY t DESC, l, r LIMIT 1),
+           |s$m AS (SELECT word, n,
+           |    list_reduce(list_transform(sym, x -> [x]),
+           |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = b.l AND x[1] = b.r
+           |        THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.l || b.r])
+           |        ELSE list_concat(acc, x) END) AS sym
+           |  FROM s${m - 1} CROSS JOIN b$m b)""".stripMargin
+      val rounds = (1 to BpeMerges).map(round).mkString(",\n")
+      val ranks = (1 to BpeMerges)
+        .map(m => s"SELECT CAST($m AS BIGINT) AS rank, l AS lhs, r AS rhs, t AS pair_count FROM b$m")
+        .mkString("\n  UNION ALL ")
+      s"""WITH v0 AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS n FROM
+         |    (SELECT unnest(string_split($sqlNorm, ' ')) AS w FROM documents)
+         |  WHERE length(w) > 0 GROUP BY w),
+         |s0 AS (SELECT word, n, string_split(word, '') AS sym FROM v0),
+         |$rounds
+         |SELECT * FROM ($ranks)
+         |ORDER BY rank""".stripMargin
+    },
 
     // x78: the planning identities in integer SQL — target = budget //
     // n_sources, epochs = (target + avail − 1) // avail, deficit as a

@@ -1,0 +1,51 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergePair: left-to-right non-overlapping semantics") {
+    val d = Seq(Tuple1(Seq("a", "a", "a", "b"))).toDF("sym")
+    val got = d.select(Bpe.mergePair(col("sym"), "a", "a")).as[Seq[String]].head()
+    assert(got === Seq("aa", "a", "b")) // third 'a' must NOT re-merge
+    val d2 = Seq(Tuple1(Seq("x"))).toDF("sym")
+    assert(d2.select(Bpe.mergePair(col("sym"), "x", "x")).as[Seq[String]].head() === Seq("x"))
+  }
+
+  test("trainMerges reproduces the canonical Sennrich dictionary run") {
+    // low×5 lower×2 newest×6 widest×3 — the paper's worked example,
+    // with our deterministic tie-break (count DESC, pair ASC)
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+    val ms = Bpe.trainMerges(docs, numMerges = 6)
+    assert(ms.map(m => (m.left, m.right, m.pairCount)) === Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L),
+      ("lo", "w", 7L), ("e", "w", 6L), ("ew", "est", 6L)))
+    val enc = Bpe.encodeVocab(docs, ms)
+      .select("word", "pieces").as[(String, Seq[String])].collect().toMap
+    assert(enc("newest") === Seq("n", "ewest"))
+    assert(enc("low") === Seq("low"))
+    // pieces always reassemble the word
+    assert(enc.forall { case (w, p) => p.mkString === w })
+  }
+
+  test("round plan: pair counts fold map-side, argmax is TakeOrdered (no global sort)") {
+    val vocab = Seq(("ab", 1L)).toDF("word", "n")
+      .select(col("word"), col("n"), split(col("word"), "").as("sym"))
+    val p = Bpe.pairCounts(vocab)
+      .orderBy(col("t").desc, col("l"), col("r")).limit(1)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"), s"pair totals must map-side combine:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the per-round argmax must be a top-1, not a full sort:\n$p")
+  }
+
+  test("trainMerges stops early when the dictionary runs out of pairs") {
+    val docs = Seq((0L, "ab ab ab")).toDF("doc_id", "text")
+    val ms = Bpe.trainMerges(docs, numMerges = 5)
+    assert(ms.map(m => (m.left, m.right)) === Seq(("a", "b")))
+  }
+}
