@@ -135,4 +135,46 @@ object Bpe {
     wordVocab(docs, textCol)
       .select(col("word"), col("n"),
         applyMerges(split(col("word"), ""), ms).as("pieces"))
+
+  /**
+   * Token accounting under the TRAINED tokenizer: per document, word
+   * count, BPE-piece count, and chars-per-token (the "fertility" metric
+   * tokenizer quality is judged by — and the unit real token budgets
+   * are denominated in; [[Mixture.epochPlan]]'s whitespace counts are
+   * the pre-tokenizer approximation this replaces once merges exist).
+   *
+   * Scale shape: piece counts are computed ONCE per dictionary word
+   * (the encode runs over the vocab, never the corpus), then broadcast
+   * back to per-doc word counts — the corpus pays one explode +
+   * partial-agg pass and one broadcast join; nothing corpus-sized
+   * shuffles on a string key. (A 10⁷-word dictionary is ~100 MB
+   * broadcast-side — raise the threshold or bucket-join above that.)
+   *
+   * @return (idCol, n_words, n_bpe_tokens, chars_per_token_r)
+   */
+  def tokenCounts(
+      docs: DataFrame,
+      ms: Seq[Merge],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val pieces = encodeVocab(docs, ms, textCol)
+      .select(col("word"), size(col("pieces")).cast("long").as("np"))
+    val perDocWord = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val scored = perDocWord.join(broadcast(pieces), Seq("word"))
+      .groupBy(idCol)
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("np")).as("n_bpe_tokens"),
+        sum(col("cnt") * length(col("word"))).as("n_word_chars"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        round(coalesce(col("n_word_chars"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_bpe_tokens"), lit(0L)), lit(1L)), 6)
+          .as("chars_per_token_r"))
+  }
 }

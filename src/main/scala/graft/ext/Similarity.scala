@@ -106,6 +106,57 @@ object Similarity {
   }
 
   /**
+   * Binary-signature Hamming cascade (Charikar 2002 sign-random-
+   * projections; the "binary quantization" serving pattern): every
+   * vector compresses to a `planes`-bit sign signature in ONE long
+   * (48 bits default — 42× less candidate bandwidth than the 64-dim
+   * float vector), stage 1 ranks candidates by Hamming distance — ONE
+   * `bit_count(xor)` per pair where x10 spends 64 multiply-adds and
+   * x77's truncated stage 16; the signature column of a 100 TB corpus
+   * fits hot in cluster RAM — keeps `k·expand` per query under the
+   * WindowGroupLimit cut, and
+   * stage 2 reranks survivors with the exact full cosine.
+   *
+   * The sign planes are [[planeComponent]]'s deterministic pseudo-random
+   * hyperplanes (shared with [[lshBuckets]], which uses the SAME bits
+   * for equi-join bucketing; here they are a DISTANCE, so nearby
+   * vectors differing in a few bits still rank — no bucket-boundary
+   * recall cliff). `planes` must stay ≤ 62: bit j rides `1L << j` in a
+   * signed long the oracle reproduces, and DuckDB errors (not wraps) on
+   * bigint overflow.
+   *
+   * @return (query_id, rank, neighbor_id, cosine, hamming)
+   */
+  def srpHammingTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      planes: Int = 48,
+      dim: Int = 64,
+      expand: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(planes <= 62, "signature must fit a non-negative long")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+      bucketId(col(vecCol), planes, dim).as("sig_q"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"),
+      bucketId(col(vecCol), planes, dim).as("sig_n"))
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("hamming",
+        bit_count(col("sig_n").bitwiseXOR(col("sig_q"))).cast("long"))
+      .withColumn("h_rank", row_number().over(w1))
+      .filter(col("h_rank") <= k * expand)
+      .withColumn("cosine", vec_cosine(col("query_vec"), col("neighbor_vec")))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine", "hamming")
+  }
+
+  /**
    * Hard-negative mining for contrastive/embedding-model training: for
    * each anchor, the k nearest corpus vectors with a DIFFERENT label —
    * the near-misses a triplet/InfoNCE loss learns the most from.

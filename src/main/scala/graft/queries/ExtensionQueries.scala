@@ -53,7 +53,8 @@ object ExtensionQueries {
   private val RrfC = 60            // x62 RRF constant (Cormack et al.'s 60)
   private val SemDedupMaxCell = 10000 // x63 pairwise-cell size guard
   private[queries] val TruncDim = 16  // x77 MRL stage-1 prefix dims
-  private val TruncExpand = 4         // x77 stage-1 candidate expansion (k·4)
+  private val TruncExpand = 4         // x77/x80 stage-1 candidate expansion (k·4)
+  private val SrpPlanes = 48          // x80 signature bits (≤62: signed-long safe)
   /** x69 near-dup threshold in QUANTIZED space: min-max codes are all
     * non-negative, so random-pair cosines sit ≈0.90 (99.9th pct ≈0.94 on
     * the fixture) — 0.93 isolates the true near-duplicate tail. */
@@ -70,6 +71,31 @@ object ExtensionQueries {
   private val TempR = 3L           // x57 τ=1/2 sampling scale (rate = R/√n_src)
   private val EpochBudget = 100000L // x78 global token budget to plan against
   private[queries] val BpeMerges = 6 // x79 learned merge count (oracle unrolls per merge)
+
+  /** x79/x81 shared oracle chain: the BPE dictionary (v0/s0) plus
+    * [[BpeMerges]] unrolled rounds — round m's pair totals (p_m), argmax
+    * (b_m), and merged dictionary (s_m) replay the engine's training
+    * loop CTE-for-CTE. */
+  private lazy val sqlBpeChain: String = {
+    def round(m: Int): String =
+      s"""p$m AS (SELECT pr.l AS l, pr.r AS r, CAST(sum(n) AS BIGINT) AS t FROM (
+         |    SELECT n, unnest(list_transform(range(0, len(sym) - 1),
+         |      i -> struct_pack(l := sym[i+1], r := sym[i+2]))) AS pr
+         |    FROM s${m - 1} WHERE len(sym) >= 2)
+         |  GROUP BY pr.l, pr.r),
+         |b$m AS (SELECT l, r, t FROM p$m ORDER BY t DESC, l, r LIMIT 1),
+         |s$m AS (SELECT word, n,
+         |    list_reduce(list_transform(sym, x -> [x]),
+         |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = b.l AND x[1] = b.r
+         |        THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.l || b.r])
+         |        ELSE list_concat(acc, x) END) AS sym
+         |  FROM s${m - 1} CROSS JOIN b$m b)""".stripMargin
+    s"""v0 AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS n FROM
+       |    (SELECT unnest(string_split($sqlNorm, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY w),
+       |s0 AS (SELECT word, n, string_split(word, '') AS sym FROM v0),
+       |${(1 to BpeMerges).map(round).mkString(",\n")}""".stripMargin
+  }
   private val TokenBudget = 12000L // x58 global token budget
 
   /** Whitespace token count — ONE definition shared by the packing
@@ -549,6 +575,19 @@ object ExtensionQueries {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), round(col("cosine"), 6).as("cosine_r"),
           round(col("t_cosine"), 6).as("t_cosine_r"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // binary-signature Hamming cascade: 48-bit SRP signatures in one
+    // long, stage-1 ranking by bit_count(xor) (1 op/pair — the
+    // bandwidth-optimal scan), exact full-dim rerank of k·4 survivors
+    "x80_srp_hamming" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.srpHammingTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
+          planes = SrpPlanes, dim = Dim, expand = TruncExpand)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cosine"), 6).as("cosine_r"),
+          col("hamming"))
         .orderBy("query_id", "rank")
     }),
 
@@ -1303,6 +1342,16 @@ object ExtensionQueries {
       Bpe.merges(s, Bpe.trainMerges(Tables.documents(s, dir), numMerges = BpeMerges))
         .orderBy("rank")),
 
+    // the trained tokenizer APPLIED: per-doc word/BPE-piece counts and
+    // chars-per-token fertility — piece counts computed once per
+    // dictionary word and broadcast back; the corpus pays one explode +
+    // partial-agg pass (token budgets denominate in THESE tokens)
+    "x81_bpe_token_counts" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Bpe.tokenCounts(d, Bpe.trainMerges(d, numMerges = BpeMerges))
+        .orderBy("doc_id")
+    }),
+
     // bigram-LM perplexity (CCNet-style quality filter): mean negative
     // log-prob of each doc's bigrams under the corpus-trained add-one
     // bigram model — (prefix, bigram) hash-pair keyed conditionals,
@@ -1545,6 +1594,33 @@ object ExtensionQueries {
          |  round(cosine, 6) AS cosine_r, round(t_cosine, 6) AS t_cosine_r
          |FROM s2 WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     },
+
+    // x80: sqlBucket generalized to 48 planes builds the signature;
+    // Hamming = bit_count(xor); the two QUALIFY stages replay the
+    // cascade (Hamming ASC then exact cosine DESC, both id-tiebroken)
+    "x80_srp_hamming" ->
+      s"""WITH sg AS (SELECT vec_id, embedding,
+         |    CAST(${sqlBucket("embedding", 48)} AS BIGINT) AS sig
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, sig AS sig_q
+         |  FROM sg WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS nv, sig AS sig_n FROM sg),
+         |s1 AS (SELECT query_id, neighbor_id, qv, nv,
+         |    CAST(bit_count(xor(sig_n, sig_q)) AS BIGINT) AS hamming
+         |  FROM q, c WHERE query_id <> neighbor_id
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY hamming, neighbor_id) <= 12),
+         |s2 AS (SELECT query_id, neighbor_id, hamming,
+         |    ${sqlDot("qv", "nv")} /
+         |    (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("nv", "nv")})) AS cosine
+         |  FROM s1),
+         |s3 AS (SELECT query_id, neighbor_id, hamming, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM s2)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+         |  round(cosine, 6) AS cosine_r, hamming
+         |FROM s3 WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "x11_lsh_buckets" ->
       s"""SELECT vec_id, CAST(${sqlBucket("embedding")} AS BIGINT) AS bucket
@@ -2414,31 +2490,33 @@ object ExtensionQueries {
     // then the SAME left-fold merge (singleton-list elements inject the
     // accumulator type) — engine round m ≡ CTEs (p_m, b_m, s_m)
     "x79_bpe_merges" -> {
-      def round(m: Int): String =
-        s"""p$m AS (SELECT pr.l AS l, pr.r AS r, CAST(sum(n) AS BIGINT) AS t FROM (
-           |    SELECT n, unnest(list_transform(range(0, len(sym) - 1),
-           |      i -> struct_pack(l := sym[i+1], r := sym[i+2]))) AS pr
-           |    FROM s${m - 1} WHERE len(sym) >= 2)
-           |  GROUP BY pr.l, pr.r),
-           |b$m AS (SELECT l, r, t FROM p$m ORDER BY t DESC, l, r LIMIT 1),
-           |s$m AS (SELECT word, n,
-           |    list_reduce(list_transform(sym, x -> [x]),
-           |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = b.l AND x[1] = b.r
-           |        THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b.l || b.r])
-           |        ELSE list_concat(acc, x) END) AS sym
-           |  FROM s${m - 1} CROSS JOIN b$m b)""".stripMargin
-      val rounds = (1 to BpeMerges).map(round).mkString(",\n")
       val ranks = (1 to BpeMerges)
         .map(m => s"SELECT CAST($m AS BIGINT) AS rank, l AS lhs, r AS rhs, t AS pair_count FROM b$m")
         .mkString("\n  UNION ALL ")
-      s"""WITH v0 AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS n FROM
-         |    (SELECT unnest(string_split($sqlNorm, ' ')) AS w FROM documents)
-         |  WHERE length(w) > 0 GROUP BY w),
-         |s0 AS (SELECT word, n, string_split(word, '') AS sym FROM v0),
-         |$rounds
+      s"""WITH $sqlBpeChain
          |SELECT * FROM ($ranks)
          |ORDER BY rank""".stripMargin
     },
+
+    // x81: the trained tokenizer APPLIED — piece counts from the final
+    // round's dictionary (len(sym) of s_M), joined back to per-doc word
+    // counts; fertility = word chars / BPE tokens
+    "x81_bpe_token_counts" ->
+      s"""WITH $sqlBpeChain,
+         |pc AS (SELECT word, CAST(len(sym) AS BIGINT) AS np FROM s$BpeMerges),
+         |dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt FROM
+         |    (SELECT doc_id, unnest(string_split($sqlNorm, ' ')) AS w FROM documents)
+         |  WHERE length(w) > 0 GROUP BY doc_id, w),
+         |j AS (SELECT doc_id, sum(cnt) AS n_words, sum(cnt * np) AS n_bpe_tokens,
+         |    sum(cnt * length(w)) AS n_word_chars
+         |  FROM dw JOIN pc ON dw.w = pc.word GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+         |  CAST(coalesce(n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+         |  round(CAST(coalesce(n_word_chars, 0) AS DOUBLE)
+         |    / greatest(coalesce(n_bpe_tokens, 0), 1), 6) AS chars_per_token_r
+         |FROM documents d LEFT JOIN j USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // x78: the planning identities in integer SQL — target = budget //
     // n_sources, epochs = (target + avail − 1) // avail, deficit as a

@@ -32,6 +32,20 @@ class BpeSpec extends SparkSpec {
     assert(enc.forall { case (w, p) => p.mkString === w })
   }
 
+  test("tokenCounts: fertility over the canonical run, by hand") {
+    // pieces after 6 merges: low=1, lower=3 (low,e,r), newest=2 (n,ewest),
+    // widest=4 (w,i,d,est) → n_bpe = 5+6+12+12 = 35 over 16 words,
+    // word chars = 15+10+36+18 = 79
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+    val ms = Bpe.trainMerges(docs, numMerges = 6)
+    val got = Bpe.tokenCounts(docs, ms)
+      .select("doc_id", "n_words", "n_bpe_tokens", "chars_per_token_r")
+      .as[(Long, Long, Long, Double)].head()
+    assert(got === ((0L, 16L, 35L, math.rint(79.0 / 35.0 * 1e6) / 1e6)))
+  }
+
   test("round plan: pair counts fold map-side, argmax is TakeOrdered (no global sort)") {
     val vocab = Seq(("ab", 1L)).toDF("word", "n")
       .select(col("word"), col("n"), split(col("word"), "").as("sym"))

@@ -350,6 +350,24 @@ class ExtSpec extends SparkSpec {
     assert(casc === exact)
   }
 
+  test("srpHammingTopK: self-signature Hamming is 0; corpus-wide expansion equals exact") {
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(64)(d => (((i * 13 + d * 7) % 101).toFloat - 50f) / 50f))
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 4)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val casc = Similarity.srpHammingTopK(emb, q, k = 4, planes = 48, expand = 10)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(casc === exact)
+    // identical vectors → identical signatures → Hamming 0
+    val twin = Seq((0L, Array.fill(64)(0.5f)), (1L, Array.fill(64)(0.5f)),
+      (2L, Array.tabulate(64)(d => if (d % 2 == 0) 1f else -1f))).toDF("vec_id", "embedding")
+    val h = Similarity.srpHammingTopK(twin, twin.filter(col("vec_id") === 0), k = 1)
+      .select("neighbor_id", "hamming").as[(Long, Long)].collect().toMap
+    assert(h(1L) === 0L)
+  }
+
   test("lsh buckets agree between corpus partitionings") {
     val emb = (0L until 50L).map { i =>
       (i, Array.tabulate(64)(d => (((i * 31 + d * 17) % 101).toFloat - 50f) / 50f))

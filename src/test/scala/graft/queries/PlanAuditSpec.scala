@@ -511,6 +511,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("x80: Hamming stage cuts below the exchange; full cosine only after the cut") {
+    val p = planOf("x80_srp_hamming")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"the stage-1 k·expand Hamming cut must push below the exchange:\n$p")
+    // exactly one full-dim cosine site, and it sits ABOVE the rank cut
+    assert(p.linesIterator.count(_.contains("vec_cosine")) === 1,
+      s"the exact cosine must be computed once, post-cut:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("x66: anchors broadcast against the corpus; top-k limits before the shuffle") {
     val p = planOf("x66_hard_negatives")
     assert(p.contains("BroadcastNestedLoopJoin"),
