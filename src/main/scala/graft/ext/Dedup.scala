@@ -40,6 +40,39 @@ object Dedup {
       exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
 
+  /**
+   * Corpus snapshot diff — the lifecycle operator behind incremental
+   * recrawls/reprocessing: compare two snapshots of the same id space by
+   * content fingerprint and label every id `added` / `removed` /
+   * `changed` / `unchanged`. Downstream incremental operators
+   * ([[incrementalNearDups]], the streaming index ingests) consume
+   * exactly the added+changed slice instead of reprocessing the corpus.
+   *
+   * Fingerprint = [[TextAnalysis.fingerprint]] (rolling hash of the
+   * normalized text), computed map-side on each snapshot; the only
+   * shuffle is ONE full-outer equi-join on the id — the minimal plan for
+   * a diff, no content comparison wider than a long per side.
+   *
+   * @return (idCol, status, fp_old, fp_new) — fp null on the absent side
+   */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val o = oldSnap.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("fp_old"))
+    val n = newSnap.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("fp_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") === col("fp_new"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("fp_old"), col("fp_new"))
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** MinHash parameters: k = bands × rows hash functions; similarity

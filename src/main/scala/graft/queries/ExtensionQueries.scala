@@ -543,6 +543,26 @@ object ExtensionQueries {
           col("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // cross-source duplication matrix (provenance/contamination report):
+    // which sources copy which — x07's verified near-dup pairs, labeled
+    // with each side's source (two id-keyed joins of a narrow (id,
+    // source) projection), folded to unordered source pairs. At 100 TB
+    // the pair set ≪ corpus, so the matrix costs two linear joins.
+    "x83_source_dup_matrix" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val src = d.select(col("doc_id"), col("source"))
+      Dedup.minHashNearDups(d, JaccardThreshold, P)
+        .select("id_a", "id_b")
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cross_source", col("source_a") =!= col("source_b"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // simhash signatures
     "x08_simhash" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1360,6 +1380,20 @@ object ExtensionQueries {
       TextAnalysis.bigramNll(Tables.documents(s, dir))
         .orderBy("doc_id")),
 
+    // corpus snapshot diff (recrawl lifecycle): two synthetic snapshots
+    // of the fixture (old drops doc_id%5=0; new drops %7=0 and revises
+    // %3=0) diffed by content fingerprint — one full-outer id join, a
+    // long per side, feeding incremental reprocessing
+    "x82_snapshot_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val oldS = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val newS = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(3)) === 0, concat(col("text"), lit(" rev")))
+            .otherwise(col("text")))
+      Dedup.snapshotDiff(oldS, newS).orderBy("doc_id")
+    }),
+
     // Gopher repetition rules (Rae et al. 2021 Table A1, the n-gram
     // family): top-2/3-gram char fraction + duplicated-5-gram char
     // fraction, integer cross-multiplied threshold flags (0.20/0.18/0.15)
@@ -1534,6 +1568,30 @@ object ExtensionQueries {
          |       CAST(inter AS DOUBLE) / uni AS jaccard
          |FROM ver WHERE CAST(inter AS DOUBLE) / uni >= $JaccardThreshold
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // x83: x07's verified-pair chain, thresholded, source-labeled via
+    // documents, folded to unordered (least, greatest) source pairs
+    "x83_source_dup_matrix" ->
+      s"""WITH $sqlShingleCte,
+         |$sqlBandedCte,
+         |$sqlCappedBandedCte,
+         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM bandedc l JOIN bandedc r
+         |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+         |ver AS (SELECT id_a, id_b,
+         |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+         |    len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS uni
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+         |pr AS (SELECT id_a, id_b FROM ver
+         |  WHERE CAST(inter AS DOUBLE) / uni >= $JaccardThreshold),
+         |lab AS (SELECT least(da.source, db.source) AS source_a,
+         |    greatest(da.source, db.source) AS source_b
+         |  FROM pr JOIN documents da ON da.doc_id = pr.id_a
+         |          JOIN documents db ON db.doc_id = pr.id_b)
+         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  source_a <> source_b AS cross_source
+         |FROM lab GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin,
 
     "x08_simhash" ->
       s"""WITH $sqlSimHashCtes
@@ -2570,6 +2628,25 @@ object ExtensionQueries {
          |  coalesce(round(-CAST(sp AS DOUBLE) / n_bigrams, 6), 0.0) AS nll_r
          |FROM documents d LEFT JOIN sc USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // x82: the same conditional revision + rolling-hash fingerprints,
+    // FULL JOIN on doc_id, CASE status ladder
+    "x82_snapshot_diff" ->
+      s"""WITH o AS (SELECT doc_id, ${sqlStringHash(s"($sqlNorm)")} AS fp_old
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |nn AS (SELECT doc_id, ${sqlStringHash(s"($sqlNorm)")} AS fp_new FROM
+         |  (SELECT doc_id,
+         |     CASE WHEN doc_id % 3 = 0 THEN text || ' rev' ELSE text END AS text
+         |   FROM documents WHERE doc_id % 7 <> 0)),
+         |j AS (SELECT COALESCE(o.doc_id, nn.doc_id) AS doc_id, fp_old, fp_new
+         |  FROM o FULL JOIN nn ON o.doc_id = nn.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN fp_old IS NULL THEN 'added'
+         |       WHEN fp_new IS NULL THEN 'removed'
+         |       WHEN fp_old = fp_new THEN 'unchanged'
+         |       ELSE 'changed' END AS status,
+         |  fp_old, fp_new
+         |FROM j ORDER BY doc_id""".stripMargin,
 
     // x76: gram char mass from list slices (token lens + inner spaces),
     // per-(doc, gram) counts with min-length collision rule, rank-1 by

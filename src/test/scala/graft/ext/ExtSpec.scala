@@ -231,6 +231,15 @@ class ExtSpec extends SparkSpec {
     assert(got(99L)._2 === 5L && got(99L)._3 === 0.0)
   }
 
+  test("snapshotDiff labels added/removed/changed/unchanged; normalization-invariant") {
+    val oldS = Seq((1L, "a b"), (2L, "keep me"), (3L, "gone")).toDF("doc_id", "text")
+    val newS = Seq((1L, "  A   b "), (2L, "keep me changed"), (4L, "fresh")).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(oldS, newS)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", // fp is over NORMALIZED text
+      2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("gopherRepetition: repetition soup flags, diverse text keeps, dup-5-gram mass exact") {
     // A: "aa bb aa bb aa" — top 2-gram ("aa bb" ×2, 5 chars) mass 10 of 14
     //    chars; top 3-gram ("aa bb aa" ×2, 8 chars) mass 16 (>1 — the
