@@ -63,6 +63,61 @@ object KMeans {
       (array_position(d, array_min(d)) - 1).cast("long"))
   }
 
+  /** [[assign]] plus the squared distance to the ASSIGNED (nearest)
+    * centroid — the quantity cluster-hygiene rules are written over. */
+  def assignDist(
+      vecs: DataFrame,
+      centroids: Seq[Centroid],
+      idCol: String = "vec_id",
+      vecCol: String = "qvec"): DataFrame = {
+    val d = distances(col(vecCol).cast("array<double>"), centroids)
+    vecs.withColumn("d2s", d)
+      .withColumn("cluster",
+        (array_position(col("d2s"), array_min(col("d2s"))) - 1).cast("long"))
+      .withColumn("d2", array_min(col("d2s")))
+      .drop("d2s")
+  }
+
+  /**
+   * Centroid-distance outlier pruning — the embedding-hygiene rule of
+   * CLIP-style curation pipelines: inside each trained cluster, flag
+   * vectors whose squared distance to their centroid exceeds `factor` ×
+   * the cluster's mean squared distance (mislabeled/noise points sit in
+   * the far tail of their own cluster's radius distribution; a global
+   * radius cut would instead erase every naturally-wide cluster).
+   *
+   * Exactness: d² folds are deterministic doubles, but cluster SUMS of
+   * doubles are partitioning-dependent — so d² is rounded to
+   * DECIMAL(16,9) first ([[graft.ext.TextAnalysis.bigramNll]]'s
+   * discipline; quantized-grid d² < 255²·64 < 10⁷, so 7 integer digits
+   * suffice and every product below stays under the 38-digit cap with
+   * NO engine-side scale reduction) and the flag is the exact decimal
+   * cross-multiplication `d²·n > factor·Σd²` — no mean, no division,
+   * no float threshold.
+   *
+   * Scale shape: one map-side assignment pass (centroids are literals),
+   * one partial-aggregated k-row stats frame broadcast back. Zero
+   * corpus-sized shuffles.
+   *
+   * @return (idCol, cluster, d2_r, is_outlier)
+   */
+  def centroidOutliers(
+      vecs: DataFrame,
+      centroids: Seq[Centroid],
+      factor: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "qvec"): DataFrame = {
+    val a = assignDist(vecs, centroids, idCol, vecCol)
+      .select(col(idCol), col("cluster"),
+        round(col("d2"), 9).cast("decimal(16,9)").as("d2x"))
+    val stats = a.groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), sum(col("d2x")).as("sum_d2"))
+    a.join(broadcast(stats), Seq("cluster"))
+      .select(col(idCol), col("cluster"),
+        col("d2x").cast("double").as("d2_r"),
+        (col("d2x") * col("n_members") > col("sum_d2") * factor).as("is_outlier"))
+  }
+
   /** Train k centroids with `iters` Lloyd iterations. Returns the final
     * centroid table (driver-side — it IS broadcast-sized by construction).
     * An empty cluster keeps its previous centroid. */

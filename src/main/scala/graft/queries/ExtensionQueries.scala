@@ -1130,6 +1130,23 @@ object ExtensionQueries {
         .orderBy("vec_id")
     }),
 
+    // centroid-distance outlier pruning (CLIP-curation hygiene): x34's
+    // trained clusters, flag vectors with d² > 2× their cluster's mean
+    // d² — exact decimal cross-multiplication, no float threshold;
+    // map-side assignment + k-row stats broadcast
+    "x85_centroid_outliers" -> ((s, dir) => {
+      val qvecs = Similarity.quantizeMinMax(Tables.embeddings(s, dir))
+        .groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("q")))),
+          x => x.getField("q").cast("double")).as("qvec"))
+        .persist() // fit + assignment re-read (caller-release)
+      val cents = KMeans.fit(qvecs, k = KmClusters, iters = KmIters)
+      KMeans.centroidOutliers(qvecs, cents, factor = 2)
+        .select(col("vec_id"), col("cluster"),
+          round(col("d2_r"), 6).as("d2_6"), col("is_outlier"))
+        .orderBy("vec_id")
+    }),
+
     // product quantization (Jégou et al. 2011): per-subspace k-means
     // codebooks over the x24 quantized grid, then ONE map-side encode
     // pass — 64 doubles compress to 4 codes + the reconstruction error
@@ -2304,6 +2321,55 @@ object ExtensionQueries {
          |      SELECT v.vec_id, c.cluster, ${dist("v.qvec", "c.center")} AS d2
          |      FROM qv v, c2 c)
          |    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1)
+         |ORDER BY vec_id""".stripMargin
+    },
+
+    // x85: x34's quantize + unrolled-Lloyd chain, keeping d² at the
+    // final assignment; round→DECIMAL(28,9), per-cluster exact sums, and
+    // the d²·n > 2·Σd² cross-multiplied flag
+    "x85_centroid_outliers" -> {
+      def dist(v: String, c: String) =
+        s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+           |      list_transform(range(1, ${Dim + 1}),
+           |        i -> ($v[i] - $c[i]) * ($v[i] - $c[i]))), (a, b) -> a + b)""".stripMargin
+      def iteration(cin: String, a: String, cout: String) =
+        s"""$a AS (SELECT vec_id, qvec, cluster FROM (
+           |    SELECT v.vec_id, v.qvec, c.cluster,
+           |      ${dist("v.qvec", "c.center")} AS d2
+           |    FROM qv v, $cin c)
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1),
+           |$cout AS (SELECT c.cluster, COALESCE(u.center, c.center) AS center
+           |  FROM $cin c LEFT JOIN (
+           |    SELECT cluster, list(s / n ORDER BY d) AS center FROM (
+           |      SELECT cluster, r.d, SUM(qvec[r.d]) AS s, COUNT(*) AS n
+           |      FROM $a, range(1, ${Dim + 1}) r(d) GROUP BY cluster, r.d)
+           |    GROUP BY cluster) u ON c.cluster = u.cluster)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, r.d, CAST(embedding[r.d] AS DOUBLE) AS v
+         |  FROM embeddings, range(1, ${Dim + 1}) r(d)),
+         |st AS (SELECT d, min(v) AS mn, max(v) AS mx FROM e GROUP BY d),
+         |q AS (SELECT e.vec_id, e.d,
+         |    CASE WHEN st.mx = st.mn THEN 0
+         |         ELSE CAST(round((e.v - st.mn) * 255.0 / (st.mx - st.mn), 0) AS BIGINT)
+         |    END AS qc
+         |  FROM e JOIN st ON e.d = st.d),
+         |qv AS (SELECT vec_id, list(CAST(qc AS DOUBLE) ORDER BY d) AS qvec
+         |  FROM q GROUP BY vec_id),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+         |    qvec AS center
+         |  FROM qv QUALIFY row_number() OVER (ORDER BY vec_id) <= $KmClusters),
+         |${iteration("c0", "a1", "c1")},
+         |${iteration("c1", "a2", "c2")},
+         |fa AS (SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+         |    CAST(round(d2, 9) AS DECIMAL(16,9)) AS d2x FROM (
+         |      SELECT v.vec_id, c.cluster, ${dist("v.qvec", "c.center")} AS d2
+         |      FROM qv v, c2 c)
+         |    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1),
+         |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+         |    CAST(sum(d2x) AS DECIMAL(28,9)) AS sum_d2 FROM fa GROUP BY cluster)
+         |SELECT vec_id, fa.cluster,
+         |  round(CAST(d2x AS DOUBLE), 6) AS d2_6,
+         |  d2x * n_members > sum_d2 + sum_d2 AS is_outlier
+         |FROM fa JOIN cs ON fa.cluster = cs.cluster
          |ORDER BY vec_id""".stripMargin
     },
 

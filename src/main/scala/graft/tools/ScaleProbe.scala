@@ -356,6 +356,38 @@ object ScaleProbe {
       }
     }
 
+    // Two-stage cascade recall (x77 Matryoshka truncation, x80 SRP
+    // Hamming): fraction of the exact cosine top-k surviving each
+    // cheap-stage-1 + exact-rerank cascade, per stage-1 knob — on the
+    // uniform fixture AND the clustered corpus (real embedding clouds;
+    // truncated/sign projections preserve cluster geometry better than
+    // uniform noise, so production recall sits above the uniform row).
+    if (on("cascade")) {
+      import spark.implicits._
+      val k = 10
+      def toSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+          .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+      def recallOf(got: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double =
+        exact.map { case (q, ex) =>
+          (got.getOrElse(q, Set.empty) & ex).size.toDouble / ex.size
+        }.sum / exact.size
+      for ((corpus, label) <- Seq((emb, "uniform"), (clusteredCorpus(spark), "clustered"))) {
+        val queries = corpus.filter(col("vec_id") < 50)
+        val exact = toSets(graft.ext.Similarity.bruteForceTopK(corpus, queries, k))
+        for (dp <- Seq(8, 16, 32); ex <- Seq(2, 4, 8)) {
+          val got = toSets(graft.ext.Similarity.truncatedRerank(
+            corpus, queries, k, dPrime = dp, expand = ex))
+          println(f"cascade[$label] trunc d'=$dp%2d expand=$ex%d recall@$k=${recallOf(got, exact)}%6.3f")
+        }
+        for (pl <- Seq(16, 32, 48); ex <- Seq(2, 4, 8)) {
+          val got = toSets(graft.ext.Similarity.srpHammingTopK(
+            corpus, queries, k, planes = pl, expand = ex))
+          println(f"cascade[$label] srp bits=$pl%2d expand=$ex%d recall@$k=${recallOf(got, exact)}%6.3f")
+        }
+      }
+    }
+
     // Clustered-corpus hard-negative recall: same probe over the recallc
     // corpus (16 deterministic clusters) with labels vec_id % 4 — real
     // embedding clouds cluster, and same-cluster vectors land in the

@@ -176,4 +176,22 @@ class KMeansSpec extends SparkSpec {
     assert(got === expect)
     assert(got.nonEmpty)
   }
+
+  test("centroidOutliers: exact cross-multiplied flag against hand math") {
+    // cluster 0: d² = 0, 1, 25 → Σ = 26, n = 3; outlier iff 3·d² > 52
+    // (only the 25); cluster 1: single member, 0 > 0 is false
+    val vecs = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(3.0, 4.0)),
+      (4L, Seq(10.0, 10.0))).toDF("vec_id", "qvec")
+    val cents = Seq(
+      KMeans.Centroid(0, Array(0.0, 0.0), 3L),
+      KMeans.Centroid(1, Array(10.0, 10.0), 1L))
+    val got = KMeans.centroidOutliers(vecs, cents, factor = 2)
+      .select("vec_id", "cluster", "is_outlier")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 0L, false)))
+    assert(got(2L) === ((2L, 0L, false)))
+    assert(got(3L) === ((3L, 0L, true)))
+    assert(got(4L) === ((4L, 1L, false)))
+  }
 }
