@@ -715,6 +715,18 @@ object ExtensionQueries {
       Components.nearDupClusters(s, Tables.documents(s, dir), JaccardThreshold, P)
         .orderBy("doc_id")),
 
+    // contrastive positive-pair extraction (self-supervised paraphrase
+    // pairs): each near-dup cluster's keeper anchors a pair with every
+    // other member — the (anchor, positive) training set a contrastive
+    // embedding model consumes (x67 supplies the negatives). Pure
+    // projection over x20's cluster labels; rows = Σ(|cluster| − 1).
+    "x84_contrastive_pairs" -> ((s, dir) =>
+      Components.nearDupClusters(s, Tables.documents(s, dir), JaccardThreshold, P)
+        .filter(!col("is_keeper"))
+        .select(col("cluster_id").as("anchor_id"), col("doc_id").as("positive_id"),
+          col("cluster_id"))
+        .orderBy("anchor_id", "positive_id")),
+
     // vocabulary build: top tokens by document frequency (distinct per doc)
     // — two-stage aggregation: map-side partial counts, then a single
     // shuffle on token; top-k is a sort-limit over the (small) vocab table
@@ -1763,6 +1775,16 @@ object ExtensionQueries {
          |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id,
          |       id = min(label) AS is_keeper
          |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // x84: x20's recursive min-label walk; non-keepers pair with their
+    // cluster label (= keeper id, the cluster min)
+    "x84_contrastive_pairs" ->
+      s"""WITH RECURSIVE $sqlClusterCtes,
+         |lab AS (SELECT id, CAST(min(label) AS BIGINT) AS cluster_id
+         |  FROM walk GROUP BY id)
+         |SELECT cluster_id AS anchor_id, id AS positive_id, cluster_id
+         |FROM lab WHERE id <> cluster_id
+         |ORDER BY anchor_id, positive_id""".stripMargin,
 
     "x38_cluster_split" ->
       s"""WITH RECURSIVE $sqlClusterCtes,
