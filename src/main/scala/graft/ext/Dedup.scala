@@ -139,6 +139,44 @@ object Dedup {
         aggregate(slice(col("sig"), col("band") * p.rows + 1, lit(p.rows)), lit(0L),
           (acc, v) => pmod(acc * CombineMult + v, lit(HashMod))).as("band_key"))
 
+  /**
+   * Per-source MinHash sketch UNION + pairwise cross-source similarity
+   * estimate — sketch algebra (Broder 1997: the MinHash of a set union
+   * is the elementwise MIN of the sets' signatures): every source
+   * compresses to k longs regardless of size, and the estimated Jaccard
+   * between two sources' shingle UNIONS is the fraction of matching
+   * signature positions. The corpus-level cousin of [[minHashNearDups]]:
+   * where x07 answers "which documents collide", this answers "how much
+   * do SOURCES overlap" at k-longs-per-source cost — the
+   * provenance-screening number that decides whether a new crawl source
+   * is worth ingesting, before any pairwise work.
+   *
+   * Scale shape: one map-side signature pass over the corpus, one
+   * partial-aggregated (source × k)-row min, then a dimension×dimension
+   * position join. Nothing corpus-sized shuffles.
+   *
+   * @return (source_a, source_b, n_match, est_jaccard)
+   */
+  def sourceSketchJaccard(
+      docs: DataFrame,
+      p: MinHashParams = MinHashParams(),
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val pos = docs
+      .select(col(sourceCol).as("src"),
+        signatureFromHashes(shingleHashes(col(textCol)), p).as("sig"))
+      .select(col("src"), posexplode(col("sig")).as(Seq("i", "h")))
+    val union = pos.groupBy("src", "i").agg(min(col("h")).as("h"))
+    val a = union.select(col("src").as("source_a"), col("i"), col("h").as("ha"))
+    val b = union.select(col("src").as("source_b"), col("i"), col("h").as("hb"))
+    a.join(b, Seq("i"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(sum(when(col("ha") === col("hb"), 1L).otherwise(0L)).as("n_match"))
+      .select(col("source_a"), col("source_b"), col("n_match"),
+        round(col("n_match").cast("double") / p.k, 6).as("est_jaccard"))
+  }
+
   /** Candidate pairs from LSH banding: ids sharing any (band, band_key).
     * Shuffle keyed on the band key; `maxBucket` drops degenerate buckets
     * outright — the drop is SILENT on this fast path (no extra aggregate

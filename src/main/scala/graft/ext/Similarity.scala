@@ -231,10 +231,14 @@ object Similarity {
 
   /** Sign-pattern LSH bucket id from `planes` hyperplanes (bit j set iff
     * dot(vec, plane_j) > 0). */
+  /** Backed by the codegen'd [[graft.functions.SrpSignature]] — one
+    * two-level loop instead of a `planes`-deep when/vec_dot tree (the
+    * tree is interpreted AND Catalyst inlines it into every consumer;
+    * at 48 planes that made signatures the x80 bottleneck). Values are
+    * bit-identical to the tree, so the x11 oracle is unchanged. `dim`
+    * is implied by the vector and kept for signature stability. */
   def bucketId(vec: Column, planes: Int, dim: Int): Column =
-    (0 until planes).map { j =>
-      when(vec_dot(vec, planeLit(j, dim)) > 0.0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.VectorFunctions.srp_signature(vec, planes)
 
   /** Corpus → (id, bucket) assignment. */
   def lshBuckets(

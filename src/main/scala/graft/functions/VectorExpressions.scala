@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -388,6 +388,91 @@ case class VecPqDists(vec: Expression, codebook: Expression, m: Expression)
     copy(vec = newChildren(0), codebook = newChildren(1), m = newChildren(2))
 }
 
+/**
+ * Sign-random-projection signature: bit j of the result is set iff
+ * `dot(vec, plane_j) > 0`, with `plane_j[d]` the deterministic
+ * pseudo-random hyperplane component
+ * `(float)((((1 + j·1009 + d·9176) mod 1999) − 999) / 999)` —
+ * VALUE-IDENTICAL to [[graft.ext.Similarity.planeComponent]] and the
+ * DuckDB oracle's replica, including the double→float→double round-trip
+ * and the per-dim fold order.
+ *
+ * This replaces the `planes`-deep `when(vec_dot(vec, lit(plane)))` tree
+ * the column API composes: at 48 planes that tree is ~100× slower
+ * (interpreted When/Add chain, and Catalyst inlines the whole thing into
+ * every consumer), which made the signature pass the bottleneck of the
+ * x80 Hamming cascade. One tight two-level loop, fully codegen'd.
+ */
+case class SrpSignature(child: Expression, planes: Int) extends UnaryExpression {
+  require(planes >= 1 && planes <= 62, "planes must fit a non-negative long")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "srp_signature"
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < planes) {
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        val x = if (elemIsFloat) a.getFloat(d).toDouble else a.getDouble(d)
+        val p = ((((1L + j * 1009L + d * 9176L) % 1999L) - 999L) / 999.0).toFloat.toDouble
+        dot += x * p
+        d += 1
+      }
+      if (dot > 0.0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val arr = childGen.value
+    val j = ctx.freshName("j")
+    val d = ctx.freshName("d")
+    val n = ctx.freshName("n")
+    val dot = ctx.freshName("dot")
+    val getX =
+      if (elemIsFloat) s"(double) $arr.getFloat($d)" else s"$arr.getDouble($d)"
+    val code =
+      code"""
+        |${childGen.code}
+        |boolean ${ev.isNull} = ${childGen.isNull};
+        |long ${ev.value} = 0L;
+        |if (!${ev.isNull}) {
+        |  int $n = $arr.numElements();
+        |  for (int $j = 0; $j < $planes; $j++) {
+        |    double $dot = 0.0;
+        |    for (int $d = 0; $d < $n; $d++) {
+        |      $dot += ($getX) *
+        |        (double)(float)((((1L + $j * 1009L + $d * 9176L) % 1999L) - 999L) / 999.0);
+        |    }
+        |    if ($dot > 0.0) ${ev.value} |= 1L << $j;
+        |  }
+        |}
+      """.stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API + SQL registration. */
 object VectorFunctions {
   import org.apache.spark.sql.GraftBridge.{toColumn, toExpression}
@@ -400,6 +485,8 @@ object VectorFunctions {
     toColumn(VecL2Sq(toExpression(a), toExpression(b)))
   def vec_pq_dists(vec: Column, flatCodebook: Column, m: Column): Column =
     toColumn(VecPqDists(toExpression(vec), toExpression(flatCodebook), toExpression(m)))
+  def srp_signature(vec: Column, planes: Int): Column =
+    toColumn(SrpSignature(toExpression(vec), planes))
 
   /** Register `vec_dot` / `vec_cosine` / `vec_l2sq` for spark.sql(...) use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

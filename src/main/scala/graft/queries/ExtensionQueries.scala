@@ -70,6 +70,10 @@ object ExtensionQueries {
     (2L, "stream"), (2L, "hash"), (2L, "merge"))
   private val TempR = 3L           // x57 τ=1/2 sampling scale (rate = R/√n_src)
   private val EpochBudget = 100000L // x78 global token budget to plan against
+  /** x87 coverage report sizes — dense low end: the fixture vocabulary
+    * is ~31 tokens at sf0.01, and real curves bend hardest early. */
+  private val VocabGrid = Seq(5, 10, 20, 30, 100, 1000, 10000)
+  private val VocabGridMax = 10000  // x87 bound on the ranked frame (constant)
   private[queries] val BpeMerges = 6 // x79 learned merge count (oracle unrolls per merge)
 
   /** x79/x81 shared oracle chain: the BPE dictionary (v0/s0) plus
@@ -534,6 +538,38 @@ object ExtensionQueries {
       Dedup.bandedSignatures(Tables.documents(s, dir), p = P)
         .select(col("id").as("doc_id"), col("band").cast("long").as("band"), col("band_key"))
         .orderBy("doc_id", "band")),
+
+    // per-source MinHash sketch union (Broder: minhash of a union =
+    // elementwise min) → pairwise cross-source Jaccard estimate — the
+    // k-longs-per-source provenance screen run BEFORE any pairwise work
+    "x86_source_sketch" -> ((s, dir) =>
+      Dedup.sourceSketchJaccard(Tables.documents(s, dir), p = P)
+        .orderBy("source_a", "source_b")),
+
+    // vocabulary coverage curve (tokenizer/vocab sizing): cumulative
+    // corpus-token coverage of the top-V tokens at a fixed V grid — the
+    // TakeOrdered top-GridMax bounds the only partition-less window by
+    // a CONSTANT, never by vocab size
+    "x87_vocab_coverage" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("c"))
+        .persist() // total + top-grid both consume (caller-release)
+      val total = counts.agg(sum(col("c")).as("t"))
+      val ord = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("token"))
+      val cum = ord.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      counts.orderBy(col("c").desc, col("token")).limit(VocabGridMax)
+        .withColumn("rk", row_number().over(ord))
+        .withColumn("cum", sum(col("c")).over(cum))
+        .filter(col("rk").isin(VocabGrid: _*))
+        .crossJoin(broadcast(total)) // 1-row total scaffold
+        .select(col("rk").cast("long").as("v"), col("cum").as("cum_tokens"),
+          round(col("cum").cast("double") / col("t"), 6).as("coverage_r"))
+        .orderBy("v")
+    }),
 
     // full minhash-LSH near-dup pipeline with exact-Jaccard verification
     "x07_minhash_pairs" -> ((s, dir) =>
@@ -1581,6 +1617,40 @@ object ExtensionQueries {
       s"""WITH $sqlShingleCte,
          |$sqlBandedCte
          |SELECT doc_id, band, band_key FROM banded ORDER BY doc_id, band""".stripMargin,
+
+    // x86: the sig CTE's k-position signatures, source-labeled,
+    // elementwise-min per source, pairwise position match count
+    "x86_source_sketch" ->
+      s"""WITH $sqlShingleCte,
+         |$sqlBandedCte,
+         |pos AS (SELECT d.source AS src, r.i AS i, sg[r.i + 1] AS h
+         |  FROM sig JOIN documents d USING (doc_id), range(0, ${P.k}) r(i)),
+         |u AS (SELECT src, i, min(h) AS h FROM pos GROUP BY src, i)
+         |SELECT a.src AS source_a, b.src AS source_b,
+         |  CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         |  round(CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS DOUBLE) / ${P.k}, 6)
+         |    AS est_jaccard
+         |FROM u a JOIN u b ON a.i = b.i AND a.src < b.src
+         |GROUP BY a.src, b.src
+         |ORDER BY source_a, source_b""".stripMargin,
+
+    // x87: rank/cumulative window over token counts, reported at the
+    // fixed V grid
+    "x87_vocab_coverage" ->
+      s"""WITH t0 AS (SELECT unnest(string_split($sqlNorm, ' ')) AS token FROM documents),
+         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM t0
+         |  WHERE length(token) > 0 GROUP BY token),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c),
+         |r AS (SELECT token, c,
+         |    row_number() OVER (ORDER BY c DESC, token) AS rk,
+         |    sum(c) OVER (ORDER BY c DESC, token
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM c)
+         |SELECT CAST(rk AS BIGINT) AS v, CAST(cum AS BIGINT) AS cum_tokens,
+         |  round(CAST(cum AS DOUBLE) / t, 6) AS coverage_r
+         |FROM r CROSS JOIN tot
+         |WHERE rk IN (${VocabGrid.mkString(", ")})
+         |ORDER BY v""".stripMargin,
 
     "x07_minhash_pairs" ->
       s"""WITH $sqlShingleCte,

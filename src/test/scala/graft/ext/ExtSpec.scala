@@ -231,6 +231,20 @@ class ExtSpec extends SparkSpec {
     assert(got(99L)._2 === 5L && got(99L)._3 === 0.0)
   }
 
+  test("sourceSketchJaccard: identical sources estimate 1, disjoint estimate ~0") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon one", "a"),
+      (2L, "alpha beta gamma delta epsilon one", "b"), // b ≡ a
+      (3L, "zz yy xx ww vv uu tt ss", "c")             // c disjoint
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceSketchJaccard(d)
+      .select("source_a", "source_b", "est_jaccard")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("a", "b")) === 1.0)
+    assert(got(("a", "c")) < 0.5 && got(("b", "c")) < 0.5)
+  }
+
   test("snapshotDiff labels added/removed/changed/unchanged; normalization-invariant") {
     val oldS = Seq((1L, "a b"), (2L, "keep me"), (3L, "gone")).toDF("doc_id", "text")
     val newS = Seq((1L, "  A   b "), (2L, "keep me changed"), (4L, "fresh")).toDF("doc_id", "text")

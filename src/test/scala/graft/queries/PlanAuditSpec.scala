@@ -521,6 +521,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("x87: the partition-less window sits above a TakeOrdered constant bound") {
+    val p = planOf("x87_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the grid-max cut must be a TakeOrdered, not a global sort:\n$p")
+    assert(p.contains("partial_count"),
+      s"token counts must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row totals scaffold may broadcast-nest:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the count frame must be persisted (total + top consume it):\n$p")
+  }
+
   test("x66: anchors broadcast against the corpus; top-k limits before the shuffle") {
     val p = planOf("x66_hard_negatives")
     assert(p.contains("BroadcastNestedLoopJoin"),
