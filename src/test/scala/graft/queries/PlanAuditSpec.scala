@@ -533,6 +533,31 @@ class PlanAuditSpec extends SparkSpec {
       s"the count frame must be persisted (total + top consume it):\n$p")
   }
 
+  test("x85: centroid stats broadcast back; assignment stays map-side (no corpus SMJ)") {
+    val p = planOf("x85_centroid_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the k-row cluster stats must broadcast back to the rows:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"cluster stats must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("x86: sketch-union mins fold map-side; the pair join is dimension-sized") {
+    val p = planOf("x86_source_sketch")
+    assert(p.contains("partial_min"),
+      s"per-(source, position) mins must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("x82: the diff is ONE full-outer id join over fingerprint projections") {
+    val p = planOf("x82_snapshot_diff")
+    assert(p.contains("FullOuter"), s"expected a full-outer id join:\n$p")
+    assert(p.linesIterator.count(l => l.contains("Join") && l.contains("FullOuter")) === 1,
+      s"exactly one join:\n$p")
+    assert(p.contains("rolling_hash"),
+      s"fingerprints must be the native rolling hash, computed map-side:\n$p")
+  }
+
   test("x66: anchors broadcast against the corpus; top-k limits before the shuffle") {
     val p = planOf("x66_hard_negatives")
     assert(p.contains("BroadcastNestedLoopJoin"),
