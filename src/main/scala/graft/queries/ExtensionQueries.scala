@@ -73,6 +73,7 @@ object ExtensionQueries {
   /** x87 coverage report sizes — dense low end: the fixture vocabulary
     * is ~31 tokens at sf0.01, and real curves bend hardest early. */
   private val VocabGrid = Seq(5, 10, 20, 30, 100, 1000, 10000)
+  private val CalGrid: Seq[Double] = (1 to 9).map(_ / 10.0) // x88 threshold sweep
   private val VocabGridMax = 10000  // x87 bound on the ranked frame (constant)
   private[queries] val BpeMerges = 6 // x79 learned merge count (oracle unrolls per merge)
 
@@ -1445,6 +1446,65 @@ object ExtensionQueries {
       TextAnalysis.bigramNll(Tables.documents(s, dir))
         .orderBy("doc_id")),
 
+    // quality-classifier calibration sweep (eval harness): confusion
+    // counts + precision/recall of the x03 quality score against the
+    // fixture's lang metadata label, at a 9-threshold grid — one
+    // explode×9 pass, integer counts, single-division ratios
+    "x88_quality_calibration" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select((col("lang") === "en").as("label"),
+          TextAnalysis.qualityScore(col("text")).as("score"))
+        .select(col("label"), col("score"),
+          explode(array(CalGrid.map(lit): _*)).as("tau"))
+        .groupBy("tau")
+        .agg(sum(when(col("score") > col("tau") && col("label"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("score") > col("tau") && !col("label"), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("score") <= col("tau") && col("label"), 1L).otherwise(0L)).as("fn"),
+          sum(when(col("score") <= col("tau") && !col("label"), 1L).otherwise(0L)).as("tn"))
+        .select(col("tau"), col("tp"), col("fp"), col("fn"), col("tn"),
+          round(col("tp").cast("double") / greatest(col("tp") + col("fp"), lit(1L)), 6)
+            .as("precision_r"),
+          round(col("tp").cast("double") / greatest(col("tp") + col("fn"), lit(1L)), 6)
+            .as("recall_r"))
+        .orderBy("tau")),
+
+    // snapshot token-distribution drift (corpus drift monitor): total
+    // variation distance between x82's old/new snapshots' token
+    // frequencies — exact integer cross-products |c₁·N₂ − c₂·N₁| summed
+    // in DECIMAL(38,0), ONE final division; vocab overlap accounting
+    "x89_token_drift" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      def tokCounts(df: DataFrame) = df
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("c"))
+      val oldS = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val newS = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(3)) === 0, concat(col("text"), lit(" rev")))
+            .otherwise(col("text")))
+      val j = tokCounts(oldS).withColumnRenamed("c", "c_old")
+        .join(tokCounts(newS).withColumnRenamed("c", "c_new"), Seq("token"), "full_outer")
+        .select(coalesce(col("c_old"), lit(0L)).as("c_old"),
+          coalesce(col("c_new"), lit(0L)).as("c_new"))
+        .persist() // totals + drift sum (caller-release)
+      val totals = j.agg(sum(col("c_old")).as("n1"), sum(col("c_new")).as("n2"),
+        sum(when(col("c_old") > 0, 1L).otherwise(0L)).as("vocab_old"),
+        sum(when(col("c_new") > 0, 1L).otherwise(0L)).as("vocab_new"),
+        sum(when(col("c_old") > 0 && col("c_new") > 0, 1L).otherwise(0L)).as("n_common"))
+      j.crossJoin(broadcast(totals)) // 1-row totals scaffold
+        .agg(min(col("n1")).as("n_old_tokens"), min(col("n2")).as("n_new_tokens"),
+          min(col("vocab_old")).as("vocab_old"), min(col("vocab_new")).as("vocab_new"),
+          min(col("n_common")).as("n_common"),
+          sum(abs(col("c_old").cast("decimal(18,0)") * col("n2").cast("decimal(18,0)") -
+            col("c_new").cast("decimal(18,0)") * col("n1").cast("decimal(18,0)")))
+            .as("num"))
+        .select(col("n_old_tokens"), col("n_new_tokens"), col("vocab_old"),
+          col("vocab_new"), col("n_common"),
+          round(col("num").cast("double") /
+            (lit(2.0) * col("n_old_tokens") * col("n_new_tokens")), 6).as("tv_r"))
+    }),
+
     // corpus snapshot diff (recrawl lifecycle): two synthetic snapshots
     // of the fixture (old drops doc_id%5=0; new drops %7=0 and revises
     // %3=0) diffed by content fingerprint — one full-outer id join, a
@@ -2786,6 +2846,52 @@ object ExtensionQueries {
          |  coalesce(round(-CAST(sp AS DOUBLE) / n_bigrams, 6), 0.0) AS nll_r
          |FROM documents d LEFT JOIN sc USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // x88: the x03 quality chain joined back for the lang label,
+    // unnested over the τ grid, integer confusion counts
+    "x88_quality_calibration" ->
+      s"""WITH $sqlQualityCtes,
+         |s AS (SELECT g.doc_id, $sqlQualityScore AS score, d.lang = 'en' AS label
+         |  FROM g JOIN (SELECT doc_id, lang FROM documents) d USING (doc_id)),
+         |e AS (SELECT s.score, s.label, t.tau FROM s,
+         |  (SELECT unnest([${CalGrid.mkString(", ")}]) AS tau) t)
+         |SELECT tau,
+         |  CAST(sum(CASE WHEN score > tau AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN score > tau AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN score <= tau AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN score <= tau AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |  round(CAST(sum(CASE WHEN score > tau AND label THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / greatest(sum(CASE WHEN score > tau THEN 1 ELSE 0 END), 1), 6) AS precision_r,
+         |  round(CAST(sum(CASE WHEN score > tau AND label THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / greatest(sum(CASE WHEN label THEN 1 ELSE 0 END), 1), 6) AS recall_r
+         |FROM e GROUP BY tau ORDER BY tau""".stripMargin,
+
+    // x89: x82's snapshots → token counts → full outer on token →
+    // |c₁·N₂ − c₂·N₁| summed exactly, one final division
+    "x89_token_drift" ->
+      s"""WITH oldd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         |newd AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN text || ' rev' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 0),
+         |co AS (SELECT token, CAST(count(*) AS BIGINT) AS c_old FROM
+         |    (SELECT unnest(string_split($sqlNorm, ' ')) AS token FROM oldd)
+         |  WHERE length(token) > 0 GROUP BY token),
+         |cn AS (SELECT token, CAST(count(*) AS BIGINT) AS c_new FROM
+         |    (SELECT unnest(string_split($sqlNorm, ' ')) AS token FROM newd)
+         |  WHERE length(token) > 0 GROUP BY token),
+         |j AS (SELECT COALESCE(c_old, 0) AS c_old, COALESCE(c_new, 0) AS c_new
+         |  FROM co FULL JOIN cn USING (token)),
+         |t AS (SELECT CAST(sum(c_old) AS BIGINT) AS n1, CAST(sum(c_new) AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN c_old > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_old,
+         |    CAST(sum(CASE WHEN c_new > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_new,
+         |    CAST(sum(CASE WHEN c_old > 0 AND c_new > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+         |  FROM j),
+         |dr AS (SELECT sum(abs(CAST(c_old AS DECIMAL(18,0)) * CAST(n2 AS DECIMAL(18,0))
+         |    - CAST(c_new AS DECIMAL(18,0)) * CAST(n1 AS DECIMAL(18,0)))) AS num
+         |  FROM j CROSS JOIN t)
+         |SELECT n1 AS n_old_tokens, n2 AS n_new_tokens, vocab_old, vocab_new, n_common,
+         |  round(CAST(num AS DOUBLE) / (2.0 * n1 * n2), 6) AS tv_r
+         |FROM t CROSS JOIN dr""".stripMargin,
 
     // x82: the same conditional revision + rolling-hash fingerprints,
     // FULL JOIN on doc_id, CASE status ladder
