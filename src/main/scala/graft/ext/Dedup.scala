@@ -692,16 +692,54 @@ object Dedup {
       threshold: Double,
       n: Int = 3,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val tokens = docs
-      .select(col(idCol).as("id"), explode(shingleHashes(col(textCol), n)).as("h"))
+      textCol: String = "text"): DataFrame =
+    ppJoinPairs(
+      docs.select(col(idCol).as("id"), lit("s").as("side"), col(textCol).as("t")),
+      threshold, n, cross = false)
+
+  /**
+   * Cross-corpus PPJoin: every (probe, reference) pair with n-gram
+   * Jaccard ≥ threshold — similarity-level decontamination / reference
+   * matching, where [[ngramJaccard]] is the self-join. Same prefix +
+   * size-ratio + positional filters and the same native merge-pass
+   * verify, over ONE union frame: the global shingle frequency order is
+   * computed over probe ∪ reference (any single consistent order keeps
+   * PPJoin exact), and the candidate join keeps only probe×reference
+   * combinations — id spaces of the two corpora may overlap freely.
+   *
+   * @return (id_a = probe id, id_b = reference id, jaccard)
+   */
+  def ngramJaccardAgainst(
+      probe: DataFrame,
+      reference: DataFrame,
+      threshold: Double,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    ppJoinPairs(
+      probe.select(col(idCol).as("id"), lit("a").as("side"), col(textCol).as("t"))
+        .unionByName(reference.select(col(idCol).as("id"), lit("b").as("side"),
+          col(textCol).as("t"))),
+      threshold, n, cross = true)
+
+  /** The PPJoin core over a side-tagged (id, side, t) frame: `cross =
+    * false` canonicalizes self-join pairs by `id <`, `cross = true`
+    * keeps side-a × side-b pairs. */
+  private def ppJoinPairs(
+      tagged: DataFrame,
+      threshold: Double,
+      n: Int,
+      cross: Boolean): DataFrame = {
+    val textCol = "t"
+    val tokens = tagged
+      .select(col("id"), col("side"), explode(shingleHashes(col(textCol), n)).as("h"))
     // global shingle document frequency — partial (map-side) agg, then the
     // per-doc regroup rebuilds BOTH the frequency-ordered view (prefix
     // source) and the hash-sorted view (merge-pass verification input)
     // from one shuffle; no join back to the raw text.
     val freq = tokens.groupBy("h").agg(count(lit(1)).as("df"))
     val docOrd = tokens.join(freq, "h")
-      .groupBy("id")
+      .groupBy("id", "side")
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"),
         sort_array(collect_list(col("h"))).as("sh"))
       // consumed by both self-join sides: persist so shingling + the
@@ -713,16 +751,20 @@ object Dedup {
     // can add a candidate but never drop a qualifying pair.
     val plen = (size(col("ord")) -
       ceil(lit(threshold) * size(col("ord")) - lit(1e-9)) + 1).cast("int")
-    val pre = docOrd.select(col("id"), col("sh"),
+    val pre = docOrd.select(col("id"), col("side"), col("sh"),
         posexplode(slice(col("ord"), lit(1), plen)).as(Seq("pos", "p")))
-      .select(col("p").getField("h").as("tok"), col("id"), col("sh"), col("pos"))
-    val l = pre.select(col("tok"), col("id").as("id_l"), col("sh").as("sh_l"),
-      col("pos").as("pos_l"))
-    val r = pre.select(col("tok"), col("id").as("id_r"), col("sh").as("sh_r"),
-      col("pos").as("pos_r"))
+      .select(col("p").getField("h").as("tok"), col("id"), col("side"), col("sh"),
+        col("pos"))
+    val l = pre.select(col("tok"), col("id").as("id_l"), col("side").as("side_l"),
+      col("sh").as("sh_l"), col("pos").as("pos_l"))
+    val r = pre.select(col("tok"), col("id").as("id_r"), col("side").as("side_r"),
+      col("sh").as("sh_r"), col("pos").as("pos_r"))
     l.join(r, "tok")
-      // `<` canonicalizes the pair once per shared prefix token
-      .filter(col("id_l") < col("id_r"))
+      // self mode: `<` canonicalizes the pair once per shared prefix
+      // token; cross mode: keep probe×reference combinations only
+      .filter(if (cross) col("side_l") === "a" && col("side_r") === "b"
+              else col("id_l") < col("id_r"))
+      .drop("side_l", "side_r")
       // division form, NOT `min >= t*max`: J <= min/max holds in rationals,
       // and correctly-rounded division is monotone, so double(J) <=
       // double(min/max) — this prefilter can never drop a pair the final

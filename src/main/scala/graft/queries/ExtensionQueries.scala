@@ -540,6 +540,21 @@ object ExtensionQueries {
         .select(col("id").as("doc_id"), col("band").cast("long").as("band"), col("band_key"))
         .orderBy("doc_id", "band")),
 
+    // cross-corpus PPJoin (similarity-level decontamination): the FULL
+    // corpus probed against a verbatim reference slice (every 83rd doc)
+    // at n-gram Jaccard ≥ 0.5 — x17's prefix + size-ratio + positional
+    // filters and native merge verify over one union frame, probe ×
+    // reference candidates only. Unlike the x17 self-join there is no
+    // id canonicalization: the two corpora's id spaces may overlap, and
+    // a doc matching its own verbatim copy (J = 1) is a REAL pair.
+    "x90_ngram_against" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.ngramJaccardAgainst(
+          d, d.filter(pmod(col("doc_id"), lit(83)) === 0),
+          threshold = NgramThreshold)
+        .orderBy("id_a", "id_b")
+    }),
+
     // per-source MinHash sketch union (Broder: minhash of a union =
     // elementwise min) → pairwise cross-source Jaccard estimate — the
     // k-longs-per-source provenance screen run BEFORE any pairwise work
@@ -1677,6 +1692,19 @@ object ExtensionQueries {
       s"""WITH $sqlShingleCte,
          |$sqlBandedCte
          |SELECT doc_id, band, band_key FROM banded ORDER BY doc_id, band""".stripMargin,
+
+    // x90: x17's brute-force oracle with probe(all)×reference(every
+    // 83rd) sides and NO id canonicalization
+    "x90_ngram_against" ->
+      s"""WITH $sqlShingleCte,
+         |pr AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+         |    CAST(len(list_intersect(l.shingles, r.shingles)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(l.shingles, r.shingles))) AS jaccard
+         |  FROM sh l JOIN sh r ON r.doc_id % 83 = 0
+         |  WHERE CAST(least(len(l.shingles), len(r.shingles)) AS DOUBLE) /
+         |        greatest(len(l.shingles), len(r.shingles)) >= $NgramThreshold)
+         |SELECT id_a, id_b, jaccard FROM pr
+         |WHERE jaccard >= $NgramThreshold ORDER BY id_a, id_b""".stripMargin,
 
     // x86: the sig CTE's k-position signatures, source-labeled,
     // elementwise-min per source, pairwise position match count

@@ -213,6 +213,18 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.dupSpans(d, n = 13).count() === 0L)
   }
 
+  test("ngramJaccardAgainst: cross pairs only, overlapping id spaces, no self-exclusion") {
+    val probe = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different words nothing shared here at all ok")).toDF("doc_id", "text")
+    // reference doc 1 is a verbatim copy of probe doc 1 (same id!)
+    val ref = Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardAgainst(probe, ref, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((1L, 1L, 1.0)))
+  }
+
   test("ngram jaccard direct join agrees with minhash on the exact pair") {
     val pairs = Dedup.ngramJaccard(docs, threshold = 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
