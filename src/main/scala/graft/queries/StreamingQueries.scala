@@ -80,6 +80,39 @@ object StreamingQueries {
         .orderBy("keep_id")
     }),
 
+    // streaming snapshot diff (x82's stream counterpart): the NEW
+    // snapshot arrives in micro-batches and diffs against the stored OLD
+    // fingerprint table (a stream-static broadcast join — the x54
+    // side-input shape). `removed` is undetectable in a stream (absence
+    // is not an event); the batch x82 owns it.
+    "x92_stream_snapshot_diff" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+      val oldFp = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp_old"))
+      val newRows = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(3)) === 0, concat(col("text"), lit(" rev")))
+            .otherwise(col("text")))
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+      val split = splitPoint(newRows.map(_._1))
+      val input = MemoryStream[(Long, String)]
+      twoBatchDrain(s, input,
+        newRows.filter(_._1 <= split), newRows.filter(_._1 > split),
+        (df: DataFrame) => df.toDF("doc_id", "text")
+          .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp_new"))
+          .join(broadcast(oldFp), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("fp_old").isNull, "added")
+              .when(col("fp_old") === col("fp_new"), "unchanged")
+              .otherwise("changed").as("status"),
+            col("fp_old"), col("fp_new"))
+          .writeStream,
+        (ms: MemoryStream[(Long, String)]) => ms.toDF())
+        .orderBy("doc_id")
+    }),
+
     // streaming decontamination (StreamingDecontaminate.withBloomHits):
     // the benchmark's Bloom sketch is built batch-side and rides the
     // streaming plan as a flat LITERAL bitset — the per-batch filter is
@@ -258,6 +291,25 @@ object StreamingQueries {
          |  FROM documents)
          |SELECT fp, CAST(min(doc_id) AS BIGINT) AS keep_id
          |FROM n GROUP BY fp ORDER BY keep_id""".stripMargin,
+
+    // x92: x82's diff SQL restricted to rows the stream can see (the
+    // arriving NEW snapshot) — 'removed' rows are the batch diff's alone
+    "x92_stream_snapshot_diff" -> {
+      val fp = ExtensionQueries.sqlStringHash(s"(${ExtensionQueries.sqlNorm})")
+      s"""WITH o AS (SELECT doc_id, $fp AS fp_old
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |nn AS (SELECT doc_id, $fp AS fp_new FROM
+         |  (SELECT doc_id,
+         |     CASE WHEN doc_id % 3 = 0 THEN text || ' rev' ELSE text END AS text
+         |   FROM documents WHERE doc_id % 7 <> 0))
+         |SELECT nn.doc_id,
+         |  CASE WHEN o.fp_old IS NULL THEN 'added'
+         |       WHEN o.fp_old = nn.fp_new THEN 'unchanged'
+         |       ELSE 'changed' END AS status,
+         |  o.fp_old, nn.fp_new
+         |FROM nn LEFT JOIN o ON nn.doc_id = o.doc_id
+         |ORDER BY nn.doc_id""".stripMargin
+    },
 
     // the Bloom screen replayed exactly (x44's candidate mechanics minus
     // the exact verify): distinct benchmark bit positions = the bit
