@@ -40,13 +40,38 @@ object IndexMaintenance {
     compactPartitioned(spark, src, dst, "list")
 
   /** Compact a BM25 index generation ([[Retrieval.writeBm25Index]] /
-    * streamed appends): one postings file per term bucket, and the
+    * streamed appends): one postings file per term bucket, the
     * per-batch stats rows collapsed to the single merged row a probe
-    * would sum them to. */
-  def compactBm25Index(spark: SparkSession, src: String, dst: String): Unit = {
-    compactPartitioned(spark, s"$src/postings", s"$dst/postings", "tb")
-    spark.read.parquet(s"$src/stats")
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    * would sum them to, and the doclens sidecar rewritten alongside. */
+  def compactBm25Index(spark: SparkSession, src: String, dst: String): Unit =
+    compactBm25IndexWithDeletes(spark, src, dst,
+      spark.range(0).select(col("id").as("doc_id")))
+
+  /** Compaction + PHYSICAL delete reclamation: the next generation drops
+    * every tombstoned doc's postings and doclens row and folds the
+    * removed mass out of the merged stats row — after which the
+    * tombstone list for this generation is empty by construction.
+    * Probe-identical to the logical-delete probe
+    * ([[Retrieval.bm25TopKFromIndexWithDeletes]]) over the source
+    * generation (spec-pinned), because that probe reconciles to exactly
+    * this rebuilt state. */
+  def compactBm25IndexWithDeletes(
+      spark: SparkSession,
+      src: String,
+      dst: String,
+      tombstones: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id"): Unit = {
+    val dead = tombstones.select(col(idCol)).distinct()
+    spark.read.parquet(s"$src/postings")
+      .join(broadcast(dead), Seq(idCol), "left_anti")
+      .repartition(col("tb"))
+      .write.partitionBy("tb").mode("overwrite").parquet(s"$dst/postings")
+    val live = spark.read.parquet(s"$src/doclens")
+      .join(broadcast(dead), Seq(idCol), "left_anti")
+    live.write.mode("overwrite").parquet(s"$dst/doclens")
+    spark.read.parquet(s"$dst/doclens")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$dst/stats")
   }
 }

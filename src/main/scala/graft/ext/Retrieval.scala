@@ -135,6 +135,12 @@ object Retrieval {
    *    append-friendly (a streaming ingest appends its batch's row;
    *    probes merge by summation), the same merge-on-read discipline as
    *    the IVF index's partition appends.
+   *  - `path/doclens`: one (idCol, dl) row per indexed document — the
+   *    norms sidecar (Lucene's `.nvd` analog). A probe never reads it;
+   *    it exists so DELETES stay cheap: correcting (N, Σdl) for a
+   *    tombstone set needs each deleted doc's length, which postings
+   *    replicate per (doc, term) across every bucket — recovering dl
+   *    from postings alone would force a full-index scan per probe.
    *
    * df is NOT materialized: it is derivable exactly from the pruned
    * postings at probe time (postings hold every (doc, term) pair), which
@@ -170,6 +176,8 @@ object Retrieval {
     tok.agg(count(lit(1)).as("n_docs"),
         sum(size(col("w")).cast("long")).as("sum_dl"))
       .write.mode(mode).parquet(s"$path/stats")
+    tok.select(col(idCol), size(col("w")).cast("long").as("dl"))
+      .write.mode(mode).parquet(s"$path/doclens")
     tok.unpersist()
     ()
   }
@@ -197,6 +205,62 @@ object Retrieval {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = spark.read.parquet(s"$path/stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    scoreAndRank(tf, dfreq, stats, queries, k, idCol)
+  }
+
+  /**
+   * [[bm25TopKFromIndex]] under a TOMBSTONE set — the takedown/opt-out
+   * path of a long-lived index: deletes are logical (a doc-id list), the
+   * index files never rewrite, and the probe reconciles merge-on-read:
+   *
+   *  - candidate postings: the partition-pruned slice ANTI-joined with
+   *    the tombstones (broadcast — a tombstone batch is
+   *    control-plane-sized between compactions; a backlog that outgrows
+   *    broadcast is the signal to compact);
+   *  - df: re-derived from the FILTERED slice, so a deleted doc stops
+   *    counting toward document frequency exactly;
+   *  - (N, Σdl): the append-only stats sum MINUS the tombstoned docs'
+   *    count/length, recovered from the `doclens` sidecar — a semi-join
+   *    against a corpus-rows-sized but 2-narrow-columns table, the only
+   *    reason doclens exists.
+   *
+   * The result is bit-identical to rebuilding the index without the
+   * deleted docs (REBUILD EQUIVALENCE — spec-pinned): every score input
+   * (tf, dl, df, N, Σdl) equals its rebuilt value, and the scoring tail
+   * is shared. Physical reclamation is compaction's job
+   * ([[IndexMaintenance.compactBm25Index]] applied after filtering, or a
+   * fresh [[writeBm25Index]]).
+   *
+   * @param tombstones one column `idCol`: the deleted doc ids (ids never
+   *                   indexed are harmless no-ops)
+   */
+  def bm25TopKFromIndexWithDeletes(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      tombstones: DataFrame,
+      k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val dead = tombstones.select(col(idCol)).distinct()
+    val qTerms = queries.select("term").distinct()
+    val buckets = qTerms.select(termBucket(col("term")).as("tb"))
+      .distinct().collect().map(_.getLong(0))
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("tb").isin(buckets: _*))
+      .join(broadcast(qTerms), Seq("term"))
+      .join(broadcast(dead), Seq(idCol), "left_anti")
+      .select(col(idCol), col("dl"), col("term"), col("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // deleted mass: COUNT and Σdl of tombstoned docs actually present in
+    // the index (semi-join: an unknown id must not distort the stats)
+    val deadStats = spark.read.parquet(s"$path/doclens")
+      .join(broadcast(dead), Seq(idCol))
+      .agg(count(lit(1)).as("d_n"), coalesce(sum(col("dl")), lit(0L)).as("d_dl"))
+    val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).as("t_n"), sum(col("sum_dl")).as("t_dl"))
+      .crossJoin(broadcast(deadStats))
+      .select((col("t_n") - col("d_n")).as("n_docs"),
+        (col("t_dl") - col("d_dl")).as("sum_dl"))
     scoreAndRank(tf, dfreq, stats, queries, k, idCol)
   }
 

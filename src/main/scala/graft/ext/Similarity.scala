@@ -521,6 +521,43 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine", "list")
   }
 
+  /** [[probeIvfIndex]] under a TOMBSTONE set — the vector-side takedown
+    * path (the BM25 analog is
+    * [[Retrieval.bm25TopKFromIndexWithDeletes]]): deleted ids are
+    * screened out of the pruned candidate scan with one broadcast
+    * anti-join BEFORE any cosine is computed, so a tombstoned vector
+    * costs nothing and can never surface as a neighbor. Unlike BM25
+    * there is no corpus-statistic to reconcile — cosine is per-pair —
+    * so rebuild equivalence is the anti-join alone (spec-pinned
+    * against a probe of an index rebuilt without the deleted rows).
+    * Physical reclamation: [[IndexMaintenance.compactIvfIndex]] over the
+    * filtered index (or a fresh [[writeIvfIndex]]). */
+  def probeIvfIndexWithDeletes(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      tombstones: DataFrame,
+      k: Int,
+      centroids: Seq[KMeans.Centroid],
+      nprobe: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dead = tombstones.select(col(idCol).as("neighbor_id")).distinct()
+    val idx = spark.read.parquet(path)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"), col("list"))
+      .join(broadcast(dead), Seq("neighbor_id"), "left_anti")
+    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+        explode(KMeans.nearestClusters(col(vecCol), centroids, nprobe)).as("list"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    idx.join(broadcast(qb), Seq("list"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", vec_cosine(col("query_vec"), col("neighbor_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine", "list")
+  }
+
   /** Per-dimension min-max int8-style quantization (0..255) — the
     * storage-compression step of an embedding pipeline. Exploded layout
     * (vec_id, dim, q): per-dim stats are one small aggregate broadcast

@@ -389,9 +389,15 @@ object ExtensionQueries {
     * print via shortest-round-trip Double.toString, so both engines plug
     * in bit-identical values. Per-term scores round→DECIMAL(18,6) before
     * the order-independent exact sum, as in the engine. */
-  private val sqlBm25Ctes: String =
+  private lazy val sqlBm25Ctes: String = sqlBm25CtesWhere("")
+
+  /** [[sqlBm25Ctes]] over a filtered corpus — x93's rebuild-equivalence
+    * oracle: BM25 with tombstones applied ≡ BM25 over `documents`
+    * minus the tombstoned rows, so the oracle IS the x61 chain with the
+    * tombstone predicate pushed into the corpus scan. */
+  private def sqlBm25CtesWhere(where: String): String =
     s"""$sqlQueryTermsCte,
-       |norm AS (SELECT doc_id, $sqlNorm AS t FROM documents),
+       |norm AS (SELECT doc_id, $sqlNorm AS t FROM documents$where),
        |tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
        |posted AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM tok),
        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM posted
@@ -1685,6 +1691,42 @@ object ExtensionQueries {
           col("neighbor_id"), col("label_q"), col("label_n"),
           round(col("cosine"), 6).as("cosine_r"), col("list"))
         .orderBy("query_id", "rank")
+    }),
+
+    // BM25 index under TOMBSTONE deletes (merge-on-read, the
+    // takedown/opt-out path): the written postings/doclens/stats layout
+    // probed with doc_id%7=0 logically deleted — candidates anti-joined,
+    // df re-derived from the filtered slice, (N, Σdl) corrected via the
+    // doclens sidecar. Rebuild-equivalent by construction, which is
+    // literally what the oracle computes (x61's chain over the filtered
+    // corpus)
+    "x93_bm25_deletes" -> ((s, dir) => {
+      val q = s.createDataFrame(RetrievalQueryTerms).toDF("query_id", "term")
+      val docs = Tables.documents(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_x93_").toString
+      Retrieval.writeBm25Index(docs, path)
+      val dead = docs.filter(pmod(col("doc_id"), lit(7)) === 0).select("doc_id")
+      Retrieval.bm25TopKFromIndexWithDeletes(s, path, q, dead, k = Bm25K)
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF index under TOMBSTONE deletes, vector side: the
+    // list-partitioned layout probed at nprobe=2 with vec_id%5=0
+    // logically deleted — ONE broadcast anti-join on the pruned
+    // candidate scan before any cosine; no corpus statistic to
+    // reconcile, so rebuild equivalence is the anti-join alone
+    "x94_ivf_deletes" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = StreamingQueries.recurrenceCentroids
+      val path = java.nio.file.Files.createTempDirectory("graft_x94_").toString
+      Similarity.writeIvfIndex(emb, path, cents)
+      val dead = emb.filter(pmod(col("vec_id"), lit(5)) === 0).select("vec_id")
+      Similarity.probeIvfIndexWithDeletes(s, path,
+          emb.filter(col("vec_id") < 5), dead, k = 3, cents, nprobe = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cosine"), 6).as("cosine_r"),
+          col("list").cast("long").as("list"))
+        .orderBy("query_id", "rank")
     }))
 
   // =====================================================================
@@ -2754,6 +2796,48 @@ object ExtensionQueries {
          |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
          |  doc_id, CAST(sd AS DOUBLE) AS score
          |FROM br WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin,
+
+    // x93: rebuild equivalence IS the spec — the tombstone-reconciled
+    // index probe must equal x61's chain over the corpus minus the
+    // deleted rows, so the oracle pushes the tombstone predicate into
+    // the corpus scan and changes nothing else
+    "x93_bm25_deletes" ->
+      s"""WITH ${sqlBm25CtesWhere(" WHERE doc_id % 7 <> 0")}
+         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+         |  doc_id, CAST(sd AS DOUBLE) AS score
+         |FROM br WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin,
+
+    // x94: corpus assignment = L2 argmin (first-min tie, the written
+    // index's KMeans.assign), query probes = the nprobe=2 nearest lists
+    // by (distance, list) rank, deleted neighbors dropped, exact cosine
+    // rank within the probed lists
+    "x94_ivf_deletes" -> {
+      val dists = (0 until Similarity.IvfLists)
+        .map(QueryHelpers.sqlDistTo).mkString("[\n", ",\n", "]")
+      s"""WITH d AS (SELECT vec_id, embedding, $dists AS ds FROM embeddings),
+         |ca AS (SELECT vec_id, embedding,
+         |    CAST(list_position(ds, list_min(ds)) - 1 AS BIGINT) AS list FROM d),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS nv, list
+         |  FROM ca WHERE vec_id % 5 <> 0),
+         |qd AS (SELECT vec_id AS query_id, embedding AS qv,
+         |    unnest(list_transform(range(0, ${Similarity.IvfLists}),
+         |      i -> struct_pack(l := CAST(i AS BIGINT), dd := ds[i+1]))) AS e
+         |  FROM d WHERE vec_id < 5),
+         |qr AS (SELECT query_id, qv, e.l AS list,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY e.dd, e.l) AS pr
+         |  FROM qd),
+         |qp AS (SELECT query_id, qv, list FROM qr WHERE pr <= 2),
+         |sc AS (SELECT query_id, neighbor_id, c.list,
+         |    ${sqlDot("qv", "nv")} /
+         |    (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("nv", "nv")})) AS cosine
+         |  FROM qp JOIN c ON qp.list = c.list AND c.neighbor_id <> qp.query_id),
+         |r AS (SELECT query_id, neighbor_id, cosine, list,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM sc)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+         |       round(cosine, 6) AS cosine_r, list
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
 
     // x62: BM25 top-20 ∪ exact-cosine top-20 → RRF — the fused score is
     // fixed-order two-term double arithmetic, no aggregation anywhere

@@ -23,4 +23,21 @@ object QueryHelpers {
 
   /** Exact mean: decimal sum / count (both deterministic). */
   def decMean(c: Column): Column = decSum(c) / count(c)
+
+  /** L2-distance fold from an `embedding` column to recurrence centroid
+    * `c`, replicated from KMeans.distCol's sequential accumulation (seed
+    * 0.0, per-dim (v-c)² in index order). Lives here — not in
+    * Streaming/ExtensionQueries — because both oracle maps use it and a
+    * cross-reference between those two objects' INIT-TIME vals would be
+    * an object-initialization cycle (each one's oracleSql already
+    * touches the other). */
+  def sqlDistTo(c: Int): String = {
+    val lit = (0 until 64).map(d => graft.ext.Similarity.centroidComponent(c, d))
+      .mkString("[", ",", "]")
+    s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+       |      list_transform(range(1, 65),
+       |        i -> (CAST(embedding[i] AS DOUBLE) - ($lit)[i])
+       |           * (CAST(embedding[i] AS DOUBLE) - ($lit)[i]))),
+       |      (a, b) -> a + b)""".stripMargin
+  }
 }

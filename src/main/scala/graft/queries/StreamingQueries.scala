@@ -268,17 +268,6 @@ object StreamingQueries {
         Array.tabulate(64)(d => Similarity.centroidComponent(c, d)), 0L)
     }
 
-  /** L2-distance fold to one centroid, replicated from KMeans.distCol's
-    * sequential accumulation (seed 0.0, per-dim (v-c)^2 in index order). */
-  private def sqlDistTo(c: Int): String = {
-    val lit = (0 until 64).map(d => Similarity.centroidComponent(c, d))
-      .mkString("[", ",", "]")
-    s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
-       |      list_transform(range(1, 65),
-       |        i -> (CAST(embedding[i] AS DOUBLE) - ($lit)[i])
-       |           * (CAST(embedding[i] AS DOUBLE) - ($lit)[i]))),
-       |      (a, b) -> a + b)""".stripMargin
-  }
 
   val oracleSql: Map[String, String] = Map(
 
@@ -337,7 +326,7 @@ object StreamingQueries {
     // literals — the read-back of the streamed index must equal a direct
     // batch assignment of every vector
     "x55_stream_index_ingest" -> {
-      val dists = (0 until Similarity.IvfLists).map(sqlDistTo)
+      val dists = (0 until Similarity.IvfLists).map(QueryHelpers.sqlDistTo)
         .mkString("[\n", ",\n", "]")
       s"""WITH d AS (SELECT vec_id, $dists AS ds FROM embeddings)
          |SELECT vec_id,

@@ -117,4 +117,34 @@ class IvfIndexSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("tombstoned probe equals a rebuild without the deleted vectors; screen is a broadcast anti-join") {
+    val df = corpus()
+    val cents = KMeans.fit(df, k = 3, iters = 3, vecCol = "embedding")
+    val full = java.nio.file.Files.createTempDirectory("graft-ivf-td").toString
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-ivf-tr").toString
+    try {
+      Similarity.writeIvfIndex(df, full, cents)
+      // tombstone ids spread across all three clusters, incl. a top-1
+      // neighbor; 999 = never-indexed no-op
+      val dead = Seq(3L, 7L, 11L, 999L).toDF("vec_id")
+      Similarity.writeIvfIndex(
+        df.filter(!col("vec_id").isin(3L, 7L, 11L)), rebuilt, cents)
+      val queries = df.filter(col("vec_id") < 3)
+      val probe = Similarity.probeIvfIndexWithDeletes(
+        spark, full, queries, dead, k = 3, cents, nprobe = 2)
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.select("query_id", "rank", "neighbor_id")
+          .as[(Long, Int, Long)].collect().toSet
+      assert(rows(probe) === rows(Similarity.probeIvfIndex(
+        spark, rebuilt, queries, k = 3, cents, nprobe = 2)))
+      assert(!rows(probe).exists(r => Set(3L, 7L, 11L)(r._3)))
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        s"tombstone screen must be a broadcast anti-join, not a shuffle:\n$plan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(full))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(rebuilt))
+    }
+  }
 }

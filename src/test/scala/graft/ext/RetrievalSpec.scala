@@ -109,6 +109,48 @@ class RetrievalSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("bm25 deletes: tombstoned probe equals a rebuild without the deleted docs (stats, df, tf all reconciled)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_bm25del_").toString
+    Retrieval.writeBm25Index(docs, path)
+    // delete doc 1 (the top hit for query 0) and doc 3 (a 'window' match):
+    // rank order, df('join'/'window'), and avgdl ALL change — a probe that
+    // forgot any of the three reconciliations diverges here
+    val dead = Seq(1L, 3L, 99L).toDF("doc_id") // 99: never-indexed no-op
+    val rebuilt = Retrieval.bm25TopK(docs.filter(!col("doc_id").isin(1L, 3L)), q, k = 10)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val probed = Retrieval.bm25TopKFromIndexWithDeletes(spark, path, q, dead, k = 10)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(probed === rebuilt)
+    assert(!probed.exists(r => r._3 == 1L || r._3 == 3L))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("bm25 deletes: physical compaction reproduces the logical-delete probe and empties the tombstones") {
+    val src = java.nio.file.Files.createTempDirectory("graft_bm25delc_src_").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_bm25delc_dst_").toString
+    Retrieval.writeBm25Index(docs, src)
+    val dead = Seq(1L, 3L).toDF("doc_id")
+    IndexMaintenance.compactBm25IndexWithDeletes(spark, src, dst, dead)
+    val logical = Retrieval.bm25TopKFromIndexWithDeletes(spark, src, q, dead, k = 10)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // the compacted generation needs NO tombstones any more
+    val physical = Retrieval.bm25TopKFromIndex(spark, dst, q, k = 10)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(physical === logical)
+    // deleted docs are physically gone from every index component
+    assert(spark.read.parquet(s"$dst/postings")
+      .filter(col("doc_id").isin(1L, 3L)).count() === 0L)
+    assert(spark.read.parquet(s"$dst/doclens")
+      .filter(col("doc_id").isin(1L, 3L)).count() === 0L)
+    val st = spark.read.parquet(s"$dst/stats").collect()
+    assert(st.length === 1 && st.head.getLong(0) === docs.count() - 2)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("quantizeWithStats: frozen driver-side stats reproduce quantizeMinMax exactly") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val stats = Similarity.quantizeStats(emb)

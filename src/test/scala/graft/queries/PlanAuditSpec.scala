@@ -397,6 +397,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
       s"rank<=k must cut partial below the exchange (hot-term guard):\n$p")
   }
+  test("x93: tombstone screens are broadcast anti-joins on the PRUNED slice; rank cut below exchange") {
+    val p = planOf("x93_bm25_deletes")
+    // postings scan still partition-prunes to the query terms' buckets —
+    // deletes must not degrade the probe to a full-index read
+    assert(p.contains("PartitionFilters: [tb"),
+      s"tb bucket pruning must survive the tombstone path:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"the tombstone screen must be a broadcast anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row stats scaffolds must broadcast, never go cartesian:\n$p")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"rank<=k must cut partial below the exchange:\n$p")
+  }
+  test("x94: IVF tombstone probe keeps list pruning and anti-joins the dead set broadcast") {
+    val p = planOf("x94_ivf_deletes")
+    assert(p.contains("PartitionFilters: [isnotnull(list") ||
+      p.contains("dynamicpruning"),
+      s"list partition pruning must survive the tombstone path:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"the tombstone screen must be a broadcast anti-join:\n$p")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"rank<=k must cut partial below the exchange:\n$p")
+  }
 
   test("x62: fusion never goes cartesian; corpus-side dims broadcast; rank cuts below exchanges") {
     val p = planOf("x62_hybrid_rrf")
