@@ -355,4 +355,62 @@ object Mixture {
       .select(col(idCol), col("n_grams"),
         round(col("w_d").cast("double"), 6).as("weight_r"))
   }
+
+  /**
+   * Priority sampling (Duffield, Lund & Thorup, JACM 2007): a
+   * weight-proportional sample of k items per group WITHOUT replacement,
+   * with the Horvitz-Thompson-style weight estimator that makes
+   * subset-sum estimates over the sample unbiased — the principled way
+   * to downsample a corpus when downstream accounting must still add up
+   * (token budgets, per-domain mass reports) from the sample alone.
+   *
+   * Mechanics: item i gets priority q_i = w_i / u_i with u_i uniform on
+   * (0, 1]; keep the k highest-priority items per group; τ = the
+   * (k+1)-th priority (0 when the group has ≤ k items — everything
+   * kept); each kept item's weight estimate is ŵ_i = max(w_i, τ).
+   *
+   * Determinism: u_i = (hash(id ∥ ":prio") mod M + 1)/M — the battery's
+   * deterministic-uniform convention (no RNG; reruns, retries and the
+   * oracle agree). q is ONE double division per row (pure per-row IEEE
+   * arithmetic — cross-engine-exact, unlike accumulated doubles), ties
+   * broken on the id.
+   *
+   * Scale shape: the per-group top-(k+1) runs through
+   * [[Skew.saltedTopK]] — the hot-source funnel fix x39/x52 already pay
+   * for — so one source at 60% of the corpus spreads over `salts` tasks;
+   * τ derives from the ≤ (k+1)·groups surviving rows (dimension-sized)
+   * and joins back by broadcast.
+   *
+   * @param weight integer-valued weight column expression (> 0), e.g. a
+   *               token count
+   * @return kept rows only: (idCol, groupCol, w, priority_r, tau_r,
+   *         w_hat_r) — rounded displays of exact per-row doubles
+   */
+  def prioritySample(
+      docs: DataFrame,
+      weight: org.apache.spark.sql.Column,
+      k: Int,
+      idCol: String = "doc_id",
+      groupCol: String = "source",
+      salts: Int = 8): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = pmod(graft.functions.HashExpressions.rolling_hash(
+      concat(col(idCol).cast("string"), lit(":prio"))), lit(M))
+    val prioritized = docs.select(col(idCol), col(groupCol),
+        weight.cast("long").as("w"), u.as("u"))
+      .withColumn("q",
+        col("w").cast("double") * lit(M.toDouble) / (col("u") + lit(1L)))
+    val ranked = Skew.saltedTopK(prioritized, groupCol,
+        order = Seq(col("q").desc, col(idCol)),
+        saltBy = Seq(idCol), k = k + 1L, salts = salts)
+      .filter(col("kept"))
+    val tau = ranked.groupBy(groupCol)
+      .agg(max(when(col("rnk") === (k + 1L), col("q")).otherwise(0.0)).as("tau"))
+    ranked.filter(col("rnk") <= k)
+      .join(broadcast(tau), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("w"),
+        round(col("q"), 6).as("priority_r"),
+        round(col("tau"), 6).as("tau_r"),
+        round(greatest(col("w").cast("double"), col("tau")), 6).as("w_hat_r"))
+  }
 }

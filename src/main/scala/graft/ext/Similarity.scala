@@ -325,6 +325,41 @@ object Similarity {
     corpus.select(col(idCol), col(vecCol), ivfList(col(vecCol), lists, dim).as("list"))
 
   /**
+   * Cluster-balanced diversity sampling: assign every vector to its IVF
+   * cell and keep (up to) `quota` per cell, chosen by a deterministic
+   * uniform key — the "sample evenly across embedding clusters" selection
+   * rule of CLIP-style curation (DataComp's cluster-based pool
+   * balancing): a dominant mode of the embedding space can contribute at
+   * most `quota` exemplars, so the kept set spreads over the space
+   * instead of mirroring its density.
+   *
+   * Scale shape: the per-cell window is bounded by construction — at
+   * scale `lists` grows with the corpus (lists ≈ N / target cell size,
+   * exactly how [[ivfTopKTrained]]'s quantizer is sized), so a window
+   * partition is cell-sized, never corpus-sized; the rank ≤ quota cut
+   * runs under WindowGroupLimit below the exchange. Assignment itself
+   * is map-side (centroid literals).
+   */
+  def cellQuotaSample(
+      corpus: DataFrame,
+      quota: Int,
+      lists: Int = IvfLists,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val key = pmod(graft.functions.HashExpressions.rolling_hash(
+      concat(col(idCol).cast("string"), lit(":divq"))), lit(Mixture.M))
+    val w = Window.partitionBy("list").orderBy(col("div_key"), col(idCol))
+    ivfAssign(corpus, lists, dim, idCol, vecCol)
+      .withColumn("div_key", key)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= quota)
+      .select(col(idCol), col("list"), col("div_key"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  /**
    * SemDeDup (Abbas et al. 2023, arXiv:2303.09540) re-expressed
    * relationally: cluster the embedding space, then prune near-duplicate
    * pairs WITHIN each cluster — the trick that makes semantic dedup

@@ -69,6 +69,8 @@ object ExtensionQueries {
     (1L, "window"), (1L, "filter"), (1L, "sort"),
     (2L, "stream"), (2L, "hash"), (2L, "merge"))
   private val TempR = 3L           // x57 τ=1/2 sampling scale (rate = R/√n_src)
+  private val PrioSampleK = 25     // x95 per-source priority-sample size
+  private val CellQuota = 40       // x96 per-IVF-cell diversity quota
   private val EpochBudget = 100000L // x78 global token budget to plan against
   /** x87 coverage report sizes — dense low end: the fixture vocabulary
     * is ~31 tokens at sf0.01, and real curves bend hardest early. */
@@ -1710,6 +1712,23 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // cluster-balanced diversity sampling (DataComp-style pool
+    // balancing): ≤ quota exemplars per IVF cell by deterministic
+    // uniform key — a dominant embedding mode can't swamp the kept set
+    "x96_cell_quota_sample" -> ((s, dir) =>
+      Similarity.cellQuotaSample(Tables.embeddings(s, dir), quota = CellQuota)
+        .orderBy("vec_id")),
+
+    // priority sampling (Duffield-Lund-Thorup): per-source
+    // weight-proportional k-sample without replacement + the
+    // Horvitz-Thompson ŵ = max(w, τ) estimator — deterministic uniform
+    // key, one double division per row, per-source top-(k+1) through the
+    // x39/x52 salted two-phase funnel fix
+    "x95_priority_sample" -> ((s, dir) =>
+      Mixture.prioritySample(Tables.documents(s, dir),
+          weight = wsTokenCount(col("text")), k = PrioSampleK)
+        .orderBy("doc_id")),
+
     // IVF index under TOMBSTONE deletes, vector side: the
     // list-partitioned layout probed at nprobe=2 with vec_id%5=0
     // logically deleted — ONE broadcast anti-join on the pruned
@@ -2806,6 +2825,41 @@ object ExtensionQueries {
          |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
          |  doc_id, CAST(sd AS DOUBLE) AS score
          |FROM br WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin,
+
+    // x96: x15's argmax-list assignment + per-cell rank over the
+    // deterministic uniform key, quota cut
+    "x96_cell_quota_sample" ->
+      s"""WITH s AS (SELECT vec_id, $sqlIvfScores AS scores FROM embeddings),
+         |a AS (SELECT vec_id,
+         |    CAST(list_position(scores, list_max(scores)) - 1 AS BIGINT) AS list FROM s),
+         |k AS (SELECT vec_id, list,
+         |    ${sqlStringHash("CAST(vec_id AS VARCHAR) || ':divq'")} % ${Mixture.M}
+         |      AS div_key
+         |  FROM a),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY list ORDER BY div_key, vec_id) AS rnk
+         |  FROM k)
+         |SELECT vec_id, list, div_key, CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= $CellQuota ORDER BY vec_id""".stripMargin,
+
+    // x95: q = w·M/(u+1) is ONE double division per row (per-row IEEE
+    // arithmetic is cross-engine exact; only accumulated doubles drift),
+    // τ = the per-source (k+1)-th priority or 0, ŵ = max(w, τ)
+    "x95_priority_sample" ->
+      s"""WITH p AS (SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w,
+         |    ${sqlStringHash("CAST(doc_id AS VARCHAR) || ':prio'")} % ${Mixture.M} AS u
+         |  FROM documents),
+         |pq AS (SELECT *, CAST(w AS DOUBLE) * ${Mixture.M}.0 / (u + 1) AS q FROM p),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rnk
+         |  FROM pq),
+         |t AS (SELECT source,
+         |    max(CASE WHEN rnk = ${PrioSampleK + 1} THEN q ELSE 0.0 END) AS tau
+         |  FROM r WHERE rnk <= ${PrioSampleK + 1} GROUP BY source)
+         |SELECT doc_id, r.source, w,
+         |  round(q, 6) AS priority_r, round(tau, 6) AS tau_r,
+         |  round(greatest(CAST(w AS DOUBLE), tau), 6) AS w_hat_r
+         |FROM r JOIN t USING (source) WHERE rnk <= $PrioSampleK
+         |ORDER BY doc_id""".stripMargin,
 
     // x94: corpus assignment = L2 argmin (first-min tie, the written
     // index's KMeans.assign), query probes = the nprobe=2 nearest lists

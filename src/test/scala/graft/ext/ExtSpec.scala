@@ -451,4 +451,58 @@ class ExtSpec extends SparkSpec {
       .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
     out.foreach { case (id, _, _, kept) => assert(again(id) === kept) }
   }
+
+  test("prioritySample: top-k by w/u priority, τ = the (k+1)-th, ŵ = max(w, τ); small group keeps all with τ = 0") {
+    // source "a": 6 docs with distinct weights; "b": 2 docs (< k) —
+    // everything in b kept with τ = 0 and ŵ = w
+    val d = (Seq((0L, "a", 5L), (1L, "a", 50L), (2L, "a", 7L), (3L, "a", 300L),
+      (4L, "a", 2L), (5L, "a", 40L), (100L, "b", 9L), (101L, "b", 1L)))
+      .toDF("doc_id", "source", "w0")
+      .withColumn("text", lit("x")) // unused; weight passed explicitly
+    val k = 3
+    val out = Mixture.prioritySample(d, weight = col("w0"), k = k)
+      .select("doc_id", "source", "w", "priority_r", "tau_r", "w_hat_r")
+      .as[(Long, String, Long, Double, Double, Double)].collect()
+    val a = out.filter(_._2 == "a")
+    val b = out.filter(_._2 == "b")
+    assert(a.length === k && b.length === 2)
+    // replicate the priorities driver-side and check the kept set and τ
+    def u(id: Long): Long = {
+      val s = s"$id:prio"
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L) % Mixture.M
+    }
+    val weights = Map(0L -> 5L, 1L -> 50L, 2L -> 7L, 3L -> 300L, 4L -> 2L, 5L -> 40L)
+    val prios = weights.map { case (id, w) =>
+      id -> w.toDouble * Mixture.M / (u(id) + 1) }
+    val ranked = prios.toSeq.sortBy { case (id, q) => (-q, id) }
+    assert(a.map(_._1).toSet === ranked.take(k).map(_._1).toSet)
+    val tau = ranked(k)._2 // the (k+1)-th priority
+    a.foreach { r =>
+      assert(math.abs(r._5 - tau) < 1e-6)
+      assert(math.abs(r._6 - math.max(r._3.toDouble, tau)) < 1e-6)
+    }
+    // sub-k group: τ = 0, estimator degenerates to the true weight
+    b.foreach { r => assert(r._5 === 0.0 && r._6 === r._3.toDouble) }
+  }
+
+  test("cellQuotaSample: never more than quota per cell; keeps the lowest div_keys; deterministic") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.cellQuotaSample(emb, quota = 5)
+      .select("vec_id", "list", "div_key", "rnk")
+      .as[(Long, Long, Long, Long)].collect()
+    val perCell = out.groupBy(_._2)
+    assert(perCell.forall(_._2.length <= 5))
+    assert(out.forall(r => r._4 >= 1 && r._4 <= 5))
+    // kept = the 5 smallest (div_key, vec_id) of each cell's FULL population
+    val all = Similarity.ivfAssign(emb)
+      .withColumn("div_key", pmod(graft.functions.HashExpressions.rolling_hash(
+        concat(col("vec_id").cast("string"), lit(":divq"))), lit(Mixture.M)))
+      .select("vec_id", "list", "div_key")
+      .as[(Long, Long, Long)].collect()
+    all.groupBy(_._2).foreach { case (cell, members) =>
+      val expect = members.sortBy(m => (m._3, m._1)).take(5).map(_._1).toSet
+      assert(perCell.get(cell).map(_.map(_._1).toSet).getOrElse(Set.empty) === expect,
+        s"cell $cell kept set diverges")
+    }
+  }
 }

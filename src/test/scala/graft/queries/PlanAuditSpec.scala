@@ -410,6 +410,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
       s"rank<=k must cut partial below the exchange:\n$p")
   }
+  test("x95: priority sample rides the salted two-phase funnel; τ joins back broadcast") {
+    val p = planOf("x95_priority_sample")
+    // phase-1 window partitions on (source, _salt) — the hot-source fix;
+    // no window may partition on the bare group column over corpus rows
+    assert(p.contains("_salt"),
+      s"per-source top-k must be salted (x39/x52 funnel fix):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-source τ frame must broadcast back:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing here justifies a sort-merge join:\n$p")
+  }
+  test("x96: cell-quota cut runs under WindowGroupLimit; assignment is map-side") {
+    val p = planOf("x96_cell_quota_sample")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"rank<=quota must cut partial below the exchange:\n$p")
+    assert(!p.contains("Join"),
+      s"assignment is centroid-literal map-side work — no join belongs here:\n$p")
+  }
   test("x94: IVF tombstone probe keeps list pruning and anti-joins the dead set broadcast") {
     val p = planOf("x94_ivf_deletes")
     assert(p.contains("PartitionFilters: [isnotnull(list") ||
