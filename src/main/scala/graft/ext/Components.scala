@@ -145,6 +145,66 @@ object Components {
     (labels, iter)
   }
 
+  /**
+   * Incremental connected components — fold ONE epoch's new edges (and
+   * new nodes) into stored component labels without re-walking the old
+   * graph: the recrawl-lifecycle companion of
+   * [[Dedup.incrementalNearDups]] (which produces exactly the "edges
+   * touching a new doc" delta this consumes).
+   *
+   * Quotient-graph argument: contract every old component to its stored
+   * label, run CC over the contracted new edges only, compose. Because a
+   * stored label IS the min id of its old members ([[connectedComponents]]'
+   * fixpoint), the quotient's min-label equals the merged component's
+   * global min id — so the result is IDENTICAL to a full rebuild over
+   * (old edges ∪ new edges), and the full-rebuild oracle stays exact.
+   *
+   * Scale shape: the CC loop runs over the QUOTIENT graph — |new edges|
+   * rows, the epoch's delta, not the corpus. The corpus-sized work is two
+   * id-equi hash joins (endpoint contraction against the stored labels)
+   * and one labels-sized composition join; old components untouched by
+   * any new edge never enter the loop.
+   *
+   * @param oldLabels (id, component) — stored labels, component = min id
+   * @param newEdges  (src, dst) — edges with at least one endpoint
+   *                  anywhere; endpoints unknown to `oldLabels` are
+   *                  treated as new nodes
+   * @param newNodes  (id) — this epoch's node universe (isolated new
+   *                  nodes become singletons)
+   */
+  def incrementalComponents(
+      oldLabels: DataFrame,
+      newEdges: DataFrame,
+      newNodes: DataFrame): DataFrame = {
+    val lab = oldLabels.select(col("id"), col("component"))
+    val mapped = newEdges
+      .join(lab.select(col("id").as("src"), col("component").as("c_src")),
+        Seq("src"), "left")
+      .join(lab.select(col("id").as("dst"), col("component").as("c_dst")),
+        Seq("dst"), "left")
+      .select(coalesce(col("c_src"), col("src")).as("src"),
+        coalesce(col("c_dst"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .persist()
+    val qNodes = mapped
+      .select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
+    val qLabels = connectedComponents(mapped, qNodes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    qLabels.count() // materialize before releasing the edge delta
+    mapped.unpersist(blocking = false)
+    // compose: old ids re-label through their component's quotient label;
+    // new ids take their own quotient label; untouched rows keep theirs
+    val oldOut = lab
+      .join(qLabels.select(col("id").as("component"), col("component").as("q")),
+        Seq("component"), "left")
+      .select(col("id"), coalesce(col("q"), col("component")).as("component"))
+    val newOut = newNodes.select(col("id"))
+      .join(qLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    oldOut.unionByName(newOut)
+  }
+
   /** Near-dup dedup clusters of a document corpus: MinHash-LSH pairs →
     * components → keeper flag (minimum doc id per cluster). Singleton
     * docs are their own keeper.

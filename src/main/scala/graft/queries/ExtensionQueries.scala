@@ -1712,6 +1712,30 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // incremental connected components (recrawl lifecycle): epoch-1
+    // clusters over the stored half, x26's incremental pair delta for
+    // the incoming half, quotient-graph merge — and the result must
+    // equal the FULL x20 rebuild bit-for-bit (the oracle IS x20's
+    // recursive walk over the whole corpus)
+    "x97_incremental_cc" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      val old = all.filter(col("doc_id") < IncrementalSplit)
+      val incoming = all.filter(col("doc_id") >= IncrementalSplit)
+      val oldLabels = Components.nearDupClusters(s, old, JaccardThreshold, P)
+        .select(col("doc_id").as("id"), col("cluster_id").as("component"))
+      val corpusSh = old.select(col("doc_id").as("id"),
+        sort_array(Dedup.shingleHashes(col("text"))).as("sh"))
+      val newPairs = Dedup.incrementalNearDups(corpusSh,
+        Dedup.bandedFromShingles(corpusSh, P), incoming, JaccardThreshold, P)
+      Components.incrementalComponents(oldLabels,
+          newPairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+          incoming.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"),
+          col("component").cast("long").as("cluster_id"),
+          (col("id") === col("component")).as("is_keeper"))
+        .orderBy("doc_id")
+    }),
+
     // cluster-balanced diversity sampling (DataComp-style pool
     // balancing): ≤ quota exemplars per IVF cell by deterministic
     // uniform key — a dominant embedding mode can't swamp the kept set
@@ -2825,6 +2849,16 @@ object ExtensionQueries {
          |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
          |  doc_id, CAST(sd AS DOUBLE) AS score
          |FROM br WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin,
+
+    // x97: the incremental quotient merge must reproduce the FULL
+    // rebuild — x20's recursive min-label walk over the whole corpus,
+    // verbatim (same output shape; any divergence between the epoch
+    // composition and the global fixpoint is a hash mismatch here)
+    "x97_incremental_cc" ->
+      s"""WITH RECURSIVE $sqlClusterCtes
+         |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id,
+         |       id = min(label) AS is_keeper
+         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // x96: x15's argmax-list assignment + per-cell rank over the
     // deterministic uniform key, quota cut

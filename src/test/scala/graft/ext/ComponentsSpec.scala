@@ -120,4 +120,26 @@ class ComponentsSpec extends SparkSpec {
     assert(out(4L) === ((1L, false)))
     assert(out(3L) === ((3L, true)))
   }
+
+  test("incrementalComponents: epoch merge equals full rebuild (old-old merge through a new node, isolated new, new-new pair)") {
+    // old graph: {1,2} and {5,6} and singleton 9
+    val oldEdges = Seq((1L, 2L), (5L, 6L)).toDF("src", "dst")
+    val oldNodes = Seq(1L, 2L, 5L, 6L, 9L).toDF("id")
+    val oldLabels = Components.connectedComponents(oldEdges, oldNodes)
+    // epoch 2: node 20 bridges the two old components (1,2,5,6,20 merge),
+    // nodes 30/31 form a fresh pair, node 40 arrives isolated
+    val newEdges = Seq((20L, 2L), (20L, 6L), (30L, 31L)).toDF("src", "dst")
+    val newNodes = Seq(20L, 30L, 31L, 40L).toDF("id")
+    val inc = Components.incrementalComponents(oldLabels, newEdges, newNodes)
+      .as[(Long, Long)].collect().toMap
+    val full = Components.connectedComponents(
+        oldEdges.unionByName(newEdges),
+        oldNodes.unionByName(newNodes))
+      .as[(Long, Long)].collect().toMap
+    assert(inc === full)
+    // and the merged component's label is the global min across epochs
+    assert(inc(20L) === 1L && inc(6L) === 1L && inc(5L) === 1L)
+    assert(inc(30L) === 30L && inc(31L) === 30L)
+    assert(inc(40L) === 40L && inc(9L) === 9L)
+  }
 }
