@@ -93,6 +93,41 @@ object Sharding {
       .write.partitionBy("shard").mode("overwrite").parquet(path)
   }
 
+  /**
+   * Shard MANIFEST with integrity checksums — the metadata record a
+   * 100 TB shard layout ships alongside the files: per shard, the doc
+   * and token counts a training scheduler budgets with, the first/last
+   * doc ids in stream order, and an ORDER-SENSITIVE content checksum —
+   * `Σ pos·h(id) mod P` over the shard's planned order, where h is the
+   * portable rolling hash. A dropped doc, a duplicated doc, or any two
+   * docs swapped in the stream order changes the checksum, so a
+   * re-generated (or retried, or resumed) layout can be byte-audited
+   * against the manifest without reading document payloads.
+   *
+   * Integer-exact everywhere: each term pos·h ≤ 10⁹·10⁹ < 2⁶³ stays a
+   * Long; the per-shard SUM runs in DECIMAL(38,0) (a petabyte-scale
+   * shard overflows a Long sum) and reduces mod P once at the end —
+   * order-independent aggregation of an order-SENSITIVE term.
+   */
+  def shardManifest(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numShards: Int = 8): DataFrame = {
+    val h = graft.functions.HashExpressions.rolling_hash(
+      concat(col(idCol).cast("string"), lit(":ck")))
+    assignShards(docs, idCol, textCol, numShards)
+      .withColumn("term", col("pos") * h)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min_by(col(idCol), col("pos")).as("first_id"),
+        max_by(col(idCol), col("pos")).as("last_id"),
+        pmod(sum(col("term").cast("decimal(38,0)")),
+          lit(graft.functions.HashExpressions.Mod).cast("decimal(38,0)"))
+          .cast("long").as("checksum"))
+  }
+
   /** Exact token-budget head in deterministic shuffle order:
     * (idCol, n_tokens, cum_tokens, kept) where `cum_tokens` is the
     * inclusive global running total and `kept = cum_tokens <= budget`

@@ -1712,6 +1712,14 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // shard manifest with integrity checksums: per-shard doc/token
+    // counts, stream-order endpoints, and the order-sensitive
+    // Σ pos·h(id) mod P checksum a resumed/re-generated layout is
+    // byte-audited against
+    "x98_shard_manifest" -> ((s, dir) =>
+      Sharding.shardManifest(Tables.documents(s, dir), numShards = NumShards)
+        .orderBy("shard")),
+
     // incremental connected components (recrawl lifecycle): epoch-1
     // clusters over the stored half, x26's incremental pair delta for
     // the incoming half, quotient-graph merge — and the result must
@@ -2849,6 +2857,29 @@ object ExtensionQueries {
          |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
          |  doc_id, CAST(sd AS DOUBLE) AS score
          |FROM br WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin,
+
+    // x98: x56's placement chain, folded per shard — arg_min/arg_max by
+    // pos for the endpoints, decimal sum of pos·h mod P for the checksum
+    "x98_shard_manifest" ->
+      s"""WITH k AS (SELECT doc_id,
+         |    ${sqlStringHash("CAST(doc_id AS VARCHAR) || ':shard'")} % $NumShards
+         |      AS shard,
+         |    ${sqlStringHash("CAST(doc_id AS VARCHAR) || ':order'")} AS okey,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    ${sqlStringHash("CAST(doc_id AS VARCHAR) || ':ck'")} AS h
+         |  FROM documents),
+         |p AS (SELECT doc_id, shard, n_tokens, h,
+         |    CAST(row_number() OVER
+         |      (PARTITION BY shard ORDER BY okey, doc_id) AS BIGINT) AS pos
+         |  FROM k)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  arg_min(doc_id, pos) AS first_id, arg_max(doc_id, pos) AS last_id,
+         |  CAST(sum(CAST(pos * h AS DECIMAL(38,0)))
+         |    % CAST(${graft.functions.HashExpressions.Mod} AS DECIMAL(38,0)) AS BIGINT)
+         |    AS checksum
+         |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
 
     // x97: the incremental quotient merge must reproduce the FULL
     // rebuild — x20's recursive min-label walk over the whole corpus,

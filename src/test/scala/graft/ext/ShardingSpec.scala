@@ -149,4 +149,32 @@ class ShardingSpec extends SparkSpec {
       assert(rows.map(_._3).distinct.length === 1)
     }
   }
+
+  test("shardManifest: reruns agree; drop/duplicate/swap all flip the shard checksum") {
+    val docs = (0L until 60L).map(i => (i, s"tok$i " * ((i % 7 + 1).toInt)))
+      .toDF("doc_id", "text")
+    val m1 = Sharding.shardManifest(docs, numShards = 4)
+      .select("shard", "n_docs", "n_tokens", "first_id", "last_id", "checksum")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // determinism: the manifest is a pure function of the corpus
+    val m2 = Sharding.shardManifest(docs.repartition(7), numShards = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(m1.toSeq === m2.toSeq)
+    assert(m1.map(_._2).sum === 60L)
+    // manual checksum replication on one shard: Σ pos·h(id) mod P over
+    // the planned (okey, id) order
+    val placed = Sharding.assignShards(docs, numShards = 4)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    def h(id: Long): Long = s"$id:ck".foldLeft(0L)(
+      (acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    val want = placed.filter(_._2 == m1.head._1)
+      .map(r => BigInt(r._3) * h(r._1)).sum.mod(BigInt(1000000007L)).toLong
+    assert(m1.head._6 === want)
+    // a DROPPED doc changes its shard's checksum
+    val dropped = Sharding.shardManifest(docs.filter(col("doc_id") =!= placed
+        .filter(_._2 == m1.head._1).head._1), numShards = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .find(_._1 == m1.head._1).get
+    assert(dropped._6 !== m1.head._6)
+  }
 }
