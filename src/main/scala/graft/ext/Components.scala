@@ -146,6 +146,61 @@ object Components {
   }
 
   /**
+   * Fixed-iteration damped PageRank over an undirected edge list — the
+   * centrality signal for graph-aware keeper selection: inside a near-dup
+   * cluster the highest-ranked (most-connected) member is the best
+   * exemplar of the group, an alternative to quality-argmax (x25) and
+   * min-id (x20) keeper policies.
+   *
+   * Cross-engine-exact by the battery's round→decimal recipe (x61's):
+   * ranks live in DECIMAL(18,6), r₀ = 1 per node; each iteration
+   * computes contrib(u) = round(rank(u)/deg(u), 9) — ONE per-row double
+   * division, IEEE-deterministic — sums contributions EXACTLY as
+   * DECIMAL, and re-rounds rank'(v) = round(0.15 + 0.85·Σ, 6). An
+   * unrolled-CTE oracle replays every iteration bit-for-bit (the
+   * Lloyd/BPE unroll pattern).
+   *
+   * Scale shape: per iteration ONE keyed join (ranks⋈degree is
+   * node-sized, the edge join shuffles on the edge key) and one partial
+   * aggregate; plans stay flat via localCheckpoint per round (the
+   * [[distributedComponentsWithRounds]] discipline). Iterations are a
+   * constant (k=3 default): keeper selection needs a stable ORDERING
+   * inside shallow clusters, not convergence to the global stationary
+   * distribution.
+   *
+   * @param edges (src, dst), one direction per pair (symmetrized here);
+   *              ranks are produced for edge ENDPOINTS — isolated nodes
+   *              hold the closed-form rank 1−d = 0.15 (teleport only),
+   *              which callers coalesce in
+   */
+  def pageRankRanks(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    var ranks = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1.0).cast("decimal(18,6)").as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(deg, Seq("id"))
+        .select(col("id").as("src"),
+          round(col("r").cast("double") / col("deg"), 9)
+            .cast("decimal(20,9)").as("c"))
+      // every endpoint has an in-edge (symmetric graph), so the groupBy
+      // covers the whole node universe each round
+      ranks = sym.join(contrib, Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(round(lit(0.15) + lit(0.85) * sum(col("c")).cast("double"), 6)
+          .cast("decimal(18,6)").as("r"))
+        .localCheckpoint(true)
+    }
+    sym.unpersist(blocking = false)
+    ranks
+  }
+
+  /**
    * Incremental connected components — fold ONE epoch's new edges (and
    * new nodes) into stored component labels without re-walking the old
    * graph: the recrawl-lifecycle companion of

@@ -71,6 +71,7 @@ object ExtensionQueries {
   private val TempR = 3L           // x57 τ=1/2 sampling scale (rate = R/√n_src)
   private val PrioSampleK = 25     // x95 per-source priority-sample size
   private val CellQuota = 40       // x96 per-IVF-cell diversity quota
+  private[queries] val PrIters = 3 // x99 unrolled PageRank iterations
   private val EpochBudget = 100000L // x78 global token budget to plan against
   /** x87 coverage report sizes — dense low end: the fixture vocabulary
     * is ~31 tokens at sf0.01, and real curves bend hardest early. */
@@ -1712,6 +1713,34 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // graph-centrality keeper: damped PageRank (3 unrolled iterations,
+    // round→decimal exact) over the verified near-dup graph; each
+    // cluster keeps its most CENTRAL member (best exemplar) instead of
+    // min-id (x20) or quality-argmax (x25) — singletons hold the
+    // closed-form teleport rank 0.15
+    "x99_centrality_keeper" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minHashNearDups(docs, JaccardThreshold, P)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .persist()
+      val endpoints = pairs
+        .select(explode(array(col("src"), col("dst"))).as("id")).distinct()
+      val labels = Components.connectedComponents(pairs, endpoints)
+      val ranks = Components.pageRankRanks(pairs, iters = PrIters)
+      val base = docs.select(col("doc_id").as("id"))
+        .join(labels, Seq("id"), "left")
+        .join(ranks, Seq("id"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("component"), col("id")).cast("long").as("cluster_id"),
+          coalesce(col("r").cast("double"), lit(0.15)).as("rank_r"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id").orderBy(col("rank_r").desc, col("doc_id"))
+      // `pairs` stays persisted through consumption (labels/ranks/base all
+      // read it) — caller-release convention, as x70's qvecs
+      base.withColumn("is_central", row_number().over(w) === 1)
+        .orderBy("doc_id")
+    }),
+
     // shard manifest with integrity checksums: per-shard doc/token
     // counts, stream-order endpoints, and the order-sensitive
     // Σ pos·h(id) mod P checksum a resumed/re-generated layout is
@@ -2857,6 +2886,38 @@ object ExtensionQueries {
          |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
          |  doc_id, CAST(sd AS DOUBLE) AS score
          |FROM br WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin,
+
+    // x99: x20's cluster machinery (edges + recursive walk) + the
+    // PageRank recurrence unrolled per iteration — contrib = round(r/deg, 9)
+    // exact-decimal-summed, r' = round(0.15 + 0.85·Σ, 6), replayed
+    // CTE-for-CTE; singletons take the closed-form 0.15
+    "x99_centrality_keeper" -> {
+      def prIter(m: Int): String =
+        s"""c$m AS (SELECT e.dst AS id,
+           |    CAST(round(CAST(r.r AS DOUBLE) / d.deg, 9) AS DECIMAL(20,9)) AS c
+           |  FROM edges e JOIN r${m - 1} r ON r.id = e.src
+           |  JOIN deg d ON d.src = e.src),
+           |r$m AS (SELECT id,
+           |    CAST(round(0.15 + 0.85 * CAST(sum(c) AS DOUBLE), 6)
+           |      AS DECIMAL(18,6)) AS r
+           |  FROM c$m GROUP BY id)""".stripMargin
+      s"""WITH RECURSIVE $sqlClusterCtes,
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |  FROM edges GROUP BY src),
+         |r0 AS (SELECT DISTINCT src AS id, CAST(1.0 AS DECIMAL(18,6)) AS r
+         |  FROM edges),
+         |${(1 to PrIters).map(prIter).mkString(",\n")},
+         |lab AS (SELECT id, CAST(min(label) AS BIGINT) AS cluster_id
+         |  FROM walk GROUP BY id),
+         |j AS (SELECT lab.id AS doc_id, lab.cluster_id,
+         |    COALESCE(CAST(rr.r AS DOUBLE), 0.15) AS rank_r
+         |  FROM lab LEFT JOIN r$PrIters rr ON rr.id = lab.id),
+         |k AS (SELECT *, row_number() OVER
+         |    (PARTITION BY cluster_id ORDER BY rank_r DESC, doc_id) AS rn
+         |  FROM j)
+         |SELECT doc_id, cluster_id, rank_r, rn = 1 AS is_central
+         |FROM k ORDER BY doc_id""".stripMargin
+    },
 
     // x98: x56's placement chain, folded per shard — arg_min/arg_max by
     // pos for the endpoints, decimal sum of pos·h mod P for the checksum

@@ -142,4 +142,32 @@ class ComponentsSpec extends SparkSpec {
     assert(inc(30L) === 30L && inc(31L) === 30L)
     assert(inc(40L) === 40L && inc(9L) === 9L)
   }
+
+  test("pageRankRanks: hub of a star outranks leaves; repartition-invariant; matches hand fold") {
+    // star: 0 — {1,2,3,4}, plus disjoint pair 10—11
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (10L, 11L))
+      .toDF("src", "dst")
+    val r = Components.pageRankRanks(edges, iters = 3)
+      .select($"id", $"r".cast("double"))
+      .as[(Long, Double)].collect().toMap
+    assert(r(0L) > r(1L), "hub must outrank a leaf")
+    assert(Seq(1L, 2L, 3L, 4L).map(r).distinct.size === 1, "leaves tie by symmetry")
+    // the symmetric pair's fixpoint: each gives its whole rank to the
+    // other — rank stays exactly 1.0 every iteration
+    assert(r(10L) === 1.0 && r(11L) === 1.0)
+    // hand-fold the star: leaf gives r/1, hub gives r/4
+    var hub = 1.0; var leaf = 1.0
+    for (_ <- 1 to 3) {
+      val cHub = math.rint(hub / 4 * 1e9) / 1e9
+      val cLeaf = math.rint(leaf / 1 * 1e9) / 1e9
+      val hub2 = math.rint((0.15 + 0.85 * (4 * cLeaf)) * 1e6) / 1e6
+      val leaf2 = math.rint((0.15 + 0.85 * cHub) * 1e6) / 1e6
+      hub = hub2; leaf = leaf2
+    }
+    assert(math.abs(r(0L) - hub) < 1e-9 && math.abs(r(1L) - leaf) < 1e-9)
+    val again = Components.pageRankRanks(edges.repartition(5), iters = 3)
+      .select($"id", $"r".cast("double"))
+      .as[(Long, Double)].collect().toMap
+    assert(again === r)
+  }
 }
