@@ -18,7 +18,9 @@ object ExtensionQueries {
 
   private val P = Dedup.MinHashParams() // 8 bands × 2 rows = 16 hashes
   private[queries] val Mod = TextAnalysis.HashMod
-  private val JaccardThreshold = 0.35
+  private[queries] val JaccardThreshold = 0.35
+  /** Alias for the streaming cluster ingest (x100). */
+  private[queries] def NearDupJaccardThreshold: Double = JaccardThreshold
   private val NgramThreshold = 0.5
   private val EnSampleRate = 30L
   private val PackBudget = 256L

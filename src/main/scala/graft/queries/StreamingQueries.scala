@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ext.{KMeans, Similarity, TextAnalysis}
 import graft.sources.Tables
-import graft.streaming.{StreamingBm25Ingest, StreamingDecontaminate, StreamingDedup, StreamingIndexIngest, StreamingPqIngest}
+import graft.streaming.{StreamingBm25Ingest, StreamingClusterIngest, StreamingDecontaminate, StreamingDedup, StreamingIndexIngest, StreamingPqIngest}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -258,6 +258,39 @@ object StreamingQueries {
         .toDF("query_id", "term")
       graft.ext.Retrieval.bm25TopKFromIndex(s, path, q, k = ExtensionQueries.Bm25K)
         .orderBy("query_id", "rank")
+    }),
+
+    // streaming near-dup CLUSTER maintenance (StreamingClusterIngest):
+    // two micro-batches folded into stored labels via the incremental
+    // pair delta + quotient-graph merge — the grown label state must
+    // equal the FULL x20 rebuild over everything ingested, so the
+    // oracle IS x20's recursive walk
+    "x100_stream_cluster_ingest" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq
+      val split = splitPoint(rows.map(_._1))
+      val path = java.nio.file.Files.createTempDirectory("graft_x100_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x100_ck_").toString
+      val input = MemoryStream[(Long, String)]
+      val writer = StreamingClusterIngest.attach(
+        input.toDF().toDF("doc_id", "text"), path,
+        threshold = ExtensionQueries.NearDupJaccardThreshold)
+        .option("checkpointLocation", ckpt)
+      def drain(batch: Seq[(Long, String)]): Unit = {
+        input.addData(batch)
+        val q = writer.trigger(
+          org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination(120000) finally q.stop()
+      }
+      drain(rows.filter(_._1 <= split))
+      drain(rows.filter(_._1 > split))
+      s.read.parquet(s"$path/labels")
+        .select(col("id").as("doc_id"),
+          col("component").cast("long").as("cluster_id"),
+          (col("id") === col("component")).as("is_keeper"))
+        .orderBy("doc_id")
     }))
 
   /** The x15 deterministic-recurrence centroids as KMeans.Centroid
@@ -340,5 +373,9 @@ object StreamingQueries {
 
     // the streamed IVF-PQ codes probed over x59's query set must equal
     // the in-memory composed probe — x59's oracle verbatim
-    "x73_stream_ivfpq_ingest" -> ExtensionQueries.oracleSql("x59_ivfpq_topk"))
+    "x73_stream_ivfpq_ingest" -> ExtensionQueries.oracleSql("x59_ivfpq_topk"),
+
+    // the streamed cluster state must equal the full batch rebuild —
+    // x20's recursive-walk oracle verbatim
+    "x100_stream_cluster_ingest" -> ExtensionQueries.oracleSql("x20_dedup_clusters"))
 }

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.ext.{Components, Dedup}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.{DataFrame, Row}
+
+/**
+ * Streaming near-dup CLUSTER maintenance — the unbounded counterpart of
+ * the batch cluster build ([[graft.ext.Components.nearDupClusters]]):
+ * each arriving micro-batch of documents is folded into stored cluster
+ * state with [[graft.ext.Dedup.incrementalNearDups]] (the edge delta:
+ * only pairs touching a new doc) + [[graft.ext.Components.incrementalComponents]]
+ * (the quotient-graph label merge), so cluster labels stay equal to a
+ * FULL rebuild over everything ingested so far — the invariant the
+ * oracle checks (x100 must hash-match x20's recursive walk over the
+ * whole corpus).
+ *
+ * State layout under `path/`:
+ *  - `labels`  — (id, component), the current fixpoint; REWRITTEN per
+ *    batch (labels genuinely change on merges — the one state table
+ *    that cannot be append-only; the new generation is materialized via
+ *    localCheckpoint BEFORE the overwrite so the job never reads the
+ *    files it replaces. A production deployment writes generation dirs
+ *    + a pointer swap, as [[graft.ext.IndexMaintenance]] documents).
+ *  - `sh`      — (id, sh) sorted shingle-hash arrays, append-only.
+ *  - `banded`  — (id, band, band_key) LSH rows, append-only — the
+ *    standing candidate-generation index new batches probe.
+ *
+ * Per-batch cost: shingle/band the BATCH only, bucket-join it against
+ * the accumulated banded state (the same pruned probe x26 pays), and run
+ * CC over the edge DELTA's quotient graph — never the accumulated
+ * corpus. Delivery matches the other ingests: checkpointed batches never
+ * re-run; a failure inside a batch may re-append sh/banded rows
+ * (at-least-once, `foreachBatch`'s contract).
+ */
+object StreamingClusterIngest {
+
+  /** Attach the cluster-maintenance sink; caller starts the writer with
+    * its own checkpoint/trigger options. */
+  def attach(
+      docs: DataFrame,
+      path: String,
+      threshold: Double,
+      p: Dedup.MinHashParams = Dedup.MinHashParams(),
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          // in-batch id dedup, as the index ingests (min text per id)
+          val dedup = batch.groupBy(col(idCol)).agg(min(col(textCol)).as(textCol))
+          val newSh = dedup.select(col(idCol).as("id"),
+            sort_array(Dedup.shingleHashes(col(textCol))).as("sh"))
+          val hasState = new java.io.File(s"$path/labels").exists()
+          val (oldLabels, oldSh, oldBanded) =
+            if (hasState)
+              (spark.read.parquet(s"$path/labels"),
+                spark.read.parquet(s"$path/sh"),
+                spark.read.parquet(s"$path/banded"))
+            else
+              (newSh.select(col("id"), col("id").as("component")).limit(0),
+                newSh.limit(0),
+                Dedup.bandedFromShingles(newSh, p).limit(0))
+          val pairs = Dedup.incrementalNearDups(oldSh, oldBanded, dedup,
+            threshold, p, idCol = idCol, textCol = textCol)
+          val merged = Components.incrementalComponents(oldLabels,
+              pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+              dedup.select(col(idCol).as("id")))
+            .localCheckpoint(true) // materialize BEFORE overwriting its input
+          merged.write.mode("overwrite").parquet(s"$path/labels")
+          newSh.write.mode("append").parquet(s"$path/sh")
+          Dedup.bandedFromShingles(newSh, p).write.mode("append")
+            .parquet(s"$path/banded")
+          pairs.unpersist(blocking = false)
+          ()
+        }
+      }
+}

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ext.Components
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming cluster maintenance: micro-batches fold into stored labels
+  * via the incremental pair delta + quotient merge; the grown state must
+  * equal a full batch rebuild — including a LATE doc that bridges two
+  * clusters formed in different earlier batches (the case where labels
+  * genuinely rewrite). */
+class StreamingClusterIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("three streamed batches == full rebuild; a late bridge doc merges two stored clusters") {
+    implicit val sqlCtx = spark.sqlContext
+    val a = "alpha beta gamma delta epsilon zeta eta theta one"
+    val b = "iota kappa lambda mu nu xi omicron pi rho two"
+    // batch 1: cluster A pair (1, 2); batch 2: cluster B pair (10, 11);
+    // batch 3: doc 20 is near-dup of BOTH styles? — a doc can only merge
+    // clusters whose members it pairs with; make 20 a near-dup of doc 2
+    // and 21 a near-dup of doc 10, plus 22 isolated
+    val batches = Seq(
+      Seq((1L, a), (2L, a + " tail")),
+      Seq((10L, b), (11L, b + " tail")),
+      Seq((20L, a + " tails"), (21L, b + " tails"), (22L, "totally different text about rivers and dogs and sunsets")))
+    val path = java.nio.file.Files.createTempDirectory("graft_sci_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sci_ck_").toString
+    val input = MemoryStream[(Long, String)]
+    val writer = StreamingClusterIngest.attach(
+      input.toDF().toDF("doc_id", "text"), path, threshold = 0.35)
+      .option("checkpointLocation", ckpt)
+    batches.foreach { batch =>
+      input.addData(batch)
+      val q = writer.trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    val streamed = spark.read.parquet(s"$path/labels")
+      .as[(Long, Long)].collect().toMap
+    val full = Components.nearDupClusters(spark,
+        batches.flatten.toDF("doc_id", "text"), threshold = 0.35)
+      .select(col("doc_id"), col("cluster_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(streamed === full)
+    // the late arrivals joined the stored clusters, not new ones
+    assert(streamed(20L) === streamed(1L))
+    assert(streamed(21L) === streamed(10L))
+    assert(streamed(22L) === 22L)
+  }
+}
