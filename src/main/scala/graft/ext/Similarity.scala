@@ -325,6 +325,84 @@ object Similarity {
     corpus.select(col(idCol), col(vecCol), ivfList(col(vecCol), lists, dim).as("list"))
 
   /**
+   * Maximal-Marginal-Relevance rerank (Carbonell & Goldstein, SIGIR
+   * 1998): diversify a per-query candidate list by greedily selecting
+   * k results, each maximizing `λ·rel(d) − γ·max_{s∈S} sim(d, s)` over
+   * the already-selected set S — the serving-side answer to "the top-k
+   * are five copies of the same document" (which a near-dup-laden
+   * corpus produces constantly; this composes with, not replaces, the
+   * dedup battery).
+   *
+   * Relational unroll instead of a driver loop: the candidate stage is
+   * [[bruteForceTopK]] top-n (swap in [[ivfPqTopK]]'s output at scale —
+   * any (query_id, id, rel) frame works), the n×n candidate-pair cosine
+   * matrix is ONE equi-join on query_id over n-bounded frames, and each
+   * of the k−1 greedy steps is a join + partial-agg max + rank-1 window
+   * over per-query-bounded rows. Everything downstream of the candidate
+   * stage is O(queries · n²) — independent of corpus size, the whole
+   * point of candidate-stage serving.
+   *
+   * Determinism: rel and sim are per-row cosine folds; each step's score
+   * is fixed-order double arithmetic on them (λ and γ are EXPLICIT
+   * literals — γ is not computed as 1−λ, which would not round-trip in
+   * decimal); ties break on the id. An unrolled-CTE oracle replays every
+   * greedy step.
+   *
+   * @return (query_id, pick_order 1..k, id, mmr_r) — mmr_r the rounded
+   *         step score (step 1's penalty term is max over ∅ = 0)
+   */
+  def mmrRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      n: Int,
+      k: Int,
+      lambdaRel: Double = 0.7,
+      gammaDiv: Double = 0.3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && n >= k, "need n >= k >= 1")
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cand = bruteForceTopK(corpus, queries, n, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id").as("id"), col("cosine").as("rel"))
+      .join(vecs, Seq("id"))
+      .persist()
+    val sims = cand.select(col("query_id"), col("id").as("id_a"), col("vec").as("vec_a"))
+      .join(cand.select(col("query_id"), col("id").as("id_b"), col("vec").as("vec_b")),
+        Seq("query_id"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("query_id"), col("id_a"), col("id_b"),
+        vec_cosine(col("vec_a"), col("vec_b")).as("sim"))
+      .persist()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("id"))
+    var sel = cand
+      .withColumn("score", lit(lambdaRel) * col("rel"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("id"), col("rel"),
+        lit(1L).as("pick_order"), col("score"))
+    for (m <- 2 to k) {
+      val selected = sel.select(col("query_id"), col("id"))
+      val pen = cand
+        .join(selected, Seq("query_id", "id"), "left_anti")
+        .join(sims.withColumnRenamed("id_a", "id"), Seq("query_id", "id"))
+        .join(selected.withColumnRenamed("id", "id_b"), Seq("query_id", "id_b"))
+        .groupBy("query_id", "id", "rel")
+        .agg(max(col("sim")).as("pen"))
+      val pick = pen
+        .withColumn("score", lit(lambdaRel) * col("rel") - lit(gammaDiv) * col("pen"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("id"), col("rel"),
+          lit(m.toLong).as("pick_order"), col("score"))
+      sel = sel.unionByName(pick)
+    }
+    val out = sel.select(col("query_id"), col("pick_order"), col("id"),
+      round(col("score"), 6).as("mmr_r"))
+    out
+  }
+
+  /**
    * Cluster-balanced diversity sampling: assign every vector to its IVF
    * cell and keep (up to) `quota` per cell, chosen by a deterministic
    * uniform key — the "sample evenly across embedding clusters" selection

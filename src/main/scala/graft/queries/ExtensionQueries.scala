@@ -74,6 +74,9 @@ object ExtensionQueries {
   private val PrioSampleK = 25     // x95 per-source priority-sample size
   private val CellQuota = 40       // x96 per-IVF-cell diversity quota
   private[queries] val PrIters = 3 // x99 unrolled PageRank iterations
+  private val MmrK = 5             // x101 diversified results per query
+  private val MmrLambda = 0.7      // x101 relevance weight (explicit literal)
+  private val MmrGamma = 0.3       // x101 diversity penalty (NOT 1−λ in double)
   private val EpochBudget = 100000L // x78 global token budget to plan against
   /** x87 coverage report sizes — dense low end: the fixture vocabulary
     * is ~31 tokens at sf0.01, and real curves bend hardest early. */
@@ -1715,6 +1718,17 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // MMR diversified rerank: top-20 cosine candidates per query, then
+    // k greedy picks maximizing λ·rel − γ·max-sim-to-selected — the
+    // serving-side fix for near-dup-stuffed result lists; every stage
+    // past the candidate cut is O(queries·n²), corpus-independent
+    "x101_mmr_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 3),
+          n = HybridK, k = MmrK, lambdaRel = MmrLambda, gammaDiv = MmrGamma)
+        .orderBy("query_id", "pick_order")
+    }),
+
     // graph-centrality keeper: damped PageRank (3 unrolled iterations,
     // round→decimal exact) over the verified near-dup graph; each
     // cluster keeps its most CENTRAL member (best exemplar) instead of
@@ -2888,6 +2902,53 @@ object ExtensionQueries {
          |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
          |  doc_id, CAST(sd AS DOUBLE) AS score
          |FROM br WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin,
+
+    // x101: x62's dense-candidate chain (top-20 exact cosine), the n×n
+    // candidate sim matrix, then each greedy step unrolled CTE-for-CTE —
+    // remaining = anti-join vs selected, penalty = max sim into the
+    // selected set, rank-1 pick by the same fixed-order score
+    "x101_mmr_rerank" -> {
+      def step(m: Int): String =
+        s"""rem$m AS (SELECT c.query_id, c.id, c.rel FROM cand c
+           |  LEFT JOIN su${m - 1} u ON u.query_id = c.query_id AND u.id = c.id
+           |  WHERE u.id IS NULL),
+           |p$m AS (SELECT r.query_id, r.id, r.rel, max(s.sim) AS pen
+           |  FROM rem$m r JOIN sims s ON s.query_id = r.query_id AND s.id_a = r.id
+           |  JOIN su${m - 1} u ON u.query_id = s.query_id AND u.id = s.id_b
+           |  GROUP BY r.query_id, r.id, r.rel),
+           |sel$m AS (SELECT query_id, id, CAST($m AS BIGINT) AS pick_order,
+           |    $MmrLambda * rel - $MmrGamma * pen AS score
+           |  FROM p$m QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY $MmrLambda * rel - $MmrGamma * pen DESC, id) = 1),
+           |su$m AS (SELECT query_id, id FROM su${m - 1}
+           |  UNION ALL SELECT query_id, id FROM sel$m)""".stripMargin
+      s"""WITH qd AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 3),
+         |cd AS (SELECT vec_id AS id, embedding AS nv FROM embeddings),
+         |ds AS (SELECT query_id, id,
+         |    ${sqlDot("qv", "nv")} /
+         |    (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("nv", "nv")})) AS rel
+         |  FROM qd, cd WHERE query_id <> id),
+         |dr AS (SELECT query_id, id, rel,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, id) AS rank
+         |  FROM ds),
+         |cand AS (SELECT query_id, id, rel FROM dr WHERE rank <= $HybridK),
+         |cv AS (SELECT c.query_id, c.id, c.rel, e.embedding AS vec
+         |  FROM cand c JOIN embeddings e ON e.vec_id = c.id),
+         |sims AS (SELECT a.query_id, a.id AS id_a, b.id AS id_b,
+         |    ${sqlDot("a.vec", "b.vec")} /
+         |    (sqrt(${sqlDot("a.vec", "a.vec")}) * sqrt(${sqlDot("b.vec", "b.vec")})) AS sim
+         |  FROM cv a JOIN cv b ON a.query_id = b.query_id AND a.id <> b.id),
+         |sel1 AS (SELECT query_id, id, CAST(1 AS BIGINT) AS pick_order,
+         |    $MmrLambda * rel AS score
+         |  FROM cand QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY $MmrLambda * rel DESC, id) = 1),
+         |su1 AS (SELECT query_id, id FROM sel1),
+         |${(2 to MmrK).map(step).mkString(",\n")}
+         |SELECT query_id, pick_order, id, round(score, 6) AS mmr_r
+         |FROM (${(1 to MmrK).map(m => s"SELECT * FROM sel$m").mkString(" UNION ALL ")})
+         |ORDER BY query_id, pick_order""".stripMargin
+    },
 
     // x99: x20's cluster machinery (edges + recursive walk) + the
     // PageRank recurrence unrolled per iteration — contrib = round(r/deg, 9)

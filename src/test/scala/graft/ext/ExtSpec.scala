@@ -485,6 +485,41 @@ class ExtSpec extends SparkSpec {
     b.foreach { r => assert(r._5 === 0.0 && r._6 === r._3.toDouble) }
   }
 
+  test("mmrRerank: near-duplicate of the top pick is demoted below a diverse result") {
+    // query q = (0.9, 0.1): a is the top hit, b its near-duplicate,
+    // c relevant-but-diverse, d diverse filler. Hand-computed scores:
+    // rel(a)≈0.994, rel(b)≈0.995·, sim(b,a)≈0.99995, rel(c)≈0.685,
+    // sim(c,a)=0.6, rel(d)≈0.504, sim(d,a)≈0.507
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val corpus = Seq(
+      (1L, v(1.0, 0.0, 0.0, 0.0)),    // a
+      (2L, v(0.999, 0.01, 0.0, 0.0)), // b: near-dup of a
+      (3L, v(0.6, 0.8, 0.0, 0.0)),    // c: diverse, still relevant
+      (4L, v(0.5, 0.0, 0.85, 0.0)),   // d: diverse filler
+      (99L, v(0.9, 0.1, 0.0, 0.0))    // the query
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(corpus, corpus.filter($"vec_id" === 99L),
+        n = 4, k = 3)
+      .orderBy("pick_order")
+      .select("pick_order", "id").as[(Long, Long)].collect()
+    // b edges out a on pure relevance (it tilts toward q's direction):
+    // pick 1 = b; default λ=0.7/γ=0.3 is gentle — near-dup a (0.396)
+    // still beats diverse c (0.297) for slot 2
+    assert(out.head === ((1L, 2L)), "pick 1 is the relevance argmax")
+    assert(out(1)._2 === 1L)
+    // λ=γ=0.5: the near-dup's penalty (≈1) cancels its relevance —
+    // a drops to ≈−0.003 and DIVERSE c (≈+0.038) takes slot 2
+    val strict = Similarity.mmrRerank(corpus, corpus.filter($"vec_id" === 99L),
+        n = 4, k = 3, lambdaRel = 0.5, gammaDiv = 0.5)
+      .orderBy("pick_order")
+      .select("pick_order", "id").as[(Long, Long)].collect()
+    assert(strict.head._2 === 2L)
+    assert(strict(1)._2 === 3L,
+      s"with λ=γ=0.5 diverse c must take slot 2: ${strict.toSeq}")
+    // every pick distinct; exactly k picks
+    assert(out.map(_._2).distinct.length === 3)
+  }
+
   test("cellQuotaSample: never more than quota per cell; keeps the lowest div_keys; deterministic") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.cellQuotaSample(emb, quota = 5)

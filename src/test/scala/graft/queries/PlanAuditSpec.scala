@@ -410,6 +410,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
       s"rank<=k must cut partial below the exchange:\n$p")
   }
+  test("x101: MMR stages stay query-keyed — candidate cut below the exchange, no cartesian") {
+    val p = planOf("x101_mmr_rerank")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"the candidate top-n must cut partial below the exchange:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"sims and greedy steps are query_id equi-joins, never cartesian:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"cand/sims must be persisted — k greedy steps re-read them:\n$p")
+  }
   test("x95: priority sample rides the salted two-phase funnel; τ joins back broadcast") {
     val p = planOf("x95_priority_sample")
     // phase-1 window partitions on (source, _salt) — the hot-source fix;
