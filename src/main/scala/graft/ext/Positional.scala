@@ -132,6 +132,51 @@ object Positional {
   }
 
   /**
+   * Adds `idxCol` = the 1-based dense index of the row WITHIN ITS KEY
+   * GROUP under the global `order`, without a per-key window over
+   * corpus-sized partitions — the primitive behind stratified and
+   * interleaved layouts (curriculum round-robin, per-stratum streaming
+   * order): a plain `Window.partitionBy(key)` funnels each key's ENTIRE
+   * membership through one task, and with K ≈ 10 quality buckets every
+   * window partition is corpus/10.
+   *
+   * Same two-pass layout as [[withGlobalRunningSum]] with the prefix
+   * step KEYED: range-shuffle on the global order, per-(partition, key)
+   * counts (≤ numPartitions·K rows — control-plane-sized for the
+   * bounded-K strata these layouts use; the collect is the operator's
+   * K-bounded contract), per-key prefix sums on the driver, broadcast
+   * back, partition-LOCAL (pid, key) window + offset.
+   *
+   * `keyCol` must be integral (LongType after cast). Self-releasing
+   * (cache-hygiene policy above).
+   */
+  def withPerKeyIndex(df: DataFrame, order: Seq[Column],
+                      keyCol: String, idxCol: String): DataFrame = {
+    val local = df
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn(PidCol, spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = local.groupBy(col(PidCol), col(keyCol).cast("long").as(keyCol))
+      .count().collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val offsets = counts.groupBy(_._2).toSeq.flatMap { case (key, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1).map { case (pid, _, c) => val o = acc; acc += c; (pid, key, o) }
+    }
+    val offDf = df.sparkSession.createDataFrame(offsets).toDF(PidCol, keyCol, OffCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(PidCol), col(keyCol)).orderBy(order: _*)
+    val out = local.join(broadcast(offDf), Seq(PidCol, keyCol))
+      .withColumn(idxCol, col(OffCol) + row_number().over(w).cast("long"))
+      .drop(PidCol, OffCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    local.unpersist(blocking = false)
+    out
+  }
+
+  /**
    * Positional (index) join: left ranked by `leftOrder` zipped with right
    * ranked by `rightOrder` on equal 1-based position. Output keeps `posCol`
    * plus all columns of both sides. Inner-join semantics on position

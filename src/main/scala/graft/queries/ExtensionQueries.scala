@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Bpe, Components, Dedup, KMeans, Mixture, Multimodal, Packing, Profiling, Retrieval, Sharding, Similarity, Skew, TextAnalysis}
+import graft.ext.{Bpe, Components, Dedup, KMeans, Mixture, Multimodal, Packing, Positional, Profiling, Retrieval, Sharding, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1718,6 +1718,40 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // curriculum interleave: quality deciles (x60) round-robined into a
+    // training stream — idx-in-bucket via the NEW per-key two-pass
+    // positional primitive (no per-decile window funnel: a decile is
+    // corpus/10), interleave_pos = (idx−1)·B + bucket
+    "x103_curriculum_interleave" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir).select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+          .cast("long").as("score_r"))
+      val keyed = Mixture.scoreBuckets(scored)
+        .withColumn("cur_key", graft.functions.HashExpressions.rolling_hash(
+          concat(col("doc_id").cast("string"), lit(":cur"))))
+      Positional.withPerKeyIndex(keyed,
+          Seq(col("cur_key"), col("doc_id")), "bucket", "idx_in_bucket")
+        .select(col("doc_id"), col("bucket"), col("idx_in_bucket"),
+          ((col("idx_in_bucket") - 1L) * 10L + col("bucket")).as("interleave_pos"))
+        .orderBy("doc_id")
+    }),
+
+    // soft dedup (down-weighting instead of dropping): every doc gets
+    // training weight 1/|cluster| so each near-dup cluster contributes
+    // unit mass — the gentler alternative to x20's hard keeper when
+    // duplicates carry signal (quality voting, popularity priors);
+    // weight = ONE division per row off the broadcast cluster sizes
+    "x102_soft_dedup_weights" -> ((s, dir) => {
+      val clusters = Components.nearDupClusters(s,
+        Tables.documents(s, dir), JaccardThreshold, P)
+      val sizes = clusters.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_n"))
+      clusters.join(broadcast(sizes), Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_n"),
+          round(lit(1.0) / col("cluster_n"), 6).as("weight_r"))
+        .orderBy("doc_id")
+    }),
+
     // MMR diversified rerank: top-20 cosine candidates per query, then
     // k greedy picks maximizing λ·rel − γ·max-sim-to-selected — the
     // serving-side fix for near-dup-stuffed result lists; every stage
@@ -2902,6 +2936,44 @@ object ExtensionQueries {
          |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
          |  doc_id, CAST(sd AS DOUBLE) AS score
          |FROM br WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin,
+
+    // x103: x60's decile chain + per-bucket rank over the deterministic
+    // curriculum key, round-robin position formula
+    "x103_curriculum_interleave" ->
+      s"""WITH $sqlQualityCtes,
+         |qs AS (SELECT doc_id,
+         |    CAST(round(($sqlQualityScore) * 1000000, 0) AS BIGINT) AS score_r
+         |  FROM g),
+         |h AS (SELECT score_r, CAST(count(*) AS BIGINT) AS c
+         |  FROM qs GROUP BY score_r),
+         |cum AS (SELECT score_r,
+         |    CAST(COALESCE(SUM(c) OVER (ORDER BY score_r
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS below
+         |  FROM h),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+         |b AS (SELECT qs.doc_id,
+         |    CAST(least(10, 1 + (10 * cum.below) // n.n_total) AS BIGINT) AS bucket,
+         |    ${sqlStringHash("CAST(qs.doc_id AS VARCHAR) || ':cur'")} AS cur_key
+         |  FROM qs JOIN cum USING (score_r) CROSS JOIN n),
+         |r AS (SELECT doc_id, bucket,
+         |    CAST(row_number() OVER (PARTITION BY bucket ORDER BY cur_key, doc_id)
+         |      AS BIGINT) AS idx_in_bucket
+         |  FROM b)
+         |SELECT doc_id, bucket, idx_in_bucket,
+         |  (idx_in_bucket - 1) * 10 + bucket AS interleave_pos
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // x102: x20's walk + per-cluster counts, weight = 1/n rounded
+    "x102_soft_dedup_weights" ->
+      s"""WITH RECURSIVE $sqlClusterCtes,
+         |lab AS (SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+         |  FROM walk GROUP BY id),
+         |cn AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_n
+         |  FROM lab GROUP BY cluster_id)
+         |SELECT doc_id, cluster_id, cluster_n,
+         |  round(CAST(1.0 AS DOUBLE) / cluster_n, 6) AS weight_r
+         |FROM lab JOIN cn USING (cluster_id) ORDER BY doc_id""".stripMargin,
 
     // x101: x62's dense-candidate chain (top-20 exact cosine), the n×n
     // candidate sim matrix, then each greedy step unrolled CTE-for-CTE —

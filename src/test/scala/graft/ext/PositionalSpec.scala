@@ -53,4 +53,28 @@ class PositionalSpec extends SparkSpec {
     val after = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(after.isEmpty, s"leaked persisted blocks: $after")
   }
+
+  test("withPerKeyIndex matches the naive per-key window; dense 1..n per key; multi-partition") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 500L).map(i => (i, i % 4, rnd.nextLong()))
+    val df = rows.toDF("id", "k", "okey").repartition(13)
+    val got = Positional.withPerKeyIndex(df,
+        Seq(col("okey"), col("id")), "k", "idx")
+      .select("id", "k", "idx").as[(Long, Long, Long)].collect()
+    val want = rows.groupBy(_._2).flatMap { case (_, g) =>
+      g.sortBy(r => (r._3, r._1)).zipWithIndex
+        .map { case ((id, k, _), i) => (id, k, i + 1L) }
+    }.toSet
+    assert(got.toSet === want)
+    // dense per key: every key's indexes are exactly 1..count(key)
+    got.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq === (1L to g.length).toSeq)
+    }
+    // and no per-key window over the RAW frame: the only windows run on
+    // (pid, key) — assert via plan text
+    val plan = Positional.withPerKeyIndex(df,
+      Seq(col("okey"), col("id")), "k", "idx").queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"))
+  }
 }
