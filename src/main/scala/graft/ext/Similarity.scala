@@ -375,12 +375,18 @@ object Similarity {
       .persist()
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("id"))
+    // each step's selected set is CHECKPOINTED (it is queries·k rows —
+    // control-plane-sized): step m's plan references sel_{m-1} three
+    // times (anti-join, sims-join, union), so a lazy chain re-expands
+    // every earlier step's windows ~3^k times — measured 45 s for k=5
+    // on the sf0.01 fixture vs ~2 s flattened
     var sel = cand
       .withColumn("score", lit(lambdaRel) * col("rel"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("query_id"), col("id"), col("rel"),
         lit(1L).as("pick_order"), col("score"))
+      .localCheckpoint(true)
     for (m <- 2 to k) {
       val selected = sel.select(col("query_id"), col("id"))
       val pen = cand
@@ -395,10 +401,12 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("query_id"), col("id"), col("rel"),
           lit(m.toLong).as("pick_order"), col("score"))
-      sel = sel.unionByName(pick)
+      sel = sel.unionByName(pick).localCheckpoint(true)
     }
     val out = sel.select(col("query_id"), col("pick_order"), col("id"),
       round(col("score"), 6).as("mmr_r"))
+    cand.unpersist(blocking = false)
+    sims.unpersist(blocking = false)
     out
   }
 

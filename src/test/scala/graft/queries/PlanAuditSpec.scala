@@ -410,14 +410,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
       s"rank<=k must cut partial below the exchange:\n$p")
   }
-  test("x101: MMR stages stay query-keyed — candidate cut below the exchange, no cartesian") {
+  test("x101: greedy steps are checkpoint-flattened unions, never a nested re-expansion") {
+    // each MMR step references the previous selected set THREE times
+    // (anti-join, sims-join, union) — left lazy, the final plan
+    // re-expands every earlier step ~3^k times (measured 45 s vs 2 s on
+    // the sf0.01 fixture). The contract: the returned plan is a union of
+    // per-step CHECKPOINT scans — the step work ran eagerly, once.
+    // (The candidate stage itself is bruteForceTopK — its broadcast +
+    // WindowGroupLimit shape is pinned by the x10 guard.)
     val p = planOf("x101_mmr_rerank")
-    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
-      s"the candidate top-n must cut partial below the exchange:\n$p")
-    assert(!p.contains("CartesianProduct"),
-      s"sims and greedy steps are query_id equi-joins, never cartesian:\n$p")
-    assert(p.contains("InMemoryTableScan"),
-      s"cand/sims must be persisted — k greedy steps re-read them:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"greedy steps must be checkpoint-materialized, not lazily nested:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Join"),
+      s"step work in the FINAL plan means steps re-execute lazily:\n$p")
   }
   test("x95: priority sample rides the salted two-phase funnel; τ joins back broadcast") {
     val p = planOf("x95_priority_sample")
