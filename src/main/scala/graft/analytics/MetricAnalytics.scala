@@ -330,6 +330,56 @@ object MetricAnalytics {
           acc => when(acc.getField("started"), acc.getField("y"))).as("ewma"))
   }
 
+  /**
+   * One-sided CUSUM drift detector (Page 1954) over each key's last-N
+   * ring window — the changepoint alarm a metric pipeline runs beside
+   * the EWMA gauge (m29): s_i = max(0, s_{i-1} + (x_i − μ − slack)),
+   * drift flagged when max_i s_i > h. μ is the window's OWN mean
+   * (exact decimal sum / n — order-independent), so the alarm reacts to
+   * a trend WITHIN the window, not to the key's absolute level.
+   *
+   * Same shape as [[ewmaGauge]]: ring truncation (rank ≤ N under
+   * WindowGroupLimit), then ONE row-local fold over the sorted sample
+   * array — fixed evaluation order, so the fold is deterministic and a
+   * `list_reduce` oracle replays it; no second shuffle anywhere.
+   */
+  def cusumDrift(
+      metrics: DataFrame,
+      keyCol: String,
+      valCol: String,
+      tsCol: String,
+      ordCol: String,
+      lastN: Int = 20,
+      slack: Double = 5.0,
+      h: Double = 50.0): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).desc, col(ordCol).desc)
+    val step = (acc: Column, x: Column) => {
+      val s2 = greatest(lit(0.0),
+        acc.getField("s") + (x - col("mean") - lit(slack)))
+      struct(s2.as("s"), greatest(acc.getField("mx"), s2).as("mx"))
+    }
+    metrics
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= lastN)
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valCol).cast("decimal(18,2)")).as("s_d"),
+        transform(
+          array_sort(collect_list(struct(col(tsCol), col(ordCol), col(valCol)))),
+          x => x.getField(valCol)).as("vs"))
+      .withColumn("mean", col("s_d").cast("double") / col("n"))
+      .withColumn("cusum_max",
+        aggregate(col("vs"),
+          struct(lit(0.0).as("s"), lit(0.0).as("mx")),
+          step,
+          acc => acc.getField("mx")))
+      .select(col(keyCol), col("n"),
+        round(col("mean"), 6).as("mean_r"),
+        round(col("cusum_max"), 6).as("cusum_max_r"),
+        (col("cusum_max") > h).as("drift"))
+  }
+
   /** Per-key robust outlier summary: median, MAD, and how many samples
     * sit beyond `k` MADs (with the max deviation for triage). Exact
     * interpolated percentiles — deterministic, oracle-matchable (the m23

@@ -385,6 +385,14 @@ object MetricQueries {
     // row-local fold replays identically in the oracle's list_reduce.
     "m29_ewma" -> ((s, dir) =>
       MetricAnalytics.ewmaGauge(events(s, dir), "user_id", "value", "ts", "event_id")
+        .orderBy("user_id")),
+
+    // one-sided CUSUM changepoint alarm (Page 1954) over the same ring
+    // window as m29: s = max(0, s + (x - mean - slack)) folded row-local
+    // in sample order, drift when the running max exceeds h; mean is the
+    // window's own exact-decimal mean, so the alarm sees in-window TREND
+    "m30_cusum" -> ((s, dir) =>
+      MetricAnalytics.cusumDrift(events(s, dir), "user_id", "value", "ts", "event_id")
         .orderBy("user_id")))
 
   val oracleSql: Map[String, String] = Map(
@@ -630,6 +638,29 @@ object MetricQueries {
         |FROM d JOIN mad ON d.user_id = mad.user_id
         |GROUP BY d.user_id, mad.med, mad.mad
         |ORDER BY d.user_id""".stripMargin,
+
+    "m30_cusum" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |w AS (SELECT * FROM r WHERE rn <= 20),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
+        |        list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs
+        |      FROM w GROUP BY user_id),
+        |c AS (SELECT user_id, n, mean,
+        |        list_reduce(list_concat([[0.0, 0.0]],
+        |            list_transform(vs, x -> [x, 0.0])),
+        |          (acc, xx) -> [greatest(0.0, acc[1] + (xx[1] - mean - 5.0)),
+        |                        greatest(acc[2],
+        |                          greatest(0.0, acc[1] + (xx[1] - mean - 5.0)))])[2]
+        |          AS cusum_max
+        |      FROM a)
+        |SELECT user_id, n, round(mean, 6) AS mean_r,
+        |       round(cusum_max, 6) AS cusum_max_r, cusum_max > 50.0 AS drift
+        |FROM c ORDER BY user_id""".stripMargin,
 
     "m29_ewma" ->
       """WITH r AS (

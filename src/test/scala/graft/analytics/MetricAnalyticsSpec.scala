@@ -177,6 +177,37 @@ class MetricAnalyticsSpec extends SparkSpec {
     assert(row.isNullAt(0), "NULL must propagate to the gauge, not restart it")
   }
 
+  test("cusumDrift: hand-folded recurrence; level shift trips the alarm, stationary noise does not") {
+    // key "a": stationary around 10 (mean 10, slack 5 absorbs the ±2
+    // wiggle → cusum stays 0); key "b": jumps from 0 to 40 mid-window —
+    // the post-jump surplus accumulates past h
+    val rows =
+      Seq(8.0, 12.0, 9.0, 11.0, 10.0).zipWithIndex.map { case (v, i) =>
+        (new Timestamp(1000L * (i + 1)), i.toLong, "a", v)
+      } ++
+      (Seq(0.0, 0.0, 0.0, 40.0, 40.0, 40.0, 40.0).zipWithIndex.map { case (v, i) =>
+        (new Timestamp(1000L * (i + 1)), i.toLong, "b", v)
+      })
+    val df = rows.toDF("ts", "event_id", "node", "value")
+    val out = MetricAnalytics.cusumDrift(df, "node", "value", "ts", "event_id",
+        slack = 5.0, h = 50.0)
+      .select("node", "n", "mean_r", "cusum_max_r", "drift")
+      .as[(String, Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a")._4 === 0.0 && !out("a")._5)
+    // b: mean = 160/7 ≈ 22.857143; fold: the three 0s keep s at 0, each
+    // 40 adds 40 − mean − 5 ≈ 12.1428…; after four: ≈ 48.571 → no trip
+    // at h=50, so drop h to 40 for the drift case and hand-check
+    val mB = 160.0 / 7
+    val inc = 40.0 - mB - 5.0
+    val expect = math.rint(4 * inc * 1e6) / 1e6
+    assert(math.abs(out("b")._4 - expect) < 1e-6)
+    val drifted = MetricAnalytics.cusumDrift(df, "node", "value", "ts", "event_id",
+        slack = 5.0, h = 40.0)
+      .filter($"node" === "b").select("drift").as[Boolean].head()
+    assert(drifted, "level shift must trip the alarm at h=40")
+  }
+
   test("robustOutliers: MAD flags the spike a mean/stddev z-score masks") {
     // node A: stable 10.0 with TWO spikes — the second spike inflates a
     // mean/stddev enough to mask the first; median/MAD flags both.
