@@ -394,16 +394,39 @@ object Mixture {
       groupCol: String = "source",
       salts: Int = 8): DataFrame = {
     require(k > 0, "k must be positive")
-    val u = pmod(graft.functions.HashExpressions.rolling_hash(
-      concat(col(idCol).cast("string"), lit(":prio"))), lit(M))
-    val prioritized = docs.select(col(idCol), col(groupCol),
-        weight.cast("long").as("w"), u.as("u"))
-      .withColumn("q",
-        col("w").cast("double") * lit(M.toDouble) / (col("u") + lit(1L)))
-    val ranked = Skew.saltedTopK(prioritized, groupCol,
+    val ranked = Skew.saltedTopK(prioritized(docs, weight, idCol, groupCol),
+        groupCol,
         order = Seq(col("q").desc, col(idCol)),
         saltBy = Seq(idCol), k = k + 1L, salts = salts)
       .filter(col("kept"))
+    finishPrioritySample(ranked, k, idCol, groupCol)
+  }
+
+  /** The per-row priority projection [[prioritySample]] and its
+    * streaming counterpart ([[graft.streaming.StreamingPrioritySample]])
+    * share — ONE definition so batch and stream can never disagree on a
+    * row's priority: (idCol, groupCol, w, u, q). */
+  private[graft] def prioritized(
+      docs: DataFrame,
+      weight: org.apache.spark.sql.Column,
+      idCol: String,
+      groupCol: String): DataFrame = {
+    val u = pmod(graft.functions.HashExpressions.rolling_hash(
+      concat(col(idCol).cast("string"), lit(":prio"))), lit(M))
+    docs.select(col(idCol), col(groupCol),
+        weight.cast("long").as("w"), u.as("u"))
+      .withColumn("q",
+        col("w").cast("double") * lit(M.toDouble) / (col("u") + lit(1L)))
+  }
+
+  /** The τ + ŵ output tail shared by the batch and streaming paths:
+    * consumes a per-group top-(k+1) frame carrying `rnk` and emits the
+    * kept rows with the Horvitz-Thompson columns. */
+  private[graft] def finishPrioritySample(
+      ranked: DataFrame,
+      k: Int,
+      idCol: String,
+      groupCol: String): DataFrame = {
     val tau = ranked.groupBy(groupCol)
       .agg(max(when(col("rnk") === (k + 1L), col("q")).otherwise(0.0)).as("tau"))
     ranked.filter(col("rnk") <= k)

@@ -78,30 +78,77 @@ object Retrieval {
     scoreAndRank(tf, dfreq, stats, queries, k, idCol)
   }
 
+  /**
+   * Conjunctive (AND-semantics) BM25 top-k: a document scores only if it
+   * matches EVERY term of the query — the high-precision mode a
+   * decontamination-by-retrieval or exact-lookup pass wants (disjunctive
+   * BM25 surfaces any-term matches, which for multi-term queries is
+   * mostly noise at the tail). Same single-tokenize chain as
+   * [[bm25TopK]]; the AND gate is one integer equality on the per-doc
+   * matched-term count against the query's (broadcast, dimension-sized)
+   * term count — matched docs' scores are IDENTICAL to the disjunctive
+   * run, non-matching docs drop before ranking.
+   */
+  def bm25TopKConjunctive(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("w"))
+      .persist()
+    val posted = tok
+      .select(col(idCol), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
+      .join(broadcast(queries.select("term").distinct()), Seq("term"))
+    val tf = posted.groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = tok.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("w")).cast("long")).as("sum_dl"))
+    scoreAndRank(tf, dfreq, stats, queries, k, idCol, conjunctive = true)
+  }
+
   /** The BM25 scoring tail shared by the from-raw-text and from-index
     * paths — ONE definition, so the two can never drift: per-term score
     * (fixed-order double arithmetic) → round→DECIMAL(18,6) → exact
-    * order-independent per-doc sum → per-query rank window. */
+    * order-independent per-doc sum → per-query rank window. With
+    * `conjunctive`, docs matching fewer than all of the query's terms
+    * drop before the rank (AND semantics; scores of survivors
+    * unchanged). */
   private def scoreAndRank(
       tf: DataFrame,
       dfreq: DataFrame,
       stats: DataFrame,
       queries: DataFrame,
       k: Int,
-      idCol: String): DataFrame = {
+      idCol: String,
+      conjunctive: Boolean = false): DataFrame = {
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
     val denom = col("tf") + lit(K1) * (lit(OneMinusB) + lit(B) * col("dl").cast("double") / avgdl)
     val termScore = idf * (col("tf") * lit(K1Plus1)) / denom
 
-    val perDoc = tf
+    val scored = tf
       .join(broadcast(dfreq), Seq("term"))
       .join(broadcast(queries), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col(idCol),
         round(termScore, 6).cast("decimal(18,6)").as("ts"))
       .groupBy("query_id", idCol)
-      .agg(sum(col("ts")).as("score_d"))
+      .agg(sum(col("ts")).as("score_d"), count(lit(1)).as("n_matched"))
+    val perDoc =
+      if (!conjunctive) scored.drop("n_matched")
+      else {
+        // tf rows are unique per (doc, term), so n_matched counts the
+        // doc's DISTINCT matched query terms; the gate compares against
+        // the query's term count (dimension-sized, broadcast)
+        val qn = queries.groupBy("query_id")
+          .agg(countDistinct(col("term")).as("n_terms"))
+        scored.join(broadcast(qn), Seq("query_id"))
+          .filter(col("n_matched") === col("n_terms"))
+          .drop("n_matched", "n_terms")
+      }
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_d").desc, col(idCol))
@@ -262,6 +309,55 @@ object Retrieval {
       .select((col("t_n") - col("d_n")).as("n_docs"),
         (col("t_dl") - col("d_dl")).as("sum_dl"))
     scoreAndRank(tf, dfreq, stats, queries, k, idCol)
+  }
+
+  /**
+   * Phrase-occurrence counting — the exact-match complement of BM25's
+   * bag-of-words scoring (quote detection, templated-boilerplate
+   * frequency, benchmark-string lookup): each phrase of n tokens maps to
+   * ONE combined positional-gram hash (the [[Dedup.dupSpans]] combine),
+   * and a document's occurrence count is how many of its positional
+   * n-grams carry that hash.
+   *
+   * Scale shape: the corpus pays one tokenize + positional-gram explode
+   * per DISTINCT phrase length present (the length list is a
+   * control-plane collect over the phrase dim — phrase sets are
+   * dimension-sized), and non-matching grams drop map-side against the
+   * broadcast phrase-hash dim BEFORE the only aggregation — the x61
+   * posting-stream discipline. Hash equality stands in for verbatim
+   * equality (dupSpans' documented convention; compose an exact verify
+   * on the surviving (phrase, doc) pairs if the 1e9+7-modulus collision
+   * odds ever matter).
+   *
+   * @param phrases (phrase_id: Long, phrase: String) — tokenized with
+   *                the corpus tokenizer; empty phrases are dropped
+   * @return (phrase_id, idCol, n_occ ≥ 1)
+   */
+  def phraseCounts(
+      docs: DataFrame,
+      phrases: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      phraseCol: String = "phrase"): DataFrame = {
+    val pz = phrases.select(col("phrase_id"),
+        Dedup.tokenHashes(col(phraseCol)).as("pth"))
+      .withColumn("n", size(col("pth")))
+      .filter(col("n") >= 1)
+      .persist()
+    val lengths = pz.select("n").distinct().collect().map(_.getInt(0)).sorted
+    val perLength = lengths.map { n =>
+      val ph = pz.filter(col("n") === n).select(col("phrase_id"),
+        element_at(graft.functions.HashExpressions.shingle_hashes_pos(
+          col("pth"), n, Dedup.CombineMult), 1).as("h"))
+      docs.select(col(idCol),
+          explode(Dedup.positionalShingleHashes(col(textCol), n)).as("h"))
+        .join(broadcast(ph), Seq("h"))
+        .groupBy(col("phrase_id"), col(idCol))
+        .agg(count(lit(1)).as("n_occ"))
+    }
+    val out = perLength.reduce(_ unionByName _)
+    pz.unpersist(blocking = false)
+    out
   }
 
   /**

@@ -446,6 +446,38 @@ object Similarity {
   }
 
   /**
+   * IVF index health report — the ops signal behind "retrain the coarse
+   * quantizer": per-list population, share of the corpus, and balance
+   * factor vs the uniform ideal (1.0 = perfectly even; a list at 5.0
+   * holds 5× its fair share — probes into it scan 5× the expected
+   * candidates), with EMPTY lists surfaced explicitly (a scaffold of
+   * all list ids, not just observed ones — dead lists mean the
+   * quantizer no longer tracks the data distribution, e.g. after
+   * corpus drift or heavy tombstoning). One aggregate over the map-side
+   * assignment; the report is lists-sized.
+   */
+  def ivfHealthReport(
+      corpus: DataFrame,
+      lists: Int = IvfLists,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val sizes = ivfAssign(corpus, lists, dim, idCol, vecCol)
+      .groupBy("list").agg(count(lit(1)).as("n"))
+    val scaffold = corpus.sparkSession.range(lists).select(col("id").as("list"))
+    val total = corpus.agg(count(lit(1)).as("n_total"))
+    scaffold.join(broadcast(sizes), Seq("list"), "left")
+      .crossJoin(broadcast(total)) // 1-row total scaffold
+      .select(col("list"),
+        coalesce(col("n"), lit(0L)).as("cell_n"),
+        round(coalesce(col("n"), lit(0L)).cast("double") / col("n_total"), 6)
+          .as("share_r"),
+        round(coalesce(col("n"), lit(0L)).cast("double") * lists / col("n_total"), 6)
+          .as("balance_r"),
+        (coalesce(col("n"), lit(0L)) === 0L).as("is_empty"))
+  }
+
+  /**
    * SemDeDup (Abbas et al. 2023, arXiv:2303.09540) re-expressed
    * relationally: cluster the embedding space, then prune near-duplicate
    * pairs WITHIN each cluster — the trick that makes semantic dedup

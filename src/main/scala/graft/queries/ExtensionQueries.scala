@@ -71,10 +71,13 @@ object ExtensionQueries {
     (1L, "window"), (1L, "filter"), (1L, "sort"),
     (2L, "stream"), (2L, "hash"), (2L, "merge"))
   private val TempR = 3L           // x57 τ=1/2 sampling scale (rate = R/√n_src)
-  private val PrioSampleK = 25     // x95 per-source priority-sample size
+  private[queries] val PrioSampleK = 25 // x95 per-source priority-sample size (x107 streams against the same k)
   private val CellQuota = 40       // x96 per-IVF-cell diversity quota
   private[queries] val PrIters = 3 // x99 unrolled PageRank iterations
   private val MmrK = 5             // x101 diversified results per query
+  /** x106 phrase dimension (mixed lengths exercise the per-length path). */
+  private val PhraseDim: Seq[(Long, String)] =
+    Seq((0L, "table part"), (1L, "spark join"), (2L, "fast table value"))
   private val MmrLambda = 0.7      // x101 relevance weight (explicit literal)
   private val MmrGamma = 0.3       // x101 diversity penalty (NOT 1−λ in double)
   private val EpochBudget = 100000L // x78 global token budget to plan against
@@ -404,6 +407,11 @@ object ExtensionQueries {
     * minus the tombstoned rows, so the oracle IS the x61 chain with the
     * tombstone predicate pushed into the corpus scan. */
   private def sqlBm25CtesWhere(where: String): String =
+    sqlBm25CtesFull(where, conjunctive = false)
+
+  /** x104's variant: the AND gate (per-doc matched-term count equals the
+    * query's term count) applied BEFORE the rank, scores unchanged. */
+  private def sqlBm25CtesFull(where: String, conjunctive: Boolean): String =
     s"""$sqlQueryTermsCte,
        |norm AS (SELECT doc_id, $sqlNorm AS t FROM documents$where),
        |tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
@@ -421,10 +429,13 @@ object ExtensionQueries {
        |            / (CAST(sum_dl AS DOUBLE) / n_docs))), 6)
        |      AS DECIMAL(18,6)) AS ts
        |  FROM tf JOIN dfreq USING (term) JOIN q USING (term) CROSS JOIN stats),
-       |ag AS (SELECT query_id, doc_id, sum(ts) AS sd FROM sc GROUP BY query_id, doc_id),
+       |ag AS (SELECT query_id, doc_id, sum(ts) AS sd,
+       |    CAST(count(*) AS BIGINT) AS nm FROM sc GROUP BY query_id, doc_id),
+       |qn AS (SELECT query_id, CAST(count(DISTINCT term) AS BIGINT) AS nt
+       |  FROM q GROUP BY query_id),
        |br AS (SELECT query_id, doc_id, sd,
        |    row_number() OVER (PARTITION BY query_id ORDER BY sd DESC, doc_id) AS rank
-       |  FROM ag)""".stripMargin
+       |  FROM ag${if (conjunctive) " JOIN qn USING (query_id) WHERE nm = nt" else ""})""".stripMargin
 
   /** 64-bit derived-chunk SimHash CTE chain (norm → tk → th → bs → sg),
     * mirroring Dedup.simHash / graft.functions.SimHashDerived: chunk c
@@ -1718,6 +1729,30 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // phrase-occurrence counting (exact-match complement of BM25): one
+    // combined positional-gram hash per phrase, corpus grams drop
+    // map-side against the broadcast phrase dim, one tokenize pass per
+    // distinct phrase length
+    "x106_phrase_count" -> ((s, dir) =>
+      Retrieval.phraseCounts(Tables.documents(s, dir),
+          s.createDataFrame(PhraseDim).toDF("phrase_id", "phrase"))
+        .orderBy("phrase_id", "doc_id")),
+
+    // IVF index health report: per-list population/share/balance with
+    // empty lists surfaced — the retrain-the-quantizer ops signal
+    "x105_ivf_health" -> ((s, dir) =>
+      Similarity.ivfHealthReport(Tables.embeddings(s, dir))
+        .orderBy("list")),
+
+    // conjunctive (AND) BM25: a doc must match EVERY query term — the
+    // high-precision retrieval mode; one integer gate on the matched-term
+    // count, survivor scores identical to x61's
+    "x104_bm25_conjunctive" -> ((s, dir) => {
+      val q = s.createDataFrame(RetrievalQueryTerms).toDF("query_id", "term")
+      Retrieval.bm25TopKConjunctive(Tables.documents(s, dir), q, k = Bm25K)
+        .orderBy("query_id", "rank")
+    }),
+
     // curriculum interleave: quality deciles (x60) round-robined into a
     // training stream — idx-in-bucket via the NEW per-key two-pass
     // positional primitive (no per-decile window funnel: a decile is
@@ -2933,6 +2968,63 @@ object ExtensionQueries {
     // the corpus scan and changes nothing else
     "x93_bm25_deletes" ->
       s"""WITH ${sqlBm25CtesWhere(" WHERE doc_id % 7 <> 0")}
+         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+         |  doc_id, CAST(sd AS DOUBLE) AS score
+         |FROM br WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin,
+
+    // x106: phrase hashes recomputed IN SQL from the phrase strings
+    // (same normalize → token-hash → seeded fold chain as the corpus
+    // side), per-length positional grams, broadcast-shaped hash join
+    "x106_phrase_count" -> {
+      val lengths = PhraseDim.map(_._2.trim.split("\\s+").length).distinct.sorted
+      def gramCte(n: Int): String =
+        s"""SELECT doc_id, CAST($n AS BIGINT) AS n,
+           |    unnest(list_transform(
+           |      range(0, CASE WHEN len(th) < $n THEN 1
+           |                    ELSE len(th) - ${n - 1} END),
+           |      i -> list_reduce(list_concat([CAST(0 AS BIGINT)],
+           |             list_slice(th, i + 1, i + $n)),
+           |           (a, b) -> (a * $C + b) % $Mod))) AS h
+           |  FROM toh""".stripMargin
+      val phraseValues = PhraseDim
+        .map { case (id, p) => s"(CAST($id AS BIGINT), '$p')" }.mkString(", ")
+      s"""WITH pv AS (SELECT * FROM (VALUES $phraseValues) p(phrase_id, phrase)),
+         |pt AS (SELECT phrase_id, list_transform(
+         |    string_split(regexp_replace(trim(lower(phrase)), '\\s+', ' ', 'g'), ' '),
+         |    s -> ${sqlStringHash("s")}) AS pth FROM pv),
+         |ph AS (SELECT phrase_id, CAST(len(pth) AS BIGINT) AS n,
+         |    list_reduce(list_concat([CAST(0 AS BIGINT)], pth),
+         |      (a, b) -> (a * $C + b) % $Mod) AS h FROM pt),
+         |norm AS (SELECT doc_id, $sqlNorm AS t FROM documents),
+         |tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+         |toh AS (SELECT doc_id, list_transform(w, s -> ${sqlStringHash("s")}) AS th FROM tok),
+         |g AS (${lengths.map(gramCte).mkString("\n UNION ALL \n")})
+         |SELECT ph.phrase_id, g.doc_id, CAST(count(*) AS BIGINT) AS n_occ
+         |FROM g JOIN ph ON ph.h = g.h AND ph.n = g.n
+         |GROUP BY ph.phrase_id, g.doc_id
+         |ORDER BY ph.phrase_id, g.doc_id""".stripMargin
+    },
+
+    // x105: x15's assignment + range scaffold left join (empty lists
+    // must appear), per-row double share/balance
+    "x105_ivf_health" ->
+      s"""WITH s AS (SELECT vec_id, $sqlIvfScores AS scores FROM embeddings),
+         |a AS (SELECT vec_id,
+         |    CAST(list_position(scores, list_max(scores)) - 1 AS BIGINT) AS list FROM s),
+         |c AS (SELECT list, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY list),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM embeddings),
+         |g AS (SELECT CAST(r.range AS BIGINT) AS list FROM range(0, ${Similarity.IvfLists}) r)
+         |SELECT g.list, COALESCE(c.n, 0) AS cell_n,
+         |  round(CAST(COALESCE(c.n, 0) AS DOUBLE) / t.n_total, 6) AS share_r,
+         |  round(CAST(COALESCE(c.n, 0) AS DOUBLE) * ${Similarity.IvfLists} / t.n_total, 6)
+         |    AS balance_r,
+         |  COALESCE(c.n, 0) = 0 AS is_empty
+         |FROM g LEFT JOIN c ON c.list = g.list CROSS JOIN t
+         |ORDER BY g.list""".stripMargin,
+
+    // x104: x61's chain with the AND gate before the rank
+    "x104_bm25_conjunctive" ->
+      s"""WITH ${sqlBm25CtesFull("", conjunctive = true)}
          |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
          |  doc_id, CAST(sd AS DOUBLE) AS score
          |FROM br WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin,

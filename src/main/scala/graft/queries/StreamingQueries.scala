@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ext.{KMeans, Similarity, TextAnalysis}
 import graft.sources.Tables
-import graft.streaming.{StreamingBm25Ingest, StreamingClusterIngest, StreamingDecontaminate, StreamingDedup, StreamingIndexIngest, StreamingPqIngest}
+import graft.streaming.{StreamingBm25Ingest, StreamingClusterIngest, StreamingDecontaminate, StreamingDedup, StreamingIndexIngest, StreamingPqIngest, StreamingPrioritySample}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -291,6 +291,38 @@ object StreamingQueries {
           col("component").cast("long").as("cluster_id"),
           (col("id") === col("component")).as("is_keeper"))
         .orderBy("doc_id")
+    }),
+
+    // streaming priority-sample maintenance (StreamingPrioritySample):
+    // per-group top-(k+1) prioritized rows are a SUFFICIENT STATISTIC,
+    // so two streamed batches folded into state must reproduce batch
+    // x95 over the full corpus exactly — the oracle IS x95's
+    "x107_stream_priority_sample" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(org.apache.spark.sql.functions.split(
+            trim(col("text")), "\\s+")).cast("long").as("w"))
+        .as[(Long, String, Long)].collect().toSeq
+      val splitId = splitPoint(rows.map(_._1))
+      val path = java.nio.file.Files.createTempDirectory("graft_x107_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x107_ck_").toString
+      val input = MemoryStream[(Long, String, Long)]
+      val writer = StreamingPrioritySample.attach(
+        input.toDF().toDF("doc_id", "source", "w"), path,
+        k = ExtensionQueries.PrioSampleK)
+        .option("checkpointLocation", ckpt)
+      def drain(batch: Seq[(Long, String, Long)]): Unit = {
+        input.addData(batch)
+        val q = writer.trigger(
+          org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination(120000) finally q.stop()
+      }
+      drain(rows.filter(_._1 <= splitId))
+      drain(rows.filter(_._1 > splitId))
+      StreamingPrioritySample.result(s, path, k = ExtensionQueries.PrioSampleK)
+        .orderBy("doc_id")
     }))
 
   /** The x15 deterministic-recurrence centroids as KMeans.Centroid
@@ -377,5 +409,9 @@ object StreamingQueries {
 
     // the streamed cluster state must equal the full batch rebuild —
     // x20's recursive-walk oracle verbatim
-    "x100_stream_cluster_ingest" -> ExtensionQueries.oracleSql("x20_dedup_clusters"))
+    "x100_stream_cluster_ingest" -> ExtensionQueries.oracleSql("x20_dedup_clusters"),
+
+    // the streamed sufficient-statistic state must reproduce the batch
+    // sample — x95's oracle verbatim
+    "x107_stream_priority_sample" -> ExtensionQueries.oracleSql("x95_priority_sample"))
 }

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.ext.{Mixture, Skew}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/**
+ * Streaming priority-sample maintenance — the unbounded counterpart of
+ * [[graft.ext.Mixture.prioritySample]]: documents arrive in
+ * micro-batches and the per-group weighted sample stays current without
+ * ever re-reading the corpus.
+ *
+ * The state is each group's top-(k+1) prioritized rows — a SUFFICIENT
+ * STATISTIC for priority sampling: priorities are per-row pure
+ * functions (q = w·M/(u+1) on the deterministic uniform key), so
+ * top-(k+1) of (A ∪ B) = top-(k+1) of (top-(k+1)(A) ∪ B); folding each
+ * batch into the stored rows and re-cutting reproduces EXACTLY what the
+ * batch operator computes over everything ingested — τ (the (k+1)-th
+ * priority) and ŵ = max(w, τ) included. That invariant is the x107
+ * oracle: the drained state must hash-match batch x95 over the full
+ * corpus.
+ *
+ * State is (groups · (k+1)) rows — dimension-sized — rewritten per
+ * batch via eager localCheckpoint before the overwrite (the
+ * [[StreamingClusterIngest]] labels discipline). The per-batch cut runs
+ * through [[Skew.saltedTopK]], so a hot source inside a large batch
+ * never funnels one task.
+ */
+object StreamingPrioritySample {
+
+  /** Attach the sample-maintenance sink over a stream already carrying
+    * (idCol, groupCol, weightCol). Caller starts the writer with its own
+    * checkpoint/trigger options; read the current sample with
+    * [[result]]. */
+  def attach(
+      docs: DataFrame,
+      path: String,
+      k: Int,
+      idCol: String = "doc_id",
+      groupCol: String = "source",
+      weightCol: String = "w",
+      salts: Int = 8): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val fresh = Mixture.prioritized(batch, col(weightCol), idCol, groupCol)
+          val hasState = new java.io.File(s"$path/state").exists()
+          val all =
+            if (hasState) spark.read.parquet(s"$path/state").unionByName(fresh)
+            else fresh
+          val next = Skew.saltedTopK(all, groupCol,
+              order = Seq(col("q").desc, col(idCol)),
+              saltBy = Seq(idCol), k = k + 1L, salts = salts)
+            .filter(col("kept"))
+            .select(col(idCol), col(groupCol), col("w"), col("u"), col("q"))
+            .localCheckpoint(true) // materialize BEFORE overwriting its input
+          next.write.mode("overwrite").parquet(s"$path/state")
+          ()
+        }
+      }
+
+  /** The current sample: re-rank the dimension-sized state (exact
+    * per-group (q, id) order) and run the shared τ/ŵ tail — identical
+    * output to batch [[Mixture.prioritySample]] over everything
+    * ingested. */
+  def result(
+      spark: SparkSession,
+      path: String,
+      k: Int,
+      idCol: String = "doc_id",
+      groupCol: String = "source"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("q").desc, col(idCol))
+    val ranked = spark.read.parquet(s"$path/state")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k + 1L)
+    Mixture.finishPrioritySample(ranked, k, idCol, groupCol)
+  }
+}

@@ -109,6 +109,26 @@ class RetrievalSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("bm25 conjunctive: partial matches drop, full matches keep their disjunctive scores") {
+    val out = Retrieval.bm25TopKConjunctive(docs, q, k = 10)
+      .select("query_id", "doc_id", "score")
+      .as[(Long, Long, Double)].collect()
+    // query 0 = (spark AND join): docs 1, 2 match both; 5/6 (spark only)
+    // and 3 (neither) must drop
+    val q0 = out.filter(_._1 == 0L).map(_._2).toSet
+    assert(q0 === Set(1L, 2L))
+    // query 1 = (window): single term — conjunctive ≡ disjunctive
+    val q1 = out.filter(_._1 == 1L).map(_._2).toSet
+    assert(q1 === Set(2L, 3L))
+    // survivor scores equal the disjunctive run's exactly
+    val dis = Retrieval.bm25TopK(docs, q, k = 10)
+      .select("query_id", "doc_id", "score")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    out.foreach { case (qid, d, s) => assert(s === dis((qid, d))) }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("bm25 deletes: tombstoned probe equals a rebuild without the deleted docs (stats, df, tf all reconciled)") {
     val path = java.nio.file.Files.createTempDirectory("graft_bm25del_").toString
     Retrieval.writeBm25Index(docs, path)
