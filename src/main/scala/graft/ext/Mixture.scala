@@ -402,6 +402,47 @@ object Mixture {
     finishPrioritySample(ranked, k, idCol, groupCol)
   }
 
+  /**
+   * Mixture rebalancing to EXPLICIT target shares — the DoReMi/Pile
+   * workflow where domain weights come from an upstream optimization
+   * (or an editorial decision), not from uniformity: source s with n_s
+   * docs of N total and target share π_s = num_s/den_s keeps each doc
+   * iff `u·n_s·den_s < num_s·N·M` — the integer cross-multiplied form
+   * of `u/M < (π_s·N)/n_s`. Sources at or below their target keep
+   * everything; shares are RATIONALS so the verdict stays
+   * integer-exact (a double share would put an engine-dependent
+   * rounding inside the keep rule). Sources absent from the share list
+   * are uncapped (kept whole) — the explicit-weights workflow only
+   * names the domains it constrains.
+   *
+   * Same scale shape as [[rebalanceUniform]]: ONE map-side pass; counts,
+   * totals and the share dim broadcast back; decimal(38,0) products.
+   */
+  def rebalanceToShares(
+      docs: DataFrame,
+      shares: Seq[(String, Long, Long)],
+      idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    require(shares.forall(s => s._2 >= 0 && s._3 > 0),
+      "shares must be non-negative rationals with positive denominators")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dim = shares.toDF(sourceCol, "tgt_num", "tgt_den")
+    val counts = docs.groupBy(sourceCol).agg(count(lit(1)).as("n_src"))
+    val totals = docs.agg(count(lit(1)).as("n_total"))
+    val u = pmod(graft.functions.HashExpressions.rolling_hash(
+      concat(col(idCol).cast("string"), lit(":mixs"))), lit(M))
+    docs
+      .join(broadcast(counts), sourceCol)
+      .join(broadcast(dim), Seq(sourceCol), "left")
+      .crossJoin(broadcast(totals)) // 1-row totals scaffold
+      .select(col(idCol), col(sourceCol), u.as("mix_key"),
+        coalesce(
+          u.cast("decimal(38,0)") * col("n_src") * col("tgt_den") <
+            col("tgt_num").cast("decimal(38,0)") * col("n_total") * lit(M),
+          lit(true)).as("kept"))
+  }
+
   /** The per-row priority projection [[prioritySample]] and its
     * streaming counterpart ([[graft.streaming.StreamingPrioritySample]])
     * share — ONE definition so batch and stream can never disagree on a

@@ -784,6 +784,30 @@ object Similarity {
         .select(col(idCol), col("codes"), col("list")),
       queries, codebooks, k, dim, idCol, vecCol)
 
+  /** [[probeIvfPqIndex]] under a TOMBSTONE set — completes the
+    * logical-delete story across all three written layouts (BM25
+    * postings: [[Retrieval.bm25TopKFromIndexWithDeletes]]; raw-vector
+    * IVF: [[probeIvfIndexWithDeletes]]; PQ codes: here). ADC distances
+    * are per-candidate, so — as on the raw-vector side — rebuild
+    * equivalence is ONE broadcast anti-join on the pruned codes scan,
+    * before any distance-table lookup. */
+  def probeIvfPqIndexWithDeletes(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      tombstones: DataFrame,
+      codebooks: Seq[Seq[KMeans.Centroid]],
+      k: Int,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "qvec"): DataFrame = {
+    val dead = tombstones.select(col(idCol)).distinct()
+    ivfPqTopK(spark.read.parquet(path)
+        .select(col(idCol), col("codes"), col("list"))
+        .join(broadcast(dead), Seq(idCol), "left_anti"),
+      queries, codebooks, k, dim, idCol, vecCol)
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucket with LSH, verify with
     * exact cosine ≥ threshold inside buckets (the embedding analog of
     * [[Dedup.minHashNearDups]]).

@@ -78,6 +78,11 @@ object ExtensionQueries {
   /** x106 phrase dimension (mixed lengths exercise the per-length path). */
   private val PhraseDim: Seq[(Long, String)] =
     Seq((0L, "table part"), (1L, "spark join"), (2L, "fast table value"))
+  /** x109 explicit domain weights: over-target (keep-all), under-target
+    * (downsample), and unlisted (uncapped) sources all exercised. */
+  private val TargetShares: Seq[(String, Long, Long)] =
+    (0 until 5).map(i => (s"src$i", 1L, 10L)) ++
+      (5 until 10).map(i => (s"src$i", 1L, 40L))
   private val MmrLambda = 0.7      // x101 relevance weight (explicit literal)
   private val MmrGamma = 0.3       // x101 diversity penalty (NOT 1−λ in double)
   private val EpochBudget = 100000L // x78 global token budget to plan against
@@ -1729,6 +1734,41 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // target-share mixture (DoReMi-style explicit domain weights):
+    // src0-4 get 1/10 each (above natural 1/20 → keep all), src5-9 get
+    // 1/40 (→ downsample by half), the rest are unlisted (uncapped);
+    // integer cross-multiplied rational rule, one map-side pass
+    "x109_mix_target_shares" -> ((s, dir) =>
+      Mixture.rebalanceToShares(Tables.documents(s, dir), TargetShares)
+        .orderBy("doc_id")),
+
+    // IVF-PQ codes layout under TOMBSTONE deletes — completes the
+    // logical-delete story across all three written index layouts
+    // (x93 postings, x94 raw vectors, here codes): one broadcast
+    // anti-join on the pruned codes scan before any ADC lookup
+    "x108_ivfpq_deletes" -> ((s, dir) => {
+      val raw = Tables.embeddings(s, dir)
+      val lists = raw.select(col("vec_id"),
+        Similarity.ivfList(col("embedding"), Similarity.IvfLists, Dim).as("list"))
+      val qvecs = Similarity.quantizeMinMax(raw)
+        .groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("q")))),
+          x => x.getField("q").cast("double")).as("qvec"))
+        .persist() // PqM fits + encode + query side (caller-release)
+      val books = Similarity.pqTrain(qvecs, m = PqM, k = PqK, iters = KmIters, dim = Dim)
+      val path = java.nio.file.Files.createTempDirectory("graft_x108_").toString
+      Similarity.pqEncode(qvecs, books, dim = Dim)
+        .join(lists, "vec_id").select("vec_id", "codes", "list")
+        .write.partitionBy("list").mode("overwrite").parquet(path)
+      val dead = raw.filter(pmod(col("vec_id"), lit(5)) === 0).select("vec_id")
+      val queries = qvecs.filter(col("vec_id") < 5).join(lists, "vec_id")
+      Similarity.probeIvfPqIndexWithDeletes(s, path, queries, dead, books,
+          k = 3, dim = Dim)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("adc"), col("list").cast("long").as("list"))
+        .orderBy("query_id", "rank")
+    }),
+
     // phrase-occurrence counting (exact-match complement of BM25): one
     // combined positional-gram hash per phrase, corpus grams drop
     // map-side against the broadcast phrase dim, one tokenize pass per
@@ -2928,6 +2968,34 @@ object ExtensionQueries {
     // filter switched ON — the oracle for the composed x59 probe
     "x59_ivfpq_topk" -> pqAdcOracleSql(withIvf = true),
 
+    // x108: x59's chain with the tombstone predicate on the candidate
+    // side — rebuild equivalence, nothing else changes
+    "x108_ivfpq_deletes" ->
+      pqAdcOracleSql(withIvf = true, deadWhere = " AND e.vec_id % 5 <> 0"),
+
+    // x109: x51's integer rule with the rational share dim; unlisted
+    // sources keep everything
+    "x109_mix_target_shares" -> {
+      val dimValues = TargetShares
+        .map { case (src, n, d) => s"('$src', CAST($n AS BIGINT), CAST($d AS BIGINT))" }
+        .mkString(", ")
+      s"""WITH sh AS (SELECT * FROM (VALUES $dimValues) v(source, tgt_num, tgt_den)),
+         |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+         |k AS (SELECT doc_id, source,
+         |    ${sqlStringHash("CAST(doc_id AS VARCHAR) || ':mixs'")} % ${Mixture.M}
+         |      AS mix_key
+         |  FROM documents)
+         |SELECT k.doc_id, k.source, k.mix_key,
+         |  COALESCE(
+         |    CAST(k.mix_key AS DECIMAL(38,0)) * c.n_src * sh.tgt_den <
+         |      CAST(sh.tgt_num AS DECIMAL(38,0)) * t.n_total * ${Mixture.M},
+         |    true) AS kept
+         |FROM k JOIN c USING (source) LEFT JOIN sh USING (source) CROSS JOIN t
+         |ORDER BY k.doc_id""".stripMargin
+    },
+
     "x14_media_features" ->
       """WITH ch AS (SELECT doc_id, ascii(unnest(string_split(text, ''))) AS b
         |  FROM documents),
@@ -3694,7 +3762,8 @@ object ExtensionQueries {
   private def pqAdcOracleSql(
       withIvf: Boolean,
       queryMax: Int = 5,
-      k: Int = 3): String = {
+      k: Int = 3,
+      deadWhere: String = ""): String = {
       val subDim = Dim / PqM
       def dist(v: String, c: String) =
         s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
@@ -3750,7 +3819,7 @@ object ExtensionQueries {
          |    ${dist("qs.sv", "c.center")} AS ds
          |  FROM qsub qs JOIN enc e ON qs.s = e.s
          |  JOIN c2 c ON c.s = e.s AND c.cluster = e.cluster$listJoins
-         |  WHERE e.vec_id <> qs.query_id),
+         |  WHERE e.vec_id <> qs.query_id$deadWhere),
          |adc AS (SELECT query_id, neighbor_id$listGrp,
          |    list_reduce(list_concat([CAST(0 AS DOUBLE)], list(ds ORDER BY s)),
          |      (a, b) -> a + b) AS adc

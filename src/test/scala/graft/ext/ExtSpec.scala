@@ -452,6 +452,23 @@ class ExtSpec extends SparkSpec {
     out.foreach { case (id, _, _, kept) => assert(again(id) === kept) }
   }
 
+  test("rebalanceToShares: over-target keeps all, under-target thins by the exact rule, unlisted uncapped") {
+    // a: 8/10 docs, target 1/2 (= 5 docs expected: above natural? 8 > 5
+    // → thins); b: 2/10, target 1/2 (2 < 5 → keeps all); c unlisted
+    val d = ((0 until 8).map(i => (i.toLong, "a")) ++
+      Seq((100L, "b"), (101L, "b")) ++ Seq((200L, "c"))).toDF("doc_id", "source")
+    val out = Mixture.rebalanceToShares(d, Seq(("a", 1L, 2L), ("b", 1L, 2L)))
+      .select("doc_id", "source", "mix_key", "kept")
+      .as[(Long, String, Long, Boolean)].collect()
+    assert(out.length === 11)
+    assert(out.filter(_._2 == "b").forall(_._4), "under-target source keeps all")
+    assert(out.filter(_._2 == "c").forall(_._4), "unlisted source is uncapped")
+    out.filter(_._2 == "a").foreach { case (_, _, u, kept) =>
+      // u·n_a·den < num·N·M  ⟺  u·8·2 < 1·11·M
+      assert(kept === (u * 8L * 2L < 11L * Mixture.M))
+    }
+  }
+
   test("prioritySample: top-k by w/u priority, τ = the (k+1)-th, ŵ = max(w, τ); small group keeps all with τ = 0") {
     // source "a": 6 docs with distinct weights; "b": 2 docs (< k) —
     // everything in b kept with τ = 0 and ŵ = w
