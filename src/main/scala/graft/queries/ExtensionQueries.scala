@@ -1734,6 +1734,47 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // per-source contamination report: x42's 13-gram benchmark overlap
+    // folded to the numbers a release review reads — flagged-doc rate
+    // and hit mass per source (the provenance of contamination, not
+    // just its existence)
+    "x111_contamination_report" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      val hits = Dedup.benchGramOverlap(all,
+          all.filter(col("doc_id") % 97 === 0), n = 13)
+        .select(col("doc_id"), col("n_grams"), col("n_hits"))
+      all.select(col("doc_id"), col("source"))
+        .join(hits, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_hits").isNotNull, 1L).otherwise(0L)).as("n_flagged"),
+          coalesce(sum(col("n_hits")), lit(0L)).as("n_hits"),
+          coalesce(sum(col("n_grams")), lit(0L)).as("n_flagged_grams"))
+        .withColumn("flag_rate_r",
+          round(col("n_flagged").cast("double") / col("n_docs"), 6))
+        .withColumn("hit_mass_r",
+          round(when(col("n_flagged_grams") > 0L,
+            col("n_hits").cast("double") / col("n_flagged_grams")).otherwise(0.0), 6))
+        .orderBy("source")
+    }),
+
+    // per-source dataset card: doc/token counts + exact interpolated
+    // length percentiles + median quality — the numbers a corpus
+    // release ships per domain (m23's percentile contract per source)
+    "x110_source_card" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("source"),
+        wsTokenCount(col("text")).cast("double").as("n_tok"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      d.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("n_tokens"),
+          expr("percentile(n_tok, 0.1)").as("tok_p10"),
+          expr("percentile(n_tok, 0.5)").as("tok_p50"),
+          expr("percentile(n_tok, 0.9)").as("tok_p90"),
+          round(expr("percentile(q, 0.5)"), 6).as("q_p50_r"))
+        .orderBy("source")
+    }),
+
     // target-share mixture (DoReMi-style explicit domain weights):
     // src0-4 get 1/10 each (above natural 1/20 → keep all), src5-9 get
     // 1/40 (→ downsample by half), the rest are unlisted (uncapped);
@@ -2972,6 +3013,44 @@ object ExtensionQueries {
     // side — rebuild equivalence, nothing else changes
     "x108_ivfpq_deletes" ->
       pqAdcOracleSql(withIvf = true, deadWhere = " AND e.vec_id % 5 <> 0"),
+
+    // x111: x42's overlap join folded per source (left join keeps
+    // clean sources as zero rows)
+    "x111_contamination_report" ->
+      s"""WITH ${sqlShnCte(13)},
+         |j AS (SELECT cg.doc_id, cg.n_grams, count(*) AS n_hits
+         |  FROM cg JOIN bg ON cg.h = bg.h GROUP BY 1, 2),
+         |a AS (SELECT d.source, d.doc_id, j.n_grams, j.n_hits
+         |  FROM documents d LEFT JOIN j ON j.doc_id = d.doc_id),
+         |g2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN n_hits IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_flagged,
+         |    CAST(COALESCE(sum(n_hits), 0) AS BIGINT) AS n_hits,
+         |    CAST(COALESCE(sum(n_grams), 0) AS BIGINT) AS n_flagged_grams
+         |  FROM a GROUP BY source)
+         |SELECT source, n_docs, n_flagged, n_hits, n_flagged_grams,
+         |  round(CAST(n_flagged AS DOUBLE) / n_docs, 6) AS flag_rate_r,
+         |  round(CASE WHEN n_flagged_grams > 0
+         |    THEN CAST(n_hits AS DOUBLE) / n_flagged_grams ELSE 0.0 END, 6)
+         |    AS hit_mass_r
+         |FROM g2 ORDER BY source""".stripMargin,
+
+    // x110: x03's quality chain joined back for source, quantile_cont
+    // (the m23 interpolated-percentile contract) per source
+    "x110_source_card" ->
+      s"""WITH $sqlQualityCtes,
+         |src AS (SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tok
+         |  FROM documents),
+         |j AS (SELECT s.source, s.n_tok, $sqlQualityScore AS q
+         |  FROM src s JOIN g USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CAST(n_tok AS BIGINT)) AS BIGINT) AS n_tokens,
+         |  quantile_cont(n_tok, 0.1) AS tok_p10,
+         |  quantile_cont(n_tok, 0.5) AS tok_p50,
+         |  quantile_cont(n_tok, 0.9) AS tok_p90,
+         |  round(quantile_cont(q, 0.5), 6) AS q_p50_r
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     // x109: x51's integer rule with the rational share dim; unlisted
     // sources keep everything

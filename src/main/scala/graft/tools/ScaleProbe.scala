@@ -654,6 +654,57 @@ object ScaleProbe {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"fuzzy   scale=${f}x docs=${5000 * f}%7d pairs=$n%8d time=$dt%7.2f s")
     }
+
+    // MMR diversity-vs-relevance tradeoff on the CLUSTERED corpus (the
+    // regime where top-k lists actually stuff with near-duplicates):
+    // mean relevance (cosine to the query) and mean intra-list pairwise
+    // cosine (redundancy) for plain top-5 vs MMR at two (λ, γ) settings.
+    // The number the operator exists to move is the redundancy column.
+    if (on("mmr")) {
+      // FINE-grained clusters (250 clusters × 8 members): a top-20
+      // candidate list spans ~3 clusters, so the tradeoff is visible —
+      // recallc's 16 fat clusters put all 20 candidates in one cluster
+      // and leave MMR nothing diverse to pick from
+      val clustered = spark.range(2000).select(col("id").as("vec_id"),
+        array((0 until 64).map { d =>
+          // murmur3 per (cluster, dim) — any MODULAR-linear recurrence
+          // (recallc's sawtooth included) leaves all cluster centers
+          // near-collinear and hides the diversity effect
+          (pmod(hash(col("id") % 250, lit(d)), lit(1999)) - lit(999))
+            .cast("double").divide(999.0)
+            .plus(((col("id") * 13 + lit(d * 7)) % 201 - lit(100)).cast("double")
+              .divide(100.0).multiply(0.05))
+            .cast("float")
+        }: _*).as("embedding"))
+      val queries = clustered.filter(col("vec_id") < 20)
+      val vecs = clustered.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      def stats(lists: Map[Long, Seq[Long]]): (Double, Double) = {
+        val rel = lists.toSeq.flatMap { case (q, ids) =>
+          ids.map(i => cos(vecs(q), vecs(i))) }
+        val red = lists.toSeq.flatMap { case (_, ids) =>
+          for (a <- ids; b <- ids if a < b) yield cos(vecs(a), vecs(b)) }
+        (rel.sum / rel.size, red.sum / red.size)
+      }
+      val plain = graft.ext.Similarity.bruteForceTopK(clustered, queries, k = 5)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSeq }
+      val (pr, pd) = stats(plain)
+      println(f"mmr     plain-top5           rel=$pr%.4f redundancy=$pd%.4f")
+      for ((l, g) <- Seq((0.7, 0.3), (0.5, 0.5))) {
+        val m = graft.ext.Similarity.mmrRerank(clustered, queries,
+            n = 20, k = 5, lambdaRel = l, gammaDiv = g)
+          .select("query_id", "id").collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSeq }
+        val (mr, md) = stats(m)
+        println(f"mmr     lambda=$l%.1f gamma=$g%.1f  rel=$mr%.4f redundancy=$md%.4f")
+      }
+    }
     spark.stop()
   }
 }
