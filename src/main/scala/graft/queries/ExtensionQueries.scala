@@ -416,9 +416,12 @@ object ExtensionQueries {
 
   /** x104's variant: the AND gate (per-doc matched-term count equals the
     * query's term count) applied BEFORE the rank, scores unchanged. */
-  private def sqlBm25CtesFull(where: String, conjunctive: Boolean): String =
+  private def sqlBm25CtesFull(
+      where: String,
+      conjunctive: Boolean,
+      corpus: String = "documents"): String =
     s"""$sqlQueryTermsCte,
-       |norm AS (SELECT doc_id, $sqlNorm AS t FROM documents$where),
+       |norm AS (SELECT doc_id, $sqlNorm AS t FROM $corpus$where),
        |tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
        |posted AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM tok),
        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM posted
@@ -1734,6 +1737,36 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // snapshot-diff-driven index maintenance — the recrawl lifecycle
+    // closed end to end: generation 0 indexes the OLD snapshot; the x82
+    // diff turns into (removed ∪ changed) tombstones applied by
+    // physical compaction into generation 1, then (added ∪ changed)
+    // docs append their new text; the probe of generation 1 must equal
+    // a full rebuild of the NEW snapshot (x61's chain over it) — no
+    // corpus re-read anywhere, work ∝ the diff
+    "x112_snapshot_index_sync" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val oldS = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val newS = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(3)) === 0, concat(col("text"), lit(" rev")))
+            .otherwise(col("text")))
+      val gen0 = java.nio.file.Files.createTempDirectory("graft_x112_g0_").toString
+      val gen1 = java.nio.file.Files.createTempDirectory("graft_x112_g1_").toString
+      Retrieval.writeBm25Index(oldS, gen0)
+      val diff = Dedup.snapshotDiff(oldS, newS).persist() // consumed 3× (caller-release)
+      val dead = diff.filter(col("status").isin("removed", "changed"))
+        .select("doc_id")
+      graft.ext.IndexMaintenance.compactBm25IndexWithDeletes(s, gen0, gen1, dead)
+      val fresh = newS.join(
+        diff.filter(col("status").isin("added", "changed")).select("doc_id"),
+        Seq("doc_id"))
+      Retrieval.appendBm25Batch(fresh, gen1, "doc_id", "text", mode = "append")
+      val q = s.createDataFrame(RetrievalQueryTerms).toDF("query_id", "term")
+      Retrieval.bm25TopKFromIndex(s, gen1, q, k = Bm25K)
+        .orderBy("query_id", "rank")
+    }),
+
     // per-source contamination report: x42's 13-gram benchmark overlap
     // folded to the numbers a release review reads — flagged-doc rate
     // and hit mass per source (the provenance of contamination, not
@@ -3013,6 +3046,18 @@ object ExtensionQueries {
     // side — rebuild equivalence, nothing else changes
     "x108_ivfpq_deletes" ->
       pqAdcOracleSql(withIvf = true, deadWhere = " AND e.vec_id % 5 <> 0"),
+
+    // x112: full-rebuild equivalence over the NEW snapshot — x61's
+    // chain with x82's snapshot transform as the corpus
+    "x112_snapshot_index_sync" -> {
+      val newSnap = "(SELECT doc_id, CASE WHEN doc_id % 3 = 0 " +
+        "THEN text || ' rev' ELSE text END AS text " +
+        "FROM documents WHERE doc_id % 7 <> 0)"
+      s"""WITH ${sqlBm25CtesFull("", conjunctive = false, corpus = newSnap)}
+         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+         |  doc_id, CAST(sd AS DOUBLE) AS score
+         |FROM br WHERE rank <= $Bm25K ORDER BY query_id, rank""".stripMargin
+    },
 
     // x111: x42's overlap join folded per source (left join keeps
     // clean sources as zero rows)

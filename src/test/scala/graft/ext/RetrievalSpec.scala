@@ -171,6 +171,37 @@ class RetrievalSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("snapshot index sync: diff-applied generation equals a full rebuild of the new snapshot") {
+    val oldS = docs // ids 1..6
+    // new snapshot: doc 3 removed, doc 1 changed, doc 7 added
+    val newS = docs.filter(col("doc_id") =!= 3L)
+      .withColumn("text", when(col("doc_id") === 1L,
+        concat(col("text"), lit(" changed tail"))).otherwise(col("text")))
+      .unionByName(Seq((7L, "a brand new spark document about join windows"))
+        .toDF("doc_id", "text"))
+    val gen0 = java.nio.file.Files.createTempDirectory("graft_sync_g0_").toString
+    val gen1 = java.nio.file.Files.createTempDirectory("graft_sync_g1_").toString
+    Retrieval.writeBm25Index(oldS, gen0)
+    val diff = graft.ext.Dedup.snapshotDiff(oldS, newS)
+    IndexMaintenance.compactBm25IndexWithDeletes(spark, gen0, gen1,
+      diff.filter(col("status").isin("removed", "changed")).select("doc_id"))
+    Retrieval.appendBm25Batch(
+      newS.join(diff.filter(col("status").isin("added", "changed"))
+        .select("doc_id"), Seq("doc_id")),
+      gen1, "doc_id", "text", mode = "append")
+    def res(f: => org.apache.spark.sql.DataFrame) =
+      f.select("query_id", "rank", "doc_id", "score")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val synced = res(Retrieval.bm25TopKFromIndex(spark, gen1, q, k = 10))
+    assert(synced === res(Retrieval.bm25TopK(newS, q, k = 10)))
+    // the changed doc's OLD postings are physically gone (no double rows)
+    val d1 = spark.read.parquet(s"$gen1/doclens").filter(col("doc_id") === 1L)
+    assert(d1.count() === 1L)
+    assert(spark.read.parquet(s"$gen1/postings")
+      .filter(col("doc_id") === 3L).count() === 0L)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("quantizeWithStats: frozen driver-side stats reproduce quantizeMinMax exactly") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val stats = Similarity.quantizeStats(emb)
