@@ -102,6 +102,62 @@ object Dedup {
     * provably apply the same drop policy at any scale factor. */
   val DefaultMaxBucket: Int = 1000
 
+  /**
+   * MinHash-LSH parameter planner (the MMDS S-curve analysis): for every
+   * (bands, rows) layout within a hash budget, integrate the candidate
+   * probability P(s) = 1 − (1 − s^r)^b against the target threshold —
+   * `fp_mass` = Σ_{s<t} P(s)·Δs (work wasted verifying non-dups),
+   * `fn_mass` = Σ_{s≥t} (1−P(s))·Δs (true pairs the bands never meet) —
+   * and rank layouts by total mass. This is the tool that justifies a
+   * deployment's (b, r) BEFORE a corpus-sized run; the engine's default
+   * 8×2 should (and does) rank near the top of the ≤16-hash budget at
+   * t = 0.35.
+   *
+   * Determinism: powers are computed by FOLD (repeated multiplication —
+   * both engines evaluate the identical sequence; `pow()` would put two
+   * libm implementations in the verdict), per-grid-point terms round to
+   * 12 dp and sum as exact DECIMAL. Everything is dimension-sized
+   * (configs × 99 grid rows).
+   */
+  def minHashPlan(
+      spark: org.apache.spark.sql.SparkSession,
+      threshold: Double,
+      maxHashes: Int = 16,
+      gridPoints: Int = 99): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val configs = for {
+      b <- 1 to maxHashes; r <- 1 to maxHashes if b * r <= maxHashes
+    } yield (b.toLong, r.toLong)
+    import spark.implicits._
+    val dim = configs.toDF("bands", "rows")
+    val s = (col("i") / lit(gridPoints + 1).cast("double"))
+    def foldPow(base: Column, n: Column): Column =
+      aggregate(sequence(lit(1L), n), lit(1.0), (acc, _) => acc * base)
+    val grid = dim.crossJoin(
+        spark.range(1, gridPoints + 1).select(col("id").cast("double").as("i")))
+      .withColumn("p",
+        lit(1.0) - foldPow(lit(1.0) - foldPow(s, col("rows")), col("bands")))
+      .withColumn("fp_t",
+        when(s < threshold, round(col("p"), 12)).otherwise(0.0)
+          .cast("decimal(20,12)"))
+      .withColumn("fn_t",
+        when(s >= threshold, round(lit(1.0) - col("p"), 12)).otherwise(0.0)
+          .cast("decimal(20,12)"))
+    val masses = grid.groupBy("bands", "rows")
+      .agg(sum(col("fp_t")).as("fp_d"), sum(col("fn_t")).as("fn_d"))
+      .select(col("bands"), col("rows"),
+        (col("bands") * col("rows")).as("n_hashes"),
+        round(col("fp_d").cast("double") / (gridPoints + 1), 6).as("fp_r"),
+        round(col("fn_d").cast("double") / (gridPoints + 1), 6).as("fn_r"),
+        (col("fp_d") + col("fn_d")).as("cost_d"))
+    val w = Window.orderBy(col("cost_d"), col("n_hashes"), col("bands"))
+    masses
+      .withColumn("is_best", row_number().over(w) === 1)
+      .withColumn("cost_r",
+        round(col("cost_d").cast("double") / (gridPoints + 1), 6))
+      .drop("cost_d")
+  }
+
   /** Per-token rolling hashes of the normalized text — one compiled pass
     * ([[graft.functions.TokenRollingHashes]]); shingle hashes combine
     * these instead of re-hashing shingle strings character-by-character

@@ -1737,6 +1737,35 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // embedding hygiene screen (CLIP-pipeline intake check): per label,
+    // zero-vector and NaN counts plus the norm distribution — the
+    // degenerate embeddings that silently poison cosine math get
+    // counted BEFORE any index build; per-row norm folds, interpolated
+    // percentile (m23 contract)
+    "x114_embedding_hygiene" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val d = emb.select(col("label").cast("long").as("label"),
+        sqrt(graft.functions.VectorFunctions.vec_dot(
+          col("embedding"), col("embedding"))).as("nrm"),
+        exists(col("embedding"), x => isnan(x)).as("has_nan"))
+      d.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+          sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_nan"),
+          round(expr("percentile(nrm, 0.5)"), 6).as("norm_p50_r"),
+          round(min(col("nrm")), 6).as("norm_min_r"),
+          round(max(col("nrm")), 6).as("norm_max_r"))
+        .orderBy("label")
+    }),
+
+    // MinHash parameter planner (MMDS S-curve integral): every (b, r)
+    // within the 16-hash budget scored by FP/FN mass around the x07
+    // threshold — the tool that justifies the deployed 8×2 layout;
+    // fold-based powers, exact-decimal mass sums
+    "x113_minhash_plan" -> ((s, dir) =>
+      Dedup.minHashPlan(s, threshold = JaccardThreshold)
+        .orderBy("bands", "rows")),
+
     // snapshot-diff-driven index maintenance — the recrawl lifecycle
     // closed end to end: generation 0 indexes the OLD snapshot; the x82
     // diff turns into (removed ∪ changed) tombstones applied by
@@ -3046,6 +3075,55 @@ object ExtensionQueries {
     // side — rebuild equivalence, nothing else changes
     "x108_ivfpq_deletes" ->
       pqAdcOracleSql(withIvf = true, deadWhere = " AND e.vec_id % 5 <> 0"),
+
+    // x114: per-row norm fold + quantile_cont, same flags
+    "x114_embedding_hygiene" ->
+      s"""WITH d AS (SELECT CAST(label AS BIGINT) AS label,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm,
+         |    len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) > 0 AS has_nan
+         |  FROM embeddings)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |  CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+         |  round(quantile_cont(nrm, 0.5), 6) AS norm_p50_r,
+         |  round(min(nrm), 6) AS norm_min_r,
+         |  round(max(nrm), 6) AS norm_max_r
+         |FROM d GROUP BY label ORDER BY label""".stripMargin,
+
+    // x113: the S-curve replayed with the same fold-powers and the same
+    // grid; exact-decimal masses, identical tie-break order
+    "x113_minhash_plan" -> {
+      val cfgValues = (for {
+        b <- 1 to 16; r <- 1 to 16 if b * r <= 16
+      } yield s"(CAST($b AS BIGINT), CAST($r AS BIGINT))").mkString(", ")
+      s"""WITH cfg AS (SELECT * FROM (VALUES $cfgValues) c(bands, rows)),
+         |g AS (SELECT bands, rows, CAST(r.range AS DOUBLE) AS i
+         |  FROM cfg, range(1, 100) r),
+         |p1 AS (SELECT bands, rows, i,
+         |    1.0 - list_reduce(list_concat([CAST(1.0 AS DOUBLE)],
+         |        list_transform(range(0, CAST(rows AS INT)), y -> i / 100.0)),
+         |      (a, b) -> a * b) AS qv
+         |  FROM g),
+         |p2 AS (SELECT bands, rows, i,
+         |    1.0 - list_reduce(list_concat([CAST(1.0 AS DOUBLE)],
+         |        list_transform(range(0, CAST(bands AS INT)), x -> qv)),
+         |      (a, b) -> a * b) AS pv
+         |  FROM p1),
+         |m AS (SELECT bands, rows, bands * rows AS n_hashes,
+         |    sum(CASE WHEN i / 100.0 < $JaccardThreshold
+         |      THEN CAST(round(pv, 12) AS DECIMAL(20,12))
+         |      ELSE CAST(0 AS DECIMAL(20,12)) END) AS fp_d,
+         |    sum(CASE WHEN i / 100.0 >= $JaccardThreshold
+         |      THEN CAST(round(1.0 - pv, 12) AS DECIMAL(20,12))
+         |      ELSE CAST(0 AS DECIMAL(20,12)) END) AS fn_d
+         |  FROM p2 GROUP BY bands, rows)
+         |SELECT bands, rows, n_hashes,
+         |  round(CAST(fp_d AS DOUBLE) / 100, 6) AS fp_r,
+         |  round(CAST(fn_d AS DOUBLE) / 100, 6) AS fn_r,
+         |  row_number() OVER (ORDER BY fp_d + fn_d, n_hashes, bands) = 1 AS is_best,
+         |  round(CAST(fp_d + fn_d AS DOUBLE) / 100, 6) AS cost_r
+         |FROM m ORDER BY bands, rows""".stripMargin
+    },
 
     // x112: full-rebuild equivalence over the NEW snapshot — x61's
     // chain with x82's snapshot transform as the corpus
