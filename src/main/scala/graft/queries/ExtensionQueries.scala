@@ -1737,6 +1737,28 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // packed-sequence attention boundaries: the (start, end) token
+    // spans per doc inside each x22 bin — what a trainer feeds its
+    // block-diagonal attention mask and position-id reset; windows are
+    // (shard, bin)-bounded (a bin is budget-sized by construction)
+    "x115_pack_boundaries" -> ((s, dir) => {
+      val withTok = Tables.documents(s, dir).select(col("doc_id"),
+        wsTokenCount(col("text")).as("n_tokens"))
+      val packed = Packing.packGreedy(s, withTok,
+        budget = PackBudget, shards = PackShards)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard", "bin").orderBy("doc_id")
+      packed
+        .withColumn("seq_idx", row_number().over(w).cast("long"))
+        .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("end_tok", col("start_tok") + col("n_tokens") - 1L)
+        .select(col("doc_id"), col("shard"), col("bin"), col("seq_idx"),
+          col("start_tok"), col("end_tok"))
+        .orderBy("doc_id")
+    }),
+
     // embedding hygiene screen (CLIP-pipeline intake check): per label,
     // zero-vector and NaN counts plus the norm distribution — the
     // degenerate embeddings that silently poison cosine math get
@@ -3075,6 +3097,33 @@ object ExtensionQueries {
     // side — rebuild equivalence, nothing else changes
     "x108_ivfpq_deletes" ->
       pqAdcOracleSql(withIvf = true, deadWhere = " AND e.vec_id % 5 <> 0"),
+
+    // x115: x22's recursive pack walk + per-(shard, bin) offset window
+    "x115_pack_boundaries" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, doc_id % $PackShards AS shard,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM t),
+         |walk(shard, rn, doc_id, n_tokens, bin, acc) AS (
+         |  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+         |  FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+         |    CASE WHEN w.acc + r.n_tokens > $PackBudget AND w.acc > 0
+         |         THEN w.bin + 1 ELSE w.bin END,
+         |    CASE WHEN w.acc + r.n_tokens > $PackBudget AND w.acc > 0
+         |         THEN r.n_tokens ELSE w.acc + r.n_tokens END
+         |  FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1),
+         |b AS (SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin, n_tokens,
+         |    CAST(row_number() OVER (PARTITION BY shard, bin ORDER BY doc_id)
+         |      AS BIGINT) AS seq_idx,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard, bin
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS start_tok
+         |  FROM walk)
+         |SELECT doc_id, shard, bin, seq_idx, start_tok,
+         |  start_tok + n_tokens - 1 AS end_tok
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     // x114: per-row norm fold + quantile_cont, same flags
     "x114_embedding_hygiene" ->
