@@ -78,6 +78,7 @@ object ExtensionQueries {
   /** x106 phrase dimension (mixed lengths exercise the per-length path). */
   private val PhraseDim: Seq[(Long, String)] =
     Seq((0L, "table part"), (1L, "spark join"), (2L, "fast table value"))
+  private val AuditSampleK = 50    // x116 review-sheet size
   /** x109 explicit domain weights: over-target (keep-all), under-target
     * (downsample), and unlisted (uncapped) sources all exercised. */
   private val TargetShares: Seq[(String, Long, Long)] =
@@ -1737,6 +1738,26 @@ object ExtensionQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // near-dup audit sample: a deterministic 50-pair review sheet drawn
+    // from x07's verified pairs by hash rank (how dedup PRECISION gets
+    // human-audited without leaking selection bias) — TakeOrdered cut,
+    // two narrow id joins for the reviewer's length context
+    "x116_pair_audit_sample" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = Dedup.minHashNearDups(d, JaccardThreshold, P)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .withColumn("audit_key", graft.functions.HashExpressions.rolling_hash(
+          concat(col("id_a").cast("string"), lit(":"),
+            col("id_b").cast("string"), lit(":audit"))))
+        .orderBy("audit_key", "id_a", "id_b").limit(AuditSampleK)
+      pairs
+        .join(d.select(col("doc_id").as("id_a"), col("n_chars").as("len_a")), Seq("id_a"))
+        .join(d.select(col("doc_id").as("id_b"), col("n_chars").as("len_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          col("len_a"), col("len_b"), col("audit_key"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // packed-sequence attention boundaries: the (start, end) token
     // spans per doc inside each x22 bin — what a trainer feeds its
     // block-diagonal attention mask and position-id reset; windows are
@@ -3097,6 +3118,29 @@ object ExtensionQueries {
     // side — rebuild equivalence, nothing else changes
     "x108_ivfpq_deletes" ->
       pqAdcOracleSql(withIvf = true, deadWhere = " AND e.vec_id % 5 <> 0"),
+
+    // x116: x07's verified-pair chain + the same hash rank and LIMIT,
+    // length context joined from documents
+    "x116_pair_audit_sample" ->
+      s"""WITH $sqlShingleCte,
+         |$sqlBandedCte,
+         |$sqlCappedBandedCte,
+         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM bandedc l JOIN bandedc r
+         |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+         |ver AS (SELECT id_a, id_b,
+         |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+         |    len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS uni
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+         |pr AS (SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard,
+         |    ${sqlStringHash("CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR) || ':audit'")}
+         |      AS audit_key
+         |  FROM ver WHERE CAST(inter AS DOUBLE) / uni >= $JaccardThreshold),
+         |top AS (SELECT * FROM pr ORDER BY audit_key, id_a, id_b LIMIT $AuditSampleK)
+         |SELECT id_a, id_b, jaccard, da.n_chars AS len_a, db.n_chars AS len_b, audit_key
+         |FROM top JOIN documents da ON da.doc_id = id_a
+         |JOIN documents db ON db.doc_id = id_b
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // x115: x22's recursive pack walk + per-(shard, bin) offset window
     "x115_pack_boundaries" ->
