@@ -223,9 +223,12 @@ object Components {
    * @param oldLabels (id, component) — stored labels, component = min id
    * @param newEdges  (src, dst) — edges with at least one endpoint
    *                  anywhere; endpoints unknown to `oldLabels` are
-   *                  treated as new nodes
+   *                  treated as new nodes and always appear in the
+   *                  output, whether or not `newNodes` listed them
    * @param newNodes  (id) — this epoch's node universe (isolated new
-   *                  nodes become singletons)
+   *                  nodes become singletons); ids already present in
+   *                  `oldLabels` are ignored here (the old row stands —
+   *                  no duplicate/conflicting label is emitted)
    */
   def incrementalComponents(
       oldLabels: DataFrame,
@@ -254,7 +257,18 @@ object Components {
       .join(qLabels.select(col("id").as("component"), col("component").as("q")),
         Seq("component"), "left")
       .select(col("id"), coalesce(col("q"), col("component")).as("component"))
-    val newOut = newNodes.select(col("id"))
+    // emitted new-node universe = declared new nodes ∪ edge endpoints not
+    // already labeled. The anti-join enforces both docstring promises:
+    // an endpoint absent from oldLabels AND newNodes still gets a label
+    // (it entered the quotient as itself), and an id oldLabels already
+    // covers never emits a second, conflicting row even if the caller
+    // replays it in newNodes (the streaming ingests' at-least-once case).
+    val freshIds = newNodes.select(col("id"))
+      .unionByName(newEdges.select(col("src").as("id")))
+      .unionByName(newEdges.select(col("dst").as("id")))
+      .distinct()
+      .join(lab.select(col("id")), Seq("id"), "left_anti")
+    val newOut = freshIds
       .join(qLabels, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
     oldOut.unionByName(newOut)

@@ -43,9 +43,13 @@ object IndexMaintenance {
     * streamed appends): one postings file per term bucket, the
     * per-batch stats rows collapsed to the single merged row a probe
     * would sum them to, and the doclens sidecar rewritten alongside. */
-  def compactBm25Index(spark: SparkSession, src: String, dst: String): Unit =
+  def compactBm25Index(
+      spark: SparkSession,
+      src: String,
+      dst: String,
+      idCol: String = "doc_id"): Unit =
     compactBm25IndexWithDeletes(spark, src, dst,
-      spark.range(0).select(col("id").as("doc_id")))
+      spark.range(0).select(col("id").as(idCol)), idCol)
 
   /** Compaction + PHYSICAL delete reclamation: the next generation drops
     * every tombstoned doc's postings and doclens row and folds the

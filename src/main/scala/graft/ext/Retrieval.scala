@@ -345,6 +345,11 @@ object Retrieval {
       .filter(col("n") >= 1)
       .persist()
     val lengths = pz.select("n").distinct().collect().map(_.getInt(0)).sorted
+    if (lengths.isEmpty) { // no phrase survives tokenization → empty result
+      pz.unpersist(blocking = false)
+      return docs.select(lit(0L).as("phrase_id"), col(idCol),
+        lit(0L).as("n_occ")).limit(0)
+    }
     val perLength = lengths.map { n =>
       val ph = pz.filter(col("n") === n).select(col("phrase_id"),
         element_at(graft.functions.HashExpressions.shingle_hashes_pos(

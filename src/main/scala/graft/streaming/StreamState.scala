@@ -1,0 +1,25 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Filesystem-scheme-aware state probes for the foreachBatch ingests.
+ *
+ * The ingests detect "has a prior batch written state?" by path
+ * existence. `java.io.File` only answers that for the driver's LOCAL
+ * filesystem — under the normal Structured Streaming deployment the
+ * state dir is HDFS/S3-backed, where a local probe is always false and
+ * every micro-batch would silently re-initialize from empty (and
+ * `mode("overwrite")` would discard everything accumulated). Resolve
+ * existence through the Hadoop FileSystem for the path's own scheme
+ * instead, exactly as Spark's checkpoint manager does.
+ */
+private[streaming] object StreamState {
+
+  /** True iff `path` exists on the filesystem its scheme names
+    * (file://, hdfs://, s3a://, …). */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+}

@@ -30,9 +30,17 @@ import org.apache.spark.sql.{DataFrame, Row}
  * Per-batch cost: shingle/band the BATCH only, bucket-join it against
  * the accumulated banded state (the same pruned probe x26 pays), and run
  * CC over the edge DELTA's quotient graph — never the accumulated
- * corpus. Delivery matches the other ingests: checkpointed batches never
- * re-run; a failure inside a batch may re-append sh/banded rows
- * (at-least-once, `foreachBatch`'s contract).
+ * corpus.
+ *
+ * Delivery: `foreachBatch` is at-least-once, so the fold is made
+ * IDEMPOTENT — the batch is anti-joined against the stored labels (one
+ * column-pruned labels scan with the batch broadcast) so a replayed
+ * batch whose labels already committed no-ops, and the writes are
+ * ordered appends-first/labels-last so a replay after a partial failure
+ * reprocesses the batch against state that at worst holds duplicate
+ * sh/banded rows. Duplicate sh/banded rows are benign: candidates are
+ * `distinct()`ed and duplicate verified pairs are duplicate CC edges,
+ * which merge idempotently.
  */
 object StreamingClusterIngest {
 
@@ -48,33 +56,68 @@ object StreamingClusterIngest {
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        foldBatch(batch, path, threshold, p, idCol, textCol)
+      }
+
+  /** One micro-batch's fold into the state dir — public so the replay
+    * case (foreachBatch delivering the same batch twice) is directly
+    * spec-testable: folding an identical batch again must leave the
+    * state bit-identical. */
+  def foldBatch(
+      batch: DataFrame,
+      path: String,
+      threshold: Double,
+      p: Dedup.MinHashParams = Dedup.MinHashParams(),
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          val hasState = StreamState.exists(spark, s"$path/labels")
           // in-batch id dedup, as the index ingests (min text per id)
-          val dedup = batch.groupBy(col(idCol)).agg(min(col(textCol)).as(textCol))
-          val newSh = dedup.select(col(idCol).as("id"),
-            sort_array(Dedup.shingleHashes(col(textCol))).as("sh"))
-          val hasState = new java.io.File(s"$path/labels").exists()
-          val (oldLabels, oldSh, oldBanded) =
+          val batchDocs = batch.groupBy(col(idCol)).agg(min(col(textCol)).as(textCol))
+          // idempotent replay guard: ids whose labels already committed
+          // (a prior attempt of this batch finished the fold) drop here,
+          // so re-running the batch cannot double-enter the state.
+          // localCheckpoint, not persist: this frame reads the labels
+          // dir that the fold overwrites below, so its lineage must be
+          // truncated (an evicted cache partition would otherwise
+          // recompute against the replaced files).
+          val dedup =
             if (hasState)
-              (spark.read.parquet(s"$path/labels"),
-                spark.read.parquet(s"$path/sh"),
-                spark.read.parquet(s"$path/banded"))
-            else
-              (newSh.select(col("id"), col("id").as("component")).limit(0),
-                newSh.limit(0),
-                Dedup.bandedFromShingles(newSh, p).limit(0))
-          val pairs = Dedup.incrementalNearDups(oldSh, oldBanded, dedup,
-            threshold, p, idCol = idCol, textCol = textCol)
-          val merged = Components.incrementalComponents(oldLabels,
-              pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
-              dedup.select(col(idCol).as("id")))
-            .localCheckpoint(true) // materialize BEFORE overwriting its input
-          merged.write.mode("overwrite").parquet(s"$path/labels")
-          newSh.write.mode("append").parquet(s"$path/sh")
-          Dedup.bandedFromShingles(newSh, p).write.mode("append")
-            .parquet(s"$path/banded")
-          pairs.unpersist(blocking = false)
+              batchDocs.join(
+                  spark.read.parquet(s"$path/labels")
+                    .select(col("id").as(idCol)),
+                  Seq(idCol), "left_anti")
+                .localCheckpoint(true)
+            else batchDocs.persist()
+          if (!dedup.isEmpty) {
+            val newSh = dedup.select(col(idCol).as("id"),
+              sort_array(Dedup.shingleHashes(col(textCol))).as("sh"))
+            val (oldLabels, oldSh, oldBanded) =
+              if (hasState)
+                (spark.read.parquet(s"$path/labels"),
+                  spark.read.parquet(s"$path/sh"),
+                  spark.read.parquet(s"$path/banded"))
+              else
+                (newSh.select(col("id"), col("id").as("component")).limit(0),
+                  newSh.limit(0),
+                  Dedup.bandedFromShingles(newSh, p).limit(0))
+            val pairs = Dedup.incrementalNearDups(oldSh, oldBanded, dedup,
+              threshold, p, idCol = idCol, textCol = textCol)
+            val merged = Components.incrementalComponents(oldLabels,
+                pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+                dedup.select(col(idCol).as("id")))
+              .localCheckpoint(true) // materialize BEFORE overwriting its input
+            // appends first, labels LAST: labels presence is the replay
+            // sentinel above, so it must commit only after the sh/banded
+            // rows it summarizes are durable
+            newSh.write.mode("append").parquet(s"$path/sh")
+            Dedup.bandedFromShingles(newSh, p).write.mode("append")
+              .parquet(s"$path/banded")
+            merged.write.mode("overwrite").parquet(s"$path/labels")
+            pairs.unpersist(blocking = false)
+          }
+          dedup.unpersist(blocking = false)
           ()
         }
       }

@@ -44,13 +44,38 @@ object StreamingPrioritySample {
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        foldBatch(batch, path, k, idCol, groupCol, weightCol, salts)
+      }
+
+  /** One micro-batch's fold into the state dir — public so the replay
+    * case (foreachBatch delivering the same batch twice) is directly
+    * spec-testable: folding an identical batch again must leave the
+    * state bit-identical. */
+  def foldBatch(
+      batch: DataFrame,
+      path: String,
+      k: Int,
+      idCol: String = "doc_id",
+      groupCol: String = "source",
+      weightCol: String = "w",
+      salts: Int = 8): Unit = {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val fresh = Mixture.prioritized(batch, col(weightCol), idCol, groupCol)
-          val hasState = new java.io.File(s"$path/state").exists()
+          val hasState = StreamState.exists(spark, s"$path/state")
+          // foreachBatch is at-least-once: a replayed batch's rows may
+          // already sit in the state (identical rows — priorities are
+          // pure per-row functions), and ranking the duplicate would
+          // burn two of the k+1 slots, evicting a legitimate row and
+          // distorting τ. Anti-join the batch against the stored rows
+          // (dimension-sized → broadcast) so the fold is idempotent.
           val all =
-            if (hasState) spark.read.parquet(s"$path/state").unionByName(fresh)
-            else fresh
+            if (hasState) {
+              val state = spark.read.parquet(s"$path/state")
+              state.unionByName(
+                fresh.join(broadcast(state.select(col(idCol), col(groupCol))),
+                  Seq(idCol, groupCol), "left_anti"))
+            } else fresh
           val next = Skew.saltedTopK(all, groupCol,
               order = Seq(col("q").desc, col(idCol)),
               saltBy = Seq(idCol), k = k + 1L, salts = salts)

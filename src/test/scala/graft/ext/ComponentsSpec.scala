@@ -143,6 +143,28 @@ class ComponentsSpec extends SparkSpec {
     assert(inc(40L) === 40L && inc(9L) === 9L)
   }
 
+  test("incrementalComponents contract: unknown edge endpoints are emitted; newNodes overlapping oldLabels emit no duplicate rows") {
+    val oldEdges = Seq((1L, 2L)).toDF("src", "dst")
+    val oldNodes = Seq(1L, 2L, 9L).toDF("id")
+    val oldLabels = Components.connectedComponents(oldEdges, oldNodes)
+    // endpoint 50 appears only in the edge list (declared in neither
+    // oldLabels nor newNodes); newNodes replays old ids 1 and 9
+    val newEdges = Seq((50L, 2L), (60L, 61L)).toDF("src", "dst")
+    val newNodes = Seq(1L, 9L, 60L, 61L).toDF("id")
+    val rows = Components.incrementalComponents(oldLabels, newEdges, newNodes)
+      .as[(Long, Long)].collect()
+    assert(rows.length === rows.map(_._1).distinct.length,
+      "one label row per id — no duplicate/conflicting rows for replayed ids")
+    val inc = rows.toMap
+    val full = Components.connectedComponents(
+        oldEdges.unionByName(newEdges),
+        oldNodes.unionByName(Seq(50L, 60L, 61L).toDF("id")))
+      .as[(Long, Long)].collect().toMap
+    assert(inc === full)
+    assert(inc(50L) === 1L, "edge-only endpoint joined the old component")
+    assert(inc(60L) === 60L && inc(61L) === 60L && inc(9L) === 9L)
+  }
+
   test("pageRankRanks: hub of a star outranks leaves; repartition-invariant; matches hand fold") {
     // star: 0 — {1,2,3,4}, plus disjoint pair 10—11
     val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (10L, 11L))

@@ -85,6 +85,30 @@ class RetrievalSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("phraseCounts: empty phrase dim (or all phrases tokenizing to nothing) returns an empty frame, not an exception") {
+    val empty = Seq.empty[(Long, String)].toDF("phrase_id", "phrase")
+    val out = Retrieval.phraseCounts(docs, empty)
+    assert(out.columns.toSeq === Seq("phrase_id", "doc_id", "n_occ"))
+    assert(out.count() === 0L)
+    // phrases present but all normalize to zero tokens
+    val blank = Seq((1L, "   "), (2L, "")).toDF("phrase_id", "phrase")
+    assert(Retrieval.phraseCounts(docs, blank).count() === 0L)
+  }
+
+  test("bm25 index compaction honors a non-default id column") {
+    val src = java.nio.file.Files.createTempDirectory("graft_bm25id_src_").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_bm25id_dst_").toString
+    val renamed = docs.withColumnRenamed("doc_id", "page_id")
+    Retrieval.writeBm25Index(renamed, src, idCol = "page_id")
+    IndexMaintenance.compactBm25Index(spark, src, dst, idCol = "page_id")
+    def results(path: String) =
+      Retrieval.bm25TopKFromIndex(spark, path, q, k = 10, idCol = "page_id")
+        .select("query_id", "rank", "page_id", "score")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    assert(results(dst) === results(src))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("bm25 index compaction: one file per bucket, one stats row, identical probe results") {
     val src = java.nio.file.Files.createTempDirectory("graft_bm25cmp_src_").toString
     val dst = java.nio.file.Files.createTempDirectory("graft_bm25cmp_dst_").toString

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ext.{Components, Mixture}
+import org.apache.spark.sql.functions._
+
+/** foreachBatch delivers at-least-once: a batch can re-run after some or
+  * all of its state writes committed. Both stateful ingests must fold a
+  * replayed batch idempotently — re-folding an identical batch leaves
+  * the state (and the derived results) bit-identical to single
+  * delivery, and still equal to the batch operator over the corpus. */
+class StreamingReplaySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("StreamingClusterIngest.foldBatch: replaying a committed batch is a no-op; state still equals full rebuild") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta one"
+    val b = "iota kappa lambda mu nu xi omicron pi rho two"
+    val batch1 = Seq((1L, a), (2L, a + " tail")).toDF("doc_id", "text")
+    val batch2 = Seq((10L, b), (11L, b + " tail"), (20L, a + " tails"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_replay_cc_").toString
+    StreamingClusterIngest.foldBatch(batch1, path, threshold = 0.35)
+    StreamingClusterIngest.foldBatch(batch2, path, threshold = 0.35)
+    val labelsOnce = spark.read.parquet(s"$path/labels")
+      .as[(Long, Long)].collect().toMap
+    val shCountOnce = spark.read.parquet(s"$path/sh").count()
+    // the retry: batch2 delivered again after its labels committed
+    StreamingClusterIngest.foldBatch(batch2, path, threshold = 0.35)
+    val labelsTwice = spark.read.parquet(s"$path/labels")
+      .as[(Long, Long)].collect().toMap
+    assert(labelsTwice === labelsOnce, "replay must not change labels")
+    assert(labelsTwice.size === labelsOnce.size,
+      "replay must not emit duplicate/conflicting label rows")
+    assert(spark.read.parquet(s"$path/sh").count() === shCountOnce,
+      "a fully-committed batch replays as a no-op — no duplicate sh appends")
+    val full = Components.nearDupClusters(spark,
+        batch1.unionByName(batch2), threshold = 0.35)
+      .select(col("doc_id"), col("cluster_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(labelsTwice === full)
+    assert(labelsTwice(20L) === labelsTwice(1L), "late near-dup joined cluster A")
+  }
+
+  test("StreamingPrioritySample.foldBatch: replaying a committed batch leaves state and sample identical to batch operator") {
+    val mk = (ids: Seq[Long]) =>
+      ids.map(i => (i, if (i % 2 == 0) "web" else "book", 1L + i % 7))
+        .toDF("doc_id", "source", "w")
+    val batch1 = mk(1L to 40L)
+    val batch2 = mk(41L to 80L)
+    val k = 5
+    val path = java.nio.file.Files.createTempDirectory("graft_replay_ps_").toString
+    StreamingPrioritySample.foldBatch(batch1, path, k)
+    StreamingPrioritySample.foldBatch(batch2, path, k)
+    val stateOnce = spark.read.parquet(s"$path/state")
+      .orderBy("source", "doc_id").collect().toSeq
+    // the retry: batch2 delivered again after its state overwrite committed
+    StreamingPrioritySample.foldBatch(batch2, path, k)
+    val stateTwice = spark.read.parquet(s"$path/state")
+      .orderBy("source", "doc_id").collect().toSeq
+    assert(stateTwice === stateOnce,
+      "replayed rows must not occupy two of the k+1 slots")
+    val streamed = StreamingPrioritySample.result(spark, path, k)
+      .select(col("doc_id"), col("source"), col("w_hat_r").cast("string"))
+      .orderBy("source", "doc_id").collect().toSeq
+    val batch = Mixture.prioritySample(batch1.unionByName(batch2), col("w"), k)
+      .select(col("doc_id"), col("source"), col("w_hat_r").cast("string"))
+      .orderBy("source", "doc_id").collect().toSeq
+    assert(streamed === batch)
+  }
+}
