@@ -249,6 +249,134 @@ object TextAnalysis {
         coalesce(col("nll_r"), lit(0.0)).as("nll_r"))
   }
 
+  /**
+   * Trained Naive-Bayes quality classifier — the fastText-style
+   * discriminative pipeline step (Joulin et al. 2017, "Bag of Tricks
+   * for Efficient Text Classification"; here multinomial NB over the
+   * same hashed feature space, which keeps every number
+   * oracle-expressible): train per-bucket class counts on a LABELED
+   * seed frame, then score any corpus map-side against the broadcast
+   * log-odds model. This is the standard "quality classifier" stage of
+   * a curation pipeline (GPT-3/CCNet style: label a seed by a trusted
+   * signal, train, score everything).
+   *
+   * Features: unigram token hashes ∪ positional-bigram hashes, folded
+   * into a PRIME bucket space (`h mod buckets` — prime, because the
+   * rolling hash's stride structure aliases into composite spaces; the
+   * [[graft.ext.Mixture.dsirLogWeights]] collision lesson).
+   *
+   * Model = one row per OBSERVED bucket with the add-one-smoothed
+   * log-likelihood ratio
+   * `llr(b) = ln((c⁺(b)+1)/(tot⁺+B)) − ln((c⁻(b)+1)/(tot⁻+B))`,
+   * rounded to 9 dp and stored DECIMAL(19,9), plus two reserved rows:
+   * `b = -1` the doc-count prior `ln((n⁺+1)/(n⁻+1))` and `b = -2` the
+   * unseen-bucket default (the c=0 llr — a CONSTANT, so scoring never
+   * needs the training totals). Dimension-sized: ≤ buckets + 2 rows.
+   *
+   * Determinism: per-feature llrs are rounded to DECIMAL before any
+   * aggregation, so the per-doc score is an exact
+   * DECIMAL(9,0)×DECIMAL(19,9) sum — partial-aggregation order can
+   * never move a score, and the DuckDB oracle replays it bit-for-bit
+   * (the x64/x72 discipline).
+   *
+   * @param isPositive boolean label column evaluated against `labeled`
+   * @return (b, llr) — b ≥ 0 observed buckets; b = -1 prior; b = -2 default
+   */
+  def nbQualityTrain(
+      labeled: DataFrame,
+      isPositive: Column,
+      buckets: Int = 2039,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val feats = labeled
+      .select(col(idCol), isPositive.as("is_p"),
+        explode(nbFeatureHashes(col(textCol))).as("h"))
+      .withColumn("b", pmod(col("h"), lit(buckets.toLong)))
+      .persist() // class counts + totals consume the stream (caller-release)
+    val cls = feats.groupBy("b").agg(
+      sum(when(col("is_p"), 1L).otherwise(0L)).as("c_p"),
+      sum(when(!col("is_p"), 1L).otherwise(0L)).as("c_n"))
+    val tot = feats.agg(
+      sum(when(col("is_p"), 1L).otherwise(0L)).as("tot_p"),
+      sum(when(!col("is_p"), 1L).otherwise(0L)).as("tot_n"))
+    val nDocs = labeled.select(isPositive.as("is_p")).agg(
+      sum(when(col("is_p"), 1L).otherwise(0L)).as("n_p"),
+      sum(when(!col("is_p"), 1L).otherwise(0L)).as("n_n"))
+    def llrOf(cp: Column, cn: Column) =
+      round(log((cp + 1).cast("double") / (col("tot_p") + buckets)) -
+        log((cn + 1).cast("double") / (col("tot_n") + buckets)), 9)
+        .cast("decimal(19,9)")
+    val perBucket = cls.crossJoin(broadcast(tot)) // 1-row totals scaffold
+      .select(col("b"), llrOf(col("c_p"), col("c_n")).as("llr"))
+    val default = tot
+      .select(lit(-2L).as("b"), llrOf(lit(0L), lit(0L)).as("llr"))
+    val prior = nDocs
+      .select(lit(-1L).as("b"),
+        round(log((col("n_p") + 1).cast("double") / (col("n_n") + 1)), 9)
+          .cast("decimal(19,9)").as("llr"))
+    perBucket.unionByName(prior).unionByName(default)
+  }
+
+  /** Score a corpus against a [[nbQualityTrain]] model:
+    * `score(d) = prior + Σ_b n_{d,b} · llr(b)` with unseen buckets
+    * taking the model's default row — exact decimal throughout, so
+    * `pred` (score > 0) is a deterministic integer-arithmetic verdict.
+    *
+    * Scale shape: the model is dimension-sized and broadcast; the only
+    * corpus-keyed shuffle is the per-doc bucket-count aggregation
+    * (map-side combinable). Every doc has ≥ 1 feature (the tokenizer
+    * emits at least one token), so the inner agg covers the corpus.
+    *
+    * @return (idCol, n_feats, score_r, pred)
+    */
+  def nbQualityScore(
+      docs: DataFrame,
+      model: DataFrame,
+      buckets: Int = 2039,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val scalars = model.filter(col("b") < 0).groupBy().agg(
+      max(when(col("b") === -1L, col("llr"))).as("prior"),
+      max(when(col("b") === -2L, col("llr"))).as("c0"))
+    val m = model.filter(col("b") >= 0).select(col("b"), col("llr"))
+    val perDoc = docs
+      .select(col(idCol), explode(nbFeatureHashes(col(textCol))).as("h"))
+      .withColumn("b", pmod(col("h"), lit(buckets.toLong)))
+      .groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("n"))
+    perDoc
+      .join(broadcast(m), Seq("b"), "left")
+      .crossJoin(broadcast(scalars)) // 1-row (prior, default) scaffold
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_feats"),
+        // 9+19+1 = 29 ≤ 38: the product stays DECIMAL in both engines.
+        // The sum then narrows (lossless — |score| < 1e10) so the
+        // prior addition stays within precision 38: at (19,9)+(38,9)
+        // Spark would cap the result at DECIMAL(38,8), silently
+        // rounding scale 9→8 BEFORE the display round (double-rounding
+        // that flips …49x digits); DuckDB wouldn't, and the engines
+        // diverge by one display ulp
+        sum(col("n").cast("decimal(9,0)") * coalesce(col("llr"), col("c0")))
+          .cast("decimal(28,9)").as("sf"),
+        min(col("prior")).as("prior"))
+      .select(col(idCol), col("n_feats"),
+        // display-round in DECIMAL space: a scale-9 exact sum can land
+        // exactly on a …500 half-way digit, where round(double, 6)
+        // diverges across engines (shortest-string HALF_UP vs binary).
+        // round(decimal) is half-away-from-zero in both engines (a
+        // decimal CAST rescale is NOT — DuckDB truncates there)
+        round(col("prior") + col("sf"), 6).cast("double").as("score_r"),
+        ((col("prior") + col("sf")) > 0).as("pred"))
+  }
+
+  /** The NB feature stream: unigram token hashes ∪ positional-bigram
+    * hashes of the normalized text (one multiset per doc — counts, not
+    * distinct: multinomial NB). */
+  private def nbFeatureHashes(text: Column): Column =
+    concat(Dedup.tokenHashes(text),
+      Dedup.positionalShingleHashes(text, 2))
+
   /** PII patterns (RE2-safe constructs only — no lookaround/backrefs — so
     * Spark's java.util.regex and DuckDB's RE2 match identically; shared
     * with the oracle SQL). */

@@ -62,6 +62,11 @@ object ExtensionQueries {
     * the fixture) — 0.93 isolates the true near-duplicate tail. */
   private val SemDedupTrainedThreshold = 0.93
   private val DsirBuckets = 1021   // x64 hashed-bigram feature space (PRIME — see Mixture.dsirLogWeights)
+  private val NbBuckets = 2039     // x117 NB feature space (PRIME, same rationale)
+  private val NbSeedMod = 3L       // x117 labeled-seed slice: doc_id % 3 = 0
+  /** x120 threshold sweep over the length-normalized NB score (mean llr
+    * per feature — raw scores scale with doc length). */
+  private val NbCalGrid: Seq[Double] = (-4 to 4).map(_ / 10.0)
   private val DsirKeepNum = 1L     // x71 keep fraction numerator
   private val DsirKeepDen = 4L     // x71 keep fraction denominator (keep top ~1/4 by weight)
   /** x61/x62 literal query dimension: (query_id, term) — qids 0..2 double
@@ -393,6 +398,68 @@ object ExtensionQueries {
        |w AS (SELECT doc_id, sum(n) AS n_grams,
        |    sum(CAST(n AS DECIMAL(9,0)) * lr) AS w_d
        |  FROM pdb JOIN lr USING (b) GROUP BY doc_id)""".stripMargin
+
+  /** x117–x120 shared NB CTE chain → `mdl(b, llr)` (the trained model:
+    * b ≥ 0 observed buckets, b = -1 prior, b = -2 unseen default) and
+    * `nbsc(doc_id, n_feats, s_d)` (the whole-corpus exact-decimal
+    * scores) — unigram∪bigram hashed features, add-one smoothing,
+    * per-feature llr rounded→DECIMAL(19,9) before the per-doc sum. */
+  private lazy val sqlNbCtes: String = {
+    def featCtes(p: String, from: String): String =
+      s"""${p}h AS (SELECT *, list_transform(string_split(t, ' '),
+         |    s -> ${sqlStringHash("s")}) AS th FROM $from),
+         |${p}b2 AS (SELECT * EXCLUDE (h2), unnest(h2) AS h FROM (
+         |  SELECT *, list_transform(range(0, CASE WHEN len(th) < 2 THEN 1
+         |                                        ELSE len(th) - 1 END),
+         |      i -> list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |             list_slice(th, i + 1, i + 2)),
+         |           (a, b) -> (a * $C + b) % $Mod)) AS h2 FROM ${p}h)),
+         |${p}f AS (SELECT * EXCLUDE (th), unnest(th) AS h FROM ${p}h
+         |  UNION ALL SELECT * EXCLUDE (th) FROM ${p}b2),
+         |${p}bk AS (SELECT * EXCLUDE (h), h % $NbBuckets AS b FROM ${p}f)""".stripMargin
+    s"""nbn AS (SELECT doc_id, lang = 'en' AS is_p, $sqlNorm AS t
+       |  FROM documents WHERE doc_id % $NbSeedMod = 0),
+       |${featCtes("nb", "nbn")},
+       |nbcls AS (SELECT b,
+       |    CAST(sum(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS c_p,
+       |    CAST(sum(CASE WHEN is_p THEN 0 ELSE 1 END) AS BIGINT) AS c_n
+       |  FROM nbbk GROUP BY b),
+       |nbtot AS (SELECT
+       |    CAST(sum(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS tot_p,
+       |    CAST(sum(CASE WHEN is_p THEN 0 ELSE 1 END) AS BIGINT) AS tot_n
+       |  FROM nbbk),
+       |nbnd AS (SELECT
+       |    CAST(sum(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+       |    CAST(sum(CASE WHEN is_p THEN 0 ELSE 1 END) AS BIGINT) AS n_n
+       |  FROM nbn),
+       |mdl AS (
+       |  SELECT b,
+       |    CAST(round(ln(CAST(c_p + 1 AS DOUBLE) / (tot_p + $NbBuckets))
+       |             - ln(CAST(c_n + 1 AS DOUBLE) / (tot_n + $NbBuckets)), 9)
+       |      AS DECIMAL(19,9)) AS llr
+       |  FROM nbcls CROSS JOIN nbtot
+       |  UNION ALL
+       |  SELECT CAST(-1 AS BIGINT),
+       |    CAST(round(ln(CAST(n_p + 1 AS DOUBLE) / (n_n + 1)), 9)
+       |      AS DECIMAL(19,9)) FROM nbnd
+       |  UNION ALL
+       |  SELECT CAST(-2 AS BIGINT),
+       |    CAST(round(ln(CAST(0 + 1 AS DOUBLE) / (tot_p + $NbBuckets))
+       |             - ln(CAST(0 + 1 AS DOUBLE) / (tot_n + $NbBuckets)), 9)
+       |      AS DECIMAL(19,9)) FROM nbtot),
+       |scn AS (SELECT doc_id, $sqlNorm AS t FROM documents),
+       |${featCtes("sc", "scn")},
+       |scpdb AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
+       |  FROM scbk GROUP BY doc_id, b),
+       |nbsc AS (SELECT doc_id, sum(n) AS n_feats,
+       |    min(pr.prior) + sum(CAST(n AS DECIMAL(9,0)) * coalesce(m.llr, df.c0))
+       |      AS s_d
+       |  FROM scpdb
+       |  LEFT JOIN (SELECT b, llr FROM mdl WHERE b >= 0) m USING (b)
+       |  CROSS JOIN (SELECT llr AS prior FROM mdl WHERE b = -1) pr
+       |  CROSS JOIN (SELECT llr AS c0 FROM mdl WHERE b = -2) df
+       |  GROUP BY doc_id)""".stripMargin
+  }
 
   /** x61/x62 literal query-term dimension as a VALUES CTE. */
   private val sqlQueryTermsCte: String =
@@ -1742,6 +1809,82 @@ object ExtensionQueries {
     // from x07's verified pairs by hash rank (how dedup PRECISION gets
     // human-audited without leaking selection bias) — TakeOrdered cut,
     // two narrow id joins for the reviewer's length context
+    // trained NB quality classifier, the MODEL: per-bucket add-one
+    // log-likelihood ratios over hashed unigram∪bigram features,
+    // trained on the labeled seed slice (doc_id % 3 = 0, label =
+    // lang='en') — dimension-sized (≤ buckets + 2 rows), per-feature
+    // llrs rounded→DECIMAL before anything sums them
+    "x117_nb_model" -> ((s, dir) =>
+      TextAnalysis.nbQualityTrain(
+          Tables.documents(s, dir)
+            .filter(pmod(col("doc_id"), lit(NbSeedMod)) === 0),
+          isPositive = col("lang") === "en", buckets = NbBuckets)
+        .select(col("b"), col("llr").cast("double").as("llr"))
+        .orderBy("b")),
+
+    // NB scoring of the WHOLE corpus against the seed-trained broadcast
+    // model: score = prior + Σ n_b·llr(b), exact decimal sum, verdict
+    // pred = score > 0 decided IN decimal (order-independent)
+    "x118_nb_score" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val model = TextAnalysis.nbQualityTrain(
+          d.filter(pmod(col("doc_id"), lit(NbSeedMod)) === 0),
+          isPositive = col("lang") === "en", buckets = NbBuckets)
+        .persist() // scalars + bucket rows both read it (caller-release)
+      TextAnalysis.nbQualityScore(d, model, buckets = NbBuckets)
+        .orderBy("doc_id")
+    }),
+
+    // composition: the NB verdict leads x33's filter cascade — the
+    // trained classifier becomes the first reject rule, the hand-built
+    // quality score the second (first failing rule wins)
+    "x119_nb_verdict" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val model = TextAnalysis.nbQualityTrain(
+          d.filter(pmod(col("doc_id"), lit(NbSeedMod)) === 0),
+          isPositive = col("lang") === "en", buckets = NbBuckets)
+        .persist() // caller-release
+      val scored = TextAnalysis.nbQualityScore(d, model, buckets = NbBuckets)
+      d.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        .join(scored, Seq("doc_id"))
+        .select(col("doc_id"), col("score_r"), col("pred"),
+          round(col("q"), 6).as("quality_r"),
+          when(!col("pred"), "nb_reject")
+            .when(col("q") < 0.5, "low_quality")
+            .otherwise("keep").as("verdict"))
+        .orderBy("doc_id")
+    }),
+
+    // NB calibration sweep (x88's eval harness over the TRAINED score):
+    // confusion counts + precision/recall of the length-normalized NB
+    // score (mean llr per feature) against the label, 9-threshold grid
+    "x120_nb_calibration" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val model = TextAnalysis.nbQualityTrain(
+          d.filter(pmod(col("doc_id"), lit(NbSeedMod)) === 0),
+          isPositive = col("lang") === "en", buckets = NbBuckets)
+        .persist() // caller-release
+      val scored = TextAnalysis.nbQualityScore(d, model, buckets = NbBuckets)
+        .select(col("doc_id"),
+          round(col("score_r") / col("n_feats"), 6).as("ns"))
+      d.select(col("doc_id"), (col("lang") === "en").as("label"))
+        .join(scored, Seq("doc_id"))
+        .select(col("label"), col("ns"),
+          explode(array(NbCalGrid.map(lit): _*)).as("tau"))
+        .groupBy("tau")
+        .agg(sum(when(col("ns") > col("tau") && col("label"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("ns") > col("tau") && !col("label"), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("ns") <= col("tau") && col("label"), 1L).otherwise(0L)).as("fn"),
+          sum(when(col("ns") <= col("tau") && !col("label"), 1L).otherwise(0L)).as("tn"))
+        .select(col("tau"), col("tp"), col("fp"), col("fn"), col("tn"),
+          round(col("tp").cast("double") / greatest(col("tp") + col("fp"), lit(1L)), 6)
+            .as("precision_r"),
+          round(col("tp").cast("double") / greatest(col("tp") + col("fn"), lit(1L)), 6)
+            .as("recall_r"))
+        .orderBy("tau")
+    }),
+
     "x116_pair_audit_sample" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val pairs = Dedup.minHashNearDups(d, JaccardThreshold, P)
@@ -3118,6 +3261,56 @@ object ExtensionQueries {
     // side — rebuild equivalence, nothing else changes
     "x108_ivfpq_deletes" ->
       pqAdcOracleSql(withIvf = true, deadWhere = " AND e.vec_id % 5 <> 0"),
+
+    // x117: the NB model — seed-slice class counts, add-one llr per
+    // observed bucket, the -1 prior and -2 unseen-default rows
+    "x117_nb_model" ->
+      s"""WITH $sqlNbCtes
+         |SELECT CAST(b AS BIGINT) AS b, CAST(llr AS DOUBLE) AS llr
+         |FROM mdl ORDER BY b""".stripMargin,
+
+    // x118: the whole-corpus scores — exact decimal per-doc sum, the
+    // keep verdict decided in decimal (s_d > 0) before display rounding
+    "x118_nb_score" ->
+      s"""WITH $sqlNbCtes
+         |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+         |  CAST(round(s_d, 6) AS DOUBLE) AS score_r, s_d > 0 AS pred
+         |FROM nbsc ORDER BY doc_id""".stripMargin,
+
+    // x119: NB verdict leads the x33-style cascade (first failing rule
+    // wins) — NB stage from the nbsc chain, quality stage from x03's
+    "x119_nb_verdict" ->
+      s"""WITH $sqlNbCtes,
+         |$sqlQualityCtes,
+         |qv AS (SELECT doc_id, $sqlQualityScore AS q FROM g)
+         |SELECT nbsc.doc_id, CAST(round(s_d, 6) AS DOUBLE) AS score_r,
+         |  s_d > 0 AS pred, round(qv.q, 6) AS quality_r,
+         |  CASE WHEN NOT (s_d > 0) THEN 'nb_reject'
+         |       WHEN qv.q < 0.5 THEN 'low_quality'
+         |       ELSE 'keep' END AS verdict
+         |FROM nbsc JOIN qv USING (doc_id) ORDER BY nbsc.doc_id""".stripMargin,
+
+    // x120: x88's sweep harness over the TRAINED score, normalized per
+    // feature (round-after-round matches the engine's score_r/n_feats)
+    "x120_nb_calibration" ->
+      s"""WITH $sqlNbCtes,
+         |ns AS (SELECT doc_id,
+         |    round(CAST(round(s_d, 6) AS DOUBLE) / n_feats, 6) AS ns
+         |  FROM nbsc),
+         |lb AS (SELECT doc_id, lang = 'en' AS label FROM documents),
+         |e AS (SELECT ns.ns, lb.label, t.tau
+         |  FROM ns JOIN lb USING (doc_id),
+         |  (SELECT unnest([${NbCalGrid.mkString(", ")}]) AS tau) t)
+         |SELECT tau,
+         |  CAST(sum(CASE WHEN ns > tau AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN ns > tau AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN ns <= tau AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN ns <= tau AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |  round(CAST(sum(CASE WHEN ns > tau AND label THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / greatest(sum(CASE WHEN ns > tau THEN 1 ELSE 0 END), 1), 6) AS precision_r,
+         |  round(CAST(sum(CASE WHEN ns > tau AND label THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / greatest(sum(CASE WHEN label THEN 1 ELSE 0 END), 1), 6) AS recall_r
+         |FROM e GROUP BY tau ORDER BY tau""".stripMargin,
 
     // x116: x07's verified-pair chain + the same hash rank and LIMIT,
     // length context joined from documents

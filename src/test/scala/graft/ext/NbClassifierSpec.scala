@@ -1,0 +1,81 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Trained Naive-Bayes quality classifier: model shape, add-one llr
+  * semantics on a hand-checkable fixture, scoring exactness against a
+  * driver-side fold of the collected model, and determinism. */
+class NbClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val B = 2039
+
+  // disjoint vocab: positives say alpha/beta, negatives gamma/delta
+  private lazy val seed = Seq(
+    (1L, "alpha beta alpha", true),
+    (2L, "beta alpha beta", true),
+    (3L, "gamma delta gamma", false),
+    (4L, "delta gamma delta", false)
+  ).toDF("doc_id", "text", "label")
+
+  private def model = TextAnalysis.nbQualityTrain(
+    seed, isPositive = col("label"), buckets = B)
+
+  test("model shape: reserved prior/default rows; balanced classes give zero prior; disjoint vocab gives signed llrs") {
+    val m = model.as[(Long, java.math.BigDecimal)].collect().toMap
+    assert(m.contains(-1L) && m.contains(-2L))
+    assert(m(-1L).doubleValue() === 0.0, "2 vs 2 docs → ln(3/3) = 0 prior")
+    // every observed bucket is a real feature bucket
+    assert(m.keys.filter(_ >= 0).forall(b => b < B))
+    // positive-only features carry positive llr, negative-only negative;
+    // default row must be sign-consistent with the class totals
+    val llrs = m.collect { case (b, v) if b >= 0 => v.doubleValue() }
+    assert(llrs.exists(_ > 0) && llrs.exists(_ < 0),
+      "disjoint vocab must produce buckets favoring each class")
+  }
+
+  test("scoring: exact decimal fold matches a driver-side replay; training docs classify correctly") {
+    val m = model.as[(Long, java.math.BigDecimal)].collect().toMap
+    val scored = TextAnalysis.nbQualityScore(seed, model, buckets = B)
+      .select(col("doc_id"), col("n_feats"), col("score_r"), col("pred"))
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // training docs on disjoint vocab must separate
+    assert(scored(1L)._4 && scored(2L)._4)
+    assert(!scored(3L)._4 && !scored(4L)._4)
+    // n_feats = tokens + bigram windows = 3 + 2
+    assert(scored.values.forall(_._2 === 5L))
+    // replay doc 1's score from the collected model: every feature of
+    // doc 1 is observed in training (it IS a training doc), so the
+    // fold is Σ n_b·llr(b) + prior over its bucket counts
+    val buckets1 = seed.filter(col("doc_id") === 1L)
+      .select(explode(concat(Dedup.tokenHashes(col("text")),
+        Dedup.positionalShingleHashes(col("text"), 2))).as("h"))
+      .select(pmod(col("h"), lit(B.toLong)).as("b"))
+      .as[Long].collect()
+    val expected = m(-1L).add(
+      buckets1.groupBy(identity).map { case (b, occ) =>
+        m(b).multiply(new java.math.BigDecimal(occ.length))
+      }.reduce(_ add _))
+    assert(scored(1L)._3 ===
+      BigDecimal(expected).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("unseen features take the default llr; scoring an out-of-vocab doc falls back to the class-size signal") {
+    val out = TextAnalysis.nbQualityScore(
+        Seq((9L, "omega sigma")).toDF("doc_id", "text"), model, buckets = B)
+      .select(col("score_r"), col("pred")).as[(Double, Boolean)].head()
+    // balanced totals: tot_p = tot_n = 10 features → default llr = 0,
+    // prior = 0 → score exactly 0, pred false (strict >)
+    assert(out._1 === 0.0 && !out._2)
+  }
+
+  test("determinism: training twice and scoring under repartition are bit-identical") {
+    val s1 = TextAnalysis.nbQualityScore(seed, model, buckets = B)
+      .orderBy("doc_id").collect().toSeq
+    val s2 = TextAnalysis.nbQualityScore(seed.repartition(7), model, buckets = B)
+      .orderBy("doc_id").collect().toSeq
+    assert(s1 === s2)
+  }
+}

@@ -622,4 +622,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       s"rank<=k must cut below the exchange:\n$p")
   }
+
+  test("x118: the NB model joins broadcast; the only corpus-keyed shuffles are the two aggs") {
+    val p = planOf("x118_nb_score")
+    // model rows and the (prior, default) scalars are dimension-sized:
+    // both must reach the feature stream as broadcasts — a sort-merge
+    // join here would shuffle the corpus's full feature stream twice
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket→llr model join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-vs-model sort-merge join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // per-(doc, bucket) counts and the per-doc fold both combine map-side
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"feature counts must map-side combine:\n$p")
+    // exactly the doc-keyed exchanges: (doc,b) counts + per-doc fold —
+    // training-side aggs are seed-sized and land on the broadcast side
+    assert(!p.contains("exists#"), "no correlated subquery shape")
+  }
 }
