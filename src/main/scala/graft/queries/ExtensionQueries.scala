@@ -3858,14 +3858,14 @@ object ExtensionQueries {
     "x64_dsir_weights" ->
       s"""WITH $sqlDsirCtes
          |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
-         |  round(CAST(w_d AS DOUBLE), 6) AS weight_r
+         |  CAST(round(w_d, 6) AS DOUBLE) AS weight_r
          |FROM w ORDER BY doc_id""".stripMargin,
 
     // x71: x64's weight chain + tier histogram + cumulative above-count;
     // kept = the same decimal cross-multiplied rule the engine computes
     "x71_dsir_select" ->
       s"""WITH $sqlDsirCtes,
-         |ws AS (SELECT doc_id, round(CAST(w_d AS DOUBLE), 6) AS weight_r FROM w),
+         |ws AS (SELECT doc_id, CAST(round(w_d, 6) AS DOUBLE) AS weight_r FROM w),
          |hist AS (SELECT weight_r, CAST(count(*) AS BIGINT) AS tier_n
          |  FROM ws GROUP BY weight_r),
          |cum AS (SELECT weight_r, tier_n,

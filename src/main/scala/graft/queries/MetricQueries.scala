@@ -288,7 +288,13 @@ object MetricQueries {
         .select(col("event_id"), col("event_type"),
           unix_millis(col("ts")).as("ts_ms"), col("value"))
         .withColumn("n_60s", count(lit(1)).over(w))
-        .withColumn("avg_60s", avg(col("value")).over(w))
+        // decimal-before-sum inside the window (fixture values are 2-dp
+        // exact): a plain double AVG is accumulation-order-dependent —
+        // the sf1 1.7e-13 artifact — while the decimal window sum is
+        // exact and the single division deterministic
+        .withColumn("avg_60s",
+          sum(col("value").cast(Dec)).over(w).cast("double") /
+            count(lit(1)).over(w))
         .select("event_id", "event_type", "ts_ms", "n_60s", "avg_60s")
         .orderBy("event_id")
     }),
@@ -588,7 +594,8 @@ object MetricQueries {
     "m26_range_window" ->
       """SELECT event_id, event_type, epoch_ms(ts) AS ts_ms,
         |  CAST(COUNT(*) OVER w AS BIGINT) AS n_60s,
-        |  AVG(value) OVER w AS avg_60s
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / (COUNT(*) OVER w) AS avg_60s
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ms(ts)
         |             RANGE BETWEEN 60000 PRECEDING AND CURRENT ROW)

@@ -29,13 +29,25 @@ object RelationalQueries {
     "r01_pricing_summary" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
         .filter(col("l_shipdate") <= expr("TIMESTAMP '1999-12-31 00:00:00'"))
-      val disc = col("l_extendedprice").cast(Dec) * (lit(1).cast(Dec) - col("l_discount").cast(Dec))
-      val charge = disc * (lit(1).cast(Dec) + col("l_tax").cast(Dec))
+      // narrow operand types so the triple product stays DECIMAL in BOTH
+      // engines: at (18,2) operands DuckDB's disc×(1+tax) hits width 54
+      // and silently converts to DOUBLE, making sum_charge an
+      // order-dependent double sum (the sf1 1-ulp artifact). At
+      // (12,2)×(5,2)×(5,2) the product is (24,6) in Spark / (22,6) in
+      // DuckDB — exact 6-dp decimal (2+2+2 dp inputs), exact sums.
+      val disc = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+      val charge = disc * (lit(1).cast("decimal(4,2)") + col("l_tax").cast("decimal(4,2)"))
       li.groupBy("l_returnflag", "l_linestatus").agg(
         sum(col("l_quantity")).as("sum_qty"), // integral doubles: exact in any order
         decSum(col("l_extendedprice")).as("sum_base_price"),
         sum(disc).cast("double").as("sum_disc_price"),
-        sum(charge).cast("double").as("sum_charge"),
+        // round the scale-6 sum to the 2-dp money display BEFORE the
+        // double cast: at ~4e10 a scale-6 decimal's integer form
+        // exceeds 2^53, where DuckDB's decimal→double (int128 cast then
+        // divide) double-rounds one ulp off Spark's correctly-rounded
+        // BigDecimal conversion; at scale 2 both are single-rounded
+        round(sum(charge), 2).cast("double").as("sum_charge"),
         (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         decMean(col("l_extendedprice")).as("avg_price"),
         count(lit(1)).as("count_order"))
@@ -253,8 +265,8 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
         |  SUM(l_quantity) / COUNT(*) AS avg_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
         |  CAST(COUNT(*) AS BIGINT) AS count_order
