@@ -639,6 +639,85 @@ object ScaleProbe {
       pp.unpersist(); bf.unpersist(); sh.unpersist()
     }
 
+    // x90 sf1 correctness audit — the CROSS-corpus counterpart of
+    // x17audit (same rationale: the DuckDB probe(all)×reference oracle
+    // is intractable at 50k docs): PPJoin cross mode vs brute-force
+    // probe×reference all-pairs in Spark codegen. Probe/reference split
+    // replicates the x90 query exactly (reference = doc_id % 83 = 0,
+    // threshold 0.5, identical ids allowed — a doc pairs with its own
+    // reference copy at jaccard 1). Exact output-set equality.
+    if (on("x90audit")) {
+      val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val d = graft.sources.Tables.documents(spark, dir)
+      val ref = d.filter(pmod(col("doc_id"), lit(83)) === 0)
+      val t = 0.5
+      val t0 = System.nanoTime()
+      val pp = Dedup.ngramJaccardAgainst(d, ref, threshold = t)
+        .select("id_a", "id_b", "jaccard").persist()
+      val nPP = pp.count()
+      val t1 = System.nanoTime()
+      def sh(df: org.apache.spark.sql.DataFrame, side: String) =
+        df.select(col("doc_id").as(s"id_$side"),
+          sort_array(Dedup.shingleHashes(col("text"))).as(s"sh_$side"))
+      val bf = sh(d, "a")
+        .join(sh(ref, "b"),
+          least(size(col("sh_a")), size(col("sh_b"))).cast("double") /
+            greatest(size(col("sh_a")), size(col("sh_b"))) >= t)
+        .withColumn("jaccard", graft.functions.HashExpressions
+          .sorted_jaccard(col("sh_a"), col("sh_b"), t))
+        .filter(col("jaccard") >= t)
+        .select("id_a", "id_b", "jaccard").persist()
+      val nBF = bf.count()
+      val t2 = System.nanoTime()
+      val diff = pp.exceptAll(bf).count() + bf.exceptAll(pp).count()
+      println(f"x90audit dir=$dir ppjoin=$nPP%d (${(t1 - t0) / 1e9}%.1f s) " +
+        f"bruteforce=$nBF%d (${(t2 - t1) / 1e9}%.1f s) sym_diff=$diff%d")
+      pp.unpersist(); bf.unpersist()
+    }
+
+    // x112 recurring-cost split: the battery row measures generation-0
+    // BUILD + diff-sized SYNC in one number (the query is
+    // self-contained by design), which misrepresents the operator's
+    // recurring cost. Here the generation-0 index is built ONCE and the
+    // sync (diff → tombstone compaction → fresh-doc append → probe) is
+    // timed separately at three diff sizes over the SAME corpus. The
+    // claim under test: sync never re-reads/re-tokenizes the corpus —
+    // its only corpus-proportional term is the postings copy of the
+    // compaction rewrite (no shingle pass, no doc shuffle) — so sync
+    // stays well under build and grows only mildly with the diff.
+    if (on("x112sync")) {
+      val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val d = graft.sources.Tables.documents(spark, dir).persist()
+      d.count()
+      val gen0 = java.nio.file.Files.createTempDirectory("graft_p112_g0_").toString
+      val tb = System.nanoTime()
+      graft.ext.Retrieval.writeBm25Index(d, gen0)
+      val buildS = (System.nanoTime() - tb) / 1e9
+      println(f"x112sync dir=$dir build=$buildS%7.2f s (one-time, corpus-sized)")
+      for (m <- Seq(64L, 16L, 4L)) { // 1/64, 1/16, 1/4 of docs revised
+        val newS = d.withColumn("text",
+          when(pmod(col("doc_id"), lit(m)) === 0, concat(col("text"), lit(" rev")))
+            .otherwise(col("text")))
+        val gen1 = java.nio.file.Files.createTempDirectory(s"graft_p112_g1_").toString
+        val t0 = System.nanoTime()
+        val diff = Dedup.snapshotDiff(d, newS).persist()
+        val dead = diff.filter(col("status").isin("removed", "changed"))
+          .select("doc_id")
+        graft.ext.IndexMaintenance.compactBm25IndexWithDeletes(spark, gen0, gen1, dead)
+        val fresh = newS.join(
+          diff.filter(col("status").isin("added", "changed")).select("doc_id"),
+          Seq("doc_id"))
+        graft.ext.Retrieval.appendBm25Batch(fresh, gen1, "doc_id", "text",
+          mode = "append")
+        val nDiff = diff.filter(col("status") =!= "unchanged").count()
+        val syncS = (System.nanoTime() - t0) / 1e9
+        diff.unpersist()
+        println(f"x112sync diff=1/$m%-3d changed=$nDiff%7d sync=$syncS%7.2f s " +
+          f"(build/sync=${buildS / syncS}%4.1fx)")
+      }
+      d.unpersist()
+    }
+
     // fuzzy-vocab slope: deletion-neighborhood candidates are linear in
     // vocabulary size × token length; replicas salt tokens with a suffix
     // so the vocab actually grows with f.
