@@ -325,6 +325,65 @@ object Similarity {
     corpus.select(col(idCol), col(vecCol), ivfList(col(vecCol), lists, dim).as("list"))
 
   /**
+   * IVF `lists` planner — [[Dedup.minHashPlan]]'s counterpart for the
+   * vector index: score every candidate list count on the MEASURED
+   * corpus distribution (the per-list shares [[ivfHealthReport]]
+   * reports for the deployed setting, here computed for each candidate)
+   * instead of inheriting the knob.
+   *
+   * Cost model, in comparable units (one 64-dim dot each): a probe at
+   * nprobe=1 evaluates `lists` centroid dots plus the landed cell's
+   * rows, and a query lands in cell i with probability share_i under
+   * query-follows-data — so expected candidate rows = Σ nᵢ²/N and
+   * `cost = lists·N + Σ nᵢ²` (scaled by N to stay INTEGER — exact in
+   * both engines; ranking is division-free). `imbalance` =
+   * lists·Σnᵢ²/N² = expected-vs-balanced scan ratio (1.0 = uniform).
+   *
+   * Dimension-sized output (|grid| rows); the corpus pays one map-side
+   * assignment pass per candidate (no shuffle beyond the tiny list
+   * histogram). Input is persisted for the grid passes — caller-release
+   * convention.
+   *
+   * @return (lists, n_cells_used, max_cell, exp_probe_rows_r,
+   *         imbalance_r, cost, is_best)
+   */
+  def ivfListsPlan(
+      corpus: DataFrame,
+      grid: Seq[Int] = Seq(4, 8, 16, 32, 64),
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(grid.nonEmpty, "candidate grid must be non-empty")
+    val c = corpus.persist()
+    val per = grid.map { l =>
+      ivfAssign(c, l, dim, idCol, vecCol)
+        .groupBy("list").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_cells_used"),
+          max(col("n")).as("max_cell"),
+          sum(col("n")).as("n_total"),
+          sum((col("n") * col("n")).cast("decimal(38,0)")).as("sum_sq"))
+        .select(lit(l.toLong).as("lists"), col("n_cells_used"),
+          col("max_cell"), col("n_total"), col("sum_sq"))
+    }.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cost_d"), col("lists"))
+    per.select(col("lists"), col("n_cells_used"), col("max_cell"),
+        (col("lists").cast("decimal(38,0)") * col("n_total") + col("sum_sq"))
+          .as("cost_d"),
+        round(col("sum_sq").cast("double") / col("n_total").cast("double"), 6)
+          .as("exp_probe_rows_r"),
+        round((col("lists").cast("double") * col("sum_sq").cast("double")) /
+          (col("n_total").cast("double") * col("n_total").cast("double")), 6)
+          .as("imbalance_r"))
+      // |grid| rows: the partition-less rank is constant-bounded
+      .withColumn("is_best", row_number().over(w) === 1)
+      .withColumn("cost", col("cost_d").cast("long"))
+      .drop("cost_d")
+      .select("lists", "n_cells_used", "max_cell", "exp_probe_rows_r",
+        "imbalance_r", "cost", "is_best")
+  }
+
+  /**
    * Maximal-Marginal-Relevance rerank (Carbonell & Goldstein, SIGIR
    * 1998): diversify a per-query candidate list by greedily selecting
    * k results, each maximizing `λ·rel(d) − γ·max_{s∈S} sim(d, s)` over

@@ -461,6 +461,45 @@ object ExtensionQueries {
        |  GROUP BY doc_id)""".stripMargin
   }
 
+  /** x121 IVF-plan oracle: per candidate list count, the argmax-list
+    * assignment (x63's list_position idiom at that L), cell histogram,
+    * and the division-free integer cost lists·N + Σnᵢ²; one UNION ALL
+    * branch per grid value, ranked by the same (cost, lists) order. */
+  private lazy val sqlIvfPlanOracle: String = {
+    val branches = IvfPlanGrid.map { l =>
+      val scores = (0 until l)
+        .map(c => sqlDot("embedding", sqlCentroid(c))).mkString("[", ",\n  ", "]")
+      s"""SELECT CAST($l AS BIGINT) AS lists,
+         |  CAST(count(*) AS BIGINT) AS n_cells_used,
+         |  CAST(max(n) AS BIGINT) AS max_cell,
+         |  CAST(sum(n) AS BIGINT) AS n_total,
+         |  CAST(sum(CAST(n * n AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_sq
+         |FROM (SELECT list, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT CAST(list_position(s, list_max(s)) - 1 AS BIGINT) AS list
+         |    FROM (SELECT $scores AS s FROM embeddings))
+         |  GROUP BY list)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH u AS (
+       |$branches
+       |),
+       |costed AS (SELECT lists, n_cells_used, max_cell, n_total,
+       |    CAST(lists AS DECIMAL(38,0)) * n_total + sum_sq AS cost_d,
+       |    round(CAST(sum_sq AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+       |      AS exp_probe_rows_r,
+       |    round((CAST(lists AS DOUBLE) * CAST(sum_sq AS DOUBLE)) /
+       |      (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)), 6)
+       |      AS imbalance_r
+       |  FROM u)
+       |SELECT lists, n_cells_used, max_cell, exp_probe_rows_r, imbalance_r,
+       |  CAST(cost_d AS BIGINT) AS cost,
+       |  row_number() OVER (ORDER BY cost_d, lists) = 1 AS is_best
+       |FROM costed ORDER BY lists""".stripMargin
+  }
+
+  /** x121 candidate grid — must match [[Similarity.ivfListsPlan]]'s
+    * default. */
+  private val IvfPlanGrid: Seq[Int] = Seq(4, 8, 16, 32, 64)
+
   /** x61/x62 literal query-term dimension as a VALUES CTE. */
   private val sqlQueryTermsCte: String =
     "q(query_id, term) AS (VALUES " +
@@ -1809,6 +1848,15 @@ object ExtensionQueries {
     // from x07's verified pairs by hash rank (how dedup PRECISION gets
     // human-audited without leaking selection bias) — TakeOrdered cut,
     // two narrow id joins for the reviewer's length context
+    // IVF lists planner (x113's counterpart for the vector index):
+    // every candidate list count scored on the measured corpus
+    // distribution — integer division-free cost = lists·N + Σnᵢ²
+    // (centroid dots + expected landed-cell rows, same units), with
+    // the imbalance ratio x105 reports per deployed list
+    "x121_ivf_plan" -> ((s, dir) =>
+      Similarity.ivfListsPlan(Tables.embeddings(s, dir))
+        .orderBy("lists")),
+
     // trained NB quality classifier, the MODEL: per-bucket add-one
     // log-likelihood ratios over hashed unigram∪bigram features,
     // trained on the labeled seed slice (doc_id % 3 = 0, label =
@@ -3261,6 +3309,10 @@ object ExtensionQueries {
     // side — rebuild equivalence, nothing else changes
     "x108_ivfpq_deletes" ->
       pqAdcOracleSql(withIvf = true, deadWhere = " AND e.vec_id % 5 <> 0"),
+
+    // x121: per-candidate argmax assignment + cell histograms + the
+    // division-free integer cost — exact in both engines end to end
+    "x121_ivf_plan" -> sqlIvfPlanOracle,
 
     // x117: the NB model — seed-slice class counts, add-one llr per
     // observed bucket, the -1 prior and -2 unseen-default rows

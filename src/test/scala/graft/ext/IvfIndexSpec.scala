@@ -147,4 +147,31 @@ class IvfIndexSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(rebuilt))
     }
   }
+
+  test("ivfListsPlan: histograms sum to the corpus; cost is lists·N + Σn²; degenerate one-cell corpus makes the smallest grid value best") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, (0 until 64).map(d => ((i * 7 + d) % 13 - 6).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val plan = Similarity.ivfListsPlan(vecs, grid = Seq(4, 8, 16))
+      .select(col("lists"), col("n_cells_used"), col("max_cell"),
+        col("cost"), col("is_best"))
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(plan.map(_._1).toSeq === Seq(4L, 8L, 16L))
+    assert(plan.count(_._5) === 1, "exactly one is_best row")
+    // replay each cost from the actual assignment histogram
+    plan.foreach { case (l, used, mx, cost, _) =>
+      val hist = Similarity.ivfAssign(vecs, l.toInt)
+        .groupBy("list").count().as[(Long, Long)].collect()
+      assert(hist.length === used && hist.map(_._2).max === mx)
+      assert(hist.map(_._2).sum === 40L)
+      assert(cost === l * 40L + hist.map(n => n._2 * n._2).sum)
+    }
+    // all vectors identical → every candidate lands ONE cell with N²
+    // pair mass; cost = l·N + N² is minimized by the smallest l
+    val one = (0 until 20).map(i =>
+      (i.toLong, (0 until 64).map(_.toFloat).toSeq)).toDF("vec_id", "embedding")
+    val best = Similarity.ivfListsPlan(one, grid = Seq(4, 8, 16))
+      .filter(col("is_best")).select("lists").as[Long].head()
+    assert(best === 4L)
+  }
 }
