@@ -164,6 +164,15 @@ object Similarity {
    * inequality rides the join condition, so disqualified pairs are
    * dropped before any cosine is computed.
    *
+   * SCALE GUIDANCE: this is the EXACT baseline — O(N·Q) cosines, which
+   * is quadratic in the real mining regime where anchors ≈ corpus. A
+   * production run at scale uses [[hardNegativesBucketed]] (x67) — the
+   * IVF-bucketed path whose per-anchor work is O(N/lists · nprobe) —
+   * and tunes `nprobe` by the measured recall table in PERF.md
+   * ("ANN recall", clustered fixture: 0.94 @ nprobe=1, exact at
+   * nprobe=lists). Keep THIS operator for dimension-sized anchor sets
+   * and for spec-pinning the bucketed path's nprobe=lists equivalence.
+   *
    * @return (query_id, rank, neighbor_id, label_q, label_n, cosine)
    */
   def hardNegatives(

@@ -27,6 +27,18 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", " ")
 
+  /** Unicode normalization (UAX #15) — the pass a multilingual corpus
+    * runs BEFORE [[normalize]]/[[fingerprint]]/dedup: composed (U+00E9)
+    * and decomposed (e + U+0301) spellings of identical text otherwise
+    * hash apart and silently defeat exact AND near dedup. Native
+    * codegen'd expression ([[graft.functions.UnicodeNormalize]]) with an
+    * allocation-free fast path for already-normalized text; `form` one
+    * of NFC (default — canonical compose, DuckDB-oracle-checkable via
+    * `nfc_normalize`), NFD, NFKC, NFKD (compatibility folds: ligatures,
+    * full-width forms). */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    graft.functions.HashExpressions.unicode_normalize(text, form)
+
   /** Boilerplate cleaning (C4-style pre-normalization): strip URLs and
     * emails, collapse whitespace. Order matters — URL first, or the email
     * regex eats scheme-less host fragments. */

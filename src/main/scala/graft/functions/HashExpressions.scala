@@ -56,6 +56,64 @@ object HashExpressions {
   def bloom_candidates(grams: Column, words: Array[Long],
       a: Array[Long], b: Array[Long], bits: Long): Column =
     toColumn(BloomCandidates(toExpression(grams), words, a, b, bits))
+
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) as a native codegen'd
+    * expression — see [[UnicodeNormalize]]. */
+  def unicode_normalize(c: Column, form: String): Column =
+    toColumn(UnicodeNormalize(toExpression(c), form))
+}
+
+/** Unicode normalization of a string column via `java.text.Normalizer`
+  * (the JDK's ICU-derived implementation of UAX #15) — the pass a
+  * multilingual corpus needs BEFORE fingerprinting/dedup: composed
+  * ("é" U+00E9) and decomposed ("e" + U+0301) spellings of the same
+  * text otherwise hash apart and defeat exact/near dedup entirely.
+  * NFC/NFD are canonical forms; NFKC/NFKD additionally fold
+  * compatibility variants (ligatures, full-width forms, superscripts).
+  * Codegen'd: the JDK call runs inside WholeStageCodegen with no UDF
+  * serialization; the fast path (already-normalized ASCII/NFC text,
+  * i.e. nearly every row of a real corpus) is a single
+  * `Normalizer.isNormalized` scan with no allocation.
+  * DuckDB's `nfc_normalize` reproduces the NFC form for the oracle. */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+    else if (!UnicodeNormalize.Forms.contains(form))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName form must be one of ${UnicodeNormalize.Forms.keys.mkString("/")}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(input: Any): Any =
+    UnicodeNormalize.normalize(input.asInstanceOf[UTF8String], form)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = ctx.addReferenceObj("form", form, "java.lang.String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.UnicodeNormalize.normalize($c, $f)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object UnicodeNormalize {
+  val Forms: Map[String, java.text.Normalizer.Form] = Map(
+    "NFC" -> java.text.Normalizer.Form.NFC,
+    "NFD" -> java.text.Normalizer.Form.NFD,
+    "NFKC" -> java.text.Normalizer.Form.NFKC,
+    "NFKD" -> java.text.Normalizer.Form.NFKD)
+
+  /** Public static hook for generated code. */
+  def normalize(s: UTF8String, form: String): UTF8String = {
+    val f = Forms(form)
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, f)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+  }
 }
 
 /** h = fold over codepoints: (h·31 + cp) mod 1e9+7 — identical to

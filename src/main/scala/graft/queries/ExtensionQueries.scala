@@ -1848,6 +1848,28 @@ object ExtensionQueries {
     // from x07's verified pairs by hash rank (how dedup PRECISION gets
     // human-audited without leaking selection bias) — TakeOrdered cut,
     // two narrow id joins for the reviewer's length context
+    // unicode NFC normalization (multilingual dedup intake): the
+    // fixture is ASCII, so the query synthesizes the multilingual case
+    // — a decomposed-é tail (e + U+0301) on doc_id%3=0, the precomposed
+    // U+00E9 spelling on %3=1, plain ASCII otherwise — and emits the
+    // post-NFC fingerprint. changed flags exactly the decomposed rows;
+    // the %3∈{0,1} pairs collapse to identical normalized tails (the
+    // property that repairs cross-spelling dedup), pinned by spec
+    "x122_unicode_normalize" -> ((s, dir) => {
+      val t = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(" cafe\u0301"))
+          .when(pmod(col("doc_id"), lit(3)) === 1, lit(" caf\u00e9"))
+          .otherwise(lit(" cafe")))
+      val nfc = TextAnalysis.unicodeNormalize(t)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          length(t).cast("long").as("len_raw"),
+          length(nfc).cast("long").as("len_nfc"),
+          (t =!= nfc).as("changed"),
+          graft.functions.HashExpressions.rolling_hash(nfc).as("nfc_fp"))
+        .orderBy("doc_id")
+    }),
+
     // IVF lists planner (x113's counterpart for the vector index):
     // every candidate list count scored on the measured corpus
     // distribution — integer division-free cost = lists·N + Σnᵢ²
@@ -3313,6 +3335,24 @@ object ExtensionQueries {
     // x121: per-candidate argmax assignment + cell histograms + the
     // division-free integer cost — exact in both engines end to end
     "x121_ivf_plan" -> sqlIvfPlanOracle,
+
+    // x122: DuckDB's nfc_normalize replays the JDK Normalizer's NFC;
+    // ascii()/length() count codepoints in both engines, so the
+    // rolling-hash fingerprint of the normalized text is bit-portable
+    "x122_unicode_normalize" ->
+      s"""WITH raw AS (SELECT doc_id, text ||
+         |    CASE CAST(doc_id % 3 AS INT)
+         |      WHEN 0 THEN ' cafe' || chr(769)
+         |      WHEN 1 THEN ' caf' || chr(233)
+         |      ELSE ' cafe' END AS t
+         |  FROM documents),
+         |n AS (SELECT doc_id, t, nfc_normalize(t) AS nt FROM raw)
+         |SELECT doc_id,
+         |  CAST(length(t) AS BIGINT) AS len_raw,
+         |  CAST(length(nt) AS BIGINT) AS len_nfc,
+         |  t <> nt AS changed,
+         |  ${sqlStringHash("nt")} AS nfc_fp
+         |FROM n ORDER BY doc_id""".stripMargin,
 
     // x117: the NB model — seed-slice class counts, add-one llr per
     // observed bucket, the -1 prior and -2 unseen-default rows

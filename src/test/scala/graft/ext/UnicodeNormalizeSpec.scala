@@ -1,0 +1,73 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unicode normalization: composed/decomposed spellings must converge
+  * to one fingerprint (the property that repairs cross-spelling dedup),
+  * NFKC must fold compatibility variants, and the fast path must leave
+  * already-normalized text untouched. Literals are written as \ u
+  * escapes so the fixture bytes are exactly what they claim to be. */
+class UnicodeNormalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Composed = "r\u00e9sum\u00e9 caf\u00e9"          // U+00E9
+  private val Decomposed = "re\u0301sume\u0301 cafe\u0301"     // e + U+0301
+
+  test("NFC: composed and decomposed spellings fingerprint identically; ASCII is untouched") {
+    val out = Seq((1L, Composed), (2L, Decomposed), (3L, "plain ascii"))
+      .toDF("id", "t")
+      .select(col("id"),
+        TextAnalysis.unicodeNormalize(col("t")).as("n"),
+        (col("t") === TextAnalysis.unicodeNormalize(col("t"))).as("same"),
+        graft.functions.HashExpressions.rolling_hash(
+          TextAnalysis.unicodeNormalize(col("t"))).as("fp"))
+      .as[(Long, String, Boolean, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._3, "already-NFC text must be unchanged")
+    assert(!out(2L)._3, "decomposed text must change")
+    assert(out(1L)._4 === out(2L)._4,
+      "both spellings must converge to one fingerprint")
+    assert(out(1L)._2 === out(2L)._2)
+    assert(out(3L)._3)
+  }
+
+  test("NFKC folds compatibility variants (ligature, full-width) that NFC keeps") {
+    // U+FB01 LATIN SMALL LIGATURE FI, U+FF21/U+FF22 FULLWIDTH A/B
+    val raw = "\ufb01le \uff21\uff22"
+    val t = Seq((raw, 0)).toDF("t", "u")
+      .select(
+        TextAnalysis.unicodeNormalize(col("t"), "NFC").as("nfc"),
+        TextAnalysis.unicodeNormalize(col("t"), "NFKC").as("nfkc"))
+      .as[(String, String)].head()
+    assert(t._1 === raw, "NFC keeps compatibility chars")
+    assert(t._2 === "file AB", "NFKC folds ligature and full-width forms")
+  }
+
+  test("all four forms are idempotent; invalid form rejected") {
+    for (f <- Seq("NFC", "NFD", "NFKC", "NFKD")) {
+      val eq = Seq((Composed + " \ufb01le", 0)).toDF("t", "u")
+        .select(TextAnalysis.unicodeNormalize(col("t"), f).as("n"))
+        .select((col("n") === TextAnalysis.unicodeNormalize(col("n"), f)).as("eq"))
+        .as[Boolean].head()
+      assert(eq, s"$f must be idempotent")
+    }
+    val err = intercept[Exception] {
+      Seq(("x", 0)).toDF("t", "u")
+        .select(TextAnalysis.unicodeNormalize(col("t"), "NFX")).collect()
+    }
+    assert(err.getMessage.contains("form") || err.getMessage.contains("NFX"))
+  }
+
+  test("exact dedup across spellings: identical docs in different normal forms collapse after the NFC pass") {
+    val docs = Seq((1L, Composed), (2L, Decomposed)).toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(
+        docs.withColumn("text", TextAnalysis.unicodeNormalize(col("text"))))
+      .select("keep_id", "n_members").as[(Long, Long)].collect()
+    assert(groups.toSeq === Seq((1L, 2L)),
+      "one group: the decomposed copy joins the composed doc, keeper = min id")
+    // without the pass they do NOT collapse — the failure mode the op exists for
+    val rawGroups = Dedup.exactGroups(docs)
+      .select("keep_id", "n_members").as[(Long, Long)].collect().sortBy(_._1)
+    assert(rawGroups.toSeq === Seq((1L, 1L), (2L, 1L)))
+  }
+}
