@@ -62,7 +62,7 @@ object ExtensionQueries {
     * the fixture) — 0.93 isolates the true near-duplicate tail. */
   private val SemDedupTrainedThreshold = 0.93
   private val DsirBuckets = 1021   // x64 hashed-bigram feature space (PRIME — see Mixture.dsirLogWeights)
-  private val NbBuckets = 2039     // x117 NB feature space (PRIME, same rationale)
+  private[queries] val NbBuckets = 2039     // x117 NB feature space (PRIME, same rationale)
   private val NbSeedMod = 3L       // x117 labeled-seed slice: doc_id % 3 = 0
   /** x120 threshold sweep over the length-normalized NB score (mean llr
     * per feature — raw scores scale with doc length). */
@@ -1848,6 +1848,27 @@ object ExtensionQueries {
     // from x07's verified pairs by hash rank (how dedup PRECISION gets
     // human-audited without leaking selection bias) — TakeOrdered cut,
     // two narrow id joins for the reviewer's length context
+    // NFC-composed decontamination (x122 ∘ x43): benchmark quotes
+    // spelled in DECOMPOSED unicode slip through raw n-gram screens —
+    // the corpus side carries a decomposed benchmark phrase on
+    // doc_id%3=0, the benchmark the precomposed spelling, and the
+    // trigram overlap runs on NFC-normalized text so the spellings
+    // collapse before hashing. The spec pins the counterfactual (raw
+    // grams miss exactly these rows)
+    "x123_normalized_decontaminate" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      val corpus = all.withColumn("text",
+        TextAnalysis.unicodeNormalize(
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(col("text"), lit(" cafe\u0301 latte quality test")))
+            .otherwise(col("text"))))
+      val bench = all.filter(col("doc_id") % 97 === 0)
+        .withColumn("text", TextAnalysis.unicodeNormalize(
+          concat(col("text"), lit(" caf\u00e9 latte quality test"))))
+      Dedup.benchGramOverlap(corpus, bench, n = 3)
+        .orderBy("doc_id")
+    }),
+
     // unicode NFC normalization (multilingual dedup intake): the
     // fixture is ASCII, so the query synthesizes the multilingual case
     // — a decomposed-é tail (e + U+0301) on doc_id%3=0, the precomposed
@@ -3335,6 +3356,43 @@ object ExtensionQueries {
     // x121: per-candidate argmax assignment + cell histograms + the
     // division-free integer cost — exact in both engines end to end
     "x121_ivf_plan" -> sqlIvfPlanOracle,
+
+    // x123: the x43 trigram-containment chain with nfc_normalize ahead
+    // of the case/whitespace normalization and the two-spelling
+    // injection replayed — the decomposed corpus phrase and precomposed
+    // benchmark phrase hash identically after NFC
+    "x123_normalized_decontaminate" -> {
+      def shn(src: String, out: String) =
+        s"""${out}n AS (SELECT doc_id,
+           |    regexp_replace(trim(lower(nfc_normalize(t0))), '\\s+', ' ', 'g') AS t
+           |  FROM $src),
+           |${out}h AS (SELECT doc_id, list_transform(string_split(t, ' '),
+           |    s -> ${sqlStringHash("s")}) AS th FROM ${out}n),
+           |${out}s AS (SELECT doc_id,
+           |  CASE WHEN len(th) < 3 THEN [list_reduce(list_concat([CAST(0 AS BIGINT)], th),
+           |                                (a, b) -> (a * $C + b) % $Mod)]
+           |       ELSE list_distinct(list_transform(range(0, len(th) - 2),
+           |              i -> list_reduce(
+           |                     list_concat([CAST(0 AS BIGINT)], list_slice(th, i + 1, i + 3)),
+           |                     (a, b) -> (a * $C + b) % $Mod)))
+           |  END AS shingles FROM ${out}h)""".stripMargin
+      s"""WITH rawc AS (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN ' cafe' || chr(769) || ' latte quality test' ELSE '' END AS t0
+         |  FROM documents),
+         |rawb AS (SELECT doc_id, text || ' caf' || chr(233) || ' latte quality test' AS t0
+         |  FROM documents WHERE doc_id % 97 = 0),
+         |${shn("rawc", "c")},
+         |${shn("rawb", "b")},
+         |bg AS (SELECT DISTINCT unnest(shingles) AS h FROM bs),
+         |cg AS (SELECT doc_id, len(shingles) AS n_grams, unnest(shingles) AS h FROM cs),
+         |j AS (SELECT cg.doc_id, cg.n_grams, count(*) AS n_hits
+         |  FROM cg JOIN bg ON cg.h = bg.h GROUP BY 1, 2)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |  CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST(n_hits AS DOUBLE) / n_grams AS containment
+         |FROM j ORDER BY doc_id""".stripMargin
+    },
 
     // x122: DuckDB's nfc_normalize replays the JDK Normalizer's NFC;
     // ascii()/length() count codepoints in both engines, so the

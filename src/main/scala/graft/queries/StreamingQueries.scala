@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ext.{KMeans, Similarity, TextAnalysis}
 import graft.sources.Tables
-import graft.streaming.{StreamingBm25Ingest, StreamingClusterIngest, StreamingDecontaminate, StreamingDedup, StreamingIndexIngest, StreamingPqIngest, StreamingPrioritySample}
+import graft.streaming.{StreamingBm25Ingest, StreamingClusterIngest, StreamingDecontaminate, StreamingDedup, StreamingIndexIngest, StreamingNbScore, StreamingPqIngest, StreamingPrioritySample}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -297,6 +297,33 @@ object StreamingQueries {
     // per-group top-(k+1) prioritized rows are a SUFFICIENT STATISTIC,
     // so two streamed batches folded into state must reproduce batch
     // x95 over the full corpus exactly — the oracle IS x95's
+    // streaming NB model serving (StreamingNbScore.withScores): the
+    // seed-trained x117 model frozen into literal columns, every
+    // arriving doc scored map-side (no shuffle, no state) — the drained
+    // sink must equal batch x118 over the whole corpus bit-for-bit
+    "x124_stream_nb_score" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+      val model = StreamingNbScore.collectModel(
+        TextAnalysis.nbQualityTrain(
+          d.filter(pmod(col("doc_id"), lit(3)) === 0),
+          isPositive = col("lang") === "en",
+          buckets = ExtensionQueries.NbBuckets),
+        ExtensionQueries.NbBuckets)
+      val rows = d.select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq
+      val split = splitPoint(rows.map(_._1))
+      val input = MemoryStream[(Long, String)]
+      twoBatchDrain(s, input,
+        rows.filter(_._1 <= split), rows.filter(_._1 > split),
+        (df: DataFrame) => StreamingNbScore
+          .withScores(df.toDF("doc_id", "text"), model).writeStream,
+        (ms: MemoryStream[(Long, String)]) => ms.toDF())
+        .select(col("doc_id"), col("n_feats"), col("score_r"), col("pred"))
+        .orderBy("doc_id")
+    }),
+
     "x107_stream_priority_sample" -> ((s, dir) => {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
@@ -413,5 +440,9 @@ object StreamingQueries {
 
     // the streamed sufficient-statistic state must reproduce the batch
     // sample — x95's oracle verbatim
-    "x107_stream_priority_sample" -> ExtensionQueries.oracleSql("x95_priority_sample"))
+    "x107_stream_priority_sample" -> ExtensionQueries.oracleSql("x95_priority_sample"),
+
+    // the map-side-served scores must equal batch NB scoring over the
+    // whole corpus — x118's oracle verbatim
+    "x124_stream_nb_score" -> ExtensionQueries.oracleSql("x118_nb_score"))
 }

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming NB model serving — the unbounded counterpart of
+ * [[graft.ext.TextAnalysis.nbQualityScore]]: score documents as they
+ * arrive against a FROZEN trained model (x117's output), entirely
+ * map-side. The model is collected once into literal columns (it is
+ * dimension-sized by construction — ≤ buckets + 2 rows, the same
+ * literal-broadcast discipline as [[StreamingDecontaminate]]'s Bloom
+ * words), so the scoring plan has NO shuffle, no state, and no
+ * aggregation — it composes with any downstream streaming sink in
+ * append mode.
+ *
+ * Exactness: the batch scorer sums n_b·llr(b) products; this sums
+ * llr(bucket) once PER FEATURE INSTANCE in array order. Both are exact
+ * DECIMAL sums of the same multiset, so the totals are bit-identical —
+ * the x118 oracle gates the streamed output verbatim. The fold
+ * accumulator is DECIMAL(30,9): wide enough for any real doc
+ * (|score| < 1e21), narrow enough that adding a (19,9) term never hits
+ * Spark's precision-38 cap (which would silently drop scale 9→8 and
+ * double-round the display digit — the r01/x118 lesson).
+ */
+object StreamingNbScore {
+
+  /** A trained model frozen into driver-side literals. */
+  final case class NbModel(
+      buckets: Int,
+      prior: java.math.BigDecimal,
+      c0: java.math.BigDecimal,
+      entries: Seq[(Long, java.math.BigDecimal)])
+
+  /** Collect a [[graft.ext.TextAnalysis.nbQualityTrain]] frame (runs the
+    * training job; dimension-sized result). */
+  def collectModel(model: DataFrame, buckets: Int): NbModel = {
+    val rows = model.select(col("b"), col("llr"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1))
+    val m = rows.toMap
+    NbModel(buckets, m(-1L), m(-2L),
+      rows.filter(_._1 >= 0).sortBy(_._1).toSeq)
+  }
+
+  /** Append (n_feats, score_r, pred) map-side — streaming-safe. */
+  def withScores(
+      docs: DataFrame,
+      m: NbModel,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lut: Column =
+      if (m.entries.isEmpty) map()
+      else map(m.entries.flatMap { case (b, l) => Seq(lit(b), lit(l)) }: _*)
+    val feats = concat(
+      graft.ext.Dedup.tokenHashes(col(textCol)),
+      graft.ext.Dedup.positionalShingleHashes(col(textCol), 2))
+    val score = aggregate(
+      feats,
+      lit(m.prior).cast("decimal(30,9)"),
+      (acc, h) => (acc + coalesce(
+        element_at(lut, pmod(h, lit(m.buckets.toLong))), lit(m.c0)))
+        .cast("decimal(30,9)"))
+    docs
+      .withColumn("n_feats", size(feats).cast("long"))
+      .withColumn("s_d", score)
+      .withColumn("score_r", round(col("s_d"), 6).cast("double"))
+      .withColumn("pred", col("s_d") > 0)
+      .drop("s_d")
+  }
+}

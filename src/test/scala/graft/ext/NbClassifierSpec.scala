@@ -71,6 +71,19 @@ class NbClassifierSpec extends SparkSpec {
     assert(out._1 === 0.0 && !out._2)
   }
 
+  test("streaming scorer: map-side serving is shuffle-free and bit-identical to the batch scorer") {
+    val m = graft.streaming.StreamingNbScore.collectModel(model, B)
+    val served = graft.streaming.StreamingNbScore.withScores(seed, m)
+      .select(col("doc_id"), col("n_feats"), col("score_r"), col("pred"))
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"model serving must be map-side only (no shuffle):\n$plan")
+    val batch = TextAnalysis.nbQualityScore(seed, model, buckets = B)
+      .select(col("doc_id"), col("n_feats"), col("score_r"), col("pred"))
+    assert(served.orderBy("doc_id").collect().toSeq ===
+      batch.orderBy("doc_id").collect().toSeq)
+  }
+
   test("determinism: training twice and scoring under repartition are bit-identical") {
     val s1 = TextAnalysis.nbQualityScore(seed, model, buckets = B)
       .orderBy("doc_id").collect().toSeq

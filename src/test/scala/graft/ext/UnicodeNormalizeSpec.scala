@@ -58,6 +58,30 @@ class UnicodeNormalizeSpec extends SparkSpec {
     assert(err.getMessage.contains("form") || err.getMessage.contains("NFX"))
   }
 
+  test("normalized decontamination (x123's shape): decomposed benchmark quotes are caught only after the NFC pass") {
+    // corpus doc quotes the benchmark phrase in DECOMPOSED spelling
+    val corpus = Seq(
+      (1L, "original words here plus cafe\u0301 latte quality test"),
+      (2L, "unrelated text with no benchmark content at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "caf\u00e9 latte quality test"))
+      .toDF("doc_id", "text")
+    def hits(c: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      Dedup.benchGramOverlap(c, b, n = 3)
+        .select("doc_id", "n_hits").as[(Long, Long)].collect().toMap
+    val norm = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("text", TextAnalysis.unicodeNormalize(col("text")))
+    val withNfc = hits(norm(corpus), norm(bench))
+    assert(withNfc.getOrElse(1L, 0L) === 2L,
+      "NFC-normalized screen must catch BOTH interior trigrams of the quote")
+    assert(!withNfc.contains(2L))
+    // raw grams see only the accent-free trigram ('latte quality test');
+    // the one through the decomposed token is missed — the gap x123 closes
+    val withoutNfc = hits(corpus, bench)
+    assert(withoutNfc.getOrElse(1L, 0L) === 1L,
+      "raw grams must miss the trigram through the decomposed spelling")
+  }
+
   test("exact dedup across spellings: identical docs in different normal forms collapse after the NFC pass") {
     val docs = Seq((1L, Composed), (2L, Decomposed)).toDF("doc_id", "text")
     val groups = Dedup.exactGroups(
