@@ -23,6 +23,41 @@ import org.apache.spark.sql.functions._
   */
 object Profiling {
 
+  /**
+   * Distinct-n n-gram diversity per group (Li et al. 2016, "A
+   * Diversity-Promoting Objective Function for Neural Conversation
+   * Models"): `distinct-n = |unique n-grams| / |n-grams|` for
+   * n = 1..maxN — the standard lexical-diversity report for generated
+   * or scraped corpora (a source whose distinct-2 collapses is
+   * boilerplate- or template-dominated; cf. x76's repetition rules,
+   * which flag single DOCS — this flags whole SOURCES).
+   *
+   * Shape: one tokenize pass per n (positional gram hashes — counts,
+   * not sets, in the denominator), map-side-combinable count +
+   * count-distinct aggregates keyed by the group column; output is
+   * groups × maxN rows. Ratios are single divisions of exact integers.
+   *
+   * @return (groupCol, n, n_grams, n_distinct, distinct_r)
+   */
+  def ngramDiversity(
+      docs: DataFrame,
+      maxN: Int = 3,
+      groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(maxN >= 1, "maxN must be at least 1")
+    (1 to maxN).map { n =>
+      docs.select(col(groupCol),
+          explode(Dedup.positionalShingleHashes(col(textCol), n)).as("h"))
+        .groupBy(groupCol)
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("h")).as("n_distinct"))
+        .select(col(groupCol), lit(n.toLong).as("n"),
+          col("n_grams"), col("n_distinct"),
+          round(col("n_distinct").cast("double") / col("n_grams"), 6)
+            .as("distinct_r"))
+    }.reduce(_ unionByName _)
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>

@@ -397,4 +397,65 @@ object Retrieval {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("id"), col("rrf_r"), col("rank_sparse"), col("rank_dense"))
   }
+
+  /** nDCG discount weights 1/log₂(i+1) for ranks 1..k, rounded to 9 dp
+    * DECIMAL — precomputed driver-side literals, so no engine's libm
+    * log enters the cross-engine verdict (ranks are bounded by k). */
+  def dcgWeights(k: Int): Seq[java.math.BigDecimal] =
+    (1 to k).map { i =>
+      new java.math.BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+    }
+
+  /**
+   * IR evaluation metrics — the ops harness that quantifies what an
+   * approximate index trades away: per-query recall, MRR and nDCG@k of
+   * a SYSTEM's top-k list against an exact TRUTH list (both in the
+   * battery's (query_id, rank, neighbor_id) shape). Binary relevance:
+   * a system hit is relevant iff the truth list contains it.
+   *
+   * Determinism: DCG/IDCG are exact DECIMAL sums of the [[dcgWeights]]
+   * literals (≤ k terms per query); recall and MRR are single
+   * divisions of exact integers. Everything is top-k-sized — queries ×
+   * k rows — so the whole evaluation is a sliver regardless of corpus
+   * size; the expensive parts are the truth/system runs the caller
+   * already paid for.
+   *
+   * @return (query_id, t_n, n_rel, recall_r, mrr_r, ndcg_r)
+   */
+  def evalTopK(
+      truth: DataFrame,
+      system: DataFrame,
+      k: Int,
+      queryCol: String = "query_id",
+      idCol: String = "neighbor_id"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val arr = array(dcgWeights(k).map(w => lit(w).cast("decimal(19,9)")): _*)
+    val t = truth.filter(col("rank") <= k)
+      .select(col(queryCol), col(idCol), col("rank").cast("int").as("t_rank"))
+    val sy = system.filter(col("rank") <= k)
+      .select(col(queryCol), col(idCol), col("rank").cast("long").as("s_rank"))
+    val ideal = t
+      .select(col(queryCol), element_at(arr, col("t_rank")).as("w"))
+      .groupBy(queryCol)
+      .agg(count(lit(1)).as("t_n"), sum(col("w")).as("idcg"))
+    val marked = sy.join(
+      t.select(col(queryCol), col(idCol), lit(1L).as("rel")),
+      Seq(queryCol, idCol), "left")
+    val per = marked.groupBy(queryCol).agg(
+      sum(coalesce(col("rel"), lit(0L))).as("n_rel"),
+      sum(when(col("rel").isNotNull,
+        element_at(arr, col("s_rank").cast("int")))
+        .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(19,9)")))
+        .as("dcg"),
+      min(when(col("rel").isNotNull, col("s_rank"))).as("first_rel"))
+    ideal.join(per, Seq(queryCol), "left")
+      .select(col(queryCol), col("t_n"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        round(coalesce(col("n_rel"), lit(0L)).cast("double") /
+          col("t_n").cast("double"), 6).as("recall_r"),
+        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("mrr_r"),
+        round(coalesce(col("dcg"), lit(java.math.BigDecimal.ZERO))
+          .cast("double") / col("idcg").cast("double"), 6).as("ndcg_r"))
+  }
 }

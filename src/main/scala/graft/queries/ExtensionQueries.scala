@@ -500,6 +500,9 @@ object ExtensionQueries {
     * default. */
   private val IvfPlanGrid: Seq[Int] = Seq(4, 8, 16, 32, 64)
 
+  /** x125 eval depth (truth and system both cut at this k). */
+  private val EvalK = 10
+
   /** x61/x62 literal query-term dimension as a VALUES CTE. */
   private val sqlQueryTermsCte: String =
     "q(query_id, term) AS (VALUES " +
@@ -1848,6 +1851,29 @@ object ExtensionQueries {
     // from x07's verified pairs by hash rank (how dedup PRECISION gets
     // human-audited without leaking selection bias) — TakeOrdered cut,
     // two narrow id joins for the reviewer's length context
+    // IR eval harness: recall / MRR / nDCG@10 of the nprobe=1 IVF probe
+    // (x16's system) against exact brute-force truth (x10's) — the
+    // measured answer to "what does the approximate index trade away",
+    // per query. DCG discounts are precomputed 9-dp decimal literals
+    // (rank ≤ k), so no libm log enters the verdict
+    "x125_retrieval_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 5)
+      Retrieval.evalTopK(
+          Similarity.bruteForceTopK(emb, q, k = EvalK),
+          Similarity.ivfTopK(emb, q, k = EvalK),
+          k = EvalK)
+        .orderBy("query_id")
+    }),
+
+    // distinct-n lexical diversity per source (Li et al. 2016): unique/
+    // total n-gram ratios at n=1..3 — the source-level boilerplate
+    // collapse detector (x76 flags single docs; this flags sources);
+    // integer counts, single divisions
+    "x126_ngram_diversity" -> ((s, dir) =>
+      Profiling.ngramDiversity(Tables.documents(s, dir))
+        .orderBy("source", "n")),
+
     // NFC-composed decontamination (x122 ∘ x43): benchmark quotes
     // spelled in DECOMPOSED unicode slip through raw n-gram screens —
     // the corpus side carries a decomposed benchmark phrase on
@@ -3356,6 +3382,87 @@ object ExtensionQueries {
     // x121: per-candidate argmax assignment + cell histograms + the
     // division-free integer cost — exact in both engines end to end
     "x121_ivf_plan" -> sqlIvfPlanOracle,
+
+    // x125: truth = x10's brute-force chain, system = x16's same-list
+    // probe, metrics from the literal discount dim — decimal DCG sums,
+    // integer recall, forced-double single divisions
+    "x125_retrieval_eval" -> {
+      val wVals = graft.ext.Retrieval.dcgWeights(EvalK).zipWithIndex
+        .map { case (w, i) =>
+          s"(${i + 1}, CAST('${w.toPlainString}' AS DECIMAL(19,9)))" }
+        .mkString(", ")
+      def cosine(qv: String, nv: String) =
+        s"""${sqlDot(qv, nv)} /
+           |    (sqrt(${sqlDot(qv, qv)}) * sqrt(${sqlDot(nv, nv)}))""".stripMargin
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+         |tsc AS (SELECT query_id, neighbor_id, ${cosine("qv", "nv")} AS cosine
+         |  FROM q, c WHERE neighbor_id <> query_id),
+         |tr AS (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank FROM tsc),
+         |t AS (SELECT query_id, neighbor_id, rank FROM tr WHERE rank <= $EvalK),
+         |asg AS (SELECT vec_id, embedding,
+         |    CAST(list_position(s, list_max(s)) - 1 AS BIGINT) AS list
+         |  FROM (SELECT vec_id, embedding, $sqlIvfScores AS s FROM embeddings)),
+         |qa AS (SELECT vec_id AS query_id, embedding AS qv, list FROM asg
+         |  WHERE vec_id < 5),
+         |ca AS (SELECT vec_id AS neighbor_id, embedding AS nv, list FROM asg),
+         |ssc AS (SELECT qa.query_id, ca.neighbor_id, ${cosine("qv", "nv")} AS cosine
+         |  FROM qa JOIN ca ON qa.list = ca.list AND ca.neighbor_id <> qa.query_id),
+         |sr AS (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank FROM ssc),
+         |sy AS (SELECT query_id, neighbor_id, rank FROM sr WHERE rank <= $EvalK),
+         |w(r, wt) AS (VALUES $wVals),
+         |ideal AS (SELECT query_id, CAST(count(*) AS BIGINT) AS t_n,
+         |    sum(wt) AS idcg
+         |  FROM t JOIN w ON t.rank = w.r GROUP BY query_id),
+         |mk AS (SELECT sy.query_id, sy.rank AS s_rank,
+         |    (t.neighbor_id IS NOT NULL) AS rel
+         |  FROM sy LEFT JOIN t
+         |    ON sy.query_id = t.query_id AND sy.neighbor_id = t.neighbor_id),
+         |per AS (SELECT mk.query_id,
+         |    CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+         |    sum(CASE WHEN rel THEN wt ELSE CAST(0 AS DECIMAL(19,9)) END) AS dcg,
+         |    min(CASE WHEN rel THEN s_rank END) AS first_rel
+         |  FROM mk JOIN w ON w.r = mk.s_rank GROUP BY mk.query_id)
+         |SELECT ideal.query_id, t_n,
+         |  coalesce(n_rel, 0) AS n_rel,
+         |  round(CAST(coalesce(n_rel, 0) AS DOUBLE) / CAST(t_n AS DOUBLE), 6)
+         |    AS recall_r,
+         |  round(coalesce(CAST(1 AS DOUBLE) / first_rel, 0.0), 6) AS mrr_r,
+         |  round(CAST(coalesce(dcg, CAST(0 AS DECIMAL(19,9))) AS DOUBLE)
+         |    / CAST(idcg AS DOUBLE), 6) AS ndcg_r
+         |FROM ideal LEFT JOIN per ON ideal.query_id = per.query_id
+         |ORDER BY ideal.query_id""".stripMargin
+    },
+
+    // x126: per-n positional-gram streams (the b2 slice-reduce idiom at
+    // each n), count + count-distinct per source, single divisions
+    "x126_ngram_diversity" -> {
+      val branches = (1 to 3).map { n =>
+        val gram =
+          if (n == 1) "unnest(th) AS h"
+          else
+            s"""unnest(list_transform(range(0, CASE WHEN len(th) < $n THEN 1
+               |                                   ELSE len(th) - ${n - 1} END),
+               |    i -> list_reduce(list_concat([CAST(0 AS BIGINT)],
+               |           list_slice(th, i + 1, i + $n)),
+               |         (a, b) -> (a * $C + b) % $Mod))) AS h""".stripMargin
+        s"""SELECT source, CAST($n AS BIGINT) AS n,
+           |  CAST(count(*) AS BIGINT) AS n_grams,
+           |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+           |  round(CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6) AS distinct_r
+           |FROM (SELECT source, $gram FROM dth) GROUP BY source""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH dn AS (SELECT source, $sqlNorm AS t FROM documents),
+         |dth AS (SELECT source, list_transform(string_split(t, ' '),
+         |    s -> ${sqlStringHash("s")}) AS th FROM dn)
+         |$branches
+         |ORDER BY source, n""".stripMargin
+    },
 
     // x123: the x43 trigram-containment chain with nfc_normalize ahead
     // of the case/whitespace normalization and the two-spelling

@@ -85,6 +85,28 @@ class RetrievalSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("evalTopK: hand-computed recall/MRR/nDCG; empty-overlap query zeros out") {
+    val truth = Seq((0L, 101L, 1), (0L, 102L, 2), (0L, 103L, 3),
+      (1L, 201L, 1), (1L, 202L, 2)).toDF("query_id", "neighbor_id", "rank")
+    // q0 system: hit at rank 1 (102), miss, hit at rank 3 (101);
+    // q1 system: no overlap at all
+    val system = Seq((0L, 102L, 1), (0L, 999L, 2), (0L, 101L, 3),
+      (1L, 998L, 1), (1L, 997L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val out = Retrieval.evalTopK(truth, system, k = 3)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val w = Retrieval.dcgWeights(3).map(_.doubleValue())
+    assert(out(0L)._2 === 3L && out(0L)._3 === 2L)
+    assert(out(0L)._4 === BigDecimal(2.0 / 3.0).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(0L)._5 === 1.0, "first system hit at rank 1")
+    val expNdcg = BigDecimal((w(0) + w(2)) / (w(0) + w(1) + w(2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(0L)._6 - expNdcg) < 2e-6)
+    assert(out(1L)._3 === 0L && out(1L)._4 === 0.0 &&
+      out(1L)._5 === 0.0 && out(1L)._6 === 0.0)
+  }
+
   test("phraseCounts: empty phrase dim (or all phrases tokenizing to nothing) returns an empty frame, not an exception") {
     val empty = Seq.empty[(Long, String)].toDF("phrase_id", "phrase")
     val out = Retrieval.phraseCounts(docs, empty)
