@@ -604,6 +604,61 @@ object Dedup {
 
   // ------------------------------------------------ duplicated passages
 
+  /**
+   * Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+   * SIGMOD 2003 — the MOSS algorithm): from a doc's positional n-gram
+   * hashes, slide a window of `w` consecutive grams and select each
+   * window's minimum hash (ties → RIGHTMOST occurrence, the paper's
+   * robust-winnowing rule); the distinct selected (position, hash)
+   * pairs are the doc's fingerprints. Guarantee: any shared substring
+   * of at least w+n−1 tokens yields at least one shared fingerprint —
+   * the principled way to shrink a doc's gram set ~2/(w+1)× while
+   * keeping match detection sound, where naive every-k-th sampling can
+   * miss arbitrarily long matches.
+   *
+   * Output is the per-doc fingerprint REPORT (count, density, exact
+   * integer fingerprint-sum — order-independent); feed the selected
+   * prints into the x07/x42-style join machinery for matching. Docs
+   * shorter than w grams winnow their single full window.
+   *
+   * Shape: entirely row-local array math (one text scan, shuffle-free
+   * until the caller aggregates); the per-window lambdas are
+   * interpreted, so a corpus-scale deployment should lift the selection
+   * into a native expression if winnowing ever becomes the dominant
+   * pass — at fingerprint-report rates it is not.
+   *
+   * @return (idCol, n_grams, n_windows, n_fp, density_r, fp_sum)
+   */
+  def winnowStats(
+      docs: DataFrame,
+      w: Int = 4,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(w >= 1, "window must be at least 1 gram")
+    val h = positionalShingleHashes(col(textCol), n)
+    val len = size(h)
+    val starts = sequence(lit(0), greatest(len - w, lit(0)))
+    // a print is the PAIR (position, hash); encoded p·2³⁰ + v in one
+    // long (v = rolling-hash value < 1e9+7 < 2³⁰) because both engines'
+    // list-distinct handles longs where one rejects structs
+    val fps = array_distinct(transform(starts, i => {
+      val sl = slice(h, i + 1, least(lit(w), len - i))
+      val m = array_min(sl)
+      // rightmost occurrence of the min: position in the REVERSED window
+      val fromRight = array_position(reverse(sl), m)
+      (i + size(sl) - fromRight + 1).cast("long") * lit(1073741824L) + m
+    }))
+    docs.select(col(idCol), len.cast("long").as("n_grams"),
+        size(starts).cast("long").as("n_windows"), fps.as("fps"))
+      .select(col(idCol), col("n_grams"), col("n_windows"),
+        size(col("fps")).cast("long").as("n_fp"),
+        round(size(col("fps")).cast("double") / col("n_windows"), 6)
+          .as("density_r"),
+        aggregate(col("fps"), lit(0L),
+          (acc, x) => acc + x % lit(1073741824L)).as("fp_sum"))
+  }
+
   /** Positional n-gram hashes: every window's combine in token-position
     * order (index i = starting token of gram i), no dedup —
     * [[shingleHashes]]' span-level sibling. */

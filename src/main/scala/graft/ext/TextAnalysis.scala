@@ -262,6 +262,37 @@ object TextAnalysis {
   }
 
   /**
+   * Shannon token entropy per document (in nats) — the
+   * distribution-shape quality signal the ratio features
+   * ([[qualityFeatures]]) and repetition rules (x28/x76) don't capture:
+   * spam keyword-stuffing collapses entropy toward 0 relative to its
+   * length, while natural prose tracks ln(n_distinct). Computed as
+   * `H = ln(n) − (1/n)·Σ cᵢ·ln(cᵢ)` over per-doc token counts: the
+   * inner sum is exact DECIMAL (per-count ln rounded→DECIMAL(19,9)
+   * first, the x64/x72 discipline), the outer expression two
+   * deterministic double ops.
+   *
+   * @return (idCol, n_tokens, n_distinct, entropy_r)
+   */
+  def tokenEntropy(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(Dedup.tokenHashes(col(textCol))).as("h"))
+      .groupBy(col(idCol), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("decimal(9,0)") *
+          round(log(col("c").cast("double")), 9).cast("decimal(19,9)"))
+          .as("sc"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        round(log(col("n_tokens").cast("double")) -
+          col("sc").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("entropy_r"))
+
+  /**
    * Trained Naive-Bayes quality classifier — the fastText-style
    * discriminative pipeline step (Joulin et al. 2017, "Bag of Tricks
    * for Efficient Text Classification"; here multinomial NB over the

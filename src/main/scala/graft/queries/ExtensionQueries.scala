@@ -503,6 +503,9 @@ object ExtensionQueries {
   /** x125 eval depth (truth and system both cut at this k). */
   private val EvalK = 10
 
+  /** x127 winnowing window (grams per window; guarantee span w+n−1). */
+  private val WinnowW = 4
+
   /** x61/x62 literal query-term dimension as a VALUES CTE. */
   private val sqlQueryTermsCte: String =
     "q(query_id, term) AS (VALUES " +
@@ -1851,6 +1854,22 @@ object ExtensionQueries {
     // from x07's verified pairs by hash rank (how dedup PRECISION gets
     // human-audited without leaking selection bias) — TakeOrdered cut,
     // two narrow id joins for the reviewer's length context
+    // winnowing fingerprint selection (Schleimer et al., SIGMOD 2003 —
+    // MOSS): per-window rightmost-min gram hashes, distinct
+    // (position, hash) prints; per-doc report with exact integer
+    // fingerprint sum — the principled gram-set shrink (≈2/(w+1)×)
+    // that cannot miss a w+n−1-token match
+    "x127_winnow_fingerprints" -> ((s, dir) =>
+      Dedup.winnowStats(Tables.documents(s, dir), w = WinnowW)
+        .orderBy("doc_id")),
+
+    // Shannon token entropy (nats): H = ln(n) − (1/n)Σ cᵢ·ln cᵢ — the
+    // keyword-stuffing detector; exact-decimal inner sum per x64's
+    // discipline, two deterministic double ops outside
+    "x128_token_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
     // IR eval harness: recall / MRR / nDCG@10 of the nprobe=1 IVF probe
     // (x16's system) against exact brute-force truth (x10's) — the
     // measured answer to "what does the approximate index trade away",
@@ -3382,6 +3401,59 @@ object ExtensionQueries {
     // x121: per-candidate argmax assignment + cell histograms + the
     // division-free integer cost — exact in both engines end to end
     "x121_ivf_plan" -> sqlIvfPlanOracle,
+
+    // x127: positional trigrams (the b2 idiom, no distinct), per-start
+    // window slices, rightmost-min via reversed-slice position, prints
+    // encoded p·2³⁰+v, list_distinct, integer fingerprint sum
+    "x127_winnow_fingerprints" ->
+      s"""WITH dn AS (SELECT doc_id, $sqlNorm AS t FROM documents),
+         |dth AS (SELECT doc_id, list_transform(string_split(t, ' '),
+         |    s -> ${sqlStringHash("s")}) AS th FROM dn),
+         |g AS (SELECT doc_id,
+         |    list_transform(range(0, CASE WHEN len(th) < 3 THEN 1
+         |                              ELSE len(th) - 2 END),
+         |      i -> list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |             list_slice(th, i + 1, i + 3)),
+         |           (a, b) -> (a * $C + b) % $Mod)) AS gh FROM dth),
+         |f AS (SELECT doc_id, CAST(len(gh) AS BIGINT) AS n_grams,
+         |    CAST(greatest(len(gh) - $WinnowW, 0) + 1 AS BIGINT) AS n_windows,
+         |    list_distinct(list_transform(
+         |      range(0, greatest(len(gh) - $WinnowW, 0) + 1),
+         |      i -> (i + len(list_slice(gh, i + 1, i + least($WinnowW, len(gh) - i)))
+         |              - list_position(
+         |                  list_reverse(list_slice(gh, i + 1,
+         |                    i + least($WinnowW, len(gh) - i))),
+         |                  list_min(list_slice(gh, i + 1,
+         |                    i + least($WinnowW, len(gh) - i)))) + 1)
+         |           * 1073741824 +
+         |           list_min(list_slice(gh, i + 1,
+         |             i + least($WinnowW, len(gh) - i))))) AS fps
+         |  FROM g)
+         |SELECT doc_id, n_grams, n_windows,
+         |  CAST(len(fps) AS BIGINT) AS n_fp,
+         |  round(CAST(len(fps) AS DOUBLE) / n_windows, 6) AS density_r,
+         |  CAST(list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |    list_transform(fps, x -> x % 1073741824)), (a, b) -> a + b)
+         |    AS BIGINT) AS fp_sum
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // x128: per-doc token counts, cᵢ·round(ln cᵢ, 9) decimal inner sum,
+    // ln(n) − sc/n as the same two double ops
+    "x128_token_entropy" ->
+      s"""WITH dn AS (SELECT doc_id, $sqlNorm AS t FROM documents),
+         |tk AS (SELECT doc_id, ${sqlStringHash("tok")} AS h FROM
+         |  (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM dn)),
+         |cnt AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS c
+         |  FROM tk GROUP BY doc_id, h),
+         |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_distinct,
+         |    sum(CAST(c AS DECIMAL(9,0)) *
+         |        CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(19,9))) AS sc
+         |  FROM cnt GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_distinct,
+         |  round(ln(CAST(n_tokens AS DOUBLE))
+         |    - CAST(sc AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS entropy_r
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     // x125: truth = x10's brute-force chain, system = x16's same-list
     // probe, metrics from the literal discount dim — decimal DCG sums,

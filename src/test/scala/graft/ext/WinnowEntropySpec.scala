@@ -1,0 +1,73 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Winnowing selection rules (SIGMOD 2003) + token-entropy semantics on
+  * hand-checkable fixtures. */
+class WinnowEntropySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The engine's selection replayed per doc via a Scala fold — an
+    * independent implementation of rightmost-min winnowing over the
+    * same gram hashes, used to cross-check values. */
+  private def winnowValues(grams: Seq[Long], w: Int): Set[(Int, Long)] =
+    (0 to math.max(grams.length - w, 0)).map { i =>
+      val sl = grams.slice(i, i + math.min(w, grams.length - i))
+      val m = sl.min
+      val rightmost = sl.lastIndexOf(m)
+      (i + rightmost + 1, m)
+    }.toSet
+
+  test("winnowStats: window accounting matches an independent driver fold; shared w+n-1-token span shares a print") {
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens = w+n-1 at w=4, n=3
+    val docs = Seq(
+      (1L, s"one two $shared three four five six seven"),
+      (2L, s"nine ten eleven twelve $shared thirteen")
+    ).toDF("doc_id", "text")
+    val out = Dedup.winnowStats(docs, w = 4, n = 3)
+      .as[(Long, Long, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: 13 tokens -> 11 grams -> 8 windows; prints never exceed windows
+    assert(out(1L)._2 === 11L && out(1L)._3 === 8L)
+    // independent driver-side replay of counts and exact fp_sum
+    val grams = docs.select(col("doc_id"),
+        Dedup.positionalShingleHashes(col("text"), 3).as("g"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val sel = grams.map { case (id, g) => id -> winnowValues(g, 4) }
+    for (id <- Seq(1L, 2L)) {
+      assert(out(id)._4 === sel(id).size.toLong, s"n_fp mismatch for doc $id")
+      assert(out(id)._6 === sel(id).toSeq.map(_._2).sum, s"fp_sum mismatch for doc $id")
+    }
+    // the winnowing guarantee: the shared 6-token span must share a print VALUE
+    assert(sel(1L).map(_._2).intersect(sel(2L).map(_._2)).nonEmpty,
+      "a shared span of w+n-1 tokens must share at least one fingerprint value")
+  }
+
+  test("winnowStats: short doc (fewer grams than the window) winnows its single full window") {
+    val out = Dedup.winnowStats(Seq((1L, "just two")).toDF("doc_id", "text"),
+        w = 4, n = 3)
+      .as[(Long, Long, Long, Long, Double, Long)].head()
+    // 2 tokens < n -> 1 whole-sequence gram -> 1 window -> 1 print
+    assert(out._2 === 1L && out._3 === 1L && out._4 === 1L && out._5 === 1.0)
+  }
+
+  test("tokenEntropy: uniform doc hits ln(n_distinct); constant doc hits 0; hand fold matches") {
+    val docs = Seq(
+      (1L, "a b c d"),          // 4 distinct, uniform -> H = ln 4
+      (2L, "spam spam spam"),   // constant -> H = 0
+      (3L, "x x y")             // H = ln 3 - (2 ln 2)/3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(docs)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    def rnd(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._4 === rnd(math.log(4)))
+    assert(out(2L)._4 === 0.0)
+    // replay the engine's exact path: per-count ln rounded to 9dp first
+    val ln2r = BigDecimal(math.log(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val expected = rnd(math.log(3) - (2 * ln2r.toDouble) / 3)
+    assert(out(3L)._4 === expected)
+    assert(out(3L)._2 === 3L && out(3L)._3 === 2L)
+  }
+}
