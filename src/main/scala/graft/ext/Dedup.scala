@@ -629,6 +629,17 @@ object Dedup {
    *
    * @return (idCol, n_grams, n_windows, n_fp, density_r, fp_sum)
    */
+  /** The encoded winnow print array (p·2³⁰ + v per selected print) for
+    * a text column — shared by the stats report and the pair join. A
+    * print is the PAIR (position, hash), encoded in one long
+    * (v = rolling-hash value < 1e9+7 < 2³⁰) because both engines'
+    * list-distinct handles longs where one rejects structs. Native
+    * monotonic-deque expression ([[graft.functions.WinnowKeys]]) — the
+    * interpreted higher-order formulation measured 45.9 s at sf0.1. */
+  private def winnowKeys(text: Column, w: Int, n: Int): Column =
+    graft.functions.HashExpressions.winnow_keys(
+      positionalShingleHashes(text, n), w)
+
   def winnowStats(
       docs: DataFrame,
       w: Int = 4,
@@ -639,16 +650,7 @@ object Dedup {
     val h = positionalShingleHashes(col(textCol), n)
     val len = size(h)
     val starts = sequence(lit(0), greatest(len - w, lit(0)))
-    // a print is the PAIR (position, hash); encoded p·2³⁰ + v in one
-    // long (v = rolling-hash value < 1e9+7 < 2³⁰) because both engines'
-    // list-distinct handles longs where one rejects structs
-    val fps = array_distinct(transform(starts, i => {
-      val sl = slice(h, i + 1, least(lit(w), len - i))
-      val m = array_min(sl)
-      // rightmost occurrence of the min: position in the REVERSED window
-      val fromRight = array_position(reverse(sl), m)
-      (i + size(sl) - fromRight + 1).cast("long") * lit(1073741824L) + m
-    }))
+    val fps = winnowKeys(col(textCol), w, n)
     docs.select(col(idCol), len.cast("long").as("n_grams"),
         size(starts).cast("long").as("n_windows"), fps.as("fps"))
       .select(col(idCol), col("n_grams"), col("n_windows"),
@@ -770,6 +772,52 @@ object Dedup {
         (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("cut_tokens"),
         graft.functions.HashExpressions.rolling_hash(
           coalesce(col("clean_text"), lit(""))).as("clean_hash"))
+  }
+
+  /**
+   * Winnowing-bucketed near-dup pairs — [[minHashNearDups]]' mirror
+   * with [[winnowStats]]' fingerprints replacing the LSH bands as the
+   * candidate-generation index: two docs are candidates iff they share
+   * a selected print VALUE, then the exact sorted-shingle Jaccard
+   * verify keeps pairs at/above the threshold. Where MinHash banding is
+   * probabilistic in BOTH directions, winnow candidates inherit the
+   * SIGMOD-2003 guarantee (any shared run of ≥ w+n−1 tokens buckets
+   * the pair) while posting only ≈2/(w+1) of each doc's grams — so a
+   * long-verbatim-overlap pair can't be missed by bucketing, only by
+   * the Jaccard verdict itself.
+   *
+   * Same scale discipline as every LSH join here: degenerate value
+   * buckets drop at `maxBucket` via the broadcast anti-join (the
+   * [[candidatePairs]] policy — no per-bucket window funnel).
+   *
+   * @return (id_a, id_b, jaccard) with id_a < id_b
+   */
+  def winnowNearDups(
+      docs: DataFrame,
+      threshold: Double = 0.5,
+      w: Int = 4,
+      n: Int = 3,
+      maxBucket: Int = DefaultMaxBucket,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+        sort_array(shingleHashes(col(textCol), n)).as("sh"),
+        array_distinct(transform(winnowKeys(col(textCol), w, n),
+          k => k % lit(1073741824L))).as("vals"))
+      .persist() // candidate join + verify both read it (caller-release)
+    val posted = base.select(col("id"), explode(col("vals")).as("v"))
+    val over = posted.groupBy("v").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket).select("v")
+    val sized = posted.join(broadcast(over), Seq("v"), "left_anti")
+    val cands = sized.select(col("v"), col("id").as("id_a"))
+      .join(sized.select(col("v"), col("id").as("id_b")), Seq("v"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val out = verifyPairs(cands, base.select(col("id"), col("sh")), threshold)
+      .persist()
+    out.count() // materialize before releasing the shared base
+    base.unpersist(blocking = false)
+    out
   }
 
   // ------------------------------------------------------ n-gram jaccard

@@ -61,6 +61,11 @@ object HashExpressions {
     * expression — see [[UnicodeNormalize]]. */
   def unicode_normalize(c: Column, form: String): Column =
     toColumn(UnicodeNormalize(toExpression(c), form))
+
+  /** Winnowing print selection over a positional gram-hash array — see
+    * [[WinnowKeys]]. */
+  def winnow_keys(grams: Column, w: Int): Column =
+    toColumn(WinnowKeys(toExpression(grams), w))
 }
 
 /** Unicode normalization of a string column via `java.text.Normalizer`
@@ -500,6 +505,82 @@ object SortedInterUnion {
       else j += 1
     }
     InternalRow(inter, na + nb - inter)
+  }
+}
+
+/** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+  * SIGMOD 2003) over a positional gram-hash array: every length-`w`
+  * window's minimum hash with ties to the RIGHTMOST occurrence, each
+  * distinct selected (position, hash) pair encoded `pos₁ᵦₐₛₑ·2³⁰ + v`
+  * (v < 1e9+7 < 2³⁰). Arrays shorter than `w` winnow their single full
+  * window.
+  *
+  * One compiled monotonic-deque pass — O(n) total, not O(n·w): pushing
+  * index j pops every back index with value ≥ h[j] (popping EQUALS is
+  * what makes the surviving front the rightmost min), so the front of
+  * each window IS its print, front indices are non-decreasing across
+  * windows, and dedup is just "record when the front moves". The
+  * higher-order-function formulation this replaces (transform + slice
+  * + reverse + array_position per window, all interpreted) measured
+  * 45.9 s at sf0.1 for x127; this is the x80-class native fix. */
+case class WinnowKeys(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_keys"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if w >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName window must be >= 1")
+    case _ =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<bigint>")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowKeys.select(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowKeys.select($c, $w)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object WinnowKeys {
+  /** Public static hook for generated code. */
+  def select(grams: ArrayData, w: Int): ArrayData = {
+    val n = grams.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    if (n <= w) {
+      // single full window: rightmost min of the whole array
+      var best = 0
+      var i = 1
+      while (i < n) {
+        if (grams.getLong(i) <= grams.getLong(best)) best = i
+        i += 1
+      }
+      return new GenericArrayData(
+        Array((best + 1).toLong * 1073741824L + grams.getLong(best)))
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Long](n / (w / 2 + 1) + 4)
+    val deque = new Array[Int](n) // index ring: head..tail-1 valid
+    var head = 0
+    var tail = 0
+    var lastFront = -1
+    var j = 0
+    while (j < n) {
+      val v = grams.getLong(j)
+      while (tail > head && grams.getLong(deque(tail - 1)) >= v) tail -= 1
+      deque(tail) = j; tail += 1
+      while (deque(head) <= j - w) head += 1
+      if (j >= w - 1) {
+        val front = deque(head)
+        if (front != lastFront) {
+          out += (front + 1).toLong * 1073741824L + grams.getLong(front)
+          lastFront = front
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
   }
 }
 

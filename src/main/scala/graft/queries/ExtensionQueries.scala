@@ -1854,6 +1854,18 @@ object ExtensionQueries {
     // from x07's verified pairs by hash rank (how dedup PRECISION gets
     // human-audited without leaking selection bias) — TakeOrdered cut,
     // two narrow id joins for the reviewer's length context
+    // winnow-bucketed near-dup pairs: x127's prints as the candidate
+    // index (share a print value → candidate; SIGMOD-2003 guarantee
+    // replaces probabilistic banding) + x07's exact Jaccard verify;
+    // degenerate value buckets drop at the shared cap
+    "x129_winnow_neardups" -> ((s, dir) =>
+      Dedup.winnowNearDups(Tables.documents(s, dir),
+          threshold = JaccardThreshold, w = WinnowW)
+        .select(col("id_a"), col("id_b"),
+          col("inter").cast("long").as("inter"), col("uni").cast("long").as("uni"),
+          col("jaccard"))
+        .orderBy("id_a", "id_b")),
+
     // winnowing fingerprint selection (Schleimer et al., SIGMOD 2003 —
     // MOSS): per-window rightmost-min gram hashes, distinct
     // (position, hash) prints; per-doc report with exact integer
@@ -3401,6 +3413,44 @@ object ExtensionQueries {
     // x121: per-candidate argmax assignment + cell histograms + the
     // division-free integer cost — exact in both engines end to end
     "x121_ivf_plan" -> sqlIvfPlanOracle,
+
+    // x129: x127's print values (via the shared shingle CTE's token
+    // hashes), per-value postings capped at the shared bucket limit,
+    // shared-value candidates, x07's exact verify
+    "x129_winnow_neardups" ->
+      s"""WITH $sqlShingleCte,
+         |g AS (SELECT doc_id,
+         |    list_transform(range(0, CASE WHEN len(th) < 3 THEN 1
+         |                              ELSE len(th) - 2 END),
+         |      i -> list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |             list_slice(th, i + 1, i + 3)),
+         |           (a, b) -> (a * $C + b) % $Mod)) AS gh FROM toh),
+         |fv AS (SELECT DISTINCT doc_id, k % 1073741824 AS v FROM
+         |  (SELECT doc_id, unnest(list_distinct(list_transform(
+         |      range(0, greatest(len(gh) - $WinnowW, 0) + 1),
+         |      i -> (i + len(list_slice(gh, i + 1, i + least($WinnowW, len(gh) - i)))
+         |              - list_position(
+         |                  list_reverse(list_slice(gh, i + 1,
+         |                    i + least($WinnowW, len(gh) - i))),
+         |                  list_min(list_slice(gh, i + 1,
+         |                    i + least($WinnowW, len(gh) - i)))) + 1)
+         |           * 1073741824 +
+         |           list_min(list_slice(gh, i + 1,
+         |             i + least($WinnowW, len(gh) - i)))))) AS k FROM g)),
+         |ovr AS (SELECT v FROM fv GROUP BY v
+         |  HAVING count(*) > ${Dedup.DefaultMaxBucket}),
+         |fvc AS (SELECT fv.doc_id, fv.v FROM fv LEFT JOIN ovr USING (v)
+         |  WHERE ovr.v IS NULL),
+         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM fvc l JOIN fvc r ON l.v = r.v AND l.doc_id < r.doc_id),
+         |ver AS (SELECT id_a, id_b,
+         |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+         |    len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS uni
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni,
+         |       CAST(inter AS DOUBLE) / uni AS jaccard
+         |FROM ver WHERE CAST(inter AS DOUBLE) / uni >= $JaccardThreshold
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // x127: positional trigrams (the b2 idiom, no distinct), per-start
     // window slices, rightmost-min via reversed-slice position, prints
