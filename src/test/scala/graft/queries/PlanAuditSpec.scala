@@ -623,6 +623,23 @@ class PlanAuditSpec extends SparkSpec {
       s"rank<=k must cut below the exchange:\n$p")
   }
 
+  test("x127: winnow selection is the native expression, computed once, join-free") {
+    val p = planOf("x127_winnow_fingerprints")
+    assert(p.contains("winnow_keys"),
+      s"selection must be the codegen'd WinnowKeys expression:\n$p")
+    assert(!p.contains("LambdaFunction") && !p.contains("transform("),
+      s"no interpreted higher-order selection in the plan:\n$p")
+    assert(!p.contains("Join"), s"the per-doc report is join-free:\n$p")
+  }
+
+  test("x129: winnow pair join buckets on print values with the broadcast over-cap screen; no cartesian") {
+    val p = planOf("x129_winnow_neardups")
+    assert(p.contains("winnow_keys"), s"native selection expected:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"degenerate buckets must drop via the anti-join cap:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("x118: the NB model joins broadcast; the only corpus-keyed shuffles are the two aggs") {
     val p = planOf("x118_nb_score")
     // model rows and the (prior, default) scalars are dimension-sized:
