@@ -820,6 +820,78 @@ object Dedup {
     out
   }
 
+  /**
+   * Incremental winnow-bucketed near-dups — [[incrementalNearDups]]'
+   * mirror over the [[winnowNearDups]] index: all near-dup pairs
+   * touching at least one INCOMING doc, equivalent to the full pass
+   * over (corpus ∪ incoming) restricted to pairs touching the batch,
+   * WITHOUT re-reading corpus text. Stored state is the sorted
+   * shingle table `(id, sh)` plus the posted print values `(id, v)` —
+   * both append-only, which is winnowing's operational edge over LSH
+   * bands here: prints are position-stable under append, and the
+   * SIGMOD-2003 guarantee carries over (an incoming doc sharing a
+   * ≥ w+n−1-token run with ANY stored doc must share a posted value).
+   * Bucket caps apply to UNION totals, so drop decisions match the
+   * full run exactly.
+   *
+   * @return (id_a, id_b, inter, uni, jaccard) — pairs touching incoming
+   */
+  def incrementalWinnowDups(
+      corpusSh: DataFrame,
+      corpusPrints: DataFrame,
+      incoming: DataFrame,
+      threshold: Double = 0.5,
+      w: Int = 4,
+      n: Int = 3,
+      maxBucket: Int = DefaultMaxBucket,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val newBase = incoming.select(col(idCol).as("id"),
+        sort_array(shingleHashes(col(textCol), n)).as("sh"),
+        array_distinct(transform(winnowKeys(col(textCol), w, n),
+          k => k % lit(1073741824L))).as("vals"))
+      .persist()
+    val newPosted = newBase.select(col("id"), explode(col("vals")).as("v"))
+    val allPosted = corpusPrints.select(col("id"), col("v"))
+      .withColumn("is_new", lit(false))
+      .unionByName(newPosted.withColumn("is_new", lit(true)))
+      .persist()
+    val over = allPosted.groupBy("v").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket).select("v")
+    val sized = allPosted.join(broadcast(over), Seq("v"), "left_anti")
+    val cands = sized.filter(col("is_new"))
+      .select(col("v"), col("id").as("id_l"))
+      .join(sized.select(col("v"), col("id").as("id_r")), Seq("v"))
+      .filter(col("id_l") =!= col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"))
+      .distinct()
+    val out = verifyPairs(cands,
+        corpusSh.unionByName(newBase.select(col("id"), col("sh"))), threshold)
+      .persist()
+    out.count() // materialize so the per-call temporaries can be released
+    newBase.unpersist(blocking = false)
+    allPosted.unpersist(blocking = false)
+    out
+  }
+
+  /** The stored-state projections [[incrementalWinnowDups]] consumes,
+    * from a raw doc frame — what an ingest materializes once per epoch:
+    * `(id, sh)` sorted shingles and `(id, v)` posted print values. */
+  def winnowState(
+      docs: DataFrame,
+      w: Int = 4,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame) = {
+    val base = docs.select(col(idCol).as("id"),
+      sort_array(shingleHashes(col(textCol), n)).as("sh"),
+      array_distinct(transform(winnowKeys(col(textCol), w, n),
+        k => k % lit(1073741824L))).as("vals"))
+    (base.select(col("id"), col("sh")),
+      base.select(col("id"), explode(col("vals")).as("v")))
+  }
+
   // ------------------------------------------------------ n-gram jaccard
 
   /** Direct n-gram Jaccard similarity join via PPJoin-style PREFIX

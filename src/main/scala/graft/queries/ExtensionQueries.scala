@@ -461,6 +461,44 @@ object ExtensionQueries {
        |  GROUP BY doc_id)""".stripMargin
   }
 
+  /** x129/x130 shared oracle: the full winnow-pair chain; `where`
+    * appends a pair predicate (x130 restricts to pairs touching the
+    * incoming slice). */
+  private def sqlWinnowPairs(where: String): String =
+    s"""WITH $sqlShingleCte,
+         |g AS (SELECT doc_id,
+         |    list_transform(range(0, CASE WHEN len(th) < 3 THEN 1
+         |                              ELSE len(th) - 2 END),
+         |      i -> list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |             list_slice(th, i + 1, i + 3)),
+         |           (a, b) -> (a * $C + b) % $Mod)) AS gh FROM toh),
+         |fv AS (SELECT DISTINCT doc_id, k % 1073741824 AS v FROM
+         |  (SELECT doc_id, unnest(list_distinct(list_transform(
+         |      range(0, greatest(len(gh) - $WinnowW, 0) + 1),
+         |      i -> (i + len(list_slice(gh, i + 1, i + least($WinnowW, len(gh) - i)))
+         |              - list_position(
+         |                  list_reverse(list_slice(gh, i + 1,
+         |                    i + least($WinnowW, len(gh) - i))),
+         |                  list_min(list_slice(gh, i + 1,
+         |                    i + least($WinnowW, len(gh) - i)))) + 1)
+         |           * 1073741824 +
+         |           list_min(list_slice(gh, i + 1,
+         |             i + least($WinnowW, len(gh) - i)))))) AS k FROM g)),
+         |ovr AS (SELECT v FROM fv GROUP BY v
+         |  HAVING count(*) > ${Dedup.DefaultMaxBucket}),
+         |fvc AS (SELECT fv.doc_id, fv.v FROM fv LEFT JOIN ovr USING (v)
+         |  WHERE ovr.v IS NULL),
+         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM fvc l JOIN fvc r ON l.v = r.v AND l.doc_id < r.doc_id),
+         |ver AS (SELECT id_a, id_b,
+         |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+         |    len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS uni
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni,
+         |       CAST(inter AS DOUBLE) / uni AS jaccard
+         |FROM ver WHERE CAST(inter AS DOUBLE) / uni >= $JaccardThreshold$where
+         |ORDER BY id_a, id_b""".stripMargin
+
   /** x121 IVF-plan oracle: per candidate list count, the argmax-list
     * assignment (x63's list_position idiom at that L), cell histogram,
     * and the division-free integer cost lists·N + Σnᵢ²; one UNION ALL
@@ -1865,6 +1903,24 @@ object ExtensionQueries {
           col("inter").cast("long").as("inter"), col("uni").cast("long").as("uni"),
           col("jaccard"))
         .orderBy("id_a", "id_b")),
+
+    // incremental winnow near-dups (the recrawl epoch pass): stored
+    // state = (id, sh) + posted print values, both append-only; the
+    // incoming slice probes the accumulated print index and only
+    // batch-touching pairs verify — full-run-equivalent by the
+    // union-total caps (oracle = x129's chain filtered to the slice)
+    "x130_incremental_winnow" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val (sh, prints) = Dedup.winnowState(
+        d.filter(pmod(col("doc_id"), lit(11)) =!= 0), w = WinnowW)
+      Dedup.incrementalWinnowDups(sh, prints,
+          d.filter(pmod(col("doc_id"), lit(11)) === 0),
+          threshold = JaccardThreshold, w = WinnowW)
+        .select(col("id_a"), col("id_b"),
+          col("inter").cast("long").as("inter"), col("uni").cast("long").as("uni"),
+          col("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
 
     // winnowing fingerprint selection (Schleimer et al., SIGMOD 2003 —
     // MOSS): per-window rightmost-min gram hashes, distinct
@@ -3417,40 +3473,15 @@ object ExtensionQueries {
     // x129: x127's print values (via the shared shingle CTE's token
     // hashes), per-value postings capped at the shared bucket limit,
     // shared-value candidates, x07's exact verify
-    "x129_winnow_neardups" ->
-      s"""WITH $sqlShingleCte,
-         |g AS (SELECT doc_id,
-         |    list_transform(range(0, CASE WHEN len(th) < 3 THEN 1
-         |                              ELSE len(th) - 2 END),
-         |      i -> list_reduce(list_concat([CAST(0 AS BIGINT)],
-         |             list_slice(th, i + 1, i + 3)),
-         |           (a, b) -> (a * $C + b) % $Mod)) AS gh FROM toh),
-         |fv AS (SELECT DISTINCT doc_id, k % 1073741824 AS v FROM
-         |  (SELECT doc_id, unnest(list_distinct(list_transform(
-         |      range(0, greatest(len(gh) - $WinnowW, 0) + 1),
-         |      i -> (i + len(list_slice(gh, i + 1, i + least($WinnowW, len(gh) - i)))
-         |              - list_position(
-         |                  list_reverse(list_slice(gh, i + 1,
-         |                    i + least($WinnowW, len(gh) - i))),
-         |                  list_min(list_slice(gh, i + 1,
-         |                    i + least($WinnowW, len(gh) - i)))) + 1)
-         |           * 1073741824 +
-         |           list_min(list_slice(gh, i + 1,
-         |             i + least($WinnowW, len(gh) - i)))))) AS k FROM g)),
-         |ovr AS (SELECT v FROM fv GROUP BY v
-         |  HAVING count(*) > ${Dedup.DefaultMaxBucket}),
-         |fvc AS (SELECT fv.doc_id, fv.v FROM fv LEFT JOIN ovr USING (v)
-         |  WHERE ovr.v IS NULL),
-         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-         |  FROM fvc l JOIN fvc r ON l.v = r.v AND l.doc_id < r.doc_id),
-         |ver AS (SELECT id_a, id_b,
-         |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
-         |    len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS uni
-         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
-         |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni,
-         |       CAST(inter AS DOUBLE) / uni AS jaccard
-         |FROM ver WHERE CAST(inter AS DOUBLE) / uni >= $JaccardThreshold
-         |ORDER BY id_a, id_b""".stripMargin,
+    "x129_winnow_neardups" -> sqlWinnowPairs(""),
+
+    // x130: the SAME full-run chain restricted to pairs touching the
+    // incoming slice — the incremental pass's caps are on union totals,
+    // so full-run-filtered IS its exact specification
+    "x130_incremental_winnow" ->
+      sqlWinnowPairs(" AND (id_a % 11 = 0 OR id_b % 11 = 0)"),
+
+
 
     // x127: positional trigrams (the b2 idiom, no distinct), per-start
     // window slices, rightmost-min via reversed-slice position, prints

@@ -52,6 +52,34 @@ class WinnowEntropySpec extends SparkSpec {
     assert(out._2 === 1L && out._3 === 1L && out._4 === 1L && out._5 === 1.0)
   }
 
+  test("incrementalWinnowDups: equals the full winnow pass restricted to pairs touching the incoming batch") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "one two three four five six seven eight"
+    val all = Seq(
+      (1L, a), (2L, a + " tail"),            // corpus near-dup pair
+      (3L, b),                                // corpus singleton
+      (10L, a + " tails"),                    // incoming: near-dup of 1/2
+      (11L, b + " tail"),                     // incoming: near-dup of 3
+      (12L, "totally different words about rivers and stars")
+    ).toDF("doc_id", "text")
+    val corpus = all.filter(col("doc_id") < 10)
+    val incoming = all.filter(col("doc_id") >= 10)
+    val (sh, prints) = Dedup.winnowState(corpus, w = 4)
+    val inc = Dedup.incrementalWinnowDups(sh, prints, incoming,
+        threshold = 0.3, w = 4)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.winnowNearDups(all, threshold = 0.3, w = 4)
+      .filter(col("id_a") >= 10 || col("id_b") >= 10)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc === full)
+    assert(inc.exists(p => p._1 == 1L && p._2 == 10L),
+      "incoming near-dup must pair with its stored original")
+    assert(!inc.exists(p => p._1 < 10L && p._2 < 10L),
+      "corpus-corpus pairs must not re-emit")
+  }
+
   test("tokenEntropy: uniform doc hits ln(n_distinct); constant doc hits 0; hand fold matches") {
     val docs = Seq(
       (1L, "a b c d"),          // 4 distinct, uniform -> H = ln 4
