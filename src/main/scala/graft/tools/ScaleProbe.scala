@@ -675,6 +675,39 @@ object ScaleProbe {
       pp.unpersist(); bf.unpersist()
     }
 
+    // Winnow-join skew probe: a boilerplate-heavy corpus (30% of docs
+    // share one template → its prints post 0.3·N times) is the
+    // degenerate case for ANY shared-key candidate join. The bucket cap
+    // must absorb it: candidate counts stay bounded, wall time tracks
+    // the scale factor, and no task owns the hot template (max/median
+    // task ratio bounded). Also reports the winnow shrink (posted
+    // prints vs total grams — the ≈2/(w+1) claim, measured).
+    if (on("winnowskew")) for (f <- Seq(1, 5, 10)) {
+      val grown = (0 until f).map { r =>
+        docs.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+          when(col("doc_id") % 10 < 3,
+            lit("the quick brown fox jumps over the lazy dog again and again " +
+              "and ever onward through the same template text"))
+            .otherwise(col("text")).as("text"))
+      }.reduce(_ unionByName _)
+      val stats = new TaskStats(spark)
+      val t0 = System.nanoTime()
+      val pairs = Dedup.winnowNearDups(grown, threshold = 0.5).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val (mx, med) = stats.maxAndMedianMs()
+      stats.detach()
+      val shrink = grown
+        .select(size(Dedup.positionalShingleHashes(col("text"), 3)).as("g"),
+          size(graft.functions.HashExpressions.winnow_keys(
+            Dedup.positionalShingleHashes(col("text"), 3), 4)).as("p"))
+        .agg(sum(col("g")).as("g"), sum(col("p")).as("p"))
+        .select((col("p").cast("double") / col("g")).as("r"))
+        .head().getDouble(0)
+      println(f"winnowskew scale=${f}x docs=${5000 * f}%7d pairs=$pairs%8d " +
+        f"shrink=$shrink%.3f time=$dt%7.2f s maxTask=${mx}ms medTask=${med}ms " +
+        f"ratio=${mx.toDouble / math.max(med, 1)}%5.1f")
+    }
+
     // x112 recurring-cost split: the battery row measures generation-0
     // BUILD + diff-sized SYNC in one number (the query is
     // self-contained by design), which misrepresents the operator's
