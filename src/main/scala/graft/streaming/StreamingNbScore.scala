@@ -48,18 +48,22 @@ object StreamingNbScore {
       m: NbModel,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val lut: Column =
-      if (m.entries.isEmpty) map()
-      else map(m.entries.flatMap { case (b, l) => Seq(lit(b), lit(l)) }: _*)
     val feats = concat(
       graft.ext.Dedup.tokenHashes(col(textCol)),
       graft.ext.Dedup.positionalShingleHashes(col(textCol), 2))
+    // empty-entries model (degenerate empty seed): every bucket takes
+    // the default, so the lookup map — whose empty literal would be
+    // type-ambiguous — drops out of the plan entirely
+    val perFeature: Column => Column =
+      if (m.entries.isEmpty) _ => lit(m.c0)
+      else {
+        val lut = map(m.entries.flatMap { case (b, l) => Seq(lit(b), lit(l)) }: _*)
+        h => coalesce(element_at(lut, pmod(h, lit(m.buckets.toLong))), lit(m.c0))
+      }
     val score = aggregate(
       feats,
       lit(m.prior).cast("decimal(30,9)"),
-      (acc, h) => (acc + coalesce(
-        element_at(lut, pmod(h, lit(m.buckets.toLong))), lit(m.c0)))
-        .cast("decimal(30,9)"))
+      (acc, h) => (acc + perFeature(h)).cast("decimal(30,9)"))
     docs
       .withColumn("n_feats", size(feats).cast("long"))
       .withColumn("s_d", score)
