@@ -30,9 +30,16 @@ object IndexMaintenance {
       src: String,
       dst: String,
       partitionCol: String): Unit =
-    spark.read.parquet(src)
+    dropBatchCol(spark.read.parquet(src))
       .repartition(col(partitionCol))
       .write.partitionBy(partitionCol).mode("overwrite").parquet(dst)
+
+  /** A streamed generation carries the ingests' `batch=<id>` partition
+    * level (the exactly-once replay discipline); compaction collapses
+    * the generations, so the synthetic column must not leak into the
+    * compacted files as data. */
+  private def dropBatchCol(df: org.apache.spark.sql.DataFrame) =
+    if (df.columns.contains("batch")) df.drop("batch") else df
 
   /** Compact an IVF index generation ([[Similarity.writeIvfIndex]] /
     * streamed appends): one file per list. */
@@ -66,11 +73,11 @@ object IndexMaintenance {
       tombstones: org.apache.spark.sql.DataFrame,
       idCol: String = "doc_id"): Unit = {
     val dead = tombstones.select(col(idCol)).distinct()
-    spark.read.parquet(s"$src/postings")
+    dropBatchCol(spark.read.parquet(s"$src/postings"))
       .join(broadcast(dead), Seq(idCol), "left_anti")
       .repartition(col("tb"))
       .write.partitionBy("tb").mode("overwrite").parquet(s"$dst/postings")
-    val live = spark.read.parquet(s"$src/doclens")
+    val live = dropBatchCol(spark.read.parquet(s"$src/doclens"))
       .join(broadcast(dead), Seq(idCol), "left_anti")
     live.write.mode("overwrite").parquet(s"$dst/doclens")
     spark.read.parquet(s"$dst/doclens")

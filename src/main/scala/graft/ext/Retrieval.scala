@@ -211,7 +211,8 @@ object Retrieval {
       path: String,
       idCol: String,
       textCol: String,
-      mode: String): Unit = {
+      mode: String,
+      sub: String = ""): Unit = {
     val tok = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("w"))
       .persist()
     tok.select(col(idCol), size(col("w")).cast("long").as("dl"),
@@ -219,15 +220,31 @@ object Retrieval {
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("tb", termBucket(col("term")))
-      .write.partitionBy("tb").mode(mode).parquet(s"$path/postings")
+      .write.partitionBy("tb").mode(mode).parquet(s"$path/postings$sub")
     tok.agg(count(lit(1)).as("n_docs"),
         sum(size(col("w")).cast("long")).as("sum_dl"))
-      .write.mode(mode).parquet(s"$path/stats")
+      .write.mode(mode).parquet(s"$path/stats$sub")
     tok.select(col(idCol), size(col("w")).cast("long").as("dl"))
-      .write.mode(mode).parquet(s"$path/doclens")
+      .write.mode(mode).parquet(s"$path/doclens$sub")
     tok.unpersist()
     ()
   }
+
+  /** The streaming ingest's EXACTLY-ONCE batch write: the three sidecars
+    * land in their own `batch=<id>` partition directory with
+    * mode("overwrite"), so an at-least-once foreachBatch replay
+    * truncates-and-rewrites instead of appending duplicate postings and
+    * double-counting the stats row. Readers discover `batch` as an
+    * extra partition column and never reference it (term-bucket pruning
+    * and stats summation are unchanged). */
+  private[graft] def appendBm25BatchIdempotent(
+      docs: DataFrame,
+      path: String,
+      batchId: Long,
+      idCol: String,
+      textCol: String): Unit =
+    appendBm25Batch(docs, path, idCol, textCol,
+      mode = "overwrite", sub = s"/batch=$batchId")
 
   /** BM25 top-k against a [[writeBm25Index]] layout: the postings scan is
     * partition-pruned to the query terms' buckets (the bucket list is a

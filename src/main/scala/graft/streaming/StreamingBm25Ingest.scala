@@ -24,9 +24,12 @@ import org.apache.spark.sql.{DataFrame, Row}
  * the upstream dedup's contract ([[StreamingDedup.firstWins]] composes
  * in front, as with the IVF ingest).
  *
- * Delivery matches [[StreamingIndexIngest]]: checkpointed batches never
- * re-append across restarts; a failure inside a batch re-runs that
- * batch's appends (at-least-once, `foreachBatch`'s contract).
+ * Delivery matches [[StreamingIndexIngest]]: EXACTLY-ONCE
+ * materialization — each micro-batch's postings/stats/doclens land in
+ * their own `batch=<batchId>` partition directories with overwrite, so
+ * an at-least-once replay rewrites identical rows instead of appending
+ * duplicate postings (which would inflate tf/df) and double-counting
+ * the stats row (which would corrupt the length normalization).
  */
 object StreamingBm25Ingest {
 
@@ -39,10 +42,21 @@ object StreamingBm25Ingest {
       textCol: String = "text"): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val dedup = batch.groupBy(col(idCol)).agg(min(col(textCol)).as(textCol))
-          Retrieval.appendBm25Batch(dedup, path, idCol, textCol, mode = "append")
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, path, idCol, textCol)
       }
+
+  /** One micro-batch's write — public so the replay case is directly
+    * spec-testable: ingesting the same (batch, batchId) twice must
+    * leave the index (and every probe of it) bit-identical. */
+  def ingestBatch(
+      batch: DataFrame,
+      batchId: Long,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit =
+    if (!batch.isEmpty) {
+      val dedup = batch.groupBy(col(idCol)).agg(min(col(textCol)).as(textCol))
+      Retrieval.appendBm25BatchIdempotent(dedup, path, batchId, idCol, textCol)
+    }
 }

@@ -25,11 +25,21 @@ import org.apache.spark.sql.{DataFrame, Row}
  * order); cross-batch re-arrivals are the upstream dedup's contract
  * ([[StreamingDedup.firstWins]] composes in front of this sink).
  *
- * Delivery: with a checkpoint, completed batches are never re-appended
- * across restarts; a failure INSIDE a batch re-runs that batch's append
- * (at-least-once — `foreachBatch`'s contract). A recovery path that
- * needs exactness dedupes on the id at probe time or re-bootstraps the
- * index from the batch corpus.
+ * Delivery: EXACTLY-ONCE materialization. Each micro-batch writes into
+ * its own `batch=<batchId>` partition directory with mode("overwrite"),
+ * so foreachBatch's at-least-once replay TRUNCATES-and-rewrites the
+ * same directory instead of appending duplicate rows (duplicate index
+ * rows are NOT benign here: a replayed vector would occupy two of a
+ * probe's top-k slots). Readers discover `batch` as just another
+ * partition column above `list` and never reference it; `list`
+ * partition pruning is unaffected.
+ *
+ * Layout note: a parquet tree must be uniform-depth, so a streamed
+ * index is batch-levels all the way down — BOOTSTRAP a streamed index
+ * with `ingestBatch(corpus, -1L, …)`, not
+ * [[graft.ext.Similarity.writeIvfIndex]] (which writes the FLAT layout
+ * for pure-batch generations; compaction emits flat generations too
+ * and drops the synthetic column).
  */
 object StreamingIndexIngest {
 
@@ -43,18 +53,30 @@ object StreamingIndexIngest {
       vecCol: String = "embedding"): DataStreamWriter[Row] =
     vectors.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          // duplicate ids inside a batch resolve by MIN over the vector
-          // (arrays order lexicographically) — a pure function of the
-          // batch CONTENTS, unlike dropDuplicates' partition-order pick,
-          // so the documented at-least-once batch replay re-appends the
-          // identical row
-          val dedup = batch.groupBy(col(idCol))
-            .agg(min(col(vecCol)).as(vecCol))
-          KMeans.assign(dedup, centroids, idCol, vecCol)
-            .withColumnRenamed("cluster", "list")
-            .write.partitionBy("list").mode("append").parquet(path)
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, path, centroids, idCol, vecCol)
       }
+
+  /** One micro-batch's write — public so the replay case is directly
+    * spec-testable: ingesting the same (batch, batchId) twice must
+    * leave the index bit-identical. */
+  def ingestBatch(
+      batch: DataFrame,
+      batchId: Long,
+      path: String,
+      centroids: Seq[KMeans.Centroid],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit =
+    if (!batch.isEmpty) {
+      // duplicate ids inside a batch resolve by MIN over the vector
+      // (arrays order lexicographically) — a pure function of the
+      // batch CONTENTS, unlike dropDuplicates' partition-order pick,
+      // so a replay rewrites the identical rows
+      val dedup = batch.groupBy(col(idCol))
+        .agg(min(col(vecCol)).as(vecCol))
+      KMeans.assign(dedup, centroids, idCol, vecCol)
+        .withColumnRenamed("cluster", "list")
+        .write.partitionBy("list").mode("overwrite")
+        .parquet(s"$path/batch=$batchId")
+    }
 }

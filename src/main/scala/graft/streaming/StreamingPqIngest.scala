@@ -25,8 +25,11 @@ import org.apache.spark.sql.{DataFrame, Row}
  * why the artifacts are parameters, not state); ingest only encodes.
  * Duplicate ids within a batch resolve by min over the vector (pure
  * function of batch contents); cross-batch re-arrivals are the
- * upstream dedup's contract. Delivery: checkpointed batches never
- * re-append; an in-batch failure replays that batch (at-least-once).
+ * upstream dedup's contract. Delivery: EXACTLY-ONCE materialization —
+ * each micro-batch overwrites its own `batch=<batchId>` partition
+ * directory ([[StreamingIndexIngest]]'s discipline), so a replayed
+ * batch rewrites identical rows instead of appending duplicates that
+ * would occupy two of a probe's top-k slots.
  */
 object StreamingPqIngest {
 
@@ -46,7 +49,7 @@ object StreamingPqIngest {
       vecCol: String = "embedding"): DataStreamWriter[Row] =
     vectors.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val dedup = batch.groupBy(col(idCol)).agg(min(col(vecCol)).as(vecCol))
           val listed = coarse match {
@@ -60,7 +63,8 @@ object StreamingPqIngest {
           Similarity.pqEncode(qvecs, codebooks, dim, idCol, "qvec")
             .select(col(idCol), col("codes"))
             .join(listed.select(col(idCol), col("list")), Seq(idCol))
-            .write.partitionBy("list").mode("append").parquet(path)
+            .write.partitionBy("list").mode("overwrite")
+            .parquet(s"$path/batch=$batchId")
           ()
         }
       }

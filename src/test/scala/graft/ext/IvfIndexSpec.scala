@@ -27,8 +27,11 @@ class IvfIndexSpec extends SparkSpec {
     val full = java.nio.file.Files.createTempDirectory("graft-ivf-f").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ivf-c").toString
     try {
-      // batch bootstrap from the trained sample, then stream the rest in
-      Similarity.writeIvfIndex(base, grown, cents)
+      // batch bootstrap from the trained sample, then stream the rest
+      // in — the bootstrap shares the stream layout's batch level
+      // (generation -1), since a parquet tree must be uniform-depth
+      graft.streaming.StreamingIndexIngest.ingestBatch(
+        base, -1L, grown, cents)
       val input = MemoryStream[(Long, Seq[Float])]
       // ONE checkpoint across restarts: the second drain must resume
       // after batch 1, not re-append it (exactly-once on the index path)

@@ -41,6 +41,48 @@ class StreamingReplaySpec extends SparkSpec {
     assert(labelsTwice(20L) === labelsTwice(1L), "late near-dup joined cluster A")
   }
 
+  test("StreamingIndexIngest.ingestBatch: replaying a batchId rewrites, never duplicates (probe rows stay unique)") {
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, (0 until 4).map(d => ((i * 7 + d) % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = graft.ext.KMeans.fit(vecs, k = 2, iters = 2, vecCol = "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_replay_ivf_").toString
+    StreamingIndexIngest.ingestBatch(vecs.filter(col("vec_id") < 15), 0L, path, cents)
+    StreamingIndexIngest.ingestBatch(vecs.filter(col("vec_id") >= 15), 1L, path, cents)
+    val once = spark.read.parquet(path).count()
+    // the retry: batch 1 delivered again
+    StreamingIndexIngest.ingestBatch(vecs.filter(col("vec_id") >= 15), 1L, path, cents)
+    assert(spark.read.parquet(path).count() === once,
+      "replay must overwrite its batch dir, not append duplicates")
+    val ids = spark.read.parquet(path).select("vec_id")
+      .as[Long].collect().sorted
+    assert(ids.toSeq === (0L until 30L),
+      "every vector exactly once — duplicates would steal top-k slots")
+  }
+
+  test("StreamingBm25Ingest.ingestBatch: replaying a batchId leaves postings, stats, and probe scores bit-identical") {
+    val docs = Seq(
+      (1L, "spark join spark"), (2L, "window filter sort"),
+      (3L, "spark window stream"), (4L, "filter spark join window"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_replay_bm25_").toString
+    StreamingBm25Ingest.ingestBatch(docs.filter(col("doc_id") <= 2), 0L, path)
+    StreamingBm25Ingest.ingestBatch(docs.filter(col("doc_id") > 2), 1L, path)
+    val q = Seq((0L, "spark"), (1L, "window")).toDF("query_id", "term")
+    def probe() = graft.ext.Retrieval.bm25TopKFromIndex(spark, path, q, k = 10)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val once = probe()
+    val statsOnce = spark.read.parquet(s"$path/stats")
+      .agg(sum("n_docs"), sum("sum_dl")).head()
+    // the retry: batch 1 delivered again — postings must not inflate
+    // tf/df and the stats row must not double-count
+    StreamingBm25Ingest.ingestBatch(docs.filter(col("doc_id") > 2), 1L, path)
+    assert(probe() === once)
+    assert(spark.read.parquet(s"$path/stats")
+      .agg(sum("n_docs"), sum("sum_dl")).head() === statsOnce)
+  }
+
   test("StreamingPrioritySample.foldBatch: replaying a committed batch leaves state and sample identical to batch operator") {
     val mk = (ids: Seq[Long]) =>
       ids.map(i => (i, if (i % 2 == 0) "web" else "book", 1L + i % 7))
