@@ -420,6 +420,141 @@ object TextAnalysis {
     concat(Dedup.tokenHashes(text),
       Dedup.positionalShingleHashes(text, 2))
 
+  /** Language-ID feature stream: rolling hashes of every CHAR n-gram of
+    * the normalized text (spaces included — " th" / "he " word-boundary
+    * grams are the discriminative ones), via the compiled
+    * [[graft.functions.CharNgramHashes]] pass. Multiset (positional, no
+    * dedup): multinomial NB counts occurrences. */
+  def langIdFeatureHashes(text: Column, n: Int = 3): Column =
+    graft.functions.HashExpressions.char_ngram_hashes(normalize(text), n)
+
+  /**
+   * Trained char-n-gram Naive-Bayes language identifier — TRAIN stage.
+   * [[nbQualityTrain]]'s machinery generalized from 2 classes to k: the
+   * standard replacement for the [[langId]] marker heuristic once a
+   * corpus outgrows a hand-curated function-word list (fastText-style
+   * supervision: label a seed slice by a trusted signal, train, score
+   * everything).
+   *
+   * Features: char trigram hashes ([[langIdFeatureHashes]]) folded into
+   * a PRIME bucket space (`h mod buckets` — prime for the same aliasing
+   * reason as [[nbQualityTrain]]).
+   *
+   * Model = one row per (lang, b) for every bucket OBSERVED BY ANY class
+   * (densified: a bucket seen only by 'en' still gets a 'fr' row with
+   * c = 0, so scoring needs no per-class unseen fallback join), with the
+   * add-one-smoothed log-likelihood
+   * `llp(l,b) = ln((c(l,b)+1)/(tot(l)+B))`, rounded to 9 dp and stored
+   * DECIMAL(19,9). Two reserved rows per class: `b = -1` the class prior
+   * `ln((n_l+1)/(n+K))` (add-one over the K classes) and `b = -2` the
+   * unseen-bucket default `ln(1/(tot(l)+B))` — a CONSTANT per class, so
+   * scoring never needs the training totals. Dimension-sized:
+   * ≤ (buckets+2)·K rows, broadcast at score time.
+   *
+   * Determinism: per-feature llps are rounded to DECIMAL before any
+   * aggregation (the x64/x72 discipline) — per-doc scores are exact
+   * DECIMAL sums, so argmax can never move with partial-agg order.
+   *
+   * Scale shape: one corpus-keyed (lang,b) agg (map-side combinable);
+   * the densify cross-join is a (≤buckets)×(K) dimension scaffold.
+   *
+   * @param langCol the class label column on `labeled`
+   * @return (lang, b, llp) — b ≥ 0 observed buckets; -1 prior; -2 default
+   */
+  def langIdTrain(
+      labeled: DataFrame,
+      langCol: String = "lang",
+      buckets: Int = 2039,
+      textCol: String = "text",
+      ngram: Int = 3): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val feats = labeled
+      .select(col(langCol).as("lang"),
+        explode(langIdFeatureHashes(col(textCol), ngram)).as("h"))
+      .withColumn("b", pmod(col("h"), lit(buckets.toLong)))
+      .persist() // counts + totals consume the stream (caller-release)
+    val cnt = feats.groupBy("lang", "b").agg(count(lit(1)).as("c"))
+    val tot = feats.groupBy("lang").agg(count(lit(1)).as("tot_l"))
+    val nd = labeled.groupBy(col(langCol).as("lang")).agg(count(lit(1)).as("n_l"))
+    val nAll = labeled.agg(count(lit(1)).as("n_docs"),
+      countDistinct(col(langCol)).as("k_cls"))
+    def llpOf(c: Column, totL: Column) =
+      round(log((c + 1).cast("double") / (totL + buckets)), 9)
+        .cast("decimal(19,9)")
+    val observed = cnt.select(col("b")).distinct()
+    // densify: every observed bucket × every class — (≤buckets)·K
+    // dimension-sized scaffold, broadcast on both sides
+    val dense = observed.crossJoin(broadcast(tot))
+      .join(cnt, Seq("lang", "b"), "left")
+      .select(col("lang"), col("b"),
+        llpOf(coalesce(col("c"), lit(0L)), col("tot_l")).as("llp"))
+    val default = tot.select(col("lang"), lit(-2L).as("b"),
+      llpOf(lit(0L), col("tot_l")).as("llp"))
+    val prior = nd.crossJoin(broadcast(nAll)) // 1-row totals scaffold
+      .select(col("lang"), lit(-1L).as("b"),
+        round(log((col("n_l") + 1).cast("double") / (col("n_docs") + col("k_cls"))), 9)
+          .cast("decimal(19,9)").as("llp"))
+    dense.unionByName(prior).unionByName(default)
+  }
+
+  /** Score a corpus against a [[langIdTrain]] model: per (doc, lang),
+    * `score(d,l) = prior(l) + Σ_b n_{d,b} · llp(l,b)` with buckets unseen
+    * by ALL classes taking the class default — exact decimal throughout.
+    *
+    * Scale shape: the model is dimension-sized and broadcast; the only
+    * corpus-keyed shuffle is the per-doc bucket-count agg (map-side
+    * combinable). The K-way fan-out happens AFTER that agg, on the
+    * (doc × distinct-bucket) frame, via a broadcast scalars cross-join.
+    *
+    * @return (idCol, lang, n_feats, score_d DECIMAL(29,9))
+    */
+  def langIdScore(
+      docs: DataFrame,
+      model: DataFrame,
+      buckets: Int = 2039,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      ngram: Int = 3): DataFrame = {
+    val scalars = model.filter(col("b") < 0).groupBy("lang").agg(
+      max(when(col("b") === -1L, col("llp"))).as("prior"),
+      max(when(col("b") === -2L, col("llp"))).as("c0"))
+    val m = model.filter(col("b") >= 0).select(col("lang"), col("b"), col("llp"))
+    val perDoc = docs
+      .select(col(idCol), explode(langIdFeatureHashes(col(textCol), ngram)).as("h"))
+      .withColumn("b", pmod(col("h"), lit(buckets.toLong)))
+      .groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("n"))
+    perDoc
+      .crossJoin(broadcast(scalars)) // K-row class fan-out (dimension-sized)
+      .join(broadcast(m), Seq("b", "lang"), "left")
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(col("n")).as("n_feats"),
+        // 9+19+1 = 29 ≤ 38; the sum narrows losslessly to (28,9) so the
+        // prior addition lands at DECIMAL(29,9) — under both engines'
+        // precision caps (the x118 width discipline)
+        sum(col("n").cast("decimal(9,0)") * coalesce(col("llp"), col("c0")))
+          .cast("decimal(28,9)").as("sf"),
+        min(col("prior")).as("prior"))
+      .select(col(idCol), col("lang"), col("n_feats"),
+        (col("prior") + col("sf")).as("score_d"))
+  }
+
+  /** Argmax verdict over [[langIdScore]]: one row per doc with the
+    * winning class. Exact-decimal comparison; ties (possible only for
+    * byte-identical per-class stats) break to the lexicographically
+    * smallest lang — a total order both engines share. */
+  def langIdVerdict(scored: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_d").desc, col("lang").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("lang").as("lang_pred"), col("n_feats"),
+        // display-round in DECIMAL space (the r11 display discipline)
+        round(col("score_d"), 6).cast("double").as("score_r"))
+  }
+
   /** PII patterns (RE2-safe constructs only — no lookaround/backrefs — so
     * Spark's java.util.regex and DuckDB's RE2 match identically; shared
     * with the oracle SQL). */

@@ -66,6 +66,83 @@ object HashExpressions {
     * [[WinnowKeys]]. */
   def winnow_keys(grams: Column, w: Int): Column =
     toColumn(WinnowKeys(toExpression(grams), w))
+
+  /** Rolling hashes of every n-CODEPOINT window of a string — see
+    * [[CharNgramHashes]]. */
+  def char_ngram_hashes(c: Column, n: Int): Column =
+    toColumn(CharNgramHashes(toExpression(c), n))
+}
+
+/** Rolling hash of every n-codepoint window of a string (POSITIONAL — every
+  * window, no dedup: downstream NB feature counting is multinomial). The
+  * char-level sibling of [[TokenRollingHashes]]+[[ShingleHashCombine]]:
+  * char n-grams cross token boundaries (spaces are codepoints too), which
+  * is exactly what language identification wants — " th", "he ", "sch",
+  * "ció" are the discriminative features. Strings shorter than n codepoints
+  * degrade to ONE whole-string hash (the [[ShingleHashCombine]] rule).
+  * One compiled O(chars·n) pass; n is a literal so the window loop unrolls.
+  * Oracle replay: codepoints via `string_split(t,'')`+`ascii`, windows via
+  * `list_transform(range(...), i -> fold)` — same recurrence
+  * h = (h·31 + cp) mod 1e9+7. */
+case class CharNgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_ngram_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName n must be >= 1")
+    case _ =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      CharNgramHashes.hashes(input.asInstanceOf[UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.CharNgramHashes.hashes($c, $n))")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object CharNgramHashes {
+  /** Public static hook for generated code. */
+  def hashes(s: UTF8String, n: Int): Array[Long] = {
+    val str = s.toString
+    // decode codepoints once (astral-safe, matches DuckDB string_split+ascii)
+    var count = 0
+    var i = 0
+    val len = str.length
+    while (i < len) { count += 1; i += Character.charCount(str.codePointAt(i)) }
+    val cps = new Array[Long](count)
+    i = 0; var k = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      cps(k) = cp.toLong; k += 1
+      i += Character.charCount(cp)
+    }
+    val mod = HashExpressions.Mod
+    if (count < n) {
+      // degenerate: one whole-string rolling hash (the short-doc rule)
+      var h = 0L
+      var j = 0
+      while (j < count) { h = (h * 31L + cps(j)) % mod; j += 1 }
+      return Array(h)
+    }
+    val out = new Array[Long](count - n + 1)
+    var w = 0
+    while (w <= count - n) {
+      var h = 0L
+      var j = 0
+      while (j < n) { h = (h * 31L + cps(w + j)) % mod; j += 1 }
+      out(w) = h
+      w += 1
+    }
+    out
+  }
 }
 
 /** Unicode normalization of a string column via `java.text.Normalizer`

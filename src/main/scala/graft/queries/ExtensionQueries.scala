@@ -461,6 +461,75 @@ object ExtensionQueries {
        |  GROUP BY doc_id)""".stripMargin
   }
 
+  /** x131–x134 shared langid CTE chain → `lmdl(lang, b, llp)` (the
+    * k-class char-trigram NB model: b ≥ 0 densified observed buckets,
+    * b = -1 class prior, b = -2 per-class unseen default) and
+    * `lsc(doc_id, lang, n_feats, s_d)` (per doc × class exact-decimal
+    * scores). Char trigrams INCLUDE spaces (word-boundary grams); docs
+    * shorter than 3 codepoints degrade to one whole-string hash —
+    * mirroring [[graft.functions.CharNgramHashes]]. */
+  private lazy val sqlLangIdCtes: String = {
+    def featCtes(p: String, from: String): String =
+      s"""${p}cp AS (SELECT *, list_transform(string_split(t, ''),
+         |    c -> CAST(ascii(c) AS BIGINT)) AS cp FROM $from),
+         |${p}f AS (SELECT * EXCLUDE (gh), unnest(gh) AS h FROM (
+         |  SELECT * EXCLUDE (cp), CASE WHEN len(cp) < 3
+         |    THEN [list_reduce(list_concat([CAST(0 AS BIGINT)], cp),
+         |           (a, b) -> (a * 31 + b) % $Mod)]
+         |    ELSE list_transform(range(0, len(cp) - 2),
+         |           i -> ((cp[i+1] * 31 + cp[i+2]) % $Mod * 31 + cp[i+3]) % $Mod)
+         |  END AS gh FROM ${p}cp)),
+         |${p}bk AS (SELECT * EXCLUDE (h), h % $NbBuckets AS b FROM ${p}f)""".stripMargin
+    s"""lidn AS (SELECT doc_id, lang, $sqlNorm AS t
+       |  FROM documents WHERE doc_id % $NbSeedMod = 0),
+       |${featCtes("lid", "lidn")},
+       |lcnt AS (SELECT lang, b, CAST(count(*) AS BIGINT) AS c
+       |  FROM lidbk GROUP BY lang, b),
+       |ltot AS (SELECT lang, CAST(count(*) AS BIGINT) AS tot_l
+       |  FROM lidbk GROUP BY lang),
+       |lnd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM lidn GROUP BY lang),
+       |lnall AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS k_cls FROM lidn),
+       |lobs AS (SELECT DISTINCT b FROM lcnt),
+       |lmdl AS (
+       |  SELECT t.lang, o.b,
+       |    CAST(round(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (t.tot_l + $NbBuckets)), 9)
+       |      AS DECIMAL(19,9)) AS llp
+       |  FROM lobs o CROSS JOIN ltot t
+       |  LEFT JOIN lcnt c ON c.lang = t.lang AND c.b = o.b
+       |  UNION ALL
+       |  SELECT lnd.lang, CAST(-1 AS BIGINT),
+       |    CAST(round(ln(CAST(n_l + 1 AS DOUBLE) / (n_docs + k_cls)), 9)
+       |      AS DECIMAL(19,9))
+       |  FROM lnd CROSS JOIN lnall
+       |  UNION ALL
+       |  SELECT lang, CAST(-2 AS BIGINT),
+       |    CAST(round(ln(CAST(1 AS DOUBLE) / (tot_l + $NbBuckets)), 9)
+       |      AS DECIMAL(19,9))
+       |  FROM ltot),
+       |lscn AS (SELECT doc_id, $sqlNorm AS t FROM documents),
+       |${featCtes("lsx", "lscn")},
+       |lspdb AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
+       |  FROM lsxbk GROUP BY doc_id, b),
+       |lsca AS (SELECT lang,
+       |    max(CASE WHEN b = -1 THEN llp END) AS prior,
+       |    max(CASE WHEN b = -2 THEN llp END) AS c0
+       |  FROM lmdl WHERE b < 0 GROUP BY lang),
+       |lsc AS (SELECT doc_id, lsca.lang, sum(n) AS n_feats,
+       |    min(lsca.prior) + sum(CAST(n AS DECIMAL(9,0)) * coalesce(m.llp, lsca.c0))
+       |      AS s_d
+       |  FROM lspdb
+       |  CROSS JOIN lsca
+       |  LEFT JOIN (SELECT lang, b, llp FROM lmdl WHERE b >= 0) m
+       |    ON m.b = lspdb.b AND m.lang = lsca.lang
+       |  GROUP BY doc_id, lsca.lang),
+       |lverd AS (SELECT doc_id, lang AS lang_pred, n_feats,
+       |    CAST(round(s_d, 6) AS DOUBLE) AS score_r
+       |  FROM (SELECT *, row_number() OVER
+       |      (PARTITION BY doc_id ORDER BY s_d DESC, lang ASC) AS rn FROM lsc)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
   /** x129/x130 shared oracle: the full winnow-pair chain; `where`
     * appends a pair predicate (x130 restricts to pairs touching the
     * incoming slice). */
@@ -1937,6 +2006,76 @@ object ExtensionQueries {
     "x128_token_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(Tables.documents(s, dir))
         .orderBy("doc_id")),
+
+    // trained char-trigram NB language identifier, the MODEL: x117's
+    // machinery generalized to k classes — densified (lang, bucket)
+    // add-one log-likelihoods over the labeled seed slice, per-class
+    // prior (-1) and unseen-default (-2) rows, per-feature llps
+    // rounded→DECIMAL before anything sums them
+    "x131_langid_model" -> ((s, dir) =>
+      TextAnalysis.langIdTrain(
+          Tables.documents(s, dir)
+            .filter(pmod(col("doc_id"), lit(NbSeedMod)) === 0),
+          buckets = NbBuckets)
+        .select(col("lang"), col("b"), col("llp").cast("double").as("llp"))
+        .orderBy("lang", "b")),
+
+    // per (doc × class) NB scores over the WHOLE corpus against the
+    // broadcast seed-trained model: score = prior(l) + Σ n_b·llp(l,b),
+    // exact decimal sum (argmax can never move with agg order)
+    "x132_langid_scores" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val model = TextAnalysis.langIdTrain(
+          d.filter(pmod(col("doc_id"), lit(NbSeedMod)) === 0),
+          buckets = NbBuckets)
+        .persist() // scalars + bucket rows both read it (caller-release)
+      TextAnalysis.langIdScore(d, model, buckets = NbBuckets)
+        .select(col("doc_id"), col("lang"), col("n_feats"),
+          round(col("score_d"), 6).cast("double").as("score_r"))
+        .orderBy("doc_id", "lang")
+    }),
+
+    // argmax verdict: one row per doc, exact-decimal comparison, ties
+    // to the lexicographically smallest lang (a total order both
+    // engines share)
+    "x133_langid_verdict" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val model = TextAnalysis.langIdTrain(
+          d.filter(pmod(col("doc_id"), lit(NbSeedMod)) === 0),
+          buckets = NbBuckets)
+        .persist() // caller-release
+      TextAnalysis.langIdVerdict(
+          TextAnalysis.langIdScore(d, model, buckets = NbBuckets))
+        .orderBy("doc_id")
+    }),
+
+    // trained-vs-heuristic comparison, keyed by TRUE label: per lang,
+    // corpus count, each path's correct count, and their agreement —
+    // the measured answer to "what did training buy over the marker
+    // heuristic" (x04). NOTE the fixture's lang labels are independent
+    // of its (single-vocabulary) text, so the trained model correctly
+    // converges to the class prior — the table validates the MECHANICS
+    // bit-exactly; separation shows on corpora where labels track text
+    // (LangIdSpec's disjoint-vocab fixture)
+    "x134_langid_compare" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val model = TextAnalysis.langIdTrain(
+          d.filter(pmod(col("doc_id"), lit(NbSeedMod)) === 0),
+          buckets = NbBuckets)
+        .persist() // caller-release
+      val nb = TextAnalysis.langIdVerdict(
+          TextAnalysis.langIdScore(d, model, buckets = NbBuckets))
+        .select(col("doc_id"), col("lang_pred").as("pred_nb"))
+      d.select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("pred_heur"))
+        .join(nb, Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred_nb") === col("lang"), 1L).otherwise(0L)).as("nb_correct"),
+          sum(when(col("pred_heur") === col("lang"), 1L).otherwise(0L)).as("heur_correct"),
+          sum(when(col("pred_nb") === col("pred_heur"), 1L).otherwise(0L)).as("agree"))
+        .orderBy("lang")
+    }),
 
     // IR eval harness: recall / MRR / nDCG@10 of the nprobe=1 IVF probe
     // (x16's system) against exact brute-force truth (x10's) — the
@@ -3721,6 +3860,51 @@ object ExtensionQueries {
          |  round(CAST(sum(CASE WHEN ns > tau AND label THEN 1 ELSE 0 END) AS DOUBLE)
          |    / greatest(sum(CASE WHEN label THEN 1 ELSE 0 END), 1), 6) AS recall_r
          |FROM e GROUP BY tau ORDER BY tau""".stripMargin,
+
+    // x131: the k-class langid model — densified (lang, bucket) add-one
+    // log-likelihoods, per-class prior and unseen-default rows
+    "x131_langid_model" ->
+      s"""WITH $sqlLangIdCtes
+         |SELECT lang, CAST(b AS BIGINT) AS b, CAST(llp AS DOUBLE) AS llp
+         |FROM lmdl ORDER BY lang, b""".stripMargin,
+
+    // x132: per doc × class exact-decimal NB scores over the corpus
+    "x132_langid_scores" ->
+      s"""WITH $sqlLangIdCtes
+         |SELECT doc_id, lang, CAST(n_feats AS BIGINT) AS n_feats,
+         |  CAST(round(s_d, 6) AS DOUBLE) AS score_r
+         |FROM lsc ORDER BY doc_id, lang""".stripMargin,
+
+    // x133: the argmax verdict (score desc, lang asc — both engines'
+    // shared total order over exact decimals)
+    "x133_langid_verdict" ->
+      s"""WITH $sqlLangIdCtes
+         |SELECT doc_id, lang_pred, CAST(n_feats AS BIGINT) AS n_feats, score_r
+         |FROM lverd ORDER BY doc_id""".stripMargin,
+
+    // x134: trained-vs-heuristic per true lang — x04's marker-hit CASE
+    // chain replayed inline against the NB verdict
+    "x134_langid_compare" -> {
+      val scoreCols = TextAnalysis.LangMarkers.map { case (lang, _) =>
+        s"len(list_intersect(dw, ${langMarkerSql.toMap.apply(lang)})) AS score_$lang"
+      }.mkString(",\n  ")
+      val caseChain = TextAnalysis.LangMarkers.map { case (lang, _) =>
+        s"WHEN score_$lang = best AND best > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH $sqlLangIdCtes,
+         |hdw AS (SELECT doc_id, lang,
+         |  list_distinct(string_split($sqlNorm, ' ')) AS dw FROM documents),
+         |hsc AS (SELECT doc_id, lang, $scoreCols FROM hdw),
+         |hb AS (SELECT *, greatest(${TextAnalysis.LangMarkers.map(m => s"score_${m._1}").mkString(", ")}) AS best FROM hsc),
+         |hp AS (SELECT doc_id, lang,
+         |  CASE $caseChain ELSE 'und' END AS pred_heur FROM hb)
+         |SELECT hp.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN v.lang_pred = hp.lang THEN 1 ELSE 0 END) AS BIGINT) AS nb_correct,
+         |  CAST(sum(CASE WHEN hp.pred_heur = hp.lang THEN 1 ELSE 0 END) AS BIGINT) AS heur_correct,
+         |  CAST(sum(CASE WHEN v.lang_pred = hp.pred_heur THEN 1 ELSE 0 END) AS BIGINT) AS agree
+         |FROM hp JOIN lverd v USING (doc_id)
+         |GROUP BY hp.lang ORDER BY hp.lang""".stripMargin
+    },
 
     // x116: x07's verified-pair chain + the same hash rank and LIMIT,
     // length context joined from documents

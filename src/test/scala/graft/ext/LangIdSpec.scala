@@ -1,0 +1,122 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Trained char-n-gram NB language identifier: the char-window hash
+  * expression's semantics, model shape (densified k-class rows, reserved
+  * prior/default rows per class), scoring exactness against a
+  * driver-side decimal fold, the argmax tie rule, and determinism. */
+class LangIdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val B = 2039
+
+  // disjoint char-grams per language: 'xx' text never shares a trigram
+  // with 'yy' text, so training docs must classify back perfectly
+  private lazy val seed = Seq(
+    (1L, "aaa bbb aaa", "xx"),
+    (2L, "bbb aaa bbb", "xx"),
+    (3L, "ccc ddd ccc", "yy"),
+    (4L, "ddd ccc ddd", "yy"),
+    (5L, "ccc ddd ddd", "yy")
+  ).toDF("doc_id", "text", "lang")
+
+  private def model = TextAnalysis.langIdTrain(seed, buckets = B)
+
+  test("char_ngram_hashes: window count, degenerate short input, and the rolling recurrence") {
+    val rows = Seq("abcde", "ab", "", "a b").toDF("t")
+      .select(graft.functions.HashExpressions.char_ngram_hashes(col("t"), 3).as("h"))
+      .as[Seq[Long]].collect()
+    val M = graft.functions.HashExpressions.Mod
+    def fold(s: String): Long = s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % M)
+    // 5 codepoints → 3 windows, each the 3-char rolling fold
+    assert(rows(0) === Seq(fold("abc"), fold("bcd"), fold("cde")))
+    // shorter than n → ONE whole-string hash (the shingle degrade rule)
+    assert(rows(1) === Seq(fold("ab")))
+    assert(rows(2) === Seq(0L), "empty string folds to 0")
+    // spaces are codepoints: word-boundary grams exist
+    assert(rows(3) === Seq(fold("a b")))
+  }
+
+  test("model shape: densified buckets × classes; per-class prior and default rows; llp is a log-PROBABILITY (negative)") {
+    val m = model.as[(String, Long, java.math.BigDecimal)].collect()
+    val langs = m.map(_._1).distinct.sorted
+    assert(langs === Seq("xx", "yy"))
+    // reserved rows exist per class
+    for (l <- langs; b <- Seq(-1L, -2L))
+      assert(m.exists(r => r._1 == l && r._2 == b), s"missing ($l, $b)")
+    // densified: every observed bucket appears for EVERY class
+    val obs = m.collect { case (_, b, _) if b >= 0 => b }.distinct
+    for (l <- langs)
+      assert(m.count(r => r._1 == l && r._2 >= 0) === obs.length,
+        s"class $l must carry a row for every observed bucket")
+    // log-likelihoods are strictly negative; priors too (n_l < n + K)
+    assert(m.forall(_._3.doubleValue() < 0))
+    // unbalanced classes: yy (3 docs) has the larger (less negative) prior
+    val pri = m.collect { case (l, -1L, v) => l -> v.doubleValue() }.toMap
+    assert(pri("yy") > pri("xx"))
+  }
+
+  test("scoring: exact decimal fold matches a driver-side replay; training docs classify back; scores exist for every (doc, class)") {
+    val m = model.as[(String, Long, java.math.BigDecimal)].collect()
+    val scored = TextAnalysis.langIdScore(seed, model, buckets = B)
+    assert(scored.count() === 5L * 2, "one score row per doc × class")
+    val verd = TextAnalysis.langIdVerdict(scored)
+      .select(col("doc_id"), col("lang_pred"), col("score_r"))
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r).toMap
+    assert(Seq(1L, 2L).forall(verd(_)._2 == "xx"))
+    assert(Seq(3L, 4L, 5L).forall(verd(_)._2 == "yy"))
+    // replay doc 1's winning score from the collected model
+    val mm = m.map(r => (r._1, r._2) -> r._3).toMap
+    val buckets1 = seed.filter(col("doc_id") === 1L)
+      .select(explode(TextAnalysis.langIdFeatureHashes(col("text"))).as("h"))
+      .select(pmod(col("h"), lit(B.toLong)).as("b"))
+      .as[Long].collect()
+    val expected = mm(("xx", -1L)).add(
+      buckets1.groupBy(identity).map { case (b, occ) =>
+        mm(("xx", b)).multiply(new java.math.BigDecimal(occ.length))
+      }.reduce(_ add _))
+    assert(verd(1L)._3 ===
+      BigDecimal(expected).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("out-of-vocab doc: every class falls back to prior + n·default; the larger class wins (prior + shorter-tail default)") {
+    val out = TextAnalysis.langIdVerdict(
+        TextAnalysis.langIdScore(
+          Seq((9L, "zzz qqq")).toDF("doc_id", "text"), model, buckets = B))
+      .select(col("lang_pred")).as[String].head()
+    // yy has both the larger prior and (more training mass → more
+    // negative default, but prior dominates at 6 features): replay says
+    // the verdict is deterministic — assert it matches a driver fold
+    val m = model.as[(String, Long, java.math.BigDecimal)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val nf = new java.math.BigDecimal(6) // 6 char-3 windows in "zzz qqq"
+    val sx = m(("xx", -1L)).add(m(("xx", -2L)).multiply(nf))
+    val sy = m(("yy", -1L)).add(m(("yy", -2L)).multiply(nf))
+    assert(out === (if (sx.compareTo(sy) > 0) "xx" else "yy"))
+  }
+
+  test("tie rule: byte-identical class stats break to the lexicographically smallest lang") {
+    // two classes with IDENTICAL texts → identical per-bucket counts,
+    // totals, priors → every score ties → 'aa' must win over 'bb'
+    val twin = Seq(
+      (1L, "mmm nnn", "bb"), (2L, "mmm nnn", "aa")
+    ).toDF("doc_id", "text", "lang")
+    val v = TextAnalysis.langIdVerdict(
+        TextAnalysis.langIdScore(
+          Seq((7L, "mmm nnn")).toDF("doc_id", "text"),
+          TextAnalysis.langIdTrain(twin, buckets = B), buckets = B))
+      .select(col("lang_pred")).as[String].head()
+    assert(v === "aa")
+  }
+
+  test("determinism: training twice and scoring under repartition are bit-identical") {
+    val s1 = TextAnalysis.langIdScore(seed, model, buckets = B)
+      .orderBy("doc_id", "lang").collect().toSeq
+    val s2 = TextAnalysis.langIdScore(seed.repartition(7),
+        TextAnalysis.langIdTrain(seed.repartition(3), buckets = B), buckets = B)
+      .orderBy("doc_id", "lang").collect().toSeq
+    assert(s1 === s2)
+  }
+}

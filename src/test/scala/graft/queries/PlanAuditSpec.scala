@@ -657,4 +657,23 @@ class PlanAuditSpec extends SparkSpec {
     // training-side aggs are seed-sized and land on the broadcast side
     assert(!p.contains("exists#"), "no correlated subquery shape")
   }
+
+  test("x133: k-class model reaches the corpus as broadcasts; char-gram hashing is the native expression") {
+    val p = planOf("x133_langid_verdict")
+    // the (lang,b)→llp model and the per-class scalars are both
+    // dimension-sized — neither may drag the corpus feature stream
+    // into a sort-merge join
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (b,lang)→llp model join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-vs-model sort-merge join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // feature extraction is the compiled one-pass expression, not an
+    // interpreted transform-lambda chain
+    assert(p.contains("char_ngram_hashes"),
+      s"char-gram hashing must be the native expression:\n$p")
+    // per-(doc,b) counts and the per-(doc,lang) fold combine map-side
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"feature counts must map-side combine:\n$p")
+  }
 }
