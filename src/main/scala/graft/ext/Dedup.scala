@@ -608,8 +608,10 @@ object Dedup {
    * Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
    * SIGMOD 2003 — the MOSS algorithm): from a doc's positional n-gram
    * hashes, slide a window of `w` consecutive grams and select each
-   * window's minimum hash (ties → RIGHTMOST occurrence, the paper's
-   * robust-winnowing rule); the distinct selected (position, hash)
+   * window's minimum hash (ties → RIGHTMOST occurrence — the paper's
+   * BASE winnowing tie rule; its "robust winnowing" variant instead
+   * prefers the previous window's selection and is NOT what this
+   * implements); the distinct selected (position, hash)
    * pairs are the doc's fingerprints. Guarantee: any shared substring
    * of at least w+n−1 tokens yields at least one shared fingerprint —
    * the principled way to shrink a doc's gram set ~2/(w+1)× while

@@ -587,7 +587,9 @@ object SortedInterUnion {
 
 /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
   * SIGMOD 2003) over a positional gram-hash array: every length-`w`
-  * window's minimum hash with ties to the RIGHTMOST occurrence, each
+  * window's minimum hash with ties to the RIGHTMOST occurrence (the
+  * paper's base winnowing tie rule — not the prefer-previous-selection
+  * "robust winnowing" variant), each
   * distinct selected (position, hash) pair encoded `pos₁ᵦₐₛₑ·2³⁰ + v`
   * (v < 1e9+7 < 2³⁰). Arrays shorter than `w` winnow their single full
   * window.

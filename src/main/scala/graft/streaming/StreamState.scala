@@ -22,4 +22,16 @@ private[streaming] object StreamState {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
+
+  /** True iff `path` exists and has a DIRECT child whose name starts
+    * with `prefix` — the layout probe the streamed ingests use to
+    * fail fast when a flat batch-writer tree sits where a
+    * `batch=<id>`-leveled streamed tree must grow (parquet partition
+    * discovery requires uniform depth; mixing the two corrupts every
+    * subsequent read). */
+  def hasChildWithPrefix(spark: SparkSession, path: String, prefix: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith(prefix))
+  }
 }

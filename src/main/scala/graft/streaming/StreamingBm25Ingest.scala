@@ -30,6 +30,16 @@ import org.apache.spark.sql.{DataFrame, Row}
  * an at-least-once replay rewrites identical rows instead of appending
  * duplicate postings (which would inflate tf/df) and double-counting
  * the stats row (which would corrupt the length normalization).
+ *
+ * Layout note (the [[StreamingIndexIngest]] rule, BM25 edition): a
+ * parquet tree must be uniform-depth, so a streamed BM25 index is
+ * `batch=` levels all the way down — BOOTSTRAP a to-be-streamed index
+ * with `ingestBatch(corpus, -1L, path)`, NOT
+ * [[graft.ext.Retrieval.writeBm25Index]] (which writes the flat
+ * `postings/tb=…` layout for pure-batch indexes). Attaching this stream
+ * over a flat tree would make every subsequent `path/postings` read fail
+ * with conflicting-directory-structure errors; [[ingestBatch]] fails
+ * fast with that instruction instead of corrupting the tree.
  */
 object StreamingBm25Ingest {
 
@@ -56,6 +66,12 @@ object StreamingBm25Ingest {
       idCol: String = "doc_id",
       textCol: String = "text"): Unit =
     if (!batch.isEmpty) {
+      require(
+        !StreamState.hasChildWithPrefix(batch.sparkSession, s"$path/postings", "tb="),
+        s"$path/postings holds a FLAT writeBm25Index layout; a streamed " +
+          "index must be batch=<id>-leveled all the way down (parquet " +
+          "trees are uniform-depth). Bootstrap with " +
+          "ingestBatch(corpus, -1L, path) instead of writeBm25Index.")
       val dedup = batch.groupBy(col(idCol)).agg(min(col(textCol)).as(textCol))
       Retrieval.appendBm25BatchIdempotent(dedup, path, batchId, idCol, textCol)
     }

@@ -23,9 +23,10 @@ import org.apache.spark.sql.{DataFrame, Row}
  *    localCheckpoint BEFORE the overwrite so the job never reads the
  *    files it replaces. A production deployment writes generation dirs
  *    + a pointer swap, as [[graft.ext.IndexMaintenance]] documents).
- *  - `sh`      — (id, sh) sorted shingle-hash arrays, append-only.
- *  - `banded`  — (id, band, band_key) LSH rows, append-only — the
- *    standing candidate-generation index new batches probe.
+ *  - `sh/batch=<id>`     — (id, sh) sorted shingle-hash arrays, one
+ *    OVERWRITE directory per micro-batch.
+ *  - `banded/batch=<id>` — (id, band, band_key) LSH rows, same per-batch
+ *    layout — the standing candidate-generation index new batches probe.
  *
  * Per-batch cost: shingle/band the BATCH only, bucket-join it against
  * the accumulated banded state (the same pruned probe x26 pays), and run
@@ -33,14 +34,17 @@ import org.apache.spark.sql.{DataFrame, Row}
  * corpus.
  *
  * Delivery: `foreachBatch` is at-least-once, so the fold is made
- * IDEMPOTENT — the batch is anti-joined against the stored labels (one
- * column-pruned labels scan with the batch broadcast) so a replayed
- * batch whose labels already committed no-ops, and the writes are
- * ordered appends-first/labels-last so a replay after a partial failure
- * reprocesses the batch against state that at worst holds duplicate
- * sh/banded rows. Duplicate sh/banded rows are benign: candidates are
- * `distinct()`ed and duplicate verified pairs are duplicate CC edges,
- * which merge idempotently.
+ * IDEMPOTENT twice over. (1) The batch is anti-joined against the stored
+ * labels (one column-pruned labels scan with the batch broadcast), so a
+ * replayed batch whose labels already committed no-ops. (2) sh/banded
+ * rows land in per-`batch=<id>` directories with mode("overwrite") — the
+ * [[StreamingIndexIngest]] discipline — so a replay after a crash INSIDE
+ * the fold (between the sh/banded writes and the labels overwrite)
+ * truncates-and-rewrites the same directories instead of appending a
+ * second copy. Duplicated banded rows would NOT be benign there: they
+ * double those docs' bucket postings, which can push a bucket over the
+ * candidate cap and silently drop pairs a full rebuild would keep —
+ * per-batch overwrite makes that crash window unobservable.
  */
 object StreamingClusterIngest {
 
@@ -55,16 +59,17 @@ object StreamingClusterIngest {
       textCol: String = "text"): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        foldBatch(batch, path, threshold, p, idCol, textCol)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(batch, batchId, path, threshold, p, idCol, textCol)
       }
 
   /** One micro-batch's fold into the state dir — public so the replay
-    * case (foreachBatch delivering the same batch twice) is directly
-    * spec-testable: folding an identical batch again must leave the
-    * state bit-identical. */
+    * case (foreachBatch delivering the same (batch, batchId) twice) is
+    * directly spec-testable: folding an identical batch again must leave
+    * the state bit-identical. */
   def foldBatch(
       batch: DataFrame,
+      batchId: Long,
       path: String,
       threshold: Double,
       p: Dedup.MinHashParams = Dedup.MinHashParams(),
@@ -93,11 +98,15 @@ object StreamingClusterIngest {
           if (!dedup.isEmpty) {
             val newSh = dedup.select(col(idCol).as("id"),
               sort_array(Dedup.shingleHashes(col(textCol))).as("sh"))
+            // read back WITHOUT the discovered batch partition column —
+            // state consumers are keyed on content, not arrival epoch
             val (oldLabels, oldSh, oldBanded) =
               if (hasState)
                 (spark.read.parquet(s"$path/labels"),
-                  spark.read.parquet(s"$path/sh"),
-                  spark.read.parquet(s"$path/banded"))
+                  spark.read.parquet(s"$path/sh")
+                    .select(col("id"), col("sh")),
+                  spark.read.parquet(s"$path/banded")
+                    .select(col("id"), col("band"), col("band_key")))
               else
                 (newSh.select(col("id"), col("id").as("component")).limit(0),
                   newSh.limit(0),
@@ -108,12 +117,14 @@ object StreamingClusterIngest {
                 pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
                 dedup.select(col(idCol).as("id")))
               .localCheckpoint(true) // materialize BEFORE overwriting its input
-            // appends first, labels LAST: labels presence is the replay
-            // sentinel above, so it must commit only after the sh/banded
-            // rows it summarizes are durable
-            newSh.write.mode("append").parquet(s"$path/sh")
-            Dedup.bandedFromShingles(newSh, p).write.mode("append")
-              .parquet(s"$path/banded")
+            // per-batch overwrite dirs first, labels LAST: labels
+            // presence is the replay sentinel above, so it must commit
+            // only after the sh/banded rows it summarizes are durable —
+            // and a replay of a half-committed batch rewrites the same
+            // batch=<id> dirs instead of appending a second copy
+            newSh.write.mode("overwrite").parquet(s"$path/sh/batch=$batchId")
+            Dedup.bandedFromShingles(newSh, p).write.mode("overwrite")
+              .parquet(s"$path/banded/batch=$batchId")
             merged.write.mode("overwrite").parquet(s"$path/labels")
             pairs.unpersist(blocking = false)
           }

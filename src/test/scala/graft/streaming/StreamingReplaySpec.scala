@@ -19,26 +19,60 @@ class StreamingReplaySpec extends SparkSpec {
     val batch2 = Seq((10L, b), (11L, b + " tail"), (20L, a + " tails"))
       .toDF("doc_id", "text")
     val path = java.nio.file.Files.createTempDirectory("graft_replay_cc_").toString
-    StreamingClusterIngest.foldBatch(batch1, path, threshold = 0.35)
-    StreamingClusterIngest.foldBatch(batch2, path, threshold = 0.35)
+    StreamingClusterIngest.foldBatch(batch1, 0L, path, threshold = 0.35)
+    StreamingClusterIngest.foldBatch(batch2, 1L, path, threshold = 0.35)
     val labelsOnce = spark.read.parquet(s"$path/labels")
       .as[(Long, Long)].collect().toMap
     val shCountOnce = spark.read.parquet(s"$path/sh").count()
     // the retry: batch2 delivered again after its labels committed
-    StreamingClusterIngest.foldBatch(batch2, path, threshold = 0.35)
+    StreamingClusterIngest.foldBatch(batch2, 1L, path, threshold = 0.35)
     val labelsTwice = spark.read.parquet(s"$path/labels")
       .as[(Long, Long)].collect().toMap
     assert(labelsTwice === labelsOnce, "replay must not change labels")
     assert(labelsTwice.size === labelsOnce.size,
       "replay must not emit duplicate/conflicting label rows")
     assert(spark.read.parquet(s"$path/sh").count() === shCountOnce,
-      "a fully-committed batch replays as a no-op — no duplicate sh appends")
+      "a fully-committed batch replays as a no-op — no duplicate sh rows")
     val full = Components.nearDupClusters(spark,
         batch1.unionByName(batch2), threshold = 0.35)
       .select(col("doc_id"), col("cluster_id"))
       .as[(Long, Long)].collect().toMap
     assert(labelsTwice === full)
     assert(labelsTwice(20L) === labelsTwice(1L), "late near-dup joined cluster A")
+  }
+
+  test("StreamingClusterIngest.foldBatch: crash INSIDE the fold (sh/banded durable, labels not) replays without duplicate banded rows") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta one"
+    val batch1 = Seq((1L, a), (2L, a + " tail")).toDF("doc_id", "text")
+    val batch2 = Seq((10L, a + " tails"), (11L, a + " more tail"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_replay_cc2_").toString
+    StreamingClusterIngest.foldBatch(batch1, 0L, path, threshold = 0.35)
+    // simulate the crash window for batch 1: run the fold fully, then
+    // REVERT labels to the pre-batch generation — leaving batch=1's
+    // sh/banded dirs durable with no label sentinel, exactly the state a
+    // crash between the appends and the labels overwrite leaves behind
+    val labels0 = spark.read.parquet(s"$path/labels").collect().toSeq
+    val schema0 = spark.read.parquet(s"$path/labels").schema
+    StreamingClusterIngest.foldBatch(batch2, 1L, path, threshold = 0.35)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(labels0), schema0)
+      .write.mode("overwrite").parquet(s"$path/labels")
+    val bandedAfterCrash = spark.read.parquet(s"$path/banded").count()
+    // the replay: batch 1 re-delivered — its ids are NOT in labels, so
+    // the fold re-runs; the batch=1 dirs must be rewritten, not doubled
+    StreamingClusterIngest.foldBatch(batch2, 1L, path, threshold = 0.35)
+    assert(spark.read.parquet(s"$path/banded").count() === bandedAfterCrash,
+      "replaying a half-committed batch must overwrite its banded dir — " +
+        "duplicate banded rows double bucket postings and can breach the cap")
+    // and the labels still converge to the full rebuild
+    val labels = spark.read.parquet(s"$path/labels")
+      .as[(Long, Long)].collect().toMap
+    val full = Components.nearDupClusters(spark,
+        batch1.unionByName(batch2), threshold = 0.35)
+      .select(col("doc_id"), col("cluster_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(labels === full)
   }
 
   test("StreamingIndexIngest.ingestBatch: replaying a batchId rewrites, never duplicates (probe rows stay unique)") {
@@ -81,6 +115,18 @@ class StreamingReplaySpec extends SparkSpec {
     assert(probe() === once)
     assert(spark.read.parquet(s"$path/stats")
       .agg(sum("n_docs"), sum("sum_dl")).head() === statsOnce)
+  }
+
+  test("StreamingBm25Ingest.ingestBatch: fails fast on a flat writeBm25Index layout instead of corrupting the tree") {
+    val docs = Seq((1L, "spark join spark"), (2L, "window filter sort"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_bm25_flat_").toString
+    graft.ext.Retrieval.writeBm25Index(docs, path)
+    val e = intercept[IllegalArgumentException] {
+      StreamingBm25Ingest.ingestBatch(docs, 0L, path)
+    }
+    assert(e.getMessage.contains("ingestBatch(corpus, -1L"),
+      "the error must carry the bootstrap instruction")
   }
 
   test("StreamingPrioritySample.foldBatch: replaying a committed batch leaves state and sample identical to batch operator") {
