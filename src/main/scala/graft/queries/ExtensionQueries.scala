@@ -611,7 +611,7 @@ object ExtensionQueries {
   private val EvalK = 10
 
   /** x127 winnowing window (grams per window; guarantee span w+n−1). */
-  private val WinnowW = 4
+  private[queries] val WinnowW = 4
 
   /** x61/x62 literal query-term dimension as a VALUES CTE. */
   private val sqlQueryTermsCte: String =

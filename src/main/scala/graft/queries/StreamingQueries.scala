@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ext.{KMeans, Similarity, TextAnalysis}
 import graft.sources.Tables
-import graft.streaming.{StreamingBm25Ingest, StreamingClusterIngest, StreamingDecontaminate, StreamingDedup, StreamingIndexIngest, StreamingNbScore, StreamingPqIngest, StreamingPrioritySample}
+import graft.streaming.{StreamingBm25Ingest, StreamingClusterIngest, StreamingDecontaminate, StreamingDedup, StreamingIndexIngest, StreamingNbScore, StreamingPqIngest, StreamingPrioritySample, StreamingWinnowIngest}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -293,6 +293,42 @@ object StreamingQueries {
         .orderBy("doc_id")
     }),
 
+    // streaming winnow-fingerprint near-dup ingest
+    // (StreamingWinnowIngest): two micro-batches folded into the stored
+    // (sh, prints) winnow state via the incremental probe — per-batch
+    // overwrite dirs all the way down (no replay sentinel needed; every
+    // table is append-only by batch) — and the accumulated verified
+    // pair set must equal the FULL x129 winnow rebuild over everything
+    // ingested, so the oracle IS x129's chain
+    "x135_stream_winnow_ingest" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq
+      val split = splitPoint(rows.map(_._1))
+      val path = java.nio.file.Files.createTempDirectory("graft_x135_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x135_ck_").toString
+      val input = MemoryStream[(Long, String)]
+      val writer = StreamingWinnowIngest.attach(
+        input.toDF().toDF("doc_id", "text"), path,
+        threshold = ExtensionQueries.NearDupJaccardThreshold,
+        w = ExtensionQueries.WinnowW)
+        .option("checkpointLocation", ckpt)
+      def drain(batch: Seq[(Long, String)]): Unit = {
+        input.addData(batch)
+        val q = writer.trigger(
+          org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination(120000) finally q.stop()
+      }
+      drain(rows.filter(_._1 <= split))
+      drain(rows.filter(_._1 > split))
+      StreamingWinnowIngest.pairs(s, path)
+        .select(col("id_a"), col("id_b"),
+          col("inter").cast("long").as("inter"),
+          col("uni").cast("long").as("uni"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // streaming priority-sample maintenance (StreamingPrioritySample):
     // per-group top-(k+1) prioritized rows are a SUFFICIENT STATISTIC,
     // so two streamed batches folded into state must reproduce batch
@@ -444,5 +480,9 @@ object StreamingQueries {
 
     // the map-side-served scores must equal batch NB scoring over the
     // whole corpus — x118's oracle verbatim
-    "x124_stream_nb_score" -> ExtensionQueries.oracleSql("x118_nb_score"))
+    "x124_stream_nb_score" -> ExtensionQueries.oracleSql("x118_nb_score"),
+
+    // the grown winnow state's accumulated pair set must equal the full
+    // winnow rebuild over everything ingested — x129's chain verbatim
+    "x135_stream_winnow_ingest" -> ExtensionQueries.oracleSql("x129_winnow_neardups"))
 }

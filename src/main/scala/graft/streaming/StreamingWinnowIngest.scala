@@ -1,0 +1,138 @@
+package graft.streaming
+
+import graft.ext.Dedup
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/**
+ * Streaming winnow-fingerprint near-dup ingest — the unbounded
+ * counterpart of [[graft.ext.Dedup.winnowNearDups]], giving the corpus
+ * that standardizes on winnow candidates (the SIGMOD-2003 no-miss
+ * guarantee, vs LSH banding's two-sided probabilism) the same
+ * unbounded-ingest path [[StreamingClusterIngest]] gives MinHash
+ * clusters: each arriving micro-batch is folded against the stored
+ * winnow state with [[graft.ext.Dedup.incrementalWinnowDups]] (only
+ * pairs touching the batch verify), so the accumulated pair set stays
+ * equal to the full [[graft.ext.Dedup.winnowNearDups]] rebuild over
+ * everything ingested — the x100-vs-x20 invariant, winnow edition
+ * (x135 must hash-match x129 over the whole corpus; caps are on
+ * union totals, so drop decisions match the full run exactly as long
+ * as no bucket crosses the cap between epochs — the
+ * [[graft.ext.Dedup.incrementalWinnowDups]] contract).
+ *
+ * State layout under `path/` — per-`batch=<id>` OVERWRITE directories
+ * throughout (the [[StreamingIndexIngest]] discipline):
+ *  - `sh/batch=<id>`     — (id, sh) sorted shingle-hash arrays;
+ *  - `prints/batch=<id>` — (id, v) posted winnow print VALUES (the
+ *    standing candidate index new batches probe — position-stable
+ *    under append, winnowing's operational edge over LSH here);
+ *  - `pairs/batch=<id>`  — (id_a, id_b, inter, uni, jaccard), the
+ *    verified near-dup pairs that epoch discovered.
+ *
+ * Delivery: EXACTLY-ONCE without any replay sentinel — every state
+ * table is append-only BY BATCH, so all three writes are per-batch
+ * overwrites, and the fold reads state EXCLUDING its own `batch=<id>`
+ * partitions (one partition-pruned filter). A replay therefore sees
+ * bit-identical inputs (same state view, same batch), recomputes the
+ * identical three frames, and truncates-and-rewrites the same three
+ * directories — idempotent across every crash window, including the
+ * one between writes. (Compare [[StreamingClusterIngest]], whose
+ * REWRITTEN labels table forces a sentinel ordering instead; pairs
+ * never rewrite, which is what makes the stronger discipline
+ * available here.)
+ *
+ * Cross-batch re-arrivals (same id in two different batches) are
+ * dropped by an anti-join against the accumulated sh ids — one
+ * column-pruned scan with the batch broadcast, mirroring the cluster
+ * ingest's labels guard.
+ *
+ * Per-batch cost: winnow/shingle the BATCH only; probe the
+ * accumulated print postings (bucket-capped via the broadcast
+ * anti-join); verify only batch-touching candidates. Never the
+ * accumulated corpus.
+ */
+object StreamingWinnowIngest {
+
+  /** Attach the winnow-ingest sink; caller starts the writer with its
+    * own checkpoint/trigger options. */
+  def attach(
+      docs: DataFrame,
+      path: String,
+      threshold: Double,
+      w: Int = 4,
+      n: Int = 3,
+      maxBucket: Int = Dedup.DefaultMaxBucket,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(batch, batchId, path, threshold, w, n, maxBucket, idCol, textCol)
+      }
+
+  /** One micro-batch's fold — public so the replay case (foreachBatch
+    * delivering the same (batch, batchId) twice, after any prefix of
+    * the three writes committed) is directly spec-testable: re-folding
+    * must leave all three state tables bit-identical. */
+  def foldBatch(
+      batch: DataFrame,
+      batchId: Long,
+      path: String,
+      threshold: Double,
+      w: Int = 4,
+      n: Int = 3,
+      maxBucket: Int = Dedup.DefaultMaxBucket,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val hasState = StreamState.exists(spark, s"$path/sh")
+      // state view EXCLUDING this batch's own partitions — the replay
+      // key: a crashed attempt's half-committed dirs are invisible to
+      // the recomputation, so the rerun reproduces identical frames
+      def stateView(sub: String, cols: Seq[String]): DataFrame =
+        spark.read.parquet(s"$path/$sub")
+          .filter(col("batch") =!= lit(batchId))
+          .select(cols.map(col): _*)
+      // in-batch id dedup (min text per id — a pure function of batch
+      // contents), as every ingest here
+      val batchDocs = batch.groupBy(col(idCol)).agg(min(col(textCol)).as(textCol))
+      // cross-batch re-arrival guard: ids already in the accumulated
+      // state no-op (column-pruned scan, batch side broadcasts)
+      val dedup =
+        if (hasState)
+          batchDocs.join(
+              stateView("sh", Seq("id")).select(col("id").as(idCol)),
+              Seq(idCol), "left_anti")
+            .persist()
+        else batchDocs.persist()
+      if (!dedup.isEmpty) {
+        val (corpusSh, corpusPrints) =
+          if (hasState)
+            (stateView("sh", Seq("id", "sh")),
+              stateView("prints", Seq("id", "v")))
+          else {
+            val (esh, epr) = Dedup.winnowState(dedup.limit(0), w, n, idCol, textCol)
+            (esh, epr)
+          }
+        val pairs = Dedup.incrementalWinnowDups(corpusSh, corpusPrints,
+          dedup, threshold, w, n, maxBucket, idCol, textCol)
+        val (newSh, newPrints) = Dedup.winnowState(dedup, w, n, idCol, textCol)
+        newSh.write.mode("overwrite").parquet(s"$path/sh/batch=$batchId")
+        newPrints.write.mode("overwrite").parquet(s"$path/prints/batch=$batchId")
+        pairs.write.mode("overwrite").parquet(s"$path/pairs/batch=$batchId")
+        pairs.unpersist(blocking = false)
+      }
+      dedup.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** The accumulated verified pair set — must equal
+    * [[graft.ext.Dedup.winnowNearDups]] over everything ingested
+    * (the invariant x135's oracle checks against x129's chain). */
+  def pairs(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/pairs")
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"), col("jaccard"))
+}

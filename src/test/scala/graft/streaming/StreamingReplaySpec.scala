@@ -117,6 +117,44 @@ class StreamingReplaySpec extends SparkSpec {
       .agg(sum("n_docs"), sum("sum_dl")).head() === statsOnce)
   }
 
+  test("StreamingWinnowIngest.foldBatch: replay after ANY crash window rewrites identical state; pairs equal the full winnow rebuild") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta one"
+    val b = "iota kappa lambda mu nu xi omicron pi rho two"
+    val batch1 = Seq((1L, a), (2L, a + " tail")).toDF("doc_id", "text")
+    val batch2 = Seq((10L, b), (11L, b + " tail"), (20L, a + " tails"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_replay_wn_").toString
+    StreamingWinnowIngest.foldBatch(batch1, 0L, path, threshold = 0.35)
+    StreamingWinnowIngest.foldBatch(batch2, 1L, path, threshold = 0.35)
+    def snap() = (
+      spark.read.parquet(s"$path/sh").orderBy("id", "batch").collect().toSeq,
+      spark.read.parquet(s"$path/prints").orderBy("id", "v", "batch").collect().toSeq,
+      StreamingWinnowIngest.pairs(spark, path)
+        .orderBy("id_a", "id_b").collect().toSeq)
+    val once = snap()
+    // full replay of batch2 (every dir already committed) — sentinel-free
+    // idempotence: the state view excludes batch=1, so the rerun
+    // reproduces and overwrites identical frames
+    StreamingWinnowIngest.foldBatch(batch2, 1L, path, threshold = 0.35)
+    assert(snap() === once, "replaying a committed batch must be bit-identical")
+    // crash window: delete ONLY batch2's pairs dir (as if the fold died
+    // between the prints write and the pairs write), then replay
+    val pairsDir = new java.io.File(s"$path/pairs/batch=1")
+    pairsDir.listFiles().foreach(_.delete()); pairsDir.delete()
+    StreamingWinnowIngest.foldBatch(batch2, 1L, path, threshold = 0.35)
+    assert(snap() === once, "replay after a partial commit must converge")
+    // re-arrival of an already-ingested id in a NEW batch no-ops
+    StreamingWinnowIngest.foldBatch(batch1, 2L, path, threshold = 0.35)
+    assert(snap() === once, "cross-batch re-arrivals must not re-enter state")
+    // the invariant: accumulated pairs == full winnow rebuild
+    val full = graft.ext.Dedup.winnowNearDups(
+        batch1.unionByName(batch2), threshold = 0.35)
+      .select("id_a", "id_b", "inter", "uni", "jaccard")
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(once._3 === full)
+    assert(full.nonEmpty, "fixture must actually produce near-dup pairs")
+  }
+
   test("StreamingBm25Ingest.ingestBatch: fails fast on a flat writeBm25Index layout instead of corrupting the tree") {
     val docs = Seq((1L, "spark join spark"), (2L, "window filter sort"))
       .toDF("doc_id", "text")
