@@ -1146,6 +1146,60 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "adc", "list")
   }
 
+  /**
+   * IVF-PQ serving with an EXACT-RERANK refinement stage — the standard
+   * two-stage production cascade ([[truncatedRerank]]'s shape with ADC
+   * as stage 1): the [[ivfPqTopK]] probe keeps a `k·expand` ADC
+   * shortlist per query (quantized, asymmetric — cheap but lossy), and
+   * stage 2 rescores ONLY those survivors with the exact full-vector
+   * cosine over the stored originals, returning the top k. This buys
+   * back most of the ADC ranking error at the same probe cost: the
+   * extra work is Q·k·expand exact cosines — independent of corpus
+   * size — plus one broadcast-shortlist pass over the full-vector
+   * table (scan-shaped, partition-prunable in a [[writeIvfIndex]]
+   * layout; no corpus shuffle).
+   *
+   * Recall < 1 vs brute force is possible only when a true neighbor's
+   * ADC rank falls outside `k·expand` — tune `expand` by the measured
+   * recall-vs-expand table in PERF.md, as nprobe tunes stage 1.
+   *
+   * @param codes    corpus as (idCol, codes array<long>, list)
+   * @param queries  probe side as (idCol, vecCol, list)
+   * @param fullVecs full-precision vectors (idCol, fullCol) — the
+   *                 rerank space (the original embeddings; query rows
+   *                 are pulled from here by id)
+   * @return (query_id, rank, neighbor_id, cosine, adc, list) — cosine
+   *         descending; `adc` is the stage-1 score for audit
+   */
+  def ivfPqRerankTopK(
+      codes: DataFrame,
+      queries: DataFrame,
+      fullVecs: DataFrame,
+      codebooks: Seq[Seq[KMeans.Centroid]],
+      k: Int,
+      dim: Int,
+      expand: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "qvec",
+      fullCol: String = "embedding"): DataFrame = {
+    val short = ivfPqTopK(codes, queries, codebooks, k * expand, dim, idCol, vecCol)
+      .withColumnRenamed("rank", "adc_rank")
+    val nv = fullVecs.select(col(idCol).as("neighbor_id"), col(fullCol).as("neighbor_vec"))
+    val qv = fullVecs.select(col(idCol).as("query_id"), col(fullCol).as("query_vec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    // shortlist (Q·k·expand rows) broadcasts against the full-vector
+    // scan; query vectors are a dimension-sized second broadcast
+    nv.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(qv.join(
+        broadcast(short.select("query_id").distinct()), Seq("query_id"))),
+        Seq("query_id"))
+      .withColumn("cosine", vec_cosine(col("query_vec"), col("neighbor_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine", "adc", "list")
+  }
+
   /** The buckets [[cosineNearDups]] drops at `maxBucket` — the coverage
     * report for the silent fast-path drop (the embedding analog of
     * [[Dedup.overCapBuckets]]). */

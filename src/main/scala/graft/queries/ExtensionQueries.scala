@@ -63,6 +63,8 @@ object ExtensionQueries {
   private val SemDedupTrainedThreshold = 0.93
   private val DsirBuckets = 1021   // x64 hashed-bigram feature space (PRIME — see Mixture.dsirLogWeights)
   private[queries] val NbBuckets = 2039     // x117 NB feature space (PRIME, same rationale)
+  /** x136 shortlist expansion (stage-1 keeps k·expand ADC candidates). */
+  private[queries] val PqRerankExpand = 4
   private val NbSeedMod = 3L       // x117 labeled-seed slice: doc_id % 3 = 0
   /** x120 threshold sweep over the length-normalized NB score (mean llr
     * per feature — raw scores scale with doc length). */
@@ -1571,6 +1573,33 @@ object ExtensionQueries {
       Similarity.ivfPqTopK(codes, queries, books, k = 3, dim = Dim)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("adc"), col("list"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF-PQ + EXACT-RERANK cascade (x77's two-stage shape with x59's
+    // ADC as stage 1): the k·expand ADC shortlist per query rescored by
+    // exact full-embedding cosine — the refinement that buys back ADC's
+    // quantization error at Q·k·expand extra cosines, corpus-size-
+    // independent. Same queries as x10/x59 so brute vs ADC vs reranked
+    // ranking is directly comparable.
+    "x136_ivfpq_rerank" -> ((s, dir) => {
+      val raw = Tables.embeddings(s, dir)
+      val lists = raw.select(col("vec_id"),
+        Similarity.ivfList(col("embedding"), Similarity.IvfLists, Dim).as("list"))
+      val qvecs = Similarity.quantizeMinMax(raw)
+        .groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("q")))),
+          x => x.getField("q").cast("double")).as("qvec"))
+        .persist() // PqM fits + encode + query side (caller-release)
+      val books = Similarity.pqTrain(qvecs, m = PqM, k = PqK, iters = KmIters, dim = Dim)
+      val codes = Similarity.pqEncode(qvecs, books, dim = Dim)
+        .join(lists, "vec_id").select("vec_id", "codes", "list")
+      val queries = qvecs.filter(col("vec_id") < 5).join(lists, "vec_id")
+      Similarity.ivfPqRerankTopK(codes, queries, raw, books,
+          k = 3, dim = Dim, expand = PqRerankExpand)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cosine"), 6).as("cosine_r"),
+          col("adc"), col("list"))
         .orderBy("query_id", "rank")
     }),
 
@@ -3600,6 +3629,11 @@ object ExtensionQueries {
     // filter switched ON — the oracle for the composed x59 probe
     "x59_ivfpq_topk" -> pqAdcOracleSql(withIvf = true),
 
+    // x136: x59's IVF-ADC chain kept to k·expand, then the exact
+    // full-embedding cosine rerank (x10's fold) over the shortlist
+    "x136_ivfpq_rerank" -> pqAdcOracleSql(withIvf = true,
+      k = 3 * PqRerankExpand, rerankK = Some(3)),
+
     // x108: x59's chain with the tombstone predicate on the candidate
     // side — rebuild equivalence, nothing else changes
     "x108_ivfpq_deletes" ->
@@ -4845,7 +4879,8 @@ object ExtensionQueries {
       withIvf: Boolean,
       queryMax: Int = 5,
       k: Int = 3,
-      deadWhere: String = ""): String = {
+      deadWhere: String = "",
+      rerankK: Option[Int] = None): String = {
       val subDim = Dim / PqM
       def dist(v: String, c: String) =
         s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
@@ -4906,10 +4941,33 @@ object ExtensionQueries {
          |    list_reduce(list_concat([CAST(0 AS DOUBLE)], list(ds ORDER BY s)),
          |      (a, b) -> a + b) AS adc
          |  FROM lutd GROUP BY query_id, neighbor_id$listGrp)
-         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc$listOut FROM (
-         |  SELECT *, row_number() OVER
-         |      (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
-         |  FROM adc)
-         |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+         |${rerankK match {
+            case None =>
+              s"""SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc$listOut FROM (
+                 |  SELECT *, row_number() OVER
+                 |      (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+                 |  FROM adc)
+                 |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+            case Some(kf) =>
+              // stage 2: exact full-embedding cosine over the k-row ADC
+              // shortlist (x10's cosine fold), top-kf by cosine desc
+              s""", sl AS (SELECT query_id, neighbor_id, adc$listOut FROM (
+                 |  SELECT *, row_number() OVER
+                 |      (PARTITION BY query_id ORDER BY adc, neighbor_id) AS arank
+                 |  FROM adc) WHERE arank <= $k),
+                 |cs AS (SELECT sl.*,
+                 |    ${sqlDot("qf.embedding", "nf.embedding")} /
+                 |    (sqrt(${sqlDot("qf.embedding", "qf.embedding")}) *
+                 |     sqrt(${sqlDot("nf.embedding", "nf.embedding")})) AS cosine
+                 |  FROM sl
+                 |  JOIN embeddings qf ON qf.vec_id = sl.query_id
+                 |  JOIN embeddings nf ON nf.vec_id = sl.neighbor_id)
+                 |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+                 |       round(cosine, 6) AS cosine_r, adc$listOut FROM (
+                 |  SELECT *, row_number() OVER
+                 |      (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+                 |  FROM cs)
+                 |WHERE rank <= $kf ORDER BY query_id, rank""".stripMargin
+          }}""".stripMargin
   }
 }

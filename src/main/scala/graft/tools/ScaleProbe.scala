@@ -388,6 +388,50 @@ object ScaleProbe {
       }
     }
 
+    // IVF-PQ exact-rerank recall (x136): fraction of the exact cosine
+    // top-k recovered by (a) the raw ADC ranking (x59 — stage 1 alone)
+    // and (b) the exact-rerank cascade per `expand` — the
+    // recall-vs-expand table that tunes x136's knob the way nprobe
+    // tunes stage 1. Uniform AND clustered corpora (production recall
+    // sits near the clustered row).
+    if (on("pqrerank")) {
+      import spark.implicits._
+      val k = 10
+      def toSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+          .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+      def recallOf(got: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double =
+        exact.map { case (q, ex) =>
+          (got.getOrElse(q, Set.empty) & ex).size.toDouble / ex.size
+        }.sum / exact.size
+      for ((corpus, label) <- Seq((emb, "uniform"), (clusteredCorpus(spark), "clustered"))) {
+        val queriesRaw = corpus.filter(col("vec_id") < 50)
+        val exact = toSets(graft.ext.Similarity.bruteForceTopK(corpus, queriesRaw, k))
+        val qvecs = graft.ext.Similarity.quantizeMinMax(corpus)
+          .groupBy("vec_id")
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("q")))),
+            x => x.getField("q").cast("double")).as("qvec"))
+          .persist()
+        val cents = graft.ext.KMeans.fit(qvecs, k = 16, iters = 3, vecCol = "qvec")
+        val corpusLists = graft.ext.KMeans.assign(qvecs, cents, vecCol = "qvec")
+          .select(col("vec_id"), col("cluster").as("list"))
+        val books = graft.ext.Similarity.pqTrain(qvecs, m = 8, k = 64, iters = 2, dim = 64)
+        val codesL = graft.ext.Similarity.pqEncode(qvecs, books, dim = 64)
+          .join(corpusLists, "vec_id").select("vec_id", "codes", "list")
+        val qs = qvecs.filter(col("vec_id") < 50).select(col("vec_id"), col("qvec"),
+          explode(graft.ext.KMeans.nearestClusters(col("qvec"), cents, 4)).as("list"))
+        val adcOnly = toSets(graft.ext.Similarity.ivfPqTopK(
+          codesL, qs, books, k = k, dim = 64))
+        println(f"pqrerank[$label] adc-only m=8 k=64 nprobe=4 recall@$k=${recallOf(adcOnly, exact)}%6.3f")
+        for (ex <- Seq(1, 2, 4, 8)) {
+          val got = toSets(graft.ext.Similarity.ivfPqRerankTopK(
+            codesL, qs, corpus, books, k = k, dim = 64, expand = ex))
+          println(f"pqrerank[$label] rerank expand=$ex%d recall@$k=${recallOf(got, exact)}%6.3f")
+        }
+        qvecs.unpersist()
+      }
+    }
+
     // Clustered-corpus hard-negative recall: same probe over the recallc
     // corpus (16 deterministic clusters) with labels vec_id % 4 — real
     // embedding clouds cluster, and same-cluster vectors land in the

@@ -658,6 +658,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("exists#"), "no correlated subquery shape")
   }
 
+  test("x136: rerank stage joins the shortlist as a broadcast against the vector scan — no corpus-sized shuffle join") {
+    val p = planOf("x136_ivfpq_rerank")
+    // stage 2's joins are shortlist-sized (Q·k·expand) and
+    // dimension-sized — none may drag the full-vector table into a
+    // sort-merge join or a cartesian
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the exact rerank computes the native cosine once per survivor
+    assert(p.contains("vec_cosine"), s"exact stage must use the native cosine:\n$p")
+  }
+
   test("x133: k-class model reaches the corpus as broadcasts; char-gram hashing is the native expression") {
     val p = planOf("x133_langid_verdict")
     // the (lang,b)→llp model and the per-class scalars are both
