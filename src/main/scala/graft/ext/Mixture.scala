@@ -353,11 +353,11 @@ object Mixture {
         // would forfeit the order-independent exact sum)
         sum(col("n").cast("decimal(9,0)") * col("lr")).as("w_d"))
       .select(col(idCol), col("n_grams"),
-        // display-round in DECIMAL space: a scale-9 exact sum can land
-        // exactly on a …500 half digit (seen at sf1: -0.031518500),
-        // where round(double, 6) diverges across engines; round(decimal)
-        // is half-away-from-zero in both
-        round(col("w_d"), 6).cast("double").as("weight_r"))
+        // display-round in DECIMAL space (QueryHelpers.displayRound —
+        // the shared discipline): a scale-9 exact sum can land exactly
+        // on a …500 half digit (seen at sf1: -0.031518500), where
+        // round(double, 6) diverges across engines
+        graft.queries.QueryHelpers.displayRound(col("w_d"), 6).as("weight_r"))
   }
 
   /**

@@ -134,7 +134,10 @@ object Retrieval {
       .join(broadcast(queries), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col(idCol),
-        round(termScore, 6).cast("decimal(18,6)").as("ts"))
+        // capture the fixed-order double term score into exact decimal
+        // (QueryHelpers.captureDec) so the per-doc sum is
+        // order-independent in both engines
+        graft.queries.QueryHelpers.captureDec(termScore, 6).as("ts"))
       .groupBy("query_id", idCol)
       .agg(sum(col("ts")).as("score_d"), count(lit(1)).as("n_matched"))
     val perDoc =

@@ -393,23 +393,18 @@ object TextAnalysis {
       .crossJoin(broadcast(scalars)) // 1-row (prior, default) scaffold
       .groupBy(col(idCol))
       .agg(sum(col("n")).as("n_feats"),
-        // 9+19+1 = 29 ≤ 38: the product stays DECIMAL in both engines.
-        // The sum then narrows (lossless — |score| < 1e10) so the
-        // prior addition stays within precision 38: at (19,9)+(38,9)
-        // Spark would cap the result at DECIMAL(38,8), silently
-        // rounding scale 9→8 BEFORE the display round (double-rounding
-        // that flips …49x digits); DuckDB wouldn't, and the engines
-        // diverge by one display ulp
-        sum(col("n").cast("decimal(9,0)") * coalesce(col("llr"), col("c0")))
-          .cast("decimal(28,9)").as("sf"),
+        // width-checked exact fold (QueryHelpers.decScoreSum): product
+        // DECIMAL(29,9), sum narrowed losslessly to (28,9) so the prior
+        // addition stays under both engines' precision-38 caps
+        graft.queries.QueryHelpers.decScoreSum(
+          col("n"), coalesce(col("llr"), col("c0"))).as("sf"),
         min(col("prior")).as("prior"))
       .select(col(idCol), col("n_feats"),
-        // display-round in DECIMAL space: a scale-9 exact sum can land
-        // exactly on a …500 half-way digit, where round(double, 6)
-        // diverges across engines (shortest-string HALF_UP vs binary).
-        // round(decimal) is half-away-from-zero in both engines (a
-        // decimal CAST rescale is NOT — DuckDB truncates there)
-        round(col("prior") + col("sf"), 6).cast("double").as("score_r"),
+        // display-round in DECIMAL space (QueryHelpers.displayRound):
+        // a scale-9 exact sum can land exactly on a …500 half digit,
+        // where round(double, 6) diverges across engines
+        graft.queries.QueryHelpers.displayRound(col("prior") + col("sf"), 6)
+          .as("score_r"),
         ((col("prior") + col("sf")) > 0).as("pred"))
   }
 
@@ -529,11 +524,11 @@ object TextAnalysis {
       .join(broadcast(m), Seq("b", "lang"), "left")
       .groupBy(col(idCol), col("lang"))
       .agg(sum(col("n")).as("n_feats"),
-        // 9+19+1 = 29 ≤ 38; the sum narrows losslessly to (28,9) so the
-        // prior addition lands at DECIMAL(29,9) — under both engines'
-        // precision caps (the x118 width discipline)
-        sum(col("n").cast("decimal(9,0)") * coalesce(col("llp"), col("c0")))
-          .cast("decimal(28,9)").as("sf"),
+        // width-checked exact fold (QueryHelpers.decScoreSum — the x118
+        // discipline): prior addition lands at DECIMAL(29,9), under
+        // both engines' precision caps
+        graft.queries.QueryHelpers.decScoreSum(
+          col("n"), coalesce(col("llp"), col("c0"))).as("sf"),
         min(col("prior")).as("prior"))
       .select(col(idCol), col("lang"), col("n_feats"),
         (col("prior") + col("sf")).as("score_d"))
@@ -551,8 +546,9 @@ object TextAnalysis {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col(idCol), col("lang").as("lang_pred"), col("n_feats"),
-        // display-round in DECIMAL space (the r11 display discipline)
-        round(col("score_d"), 6).cast("double").as("score_r"))
+        // display-round in DECIMAL space (QueryHelpers.displayRound)
+        graft.queries.QueryHelpers.displayRound(col("score_d"), 6)
+          .as("score_r"))
   }
 
   /** PII patterns (RE2-safe constructs only — no lookaround/backrefs — so

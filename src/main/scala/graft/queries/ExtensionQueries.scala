@@ -2060,7 +2060,7 @@ object ExtensionQueries {
         .persist() // scalars + bucket rows both read it (caller-release)
       TextAnalysis.langIdScore(d, model, buckets = NbBuckets)
         .select(col("doc_id"), col("lang"), col("n_feats"),
-          round(col("score_d"), 6).cast("double").as("score_r"))
+          QueryHelpers.displayRound(col("score_d"), 6).as("score_r"))
         .orderBy("doc_id", "lang")
     }),
 

@@ -288,13 +288,13 @@ object MetricQueries {
         .select(col("event_id"), col("event_type"),
           unix_millis(col("ts")).as("ts_ms"), col("value"))
         .withColumn("n_60s", count(lit(1)).over(w))
-        // decimal-before-sum inside the window (fixture values are 2-dp
-        // exact): a plain double AVG is accumulation-order-dependent —
-        // the sf1 1.7e-13 artifact — while the decimal window sum is
-        // exact and the single division deterministic
+        // decimal-before-sum inside the window (QueryHelpers.decSumOver;
+        // fixture values are 2-dp exact): a plain double AVG is
+        // accumulation-order-dependent — the sf1 1.7e-13 artifact —
+        // while the decimal window sum is exact and the single division
+        // deterministic
         .withColumn("avg_60s",
-          sum(col("value").cast(Dec)).over(w).cast("double") /
-            count(lit(1)).over(w))
+          QueryHelpers.decSumOver(col("value"), w) / count(lit(1)).over(w))
         .select("event_id", "event_type", "ts_ms", "n_60s", "avg_60s")
         .orderBy("event_id")
     }),

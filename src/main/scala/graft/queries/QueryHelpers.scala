@@ -24,6 +24,56 @@ object QueryHelpers {
   /** Exact mean: decimal sum / count (both deterministic). */
   def decMean(c: Column): Column = decSum(c) / count(c)
 
+  // ---- the cross-engine decimal display discipline (PERF.md "ULP class
+  // CLOSED") as shared helpers, so no query re-introduces the two bug
+  // families by hand:
+  //  1. round(double, n) diverges cross-engine at …500 half digits
+  //     (Spark HALF_UPs the shortest string; DuckDB rounds the binary) —
+  //     display-round DECIMALS in decimal space, where round is
+  //     half-away-from-zero in BOTH engines, then cast once.
+  //  2. Both engines have silent precision-cap behaviors at width 38:
+  //     Spark's ADD drops scale (9→8 double-rounds the display digit);
+  //     DuckDB's MULTIPLY converts to DOUBLE (forfeits exactness). Keep
+  //     intermediate widths structurally below both caps.
+
+  /** Display-round a DECIMAL column: round at `scale` IN DECIMAL SPACE
+    * (half-away-from-zero in both engines — a decimal CAST rescale is
+    * NOT equivalent: DuckDB truncates there), then one correctly-rounded
+    * double conversion. The input must be decimal-typed; handing this a
+    * double re-introduces the round(double, n) half-digit divergence
+    * this helper exists to prevent. Oracle side: `CAST(round(x, n) AS
+    * DOUBLE)` over the same decimal expression. */
+  def displayRound(c: Column, scale: Int): Column =
+    round(c, scale).cast("double")
+
+  /** Capture a deterministic double into exact decimal for
+    * order-independent downstream summation (the x61 postings pattern):
+    * one round + one cast per ROW — agreement needs only that both
+    * engines round the same IEEE double once, which holds when the
+    * source is a fixed-order fold kept away from …500 halves by
+    * construction. Everything AFTER this is exact decimal. */
+  def captureDec(c: Column, scale: Int, precision: Int = 18): Column =
+    round(c, scale).cast(DecimalType(precision, scale))
+
+  /** Width-checked exact score fold `Σ n·v (+ one more (19,9) term by
+    * the caller)` over (count, DECIMAL(19,9)) pairs — the NB/DSIR
+    * scoring shape: the product lands at (9+19+1, 9) = DECIMAL(29,9)
+    * (under DuckDB's 38-width multiply cap), the sum is narrowed
+    * LOSSLESSLY to (28,9) (|Σ| < 1e19 for any realistic feature count ×
+    * log-prob), so the caller's `+ prior` lands at DECIMAL(29,9) —
+    * under Spark's 38-precision add cap. Skipping the narrowing puts
+    * the add at (38,9)+(19,9), where Spark silently rescales to
+    * (38,8) and double-rounds the display digit. */
+  def decScoreSum(n: Column, v: Column): Column =
+    sum(n.cast("decimal(9,0)") * v).cast("decimal(28,9)")
+
+  /** Exact windowed decimal sum of a 2-dp-exact double column (the m26
+    * pattern): a plain double `SUM() OVER w` is accumulation-order-
+    * dependent; the decimal window sum is exact, and the single double
+    * conversion afterward is deterministic. */
+  def decSumOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(c.cast(Dec)).over(w).cast("double")
+
   /** L2-distance fold from an `embedding` column to recurrence centroid
     * `c`, replicated from KMeans.distCol's sequential accumulation (seed
     * 0.0, per-dim (v-c)² in index order). Lives here — not in

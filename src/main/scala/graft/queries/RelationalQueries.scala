@@ -43,11 +43,12 @@ object RelationalQueries {
         decSum(col("l_extendedprice")).as("sum_base_price"),
         sum(disc).cast("double").as("sum_disc_price"),
         // round the scale-6 sum to the 2-dp money display BEFORE the
-        // double cast: at ~4e10 a scale-6 decimal's integer form
-        // exceeds 2^53, where DuckDB's decimal→double (int128 cast then
-        // divide) double-rounds one ulp off Spark's correctly-rounded
-        // BigDecimal conversion; at scale 2 both are single-rounded
-        round(sum(charge), 2).cast("double").as("sum_charge"),
+        // double cast (QueryHelpers.displayRound): at ~4e10 a scale-6
+        // decimal's integer form exceeds 2^53, where DuckDB's
+        // decimal→double (int128 cast then divide) double-rounds one
+        // ulp off Spark's correctly-rounded BigDecimal conversion; at
+        // scale 2 both are single-rounded
+        QueryHelpers.displayRound(sum(charge), 2).as("sum_charge"),
         (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         decMean(col("l_extendedprice")).as("avg_price"),
         count(lit(1)).as("count_order"))

@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** The cross-engine decimal display discipline (PERF.md "ULP class
+  * CLOSED"), pinned as executable behavior so the next query cannot
+  * re-introduce either bug family by hand:
+  *  1. display rounding happens IN DECIMAL SPACE (half-away-from-zero
+  *     in both engines) — round(double, n) diverges at …500 halves;
+  *  2. intermediate decimal widths stay under BOTH engines' silent
+  *     precision-38 caps (Spark ADD drops scale; DuckDB MULTIPLY
+  *     converts to double). */
+class DecimalDisciplineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("displayRound: …500 halves round half-AWAY-FROM-ZERO at every sign (the sf1 x64 case, -0.031518500)") {
+    val rows = Seq("-0.031518500", "0.031518500", "2.500000500", "-2.500000500")
+      .toDF("s")
+      .select(QueryHelpers.displayRound(col("s").cast("decimal(19,9)"), 6).as("r"))
+      .as[Double].collect().toSeq
+    assert(rows === Seq(-0.031519, 0.031519, 2.500001, -2.500001))
+  }
+
+  test("displayRound emits one double from a decimal source (no second rescale)") {
+    val df = Seq("1.25").toDF("s")
+      .select(QueryHelpers.displayRound(col("s").cast("decimal(19,9)"), 6).as("r"))
+    assert(df.schema("r").dataType === DoubleType)
+    assert(df.as[Double].head() === 1.25)
+  }
+
+  test("the hazard displayRound prevents is real: a decimal CAST rescale is round-half-even/truncating, not half-away") {
+    // pin the NON-equivalence that justified the helper: rescaling by
+    // CAST gives HALF_UP in Spark but TRUNCATION in DuckDB (engine
+    // divergence) — so the battery must never display via CAST rescale.
+    // Spark-side we can only pin Spark's half: CAST(…518500 AS (19,6))
+    // HALF_UPs, which happens to agree with round() here, but DuckDB's
+    // cast truncates to …518 — the discipline bans the construct
+    // outright rather than rely on value-by-value luck.
+    val viaRound = Seq("-0.031518500").toDF("s")
+      .select(round(col("s").cast("decimal(19,9)"), 6).cast("double").as("r"))
+      .as[Double].head()
+    assert(viaRound === -0.031519)
+  }
+
+  test("decScoreSum: the narrowed (28,9) sum keeps scale 9 through the caller's prior addition (Spark's 38-cap would drop to scale 8)") {
+    val feats = Seq((1L, 3L, "-1.234567891"), (1L, 2L, "0.000000004"))
+      .toDF("doc", "n", "v")
+      .select(col("doc"), col("n"), col("v").cast("decimal(19,9)").as("v"))
+    val summed = feats.groupBy("doc")
+      .agg(QueryHelpers.decScoreSum(col("n"), col("v")).as("sf"))
+      .select((col("sf") + lit("0.000000001").cast("decimal(19,9)")).as("total"))
+    // (28,9) + (19,9) → DECIMAL(29,9): scale 9 SURVIVES the addition
+    assert(summed.schema("total").dataType === DecimalType(29, 9))
+    assert(summed.select(col("total").cast("string")).as[String].head()
+      === "-3.703703664")
+    // the shape decScoreSum exists to avoid: an un-narrowed (38,9) sum
+    // forces Spark's add to DECIMAL(38,8) — scale silently drops and
+    // the display digit double-rounds
+    val unnarrowed = feats.groupBy("doc")
+      .agg(sum(col("n").cast("decimal(9,0)") * col("v")).as("sf"))
+      .select((col("sf") + lit("0.000000001").cast("decimal(19,9)")).as("total"))
+    assert(unnarrowed.schema("total").dataType === DecimalType(38, 8),
+      "pin the hazard: Spark caps the un-narrowed add by dropping scale")
+  }
+
+  test("captureDec: one round+cast per row, then exact order-independent summation") {
+    val df = (1 to 100).map(i => (i % 7).toDouble / 7.0).toDF("x")
+    val once = df.select(QueryHelpers.captureDec(col("x"), 6).as("t"))
+      .agg(sum("t").cast("string")).as[String].head()
+    val repart = df.repartition(13)
+      .select(QueryHelpers.captureDec(col("x"), 6).as("t"))
+      .agg(sum("t").cast("string")).as[String].head()
+    assert(once === repart, "decimal summation must be partition-order-independent")
+  }
+}
