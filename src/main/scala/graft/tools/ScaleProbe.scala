@@ -432,6 +432,44 @@ object ScaleProbe {
       }
     }
 
+    // x124 harness/operator cost split (the x68 treatment): the battery
+    // row = model train+collect + driver row collect + TWO checkpointed
+    // AvailableNow drains. Time the pieces — (a) train+collect, (b) the
+    // per-batch scoring plan alone over the whole corpus (batch
+    // withScores → noop: map-side, Exchange-free), (c) the full
+    // registered query — per tier; harness = c − a − b. Attributes the
+    // 0.72 tri-scale exponent: if harness dominates and grows with the
+    // collected-row volume while (b) stays near-flat, the exponent is
+    // the harness's, not the operator's.
+    if (on("x124cost")) {
+      import spark.implicits._
+      val B = 2039 // = ExtensionQueries.NbBuckets (private[queries]); same prime
+      def time(f: => Unit): Double =
+        { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+      def med3(f: => Double): Double = { val xs = (1 to 3).map(_ => f).sorted; xs(1) }
+      for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", "/tmp/sf1")
+           if new java.io.File(dir).exists) {
+        val d = graft.sources.Tables.documents(spark, dir)
+        def trainModel() = graft.streaming.StreamingNbScore.collectModel(
+          graft.ext.TextAnalysis.nbQualityTrain(
+            d.filter(pmod(col("doc_id"), lit(3)) === 0),
+            isPositive = col("lang") === "en", buckets = B), B)
+        val model = trainModel() // JIT/plan warm-up
+        val tTrain = med3(time { trainModel() })
+        val tScore = med3(time {
+          graft.streaming.StreamingNbScore
+            .withScores(d.select(col("doc_id"), col("text")), model)
+            .write.format("noop").mode("overwrite").save()
+        })
+        val tFull = med3(time {
+          graft.SparkEntry.queries("x124_stream_nb_score")(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+        })
+        println(f"x124cost[$dir] train=$tTrain%5.2f score=$tScore%5.2f " +
+          f"full=$tFull%5.2f harness=${tFull - tTrain - tScore}%5.2f")
+      }
+    }
+
     // Clustered-corpus hard-negative recall: same probe over the recallc
     // corpus (16 deterministic clusters) with labels vec_id % 4 — real
     // embedding clouds cluster, and same-cluster vectors land in the
