@@ -68,6 +68,55 @@ object Sharding {
       .drop("order_key")
   }
 
+  /**
+   * Seeded deterministic training order — the LAST curation step before
+   * a tokenizer consumes the corpus: a reproducible GLOBAL example
+   * order that survives reruns, retried tasks, and any partition count.
+   *
+   * Three deterministic layers, all pure functions of (id, seed):
+   *  1. seeded hash permutation: `ord = hash(id ++ ":ord:" ++ seed)` —
+   *     changing the seed is a fresh epoch-level reshuffle (the
+   *     standard "shuffle each epoch with the epoch index as seed");
+   *  2. seeded shard assignment: `shard = hash(id ++ ":shard:" ++ seed)
+   *     mod S` ([[assignShards]]' layer, seeded) — hash-uniform file
+   *     sizes, window partitions file-sized by construction;
+   *  3. round-robin shard interleave (the x103 curriculum formula):
+   *     `global_pos = (pos − 1)·S + shard` — a sequential consumer
+   *     alternates shards (so no single source/file dominates any
+   *     training window), while a per-shard worker streaming its file
+   *     in `pos` order reads a subsequence of the same global order.
+   *
+   * `global_pos` is a total order (unique: (pos, shard) is injective
+   * under the formula), with gaps where shorter shards exhaust —
+   * consumers ORDER BY it, never index into it.
+   *
+   * Scale shape: one shuffle (the per-shard window); everything else is
+   * row-local hashing. The order is exactly replayable in the DuckDB
+   * oracle — the portable rolling hash is the permutation.
+   *
+   * @return (idCol, shard, pos, global_pos)
+   */
+  def trainingOrder(
+      docs: DataFrame,
+      seed: Long,
+      numShards: Int = 8,
+      idCol: String = "doc_id"): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val shard = pmod(graft.functions.HashExpressions.rolling_hash(
+      concat(col(idCol).cast("string"), lit(s":shard:$seed"))),
+      lit(numShards.toLong))
+    val orderKey = graft.functions.HashExpressions.rolling_hash(
+      concat(col(idCol).cast("string"), lit(s":ord:$seed")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("order_key"), col(idCol))
+    docs
+      .select(col(idCol), shard.as("shard"), orderKey.as("order_key"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("global_pos",
+        (col("pos") - 1L) * numShards + col("shard"))
+      .drop("order_key")
+  }
+
   /** Materialize the shard layout: the corpus joined to its
     * [[assignShards]] placement and written `partitionBy("shard")` with
     * rows sorted by `pos` INSIDE each shard file — one output file per

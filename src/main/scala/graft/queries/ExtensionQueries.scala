@@ -49,6 +49,7 @@ object ExtensionQueries {
   private[queries] val PqK = 8              // x46 PQ codes per subspace
   private val FluentTopK = 1000    // x50 corpus top-bigram set size
   private val NumShards = 8        // x56 training-shard count
+  private val TrainOrderSeed = 42L // x137 training-order epoch seed
   private[queries] val Bm25K = 10  // x61 results per query (shared: x68 probes the streamed index)
   private val HybridK = 20         // x61/x62 candidate depth fed into fusion
   private val RrfK = 10            // x62 fused results per query
@@ -1602,6 +1603,18 @@ object ExtensionQueries {
           col("adc"), col("list"))
         .orderBy("query_id", "rank")
     }),
+
+    // seeded deterministic training order (ext.Sharding.trainingOrder):
+    // seeded hash permutation × seeded shard assignment × round-robin
+    // interleave — the reproducible global example order a tokenizer
+    // consumes (rerun/retry/partition-count stable; the seed is the
+    // epoch-reshuffle knob). One shuffle (file-sized shard windows);
+    // the portable rolling hash IS the permutation, so the oracle
+    // replays the exact order
+    "x137_training_order" -> ((s, dir) =>
+      Sharding.trainingOrder(Tables.documents(s, dir),
+          seed = TrainOrderSeed, numShards = NumShards)
+        .orderBy("global_pos")),
 
     // corpus pruning end-to-end: near-dup clusters (x20) × quality scores
     // (x03) → per cluster keep the highest-quality doc (ties: lowest id).
@@ -3633,6 +3646,23 @@ object ExtensionQueries {
     // full-embedding cosine rerank (x10's fold) over the shortlist
     "x136_ivfpq_rerank" -> pqAdcOracleSql(withIvf = true,
       k = 3 * PqRerankExpand, rerankK = Some(3)),
+
+    // x137: the seeded training order replayed — two independent
+    // rolling hashes of (id, seed), per-shard rank, round-robin
+    // interleave position
+    "x137_training_order" ->
+      s"""WITH k AS (SELECT doc_id,
+         |    ${sqlStringHash(s"CAST(doc_id AS VARCHAR) || ':shard:$TrainOrderSeed'")}
+         |      % $NumShards AS shard,
+         |    ${sqlStringHash(s"CAST(doc_id AS VARCHAR) || ':ord:$TrainOrderSeed'")}
+         |      AS ord
+         |  FROM documents),
+         |p AS (SELECT doc_id, shard,
+         |    CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+         |  FROM k)
+         |SELECT doc_id, shard, pos,
+         |       (pos - 1) * $NumShards + shard AS global_pos
+         |FROM p ORDER BY global_pos""".stripMargin,
 
     // x108: x59's chain with the tombstone predicate on the candidate
     // side — rebuild equivalence, nothing else changes

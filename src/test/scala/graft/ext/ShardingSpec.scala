@@ -13,6 +13,34 @@ class ShardingSpec extends SparkSpec {
     .map(i => (i.toLong, ("tok " * (i % 7 + 1)).trim, s"src${i % 3}"))
     .toDF("doc_id", "text", "source")
 
+  test("trainingOrder: total order, partition-count-invariant, seed-sensitive, interleave consistent with per-shard streaming") {
+    val t1 = Sharding.trainingOrder(docs, seed = 7L, numShards = S)
+      .orderBy("global_pos").collect().toSeq
+    // every doc exactly once; global_pos is a total order (unique)
+    assert(t1.map(_.getLong(0)).toSet === (1L to 200L).toSet)
+    assert(t1.map(_.getLong(3)).distinct.size === 200)
+    // repartition/partition-count invariance: the order is a pure
+    // function of (id, seed) — reruns and retried tasks see it identical
+    val t2 = Sharding.trainingOrder(docs.repartition(13), seed = 7L, numShards = S)
+      .orderBy("global_pos").collect().toSeq
+    assert(t1 === t2)
+    // a different seed is a genuinely different permutation
+    val t3 = Sharding.trainingOrder(docs, seed = 8L, numShards = S)
+      .orderBy("global_pos").collect().toSeq
+    assert(t3.map(_.getLong(0)) !== t1.map(_.getLong(0)))
+    // interleave consistency: a worker streaming shard s in pos order
+    // reads exactly the global order restricted to shard s
+    for (s <- 0 until S) {
+      val byGlobal = t1.filter(_.getLong(1) == s).map(_.getLong(0))
+      val byPos = t1.filter(_.getLong(1) == s).sortBy(_.getLong(2)).map(_.getLong(0))
+      assert(byGlobal === byPos)
+    }
+    // round-robin: the first S rows of the global order are pos=1 rows
+    // of distinct shards, in shard order (gaps only once shards exhaust)
+    assert(t1.take(S).map(_.getLong(2)).forall(_ == 1L))
+    assert(t1.take(S).map(_.getLong(1)) === (0L until S.toLong))
+  }
+
   test("assignShards: every doc placed once, shards in range, pos contiguous per shard") {
     val out = Sharding.assignShards(docs, numShards = S)
       .select("doc_id", "shard", "n_tokens", "pos", "tok_offset")
