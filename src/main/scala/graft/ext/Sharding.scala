@@ -117,6 +117,62 @@ object Sharding {
       .drop("order_key")
   }
 
+  /**
+   * Multi-epoch training order — [[trainingOrder]] composed with the
+   * per-source epoch plan ([[Mixture.epochPlan]], x78): sources whose
+   * available tokens fall short of their budget share REPEAT for
+   * `epochs` passes, and every (doc, epoch) instance gets its own
+   * seeded permutation slot — the "shuffle each epoch, under-sampled
+   * sources repeated" order a budgeted multi-source training run
+   * actually consumes. The epoch index is hashed INTO the permutation
+   * key, so each epoch is a fresh reshuffle of its documents (no
+   * epoch-to-epoch order correlation — the standard epoch-seed rule).
+   *
+   * Epochs are sequential: consumers ORDER BY (epoch, interleave_pos).
+   * `interleave_pos` is the per-epoch round-robin interleave (gaps
+   * where shards exhaust, as [[trainingOrder]]); it is NOT globally
+   * dense across epochs — a single flat index would need an
+   * epoch-sized window (corpus-sized partition, the scale
+   * anti-pattern), and an ordered consumer never needs one.
+   *
+   * Scale shape: one broadcast of the dimension-sized plan, one
+   * explode (×mean-epochs row growth — the actual training volume),
+   * one shuffle for the (epoch, shard)-sized windows.
+   *
+   * @param epochsBySource (sourceCol, epochs) — [[Mixture.epochPlan]]'s
+   *                       verdict columns
+   * @return (idCol, sourceCol, epoch, shard, pos, interleave_pos)
+   */
+  def epochedTrainingOrder(
+      docs: DataFrame,
+      epochsBySource: DataFrame,
+      seed: Long,
+      numShards: Int = 8,
+      idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val expanded = docs.select(col(idCol), col(sourceCol))
+      .join(broadcast(epochsBySource.select(col(sourceCol), col("epochs"))),
+        Seq(sourceCol))
+      .select(col(idCol), col(sourceCol),
+        explode(sequence(lit(0L), col("epochs") - 1L)).as("epoch"))
+    val key = concat(col(idCol).cast("string"), lit(":e"),
+      col("epoch").cast("string"), lit(s":$seed"))
+    val shard = pmod(graft.functions.HashExpressions.rolling_hash(
+      concat(key, lit(":shard"))), lit(numShards.toLong))
+    val orderKey = graft.functions.HashExpressions.rolling_hash(
+      concat(key, lit(":ord")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch", "shard").orderBy(col("order_key"), col(idCol))
+    expanded
+      .select(col(idCol), col(sourceCol), col("epoch"),
+        shard.as("shard"), orderKey.as("order_key"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("interleave_pos",
+        (col("pos") - 1L) * numShards + col("shard"))
+      .drop("order_key")
+  }
+
   /** Materialize the shard layout: the corpus joined to its
     * [[assignShards]] placement and written `partitionBy("shard")` with
     * rows sorted by `pos` INSIDE each shard file — one output file per

@@ -2270,6 +2270,47 @@ object ExtensionQueries {
         .orderBy("tau")
     }),
 
+    // langid disagreement sample (x116's audit-sheet pattern over the
+    // x134 comparison): a deterministic hash-ranked sample of docs
+    // where the trained and heuristic paths disagree — the human
+    // review sheet that decides which path to trust per slice
+    "x138_langid_disagreements" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val model = TextAnalysis.langIdTrain(
+          d.filter(pmod(col("doc_id"), lit(NbSeedMod)) === 0),
+          buckets = NbBuckets)
+        .persist() // caller-release
+      val nb = TextAnalysis.langIdVerdict(
+          TextAnalysis.langIdScore(d, model, buckets = NbBuckets))
+        .select(col("doc_id"), col("lang_pred").as("pred_nb"), col("score_r"))
+      d.select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("pred_heur"))
+        .join(nb, Seq("doc_id"))
+        .filter(col("pred_nb") =!= col("pred_heur"))
+        .withColumn("audit_key", graft.functions.HashExpressions.rolling_hash(
+          concat(col("doc_id").cast("string"), lit(":lidaudit"))))
+        .orderBy("audit_key", "doc_id").limit(AuditSampleK)
+        .select(col("doc_id"), col("lang"), col("pred_nb"), col("pred_heur"),
+          col("score_r"), col("audit_key"))
+        .orderBy("doc_id")
+    }),
+
+    // multi-epoch training order: x78's per-source epoch plan × x137's
+    // seeded permutation — under-budget sources repeat, every (doc,
+    // epoch) instance gets a fresh epoch-seeded slot; consumers ORDER
+    // BY (epoch, interleave_pos). No epoch-sized window anywhere (the
+    // interleave key is per-epoch round-robin, not globally dense)
+    "x140_epoched_order" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val plan = Mixture.epochPlan(
+        d.select(col("doc_id"), col("source"),
+          wsTokenCount(col("text")).as("n_tokens")),
+        budget = EpochBudget)
+      Sharding.epochedTrainingOrder(d, plan,
+          seed = TrainOrderSeed, numShards = NumShards)
+        .orderBy("epoch", "interleave_pos")
+    }),
+
     "x116_pair_audit_sample" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val pairs = Dedup.minHashNearDups(d, JaccardThreshold, P)
@@ -3945,6 +3986,63 @@ object ExtensionQueries {
       s"""WITH $sqlLangIdCtes
          |SELECT doc_id, lang_pred, CAST(n_feats AS BIGINT) AS n_feats, score_r
          |FROM lverd ORDER BY doc_id""".stripMargin,
+
+    // x138: the disagreement audit sheet — x134's two prediction paths
+    // filtered to mismatches, hash-ranked, LIMIT-ed with the shared
+    // total order, then re-sorted by doc
+    "x138_langid_disagreements" -> {
+      val scoreCols = TextAnalysis.LangMarkers.map { case (lang, _) =>
+        s"len(list_intersect(dw, ${langMarkerSql.toMap.apply(lang)})) AS score_$lang"
+      }.mkString(",\n  ")
+      val caseChain = TextAnalysis.LangMarkers.map { case (lang, _) =>
+        s"WHEN score_$lang = best AND best > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH $sqlLangIdCtes,
+         |hdw AS (SELECT doc_id, lang,
+         |  list_distinct(string_split($sqlNorm, ' ')) AS dw FROM documents),
+         |hsc AS (SELECT doc_id, lang, $scoreCols FROM hdw),
+         |hb AS (SELECT *, greatest(${TextAnalysis.LangMarkers.map(m => s"score_${m._1}").mkString(", ")}) AS best FROM hsc),
+         |hp AS (SELECT doc_id, lang,
+         |  CASE $caseChain ELSE 'und' END AS pred_heur FROM hb),
+         |dis AS (SELECT hp.doc_id, hp.lang, v.lang_pred AS pred_nb,
+         |    hp.pred_heur, v.score_r,
+         |    ${sqlStringHash("CAST(hp.doc_id AS VARCHAR) || ':lidaudit'")} AS audit_key
+         |  FROM hp JOIN lverd v ON v.doc_id = hp.doc_id
+         |  WHERE v.lang_pred <> hp.pred_heur),
+         |top AS (SELECT * FROM dis ORDER BY audit_key, doc_id LIMIT $AuditSampleK)
+         |SELECT doc_id, lang, pred_nb, pred_heur, score_r, audit_key
+         |FROM top ORDER BY doc_id""".stripMargin
+    },
+
+    // x140: the multi-epoch order replayed — x78's integer epoch
+    // arithmetic, range-expanded, the (id, epoch, seed)-keyed hashes,
+    // per-(epoch, shard) rank, round-robin interleave
+    "x140_epoched_order" ->
+      s"""WITH t0 AS (SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
+         |  FROM t0 GROUP BY source),
+         |t AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM t0),
+         |pl AS (SELECT source,
+         |    (($EpochBudget // n_sources) + greatest(avail_tokens, 1) - 1)
+         |      // greatest(avail_tokens, 1) AS epochs
+         |  FROM c CROSS JOIN t),
+         |ex AS (SELECT d.doc_id, d.source, unnest(range(0, pl.epochs)) AS epoch
+         |  FROM (SELECT doc_id, source FROM documents) d
+         |  JOIN pl ON pl.source = d.source),
+         |k AS (SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch,
+         |    ${sqlStringHash(s"CAST(doc_id AS VARCHAR) || ':e' || CAST(epoch AS VARCHAR) || ':$TrainOrderSeed' || ':shard'")}
+         |      % $NumShards AS shard,
+         |    ${sqlStringHash(s"CAST(doc_id AS VARCHAR) || ':e' || CAST(epoch AS VARCHAR) || ':$TrainOrderSeed' || ':ord'")}
+         |      AS ord
+         |  FROM ex),
+         |p AS (SELECT doc_id, source, epoch, shard,
+         |    CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+         |  FROM k)
+         |SELECT doc_id, source, epoch, shard, pos,
+         |       (pos - 1) * $NumShards + shard AS interleave_pos
+         |FROM p ORDER BY epoch, interleave_pos""".stripMargin,
 
     // x134: trained-vs-heuristic per true lang — x04's marker-hit CASE
     // chain replayed inline against the NB verdict

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ext.{KMeans, Similarity, TextAnalysis}
 import graft.sources.Tables
-import graft.streaming.{StreamingBm25Ingest, StreamingClusterIngest, StreamingDecontaminate, StreamingDedup, StreamingIndexIngest, StreamingNbScore, StreamingPqIngest, StreamingPrioritySample, StreamingWinnowIngest}
+import graft.streaming.{StreamingBm25Ingest, StreamingClusterIngest, StreamingDecontaminate, StreamingDedup, StreamingIndexIngest, StreamingLangIdScore, StreamingNbScore, StreamingPqIngest, StreamingPrioritySample, StreamingWinnowIngest}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -360,6 +360,33 @@ object StreamingQueries {
         .orderBy("doc_id")
     }),
 
+    // streaming k-class langid serving (StreamingLangIdScore): the
+    // seed-trained x131 model frozen into literal columns, every
+    // arriving doc classified map-side (K decimal folds + argmax CASE,
+    // no shuffle/state) — the drained sink must equal batch x133 over
+    // the whole corpus bit-for-bit
+    "x139_stream_langid" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+      val model = StreamingLangIdScore.collectModel(
+        TextAnalysis.langIdTrain(
+          d.filter(pmod(col("doc_id"), lit(3)) === 0),
+          buckets = ExtensionQueries.NbBuckets),
+        ExtensionQueries.NbBuckets)
+      val rows = d.select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq
+      val split = splitPoint(rows.map(_._1))
+      val input = MemoryStream[(Long, String)]
+      twoBatchDrain(s, input,
+        rows.filter(_._1 <= split), rows.filter(_._1 > split),
+        (df: DataFrame) => StreamingLangIdScore
+          .withVerdicts(df.toDF("doc_id", "text"), model).writeStream,
+        (ms: MemoryStream[(Long, String)]) => ms.toDF())
+        .select(col("doc_id"), col("lang_pred"), col("n_feats"), col("score_r"))
+        .orderBy("doc_id")
+    }),
+
     "x107_stream_priority_sample" -> ((s, dir) => {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
@@ -484,5 +511,9 @@ object StreamingQueries {
 
     // the grown winnow state's accumulated pair set must equal the full
     // winnow rebuild over everything ingested — x129's chain verbatim
-    "x135_stream_winnow_ingest" -> ExtensionQueries.oracleSql("x129_winnow_neardups"))
+    "x135_stream_winnow_ingest" -> ExtensionQueries.oracleSql("x129_winnow_neardups"),
+
+    // streamed langid serving must equal the batch argmax verdict —
+    // x133's chain verbatim
+    "x139_stream_langid" -> ExtensionQueries.oracleSql("x133_langid_verdict"))
 }

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming k-class language-ID serving — the unbounded counterpart of
+ * [[graft.ext.TextAnalysis.langIdScore]]/[[graft.ext.TextAnalysis.langIdVerdict]],
+ * and [[StreamingNbScore]]'s k-class sibling: classify documents as
+ * they arrive against a FROZEN trained model (x131's output), entirely
+ * map-side. The model is collected once into literal columns (it is
+ * dimension-sized by construction — ≤ (buckets+2)·K rows), so the
+ * serving plan has NO shuffle, no state, and no aggregation: one
+ * staged char-gram pass, K decimal folds, one argmax CASE chain.
+ *
+ * Exactness: the batch scorer sums n_b·llp(l,b) products; this folds
+ * llp(l, bucket) once per feature INSTANCE in array order — exact
+ * DECIMAL sums of the same multiset, so per-class totals are
+ * bit-identical and the argmax (ties to the lexicographically smallest
+ * lang, the shared total order) matches [[graft.ext.TextAnalysis.langIdVerdict]]
+ * verbatim — x133's oracle gates the streamed output. The fold
+ * accumulator is DECIMAL(30,9), the [[StreamingNbScore]] width
+ * discipline (never hits Spark's precision-38 scale-drop).
+ */
+object StreamingLangIdScore {
+
+  /** A trained k-class model frozen into driver-side literals. */
+  final case class LangIdModel(
+      buckets: Int,
+      // per lang (sorted ascending — the tie order): prior, unseen
+      // default, observed-bucket llps
+      classes: Seq[(String, java.math.BigDecimal, java.math.BigDecimal,
+        Seq[(Long, java.math.BigDecimal)])])
+
+  /** Collect a [[graft.ext.TextAnalysis.langIdTrain]] frame (runs the
+    * training job; dimension-sized result). */
+  def collectModel(model: DataFrame, buckets: Int): LangIdModel = {
+    val rows = model.select(col("lang"), col("b"), col("llp"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    val byLang = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    LangIdModel(buckets, byLang.map { case (lang, rs) =>
+      val m = rs.map(r => r._2 -> r._3).toMap
+      (lang, m(-1L), m(-2L),
+        rs.filter(_._2 >= 0).map(r => r._2 -> r._3).sortBy(_._1).toSeq)
+    })
+  }
+
+  /** Append (lang_pred, n_feats, score_r) map-side — streaming-safe;
+    * columns match [[graft.ext.TextAnalysis.langIdVerdict]]. */
+  def withVerdicts(
+      docs: DataFrame,
+      m: LangIdModel,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      ngram: Int = 3): DataFrame = {
+    require(m.classes.nonEmpty, "model must carry at least one class")
+    // stage the char-gram pass ONCE (the x04 staging lesson — K folds
+    // over a nested expression would re-hash the text K times)
+    val staged = docs.withColumn("_fh",
+      graft.ext.TextAnalysis.langIdFeatureHashes(col(textCol), ngram))
+    def scoreOf(prior: java.math.BigDecimal, c0: java.math.BigDecimal,
+        entries: Seq[(Long, java.math.BigDecimal)]): Column = {
+      val perFeature: Column => Column =
+        if (entries.isEmpty) _ => lit(c0)
+        else {
+          val lut = map(entries.flatMap { case (b, l) => Seq(lit(b), lit(l)) }: _*)
+          h => coalesce(element_at(lut, pmod(h, lit(m.buckets.toLong))), lit(c0))
+        }
+      aggregate(col("_fh"), lit(prior).cast("decimal(30,9)"),
+        (acc, h) => (acc + perFeature(h)).cast("decimal(30,9)"))
+    }
+    val scoreCols = m.classes.map { case (lang, prior, c0, entries) =>
+      lang -> scoreOf(prior, c0, entries)
+    }
+    val withScores = staged.withColumns(
+      scoreCols.map { case (lang, c) => s"_s_$lang" -> c }.toMap)
+    val best = scoreCols.map { case (lang, _) => col(s"_s_$lang") }
+      .reduce((a, b) => greatest(a, b))
+    // argmax with ties to the SMALLEST lang (langIdVerdict's total
+    // order): build the CASE chain with ascending langs OUTERMOST, so
+    // the first ascending lang whose score equals the max wins
+    val predChain = scoreCols.map(_._1).reverse
+      .foldLeft(lit(m.classes.last._1)) { (acc, lang) =>
+        when(col(s"_s_$lang") === best, lang).otherwise(acc)
+      }
+    withScores
+      .withColumn("lang_pred", predChain)
+      .withColumn("n_feats", size(col("_fh")).cast("long"))
+      .withColumn("_sb", best)
+      .withColumn("score_r",
+        graft.queries.QueryHelpers.displayRound(col("_sb"), 6))
+      .drop((Seq("_fh", "_sb") ++ m.classes.map(c => s"_s_${c._1}")): _*)
+  }
+}

@@ -111,6 +111,29 @@ class LangIdSpec extends SparkSpec {
     assert(v === "aa")
   }
 
+  test("streaming serving: map-side (no shuffle) and bit-identical to the batch verdict, tie rule included") {
+    val m = graft.streaming.StreamingLangIdScore.collectModel(model, B)
+    val served = graft.streaming.StreamingLangIdScore.withVerdicts(seed, m)
+      .select(col("doc_id"), col("lang_pred"), col("n_feats"), col("score_r"))
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"model serving must be map-side only (no shuffle):\n$plan")
+    val batch = TextAnalysis.langIdVerdict(
+        TextAnalysis.langIdScore(seed, model, buckets = B))
+      .select(col("doc_id"), col("lang_pred"), col("n_feats"), col("score_r"))
+    assert(served.orderBy("doc_id").collect().toSeq ===
+      batch.orderBy("doc_id").collect().toSeq)
+    // tie case: identical class stats → smallest lang, streamed too
+    val twin = Seq((1L, "mmm nnn", "bb"), (2L, "mmm nnn", "aa"))
+      .toDF("doc_id", "text", "lang")
+    val tm = graft.streaming.StreamingLangIdScore.collectModel(
+      TextAnalysis.langIdTrain(twin, buckets = B), B)
+    val v = graft.streaming.StreamingLangIdScore
+      .withVerdicts(Seq((7L, "mmm nnn")).toDF("doc_id", "text"), tm)
+      .select(col("lang_pred")).as[String].head()
+    assert(v === "aa")
+  }
+
   test("determinism: training twice and scoring under repartition are bit-identical") {
     val s1 = TextAnalysis.langIdScore(seed, model, buckets = B)
       .orderBy("doc_id", "lang").collect().toSeq

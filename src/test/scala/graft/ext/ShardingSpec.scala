@@ -41,6 +41,36 @@ class ShardingSpec extends SparkSpec {
     assert(t1.take(S).map(_.getLong(1)) === (0L until S.toLong))
   }
 
+  test("epochedTrainingOrder: plan-proportional repetition, fresh per-epoch permutation, repartition invariance") {
+    // plan: src0 runs 1 epoch, src1 3 epochs, src2 2 epochs
+    val plan = Seq(("src0", 1L), ("src1", 3L), ("src2", 2L))
+      .toDF("source", "epochs")
+    val t1 = Sharding.epochedTrainingOrder(docs, plan, seed = 5L, numShards = S)
+      .orderBy("epoch", "interleave_pos").collect().toSeq
+    // each doc appears exactly its source's epoch count
+    val perDoc = t1.groupBy(_.getLong(0)).view.mapValues(_.size).toMap
+    for (i <- 1 to 200) {
+      val expected = Map("src0" -> 1, "src1" -> 3, "src2" -> 2)(s"src${i % 3}")
+      assert(perDoc(i.toLong) === expected, s"doc $i epoch count")
+    }
+    // (epoch, interleave_pos) is a total order
+    assert(t1.map(r => (r.getLong(2), r.getLong(5))).distinct.size === t1.size)
+    // epoch 1's within-epoch permutation differs from epoch 0's (the
+    // epoch index is hashed into the slot)
+    val e0 = t1.filter(_.getLong(2) == 0).map(_.getLong(0))
+    val e1 = t1.filter(_.getLong(2) == 1).map(_.getLong(0))
+    assert(e1.nonEmpty && e0.intersect(e1).nonEmpty)
+    // if the epoch index were NOT in the hash key, epoch 0's order
+    // restricted to epoch 1's docs would equal epoch 1's order exactly
+    assert(e0.filter(e1.toSet) !== e1,
+      "each epoch must be a fresh reshuffle, not a replay of epoch 0")
+    // repartition invariance
+    val t2 = Sharding.epochedTrainingOrder(docs.repartition(11), plan,
+        seed = 5L, numShards = S)
+      .orderBy("epoch", "interleave_pos").collect().toSeq
+    assert(t1 === t2)
+  }
+
   test("assignShards: every doc placed once, shards in range, pos contiguous per shard") {
     val out = Sharding.assignShards(docs, numShards = S)
       .select("doc_id", "shard", "n_tokens", "pos", "tok_offset")
