@@ -60,12 +60,10 @@ object StreamingLangIdScore {
       graft.ext.TextAnalysis.langIdFeatureHashes(col(textCol), ngram))
     def scoreOf(prior: java.math.BigDecimal, c0: java.math.BigDecimal,
         entries: Seq[(Long, java.math.BigDecimal)]): Column = {
-      val perFeature: Column => Column =
-        if (entries.isEmpty) _ => lit(c0)
-        else {
-          val lut = map(entries.flatMap { case (b, l) => Seq(lit(b), lit(l)) }: _*)
-          h => coalesce(element_at(lut, pmod(h, lit(m.buckets.toLong))), lit(c0))
-        }
+      // O(1) bucket-indexed lookup (StreamingNbScore.bucketLutFn) — the
+      // literal-map form linear-scanned ~2039 keys per feature instance
+      // PER CLASS, which made this serving pass 90 s at sf1
+      val perFeature = StreamingNbScore.bucketLutFn(entries, c0, m.buckets)
       aggregate(col("_fh"), lit(prior).cast("decimal(30,9)"),
         (acc, h) => (acc + perFeature(h)).cast("decimal(30,9)"))
     }

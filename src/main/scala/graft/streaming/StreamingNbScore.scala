@@ -42,6 +42,30 @@ object StreamingNbScore {
       rows.filter(_._1 >= 0).sortBy(_._1).toSeq)
   }
 
+  /** O(1) per-feature model lookup: a bucket-indexed literal ARRAY with
+    * unseen buckets pre-filled with the default, replacing the literal
+    * `map(...)` + `element_at` form. Spark's literal MapData has no hash
+    * index — GetMapValue linear-scans the keys — so the map form costs
+    * O(observed buckets) per feature instance; with buckets = 2039 and
+    * K = 5 classes that made x139's sf1 serving pass 90 s. The array is
+    * constant-folded once to a Literal and each lookup is one index.
+    * Values are identical to the map+coalesce form (defaults occupy the
+    * unobserved positions), so the fold totals stay bit-exact. */
+  private[streaming] def bucketLutFn(
+      entries: Seq[(Long, java.math.BigDecimal)],
+      c0: java.math.BigDecimal,
+      buckets: Int): Column => Column = {
+    // empty-entries model (degenerate empty seed): every bucket takes
+    // the default, so the lookup array drops out of the plan entirely
+    if (entries.isEmpty) { _ => lit(c0) }
+    else {
+      val filled = Array.fill[java.math.BigDecimal](buckets)(c0)
+      entries.foreach { case (b, l) => filled(b.toInt) = l }
+      val lut = array(filled.toSeq.map(l => lit(l).cast("decimal(30,9)")): _*)
+      h => element_at(lut, (pmod(h, lit(buckets.toLong)) + 1).cast("int"))
+    }
+  }
+
   /** Append (n_feats, score_r, pred) map-side — streaming-safe. */
   def withScores(
       docs: DataFrame,
@@ -51,15 +75,7 @@ object StreamingNbScore {
     val feats = concat(
       graft.ext.Dedup.tokenHashes(col(textCol)),
       graft.ext.Dedup.positionalShingleHashes(col(textCol), 2))
-    // empty-entries model (degenerate empty seed): every bucket takes
-    // the default, so the lookup map — whose empty literal would be
-    // type-ambiguous — drops out of the plan entirely
-    val perFeature: Column => Column =
-      if (m.entries.isEmpty) _ => lit(m.c0)
-      else {
-        val lut = map(m.entries.flatMap { case (b, l) => Seq(lit(b), lit(l)) }: _*)
-        h => coalesce(element_at(lut, pmod(h, lit(m.buckets.toLong))), lit(m.c0))
-      }
+    val perFeature = bucketLutFn(m.entries, m.c0, m.buckets)
     val score = aggregate(
       feats,
       lit(m.prior).cast("decimal(30,9)"),
