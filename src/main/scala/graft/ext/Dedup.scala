@@ -610,8 +610,9 @@ object Dedup {
    * hashes, slide a window of `w` consecutive grams and select each
    * window's minimum hash (ties → RIGHTMOST occurrence — the paper's
    * BASE winnowing tie rule; its "robust winnowing" variant instead
-   * prefers the previous window's selection and is NOT what this
-   * implements); the distinct selected (position, hash)
+   * prefers the previous window's selection and is available via
+   * [[winnowCompare]] / `WinnowKeys(_, w, robust = true)`, not used by
+   * the x127/x129 chain); the distinct selected (position, hash)
    * pairs are the doc's fingerprints. Guarantee: any shared substring
    * of at least w+n−1 tokens yields at least one shared fingerprint —
    * the principled way to shrink a doc's gram set ~2/(w+1)× while
@@ -661,6 +662,46 @@ object Dedup {
           .as("density_r"),
         aggregate(col("fps"), lit(0L),
           (acc, x) => acc + x % lit(1073741824L)).as("fp_sum"))
+  }
+
+  /** Base vs ROBUST winnowing, side by side (Schleimer et al. 2003 §4:
+    * robust winnowing breaks min-ties by keeping the previous window's
+    * selection when it is still minimal, re-selecting less often inside
+    * runs of equal hashes — boilerplate-heavy text winnows smaller with
+    * the same w+n−1 shared-substring guarantee). Per doc: both print
+    * counts and the overlap. Both selections come from one staged
+    * gram-hash pass (the x04 staging lesson) through the native deque
+    * expression ([[graft.functions.WinnowKeys]], `robust` flag); both
+    * print arrays are position-ascending by construction, so the
+    * overlap is the O(n) sorted merge ([[graft.functions.SortedInterUnion]]),
+    * not an array_intersect hash build. Row-local throughout —
+    * shuffle-free until the caller aggregates.
+    *
+    * @return (idCol, n_grams, n_windows, n_fp_base, n_fp_robust,
+    *         n_shared, fp_sum_robust)
+    */
+  def winnowCompare(
+      docs: DataFrame,
+      w: Int = 4,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(w >= 1, "window must be at least 1 gram")
+    val staged = docs.select(col(idCol),
+      positionalShingleHashes(col(textCol), n).as("_gh"))
+    val iu = graft.functions.HashExpressions.sorted_inter_union(
+      col("_base"), col("_rob"))
+    staged
+      .select(col(idCol), size(col("_gh")).cast("long").as("n_grams"),
+        (greatest(size(col("_gh")) - w, lit(0)) + 1).cast("long").as("n_windows"),
+        graft.functions.HashExpressions.winnow_keys(col("_gh"), w).as("_base"),
+        graft.functions.HashExpressions.winnow_keys_robust(col("_gh"), w).as("_rob"))
+      .select(col(idCol), col("n_grams"), col("n_windows"),
+        size(col("_base")).cast("long").as("n_fp_base"),
+        size(col("_rob")).cast("long").as("n_fp_robust"),
+        iu.getField("inter").cast("long").as("n_shared"),
+        aggregate(col("_rob"), lit(0L),
+          (acc, x) => acc + x % lit(1073741824L)).as("fp_sum_robust"))
   }
 
   /** Positional n-gram hashes: every window's combine in token-position

@@ -67,6 +67,11 @@ object HashExpressions {
   def winnow_keys(grams: Column, w: Int): Column =
     toColumn(WinnowKeys(toExpression(grams), w))
 
+  /** ROBUST winnowing print selection (prefer-previous tie rule) — see
+    * [[WinnowKeys]]. */
+  def winnow_keys_robust(grams: Column, w: Int): Column =
+    toColumn(WinnowKeys(toExpression(grams), w, robust = true))
+
   /** Rolling hashes of every n-CODEPOINT window of a string — see
     * [[CharNgramHashes]]. */
   def char_ngram_hashes(c: Column, n: Int): Column =
@@ -601,8 +606,20 @@ object SortedInterUnion {
   * windows, and dedup is just "record when the front moves". The
   * higher-order-function formulation this replaces (transform + slice
   * + reverse + array_position per window, all interpreted) measured
-  * 45.9 s at sf0.1 for x127; this is the x80-class native fix. */
-case class WinnowKeys(child: Expression, w: Int) extends UnaryExpression {
+  * 45.9 s at sf0.1 for x127; this is the x80-class native fix.
+  *
+  * `robust = true` switches to the paper's ROBUST winnowing rule: when
+  * a window's minimum TIES, keep the previous window's selection if it
+  * is still a minimal hash of the current window (select nothing new);
+  * otherwise select the rightmost minimal hash. Unique minima behave
+  * identically, so robust prints ⊆ positions visited by base fronts
+  * and the w+n−1 shared-substring guarantee is unchanged — robust just
+  * re-selects less often inside runs of equal hashes, which shrinks
+  * the print set on boilerplate-heavy text. Same O(n) deque pass: the
+  * front still carries (rightmost minimal position, min value); the
+  * retain check is two O(1) probes against the remembered selection. */
+case class WinnowKeys(child: Expression, w: Int, robust: Boolean = false)
+  extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_keys"
 
@@ -615,10 +632,13 @@ case class WinnowKeys(child: Expression, w: Int) extends UnaryExpression {
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    WinnowKeys.select(input.asInstanceOf[ArrayData], w)
+    if (robust) WinnowKeys.selectRobust(input.asInstanceOf[ArrayData], w)
+    else WinnowKeys.select(input.asInstanceOf[ArrayData], w)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowKeys.select($c, $w)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (robust) "selectRobust" else "select"
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowKeys.$fn($c, $w)")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -655,6 +675,50 @@ object WinnowKeys {
         if (front != lastFront) {
           out += (front + 1).toLong * 1073741824L + grams.getLong(front)
           lastFront = front
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** ROBUST winnowing (prefer-previous tie rule): keep the previous
+    * selection whenever it is still a minimal hash of the current
+    * window; otherwise select the rightmost minimal hash and record it.
+    * The deque front already carries exactly (rightmost minimal
+    * position, window min value), so the retain test is two O(1)
+    * probes — same O(n) bound as the base pass. */
+  def selectRobust(grams: ArrayData, w: Int): ArrayData = {
+    val n = grams.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    if (n <= w) {
+      // single full window: no previous selection exists, so robust
+      // degenerates to the base rule (rightmost min)
+      var best = 0
+      var i = 1
+      while (i < n) {
+        if (grams.getLong(i) <= grams.getLong(best)) best = i
+        i += 1
+      }
+      return new GenericArrayData(
+        Array((best + 1).toLong * 1073741824L + grams.getLong(best)))
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Long](n / (w / 2 + 1) + 4)
+    val deque = new Array[Int](n)
+    var head = 0
+    var tail = 0
+    var sel = -1 // previous window's selected position (-1: none yet)
+    var j = 0
+    while (j < n) {
+      val v = grams.getLong(j)
+      while (tail > head && grams.getLong(deque(tail - 1)) >= v) tail -= 1
+      deque(tail) = j; tail += 1
+      while (deque(head) <= j - w) head += 1
+      if (j >= w - 1) {
+        val minv = grams.getLong(deque(head))
+        if (!(sel >= j - w + 1 && grams.getLong(sel) == minv)) {
+          sel = deque(head)
+          out += (sel + 1).toLong * 1073741824L + minv
         }
       }
       j += 1

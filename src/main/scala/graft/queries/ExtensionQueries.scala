@@ -2042,6 +2042,15 @@ object ExtensionQueries {
       Dedup.winnowStats(Tables.documents(s, dir), w = WinnowW)
         .orderBy("doc_id")),
 
+    // base vs ROBUST winnowing (SIGMOD-2003 §4 prefer-previous tie
+    // rule) side by side — the variant the winnow docs cite but the
+    // x127/x129 chain deliberately does NOT use; this sheet measures
+    // what switching would change (robust re-selects less often inside
+    // equal-hash runs, so n_fp_robust ≤ n_fp_base doc by doc)
+    "x141_robust_winnow" -> ((s, dir) =>
+      Dedup.winnowCompare(Tables.documents(s, dir), w = WinnowW)
+        .orderBy("doc_id")),
+
     // Shannon token entropy (nats): H = ln(n) − (1/n)Σ cᵢ·ln cᵢ — the
     // keyword-stuffing detector; exact-decimal inner sum per x64's
     // discipline, two deterministic double ops outside
@@ -3761,6 +3770,79 @@ object ExtensionQueries {
          |    list_transform(fps, x -> x % 1073741824)), (a, b) -> a + b)
          |    AS BIGINT) AS fp_sum
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    // x141: the robust (prefer-previous) selection is SEQUENTIAL — each
+    // window's choice depends on the previous window's — so the replay
+    // is a recursive walk per doc over window end positions, all docs
+    // advancing in lockstep; the base prints reuse x127's window-local
+    // form verbatim
+    "x141_robust_winnow" ->
+      s"""WITH RECURSIVE dn AS (SELECT doc_id, $sqlNorm AS t FROM documents),
+         |dth AS (SELECT doc_id, list_transform(string_split(t, ' '),
+         |    s -> ${sqlStringHash("s")}) AS th FROM dn),
+         |g AS (SELECT doc_id,
+         |    list_transform(range(0, CASE WHEN len(th) < 3 THEN 1
+         |                              ELSE len(th) - 2 END),
+         |      i -> list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |             list_slice(th, i + 1, i + 3)),
+         |           (a, b) -> (a * $C + b) % $Mod)) AS gh FROM dth),
+         |gl AS (SELECT doc_id, gh, CAST(len(gh) AS BIGINT) AS ng FROM g),
+         |bse AS (SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      range(0, greatest(len(gh) - $WinnowW, 0) + 1),
+         |      i -> (i + len(list_slice(gh, i + 1, i + least($WinnowW, len(gh) - i)))
+         |              - list_position(
+         |                  list_reverse(list_slice(gh, i + 1,
+         |                    i + least($WinnowW, len(gh) - i))),
+         |                  list_min(list_slice(gh, i + 1,
+         |                    i + least($WinnowW, len(gh) - i)))) + 1)
+         |           * 1073741824 +
+         |           list_min(list_slice(gh, i + 1,
+         |             i + least($WinnowW, len(gh) - i))))) AS bfps
+         |  FROM gl),
+         |srt AS (SELECT doc_id,
+         |    [CAST(ng - list_position(list_reverse(gh), list_min(gh)) + 1
+         |       AS BIGINT) * 1073741824 + list_min(gh)] AS rfps
+         |  FROM gl WHERE ng <= $WinnowW),
+         |walkr(doc_id, e, sel, fp) AS (
+         |  SELECT doc_id, CAST($WinnowW AS BIGINT),
+         |    CAST($WinnowW - list_position(
+         |        list_reverse(list_slice(gh, 1, $WinnowW)),
+         |        list_min(list_slice(gh, 1, $WinnowW))) + 1 AS BIGINT),
+         |    CAST($WinnowW - list_position(
+         |        list_reverse(list_slice(gh, 1, $WinnowW)),
+         |        list_min(list_slice(gh, 1, $WinnowW))) + 1 AS BIGINT)
+         |      * 1073741824 + list_min(list_slice(gh, 1, $WinnowW))
+         |  FROM gl WHERE ng > $WinnowW
+         |  UNION ALL
+         |  SELECT doc_id, e,
+         |    CASE WHEN sel >= e - $WinnowW + 1 AND gh[CAST(sel AS INT)] = minv
+         |         THEN sel ELSE rm END,
+         |    CASE WHEN sel >= e - $WinnowW + 1 AND gh[CAST(sel AS INT)] = minv
+         |         THEN NULL ELSE rm * 1073741824 + minv END
+         |  FROM (SELECT w.doc_id, w.e + 1 AS e, w.sel, gl.gh,
+         |      list_min(list_slice(gl.gh, w.e + 2 - $WinnowW, w.e + 1)) AS minv,
+         |      CAST(w.e + 1 - list_position(
+         |          list_reverse(list_slice(gl.gh, w.e + 2 - $WinnowW, w.e + 1)),
+         |          list_min(list_slice(gl.gh, w.e + 2 - $WinnowW, w.e + 1))) + 1
+         |        AS BIGINT) AS rm
+         |    FROM walkr w JOIN gl ON gl.doc_id = w.doc_id AND w.e < gl.ng)),
+         |rlong AS (SELECT doc_id, list(fp ORDER BY fp) AS rfps
+         |  FROM walkr WHERE fp IS NOT NULL GROUP BY doc_id),
+         |r AS (SELECT * FROM srt UNION ALL SELECT * FROM rlong),
+         |j AS (SELECT gl.doc_id, gl.ng AS n_grams,
+         |    CAST(greatest(gl.ng - $WinnowW, 0) + 1 AS BIGINT) AS n_windows,
+         |    b.bfps, r.rfps
+         |  FROM gl JOIN bse b ON b.doc_id = gl.doc_id
+         |  JOIN r ON r.doc_id = gl.doc_id)
+         |SELECT doc_id, n_grams, n_windows,
+         |  CAST(len(bfps) AS BIGINT) AS n_fp_base,
+         |  CAST(len(rfps) AS BIGINT) AS n_fp_robust,
+         |  CAST(len(list_intersect(bfps, rfps)) AS BIGINT) AS n_shared,
+         |  CAST(list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |      list_transform(rfps, x -> x % 1073741824)),
+         |    (a, b) -> a + b) AS BIGINT) AS fp_sum_robust
+         |FROM j ORDER BY doc_id""".stripMargin,
 
     // x128: per-doc token counts, cᵢ·round(ln cᵢ, 9) decimal inner sum,
     // ln(n) − sc/n as the same two double ops

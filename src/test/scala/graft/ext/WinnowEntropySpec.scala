@@ -44,6 +44,76 @@ class WinnowEntropySpec extends SparkSpec {
       "a shared span of w+n-1 tokens must share at least one fingerprint value")
   }
 
+  /** Robust winnowing replayed per doc via a Scala fold — prefer the
+    * previous selection when it is still a minimal hash of the window;
+    * otherwise rightmost min. */
+  private def robustValues(grams: Seq[Long], w: Int): Seq[(Int, Long)] =
+    if (grams.length <= w) {
+      val m = grams.min
+      Seq((grams.lastIndexOf(m) + 1, m))
+    } else {
+      var sel = -1
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+      for (e <- w to grams.length) { // window covers 0-based [e-w, e-1]
+        val sl = grams.slice(e - w, e)
+        val m = sl.min
+        if (!(sel >= e - w && grams(sel) == m)) {
+          sel = e - w + sl.lastIndexOf(m)
+          out += ((sel + 1, m))
+        }
+      }
+      out.toSeq
+    }
+
+  test("winnowCompare: robust selection matches an independent driver fold; unique minima make both rules agree") {
+    val docs = Seq(
+      (1L, "one two alpha beta gamma delta epsilon zeta three four five six seven"),
+      (2L, "nine ten eleven twelve alpha beta gamma delta epsilon zeta thirteen"),
+      (3L, "just two")
+    ).toDF("doc_id", "text")
+    val out = Dedup.winnowCompare(docs, w = 4, n = 3)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val grams = docs.select(col("doc_id"),
+        Dedup.positionalShingleHashes(col("text"), 3).as("g"))
+      .as[(Long, Seq[Long])].collect().toMap
+    for (id <- Seq(1L, 2L, 3L)) {
+      val rv = robustValues(grams(id), 4)
+      assert(out(id)._5 === rv.size.toLong, s"n_fp_robust mismatch for doc $id")
+      assert(out(id)._7 === rv.map(_._2).sum, s"fp_sum_robust mismatch for doc $id")
+      // distinct-token text has (near-)unique gram hashes: when every
+      // window's min is unique the two rules select identically
+      val bv = winnowValues(grams(id), 4)
+      if (grams(id).distinct.size == grams(id).size) {
+        assert(out(id)._4 === out(id)._5 && out(id)._6 === out(id)._5,
+          s"unique-minima doc $id must agree across rules")
+        assert(bv === rv.toSet, s"selection sets must match for doc $id")
+      }
+      assert(out(id)._6 <= math.min(out(id)._4, out(id)._5))
+    }
+  }
+
+  test("winnowCompare: an equal-hash run re-selects every window under the base rule but every w-th under robust") {
+    // one token repeated: every trigram hash is identical, so every
+    // window min ties across all w positions
+    val reps = 20
+    val docs = Seq((1L, Seq.fill(reps)("echo").mkString(" ")))
+      .toDF("doc_id", "text")
+    val w = 4
+    val out = Dedup.winnowCompare(docs, w = w, n = 3)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    val nGrams = reps - 2
+    val nWindows = nGrams - w + 1
+    assert(out._2 === nGrams.toLong && out._3 === nWindows.toLong)
+    // base: rightmost-min moves to the new position every window
+    assert(out._4 === nWindows.toLong)
+    // robust: the selection only falls out of the window every w steps
+    // (selections at window ends w, 2w, 3w, ... -> floor(nGrams / w))
+    assert(out._5 === (nGrams / w).toLong,
+      s"robust print count ${out._5} != nGrams/w")
+    assert(out._5 < out._4, "robust must re-select less often on ties")
+  }
+
   test("winnowStats: short doc (fewer grams than the window) winnows its single full window") {
     val out = Dedup.winnowStats(Seq((1L, "just two")).toDF("doc_id", "text"),
         w = 4, n = 3)

@@ -632,6 +632,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"the per-doc report is join-free:\n$p")
   }
 
+  test("x141: both winnow selections are native expressions over ONE staged gram pass; join-free") {
+    val p = planOf("x141_robust_winnow")
+    assert(p.contains("winnow_keys"),
+      s"selections must be the codegen'd WinnowKeys expression:\n$p")
+    // one shingle_hashes occurrence feeding both rules — re-hashing the
+    // text per rule would double the dominant scan cost
+    val stagedOnce = "shingle_hashes".r.findAllIn(p).size
+    assert(stagedOnce <= 2, // project + one re-reference in explain text
+      s"the gram pass must be staged once, found $stagedOnce:\n$p")
+    assert(!p.contains("Join"), s"the per-doc report is join-free:\n$p")
+  }
+
   test("x129: winnow pair join buckets on print values with the broadcast over-cap screen; no cartesian") {
     val p = planOf("x129_winnow_neardups")
     assert(p.contains("winnow_keys"), s"native selection expected:\n$p")
