@@ -64,6 +64,7 @@ object ExtensionQueries {
   private val SemDedupTrainedThreshold = 0.93
   private val DsirBuckets = 1021   // x64 hashed-bigram feature space (PRIME — see Mixture.dsirLogWeights)
   private[queries] val NbBuckets = 2039     // x117 NB feature space (PRIME, same rationale)
+  private[queries] val SrcQuotaTokens = 400L // x142 per-source token quota (bites at every tier)
   /** x136 shortlist expansion (stage-1 keeps k·expand ADC candidates). */
   private[queries] val PqRerankExpand = 4
   private val NbSeedMod = 3L       // x117 labeled-seed slice: doc_id % 3 = 0

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ext.{KMeans, Similarity, TextAnalysis}
 import graft.sources.Tables
-import graft.streaming.{StreamingBm25Ingest, StreamingClusterIngest, StreamingDecontaminate, StreamingDedup, StreamingIndexIngest, StreamingLangIdScore, StreamingNbScore, StreamingPqIngest, StreamingPrioritySample, StreamingWinnowIngest}
+import graft.streaming.{StreamingBm25Ingest, StreamingBudgetAdmission, StreamingClusterIngest, StreamingDecontaminate, StreamingDedup, StreamingIndexIngest, StreamingLangIdScore, StreamingNbScore, StreamingPqIngest, StreamingPrioritySample, StreamingWinnowIngest}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -413,6 +413,41 @@ object StreamingQueries {
       drain(rows.filter(_._1 > splitId))
       StreamingPrioritySample.result(s, path, k = ExtensionQueries.PrioSampleK)
         .orderBy("doc_id")
+    }),
+
+    // streaming per-source token-quota admission
+    // (StreamingBudgetAdmission): docs admitted while their source's
+    // inclusive running token total fits the quota — the x58 head
+    // semantics per source; the drained verdicts must equal one batch
+    // window pass over the whole corpus in arrival (= doc_id) order
+    "x142_stream_budget_admission" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(org.apache.spark.sql.functions.split(
+            trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        .as[(Long, String, Long)].collect().toSeq
+      val splitId = splitPoint(rows.map(_._1))
+      val path = java.nio.file.Files.createTempDirectory("graft_x142_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x142_ck_").toString
+      val input = MemoryStream[(Long, String, Long)]
+      val writer = StreamingBudgetAdmission.attach(
+        input.toDF().toDF("doc_id", "source", "n_tokens"), path,
+        quota = ExtensionQueries.SrcQuotaTokens)
+        .option("checkpointLocation", ckpt)
+      def drain(batch: Seq[(Long, String, Long)]): Unit = {
+        input.addData(batch)
+        val q = writer.trigger(
+          org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination(120000) finally q.stop()
+      }
+      drain(rows.filter(_._1 <= splitId))
+      drain(rows.filter(_._1 > splitId))
+      StreamingBudgetAdmission.verdicts(s, path)
+        .select(col("id").as("doc_id"), col("group").as("source"),
+          col("tokens").as("n_tokens"), col("src_cum"), col("admitted"))
+        .orderBy("doc_id")
     }))
 
   /** The x15 deterministic-recurrence centroids as KMeans.Centroid
@@ -435,6 +470,22 @@ object StreamingQueries {
          |  FROM documents)
          |SELECT fp, CAST(min(doc_id) AS BIGINT) AS keep_id
          |FROM n GROUP BY fp ORDER BY keep_id""".stripMargin,
+
+    // x142: admission is a pure function of the per-source inclusive
+    // running token sum in arrival (= doc_id) order, so the streamed
+    // verdicts replay as one window pass
+    "x142_stream_budget_admission" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+         |      AS BIGINT) AS src_cum
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, src_cum,
+         |       src_cum <= ${ExtensionQueries.SrcQuotaTokens} AS admitted
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // x92: x82's diff SQL restricted to rows the stream can see (the
     // arriving NEW snapshot) — 'removed' rows are the batch diff's alone

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/**
+ * Streaming per-source token-quota admission — the quota gate a
+ * continuously-ingesting curation pipeline puts in front of everything
+ * else: every arriving document is admitted iff its source's INCLUSIVE
+ * running token total (in arrival order) is still within the source's
+ * quota, the per-source head semantics of the batch token-budget cut
+ * (ext.Sharding.tokenBudgetCut / x58). Because admission is a pure
+ * function of the per-source running sum, the streamed verdicts over
+ * ordered batches equal one batch window pass over everything ingested
+ * — that replay IS the x142 oracle.
+ *
+ * State layout under `path/` — per-`batch=<id>` OVERWRITE directories
+ * (the [[StreamingWinnowIngest]] discipline, exactly-once without a
+ * replay sentinel):
+ *  - `verdicts/batch=<id>` — (id, group, tokens, src_cum, admitted)
+ *    per arriving doc, append-only by batch;
+ *  - `totals/batch=<id>`   — the per-source cumulative totals AFTER
+ *    that batch (dimension-sized: one row per source ever seen).
+ *
+ * A fold reads ONLY (a) the latest prior `totals` partition
+ * (dimension-sized) and (b) the accumulated verdict ids for the
+ * re-arrival guard (column-pruned id scan, batch side broadcast) —
+ * never the accumulated corpus. Replay of (batch, batchId) after any
+ * crash window recomputes identical frames from a state view that
+ * excludes its own partitions and truncates-and-rewrites the same two
+ * directories.
+ *
+ * The within-batch prefix sum is a per-source window over ONE
+ * micro-batch (bounded by construction); a deployment with huge
+ * batches and a hot source would swap in the two-phase partial-sum
+ * layout of ext.Positional.withGlobalRunningSum keyed by source, but
+ * at micro-batch sizes the plain window is the right plan.
+ */
+object StreamingBudgetAdmission {
+
+  /** Attach the admission sink over a stream carrying (idCol, groupCol,
+    * tokCol). Caller starts the writer with its own checkpoint/trigger
+    * options; read the accumulated verdicts with [[verdicts]]. */
+  def attach(
+      docs: DataFrame,
+      path: String,
+      quota: Long,
+      idCol: String = "doc_id",
+      groupCol: String = "source",
+      tokCol: String = "n_tokens"): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(batch, batchId, path, quota, idCol, groupCol, tokCol)
+      }
+
+  /** One micro-batch's fold — public so the replay case (foreachBatch
+    * delivering the same (batch, batchId) twice, after any prefix of
+    * the two writes committed) is directly spec-testable: re-folding
+    * must leave both state tables bit-identical. */
+  def foldBatch(
+      batch: DataFrame,
+      batchId: Long,
+      path: String,
+      quota: Long,
+      idCol: String = "doc_id",
+      groupCol: String = "source",
+      tokCol: String = "n_tokens"): Unit = {
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val hasState = StreamState.exists(spark, s"$path/verdicts")
+      def stateView(sub: String, cols: Seq[String]): DataFrame =
+        spark.read.parquet(s"$path/$sub")
+          .filter(col("batch") =!= lit(batchId))
+          .select(cols.map(col): _*)
+      // in-batch id dedup (pure function of batch contents), then the
+      // cross-batch re-arrival guard: a doc id that already holds a
+      // verdict no-ops — a quota gate must never double-charge a replay
+      val batchDocs = batch.groupBy(col(idCol))
+        .agg(min(col(groupCol)).as(groupCol), min(col(tokCol)).as(tokCol))
+      val dedup =
+        if (hasState)
+          batchDocs.join(
+              stateView("verdicts", Seq("id")).select(col("id").as(idCol)),
+              Seq(idCol), "left_anti")
+            .persist()
+        else batchDocs.persist()
+      if (!dedup.isEmpty) {
+        // latest PRIOR totals partition: dimension-sized (one row per
+        // source); the max-batch probe is a control-plane scalar over
+        // that dimension-sized table, not a corpus scan
+        val priors: DataFrame =
+          if (hasState && StreamState.exists(spark, s"$path/totals")) {
+            val t = spark.read.parquet(s"$path/totals")
+              .filter(col("batch") =!= lit(batchId))
+            // partition discovery infers batch= as INT when ids are
+            // small — go through cast("long") for the scalar probe
+            val mx = t.agg(max(col("batch").cast("long"))).head()
+            if (mx.isNullAt(0)) null
+            else t.filter(col("batch").cast("long") === lit(mx.getLong(0)))
+              .select(col("group"), col("total"))
+          } else null
+        val w = Window.partitionBy(groupCol).orderBy(idCol)
+        val withPrior =
+          if (priors == null) dedup.withColumn("_prior", lit(0L))
+          else dedup.join(broadcast(priors.withColumnRenamed("group", groupCol)),
+              Seq(groupCol), "left")
+            .withColumn("_prior", coalesce(col("total"), lit(0L)))
+            .drop("total")
+        val verd = withPrior
+          .withColumn("src_cum", (col("_prior") + sum(col(tokCol)).over(w)).cast("long"))
+          .withColumn("admitted", col("src_cum") <= lit(quota))
+          .select(col(idCol).as("id"), col(groupCol).as("group"),
+            col(tokCol).cast("long").as("tokens"),
+            col("src_cum"), col("admitted"))
+          .localCheckpoint(true)
+        // totals AFTER this batch: prior rows merged with this batch's
+        // per-source inclusive maxima (sources absent from the batch
+        // carry forward)
+        val batchTot = verd.groupBy(col("group"))
+          .agg(max(col("src_cum")).as("total"))
+        val totals =
+          if (priors == null) batchTot
+          else batchTot.unionByName(
+            priors.join(batchTot.select("group"), Seq("group"), "left_anti"))
+        verd.write.mode("overwrite").parquet(s"$path/verdicts/batch=$batchId")
+        totals.write.mode("overwrite").parquet(s"$path/totals/batch=$batchId")
+      }
+      dedup.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** The accumulated per-doc admission verdicts — must equal one batch
+    * per-source running-sum pass over everything ingested in arrival
+    * order (the x142 oracle's window replay). */
+  def verdicts(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/verdicts")
+      .select(col("id"), col("group"), col("tokens"),
+        col("src_cum"), col("admitted"))
+}

@@ -193,4 +193,48 @@ class StreamingReplaySpec extends SparkSpec {
       .orderBy("source", "doc_id").collect().toSeq
     assert(streamed === batch)
   }
+
+  test("StreamingBudgetAdmission.foldBatch: replay never double-charges a quota; verdicts equal the batch window replay") {
+    val mk = (ids: Seq[Long]) =>
+      ids.map(i => (i, if (i % 2 == 0) "web" else "book", 5L + i % 7))
+        .toDF("doc_id", "source", "n_tokens")
+    val batch1 = mk(1L to 40L)
+    val batch2 = mk(41L to 80L)
+    val quota = 150L
+    val path = java.nio.file.Files.createTempDirectory("graft_replay_ba_").toString
+    StreamingBudgetAdmission.foldBatch(batch1, 0L, path, quota)
+    StreamingBudgetAdmission.foldBatch(batch2, 1L, path, quota)
+    val verdOnce = StreamingBudgetAdmission.verdicts(spark, path)
+      .orderBy("id").collect().toSeq
+    val totalsOnce = spark.read.parquet(s"$path/totals")
+      .orderBy("batch", "group").collect().toSeq
+    // the retry: batch2 delivered again after both writes committed —
+    // the re-arrival guard must no-op (a doc must never be charged or
+    // admitted twice)
+    StreamingBudgetAdmission.foldBatch(batch2, 1L, path, quota)
+    assert(StreamingBudgetAdmission.verdicts(spark, path)
+      .orderBy("id").collect().toSeq === verdOnce)
+    assert(spark.read.parquet(s"$path/totals")
+      .orderBy("batch", "group").collect().toSeq === totalsOnce)
+    // crash window: verdicts/batch=1 committed but totals/batch=1 not —
+    // the replay must rebuild the identical state, not double it
+    val fs = new java.io.File(s"$path/totals/batch=1")
+    fs.listFiles().foreach(_.delete()); fs.delete()
+    StreamingBudgetAdmission.foldBatch(batch2, 1L, path, quota)
+    assert(StreamingBudgetAdmission.verdicts(spark, path)
+      .orderBy("id").collect().toSeq === verdOnce)
+    assert(spark.read.parquet(s"$path/totals")
+      .orderBy("batch", "group").collect().toSeq === totalsOnce)
+    // and the streamed verdicts equal one batch window pass over all
+    // ingested rows in arrival order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val batchRef = batch1.unionByName(batch2)
+      .withColumn("src_cum", sum(col("n_tokens")).over(w).cast("long"))
+      .withColumn("admitted", col("src_cum") <= quota)
+      .select(col("doc_id").as("id"), col("source").as("group"),
+        col("n_tokens").as("tokens"), col("src_cum"), col("admitted"))
+      .orderBy("id").collect().toSeq
+    assert(verdOnce === batchRef)
+  }
 }
