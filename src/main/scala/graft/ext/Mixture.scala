@@ -316,6 +316,65 @@ object Mixture {
               (target - spent) * lit(M))).as("kept"))
   }
 
+  /**
+   * Highest-quality token-budget head — "train on the best `budget`
+   * tokens": admit documents in (score DESC, id ASC) order while the
+   * inclusive global running TOKEN total still fits. The
+   * budget-in-tokens sibling of [[selectByImportance]]'s
+   * budget-in-docs cut, and the quality-ordered sibling of
+   * ext.Sharding.tokenBudgetCut's shuffle-ordered head.
+   *
+   * Scale shape — no corpus-sized window anywhere: a score-grid token
+   * histogram (map-side combined; cardinality bounded by the rounded
+   * score GRID) carries the cumulative tokens-above per tier and
+   * broadcasts back, so every tier that fits wholly under (or starts
+   * past) the budget decides row-locally. Only the ONE frontier tier —
+   * the tier the budget lands inside — runs an exact running sum, via
+   * ext.Positional.withGlobalRunningSum's two-phase partial-sum layout
+   * (range shuffle of that tier only + driver prefix of numPartitions
+   * longs), so even a degenerate all-one-score corpus never funnels a
+   * single task.
+   *
+   * @param scored (idCol, scoreCol, tokCol) — scoreCol an integer
+   *               score tier (e.g. the x60 1e-6 quality grid), tokCol
+   *               the document's token count
+   * @return (idCol, scoreCol, tokCol, tier, admitted) — tier one of
+   *         'full' / 'frontier' / 'rejected' (how the verdict was
+   *         reached: whole-tier, exact prefix, or past-budget)
+   */
+  def qualityBudgetHead(
+      scored: DataFrame,
+      budget: Long,
+      scoreCol: String = "score_k",
+      tokCol: String = "n_tokens",
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val hist = scored.groupBy(col(scoreCol)).agg(sum(col(tokCol)).as("_bt"))
+    val wAbove = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = hist.select(col(scoreCol), col("_bt"),
+      coalesce(sum(col("_bt")).over(wAbove), lit(0L)).as("_prior"))
+    val isFull = col("_prior") + col("_bt") <= budget
+    val isRejected = col("_prior") >= budget
+    // one source pass feeds both branches (caller-release persist, the
+    // dsirLogWeights convention)
+    val flagged = scored.join(broadcast(cum), Seq(scoreCol)).persist()
+    val decided = flagged.filter(isFull || isRejected)
+      .select(col(idCol), col(scoreCol), col(tokCol).cast("long").as(tokCol),
+        when(isFull, "full").otherwise("rejected").as("tier"),
+        isFull.as("admitted"))
+    val frontier = flagged.filter(!isFull && !isRejected)
+      .select(col(idCol), col(scoreCol), col(tokCol).cast("long").as(tokCol),
+        col("_prior"))
+    val refined = Positional.withGlobalRunningSum(
+        frontier, Seq(col(idCol)), tokCol, "_pfx")
+      .select(col(idCol), col(scoreCol), col(tokCol),
+        lit("frontier").as("tier"),
+        (col("_prior") + col("_pfx") <= budget).as("admitted"))
+    decided.unionByName(refined)
+  }
+
   def dsirLogWeights(
       docs: DataFrame,
       isTarget: org.apache.spark.sql.Column,

@@ -65,6 +65,7 @@ object ExtensionQueries {
   private val DsirBuckets = 1021   // x64 hashed-bigram feature space (PRIME — see Mixture.dsirLogWeights)
   private[queries] val NbBuckets = 2039     // x117 NB feature space (PRIME, same rationale)
   private[queries] val SrcQuotaTokens = 400L // x142 per-source token quota (bites at every tier)
+  private[queries] val QualityHeadBudget = 2500L // x143 global token budget (inside the corpus at every tier)
   /** x136 shortlist expansion (stage-1 keeps k·expand ADC candidates). */
   private[queries] val PqRerankExpand = 4
   private val NbSeedMod = 3L       // x117 labeled-seed slice: doc_id % 3 = 0
@@ -2042,6 +2043,19 @@ object ExtensionQueries {
     "x127_winnow_fingerprints" -> ((s, dir) =>
       Dedup.winnowStats(Tables.documents(s, dir), w = WinnowW)
         .orderBy("doc_id")),
+
+    // highest-quality token-budget head (Mixture.qualityBudgetHead):
+    // "train on the best B tokens" — x60's score grid ordering × x58's
+    // budget cut, decided from the score-grid token histogram with only
+    // the frontier tier running an exact (two-phase) running sum
+    "x143_quality_budget_head" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir).select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+          .cast("long").as("score_k"),
+        wsTokenCount(col("text")).as("n_tokens"))
+      Mixture.qualityBudgetHead(scored, QualityHeadBudget)
+        .orderBy("doc_id")
+    }),
 
     // base vs ROBUST winnowing (SIGMOD-2003 §4 prefer-previous tie
     // rule) side by side — the variant the winnow docs cite but the
