@@ -65,7 +65,10 @@ object ExtensionQueries {
   private val DsirBuckets = 1021   // x64 hashed-bigram feature space (PRIME — see Mixture.dsirLogWeights)
   private[queries] val NbBuckets = 2039     // x117 NB feature space (PRIME, same rationale)
   private[queries] val SrcQuotaTokens = 400L // x142 per-source token quota (bites at every tier)
-  private[queries] val QualityHeadBudget = 2500L // x143 global token budget (inside the corpus at every tier)
+  // x143 global token budget — 250 lands INSIDE a multi-doc score tier at
+  // the sf0.01 verify tier (prior 165 + docs 42,42,84), so the emitted sheet
+  // shows full tiers, a frontier with BOTH verdicts, and rejected tiers
+  private[queries] val QualityHeadBudget = 250L
   /** x136 shortlist expansion (stage-1 keeps k·expand ADC candidates). */
   private[queries] val PqRerankExpand = 4
   private val NbSeedMod = 3L       // x117 labeled-seed slice: doc_id % 3 = 0
@@ -3785,6 +3788,43 @@ object ExtensionQueries {
          |    list_transform(fps, x -> x % 1073741824)), (a, b) -> a + b)
          |    AS BIGINT) AS fp_sum
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    // x143: the tier arithmetic replayed literally — per-score-tier token
+    // histogram, tokens-strictly-above as `prior`, whole-tier full/rejected
+    // verdicts, and the frontier tier's exact inclusive running sum in
+    // doc_id order (the same order withGlobalRunningSum ranges on). The
+    // tier CASE is replicated (not collapsed into one global window) so a
+    // zero-token row sitting exactly at the boundary can never diverge
+    // from the operator's tier-first decision.
+    "x143_quality_budget_head" ->
+      s"""WITH $sqlQualityCtes,
+         |q0 AS (SELECT doc_id,
+         |    CAST(round(($sqlQualityScore) * 1000000, 0) AS BIGINT) AS score_k
+         |  FROM g),
+         |qs AS (SELECT q0.doc_id, q0.score_k,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM q0 JOIN documents d ON q0.doc_id = d.doc_id),
+         |h AS (SELECT score_k, CAST(sum(n_tokens) AS BIGINT) AS bt
+         |  FROM qs GROUP BY score_k),
+         |c AS (SELECT score_k, bt,
+         |    CAST(COALESCE(SUM(bt) OVER (ORDER BY score_k DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS prior
+         |  FROM h),
+         |t AS (SELECT qs.doc_id, qs.score_k, qs.n_tokens,
+         |    CASE WHEN c.prior + c.bt <= $QualityHeadBudget THEN 'full'
+         |         WHEN c.prior >= $QualityHeadBudget THEN 'rejected'
+         |         ELSE 'frontier' END AS tier,
+         |    c.prior + CAST(sum(qs.n_tokens) OVER (PARTITION BY qs.score_k
+         |      ORDER BY qs.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS incl
+         |  FROM qs JOIN c ON qs.score_k = c.score_k)
+         |SELECT doc_id, score_k, n_tokens, tier,
+         |  CASE tier WHEN 'full' THEN TRUE WHEN 'rejected' THEN FALSE
+         |       ELSE incl <= $QualityHeadBudget END AS admitted
+         |FROM t ORDER BY doc_id""".stripMargin,
 
     // x141: the robust (prefer-previous) selection is SEQUENTIAL — each
     // window's choice depends on the previous window's — so the replay

@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Mixture.qualityBudgetHead — the "train on the best B tokens" cut.
+  *
+  * Reference model (driver-side): order rows by (score DESC, id ASC),
+  * admit while the INCLUSIVE running token total still fits the budget.
+  * The operator must reproduce that verdict row-for-row while deciding
+  * whole tiers from the score-grid histogram and running the exact
+  * prefix only inside the single frontier tier.
+  */
+class MixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 60 docs across a 5-value score grid; tokens 1..7 so every tier has a
+  // non-trivial token mass and no zero-token rows (keeps the naive
+  // global-cumsum model exactly equivalent to the tier arithmetic).
+  private lazy val docs = (1 to 60)
+    .map(i => (i.toLong, (i % 5).toLong, (i % 7 + 1).toLong))
+    .toDF("doc_id", "score_k", "n_tokens")
+
+  private lazy val rows =
+    docs.as[(Long, Long, Long)].collect().toSeq
+
+  private val total = (1 to 60).map(i => (i % 7 + 1).toLong).sum
+
+  /** (id -> admitted) under the naive sequential model. */
+  private def naive(budget: Long): Map[Long, Boolean] = {
+    var acc = 0L
+    rows.sortBy { case (id, s, _) => (-s, id) }.map { case (id, _, n) =>
+      acc += n
+      id -> (acc <= budget)
+    }.toMap
+  }
+
+  private def run(budget: Long) =
+    Mixture.qualityBudgetHead(docs, budget)
+      .select("doc_id", "score_k", "n_tokens", "tier", "admitted")
+      .as[(Long, Long, Long, String, Boolean)].collect().toSeq
+
+  test("budget inside a tier: verdicts match the sequential model; all three tiers appear") {
+    // tier token masses are ~48 each (5 tiers, 240 total); 100 lands
+    // inside the second-best tier → full, frontier AND rejected present
+    val budget = 100L
+    val got = run(budget)
+    assert(got.map(_._1).sorted === rows.map(_._1).sorted, "exactly one row per doc")
+    val want = naive(budget)
+    got.foreach { case (id, _, _, _, adm) => assert(adm === want(id), s"doc $id") }
+    val tiers = got.map(_._4).toSet
+    assert(tiers === Set("full", "frontier", "rejected"))
+    // tier is consistent with admitted: full ⇒ admitted, rejected ⇒ not
+    got.foreach { case (id, _, _, tier, adm) =>
+      if (tier == "full") assert(adm, s"doc $id full but not admitted")
+      if (tier == "rejected") assert(!adm, s"doc $id rejected but admitted")
+    }
+    // the frontier is ONE tier and it straddles the budget
+    val frontierScores = got.filter(_._4 == "frontier").map(_._2).toSet
+    assert(frontierScores.size === 1)
+    assert(got.exists(r => r._4 == "frontier" && r._5) &&
+      got.exists(r => r._4 == "frontier" && !r._5),
+      "frontier tier must contain both admitted and rejected rows")
+  }
+
+  test("budget = 0: everything rejected, nothing admitted") {
+    val got = run(0L)
+    assert(got.forall(r => r._4 == "rejected" && !r._5))
+  }
+
+  test("budget >= total: everything full, everything admitted") {
+    val got = run(total)
+    assert(got.forall(r => r._4 == "full" && r._5))
+    val over = run(total + 1000L)
+    assert(over.forall(r => r._4 == "full" && r._5))
+  }
+
+  test("degenerate all-one-score grid: whole corpus is the frontier tier, exact prefix") {
+    val flat = (1 to 40).map(i => (i.toLong, 7L, (i % 5 + 1).toLong))
+      .toDF("doc_id", "score_k", "n_tokens")
+    val budget = 50L
+    val got = Mixture.qualityBudgetHead(flat, budget)
+      .select("doc_id", "tier", "n_tokens", "admitted")
+      .as[(Long, String, Long, Boolean)].collect().toSeq
+    assert(got.forall(_._2 == "frontier"))
+    var acc = 0L
+    got.sortBy(_._1).foreach { case (id, _, n, adm) =>
+      acc += n
+      assert(adm === (acc <= budget), s"doc $id")
+    }
+  }
+
+  test("negative budget is refused") {
+    intercept[IllegalArgumentException] { Mixture.qualityBudgetHead(docs, -1L) }
+  }
+}
