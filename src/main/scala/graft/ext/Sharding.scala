@@ -151,8 +151,14 @@ object Sharding {
       idCol: String = "doc_id",
       sourceCol: String = "source"): DataFrame = {
     require(numShards > 0, "numShards must be positive")
+    // epochs = 0 sources contribute NOTHING: sequence(0, -1) would step
+    // BACKWARDS ([0, -1] — Spark defaults to step -1 when start > stop)
+    // and emit two phantom instances per doc, so the plan is filtered
+    // to epochs > 0 before the explode (Mixture.epochPlan emits 0 when
+    // a source's budget share rounds down to nothing)
     val expanded = docs.select(col(idCol), col(sourceCol))
-      .join(broadcast(epochsBySource.select(col(sourceCol), col("epochs"))),
+      .join(broadcast(epochsBySource.select(col(sourceCol), col("epochs"))
+          .filter(col("epochs") > 0L)),
         Seq(sourceCol))
       .select(col(idCol), col(sourceCol),
         explode(sequence(lit(0L), col("epochs") - 1L)).as("epoch"))

@@ -55,12 +55,13 @@ object StreamingClusterIngest {
       path: String,
       threshold: Double,
       p: Dedup.MinHashParams = Dedup.MinHashParams(),
+      maxBucket: Int = Dedup.DefaultMaxBucket,
       idCol: String = "doc_id",
       textCol: String = "text"): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldBatch(batch, batchId, path, threshold, p, idCol, textCol)
+        foldBatch(batch, batchId, path, threshold, p, maxBucket, idCol, textCol)
       }
 
   /** One micro-batch's fold into the state dir — public so the replay
@@ -73,6 +74,7 @@ object StreamingClusterIngest {
       path: String,
       threshold: Double,
       p: Dedup.MinHashParams = Dedup.MinHashParams(),
+      maxBucket: Int = Dedup.DefaultMaxBucket,
       idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
         if (!batch.isEmpty) {
@@ -99,20 +101,28 @@ object StreamingClusterIngest {
             val newSh = dedup.select(col(idCol).as("id"),
               sort_array(Dedup.shingleHashes(col(textCol))).as("sh"))
             // read back WITHOUT the discovered batch partition column —
-            // state consumers are keyed on content, not arrival epoch
+            // state consumers are keyed on content, not arrival epoch —
+            // and EXCLUDING this batch's own batch=<id> partitions (the
+            // StreamingWinnowIngest stateView discipline): a crashed
+            // attempt that committed sh/banded but not labels must be
+            // invisible to the rerun, or the replay probes buckets
+            // already holding this batch's own postings and can cross
+            // maxBucket caps a clean run stays under
             val (oldLabels, oldSh, oldBanded) =
               if (hasState)
                 (spark.read.parquet(s"$path/labels"),
                   spark.read.parquet(s"$path/sh")
+                    .filter(col("batch") =!= lit(batchId))
                     .select(col("id"), col("sh")),
                   spark.read.parquet(s"$path/banded")
+                    .filter(col("batch") =!= lit(batchId))
                     .select(col("id"), col("band"), col("band_key")))
               else
                 (newSh.select(col("id"), col("id").as("component")).limit(0),
                   newSh.limit(0),
                   Dedup.bandedFromShingles(newSh, p).limit(0))
             val pairs = Dedup.incrementalNearDups(oldSh, oldBanded, dedup,
-              threshold, p, idCol = idCol, textCol = textCol)
+              threshold, p, maxBucket, idCol = idCol, textCol = textCol)
             val merged = Components.incrementalComponents(oldLabels,
                 pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
                 dedup.select(col(idCol).as("id")))

@@ -71,6 +71,27 @@ class ShardingSpec extends SparkSpec {
     assert(t1 === t2)
   }
 
+  test("epochedTrainingOrder: a zero-epoch source contributes NO instances (no backwards sequence)") {
+    // Mixture.epochPlan emits epochs = 0 when a source's budget share
+    // rounds down to nothing; sequence(0, -1) would step backwards and
+    // emit TWO phantom instances per doc ([0, -1])
+    val plan = Seq(("src0", 2L), ("src1", 0L), ("src2", 1L))
+      .toDF("source", "epochs")
+    val t = Sharding.epochedTrainingOrder(docs, plan, seed = 5L, numShards = S)
+      .collect().toSeq
+    assert(t.nonEmpty)
+    val bySource = t.groupBy(_.getString(1)).view.mapValues(_.size).toMap
+    assert(!bySource.contains("src1"),
+      "epochs = 0 must yield zero training instances, not a [0, -1] explode")
+    assert(t.forall(_.getLong(2) >= 0L), "no negative epoch index")
+    // the surviving sources keep their planned repetition
+    val perDoc = t.groupBy(_.getLong(0)).view.mapValues(_.size).toMap
+    for (i <- 1 to 200 if i % 3 != 1) {
+      val expected = Map("src0" -> 2, "src2" -> 1)(s"src${i % 3}")
+      assert(perDoc(i.toLong) === expected, s"doc $i epoch count")
+    }
+  }
+
   test("assignShards: every doc placed once, shards in range, pos contiguous per shard") {
     val out = Sharding.assignShards(docs, numShards = S)
       .select("doc_id", "shard", "n_tokens", "pos", "tok_offset")

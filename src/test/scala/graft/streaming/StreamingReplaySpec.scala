@@ -75,6 +75,40 @@ class StreamingReplaySpec extends SparkSpec {
     assert(labels === full)
   }
 
+  test("StreamingClusterIngest.foldBatch: crash-window replay must not probe its own half-committed postings (bucket cap)") {
+    // 6 identical docs land all their postings in ONE bucket per band.
+    // With maxBucket = 8 a clean fold keeps the bucket (6 ≤ 8); a replay
+    // that still sees its own crashed attempt's sh/banded dirs counts
+    // every posting TWICE (12 > 8), drops the bucket in every band, and
+    // silently loses the whole cluster — the state view must exclude the
+    // batch's own batch=<id> partitions.
+    val a = "alpha beta gamma delta epsilon zeta eta theta one"
+    val dup = "omega psi chi phi upsilon tau sigma rho two"
+    val batch1 = Seq((1L, a), (2L, a + " tail")).toDF("doc_id", "text")
+    val batch2 = (10L to 15L).map(i => (i, dup)).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_replay_cc3_").toString
+    StreamingClusterIngest.foldBatch(batch1, 0L, path, threshold = 0.35, maxBucket = 8)
+    val labels0 = spark.read.parquet(s"$path/labels").collect().toSeq
+    val schema0 = spark.read.parquet(s"$path/labels").schema
+    StreamingClusterIngest.foldBatch(batch2, 1L, path, threshold = 0.35, maxBucket = 8)
+    // revert labels to the pre-batch generation: batch=1's sh/banded
+    // dirs stay durable with no label sentinel — the crash window
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(labels0), schema0)
+      .write.mode("overwrite").parquet(s"$path/labels")
+    StreamingClusterIngest.foldBatch(batch2, 1L, path, threshold = 0.35, maxBucket = 8)
+    val labels = spark.read.parquet(s"$path/labels")
+      .as[(Long, Long)].collect().toMap
+    val full = Components.nearDupClusters(spark,
+        batch1.unionByName(batch2), threshold = 0.35)
+      .select(col("doc_id"), col("cluster_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(labels === full,
+      "replay saw its own postings: bucket cap breached, cluster dropped")
+    assert((10L to 15L).map(labels).toSet.size === 1,
+      "all six identical docs must share one cluster after the replay")
+  }
+
   test("StreamingIndexIngest.ingestBatch: replaying a batchId rewrites, never duplicates (probe rows stay unique)") {
     val vecs = (0 until 30).map(i =>
       (i.toLong, (0 until 4).map(d => ((i * 7 + d) % 5).toFloat)))
