@@ -375,6 +375,76 @@ object Mixture {
     decided.unionByName(refined)
   }
 
+  /**
+   * Per-group highest-quality token-budget head — "train on the best
+   * `budget` tokens FROM EACH SOURCE": [[qualityBudgetHead]] with the
+   * budget, the score-tier histogram, and the frontier prefix all keyed
+   * by `groupCol`. The batch mirror of the streaming arrival-order gate
+   * (StreamingBudgetAdmission admits the FIRST tokens per source; this
+   * admits the BEST) — the operator a mixture plan's per-source token
+   * budgets actually feed.
+   *
+   * Scale shape, per the single-budget variant: the (group, tier)
+   * histogram is map-side combined and dimension-sized (groups × score
+   * grid), its per-group tokens-above window partitions on the group
+   * (grid-bounded partitions), and every tier wholly under or past its
+   * group's budget decides row-locally off the broadcast. Only each
+   * group's ONE frontier tier runs an exact running sum — via
+   * [[Positional.withPerKeyRunningSum]]'s keyed two-phase layout, so
+   * even a degenerate single-tier group never funnels through one task.
+   *
+   * Groups with no row in `budgets` DROP (inner dimension join) —
+   * explicit budgets are the contract; a group whose budget covers its
+   * whole corpus comes back all-'full'.
+   *
+   * @param budgets (groupCol, budget) — one row per group,
+   *                dimension-sized (it is collected for the gid map and
+   *                broadcast)
+   * @return (idCol, groupCol, scoreCol, tokCol, tier, admitted)
+   */
+  def qualityBudgetHeadByGroup(
+      scored: DataFrame,
+      budgets: DataFrame,
+      groupCol: String = "source",
+      scoreCol: String = "score_k",
+      tokCol: String = "n_tokens",
+      idCol: String = "doc_id"): DataFrame = {
+    // dense integral gid per group (withPerKeyRunningSum's key
+    // contract); the row_number window is over the dimension-sized
+    // budgets frame, not the corpus
+    val wDim = org.apache.spark.sql.expressions.Window.orderBy(col(groupCol))
+    val dim = budgets
+      .select(col(groupCol), col("budget").cast("long").as("_budget"))
+      .withColumn("_gid", row_number().over(wDim).cast("long"))
+    val base = scored.join(broadcast(dim), Seq(groupCol))
+    val hist = base.groupBy(col("_gid"), col(scoreCol))
+      .agg(sum(col(tokCol)).as("_bt"))
+    val wAbove = org.apache.spark.sql.expressions.Window
+      .partitionBy("_gid").orderBy(col(scoreCol).desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = hist.select(col("_gid"), col(scoreCol), col("_bt"),
+      coalesce(sum(col("_bt")).over(wAbove), lit(0L)).as("_prior"))
+    val isFull = col("_prior") + col("_bt") <= col("_budget")
+    val isRejected = col("_prior") >= col("_budget")
+    // one source pass feeds both branches (caller-release persist, the
+    // dsirLogWeights convention)
+    val flagged = base.join(broadcast(cum), Seq("_gid", scoreCol)).persist()
+    val decided = flagged.filter(isFull || isRejected)
+      .select(col(idCol), col(groupCol), col(scoreCol),
+        col(tokCol).cast("long").as(tokCol),
+        when(isFull, "full").otherwise("rejected").as("tier"),
+        isFull.as("admitted"))
+    val frontier = flagged.filter(!isFull && !isRejected)
+      .select(col(idCol), col(groupCol), col("_gid"), col(scoreCol),
+        col(tokCol).cast("long").as(tokCol), col("_prior"), col("_budget"))
+    val refined = Positional.withPerKeyRunningSum(
+        frontier, Seq(col(idCol)), "_gid", tokCol, "_pfx")
+      .select(col(idCol), col(groupCol), col(scoreCol), col(tokCol),
+        lit("frontier").as("tier"),
+        (col("_prior") + col("_pfx") <= col("_budget")).as("admitted"))
+    decided.unionByName(refined)
+  }
+
   def dsirLogWeights(
       docs: DataFrame,
       isTarget: org.apache.spark.sql.Column,

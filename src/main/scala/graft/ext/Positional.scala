@@ -177,6 +177,49 @@ object Positional {
   }
 
   /**
+   * Adds `outCol` = the PER-KEY inclusive running sum of `valueCol` in
+   * the global `order` (a total order — include a unique tiebreak
+   * column) — [[withGlobalRunningSum]] with the prefix step KEYED, the
+   * way [[withPerKeyIndex]] keys the dense index: range-shuffle on the
+   * global order, per-(partition, key) sums (≤ numPartitions·K rows —
+   * control-plane-sized for bounded-K keys; the collect is the
+   * operator's K-bounded contract), per-key prefix sums on the driver,
+   * broadcast back, partition-LOCAL (pid, key) window + offset. A plain
+   * `Window.partitionBy(key)` would funnel each key's ENTIRE membership
+   * through one task — the scale anti-pattern this avoids.
+   *
+   * `keyCol` must be integral (LongType after cast). Self-releasing
+   * (cache-hygiene policy above).
+   */
+  def withPerKeyRunningSum(df: DataFrame, order: Seq[Column],
+                           keyCol: String, valueCol: String,
+                           outCol: String): DataFrame = {
+    val local = df
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn(PidCol, spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sums = local.groupBy(col(PidCol), col(keyCol).cast("long").as(keyCol))
+      .agg(sum(col(valueCol)).as("s")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val offsets = sums.groupBy(_._2).toSeq.flatMap { case (key, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1).map { case (pid, _, s) => val o = acc; acc += s; (pid, key, o) }
+    }
+    val offDf = df.sparkSession.createDataFrame(offsets).toDF(PidCol, keyCol, OffCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(PidCol), col(keyCol)).orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val out = local.join(broadcast(offDf), Seq(PidCol, keyCol))
+      .withColumn(outCol, col(OffCol) + sum(col(valueCol)).over(w))
+      .drop(PidCol, OffCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    local.unpersist(blocking = false)
+    out
+  }
+
+  /**
    * Positional (index) join: left ranked by `leftOrder` zipped with right
    * ranked by `rightOrder` on equal 1-based position. Output keeps `posCol`
    * plus all columns of both sides. Inner-join semantics on position

@@ -2060,6 +2060,24 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // per-source quality budget head (Mixture.qualityBudgetHeadByGroup):
+    // "best B_s tokens from EACH source" — x143's tier arithmetic keyed
+    // by source, the batch mirror of x142's arrival-order quota; budgets
+    // differ per source (150/200/250 by source index mod 3) so the sheet
+    // exercises distinct frontiers per group
+    "x144_quality_budget_by_source" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scored = d.select(col("doc_id"), col("source"),
+        round(TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+          .cast("long").as("score_k"),
+        wsTokenCount(col("text")).as("n_tokens"))
+      val budgets = d.select(col("source")).distinct()
+        .withColumn("budget", lit(150L) + lit(50L) *
+          pmod(substring(col("source"), 4, 10).cast("long"), lit(3L)))
+      Mixture.qualityBudgetHeadByGroup(scored, budgets)
+        .orderBy("doc_id")
+    }),
+
     // base vs ROBUST winnowing (SIGMOD-2003 §4 prefer-previous tie
     // rule) side by side — the variant the winnow docs cite but the
     // x127/x129 chain deliberately does NOT use; this sheet measures
@@ -3824,6 +3842,41 @@ object ExtensionQueries {
          |SELECT doc_id, score_k, n_tokens, tier,
          |  CASE tier WHEN 'full' THEN TRUE WHEN 'rejected' THEN FALSE
          |       ELSE incl <= $QualityHeadBudget END AS admitted
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // x144: x143's tier replay PARTITIONed by source, with the
+    // per-source budget derived from the source index (the same
+    // 150/200/250 formula the Spark side computes)
+    "x144_quality_budget_by_source" ->
+      s"""WITH $sqlQualityCtes,
+         |q0 AS (SELECT doc_id,
+         |    CAST(round(($sqlQualityScore) * 1000000, 0) AS BIGINT) AS score_k
+         |  FROM g),
+         |qs AS (SELECT q0.doc_id, d.source, q0.score_k,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    150 + 50 * (CAST(substr(d.source, 4) AS BIGINT) % 3) AS bud
+         |  FROM q0 JOIN documents d ON q0.doc_id = d.doc_id),
+         |h AS (SELECT source, score_k, CAST(sum(n_tokens) AS BIGINT) AS bt
+         |  FROM qs GROUP BY source, score_k),
+         |c AS (SELECT source, score_k, bt,
+         |    CAST(COALESCE(SUM(bt) OVER (PARTITION BY source
+         |      ORDER BY score_k DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS prior
+         |  FROM h),
+         |t AS (SELECT qs.doc_id, qs.source, qs.score_k, qs.n_tokens, qs.bud,
+         |    CASE WHEN c.prior + c.bt <= qs.bud THEN 'full'
+         |         WHEN c.prior >= qs.bud THEN 'rejected'
+         |         ELSE 'frontier' END AS tier,
+         |    c.prior + CAST(sum(qs.n_tokens) OVER (
+         |      PARTITION BY qs.source, qs.score_k ORDER BY qs.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS incl
+         |  FROM qs JOIN c ON qs.source = c.source AND qs.score_k = c.score_k)
+         |SELECT doc_id, source, score_k, n_tokens, tier,
+         |  CASE tier WHEN 'full' THEN TRUE WHEN 'rejected' THEN FALSE
+         |       ELSE incl <= bud END AS admitted
          |FROM t ORDER BY doc_id""".stripMargin,
 
     // x141: the robust (prefer-previous) selection is SEQUENTIAL — each

@@ -93,4 +93,55 @@ class MixtureSpec extends SparkSpec {
   test("negative budget is refused") {
     intercept[IllegalArgumentException] { Mixture.qualityBudgetHead(docs, -1L) }
   }
+
+  // ---- the grouped (per-source) variant ----
+
+  test("qualityBudgetHeadByGroup: per-group verdicts match the per-group sequential model") {
+    // gA: total 45 tokens, budget 1000 → whole corpus under budget (all full)
+    // gB: 60 docs over a 5-tier grid, budget 100 → straddles a tier
+    // gC: budget 0 → all rejected
+    val grouped = (
+      (1 to 9).map(i => (i.toLong, "gA", (i % 3).toLong, 5L)) ++
+      (101 to 160).map(i => (i.toLong, "gB", (i % 5).toLong, (i % 7 + 1).toLong)) ++
+      (201 to 210).map(i => (i.toLong, "gC", 1L, 10L))
+    ).toDF("doc_id", "source", "score_k", "n_tokens")
+    val budgets = Seq(("gA", 1000L), ("gB", 100L), ("gC", 0L))
+      .toDF("source", "budget")
+    val got = Mixture.qualityBudgetHeadByGroup(grouped, budgets)
+      .select("doc_id", "source", "score_k", "n_tokens", "tier", "admitted")
+      .as[(Long, String, Long, Long, String, Boolean)].collect().toSeq
+    assert(got.size === 79, "exactly one row per doc")
+    // reference model per group: (score desc, id) order, inclusive cumsum
+    val byGroup = grouped.as[(Long, String, Long, Long)].collect()
+      .groupBy(_._2)
+    val budgetMap = Map("gA" -> 1000L, "gB" -> 100L, "gC" -> 0L)
+    val want: Map[Long, Boolean] = byGroup.toSeq.flatMap { case (g, rows) =>
+      var acc = 0L
+      rows.sortBy { case (id, _, s, _) => (-s, id) }.toSeq.map { case (id, _, _, n) =>
+        acc += n
+        id -> (acc <= budgetMap(g))
+      }
+    }.toMap
+    got.foreach { case (id, _, _, _, _, adm) =>
+      assert(adm === want(id), s"doc $id")
+    }
+    // a source whose whole corpus is under budget: every row full
+    assert(got.filter(_._2 == "gA").forall(r => r._5 == "full" && r._6))
+    // budget 0: every row rejected
+    assert(got.filter(_._2 == "gC").forall(r => r._5 == "rejected" && !r._6))
+    // the straddling source shows all three tiers with a mixed frontier
+    val gB = got.filter(_._2 == "gB")
+    assert(gB.map(_._5).toSet === Set("full", "frontier", "rejected"))
+    assert(gB.exists(r => r._5 == "frontier" && r._6) &&
+      gB.exists(r => r._5 == "frontier" && !r._6))
+  }
+
+  test("qualityBudgetHeadByGroup: a group without a budget row drops (explicit budgets are the contract)") {
+    val grouped = Seq((1L, "gA", 1L, 5L), (2L, "gX", 1L, 5L))
+      .toDF("doc_id", "source", "score_k", "n_tokens")
+    val budgets = Seq(("gA", 10L)).toDF("source", "budget")
+    val got = Mixture.qualityBudgetHeadByGroup(grouped, budgets)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got === Seq(1L))
+  }
 }

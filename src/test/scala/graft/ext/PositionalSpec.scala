@@ -77,4 +77,21 @@ class PositionalSpec extends SparkSpec {
       Seq(col("okey"), col("id")), "k", "idx").queryExecution.executedPlan.toString
     assert(plan.contains("InMemoryTableScan"))
   }
+
+  test("withPerKeyRunningSum matches the naive per-key cumulative sum; partition-count invariant") {
+    import spark.implicits._
+    val rows = (0L until 500L).map(i => (i, i % 4, (i % 11 + 1)))
+    def run(parts: Int) = Positional.withPerKeyRunningSum(
+        rows.toDF("id", "k", "v").repartition(parts),
+        Seq(col("id")), "k", "v", "cum")
+      .select("id", "k", "cum").as[(Long, Long, Long)].collect().sortBy(_._1)
+    val got = run(13)
+    val acc = scala.collection.mutable.Map.empty[Long, Long]
+    got.foreach { case (id, k, cum) =>
+      val a = acc.getOrElse(k, 0L) + (id % 11 + 1)
+      acc(k) = a
+      assert(cum === a, s"id $id key $k")
+    }
+    assert(run(3).toSeq === got.toSeq, "partition-count invariant")
+  }
 }
