@@ -476,7 +476,11 @@ object ExtensionQueries {
     * scores). Char trigrams INCLUDE spaces (word-boundary grams); docs
     * shorter than 3 codepoints degrade to one whole-string hash —
     * mirroring [[graft.functions.CharNgramHashes]]. */
-  private lazy val sqlLangIdCtes: String = {
+  private lazy val sqlLangIdCtes: String = sqlLangIdCtesFrom("documents")
+
+  /** The same chain over any (doc_id, lang, text) relation — x134b runs
+    * it over a label-derived synthesized corpus CTE. */
+  private def sqlLangIdCtesFrom(docsRel: String): String = {
     def featCtes(p: String, from: String): String =
       s"""${p}cp AS (SELECT *, list_transform(string_split(t, ''),
          |    c -> CAST(ascii(c) AS BIGINT)) AS cp FROM $from),
@@ -489,7 +493,7 @@ object ExtensionQueries {
          |  END AS gh FROM ${p}cp)),
          |${p}bk AS (SELECT * EXCLUDE (h), h % $NbBuckets AS b FROM ${p}f)""".stripMargin
     s"""lidn AS (SELECT doc_id, lang, $sqlNorm AS t
-       |  FROM documents WHERE doc_id % $NbSeedMod = 0),
+       |  FROM $docsRel WHERE doc_id % $NbSeedMod = 0),
        |${featCtes("lid", "lidn")},
        |lcnt AS (SELECT lang, b, CAST(count(*) AS BIGINT) AS c
        |  FROM lidbk GROUP BY lang, b),
@@ -515,7 +519,7 @@ object ExtensionQueries {
        |    CAST(round(ln(CAST(1 AS DOUBLE) / (tot_l + $NbBuckets)), 9)
        |      AS DECIMAL(19,9))
        |  FROM ltot),
-       |lscn AS (SELECT doc_id, $sqlNorm AS t FROM documents),
+       |lscn AS (SELECT doc_id, $sqlNorm AS t FROM $docsRel),
        |${featCtes("lsx", "lscn")},
        |lspdb AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
        |  FROM lsxbk GROUP BY doc_id, b),
@@ -2142,10 +2146,40 @@ object ExtensionQueries {
     // heuristic" (x04). NOTE the fixture's lang labels are independent
     // of its (single-vocabulary) text, so the trained model correctly
     // converges to the class prior — the table validates the MECHANICS
-    // bit-exactly; separation shows on corpora where labels track text
-    // (LangIdSpec's disjoint-vocab fixture)
+    // bit-exactly; separation is MEASURED at oracle tier by x134b's
+    // label-correlated synthesis (and spec-pinned in LangIdSpec's
+    // disjoint-vocab fixture)
     "x134_langid_compare" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
+      val model = TextAnalysis.langIdTrain(
+          d.filter(pmod(col("doc_id"), lit(NbSeedMod)) === 0),
+          buckets = NbBuckets)
+        .persist() // caller-release
+      val nb = TextAnalysis.langIdVerdict(
+          TextAnalysis.langIdScore(d, model, buckets = NbBuckets))
+        .select(col("doc_id"), col("lang_pred").as("pred_nb"))
+      d.select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("pred_heur"))
+        .join(nb, Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred_nb") === col("lang"), 1L).otherwise(0L)).as("nb_correct"),
+          sum(when(col("pred_heur") === col("lang"), 1L).otherwise(0L)).as("heur_correct"),
+          sum(when(col("pred_nb") === col("pred_heur"), 1L).otherwise(0L)).as("agree"))
+        .orderBy("lang")
+    }),
+
+    // x134b: the SAME comparison over a label-correlated synthesized
+    // corpus — each doc's text gets a lang-derived non-marker suffix
+    // ("q<lang>z" ×6, oracle-replayable), so the trained model has a
+    // real signal to learn while the marker heuristic (which has never
+    // seen "q<lang>z") stays at its fixture-noise accuracy: here the
+    // nb_correct/heur_correct columns MEASURE separation instead of
+    // documenting prior-convergence (x134's honest caveat)
+    "x134b_langid_compare_marked" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).withColumn("text",
+        concat(col("text"), lit(" "), array_join(
+          array_repeat(concat(lit("q"), col("lang"), lit("z")), 6), " ")))
       val model = TextAnalysis.langIdTrain(
           d.filter(pmod(col("doc_id"), lit(NbSeedMod)) === 0),
           buckets = NbBuckets)
@@ -4246,6 +4280,34 @@ object ExtensionQueries {
       s"""WITH $sqlLangIdCtes,
          |hdw AS (SELECT doc_id, lang,
          |  list_distinct(string_split($sqlNorm, ' ')) AS dw FROM documents),
+         |hsc AS (SELECT doc_id, lang, $scoreCols FROM hdw),
+         |hb AS (SELECT *, greatest(${TextAnalysis.LangMarkers.map(m => s"score_${m._1}").mkString(", ")}) AS best FROM hsc),
+         |hp AS (SELECT doc_id, lang,
+         |  CASE $caseChain ELSE 'und' END AS pred_heur FROM hb)
+         |SELECT hp.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN v.lang_pred = hp.lang THEN 1 ELSE 0 END) AS BIGINT) AS nb_correct,
+         |  CAST(sum(CASE WHEN hp.pred_heur = hp.lang THEN 1 ELSE 0 END) AS BIGINT) AS heur_correct,
+         |  CAST(sum(CASE WHEN v.lang_pred = hp.pred_heur THEN 1 ELSE 0 END) AS BIGINT) AS agree
+         |FROM hp JOIN lverd v USING (doc_id)
+         |GROUP BY hp.lang ORDER BY hp.lang""".stripMargin
+    },
+
+    // x134b: x134's comparison with the corpus replaced by the
+    // label-suffixed synthesis (text || " q<lang>z" ×6) — both the NB
+    // chain and the heuristic read the SAME synthesized text
+    "x134b_langid_compare_marked" -> {
+      val scoreCols = TextAnalysis.LangMarkers.map { case (lang, _) =>
+        s"len(list_intersect(dw, ${langMarkerSql.toMap.apply(lang)})) AS score_$lang"
+      }.mkString(",\n  ")
+      val caseChain = TextAnalysis.LangMarkers.map { case (lang, _) =>
+        s"WHEN score_$lang = best AND best > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH sdoc AS (SELECT doc_id, lang,
+         |    text || ' ' || rtrim(repeat('q' || lang || 'z ', 6)) AS text
+         |  FROM documents),
+         |${sqlLangIdCtesFrom("sdoc")},
+         |hdw AS (SELECT doc_id, lang,
+         |  list_distinct(string_split($sqlNorm, ' ')) AS dw FROM sdoc),
          |hsc AS (SELECT doc_id, lang, $scoreCols FROM hdw),
          |hb AS (SELECT *, greatest(${TextAnalysis.LangMarkers.map(m => s"score_${m._1}").mkString(", ")}) AS best FROM hsc),
          |hp AS (SELECT doc_id, lang,
