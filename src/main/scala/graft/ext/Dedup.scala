@@ -611,8 +611,17 @@ object Dedup {
    * window's minimum hash (ties → RIGHTMOST occurrence — the paper's
    * BASE winnowing tie rule; its "robust winnowing" variant instead
    * prefers the previous window's selection and is available via
-   * [[winnowCompare]] / `WinnowKeys(_, w, robust = true)`, not used by
-   * the x127/x129 chain); the distinct selected (position, hash)
+   * [[winnowCompare]] / `WinnowKeys(_, w, robust = true)`. The
+   * x127/x129/x135 chain DELIBERATELY stays on base: the rules differ
+   * only when a window holds tied minima, and over the 2³⁰ hash space
+   * ties inside a w=4 window are ~never — x141 measures the two
+   * side by side and at sf0.01 they select IDENTICAL print sets
+   * (Σ n_fp 10,158 = 10,158, overlap 10,158/10,158, ratio 1.0000), so
+   * switching would re-record every winnow oracle for zero density win;
+   * robust only pays off on low-entropy hash spaces or boilerplate
+   * runs of equal grams, where re-selection density is the cost driver
+   * — revisit via x141 if the gram hash ever narrows);
+   * the distinct selected (position, hash)
    * pairs are the doc's fingerprints. Guarantee: any shared substring
    * of at least w+n−1 tokens yields at least one shared fingerprint —
    * the principled way to shrink a doc's gram set ~2/(w+1)× while
