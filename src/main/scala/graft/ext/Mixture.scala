@@ -445,6 +445,77 @@ object Mixture {
     decided.unionByName(refined)
   }
 
+  /**
+   * Water-filling budget allocation — split ONE global token budget
+   * fairly across sources: every source gets `min(avail, level)` where
+   * the water level is the largest amount that keeps the total inside
+   * the budget. Small sources keep everything (saturated); the
+   * remainder is shared equally among the rest, with the integer
+   * leftover going one-token-each to the first `rem` unsaturated
+   * sources in (avail, source) order — a deterministic, replayable tie
+   * rule. The allocations are exactly budget-consuming
+   * (`Σ alloc = min(budget, Σ avail)`), which makes this the natural
+   * producer of [[qualityBudgetHeadByGroup]]'s per-source budgets:
+   * "best `budget` tokens overall, fairly spread across sources".
+   *
+   * Exactness of the integer boundary: with rows sorted by avail asc,
+   * row k is saturated iff `below_k + avail_k · (S − k + 1) ≤ budget`
+   * (the monotone waterfill test); every unsaturated source then has
+   * `avail ≥ level + 1` (avail · m > R implies avail > R/m, and an
+   * integer strictly above R/m is ≥ floor(R/m) + 1), so the +1
+   * remainder grants can never overshoot a source's inventory.
+   *
+   * Scale shape: this is a per-SOURCE plan — S rows, dimension-sized by
+   * construction (sources number in the hundreds at 100 TB, not the
+   * billions). The windows and the 1-row totals crossJoin all run on
+   * that dimension frame; the corpus never enters (callers aggregate
+   * avail upstream, e.g. `groupBy(source).agg(sum(n_tokens))`).
+   *
+   * @param avail (groupCol, availCol) — one row per source
+   * @return (groupCol, availCol, alloc, saturated)
+   */
+  def waterfillBudgets(
+      avail: DataFrame,
+      budget: Long,
+      groupCol: String = "source",
+      availCol: String = "avail_tokens"): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.orderBy(col(availCol), col(groupCol))
+    val totals = avail.agg(
+      count(lit(1)).as("_s"),
+      coalesce(sum(col(availCol)), lit(0L)).as("_total"))
+    val ranked = avail
+      .select(col(groupCol), col(availCol).cast("long").as(availCol))
+      .withColumn("_rk", row_number().over(wOrd).cast("long"))
+      .withColumn("_below", coalesce(
+        sum(col(availCol)).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(totals))
+    val satTest = col("_below") +
+      col(availCol) * (col("_s") - col("_rk") + 1L) <= budget
+    val flagged = ranked.withColumn("_sat", satTest)
+    // saturated mass + count — another dimension-sized 1-row aggregate
+    val satAgg = flagged.agg(
+      coalesce(sum(when(col("_sat"), col(availCol))), lit(0L)).as("_sat_sum"),
+      coalesce(sum(when(col("_sat"), 1L).otherwise(0L)), lit(0L)).as("_k_sat"))
+    val out = flagged.crossJoin(broadcast(satAgg))
+      .withColumn("_m", col("_s") - col("_k_sat"))
+      .withColumn("_r", lit(budget) - col("_sat_sum"))
+      // `div` (integral), not `/` (double): token budgets reach 10¹⁴
+      .withColumn("_level", when(col("_m") > 0L, expr("_r div _m"))
+        .otherwise(lit(0L)).cast("long"))
+      .withColumn("_rem", when(col("_m") > 0L, col("_r") % col("_m"))
+        .otherwise(lit(0L)))
+      .select(col(groupCol), col(availCol),
+        when(col("_sat"), col(availCol))
+          .otherwise(col("_level") +
+            when(col("_rk") - col("_k_sat") <= col("_rem"), 1L).otherwise(0L))
+          .as("alloc"),
+        col("_sat").as("saturated"))
+    out
+  }
+
   def dsirLogWeights(
       docs: DataFrame,
       isTarget: org.apache.spark.sql.Column,

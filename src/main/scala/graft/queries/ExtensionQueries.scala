@@ -69,6 +69,11 @@ object ExtensionQueries {
   // the sf0.01 verify tier (prior 165 + docs 42,42,84), so the emitted sheet
   // shows full tiers, a frontier with BOTH verdicts, and rejected tiers
   private[queries] val QualityHeadBudget = 250L
+  // x145/x146 global waterfill budget — just under the sf0.01 corpus
+  // total (~26.9k tokens), so the allocation shows BOTH saturated small
+  // sources (keep everything) and level-capped large ones (+1 remainder
+  // grants), and the composed x146 cut shows per-source frontiers
+  private[queries] val WaterfillBudget = 25000L
   /** x136 shortlist expansion (stage-1 keeps k·expand ADC candidates). */
   private[queries] val PqRerankExpand = 4
   private val NbSeedMod = 3L       // x117 labeled-seed slice: doc_id % 3 = 0
@@ -725,6 +730,44 @@ object ExtensionQueries {
     """(least(stop_ratio * 2.0, 1.0) * 0.4 +
       |   (CASE WHEN avg_word_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
       |   (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 0.5)) * 0.3)""".stripMargin
+
+  /** x145/x146 shared waterfill chain → `wfo(source, avail_tokens, sat,
+    * alloc)`: per-source token inventories, the monotone saturation test
+    * over the (avail, source) rank, and the integer level + remainder
+    * allocation — all over the S-row source dimension. */
+  private lazy val sqlWaterfillCtes: String =
+    s"""wfa AS (SELECT source,
+       |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+       |      AS avail_tokens
+       |  FROM documents GROUP BY source),
+       |wfr AS (SELECT source, avail_tokens,
+       |    CAST(row_number() OVER (ORDER BY avail_tokens, source) AS BIGINT)
+       |      AS rk,
+       |    CAST(COALESCE(SUM(avail_tokens) OVER (ORDER BY avail_tokens, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS below,
+       |    CAST(count(*) OVER () AS BIGINT) AS s_n
+       |  FROM wfa),
+       |wff AS (SELECT *,
+       |    below + avail_tokens * (s_n - rk + 1) <= $WaterfillBudget AS sat
+       |  FROM wfr),
+       |wfg AS (SELECT *,
+       |    CAST(COALESCE(sum(CASE WHEN sat THEN avail_tokens END) OVER (), 0)
+       |      AS BIGINT) AS sat_sum,
+       |    CAST(COALESCE(sum(CASE WHEN sat THEN 1 END) OVER (), 0) AS BIGINT)
+       |      AS k_sat
+       |  FROM wff),
+       |wfo AS (SELECT source, avail_tokens, sat,
+       |    CAST(CASE WHEN sat THEN avail_tokens
+       |      ELSE (CASE WHEN s_n - k_sat > 0
+       |              THEN ($WaterfillBudget - sat_sum) // (s_n - k_sat)
+       |              ELSE 0 END)
+       |         + (CASE WHEN rk - k_sat <= (CASE WHEN s_n - k_sat > 0
+       |              THEN ($WaterfillBudget - sat_sum) % (s_n - k_sat)
+       |              ELSE 0 END)
+       |            THEN 1 ELSE 0 END)
+       |      END AS BIGINT) AS alloc
+       |  FROM wfg)""".stripMargin
 
   private val langMarkerSql = TextAnalysis.LangMarkers.map { case (lang, ms) =>
     lang -> ms.map(m => s"'$m'").mkString("[", ",", "]")
@@ -2061,6 +2104,37 @@ object ExtensionQueries {
           .cast("long").as("score_k"),
         wsTokenCount(col("text")).as("n_tokens"))
       Mixture.qualityBudgetHead(scored, QualityHeadBudget)
+        .orderBy("doc_id")
+    }),
+
+    // water-filling budget allocation (Mixture.waterfillBudgets): one
+    // global budget split fairly across sources — small sources keep
+    // everything, the rest share the level, integer leftover goes
+    // one-token-each to the first unsaturated sources in (avail, source)
+    // order; Σ alloc = min(budget, Σ avail) exactly
+    "x145_waterfill_budgets" -> ((s, dir) => {
+      val availDf = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(wsTokenCount(col("text"))).as("avail_tokens"))
+      Mixture.waterfillBudgets(availDf, WaterfillBudget)
+        .orderBy("source")
+    }),
+
+    // fair curation cut (x145 ∘ x144): the waterfill allocations feed
+    // the per-source quality heads — "the best `WaterfillBudget` tokens
+    // overall, fairly spread across sources", the full mixture-curation
+    // step a training run consumes
+    "x146_fair_curation_cut" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scored = d.select(col("doc_id"), col("source"),
+        round(TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+          .cast("long").as("score_k"),
+        wsTokenCount(col("text")).as("n_tokens"))
+      val availDf = d.groupBy(col("source"))
+        .agg(sum(wsTokenCount(col("text"))).as("avail_tokens"))
+      val budgets = Mixture.waterfillBudgets(availDf, WaterfillBudget)
+        .select(col("source"), col("alloc").as("budget"))
+      Mixture.qualityBudgetHeadByGroup(scored, budgets)
         .orderBy("doc_id")
     }),
 
@@ -3891,6 +3965,48 @@ object ExtensionQueries {
          |      AS n_tokens,
          |    150 + 50 * (CAST(substr(d.source, 4) AS BIGINT) % 3) AS bud
          |  FROM q0 JOIN documents d ON q0.doc_id = d.doc_id),
+         |h AS (SELECT source, score_k, CAST(sum(n_tokens) AS BIGINT) AS bt
+         |  FROM qs GROUP BY source, score_k),
+         |c AS (SELECT source, score_k, bt,
+         |    CAST(COALESCE(SUM(bt) OVER (PARTITION BY source
+         |      ORDER BY score_k DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS prior
+         |  FROM h),
+         |t AS (SELECT qs.doc_id, qs.source, qs.score_k, qs.n_tokens, qs.bud,
+         |    CASE WHEN c.prior + c.bt <= qs.bud THEN 'full'
+         |         WHEN c.prior >= qs.bud THEN 'rejected'
+         |         ELSE 'frontier' END AS tier,
+         |    c.prior + CAST(sum(qs.n_tokens) OVER (
+         |      PARTITION BY qs.source, qs.score_k ORDER BY qs.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS incl
+         |  FROM qs JOIN c ON qs.source = c.source AND qs.score_k = c.score_k)
+         |SELECT doc_id, source, score_k, n_tokens, tier,
+         |  CASE tier WHEN 'full' THEN TRUE WHEN 'rejected' THEN FALSE
+         |       ELSE incl <= bud END AS admitted
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // x145: the waterfill chain verbatim
+    "x145_waterfill_budgets" ->
+      s"""WITH $sqlWaterfillCtes
+         |SELECT source, avail_tokens, alloc, sat AS saturated
+         |FROM wfo ORDER BY source""".stripMargin,
+
+    // x146: x144's per-source tier replay with the budget column joined
+    // from the waterfill allocation instead of the index formula
+    "x146_fair_curation_cut" ->
+      s"""WITH $sqlWaterfillCtes,
+         |$sqlQualityCtes,
+         |q0 AS (SELECT doc_id,
+         |    CAST(round(($sqlQualityScore) * 1000000, 0) AS BIGINT) AS score_k
+         |  FROM g),
+         |qs AS (SELECT q0.doc_id, d.source, q0.score_k,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    wfo.alloc AS bud
+         |  FROM q0 JOIN documents d ON q0.doc_id = d.doc_id
+         |  JOIN wfo ON wfo.source = d.source),
          |h AS (SELECT source, score_k, CAST(sum(n_tokens) AS BIGINT) AS bt
          |  FROM qs GROUP BY source, score_k),
          |c AS (SELECT source, score_k, bt,

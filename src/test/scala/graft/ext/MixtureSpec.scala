@@ -136,6 +136,92 @@ class MixtureSpec extends SparkSpec {
       gB.exists(r => r._5 == "frontier" && !r._6))
   }
 
+  // ---- waterfill budget allocation ----
+
+  /** Independent formulation: ITERATIVE waterfill (re-level, peel off
+    * anything at or under the level, repeat), then split the leftover
+    * equally with the +1 remainder to the first actives in
+    * (avail, source) order. The operator uses the closed-form monotone
+    * prefix test — agreement is the cross-check. */
+  private def naiveWaterfill(avails: Seq[(String, Long)], b: Long): Map[String, Long] = {
+    var active = avails.sortBy(x => (x._2, x._1))
+    var out = Map.empty[String, Long]
+    var budget = b
+    var changed = true
+    while (changed && active.nonEmpty) {
+      val level = budget / active.size
+      val (sat, rest) = active.partition(_._2 <= level)
+      if (sat.isEmpty) changed = false
+      else { sat.foreach { case (s, a) => out += s -> a; budget -= a }; active = rest }
+    }
+    if (active.nonEmpty) {
+      val level = budget / active.size
+      val rem = budget % active.size
+      active.zipWithIndex.foreach { case ((s, _), i) =>
+        out += s -> (level + (if (i < rem) 1L else 0L))
+      }
+    }
+    out
+  }
+
+  private val wfFixture = Seq(
+    ("a", 50L), ("b", 200L), ("c", 200L), ("d", 10L), ("e", 0L), ("f", 123L))
+
+  test("waterfillBudgets matches the iterative waterfill across budgets; exactly budget-consuming") {
+    val av = wfFixture.toDF("source", "avail_tokens")
+    val total = wfFixture.map(_._2).sum
+    for (b <- Seq(0L, 1L, 7L, 60L, 300L, 301L, 302L, total - 1, total, total + 50)) {
+      val got = Mixture.waterfillBudgets(av, b)
+        .select("source", "avail_tokens", "alloc", "saturated")
+        .as[(String, Long, Long, Boolean)].collect().toSeq
+      val want = naiveWaterfill(wfFixture, b)
+      got.foreach { case (s, avail, alloc, _) =>
+        assert(alloc === want(s), s"budget $b source $s")
+        assert(alloc >= 0L && alloc <= avail, s"budget $b source $s in range")
+      }
+      assert(got.map(_._3).sum === math.min(b, total),
+        s"budget $b must be exactly consumed (or the corpus exhausted)")
+    }
+  }
+
+  test("waterfillBudgets: saturation flags — small sources keep everything, the rest share the level") {
+    val av = wfFixture.toDF("source", "avail_tokens")
+    // budget 301: e(0), d(10), a(50) saturate (60 total); f, b, c share
+    // 241 → level 80, remainder 1 to f (first unsaturated in
+    // (avail, source) order)
+    val got = Mixture.waterfillBudgets(av, 301L)
+      .select("source", "alloc", "saturated")
+      .as[(String, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("e") === ((0L, true)))
+    assert(got("d") === ((10L, true)))
+    assert(got("a") === ((50L, true)))
+    assert(got("f") === ((81L, false)), "+1 remainder goes to the first unsaturated in (avail, source) order")
+    assert(got("b") === ((80L, false)))
+    assert(got("c") === ((80L, false)))
+  }
+
+  test("qualityBudgetHeadByGroup composes with waterfillBudgets (the x146 shape)") {
+    val docs = (1 to 60).map { i =>
+      (i.toLong, s"s${i % 3}", (i % 4).toLong, (i % 5 + 1).toLong)
+    }.toDF("doc_id", "source", "score_k", "n_tokens")
+    val avail = docs.groupBy("source").agg(sum("n_tokens").as("avail_tokens"))
+    val budgets = Mixture.waterfillBudgets(avail, 100L)
+      .select(col("source"), col("alloc").as("budget"))
+    val got = Mixture.qualityBudgetHeadByGroup(docs, budgets)
+      .select("doc_id", "source", "n_tokens", "admitted")
+      .as[(Long, String, Long, Boolean)].collect().toSeq
+    assert(got.size === 60)
+    // admitted token mass per source never exceeds its allocation, and
+    // the global admitted mass never exceeds the global budget
+    val alloc = budgets.as[(String, Long)].collect().toMap
+    val admittedBySource = got.filter(_._4).groupBy(_._2).view
+      .mapValues(_.map(_._3).sum).toMap
+    admittedBySource.foreach { case (s, tok) =>
+      assert(tok <= alloc(s), s"source $s admitted past its allocation")
+    }
+    assert(admittedBySource.values.sum <= 100L)
+  }
+
   test("qualityBudgetHeadByGroup: a group without a budget row drops (explicit budgets are the contract)") {
     val grouped = Seq((1L, "gA", 1L, 5L), (2L, "gX", 1L, 5L))
       .toDF("doc_id", "source", "score_k", "n_tokens")

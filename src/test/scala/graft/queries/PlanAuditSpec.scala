@@ -699,4 +699,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"feature counts must map-side combine:\n$p")
   }
+
+  test("x143/x144: budget heads decide tiers off broadcasts; no partition-less window ever sums corpus tokens") {
+    for (name <- Seq("x143_quality_budget_head", "x144_quality_budget_by_source")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      val p = plan.toString
+      // the (tier → prior) histogram reaches the corpus as a broadcast
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: the tier histogram must broadcast back to the corpus:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: no corpus-vs-histogram sort-merge join:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name: no cartesian:\n$p")
+      // partition-less windows are allowed ONLY over the dimension-sized
+      // grid (tokens-above prior / gid row_number) — the corpus token
+      // prefix must run in the (pid)-partitioned two-phase layout
+      val bad = partitionlessWindows(plan)
+        .filter(_.toString.contains("n_tokens"))
+      assert(bad.isEmpty,
+        s"$name: a partition-less window sums corpus tokens (the funnel " +
+          s"the two-phase prefix exists to avoid):\n$p")
+      df.unpersist()
+    }
+  }
 }
