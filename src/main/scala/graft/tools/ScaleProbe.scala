@@ -184,6 +184,52 @@ object ScaleProbe {
       println(f"skewdoc scale=${f}x docs=${5000 * f}%7d pairs=$n%8d time=$dt%7.2f s maxTask=${mx}ms medTask=${med}ms ratio=${mx.toDouble / math.max(med, 1)}%5.1f")
     }
 
+    // Adversarial grouped budget head: ONE source owns 90% of the corpus
+    // in ONE score tier — the entire source lands in its frontier, the
+    // worst case for the per-group exact prefix. The two-phase keyed
+    // layout (withPerKeyRunningSum) must keep the max task bounded by the
+    // range partitioner; the naive Window.partitionBy(source) comparison
+    // funnels the hot source through ONE task — max/median tells the two
+    // apart even when wall-clock hides it at probe scale.
+    if (on("budgetheadskew")) for (f <- Seq(1, 5, 10, 20)) {
+      import graft.ext.Mixture
+      val grown = (0 until f).map { r =>
+        docs.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"))
+      }.reduce(_ unionByName _)
+      val scored = grown.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10L)) < 9L, lit("big"))
+          .otherwise(concat(lit("s"), pmod(col("doc_id"), lit(7L)))).as("source"),
+        when(pmod(col("doc_id"), lit(10L)) < 9L, lit(500000L))
+          .otherwise(pmod(col("doc_id") * 2654435761L, lit(1000L))).as("score_k"),
+        (pmod(col("doc_id"), lit(50L)) + 1L).as("n_tokens"))
+      val budgets = scored.groupBy("source")
+        .agg(expr("sum(n_tokens) div 2").as("budget"))
+      def run(label: String)(mk: => org.apache.spark.sql.DataFrame): Long = {
+        val stats = new TaskStats(spark)
+        val t0 = System.nanoTime()
+        val admitted = mk.filter(col("admitted"))
+          .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val (mx, med) = stats.maxAndMedianMs()
+        stats.detach()
+        spark.catalog.clearCache()
+        println(f"bhskew  scale=${f}x docs=${5000 * f}%7d $label%-9s admitted=$admitted%9d time=$dt%7.2f s maxTask=${mx}ms medTask=${med}ms ratio=${mx.toDouble / math.max(med, 1)}%5.1f")
+        admitted
+      }
+      val a = run("two-phase") {
+        Mixture.qualityBudgetHeadByGroup(scored, budgets)
+      }
+      val b = run("naive-win") {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(col("score_k").desc, col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        scored.join(budgets, "source")
+          .withColumn("admitted", sum(col("n_tokens")).over(w) <= col("budget"))
+      }
+      assert(a == b, s"two-phase and naive admissions disagree: $a vs $b")
+    }
+
     // Skewed as-of: ONE user owns 30% of all events across every replica —
     // the union+window layout puts that key in one task; AQE + the single
     // ordered pass must keep the max task near the key's share, not blow up.
