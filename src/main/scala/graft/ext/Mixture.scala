@@ -516,6 +516,57 @@ object Mixture {
     out
   }
 
+  /**
+   * Capped-repetition waterfill plan — [[waterfillBudgets]] run over
+   * epoch-CAPPED inventories (`avail · maxEpochs`), then folded back
+   * into per-source epoch counts: the unification of the waterfill
+   * allocation (big sources level-capped) with [[epochPlan]]'s
+   * repetition (small sources repeated to reach their share, here up to
+   * the `maxEpochs` quality guard — unbounded repetition of a tiny
+   * source degrades a mixture faster than under-weighting it).
+   *
+   * Per source: `alloc` ≤ avail·maxEpochs tokens planned;
+   * `epochs = ceil(alloc / avail)` passes, the last taking
+   * `last_epoch_tokens = alloc − (epochs−1)·avail` (a head of the final
+   * pass — combine with [[qualityBudgetHeadByGroup]] for a quality head
+   * or Sharding.epochedTrainingOrder for the order). `capped` marks
+   * sources that hit their repetition ceiling (the waterfill
+   * saturation flag on the capped inventory). Σ alloc =
+   * min(budget, Σ avail·maxEpochs) exactly.
+   *
+   * Dimension-sized throughout, like the waterfill it wraps.
+   *
+   * @return (groupCol, availCol, alloc, epochs, last_epoch_tokens,
+   *         capped)
+   */
+  def repetitionWaterfillPlan(
+      avail: DataFrame,
+      budget: Long,
+      maxEpochs: Int,
+      groupCol: String = "source",
+      availCol: String = "avail_tokens"): DataFrame = {
+    require(maxEpochs >= 1, "maxEpochs must be at least 1")
+    val base = avail.select(col(groupCol),
+      col(availCol).cast("long").as(availCol))
+    val capped = base.select(col(groupCol),
+      (col(availCol) * maxEpochs).as(availCol))
+    val filled = waterfillBudgets(capped, budget, groupCol, availCol)
+      .select(col(groupCol), col("alloc"), col("saturated").as("capped"))
+    base.join(filled, Seq(groupCol)) // S×S dimension join
+      .select(col(groupCol), col(availCol),
+        col("alloc"),
+        when(col("alloc") === 0L, 0L)
+          .otherwise(expr(s"(alloc + $availCol - 1) div $availCol"))
+          .cast("long").as("epochs"),
+        // alloc = 0 ⇒ epochs = 0; subtracting (epochs − 1) full passes
+        // would then ADD one — the guard keeps the zero case at zero
+        (col("alloc") - (when(col("alloc") === 0L, 0L)
+            .otherwise(expr(s"(alloc + $availCol - 1) div $availCol")
+              - 1L)) * col(availCol))
+          .as("last_epoch_tokens"),
+        col("capped"))
+  }
+
   def dsirLogWeights(
       docs: DataFrame,
       isTarget: org.apache.spark.sql.Column,

@@ -74,6 +74,11 @@ object ExtensionQueries {
   // sources (keep everything) and level-capped large ones (+1 remainder
   // grants), and the composed x146 cut shows per-source frontiers
   private[queries] val WaterfillBudget = 25000L
+  // x147 budget is ~2.6× the sf0.01 corpus (~26.9k tokens) with a 3×
+  // repetition cap (cap total ~80.6k): small sources hit the cap
+  // (capped=true, epochs=3), the rest level out mid-repetition
+  private[queries] val RepetitionBudget = 70000L
+  private[queries] val MaxEpochsCap = 3
   /** x136 shortlist expansion (stage-1 keeps k·expand ADC candidates). */
   private[queries] val PqRerankExpand = 4
   private val NbSeedMod = 3L       // x117 labeled-seed slice: doc_id % 3 = 0
@@ -731,16 +736,14 @@ object ExtensionQueries {
       |   (CASE WHEN avg_word_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
       |   (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 0.5)) * 0.3)""".stripMargin
 
-  /** x145/x146 shared waterfill chain → `wfo(source, avail_tokens, sat,
-    * alloc)`: per-source token inventories, the monotone saturation test
-    * over the (avail, source) rank, and the integer level + remainder
-    * allocation — all over the S-row source dimension. */
-  private lazy val sqlWaterfillCtes: String =
-    s"""wfa AS (SELECT source,
-       |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
-       |      AS avail_tokens
-       |  FROM documents GROUP BY source),
-       |wfr AS (SELECT source, avail_tokens,
+  /** x145/x146/x147 shared waterfill chain → `wfo(source, avail_tokens,
+    * sat, alloc)`: the monotone saturation test over the (avail, source)
+    * rank and the integer level + remainder allocation, over whatever
+    * S-row `wfa(source, avail_tokens)` CTE the caller prepends (x145/x146
+    * use the raw per-source token inventories via [[sqlWaterfillCtes]];
+    * x147 an epoch-capped one). */
+  private def sqlWaterfillChain(budget: Long): String =
+    s"""wfr AS (SELECT source, avail_tokens,
        |    CAST(row_number() OVER (ORDER BY avail_tokens, source) AS BIGINT)
        |      AS rk,
        |    CAST(COALESCE(SUM(avail_tokens) OVER (ORDER BY avail_tokens, source
@@ -749,7 +752,7 @@ object ExtensionQueries {
        |    CAST(count(*) OVER () AS BIGINT) AS s_n
        |  FROM wfa),
        |wff AS (SELECT *,
-       |    below + avail_tokens * (s_n - rk + 1) <= $WaterfillBudget AS sat
+       |    below + avail_tokens * (s_n - rk + 1) <= $budget AS sat
        |  FROM wfr),
        |wfg AS (SELECT *,
        |    CAST(COALESCE(sum(CASE WHEN sat THEN avail_tokens END) OVER (), 0)
@@ -760,14 +763,22 @@ object ExtensionQueries {
        |wfo AS (SELECT source, avail_tokens, sat,
        |    CAST(CASE WHEN sat THEN avail_tokens
        |      ELSE (CASE WHEN s_n - k_sat > 0
-       |              THEN ($WaterfillBudget - sat_sum) // (s_n - k_sat)
+       |              THEN ($budget - sat_sum) // (s_n - k_sat)
        |              ELSE 0 END)
        |         + (CASE WHEN rk - k_sat <= (CASE WHEN s_n - k_sat > 0
-       |              THEN ($WaterfillBudget - sat_sum) % (s_n - k_sat)
+       |              THEN ($budget - sat_sum) % (s_n - k_sat)
        |              ELSE 0 END)
        |            THEN 1 ELSE 0 END)
        |      END AS BIGINT) AS alloc
        |  FROM wfg)""".stripMargin
+
+  /** x145/x146: the raw per-source token inventories + the chain. */
+  private lazy val sqlWaterfillCtes: String =
+    s"""wfa AS (SELECT source,
+       |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+       |      AS avail_tokens
+       |  FROM documents GROUP BY source),
+       |${sqlWaterfillChain(WaterfillBudget)}""".stripMargin
 
   private val langMarkerSql = TextAnalysis.LangMarkers.map { case (lang, ms) =>
     lang -> ms.map(m => s"'$m'").mkString("[", ",", "]")
@@ -2136,6 +2147,18 @@ object ExtensionQueries {
         .select(col("source"), col("alloc").as("budget"))
       Mixture.qualityBudgetHeadByGroup(scored, budgets)
         .orderBy("doc_id")
+    }),
+
+    // capped-repetition waterfill plan (Mixture.repetitionWaterfillPlan):
+    // x145's waterfill over 3×-epoch-capped inventories folded into
+    // per-source epoch counts — small sources repeat up to the cap, big
+    // ones level out mid-pass; Σ alloc = min(budget, Σ avail·cap)
+    "x147_repetition_plan" -> ((s, dir) => {
+      val availDf = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(wsTokenCount(col("text"))).as("avail_tokens"))
+      Mixture.repetitionWaterfillPlan(availDf, RepetitionBudget, MaxEpochsCap)
+        .orderBy("source")
     }),
 
     // per-source quality budget head (Mixture.qualityBudgetHeadByGroup):
@@ -4028,6 +4051,28 @@ object ExtensionQueries {
          |  CASE tier WHEN 'full' THEN TRUE WHEN 'rejected' THEN FALSE
          |       ELSE incl <= bud END AS admitted
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    // x147: the waterfill chain over the 3×-capped inventories, epochs
+    // folded back with ceil-division on the RAW inventory
+    "x147_repetition_plan" ->
+      s"""WITH wfa0 AS (SELECT source,
+         |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         |      AS avail_tokens
+         |  FROM documents GROUP BY source),
+         |wfa AS (SELECT source, avail_tokens * $MaxEpochsCap AS avail_tokens
+         |  FROM wfa0),
+         |${sqlWaterfillChain(RepetitionBudget)},
+         |e AS (SELECT wfa0.source, wfa0.avail_tokens, wfo.alloc,
+         |    CASE WHEN wfo.alloc = 0 THEN 0
+         |         ELSE (wfo.alloc + wfa0.avail_tokens - 1) // wfa0.avail_tokens
+         |    END AS epochs,
+         |    wfo.sat AS capped
+         |  FROM wfa0 JOIN wfo ON wfo.source = wfa0.source)
+         |SELECT source, avail_tokens, alloc, CAST(epochs AS BIGINT) AS epochs,
+         |  CAST(alloc - (epochs - CASE WHEN alloc = 0 THEN 0 ELSE 1 END)
+         |    * avail_tokens AS BIGINT) AS last_epoch_tokens,
+         |  capped
+         |FROM e ORDER BY source""".stripMargin,
 
     // x141: the robust (prefer-previous) selection is SEQUENTIAL — each
     // window's choice depends on the previous window's — so the replay

@@ -200,6 +200,40 @@ class MixtureSpec extends SparkSpec {
     assert(got("c") === ((80L, false)))
   }
 
+  test("repetitionWaterfillPlan: epochs fold the capped waterfill back onto raw inventories") {
+    // caps ×3: z 0, a 30, c 120, b 300. budget 200:
+    //   z sat (0), a sat (0+30·3=90 ≤ 200); c/b unsat → R=170, m=2,
+    //   level 85, rem 0.
+    val av = Seq(("a", 10L), ("b", 100L), ("c", 40L), ("z", 0L))
+      .toDF("source", "avail_tokens")
+    val got = Mixture.repetitionWaterfillPlan(av, 200L, maxEpochs = 3)
+      .select("source", "avail_tokens", "alloc", "epochs", "last_epoch_tokens", "capped")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") === (("a", 10L, 30L, 3L, 10L, true)),
+      "a repeats to its 3× cap: 3 full passes")
+    assert(got("c") === (("c", 40L, 85L, 3L, 5L, false)),
+      "c levels out mid-pass: 2 full passes + a 5-token head of the third")
+    assert(got("b") === (("b", 100L, 85L, 1L, 85L, false)),
+      "b takes an 85-token head of its single pass")
+    assert(got("z") === (("z", 0L, 0L, 0L, 0L, true)),
+      "an empty source plans nothing (no division-by-zero epoch)")
+    assert(got.values.map(_._3).sum === 200L, "exactly budget-consuming")
+  }
+
+  test("repetitionWaterfillPlan: budget past the total cap keeps every source at maxEpochs full passes") {
+    val av = Seq(("a", 10L), ("b", 100L)).toDF("source", "avail_tokens")
+    val got = Mixture.repetitionWaterfillPlan(av, 10000L, maxEpochs = 2)
+      .select("source", "avail_tokens", "alloc", "epochs", "last_epoch_tokens", "capped")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+    got.foreach { case (s, avail, alloc, epochs, last, capped) =>
+      assert(alloc === avail * 2, s)
+      assert(epochs === 2L, s)
+      assert(last === avail, s)
+      assert(capped, s)
+    }
+  }
+
   test("qualityBudgetHeadByGroup composes with waterfillBudgets (the x146 shape)") {
     val docs = (1 to 60).map { i =>
       (i.toLong, s"s${i % 3}", (i % 4).toLong, (i % 5 + 1).toLong)
