@@ -226,6 +226,63 @@ object Mixture {
   }
 
   /**
+   * Source-relative vs corpus-global score bucketing, one pass — the
+   * calibration check a multi-source curation needs: a fixed global
+   * threshold ("keep the top decile") silently keeps almost none of a
+   * low-scoring source and almost all of a high-scoring one, so
+   * per-source thresholds rank each doc against its OWN source's
+   * distribution. This emits both verdicts per doc ([[scoreBuckets]]'s
+   * exact integer formula, globally and keyed by `groupCol`) plus the
+   * `shifted` flag marking docs whose decile moves — the per-source
+   * distribution-shift sheet.
+   *
+   * Scale shape, as [[scoreBuckets]]: two histograms (global: grid-
+   * bounded; keyed: grid × groups), both map-side combined, both
+   * broadcast back — the corpus is scanned once and never joins
+   * itself (a doc_id self-join of two bucketed frames would be a
+   * corpus×corpus shuffle; the dual broadcast is how both verdicts ride
+   * one pass).
+   *
+   * @return (idCol, groupCol, scoreCol, bucket_global, bucket_src,
+   *         shifted)
+   */
+  def scoreBucketShift(
+      scored: DataFrame,
+      groupCol: String = "source",
+      scoreCol: String = "score_r",
+      idCol: String = "doc_id",
+      buckets: Int = 10): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val wBelowG = org.apache.spark.sql.expressions.Window
+      .orderBy(scoreCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cumG = scored.groupBy(scoreCol).agg(count(lit(1)).as("_c"))
+      .select(col(scoreCol),
+        coalesce(sum(col("_c")).over(wBelowG), lit(0L)).as("_below_g"))
+    val nG = scored.agg(count(lit(1)).as("_n_total"))
+    val wBelowS = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(scoreCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cumS = scored.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("_c"))
+      .select(col(groupCol), col(scoreCol),
+        coalesce(sum(col("_c")).over(wBelowS), lit(0L)).as("_below_s"))
+    val nS = scored.groupBy(col(groupCol)).agg(count(lit(1)).as("_n_g"))
+    val bG = least(lit(buckets.toLong),
+      lit(1L) + expr(s"($buckets * _below_g) div _n_total"))
+    val bS = least(lit(buckets.toLong),
+      lit(1L) + expr(s"($buckets * _below_s) div _n_g"))
+    scored
+      .join(broadcast(cumG), scoreCol)
+      .crossJoin(broadcast(nG)) // 1-row total scaffold
+      .join(broadcast(cumS), Seq(groupCol, scoreCol))
+      .join(broadcast(nS), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col(scoreCol),
+        bG.as("bucket_global"), bS.as("bucket_src"),
+        (bG =!= bS).as("shifted"))
+  }
+
+  /**
    * DSIR-style importance weights (Xie et al. 2023, "Data Selection for
    * Language Models via Importance Resampling", arXiv:2302.03169):
    * score every document by how much its HASHED-BIGRAM distribution

@@ -2149,6 +2149,19 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // source-relative vs global quality deciles (Mixture.scoreBucketShift):
+    // x60's exact bucket formula evaluated BOTH ways in one corpus pass
+    // (dual broadcast histograms, no self-join) with the shifted flag —
+    // the per-source distribution-shift sheet behind source-relative
+    // thresholds
+    "x148_source_relative_buckets" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir).select(col("doc_id"),
+        col("source"),
+        round(TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+          .cast("long").as("score_r"))
+      Mixture.scoreBucketShift(scored).orderBy("doc_id")
+    }),
+
     // capped-repetition waterfill plan (Mixture.repetitionWaterfillPlan):
     // x145's waterfill over 3×-epoch-capped inventories folded into
     // per-source epoch counts — small sources repeat up to the cap, big
@@ -4051,6 +4064,46 @@ object ExtensionQueries {
          |  CASE tier WHEN 'full' THEN TRUE WHEN 'rejected' THEN FALSE
          |       ELSE incl <= bud END AS admitted
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    // x148: x60's bucket chain twice — global and PARTITION BY source —
+    // over the shared score grid, shifted = the deciles disagree
+    "x148_source_relative_buckets" ->
+      s"""WITH $sqlQualityCtes,
+         |q0 AS (SELECT doc_id,
+         |    CAST(round(($sqlQualityScore) * 1000000, 0) AS BIGINT) AS score_r
+         |  FROM g),
+         |qs AS (SELECT q0.doc_id, d.source, q0.score_r
+         |  FROM q0 JOIN documents d ON q0.doc_id = d.doc_id),
+         |hg AS (SELECT score_r, CAST(count(*) AS BIGINT) AS c
+         |  FROM qs GROUP BY score_r),
+         |cg AS (SELECT score_r,
+         |    CAST(COALESCE(SUM(c) OVER (ORDER BY score_r
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS below_g
+         |  FROM hg),
+         |ng AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM qs),
+         |hs AS (SELECT source, score_r, CAST(count(*) AS BIGINT) AS c
+         |  FROM qs GROUP BY source, score_r),
+         |cs AS (SELECT source, score_r,
+         |    CAST(COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY score_r
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS below_s
+         |  FROM hs),
+         |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_g
+         |  FROM qs GROUP BY source),
+         |b AS (SELECT qs.doc_id, qs.source, qs.score_r,
+         |    least(10, 1 + (10 * cg.below_g) // ng.n_total) AS bucket_global,
+         |    least(10, 1 + (10 * cs.below_s) // ns.n_g) AS bucket_src
+         |  FROM qs
+         |  JOIN cg ON cg.score_r = qs.score_r
+         |  CROSS JOIN ng
+         |  JOIN cs ON cs.source = qs.source AND cs.score_r = qs.score_r
+         |  JOIN ns ON ns.source = qs.source)
+         |SELECT doc_id, source, score_r,
+         |  CAST(bucket_global AS BIGINT) AS bucket_global,
+         |  CAST(bucket_src AS BIGINT) AS bucket_src,
+         |  bucket_src <> bucket_global AS shifted
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     // x147: the waterfill chain over the 3×-capped inventories, epochs
     // folded back with ceil-division on the RAW inventory

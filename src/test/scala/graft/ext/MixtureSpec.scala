@@ -256,6 +256,35 @@ class MixtureSpec extends SparkSpec {
     assert(admittedBySource.values.sum <= 100L)
   }
 
+  test("scoreBucketShift: exact bucket formula both ways; disjoint-range sources shift") {
+    // source A scores 1..100, source B scores 101..200 (with ties on
+    // even scores to exercise ties-share-a-bucket): globally A fills the
+    // bottom deciles and B the top; source-relatively both span 1..10
+    val rows = (1 to 100).map(i => (i.toLong, "A", (i / 2 * 2).toLong)) ++
+      (101 to 200).map(i => (i.toLong, "B", (100 + (i - 100) / 2 * 2).toLong))
+    val df = rows.toDF("doc_id", "source", "score_r")
+    val got = Mixture.scoreBucketShift(df)
+      .select("doc_id", "source", "score_r", "bucket_global", "bucket_src", "shifted")
+      .as[(Long, String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.size === 200)
+    val all = rows.map(_._3)
+    def bucket(below: Long, n: Long): Long = math.min(10L, 1L + 10L * below / n)
+    got.foreach { case (id, src, s, bg, bs, sh) =>
+      val belowG = all.count(_ < s).toLong
+      val inSrc = rows.filter(_._2 == src).map(_._3)
+      val belowS = inSrc.count(_ < s).toLong
+      assert(bg === bucket(belowG, 200L), s"doc $id global")
+      assert(bs === bucket(belowS, inSrc.size.toLong), s"doc $id source")
+      assert(sh === (bg != bs), s"doc $id shifted")
+    }
+    // the calibration story: A tops out at global decile 5, but
+    // source-relatively both sources use the full 1..10 range
+    assert(got.filter(_._2 == "A").map(_._4).max <= 5L)
+    assert(got.filter(_._2 == "A").map(_._5).toSet === (1L to 10L).toSet)
+    assert(got.filter(_._2 == "B").map(_._5).toSet === (1L to 10L).toSet)
+    assert(got.count(_._6) > 100, "disjoint ranges shift most deciles")
+  }
+
   test("qualityBudgetHeadByGroup: a group without a budget row drops (explicit budgets are the contract)") {
     val grouped = Seq((1L, "gA", 1L, 5L), (2L, "gX", 1L, 5L))
       .toDF("doc_id", "source", "score_k", "n_tokens")
