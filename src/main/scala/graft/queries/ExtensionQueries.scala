@@ -2174,6 +2174,26 @@ object ExtensionQueries {
         .orderBy("source")
     }),
 
+    // last-pass quality head (x147 ∘ x144): a repetition plan's final
+    // PARTIAL epoch takes only `last_epoch_tokens` from each source —
+    // this picks WHICH tokens, quality-first: epochs−1 full passes plus
+    // the best last_epoch_tokens head of the final one, the complete
+    // budget→allocation→selection chain a training manifest consumes
+    "x149_last_pass_head" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scored = d.select(col("doc_id"), col("source"),
+        round(TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+          .cast("long").as("score_k"),
+        wsTokenCount(col("text")).as("n_tokens"))
+      val availDf = d.groupBy(col("source"))
+        .agg(sum(wsTokenCount(col("text"))).as("avail_tokens"))
+      val budgets = Mixture.repetitionWaterfillPlan(
+          availDf, RepetitionBudget, MaxEpochsCap)
+        .select(col("source"), col("last_epoch_tokens").as("budget"))
+      Mixture.qualityBudgetHeadByGroup(scored, budgets)
+        .orderBy("doc_id")
+    }),
+
     // per-source quality budget head (Mixture.qualityBudgetHeadByGroup):
     // "best B_s tokens from EACH source" — x143's tier arithmetic keyed
     // by source, the batch mirror of x142's arrival-order quota; budgets
@@ -4126,6 +4146,53 @@ object ExtensionQueries {
          |    * avail_tokens AS BIGINT) AS last_epoch_tokens,
          |  capped
          |FROM e ORDER BY source""".stripMargin,
+
+    // x149: x147's plan chain feeding x144's tier replay — bud is the
+    // last-pass token count per source
+    "x149_last_pass_head" ->
+      s"""WITH wfa0 AS (SELECT source,
+         |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         |      AS avail_tokens
+         |  FROM documents GROUP BY source),
+         |wfa AS (SELECT source, avail_tokens * $MaxEpochsCap AS avail_tokens
+         |  FROM wfa0),
+         |${sqlWaterfillChain(RepetitionBudget)},
+         |lep AS (SELECT wfa0.source,
+         |    CAST(wfo.alloc - (CASE WHEN wfo.alloc = 0 THEN 0
+         |        ELSE (wfo.alloc + wfa0.avail_tokens - 1) // wfa0.avail_tokens - 1
+         |      END) * wfa0.avail_tokens AS BIGINT) AS bud
+         |  FROM wfa0 JOIN wfo ON wfo.source = wfa0.source),
+         |$sqlQualityCtes,
+         |q0 AS (SELECT doc_id,
+         |    CAST(round(($sqlQualityScore) * 1000000, 0) AS BIGINT) AS score_k
+         |  FROM g),
+         |qs AS (SELECT q0.doc_id, d.source, q0.score_k,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    lep.bud
+         |  FROM q0 JOIN documents d ON q0.doc_id = d.doc_id
+         |  JOIN lep ON lep.source = d.source),
+         |h AS (SELECT source, score_k, CAST(sum(n_tokens) AS BIGINT) AS bt
+         |  FROM qs GROUP BY source, score_k),
+         |c AS (SELECT source, score_k, bt,
+         |    CAST(COALESCE(SUM(bt) OVER (PARTITION BY source
+         |      ORDER BY score_k DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS prior
+         |  FROM h),
+         |t AS (SELECT qs.doc_id, qs.source, qs.score_k, qs.n_tokens, qs.bud,
+         |    CASE WHEN c.prior + c.bt <= qs.bud THEN 'full'
+         |         WHEN c.prior >= qs.bud THEN 'rejected'
+         |         ELSE 'frontier' END AS tier,
+         |    c.prior + CAST(sum(qs.n_tokens) OVER (
+         |      PARTITION BY qs.source, qs.score_k ORDER BY qs.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS incl
+         |  FROM qs JOIN c ON qs.source = c.source AND qs.score_k = c.score_k)
+         |SELECT doc_id, source, score_k, n_tokens, tier,
+         |  CASE tier WHEN 'full' THEN TRUE WHEN 'rejected' THEN FALSE
+         |       ELSE incl <= bud END AS admitted
+         |FROM t ORDER BY doc_id""".stripMargin,
 
     // x141: the robust (prefer-previous) selection is SEQUENTIAL — each
     // window's choice depends on the previous window's — so the replay
