@@ -716,7 +716,7 @@ object ExtensionQueries {
   /** Quality-feature CTE chain (f raw counts → g typed/ratios) shared by
     * x03 and x25 — the score expression must be textually identical in
     * both so the doubles agree. */
-  private lazy val sqlQualityCtes =
+  private[queries] lazy val sqlQualityCtes =
     s"""f AS (
        |  SELECT doc_id, length(text) AS n_chars,
        |    len(string_split($sqlNorm, ' ')) AS n_tokens,
@@ -731,7 +731,7 @@ object ExtensionQueries {
        |    CAST(n_stopwords AS DOUBLE) / n_tokens AS stop_ratio,
        |    CAST(sum_word_len AS DOUBLE) / n_tokens AS avg_word_len FROM f)""".stripMargin
 
-  private val sqlQualityScore =
+  private[queries] val sqlQualityScore =
     """(least(stop_ratio * 2.0, 1.0) * 0.4 +
       |   (CASE WHEN avg_word_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
       |   (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 0.5)) * 0.3)""".stripMargin

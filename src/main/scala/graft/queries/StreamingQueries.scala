@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ext.{KMeans, Similarity, TextAnalysis}
 import graft.sources.Tables
-import graft.streaming.{StreamingBm25Ingest, StreamingBudgetAdmission, StreamingClusterIngest, StreamingDecontaminate, StreamingDedup, StreamingIndexIngest, StreamingLangIdScore, StreamingNbScore, StreamingPqIngest, StreamingPrioritySample, StreamingWinnowIngest}
+import graft.streaming.{StreamingBm25Ingest, StreamingBudgetAdmission, StreamingClusterIngest, StreamingDecontaminate, StreamingDedup, StreamingIndexIngest, StreamingLangIdScore, StreamingNbScore, StreamingPqIngest, StreamingPrioritySample, StreamingQualityHead, StreamingWinnowIngest}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -448,6 +448,43 @@ object StreamingQueries {
         .select(col("id").as("doc_id"), col("group").as("source"),
           col("tokens").as("n_tokens"), col("src_cum"), col("admitted"))
         .orderBy("doc_id")
+    }),
+
+    // streaming evictive quality head (StreamingQualityHead): maintain
+    // ONLINE the "best QualityHeadBudget tokens so far" — x143's tier
+    // arithmetic folded per micro-batch, late high-quality arrivals
+    // evicting the tail; the per-doc lifecycle sheet (arrival verdict /
+    // eviction batch / final membership) replays as one per-prefix tier
+    // pass in DuckDB over the doc_id%4 arrival split
+    "x150_stream_quality_head" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+            .cast("long").as("score_k"),
+          size(org.apache.spark.sql.functions.split(
+            trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        .as[(Long, Long, Long)].collect().toSeq
+      val path = java.nio.file.Files.createTempDirectory("graft_x150_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x150_ck_").toString
+      val input = MemoryStream[(Long, Long, Long)]
+      val writer = StreamingQualityHead.attach(
+        input.toDF().toDF("doc_id", "score_k", "n_tokens"), path,
+        budget = ExtensionQueries.QualityHeadBudget)
+        .option("checkpointLocation", ckpt)
+      def drain(batch: Seq[(Long, Long, Long)]): Unit = {
+        input.addData(batch)
+        val q = writer.trigger(
+          org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination(120000) finally q.stop()
+      }
+      (0L until 4L).foreach(b => drain(rows.filter(_._1 % 4 == b)))
+      StreamingQualityHead.ledger(s, path)
+        .select(col("id").as("doc_id"), col("arrival_batch"),
+          col("score").as("score_k"), col("tokens").as("n_tokens"),
+          col("admit"), col("evict_batch"), col("admitted"))
+        .orderBy("doc_id")
     }))
 
   /** The x15 deterministic-recurrence centroids as KMeans.Centroid
@@ -486,6 +523,56 @@ object StreamingQueries {
          |SELECT doc_id, source, n_tokens, src_cum,
          |       src_cum <= ${ExtensionQueries.SrcQuotaTokens} AS admitted
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // x150: the evictive head replayed as one per-PREFIX tier pass —
+    // for each arrival prefix b (docs with doc_id%4 <= b) the x143 tier
+    // arithmetic runs partitioned by b; a doc's lifecycle falls out of
+    // its per-prefix verdicts (admit at its own prefix, evicted at the
+    // first prefix that drops it — verdicts only degrade, which is the
+    // monotonicity the operator's incremental fold is built on)
+    "x150_stream_quality_head" ->
+      s"""WITH ${ExtensionQueries.sqlQualityCtes},
+         |q0 AS (SELECT doc_id,
+         |    CAST(round((${ExtensionQueries.sqlQualityScore}) * 1000000, 0)
+         |      AS BIGINT) AS score_k
+         |  FROM g),
+         |qs AS (SELECT q0.doc_id, q0.score_k,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    CAST(q0.doc_id % 4 AS BIGINT) AS ab
+         |  FROM q0 JOIN documents d ON q0.doc_id = d.doc_id),
+         |bs AS (SELECT CAST(b AS BIGINT) AS b FROM range(0, 4) t(b)),
+         |p AS (SELECT qs.*, bs.b FROM qs JOIN bs ON qs.ab <= bs.b),
+         |h AS (SELECT b, score_k, CAST(sum(n_tokens) AS BIGINT) AS bt
+         |  FROM p GROUP BY b, score_k),
+         |c AS (SELECT b, score_k, bt,
+         |    CAST(COALESCE(SUM(bt) OVER (PARTITION BY b ORDER BY score_k DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS prior
+         |  FROM h),
+         |t AS (SELECT p.b, p.doc_id, p.ab, p.score_k, p.n_tokens,
+         |    CASE WHEN c.prior + c.bt <= ${ExtensionQueries.QualityHeadBudget}
+         |           THEN 'full'
+         |         WHEN c.prior >= ${ExtensionQueries.QualityHeadBudget}
+         |           THEN 'rejected'
+         |         ELSE 'frontier' END AS tier,
+         |    c.prior + CAST(sum(p.n_tokens) OVER (PARTITION BY p.b, p.score_k
+         |      ORDER BY p.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS incl
+         |  FROM p JOIN c ON p.b = c.b AND p.score_k = c.score_k),
+         |a AS (SELECT b, doc_id, ab, score_k, n_tokens,
+         |    CASE tier WHEN 'full' THEN TRUE WHEN 'rejected' THEN FALSE
+         |         ELSE incl <= ${ExtensionQueries.QualityHeadBudget} END AS adm
+         |  FROM t),
+         |lc AS (SELECT doc_id, ab AS arrival_batch, score_k, n_tokens,
+         |    bool_or(adm) FILTER (WHERE b = ab) AS admit,
+         |    CAST(min(b) FILTER (WHERE NOT adm) AS BIGINT) AS ev,
+         |    bool_or(adm) FILTER (WHERE b = 3) AS admitted
+         |  FROM a GROUP BY doc_id, ab, score_k, n_tokens)
+         |SELECT doc_id, arrival_batch, score_k, n_tokens, admit,
+         |  CASE WHEN admit THEN ev END AS evict_batch, admitted
+         |FROM lc ORDER BY doc_id""".stripMargin,
 
     // x92: x82's diff SQL restricted to rows the stream can see (the
     // arriving NEW snapshot) — 'removed' rows are the batch diff's alone

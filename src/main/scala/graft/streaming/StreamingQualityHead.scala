@@ -1,0 +1,218 @@
+package graft.streaming
+
+import graft.ext.Positional
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/**
+ * Streaming evictive quality-budget head — maintain ONLINE the corpus
+ * [[graft.ext.Mixture.qualityBudgetHead]] selects in batch: "the best
+ * `budget` tokens ingested SO FAR", admissions in (score DESC, id ASC)
+ * order with the inclusive running token total inside the budget. The
+ * missing quadrant of the budget family: x142 admits the FIRST tokens
+ * online, x143/x144 pick the BEST tokens in batch — this keeps the
+ * BEST tokens online, with late high-quality arrivals EVICTING the
+ * current tail. After every fold the accumulated head must be
+ * bit-identical to the batch operator over everything ingested.
+ *
+ * Why the fold can be exact without re-reading the corpus — three
+ * monotonicity facts of the tier arithmetic (tokens-above `prior` and
+ * tier total `bt` only grow as the corpus grows):
+ *  1. verdicts only degrade (admitted → evicted; rejected never
+ *     re-admits), so the new head ⊆ old head ∪ arrivals;
+ *  2. a tier that is 'full' now was full at every earlier prefix, so
+ *     its members all sit in the old head;
+ *  3. the frontier tier only moves UP the score grid, so the only
+ *     rejected docs a future fold can ever need are the CURRENT
+ *     frontier tier's — kept as a self-pruning `fringe` (dropped the
+ *     moment their tier falls below the frontier).
+ *
+ * State layout under `path/` — per-`batch=<id>` OVERWRITE directories
+ * throughout (the [[StreamingWinnowIngest]] discipline: every read
+ * excludes the fold's own batch, so replay after any crash window
+ * recomputes identical frames and truncates-and-rewrites):
+ *  - `hist/batch=<id>`      — (score, bt) per-score-tier token totals
+ *    over EVERYTHING ingested. Grid-bounded (never corpus-sized), and
+ *    non-empty from the first arrival on — it is the snapshot MARKER:
+ *    the latest hist batch names the head/fringe generation to read
+ *    (head and fringe can be legitimately empty, so their own row
+ *    maxima cannot be trusted to name the latest generation).
+ *  - `head/batch=<id>`      — the current admitted set (id, score,
+ *    tokens); bounded by the BUDGET, not the corpus.
+ *  - `fringe/batch=<id>`    — the current frontier tier's REJECTED
+ *    docs (same schema); one score tier's stragglers, self-pruning.
+ *  - `arrivals/batch=<id>`  — append-only ledger (id, score, tokens,
+ *    admit) — the verdict each doc got ON ARRIVAL (also the
+ *    cross-batch re-arrival guard).
+ *  - `evictions/batch=<id>` — (id) evicted by this fold; at most one
+ *    row per id ever (verdicts only degrade).
+ *
+ * Per-batch cost: tier histogram of the ARRIVALS merged into the
+ * stored grid-bounded hist; candidates = head ∪ fringe ∪ arrivals
+ * (budget- and batch-sized, never corpus-sized) joined to the
+ * broadcast tier verdicts; only the one frontier tier runs an exact
+ * running sum (two-phase [[Positional.withGlobalRunningSum]] layout,
+ * so a degenerate single-tier corpus never funnels one task). The
+ * head rewrite is O(budget) per fold — it IS the materialized
+ * product; a deployment with a huge budget would partition `head` by
+ * score tier and rewrite only tiers at/below the batch's best
+ * arrival, which facts 1–3 make safe (tiers above it cannot change).
+ */
+object StreamingQualityHead {
+
+  /** Attach the evictive-head sink over a stream carrying (idCol,
+    * scoreCol, tokCol). Caller starts the writer with its own
+    * checkpoint/trigger options; read results with [[ledger]]. */
+  def attach(
+      docs: DataFrame,
+      path: String,
+      budget: Long,
+      idCol: String = "doc_id",
+      scoreCol: String = "score_k",
+      tokCol: String = "n_tokens"): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(batch, batchId, path, budget, idCol, scoreCol, tokCol)
+      }
+
+  /** One micro-batch's fold — public so replay (foreachBatch
+    * re-delivering (batch, batchId) after any prefix of the five
+    * writes committed) is directly spec-testable: re-folding must
+    * leave every state table bit-identical. */
+  def foldBatch(
+      batch: DataFrame,
+      batchId: Long,
+      path: String,
+      budget: Long,
+      idCol: String = "doc_id",
+      scoreCol: String = "score_k",
+      tokCol: String = "n_tokens"): Unit = {
+    require(budget >= 0, "budget must be non-negative")
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val hasState = StreamState.exists(spark, s"$path/hist")
+      def stateView(sub: String): DataFrame =
+        spark.read.parquet(s"$path/$sub")
+          .filter(col("batch") =!= lit(batchId))
+      // in-batch id dedup (pure function of batch contents), then the
+      // cross-batch re-arrival guard off the arrivals ledger — a doc
+      // already holding an arrival verdict no-ops (column-pruned id
+      // scan, batch side broadcasts)
+      val batchDocs = batch.groupBy(col(idCol))
+        .agg(max(col(scoreCol)).cast("long").as("score"),
+          min(col(tokCol)).cast("long").as("tokens"))
+        .select(col(idCol).as("id"), col("score"), col("tokens"))
+      val arrivals =
+        if (hasState)
+          batchDocs.join(stateView("arrivals").select("id"), Seq("id"), "left_anti")
+            .persist()
+        else batchDocs.persist()
+      if (!arrivals.isEmpty) {
+        // latest PRIOR generation, named by the hist marker (hist is
+        // grid-bounded — the max-batch probe is a control-plane scalar)
+        val priorGen: Option[Long] =
+          if (hasState) {
+            val mx = stateView("hist").agg(max(col("batch").cast("long"))).head()
+            if (mx.isNullAt(0)) None else Some(mx.getLong(0))
+          } else None
+        def latest(sub: String): DataFrame = priorGen match {
+          case Some(g) => stateView(sub)
+            .filter(col("batch").cast("long") === lit(g))
+            .select(col("id"), col("score"), col("tokens"))
+          case None => arrivals.limit(0)
+        }
+        // merged per-tier token totals over everything ingested
+        val batchHist = arrivals.groupBy(col("score"))
+          .agg(sum(col("tokens")).as("bt"))
+        val newHist = (priorGen match {
+          case Some(g) => stateView("hist")
+            .filter(col("batch").cast("long") === lit(g))
+            .select(col("score"), col("bt"))
+            .unionByName(batchHist)
+            .groupBy(col("score")).agg(sum(col("bt")).as("bt"))
+          case None => batchHist
+        }).localCheckpoint(true)
+        // tier verdicts off the grid-bounded cumulative window (the
+        // x143 arithmetic: tokens-strictly-above as prior)
+        val wAbove = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val cum = newHist.select(col("score"), col("bt"),
+          coalesce(sum(col("bt")).over(wAbove), lit(0L)).as("_prior"))
+        val isFull = col("_prior") + col("bt") <= budget
+        val isRejected = col("_prior") >= budget
+        // candidates: every doc whose verdict can still change or be
+        // needed (facts 1-3) — budget+tier+batch-sized, never corpus
+        val candidates = latest("head")
+          .unionByName(latest("fringe"))
+          .unionByName(arrivals)
+        val flagged = candidates.join(broadcast(cum), Seq("score")).persist()
+        val decidedFull = flagged.filter(isFull)
+          .select(col("id"), col("score"), col("tokens"))
+        val frontier = flagged.filter(!isFull && !isRejected)
+          .select(col("id"), col("score"), col("tokens"), col("_prior"))
+        val refinedBase = Positional.withGlobalRunningSum(
+            frontier, Seq(col("id")), "tokens", "_pfx")
+        val refined = refinedBase
+          .withColumn("_adm", col("_prior") + col("_pfx") <= budget)
+        // localCheckpoint(true) is EAGER — both frames materialize here,
+        // so the helper's internal persist can be released per fold
+        // (a stream must not accumulate cached frames across batches)
+        val newHead = decidedFull
+          .unionByName(refined.filter(col("_adm")).select("id", "score", "tokens"))
+          .localCheckpoint(true)
+        val newFringe = refined.filter(!col("_adm"))
+          .select("id", "score", "tokens")
+          .localCheckpoint(true)
+        refinedBase.unpersist(blocking = false)
+        // ledger rows: arrival verdicts + this fold's evictions
+        val arrOut = arrivals.join(
+            newHead.select(col("id"), lit(true).as("admit")), Seq("id"), "left")
+          .select(col("id"), col("score"), col("tokens"),
+            coalesce(col("admit"), lit(false)).as("admit"))
+        val evicted = latest("head")
+          .join(newHead.select("id"), Seq("id"), "left_anti")
+          .select("id")
+        arrOut.write.mode("overwrite").parquet(s"$path/arrivals/batch=$batchId")
+        evicted.write.mode("overwrite").parquet(s"$path/evictions/batch=$batchId")
+        newHist.write.mode("overwrite").parquet(s"$path/hist/batch=$batchId")
+        newHead.write.mode("overwrite").parquet(s"$path/head/batch=$batchId")
+        newFringe.write.mode("overwrite").parquet(s"$path/fringe/batch=$batchId")
+        flagged.unpersist(blocking = false)
+      }
+      arrivals.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** The current head generation — must equal the admitted set of
+    * [[graft.ext.Mixture.qualityBudgetHead]] over everything ingested. */
+  def head(spark: SparkSession, path: String): DataFrame = {
+    val mx = spark.read.parquet(s"$path/hist")
+      .agg(max(col("batch").cast("long"))).head().getLong(0)
+    spark.read.parquet(s"$path/head")
+      .filter(col("batch").cast("long") === lit(mx))
+      .select(col("id"), col("score"), col("tokens"))
+  }
+
+  /** Per-doc lifecycle sheet: arrival verdict, the batch that evicted
+    * it (null if never), and FINAL membership read from the current
+    * head state (so a drift between ledger and head is observable, not
+    * papered over — `admitted = admit AND evict_batch IS NULL` is the
+    * invariant the spec pins). */
+  def ledger(spark: SparkSession, path: String): DataFrame = {
+    val arr = spark.read.parquet(s"$path/arrivals")
+      .select(col("id"), col("batch").cast("long").as("arrival_batch"),
+        col("score"), col("tokens"), col("admit"))
+    val ev = spark.read.parquet(s"$path/evictions")
+      .groupBy(col("id"))
+      .agg(min(col("batch").cast("long")).as("evict_batch"))
+    arr.join(ev, Seq("id"), "left")
+      .join(head(spark, path).select(col("id"), lit(true).as("_m")), Seq("id"), "left")
+      .select(col("id"), col("arrival_batch"), col("score"), col("tokens"),
+        col("admit"), col("evict_batch"),
+        coalesce(col("_m"), lit(false)).as("admitted"))
+  }
+}

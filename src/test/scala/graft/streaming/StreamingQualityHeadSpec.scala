@@ -1,0 +1,129 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ext.Mixture
+import org.apache.spark.sql.functions._
+
+/** The evictive quality head must track the batch operator exactly:
+  * after every fold, the stored head equals
+  * [[Mixture.qualityBudgetHead]]'s admitted set over everything
+  * ingested — late high-quality arrivals evict the tail, rejected docs
+  * never re-admit, and replay of any crash window is idempotent. */
+class StreamingQualityHeadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, Long, Long)*) =
+    rows.toSeq.toDF("doc_id", "score_k", "n_tokens")
+
+  private def newPath() =
+    java.nio.file.Files.createTempDirectory("graft_sqh_").toString
+
+  private def headSet(path: String): Set[Long] =
+    StreamingQualityHead.head(spark, path).select("id")
+      .as[Long].collect().toSet
+
+  private def batchAdmitted(all: Seq[(Long, Long, Long)], budget: Long): Set[Long] =
+    Mixture.qualityBudgetHead(docs(all: _*), budget)
+      .filter(col("admitted")).select("doc_id").as[Long].collect().toSet
+
+  private val b0 = Seq((1L, 100L, 40L), (2L, 100L, 40L), (3L, 50L, 30L))
+  private val b1 = Seq((4L, 200L, 50L))
+  private val b2 = Seq((5L, 100L, 5L))
+
+  test("fold-by-fold the head equals the batch operator; evictions and verdicts land in the ledger") {
+    val path = newPath()
+    StreamingQualityHead.foldBatch(docs(b0: _*), 0L, path, budget = 100L)
+    assert(headSet(path) === batchAdmitted(b0, 100L))
+    assert(headSet(path) === Set(1L, 2L))
+    StreamingQualityHead.foldBatch(docs(b1: _*), 1L, path, budget = 100L)
+    // doc 4 (score 200) evicts doc 2: tier 100 became the frontier and
+    // doc 2's inclusive sum overflows the budget
+    assert(headSet(path) === batchAdmitted(b0 ++ b1, 100L))
+    assert(headSet(path) === Set(1L, 4L))
+    StreamingQualityHead.foldBatch(docs(b2: _*), 2L, path, budget = 100L)
+    // doc 5's 5 tokens WOULD fit by size, but id-order frontier
+    // semantics reject it (ids 1 and 2 precede it in the tier)
+    assert(headSet(path) === batchAdmitted(b0 ++ b1 ++ b2, 100L))
+    assert(headSet(path) === Set(1L, 4L))
+    val led = StreamingQualityHead.ledger(spark, path)
+      .select("id", "arrival_batch", "admit", "evict_batch", "admitted")
+      .as[(Long, Long, Boolean, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(led === Map(
+      1L -> ((0L, true, None, true)),
+      2L -> ((0L, true, Some(1L), false)),
+      3L -> ((0L, false, None, false)),
+      4L -> ((1L, true, None, true)),
+      5L -> ((2L, false, None, false))))
+    // the ledger invariant: final membership == admitted-and-never-evicted
+    led.foreach { case (_, (_, adm, ev, fin)) =>
+      assert(fin === (adm && ev.isEmpty))
+    }
+  }
+
+  test("replaying a fully-committed batch is a no-op on every state table") {
+    val path = newPath()
+    StreamingQualityHead.foldBatch(docs(b0: _*), 0L, path, budget = 100L)
+    StreamingQualityHead.foldBatch(docs(b1: _*), 1L, path, budget = 100L)
+    def snap(sub: String) = spark.read.parquet(s"$path/$sub")
+      .collect().map(_.toString).sorted.toSeq
+    val before = Seq("hist", "head", "fringe", "arrivals", "evictions").map(s => s -> snap(s))
+    StreamingQualityHead.foldBatch(docs(b1: _*), 1L, path, budget = 100L)
+    before.foreach { case (sub, rows) =>
+      assert(snap(sub) === rows, s"replay changed $sub")
+    }
+  }
+
+  test("crash between the ledger writes and the generation writes replays to the clean state") {
+    val clean = newPath()
+    StreamingQualityHead.foldBatch(docs(b0: _*), 0L, clean, budget = 100L)
+    StreamingQualityHead.foldBatch(docs(b1: _*), 1L, clean, budget = 100L)
+    val crashed = newPath()
+    StreamingQualityHead.foldBatch(docs(b0: _*), 0L, crashed, budget = 100L)
+    StreamingQualityHead.foldBatch(docs(b1: _*), 1L, crashed, budget = 100L)
+    // simulate the crash window: batch 1's arrivals+evictions committed,
+    // hist/head/fringe not — delete the three generation dirs
+    for (sub <- Seq("hist", "head", "fringe")) {
+      val d = new java.io.File(s"$crashed/$sub/batch=1")
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    StreamingQualityHead.foldBatch(docs(b1: _*), 1L, crashed, budget = 100L)
+    for (sub <- Seq("hist", "head", "fringe", "arrivals", "evictions")) {
+      val c = spark.read.parquet(s"$clean/$sub").collect().map(_.toString).sorted.toSeq
+      val x = spark.read.parquet(s"$crashed/$sub").collect().map(_.toString).sorted.toSeq
+      assert(x === c, s"crash-window replay diverged on $sub")
+    }
+  }
+
+  test("budget 0 admits nothing and keeps empty-but-readable generations") {
+    val path = newPath()
+    StreamingQualityHead.foldBatch(docs(b0: _*), 0L, path, budget = 0L)
+    StreamingQualityHead.foldBatch(docs(b1: _*), 1L, path, budget = 0L)
+    assert(headSet(path) === Set.empty[Long])
+    val led = StreamingQualityHead.ledger(spark, path)
+    assert(led.filter(col("admit") || col("admitted")).count() === 0L)
+    assert(led.count() === 4L)
+  }
+
+  test("a corpus under budget comes back fully admitted with no evictions") {
+    val path = newPath()
+    StreamingQualityHead.foldBatch(docs(b0: _*), 0L, path, budget = 100000L)
+    StreamingQualityHead.foldBatch(docs(b1: _*), 1L, path, budget = 100000L)
+    assert(headSet(path) === Set(1L, 2L, 3L, 4L))
+    assert(StreamingQualityHead.ledger(spark, path)
+      .filter(col("evict_batch").isNotNull).count() === 0L)
+  }
+
+  test("cross-batch re-arrival of an id no-ops (single arrival row, verdict unchanged)") {
+    val path = newPath()
+    StreamingQualityHead.foldBatch(docs(b0: _*), 0L, path, budget = 100L)
+    StreamingQualityHead.foldBatch(
+      docs((1L, 999L, 1L), (4L, 200L, 50L)), 1L, path, budget = 100L)
+    val arr = spark.read.parquet(s"$path/arrivals")
+      .filter(col("id") === 1L)
+    assert(arr.count() === 1L)
+    assert(arr.select("score").as[Long].head() === 100L,
+      "re-arrival must not overwrite the original arrival verdict")
+    assert(headSet(path) === Set(1L, 4L))
+  }
+}
