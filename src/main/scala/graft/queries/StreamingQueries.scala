@@ -469,17 +469,17 @@ object StreamingQueries {
       val path = java.nio.file.Files.createTempDirectory("graft_x150_").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_x150_ck_").toString
       val input = MemoryStream[(Long, Long, Long)]
-      val writer = StreamingQualityHead.attach(
+      val q = StreamingQualityHead.attach(
         input.toDF().toDF("doc_id", "score_k", "n_tokens"), path,
         budget = ExtensionQueries.QualityHeadBudget)
         .option("checkpointLocation", ckpt)
-      def drain(batch: Seq[(Long, Long, Long)]): Unit = {
-        input.addData(batch)
-        val q = writer.trigger(
-          org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        try q.awaitTermination(120000) finally q.stop()
-      }
-      (0L until 4L).foreach(b => drain(rows.filter(_._1 % 4 == b)))
+        .start()
+      // ONE running query, four drained micro-batches (batchIds 0-3) —
+      // the arrival split is doc_id%4, replayed verbatim by the oracle
+      try (0L until 4L).foreach { b =>
+        input.addData(rows.filter(_._1 % 4 == b))
+        q.processAllAvailable()
+      } finally q.stop()
       StreamingQualityHead.ledger(s, path)
         .select(col("id").as("doc_id"), col("arrival_batch"),
           col("score").as("score_k"), col("tokens").as("n_tokens"),

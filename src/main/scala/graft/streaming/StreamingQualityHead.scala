@@ -16,17 +16,24 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  * current tail. After every fold the accumulated head must be
  * bit-identical to the batch operator over everything ingested.
  *
- * Why the fold can be exact without re-reading the corpus — three
+ * Why the fold can be exact with STRICTLY BOUNDED state — four
  * monotonicity facts of the tier arithmetic (tokens-above `prior` and
  * tier total `bt` only grow as the corpus grows):
  *  1. verdicts only degrade (admitted → evicted; rejected never
  *     re-admits), so the new head ⊆ old head ∪ arrivals;
  *  2. a tier that is 'full' now was full at every earlier prefix, so
  *     its members all sit in the old head;
- *  3. the frontier tier only moves UP the score grid, so the only
- *     rejected docs a future fold can ever need are the CURRENT
- *     frontier tier's — kept as a self-pruning `fringe` (dropped the
- *     moment their tier falls below the frontier).
+ *  3. the frontier tier only moves UP the score grid — tiers below it
+ *     stay rejected forever;
+ *  4. WITHIN the frontier tier, inclusive sums are non-decreasing in
+ *     id, so the tier's verdicts are an id-order PREFIX: everything
+ *     the fold must remember about the tier's rejected docs compresses
+ *     to ONE marker — the first rejected id (`cut`). An arrival past
+ *     the cut is rejected outright (its prefix already overflows); an
+ *     arrival before it needs only head ∪ batch for its exact sum.
+ * Fact 4 is what keeps a degenerate all-one-score corpus from growing
+ * corpus-sized state: without it the frontier tier's rejected roster
+ * would have to persist whole.
  *
  * State layout under `path/` — per-`batch=<id>` OVERWRITE directories
  * throughout (the [[StreamingWinnowIngest]] discipline: every read
@@ -35,13 +42,14 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  *  - `hist/batch=<id>`      — (score, bt) per-score-tier token totals
  *    over EVERYTHING ingested. Grid-bounded (never corpus-sized), and
  *    non-empty from the first arrival on — it is the snapshot MARKER:
- *    the latest hist batch names the head/fringe generation to read
- *    (head and fringe can be legitimately empty, so their own row
- *    maxima cannot be trusted to name the latest generation).
+ *    the latest hist batch names the head/cut generation to read
+ *    (head and cut can be legitimately empty, so their own row maxima
+ *    cannot be trusted to name the latest generation).
  *  - `head/batch=<id>`      — the current admitted set (id, score,
  *    tokens); bounded by the BUDGET, not the corpus.
- *  - `fringe/batch=<id>`    — the current frontier tier's REJECTED
- *    docs (same schema); one score tier's stragglers, self-pruning.
+ *  - `cut/batch=<id>`       — AT MOST ONE row (score, cut_id): the
+ *    current frontier tier and its first rejected id (fact 4's
+ *    compression of the whole rejected roster).
  *  - `arrivals/batch=<id>`  — append-only ledger (id, score, tokens,
  *    admit) — the verdict each doc got ON ARRIVAL (also the
  *    cross-batch re-arrival guard).
@@ -49,15 +57,15 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  *    row per id ever (verdicts only degrade).
  *
  * Per-batch cost: tier histogram of the ARRIVALS merged into the
- * stored grid-bounded hist; candidates = head ∪ fringe ∪ arrivals
- * (budget- and batch-sized, never corpus-sized) joined to the
- * broadcast tier verdicts; only the one frontier tier runs an exact
- * running sum (two-phase [[Positional.withGlobalRunningSum]] layout,
- * so a degenerate single-tier corpus never funnels one task). The
- * head rewrite is O(budget) per fold — it IS the materialized
- * product; a deployment with a huge budget would partition `head` by
- * score tier and rewrite only tiers at/below the batch's best
- * arrival, which facts 1–3 make safe (tiers above it cannot change).
+ * stored grid-bounded hist; candidates = head ∪ arrivals (budget- and
+ * batch-sized, never corpus-sized) joined to the broadcast tier
+ * verdicts; only the one frontier tier runs an exact running sum
+ * (two-phase [[Positional.withGlobalRunningSum]] layout, so a
+ * degenerate single-tier corpus never funnels one task). The head
+ * rewrite is O(budget) per fold — it IS the materialized product; a
+ * deployment with a huge budget would partition `head` by score tier
+ * and rewrite only tiers at/below the batch's best arrival, which
+ * facts 1–4 make safe (tiers above it cannot change).
  */
 object StreamingQualityHead {
 
@@ -117,12 +125,15 @@ object StreamingQualityHead {
             val mx = stateView("hist").agg(max(col("batch").cast("long"))).head()
             if (mx.isNullAt(0)) None else Some(mx.getLong(0))
           } else None
-        def latest(sub: String): DataFrame = priorGen match {
-          case Some(g) => stateView(sub)
-            .filter(col("batch").cast("long") === lit(g))
-            .select(col("id"), col("score"), col("tokens"))
-          case None => arrivals.limit(0)
-        }
+        def latestGen(sub: String): Option[DataFrame] = priorGen.map(g =>
+          stateView(sub).filter(col("batch").cast("long") === lit(g)))
+        val priorHead = latestGen("head")
+          .map(_.select(col("id"), col("score"), col("tokens")))
+          .getOrElse(arrivals.limit(0))
+        // the stored frontier cut marker: ≤1 row, a driver scalar
+        val priorCut: Option[(Long, Long)] = latestGen("cut")
+          .flatMap(_.select(col("score"), col("cut_id")).collect().headOption
+            .map(r => (r.getLong(0), r.getLong(1))))
         // merged per-tier token totals over everything ingested
         val batchHist = arrivals.groupBy(col("score"))
           .agg(sum(col("tokens")).as("bt"))
@@ -141,45 +152,67 @@ object StreamingQualityHead {
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
         val cum = newHist.select(col("score"), col("bt"),
           coalesce(sum(col("bt")).over(wAbove), lit(0L)).as("_prior"))
-        val isFull = col("_prior") + col("bt") <= budget
-        val isRejected = col("_prior") >= budget
-        // candidates: every doc whose verdict can still change or be
-        // needed (facts 1-3) — budget+tier+batch-sized, never corpus
-        val candidates = latest("head")
-          .unionByName(latest("fringe"))
-          .unionByName(arrivals)
+          .withColumn("_full", col("_prior") + col("bt") <= budget)
+          .withColumn("_rej", col("_prior") >= budget)
+          .localCheckpoint(true)
+        // candidates: every doc whose verdict can still change (facts
+        // 1-4) — budget+batch-sized, never corpus-sized
+        val candidates = priorHead.unionByName(arrivals)
         val flagged = candidates.join(broadcast(cum), Seq("score")).persist()
-        val decidedFull = flagged.filter(isFull)
+        val decidedFull = flagged.filter(col("_full"))
           .select(col("id"), col("score"), col("tokens"))
-        val frontier = flagged.filter(!isFull && !isRejected)
+        // the unique frontier tier (0 or 1 rows of the grid histogram)
+        val frontierScore: Option[Long] = cum
+          .filter(!col("_full") && !col("_rej"))
+          .select(col("score")).collect().headOption.map(_.getLong(0))
+        val frontierAll = flagged.filter(!col("_full") && !col("_rej"))
           .select(col("id"), col("score"), col("tokens"), col("_prior"))
+        // fact 4: if the cut marker names THIS tier, candidates at or
+        // past the cut are rejected without computation — only the
+        // pre-cut slice runs the exact two-phase running sum
+        val cutGuard: Option[Long] = (priorCut, frontierScore) match {
+          case (Some((cs, cid)), Some(fs)) if cs == fs => Some(cid)
+          case _ => None
+        }
+        val preCut = cutGuard match {
+          case Some(cid) => frontierAll.filter(col("id") < cid)
+          case None => frontierAll
+        }
         val refinedBase = Positional.withGlobalRunningSum(
-            frontier, Seq(col("id")), "tokens", "_pfx")
+            preCut, Seq(col("id")), "tokens", "_pfx")
         val refined = refinedBase
           .withColumn("_adm", col("_prior") + col("_pfx") <= budget)
-        // localCheckpoint(true) is EAGER — both frames materialize here,
+        // localCheckpoint(true) is EAGER — the frame materializes here,
         // so the helper's internal persist can be released per fold
         // (a stream must not accumulate cached frames across batches)
         val newHead = decidedFull
           .unionByName(refined.filter(col("_adm")).select("id", "score", "tokens"))
           .localCheckpoint(true)
-        val newFringe = refined.filter(!col("_adm"))
-          .select("id", "score", "tokens")
-          .localCheckpoint(true)
+        // new cut: the first rejected id among the recomputed slice, or
+        // the old marker if the whole slice fits (the old cut doc only
+        // got worse). A frontier tier always HAS a rejected doc (its
+        // last inclusive sum is prior + bt > budget), so cut is defined
+        // whenever the frontier is.
+        val newCut: Option[(Long, Long)] = frontierScore.map { fs =>
+          val mn = refined.filter(!col("_adm")).agg(min(col("id"))).head()
+          val rejMin = if (mn.isNullAt(0)) Long.MaxValue else mn.getLong(0)
+          (fs, math.min(rejMin, cutGuard.getOrElse(Long.MaxValue)))
+        }
         refinedBase.unpersist(blocking = false)
+        val cutDf = spark.createDataFrame(newCut.toSeq).toDF("score", "cut_id")
         // ledger rows: arrival verdicts + this fold's evictions
         val arrOut = arrivals.join(
             newHead.select(col("id"), lit(true).as("admit")), Seq("id"), "left")
           .select(col("id"), col("score"), col("tokens"),
             coalesce(col("admit"), lit(false)).as("admit"))
-        val evicted = latest("head")
+        val evicted = priorHead
           .join(newHead.select("id"), Seq("id"), "left_anti")
           .select("id")
         arrOut.write.mode("overwrite").parquet(s"$path/arrivals/batch=$batchId")
         evicted.write.mode("overwrite").parquet(s"$path/evictions/batch=$batchId")
         newHist.write.mode("overwrite").parquet(s"$path/hist/batch=$batchId")
         newHead.write.mode("overwrite").parquet(s"$path/head/batch=$batchId")
-        newFringe.write.mode("overwrite").parquet(s"$path/fringe/batch=$batchId")
+        cutDf.write.mode("overwrite").parquet(s"$path/cut/batch=$batchId")
         flagged.unpersist(blocking = false)
       }
       arrivals.unpersist(blocking = false)

@@ -67,7 +67,7 @@ class StreamingQualityHeadSpec extends SparkSpec {
     StreamingQualityHead.foldBatch(docs(b1: _*), 1L, path, budget = 100L)
     def snap(sub: String) = spark.read.parquet(s"$path/$sub")
       .collect().map(_.toString).sorted.toSeq
-    val before = Seq("hist", "head", "fringe", "arrivals", "evictions").map(s => s -> snap(s))
+    val before = Seq("hist", "head", "cut", "arrivals", "evictions").map(s => s -> snap(s))
     StreamingQualityHead.foldBatch(docs(b1: _*), 1L, path, budget = 100L)
     before.foreach { case (sub, rows) =>
       assert(snap(sub) === rows, s"replay changed $sub")
@@ -82,13 +82,13 @@ class StreamingQualityHeadSpec extends SparkSpec {
     StreamingQualityHead.foldBatch(docs(b0: _*), 0L, crashed, budget = 100L)
     StreamingQualityHead.foldBatch(docs(b1: _*), 1L, crashed, budget = 100L)
     // simulate the crash window: batch 1's arrivals+evictions committed,
-    // hist/head/fringe not — delete the three generation dirs
-    for (sub <- Seq("hist", "head", "fringe")) {
+    // hist/head/cut not — delete the three generation dirs
+    for (sub <- Seq("hist", "head", "cut")) {
       val d = new java.io.File(s"$crashed/$sub/batch=1")
       d.listFiles().foreach(_.delete()); d.delete()
     }
     StreamingQualityHead.foldBatch(docs(b1: _*), 1L, crashed, budget = 100L)
-    for (sub <- Seq("hist", "head", "fringe", "arrivals", "evictions")) {
+    for (sub <- Seq("hist", "head", "cut", "arrivals", "evictions")) {
       val c = spark.read.parquet(s"$clean/$sub").collect().map(_.toString).sorted.toSeq
       val x = spark.read.parquet(s"$crashed/$sub").collect().map(_.toString).sorted.toSeq
       assert(x === c, s"crash-window replay diverged on $sub")
@@ -112,6 +112,38 @@ class StreamingQualityHeadSpec extends SparkSpec {
     assert(headSet(path) === Set(1L, 2L, 3L, 4L))
     assert(StreamingQualityHead.ledger(spark, path)
       .filter(col("evict_batch").isNotNull).count() === 0L)
+  }
+
+  test("degenerate single-tier corpus: state stays bounded by the cut marker, verdicts stay exact") {
+    val path = newPath()
+    // 20 docs, one score tier, 10 tokens each, budget 35 → ids 1-3 fit
+    StreamingQualityHead.foldBatch(
+      docs((1L to 20L).map(i => (i, 7L, 10L)): _*), 0L, path, budget = 35L)
+    assert(headSet(path) === Set(1L, 2L, 3L))
+    // the whole rejected roster compresses to ONE cut row (id 4)
+    val cut0 = spark.read.parquet(s"$path/cut")
+      .select("score", "cut_id").as[(Long, Long)].collect().toSeq
+    assert(cut0 === Seq((7L, 4L)))
+    // arrivals past the cut are rejected outright — no state growth
+    StreamingQualityHead.foldBatch(
+      docs((21L to 30L).map(i => (i, 7L, 10L)): _*), 1L, path, budget = 35L)
+    assert(headSet(path) === Set(1L, 2L, 3L))
+    // an arrival BEFORE the cut inserts, evicts the tail, moves the cut down
+    StreamingQualityHead.foldBatch(docs((0L, 7L, 10L)), 2L, path, budget = 35L)
+    assert(headSet(path) === Set(0L, 1L, 2L))
+    assert(headSet(path) === batchAdmitted(
+      (0L to 30L).map(i => (i, 7L, 10L)), 35L))
+    val cut2 = spark.read.parquet(s"$path/cut")
+      .filter(col("batch") === 2)
+      .select("score", "cut_id").as[(Long, Long)].collect().toSeq
+    assert(cut2 === Seq((7L, 3L)))
+    val led = StreamingQualityHead.ledger(spark, path)
+    assert(led.filter(col("evict_batch") === 2L).select("id").as[Long]
+      .collect().toSeq === Seq(3L))
+    // boundedness: every generation's head+cut rows ≤ budget-sized,
+    // regardless of how many docs the tier has rejected
+    assert(spark.read.parquet(s"$path/head").filter(col("batch") === 1).count() === 3L)
+    assert(spark.read.parquet(s"$path/cut").filter(col("batch") === 1).count() === 1L)
   }
 
   test("cross-batch re-arrival of an id no-ops (single arrival row, verdict unchanged)") {
