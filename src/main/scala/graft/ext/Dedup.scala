@@ -250,20 +250,22 @@ object Dedup {
     // bucket into ONE task just to discard it — the exact skew funnel the
     // cap exists to avoid. `banded` is persisted because three consumers
     // (sizes, both join sides) would otherwise recompute the signature
-    // projection. The persist outlives the call (the returned frame's
-    // lineage needs it) — one-shot batch operators in this family
-    // (candidatePairs, decontaminate, cosineNearDups, fuzzyTokenPairs)
-    // leave cache release to the caller/session (Bench and Verify clear
-    // between queries); the per-micro-batch operator
-    // (incrementalNearDups) releases its own temporaries instead.
+    // projection. Self-releasing (Positional's cache-hygiene policy):
+    // the pair list — density-bounded, far smaller than the banded
+    // frame — materializes below and the banded frame is released
+    // before returning; caller unpersists the result once consumed.
     val b = banded.persist()
     val over = overCapBuckets(b, maxBucket).select("band", "band_key")
     val sized = b.join(broadcast(over), Seq("band", "band_key"), "left_anti")
     val l = sized.select(col("band"), col("band_key"), col("id").as("id_a"))
     val r = sized.select(col("band"), col("band_key"), col("id").as("id_b"))
-    l.join(r, Seq("band", "band_key"))
+    val out = l.join(r, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+      .persist()
+    out.count() // materialize while the banded frame is still cached
+    b.unpersist(blocking = false)
+    out
   }
 
   /** The buckets [[candidatePairs]] drops at `maxBucket`: one row per
@@ -336,7 +338,11 @@ object Dedup {
         sort_array(shingleHashes(col(textCol))).as("sh"))
       .persist()
     val cands = candidatePairs(bandedFromShingles(sh, p))
-    verifyPairs(cands, sh, threshold)
+    val out = verifyPairs(cands, sh, threshold).persist()
+    out.count() // self-releasing: materialize, then drop the temporaries
+    cands.unpersist(blocking = false)
+    sh.unpersist(blocking = false)
+    out
   }
 
   /**
@@ -443,11 +449,17 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("id_b"))
     // corpus and benchmark ids must be disjoint (verification joins both
     // sides against the union of the two shingle frames)
-    verifyPairs(cands, corpSh.unionByName(benchSh), threshold)
+    val out = verifyPairs(cands, corpSh.unionByName(benchSh), threshold)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("id_a").as(idCol), col("id_b").as("matched_bench_id"),
         col("jaccard"))
+      .persist()
+    out.count() // self-releasing: materialize the (contaminated-docs-
+    corpSh.unpersist(blocking = false) // sized) drop list, then release
+    benchSh.unpersist(blocking = false) // the shingle/banded temporaries
+    corpBanded.unpersist(blocking = false)
+    out
   }
 
   // -------------------------------------------------------------- simhash
@@ -505,12 +517,16 @@ object Dedup {
       col("id").as("id_a"), col("sh").as("sh_a"))
     val r = banded.select(col("chunk"), col("chunk_key"),
       col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("chunk", "chunk_key"))
+    val out = l.join(r, Seq("chunk", "chunk_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= radius)
       .distinct()
+      .persist()
+    out.count() // self-releasing: materialize the pair list, then drop sigs
+    sigs.unpersist(blocking = false)
+    out
   }
 
   // ------------------------------------------- benchmark n-gram overlap
@@ -757,8 +773,8 @@ object Dedup {
         posexplode(graft.functions.HashExpressions.shingle_hashes_pos(
           col("th"), n, CombineMult)).as(Seq("pos", "h")))
       // consumed twice (frequency agg + join-back): persist so the
-      // tokenize/gram pass runs once (caller-release contract as
-      // simHashPairs; Verify/Bench clear blocks between queries)
+      // tokenize/gram pass runs once (self-releasing — released at the
+      // tail once the span list has materialized)
       .persist()
     val dup = grams.groupBy("h")
       .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
@@ -768,7 +784,7 @@ object Dedup {
     val wOrd = Window.partitionBy("id").orderBy("pos")
     val prevEnd = max(col("pos") + lit(n - 1))
       .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
-    matched
+    val out = matched
       .withColumn("new_span",
         when(prevEnd.isNull || col("pos") > prevEnd + 1, 1).otherwise(0))
       .withColumn("span_id", sum(col("new_span")).over(wOrd))
@@ -779,6 +795,10 @@ object Dedup {
       .select(col("id").as(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"),
         col("n_dup_grams"))
+      .persist()
+    out.count() // self-releasing: materialize spans, then drop the grams
+    grams.unpersist(blocking = false)
+    out
   }
 
   /** APPLY [[dupSpans]]: cut every duplicated span's tokens out of the
@@ -802,7 +822,8 @@ object Dedup {
       n: Int = 13,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val spans = dupSpans(docs, n, idCol, textCol)
+    val spansBase = dupSpans(docs, n, idCol, textCol)
+    val spans = spansBase
       .select(col(idCol).as("sid"), col("span_start"), col("span_end"))
     val base = docs.select(col(idCol).as("id"),
       tokens(col(textCol)).as("tk"))
@@ -817,13 +838,17 @@ object Dedup {
         concat_ws(" ",
           transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
             x => x.getField("tok"))).as("clean_text"))
-    base.select(col("id"), size(col("tk")).cast("long").as("n_tokens"))
+    val out = base.select(col("id"), size(col("tk")).cast("long").as("n_tokens"))
       .join(kept, Seq("id"), "left")
       .select(col("id").as(idCol), col("n_tokens"),
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
         (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("cut_tokens"),
         graft.functions.HashExpressions.rolling_hash(
           coalesce(col("clean_text"), lit(""))).as("clean_hash"))
+      .persist()
+    out.count() // self-releasing: materialize, then drop the span table
+    spansBase.unpersist(blocking = false)
+    out
   }
 
   /**
@@ -856,7 +881,7 @@ object Dedup {
         sort_array(shingleHashes(col(textCol), n)).as("sh"),
         array_distinct(transform(winnowKeys(col(textCol), w, n),
           k => k % lit(1073741824L))).as("vals"))
-      .persist() // candidate join + verify both read it (caller-release)
+      .persist() // candidate join + verify both read it (self-releasing below)
     val posted = base.select(col("id"), explode(col("vals")).as("v"))
     val over = posted.groupBy("v").agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket).select("v")
@@ -1026,8 +1051,8 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"),
         sort_array(collect_list(col("h"))).as("sh"))
       // consumed by both self-join sides: persist so shingling + the
-      // frequency join run once (caller-release contract as simHashPairs;
-      // Verify/Bench clear blocks between queries)
+      // frequency join run once (self-releasing — the pair list
+      // materializes at the tail and this frame is released there)
       .persist()
     // ⌈t·|sh|⌉ computed as ceil(t·|sh| − ε): the ε only ever LOWERS the
     // required overlap (lengthening the prefix), so FP overshoot in t·|sh|
@@ -1042,7 +1067,7 @@ object Dedup {
       col("sh").as("sh_l"), col("pos").as("pos_l"))
     val r = pre.select(col("tok"), col("id").as("id_r"), col("side").as("side_r"),
       col("sh").as("sh_r"), col("pos").as("pos_r"))
-    l.join(r, "tok")
+    val out = l.join(r, "tok")
       // self mode: `<` canonicalizes the pair once per shared prefix
       // token; cross mode: keep probe×reference combinations only
       .filter(if (cross) col("side_l") === "a" && col("side_r") === "b"
@@ -1076,5 +1101,9 @@ object Dedup {
         graft.functions.HashExpressions.sorted_jaccard(col("sh_l"), col("sh_r"), threshold))
       .filter(col("jaccard") >= threshold)
       .select(col("id_l").as("id_a"), col("id_r").as("id_b"), col("jaccard"))
+      .persist()
+    out.count() // self-releasing: materialize pairs, then drop docOrd
+    docOrd.unpersist(blocking = false)
+    out
   }
 }

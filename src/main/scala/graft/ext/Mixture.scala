@@ -351,8 +351,8 @@ object Mixture {
       textCol: String = "text"): DataFrame = {
     require(keepNum > 0 && keepDen > 0 && keepNum <= keepDen,
       s"keep fraction $keepNum/$keepDen must be in (0, 1]")
-    val w = dsirLogWeights(docs, isTarget, buckets, idCol, textCol)
-      .select(col(idCol), col("weight_r"))
+    val wBase = dsirLogWeights(docs, isTarget, buckets, idCol, textCol)
+    val w = wBase.select(col(idCol), col("weight_r"))
     val hist = w.groupBy("weight_r").agg(count(lit(1)).as("tier_n"))
     val wAbove = org.apache.spark.sql.expressions.Window
       .orderBy(col("weight_r").desc)
@@ -364,13 +364,17 @@ object Mixture {
       concat(col(idCol).cast("string"), lit(":imp"))), lit(M))
     val target = col("n_total").cast("decimal(38,0)") * keepNum
     val spent = col("abv").cast("decimal(38,0)") * keepDen
-    w.join(broadcast(cum), Seq("weight_r"))
+    val out = w.join(broadcast(cum), Seq("weight_r"))
       .crossJoin(broadcast(n)) // 1-row total scaffold
       .select(col(idCol), col("weight_r"), u.as("imp_key"),
         (((col("abv") + col("tier_n")).cast("decimal(38,0)") * keepDen <= target) ||
           (spent < target &&
             u.cast("decimal(38,0)") * col("tier_n") * keepDen <
               (target - spent) * lit(M))).as("kept"))
+      .persist()
+    out.count() // self-releasing: materialize, then drop the weight frame
+    wBase.unpersist(blocking = false)
+    out
   }
 
   /**
@@ -414,8 +418,12 @@ object Mixture {
       coalesce(sum(col("_bt")).over(wAbove), lit(0L)).as("_prior"))
     val isFull = col("_prior") + col("_bt") <= budget
     val isRejected = col("_prior") >= budget
-    // one source pass feeds both branches (caller-release persist, the
-    // dsirLogWeights convention)
+    // one source pass feeds both branches; self-releasing (Positional's
+    // cache-hygiene policy): the result materializes below, then every
+    // internal temporary is released — a long-lived session calling this
+    // per batch must not accumulate a cached block per call. The result
+    // (per-doc verdicts) is strictly smaller than the internals it
+    // replaces in the cache; caller unpersists it once consumed.
     val flagged = scored.join(broadcast(cum), Seq(scoreCol)).persist()
     val decided = flagged.filter(isFull || isRejected)
       .select(col(idCol), col(scoreCol), col(tokCol).cast("long").as(tokCol),
@@ -424,12 +432,17 @@ object Mixture {
     val frontier = flagged.filter(!isFull && !isRejected)
       .select(col(idCol), col(scoreCol), col(tokCol).cast("long").as(tokCol),
         col("_prior"))
-    val refined = Positional.withGlobalRunningSum(
+    val refinedBase = Positional.withGlobalRunningSum(
         frontier, Seq(col(idCol)), tokCol, "_pfx")
+    val refined = refinedBase
       .select(col(idCol), col(scoreCol), col(tokCol),
         lit("frontier").as("tier"),
         (col("_prior") + col("_pfx") <= budget).as("admitted"))
-    decided.unionByName(refined)
+    val out = decided.unionByName(refined).persist()
+    out.count() // materialize while the internals are still cached
+    flagged.unpersist(blocking = false)
+    refinedBase.unpersist(blocking = false)
+    out
   }
 
   /**
@@ -483,8 +496,9 @@ object Mixture {
       coalesce(sum(col("_bt")).over(wAbove), lit(0L)).as("_prior"))
     val isFull = col("_prior") + col("_bt") <= col("_budget")
     val isRejected = col("_prior") >= col("_budget")
-    // one source pass feeds both branches (caller-release persist, the
-    // dsirLogWeights convention)
+    // one source pass feeds both branches; self-releasing (Positional's
+    // cache-hygiene policy): result materialized, internals released,
+    // caller unpersists the returned frame once consumed
     val flagged = base.join(broadcast(cum), Seq("_gid", scoreCol)).persist()
     val decided = flagged.filter(isFull || isRejected)
       .select(col(idCol), col(groupCol), col(scoreCol),
@@ -494,12 +508,17 @@ object Mixture {
     val frontier = flagged.filter(!isFull && !isRejected)
       .select(col(idCol), col(groupCol), col("_gid"), col(scoreCol),
         col(tokCol).cast("long").as(tokCol), col("_prior"), col("_budget"))
-    val refined = Positional.withPerKeyRunningSum(
+    val refinedBase = Positional.withPerKeyRunningSum(
         frontier, Seq(col(idCol)), "_gid", tokCol, "_pfx")
+    val refined = refinedBase
       .select(col(idCol), col(groupCol), col(scoreCol), col(tokCol),
         lit("frontier").as("tier"),
         (col("_prior") + col("_pfx") <= col("_budget")).as("admitted"))
-    decided.unionByName(refined)
+    val out = decided.unionByName(refined).persist()
+    out.count() // materialize while the internals are still cached
+    flagged.unpersist(blocking = false)
+    refinedBase.unpersist(blocking = false)
+    out
   }
 
   /**
@@ -632,8 +651,9 @@ object Mixture {
       textCol: String = "text"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     // persisted: the raw model, the target model, and the per-doc counts
-    // all consume the gram stream (caller-release convention as in
-    // TextAnalysis.bigramFluency)
+    // all consume the gram stream. Self-releasing (Positional's
+    // cache-hygiene policy): the per-doc result materializes below and
+    // the (much larger) per-gram frame is released before returning.
     val grams = docs.select(col(idCol), isTarget.as("is_t"),
         explode(Dedup.positionalShingleHashes(col(textCol), 2)).as("h"))
       .withColumn("b", pmod(col("h"), lit(buckets.toLong)))
@@ -652,7 +672,7 @@ object Mixture {
           9).cast("decimal(19,9)").as("lr"))
     val perDocBucket = grams.groupBy(col(idCol), col("b"))
       .agg(count(lit(1)).as("n"))
-    perDocBucket
+    val out = perDocBucket
       .join(broadcast(lr), Seq("b"))
       .groupBy(idCol)
       .agg(sum(col("n")).as("n_grams"),
@@ -666,6 +686,10 @@ object Mixture {
         // on a …500 half digit (seen at sf1: -0.031518500), where
         // round(double, 6) diverges across engines
         graft.queries.QueryHelpers.displayRound(col("w_d"), 6).as("weight_r"))
+      .persist()
+    out.count() // materialize while the gram stream is still cached
+    grams.unpersist(blocking = false)
+    out
   }
 
   /**

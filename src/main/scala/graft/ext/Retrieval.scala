@@ -59,9 +59,10 @@ object Retrieval {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     // ONE tokenize pass: `tok` feeds both the postings arm and the
-    // (N, Σdl) stats arm, so it is persisted (caller-release convention,
-    // as Mixture.dsirLogWeights / cosineNearDups) — without it the corpus
-    // tokenizes twice per query batch
+    // (N, Σdl) stats arm, so it is persisted — without it the corpus
+    // tokenizes twice per query batch. Self-releasing (Positional's
+    // cache-hygiene policy): the (queries×k)-sized result materializes
+    // below, then the token frame is released.
     val tok = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("w"))
       .persist()
     // dl rides the explode as a projection — groupBy(doc, dl, term) keeps
@@ -75,7 +76,10 @@ object Retrieval {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = tok.agg(count(lit(1)).as("n_docs"),
       sum(size(col("w")).cast("long")).as("sum_dl"))
-    scoreAndRank(tf, dfreq, stats, queries, k, idCol)
+    val out = scoreAndRank(tf, dfreq, stats, queries, k, idCol).persist()
+    out.count() // materialize while tok is still cached
+    tok.unpersist(blocking = false)
+    out
   }
 
   /**
@@ -96,7 +100,7 @@ object Retrieval {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("w"))
-      .persist()
+      .persist() // postings + stats arms (self-releasing below)
     val posted = tok
       .select(col(idCol), size(col("w")).cast("long").as("dl"),
         explode(col("w")).as("term"))
@@ -106,7 +110,11 @@ object Retrieval {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = tok.agg(count(lit(1)).as("n_docs"),
       sum(size(col("w")).cast("long")).as("sum_dl"))
-    scoreAndRank(tf, dfreq, stats, queries, k, idCol, conjunctive = true)
+    val out = scoreAndRank(tf, dfreq, stats, queries, k, idCol,
+      conjunctive = true).persist()
+    out.count() // materialize while tok is still cached
+    tok.unpersist(blocking = false)
+    out
   }
 
   /** The BM25 scoring tail shared by the from-raw-text and from-index

@@ -350,8 +350,9 @@ object Similarity {
    *
    * Dimension-sized output (|grid| rows); the corpus pays one map-side
    * assignment pass per candidate (no shuffle beyond the tiny list
-   * histogram). Input is persisted for the grid passes — caller-release
-   * convention.
+   * histogram). Input is persisted for the grid passes — self-releasing
+   * (Positional's cache-hygiene policy): the |grid|-row result
+   * materializes and the input cache is released before returning.
    *
    * @return (lists, n_cells_used, max_cell, exp_probe_rows_r,
    *         imbalance_r, cost, is_best)
@@ -376,7 +377,7 @@ object Similarity {
     }.reduce(_ unionByName _)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cost_d"), col("lists"))
-    per.select(col("lists"), col("n_cells_used"), col("max_cell"),
+    val out = per.select(col("lists"), col("n_cells_used"), col("max_cell"),
         (col("lists").cast("decimal(38,0)") * col("n_total") + col("sum_sq"))
           .as("cost_d"),
         round(col("sum_sq").cast("double") / col("n_total").cast("double"), 6)
@@ -390,6 +391,10 @@ object Similarity {
       .drop("cost_d")
       .select("lists", "n_cells_used", "max_cell", "exp_probe_rows_r",
         "imbalance_r", "cost", "is_best")
+      .persist()
+    out.count() // self-releasing: |grid| rows — materialize, drop input
+    c.unpersist(blocking = false)
+    out
   }
 
   /**
@@ -919,12 +924,16 @@ object Similarity {
     val l = sized.select(explode(probes).as("bucket"),
       col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val r = sized.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    l.join(r, "bucket")
+    val out = l.join(r, "bucket")
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", vec_cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
       .distinct()
+      .persist()
+    out.count() // self-releasing: materialize pairs, drop the bucket frame
+    buckets.unpersist(blocking = false)
+    out
   }
 
   // --------------------------------------------------- product quantization

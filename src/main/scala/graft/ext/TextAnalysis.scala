@@ -177,19 +177,24 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     // persisted: the top-k agg AND the scoring join both consume grams —
     // without this the normalize/tokenize/shingle pass runs over the
-    // whole corpus twice (caller-release convention: Verify/Bench clear
-    // cached blocks between queries)
+    // whole corpus twice. Self-releasing (Positional's cache-hygiene
+    // policy): the per-doc result materializes below and the (much
+    // larger) per-gram frame is released before returning.
     val grams = docs.select(col(idCol),
       explode(Dedup.positionalShingleHashes(col(textCol), 2)).as("h"))
       .persist()
     val top = grams.groupBy("h").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("h")).limit(k)
       .select(col("h"), lit(1L).as("fluent"))
-    grams.join(broadcast(top), Seq("h"), "left")
+    val out = grams.join(broadcast(top), Seq("h"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"), count(col("fluent")).as("n_fluent"))
       .select(col(idCol), col("n_bigrams"), col("n_fluent"),
         (col("n_fluent").cast("double") / col("n_bigrams")).as("fluency"))
+      .persist()
+    out.count() // materialize while grams is still cached
+    grams.unpersist(blocking = false)
+    out
   }
 
   /**
@@ -226,7 +231,7 @@ object TextAnalysis {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val th = docs.select(col(idCol), Dedup.tokenHashes(col(textCol)).as("th"))
-      .persist() // vocabulary agg + gram stream + the final all-docs join
+      .persist() // vocabulary agg + gram stream + the final all-docs join (self-releasing below)
     // vocabulary over ALL docs' tokens (incl. docs too short to score)
     val vocab = th.select(explode(col("th")).as("h"))
       .agg(countDistinct(col("h")).as("v"))
@@ -237,7 +242,7 @@ object TextAnalysis {
         posexplode(graft.functions.HashExpressions.shingle_hashes_pos(
           col("th"), 2, Dedup.CombineMult)).as(Seq("i", "h12")))
       .select(col(idCol), element_at(col("th"), col("i") + 1).as("h1"), col("h12"))
-      .persist() // bigram model + prefix model + per-doc counts
+      .persist() // bigram model + prefix model + per-doc counts (self-releasing below)
     val cb = g.groupBy("h1", "h12").agg(count(lit(1)).as("cb"))
     val cp = g.groupBy("h1").agg(count(lit(1)).as("cp"))
     val lp = cb.join(cp, Seq("h1"))
@@ -254,11 +259,16 @@ object TextAnalysis {
         sum(col("n").cast("decimal(9,0)") * col("lp")).as("sp"))
       .select(col(idCol), col("n_bigrams"),
         round(-col("sp").cast("double") / col("n_bigrams"), 6).as("nll_r"))
-    th.select(col(idCol))
+    val out = th.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("nll_r"), lit(0.0)).as("nll_r"))
+      .persist()
+    out.count() // self-releasing: materialize, then drop the gram frames
+    th.unpersist(blocking = false)
+    g.unpersist(blocking = false)
+    out
   }
 
   /**
@@ -336,7 +346,7 @@ object TextAnalysis {
       .select(col(idCol), isPositive.as("is_p"),
         explode(nbFeatureHashes(col(textCol))).as("h"))
       .withColumn("b", pmod(col("h"), lit(buckets.toLong)))
-      .persist() // class counts + totals consume the stream (caller-release)
+      .persist() // class counts + totals consume the stream (self-releasing below)
     val cls = feats.groupBy("b").agg(
       sum(when(col("is_p"), 1L).otherwise(0L)).as("c_p"),
       sum(when(!col("is_p"), 1L).otherwise(0L)).as("c_n"))
@@ -358,7 +368,10 @@ object TextAnalysis {
       .select(lit(-1L).as("b"),
         round(log((col("n_p") + 1).cast("double") / (col("n_n") + 1)), 9)
           .cast("decimal(19,9)").as("llr"))
-    perBucket.unionByName(prior).unionByName(default)
+    val out = perBucket.unionByName(prior).unionByName(default).persist()
+    out.count() // self-releasing: the model is bucket-sized — materialize,
+    feats.unpersist(blocking = false) // then drop the per-feature stream
+    out
   }
 
   /** Score a corpus against a [[nbQualityTrain]] model:
@@ -467,7 +480,7 @@ object TextAnalysis {
       .select(col(langCol).as("lang"),
         explode(langIdFeatureHashes(col(textCol), ngram)).as("h"))
       .withColumn("b", pmod(col("h"), lit(buckets.toLong)))
-      .persist() // counts + totals consume the stream (caller-release)
+      .persist() // counts + totals consume the stream (self-releasing below)
     val cnt = feats.groupBy("lang", "b").agg(count(lit(1)).as("c"))
     val tot = feats.groupBy("lang").agg(count(lit(1)).as("tot_l"))
     val nd = labeled.groupBy(col(langCol).as("lang")).agg(count(lit(1)).as("n_l"))
@@ -489,7 +502,10 @@ object TextAnalysis {
       .select(col("lang"), lit(-1L).as("b"),
         round(log((col("n_l") + 1).cast("double") / (col("n_docs") + col("k_cls"))), 9)
           .cast("decimal(19,9)").as("llp"))
-    dense.unionByName(prior).unionByName(default)
+    val out = dense.unionByName(prior).unionByName(default).persist()
+    out.count() // self-releasing: the model is (buckets×K)-sized —
+    feats.unpersist(blocking = false) // materialize, drop the feature stream
+    out
   }
 
   /** Score a corpus against a [[langIdTrain]] model: per (doc, lang),
@@ -655,7 +671,7 @@ object TextAnalysis {
       .agg((sum(col("cl")) + count(lit(1)) - 1).as("n_chars"))
     def frac(mass: Column, nChars: Column): Column =
       round(mass.cast("double") / greatest(nChars, lit(1L)), 6)
-    base.join(top2, Seq(idCol), "left")
+    val out = base.join(top2, Seq(idCol), "left")
       .join(top3, Seq(idCol), "left")
       .join(dup5, Seq(idCol), "left")
       .select(col(idCol), col("n_chars"),
@@ -671,6 +687,10 @@ object TextAnalysis {
         (col("dup5_mass") * 100 > col("n_chars") * 15).as("flag_dup5"))
       .withColumn("gopher_keep",
         !(col("flag_top2") || col("flag_top3") || col("flag_dup5")))
+      .persist()
+    out.count() // self-releasing: materialize, then drop the gram frame
+    g.unpersist(blocking = false)
+    out
   }
 
   /** All single-character-deletion variants of a token, plus the token
@@ -707,15 +727,19 @@ object TextAnalysis {
       .filter(length(col("tok")).between(2, maxTokenLen))
     val variants = toks
       .select(col("tok"), explode(deletionVariants(col("tok"))).as("v"))
-      .persist()
+      .persist() // cap agg + both join sides read it (self-releasing below)
     val over = variants.groupBy("v").agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket).select("v")
     val capped = variants.join(broadcast(over), Seq("v"), "left_anti")
     val l = capped.select(col("v"), col("tok").as("tok_a"))
     val r = capped.select(col("v"), col("tok").as("tok_b"))
-    l.join(r, Seq("v"))
+    val out = l.join(r, Seq("v"))
       .filter(col("tok_a") < col("tok_b"))
       .select("tok_a", "tok_b").distinct()
+      .persist()
+    out.count() // materialize the pair list, then drop the variant frame
+    variants.unpersist(blocking = false)
+    out
       .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")))
       .filter(col("dist") <= 1)
   }

@@ -149,6 +149,24 @@ object ExtensionQueries {
   private def wsTokenCount(c: org.apache.spark.sql.Column) =
     size(split(trim(c), "\\s+")).cast("long")
 
+  /** Numeric index of a fixture source name ('src<N>' → N) — ONE
+    * definition shared by the Spark side and [[sqlSourceIndex]] (the
+    * oracle's form) so the x144 budget formula can never desync. The
+    * Spark side FAILS LOUDLY on an unparseable name (raise_error)
+    * instead of yielding null — a silent null would drop the whole
+    * group through qualityBudgetHeadByGroup's inner dimension join
+    * while the SQL side errors, an invisible divergence. */
+  private def sourceIndexCol(c: org.apache.spark.sql.Column) = {
+    val idx = substring(c, 4, 18).cast("long")
+    when(idx.isNull,
+      raise_error(concat(lit("unparseable source name: "), c))).otherwise(idx)
+  }
+
+  /** DuckDB form of [[sourceIndexCol]]; CAST on a non-numeric tail
+    * errors there, matching the Spark side's raise_error. */
+  private def sqlSourceIndex(expr: String): String =
+    s"CAST(substr($expr, 4) AS BIGINT)"
+
   // ---- shared SQL fragments (DuckDB dialect) ----
 
   /** Rolling hash of a string expression s: fold (a*31 + ascii(c)) % mod. */
@@ -2207,7 +2225,7 @@ object ExtensionQueries {
         wsTokenCount(col("text")).as("n_tokens"))
       val budgets = d.select(col("source")).distinct()
         .withColumn("budget", lit(150L) + lit(50L) *
-          pmod(substring(col("source"), 4, 10).cast("long"), lit(3L)))
+          pmod(sourceIndexCol(col("source")), lit(3L)))
       Mixture.qualityBudgetHeadByGroup(scored, budgets)
         .orderBy("doc_id")
     }),
@@ -4019,7 +4037,7 @@ object ExtensionQueries {
          |qs AS (SELECT q0.doc_id, d.source, q0.score_k,
          |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
          |      AS n_tokens,
-         |    150 + 50 * (CAST(substr(d.source, 4) AS BIGINT) % 3) AS bud
+         |    150 + 50 * (${sqlSourceIndex("d.source")} % 3) AS bud
          |  FROM q0 JOIN documents d ON q0.doc_id = d.doc_id),
          |h AS (SELECT source, score_k, CAST(sum(n_tokens) AS BIGINT) AS bt
          |  FROM qs GROUP BY source, score_k),

@@ -466,6 +466,14 @@ object StreamingQueries {
           size(org.apache.spark.sql.functions.split(
             trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
         .as[(Long, Long, Long)].collect().toSeq
+      // every doc_id%4 residue class must be non-empty: an empty class
+      // would skip a micro-batch and desync MemoryStream batchIds from
+      // the oracle's arrival_batch = doc_id%4 mapping — fail loudly on a
+      // fixture change instead of producing a misaligned ledger
+      val residues = rows.map(_._1 % 4).toSet
+      require((0L until 4L).forall(residues.contains),
+        s"x150 harness needs all doc_id%4 residue classes non-empty; " +
+          s"missing ${(0L until 4L).filterNot(residues.contains).mkString(",")}")
       val path = java.nio.file.Files.createTempDirectory("graft_x150_").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_x150_ck_").toString
       val input = MemoryStream[(Long, Long, Long)]

@@ -34,4 +34,59 @@ private[streaming] object StreamState {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith(prefix))
   }
+
+  /** The `batch=<id>` generation ids directly under `table`, descending
+    * (newest first). Non-generation children are ignored. */
+  def generations(spark: SparkSession, table: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(table)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("batch=").toLong).toOption
+        .filter(_ => s.getPath.getName.startsWith("batch=")))
+      .sortBy(-_)
+  }
+
+  /** Delete all but the newest `keep` `batch=<id>` generation dirs under
+    * `table` — retention for GENERATION-SUPERSEDED state tables only
+    * (tables whose every read targets the single latest committed
+    * generation via a marker: quality-head hist/head/cut, budget
+    * totals). Without this a long-running stream accrues one superseded
+    * dir per micro-batch per table forever (~5,800/day at a 15 s
+    * trigger) — unbounded listing cost and storage for frames whose
+    * content is dead the moment the next fold commits.
+    *
+    * `keep >= 2` is the replay floor: foreachBatch can re-deliver the
+    * newest batch after a crash, and its re-fold reads state EXCLUDING
+    * its own generation — the one before it must still exist. The
+    * default retention at the call sites is 3 (one extra for margin).
+    *
+    * Ledger tables (arrivals / verdicts / evictions) are HISTORY — they
+    * must never pass through here.
+    *
+    * Crash-safety of the prune itself: deletion is oldest-last in id
+    * order only by set membership (no ordering guarantee needed) — any
+    * prefix of the deletes leaves a superset of the retained window,
+    * which every reader tolerates (they select max/marker generations,
+    * never enumerate-and-expect). */
+  def pruneGenerations(spark: SparkSession, table: String, keep: Int): Unit = {
+    require(keep >= 2,
+      s"keep=$keep: retention below 2 can delete the generation a crash-replay reads")
+    deleteGenerations(spark, table, generations(spark, table).drop(keep))
+  }
+
+  /** Delete the named `batch=<id>` generation dirs under `table` — the
+    * reference-counted retention path (a table whose live generations
+    * are pinned by an index, e.g. the quality head's tiers map, prunes
+    * by the unreferenced set rather than by recency). */
+  def deleteGenerations(spark: SparkSession, table: String, gens: Seq[Long]): Unit =
+    if (gens.nonEmpty) {
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      gens.foreach { g =>
+        fs.delete(new org.apache.hadoop.fs.Path(p, s"batch=$g"), true)
+      }
+    }
 }

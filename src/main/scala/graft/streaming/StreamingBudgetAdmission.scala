@@ -49,11 +49,13 @@ object StreamingBudgetAdmission {
       quota: Long,
       idCol: String = "doc_id",
       groupCol: String = "source",
-      tokCol: String = "n_tokens"): DataStreamWriter[Row] =
+      tokCol: String = "n_tokens",
+      retainGenerations: Int = 3): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldBatch(batch, batchId, path, quota, idCol, groupCol, tokCol)
+        foldBatch(batch, batchId, path, quota, idCol, groupCol, tokCol,
+          retainGenerations)
       }
 
   /** One micro-batch's fold — public so the replay case (foreachBatch
@@ -67,7 +69,8 @@ object StreamingBudgetAdmission {
       quota: Long,
       idCol: String = "doc_id",
       groupCol: String = "source",
-      tokCol: String = "n_tokens"): Unit = {
+      tokCol: String = "n_tokens",
+      retainGenerations: Int = 3): Unit = {
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
       val hasState = StreamState.exists(spark, s"$path/verdicts")
@@ -127,6 +130,9 @@ object StreamingBudgetAdmission {
             priors.join(batchTot.select("group"), Seq("group"), "left_anti"))
         verd.write.mode("overwrite").parquet(s"$path/verdicts/batch=$batchId")
         totals.write.mode("overwrite").parquet(s"$path/totals/batch=$batchId")
+        // retention: totals generations are superseded snapshots (every
+        // read targets the latest); the verdicts ledger keeps history
+        StreamState.pruneGenerations(spark, s"$path/totals", retainGenerations)
       }
       dedup.unpersist(blocking = false)
       ()

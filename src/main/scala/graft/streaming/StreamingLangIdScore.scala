@@ -37,6 +37,8 @@ object StreamingLangIdScore {
   def collectModel(model: DataFrame, buckets: Int): LangIdModel = {
     val rows = model.select(col("lang"), col("b"), col("llp"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    // the trainer's self-released result is consumed here — drop its cache
+    model.unpersist(blocking = false)
     val byLang = rows.groupBy(_._1).toSeq.sortBy(_._1)
     LangIdModel(buckets, byLang.map { case (lang, rs) =>
       val m = rs.map(r => r._2 -> r._3).toMap

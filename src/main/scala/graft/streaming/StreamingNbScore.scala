@@ -37,6 +37,8 @@ object StreamingNbScore {
   def collectModel(model: DataFrame, buckets: Int): NbModel = {
     val rows = model.select(col("b"), col("llr"))
       .collect().map(r => r.getLong(0) -> r.getDecimal(1))
+    // the trainer's self-released result is consumed here — drop its cache
+    model.unpersist(blocking = false)
     val m = rows.toMap
     NbModel(buckets, m(-1L), m(-2L),
       rows.filter(_._1 >= 0).sortBy(_._1).toSeq)

@@ -73,11 +73,20 @@ class PlanAuditSpec extends SparkSpec {
   test("x17: verification is the native merge pass, no hash-set ops") {
     val p = planOf("x17_ngram_jaccard")
     // predicate pushdown inlines the expression into both the Filter and
-    // the Project — 2 sites, NOT an n-fold re-inline. The filter-side
-    // evaluation early-exits for failing pairs (the overwhelming
-    // majority), so the duplicated site costs one cheap bail per pair.
-    assert(p.linesIterator.count(_.contains("sorted_jaccard")) === 2,
-      s"sorted_jaccard expected in filter + project only:\n$p")
+    // the Project — those two node types ONLY, not an n-fold re-inline
+    // into joins/aggregates. (Since the round-14 self-releasing persist
+    // the explain text renders the cached computation more than once, so
+    // the audit pins the SITE KINDS rather than a raw occurrence count.)
+    // The filter-side evaluation early-exits for failing pairs (the
+    // overwhelming majority), so the duplicated site costs one cheap
+    // bail per pair.
+    val sites = p.linesIterator.filter(_.contains("sorted_jaccard"))
+      .map(l =>
+        if (l.contains("Filter")) "filter"
+        else if (l.contains("Project")) "project"
+        else "other").toSeq
+    assert(sites.nonEmpty && sites.toSet === Set("filter", "project"),
+      s"sorted_jaccard expected in filter + project only (got $sites):\n$p")
     assert(!p.contains("array_intersect"), s"no hash-set set ops in the hot path:\n$p")
   }
 

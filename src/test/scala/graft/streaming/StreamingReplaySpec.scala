@@ -271,4 +271,35 @@ class StreamingReplaySpec extends SparkSpec {
       .orderBy("id").collect().toSeq
     assert(verdOnce === batchRef)
   }
+
+  test("StreamingBudgetAdmission retention: totals prune to the window, the verdicts ledger keeps history, replay survives") {
+    val mk = (ids: Seq[Long]) =>
+      ids.map(i => (i, if (i % 2 == 0) "web" else "book", 5L))
+        .toDF("doc_id", "source", "n_tokens")
+    val path = java.nio.file.Files.createTempDirectory("graft_ret_ba_").toString
+    val quota = 1000L
+    (0L until 6L).foreach { b =>
+      StreamingBudgetAdmission.foldBatch(
+        mk(b * 10 + 1 to b * 10 + 10), b, path, quota, retainGenerations = 2)
+    }
+    assert(StreamState.generations(spark, s"$path/totals") === Seq(5L, 4L),
+      "superseded totals generations must prune to the window")
+    assert(StreamState.generations(spark, s"$path/verdicts") ===
+      (0L until 6L).reverse, "the verdicts ledger must keep full history")
+    // the retained latest totals still carry the FULL cumulative charge
+    val tot = spark.read.parquet(s"$path/totals")
+      .filter(col("batch").cast("long") === 5L)
+      .select("group", "total").as[(String, Long)].collect().toMap
+    assert(tot === Map("web" -> 150L, "book" -> 150L))
+    // crash-replay of the newest batch after pruning: totals/batch=5
+    // vanishes; the retained generation 4 reconstructs it exactly
+    val d = new java.io.File(s"$path/totals/batch=5")
+    d.listFiles().foreach(_.delete()); d.delete()
+    StreamingBudgetAdmission.foldBatch(
+      mk(51L to 60L), 5L, path, quota, retainGenerations = 2)
+    val tot2 = spark.read.parquet(s"$path/totals")
+      .filter(col("batch").cast("long") === 5L)
+      .select("group", "total").as[(String, Long)].collect().toMap
+    assert(tot2 === Map("web" -> 150L, "book" -> 150L))
+  }
 }
