@@ -35,58 +35,116 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  * corpus-sized state: without it the frontier tier's rejected roster
  * would have to persist whole.
  *
+ * ==Tier-partitioned head (round 14)==
+ * Facts 1–3 also bound WHICH tiers a fold can touch: a tier strictly
+ * above the batch's best arrival score has unchanged `prior` and `bt`,
+ * so neither its verdict nor its membership can move. The head is
+ * therefore stored per SCORE TIER with per-tier generations, and a
+ * fold rewrites only its CHANGED tiers — the arrival tiers that are
+ * not rejected, plus the frontier when it moved. Per-fold head write
+ * volume is proportional to the touched tiers' membership, NOT to the
+ * budget: at a production budget (10¹³ tokens ≈ 10⁹ docs) the old
+ * full-head rewrite would dominate every fold; here a low-score batch
+ * writes nothing at all (its arrivals are rejected against the cut)
+ * and a mid-score batch rewrites only the tiers below it.
+ *
  * State layout under `path/` — per-`batch=<id>` OVERWRITE directories
- * throughout (the [[StreamingWinnowIngest]] discipline: every read
- * excludes the fold's own batch, so replay after any crash window
- * recomputes identical frames and truncates-and-rewrites):
- *  - `hist/batch=<id>`      — (score, bt) per-score-tier token totals
- *    over EVERYTHING ingested. Grid-bounded (never corpus-sized), and
- *    non-empty from the first arrival on — it is the snapshot MARKER:
- *    the latest hist batch names the head/cut generation to read
- *    (head and cut can be legitimately empty, so their own row maxima
- *    cannot be trusted to name the latest generation).
- *  - `head/batch=<id>`      — the current admitted set (id, score,
- *    tokens); bounded by the BUDGET, not the corpus.
- *  - `cut/batch=<id>`       — AT MOST ONE row (score, cut_id): the
- *    current frontier tier and its first rejected id (fact 4's
- *    compression of the whole rejected roster).
+ * (the [[StreamingWinnowIngest]] discipline: every read excludes the
+ * fold's own batch, so replay after any crash window recomputes
+ * identical frames and truncates-and-rewrites):
+ *  - `hist/batch=<id>`  — (score, bt) per-score-tier token totals over
+ *    EVERYTHING ingested. Grid-bounded, non-empty from the first
+ *    arrival on.
+ *  - `head/batch=<id>/score=<s>/` — the CHANGED tiers' admitted rows
+ *    (id, tokens), partitioned by tier. A tier's current membership
+ *    lives in the generation the `tiers` map names — untouched tiers
+ *    keep pointing at older generations.
+ *  - `tiers/batch=<id>` — (score, gen): every currently-NONEMPTY tier
+ *    mapped to the head generation holding its membership. Grid-
+ *    bounded, rewritten every fold; it is the head's read index AND
+ *    its commit marker (written after the head data), and tier
+ *    tombstones are plain absences — an emptied tier simply drops out
+ *    of the map, no sentinel rows, no filesystem-probing reads.
+ *  - `cut/batch=<id>`   — AT MOST ONE row (score, cut_id): the current
+ *    frontier tier and its first rejected id (fact 4's compression).
  *  - `arrivals/batch=<id>`  — append-only ledger (id, score, tokens,
  *    admit) — the verdict each doc got ON ARRIVAL (also the
  *    cross-batch re-arrival guard).
  *  - `evictions/batch=<id>` — (id) evicted by this fold; at most one
  *    row per id ever (verdicts only degrade).
  *
+ * Retention: hist/tiers/cut are generation-superseded (every read
+ * targets the single latest committed generation), so each fold prunes
+ * them to the newest `retainGenerations` dirs
+ * ([[StreamState.pruneGenerations]]; ≥ 2 keeps the generation a
+ * crash-replay reads). Head generations are reference-counted instead:
+ * a head `batch=<id>` dir is deleted once NO retained tiers map
+ * references it (an untouched tier legitimately pins a generation far
+ * older than the retention window). The arrivals/evictions ledgers are
+ * history and are never pruned.
+ *
  * Per-batch cost: tier histogram of the ARRIVALS merged into the
- * stored grid-bounded hist; candidates = head ∪ arrivals (budget- and
- * batch-sized, never corpus-sized) joined to the broadcast tier
- * verdicts; only the one frontier tier runs an exact running sum
- * (two-phase [[Positional.withGlobalRunningSum]] layout, so a
- * degenerate single-tier corpus never funnels one task). The head
- * rewrite is O(budget) per fold — it IS the materialized product; a
- * deployment with a huge budget would partition `head` by score tier
- * and rewrite only tiers at/below the batch's best arrival, which
- * facts 1–4 make safe (tiers above it cannot change).
+ * stored grid-bounded hist; candidates = changed-tier head rows ∪
+ * arrivals (touched-tier- and batch-sized, never corpus- or even
+ * budget-sized) joined to the broadcast tier verdicts; only the one
+ * frontier tier runs an exact running sum (two-phase
+ * [[Positional.withGlobalRunningSum]] layout, so a degenerate
+ * single-tier corpus never funnels one task).
  */
 object StreamingQualityHead {
 
   /** Attach the evictive-head sink over a stream carrying (idCol,
     * scoreCol, tokCol). Caller starts the writer with its own
-    * checkpoint/trigger options; read results with [[ledger]]. */
+    * checkpoint/trigger options; read results with [[ledger]].
+    * `retainGenerations` bounds the superseded hist/tiers/cut
+    * generation dirs kept on disk (≥ 2 — see
+    * [[StreamState.pruneGenerations]]); head generations are reference-
+    * counted off the retained tiers maps; the arrivals/evictions
+    * ledgers always keep full history. */
   def attach(
       docs: DataFrame,
       path: String,
       budget: Long,
       idCol: String = "doc_id",
       scoreCol: String = "score_k",
-      tokCol: String = "n_tokens"): DataStreamWriter[Row] =
+      tokCol: String = "n_tokens",
+      retainGenerations: Int = 3): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldBatch(batch, batchId, path, budget, idCol, scoreCol, tokCol)
+        foldBatch(batch, batchId, path, budget, idCol, scoreCol, tokCol,
+          retainGenerations)
       }
 
+  /** The (score → head generation) map stored at generation `gen` —
+    * grid-bounded. Empty when the head is empty; the AnalysisException
+    * arm covers the all-generations-empty tree (e.g. budget 0), where
+    * parquet has no footer to infer a schema from. */
+  private def tiersAt(spark: SparkSession, path: String, gen: Long): Seq[(Long, Long)] =
+    try spark.read.parquet(s"$path/tiers")
+      .filter(col("batch").cast("long") === lit(gen))
+      .select(col("score").cast("long"), col("gen").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
+
+  /** The head rows a (score → gen) map selects: the head tree joined to
+    * the broadcast map on (tier, generation). Rows from uncommitted or
+    * superseded generations never match the map, so no explicit
+    * exclusion filtering is needed. */
+  private def headFor(
+      spark: SparkSession, path: String, tiers: Seq[(Long, Long)]): DataFrame = {
+    val mapDf = spark.createDataFrame(tiers).toDF("_mscore", "_gen")
+    spark.read.parquet(s"$path/head")
+      .select(col("id"), col("tokens").cast("long").as("tokens"),
+        col("score").cast("long").as("score"),
+        col("batch").cast("long").as("_b"))
+      .join(broadcast(mapDf),
+        col("score") === col("_mscore") && col("_b") === col("_gen"))
+      .select(col("id"), col("score"), col("tokens"))
+  }
+
   /** One micro-batch's fold — public so replay (foreachBatch
-    * re-delivering (batch, batchId) after any prefix of the five
+    * re-delivering (batch, batchId) after any prefix of the six
     * writes committed) is directly spec-testable: re-folding must
     * leave every state table bit-identical. */
   def foldBatch(
@@ -96,7 +154,8 @@ object StreamingQualityHead {
       budget: Long,
       idCol: String = "doc_id",
       scoreCol: String = "score_k",
-      tokCol: String = "n_tokens"): Unit = {
+      tokCol: String = "n_tokens",
+      retainGenerations: Int = 3): Unit = {
     require(budget >= 0, "budget must be non-negative")
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
@@ -107,32 +166,39 @@ object StreamingQualityHead {
       // in-batch id dedup (pure function of batch contents), then the
       // cross-batch re-arrival guard off the arrivals ledger — a doc
       // already holding an arrival verdict no-ops (column-pruned id
-      // scan, batch side broadcasts)
+      // scan, batch side broadcasts). ONE representative ROW per id —
+      // max score, ties to the smaller token count — never a synthesized
+      // (max score, min tokens) mix of two different rows: the admitted
+      // (score, tokens) pairing must be one the doc actually arrived with
       val batchDocs = batch.groupBy(col(idCol))
-        .agg(max(col(scoreCol)).cast("long").as("score"),
-          min(col(tokCol)).cast("long").as("tokens"))
-        .select(col(idCol).as("id"), col("score"), col("tokens"))
+        .agg(max(struct(col(scoreCol).cast("long").as("score"),
+          (-col(tokCol).cast("long")).as("_ntok"))).as("_rep"))
+        .select(col(idCol).as("id"), col("_rep.score").as("score"),
+          (-col("_rep._ntok")).as("tokens"))
       val arrivals =
         if (hasState)
           batchDocs.join(stateView("arrivals").select("id"), Seq("id"), "left_anti")
             .persist()
         else batchDocs.persist()
       if (!arrivals.isEmpty) {
-        // latest PRIOR generation, named by the hist marker (hist is
-        // grid-bounded — the max-batch probe is a control-plane scalar)
+        // latest PRIOR generation: filesystem-level so legitimately-empty
+        // generations still count, own batch excluded (replay reads the
+        // state as of the generation before it). Every gen < batchId is
+        // committed — the stream replays an uncommitted batch before
+        // advancing, and that batch IS this one.
         val priorGen: Option[Long] =
-          if (hasState) {
-            val mx = stateView("hist").agg(max(col("batch").cast("long"))).head()
-            if (mx.isNullAt(0)) None else Some(mx.getLong(0))
-          } else None
-        def latestGen(sub: String): Option[DataFrame] = priorGen.map(g =>
-          stateView(sub).filter(col("batch").cast("long") === lit(g)))
-        val priorHead = latestGen("head")
-          .map(_.select(col("id"), col("score"), col("tokens")))
-          .getOrElse(arrivals.limit(0))
+          StreamState.generations(spark, s"$path/hist").find(_ != batchId)
+        // the stored (tier → head generation) read index
+        val priorTiers: Seq[(Long, Long)] =
+          priorGen.map(g => tiersAt(spark, path, g)).getOrElse(Seq.empty)
+        val priorHead =
+          if (priorTiers.isEmpty)
+            arrivals.limit(0).select(col("id"), col("score"), col("tokens"))
+          else headFor(spark, path, priorTiers)
         // the stored frontier cut marker: ≤1 row, a driver scalar
-        val priorCut: Option[(Long, Long)] = latestGen("cut")
-          .flatMap(_.select(col("score"), col("cut_id")).collect().headOption
+        val priorCut: Option[(Long, Long)] = priorGen.flatMap(g =>
+          stateView("cut").filter(col("batch").cast("long") === lit(g))
+            .select(col("score"), col("cut_id")).collect().headOption
             .map(r => (r.getLong(0), r.getLong(1))))
         // merged per-tier token totals over everything ingested
         val batchHist = arrivals.groupBy(col("score"))
@@ -155,16 +221,32 @@ object StreamingQualityHead {
           .withColumn("_full", col("_prior") + col("bt") <= budget)
           .withColumn("_rej", col("_prior") >= budget)
           .localCheckpoint(true)
-        // candidates: every doc whose verdict can still change (facts
-        // 1-4) — budget+batch-sized, never corpus-sized
-        val candidates = priorHead.unionByName(arrivals)
+        // grid-bounded driver views of the verdicts: the changed-tier
+        // set and the map update are pure driver arithmetic over them
+        val verdicts: Map[Long, (Boolean, Boolean)] = cum
+          .select(col("score"), col("_full"), col("_rej")).collect()
+          .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+        val frontierScore: Option[Long] =
+          verdicts.collectFirst { case (s, (false, false)) => s }
+        val arrivalScores: Set[Long] = batchHist
+          .select(col("score")).collect().map(_.getLong(0)).toSet
+        // CHANGED tiers — the only tiers whose membership can move
+        // (facts 1–3): non-rejected arrival tiers, plus the frontier
+        // when it moved up (its old membership shrinks to the new
+        // prefix even with no arrivals of its own)
+        val frontierMoved = frontierScore.exists(f => !priorCut.map(_._1).contains(f))
+        val changed: Set[Long] =
+          arrivalScores.filterNot(s => verdicts(s)._2) ++
+            (if (frontierMoved) frontierScore.toSet else Set.empty[Long])
+        val changedDf = broadcast(
+          spark.createDataFrame(changed.toSeq.map(Tuple1(_))).toDF("score"))
+        // candidates: prior members of changed tiers ∪ arrivals at
+        // changed tiers — touched-tier-sized, never budget-sized
+        val candidates = priorHead.join(changedDf, Seq("score"), "left_semi")
+          .unionByName(arrivals.join(changedDf, Seq("score"), "left_semi"))
         val flagged = candidates.join(broadcast(cum), Seq("score")).persist()
         val decidedFull = flagged.filter(col("_full"))
           .select(col("id"), col("score"), col("tokens"))
-        // the unique frontier tier (0 or 1 rows of the grid histogram)
-        val frontierScore: Option[Long] = cum
-          .filter(!col("_full") && !col("_rej"))
-          .select(col("score")).collect().headOption.map(_.getLong(0))
         val frontierAll = flagged.filter(!col("_full") && !col("_rej"))
           .select(col("id"), col("score"), col("tokens"), col("_prior"))
         // fact 4: if the cut marker names THIS tier, candidates at or
@@ -185,7 +267,7 @@ object StreamingQualityHead {
         // localCheckpoint(true) is EAGER — the frame materializes here,
         // so the helper's internal persist can be released per fold
         // (a stream must not accumulate cached frames across batches)
-        val newHead = decidedFull
+        val newHeadChanged = decidedFull
           .unionByName(refined.filter(col("_adm")).select("id", "score", "tokens"))
           .localCheckpoint(true)
         // new cut: the first rejected id among the recomputed slice, or
@@ -200,19 +282,59 @@ object StreamingQualityHead {
         }
         refinedBase.unpersist(blocking = false)
         val cutDf = spark.createDataFrame(newCut.toSeq).toDF("score", "cut_id")
-        // ledger rows: arrival verdicts + this fold's evictions
+        // the updated read index: untouched non-rejected tiers keep
+        // their generation; changed tiers with surviving rows point
+        // here; emptied/rejected tiers drop out (the tombstone IS the
+        // absence)
+        val changedWithRows: Set[Long] = newHeadChanged
+          .groupBy(col("score")).count()
+          .select(col("score")).collect().map(_.getLong(0)).toSet
+        val newTiers: Seq[(Long, Long)] =
+          priorTiers.filter { case (s, _) =>
+            !verdicts.get(s).exists(_._2) && !changed.contains(s)
+          } ++ changedWithRows.toSeq.sorted.map(_ -> batchId)
+        // ledger rows: arrival verdicts + this fold's evictions. Every
+        // non-rejected arrival tier is in `changed`, so the admit flag
+        // falls out of the changed-tier head alone.
         val arrOut = arrivals.join(
-            newHead.select(col("id"), lit(true).as("admit")), Seq("id"), "left")
+            newHeadChanged.select(col("id"), lit(true).as("admit")), Seq("id"), "left")
           .select(col("id"), col("score"), col("tokens"),
             coalesce(col("admit"), lit(false)).as("admit"))
-        val evicted = priorHead
-          .join(newHead.select("id"), Seq("id"), "left_anti")
-          .select("id")
+        // evicted: prior members of changed tiers that did not survive,
+        // plus prior members of tiers that fell below the frontier
+        // (rejected now — their tier vanishes from the map entirely)
+        val rejDf = broadcast(spark.createDataFrame(
+            verdicts.collect { case (s, (_, true)) => Tuple1(s) }.toSeq)
+          .toDF("score"))
+        val evictedFrom = priorHead.join(changedDf, Seq("score"), "left_semi")
+          .unionByName(priorHead.join(rejDf, Seq("score"), "left_semi"))
+        val evicted = evictedFrom
+          .join(newHeadChanged.select("id"), Seq("id"), "left_anti")
+          .select("id").distinct()
         arrOut.write.mode("overwrite").parquet(s"$path/arrivals/batch=$batchId")
         evicted.write.mode("overwrite").parquet(s"$path/evictions/batch=$batchId")
         newHist.write.mode("overwrite").parquet(s"$path/hist/batch=$batchId")
-        newHead.write.mode("overwrite").parquet(s"$path/head/batch=$batchId")
+        if (changedWithRows.nonEmpty)
+          newHeadChanged.select(col("id"), col("tokens"), col("score"))
+            .write.partitionBy("score").mode("overwrite")
+            .parquet(s"$path/head/batch=$batchId")
+        spark.createDataFrame(newTiers).toDF("score", "gen")
+          .write.mode("overwrite").parquet(s"$path/tiers/batch=$batchId")
         cutDf.write.mode("overwrite").parquet(s"$path/cut/batch=$batchId")
+        // retention LAST (after this generation is fully written):
+        // superseded hist/tiers/cut generations prune to the window;
+        // head generations are reference-counted — alive while ANY
+        // retained tiers map still points at them (an untouched tier
+        // legitimately pins a generation older than the window)
+        Seq("hist", "tiers", "cut").foreach(t =>
+          StreamState.pruneGenerations(spark, s"$path/$t", retainGenerations))
+        val referenced: Set[Long] = (try spark.read.parquet(s"$path/tiers")
+            .select(col("gen").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toSet
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            Set.empty[Long] }) + batchId
+        StreamState.deleteGenerations(spark, s"$path/head",
+          StreamState.generations(spark, s"$path/head").filterNot(referenced))
         flagged.unpersist(blocking = false)
       }
       arrivals.unpersist(blocking = false)
@@ -220,14 +342,33 @@ object StreamingQualityHead {
     }
   }
 
-  /** The current head generation — must equal the admitted set of
-    * [[graft.ext.Mixture.qualityBudgetHead]] over everything ingested. */
+  /** The latest FULLY-COMMITTED generation: the max batch id present in
+    * BOTH `hist` (written first) and `tiers` (written after the head
+    * data it indexes). Trusting hist alone would let a crash in the
+    * window between the writes (before the stream restart replays the
+    * batch) make readers resolve a head index that was never written —
+    * a silently empty or stale head. FILESYSTEM-level listings, not
+    * data-level: a legitimate generation can be EMPTY (budget 0), which
+    * a row-level distinct would miss. Both listings retention-bounded. */
+  private def latestCommitted(spark: SparkSession, path: String): Long = {
+    val histG = StreamState.generations(spark, s"$path/hist").toSet
+    val tiersG = StreamState.generations(spark, s"$path/tiers")
+    tiersG.find(histG.contains).getOrElse(throw new IllegalStateException(
+      s"no fully-committed generation under $path (crash before the first " +
+        "tiers write? restart the stream to replay the batch)"))
+  }
+
+  /** The current head — must equal the admitted set of
+    * [[graft.ext.Mixture.qualityBudgetHead]] over everything ingested.
+    * Resolved through the latest committed tiers map: each tier reads
+    * from the generation that last rewrote it. */
   def head(spark: SparkSession, path: String): DataFrame = {
-    val mx = spark.read.parquet(s"$path/hist")
-      .agg(max(col("batch").cast("long"))).head().getLong(0)
-    spark.read.parquet(s"$path/head")
-      .filter(col("batch").cast("long") === lit(mx))
-      .select(col("id"), col("score"), col("tokens"))
+    val g = latestCommitted(spark, path)
+    val tiers = tiersAt(spark, path, g)
+    if (tiers.isEmpty) {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Long)].toDF("id", "score", "tokens")
+    } else headFor(spark, path, tiers)
   }
 
   /** Per-doc lifecycle sheet: arrival verdict, the batch that evicted

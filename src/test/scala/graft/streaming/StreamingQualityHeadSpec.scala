@@ -18,6 +18,16 @@ class StreamingQualityHeadSpec extends SparkSpec {
   private def newPath() =
     java.nio.file.Files.createTempDirectory("graft_sqh_").toString
 
+  /** Recursive delete — head generations nest score= partition dirs. */
+  private def rmGen(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val f = new java.io.File(dir)
+    if (f.exists()) rm(f)
+  }
+
   private def headSet(path: String): Set[Long] =
     StreamingQualityHead.head(spark, path).select("id")
       .as[Long].collect().toSet
@@ -67,7 +77,8 @@ class StreamingQualityHeadSpec extends SparkSpec {
     StreamingQualityHead.foldBatch(docs(b1: _*), 1L, path, budget = 100L)
     def snap(sub: String) = spark.read.parquet(s"$path/$sub")
       .collect().map(_.toString).sorted.toSeq
-    val before = Seq("hist", "head", "cut", "arrivals", "evictions").map(s => s -> snap(s))
+    val before = Seq("hist", "head", "tiers", "cut", "arrivals", "evictions")
+      .map(s => s -> snap(s))
     StreamingQualityHead.foldBatch(docs(b1: _*), 1L, path, budget = 100L)
     before.foreach { case (sub, rows) =>
       assert(snap(sub) === rows, s"replay changed $sub")
@@ -82,13 +93,11 @@ class StreamingQualityHeadSpec extends SparkSpec {
     StreamingQualityHead.foldBatch(docs(b0: _*), 0L, crashed, budget = 100L)
     StreamingQualityHead.foldBatch(docs(b1: _*), 1L, crashed, budget = 100L)
     // simulate the crash window: batch 1's arrivals+evictions committed,
-    // hist/head/cut not — delete the three generation dirs
-    for (sub <- Seq("hist", "head", "cut")) {
-      val d = new java.io.File(s"$crashed/$sub/batch=1")
-      d.listFiles().foreach(_.delete()); d.delete()
-    }
+    // hist/head/tiers/cut not — delete the four generation dirs
+    for (sub <- Seq("hist", "head", "tiers", "cut"))
+      rmGen(s"$crashed/$sub/batch=1")
     StreamingQualityHead.foldBatch(docs(b1: _*), 1L, crashed, budget = 100L)
-    for (sub <- Seq("hist", "head", "cut", "arrivals", "evictions")) {
+    for (sub <- Seq("hist", "head", "tiers", "cut", "arrivals", "evictions")) {
       val c = spark.read.parquet(s"$clean/$sub").collect().map(_.toString).sorted.toSeq
       val x = spark.read.parquet(s"$crashed/$sub").collect().map(_.toString).sorted.toSeq
       assert(x === c, s"crash-window replay diverged on $sub")
@@ -144,6 +153,88 @@ class StreamingQualityHeadSpec extends SparkSpec {
     // regardless of how many docs the tier has rejected
     assert(spark.read.parquet(s"$path/head").filter(col("batch") === 1).count() === 3L)
     assert(spark.read.parquet(s"$path/cut").filter(col("batch") === 1).count() === 1L)
+  }
+
+  test("tier-partitioned head: a fold rewrites only its changed tiers — untouched tiers pin their old generation") {
+    val path = newPath()
+    def headGens = StreamState.generations(spark, s"$path/head")
+    StreamingQualityHead.foldBatch(docs(b0: _*), 0L, path, budget = 100L)
+    assert(headGens === Seq(0L))
+    // a low-score arrival past the cut: rejected outright, NO head
+    // write at all — the fold's head write volume is zero
+    StreamingQualityHead.foldBatch(docs((6L, 50L, 5L)), 1L, path, budget = 100L)
+    assert(headGens === Seq(0L),
+      "a rejected-only fold must not produce a head generation")
+    assert(headSet(path) === batchAdmitted(b0 :+ ((6L, 50L, 5L)), 100L))
+    // a mid-tier arrival (score 70, fits whole): ONLY its tier is
+    // written in generation 2; tier 100 still reads from generation 0
+    StreamingQualityHead.foldBatch(docs((7L, 70L, 10L)), 2L, path, budget = 100L)
+    assert(headGens === Seq(2L, 0L))
+    val gen2Tiers = new java.io.File(s"$path/head/batch=2").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(gen2Tiers === Set("score=70"),
+      "generation 2 must carry ONLY the changed tier")
+    assert(headSet(path) === Set(1L, 2L, 7L))
+    assert(headSet(path) === batchAdmitted(
+      b0 ++ Seq((6L, 50L, 5L), (7L, 70L, 10L)), 100L))
+  }
+
+  test("generation retention: superseded hist/head/cut prune to the window, ledgers keep history, crash-replay survives") {
+    val path = newPath()
+    // rising scores so every fold evicts: the head churns, generations
+    // supersede each other, and the batch-operator equality stays load-bearing
+    val batches = (0L until 6L).map(b =>
+      Seq((b * 10 + 1, 50L + b, 10L), (b * 10 + 2, 50L + b, 10L)))
+    batches.zipWithIndex.foreach { case (rows, b) =>
+      StreamingQualityHead.foldBatch(docs(rows: _*), b.toLong, path,
+        budget = 40L, retainGenerations = 2)
+    }
+    def gens(sub: String) = StreamState.generations(spark, s"$path/$sub")
+    for (sub <- Seq("hist", "tiers", "cut"))
+      assert(gens(sub) === Seq(5L, 4L), s"$sub not pruned to the window")
+    // head generations are reference-counted: the retained tiers maps
+    // (gens 5 and 4) pin gens {5, 4, 3} — map 4 still points tier 53 at
+    // its gen-3 rewrite — and everything older is deleted
+    assert(gens("head") === Seq(5L, 4L, 3L),
+      "head must keep exactly the generations the retained maps reference")
+    assert(gens("arrivals") === (0L until 6L).reverse,
+      "the arrivals ledger must keep full history")
+    assert(gens("evictions").length === 6)
+    assert(headSet(path) === batchAdmitted(batches.flatten, 40L))
+    // ledger still reconstructs every doc's lifecycle from the full
+    // arrivals history + the retained head generations
+    assert(StreamingQualityHead.ledger(spark, path).count() === 12L)
+    // crash-replay after pruning: batch 5's generation dirs vanish (the
+    // crash window) — the retained generation 4 must reconstruct them
+    for (sub <- Seq("hist", "head", "tiers", "cut"))
+      rmGen(s"$path/$sub/batch=5")
+    StreamingQualityHead.foldBatch(docs(batches(5): _*), 5L, path,
+      budget = 40L, retainGenerations = 2)
+    assert(headSet(path) === batchAdmitted(batches.flatten, 40L))
+    for (sub <- Seq("hist", "tiers", "cut"))
+      assert(gens(sub) === Seq(5L, 4L))
+    assert(gens("head") === Seq(5L, 4L, 3L))
+  }
+
+  test("pruneGenerations: a 1,000-generation soak collapses to the retention window, idempotently") {
+    val base = java.nio.file.Files.createTempDirectory("graft_prune_").toString
+    (0 until 1000).foreach { g =>
+      val d = new java.io.File(s"$base/batch=$g")
+      d.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$base/batch=$g/part-00000"), Array[Byte](1))
+    }
+    // a non-generation child must survive untouched
+    new java.io.File(s"$base/_metadata_dir").mkdirs()
+    StreamState.pruneGenerations(spark, base, keep = 3)
+    assert(StreamState.generations(spark, base) === Seq(999L, 998L, 997L))
+    StreamState.pruneGenerations(spark, base, keep = 3)
+    assert(StreamState.generations(spark, base) === Seq(999L, 998L, 997L))
+    assert(new java.io.File(s"$base/_metadata_dir").exists())
+    // a retention below the replay floor is refused outright
+    intercept[IllegalArgumentException] {
+      StreamState.pruneGenerations(spark, base, keep = 1)
+    }
   }
 
   test("cross-batch re-arrival of an id no-ops (single arrival row, verdict unchanged)") {
