@@ -516,6 +516,46 @@ object ScaleProbe {
       }
     }
 
+    // x150 harness/operator cost split (the x124 treatment): the battery
+    // row = a driver collect of the scored rows + ONE running query with
+    // FOUR drained micro-batch folds + the ledger read. Time the pieces —
+    // (a) the scored-row collect (harness prep), (b) the batch equivalent
+    // of the accumulated result (Mixture.qualityBudgetHead over the whole
+    // corpus → noop: the math the four folds must reproduce), (c) the
+    // full registered query — per tier; harness = c − a − b. If harness
+    // dominates and (b) stays near-flat, the row's cost is the
+    // four-drain foreachBatch machinery (checkpoint commits + state
+    // parquet round-trips), not the fold arithmetic.
+    if (on("x150cost")) {
+      import spark.implicits._
+      val Budget = 250L // = ExtensionQueries.QualityHeadBudget (private[queries])
+      def time(f: => Unit): Double =
+        { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+      def med3(f: => Double): Double = { val xs = (1 to 3).map(_ => f).sorted; xs(1) }
+      for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", "/tmp/sf1")
+           if new java.io.File(dir).exists) {
+        val d = graft.sources.Tables.documents(spark, dir)
+        def scored = d.select(col("doc_id"),
+          round(graft.ext.TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+            .cast("long").as("score_k"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        def collectRows() =
+          scored.as[(Long, Long, Long)].collect()
+        collectRows() // JIT/plan warm-up
+        val tPrep = med3(time { collectRows() })
+        val tBatch = med3(time {
+          graft.ext.Mixture.qualityBudgetHead(scored, Budget)
+            .write.format("noop").mode("overwrite").save()
+        })
+        val tFull = med3(time {
+          graft.SparkEntry.queries("x150_stream_quality_head")(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+        })
+        println(f"x150cost[$dir] prep=$tPrep%5.2f batch=$tBatch%5.2f " +
+          f"full=$tFull%5.2f harness=${tFull - tPrep - tBatch}%5.2f")
+      }
+    }
+
     // Clustered-corpus hard-negative recall: same probe over the recallc
     // corpus (16 deterministic clusters) with labels vec_id % 4 — real
     // embedding clouds cluster, and same-cluster vectors land in the
