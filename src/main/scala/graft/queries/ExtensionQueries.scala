@@ -79,6 +79,12 @@ object ExtensionQueries {
   // (capped=true, epochs=3), the rest level out mid-repetition
   private[queries] val RepetitionBudget = 70000L
   private[queries] val MaxEpochsCap = 3
+  // x151 global waterfill budget for the STREAMING per-source evictive
+  // head — ~22% of the sf0.01 corpus (~27.2k tokens over 20 uniform
+  // ~1.2-1.5k-token sources → level ≈300/source): every source grows a
+  // frontier by the second micro-batch, so the ledger shows admissions,
+  // per-source evictions, AND outright rejections across the arrival split
+  private[queries] val StreamGroupHeadBudget = 6000L
   /** x136 shortlist expansion (stage-1 keeps k·expand ADC candidates). */
   private[queries] val PqRerankExpand = 4
   private val NbSeedMod = 3L       // x117 labeled-seed slice: doc_id % 3 = 0
@@ -146,7 +152,7 @@ object ExtensionQueries {
   /** Whitespace token count — ONE definition shared by the packing
     * queries (x22 assignment, x37 materialization) so their bin math can
     * never desync. */
-  private def wsTokenCount(c: org.apache.spark.sql.Column) =
+  private[queries] def wsTokenCount(c: org.apache.spark.sql.Column) =
     size(split(trim(c), "\\s+")).cast("long")
 
   /** Numeric index of a fixture source name ('src<N>' → N) — ONE
@@ -760,7 +766,7 @@ object ExtensionQueries {
     * S-row `wfa(source, avail_tokens)` CTE the caller prepends (x145/x146
     * use the raw per-source token inventories via [[sqlWaterfillCtes]];
     * x147 an epoch-capped one). */
-  private def sqlWaterfillChain(budget: Long): String =
+  private[queries] def sqlWaterfillChain(budget: Long): String =
     s"""wfr AS (SELECT source, avail_tokens,
        |    CAST(row_number() OVER (ORDER BY avail_tokens, source) AS BIGINT)
        |      AS rk,

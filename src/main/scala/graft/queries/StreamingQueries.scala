@@ -493,6 +493,60 @@ object StreamingQueries {
           col("score").as("score_k"), col("tokens").as("n_tokens"),
           col("admit"), col("evict_batch"), col("admitted"))
         .orderBy("doc_id")
+    }),
+
+    // streaming PER-SOURCE evictive quality head — the last cell of the
+    // budget quadrant: x150's online "best B tokens so far" keyed by
+    // source, with each source's fixed budget coming from x145's
+    // waterfill allocation of one global budget (a mixture plan decides
+    // budgets in batch, then the stream curates against them); the
+    // lifecycle sheet replays as the x150 per-prefix tier pass
+    // PARTITIONed by source with the waterfill chain supplying budgets
+    "x151_stream_group_quality_head" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+      val availDf = d.groupBy(col("source"))
+        .agg(sum(ExtensionQueries.wsTokenCount(col("text"))).as("avail_tokens"))
+      val budgets: Map[String, Long] = graft.ext.Mixture
+        .waterfillBudgets(availDf, ExtensionQueries.StreamGroupHeadBudget)
+        .select(col("source"), col("alloc").cast("long"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rows = d
+        .select(col("doc_id"), col("source"),
+          round(TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+            .cast("long").as("score_k"),
+          ExtensionQueries.wsTokenCount(col("text")).as("n_tokens"))
+        .as[(Long, String, Long, Long)].collect().toSeq
+      // arrival split (doc_id/4)%4 — NOT x150's doc_id%4: fixture
+      // sources are doc_id-residue classes themselves (source =
+      // doc_id%20, and 4 | 20), so a %4 split would deliver each source
+      // wholly in one batch and the per-source evictive path would
+      // never fire; /4 first makes every source span all four batches.
+      // Same guard as x150: an empty class would desync MemoryStream
+      // batchIds from the oracle's arrival mapping
+      val residues = rows.map(r => (r._1 / 4) % 4).toSet
+      require((0L until 4L).forall(residues.contains),
+        s"x151 harness needs all (doc_id/4)%4 classes non-empty; " +
+          s"missing ${(0L until 4L).filterNot(residues.contains).mkString(",")}")
+      val path = java.nio.file.Files.createTempDirectory("graft_x151_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x151_ck_").toString
+      val input = MemoryStream[(Long, String, Long, Long)]
+      val q = graft.streaming.StreamingGroupQualityHead.attach(
+        input.toDF().toDF("doc_id", "source", "score_k", "n_tokens"),
+        path, budgets)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try (0L until 4L).foreach { b =>
+        input.addData(rows.filter(r => (r._1 / 4) % 4 == b))
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.StreamingGroupQualityHead.ledger(s, path)
+        .select(col("id").as("doc_id"), col("grp").as("source"),
+          col("arrival_batch"), col("score").as("score_k"),
+          col("tokens").as("n_tokens"),
+          col("admit"), col("evict_batch"), col("admitted"))
+        .orderBy("doc_id")
     }))
 
   /** The x15 deterministic-recurrence centroids as KMeans.Centroid
@@ -579,6 +633,61 @@ object StreamingQueries {
          |    bool_or(adm) FILTER (WHERE b = 3) AS admitted
          |  FROM a GROUP BY doc_id, ab, score_k, n_tokens)
          |SELECT doc_id, arrival_batch, score_k, n_tokens, admit,
+         |  CASE WHEN admit THEN ev END AS evict_batch, admitted
+         |FROM lc ORDER BY doc_id""".stripMargin,
+
+    // x151: x150's per-prefix tier-pass replay PARTITIONed by source,
+    // with each source's budget supplied by the x145 waterfill chain
+    // over the full per-source token inventories — the same allocation
+    // the Spark harness computes in batch and injects at attach time
+    "x151_stream_group_quality_head" ->
+      s"""WITH ${ExtensionQueries.sqlQualityCtes},
+         |q0 AS (SELECT doc_id,
+         |    CAST(round((${ExtensionQueries.sqlQualityScore}) * 1000000, 0)
+         |      AS BIGINT) AS score_k
+         |  FROM g),
+         |qs AS (SELECT q0.doc_id, d.source, q0.score_k,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    CAST((q0.doc_id // 4) % 4 AS BIGINT) AS ab
+         |  FROM q0 JOIN documents d ON q0.doc_id = d.doc_id),
+         |wfa AS (SELECT source,
+         |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         |      AS avail_tokens
+         |  FROM documents GROUP BY source),
+         |${ExtensionQueries.sqlWaterfillChain(ExtensionQueries.StreamGroupHeadBudget)},
+         |bs AS (SELECT CAST(b AS BIGINT) AS b FROM range(0, 4) t(b)),
+         |p AS (SELECT qs.*, bs.b FROM qs JOIN bs ON qs.ab <= bs.b),
+         |h AS (SELECT b, source, score_k, CAST(sum(n_tokens) AS BIGINT) AS bt
+         |  FROM p GROUP BY b, source, score_k),
+         |c AS (SELECT h.b, h.source, h.score_k, h.bt,
+         |    CAST(COALESCE(SUM(h.bt) OVER (PARTITION BY h.b, h.source
+         |      ORDER BY h.score_k DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS prior,
+         |    w.alloc
+         |  FROM h JOIN wfo w ON h.source = w.source),
+         |t AS (SELECT p.b, p.doc_id, p.source, p.ab, p.score_k, p.n_tokens,
+         |    CASE WHEN c.prior + c.bt <= c.alloc THEN 'full'
+         |         WHEN c.prior >= c.alloc THEN 'rejected'
+         |         ELSE 'frontier' END AS tier,
+         |    c.prior + CAST(sum(p.n_tokens) OVER (PARTITION BY p.b, p.source,
+         |      p.score_k ORDER BY p.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS incl,
+         |    c.alloc
+         |  FROM p JOIN c ON p.b = c.b AND p.source = c.source
+         |    AND p.score_k = c.score_k),
+         |a AS (SELECT b, doc_id, source, ab, score_k, n_tokens,
+         |    CASE tier WHEN 'full' THEN TRUE WHEN 'rejected' THEN FALSE
+         |         ELSE incl <= alloc END AS adm
+         |  FROM t),
+         |lc AS (SELECT doc_id, source, ab AS arrival_batch, score_k, n_tokens,
+         |    bool_or(adm) FILTER (WHERE b = ab) AS admit,
+         |    CAST(min(b) FILTER (WHERE NOT adm) AS BIGINT) AS ev,
+         |    bool_or(adm) FILTER (WHERE b = 3) AS admitted
+         |  FROM a GROUP BY doc_id, source, ab, score_k, n_tokens)
+         |SELECT doc_id, source, arrival_batch, score_k, n_tokens, admit,
          |  CASE WHEN admit THEN ev END AS evict_batch, admitted
          |FROM lc ORDER BY doc_id""".stripMargin,
 

@@ -1,0 +1,357 @@
+package graft.streaming
+
+import graft.ext.Positional
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/**
+ * Streaming PER-GROUP evictive quality-budget head — maintain ONLINE
+ * what [[graft.ext.Mixture.qualityBudgetHeadByGroup]] selects in batch:
+ * "the best `budget(g)` tokens FROM EACH SOURCE ingested so far". The
+ * last cell of the budget-family quadrant: x142 admits the FIRST
+ * tokens per source online, x143/x144 pick the BEST tokens in batch
+ * (globally / per source), x150 keeps the BEST tokens online globally
+ * — this keeps the BEST tokens online PER SOURCE, with late
+ * high-quality arrivals evicting their own source's tail. The
+ * per-source budgets are fixed at attach time (typically
+ * [[graft.ext.Mixture.waterfillBudgets]] allocations of one global
+ * budget — a mixture plan decides budgets, then the stream curates
+ * against them); a budget that changed mid-stream would retroactively
+ * change past verdicts, which the monotonicity the fold is built on
+ * (verdicts only degrade) cannot express.
+ *
+ * All four [[StreamingQualityHead]] monotonicity facts hold per group
+ * independently, because every group's arithmetic (its tier histogram,
+ * its tokens-above `prior`, its budget) is self-contained: a group's
+ * verdicts only degrade, its full tiers stay full-or-better, its
+ * frontier only moves up its score grid, and within its frontier tier
+ * the rejected roster compresses to ONE per-group cut marker. A fold
+ * therefore rewrites only the CHANGED (group, tier) cells — arrival
+ * cells that are not rejected, plus each group's frontier when it was
+ * touched — and only each group's one frontier tier runs an exact
+ * running sum, via [[Positional.withPerKeyRunningSum]]'s keyed
+ * two-phase layout (a degenerate single-tier group never funnels one
+ * task; a hot group cannot starve the others).
+ *
+ * Groups absent from `budgets` are OUTSIDE the curation (the batch
+ * operator's inner-dimension-join contract): their docs get no arrival
+ * verdict, no ledger row, and are dropped deterministically on every
+ * (re)delivery — explicit budgets are the contract, exactly as in
+ * batch.
+ *
+ * State layout under `path/` — the [[StreamingQualityHead]] discipline
+ * (per-`batch=<id>` overwrite generations; every read excludes the
+ * fold's own batch, so crash-window replay recomputes identical frames
+ * and truncates-and-rewrites), with every key widened by `grp`:
+ *  - `hist/batch=<id>`  — (grp, score, bt) per-(group, tier) token
+ *    totals over everything ingested. Groups × grid bounded.
+ *  - `head/batch=<id>/grp=<g>/score=<s>/` — the CHANGED cells'
+ *    admitted rows (id, tokens).
+ *  - `tiers/batch=<id>` — (grp, score, gen): every currently-NONEMPTY
+ *    cell mapped to the head generation holding its membership; the
+ *    head's read index AND its commit marker (written after the head
+ *    data). Emptied cells drop out of the map — absence is the
+ *    tombstone.
+ *  - `cut/batch=<id>`   — AT MOST ONE row PER GROUP (grp, score,
+ *    cut_id): each group's frontier tier and first rejected id.
+ *  - `arrivals/batch=<id>`  — append-only ledger (id, grp, score,
+ *    tokens, admit); also the cross-batch re-arrival guard.
+ *  - `evictions/batch=<id>` — (id) evicted by this fold.
+ *
+ * Retention: identical to [[StreamingQualityHead]] — hist/tiers/cut
+ * prune to `retainGenerations`; head generations are reference-counted
+ * against the retained tiers maps; the ledgers keep history.
+ */
+object StreamingGroupQualityHead {
+
+  /** Attach the per-group evictive-head sink over a stream carrying
+    * (idCol, groupCol, scoreCol, tokCol). `budgets` maps each curated
+    * group to its token budget (fixed for the life of the state path);
+    * read results with [[ledger]]. */
+  def attach(
+      docs: DataFrame,
+      path: String,
+      budgets: Map[String, Long],
+      idCol: String = "doc_id",
+      groupCol: String = "source",
+      scoreCol: String = "score_k",
+      tokCol: String = "n_tokens",
+      retainGenerations: Int = 3): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(batch, batchId, path, budgets, idCol, groupCol, scoreCol,
+          tokCol, retainGenerations)
+      }
+
+  /** The (grp, score → head generation) map stored at generation `gen`
+    * — groups × grid bounded. The AnalysisException arm covers the
+    * all-generations-empty tree (every budget 0). */
+  private def tiersAt(
+      spark: SparkSession, path: String, gen: Long): Seq[(String, Long, Long)] =
+    try spark.read.parquet(s"$path/tiers")
+      .filter(col("batch").cast("long") === lit(gen))
+      .select(col("grp"), col("score").cast("long"), col("gen").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
+
+  /** The head rows a (grp, score → gen) map selects: the head tree
+    * joined to the broadcast map on (group, tier, generation). Rows
+    * from uncommitted or superseded generations never match the map. */
+  private def headFor(
+      spark: SparkSession, path: String,
+      tiers: Seq[(String, Long, Long)]): DataFrame = {
+    val mapDf = spark.createDataFrame(tiers).toDF("_mgrp", "_mscore", "_gen")
+    spark.read.parquet(s"$path/head")
+      .select(col("id"), col("tokens").cast("long").as("tokens"),
+        col("grp").cast("string").as("grp"),
+        col("score").cast("long").as("score"),
+        col("batch").cast("long").as("_b"))
+      .join(broadcast(mapDf),
+        col("grp") === col("_mgrp") && col("score") === col("_mscore") &&
+          col("_b") === col("_gen"))
+      .select(col("id"), col("grp"), col("score"), col("tokens"))
+  }
+
+  /** One micro-batch's fold — public so crash-window replay is directly
+    * spec-testable: re-folding must leave every state table
+    * bit-identical. */
+  def foldBatch(
+      batch: DataFrame,
+      batchId: Long,
+      path: String,
+      budgets: Map[String, Long],
+      idCol: String = "doc_id",
+      groupCol: String = "source",
+      scoreCol: String = "score_k",
+      tokCol: String = "n_tokens",
+      retainGenerations: Int = 3): Unit = {
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val hasState = StreamState.exists(spark, s"$path/hist")
+      def stateView(sub: String): DataFrame =
+        spark.read.parquet(s"$path/$sub")
+          .filter(col("batch") =!= lit(batchId))
+      // dense integral gid per group (withPerKeyRunningSum's key
+      // contract), deterministic across folds: sorted group order
+      val dim = broadcast(spark.createDataFrame(
+          budgets.toSeq.sortBy(_._1).zipWithIndex
+            .map { case ((g, b), i) => (g, b, (i + 1).toLong) })
+        .toDF("grp", "_budget", "_gid"))
+      // in-batch id dedup: ONE representative ROW per id — max score,
+      // ties to the smaller token count, then max group — never a
+      // synthesized mix of two rows' fields
+      val batchDocs = batch.groupBy(col(idCol))
+        .agg(max(struct(col(scoreCol).cast("long").as("score"),
+          (-col(tokCol).cast("long")).as("_ntok"),
+          col(groupCol).cast("string").as("grp"))).as("_rep"))
+        .select(col(idCol).as("id"), col("_rep.grp").as("grp"),
+          col("_rep.score").as("score"), (-col("_rep._ntok")).as("tokens"))
+      // curated groups only (inner dimension join — the batch
+      // operator's contract), then the cross-batch re-arrival guard
+      val known = batchDocs.join(dim, Seq("grp"))
+        .select(col("id"), col("grp"), col("score"), col("tokens"))
+      val arrivals =
+        if (hasState)
+          known.join(stateView("arrivals").select("id"), Seq("id"), "left_anti")
+            .persist()
+        else known.persist()
+      if (!arrivals.isEmpty) {
+        val priorGen: Option[Long] =
+          StreamState.generations(spark, s"$path/hist").find(_ != batchId)
+        val priorTiers: Seq[(String, Long, Long)] =
+          priorGen.map(g => tiersAt(spark, path, g)).getOrElse(Seq.empty)
+        val priorHead =
+          if (priorTiers.isEmpty)
+            arrivals.limit(0).select(col("id"), col("grp"), col("score"),
+              col("tokens"))
+          else headFor(spark, path, priorTiers)
+        // stored per-group frontier cut markers: ≤1 row per group
+        val priorCut: Map[String, (Long, Long)] = priorGen.map(g =>
+          stateView("cut").filter(col("batch").cast("long") === lit(g))
+            .select(col("grp"), col("score"), col("cut_id")).collect()
+            .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap)
+          .getOrElse(Map.empty)
+        // merged per-(group, tier) token totals over everything ingested
+        val batchHist = arrivals.groupBy(col("grp"), col("score"))
+          .agg(sum(col("tokens")).as("bt"))
+        val newHist = (priorGen match {
+          case Some(g) => stateView("hist")
+            .filter(col("batch").cast("long") === lit(g))
+            .select(col("grp"), col("score"), col("bt"))
+            .unionByName(batchHist)
+            .groupBy(col("grp"), col("score")).agg(sum(col("bt")).as("bt"))
+          case None => batchHist
+        }).localCheckpoint(true)
+        // per-group tier verdicts off the groups × grid cumulative
+        // window (the x144 arithmetic: per-group tokens-above as prior)
+        val wAbove = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("grp")).orderBy(col("score").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val cum = newHist
+          .select(col("grp"), col("score"), col("bt"),
+            coalesce(sum(col("bt")).over(wAbove), lit(0L)).as("_prior"))
+          .join(dim, Seq("grp"))
+          .withColumn("_full", col("_prior") + col("bt") <= col("_budget"))
+          .withColumn("_rej", col("_prior") >= col("_budget"))
+          .localCheckpoint(true)
+        // groups × grid driver views of the verdicts
+        val verdicts: Map[(String, Long), (Boolean, Boolean)] = cum
+          .select(col("grp"), col("score"), col("_full"), col("_rej")).collect()
+          .map(r => (r.getString(0), r.getLong(1)) ->
+            ((r.getBoolean(2), r.getBoolean(3)))).toMap
+        val frontier: Map[String, Long] =
+          verdicts.collect { case ((g, s), (false, false)) => g -> s }
+        val arrivalCells: Set[(String, Long)] = batchHist
+          .select(col("grp"), col("score")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
+        // CHANGED cells — the only (group, tier) cells whose membership
+        // can move: non-rejected arrival cells, plus each group's
+        // frontier when it was TOUCHED — it moved up, or the group got
+        // arrivals strictly above it (its `prior` grew, so its cut
+        // slides down and its tail must evict even with no arrivals of
+        // its own)
+        val changed: Set[(String, Long)] =
+          arrivalCells.filterNot(c => verdicts(c)._2) ++
+            frontier.collect { case (g, fs)
+              if !priorCut.get(g).map(_._1).contains(fs) ||
+                arrivalCells.exists { case (ag, as) => ag == g && as > fs }
+              => (g, fs) }
+        val changedDf = broadcast(
+          spark.createDataFrame(changed.toSeq).toDF("grp", "score"))
+        val candidates = priorHead
+          .join(changedDf, Seq("grp", "score"), "left_semi")
+          .unionByName(arrivals.join(changedDf, Seq("grp", "score"), "left_semi"))
+        val flagged = candidates
+          .join(broadcast(cum.drop("bt")), Seq("grp", "score")).persist()
+        val decidedFull = flagged.filter(col("_full"))
+          .select(col("id"), col("grp"), col("score"), col("tokens"))
+        val frontierAll = flagged.filter(!col("_full") && !col("_rej"))
+          .select(col("id"), col("grp"), col("score"), col("tokens"),
+            col("_prior"), col("_budget"), col("_gid"))
+        // fact 4 per group: where the stored cut names the group's
+        // CURRENT frontier tier, candidates at or past it are rejected
+        // without computation
+        val guards: Map[String, Long] = frontier.flatMap { case (g, fs) =>
+          priorCut.get(g).collect { case (cs, cid) if cs == fs => g -> cid }
+        }
+        val guardDf = broadcast(spark.createDataFrame(guards.toSeq)
+          .toDF("grp", "_guard"))
+        val preCut = frontierAll.join(guardDf, Seq("grp"), "left")
+          .filter(col("_guard").isNull || col("id") < col("_guard"))
+        val refinedBase = Positional.withPerKeyRunningSum(
+            preCut, Seq(col("id")), "_gid", "tokens", "_pfx")
+        val refined = refinedBase
+          .withColumn("_adm", col("_prior") + col("_pfx") <= col("_budget"))
+        val newHeadChanged = decidedFull
+          .unionByName(refined.filter(col("_adm"))
+            .select("id", "grp", "score", "tokens"))
+          .localCheckpoint(true)
+        // per-group new cut: the first rejected id among the recomputed
+        // slice, or the surviving guard. A frontier tier always HAS a
+        // rejected doc (its last inclusive sum overflows the budget),
+        // so the cut is defined for every frontier group.
+        val rejMin: Map[String, Long] = refined.filter(!col("_adm"))
+          .groupBy(col("grp")).agg(min(col("id")).as("_mn"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val newCuts: Seq[(String, Long, Long)] = frontier.toSeq.map {
+          case (g, fs) => (g, fs,
+            math.min(rejMin.getOrElse(g, Long.MaxValue),
+              guards.getOrElse(g, Long.MaxValue)))
+        }
+        refinedBase.unpersist(blocking = false)
+        val cutDf = spark.createDataFrame(newCuts).toDF("grp", "score", "cut_id")
+        val changedWithRows: Set[(String, Long)] = newHeadChanged
+          .groupBy(col("grp"), col("score")).count()
+          .select(col("grp"), col("score")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
+        val newTiers: Seq[(String, Long, Long)] =
+          priorTiers.filter { case (g, s, _) =>
+            !verdicts.get((g, s)).exists(_._2) && !changed.contains((g, s))
+          } ++ changedWithRows.toSeq.sorted.map { case (g, s) => (g, s, batchId) }
+        val arrOut = arrivals.join(
+            newHeadChanged.select(col("id"), lit(true).as("admit")),
+            Seq("id"), "left")
+          .select(col("id"), col("grp"), col("score"), col("tokens"),
+            coalesce(col("admit"), lit(false)).as("admit"))
+        // NB: collect over the SEQ — Map.collect into (grp, score) pairs
+        // would rebuild a Map keyed by grp and silently keep ONE rejected
+        // tier per group
+        val rejDf = broadcast(spark.createDataFrame(
+            verdicts.toSeq.collect { case ((g, s), (_, true)) => (g, s) })
+          .toDF("grp", "score"))
+        val evictedFrom = priorHead.join(changedDf, Seq("grp", "score"), "left_semi")
+          .unionByName(priorHead.join(rejDf, Seq("grp", "score"), "left_semi"))
+        val evicted = evictedFrom
+          .join(newHeadChanged.select("id"), Seq("id"), "left_anti")
+          .select("id").distinct()
+        arrOut.write.mode("overwrite").parquet(s"$path/arrivals/batch=$batchId")
+        evicted.write.mode("overwrite").parquet(s"$path/evictions/batch=$batchId")
+        newHist.write.mode("overwrite").parquet(s"$path/hist/batch=$batchId")
+        if (changedWithRows.nonEmpty)
+          newHeadChanged.select(col("id"), col("tokens"), col("grp"), col("score"))
+            .write.partitionBy("grp", "score").mode("overwrite")
+            .parquet(s"$path/head/batch=$batchId")
+        spark.createDataFrame(newTiers).toDF("grp", "score", "gen")
+          .write.mode("overwrite").parquet(s"$path/tiers/batch=$batchId")
+        cutDf.write.mode("overwrite").parquet(s"$path/cut/batch=$batchId")
+        Seq("hist", "tiers", "cut").foreach(t =>
+          StreamState.pruneGenerations(spark, s"$path/$t", retainGenerations))
+        val referenced: Set[Long] = (try spark.read.parquet(s"$path/tiers")
+            .select(col("gen").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toSet
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            Set.empty[Long] }) + batchId
+        StreamState.deleteGenerations(spark, s"$path/head",
+          StreamState.generations(spark, s"$path/head").filterNot(referenced))
+        flagged.unpersist(blocking = false)
+      }
+      arrivals.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** The latest FULLY-COMMITTED generation — max batch id present in
+    * BOTH `hist` (written first) and `tiers` (the commit marker),
+    * filesystem-level so legitimately-empty generations count. */
+  private def latestCommitted(spark: SparkSession, path: String): Long = {
+    val histG = StreamState.generations(spark, s"$path/hist").toSet
+    val tiersG = StreamState.generations(spark, s"$path/tiers")
+    tiersG.find(histG.contains).getOrElse(throw new IllegalStateException(
+      s"no fully-committed generation under $path (crash before the first " +
+        "tiers write? restart the stream to replay the batch)"))
+  }
+
+  /** The current per-group head — must equal the admitted set of
+    * [[graft.ext.Mixture.qualityBudgetHeadByGroup]] over everything
+    * ingested, under the same budgets. */
+  def head(spark: SparkSession, path: String): DataFrame = {
+    val g = latestCommitted(spark, path)
+    val tiers = tiersAt(spark, path, g)
+    if (tiers.isEmpty) {
+      import spark.implicits._
+      Seq.empty[(Long, String, Long, Long)].toDF("id", "grp", "score", "tokens")
+    } else headFor(spark, path, tiers)
+  }
+
+  /** Per-doc lifecycle sheet: group, arrival verdict, the batch that
+    * evicted it (null if never), and FINAL membership read from the
+    * current head state — `admitted = admit AND evict_batch IS NULL`
+    * is the spec-pinned invariant. */
+  def ledger(spark: SparkSession, path: String): DataFrame = {
+    val arr = spark.read.parquet(s"$path/arrivals")
+      .select(col("id"), col("grp"),
+        col("batch").cast("long").as("arrival_batch"),
+        col("score"), col("tokens"), col("admit"))
+    val ev = spark.read.parquet(s"$path/evictions")
+      .groupBy(col("id"))
+      .agg(min(col("batch").cast("long")).as("evict_batch"))
+    arr.join(ev, Seq("id"), "left")
+      .join(head(spark, path).select(col("id"), lit(true).as("_m")), Seq("id"), "left")
+      .select(col("id"), col("grp"), col("arrival_batch"), col("score"),
+        col("tokens"), col("admit"), col("evict_batch"),
+        coalesce(col("_m"), lit(false)).as("admitted"))
+  }
+}

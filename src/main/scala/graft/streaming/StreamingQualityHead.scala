@@ -41,7 +41,8 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  * so neither its verdict nor its membership can move. The head is
  * therefore stored per SCORE TIER with per-tier generations, and a
  * fold rewrites only its CHANGED tiers — the arrival tiers that are
- * not rejected, plus the frontier when it moved. Per-fold head write
+ * not rejected, plus the frontier when it was touched (it moved, or
+ * arrivals above it grew its `prior`). Per-fold head write
  * volume is proportional to the touched tiers' membership, NOT to the
  * budget: at a production budget (10¹³ tokens ≈ 10⁹ docs) the old
  * full-head rewrite would dominate every fold; here a low-score batch
@@ -232,12 +233,16 @@ object StreamingQualityHead {
           .select(col("score")).collect().map(_.getLong(0)).toSet
         // CHANGED tiers — the only tiers whose membership can move
         // (facts 1–3): non-rejected arrival tiers, plus the frontier
-        // when it moved up (its old membership shrinks to the new
-        // prefix even with no arrivals of its own)
-        val frontierMoved = frontierScore.exists(f => !priorCut.map(_._1).contains(f))
+        // when it was TOUCHED — it moved up, or arrivals landed
+        // strictly above it (its `prior` grew, so its cut slides DOWN
+        // and its tail must evict even though the tier itself got no
+        // arrivals and did not move; missing this left stale members
+        // whenever a batch fit wholly inside the full tiers above)
+        val frontierTouched = frontierScore.exists(f =>
+          !priorCut.map(_._1).contains(f) || arrivalScores.exists(_ > f))
         val changed: Set[Long] =
           arrivalScores.filterNot(s => verdicts(s)._2) ++
-            (if (frontierMoved) frontierScore.toSet else Set.empty[Long])
+            (if (frontierTouched) frontierScore.toSet else Set.empty[Long])
         val changedDf = broadcast(
           spark.createDataFrame(changed.toSeq.map(Tuple1(_))).toDF("score"))
         // candidates: prior members of changed tiers ∪ arrivals at

@@ -1,0 +1,273 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ext.Mixture
+import org.apache.spark.sql.functions._
+
+/** The per-group evictive quality head must track the batch operator
+  * exactly: after every fold, the stored head equals
+  * [[Mixture.qualityBudgetHeadByGroup]]'s admitted set over everything
+  * ingested under the same budgets — each group's late high-quality
+  * arrivals evict ITS OWN tail only, groups outside the budget map are
+  * invisible, and replay of any crash window is idempotent. */
+class StreamingGroupQualityHeadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, Long, Long)*) =
+    rows.toSeq.toDF("doc_id", "source", "score_k", "n_tokens")
+
+  private def newPath() =
+    java.nio.file.Files.createTempDirectory("graft_sgqh_").toString
+
+  private def rmGen(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val f = new java.io.File(dir)
+    if (f.exists()) rm(f)
+  }
+
+  private def headSet(path: String): Set[Long] =
+    StreamingGroupQualityHead.head(spark, path).select("id")
+      .as[Long].collect().toSet
+
+  private def batchAdmitted(
+      all: Seq[(Long, String, Long, Long)],
+      budgets: Map[String, Long]): Set[Long] = {
+    val bDf = budgets.toSeq.toDF("source", "budget")
+    val out = Mixture.qualityBudgetHeadByGroup(docs(all: _*), bDf)
+    val ids = out.filter(col("admitted")).select("doc_id").as[Long].collect().toSet
+    out.unpersist(blocking = false)
+    ids
+  }
+
+  // two groups, asymmetric budgets: A holds 100 tokens, B holds 60
+  private val B = Map("a" -> 100L, "b" -> 60L)
+  private val b0 = Seq((1L, "a", 100L, 40L), (2L, "a", 100L, 40L),
+    (3L, "a", 50L, 30L), (11L, "b", 80L, 30L), (12L, "b", 60L, 30L))
+  private val b1 = Seq((4L, "a", 200L, 50L), (13L, "b", 90L, 30L))
+  private val b2 = Seq((5L, "a", 100L, 5L), (14L, "b", 10L, 5L))
+
+  test("fold-by-fold the head equals the batch operator per group; evictions stay inside their group") {
+    val path = newPath()
+    StreamingGroupQualityHead.foldBatch(docs(b0: _*), 0L, path, B)
+    assert(headSet(path) === batchAdmitted(b0, B))
+    assert(headSet(path) === Set(1L, 2L, 11L, 12L))
+    StreamingGroupQualityHead.foldBatch(docs(b1: _*), 1L, path, B)
+    // group a: doc 4 (score 200) evicts doc 2 — tier 100 became a's
+    // frontier; group b: doc 13 (score 90) evicts doc 12 (tier 60
+    // overflows b's 60-token budget) — a's churn never touches b's
+    assert(headSet(path) === batchAdmitted(b0 ++ b1, B))
+    assert(headSet(path) === Set(1L, 4L, 11L, 13L))
+    StreamingGroupQualityHead.foldBatch(docs(b2: _*), 2L, path, B)
+    // doc 5 (a, 5 tokens) WOULD fit by size but id-order frontier
+    // semantics reject it; doc 14 (b) is below b's frontier
+    assert(headSet(path) === batchAdmitted(b0 ++ b1 ++ b2, B))
+    assert(headSet(path) === Set(1L, 4L, 11L, 13L))
+    val led = StreamingGroupQualityHead.ledger(spark, path)
+      .select("id", "grp", "arrival_batch", "admit", "evict_batch", "admitted")
+      .as[(Long, String, Long, Boolean, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(led === Map(
+      1L -> (("a", 0L, true, None, true)),
+      2L -> (("a", 0L, true, Some(1L), false)),
+      3L -> (("a", 0L, false, None, false)),
+      11L -> (("b", 0L, true, None, true)),
+      12L -> (("b", 0L, true, Some(1L), false)),
+      4L -> (("a", 1L, true, None, true)),
+      13L -> (("b", 1L, true, None, true)),
+      5L -> (("a", 2L, false, None, false)),
+      14L -> (("b", 2L, false, None, false))))
+    led.foreach { case (_, (_, _, adm, ev, fin)) =>
+      assert(fin === (adm && ev.isEmpty))
+    }
+  }
+
+  test("a group absent from the budget map is outside the curation: no ledger row, deterministic drop on redelivery") {
+    val path = newPath()
+    val withStranger = b0 :+ ((99L, "zz", 500L, 10L))
+    StreamingGroupQualityHead.foldBatch(docs(withStranger: _*), 0L, path, B)
+    assert(headSet(path) === batchAdmitted(withStranger, B))
+    assert(!headSet(path).contains(99L))
+    val led = StreamingGroupQualityHead.ledger(spark, path)
+    assert(led.filter(col("id") === 99L).count() === 0L,
+      "an unbudgeted group's doc must not appear in the ledger")
+    // redelivery (crash replay) drops it again identically
+    StreamingGroupQualityHead.foldBatch(docs(withStranger: _*), 0L, path, B)
+    assert(StreamingGroupQualityHead.ledger(spark, path)
+      .filter(col("id") === 99L).count() === 0L)
+    assert(headSet(path) === batchAdmitted(withStranger, B))
+  }
+
+  test("replaying a fully-committed batch is a no-op on every state table") {
+    val path = newPath()
+    StreamingGroupQualityHead.foldBatch(docs(b0: _*), 0L, path, B)
+    StreamingGroupQualityHead.foldBatch(docs(b1: _*), 1L, path, B)
+    def snap(sub: String) = spark.read.parquet(s"$path/$sub")
+      .collect().map(_.toString).sorted.toSeq
+    val before = Seq("hist", "head", "tiers", "cut", "arrivals", "evictions")
+      .map(s => s -> snap(s))
+    StreamingGroupQualityHead.foldBatch(docs(b1: _*), 1L, path, B)
+    before.foreach { case (sub, rows) =>
+      assert(snap(sub) === rows, s"replay changed $sub")
+    }
+  }
+
+  test("crash between the ledger writes and the generation writes replays to the clean state") {
+    val clean = newPath()
+    StreamingGroupQualityHead.foldBatch(docs(b0: _*), 0L, clean, B)
+    StreamingGroupQualityHead.foldBatch(docs(b1: _*), 1L, clean, B)
+    val crashed = newPath()
+    StreamingGroupQualityHead.foldBatch(docs(b0: _*), 0L, crashed, B)
+    StreamingGroupQualityHead.foldBatch(docs(b1: _*), 1L, crashed, B)
+    for (sub <- Seq("hist", "head", "tiers", "cut"))
+      rmGen(s"$crashed/$sub/batch=1")
+    StreamingGroupQualityHead.foldBatch(docs(b1: _*), 1L, crashed, B)
+    for (sub <- Seq("hist", "head", "tiers", "cut", "arrivals", "evictions")) {
+      val c = spark.read.parquet(s"$clean/$sub").collect().map(_.toString).sorted.toSeq
+      val x = spark.read.parquet(s"$crashed/$sub").collect().map(_.toString).sorted.toSeq
+      assert(x === c, s"crash-window replay diverged on $sub")
+    }
+  }
+
+  test("per-group cut markers: each group's rejected roster compresses to one row; arrivals past a cut reject without state growth") {
+    val path = newPath()
+    // one score tier per group, 10 tokens each; budgets admit 3 (a) / 2 (b)
+    val flood0 = (1L to 20L).map(i => (i, "a", 7L, 10L)) ++
+      (101L to 120L).map(i => (i, "b", 7L, 10L))
+    StreamingGroupQualityHead.foldBatch(docs(flood0: _*), 0L, path,
+      Map("a" -> 35L, "b" -> 25L))
+    assert(headSet(path) === Set(1L, 2L, 3L, 101L, 102L))
+    val cut0 = spark.read.parquet(s"$path/cut")
+      .select("grp", "score", "cut_id").as[(String, Long, Long)]
+      .collect().toSet
+    assert(cut0 === Set(("a", 7L, 4L), ("b", 7L, 103L)))
+    // arrivals past both cuts: rejected outright; the recomputed
+    // frontier slices stay cut-bounded (5 head rows, not 45)
+    val flood1 = (21L to 30L).map(i => (i, "a", 7L, 10L)) ++
+      (121L to 130L).map(i => (i, "b", 7L, 10L))
+    StreamingGroupQualityHead.foldBatch(docs(flood1: _*), 1L, path,
+      Map("a" -> 35L, "b" -> 25L))
+    assert(headSet(path) === Set(1L, 2L, 3L, 101L, 102L))
+    assert(spark.read.parquet(s"$path/head")
+      .filter(col("batch") === 1).count() === 5L,
+      "frontier recomputation must stay cut-bounded, not roster-sized")
+    // arrivals strictly BELOW both frontier tiers: rejected at tier
+    // level, nothing changes, NO head generation at all
+    StreamingGroupQualityHead.foldBatch(
+      docs((31L, "a", 5L, 10L), (131L, "b", 5L, 10L)), 2L, path,
+      Map("a" -> 35L, "b" -> 25L))
+    assert(StreamState.generations(spark, s"$path/head") === Seq(1L, 0L),
+      "a rejected-only fold must not produce a head generation")
+    assert(headSet(path) === Set(1L, 2L, 3L, 101L, 102L))
+    // a pre-cut arrival in ONE group inserts there and only there
+    StreamingGroupQualityHead.foldBatch(docs((0L, "a", 7L, 10L)), 3L, path,
+      Map("a" -> 35L, "b" -> 25L))
+    assert(headSet(path) === Set(0L, 1L, 2L, 101L, 102L))
+    assert(headSet(path) === batchAdmitted(
+      flood0 ++ flood1 ++ Seq((31L, "a", 5L, 10L), (131L, "b", 5L, 10L),
+        (0L, "a", 7L, 10L)),
+      Map("a" -> 35L, "b" -> 25L)))
+    val cut3 = spark.read.parquet(s"$path/cut")
+      .filter(col("batch") === 3)
+      .select("grp", "score", "cut_id").as[(String, Long, Long)]
+      .collect().toSet
+    assert(cut3 === Set(("a", 7L, 3L), ("b", 7L, 103L)))
+  }
+
+  test("arrivals above ONE group's surviving frontier slide only that group's cut down; the sibling group is untouched") {
+    val path = newPath()
+    val budgets = Map("a" -> 100L, "b" -> 100L)
+    val base = Seq((1L, "a", 90L, 50L), (2L, "a", 80L, 30L), (3L, "a", 80L, 30L),
+      (11L, "b", 90L, 50L), (12L, "b", 80L, 30L), (13L, "b", 80L, 30L))
+    StreamingGroupQualityHead.foldBatch(docs(base: _*), 0L, path, budgets)
+    assert(headSet(path) === Set(1L, 2L, 11L, 12L))
+    // a's frontier (tier 80) survives but its prior grows 50→75: doc 2
+    // must evict; b's identical frontier is untouched
+    StreamingGroupQualityHead.foldBatch(docs((5L, "a", 95L, 25L)), 1L, path, budgets)
+    assert(headSet(path) === batchAdmitted(base :+ ((5L, "a", 95L, 25L)), budgets))
+    assert(headSet(path) === Set(1L, 5L, 11L, 12L))
+    assert(StreamingGroupQualityHead.ledger(spark, path)
+      .filter(col("evict_batch") === 1L).select("id").as[Long]
+      .collect().toSeq === Seq(2L))
+    val cut1 = spark.read.parquet(s"$path/cut").filter(col("batch") === 1)
+      .select("grp", "score", "cut_id").as[(String, Long, Long)].collect().toSet
+    assert(cut1 === Set(("a", 80L, 2L), ("b", 80L, 13L)))
+  }
+
+  test("TWO tiers of one group rejected in a single fold evict BOTH members (rejected-cell set must not collapse per group)") {
+    val path = newPath()
+    val budgets = Map("a" -> 100L)
+    // tiers 60 and 50 both hold admitted members under the frontier 70
+    StreamingGroupQualityHead.foldBatch(
+      docs((1L, "a", 70L, 40L), (2L, "a", 60L, 30L), (3L, "a", 50L, 20L)),
+      0L, path, budgets)
+    assert(headSet(path) === Set(1L, 2L, 3L))
+    // one 100-token arrival at tier 90 rejects BOTH lower tiers at once:
+    // each must land in the evictions ledger (a per-group collapse of
+    // the rejected-cell set would evict only one of them)
+    StreamingGroupQualityHead.foldBatch(docs((4L, "a", 90L, 100L)), 1L, path, budgets)
+    assert(headSet(path) === batchAdmitted(
+      Seq((1L, "a", 70L, 40L), (2L, "a", 60L, 30L), (3L, "a", 50L, 20L),
+        (4L, "a", 90L, 100L)), budgets))
+    assert(headSet(path) === Set(4L))
+    assert(StreamingGroupQualityHead.ledger(spark, path)
+      .filter(col("evict_batch") === 1L).select("id").as[Long]
+      .collect().toSet === Set(1L, 2L, 3L))
+  }
+
+  test("generation retention: superseded hist/tiers/cut prune, head reference-counts, ledgers keep history, crash-replay survives") {
+    val path = newPath()
+    val budgets = Map("a" -> 40L, "b" -> 40L)
+    // rising scores in group a only; group b static after batch 0 — its
+    // tier must keep pinning its original head generation
+    val batches = (0L until 6L).map { b =>
+      val a = Seq((b * 10 + 1, "a", 50L + b, 10L), (b * 10 + 2, "a", 50L + b, 10L))
+      if (b == 0L) a ++ Seq((900L, "b", 10L, 10L)) else a
+    }
+    batches.zipWithIndex.foreach { case (rows, b) =>
+      StreamingGroupQualityHead.foldBatch(docs(rows: _*), b.toLong, path,
+        budgets, retainGenerations = 2)
+    }
+    def gens(sub: String) = StreamState.generations(spark, s"$path/$sub")
+    for (sub <- Seq("hist", "tiers", "cut"))
+      assert(gens(sub) === Seq(5L, 4L), s"$sub not pruned to the window")
+    // gen 0 must survive pruning: group b's tier still points at it
+    assert(gens("head").contains(0L),
+      "an untouched group's pinned head generation must survive pruning")
+    assert(gens("arrivals") === (0L until 6L).reverse)
+    assert(headSet(path) === batchAdmitted(batches.flatten, budgets))
+    assert(headSet(path).contains(900L))
+    // crash-replay after pruning
+    for (sub <- Seq("hist", "head", "tiers", "cut"))
+      rmGen(s"$path/$sub/batch=5")
+    StreamingGroupQualityHead.foldBatch(docs(batches(5): _*), 5L, path,
+      budgets, retainGenerations = 2)
+    assert(headSet(path) === batchAdmitted(batches.flatten, budgets))
+    assert(gens("head").contains(0L))
+  }
+
+  test("budget 0 for one group admits nothing there while the other group curates normally") {
+    val path = newPath()
+    val budgets = Map("a" -> 100L, "b" -> 0L)
+    StreamingGroupQualityHead.foldBatch(docs(b0: _*), 0L, path, budgets)
+    assert(headSet(path) === Set(1L, 2L))
+    val led = StreamingGroupQualityHead.ledger(spark, path)
+    assert(led.filter(col("grp") === "b").count() === 2L,
+      "a zero-budget group's docs still get (rejected) arrival verdicts")
+    assert(led.filter(col("grp") === "b" && (col("admit") || col("admitted")))
+      .count() === 0L)
+  }
+
+  test("cross-batch re-arrival of an id no-ops (single arrival row, verdict unchanged)") {
+    val path = newPath()
+    StreamingGroupQualityHead.foldBatch(docs(b0: _*), 0L, path, B)
+    StreamingGroupQualityHead.foldBatch(
+      docs((1L, "a", 999L, 1L), (4L, "a", 200L, 50L)), 1L, path, B)
+    val arr = spark.read.parquet(s"$path/arrivals").filter(col("id") === 1L)
+    assert(arr.count() === 1L)
+    assert(arr.select("score").as[Long].head() === 100L)
+    assert(headSet(path) === Set(1L, 4L, 11L, 12L))
+  }
+}

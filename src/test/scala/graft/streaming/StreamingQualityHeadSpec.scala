@@ -179,6 +179,31 @@ class StreamingQualityHeadSpec extends SparkSpec {
       b0 ++ Seq((6L, 50L, 5L), (7L, 70L, 10L)), 100L))
   }
 
+  test("arrivals strictly ABOVE a surviving frontier slide its cut down: the tail evicts with no arrivals in the tier itself") {
+    val path = newPath()
+    // tier 90 full (50 ≤ 100); tier 80 frontier: doc 2 fits (80), doc 3
+    // overflows (110) → head {1, 2}, cut (80, 3)
+    StreamingQualityHead.foldBatch(
+      docs((1L, 90L, 50L), (2L, 80L, 30L), (3L, 80L, 30L), (4L, 80L, 30L)),
+      0L, path, budget = 100L)
+    assert(headSet(path) === Set(1L, 2L))
+    // doc 5 (score 95, 25 tokens) fits wholly inside the full tiers:
+    // the frontier tier is STILL 80, but its prior grew 50→75 and doc
+    // 2's inclusive sum now overflows (105) — it must evict even though
+    // tier 80 got no arrivals and the frontier never moved
+    StreamingQualityHead.foldBatch(docs((5L, 95L, 25L)), 1L, path, budget = 100L)
+    assert(headSet(path) === batchAdmitted(
+      Seq((1L, 90L, 50L), (2L, 80L, 30L), (3L, 80L, 30L), (4L, 80L, 30L),
+        (5L, 95L, 25L)), 100L))
+    assert(headSet(path) === Set(1L, 5L))
+    val cut1 = spark.read.parquet(s"$path/cut").filter(col("batch") === 1)
+      .select("score", "cut_id").as[(Long, Long)].collect().toSeq
+    assert(cut1 === Seq((80L, 2L)))
+    assert(StreamingQualityHead.ledger(spark, path)
+      .filter(col("evict_batch") === 1L).select("id").as[Long]
+      .collect().toSeq === Seq(2L))
+  }
+
   test("generation retention: superseded hist/head/cut prune to the window, ledgers keep history, crash-replay survives") {
     val path = newPath()
     // rising scores so every fold evicts: the head churns, generations
