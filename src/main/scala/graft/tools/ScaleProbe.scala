@@ -556,6 +556,45 @@ object ScaleProbe {
       }
     }
 
+    // x151 cost split — same treatment, grouped: (a) the scored-row
+    // collect + the waterfill budget collect (harness prep), (b) the
+    // batch equivalent (waterfill → qualityBudgetHeadByGroup → noop),
+    // (c) the full registered query; harness = c − a − b.
+    if (on("x151cost")) {
+      import spark.implicits._
+      val Budget = 6000L // = ExtensionQueries.StreamGroupHeadBudget (private[queries])
+      def time(f: => Unit): Double =
+        { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+      def med3(f: => Double): Double = { val xs = (1 to 3).map(_ => f).sorted; xs(1) }
+      for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", "/tmp/sf1")
+           if new java.io.File(dir).exists) {
+        val d = graft.sources.Tables.documents(spark, dir)
+        def tok = size(split(trim(col("text")), "\\s+")).cast("long")
+        def scored = d.select(col("doc_id"), col("source"),
+          round(graft.ext.TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+            .cast("long").as("score_k"), tok.as("n_tokens"))
+        def availDf = d.groupBy(col("source")).agg(sum(tok).as("avail_tokens"))
+        def budgetsDf = graft.ext.Mixture.waterfillBudgets(availDf, Budget)
+          .select(col("source"), col("alloc").as("budget"))
+        def prep(): Unit = {
+          budgetsDf.collect(); scored.as[(Long, String, Long, Long)].collect(); ()
+        }
+        prep() // JIT/plan warm-up
+        val tPrep = med3(time { prep() })
+        val tBatch = med3(time {
+          val out = graft.ext.Mixture.qualityBudgetHeadByGroup(scored, budgetsDf)
+          out.write.format("noop").mode("overwrite").save()
+          out.unpersist(blocking = false)
+        })
+        val tFull = med3(time {
+          graft.SparkEntry.queries("x151_stream_group_quality_head")(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+        })
+        println(f"x151cost[$dir] prep=$tPrep%5.2f batch=$tBatch%5.2f " +
+          f"full=$tFull%5.2f harness=${tFull - tPrep - tBatch}%5.2f")
+      }
+    }
+
     // Clustered-corpus hard-negative recall: same probe over the recallc
     // corpus (16 deterministic clusters) with labels vec_id % 4 — real
     // embedding clouds cluster, and same-cluster vectors land in the
