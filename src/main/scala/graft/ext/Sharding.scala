@@ -260,4 +260,86 @@ object Sharding {
       .withColumn("kept", col("cum_tokens") <= budget)
       .drop("order_key")
   }
+
+  /**
+   * CURATED multi-epoch training manifest — the complete
+   * budget → allocation → selection → order chain materialized as the
+   * (doc, epoch, position) rows a trainer consumes: each source runs
+   * `epochs − 1` FULL passes of all its documents plus a final PARTIAL
+   * pass of only its quality head (the best `last_epoch_tokens`, the
+   * x149 selection), every (doc, epoch) instance in the epoch-seeded
+   * [[epochedTrainingOrder]] permutation. This is
+   * [[epochedTrainingOrder]] with the final epoch CURATED instead of
+   * full — the manifest [[graft.ext.Mixture.repetitionWaterfillPlan]]'s
+   * plan row actually denotes.
+   *
+   * Scale shape: the plan is dimension-sized and broadcast both times
+   * it touches the corpus; the head selection is the x144 keyed
+   * tier-broadcast arithmetic (its persisted result is compressed to
+   * the budget-bounded admitted-id frame via an eager localCheckpoint
+   * and released — the manifest's lineage never pins a corpus-sized
+   * cache block); the explode grows rows by mean epochs (the actual
+   * training volume); windows stay (epoch, shard)-sized.
+   *
+   * @param scored (idCol, sourceCol, scoreCol, tokCol) — the quality-
+   *               scored corpus (x143's shape)
+   * @param plan   (sourceCol, epochs, last_epoch_tokens) —
+   *               [[graft.ext.Mixture.repetitionWaterfillPlan]]'s
+   *               verdict columns; epochs = 0 sources contribute
+   *               nothing, epochs = 1 sources run ONLY their curated
+   *               pass
+   * @return (idCol, sourceCol, epoch, shard, pos, interleave_pos) —
+   *         consumers ORDER BY (epoch, interleave_pos), as
+   *         [[epochedTrainingOrder]]
+   */
+  def curatedEpochOrder(
+      scored: DataFrame,
+      plan: DataFrame,
+      seed: Long,
+      numShards: Int = 8,
+      idCol: String = "doc_id",
+      sourceCol: String = "source",
+      scoreCol: String = "score_k",
+      tokCol: String = "n_tokens"): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val epochsDim = plan
+      .select(col(sourceCol), col("epochs").cast("long").as("epochs"))
+    // epochs − 1 full passes (epochs ≤ 1 sources skip — same backward-
+    // sequence guard as epochedTrainingOrder)
+    val fullex = scored.select(col(idCol), col(sourceCol))
+      .join(broadcast(epochsDim.filter(col("epochs") > 1L)), Seq(sourceCol))
+      .select(col(idCol), col(sourceCol),
+        explode(sequence(lit(0L), col("epochs") - 2L)).as("epoch"))
+    // the final pass: only the per-source quality head under the plan's
+    // last-pass budgets (the x149 selection). The operator's persisted
+    // result is compressed to the admitted ids (budget-bounded) and
+    // released immediately — self-releasing, per the ext/ cache policy.
+    val headOut = Mixture.qualityBudgetHeadByGroup(
+      scored,
+      plan.select(col(sourceCol), col("last_epoch_tokens").cast("long").as("budget")),
+      sourceCol, scoreCol, tokCol, idCol)
+    val headIds = headOut.filter(col("admitted"))
+      .select(col(idCol), col(sourceCol))
+      .localCheckpoint(true)
+    headOut.unpersist(blocking = false)
+    val lastex = headIds
+      .join(broadcast(epochsDim.filter(col("epochs") > 0L)), Seq(sourceCol))
+      .select(col(idCol), col(sourceCol), (col("epochs") - 1L).as("epoch"))
+    val expanded = fullex.unionByName(lastex)
+    val key = concat(col(idCol).cast("string"), lit(":e"),
+      col("epoch").cast("string"), lit(s":$seed"))
+    val shard = pmod(graft.functions.HashExpressions.rolling_hash(
+      concat(key, lit(":shard"))), lit(numShards.toLong))
+    val orderKey = graft.functions.HashExpressions.rolling_hash(
+      concat(key, lit(":ord")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch", "shard").orderBy(col("order_key"), col(idCol))
+    expanded
+      .select(col(idCol), col(sourceCol), col("epoch"),
+        shard.as("shard"), orderKey.as("order_key"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("interleave_pos",
+        (col("pos") - 1L) * numShards + col("shard"))
+      .drop("order_key")
+  }
 }

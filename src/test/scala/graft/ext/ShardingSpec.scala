@@ -92,6 +92,57 @@ class ShardingSpec extends SparkSpec {
     }
   }
 
+  test("curatedEpochOrder: epochs−1 full passes + the quality head as the final epoch; edges at epochs 0/1; deterministic") {
+    // scored corpus with controlled heads: source a — 4 docs, 10 tokens
+    // each, strictly descending scores; b — 2 docs; c — 1 doc
+    val scored = Seq(
+      (1L, "a", 900L, 10L), (2L, "a", 800L, 10L), (3L, "a", 700L, 10L),
+      (4L, "a", 600L, 10L),
+      (11L, "b", 500L, 10L), (12L, "b", 400L, 10L),
+      (21L, "c", 300L, 10L)
+    ).toDF("doc_id", "source", "score_k", "n_tokens")
+    // plan: a — 3 epochs, last pass 20 tokens (head = docs 1, 2);
+    // b — 1 epoch (ONLY the curated pass), last 10 (head = doc 11);
+    // c — 0 epochs (contributes nothing at all)
+    val plan = Seq(("a", 3L, 20L), ("b", 1L, 10L), ("c", 0L, 0L))
+      .toDF("source", "epochs", "last_epoch_tokens")
+    val t = Sharding.curatedEpochOrder(scored, plan, seed = 5L, numShards = S)
+      .orderBy("epoch", "interleave_pos").collect().toSeq
+    // a: 2 full passes × 4 docs + 2 head docs = 10; b: 1 head doc; c: 0
+    assert(t.size === 11)
+    val bySource = t.groupBy(_.getString(1)).view.mapValues(_.size).toMap
+    assert(bySource === Map("a" -> 10, "b" -> 1))
+    // full epochs carry ALL of a's docs; the final epoch only its head
+    def docsAt(src: String, e: Long) =
+      t.filter(r => r.getString(1) == src && r.getLong(2) == e)
+        .map(_.getLong(0)).toSet
+    assert(docsAt("a", 0L) === Set(1L, 2L, 3L, 4L))
+    assert(docsAt("a", 1L) === Set(1L, 2L, 3L, 4L))
+    assert(docsAt("a", 2L) === Set(1L, 2L),
+      "the final epoch must be the x149 head, not a full pass")
+    assert(docsAt("b", 0L) === Set(11L), "an epochs=1 source runs ONLY its curated pass")
+    // (epoch, interleave_pos) total order; epoch bounded by the plan
+    assert(t.map(r => (r.getLong(2), r.getLong(5))).distinct.size === t.size)
+    assert(t.forall(_.getLong(2) >= 0L))
+    // deterministic: a rerun over a different partitioning is identical
+    val t2 = Sharding.curatedEpochOrder(scored.repartition(7), plan,
+        seed = 5L, numShards = S)
+      .orderBy("epoch", "interleave_pos").collect().toSeq
+    assert(t === t2)
+    // the shard slot is the same pure function of (id, epoch, seed) as
+    // epochedTrainingOrder's (same key layout), so consumers can mix
+    // manifests from the two operators (pos differs with the cohort)
+    val ref = Sharding.epochedTrainingOrder(
+        scored.filter(col("source") === "a")
+          .withColumn("text", lit("x")).select("doc_id", "source", "text"),
+        Seq(("a", 2L)).toDF("source", "epochs"), seed = 5L, numShards = S)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    t.filter(r => r.getString(1) == "a" && r.getLong(2) < 2L).foreach { r =>
+      assert(ref((r.getLong(0), r.getLong(2))) === r.getLong(3),
+        s"shard slot diverged for (${r.getLong(0)}, e${r.getLong(2)})")
+    }
+  }
+
   test("assignShards: every doc placed once, shards in range, pos contiguous per shard") {
     val out = Sharding.assignShards(docs, numShards = S)
       .select("doc_id", "shard", "n_tokens", "pos", "tok_offset")

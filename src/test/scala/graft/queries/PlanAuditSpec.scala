@@ -731,4 +731,20 @@ class PlanAuditSpec extends SparkSpec {
       df.unpersist()
     }
   }
+
+  test("x152: curated manifest broadcasts the plan; every doc-carrying window partitions on (epoch, shard)") {
+    val df = SparkEntry.queries("x152_curated_epoch_order")(spark, dir)
+    val plan = df.queryExecution.executedPlan
+    val p = plan.toString
+    // the dimension-sized plan reaches the corpus as a broadcast, twice
+    assert(p.contains("BroadcastHashJoin"),
+      s"the epoch plan must broadcast to the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // partition-less windows are allowed ONLY over the source-dimension
+    // waterfill chain — nothing that carries doc rows may run one (an
+    // epoch-sized manifest window is the 100× scale funnel)
+    val bad = partitionlessWindows(plan).filter(_.toString.contains("doc_id"))
+    assert(bad.isEmpty,
+      s"a partition-less window ranks manifest rows (epoch-sized funnel):\n$p")
+  }
 }
