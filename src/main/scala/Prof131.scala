@@ -1,0 +1,18 @@
+import org.apache.spark.sql.SparkSession
+object Prof131 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions","32")
+      .config("spark.sql.adaptive.enabled","true")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time(f: => Unit): Double = { val t0=System.nanoTime(); f; (System.nanoTime()-t0)/1e9 }
+    val ts = (1 to 5).map { _ =>
+      spark.catalog.clearCache(); System.gc(); System.gc(); Thread.sleep(300)
+      time { graft.SparkEntry.queries("x131_langid_model")(spark, "/root/testdata/sf0.1")
+        .write.format("noop").mode("overwrite").save() }
+    }
+    println("runs: " + ts.map(t => f"$t%5.2f").mkString(" ") + f"  median ${ts.sorted.apply(2)}%5.2f")
+    spark.stop()
+  }
+}

@@ -111,8 +111,8 @@ object Retrieval {
     val stats = tok.agg(count(lit(1)).as("n_docs"),
       sum(size(col("w")).cast("long")).as("sum_dl"))
     val out = scoreAndRank(tf, dfreq, stats, queries, k, idCol,
-      conjunctive = true).persist()
-    out.count() // materialize while tok is still cached
+      conjunctive = true)
+      .localCheckpoint(true) // eager: self-releasing without a second job
     tok.unpersist(blocking = false)
     out
   }

@@ -368,9 +368,9 @@ object TextAnalysis {
       .select(lit(-1L).as("b"),
         round(log((col("n_p") + 1).cast("double") / (col("n_n") + 1)), 9)
           .cast("decimal(19,9)").as("llr"))
-    val out = perBucket.unionByName(prior).unionByName(default).persist()
-    out.count() // self-releasing: the model is bucket-sized — materialize,
-    feats.unpersist(blocking = false) // then drop the per-feature stream
+    val out = perBucket.unionByName(prior).unionByName(default)
+      .localCheckpoint(true) // eager: self-releasing without a second job
+    feats.unpersist(blocking = false)
     out
   }
 
@@ -502,9 +502,9 @@ object TextAnalysis {
       .select(col("lang"), lit(-1L).as("b"),
         round(log((col("n_l") + 1).cast("double") / (col("n_docs") + col("k_cls"))), 9)
           .cast("decimal(19,9)").as("llp"))
-    val out = dense.unionByName(prior).unionByName(default).persist()
-    out.count() // self-releasing: the model is (buckets×K)-sized —
-    feats.unpersist(blocking = false) // materialize, drop the feature stream
+    val out = dense.unionByName(prior).unionByName(default)
+      .localCheckpoint(true) // eager: self-releasing without a second job
+    feats.unpersist(blocking = false)
     out
   }
 
