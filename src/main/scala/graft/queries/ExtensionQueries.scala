@@ -804,11 +804,107 @@ object ExtensionQueries {
        |  FROM documents GROUP BY source),
        |${sqlWaterfillChain(WaterfillBudget)}""".stripMargin
 
+  /** The x91 curation chain as CTEs ending in
+    * `fl(doc_id, source, n_tokens, a1, a2, a3, a4)` — ONE definition
+    * feeding both the per-source counts (x91) and the per-doc ledger
+    * (x153), mirroring [[curationStageFlags]] on the Spark side.
+    * Callers prepend `WITH RECURSIVE` (the CC walk). */
+  private lazy val sqlCurationStages: String =
+    s"""$sqlQualityCtes,
+       |adm AS (SELECT doc_id FROM g
+       |  WHERE $sqlQualityScore > 0.2 AND n_tokens >= 5),
+       |norm AS (SELECT doc_id, $sqlNorm AS t FROM documents),
+       |tok AS (SELECT doc_id, t, string_split(t, ' ') AS w FROM norm),
+       |toh AS (SELECT doc_id, t, list_transform(w, s -> ${sqlStringHash("s")}) AS th FROM tok),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(th) < 3 THEN [list_reduce(list_concat([CAST(0 AS BIGINT)], th),
+       |                                (a, b) -> (a * $C + b) % $Mod)]
+       |       ELSE list_distinct(list_transform(range(0, len(th) - 2),
+       |              i -> ((th[i+1] * $C + th[i+2]) % $Mod * $C + th[i+3]) % $Mod))
+       |  END AS shingles FROM toh),
+       |ek AS (SELECT doc_id FROM norm JOIN adm USING (doc_id)
+       |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY t)),
+       |$sqlBandedCte,
+       |b2 AS (SELECT b.* FROM banded b JOIN ek USING (doc_id)
+       |  QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= ${Dedup.DefaultMaxBucket}),
+       |cand2 AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM b2 l JOIN b2 r
+       |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+       |ver2 AS (SELECT id_a, id_b,
+       |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+       |    len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS uni
+       |  FROM cand2 JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+       |pairs2 AS (SELECT id_a, id_b FROM ver2
+       |  WHERE CAST(inter AS DOUBLE) / uni >= $JaccardThreshold),
+       |edges2 AS (SELECT id_a AS src, id_b AS dst FROM pairs2
+       |  UNION SELECT id_b, id_a FROM pairs2),
+       |walk2(id, label) AS (
+       |  SELECT doc_id, doc_id FROM ek
+       |  UNION
+       |  SELECT e.dst, w.label FROM walk2 w JOIN edges2 e ON e.src = w.id),
+       |un AS (SELECT id AS doc_id FROM walk2 GROUP BY id
+       |  HAVING id = min(label)),
+       |g13 AS (SELECT doc_id,
+       |  CASE WHEN len(th) < $DupSpanN THEN [list_reduce(list_concat([CAST(0 AS BIGINT)], th),
+       |                                        (a, b) -> (a * $C + b) % $Mod)]
+       |       ELSE list_distinct(list_transform(range(0, len(th) - ${DupSpanN - 1}),
+       |              i -> list_reduce(
+       |                     list_concat([CAST(0 AS BIGINT)], list_slice(th, i + 1, i + $DupSpanN)),
+       |                     (a, b) -> (a * $C + b) % $Mod)))
+       |  END AS gr FROM toh),
+       |bg13 AS (SELECT DISTINCT unnest(gr) AS h FROM g13 WHERE doc_id % 97 = 0),
+       |cont AS (SELECT DISTINCT u.doc_id FROM
+       |    (SELECT doc_id, unnest(gr) AS h FROM g13 JOIN un USING (doc_id)) u
+       |  JOIN bg13 USING (h)),
+       |cln AS (SELECT doc_id FROM un
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+       |fl AS (SELECT d.doc_id, d.source, g.n_tokens,
+       |    d.doc_id IN (SELECT doc_id FROM adm) AS a1,
+       |    d.doc_id IN (SELECT doc_id FROM ek) AS a2,
+       |    d.doc_id IN (SELECT doc_id FROM un) AS a3,
+       |    d.doc_id IN (SELECT doc_id FROM cln) AS a4
+       |  FROM documents d JOIN g USING (doc_id))""".stripMargin
+
   private val langMarkerSql = TextAnalysis.LangMarkers.map { case (lang, ms) =>
     lang -> ms.map(m => s"'$m'").mkString("[", ",", "]")
   }
   private val stopwordsSql = TextAnalysis.LangMarkers.flatMap(_._2).distinct
     .map(m => s"'$m'").mkString("(", ",", ")")
+
+  /** The x91 curation chain's per-doc stage flags — ONE definition
+    * feeding both the per-source counts (x91) and the per-doc rejection
+    * ledger (x153), so the two sheets can never disagree about a stage:
+    * (doc_id, source, n_tokens, a1 quality-admitted, a2 exact-keeper,
+    * a3 near-dup keeper, a4 clean-of-contamination). Flags are
+    * monotone (a4 ⇒ a3 ⇒ a2 ⇒ a1), so "first rejecting stage" is the
+    * first false flag. Query-layer persists (caller-release per the
+    * cache policy: Verify/Bench clear cached blocks between queries). */
+  private def curationStageFlags(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+      .persist() // five stage consumers
+    val staged = d
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .withColumn("n_tokens", wsTokenCount(col("text")))
+    val admitted = staged.filter(col("q") > 0.2 && col("n_tokens") >= 5).persist()
+    val exactKeep = Dedup.exactDedup(admitted).persist()
+    val clusters = Components.nearDupClusters(s, exactKeep, JaccardThreshold, P)
+    val uniq = exactKeep.join(clusters.filter(col("is_keeper")).select("doc_id"),
+      Seq("doc_id"), "left_semi").persist()
+    val bench = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val contaminated = Dedup.benchGramOverlap(uniq, bench, n = DupSpanN)
+      .filter(col("n_hits") >= 1).select("doc_id")
+    val clean = uniq.join(contaminated, Seq("doc_id"), "left_anti")
+    staged.select(col("doc_id"), col("source"), col("n_tokens"))
+      .join(admitted.select(col("doc_id"), lit(true).as("_a1")), Seq("doc_id"), "left")
+      .join(exactKeep.select(col("doc_id"), lit(true).as("_a2")), Seq("doc_id"), "left")
+      .join(uniq.select(col("doc_id"), lit(true).as("_a3")), Seq("doc_id"), "left")
+      .join(clean.select(col("doc_id"), lit(true).as("_a4")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        coalesce(col("_a1"), lit(false)).as("a1"),
+        coalesce(col("_a2"), lit(false)).as("a2"),
+        coalesce(col("_a3"), lit(false)).as("a3"),
+        coalesce(col("_a4"), lit(false)).as("a4"))
+  }
 
   // =====================================================================
 
@@ -892,37 +988,32 @@ object ExtensionQueries {
     // Every stage is one of the already-oracle-green operators; what
     // x91 proves is the COMPOSITION — each stage's decisions computed
     // on the previous stage's survivor set, end to end.
-    "x91_curation_pipeline" -> ((s, dir) => {
-      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
-        .persist() // five stage consumers (caller-release)
-      val staged = d
-        .withColumn("q", TextAnalysis.qualityScore(col("text")))
-        .withColumn("n_tokens", wsTokenCount(col("text")))
-      val admitted = staged.filter(col("q") > 0.2 && col("n_tokens") >= 5).persist()
-      val exactKeep = Dedup.exactDedup(admitted).persist()
-      val clusters = Components.nearDupClusters(s, exactKeep, JaccardThreshold, P)
-      val uniq = exactKeep.join(clusters.filter(col("is_keeper")).select("doc_id"),
-        Seq("doc_id"), "left_semi").persist()
-      val bench = d.filter(pmod(col("doc_id"), lit(97)) === 0)
-      val contaminated = Dedup.benchGramOverlap(uniq, bench, n = DupSpanN)
-        .filter(col("n_hits") >= 1).select("doc_id")
-      val clean = uniq.join(contaminated, Seq("doc_id"), "left_anti")
-      def cnt(df: DataFrame, name: String) =
-        df.groupBy("source").agg(count(lit(1)).as(name))
-      cnt(d, "n_input")
-        .join(cnt(admitted, "n_admitted"), Seq("source"), "left")
-        .join(cnt(exactKeep, "n_exact"), Seq("source"), "left")
-        .join(cnt(uniq, "n_unique"), Seq("source"), "left")
-        .join(clean.groupBy("source").agg(count(lit(1)).as("n_clean"),
-          sum(col("n_tokens")).as("tokens_clean")), Seq("source"), "left")
-        .select(col("source"), col("n_input"),
-          coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
-          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
-          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
-          coalesce(col("n_clean"), lit(0L)).as("n_clean"),
-          coalesce(col("tokens_clean"), lit(0L)).as("tokens_clean"))
-        .orderBy("source")
-    }),
+    "x91_curation_pipeline" -> ((s, dir) =>
+      curationStageFlags(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_input"),
+          sum(when(col("a1"), 1L).otherwise(0L)).as("n_admitted"),
+          sum(when(col("a2"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("a3"), 1L).otherwise(0L)).as("n_unique"),
+          sum(when(col("a4"), 1L).otherwise(0L)).as("n_clean"),
+          sum(when(col("a4"), col("n_tokens")).otherwise(0L)).as("tokens_clean"))
+        .orderBy("source")),
+
+    // per-doc curation rejection ledger (the x91 counts, attributed):
+    // for every input document, the FIRST pipeline stage that dropped
+    // it — the "why was my doc excluded" sheet a data owner joins back
+    // to the corpus; stage flags shared with x91 so the two can never
+    // desync
+    "x153_rejection_ledger" -> ((s, dir) =>
+      curationStageFlags(s, dir)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          when(!col("a1"), "quality")
+            .when(!col("a2"), "exact_dup")
+            .when(!col("a3"), "near_dup")
+            .when(!col("a4"), "contaminated")
+            .otherwise("kept").as("verdict"),
+          col("a4").as("kept"))
+        .orderBy("doc_id")),
 
     // cross-corpus PPJoin (similarity-level decontamination): the FULL
     // corpus probed against a verbatim reference slice (every 83rd doc)
@@ -2957,60 +3048,7 @@ object ExtensionQueries {
     // on the survivor frame), 13-gram benchmark overlap from the shared
     // toh token hashes, then per-source funnel sums
     "x91_curation_pipeline" ->
-      s"""WITH RECURSIVE $sqlQualityCtes,
-         |adm AS (SELECT doc_id FROM g
-         |  WHERE $sqlQualityScore > 0.2 AND n_tokens >= 5),
-         |norm AS (SELECT doc_id, $sqlNorm AS t FROM documents),
-         |tok AS (SELECT doc_id, t, string_split(t, ' ') AS w FROM norm),
-         |toh AS (SELECT doc_id, t, list_transform(w, s -> ${sqlStringHash("s")}) AS th FROM tok),
-         |sh AS (SELECT doc_id,
-         |  CASE WHEN len(th) < 3 THEN [list_reduce(list_concat([CAST(0 AS BIGINT)], th),
-         |                                (a, b) -> (a * $C + b) % $Mod)]
-         |       ELSE list_distinct(list_transform(range(0, len(th) - 2),
-         |              i -> ((th[i+1] * $C + th[i+2]) % $Mod * $C + th[i+3]) % $Mod))
-         |  END AS shingles FROM toh),
-         |ek AS (SELECT doc_id FROM norm JOIN adm USING (doc_id)
-         |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY t)),
-         |$sqlBandedCte,
-         |b2 AS (SELECT b.* FROM banded b JOIN ek USING (doc_id)
-         |  QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= ${Dedup.DefaultMaxBucket}),
-         |cand2 AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-         |  FROM b2 l JOIN b2 r
-         |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
-         |ver2 AS (SELECT id_a, id_b,
-         |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
-         |    len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS uni
-         |  FROM cand2 JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
-         |pairs2 AS (SELECT id_a, id_b FROM ver2
-         |  WHERE CAST(inter AS DOUBLE) / uni >= $JaccardThreshold),
-         |edges2 AS (SELECT id_a AS src, id_b AS dst FROM pairs2
-         |  UNION SELECT id_b, id_a FROM pairs2),
-         |walk2(id, label) AS (
-         |  SELECT doc_id, doc_id FROM ek
-         |  UNION
-         |  SELECT e.dst, w.label FROM walk2 w JOIN edges2 e ON e.src = w.id),
-         |un AS (SELECT id AS doc_id FROM walk2 GROUP BY id
-         |  HAVING id = min(label)),
-         |g13 AS (SELECT doc_id,
-         |  CASE WHEN len(th) < $DupSpanN THEN [list_reduce(list_concat([CAST(0 AS BIGINT)], th),
-         |                                        (a, b) -> (a * $C + b) % $Mod)]
-         |       ELSE list_distinct(list_transform(range(0, len(th) - ${DupSpanN - 1}),
-         |              i -> list_reduce(
-         |                     list_concat([CAST(0 AS BIGINT)], list_slice(th, i + 1, i + $DupSpanN)),
-         |                     (a, b) -> (a * $C + b) % $Mod)))
-         |  END AS gr FROM toh),
-         |bg13 AS (SELECT DISTINCT unnest(gr) AS h FROM g13 WHERE doc_id % 97 = 0),
-         |cont AS (SELECT DISTINCT u.doc_id FROM
-         |    (SELECT doc_id, unnest(gr) AS h FROM g13 JOIN un USING (doc_id)) u
-         |  JOIN bg13 USING (h)),
-         |cln AS (SELECT doc_id FROM un
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
-         |fl AS (SELECT d.doc_id, d.source, g.n_tokens,
-         |    d.doc_id IN (SELECT doc_id FROM adm) AS a1,
-         |    d.doc_id IN (SELECT doc_id FROM ek) AS a2,
-         |    d.doc_id IN (SELECT doc_id FROM un) AS a3,
-         |    d.doc_id IN (SELECT doc_id FROM cln) AS a4
-         |  FROM documents d JOIN g USING (doc_id))
+      s"""WITH RECURSIVE $sqlCurationStages
          |SELECT source, CAST(count(*) AS BIGINT) AS n_input,
          |  CAST(sum(CASE WHEN a1 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
          |  CAST(sum(CASE WHEN a2 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
@@ -3018,6 +3056,19 @@ object ExtensionQueries {
          |  CAST(sum(CASE WHEN a4 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
          |  CAST(sum(CASE WHEN a4 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_clean
          |FROM fl GROUP BY source ORDER BY source""".stripMargin,
+
+    // x153: the same fl flags, emitted per doc as the first-failing
+    // stage (flags are monotone a4 ⇒ a3 ⇒ a2 ⇒ a1)
+    "x153_rejection_ledger" ->
+      s"""WITH RECURSIVE $sqlCurationStages
+         |SELECT doc_id, source, n_tokens,
+         |  CASE WHEN NOT a1 THEN 'quality'
+         |       WHEN NOT a2 THEN 'exact_dup'
+         |       WHEN NOT a3 THEN 'near_dup'
+         |       WHEN NOT a4 THEN 'contaminated'
+         |       ELSE 'kept' END AS verdict,
+         |  a4 AS kept
+         |FROM fl ORDER BY doc_id""".stripMargin,
 
     // x90: x17's brute-force oracle with probe(all)×reference(every
     // 83rd) sides and NO id canonicalization

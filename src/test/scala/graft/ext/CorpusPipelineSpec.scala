@@ -88,4 +88,60 @@ class CorpusPipelineSpec extends SparkSpec {
       Seq("doc_id"), "left_semi").count()
     assert(again === nBalanced)
   }
+
+  test("x153 rejection ledger attributes every verdict class on a fixture that exercises all five") {
+    // The driver fixture never rejects on quality (the score floor is
+    // 0.3 for any non-empty doc, above the 0.2 gate) and rarely on
+    // exact dup — craft a corpus hitting every CASE arm. doc 0 is the
+    // bench slice (doc_id % 97 == 0) and self-contaminates, the
+    // fixture's own behavior.
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon" // 20 tokens
+    val nearA = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val nearB = nearA.replace(" twenty", " twentyone") // near-dup of nearA
+    val contam = benchText.split(" ").take(13).mkString(" ") +
+      " u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13 u14 u15 u16 u17 u18 u19 u20"
+    val dupText = "red orange yellow green blue indigo violet crimson"
+    val rows = Seq(
+      (0L, benchText, "bench"),     // contaminated (bench self-overlap)
+      (1L, "a b c", "tiny"),        // quality (3 tokens < 5)
+      (2L, dupText, "dup"),         // kept (exact keeper, min id)
+      (3L, dupText, "dup"),         // exact_dup
+      (4L, nearA, "near"),          // kept (near-dup cluster keeper)
+      (5L, nearB, "near"),          // near_dup
+      (6L, contam, "cont"),         // contaminated (13-gram run of bench)
+      (7L, "spark joins shuffle partitions broadcast dimensions nightly", "ok"),
+      (8L, "stream state fold generation marker retention ledger", "ok"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_x153_fix_").toString
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val led = graft.SparkEntry.queries("x153_rejection_ledger")(spark, dir)
+      .select("doc_id", "verdict", "kept")
+      .as[(Long, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(led === Map(
+      0L -> (("contaminated", false)),
+      1L -> (("quality", false)),
+      2L -> (("kept", true)),
+      3L -> (("exact_dup", false)),
+      4L -> (("kept", true)),
+      5L -> (("near_dup", false)),
+      6L -> (("contaminated", false)),
+      7L -> (("kept", true)),
+      8L -> (("kept", true))))
+    // the per-source counts sheet (x91) must agree with the ledger
+    val x91 = graft.SparkEntry.queries("x91_curation_pipeline")(spark, dir)
+      .select("source", "n_input", "n_admitted", "n_exact", "n_unique", "n_clean")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(x91("dup") === ((2L, 2L, 1L, 1L, 1L)))
+    assert(x91("near") === ((2L, 2L, 2L, 1L, 1L)))
+    assert(x91("tiny") === ((1L, 0L, 0L, 0L, 0L)))
+    assert(x91("cont") === ((1L, 1L, 1L, 1L, 0L)))
+    assert(x91("bench") === ((1L, 1L, 1L, 1L, 0L)))
+  }
 }
