@@ -292,6 +292,49 @@ object Sharding {
    *         consumers ORDER BY (epoch, interleave_pos), as
    *         [[epochedTrainingOrder]]
    */
+  /**
+   * Per-(epoch, shard) manifest RECORD over a curated epoch order —
+   * [[shardManifest]]'s integrity sheet generalized to the multi-epoch
+   * manifest: for every (epoch, shard) stream a worker consumes, the
+   * doc/token counts a scheduler budgets with, the first/last doc ids
+   * in stream order, and the order-sensitive checksum
+   * `Σ pos·h(id:e<epoch>:ck) mod P`. The EPOCH is hashed into the
+   * per-instance key, so the same doc's instances in different epochs
+   * contribute different terms — a cross-epoch swap can never cancel.
+   * A dropped instance, a duplicate, or any two instances swapped
+   * within a stream all flip that stream's checksum, so a resumed or
+   * re-generated manifest is byte-auditable without reading payloads.
+   *
+   * `tokens` (idCol → token count) joins per-doc token counts onto the
+   * manifest (doc-keyed join; the manifest is the training volume).
+   * Same decimal discipline as [[shardManifest]]: per-term products
+   * stay in Long range, the per-stream sum runs in DECIMAL(38,0).
+   *
+   * @param manifest [[curatedEpochOrder]]'s output (or any frame with
+   *                 idCol, epoch, shard, pos)
+   * @return (epoch, shard, n_docs, n_tokens, first_id, last_id, checksum)
+   */
+  def curatedManifestRecord(
+      manifest: DataFrame,
+      tokens: DataFrame,
+      idCol: String = "doc_id",
+      tokCol: String = "n_tokens"): DataFrame = {
+    val h = graft.functions.HashExpressions.rolling_hash(
+      concat(col(idCol).cast("string"), lit(":e"),
+        col("epoch").cast("string"), lit(":ck")))
+    manifest
+      .join(tokens.select(col(idCol), col(tokCol).cast("long").as(tokCol)), Seq(idCol))
+      .withColumn("term", col("pos") * h)
+      .groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokCol)).as("n_tokens"),
+        min_by(col(idCol), col("pos")).as("first_id"),
+        max_by(col(idCol), col("pos")).as("last_id"),
+        pmod(sum(col("term").cast("decimal(38,0)")),
+          lit(graft.functions.HashExpressions.Mod).cast("decimal(38,0)"))
+          .cast("long").as("checksum"))
+  }
+
   def curatedEpochOrder(
       scored: DataFrame,
       plan: DataFrame,

@@ -865,6 +865,76 @@ object ExtensionQueries {
        |    d.doc_id IN (SELECT doc_id FROM cln) AS a4
        |  FROM documents d JOIN g USING (doc_id))""".stripMargin
 
+  /** x152/x154 shared oracle chain ending in the curated manifest rows
+    * `p(doc_id, source, epoch, shard, pos)` plus the per-doc
+    * `qs(doc_id, source, score_k, n_tokens, bud)` — ONE replay of
+    * plan → head → permutation feeding both the manifest sheet (x152)
+    * and its per-(epoch, shard) records (x154). */
+  private lazy val sqlCuratedManifestCtes: String =
+    s"""wfa0 AS (SELECT source,
+       |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+       |      AS avail_tokens
+       |  FROM documents GROUP BY source),
+       |wfa AS (SELECT source, avail_tokens * $MaxEpochsCap AS avail_tokens
+       |  FROM wfa0),
+       |${sqlWaterfillChain(RepetitionBudget)},
+       |pl AS (SELECT wfa0.source,
+       |    CAST(CASE WHEN wfo.alloc = 0 THEN 0
+       |      ELSE (wfo.alloc + wfa0.avail_tokens - 1) // wfa0.avail_tokens
+       |    END AS BIGINT) AS epochs,
+       |    CAST(wfo.alloc - (CASE WHEN wfo.alloc = 0 THEN 0
+       |        ELSE (wfo.alloc + wfa0.avail_tokens - 1) // wfa0.avail_tokens - 1
+       |      END) * wfa0.avail_tokens AS BIGINT) AS bud
+       |  FROM wfa0 JOIN wfo ON wfo.source = wfa0.source),
+       |$sqlQualityCtes,
+       |q0 AS (SELECT doc_id,
+       |    CAST(round(($sqlQualityScore) * 1000000, 0) AS BIGINT) AS score_k
+       |  FROM g),
+       |qs AS (SELECT q0.doc_id, d.source, q0.score_k,
+       |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+       |      AS n_tokens,
+       |    pl.bud
+       |  FROM q0 JOIN documents d ON q0.doc_id = d.doc_id
+       |  JOIN pl ON pl.source = d.source),
+       |h AS (SELECT source, score_k, CAST(sum(n_tokens) AS BIGINT) AS bt
+       |  FROM qs GROUP BY source, score_k),
+       |c AS (SELECT source, score_k, bt,
+       |    CAST(COALESCE(SUM(bt) OVER (PARTITION BY source
+       |      ORDER BY score_k DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS prior
+       |  FROM h),
+       |t AS (SELECT qs.doc_id, qs.source, qs.bud,
+       |    CASE WHEN c.prior + c.bt <= qs.bud THEN 'full'
+       |         WHEN c.prior >= qs.bud THEN 'rejected'
+       |         ELSE 'frontier' END AS tier,
+       |    c.prior + CAST(sum(qs.n_tokens) OVER (
+       |      PARTITION BY qs.source, qs.score_k ORDER BY qs.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS incl
+       |  FROM qs JOIN c ON qs.source = c.source AND qs.score_k = c.score_k),
+       |adm AS (SELECT doc_id, source FROM t
+       |  WHERE CASE tier WHEN 'full' THEN TRUE WHEN 'rejected' THEN FALSE
+       |        ELSE incl <= bud END),
+       |fullex AS (SELECT d.doc_id, d.source,
+       |    unnest(range(0, pl.epochs - 1)) AS epoch
+       |  FROM (SELECT doc_id, source FROM documents) d
+       |  JOIN pl ON pl.source = d.source
+       |  WHERE pl.epochs > 1),
+       |lastex AS (SELECT adm.doc_id, adm.source, pl.epochs - 1 AS epoch
+       |  FROM adm JOIN pl ON pl.source = adm.source
+       |  WHERE pl.epochs > 0),
+       |ex AS (SELECT * FROM fullex UNION ALL SELECT * FROM lastex),
+       |k AS (SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch,
+       |    ${sqlStringHash(s"CAST(doc_id AS VARCHAR) || ':e' || CAST(epoch AS VARCHAR) || ':$TrainOrderSeed' || ':shard'")}
+       |      % $NumShards AS shard,
+       |    ${sqlStringHash(s"CAST(doc_id AS VARCHAR) || ':e' || CAST(epoch AS VARCHAR) || ':$TrainOrderSeed' || ':ord'")}
+       |      AS ord
+       |  FROM ex),
+       |p AS (SELECT doc_id, source, epoch, shard,
+       |    CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+       |  FROM k)""".stripMargin
+
   private val langMarkerSql = TextAnalysis.LangMarkers.map { case (lang, ms) =>
     lang -> ms.map(m => s"'$m'").mkString("[", ",", "]")
   }
@@ -2327,6 +2397,28 @@ object ExtensionQueries {
       Sharding.curatedEpochOrder(scored, plan,
           seed = TrainOrderSeed, numShards = NumShards)
         .orderBy("epoch", "interleave_pos")
+    }),
+
+    // per-(epoch, shard) manifest records over the curated order (x98's
+    // integrity sheet generalized to the multi-epoch manifest): doc and
+    // token volume per worker stream, stream endpoints, and the
+    // order-sensitive checksum a resumed or re-generated manifest is
+    // audited against — the metadata record the x152 manifest ships with
+    "x154_manifest_records" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scored = d.select(col("doc_id"), col("source"),
+        round(TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+          .cast("long").as("score_k"),
+        wsTokenCount(col("text")).as("n_tokens"))
+      val availDf = d.groupBy(col("source"))
+        .agg(sum(wsTokenCount(col("text"))).as("avail_tokens"))
+      val plan = Mixture.repetitionWaterfillPlan(
+        availDf, RepetitionBudget, MaxEpochsCap)
+      val manifest = Sharding.curatedEpochOrder(scored, plan,
+        seed = TrainOrderSeed, numShards = NumShards)
+      Sharding.curatedManifestRecord(manifest,
+          scored.select(col("doc_id"), col("n_tokens")))
+        .orderBy("epoch", "shard")
     }),
 
     // per-source quality budget head (Mixture.qualityBudgetHeadByGroup):
@@ -4292,72 +4384,27 @@ object ExtensionQueries {
     // x152: x149's plan + head replay feeding x140's permutation replay
     // — full passes for epochs−1, the admitted head as the final epoch
     "x152_curated_epoch_order" ->
-      s"""WITH wfa0 AS (SELECT source,
-         |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
-         |      AS avail_tokens
-         |  FROM documents GROUP BY source),
-         |wfa AS (SELECT source, avail_tokens * $MaxEpochsCap AS avail_tokens
-         |  FROM wfa0),
-         |${sqlWaterfillChain(RepetitionBudget)},
-         |pl AS (SELECT wfa0.source,
-         |    CAST(CASE WHEN wfo.alloc = 0 THEN 0
-         |      ELSE (wfo.alloc + wfa0.avail_tokens - 1) // wfa0.avail_tokens
-         |    END AS BIGINT) AS epochs,
-         |    CAST(wfo.alloc - (CASE WHEN wfo.alloc = 0 THEN 0
-         |        ELSE (wfo.alloc + wfa0.avail_tokens - 1) // wfa0.avail_tokens - 1
-         |      END) * wfa0.avail_tokens AS BIGINT) AS bud
-         |  FROM wfa0 JOIN wfo ON wfo.source = wfa0.source),
-         |$sqlQualityCtes,
-         |q0 AS (SELECT doc_id,
-         |    CAST(round(($sqlQualityScore) * 1000000, 0) AS BIGINT) AS score_k
-         |  FROM g),
-         |qs AS (SELECT q0.doc_id, d.source, q0.score_k,
-         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
-         |      AS n_tokens,
-         |    pl.bud
-         |  FROM q0 JOIN documents d ON q0.doc_id = d.doc_id
-         |  JOIN pl ON pl.source = d.source),
-         |h AS (SELECT source, score_k, CAST(sum(n_tokens) AS BIGINT) AS bt
-         |  FROM qs GROUP BY source, score_k),
-         |c AS (SELECT source, score_k, bt,
-         |    CAST(COALESCE(SUM(bt) OVER (PARTITION BY source
-         |      ORDER BY score_k DESC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-         |      AS prior
-         |  FROM h),
-         |t AS (SELECT qs.doc_id, qs.source, qs.bud,
-         |    CASE WHEN c.prior + c.bt <= qs.bud THEN 'full'
-         |         WHEN c.prior >= qs.bud THEN 'rejected'
-         |         ELSE 'frontier' END AS tier,
-         |    c.prior + CAST(sum(qs.n_tokens) OVER (
-         |      PARTITION BY qs.source, qs.score_k ORDER BY qs.doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         |      AS incl
-         |  FROM qs JOIN c ON qs.source = c.source AND qs.score_k = c.score_k),
-         |adm AS (SELECT doc_id, source FROM t
-         |  WHERE CASE tier WHEN 'full' THEN TRUE WHEN 'rejected' THEN FALSE
-         |        ELSE incl <= bud END),
-         |fullex AS (SELECT d.doc_id, d.source,
-         |    unnest(range(0, pl.epochs - 1)) AS epoch
-         |  FROM (SELECT doc_id, source FROM documents) d
-         |  JOIN pl ON pl.source = d.source
-         |  WHERE pl.epochs > 1),
-         |lastex AS (SELECT adm.doc_id, adm.source, pl.epochs - 1 AS epoch
-         |  FROM adm JOIN pl ON pl.source = adm.source
-         |  WHERE pl.epochs > 0),
-         |ex AS (SELECT * FROM fullex UNION ALL SELECT * FROM lastex),
-         |k AS (SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch,
-         |    ${sqlStringHash(s"CAST(doc_id AS VARCHAR) || ':e' || CAST(epoch AS VARCHAR) || ':$TrainOrderSeed' || ':shard'")}
-         |      % $NumShards AS shard,
-         |    ${sqlStringHash(s"CAST(doc_id AS VARCHAR) || ':e' || CAST(epoch AS VARCHAR) || ':$TrainOrderSeed' || ':ord'")}
-         |      AS ord
-         |  FROM ex),
-         |p AS (SELECT doc_id, source, epoch, shard,
-         |    CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY ord, doc_id) AS BIGINT) AS pos
-         |  FROM k)
+      s"""WITH $sqlCuratedManifestCtes
          |SELECT doc_id, source, epoch, shard, pos,
          |       (pos - 1) * $NumShards + shard AS interleave_pos
          |FROM p ORDER BY epoch, interleave_pos""".stripMargin,
+
+    // x154: x152's manifest rows folded to the per-(epoch, shard)
+    // record — counts, token volume, stream endpoints, and the
+    // order-sensitive checksum Σ pos·h(id:e<epoch>:ck) mod P
+    "x154_manifest_records" ->
+      s"""WITH $sqlCuratedManifestCtes
+         |SELECT p.epoch, p.shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(qs.n_tokens) AS BIGINT) AS n_tokens,
+         |  arg_min(p.doc_id, p.pos) AS first_id,
+         |  arg_max(p.doc_id, p.pos) AS last_id,
+         |  CAST(sum(CAST(p.pos AS HUGEINT) *
+         |      ${sqlStringHash(s"CAST(p.doc_id AS VARCHAR) || ':e' || CAST(p.epoch AS VARCHAR) || ':ck'")})
+         |    % ${graft.functions.HashExpressions.Mod} AS BIGINT) AS checksum
+         |FROM p JOIN qs ON p.doc_id = qs.doc_id
+         |GROUP BY p.epoch, p.shard
+         |ORDER BY p.epoch, p.shard""".stripMargin,
 
     // x141: the robust (prefer-previous) selection is SEQUENTIAL — each
     // window's choice depends on the previous window's — so the replay

@@ -143,6 +143,62 @@ class ShardingSpec extends SparkSpec {
     }
   }
 
+  test("curatedManifestRecord: reruns agree; drop/swap flip the stream checksum; the epoch is in the instance key") {
+    val scored = Seq(
+      (1L, "a", 900L, 10L), (2L, "a", 800L, 20L), (3L, "a", 700L, 30L),
+      (4L, "a", 600L, 40L))
+      .toDF("doc_id", "source", "score_k", "n_tokens")
+    val plan = Seq(("a", 2L, 60L)).toDF("source", "epochs", "last_epoch_tokens")
+    val manifest = Sharding.curatedEpochOrder(scored, plan, seed = 5L, numShards = 2)
+      .persist()
+    val tokens = scored.select("doc_id", "n_tokens")
+    def recs(m: org.apache.spark.sql.DataFrame) =
+      Sharding.curatedManifestRecord(m, tokens)
+        .select("epoch", "shard", "n_docs", "n_tokens", "first_id", "last_id", "checksum")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val r1 = recs(manifest)
+    assert(r1.nonEmpty)
+    // token volume: epoch 0 carries all 4 docs (full pass), epoch 1 the
+    // 60-token head (docs 1, 2, 3 — scores descending, 60 = 10+20+30)
+    assert(r1.toSeq.filter(_._1 == 0L).map(_._4).sum === 100L)
+    assert(r1.toSeq.filter(_._1 == 1L).map(_._4).sum === 60L)
+    // deterministic: a rerun over a different partitioning is identical
+    assert(recs(manifest.repartition(5)) === r1)
+    // dropping one instance flips exactly its stream's checksum
+    val victim = manifest.orderBy("epoch", "shard", "pos").head()
+    val (ve, vs) = (victim.getLong(2), victim.getLong(3))
+    val dropped = recs(manifest.filter(
+      !(col("doc_id") === victim.getLong(0) && col("epoch") === ve &&
+        col("shard") === vs)))
+    val changedStreams = (r1 diff dropped).map(t => (t._1, t._2))
+    assert(changedStreams === Set((ve, vs)),
+      "a dropped instance must flip its own stream's record and no other")
+    // swapping two positions inside ONE stream flips its checksum even
+    // though counts/tokens/endpoints can stay identical
+    val e0rows = manifest.filter(col("epoch") === 0L).collect()
+      .groupBy(_.getLong(3)).values.find(_.length >= 2)
+    assert(e0rows.nonEmpty, "fixture must give some epoch-0 shard two docs")
+    val Seq(a, b) = e0rows.get.sortBy(_.getLong(4)).take(2).toSeq
+    val swapped = manifest
+      .withColumn("pos",
+        when(col("doc_id") === a.getLong(0) && col("epoch") === 0L &&
+          col("shard") === a.getLong(3), b.getLong(4))
+          .when(col("doc_id") === b.getLong(0) && col("epoch") === 0L &&
+            col("shard") === b.getLong(3), a.getLong(4))
+          .otherwise(col("pos")))
+    assert(recs(swapped) !== r1, "an in-stream swap must flip a checksum")
+    // the epoch is hashed into the instance key: relabeling epoch 0's
+    // stream as epoch 1 yields a DIFFERENT checksum than epoch 1's own
+    // stream would have with the same members — cross-epoch moves can't
+    // cancel. Compare the same member set under both epoch labels.
+    val e0 = manifest.filter(col("epoch") === 0L)
+    val relabeled = recs(e0.withColumn("epoch", lit(1L)))
+    val sameMembers = recs(e0)
+    assert(relabeled.map(_._7) !== sameMembers.map(_._7),
+      "the same stream under a different epoch label must checksum differently")
+    manifest.unpersist(blocking = false)
+  }
+
   test("assignShards: every doc placed once, shards in range, pos contiguous per shard") {
     val out = Sharding.assignShards(docs, numShards = S)
       .select("doc_id", "shard", "n_tokens", "pos", "tok_offset")
