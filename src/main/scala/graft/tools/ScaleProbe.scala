@@ -595,6 +595,41 @@ object ScaleProbe {
       }
     }
 
+    // x151 hot-source skew probe: one source holds 90% of the corpus at
+    // ONE score tier (the degenerate shape that would funnel a naive
+    // per-source window) and the corpus grows 20×. Fold 0 must ingest
+    // the data (O(batch) scan), but folds 1+ should stay ~FLAT as the
+    // corpus grows: the hot tier's pre-cut slice is budget-bounded
+    // (fact 4 — arrivals past the stored cut reject outright), and the
+    // exact prefix runs in the keyed two-phase layout, so no task ever
+    // owns the hot source's roster.
+    if (on("x151skew")) {
+      def time(f: => Unit): Double =
+        { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+      val budgets = (Map("hot" -> 1000L) ++
+        (0 until 7).map(i => s"s$i" -> 500L)).toMap
+      for (f <- Seq(1, 5, 10, 20)) {
+        val n = 20000L * f
+        val base = spark.range(n).select(
+          col("id").as("doc_id"),
+          when(pmod(col("id"), lit(10)) < 9, lit("hot"))
+            .otherwise(concat(lit("s"), pmod(col("id"), lit(7)))).as("source"),
+          when(pmod(col("id"), lit(10)) < 9, lit(500L))
+            .otherwise(pmod(col("id"), lit(50)) + 400L).as("score_k"),
+          lit(10L).as("n_tokens"))
+        val path = java.nio.file.Files.createTempDirectory("graft_x151skew_").toString
+        val ts = (0L until 3L).map { b =>
+          val batch = base.filter(pmod(col("doc_id"), lit(3)) === b)
+          time {
+            graft.streaming.StreamingGroupQualityHead.foldBatch(
+              batch, b, path, budgets)
+          }
+        }
+        println(f"x151skew scale=${f}%2dx docs=$n%7d " +
+          f"fold0=${ts(0)}%6.2f fold1=${ts(1)}%6.2f fold2=${ts(2)}%6.2f s")
+      }
+    }
+
     // Clustered-corpus hard-negative recall: same probe over the recallc
     // corpus (16 deterministic clusters) with labels vec_id % 4 — real
     // embedding clouds cluster, and same-cluster vectors land in the
