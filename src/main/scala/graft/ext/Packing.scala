@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -72,5 +73,88 @@ object Packing {
         }
       }
       .toDF()
+  }
+
+  /**
+   * Concat-and-chunk packing (GPT-2 style): each ordered stream of
+   * documents is concatenated into one token tape and cut at fixed
+   * `seqLen` strides — documents SPLIT across sequence boundaries
+   * instead of being kept whole (the complement of [[packGreedy]]'s
+   * keep-whole bins; this is the layout most pretraining loaders use,
+   * zero padding except each stream's final sequence).
+   *
+   * Unlike the greedy recurrence, the chunk layout is CLOSED-FORM in
+   * the running token total: a doc occupying tape interval
+   * `[cum − n, cum)` lands in sequences `(cum−n) div L .. (cum−1) div L`,
+   * so the whole operator is one per-stream running sum plus a per-doc
+   * explode of at most `n div L + 1` fragments — no sequential scan, no
+   * in-memory shard buffer, every step window/codegen arithmetic. At
+   * 100 TB the streams are the parallel unit (pick the stream count to
+   * the cluster as with [[packGreedy]]'s shards); each stream's window
+   * is corpus/streams-sized and the explode grows rows only by the
+   * spanning fragments.
+   *
+   * Output: one row per (doc instance, sequence) fragment —
+   * `streamCols…, orderCol, idCol, seq` (sequence index within the
+   * stream), `frag_start` (token offset of the fragment inside the
+   * sequence), `frag_len`, `doc_off` (offset of the fragment inside the
+   * doc). `frag_start = 0 ∧ doc_off > 0` marks a doc continuing across
+   * a boundary; `doc_off = 0` marks a document start (an attention /
+   * position-id reset, x115's role for this layout). Zero-token rows
+   * carry no fragment and are dropped.
+   *
+   * @param rows       one row per doc instance: streamCols, orderCol,
+   *                   idCol, tokCol
+   * @param seqLen     tokens per training sequence (> 0)
+   * @param streamCols the independent tape keys (e.g. epoch, shard)
+   */
+  def packChunked(
+      rows: DataFrame,
+      seqLen: Long,
+      streamCols: Seq[String],
+      orderCol: String = "pos",
+      idCol: String = "doc_id",
+      tokCol: String = "n_tokens"): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val w = Window.partitionBy(streamCols.map(col): _*)
+      .orderBy(col(orderCol))
+    rows
+      .filter(col(tokCol) > 0L)
+      .withColumn("_cum", sum(col(tokCol).cast("long")).over(w).cast("long"))
+      .withColumn("_st", col("_cum") - col(tokCol))
+      .withColumn("seq",
+        explode(sequence(expr(s"_st div $seqLen"),
+          expr(s"(_cum - 1) div $seqLen"))))
+      .withColumn("_fs", greatest(col("_st"), col("seq") * seqLen))
+      .withColumn("_fe", least(col("_cum"), (col("seq") + 1L) * seqLen))
+      .select((streamCols.map(col) ++ Seq(col(orderCol), col(idCol),
+        col("seq"),
+        (col("_fs") - col("seq") * seqLen).as("frag_start"),
+        (col("_fe") - col("_fs")).as("frag_len"),
+        (col("_fs") - col("_st")).as("doc_off"))): _*)
+  }
+
+  /**
+   * Per-sequence composition sheet over [[packChunked]]'s fragments —
+   * the record a data loader validates against: for every
+   * (stream, sequence), the fragment/doc-start counts, filled tokens,
+   * and padding (`seqLen − filled`, non-zero only on each stream's
+   * final sequence), plus the first/last doc in tape order. One
+   * group-by over the fragment rows; output is sequence-count-sized.
+   */
+  def chunkedSeqSheet(
+      fragments: DataFrame,
+      seqLen: Long,
+      streamCols: Seq[String],
+      idCol: String = "doc_id"): DataFrame = {
+    val keys = streamCols :+ "seq"
+    fragments
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_frags"),
+        sum(when(col("doc_off") === 0L, 1L).otherwise(0L)).as("n_doc_starts"),
+        sum(col("frag_len")).as("filled"),
+        (lit(seqLen) - sum(col("frag_len"))).as("pad"),
+        min_by(col(idCol), col("frag_start")).as("first_id"),
+        max_by(col(idCol), col("frag_start")).as("last_id"))
   }
 }

@@ -85,6 +85,11 @@ object ExtensionQueries {
   // frontier by the second micro-batch, so the ledger shows admissions,
   // per-source evictions, AND outright rejections across the arrival split
   private[queries] val StreamGroupHeadBudget = 6000L
+  // x155/x156 training-sequence length for concat-and-chunk packing —
+  // 256 sits inside the sf0.01 doc-length spread, so the fragment sheet
+  // shows multi-doc sequences, boundary-spanning docs, AND single-doc
+  // multi-sequence spans (docs longer than one sequence)
+  private[queries] val PackSeqLen = 256L
   /** x136 shortlist expansion (stage-1 keeps k·expand ADC candidates). */
   private[queries] val PqRerankExpand = 4
   private val NbSeedMod = 3L       // x117 labeled-seed slice: doc_id % 3 = 0
@@ -934,6 +939,32 @@ object ExtensionQueries {
        |p AS (SELECT doc_id, source, epoch, shard,
        |    CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY ord, doc_id) AS BIGINT) AS pos
        |  FROM k)""".stripMargin
+
+  /** x155/x156 shared fragment chain — the curated order concatenated
+    * per (epoch, shard) tape and cut at `PackSeqLen` strides. The chunk
+    * layout is closed-form in the running token total, so the replay is
+    * one window sum plus a per-doc `range()` unnest: a doc on tape
+    * interval `[st, cum)` spans sequences `st // L .. (cum−1) // L`.
+    * Ends in `pfr(epoch, shard, pos, doc_id, seq, frag_start, frag_len,
+    * doc_off)`. */
+  private lazy val sqlPackedFragCtes: String =
+    s"""$sqlCuratedManifestCtes,
+       |pj AS (SELECT p.epoch, p.shard, p.pos, p.doc_id, qs.n_tokens
+       |  FROM p JOIN qs ON p.doc_id = qs.doc_id WHERE qs.n_tokens > 0),
+       |cmu AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY epoch, shard
+       |    ORDER BY pos) AS BIGINT) AS cum FROM pj),
+       |frx AS (SELECT epoch, shard, pos, doc_id, cum - n_tokens AS st, cum
+       |  FROM cmu),
+       |pfx AS (SELECT epoch, shard, pos, doc_id, st, cum,
+       |    unnest(range(st // $PackSeqLen, (cum - 1) // $PackSeqLen + 1)) AS seq
+       |  FROM frx),
+       |pfr AS (SELECT epoch, shard, pos, doc_id, CAST(seq AS BIGINT) AS seq,
+       |    CAST(greatest(st, seq * $PackSeqLen) - seq * $PackSeqLen AS BIGINT)
+       |      AS frag_start,
+       |    CAST(least(cum, (seq + 1) * $PackSeqLen)
+       |      - greatest(st, seq * $PackSeqLen) AS BIGINT) AS frag_len,
+       |    CAST(greatest(st, seq * $PackSeqLen) - st AS BIGINT) AS doc_off
+       |  FROM pfx)""".stripMargin
 
   private val langMarkerSql = TextAnalysis.LangMarkers.map { case (lang, ms) =>
     lang -> ms.map(m => s"'$m'").mkString("[", ",", "]")
@@ -2419,6 +2450,55 @@ object ExtensionQueries {
       Sharding.curatedManifestRecord(manifest,
           scored.select(col("doc_id"), col("n_tokens")))
         .orderBy("epoch", "shard")
+    }),
+
+    // packed curated corpus (x152 ∘ concat-and-chunk): each (epoch,
+    // shard) stream of the curated order concatenated into one token
+    // tape and cut at fixed PackSeqLen strides — docs split across
+    // sequence boundaries (GPT-2 loader layout, zero padding except
+    // stream tails). Closed-form in the running token total: one
+    // per-stream window sum + a bounded fragment explode, no
+    // sequential scan — the chain's final consumable (what a trainer's
+    // data loader actually reads)
+    "x155_packed_curated_corpus" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scored = d.select(col("doc_id"), col("source"),
+        round(TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+          .cast("long").as("score_k"),
+        wsTokenCount(col("text")).as("n_tokens"))
+      val availDf = d.groupBy(col("source"))
+        .agg(sum(wsTokenCount(col("text"))).as("avail_tokens"))
+      val plan = Mixture.repetitionWaterfillPlan(
+        availDf, RepetitionBudget, MaxEpochsCap)
+      val manifest = Sharding.curatedEpochOrder(scored, plan,
+        seed = TrainOrderSeed, numShards = NumShards)
+      val withTok = manifest
+        .join(scored.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      Packing.packChunked(withTok, PackSeqLen, Seq("epoch", "shard"))
+        .orderBy("epoch", "shard", "seq", "frag_start")
+    }),
+
+    // per-sequence composition sheet over the packed corpus (x155
+    // folded per (epoch, shard, seq)): fragment/doc-start counts,
+    // filled tokens, tail padding, tape-order endpoints — the record a
+    // data loader validates each training sequence against
+    "x156_packed_seq_sheet" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scored = d.select(col("doc_id"), col("source"),
+        round(TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+          .cast("long").as("score_k"),
+        wsTokenCount(col("text")).as("n_tokens"))
+      val availDf = d.groupBy(col("source"))
+        .agg(sum(wsTokenCount(col("text"))).as("avail_tokens"))
+      val plan = Mixture.repetitionWaterfillPlan(
+        availDf, RepetitionBudget, MaxEpochsCap)
+      val manifest = Sharding.curatedEpochOrder(scored, plan,
+        seed = TrainOrderSeed, numShards = NumShards)
+      val withTok = manifest
+        .join(scored.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      val frags = Packing.packChunked(withTok, PackSeqLen, Seq("epoch", "shard"))
+      Packing.chunkedSeqSheet(frags, PackSeqLen, Seq("epoch", "shard"))
+        .orderBy("epoch", "shard", "seq")
     }),
 
     // per-source quality budget head (Mixture.qualityBudgetHeadByGroup):
@@ -4405,6 +4485,29 @@ object ExtensionQueries {
          |FROM p JOIN qs ON p.doc_id = qs.doc_id
          |GROUP BY p.epoch, p.shard
          |ORDER BY p.epoch, p.shard""".stripMargin,
+
+    // x155: the curated order's per-(epoch, shard) token tape cut at
+    // PackSeqLen strides — closed-form in the running sum, so the
+    // replay is one window sum + a range() unnest per doc
+    "x155_packed_curated_corpus" ->
+      s"""WITH $sqlPackedFragCtes
+         |SELECT epoch, shard, pos, doc_id, seq, frag_start, frag_len, doc_off
+         |FROM pfr ORDER BY epoch, shard, seq, frag_start""".stripMargin,
+
+    // x156: x155's fragments folded per training sequence — counts,
+    // fill, tail padding, tape-order endpoints
+    "x156_packed_seq_sheet" ->
+      s"""WITH $sqlPackedFragCtes
+         |SELECT epoch, shard, seq,
+         |  CAST(count(*) AS BIGINT) AS n_frags,
+         |  CAST(sum(CASE WHEN doc_off = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_doc_starts,
+         |  CAST(sum(frag_len) AS BIGINT) AS filled,
+         |  CAST($PackSeqLen - sum(frag_len) AS BIGINT) AS pad,
+         |  arg_min(doc_id, frag_start) AS first_id,
+         |  arg_max(doc_id, frag_start) AS last_id
+         |FROM pfr GROUP BY epoch, shard, seq
+         |ORDER BY epoch, shard, seq""".stripMargin,
 
     // x141: the robust (prefer-previous) selection is SEQUENTIAL — each
     // window's choice depends on the previous window's — so the replay

@@ -77,4 +77,110 @@ class PackingSpec extends SparkSpec {
       assert(total <= 256L || n == 1L)
     }
   }
+
+  // ------------------------------------------------------------------
+  // concat-and-chunk (packChunked / chunkedSeqSheet)
+  // ------------------------------------------------------------------
+
+  private lazy val tape = Seq(
+    (0L, 0L, 1L, 10L, 100L), // [0,100) in seq 0
+    (0L, 0L, 2L, 11L, 200L), // [100,300): spans the 256 boundary
+    (0L, 0L, 3L, 12L, 600L), // [300,900): spans seqs 1..3
+    (0L, 1L, 1L, 20L, 50L),  // independent stream, tape restarts at 0
+    (0L, 1L, 2L, 21L, 0L),   // zero-token instance: no fragment
+    (1L, 0L, 1L, 10L, 30L)   // same doc, new epoch = new tape
+  ).toDF("epoch", "shard", "pos", "doc_id", "n_tokens")
+
+  private lazy val frags =
+    Packing.packChunked(tape, 256L, Seq("epoch", "shard"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._4, r._5) -> (r._6, r._7, r._8)).toMap
+      // key (epoch, shard, doc_id, seq) -> (frag_start, frag_len, doc_off)
+
+  test("chunked: whole doc inside one sequence") {
+    assert(frags((0L, 0L, 10L, 0L)) === ((0L, 100L, 0L)))
+  }
+
+  test("chunked: doc spanning one boundary splits into two fragments") {
+    assert(frags((0L, 0L, 11L, 0L)) === ((100L, 156L, 0L)))
+    assert(frags((0L, 0L, 11L, 1L)) === ((0L, 44L, 156L)))
+  }
+
+  test("chunked: doc longer than two sequences tiles all of them") {
+    assert(frags((0L, 0L, 12L, 1L)) === ((44L, 212L, 0L)))
+    assert(frags((0L, 0L, 12L, 2L)) === ((0L, 256L, 212L)))
+    assert(frags((0L, 0L, 12L, 3L)) === ((0L, 132L, 468L)))
+  }
+
+  test("chunked: streams are independent tapes; zero-token rows dropped") {
+    assert(frags((0L, 1L, 20L, 0L)) === ((0L, 50L, 0L)))
+    assert(frags((1L, 0L, 10L, 0L)) === ((0L, 30L, 0L)))
+    assert(!frags.keySet.exists(_._3 == 21L))
+  }
+
+  test("chunked: fragments of a doc concatenate back to the doc") {
+    val byDoc = frags.toSeq.groupBy(k => (k._1._1, k._1._2, k._1._3))
+    val want = Map((0L, 0L, 10L) -> 100L, (0L, 0L, 11L) -> 200L,
+      (0L, 0L, 12L) -> 600L, (0L, 1L, 20L) -> 50L, (1L, 0L, 10L) -> 30L)
+    byDoc.foreach { case (k, fs) =>
+      assert(fs.map(_._2._2).sum === want(k))
+      // doc_off intervals are contiguous from 0 in seq order
+      val sorted = fs.sortBy(_._1._4).map(_._2)
+      sorted.foldLeft(0L) { case (off, (_, len, dOff)) =>
+        assert(dOff === off); off + len
+      }
+    }
+  }
+
+  test("chunked: every sequence tiles exactly (full 256 except stream tails)") {
+    val bySeq = frags.toSeq.groupBy(k => (k._1._1, k._1._2, k._1._4))
+    val tails = Set((0L, 0L, 3L), (0L, 1L, 0L), (1L, 0L, 0L))
+    bySeq.foreach { case (k, fs) =>
+      val sorted = fs.map(_._2).sortBy(_._1)
+      // contiguous within the sequence, starting at 0
+      sorted.foldLeft(0L) { case (at, (fStart, len, _)) =>
+        assert(fStart === at); at + len
+      }
+      val filled = sorted.map(_._2).sum
+      if (tails(k)) assert(filled < 256L) else assert(filled === 256L)
+    }
+  }
+
+  test("chunked: random tape matches a scala reference fragment layout") {
+    val rnd = new scala.util.Random(35)
+    val docs2 = (1L to 200L).map(id =>
+      (id % 2, id % 3, id, (rnd.nextInt(90) + 1).toLong)) // (epoch, shard, pos-source id, n)
+    val df = docs2.map { case (e, sh, id, n) => (e, sh, id, id, n) }
+      .toDF("epoch", "shard", "pos", "doc_id", "n_tokens")
+    val l = 64L
+    val got = Packing.packChunked(df, l, Seq("epoch", "shard"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._4, r._5) -> (r._6, r._7, r._8)).toMap
+    val expected = docs2.groupBy(d => (d._1, d._2)).flatMap { case ((e, sh), ds) =>
+      var cum = 0L
+      ds.sortBy(_._3).flatMap { case (_, _, id, n) =>
+        val st = cum; cum += n
+        (st / l to (cum - 1) / l).map { seq =>
+          val fs = math.max(st, seq * l); val fe = math.min(cum, (seq + 1) * l)
+          (e, sh, id, seq) -> (fs - seq * l, fe - fs, fs - st)
+        }
+      }
+    }
+    assert(got === expected)
+  }
+
+  test("chunked: seq sheet counts doc starts, fill, and tail pad") {
+    val sheet = Packing.chunkedSeqSheet(
+        Packing.packChunked(tape, 256L, Seq("epoch", "shard")),
+        256L, Seq("epoch", "shard"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> (r._4, r._5, r._6, r._7, r._8, r._9)).toMap
+    // (epoch, shard, seq) -> (n_frags, n_doc_starts, filled, pad, first, last)
+    assert(sheet((0L, 0L, 0L)) === ((2L, 2L, 256L, 0L, 10L, 11L)))
+    assert(sheet((0L, 0L, 1L)) === ((2L, 1L, 256L, 0L, 11L, 12L)))
+    assert(sheet((0L, 0L, 2L)) === ((1L, 0L, 256L, 0L, 12L, 12L)))
+    assert(sheet((0L, 0L, 3L)) === ((1L, 0L, 132L, 124L, 12L, 12L)))
+    assert(sheet((0L, 1L, 0L)) === ((1L, 1L, 50L, 206L, 20L, 20L)))
+    assert(sheet((1L, 0L, 0L)) === ((1L, 1L, 30L, 226L, 10L, 10L)))
+  }
 }

@@ -747,4 +747,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(bad.isEmpty,
       s"a partition-less window ranks manifest rows (epoch-sized funnel):\n$p")
   }
+
+  test("x155: chunk packing runs the tape sum per (epoch, shard); no sequential scan, no manifest-wide window") {
+    val df = SparkEntry.queries("x155_packed_curated_corpus")(spark, dir)
+    val plan = df.queryExecution.executedPlan
+    val p = plan.toString
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the fragment layout is closed-form window arithmetic — no
+    // flatMapGroups/MapGroups sequential scan anywhere in the plan
+    assert(!p.contains("MapGroups"),
+      s"chunk packing must not fall back to a sequential group scan:\n$p")
+    // the tape running sum must partition on the stream key — a
+    // partition-less window over manifest rows is the 100× funnel
+    val bad = partitionlessWindows(plan).filter(_.toString.contains("doc_id"))
+    assert(bad.isEmpty,
+      s"a partition-less window sums the manifest tape (stream-wide funnel):\n$p")
+    // the fragment explode is bounded row generation, not a join
+    assert(p.contains("Generate"),
+      s"fragments must come from a bounded explode:\n$p")
+  }
 }
