@@ -547,6 +547,47 @@ object StreamingQueries {
           col("tokens").as("n_tokens"),
           col("admit"), col("evict_batch"), col("admitted"))
         .orderBy("doc_id")
+    }),
+
+    // streaming concat-and-chunk packing (StreamingChunkPack): each
+    // arriving doc extends its shard's token tape in arrival order and
+    // the tape is cut at fixed PackSeqLen strides — x155's closed-form
+    // chunk layout folded per micro-batch; the ONLY cross-batch state
+    // is one (tape length, doc count) pair per shard. The accumulated
+    // fragments replay as one batch window pass in arrival order
+    "x157_stream_chunk_pack" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      // shard from the portable hash (NOT doc_id%k: the arrival split
+      // is doc_id%4, and a residue-correlated shard would deliver each
+      // tape wholly in one batch — no cross-batch continuation to test)
+      val shardE = pmod(graft.functions.HashExpressions.rolling_hash(
+        concat(col("doc_id").cast("string"), lit(":ps"))), lit(4L))
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id"), shardE.as("shard"),
+          ExtensionQueries.wsTokenCount(col("text")).as("n_tokens"))
+        .as[(Long, Long, Long)].collect().toSeq
+      val residues = rows.map(_._1 % 4).toSet
+      require((0L until 4L).forall(residues.contains),
+        s"x157 harness needs all doc_id%4 residue classes non-empty; " +
+          s"missing ${(0L until 4L).filterNot(residues.contains).mkString(",")}")
+      val path = java.nio.file.Files.createTempDirectory("graft_x157_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x157_ck_").toString
+      val input = MemoryStream[(Long, Long, Long)]
+      val q = graft.streaming.StreamingChunkPack.attach(
+        input.toDF().toDF("doc_id", "shard", "n_tokens"), path,
+        seqLen = ExtensionQueries.PackSeqLen)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try (0L until 4L).foreach { b =>
+        input.addData(rows.filter(_._1 % 4 == b))
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.StreamingChunkPack.fragments(s, path)
+        .select(col("id").as("doc_id"), col("shard"), col("pos"),
+          col("seq"), col("frag_start"), col("frag_len"), col("doc_off"),
+          col("arrival_batch"))
+        .orderBy("doc_id", "seq")
     }))
 
   /** The x15 deterministic-recurrence centroids as KMeans.Centroid
@@ -585,6 +626,42 @@ object StreamingQueries {
          |SELECT doc_id, source, n_tokens, src_cum,
          |       src_cum <= ${ExtensionQueries.SrcQuotaTokens} AS admitted
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // x157: the streamed tape cuts are a closed-form function of the
+    // per-shard running token sum in arrival (= doc_id%4 batch, then
+    // doc_id) order, so the accumulated fragments replay as ONE window
+    // pass + a range() unnest — the x155 layout over arrival order
+    "x157_stream_chunk_pack" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    CAST(doc_id % 4 AS BIGINT) AS arrival_batch,
+         |    CAST(${ExtensionQueries.sqlStringHash("CAST(doc_id AS VARCHAR) || ':ps'")} % 4
+         |      AS BIGINT) AS shard,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |tb AS (SELECT * FROM b WHERE n_tokens > 0),
+         |o AS (SELECT doc_id, arrival_batch, shard, n_tokens,
+         |    CAST(row_number() OVER (PARTITION BY shard
+         |      ORDER BY arrival_batch, doc_id) AS BIGINT) AS pos,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard
+         |      ORDER BY arrival_batch, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum
+         |  FROM tb),
+         |f AS (SELECT doc_id, arrival_batch, shard, pos,
+         |    cum - n_tokens AS st, cum FROM o),
+         |x AS (SELECT *, unnest(range(st // ${ExtensionQueries.PackSeqLen},
+         |    (cum - 1) // ${ExtensionQueries.PackSeqLen} + 1)) AS seq FROM f)
+         |SELECT doc_id, shard, pos, CAST(seq AS BIGINT) AS seq,
+         |  CAST(greatest(st, seq * ${ExtensionQueries.PackSeqLen})
+         |    - seq * ${ExtensionQueries.PackSeqLen} AS BIGINT) AS frag_start,
+         |  CAST(least(cum, (seq + 1) * ${ExtensionQueries.PackSeqLen})
+         |    - greatest(st, seq * ${ExtensionQueries.PackSeqLen}) AS BIGINT)
+         |    AS frag_len,
+         |  CAST(greatest(st, seq * ${ExtensionQueries.PackSeqLen}) - st
+         |    AS BIGINT) AS doc_off,
+         |  arrival_batch
+         |FROM x ORDER BY doc_id, seq""".stripMargin,
 
     // x150: the evictive head replayed as one per-PREFIX tier pass —
     // for each arrival prefix b (docs with doc_id%4 <= b) the x143 tier

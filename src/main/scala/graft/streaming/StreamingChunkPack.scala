@@ -1,0 +1,167 @@
+package graft.streaming
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/**
+ * Streaming concat-and-chunk packing — the stream face of
+ * [[graft.ext.Packing.packChunked]]: documents arrive in micro-batches,
+ * each is appended to its shard's token tape in arrival order, and the
+ * tape is cut at fixed `seqLen` strides into training sequences. A
+ * trainer can consume sequences behind the ingest frontier while the
+ * corpus is still arriving — only each shard's LAST sequence is ever
+ * provisional (still filling).
+ *
+ * The chunk layout is closed-form in the tape offset, so the ENTIRE
+ * cross-batch state is one number pair per shard (tape length so far +
+ * docs so far): the textbook streaming sufficient statistic,
+ * dimension-sized regardless of corpus volume. Each fold charges only
+ * its own batch — no accumulated-corpus read anywhere.
+ *
+ * State layout under `path/` — per-`batch=<id>` OVERWRITE directories
+ * (the [[StreamingWinnowIngest]] discipline, exactly-once without a
+ * replay sentinel):
+ *  - `frags/batch=<id>`  — (id, shard, pos, seq, frag_start, frag_len,
+ *    doc_off) fragment rows for that batch's docs, append-only by batch;
+ *  - `totals/batch=<id>` — per-shard (shard, total, n_docs) AFTER the
+ *    batch (dimension-sized; superseded generations pruned).
+ *
+ * A fold reads ONLY the latest prior `totals` partition and the
+ * accumulated fragment ids for the re-arrival guard (column-pruned id
+ * scan, batch side anti-joined). Replay of (batch, batchId) after any
+ * crash window recomputes identical frames from a state view that
+ * excludes its own partitions and truncates-and-rewrites the same two
+ * directories.
+ *
+ * Equivalence contract (the x157 oracle): the accumulated fragments
+ * equal ONE batch [[graft.ext.Packing.packChunked]] pass over all
+ * arrivals ordered by (arrival_batch, id) per shard — arrival order is
+ * the tape order, so the streamed cuts and the batch cuts are the same
+ * closed-form function of the same running sum.
+ */
+object StreamingChunkPack {
+
+  /** Attach the packing sink over a stream carrying (idCol, shardCol,
+    * tokCol). Caller starts the writer with its own checkpoint/trigger
+    * options; read the accumulated fragments with [[fragments]]. */
+  def attach(
+      docs: DataFrame,
+      path: String,
+      seqLen: Long,
+      idCol: String = "doc_id",
+      shardCol: String = "shard",
+      tokCol: String = "n_tokens",
+      retainGenerations: Int = 3): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(batch, batchId, path, seqLen, idCol, shardCol, tokCol,
+          retainGenerations)
+      }
+
+  /** One micro-batch's fold — public so the crash-replay case
+    * (foreachBatch delivering the same (batch, batchId) twice, after
+    * any prefix of the two writes committed) is directly spec-testable:
+    * re-folding must leave both state tables bit-identical. */
+  def foldBatch(
+      batch: DataFrame,
+      batchId: Long,
+      path: String,
+      seqLen: Long,
+      idCol: String = "doc_id",
+      shardCol: String = "shard",
+      tokCol: String = "n_tokens",
+      retainGenerations: Int = 3): Unit = {
+    require(seqLen > 0, "seqLen must be positive")
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val hasState = StreamState.exists(spark, s"$path/frags")
+      // in-batch id dedup: ONE representative row per id (the struct
+      // minimum — never aggregates mixed across duplicate rows), then
+      // the cross-batch re-arrival guard: a doc already on some tape
+      // must not be appended twice. Zero-token docs carry no fragment
+      // and no tape position (packChunked's rule).
+      val batchDocs = batch
+        .groupBy(col(idCol))
+        .agg(min(struct(col(shardCol).cast("long").as("shard"),
+          col(tokCol).cast("long").as("tokens"))).as("_rep"))
+        .select(col(idCol), col("_rep.shard").as("shard"),
+          col("_rep.tokens").as("tokens"))
+        .filter(col("tokens") > 0L)
+      val dedup =
+        if (hasState)
+          batchDocs.join(
+              spark.read.parquet(s"$path/frags")
+                .filter(col("batch") =!= lit(batchId))
+                .select(col("id").as(idCol)).distinct(),
+              Seq(idCol), "left_anti")
+            .persist()
+        else batchDocs.persist()
+      if (!dedup.isEmpty) {
+        // latest PRIOR totals partition: one row per shard ever seen
+        val priors: DataFrame =
+          if (hasState && StreamState.exists(spark, s"$path/totals")) {
+            val t = spark.read.parquet(s"$path/totals")
+              .filter(col("batch") =!= lit(batchId))
+            val mx = t.agg(max(col("batch").cast("long"))).head()
+            if (mx.isNullAt(0)) null
+            else t.filter(col("batch").cast("long") === lit(mx.getLong(0)))
+              .select(col("shard"), col("total"), col("n_docs"))
+          } else null
+        val w = Window.partitionBy("shard").orderBy(idCol)
+        val withPrior =
+          if (priors == null)
+            dedup.withColumn("_ptot", lit(0L)).withColumn("_pdocs", lit(0L))
+          else dedup.join(broadcast(priors), Seq("shard"), "left")
+            .withColumn("_ptot", coalesce(col("total"), lit(0L)))
+            .withColumn("_pdocs", coalesce(col("n_docs"), lit(0L)))
+            .drop("total", "n_docs")
+        // tape extension: within-batch prefix sums are a per-shard
+        // window over ONE micro-batch (bounded by construction; a
+        // huge-batch deployment would key Positional's two-phase layout
+        // by shard), continued from the stored tape length
+        val placed = withPrior
+          .withColumn("pos", (col("_pdocs") + row_number().over(w)).cast("long"))
+          .withColumn("_cum", (col("_ptot") + sum(col("tokens")).over(w)).cast("long"))
+          .withColumn("_st", col("_cum") - col("tokens"))
+        val frags = placed
+          .withColumn("seq",
+            explode(sequence(expr(s"_st div $seqLen"),
+              expr(s"(_cum - 1) div $seqLen"))))
+          .withColumn("_fs", greatest(col("_st"), col("seq") * seqLen))
+          .withColumn("_fe", least(col("_cum"), (col("seq") + 1L) * seqLen))
+          .select(col(idCol).as("id"), col("shard"), col("pos"), col("seq"),
+            (col("_fs") - col("seq") * seqLen).as("frag_start"),
+            (col("_fe") - col("_fs")).as("frag_len"),
+            (col("_fs") - col("_st")).as("doc_off"))
+          .localCheckpoint(true)
+        // totals AFTER this batch: shards absent from it carry forward
+        val batchTot = placed.groupBy(col("shard"))
+          .agg(max(col("_cum")).as("total"), max(col("pos")).as("n_docs"))
+        val totals =
+          if (priors == null) batchTot
+          else batchTot.unionByName(
+            priors.join(batchTot.select("shard"), Seq("shard"), "left_anti"))
+        frags.write.mode("overwrite").parquet(s"$path/frags/batch=$batchId")
+        totals.write.mode("overwrite").parquet(s"$path/totals/batch=$batchId")
+        // retention: totals generations are superseded snapshots (every
+        // read targets the latest); the fragment ledger keeps history
+        StreamState.pruneGenerations(spark, s"$path/totals", retainGenerations)
+      }
+      dedup.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** The accumulated fragment ledger — must equal one batch
+    * [[graft.ext.Packing.packChunked]] pass over all arrivals in
+    * arrival (= batch, then id) order per shard. `arrival_batch` is the
+    * generation directory the fragment was folded in. */
+  def fragments(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/frags")
+      .select(col("id"), col("shard"), col("pos"), col("seq"),
+        col("frag_start"), col("frag_len"), col("doc_off"),
+        col("batch").cast("long").as("arrival_batch"))
+}

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ext.Packing
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** StreamingChunkPack: folds over arrival batches must equal one batch
+  * packChunked pass in arrival order, under replay, crash windows,
+  * re-arrivals, tape gaps, and state retention. */
+class StreamingChunkPackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val L = 64L
+
+  private def mk(rows: Seq[(Long, Long, Long)]): DataFrame =
+    rows.toDF("doc_id", "shard", "n_tokens")
+
+  /** The batch reference: arrival order = (batch index, doc_id) per
+    * shard, pos/fragments from the batch operator. */
+  private def reference(batches: Seq[Seq[(Long, Long, Long)]]): Seq[Seq[Any]] = {
+    val all = batches.zipWithIndex.flatMap { case (b, i) =>
+      b.map(r => (r._1, r._2, r._3, i.toLong))
+    }.filter(_._3 > 0L)
+    val ordered = all.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      ds.sortBy(d => (d._4, d._1)).zipWithIndex
+        .map { case ((id, sh, n, _), i) => (id, sh, i + 1L, n) }
+    }
+    Packing.packChunked(
+        ordered.toDF("doc_id", "shard", "pos", "n_tokens"),
+        L, Seq("shard"), orderCol = "pos")
+      .select("doc_id", "shard", "pos", "seq", "frag_start", "frag_len", "doc_off")
+      .orderBy("doc_id", "seq").collect().toSeq.map(_.toSeq)
+  }
+
+  private def streamed(path: String): Seq[Seq[Any]] =
+    StreamingChunkPack.fragments(spark, path)
+      .select(col("id").as("doc_id"), col("shard"), col("pos"), col("seq"),
+        col("frag_start"), col("frag_len"), col("doc_off"))
+      .orderBy("doc_id", "seq").collect().toSeq.map(_.toSeq)
+
+  test("three folds equal one batch packChunked pass in arrival order; zero-token docs carry nothing") {
+    val rnd = new scala.util.Random(57)
+    val batches = Seq(
+      (1L to 30L).map(i => (i, i % 3, (rnd.nextInt(100) + 1).toLong)),
+      (31L to 60L).map(i => (i, i % 3, if (i == 40L) 0L else (rnd.nextInt(100) + 1).toLong)),
+      (61L to 90L).map(i => (i, i % 3, (rnd.nextInt(150) + 1).toLong)))
+    val path = java.nio.file.Files.createTempDirectory("graft_scp_fb_").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingChunkPack.foldBatch(mk(b), i.toLong, path, L)
+    }
+    val got = streamed(path)
+    assert(got === reference(batches))
+    // the zero-token doc holds no fragment and consumed no tape position
+    assert(!got.exists(_.head == 40L))
+  }
+
+  test("replay of a committed batch is a no-op; crash window (frags committed, totals not) rebuilds identical state") {
+    val b1 = (1L to 20L).map(i => (i, i % 2, 10L + i % 5))
+    val b2 = (21L to 40L).map(i => (i, i % 2, 10L + i % 5))
+    val path = java.nio.file.Files.createTempDirectory("graft_scp_rp_").toString
+    StreamingChunkPack.foldBatch(mk(b1), 0L, path, L)
+    StreamingChunkPack.foldBatch(mk(b2), 1L, path, L)
+    val fragsOnce = streamed(path)
+    val totalsOnce = spark.read.parquet(s"$path/totals")
+      .orderBy("batch", "shard").collect().toSeq
+    // retry after both writes committed: the re-arrival guard no-ops
+    StreamingChunkPack.foldBatch(mk(b2), 1L, path, L)
+    assert(streamed(path) === fragsOnce)
+    assert(spark.read.parquet(s"$path/totals")
+      .orderBy("batch", "shard").collect().toSeq === totalsOnce)
+    // crash window: frags/batch=1 durable, totals/batch=1 lost — the
+    // replay must rewrite the SAME fragments and totals, never extend
+    // the tape twice
+    val fs = new java.io.File(s"$path/totals/batch=1")
+    fs.listFiles().foreach(_.delete()); fs.delete()
+    StreamingChunkPack.foldBatch(mk(b2), 1L, path, L)
+    assert(streamed(path) === fragsOnce)
+    assert(spark.read.parquet(s"$path/totals")
+      .orderBy("batch", "shard").collect().toSeq === totalsOnce)
+    assert(fragsOnce === reference(Seq(b1, b2)))
+  }
+
+  test("a doc re-arriving in a LATER batch never re-enters a tape") {
+    val b1 = Seq((1L, 0L, 50L), (2L, 0L, 50L))
+    val b2 = Seq((2L, 0L, 50L), (3L, 0L, 50L)) // 2 re-arrives
+    val path = java.nio.file.Files.createTempDirectory("graft_scp_ra_").toString
+    StreamingChunkPack.foldBatch(mk(b1), 0L, path, L)
+    StreamingChunkPack.foldBatch(mk(b2), 1L, path, L)
+    val got = streamed(path)
+    assert(got.count(_.head == 2L) === got.filter(_.head == 2L).map(_(3)).distinct.size)
+    assert(got === reference(Seq(b1, Seq((3L, 0L, 50L)))))
+  }
+
+  test("a shard absent from a batch carries its tape forward unchanged") {
+    val b1 = Seq((1L, 0L, 40L), (2L, 1L, 40L))
+    val b2 = Seq((3L, 1L, 40L))              // shard 0 idle
+    val b3 = Seq((4L, 0L, 40L))              // shard 0 resumes at offset 40
+    val path = java.nio.file.Files.createTempDirectory("graft_scp_gap_").toString
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      StreamingChunkPack.foldBatch(mk(b), i.toLong, path, L)
+    }
+    // doc 4 continues shard 0's tape: [40, 80) spans the 64 boundary
+    val frag4 = streamed(path).filter(_.head == 4L)
+    assert(frag4 === Seq(Seq(4L, 0L, 2L, 0L, 40L, 24L, 0L),
+      Seq(4L, 0L, 2L, 1L, 0L, 16L, 24L)))
+  }
+
+  test("retention prunes totals generations; the fragment ledger keeps history and later folds stay exact") {
+    val batches = (0L until 6L).map(b =>
+      (b * 10 + 1 to b * 10 + 10).map(i => (i, i % 2, 7L)))
+    val path = java.nio.file.Files.createTempDirectory("graft_scp_ret_").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingChunkPack.foldBatch(mk(b), i.toLong, path, L, retainGenerations = 2)
+    }
+    val gens = StreamState.generations(spark, s"$path/totals")
+    assert(gens.size <= 2 && gens.contains(5L),
+      s"totals must prune to the retention window, got $gens")
+    assert(StreamState.generations(spark, s"$path/frags").size === 6)
+    assert(streamed(path) === reference(batches))
+  }
+}
