@@ -85,6 +85,11 @@ object ExtensionQueries {
   // frontier by the second micro-batch, so the ledger shows admissions,
   // per-source evictions, AND outright rejections across the arrival split
   private[queries] val StreamGroupHeadBudget = 6000L
+  // x158 end-to-end budget over the CLEAN (post-curation) corpus — the
+  // sf0.01 clean inventory is ~17k tokens (×3 epoch cap ≈ 51k), so 40k
+  // sits mid-repetition: small clean sources saturate at the cap, the
+  // rest level out with a biting last-pass quality head
+  private[queries] val EndToEndBudget = 40000L
   // x155/x156 training-sequence length for concat-and-chunk packing —
   // 256 sits inside the sf0.01 doc-length spread, so the fragment sheet
   // shows multi-doc sequences, boundary-spanning docs, AND single-doc
@@ -1115,6 +1120,40 @@ object ExtensionQueries {
             .otherwise("kept").as("verdict"),
           col("a4").as("kept"))
         .orderBy("doc_id")),
+
+    // END-TO-END: raw documents → curation (quality gate, exact dedup,
+    // near-dup CC keeper, 13-gram decontamination — the x153 flags) →
+    // waterfill repetition plan over the CLEAN inventory → curated
+    // multi-epoch order (full passes + quality-head last pass) →
+    // concat-and-chunk packed fragments: the complete pipeline a
+    // pretraining run consumes, as ONE query with ONE independent SQL
+    // replay of every stage
+    "x158_end_to_end_packed" -> ((s, dir) => {
+      val flags = curationStageFlags(s, dir)
+      val d = Tables.documents(s, dir)
+      val clean = d.join(flags.filter(col("a4")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      // the curation chain (banded near-dup CC + decontamination) must
+      // run ONCE: the manifest math consumes `scored` many times, and
+      // re-deriving the chain per pass re-runs the whole pipeline —
+      // eager localCheckpoint truncates the lineage to the clean-corpus
+      // dimension (budget-bounded rows, id/source/score/tokens only)
+      val scored = clean.select(col("doc_id"), col("source"),
+        round(TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+          .cast("long").as("score_k"),
+        wsTokenCount(col("text")).as("n_tokens"))
+        .localCheckpoint(true)
+      val availDf = scored.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("avail_tokens"))
+      val plan = Mixture.repetitionWaterfillPlan(
+        availDf, EndToEndBudget, MaxEpochsCap)
+      val manifest = Sharding.curatedEpochOrder(scored, plan,
+        seed = TrainOrderSeed, numShards = NumShards)
+      val withTok = manifest
+        .join(scored.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      Packing.packChunked(withTok, PackSeqLen, Seq("epoch", "shard"))
+        .orderBy("epoch", "shard", "seq", "frag_start")
+    }),
 
     // cross-corpus PPJoin (similarity-level decontamination): the FULL
     // corpus probed against a verbatim reference slice (every 83rd doc)
@@ -3241,6 +3280,97 @@ object ExtensionQueries {
          |       ELSE 'kept' END AS verdict,
          |  a4 AS kept
          |FROM fl ORDER BY doc_id""".stripMargin,
+
+    // x158: the whole pipeline replayed — the x153 curation chain's
+    // clean set (fl.a4) feeds the x152 plan→head→permutation math
+    // rebased onto the clean corpus (only `adm` collides with the
+    // curation chain's names → `adme`; the quality CTEs f/g are shared,
+    // scoring is per-doc pure so the superset is exact), then the x155
+    // closed-form fragment tail
+    "x158_end_to_end_packed" ->
+      s"""WITH RECURSIVE $sqlCurationStages,
+         |cdoc AS (SELECT d.doc_id, d.source, d.text
+         |  FROM documents d JOIN fl USING (doc_id) WHERE fl.a4),
+         |wfa0 AS (SELECT source,
+         |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         |      AS avail_tokens
+         |  FROM cdoc GROUP BY source),
+         |wfa AS (SELECT source, avail_tokens * $MaxEpochsCap AS avail_tokens
+         |  FROM wfa0),
+         |${sqlWaterfillChain(EndToEndBudget)},
+         |pl AS (SELECT wfa0.source,
+         |    CAST(CASE WHEN wfo.alloc = 0 THEN 0
+         |      ELSE (wfo.alloc + wfa0.avail_tokens - 1) // wfa0.avail_tokens
+         |    END AS BIGINT) AS epochs,
+         |    CAST(wfo.alloc - (CASE WHEN wfo.alloc = 0 THEN 0
+         |        ELSE (wfo.alloc + wfa0.avail_tokens - 1) // wfa0.avail_tokens - 1
+         |      END) * wfa0.avail_tokens AS BIGINT) AS bud
+         |  FROM wfa0 JOIN wfo ON wfo.source = wfa0.source),
+         |q0 AS (SELECT doc_id,
+         |    CAST(round(($sqlQualityScore) * 1000000, 0) AS BIGINT) AS score_k
+         |  FROM g),
+         |qs AS (SELECT q0.doc_id, d.source, q0.score_k,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    pl.bud
+         |  FROM q0 JOIN cdoc d ON q0.doc_id = d.doc_id
+         |  JOIN pl ON pl.source = d.source),
+         |h AS (SELECT source, score_k, CAST(sum(n_tokens) AS BIGINT) AS bt
+         |  FROM qs GROUP BY source, score_k),
+         |c AS (SELECT source, score_k, bt,
+         |    CAST(COALESCE(SUM(bt) OVER (PARTITION BY source
+         |      ORDER BY score_k DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS prior
+         |  FROM h),
+         |t AS (SELECT qs.doc_id, qs.source, qs.bud,
+         |    CASE WHEN c.prior + c.bt <= qs.bud THEN 'full'
+         |         WHEN c.prior >= qs.bud THEN 'rejected'
+         |         ELSE 'frontier' END AS tier,
+         |    c.prior + CAST(sum(qs.n_tokens) OVER (
+         |      PARTITION BY qs.source, qs.score_k ORDER BY qs.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS incl
+         |  FROM qs JOIN c ON qs.source = c.source AND qs.score_k = c.score_k),
+         |adme AS (SELECT doc_id, source FROM t
+         |  WHERE CASE tier WHEN 'full' THEN TRUE WHEN 'rejected' THEN FALSE
+         |        ELSE incl <= bud END),
+         |fullex AS (SELECT d.doc_id, d.source,
+         |    unnest(range(0, pl.epochs - 1)) AS epoch
+         |  FROM (SELECT doc_id, source FROM cdoc) d
+         |  JOIN pl ON pl.source = d.source
+         |  WHERE pl.epochs > 1),
+         |lastex AS (SELECT adme.doc_id, adme.source, pl.epochs - 1 AS epoch
+         |  FROM adme JOIN pl ON pl.source = adme.source
+         |  WHERE pl.epochs > 0),
+         |ex AS (SELECT * FROM fullex UNION ALL SELECT * FROM lastex),
+         |k AS (SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch,
+         |    ${sqlStringHash(s"CAST(doc_id AS VARCHAR) || ':e' || CAST(epoch AS VARCHAR) || ':$TrainOrderSeed' || ':shard'")}
+         |      % $NumShards AS shard,
+         |    ${sqlStringHash(s"CAST(doc_id AS VARCHAR) || ':e' || CAST(epoch AS VARCHAR) || ':$TrainOrderSeed' || ':ord'")}
+         |      AS ord
+         |  FROM ex),
+         |p AS (SELECT doc_id, source, epoch, shard,
+         |    CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+         |  FROM k),
+         |pj AS (SELECT p.epoch, p.shard, p.pos, p.doc_id, qs.n_tokens
+         |  FROM p JOIN qs ON p.doc_id = qs.doc_id WHERE qs.n_tokens > 0),
+         |cmu AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY epoch, shard
+         |    ORDER BY pos) AS BIGINT) AS cum FROM pj),
+         |frx AS (SELECT epoch, shard, pos, doc_id, cum - n_tokens AS st, cum
+         |  FROM cmu),
+         |pfx AS (SELECT epoch, shard, pos, doc_id, st, cum,
+         |    unnest(range(st // $PackSeqLen, (cum - 1) // $PackSeqLen + 1)) AS seq
+         |  FROM frx),
+         |pfr AS (SELECT epoch, shard, pos, doc_id, CAST(seq AS BIGINT) AS seq,
+         |    CAST(greatest(st, seq * $PackSeqLen) - seq * $PackSeqLen AS BIGINT)
+         |      AS frag_start,
+         |    CAST(least(cum, (seq + 1) * $PackSeqLen)
+         |      - greatest(st, seq * $PackSeqLen) AS BIGINT) AS frag_len,
+         |    CAST(greatest(st, seq * $PackSeqLen) - st AS BIGINT) AS doc_off
+         |  FROM pfx)
+         |SELECT epoch, shard, pos, doc_id, seq, frag_start, frag_len, doc_off
+         |FROM pfr ORDER BY epoch, shard, seq, frag_start""".stripMargin,
 
     // x90: x17's brute-force oracle with probe(all)×reference(every
     // 83rd) sides and NO id canonicalization
