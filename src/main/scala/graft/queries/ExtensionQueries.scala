@@ -85,6 +85,12 @@ object ExtensionQueries {
   // frontier by the second micro-batch, so the ledger shows admissions,
   // per-source evictions, AND outright rejections across the arrival split
   private[queries] val StreamGroupHeadBudget = 6000L
+  // x159 raised budget: folds 0-1 run at QualityHeadBudget (250 —
+  // evictions fire), folds 2-3 at 900 (~3.6×) — the raise re-admits
+  // evicted AND rejected-on-arrival docs, and fold 3's arrivals keep
+  // evicting against the bigger head, so the lifecycle sheet shows
+  // every transition kind
+  private[queries] val DynRaisedBudget = 900L
   // x158 end-to-end budget over the CLEAN (post-curation) corpus — the
   // sf0.01 clean inventory is ~17k tokens (×3 epoch cap ≈ 51k), so 40k
   // sits mid-repetition: small clean sources saturate at the cap, the

@@ -549,6 +549,48 @@ object StreamingQueries {
         .orderBy("doc_id")
     }),
 
+    // DYNAMIC-budget evictive quality head: x150 with the budget RAISED
+    // mid-stream (250 → 900 at fold 2) — the raise re-admits the best
+    // previously-evicted/rejected docs from the arrivals ledger (the
+    // one full-history table), then steady folds resume the bounded
+    // incremental path; after every fold the head still equals the
+    // batch operator at THAT fold's budget. The lifecycle sheet counts
+    // each doc's evictions/re-admissions across the budget epochs
+    "x159_stream_dynamic_budget_head" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+            .cast("long").as("score_k"),
+          size(org.apache.spark.sql.functions.split(
+            trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        .as[(Long, Long, Long)].collect().toSeq
+      val residues = rows.map(_._1 % 4).toSet
+      require((0L until 4L).forall(residues.contains),
+        s"x159 harness needs all doc_id%4 residue classes non-empty; " +
+          s"missing ${(0L until 4L).filterNot(residues.contains).mkString(",")}")
+      val path = java.nio.file.Files.createTempDirectory("graft_x159_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x159_ck_").toString
+      val input = MemoryStream[(Long, Long, Long)]
+      val q = StreamingQualityHead.attachDynamic(
+        input.toDF().toDF("doc_id", "score_k", "n_tokens"), path,
+        budgetOf = b => if (b < 2L) ExtensionQueries.QualityHeadBudget
+                        else ExtensionQueries.DynRaisedBudget)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try (0L until 4L).foreach { b =>
+        input.addData(rows.filter(_._1 % 4 == b))
+        q.processAllAvailable()
+      } finally q.stop()
+      StreamingQualityHead.lifecycle(s, path)
+        .select(col("id").as("doc_id"), col("arrival_batch"),
+          col("score").as("score_k"), col("tokens").as("n_tokens"),
+          col("admit"), col("n_evictions"), col("n_readmissions"),
+          col("admitted"))
+        .orderBy("doc_id")
+    }),
+
     // streaming concat-and-chunk packing (StreamingChunkPack): each
     // arriving doc extends its shard's token tape in arrival order and
     // the tape is cut at fixed PackSeqLen strides — x155's closed-form
@@ -626,6 +668,67 @@ object StreamingQueries {
          |SELECT doc_id, source, n_tokens, src_cum,
          |       src_cum <= ${ExtensionQueries.SrcQuotaTokens} AS admitted
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // x159: the dynamic-budget head replayed as the x150 per-prefix
+    // tier pass with the PREFIX-INDEXED budget (250 for prefixes 0-1,
+    // 900 after the raise); a doc's eviction/re-admission counts are
+    // its adm-sequence transitions between consecutive prefixes
+    "x159_stream_dynamic_budget_head" ->
+      s"""WITH ${ExtensionQueries.sqlQualityCtes},
+         |q0 AS (SELECT doc_id,
+         |    CAST(round((${ExtensionQueries.sqlQualityScore}) * 1000000, 0)
+         |      AS BIGINT) AS score_k
+         |  FROM g),
+         |qs AS (SELECT q0.doc_id, q0.score_k,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    CAST(q0.doc_id % 4 AS BIGINT) AS ab
+         |  FROM q0 JOIN documents d ON q0.doc_id = d.doc_id),
+         |bs AS (SELECT CAST(b AS BIGINT) AS b,
+         |    CAST(CASE WHEN b < 2 THEN ${ExtensionQueries.QualityHeadBudget}
+         |         ELSE ${ExtensionQueries.DynRaisedBudget} END AS BIGINT)
+         |      AS bud
+         |  FROM range(0, 4) t(b)),
+         |p AS (SELECT qs.*, bs.b, bs.bud FROM qs JOIN bs ON qs.ab <= bs.b),
+         |h AS (SELECT b, score_k, CAST(sum(n_tokens) AS BIGINT) AS bt
+         |  FROM p GROUP BY b, score_k),
+         |c AS (SELECT b, score_k, bt,
+         |    CAST(COALESCE(SUM(bt) OVER (PARTITION BY b ORDER BY score_k DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS prior
+         |  FROM h),
+         |t AS (SELECT p.b, p.bud, p.doc_id, p.ab, p.score_k, p.n_tokens,
+         |    CASE WHEN c.prior + c.bt <= p.bud THEN 'full'
+         |         WHEN c.prior >= p.bud THEN 'rejected'
+         |         ELSE 'frontier' END AS tier,
+         |    c.prior + CAST(sum(p.n_tokens) OVER (PARTITION BY p.b, p.score_k
+         |      ORDER BY p.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS incl
+         |  FROM p JOIN c ON p.b = c.b AND p.score_k = c.score_k),
+         |a AS (SELECT b, doc_id, ab, score_k, n_tokens,
+         |    CASE tier WHEN 'full' THEN TRUE WHEN 'rejected' THEN FALSE
+         |         ELSE incl <= bud END AS adm
+         |  FROM t),
+         |tr AS (SELECT cur.doc_id,
+         |    CAST(count(*) FILTER (WHERE prv.adm AND NOT cur.adm) AS BIGINT)
+         |      AS n_ev,
+         |    CAST(count(*) FILTER (WHERE NOT prv.adm AND cur.adm) AS BIGINT)
+         |      AS n_re
+         |  FROM a cur JOIN a prv
+         |    ON prv.doc_id = cur.doc_id AND prv.b = cur.b - 1
+         |  GROUP BY cur.doc_id),
+         |lc AS (SELECT doc_id, ab AS arrival_batch, score_k, n_tokens,
+         |    bool_or(adm) FILTER (WHERE b = ab) AS admit,
+         |    bool_or(adm) FILTER (WHERE b = 3) AS admitted
+         |  FROM a GROUP BY doc_id, ab, score_k, n_tokens)
+         |SELECT lc.doc_id, lc.arrival_batch, lc.score_k, lc.n_tokens,
+         |  lc.admit,
+         |  CAST(COALESCE(tr.n_ev, 0) AS BIGINT) AS n_evictions,
+         |  CAST(COALESCE(tr.n_re, 0) AS BIGINT) AS n_readmissions,
+         |  lc.admitted
+         |FROM lc LEFT JOIN tr ON tr.doc_id = lc.doc_id
+         |ORDER BY lc.doc_id""".stripMargin,
 
     // x157: the streamed tape cuts are a closed-form function of the
     // per-shard running token sum in arrival (= doc_id%4 batch, then

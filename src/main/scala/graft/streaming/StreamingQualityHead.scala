@@ -70,9 +70,15 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  *    frontier tier and its first rejected id (fact 4's compression).
  *  - `arrivals/batch=<id>`  — append-only ledger (id, score, tokens,
  *    admit) — the verdict each doc got ON ARRIVAL (also the
- *    cross-batch re-arrival guard).
+ *    cross-batch re-arrival guard, and the resurrection source for
+ *    budget raises).
  *  - `evictions/batch=<id>` — (id) evicted by this fold; at most one
- *    row per id ever (verdicts only degrade).
+ *    row per id ever under a constant budget (verdicts only degrade);
+ *    budget raises can re-admit, so with dynamics an id may recur.
+ *  - `readmissions/batch=<id>` — (id) re-admitted by this fold's
+ *    budget raise (empty on every steady fold).
+ *  - `budget/batch=<id>` — ONE row: the budget in effect after this
+ *    fold (the raise detector's reference point).
  *
  * Retention: hist/tiers/cut are generation-superseded (every read
  * targets the single latest committed generation), so each fold prunes
@@ -91,6 +97,34 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  * frontier tier runs an exact running sum (two-phase
  * [[Positional.withGlobalRunningSum]] layout, so a degenerate
  * single-tier corpus never funnels one task).
+ *
+ * ==Dynamic budget (round 14)==
+ * `budget` is read PER FOLD, so a deployment can retarget the head
+ * mid-stream (a training run scaling up or down). The two directions
+ * are asymmetric:
+ *  - a SHRINK needs nothing new: tier verdicts are recomputed from the
+ *    full hist every fold, every membership a shrink can evict already
+ *    sits in the head, and docs past the frontier cut only get worse —
+ *    the incremental path is exact as-is;
+ *  - a RAISE breaks fact 1 (verdicts can now UPGRADE): tiers that were
+ *    rejected — whose membership was deliberately never kept — can
+ *    re-enter. The fold detects the raise against the stored
+ *    `budget` generation and RESURRECTS candidates from the arrivals
+ *    ledger (the one append-only table that holds every doc ever),
+ *    score-pruned to the now-non-rejected tiers, with the frontier cut
+ *    guard disabled for that fold. Work is ∝ the new head + frontier
+ *    tier (a ledger scan pruned by the tier predicate), the honest
+ *    price of an infrequent control-plane event; the next steady fold
+ *    resumes the bounded incremental path off the recomputed cut.
+ * Re-admissions land in their own `readmissions/batch=<id>` ledger.
+ * With dynamics, a doc can evict more than once (evict → readmit →
+ * evict), so the evictions ledger may hold an id at several batches;
+ * [[lifecycle]] is the dynamics-aware reader ([[ledger]]'s
+ * admitted = admit ∧ never-evicted invariant holds only for a
+ * constant budget). A budget change delivered alongside an
+ * empty-or-all-rearrival batch takes effect at the next folding batch
+ * (raises are detected by state diff, not by the batch that carried
+ * them).
  */
 object StreamingQualityHead {
 
@@ -115,6 +149,26 @@ object StreamingQualityHead {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch, batchId, path, budget, idCol, scoreCol, tokCol,
           retainGenerations)
+      }
+
+  /** [[attach]] with a budget SCHEDULE (batchId → budget): the dynamic-
+    * budget head. Raises re-admit the best previously-dropped docs from
+    * the arrivals ledger; shrinks evict down to the new head — after
+    * every fold the head still equals the batch operator over
+    * everything ingested at THAT fold's budget. */
+  def attachDynamic(
+      docs: DataFrame,
+      path: String,
+      budgetOf: Long => Long,
+      idCol: String = "doc_id",
+      scoreCol: String = "score_k",
+      tokCol: String = "n_tokens",
+      retainGenerations: Int = 3): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(batch, batchId, path, budgetOf(batchId), idCol, scoreCol,
+          tokCol, retainGenerations)
       }
 
   /** The (score → head generation) map stored at generation `gen` —
@@ -201,6 +255,15 @@ object StreamingQualityHead {
           stateView("cut").filter(col("batch").cast("long") === lit(g))
             .select(col("score"), col("cut_id")).collect().headOption
             .map(r => (r.getLong(0), r.getLong(1))))
+        // the budget in effect at the prior generation (≤1 row); a raise
+        // flips the fold onto the ledger-resurrection path. Absent table
+        // (a pre-dynamic state tree) reads as "no change".
+        val priorBudget: Option[Long] = priorGen.flatMap { g =>
+          try stateView("budget").filter(col("batch").cast("long") === lit(g))
+            .select(col("budget")).collect().headOption.map(_.getLong(0))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        }
+        val raised = priorBudget.exists(budget > _)
         // merged per-tier token totals over everything ingested
         val batchHist = arrivals.groupBy(col("score"))
           .agg(sum(col("tokens")).as("bt"))
@@ -240,15 +303,31 @@ object StreamingQualityHead {
         // whenever a batch fit wholly inside the full tiers above)
         val frontierTouched = frontierScore.exists(f =>
           !priorCut.map(_._1).contains(f) || arrivalScores.exists(_ > f))
+        // under a RAISE every non-rejected tier may gain members the
+        // head never kept (fact 1 breaks upward) — all of them are
+        // changed and the ledger supplies the resurrection candidates
         val changed: Set[Long] =
-          arrivalScores.filterNot(s => verdicts(s)._2) ++
+          if (raised) verdicts.collect { case (s, (_, false)) => s }.toSet
+          else arrivalScores.filterNot(s => verdicts(s)._2) ++
             (if (frontierTouched) frontierScore.toSet else Set.empty[Long])
         val changedDf = broadcast(
           spark.createDataFrame(changed.toSeq.map(Tuple1(_))).toDF("score"))
         // candidates: prior members of changed tiers ∪ arrivals at
-        // changed tiers — touched-tier-sized, never budget-sized
-        val candidates = priorHead.join(changedDf, Seq("score"), "left_semi")
+        // changed tiers — touched-tier-sized, never budget-sized; a
+        // raise fold adds the ledger slice at the changed tiers (score-
+        // pruned scan of the one full-history table; rows duplicated
+        // across the three sources are identical (id, score, tokens)
+        // tuples, so distinct() restores one row per doc)
+        val baseCandidates = priorHead.join(changedDf, Seq("score"), "left_semi")
           .unionByName(arrivals.join(changedDf, Seq("score"), "left_semi"))
+        val candidates =
+          if (!raised) baseCandidates
+          else baseCandidates.unionByName(
+              stateView("arrivals")
+                .select(col("id"), col("score").cast("long").as("score"),
+                  col("tokens").cast("long").as("tokens"))
+                .join(changedDf, Seq("score"), "left_semi"))
+            .distinct()
         val flagged = candidates.join(broadcast(cum), Seq("score")).persist()
         val decidedFull = flagged.filter(col("_full"))
           .select(col("id"), col("score"), col("tokens"))
@@ -256,9 +335,12 @@ object StreamingQualityHead {
           .select(col("id"), col("score"), col("tokens"), col("_prior"))
         // fact 4: if the cut marker names THIS tier, candidates at or
         // past the cut are rejected without computation — only the
-        // pre-cut slice runs the exact two-phase running sum
+        // pre-cut slice runs the exact two-phase running sum. A raise
+        // invalidates the stored cut (it was computed under the smaller
+        // budget): the frontier tier recomputes whole, off the ledger
+        // slice, and the rewritten cut re-arms the guard next fold.
         val cutGuard: Option[Long] = (priorCut, frontierScore) match {
-          case (Some((cs, cid)), Some(fs)) if cs == fs => Some(cid)
+          case (Some((cs, cid)), Some(fs)) if cs == fs && !raised => Some(cid)
           case _ => None
         }
         val preCut = cutGuard match {
@@ -316,8 +398,19 @@ object StreamingQualityHead {
         val evicted = evictedFrom
           .join(newHeadChanged.select("id"), Seq("id"), "left_anti")
           .select("id").distinct()
+        // re-admissions: head members that were neither prior members of
+        // their (changed) tier nor this batch's arrivals — possible only
+        // on a raise fold (without one, candidates ⊆ priorHead ∪ arrivals)
+        val readmitted =
+          if (!raised) arrivals.select("id").limit(0)
+          else newHeadChanged.select("id")
+            .join(arrivals.select("id"), Seq("id"), "left_anti")
+            .join(priorHead.join(changedDf, Seq("score"), "left_semi")
+              .select("id"), Seq("id"), "left_anti")
         arrOut.write.mode("overwrite").parquet(s"$path/arrivals/batch=$batchId")
         evicted.write.mode("overwrite").parquet(s"$path/evictions/batch=$batchId")
+        readmitted.write.mode("overwrite")
+          .parquet(s"$path/readmissions/batch=$batchId")
         newHist.write.mode("overwrite").parquet(s"$path/hist/batch=$batchId")
         if (changedWithRows.nonEmpty)
           newHeadChanged.select(col("id"), col("tokens"), col("score"))
@@ -326,12 +419,14 @@ object StreamingQualityHead {
         spark.createDataFrame(newTiers).toDF("score", "gen")
           .write.mode("overwrite").parquet(s"$path/tiers/batch=$batchId")
         cutDf.write.mode("overwrite").parquet(s"$path/cut/batch=$batchId")
+        spark.createDataFrame(Seq(Tuple1(budget))).toDF("budget")
+          .write.mode("overwrite").parquet(s"$path/budget/batch=$batchId")
         // retention LAST (after this generation is fully written):
-        // superseded hist/tiers/cut generations prune to the window;
-        // head generations are reference-counted — alive while ANY
-        // retained tiers map still points at them (an untouched tier
+        // superseded hist/tiers/cut/budget generations prune to the
+        // window; head generations are reference-counted — alive while
+        // ANY retained tiers map still points at them (an untouched tier
         // legitimately pins a generation older than the window)
-        Seq("hist", "tiers", "cut").foreach(t =>
+        Seq("hist", "tiers", "cut", "budget").foreach(t =>
           StreamState.pruneGenerations(spark, s"$path/$t", retainGenerations))
         val referenced: Set[Long] = (try spark.read.parquet(s"$path/tiers")
             .select(col("gen").cast("long")).distinct()
@@ -392,6 +487,29 @@ object StreamingQualityHead {
       .join(head(spark, path).select(col("id"), lit(true).as("_m")), Seq("id"), "left")
       .select(col("id"), col("arrival_batch"), col("score"), col("tokens"),
         col("admit"), col("evict_batch"),
+        coalesce(col("_m"), lit(false)).as("admitted"))
+  }
+
+  /** The dynamics-aware per-doc sheet for a dynamic-budget head:
+    * arrival verdict, how many times the doc was evicted and
+    * re-admitted across the stream's budget epochs, and FINAL
+    * membership from the current head. (With a constant budget this
+    * degenerates to [[ledger]]: n_evictions ≤ 1, n_readmissions = 0.) */
+  def lifecycle(spark: SparkSession, path: String): DataFrame = {
+    val arr = spark.read.parquet(s"$path/arrivals")
+      .select(col("id"), col("batch").cast("long").as("arrival_batch"),
+        col("score"), col("tokens"), col("admit"))
+    val ev = spark.read.parquet(s"$path/evictions")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_evictions"))
+    val re = spark.read.parquet(s"$path/readmissions")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_readmissions"))
+    arr.join(ev, Seq("id"), "left")
+      .join(re, Seq("id"), "left")
+      .join(head(spark, path).select(col("id"), lit(true).as("_m")), Seq("id"), "left")
+      .select(col("id"), col("arrival_batch"), col("score"), col("tokens"),
+        col("admit"),
+        coalesce(col("n_evictions"), lit(0L)).as("n_evictions"),
+        coalesce(col("n_readmissions"), lit(0L)).as("n_readmissions"),
         coalesce(col("_m"), lit(false)).as("admitted"))
   }
 }

@@ -274,4 +274,102 @@ class StreamingQualityHeadSpec extends SparkSpec {
       "re-arrival must not overwrite the original arrival verdict")
     assert(headSet(path) === Set(1L, 4L))
   }
+
+  // ------------------------------------------------------------------
+  // dynamic budget (raise = ledger resurrection; shrink = evict-only)
+  // ------------------------------------------------------------------
+
+  test("a budget raise re-admits evicted and rejected docs exactly; readmissions ledger names them") {
+    val path = newPath()
+    StreamingQualityHead.foldBatch(docs(b0: _*), 0L, path, budget = 100L)
+    StreamingQualityHead.foldBatch(docs(b1: _*), 1L, path, budget = 100L)
+    assert(headSet(path) === Set(1L, 4L)) // 2 evicted, 3 rejected
+    StreamingQualityHead.foldBatch(docs(b2: _*), 2L, path, budget = 300L)
+    // raise: batch head under 300 over everything = all five docs fit?
+    // tokens 40+40+30+50+5 = 165 <= 300 → everything admitted
+    assert(headSet(path) === batchAdmitted(b0 ++ b1 ++ b2, 300L))
+    assert(headSet(path) === Set(1L, 2L, 3L, 4L, 5L))
+    val re = spark.read.parquet(s"$path/readmissions")
+      .select("id").as[Long].collect().toSet
+    // 2 (evicted at 1) and 3 (rejected on arrival) resurrect; 5 is a
+    // plain arrival of the raise fold, NOT a readmission
+    assert(re === Set(2L, 3L))
+  }
+
+  test("fold-by-fold the head tracks the batch operator at THAT fold's budget, through raises and shrinks") {
+    val rnd = new scala.util.Random(71)
+    val batches = (0 until 5).map(b =>
+      (1L to 30L).map(i => (b * 100L + i,
+        (rnd.nextInt(6) * 50).toLong, (rnd.nextInt(40) + 1).toLong)))
+    val budgets = Seq(200L, 200L, 800L, 300L, 900L) // steady, raise, shrink, raise
+    val path = newPath()
+    var seen = Seq.empty[(Long, Long, Long)]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      seen ++= b
+      StreamingQualityHead.foldBatch(docs(b: _*), i.toLong, path, budgets(i))
+      assert(headSet(path) === batchAdmitted(seen, budgets(i)),
+        s"fold $i diverged from the batch head at budget ${budgets(i)}")
+    }
+    // steady folds write empty readmissions; the raise folds may not
+    val reByBatch = spark.read.parquet(s"$path/readmissions")
+      .groupBy(col("batch").cast("long").as("b")).count()
+      .as[(Long, Long)].collect().toMap
+    assert(!reByBatch.contains(0L) && !reByBatch.contains(1L) && !reByBatch.contains(3L),
+      s"steady/shrink folds must not readmit: $reByBatch")
+  }
+
+  test("degenerate single-tier corpus: a raise recomputes the cut off the ledger and re-arms fact 4") {
+    val path = newPath()
+    val tier = (1L to 40L).map(i => (i, 100L, 10L)) // one tier, 400 tokens
+    StreamingQualityHead.foldBatch(docs(tier: _*), 0L, path, budget = 100L)
+    assert(headSet(path) === (1L to 10L).toSet)
+    val cut0 = spark.read.parquet(s"$path/cut").filter(col("batch") === 0)
+      .select("score", "cut_id").as[(Long, Long)].head()
+    assert(cut0 === ((100L, 11L)))
+    StreamingQualityHead.foldBatch(docs((41L, 100L, 10L)), 1L, path, budget = 250L)
+    // raise to 250: ids 1..25 fit (250 tokens), cut moves DOWN to 26
+    assert(headSet(path) === (1L to 25L).toSet)
+    val cut1 = spark.read.parquet(s"$path/cut").filter(col("batch") === 1)
+      .select("score", "cut_id").as[(Long, Long)].head()
+    assert(cut1 === ((100L, 26L)))
+    // next steady fold rides the re-armed cut: a past-cut arrival rejects
+    StreamingQualityHead.foldBatch(docs((50L, 100L, 10L)), 2L, path, budget = 250L)
+    assert(headSet(path) === (1L to 25L).toSet)
+  }
+
+  test("replaying a committed RAISE fold is a no-op on every table, including readmissions and budget") {
+    val path = newPath()
+    StreamingQualityHead.foldBatch(docs(b0: _*), 0L, path, budget = 100L)
+    StreamingQualityHead.foldBatch(docs(b1: _*), 1L, path, budget = 100L)
+    StreamingQualityHead.foldBatch(docs(b2: _*), 2L, path, budget = 300L)
+    def snap(sub: String) = spark.read.parquet(s"$path/$sub")
+      .collect().map(_.toString).sorted.toSeq
+    val tables = Seq("hist", "head", "tiers", "cut", "budget",
+      "arrivals", "evictions", "readmissions")
+    val before = tables.map(s => s -> snap(s))
+    StreamingQualityHead.foldBatch(docs(b2: _*), 2L, path, budget = 300L)
+    before.foreach { case (sub, rows) =>
+      assert(snap(sub) === rows, s"raise replay changed $sub")
+    }
+  }
+
+  test("lifecycle sheet: eviction/readmission counts and final membership across budget epochs") {
+    val path = newPath()
+    StreamingQualityHead.foldBatch(docs(b0: _*), 0L, path, budget = 100L)
+    StreamingQualityHead.foldBatch(docs(b1: _*), 1L, path, budget = 100L) // 2 evicted
+    StreamingQualityHead.foldBatch(docs(b2: _*), 2L, path, budget = 300L) // 2,3 readmitted
+    // shrink back to 100: head reverts to {1,4}; 2,3,5 evict
+    StreamingQualityHead.foldBatch(docs((60L, 10L, 5L)), 3L, path, budget = 100L)
+    assert(headSet(path) === Set(1L, 4L))
+    val lc = StreamingQualityHead.lifecycle(spark, path)
+      .select("id", "admit", "n_evictions", "n_readmissions", "admitted")
+      .as[(Long, Boolean, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(lc(1L) === ((true, 0L, 0L, true)))
+    assert(lc(2L) === ((true, 2L, 1L, false)))  // evict@1, readmit@2, evict@3
+    assert(lc(3L) === ((false, 1L, 1L, false))) // rejected, readmit@2, evict@3
+    assert(lc(4L) === ((true, 0L, 0L, true)))
+    assert(lc(5L) === ((true, 1L, 0L, false)))  // admitted@2 (raised), evict@3
+    assert(lc(60L) === ((false, 0L, 0L, false)))
+  }
 }
