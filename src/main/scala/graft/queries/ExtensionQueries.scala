@@ -85,6 +85,12 @@ object ExtensionQueries {
   // frontier by the second micro-batch, so the ledger shows admissions,
   // per-source evictions, AND outright rejections across the arrival split
   private[queries] val StreamGroupHeadBudget = 6000L
+  // x160 raised GLOBAL budget for the per-source head: folds 0-1 run
+  // the waterfill of StreamGroupHeadBudget (6000 → level ≈300/source),
+  // folds 2-3 the waterfill of 13000 (level ≈650/source) — every
+  // source's budget refreshes at once, the realistic mixture-plan
+  // retarget
+  private[queries] val DynGroupRaisedBudget = 13000L
   // x159 raised budget: folds 0-1 run at QualityHeadBudget (250 —
   // evictions fire), folds 2-3 at 900 (~3.6×) — the raise re-admits
   // evicted AND rejected-on-arrival docs, and fold 3's arrivals keep
@@ -783,24 +789,30 @@ object ExtensionQueries {
     * use the raw per-source token inventories via [[sqlWaterfillCtes]];
     * x147 an epoch-capped one). */
   private[queries] def sqlWaterfillChain(budget: Long): String =
-    s"""wfr AS (SELECT source, avail_tokens,
+    sqlWaterfillChainSfx(budget, "")
+
+  /** [[sqlWaterfillChain]] with suffixed CTE names (wfa$sfx → wfo$sfx)
+    * so one oracle can run the chain at TWO budgets (x160's per-group
+    * budget refresh). */
+  private[queries] def sqlWaterfillChainSfx(budget: Long, sfx: String): String =
+    s"""wfr$sfx AS (SELECT source, avail_tokens,
        |    CAST(row_number() OVER (ORDER BY avail_tokens, source) AS BIGINT)
        |      AS rk,
        |    CAST(COALESCE(SUM(avail_tokens) OVER (ORDER BY avail_tokens, source
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
        |      AS below,
        |    CAST(count(*) OVER () AS BIGINT) AS s_n
-       |  FROM wfa),
-       |wff AS (SELECT *,
+       |  FROM wfa$sfx),
+       |wff$sfx AS (SELECT *,
        |    below + avail_tokens * (s_n - rk + 1) <= $budget AS sat
-       |  FROM wfr),
-       |wfg AS (SELECT *,
+       |  FROM wfr$sfx),
+       |wfg$sfx AS (SELECT *,
        |    CAST(COALESCE(sum(CASE WHEN sat THEN avail_tokens END) OVER (), 0)
        |      AS BIGINT) AS sat_sum,
        |    CAST(COALESCE(sum(CASE WHEN sat THEN 1 END) OVER (), 0) AS BIGINT)
        |      AS k_sat
-       |  FROM wff),
-       |wfo AS (SELECT source, avail_tokens, sat,
+       |  FROM wff$sfx),
+       |wfo$sfx AS (SELECT source, avail_tokens, sat,
        |    CAST(CASE WHEN sat THEN avail_tokens
        |      ELSE (CASE WHEN s_n - k_sat > 0
        |              THEN ($budget - sat_sum) // (s_n - k_sat)
@@ -810,7 +822,7 @@ object ExtensionQueries {
        |              ELSE 0 END)
        |            THEN 1 ELSE 0 END)
        |      END AS BIGINT) AS alloc
-       |  FROM wfg)""".stripMargin
+       |  FROM wfg$sfx)""".stripMargin
 
   /** x145/x146: the raw per-source token inventories + the chain. */
   private lazy val sqlWaterfillCtes: String =

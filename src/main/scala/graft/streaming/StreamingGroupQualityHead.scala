@@ -40,6 +40,22 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  * (re)delivery — explicit budgets are the contract, exactly as in
  * batch.
  *
+ * ==Dynamic per-group budgets (round 14)==
+ * [[attachDynamic]] re-reads the budget MAP each fold (the realistic
+ * deployment: one global budget is retargeted, the waterfill re-runs,
+ * every per-source budget refreshes at once). Per group the x159
+ * asymmetry applies independently: a group whose budget SHRANK evicts
+ * down to its new head off existing state; a group whose budget GREW
+ * breaks fact 1 upward and RESURRECTS candidates from the arrivals
+ * ledger at its now-non-rejected tiers, with its cut guard disabled
+ * for that one fold. The GROUP SET is still fixed for the life of the
+ * state path (enforced loudly): arrivals of never-curated groups were
+ * dropped without a ledger row, so a group added mid-stream could not
+ * recover its past — only budget VALUES may move. Re-admissions land
+ * in `readmissions/batch=<id>`; `budgets/batch=<id>` stores the map in
+ * effect after each fold (the raise detector's reference);
+ * [[lifecycle]] is the dynamics-aware reader.
+ *
  * State layout under `path/` — the [[StreamingQualityHead]] discipline
  * (per-`batch=<id>` overwrite generations; every read excludes the
  * fold's own batch, so crash-window replay recomputes identical frames
@@ -83,6 +99,27 @@ object StreamingGroupQualityHead {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch, batchId, path, budgets, idCol, groupCol, scoreCol,
           tokCol, retainGenerations)
+      }
+
+  /** [[attach]] with a budget-map SCHEDULE (batchId → budgets): the
+    * dynamic per-group head. The returned maps must share one key set
+    * (the group-set contract); per group, raises resurrect from the
+    * arrivals ledger and shrinks evict in place — after every fold each
+    * group's head equals the batch operator at THAT fold's budget. */
+  def attachDynamic(
+      docs: DataFrame,
+      path: String,
+      budgetsOf: Long => Map[String, Long],
+      idCol: String = "doc_id",
+      groupCol: String = "source",
+      scoreCol: String = "score_k",
+      tokCol: String = "n_tokens",
+      retainGenerations: Int = 3): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(batch, batchId, path, budgetsOf(batchId), idCol, groupCol,
+          scoreCol, tokCol, retainGenerations)
       }
 
   /** The (grp, score → head generation) map stored at generation `gen`
@@ -174,6 +211,25 @@ object StreamingGroupQualityHead {
             .select(col("grp"), col("score"), col("cut_id")).collect()
             .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap)
           .getOrElse(Map.empty)
+        // the budget map in effect at the prior generation — raised
+        // groups flip onto the per-group ledger-resurrection path. The
+        // group set is fixed for the life of the state path (a group
+        // added later could not recover its dropped arrivals); absent
+        // table (pre-dynamic tree) reads as "no change".
+        val priorBudgets: Map[String, Long] = priorGen.map { g =>
+          try stateView("budgets").filter(col("batch").cast("long") === lit(g))
+            .select(col("grp"), col("budget")).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            Map.empty[String, Long] }
+        }.getOrElse(Map.empty)
+        if (priorBudgets.nonEmpty)
+          require(priorBudgets.keySet == budgets.keySet,
+            s"the curated group set is fixed for the life of the state path: " +
+              s"stored ${priorBudgets.keySet.toSeq.sorted} vs " +
+              s"supplied ${budgets.keySet.toSeq.sorted}")
+        val raisedGroups: Set[String] =
+          budgets.collect { case (g, b) if priorBudgets.get(g).exists(b > _) => g }.toSet
         // merged per-(group, tier) token totals over everything ingested
         val batchHist = arrivals.groupBy(col("grp"), col("score"))
           .agg(sum(col("tokens")).as("bt"))
@@ -213,17 +269,36 @@ object StreamingGroupQualityHead {
         // arrivals strictly above it (its `prior` grew, so its cut
         // slides down and its tail must evict even with no arrivals of
         // its own)
+        // a RAISED group's every non-rejected cell may gain members the
+        // head never kept — all of them are changed, resurrection comes
+        // from the ledger slice at exactly those cells
         val changed: Set[(String, Long)] =
           arrivalCells.filterNot(c => verdicts(c)._2) ++
             frontier.collect { case (g, fs)
               if !priorCut.get(g).map(_._1).contains(fs) ||
                 arrivalCells.exists { case (ag, as) => ag == g && as > fs }
-              => (g, fs) }
+              => (g, fs) } ++
+            // toSeq first — Map.collect into (grp, score) pairs would
+            // rebuild a Map keyed by grp and keep ONE cell per group
+            // (the same trap rejDf documents below)
+            verdicts.toSeq.collect {
+              case ((g, s), (_, false)) if raisedGroups(g) => (g, s) }
         val changedDf = broadcast(
           spark.createDataFrame(changed.toSeq).toDF("grp", "score"))
-        val candidates = priorHead
+        val baseCandidates = priorHead
           .join(changedDf, Seq("grp", "score"), "left_semi")
           .unionByName(arrivals.join(changedDf, Seq("grp", "score"), "left_semi"))
+        val raisedCells = changed.filter { case (g, _) => raisedGroups(g) }
+        val candidates =
+          if (raisedCells.isEmpty) baseCandidates
+          else baseCandidates.unionByName(
+              stateView("arrivals")
+                .select(col("id"), col("grp").cast("string").as("grp"),
+                  col("score").cast("long").as("score"),
+                  col("tokens").cast("long").as("tokens"))
+                .join(broadcast(spark.createDataFrame(raisedCells.toSeq)
+                  .toDF("grp", "score")), Seq("grp", "score"), "left_semi"))
+            .distinct()
         val flagged = candidates
           .join(broadcast(cum.drop("bt")), Seq("grp", "score")).persist()
         val decidedFull = flagged.filter(col("_full"))
@@ -234,8 +309,13 @@ object StreamingGroupQualityHead {
         // fact 4 per group: where the stored cut names the group's
         // CURRENT frontier tier, candidates at or past it are rejected
         // without computation
+        // a raised group's stored cut was computed under the smaller
+        // budget — its frontier recomputes whole off the ledger slice
+        // and the rewritten cut re-arms the guard next fold
         val guards: Map[String, Long] = frontier.flatMap { case (g, fs) =>
-          priorCut.get(g).collect { case (cs, cid) if cs == fs => g -> cid }
+          priorCut.get(g).collect {
+            case (cs, cid) if cs == fs && !raisedGroups(g) => g -> cid
+          }
         }
         val guardDf = broadcast(spark.createDataFrame(guards.toSeq)
           .toDF("grp", "_guard"))
@@ -287,8 +367,19 @@ object StreamingGroupQualityHead {
         val evicted = evictedFrom
           .join(newHeadChanged.select("id"), Seq("id"), "left_anti")
           .select("id").distinct()
+        // re-admissions: head members that were neither prior members of
+        // their (changed) cell nor this batch's arrivals — non-empty
+        // only on a fold with raised groups
+        val readmitted =
+          if (raisedCells.isEmpty) arrivals.select("id").limit(0)
+          else newHeadChanged.select("id")
+            .join(arrivals.select("id"), Seq("id"), "left_anti")
+            .join(priorHead.join(changedDf, Seq("grp", "score"), "left_semi")
+              .select("id"), Seq("id"), "left_anti")
         arrOut.write.mode("overwrite").parquet(s"$path/arrivals/batch=$batchId")
         evicted.write.mode("overwrite").parquet(s"$path/evictions/batch=$batchId")
+        readmitted.write.mode("overwrite")
+          .parquet(s"$path/readmissions/batch=$batchId")
         newHist.write.mode("overwrite").parquet(s"$path/hist/batch=$batchId")
         if (changedWithRows.nonEmpty)
           newHeadChanged.select(col("id"), col("tokens"), col("grp"), col("score"))
@@ -297,7 +388,9 @@ object StreamingGroupQualityHead {
         spark.createDataFrame(newTiers).toDF("grp", "score", "gen")
           .write.mode("overwrite").parquet(s"$path/tiers/batch=$batchId")
         cutDf.write.mode("overwrite").parquet(s"$path/cut/batch=$batchId")
-        Seq("hist", "tiers", "cut").foreach(t =>
+        spark.createDataFrame(budgets.toSeq).toDF("grp", "budget")
+          .write.mode("overwrite").parquet(s"$path/budgets/batch=$batchId")
+        Seq("hist", "tiers", "cut", "budgets").foreach(t =>
           StreamState.pruneGenerations(spark, s"$path/$t", retainGenerations))
         val referenced: Set[Long] = (try spark.read.parquet(s"$path/tiers")
             .select(col("gen").cast("long")).distinct()
@@ -352,6 +445,29 @@ object StreamingGroupQualityHead {
       .join(head(spark, path).select(col("id"), lit(true).as("_m")), Seq("id"), "left")
       .select(col("id"), col("grp"), col("arrival_batch"), col("score"),
         col("tokens"), col("admit"), col("evict_batch"),
+        coalesce(col("_m"), lit(false)).as("admitted"))
+  }
+
+  /** The dynamics-aware per-doc sheet for dynamic budgets: group,
+    * arrival verdict, per-doc eviction/re-admission transition counts
+    * across the budget epochs, and FINAL membership. (Constant budgets
+    * degenerate it to [[ledger]]: n_evictions ≤ 1, n_readmissions = 0.) */
+  def lifecycle(spark: SparkSession, path: String): DataFrame = {
+    val arr = spark.read.parquet(s"$path/arrivals")
+      .select(col("id"), col("grp"),
+        col("batch").cast("long").as("arrival_batch"),
+        col("score"), col("tokens"), col("admit"))
+    val ev = spark.read.parquet(s"$path/evictions")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_evictions"))
+    val re = spark.read.parquet(s"$path/readmissions")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_readmissions"))
+    arr.join(ev, Seq("id"), "left")
+      .join(re, Seq("id"), "left")
+      .join(head(spark, path).select(col("id"), lit(true).as("_m")), Seq("id"), "left")
+      .select(col("id"), col("grp"), col("arrival_batch"), col("score"),
+        col("tokens"), col("admit"),
+        coalesce(col("n_evictions"), lit(0L)).as("n_evictions"),
+        coalesce(col("n_readmissions"), lit(0L)).as("n_readmissions"),
         coalesce(col("_m"), lit(false)).as("admitted"))
   }
 }

@@ -270,4 +270,91 @@ class StreamingGroupQualityHeadSpec extends SparkSpec {
     assert(arr.select("score").as[Long].head() === 100L)
     assert(headSet(path) === Set(1L, 4L, 11L, 12L))
   }
+
+  // ------------------------------------------------------------------
+  // dynamic per-group budgets (raise = ledger resurrection per group)
+  // ------------------------------------------------------------------
+
+  test("raising ONE group's budget resurrects only that group; the other group's head is untouched") {
+    val path = newPath()
+    StreamingGroupQualityHead.foldBatch(docs(b0: _*), 0L, path, B)
+    StreamingGroupQualityHead.foldBatch(docs(b1: _*), 1L, path, B)
+    assert(headSet(path) === Set(1L, 4L, 11L, 13L))
+    val B2 = Map("a" -> 300L, "b" -> 60L)
+    StreamingGroupQualityHead.foldBatch(docs(b2: _*), 2L, path, B2)
+    assert(headSet(path) === batchAdmitted(b0 ++ b1 ++ b2, B2))
+    assert(headSet(path) === Set(1L, 2L, 3L, 4L, 5L, 11L, 13L))
+    val re = spark.read.parquet(s"$path/readmissions")
+      .select("id").as[Long].collect().toSet
+    assert(re === Set(2L, 3L), "only group a's dropped docs resurrect")
+  }
+
+  test("fold-by-fold each group's head tracks the batch operator at THAT fold's budget map, raises and shrinks mixed") {
+    val rnd = new scala.util.Random(83)
+    val grps = Seq("a", "b", "c")
+    val batches = (0 until 4).map(b =>
+      (1L to 24L).map(i => (b * 100L + i, grps((i % 3).toInt),
+        (rnd.nextInt(5) * 50).toLong, (rnd.nextInt(30) + 1).toLong)))
+    val plans = Seq(
+      Map("a" -> 100L, "b" -> 150L, "c" -> 80L),
+      Map("a" -> 100L, "b" -> 150L, "c" -> 80L),
+      Map("a" -> 400L, "b" -> 60L, "c" -> 300L),  // a,c raise; b shrinks
+      Map("a" -> 150L, "b" -> 200L, "c" -> 300L)) // a shrinks; b raises
+    val path = newPath()
+    var seen = Seq.empty[(Long, String, Long, Long)]
+    batches.zipWithIndex.foreach { case (bt, i) =>
+      seen ++= bt
+      StreamingGroupQualityHead.foldBatch(docs(bt: _*), i.toLong, path, plans(i))
+      assert(headSet(path) === batchAdmitted(seen, plans(i)),
+        s"fold $i diverged under ${plans(i)}")
+    }
+  }
+
+  test("the group set is fixed: a fold with a different key set fails loudly") {
+    val path = newPath()
+    StreamingGroupQualityHead.foldBatch(docs(b0: _*), 0L, path, B)
+    val e = intercept[IllegalArgumentException] {
+      StreamingGroupQualityHead.foldBatch(
+        docs(b1: _*), 1L, path, Map("a" -> 100L, "zz" -> 10L))
+    }
+    assert(e.getMessage.contains("group set is fixed"))
+  }
+
+  test("replaying a committed per-group RAISE fold is a no-op on every table") {
+    val path = newPath()
+    StreamingGroupQualityHead.foldBatch(docs(b0: _*), 0L, path, B)
+    StreamingGroupQualityHead.foldBatch(docs(b1: _*), 1L, path, B)
+    val B2 = Map("a" -> 300L, "b" -> 60L)
+    StreamingGroupQualityHead.foldBatch(docs(b2: _*), 2L, path, B2)
+    def snap(sub: String) = spark.read.parquet(s"$path/$sub")
+      .collect().map(_.toString).sorted.toSeq
+    val tables = Seq("hist", "head", "tiers", "cut", "budgets",
+      "arrivals", "evictions", "readmissions")
+    val before = tables.map(s => s -> snap(s))
+    StreamingGroupQualityHead.foldBatch(docs(b2: _*), 2L, path, B2)
+    before.foreach { case (sub, rows) =>
+      assert(snap(sub) === rows, s"raise replay changed $sub")
+    }
+  }
+
+  test("lifecycle sheet: per-group eviction/re-admission counts across budget epochs") {
+    val path = newPath()
+    StreamingGroupQualityHead.foldBatch(docs(b0: _*), 0L, path, B)
+    StreamingGroupQualityHead.foldBatch(docs(b1: _*), 1L, path, B)
+    StreamingGroupQualityHead.foldBatch(docs(b2: _*), 2L, path,
+      Map("a" -> 300L, "b" -> 60L)) // a raised: 2,3 readmit
+    StreamingGroupQualityHead.foldBatch(docs((6L, "a", 100L, 1L)), 3L, path, B)
+    // a shrinks back to 100: recompute — tier 200 (4,50); tier 100 ids
+    // 1,2,5,6 incl 90,130,135,136 → only 1 fits; 3 rejected
+    assert(headSet(path) === Set(1L, 4L, 11L, 13L))
+    val lc = StreamingGroupQualityHead.lifecycle(spark, path)
+      .select("id", "admit", "n_evictions", "n_readmissions", "admitted")
+      .as[(Long, Boolean, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(lc(2L) === ((true, 2L, 1L, false)))
+    assert(lc(3L) === ((false, 1L, 1L, false)))
+    assert(lc(5L) === ((true, 1L, 0L, false)))
+    assert(lc(13L) === ((true, 0L, 0L, true)))
+    assert(lc(12L) === ((true, 1L, 0L, false))) // evicted@1, b never raised
+  }
 }
