@@ -682,6 +682,40 @@ object StreamingQueries {
           col("seq"), col("frag_start"), col("frag_len"), col("doc_off"),
           col("arrival_batch"))
         .orderBy("doc_id", "seq")
+    }),
+
+    // per-sequence sheet over the STREAMED packing, with the
+    // train-behind-the-frontier contract: every sequence except each
+    // shard's LAST (still filling) is immutable the moment its fold
+    // commits — `is_final` marks what a trainer may consume mid-stream
+    "x161_stream_seq_sheet" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val shardE = pmod(graft.functions.HashExpressions.rolling_hash(
+        concat(col("doc_id").cast("string"), lit(":ps"))), lit(4L))
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id"), shardE.as("shard"),
+          ExtensionQueries.wsTokenCount(col("text")).as("n_tokens"))
+        .as[(Long, Long, Long)].collect().toSeq
+      val residues = rows.map(_._1 % 4).toSet
+      require((0L until 4L).forall(residues.contains),
+        s"x161 harness needs all doc_id%4 residue classes non-empty; " +
+          s"missing ${(0L until 4L).filterNot(residues.contains).mkString(",")}")
+      val path = java.nio.file.Files.createTempDirectory("graft_x161_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x161_ck_").toString
+      val input = MemoryStream[(Long, Long, Long)]
+      val q = graft.streaming.StreamingChunkPack.attach(
+        input.toDF().toDF("doc_id", "shard", "n_tokens"), path,
+        seqLen = ExtensionQueries.PackSeqLen)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try (0L until 4L).foreach { b =>
+        input.addData(rows.filter(_._1 % 4 == b))
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.StreamingChunkPack.seqSheet(s, path,
+          ExtensionQueries.PackSeqLen)
+        .orderBy("shard", "seq")
     }))
 
   /** The x15 deterministic-recurrence centroids as KMeans.Centroid
@@ -817,6 +851,49 @@ object StreamingQueries {
          |    AS BIGINT) AS doc_off,
          |  arrival_batch
          |FROM x ORDER BY doc_id, seq""".stripMargin,
+
+    // x161: the x157 fragment replay folded per (shard, seq); a
+    // sequence is final iff it is not its shard's last or is exactly
+    // full
+    "x161_stream_seq_sheet" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    CAST(doc_id % 4 AS BIGINT) AS arrival_batch,
+         |    CAST(${ExtensionQueries.sqlStringHash("CAST(doc_id AS VARCHAR) || ':ps'")} % 4
+         |      AS BIGINT) AS shard,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |tb AS (SELECT * FROM b WHERE n_tokens > 0),
+         |o AS (SELECT doc_id, arrival_batch, shard, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard
+         |      ORDER BY arrival_batch, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum
+         |  FROM tb),
+         |f AS (SELECT doc_id, shard, cum - n_tokens AS st, cum FROM o),
+         |x AS (SELECT *, unnest(range(st // ${ExtensionQueries.PackSeqLen},
+         |    (cum - 1) // ${ExtensionQueries.PackSeqLen} + 1)) AS seq FROM f),
+         |fr AS (SELECT doc_id, shard, CAST(seq AS BIGINT) AS seq,
+         |    CAST(greatest(st, seq * ${ExtensionQueries.PackSeqLen})
+         |      - seq * ${ExtensionQueries.PackSeqLen} AS BIGINT) AS frag_start,
+         |    CAST(least(cum, (seq + 1) * ${ExtensionQueries.PackSeqLen})
+         |      - greatest(st, seq * ${ExtensionQueries.PackSeqLen}) AS BIGINT)
+         |      AS frag_len,
+         |    CAST(greatest(st, seq * ${ExtensionQueries.PackSeqLen}) - st
+         |      AS BIGINT) AS doc_off
+         |  FROM x),
+         |shq AS (SELECT shard, seq,
+         |    CAST(count(*) AS BIGINT) AS n_frags,
+         |    CAST(sum(CASE WHEN doc_off = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_doc_starts,
+         |    CAST(sum(frag_len) AS BIGINT) AS filled,
+         |    arg_min(doc_id, frag_start) AS first_id,
+         |    arg_max(doc_id, frag_start) AS last_id
+         |  FROM fr GROUP BY shard, seq)
+         |SELECT shard, seq, n_frags, n_doc_starts, filled, first_id, last_id,
+         |  seq < max(seq) OVER (PARTITION BY shard)
+         |    OR filled = ${ExtensionQueries.PackSeqLen} AS is_final
+         |FROM shq ORDER BY shard, seq""".stripMargin,
 
     // x150: the evictive head replayed as one per-PREFIX tier pass —
     // for each arrival prefix b (docs with doc_id%4 <= b) the x143 tier

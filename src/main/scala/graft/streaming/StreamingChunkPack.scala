@@ -164,4 +164,28 @@ object StreamingChunkPack {
       .select(col("id"), col("shard"), col("pos"), col("seq"),
         col("frag_start"), col("frag_len"), col("doc_off"),
         col("batch").cast("long").as("arrival_batch"))
+
+  /** Per-sequence composition sheet over the accumulated fragments —
+    * what a trainer consuming BEHIND the ingest frontier validates:
+    * each (shard, seq)'s fragment/doc-start counts, fill, and a
+    * `final` flag — every sequence except each shard's LAST (still
+    * filling as the tape grows) is immutable from the moment the fold
+    * that completed it commits; only final sequences are safe to train
+    * on mid-stream. One group-by over the ledger; the pad of a final
+    * sequence is always 0 by construction (the tape is contiguous). */
+  def seqSheet(spark: SparkSession, path: String, seqLen: Long): DataFrame = {
+    val frags = fragments(spark, path)
+    val sheet = frags.groupBy(col("shard"), col("seq"))
+      .agg(count(lit(1)).as("n_frags"),
+        sum(when(col("doc_off") === 0L, 1L).otherwise(0L)).as("n_doc_starts"),
+        sum(col("frag_len")).as("filled"),
+        min_by(col("id"), col("frag_start")).as("first_id"),
+        max_by(col("id"), col("frag_start")).as("last_id"))
+    val lastSeq = frags.groupBy(col("shard"))
+      .agg(max(col("seq")).as("_last"))
+    sheet.join(broadcast(lastSeq), Seq("shard"))
+      .withColumn("is_final",
+        col("seq") < col("_last") || col("filled") === seqLen)
+      .drop("_last")
+  }
 }

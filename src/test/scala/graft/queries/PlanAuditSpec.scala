@@ -766,4 +766,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate"),
       s"fragments must come from a bounded explode:\n$p")
   }
+
+  test("x158: the curation chain is materialized ONCE behind the checkpoint — the end-to-end plan never re-runs it") {
+    val df = SparkEntry.queries("x158_end_to_end_packed")(spark, dir)
+    val plan = df.queryExecution.executedPlan
+    val p = plan.toString
+    // the clean scored frame is an eager localCheckpoint: downstream
+    // consumers scan the materialized RDD, so the banded near-dup /
+    // decontamination machinery must be ABSENT from this plan (its
+    // re-execution per manifest pass is exactly what OOMed the first
+    // draft)
+    assert(p.contains("Scan ExistingRDD"),
+      s"the clean corpus must enter as the checkpointed RDD scan:\n$p")
+    assert(!p.contains("minhash") && !p.contains("band"),
+      s"the curation chain leaked past the checkpoint:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // manifest math rides broadcasts; no partition-less doc window
+    assert(p.contains("BroadcastHashJoin"),
+      s"the plan/head dimensions must broadcast:\n$p")
+    // filter on the window's OWN order spec, not the subtree (the
+    // checkpointed scan lists doc_id in its schema, which would
+    // false-positive the S-row waterfill window)
+    val bad = partitionlessWindows(plan).filter(w =>
+      w.orderSpec.mkString(",").contains("doc_id") ||
+        w.windowExpression.mkString(",").contains("doc_id"))
+    assert(bad.isEmpty,
+      s"a partition-less window over manifest rows (scale funnel):\n$p")
+  }
 }

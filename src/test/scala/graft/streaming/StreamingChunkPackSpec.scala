@@ -106,6 +106,24 @@ class StreamingChunkPackSpec extends SparkSpec {
       Seq(4L, 0L, 2L, 1L, 0L, 16L, 24L)))
   }
 
+  test("seq sheet: every sequence except each shard's last is final; an exactly-full last sequence is final too") {
+    val b1 = Seq((1L, 0L, 64L), (2L, 0L, 40L), (3L, 1L, 64L)) // shard1 tape = exactly one seq
+    val b2 = Seq((4L, 0L, 30L))
+    val path = java.nio.file.Files.createTempDirectory("graft_scp_sheet_").toString
+    StreamingChunkPack.foldBatch(mk(b1), 0L, path, L)
+    StreamingChunkPack.foldBatch(mk(b2), 1L, path, L)
+    val sheet = StreamingChunkPack.seqSheet(spark, path, L)
+      .select("shard", "seq", "n_frags", "n_doc_starts", "filled", "is_final")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // shard 0 tape: doc1 [0,64) doc2 [64,104) doc4 [104,134)
+    assert(sheet((0L, 0L)) === ((1L, 1L, 64L, true)))  // full, final
+    assert(sheet((0L, 1L)) === ((2L, 2L, 64L, true)))  // filled exactly by doc4's head
+    assert(sheet((0L, 2L)) === ((1L, 0L, 6L, false)))  // last, still filling
+    // shard 1's last sequence is exactly full → final despite being last
+    assert(sheet((1L, 0L)) === ((1L, 1L, 64L, true)))
+  }
+
   test("retention prunes totals generations; the fragment ledger keeps history and later folds stay exact") {
     val batches = (0L until 6L).map(b =>
       (b * 10 + 1 to b * 10 + 10).map(i => (i, i % 2, 7L)))
