@@ -630,6 +630,37 @@ object ScaleProbe {
       }
     }
 
+    // x159 raise-fold cost vs corpus growth: two steady folds at budget
+    // B, then ONE raise fold at 3B. The raise resurrects from the
+    // arrivals ledger (one score-pruned scan of everything ingested) —
+    // the probe shows how that scan + the frontier recompute behave as
+    // the corpus grows 20× while the budget (and so the resurrected
+    // range) stays fixed. 50 score tiers spread the grid so the raise
+    // touches a fixed tier range.
+    if (on("x159raise")) {
+      def time(f: => Unit): Double =
+        { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+      val budget = 5000L
+      for (f <- Seq(1, 5, 10, 20)) {
+        val n = 20000L * f
+        val base = spark.range(n).select(
+          col("id").as("doc_id"),
+          pmod(col("id"), lit(50)).as("score_k"),
+          lit(10L).as("n_tokens"))
+        val path = java.nio.file.Files.createTempDirectory("graft_x159r_").toString
+        val ts = (0L until 3L).map { b =>
+          val batch = base.filter(pmod(col("doc_id"), lit(3)) === b)
+          val bud = if (b < 2) budget else budget * 3
+          time {
+            graft.streaming.StreamingQualityHead.foldBatch(
+              batch, b, path, bud)
+          }
+        }
+        println(f"x159raise scale=${f}%2dx docs=$n%7d " +
+          f"steady0=${ts(0)}%6.2f steady1=${ts(1)}%6.2f RAISE=${ts(2)}%6.2f s")
+      }
+    }
+
     // Clustered-corpus hard-negative recall: same probe over the recallc
     // corpus (16 deterministic clusters) with labels vec_id % 4 — real
     // embedding clouds cluster, and same-cluster vectors land in the
