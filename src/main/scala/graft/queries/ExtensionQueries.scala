@@ -1173,6 +1173,32 @@ object ExtensionQueries {
         .orderBy("epoch", "shard", "seq", "frag_start")
     }),
 
+    // the curated order packed in REAL tokenizer tokens (x152 ∘ x81 ∘
+    // x155): planning denominates in whitespace tokens (the
+    // pre-tokenizer approximation), but the sequences a trainer reads
+    // are cut in TRAINED-BPE pieces — the packing joins the manifest to
+    // the x81 fertility-aware counts and chunks at PackSeqLen BPE
+    // tokens. The unit mismatch is the point: this is the handoff where
+    // a real pipeline switches denominations
+    "x162_bpe_packed_order" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scored = d.select(col("doc_id"), col("source"),
+        round(TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+          .cast("long").as("score_k"),
+        wsTokenCount(col("text")).as("n_tokens"))
+      val availDf = d.groupBy(col("source"))
+        .agg(sum(wsTokenCount(col("text"))).as("avail_tokens"))
+      val plan = Mixture.repetitionWaterfillPlan(
+        availDf, RepetitionBudget, MaxEpochsCap)
+      val manifest = Sharding.curatedEpochOrder(scored, plan,
+        seed = TrainOrderSeed, numShards = NumShards)
+      val bpeTok = Bpe.tokenCounts(d, Bpe.trainMerges(d, numMerges = BpeMerges))
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
+      val withTok = manifest.join(bpeTok, Seq("doc_id"))
+      Packing.packChunked(withTok, PackSeqLen, Seq("epoch", "shard"))
+        .orderBy("epoch", "shard", "seq", "frag_start")
+    }),
+
     // cross-corpus PPJoin (similarity-level decontamination): the FULL
     // corpus probed against a verbatim reference slice (every 83rd doc)
     // at n-gram Jaccard ≥ 0.5 — x17's prefix + size-ratio + positional
@@ -3373,6 +3399,40 @@ object ExtensionQueries {
          |  FROM k),
          |pj AS (SELECT p.epoch, p.shard, p.pos, p.doc_id, qs.n_tokens
          |  FROM p JOIN qs ON p.doc_id = qs.doc_id WHERE qs.n_tokens > 0),
+         |cmu AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY epoch, shard
+         |    ORDER BY pos) AS BIGINT) AS cum FROM pj),
+         |frx AS (SELECT epoch, shard, pos, doc_id, cum - n_tokens AS st, cum
+         |  FROM cmu),
+         |pfx AS (SELECT epoch, shard, pos, doc_id, st, cum,
+         |    unnest(range(st // $PackSeqLen, (cum - 1) // $PackSeqLen + 1)) AS seq
+         |  FROM frx),
+         |pfr AS (SELECT epoch, shard, pos, doc_id, CAST(seq AS BIGINT) AS seq,
+         |    CAST(greatest(st, seq * $PackSeqLen) - seq * $PackSeqLen AS BIGINT)
+         |      AS frag_start,
+         |    CAST(least(cum, (seq + 1) * $PackSeqLen)
+         |      - greatest(st, seq * $PackSeqLen) AS BIGINT) AS frag_len,
+         |    CAST(greatest(st, seq * $PackSeqLen) - st AS BIGINT) AS doc_off
+         |  FROM pfx)
+         |SELECT epoch, shard, pos, doc_id, seq, frag_start, frag_len, doc_off
+         |FROM pfr ORDER BY epoch, shard, seq, frag_start""".stripMargin,
+
+    // x162: the x152 manifest replay joined to the x81 BPE-piece counts
+    // (the trained-tokenizer chain), then the x155 closed-form fragment
+    // tail denominated in BPE tokens
+    "x162_bpe_packed_order" ->
+      s"""WITH $sqlCuratedManifestCtes,
+         |$sqlBpeChain,
+         |pc2 AS (SELECT word, CAST(len(sym) AS BIGINT) AS np FROM s$BpeMerges),
+         |dw2 AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt FROM
+         |    (SELECT doc_id, unnest(string_split($sqlNorm, ' ')) AS w FROM documents)
+         |  WHERE length(w) > 0 GROUP BY doc_id, w),
+         |jt AS (SELECT doc_id, sum(cnt * np) AS n_bpe_tokens
+         |  FROM dw2 JOIN pc2 ON dw2.w = pc2.word GROUP BY doc_id),
+         |jc AS (SELECT d.doc_id,
+         |    CAST(coalesce(jt.n_bpe_tokens, 0) AS BIGINT) AS n_tokens
+         |  FROM documents d LEFT JOIN jt USING (doc_id)),
+         |pj AS (SELECT p.epoch, p.shard, p.pos, p.doc_id, jc.n_tokens
+         |  FROM p JOIN jc ON p.doc_id = jc.doc_id WHERE jc.n_tokens > 0),
          |cmu AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY epoch, shard
          |    ORDER BY pos) AS BIGINT) AS cum FROM pj),
          |frx AS (SELECT epoch, shard, pos, doc_id, cum - n_tokens AS st, cum
