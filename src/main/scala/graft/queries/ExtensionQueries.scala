@@ -85,6 +85,13 @@ object ExtensionQueries {
   // frontier by the second micro-batch, so the ledger shows admissions,
   // per-source evictions, AND outright rejections across the arrival split
   private[queries] val StreamGroupHeadBudget = 6000L
+  // x163 rank calibration: scores normalized to within-source permille
+  // buckets (1000 = fine enough that the calibrated order is a real
+  // ranking) before one GLOBAL budget head — fairness without explicit
+  // per-source budgets: a uniformly-mediocre source still contributes
+  // its relative best
+  private[queries] val CalBuckets = 1000
+  private[queries] val CalibratedHeadBudget = 300L
   // x160 raised GLOBAL budget for the per-source head: folds 0-1 run
   // the waterfill of StreamGroupHeadBudget (6000 → level ≈300/source),
   // folds 2-3 the waterfill of 13000 (level ≈650/source) — every
@@ -1171,6 +1178,31 @@ object ExtensionQueries {
         .join(scored.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
       Packing.packChunked(withTok, PackSeqLen, Seq("epoch", "shard"))
         .orderBy("epoch", "shard", "seq", "frag_start")
+    }),
+
+    // rank-CALIBRATED global budget head (x148 ∘ x143): every doc's
+    // score is first normalized to its within-source permille bucket
+    // (the x148 per-source histogram arithmetic at 1000 buckets), then
+    // ONE global head runs on the calibrated score — per-source
+    // fairness WITHOUT explicit budgets (the x144/x146 alternative: a
+    // uniformly-mediocre source still lands its relative best, a
+    // uniformly-great source cannot monopolize the budget)
+    "x163_calibrated_budget_head" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scored = d.select(col("doc_id"), col("source"),
+        round(TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+          .cast("long").as("score_r"),
+        wsTokenCount(col("text")).as("n_tokens"))
+      val cal = Mixture.scoreBucketShift(
+          scored.select(col("doc_id"), col("source"), col("score_r")),
+          buckets = CalBuckets)
+        .select(col("doc_id"), col("bucket_src"))
+      val calScored = scored.join(cal, Seq("doc_id"))
+        .select(col("doc_id"), col("bucket_src").as("score_k"),
+          col("n_tokens"))
+      val out = Mixture.qualityBudgetHead(calScored, CalibratedHeadBudget)
+        .orderBy("doc_id")
+      out
     }),
 
     // the curated order packed in REAL tokenizer tokens (x152 ∘ x81 ∘
@@ -3415,6 +3447,54 @@ object ExtensionQueries {
          |  FROM pfx)
          |SELECT epoch, shard, pos, doc_id, seq, frag_start, frag_len, doc_off
          |FROM pfr ORDER BY epoch, shard, seq, frag_start""".stripMargin,
+
+    // x163: the x148 per-source bucket chain at 1000 buckets feeding
+    // the x143 tier replay on the CALIBRATED score
+    "x163_calibrated_budget_head" ->
+      s"""WITH $sqlQualityCtes,
+         |q0 AS (SELECT doc_id,
+         |    CAST(round(($sqlQualityScore) * 1000000, 0) AS BIGINT) AS score_r
+         |  FROM g),
+         |qs0 AS (SELECT q0.doc_id, d.source, q0.score_r,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM q0 JOIN documents d ON q0.doc_id = d.doc_id),
+         |hs AS (SELECT source, score_r, CAST(count(*) AS BIGINT) AS c
+         |  FROM qs0 GROUP BY source, score_r),
+         |cs AS (SELECT source, score_r,
+         |    CAST(COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY score_r
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS below_s
+         |  FROM hs),
+         |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_g
+         |  FROM qs0 GROUP BY source),
+         |qs AS (SELECT qs0.doc_id,
+         |    CAST(least($CalBuckets, 1 + ($CalBuckets * cs.below_s) // ns.n_g)
+         |      AS BIGINT) AS score_k,
+         |    qs0.n_tokens
+         |  FROM qs0
+         |  JOIN cs ON cs.source = qs0.source AND cs.score_r = qs0.score_r
+         |  JOIN ns ON ns.source = qs0.source),
+         |h AS (SELECT score_k, CAST(sum(n_tokens) AS BIGINT) AS bt
+         |  FROM qs GROUP BY score_k),
+         |c AS (SELECT score_k, bt,
+         |    CAST(COALESCE(SUM(bt) OVER (ORDER BY score_k DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS prior
+         |  FROM h),
+         |t AS (SELECT qs.doc_id, qs.score_k, qs.n_tokens,
+         |    CASE WHEN c.prior + c.bt <= $CalibratedHeadBudget THEN 'full'
+         |         WHEN c.prior >= $CalibratedHeadBudget THEN 'rejected'
+         |         ELSE 'frontier' END AS tier,
+         |    c.prior + CAST(sum(qs.n_tokens) OVER (PARTITION BY qs.score_k
+         |      ORDER BY qs.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS incl
+         |  FROM qs JOIN c ON qs.score_k = c.score_k)
+         |SELECT doc_id, score_k, n_tokens, tier,
+         |  CASE tier WHEN 'full' THEN TRUE WHEN 'rejected' THEN FALSE
+         |       ELSE incl <= $CalibratedHeadBudget END AS admitted
+         |FROM t ORDER BY doc_id""".stripMargin,
 
     // x162: the x152 manifest replay joined to the x81 BPE-piece counts
     // (the trained-tokenizer chain), then the x155 closed-form fragment

@@ -293,4 +293,36 @@ class MixtureSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(got === Seq(1L))
   }
+
+  test("rank calibration (x163 semantics): the calibrated head admits a uniformly-mediocre source's relative best; the raw head starves it") {
+    // source A scores 900+, source B uniformly 100-119 — under the RAW
+    // global head B never competes; calibrated to within-source
+    // permille, each source's top docs share the top buckets
+    val rows = (1L to 20L).map(i => (i, "A", 900L + i, 10L)) ++
+      (21L to 40L).map(i => (i, "B", 100L + (i - 21L), 10L))
+    val scored = rows.toDF("doc_id", "source", "score_r", "n_tokens")
+    val budget = 100L // 10 docs' worth
+    val raw = Mixture.qualityBudgetHead(
+        scored.select(col("doc_id"), col("score_r").as("score_k"), col("n_tokens")),
+        budget)
+      .filter(col("admitted")).select("doc_id").as[Long].collect().toSet
+    raw // consumed
+    assert(raw.forall(_ <= 20L), s"raw head must be all source-A docs: $raw")
+    val cal = Mixture.scoreBucketShift(
+        scored.select(col("doc_id"), col("source"), col("score_r")),
+        buckets = 1000)
+      .select(col("doc_id"), col("bucket_src"))
+    val calHead = Mixture.qualityBudgetHead(
+        scored.join(cal, Seq("doc_id"))
+          .select(col("doc_id"), col("bucket_src").as("score_k"), col("n_tokens")),
+        budget)
+      .filter(col("admitted")).select("doc_id").as[Long].collect().toSet
+    val fromB = calHead.count(_ > 20L)
+    assert(fromB >= 4 && calHead.size == 10,
+      s"calibrated head must admit B's relative best: $calHead")
+    // and within each source, the admitted docs are that source's TOP
+    // scorers (calibration preserves within-source order)
+    assert(calHead.filter(_ <= 20L).forall(_ > 20L - calHead.count(_ <= 20L)))
+    assert(calHead.filter(_ > 20L).forall(_ > 40L - fromB))
+  }
 }
