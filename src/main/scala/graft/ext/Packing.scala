@@ -134,6 +134,68 @@ object Packing {
         (col("_fs") - col("_st")).as("doc_off"))): _*)
   }
 
+  // public: Dataset encoders generate bytecode that constructs these
+  final case class OrderedDoc(epoch: Long, shard: Long, pos: Long,
+      doc_id: Long, n_tokens: Long)
+  final case class OrderedPacked(doc_id: Long, epoch: Long, shard: Long,
+      pos: Long, bin: Long, n_tokens: Long)
+
+  /**
+   * ORDER-PRESERVING whole-doc greedy packing over (epoch, shard)
+   * streams — the padded-loader complement of [[packChunked]]: docs are
+   * packed WHOLE into bins of at most `budget` tokens, scanning each
+   * stream in its curated `pos` order (unlike [[packGreedy]], which
+   * re-sorts by doc id — a curated training order must pack in that
+   * order or the curriculum is destroyed). A doc larger than the budget
+   * gets a bin of its own; bins are padded by the loader, so the
+   * packing quality sheet is bins × (budget − fill).
+   *
+   * Same distributed layout as [[packGreedy]]: one stream = one task's
+   * in-memory greedy scan (the recurrence is inherently sequential),
+   * streams pack in parallel; pick `numShards` so a stream fits an
+   * executor, with the same fail-fast guard.
+   *
+   * @param rows one row per doc instance: (epoch, shard, pos, doc_id,
+   *             n_tokens) — [[graft.ext.Sharding.curatedEpochOrder]]'s
+   *             manifest joined to token counts
+   */
+  def packGreedyOrdered(
+      spark: SparkSession,
+      rows: DataFrame,
+      budget: Long,
+      maxStreamDocs: Long = 10000000L): DataFrame = {
+    import spark.implicits._
+    require(budget > 0, "budget must be positive")
+    rows
+      .select(col("epoch").cast("long").as("epoch"),
+        col("shard").cast("long").as("shard"),
+        col("pos").cast("long").as("pos"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .as[OrderedDoc]
+      .groupByKey(d => (d.epoch, d.shard))
+      .flatMapGroups { (key: (Long, Long), it: Iterator[OrderedDoc]) =>
+        val (e, sh) = key
+        val buf = scala.collection.mutable.ArrayBuffer.empty[OrderedDoc]
+        it.foreach { d =>
+          if (buf.size.toLong >= maxStreamDocs)
+            throw new IllegalStateException(
+              s"packGreedyOrdered: stream ($e, $sh) exceeds maxStreamDocs=" +
+                s"$maxStreamDocs — raise numShards so each stream fits one task")
+          buf += d
+        }
+        val sorted = buf.toArray.sortBy(_.pos)
+        var bin = 0L
+        var acc = 0L
+        sorted.iterator.map { d =>
+          if (acc + d.n_tokens > budget && acc > 0) { bin += 1; acc = 0L }
+          acc += d.n_tokens
+          OrderedPacked(d.doc_id, e, sh, d.pos, bin, d.n_tokens)
+        }
+      }
+      .toDF()
+  }
+
   /**
    * Per-sequence composition sheet over [[packChunked]]'s fragments —
    * the record a data loader validates against: for every

@@ -1180,6 +1180,31 @@ object ExtensionQueries {
         .orderBy("epoch", "shard", "seq", "frag_start")
     }),
 
+    // ORDER-PRESERVING whole-doc packing of the curated order (the
+    // padded-loader complement of x155: docs packed WHOLE into
+    // 256-token bins scanning each (epoch, shard) stream in curated
+    // pos order — x22's greedy re-sorts by doc id, which would destroy
+    // a curriculum; this one preserves it). Completes the packing
+    // matrix: whole×hash-order (x22), split×curated (x155),
+    // split×arrival-stream (x157), whole×curated (here)
+    "x164_ordered_greedy_pack" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scored = d.select(col("doc_id"), col("source"),
+        round(TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+          .cast("long").as("score_k"),
+        wsTokenCount(col("text")).as("n_tokens"))
+      val availDf = d.groupBy(col("source"))
+        .agg(sum(wsTokenCount(col("text"))).as("avail_tokens"))
+      val plan = Mixture.repetitionWaterfillPlan(
+        availDf, RepetitionBudget, MaxEpochsCap)
+      val manifest = Sharding.curatedEpochOrder(scored, plan,
+        seed = TrainOrderSeed, numShards = NumShards)
+      val withTok = manifest
+        .join(scored.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      Packing.packGreedyOrdered(s, withTok, PackSeqLen)
+        .orderBy("epoch", "shard", "pos")
+    }),
+
     // rank-CALIBRATED global budget head (x148 ∘ x143): every doc's
     // score is first normalized to its within-source permille bucket
     // (the x148 per-source histogram arithmetic at 1000 buckets), then
@@ -3447,6 +3472,28 @@ object ExtensionQueries {
          |  FROM pfx)
          |SELECT epoch, shard, pos, doc_id, seq, frag_start, frag_len, doc_off
          |FROM pfr ORDER BY epoch, shard, seq, frag_start""".stripMargin,
+
+    // x164: the manifest replay + x22's recursive greedy walk, keyed by
+    // (epoch, shard) and advancing on pos (the curated rank IS the
+    // walk's dense row number)
+    "x164_ordered_greedy_pack" ->
+      s"""WITH RECURSIVE $sqlCuratedManifestCtes,
+         |pj AS (SELECT p.epoch, p.shard, p.pos, p.doc_id, qs.n_tokens
+         |  FROM p JOIN qs ON p.doc_id = qs.doc_id),
+         |walk(epoch, shard, pos, doc_id, n_tokens, bin, acc) AS (
+         |  SELECT epoch, shard, pos, doc_id, n_tokens, CAST(0 AS BIGINT),
+         |    n_tokens
+         |  FROM pj WHERE pos = 1
+         |  UNION ALL
+         |  SELECT r.epoch, r.shard, r.pos, r.doc_id, r.n_tokens,
+         |    CASE WHEN w.acc + r.n_tokens > $PackSeqLen AND w.acc > 0
+         |         THEN w.bin + 1 ELSE w.bin END,
+         |    CASE WHEN w.acc + r.n_tokens > $PackSeqLen AND w.acc > 0
+         |         THEN r.n_tokens ELSE w.acc + r.n_tokens END
+         |  FROM walk w JOIN pj r
+         |    ON r.epoch = w.epoch AND r.shard = w.shard AND r.pos = w.pos + 1)
+         |SELECT doc_id, epoch, shard, pos, bin, n_tokens
+         |FROM walk ORDER BY epoch, shard, pos""".stripMargin,
 
     // x163: the x148 per-source bucket chain at 1000 buckets feeding
     // the x143 tier replay on the CALIBRATED score

@@ -169,6 +169,48 @@ class PackingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("ordered greedy: packs in curated pos order, NOT doc-id order; oversize doc gets its own bin; streams isolated") {
+    // pos order deliberately anti-correlated with doc_id: the curated
+    // order is the curriculum and must survive packing
+    val rows = Seq(
+      (0L, 0L, 1L, 30L, 100L), // pos 1: doc 30
+      (0L, 0L, 2L, 10L, 100L), // pos 2: doc 10 joins doc 30's bin (200<=256)
+      (0L, 0L, 3L, 20L, 100L), // pos 3: doc 20 overflows → bin 1
+      (0L, 0L, 4L, 5L, 300L),  // oversize → own bin (bin 2, acc reset was bin1=100)
+      (0L, 1L, 1L, 40L, 250L), // separate stream
+      (1L, 0L, 1L, 30L, 50L)   // separate epoch
+    ).toDF("epoch", "shard", "pos", "doc_id", "n_tokens")
+    val got = Packing.packGreedyOrdered(spark, rows, budget = 256L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._2, r._3, r._4) -> r._5).toMap // (epoch, shard, pos) -> bin
+    assert(got((0L, 0L, 1L)) === 0L)
+    assert(got((0L, 0L, 2L)) === 0L)
+    assert(got((0L, 0L, 3L)) === 1L) // 300 > 256 with acc=200 → new bin
+    assert(got((0L, 0L, 4L)) === 2L) // oversize 300: acc=100 > 0 → next bin, alone
+    assert(got((0L, 1L, 1L)) === 0L)
+    assert(got((1L, 0L, 1L)) === 0L)
+  }
+
+  test("ordered greedy: random manifest matches a per-stream scala reference in pos order") {
+    val rnd = new scala.util.Random(91)
+    val rows = for (e <- 0L to 1L; sh <- 0L to 2L; p <- 1L to 40L)
+      yield (e, sh, p, rnd.nextInt(1000).toLong, (rnd.nextInt(120) + 1).toLong)
+    val budget = 100L
+    val got = Packing.packGreedyOrdered(spark, rows.toDF(
+        "epoch", "shard", "pos", "doc_id", "n_tokens"), budget)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._2, r._3, r._4) -> r._5).toMap
+    val expected = rows.groupBy(r => (r._1, r._2)).flatMap { case ((e, sh), ds) =>
+      var bin = 0L; var acc = 0L
+      ds.sortBy(_._3).map { case (_, _, p, _, n) =>
+        if (acc + n > budget && acc > 0) { bin += 1; acc = 0L }
+        acc += n
+        (e, sh, p) -> bin
+      }
+    }
+    assert(got === expected)
+  }
+
   test("chunked: seq sheet counts doc starts, fill, and tail pad") {
     val sheet = Packing.chunkedSeqSheet(
         Packing.packChunked(tape, 256L, Seq("epoch", "shard")),
