@@ -1180,6 +1180,49 @@ object ExtensionQueries {
         .orderBy("epoch", "shard", "seq", "frag_start")
     }),
 
+    // packing-efficiency sheet (x164 vs x155 side by side): per epoch
+    // and layout, the units (bins/sequences), token volume, padding,
+    // and integer fill rate — the release-review number that decides
+    // between the padded whole-doc loader and the concat-chunk loader
+    // (whole-doc pads every bin's tail; concat-chunk pads only each
+    // stream's last sequence but splits docs across boundaries)
+    "x165_packing_efficiency" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scored = d.select(col("doc_id"), col("source"),
+        round(TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+          .cast("long").as("score_k"),
+        wsTokenCount(col("text")).as("n_tokens"))
+      val availDf = d.groupBy(col("source"))
+        .agg(sum(wsTokenCount(col("text"))).as("avail_tokens"))
+      val plan = Mixture.repetitionWaterfillPlan(
+        availDf, RepetitionBudget, MaxEpochsCap)
+      val manifest = Sharding.curatedEpochOrder(scored, plan,
+          seed = TrainOrderSeed, numShards = NumShards)
+        .join(scored.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+        .localCheckpoint(true) // both layouts consume it; manifest is budget-bounded
+      val whole = Packing.packGreedyOrdered(s, manifest, PackSeqLen)
+        .groupBy(col("epoch"))
+        .agg(countDistinct(col("shard"), col("bin")).as("n_units"),
+          sum(col("n_tokens")).as("tokens"))
+        .withColumn("pad",
+          greatest(col("n_units") * PackSeqLen - col("tokens"), lit(0L)))
+        .withColumn("layout", lit("whole_doc"))
+      val frags = Packing.packChunked(manifest, PackSeqLen, Seq("epoch", "shard"))
+      val chunked = frags
+        .groupBy(col("epoch"))
+        .agg(countDistinct(col("shard"), col("seq")).as("n_units"),
+          sum(col("frag_len")).as("tokens"))
+        .withColumn("pad",
+          greatest(col("n_units") * PackSeqLen - col("tokens"), lit(0L)))
+        .withColumn("layout", lit("concat_chunk"))
+      whole.unionByName(chunked)
+        .select(col("layout"), col("epoch"), col("n_units"), col("tokens"),
+          col("pad"),
+          expr(s"(1000 * tokens) div (n_units * $PackSeqLen)")
+            .as("fill_permille"))
+        .orderBy("layout", "epoch")
+    }),
+
     // ORDER-PRESERVING whole-doc packing of the curated order (the
     // padded-loader complement of x155: docs packed WHOLE into
     // 256-token bins scanning each (epoch, shard) stream in curated
@@ -3472,6 +3515,39 @@ object ExtensionQueries {
          |  FROM pfx)
          |SELECT epoch, shard, pos, doc_id, seq, frag_start, frag_len, doc_off
          |FROM pfr ORDER BY epoch, shard, seq, frag_start""".stripMargin,
+
+    // x165: both packing replays (the x164 recursive walk and the x155
+    // fragment tail) folded per (layout, epoch)
+    "x165_packing_efficiency" ->
+      s"""WITH RECURSIVE $sqlPackedFragCtes,
+         |wpj AS (SELECT p.epoch, p.shard, p.pos, p.doc_id, qs.n_tokens
+         |  FROM p JOIN qs ON p.doc_id = qs.doc_id),
+         |walk(epoch, shard, pos, doc_id, n_tokens, bin, acc) AS (
+         |  SELECT epoch, shard, pos, doc_id, n_tokens, CAST(0 AS BIGINT),
+         |    n_tokens
+         |  FROM wpj WHERE pos = 1
+         |  UNION ALL
+         |  SELECT r.epoch, r.shard, r.pos, r.doc_id, r.n_tokens,
+         |    CASE WHEN w.acc + r.n_tokens > $PackSeqLen AND w.acc > 0
+         |         THEN w.bin + 1 ELSE w.bin END,
+         |    CASE WHEN w.acc + r.n_tokens > $PackSeqLen AND w.acc > 0
+         |         THEN r.n_tokens ELSE w.acc + r.n_tokens END
+         |  FROM walk w JOIN wpj r
+         |    ON r.epoch = w.epoch AND r.shard = w.shard AND r.pos = w.pos + 1),
+         |wsum AS (SELECT 'whole_doc' AS layout, epoch,
+         |    CAST(count(DISTINCT (shard, bin)) AS BIGINT) AS n_units,
+         |    CAST(sum(n_tokens) AS BIGINT) AS tokens
+         |  FROM walk GROUP BY epoch),
+         |csum AS (SELECT 'concat_chunk' AS layout, epoch,
+         |    CAST(count(DISTINCT (shard, seq)) AS BIGINT) AS n_units,
+         |    CAST(sum(frag_len) AS BIGINT) AS tokens
+         |  FROM pfr GROUP BY epoch),
+         |u AS (SELECT * FROM wsum UNION ALL SELECT * FROM csum)
+         |SELECT layout, epoch, n_units, tokens,
+         |  CAST(greatest(n_units * $PackSeqLen - tokens, 0) AS BIGINT) AS pad,
+         |  CAST((1000 * tokens) // (n_units * $PackSeqLen) AS BIGINT)
+         |    AS fill_permille
+         |FROM u ORDER BY layout, epoch""".stripMargin,
 
     // x164: the manifest replay + x22's recursive greedy walk, keyed by
     // (epoch, shard) and advancing on pos (the curated rank IS the
