@@ -684,6 +684,42 @@ object StreamingQueries {
         .orderBy("doc_id", "seq")
     }),
 
+    // streaming WHOLE-DOC greedy packing (StreamingGreedyPack): docs
+    // packed whole into per-shard bins in arrival order — a closed bin
+    // is immutable and trainable immediately; the only cross-batch
+    // state is each shard's ONE open bin. Completes the packing
+    // matrix's stream faces (split-doc x157 / whole-doc here)
+    "x166_stream_greedy_pack" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val shardE = pmod(graft.functions.HashExpressions.rolling_hash(
+        concat(col("doc_id").cast("string"), lit(":ps"))), lit(4L))
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id"), shardE.as("shard"),
+          ExtensionQueries.wsTokenCount(col("text")).as("n_tokens"))
+        .as[(Long, Long, Long)].collect().toSeq
+      val residues = rows.map(_._1 % 4).toSet
+      require((0L until 4L).forall(residues.contains),
+        s"x166 harness needs all doc_id%4 residue classes non-empty; " +
+          s"missing ${(0L until 4L).filterNot(residues.contains).mkString(",")}")
+      val path = java.nio.file.Files.createTempDirectory("graft_x166_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x166_ck_").toString
+      val input = MemoryStream[(Long, Long, Long)]
+      val q = graft.streaming.StreamingGreedyPack.attach(
+        input.toDF().toDF("doc_id", "shard", "n_tokens"), path,
+        budget = ExtensionQueries.PackSeqLen)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try (0L until 4L).foreach { b =>
+        input.addData(rows.filter(_._1 % 4 == b))
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.StreamingGreedyPack.assignments(s, path)
+        .select(col("id").as("doc_id"), col("shard"), col("pos"),
+          col("bin"), col("n_tokens"), col("arrival_batch"))
+        .orderBy("doc_id")
+    }),
+
     // per-sequence sheet over the STREAMED packing, with the
     // train-behind-the-frontier contract: every sequence except each
     // shard's LAST (still filling) is immutable the moment its fold
@@ -851,6 +887,37 @@ object StreamingQueries {
          |    AS BIGINT) AS doc_off,
          |  arrival_batch
          |FROM x ORDER BY doc_id, seq""".stripMargin,
+
+    // x166: the whole-doc greedy recurrence replayed as x22's recursive
+    // walk in arrival (= doc_id%4 batch, then doc_id) order per shard
+    "x166_stream_greedy_pack" ->
+      s"""WITH RECURSIVE b AS (SELECT doc_id,
+         |    CAST(doc_id % 4 AS BIGINT) AS arrival_batch,
+         |    CAST(${ExtensionQueries.sqlStringHash("CAST(doc_id AS VARCHAR) || ':ps'")} % 4
+         |      AS BIGINT) AS shard,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |tb AS (SELECT * FROM b WHERE n_tokens > 0),
+         |o AS (SELECT doc_id, arrival_batch, shard, n_tokens,
+         |    CAST(row_number() OVER (PARTITION BY shard
+         |      ORDER BY arrival_batch, doc_id) AS BIGINT) AS pos
+         |  FROM tb),
+         |walk(shard, pos, doc_id, arrival_batch, n_tokens, bin, acc) AS (
+         |  SELECT shard, pos, doc_id, arrival_batch, n_tokens,
+         |    CAST(0 AS BIGINT), n_tokens
+         |  FROM o WHERE pos = 1
+         |  UNION ALL
+         |  SELECT r.shard, r.pos, r.doc_id, r.arrival_batch, r.n_tokens,
+         |    CASE WHEN w.acc + r.n_tokens > ${ExtensionQueries.PackSeqLen}
+         |              AND w.acc > 0
+         |         THEN w.bin + 1 ELSE w.bin END,
+         |    CASE WHEN w.acc + r.n_tokens > ${ExtensionQueries.PackSeqLen}
+         |              AND w.acc > 0
+         |         THEN r.n_tokens ELSE w.acc + r.n_tokens END
+         |  FROM walk w JOIN o r ON r.shard = w.shard AND r.pos = w.pos + 1)
+         |SELECT doc_id, shard, pos, bin, n_tokens, arrival_batch
+         |FROM walk ORDER BY doc_id""".stripMargin,
 
     // x161: the x157 fragment replay folded per (shard, seq); a
     // sequence is final iff it is not its shard's last or is exactly

@@ -6,6 +6,156 @@ import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 /**
+ * Streaming WHOLE-DOC greedy packing — the stream face of
+ * [[graft.ext.Packing.packGreedyOrdered]]: arriving docs are packed
+ * whole into per-shard bins of at most `budget` tokens in arrival
+ * order; a doc that does not fit the open bin closes it (the closed
+ * bin is immutable and trainable immediately) and opens the next.
+ * The cross-batch state is each shard's ONE open bin — (bin id,
+ * tokens so far) — dimension-sized like [[StreamingChunkPack]]'s tape
+ * totals, because the greedy recurrence's sufficient statistic IS the
+ * open bin.
+ *
+ * Same state discipline as [[StreamingChunkPack]] (per-batch overwrite
+ * generations, own-batch-excluded reads, ledger re-arrival guard,
+ * retention-pruned `totals`):
+ *  - `bins/batch=<id>`   — (id, shard, pos, bin, n_tokens) assignments
+ *    for that batch's docs, append-only by batch;
+ *  - `totals/batch=<id>` — per-shard (shard, bin, acc, n_docs) AFTER
+ *    the batch (the open bin + doc count for pos continuity).
+ *
+ * Equivalence contract: the accumulated assignments equal ONE
+ * [[graft.ext.Packing.packGreedyOrdered]] pass over all arrivals with
+ * pos = arrival rank per shard. Unlike the chunk layout the recurrence
+ * is sequential, so the within-batch scan runs per shard inside one
+ * task ([[graft.ext.Packing.packGreedy]]'s contract — a micro-batch
+ * shard slice fits a task by construction).
+ */
+object StreamingGreedyPack {
+
+  def attach(
+      docs: DataFrame,
+      path: String,
+      budget: Long,
+      idCol: String = "doc_id",
+      shardCol: String = "shard",
+      tokCol: String = "n_tokens",
+      retainGenerations: Int = 3): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(batch, batchId, path, budget, idCol, shardCol, tokCol,
+          retainGenerations)
+      }
+
+  /** One micro-batch's fold — public for direct crash-replay specs. */
+  def foldBatch(
+      batch: DataFrame,
+      batchId: Long,
+      path: String,
+      budget: Long,
+      idCol: String = "doc_id",
+      shardCol: String = "shard",
+      tokCol: String = "n_tokens",
+      retainGenerations: Int = 3): Unit = {
+    require(budget > 0, "budget must be positive")
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val hasState = StreamState.exists(spark, s"$path/bins")
+      val batchDocs = batch
+        .groupBy(col(idCol))
+        .agg(min(struct(col(shardCol).cast("long").as("shard"),
+          col(tokCol).cast("long").as("tokens"))).as("_rep"))
+        .select(col(idCol), col("_rep.shard").as("shard"),
+          col("_rep.tokens").as("tokens"))
+        .filter(col("tokens") > 0L)
+      val dedup =
+        if (hasState)
+          batchDocs.join(
+              spark.read.parquet(s"$path/bins")
+                .filter(col("batch") =!= lit(batchId))
+                .select(col("id").as(idCol)).distinct(),
+              Seq(idCol), "left_anti")
+            .persist()
+        else batchDocs.persist()
+      if (!dedup.isEmpty) {
+        val priors: Map[Long, (Long, Long, Long)] =
+          if (hasState && StreamState.exists(spark, s"$path/totals")) {
+            val t = spark.read.parquet(s"$path/totals")
+              .filter(col("batch") =!= lit(batchId))
+            val mx = t.agg(max(col("batch").cast("long"))).head()
+            if (mx.isNullAt(0)) Map.empty
+            else t.filter(col("batch").cast("long") === lit(mx.getLong(0)))
+              .select(col("shard"), col("bin"), col("acc"), col("n_docs"))
+              .collect()
+              .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+              .toMap
+          } else Map.empty
+        // per-shard sequential greedy over THIS batch, continuing each
+        // shard's open bin (dimension-sized priors broadcast via the
+        // task closure); sorted by id — the in-batch arrival order
+        val priorsB = spark.sparkContext.broadcast(priors)
+        val placed = dedup
+          .select(col(idCol).cast("long").as("id"), col("shard"),
+            col("tokens"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._2)
+          .flatMapGroups { (shard: Long, it: Iterator[(Long, Long, Long)]) =>
+            val (bin0, acc0, docs0) =
+              priorsB.value.getOrElse(shard, (0L, 0L, 0L))
+            var bin = bin0; var acc = acc0; var nd = docs0
+            it.toArray.sortBy(_._1).iterator.map { case (id, _, n) =>
+              if (acc + n > budget && acc > 0) { bin += 1; acc = 0L }
+              acc += n; nd += 1
+              (id, shard, nd, bin, n)
+            }
+          }
+          .toDF("id", "shard", "pos", "bin", "n_tokens")
+          .localCheckpoint(true)
+        val batchTot = placed.groupBy(col("shard"))
+          .agg(max(struct(col("pos"), col("bin"), col("n_tokens"))).as("_last"))
+          .select(col("shard"), col("_last.bin").as("bin"),
+            col("_last.pos").as("n_docs"))
+        // acc of the open bin = this batch's tokens in the final bin,
+        // PLUS the carried acc iff the final bin IS the carried open
+        // bin (the batch never closed it)
+        val accDf = placed
+          .join(batchTot.select(col("shard"), col("bin")), Seq("shard", "bin"))
+          .groupBy(col("shard"), col("bin"))
+          .agg(sum(col("n_tokens")).as("_bacc"))
+        val priorDf = priors.toSeq
+          .map { case (s, (b, a, d)) => (s, b, a, d) }
+          .toDF("shard", "bin", "acc", "n_docs")
+        val newTot = batchTot.join(accDf, Seq("shard", "bin"))
+          .join(priorDf.select(col("shard"), col("bin").as("_pbin"),
+            col("acc").as("_pacc")), Seq("shard"), "left")
+          .select(col("shard"), col("bin"),
+            (col("_bacc") + when(col("bin") === col("_pbin"), col("_pacc"))
+              .otherwise(0L)).as("acc"),
+            col("n_docs"))
+        val carried = priorDf
+          .join(newTot.select("shard"), Seq("shard"), "left_anti")
+        val totals = newTot.unionByName(carried)
+        placed.write.mode("overwrite").parquet(s"$path/bins/batch=$batchId")
+        totals.write.mode("overwrite").parquet(s"$path/totals/batch=$batchId")
+        StreamState.pruneGenerations(spark, s"$path/totals", retainGenerations)
+      }
+      dedup.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** Accumulated bin assignments — must equal one
+    * [[graft.ext.Packing.packGreedyOrdered]] pass over all arrivals in
+    * arrival (= batch, then id) order per shard. */
+  def assignments(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/bins")
+      .select(col("id"), col("shard"), col("pos"), col("bin"),
+        col("n_tokens"), col("batch").cast("long").as("arrival_batch"))
+}
+
+/**
  * Streaming concat-and-chunk packing — the stream face of
  * [[graft.ext.Packing.packChunked]]: documents arrive in micro-batches,
  * each is appended to its shard's token tape in arrival order, and the

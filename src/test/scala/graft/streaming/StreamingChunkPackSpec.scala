@@ -124,6 +124,82 @@ class StreamingChunkPackSpec extends SparkSpec {
     assert(sheet((1L, 0L)) === ((1L, 1L, 64L, true)))
   }
 
+  // ------------------------------------------------------------------
+  // StreamingGreedyPack (whole-doc bins; state = one open bin per shard)
+  // ------------------------------------------------------------------
+
+  private def greedyReference(batches: Seq[Seq[(Long, Long, Long)]]): Seq[Seq[Any]] = {
+    val all = batches.zipWithIndex.flatMap { case (b, i) =>
+      b.map(r => (r._1, r._2, r._3, i.toLong))
+    }.filter(_._3 > 0L)
+    val ordered = all.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      ds.sortBy(d => (d._4, d._1)).zipWithIndex
+        .map { case ((id, sh, n, _), i) => (0L, sh, i + 1L, id, n) }
+    }
+    Packing.packGreedyOrdered(spark,
+        ordered.toDF("epoch", "shard", "pos", "doc_id", "n_tokens"), L)
+      .select(col("doc_id"), col("shard"), col("pos"), col("bin"),
+        col("n_tokens"))
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+  }
+
+  private def greedyStreamed(path: String): Seq[Seq[Any]] =
+    StreamingGreedyPack.assignments(spark, path)
+      .select(col("id").as("doc_id"), col("shard"), col("pos"), col("bin"),
+        col("n_tokens"))
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+
+  test("greedy: three folds equal one batch packGreedyOrdered pass in arrival order; open bins carry across batches") {
+    val rnd = new scala.util.Random(63)
+    val batches = Seq(
+      (1L to 30L).map(i => (i, i % 3, (rnd.nextInt(50) + 1).toLong)),
+      (31L to 60L).map(i => (i, i % 3, (rnd.nextInt(50) + 1).toLong)),
+      (61L to 90L).map(i => (i, i % 3, (rnd.nextInt(80) + 1).toLong)))
+    val path = java.nio.file.Files.createTempDirectory("graft_sgp_fb_").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingGreedyPack.foldBatch(mk(b), i.toLong, path, L)
+    }
+    assert(greedyStreamed(path) === greedyReference(batches))
+  }
+
+  test("greedy: carried bin continues exactly — a batch that never closes it adds to its acc; the next overflow closes it") {
+    val b1 = Seq((1L, 0L, 30L))            // open bin 0: acc 30
+    val b2 = Seq((2L, 0L, 20L))            // still bin 0: acc 50
+    val b3 = Seq((3L, 0L, 20L), (4L, 0L, 10L)) // 3 overflows (50+20>64) → bin 1; 4 joins bin 1
+    val path = java.nio.file.Files.createTempDirectory("graft_sgp_carry_").toString
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      StreamingGreedyPack.foldBatch(mk(b), i.toLong, path, L)
+    }
+    val got = greedyStreamed(path).map(r => r.head -> (r(2), r(3))).toMap
+    assert(got(1L) === ((1L, 0L)))
+    assert(got(2L) === ((2L, 0L)))
+    assert(got(3L) === ((3L, 1L)))
+    assert(got(4L) === ((4L, 1L)))
+    assert(greedyStreamed(path) === greedyReference(Seq(b1, b2, b3)))
+  }
+
+  test("greedy: replay no-op; crash window (bins durable, totals lost) rebuilds identical state") {
+    val b1 = (1L to 20L).map(i => (i, i % 2, 10L + i % 5))
+    val b2 = (21L to 40L).map(i => (i, i % 2, 10L + i % 5))
+    val path = java.nio.file.Files.createTempDirectory("graft_sgp_rp_").toString
+    StreamingGreedyPack.foldBatch(mk(b1), 0L, path, L)
+    StreamingGreedyPack.foldBatch(mk(b2), 1L, path, L)
+    val binsOnce = greedyStreamed(path)
+    val totalsOnce = spark.read.parquet(s"$path/totals")
+      .orderBy("batch", "shard").collect().toSeq
+    StreamingGreedyPack.foldBatch(mk(b2), 1L, path, L)
+    assert(greedyStreamed(path) === binsOnce)
+    assert(spark.read.parquet(s"$path/totals")
+      .orderBy("batch", "shard").collect().toSeq === totalsOnce)
+    val fs = new java.io.File(s"$path/totals/batch=1")
+    fs.listFiles().foreach(_.delete()); fs.delete()
+    StreamingGreedyPack.foldBatch(mk(b2), 1L, path, L)
+    assert(greedyStreamed(path) === binsOnce)
+    assert(spark.read.parquet(s"$path/totals")
+      .orderBy("batch", "shard").collect().toSeq === totalsOnce)
+    assert(binsOnce === greedyReference(Seq(b1, b2)))
+  }
+
   test("retention prunes totals generations; the fragment ledger keeps history and later folds stay exact") {
     val batches = (0L until 6L).map(b =>
       (b * 10 + 1 to b * 10 + 10).map(i => (i, i % 2, 7L)))
