@@ -262,37 +262,6 @@ object Sharding {
   }
 
   /**
-   * CURATED multi-epoch training manifest — the complete
-   * budget → allocation → selection → order chain materialized as the
-   * (doc, epoch, position) rows a trainer consumes: each source runs
-   * `epochs − 1` FULL passes of all its documents plus a final PARTIAL
-   * pass of only its quality head (the best `last_epoch_tokens`, the
-   * x149 selection), every (doc, epoch) instance in the epoch-seeded
-   * [[epochedTrainingOrder]] permutation. This is
-   * [[epochedTrainingOrder]] with the final epoch CURATED instead of
-   * full — the manifest [[graft.ext.Mixture.repetitionWaterfillPlan]]'s
-   * plan row actually denotes.
-   *
-   * Scale shape: the plan is dimension-sized and broadcast both times
-   * it touches the corpus; the head selection is the x144 keyed
-   * tier-broadcast arithmetic (its persisted result is compressed to
-   * the budget-bounded admitted-id frame via an eager localCheckpoint
-   * and released — the manifest's lineage never pins a corpus-sized
-   * cache block); the explode grows rows by mean epochs (the actual
-   * training volume); windows stay (epoch, shard)-sized.
-   *
-   * @param scored (idCol, sourceCol, scoreCol, tokCol) — the quality-
-   *               scored corpus (x143's shape)
-   * @param plan   (sourceCol, epochs, last_epoch_tokens) —
-   *               [[graft.ext.Mixture.repetitionWaterfillPlan]]'s
-   *               verdict columns; epochs = 0 sources contribute
-   *               nothing, epochs = 1 sources run ONLY their curated
-   *               pass
-   * @return (idCol, sourceCol, epoch, shard, pos, interleave_pos) —
-   *         consumers ORDER BY (epoch, interleave_pos), as
-   *         [[epochedTrainingOrder]]
-   */
-  /**
    * Per-(epoch, shard) manifest RECORD over a curated epoch order —
    * [[shardManifest]]'s integrity sheet generalized to the multi-epoch
    * manifest: for every (epoch, shard) stream a worker consumes, the
@@ -335,6 +304,37 @@ object Sharding {
           .cast("long").as("checksum"))
   }
 
+  /**
+   * CURATED multi-epoch training manifest — the complete
+   * budget → allocation → selection → order chain materialized as the
+   * (doc, epoch, position) rows a trainer consumes: each source runs
+   * `epochs − 1` FULL passes of all its documents plus a final PARTIAL
+   * pass of only its quality head (the best `last_epoch_tokens`, the
+   * x149 selection), every (doc, epoch) instance in the epoch-seeded
+   * [[epochedTrainingOrder]] permutation. This is
+   * [[epochedTrainingOrder]] with the final epoch CURATED instead of
+   * full — the manifest [[graft.ext.Mixture.repetitionWaterfillPlan]]'s
+   * plan row actually denotes.
+   *
+   * Scale shape: the plan is dimension-sized and broadcast both times
+   * it touches the corpus; the head selection is the x144 keyed
+   * tier-broadcast arithmetic (its persisted result is compressed to
+   * the budget-bounded admitted-id frame via an eager localCheckpoint
+   * and released — the manifest's lineage never pins a corpus-sized
+   * cache block); the explode grows rows by mean epochs (the actual
+   * training volume); windows stay (epoch, shard)-sized.
+   *
+   * @param scored (idCol, sourceCol, scoreCol, tokCol) — the quality-
+   *               scored corpus (x143's shape)
+   * @param plan   (sourceCol, epochs, last_epoch_tokens) —
+   *               [[graft.ext.Mixture.repetitionWaterfillPlan]]'s
+   *               verdict columns; epochs = 0 sources contribute
+   *               nothing, epochs = 1 sources run ONLY their curated
+   *               pass
+   * @return (idCol, sourceCol, epoch, shard, pos, interleave_pos) —
+   *         consumers ORDER BY (epoch, interleave_pos), as
+   *         [[epochedTrainingOrder]]
+   */
   def curatedEpochOrder(
       scored: DataFrame,
       plan: DataFrame,

@@ -736,11 +736,11 @@ object TextAnalysis {
     val out = l.join(r, Seq("v"))
       .filter(col("tok_a") < col("tok_b"))
       .select("tok_a", "tok_b").distinct()
-      .persist()
-    out.count() // materialize the pair list, then drop the variant frame
-    variants.unpersist(blocking = false)
-    out
       .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")))
       .filter(col("dist") <= 1)
+      .persist()
+    out.count() // materialize the verified pairs, then drop the variant frame
+    variants.unpersist(blocking = false)
+    out
   }
 }
