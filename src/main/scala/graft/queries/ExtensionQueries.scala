@@ -1185,7 +1185,15 @@ object ExtensionQueries {
     // and integer fill rate — the release-review number that decides
     // between the padded whole-doc loader and the concat-chunk loader
     // (whole-doc pads every bin's tail; concat-chunk pads only each
-    // stream's last sequence but splits docs across boundaries)
+    // stream's last sequence but splits docs across boundaries).
+    // Pad is summed PER BIN before the epoch fold: a whole-doc bin
+    // holding one doc LONGER than seqLen overflows, and an epoch-level
+    // greatest(capacity - tokens, 0) would let that overflow silently
+    // cancel other bins' real padding — overstating fill on exactly the
+    // sheet meant to decide between loaders. Oversized bins are counted
+    // explicitly (a trainer must truncate or reject them), and fill is
+    // derived from the honest pad, an oversized bin counting as full —
+    // never over-full.
     "x165_packing_efficiency" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val scored = d.select(col("doc_id"), col("source"),
@@ -1200,25 +1208,33 @@ object ExtensionQueries {
           seed = TrainOrderSeed, numShards = NumShards)
         .join(scored.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
         .localCheckpoint(true) // both layouts consume it; manifest is budget-bounded
-      val whole = Packing.packGreedyOrdered(s, manifest, PackSeqLen)
+      // per-unit fill first (one partial-agg shuffle on the unit key),
+      // then the epoch fold over unit-sized rows
+      def perEpoch(units: DataFrame, layout: String): DataFrame = units
         .groupBy(col("epoch"))
-        .agg(countDistinct(col("shard"), col("bin")).as("n_units"),
-          sum(col("n_tokens")).as("tokens"))
-        .withColumn("pad",
-          greatest(col("n_units") * PackSeqLen - col("tokens"), lit(0L)))
-        .withColumn("layout", lit("whole_doc"))
+        .agg(count(lit(1)).as("n_units"),
+          sum(col("_fill")).as("tokens"),
+          sum(greatest(lit(PackSeqLen) - col("_fill"), lit(0L))).as("pad"),
+          sum(when(col("_fill") > PackSeqLen, 1L).otherwise(0L))
+            .as("n_oversized_bins"))
+        .withColumn("layout", lit(layout))
+      val whole = perEpoch(
+        Packing.packGreedyOrdered(s, manifest, PackSeqLen)
+          .groupBy(col("epoch"), col("shard"), col("bin"))
+          .agg(sum(col("n_tokens")).as("_fill")),
+        "whole_doc")
       val frags = Packing.packChunked(manifest, PackSeqLen, Seq("epoch", "shard"))
-      val chunked = frags
-        .groupBy(col("epoch"))
-        .agg(countDistinct(col("shard"), col("seq")).as("n_units"),
-          sum(col("frag_len")).as("tokens"))
-        .withColumn("pad",
-          greatest(col("n_units") * PackSeqLen - col("tokens"), lit(0L)))
-        .withColumn("layout", lit("concat_chunk"))
+      // a chunked sequence can never overflow (cuts are at seqLen
+      // strides), so its n_oversized_bins is 0 by construction — the
+      // uniform per-unit arithmetic keeps that visible in the sheet
+      val chunked = perEpoch(
+        frags.groupBy(col("epoch"), col("shard"), col("seq"))
+          .agg(sum(col("frag_len")).as("_fill")),
+        "concat_chunk")
       whole.unionByName(chunked)
         .select(col("layout"), col("epoch"), col("n_units"), col("tokens"),
-          col("pad"),
-          expr(s"(1000 * tokens) div (n_units * $PackSeqLen)")
+          col("pad"), col("n_oversized_bins"),
+          expr(s"(1000 * (n_units * $PackSeqLen - pad)) div (n_units * $PackSeqLen)")
             .as("fill_permille"))
         .orderBy("layout", "epoch")
     }),
@@ -3517,7 +3533,9 @@ object ExtensionQueries {
          |FROM pfr ORDER BY epoch, shard, seq, frag_start""".stripMargin,
 
     // x165: both packing replays (the x164 recursive walk and the x155
-    // fragment tail) folded per (layout, epoch)
+    // fragment tail), pad summed PER BIN before the epoch fold — an
+    // oversized whole-doc bin (one doc longer than seqLen) must not
+    // cancel other bins' padding — plus the explicit oversized count
     "x165_packing_efficiency" ->
       s"""WITH RECURSIVE $sqlPackedFragCtes,
          |wpj AS (SELECT p.epoch, p.shard, p.pos, p.doc_id, qs.n_tokens
@@ -3534,19 +3552,28 @@ object ExtensionQueries {
          |         THEN r.n_tokens ELSE w.acc + r.n_tokens END
          |  FROM walk w JOIN wpj r
          |    ON r.epoch = w.epoch AND r.shard = w.shard AND r.pos = w.pos + 1),
+         |wbin AS (SELECT epoch, shard, bin, CAST(sum(n_tokens) AS BIGINT) AS fill
+         |  FROM walk GROUP BY epoch, shard, bin),
+         |cbin AS (SELECT epoch, shard, seq, CAST(sum(frag_len) AS BIGINT) AS fill
+         |  FROM pfr GROUP BY epoch, shard, seq),
          |wsum AS (SELECT 'whole_doc' AS layout, epoch,
-         |    CAST(count(DISTINCT (shard, bin)) AS BIGINT) AS n_units,
-         |    CAST(sum(n_tokens) AS BIGINT) AS tokens
-         |  FROM walk GROUP BY epoch),
+         |    CAST(count(*) AS BIGINT) AS n_units,
+         |    CAST(sum(fill) AS BIGINT) AS tokens,
+         |    CAST(sum(greatest($PackSeqLen - fill, 0)) AS BIGINT) AS pad,
+         |    CAST(sum(CASE WHEN fill > $PackSeqLen THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_oversized_bins
+         |  FROM wbin GROUP BY epoch),
          |csum AS (SELECT 'concat_chunk' AS layout, epoch,
-         |    CAST(count(DISTINCT (shard, seq)) AS BIGINT) AS n_units,
-         |    CAST(sum(frag_len) AS BIGINT) AS tokens
-         |  FROM pfr GROUP BY epoch),
+         |    CAST(count(*) AS BIGINT) AS n_units,
+         |    CAST(sum(fill) AS BIGINT) AS tokens,
+         |    CAST(sum(greatest($PackSeqLen - fill, 0)) AS BIGINT) AS pad,
+         |    CAST(sum(CASE WHEN fill > $PackSeqLen THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_oversized_bins
+         |  FROM cbin GROUP BY epoch),
          |u AS (SELECT * FROM wsum UNION ALL SELECT * FROM csum)
-         |SELECT layout, epoch, n_units, tokens,
-         |  CAST(greatest(n_units * $PackSeqLen - tokens, 0) AS BIGINT) AS pad,
-         |  CAST((1000 * tokens) // (n_units * $PackSeqLen) AS BIGINT)
-         |    AS fill_permille
+         |SELECT layout, epoch, n_units, tokens, pad, n_oversized_bins,
+         |  CAST((1000 * (n_units * $PackSeqLen - pad)) // (n_units * $PackSeqLen)
+         |    AS BIGINT) AS fill_permille
          |FROM u ORDER BY layout, epoch""".stripMargin,
 
     // x164: the manifest replay + x22's recursive greedy walk, keyed by

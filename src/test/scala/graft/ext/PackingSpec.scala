@@ -225,4 +225,35 @@ class PackingSpec extends SparkSpec {
     assert(sheet((0L, 1L, 0L)) === ((1L, 1L, 50L, 206L, 20L, 20L)))
     assert(sheet((1L, 0L, 0L)) === ((1L, 1L, 30L, 226L, 10L, 10L)))
   }
+
+  test("efficiency sheet: per-bin pad — an oversized bin must not cancel other bins' padding (x165)") {
+    // one stream, budget 10: doc of 25 tokens lands alone in an
+    // OVERSIZED bin (fill 25 > 10); the neighbours pad 6 and 7 tokens.
+    // The old epoch-level greatest(n_units*10 - tokens, 0) =
+    // greatest(30 - 32, 0) = 0 let the 15-token overflow swallow the 13
+    // real pad tokens; the per-bin fold must report them.
+    val rows = Seq(
+      (0L, 0L, 1L, 1L, 4L),  // bin 0: 4       → pad 6
+      (0L, 0L, 2L, 2L, 25L), // bin 1: 25 > 10 → oversized, pad 0
+      (0L, 0L, 3L, 3L, 3L)   // bin 2: 3       → pad 7
+    ).toDF("epoch", "shard", "pos", "doc_id", "n_tokens")
+    val seqLen = 10L
+    val sheet = Packing.packGreedyOrdered(spark, rows, seqLen)
+      .groupBy(col("epoch"), col("shard"), col("bin"))
+      .agg(sum(col("n_tokens")).as("_fill"))
+      .groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("_fill")).as("tokens"),
+        sum(greatest(lit(seqLen) - col("_fill"), lit(0L))).as("pad"),
+        sum(when(col("_fill") > seqLen, 1L).otherwise(0L))
+          .as("n_oversized_bins"))
+      .select(col("n_units"), col("tokens"), col("pad"),
+        col("n_oversized_bins"),
+        expr(s"(1000 * (n_units * $seqLen - pad)) div (n_units * $seqLen)")
+          .as("fill_permille"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(sheet === ((3L, 32L, 13L, 1L, 566L)),
+      "pad must be 13 (6+7) with one oversized bin; fill 17/30 = 566‰ — " +
+        "the epoch-level clamp would report pad 0, fill 1000‰")
+  }
 }
