@@ -1,0 +1,289 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Bucketed, compacted storage for the streams' APPEND-ONLY ledgers
+ * (arrival/verdict/eviction/fragment history). The per-batch overwrite
+ * discipline ([[StreamingWinnowIngest]] et al.) keeps every fold
+ * exactly-once without a replay sentinel, but left alone it accrues one
+ * `batch=<id>` directory per micro-batch FOREVER — ~5,800 dirs per day
+ * per table at a 15 s trigger. Column pruning bounds the bytes a
+ * re-arrival anti-join reads; nothing bounds the file LISTING, and the
+ * raise-fold resurrections ([[StreamingQualityHead]]) re-scan the whole
+ * tree. This module closes both:
+ *
+ *  - '''Compaction''' (the [[graft.ext.IndexMaintenance]] generation-
+ *    rewrite discipline, applied to the streamed ledgers): every
+ *    `compactEvery` folds, the accumulated history is rewritten into
+ *    ONE `ckpt=<batchId>` generation; the per-batch increment dirs it
+ *    absorbed are garbage-collected by a LATER fold (never the writing
+ *    one — see crash-safety below). Steady-state listing is one
+ *    checkpoint + at most ~`compactEvery` increments, independent of
+ *    stream lifetime.
+ *  - '''Bucketing''': the checkpoint is partitioned by
+ *    `_b = pmod(id, K)` — and, for score-graded ledgers, sub-partitioned
+ *    by a copy of the score tier `_s` — so the hot-path readers PRUNE
+ *    partitions instead of scanning history: a re-arrival anti-join
+ *    reads only the buckets its batch's ids hash into (a small batch
+ *    touches few of the K buckets), and a budget-raise resurrection
+ *    reads only its changed score tiers. Payload columns stay verbatim
+ *    in the data files (the partition columns are synthetic copies), so
+ *    row content — including each row's original arrival batch, stored
+ *    as the `abatch` data column — survives compaction bit-exactly.
+ *
+ * Layout under `table/`:
+ *  - `batch=<id>/` — flat per-fold increments, written by the folds
+ *    exactly as before this module existed (no change to the fold's
+ *    hot write path; `abatch` is derived from the partition value on
+ *    read).
+ *  - `ckpt=<id>/_b=<b>[/_s=<s>]/` — the consolidated history up to and
+ *    including batch `id`, plus the commit marker file
+ *    `_COMPACTED_<K>` written LAST (parquet readers ignore `_`-prefixed
+ *    files; an unmarked checkpoint is an ignored torso from a crash
+ *    mid-compaction, and its input increments are still on disk).
+ *
+ * Crash-safety (foreachBatch replays the newest uncommitted batch):
+ *  - Views exclude the folding batch's OWN increment dir and its own
+ *    (possibly crashed) checkpoint, so a replayed fold reads the
+ *    identical pre-batch state and truncates-and-rewrites.
+ *  - GC deletes only directories REDUNDANT w.r.t. a checkpoint written
+ *    by a STRICTLY EARLIER fold. Fold N runs only after every batch
+ *    < N stream-committed, so a `ckpt=<C>` with C < N is final: the
+ *    increments ≤ C and checkpoints < C it supersedes can vanish at any
+ *    point of fold N without any crash window losing data. The
+ *    compacting fold itself deletes NOTHING it wrote or read — a crash
+ *    between its checkpoint write and the stream commit replays with
+ *    every input intact.
+ *
+ * Scale accounting: the listing bound costs write amplification — each
+ * compaction rewrites the full accumulated ledger, so a row is
+ * rewritten `lifetime_folds / compactEvery` times. `compactEvery` is
+ * the amortization knob: a deployment sizes it so one checkpoint
+ * rewrite amortizes over enough folds (e.g. ledger-bytes /
+ * batch-bytes), trading steady-state directory count (≈ compactEvery)
+ * against rewrite volume (ledger / compactEvery per fold). The bucket
+ * count K is fixed per checkpoint and self-described by its marker, so
+ * readers always prune with the modulus the data was hashed with, even
+ * across a K change at some later compaction.
+ */
+private[graft] object LedgerState {
+
+  /** Synthetic partition column: `pmod(id, K)`. */
+  val BucketCol = "_b"
+  /** Synthetic partition column: a copy of the score tier. */
+  val ScoreCol = "_s"
+  private val MarkerPrefix = "_COMPACTED_"
+
+  /** A committed checkpoint: its generation id and the bucket modulus
+    * its `_b` partitioning was hashed with. */
+  final case class Ckpt(id: Long, k: Int)
+
+  private def fs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** MARKED checkpoints under `table`, newest first. An unmarked
+    * `ckpt=<id>` dir (crash mid-compaction) is invisible here — its
+    * input increments are still on disk, so views stay complete. */
+  def ckpts(spark: SparkSession, table: String): Seq[Ckpt] = {
+    val (f, p) = fs(spark, table)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("ckpt="))
+      .flatMap { s =>
+        scala.util.Try(s.getPath.getName.stripPrefix("ckpt=").toLong).toOption
+          .flatMap { id =>
+            f.listStatus(s.getPath).collectFirst {
+              case m if m.getPath.getName.startsWith(MarkerPrefix) =>
+                Ckpt(id, m.getPath.getName.stripPrefix(MarkerPrefix).toInt)
+            }
+          }
+      }
+      .sortBy(-_.id)
+  }
+
+  /** Every `ckpt=<id>` dir id, marked or not — the GC's candidate set. */
+  private def allCkptIds(spark: SparkSession, table: String): Seq[Long] = {
+    val (f, p) = fs(spark, table)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("ckpt="))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("ckpt=").toLong).toOption)
+  }
+
+  /** The bucket modulus a fold must hash with to prune the view it will
+    * read (the newest committed checkpoint's K, skipping the fold's own
+    * crashed attempt); None while the table has no checkpoint — nothing
+    * to prune, the view is increments-only. */
+  def bucketK(spark: SparkSession, table: String, exclude: Long): Option[Int] =
+    ckpts(spark, table).find(_.id != exclude).map(_.k)
+
+  /** The bucket set of a batch's ids under the view's checkpoint
+    * modulus — the re-arrival anti-join's pruning predicate. None when
+    * there is no checkpoint, or when the batch touches EVERY bucket
+    * (the filter would be a no-op and only widen the plan). One narrow
+    * batch-sized distinct per fold; the ledger is never touched. */
+  def batchBuckets(
+      spark: SparkSession,
+      table: String,
+      exclude: Long,
+      ids: DataFrame,
+      idCol: String): Option[Set[Long]] =
+    bucketK(spark, table, exclude).flatMap { k =>
+      val bs = ids.select(pmod(col(idCol), lit(k.toLong)).as("_pb"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      if (bs.size >= k) None else Some(bs)
+    }
+
+  /** The accumulated ledger rows as of (but excluding) batch `exclude`:
+    * the newest committed checkpoint not written by `exclude`, plus the
+    * increments after it. Returns payload columns + `abatch` (each
+    * row's original arrival batch). `idPrune` / `scorePrune` restrict
+    * the read to the named buckets / score tiers — partition-pruned on
+    * the checkpoint (the corpus-sized part), a cheap data filter on the
+    * batch-sized increments. Pass `exclude = -1` for the reader-side
+    * no-exclusion view. */
+  def view(
+      spark: SparkSession,
+      table: String,
+      exclude: Long,
+      idCol: String = "id",
+      idPrune: Option[Set[Long]] = None,
+      scorePrune: Option[(String, Set[Long])] = None): DataFrame = {
+    val base = ckpts(spark, table).find(_.id != exclude)
+    val incrs = StreamState.generations(spark, table)
+      .filter(g => g != exclude && base.forall(g > _.id))
+    assemble(spark, table, base, incrs, idCol, idPrune, scorePrune)
+  }
+
+  private def assemble(
+      spark: SparkSession,
+      table: String,
+      base: Option[Ckpt],
+      incrs: Seq[Long],
+      idCol: String,
+      idPrune: Option[Set[Long]],
+      scorePrune: Option[(String, Set[Long])]): DataFrame = {
+    val incrDf = if (incrs.isEmpty) None else Some {
+      val raw = spark.read.option("basePath", table)
+        .parquet(incrs.map(g => s"$table/batch=$g"): _*)
+      val p1 = (idPrune, base) match {
+        // the increments must be filtered with the CHECKPOINT's modulus
+        // — the caller derived the bucket set from it
+        case (Some(bs), Some(c)) =>
+          raw.filter(pmod(col(idCol), lit(c.k.toLong)).isin(bs.toSeq: _*))
+        case _ => raw
+      }
+      val p2 = scorePrune match {
+        case Some((sc, ss)) => p1.filter(col(sc).isin(ss.toSeq: _*))
+        case None => p1
+      }
+      p2.withColumn("abatch", col("batch").cast("long")).drop("batch")
+    }
+    val baseDf = base.map { c =>
+      val raw = spark.read.parquet(s"$table/ckpt=${c.id}")
+      val p1 = idPrune match {
+        case Some(bs) => raw.filter(col(BucketCol).isin(bs.toSeq: _*))
+        case None => raw
+      }
+      val p2 = scorePrune match {
+        case Some((_, ss)) if raw.columns.contains(ScoreCol) =>
+          p1.filter(col(ScoreCol).isin(ss.toSeq: _*))
+        case Some((sc, ss)) => p1.filter(col(sc).isin(ss.toSeq: _*))
+        case None => p1
+      }
+      p2.drop(BucketCol, ScoreCol)
+    }
+    (baseDf, incrDf) match {
+      case (Some(b), Some(i)) => b.unionByName(i)
+      case (Some(b), None) => b
+      case (None, Some(i)) => i
+      case (None, None) =>
+        // every directory belongs to the excluded batch (its crashed
+        // first fold): an empty frame in the ledger's own schema, read
+        // from whatever dir exists
+        val anyIncr = StreamState.generations(spark, table).headOption
+        anyIncr match {
+          case Some(g) => spark.read.option("basePath", table)
+            .parquet(s"$table/batch=$g")
+            .withColumn("abatch", col("batch").cast("long")).drop("batch")
+            .filter(lit(false))
+          case None =>
+            val cid = allCkptIds(spark, table).headOption.getOrElse(
+              throw new IllegalStateException(
+                s"no ledger state under $table — callers must probe " +
+                  "StreamState.exists before reading"))
+            spark.read.parquet(s"$table/ckpt=$cid")
+              .drop(BucketCol, ScoreCol).filter(lit(false))
+        }
+    }
+  }
+
+  /** Ledger maintenance, called by a fold AFTER its increment write:
+    * (1) GC every directory redundant w.r.t. the newest checkpoint
+    * committed by an EARLIER fold; (2) when `compactEvery` increments
+    * have accumulated past that checkpoint, rewrite checkpoint +
+    * increments (including this fold's own) into `ckpt=<batchId>`,
+    * bucketed by `pmod(idCol, bucketK)` and — when `scoreCol` is given
+    * — sub-partitioned by the score tier. Idempotent under replay: the
+    * rewrite's input is exactly the pre-existing dirs, which this call
+    * never deletes. */
+  def maintain(
+      spark: SparkSession,
+      table: String,
+      batchId: Long,
+      idCol: String = "id",
+      scoreCol: Option[String] = None,
+      bucketK: Int = 64,
+      compactEvery: Int = 16): Unit = {
+    require(bucketK >= 1, s"bucketK=$bucketK must be positive")
+    require(compactEvery >= 2, s"compactEvery=$compactEvery below 2 would " +
+      "compact every fold — full-history rewrite amplification")
+    val marked = ckpts(spark, table)
+    val base = marked.find(_.id < batchId)
+    base.foreach { c =>
+      val (f, p) = fs(spark, table)
+      allCkptIds(spark, table).filter(_ < c.id).foreach(id =>
+        f.delete(new org.apache.hadoop.fs.Path(p, s"ckpt=$id"), true))
+      StreamState.deleteGenerations(spark, table,
+        StreamState.generations(spark, table).filter(_ <= c.id))
+    }
+    val live = StreamState.generations(spark, table)
+      .filter(g => base.forall(g > _.id))
+    if (live.size >= compactEvery) {
+      val hist = assemble(spark, table, base, live, idCol, None, None)
+      val withBucket = hist
+        .withColumn(BucketCol, pmod(col(idCol), lit(bucketK.toLong)))
+      val withScore = scoreCol match {
+        case Some(sc) => withBucket.withColumn(ScoreCol, col(sc))
+        case None => withBucket
+      }
+      // a partitioned write of an EMPTY frame emits no files at all and
+      // the checkpoint read could not infer a schema — an all-empty
+      // ledger (e.g. readmissions on a raise-free stream) compacts to a
+      // flat schema-bearing empty file instead (the synthetic columns
+      // become zero-row data columns, which the view handles uniformly)
+      val out =
+        if (withScore.isEmpty) withScore.coalesce(1).write
+        else scoreCol match {
+          case Some(_) => withScore.repartition(col(BucketCol))
+            .write.partitionBy(BucketCol, ScoreCol)
+          case None => withScore.repartition(col(BucketCol))
+            .write.partitionBy(BucketCol)
+        }
+      out.mode("overwrite").parquet(s"$table/ckpt=$batchId")
+      val (f, _) = fs(spark, table)
+      f.create(new org.apache.hadoop.fs.Path(
+        s"$table/ckpt=$batchId/$MarkerPrefix$bucketK"), true).close()
+    }
+  }
+
+  /** Total `batch=`/`ckpt=` directory count — the soak-test observable
+    * the compaction discipline bounds. */
+  def dirCount(spark: SparkSession, table: String): Int =
+    StreamState.generations(spark, table).size + allCkptIds(spark, table).size
+}

@@ -20,17 +20,21 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  * (the [[StreamingWinnowIngest]] discipline, exactly-once without a
  * replay sentinel):
  *  - `verdicts/batch=<id>` — (id, group, tokens, src_cum, admitted)
- *    per arriving doc, append-only by batch;
+ *    per arriving doc, append-only by batch — a [[LedgerState]] ledger:
+ *    compacted into a bucketed `ckpt=<id>` generation every
+ *    `compactEvery` folds so listing stays bounded for the stream's
+ *    life, with the re-arrival guard pruning the checkpoint to the
+ *    batch's own id buckets;
  *  - `totals/batch=<id>`   — the per-source cumulative totals AFTER
  *    that batch (dimension-sized: one row per source ever seen).
  *
  * A fold reads ONLY (a) the latest prior `totals` partition
  * (dimension-sized) and (b) the accumulated verdict ids for the
- * re-arrival guard (column-pruned id scan, batch side broadcast) —
- * never the accumulated corpus. Replay of (batch, batchId) after any
- * crash window recomputes identical frames from a state view that
- * excludes its own partitions and truncates-and-rewrites the same two
- * directories.
+ * re-arrival guard (column-pruned, bucket-pruned id scan, batch side
+ * broadcast) — never the accumulated corpus. Replay of (batch, batchId)
+ * after any crash window recomputes identical frames from a state view
+ * that excludes its own partitions and truncates-and-rewrites the same
+ * two directories.
  *
  * The within-batch prefix sum is a per-source window over ONE
  * micro-batch (bounded by construction); a deployment with huge
@@ -50,12 +54,14 @@ object StreamingBudgetAdmission {
       idCol: String = "doc_id",
       groupCol: String = "source",
       tokCol: String = "n_tokens",
-      retainGenerations: Int = 3): DataStreamWriter[Row] =
+      retainGenerations: Int = 3,
+      bucketK: Int = 64,
+      compactEvery: Int = 16): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch, batchId, path, quota, idCol, groupCol, tokCol,
-          retainGenerations)
+          retainGenerations, bucketK, compactEvery)
       }
 
   /** One micro-batch's fold — public so the replay case (foreachBatch
@@ -70,26 +76,30 @@ object StreamingBudgetAdmission {
       idCol: String = "doc_id",
       groupCol: String = "source",
       tokCol: String = "n_tokens",
-      retainGenerations: Int = 3): Unit = {
+      retainGenerations: Int = 3,
+      bucketK: Int = 64,
+      compactEvery: Int = 16): Unit = {
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
       val hasState = StreamState.exists(spark, s"$path/verdicts")
-      def stateView(sub: String, cols: Seq[String]): DataFrame =
-        spark.read.parquet(s"$path/$sub")
-          .filter(col("batch") =!= lit(batchId))
-          .select(cols.map(col): _*)
       // in-batch id dedup (pure function of batch contents), then the
       // cross-batch re-arrival guard: a doc id that already holds a
-      // verdict no-ops — a quota gate must never double-charge a replay
+      // verdict no-ops — a quota gate must never double-charge a replay.
+      // The guard reads the compacted ledger pruned to the batch's own
+      // id buckets ([[LedgerState.view]]) — never the whole history tree.
       val batchDocs = batch.groupBy(col(idCol))
         .agg(min(col(groupCol)).as(groupCol), min(col(tokCol)).as(tokCol))
       val dedup =
-        if (hasState)
+        if (hasState) {
+          val tbl = s"$path/verdicts"
+          val prune = LedgerState.batchBuckets(spark, tbl, batchId,
+            batchDocs.select(col(idCol).as("id")), "id")
           batchDocs.join(
-              stateView("verdicts", Seq("id")).select(col("id").as(idCol)),
+              LedgerState.view(spark, tbl, batchId, idPrune = prune)
+                .select(col("id").as(idCol)),
               Seq(idCol), "left_anti")
             .persist()
-        else batchDocs.persist()
+        } else batchDocs.persist()
       if (!dedup.isEmpty) {
         // latest PRIOR totals partition: dimension-sized (one row per
         // source); the max-batch probe is a control-plane scalar over
@@ -131,8 +141,11 @@ object StreamingBudgetAdmission {
         verd.write.mode("overwrite").parquet(s"$path/verdicts/batch=$batchId")
         totals.write.mode("overwrite").parquet(s"$path/totals/batch=$batchId")
         // retention: totals generations are superseded snapshots (every
-        // read targets the latest); the verdicts ledger keeps history
+        // read targets the latest); the verdicts ledger keeps its ROWS
+        // forever but its DIRECTORIES compact ([[LedgerState.maintain]])
         StreamState.pruneGenerations(spark, s"$path/totals", retainGenerations)
+        LedgerState.maintain(spark, s"$path/verdicts", batchId,
+          bucketK = bucketK, compactEvery = compactEvery)
       }
       dedup.unpersist(blocking = false)
       ()
@@ -141,9 +154,10 @@ object StreamingBudgetAdmission {
 
   /** The accumulated per-doc admission verdicts — must equal one batch
     * per-source running-sum pass over everything ingested in arrival
-    * order (the x142 oracle's window replay). */
+    * order (the x142 oracle's window replay). Resolved through the
+    * compacted ledger view (row content is compaction-invariant). */
   def verdicts(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/verdicts")
+    LedgerState.view(spark, s"$path/verdicts", exclude = -1L)
       .select(col("id"), col("group"), col("tokens"),
         col("src_cum"), col("admitted"))
 }

@@ -20,7 +20,9 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  * generations, own-batch-excluded reads, ledger re-arrival guard,
  * retention-pruned `totals`):
  *  - `bins/batch=<id>`   — (id, shard, pos, bin, n_tokens) assignments
- *    for that batch's docs, append-only by batch;
+ *    for that batch's docs, append-only by batch (a [[LedgerState]]
+ *    ledger: bucket-compacted so listing stays bounded and the
+ *    re-arrival guard partition-prunes);
  *  - `totals/batch=<id>` — per-shard (shard, bin, acc, n_docs) AFTER
  *    the batch (the open bin + doc count for pos continuity).
  *
@@ -40,12 +42,14 @@ object StreamingGreedyPack {
       idCol: String = "doc_id",
       shardCol: String = "shard",
       tokCol: String = "n_tokens",
-      retainGenerations: Int = 3): DataStreamWriter[Row] =
+      retainGenerations: Int = 3,
+      bucketK: Int = 64,
+      compactEvery: Int = 16): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch, batchId, path, budget, idCol, shardCol, tokCol,
-          retainGenerations)
+          retainGenerations, bucketK, compactEvery)
       }
 
   /** One micro-batch's fold — public for direct crash-replay specs. */
@@ -57,7 +61,9 @@ object StreamingGreedyPack {
       idCol: String = "doc_id",
       shardCol: String = "shard",
       tokCol: String = "n_tokens",
-      retainGenerations: Int = 3): Unit = {
+      retainGenerations: Int = 3,
+      bucketK: Int = 64,
+      compactEvery: Int = 16): Unit = {
     require(budget > 0, "budget must be positive")
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
@@ -71,14 +77,16 @@ object StreamingGreedyPack {
           col("_rep.tokens").as("tokens"))
         .filter(col("tokens") > 0L)
       val dedup =
-        if (hasState)
+        if (hasState) {
+          val tbl = s"$path/bins"
+          val prune = LedgerState.batchBuckets(spark, tbl, batchId,
+            batchDocs.select(col(idCol).as("id")), "id")
           batchDocs.join(
-              spark.read.parquet(s"$path/bins")
-                .filter(col("batch") =!= lit(batchId))
+              LedgerState.view(spark, tbl, batchId, idPrune = prune)
                 .select(col("id").as(idCol)).distinct(),
               Seq(idCol), "left_anti")
             .persist()
-        else batchDocs.persist()
+        } else batchDocs.persist()
       if (!dedup.isEmpty) {
         val priors: Map[Long, (Long, Long, Long)] =
           if (hasState && StreamState.exists(spark, s"$path/totals")) {
@@ -140,6 +148,8 @@ object StreamingGreedyPack {
         placed.write.mode("overwrite").parquet(s"$path/bins/batch=$batchId")
         totals.write.mode("overwrite").parquet(s"$path/totals/batch=$batchId")
         StreamState.pruneGenerations(spark, s"$path/totals", retainGenerations)
+        LedgerState.maintain(spark, s"$path/bins", batchId,
+          bucketK = bucketK, compactEvery = compactEvery)
       }
       dedup.unpersist(blocking = false)
       ()
@@ -150,9 +160,9 @@ object StreamingGreedyPack {
     * [[graft.ext.Packing.packGreedyOrdered]] pass over all arrivals in
     * arrival (= batch, then id) order per shard. */
   def assignments(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/bins")
+    LedgerState.view(spark, s"$path/bins", exclude = -1L)
       .select(col("id"), col("shard"), col("pos"), col("bin"),
-        col("n_tokens"), col("batch").cast("long").as("arrival_batch"))
+        col("n_tokens"), col("abatch").as("arrival_batch"))
 }
 
 /**
@@ -174,13 +184,15 @@ object StreamingGreedyPack {
  * (the [[StreamingWinnowIngest]] discipline, exactly-once without a
  * replay sentinel):
  *  - `frags/batch=<id>`  — (id, shard, pos, seq, frag_start, frag_len,
- *    doc_off) fragment rows for that batch's docs, append-only by batch;
+ *    doc_off) fragment rows for that batch's docs, append-only by batch
+ *    (a [[LedgerState]] ledger: bucket-compacted so listing stays
+ *    bounded and the re-arrival guard partition-prunes);
  *  - `totals/batch=<id>` — per-shard (shard, total, n_docs) AFTER the
  *    batch (dimension-sized; superseded generations pruned).
  *
  * A fold reads ONLY the latest prior `totals` partition and the
- * accumulated fragment ids for the re-arrival guard (column-pruned id
- * scan, batch side anti-joined). Replay of (batch, batchId) after any
+ * accumulated fragment ids for the re-arrival guard (column-pruned,
+ * bucket-pruned id scan, batch side anti-joined). Replay of (batch, batchId) after any
  * crash window recomputes identical frames from a state view that
  * excludes its own partitions and truncates-and-rewrites the same two
  * directories.
@@ -203,12 +215,14 @@ object StreamingChunkPack {
       idCol: String = "doc_id",
       shardCol: String = "shard",
       tokCol: String = "n_tokens",
-      retainGenerations: Int = 3): DataStreamWriter[Row] =
+      retainGenerations: Int = 3,
+      bucketK: Int = 64,
+      compactEvery: Int = 16): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch, batchId, path, seqLen, idCol, shardCol, tokCol,
-          retainGenerations)
+          retainGenerations, bucketK, compactEvery)
       }
 
   /** One micro-batch's fold — public so the crash-replay case
@@ -223,7 +237,9 @@ object StreamingChunkPack {
       idCol: String = "doc_id",
       shardCol: String = "shard",
       tokCol: String = "n_tokens",
-      retainGenerations: Int = 3): Unit = {
+      retainGenerations: Int = 3,
+      bucketK: Int = 64,
+      compactEvery: Int = 16): Unit = {
     require(seqLen > 0, "seqLen must be positive")
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
@@ -232,7 +248,8 @@ object StreamingChunkPack {
       // minimum — never aggregates mixed across duplicate rows), then
       // the cross-batch re-arrival guard: a doc already on some tape
       // must not be appended twice. Zero-token docs carry no fragment
-      // and no tape position (packChunked's rule).
+      // and no tape position (packChunked's rule). The guard reads the
+      // compacted fragment ledger pruned to the batch's id buckets.
       val batchDocs = batch
         .groupBy(col(idCol))
         .agg(min(struct(col(shardCol).cast("long").as("shard"),
@@ -241,14 +258,16 @@ object StreamingChunkPack {
           col("_rep.tokens").as("tokens"))
         .filter(col("tokens") > 0L)
       val dedup =
-        if (hasState)
+        if (hasState) {
+          val tbl = s"$path/frags"
+          val prune = LedgerState.batchBuckets(spark, tbl, batchId,
+            batchDocs.select(col(idCol).as("id")), "id")
           batchDocs.join(
-              spark.read.parquet(s"$path/frags")
-                .filter(col("batch") =!= lit(batchId))
+              LedgerState.view(spark, tbl, batchId, idPrune = prune)
                 .select(col("id").as(idCol)).distinct(),
               Seq(idCol), "left_anti")
             .persist()
-        else batchDocs.persist()
+        } else batchDocs.persist()
       if (!dedup.isEmpty) {
         // latest PRIOR totals partition: one row per shard ever seen
         val priors: DataFrame =
@@ -297,8 +316,11 @@ object StreamingChunkPack {
         frags.write.mode("overwrite").parquet(s"$path/frags/batch=$batchId")
         totals.write.mode("overwrite").parquet(s"$path/totals/batch=$batchId")
         // retention: totals generations are superseded snapshots (every
-        // read targets the latest); the fragment ledger keeps history
+        // read targets the latest); the fragment ledger keeps its ROWS
+        // forever but its DIRECTORIES compact ([[LedgerState.maintain]])
         StreamState.pruneGenerations(spark, s"$path/totals", retainGenerations)
+        LedgerState.maintain(spark, s"$path/frags", batchId,
+          bucketK = bucketK, compactEvery = compactEvery)
       }
       dedup.unpersist(blocking = false)
       ()
@@ -308,12 +330,13 @@ object StreamingChunkPack {
   /** The accumulated fragment ledger — must equal one batch
     * [[graft.ext.Packing.packChunked]] pass over all arrivals in
     * arrival (= batch, then id) order per shard. `arrival_batch` is the
-    * generation directory the fragment was folded in. */
+    * batch the fragment was folded in (compaction-invariant: stored as
+    * the `abatch` data column). */
   def fragments(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/frags")
+    LedgerState.view(spark, s"$path/frags", exclude = -1L)
       .select(col("id"), col("shard"), col("pos"), col("seq"),
         col("frag_start"), col("frag_len"), col("doc_off"),
-        col("batch").cast("long").as("arrival_batch"))
+        col("abatch").as("arrival_batch"))
 
   /** Per-sequence composition sheet over the accumulated fragments —
     * what a trainer consuming BEHIND the ingest frontier validates:

@@ -72,12 +72,21 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  *  - `cut/batch=<id>`   — AT MOST ONE row PER GROUP (grp, score,
  *    cut_id): each group's frontier tier and first rejected id.
  *  - `arrivals/batch=<id>`  — append-only ledger (id, grp, score,
- *    tokens, admit); also the cross-batch re-arrival guard.
+ *    tokens, admit); also the cross-batch re-arrival guard. A
+ *    [[LedgerState]] ledger partitioned at compaction by id bucket AND
+ *    score tier: the guard prunes to the batch's buckets; a raised
+ *    group's resurrection prunes to its changed tiers (the exact
+ *    (grp, score) cell membership is then refined by the broadcast
+ *    semi-join — score alone is a superset across groups).
  *  - `evictions/batch=<id>` — (id) evicted by this fold.
+ *    Bucket-compacted.
+ *  - `readmissions/batch=<id>` — (id) re-admitted by a raise fold.
+ *    Bucket-compacted.
  *
  * Retention: identical to [[StreamingQualityHead]] — hist/tiers/cut
  * prune to `retainGenerations`; head generations are reference-counted
- * against the retained tiers maps; the ledgers keep history.
+ * against the retained tiers maps; the ledgers keep every ROW but
+ * compact their DIRECTORIES ([[LedgerState.maintain]]).
  */
 object StreamingGroupQualityHead {
 
@@ -93,12 +102,14 @@ object StreamingGroupQualityHead {
       groupCol: String = "source",
       scoreCol: String = "score_k",
       tokCol: String = "n_tokens",
-      retainGenerations: Int = 3): DataStreamWriter[Row] =
+      retainGenerations: Int = 3,
+      bucketK: Int = 64,
+      compactEvery: Int = 16): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch, batchId, path, budgets, idCol, groupCol, scoreCol,
-          tokCol, retainGenerations)
+          tokCol, retainGenerations, bucketK, compactEvery)
       }
 
   /** [[attach]] with a budget-map SCHEDULE (batchId → budgets): the
@@ -114,12 +125,14 @@ object StreamingGroupQualityHead {
       groupCol: String = "source",
       scoreCol: String = "score_k",
       tokCol: String = "n_tokens",
-      retainGenerations: Int = 3): DataStreamWriter[Row] =
+      retainGenerations: Int = 3,
+      bucketK: Int = 64,
+      compactEvery: Int = 16): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch, batchId, path, budgetsOf(batchId), idCol, groupCol,
-          scoreCol, tokCol, retainGenerations)
+          scoreCol, tokCol, retainGenerations, bucketK, compactEvery)
       }
 
   /** The (grp, score → head generation) map stored at generation `gen`
@@ -163,7 +176,9 @@ object StreamingGroupQualityHead {
       groupCol: String = "source",
       scoreCol: String = "score_k",
       tokCol: String = "n_tokens",
-      retainGenerations: Int = 3): Unit = {
+      retainGenerations: Int = 3,
+      bucketK: Int = 64,
+      compactEvery: Int = 16): Unit = {
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
@@ -191,10 +206,16 @@ object StreamingGroupQualityHead {
       val known = batchDocs.join(dim, Seq("grp"))
         .select(col("id"), col("grp"), col("score"), col("tokens"))
       val arrivals =
-        if (hasState)
-          known.join(stateView("arrivals").select("id"), Seq("id"), "left_anti")
+        if (hasState) {
+          val tbl = s"$path/arrivals"
+          val prune = LedgerState.batchBuckets(spark, tbl, batchId,
+            known.select(col("id")), "id")
+          known.join(
+              LedgerState.view(spark, tbl, batchId, idPrune = prune)
+                .select("id"),
+              Seq("id"), "left_anti")
             .persist()
-        else known.persist()
+        } else known.persist()
       if (!arrivals.isEmpty) {
         val priorGen: Option[Long] =
           StreamState.generations(spark, s"$path/hist").find(_ != batchId)
@@ -289,10 +310,15 @@ object StreamingGroupQualityHead {
           .join(changedDf, Seq("grp", "score"), "left_semi")
           .unionByName(arrivals.join(changedDf, Seq("grp", "score"), "left_semi"))
         val raisedCells = changed.filter { case (g, _) => raisedGroups(g) }
+        // resurrection reads the compacted ledger PARTITION-pruned to
+        // the raised cells' score tiers; the broadcast semi-join then
+        // refines to the exact (grp, score) cells — the tier predicate
+        // alone is a superset (another group's same-score rows)
         val candidates =
           if (raisedCells.isEmpty) baseCandidates
           else baseCandidates.unionByName(
-              stateView("arrivals")
+              LedgerState.view(spark, s"$path/arrivals", batchId,
+                  scorePrune = Some(("score", raisedCells.map(_._2))))
                 .select(col("id"), col("grp").cast("string").as("grp"),
                   col("score").cast("long").as("score"),
                   col("tokens").cast("long").as("tokens"))
@@ -392,6 +418,12 @@ object StreamingGroupQualityHead {
           .write.mode("overwrite").parquet(s"$path/budgets/batch=$batchId")
         Seq("hist", "tiers", "cut", "budgets").foreach(t =>
           StreamState.pruneGenerations(spark, s"$path/$t", retainGenerations))
+        LedgerState.maintain(spark, s"$path/arrivals", batchId,
+          scoreCol = Some("score"), bucketK = bucketK,
+          compactEvery = compactEvery)
+        Seq("evictions", "readmissions").foreach(t =>
+          LedgerState.maintain(spark, s"$path/$t", batchId,
+            bucketK = bucketK, compactEvery = compactEvery))
         val referenced: Set[Long] = (try spark.read.parquet(s"$path/tiers")
             .select(col("gen").cast("long")).distinct()
             .collect().map(_.getLong(0)).toSet
@@ -434,13 +466,13 @@ object StreamingGroupQualityHead {
     * current head state — `admitted = admit AND evict_batch IS NULL`
     * is the spec-pinned invariant. */
   def ledger(spark: SparkSession, path: String): DataFrame = {
-    val arr = spark.read.parquet(s"$path/arrivals")
+    val arr = LedgerState.view(spark, s"$path/arrivals", exclude = -1L)
       .select(col("id"), col("grp"),
-        col("batch").cast("long").as("arrival_batch"),
+        col("abatch").as("arrival_batch"),
         col("score"), col("tokens"), col("admit"))
-    val ev = spark.read.parquet(s"$path/evictions")
+    val ev = LedgerState.view(spark, s"$path/evictions", exclude = -1L)
       .groupBy(col("id"))
-      .agg(min(col("batch").cast("long")).as("evict_batch"))
+      .agg(min(col("abatch")).as("evict_batch"))
     arr.join(ev, Seq("id"), "left")
       .join(head(spark, path).select(col("id"), lit(true).as("_m")), Seq("id"), "left")
       .select(col("id"), col("grp"), col("arrival_batch"), col("score"),
@@ -453,13 +485,13 @@ object StreamingGroupQualityHead {
     * across the budget epochs, and FINAL membership. (Constant budgets
     * degenerate it to [[ledger]]: n_evictions ≤ 1, n_readmissions = 0.) */
   def lifecycle(spark: SparkSession, path: String): DataFrame = {
-    val arr = spark.read.parquet(s"$path/arrivals")
+    val arr = LedgerState.view(spark, s"$path/arrivals", exclude = -1L)
       .select(col("id"), col("grp"),
-        col("batch").cast("long").as("arrival_batch"),
+        col("abatch").as("arrival_batch"),
         col("score"), col("tokens"), col("admit"))
-    val ev = spark.read.parquet(s"$path/evictions")
+    val ev = LedgerState.view(spark, s"$path/evictions", exclude = -1L)
       .groupBy(col("id")).agg(count(lit(1)).as("n_evictions"))
-    val re = spark.read.parquet(s"$path/readmissions")
+    val re = LedgerState.view(spark, s"$path/readmissions", exclude = -1L)
       .groupBy(col("id")).agg(count(lit(1)).as("n_readmissions"))
     arr.join(ev, Seq("id"), "left")
       .join(re, Seq("id"), "left")

@@ -71,12 +71,19 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  *  - `arrivals/batch=<id>`  — append-only ledger (id, score, tokens,
  *    admit) — the verdict each doc got ON ARRIVAL (also the
  *    cross-batch re-arrival guard, and the resurrection source for
- *    budget raises).
+ *    budget raises). A [[LedgerState]] ledger: every `compactEvery`
+ *    folds its per-batch dirs rewrite into one `ckpt=<id>` generation
+ *    partitioned by `pmod(id, bucketK)` AND by score tier, so the
+ *    guard's anti-join prunes to the batch's id buckets and a raise
+ *    fold's resurrection prunes to its changed tiers — neither ever
+ *    lists or scans the whole history tree.
  *  - `evictions/batch=<id>` — (id) evicted by this fold; at most one
  *    row per id ever under a constant budget (verdicts only degrade);
  *    budget raises can re-admit, so with dynamics an id may recur.
+ *    Bucket-compacted like arrivals (no score level — read whole only
+ *    by the lifecycle sheets).
  *  - `readmissions/batch=<id>` — (id) re-admitted by this fold's
- *    budget raise (empty on every steady fold).
+ *    budget raise (empty on every steady fold). Bucket-compacted.
  *  - `budget/batch=<id>` — ONE row: the budget in effect after this
  *    fold (the raise detector's reference point).
  *
@@ -87,8 +94,11 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  * crash-replay reads). Head generations are reference-counted instead:
  * a head `batch=<id>` dir is deleted once NO retained tiers map
  * references it (an untouched tier legitimately pins a generation far
- * older than the retention window). The arrivals/evictions ledgers are
- * history and are never pruned.
+ * older than the retention window). The arrivals/evictions/readmissions
+ * ledgers keep every ROW forever (they are history) but their
+ * DIRECTORIES compact ([[LedgerState.maintain]]) — without that, a
+ * 15 s trigger accrues ~5,800 dirs/day/table and every fold's listing
+ * grows with stream age.
  *
  * Per-batch cost: tier histogram of the ARRIVALS merged into the
  * stored grid-bounded hist; candidates = changed-tier head rows ∪
@@ -143,12 +153,14 @@ object StreamingQualityHead {
       idCol: String = "doc_id",
       scoreCol: String = "score_k",
       tokCol: String = "n_tokens",
-      retainGenerations: Int = 3): DataStreamWriter[Row] =
+      retainGenerations: Int = 3,
+      bucketK: Int = 64,
+      compactEvery: Int = 16): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch, batchId, path, budget, idCol, scoreCol, tokCol,
-          retainGenerations)
+          retainGenerations, bucketK, compactEvery)
       }
 
   /** [[attach]] with a budget SCHEDULE (batchId → budget): the dynamic-
@@ -163,12 +175,14 @@ object StreamingQualityHead {
       idCol: String = "doc_id",
       scoreCol: String = "score_k",
       tokCol: String = "n_tokens",
-      retainGenerations: Int = 3): DataStreamWriter[Row] =
+      retainGenerations: Int = 3,
+      bucketK: Int = 64,
+      compactEvery: Int = 16): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch, batchId, path, budgetOf(batchId), idCol, scoreCol,
-          tokCol, retainGenerations)
+          tokCol, retainGenerations, bucketK, compactEvery)
       }
 
   /** The (score → head generation) map stored at generation `gen` —
@@ -210,7 +224,9 @@ object StreamingQualityHead {
       idCol: String = "doc_id",
       scoreCol: String = "score_k",
       tokCol: String = "n_tokens",
-      retainGenerations: Int = 3): Unit = {
+      retainGenerations: Int = 3,
+      bucketK: Int = 64,
+      compactEvery: Int = 16): Unit = {
     require(budget >= 0, "budget must be non-negative")
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
@@ -221,20 +237,27 @@ object StreamingQualityHead {
       // in-batch id dedup (pure function of batch contents), then the
       // cross-batch re-arrival guard off the arrivals ledger — a doc
       // already holding an arrival verdict no-ops (column-pruned id
-      // scan, batch side broadcasts). ONE representative ROW per id —
-      // max score, ties to the smaller token count — never a synthesized
-      // (max score, min tokens) mix of two different rows: the admitted
-      // (score, tokens) pairing must be one the doc actually arrived with
+      // scan restricted to the batch's own id buckets, batch side
+      // broadcasts). ONE representative ROW per id — max score, ties to
+      // the smaller token count — never a synthesized (max score, min
+      // tokens) mix of two different rows: the admitted (score, tokens)
+      // pairing must be one the doc actually arrived with
       val batchDocs = batch.groupBy(col(idCol))
         .agg(max(struct(col(scoreCol).cast("long").as("score"),
           (-col(tokCol).cast("long")).as("_ntok"))).as("_rep"))
         .select(col(idCol).as("id"), col("_rep.score").as("score"),
           (-col("_rep._ntok")).as("tokens"))
       val arrivals =
-        if (hasState)
-          batchDocs.join(stateView("arrivals").select("id"), Seq("id"), "left_anti")
+        if (hasState) {
+          val tbl = s"$path/arrivals"
+          val prune = LedgerState.batchBuckets(spark, tbl, batchId,
+            batchDocs.select(col("id")), "id")
+          batchDocs.join(
+              LedgerState.view(spark, tbl, batchId, idPrune = prune)
+                .select("id"),
+              Seq("id"), "left_anti")
             .persist()
-        else batchDocs.persist()
+        } else batchDocs.persist()
       if (!arrivals.isEmpty) {
         // latest PRIOR generation: filesystem-level so legitimately-empty
         // generations still count, own batch excluded (replay reads the
@@ -314,19 +337,22 @@ object StreamingQualityHead {
           spark.createDataFrame(changed.toSeq.map(Tuple1(_))).toDF("score"))
         // candidates: prior members of changed tiers ∪ arrivals at
         // changed tiers — touched-tier-sized, never budget-sized; a
-        // raise fold adds the ledger slice at the changed tiers (score-
-        // pruned scan of the one full-history table; rows duplicated
-        // across the three sources are identical (id, score, tokens)
-        // tuples, so distinct() restores one row per doc)
+        // raise fold adds the ledger slice at the changed tiers — a
+        // PARTITION-pruned read of the compacted ledger (the checkpoint
+        // stores a score-tier level; `scorePrune` is the exact tier
+        // predicate, so no semi-join refinement is needed); rows
+        // duplicated across the three sources are identical
+        // (id, score, tokens) tuples, so distinct() restores one row
+        // per doc
         val baseCandidates = priorHead.join(changedDf, Seq("score"), "left_semi")
           .unionByName(arrivals.join(changedDf, Seq("score"), "left_semi"))
         val candidates =
           if (!raised) baseCandidates
           else baseCandidates.unionByName(
-              stateView("arrivals")
+              LedgerState.view(spark, s"$path/arrivals", batchId,
+                  scorePrune = Some(("score", changed)))
                 .select(col("id"), col("score").cast("long").as("score"),
-                  col("tokens").cast("long").as("tokens"))
-                .join(changedDf, Seq("score"), "left_semi"))
+                  col("tokens").cast("long").as("tokens")))
             .distinct()
         val flagged = candidates.join(broadcast(cum), Seq("score")).persist()
         val decidedFull = flagged.filter(col("_full"))
@@ -425,9 +451,16 @@ object StreamingQualityHead {
         // superseded hist/tiers/cut/budget generations prune to the
         // window; head generations are reference-counted — alive while
         // ANY retained tiers map still points at them (an untouched tier
-        // legitimately pins a generation older than the window)
+        // legitimately pins a generation older than the window); the
+        // three ledgers keep their rows but compact their directories
         Seq("hist", "tiers", "cut", "budget").foreach(t =>
           StreamState.pruneGenerations(spark, s"$path/$t", retainGenerations))
+        LedgerState.maintain(spark, s"$path/arrivals", batchId,
+          scoreCol = Some("score"), bucketK = bucketK,
+          compactEvery = compactEvery)
+        Seq("evictions", "readmissions").foreach(t =>
+          LedgerState.maintain(spark, s"$path/$t", batchId,
+            bucketK = bucketK, compactEvery = compactEvery))
         val referenced: Set[Long] = (try spark.read.parquet(s"$path/tiers")
             .select(col("gen").cast("long")).distinct()
             .collect().map(_.getLong(0)).toSet
@@ -477,12 +510,12 @@ object StreamingQualityHead {
     * papered over — `admitted = admit AND evict_batch IS NULL` is the
     * invariant the spec pins). */
   def ledger(spark: SparkSession, path: String): DataFrame = {
-    val arr = spark.read.parquet(s"$path/arrivals")
-      .select(col("id"), col("batch").cast("long").as("arrival_batch"),
+    val arr = LedgerState.view(spark, s"$path/arrivals", exclude = -1L)
+      .select(col("id"), col("abatch").as("arrival_batch"),
         col("score"), col("tokens"), col("admit"))
-    val ev = spark.read.parquet(s"$path/evictions")
+    val ev = LedgerState.view(spark, s"$path/evictions", exclude = -1L)
       .groupBy(col("id"))
-      .agg(min(col("batch").cast("long")).as("evict_batch"))
+      .agg(min(col("abatch")).as("evict_batch"))
     arr.join(ev, Seq("id"), "left")
       .join(head(spark, path).select(col("id"), lit(true).as("_m")), Seq("id"), "left")
       .select(col("id"), col("arrival_batch"), col("score"), col("tokens"),
@@ -496,12 +529,12 @@ object StreamingQualityHead {
     * membership from the current head. (With a constant budget this
     * degenerates to [[ledger]]: n_evictions ≤ 1, n_readmissions = 0.) */
   def lifecycle(spark: SparkSession, path: String): DataFrame = {
-    val arr = spark.read.parquet(s"$path/arrivals")
-      .select(col("id"), col("batch").cast("long").as("arrival_batch"),
+    val arr = LedgerState.view(spark, s"$path/arrivals", exclude = -1L)
+      .select(col("id"), col("abatch").as("arrival_batch"),
         col("score"), col("tokens"), col("admit"))
-    val ev = spark.read.parquet(s"$path/evictions")
+    val ev = LedgerState.view(spark, s"$path/evictions", exclude = -1L)
       .groupBy(col("id")).agg(count(lit(1)).as("n_evictions"))
-    val re = spark.read.parquet(s"$path/readmissions")
+    val re = LedgerState.view(spark, s"$path/readmissions", exclude = -1L)
       .groupBy(col("id")).agg(count(lit(1)).as("n_readmissions"))
     arr.join(ev, Seq("id"), "left")
       .join(re, Seq("id"), "left")

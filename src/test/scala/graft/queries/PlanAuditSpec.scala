@@ -793,4 +793,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(bad.isEmpty,
       s"a partition-less window over manifest rows (scale funnel):\n$p")
   }
+
+  test("streaming ledgers: the compacted checkpoint scans PARTITION-prune — id buckets for the re-arrival guard, score tiers for raise resurrections") {
+    // the last unbounded-growth path, closed in r16: the quality head's
+    // arrivals ledger compacts into a ckpt=<id> generation bucketed by
+    // pmod(id, K) and sub-partitioned by score tier. The two hot
+    // history reads must show PartitionFilters, not a full-tree scan.
+    import graft.streaming.{LedgerState, StreamingQualityHead}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_plan_led_").toString
+    def mkDocs(ids: Seq[Long]) =
+      ids.map(i => (i, (i % 5) * 100L, 10L)).toDF("doc_id", "score_k", "n_tokens")
+    (0L until 4L).foreach { b =>
+      StreamingQualityHead.foldBatch(mkDocs(b * 8 + 1 to b * 8 + 8), b, path,
+        budget = 100L, bucketK = 4, compactEvery = 4)
+    }
+    val tbl = s"$path/arrivals"
+    assert(LedgerState.ckpts(spark, tbl).nonEmpty, "fixture must have compacted")
+    // the re-arrival guard's shape: ledger ids pruned to the batch's buckets
+    val guard = LedgerState.view(spark, tbl, exclude = 4L,
+      idPrune = Some(Set(1L))).select(col("id"))
+    val gp = guard.queryExecution.executedPlan.toString
+    assert(gp.contains("PartitionFilters") && gp.contains("_b"),
+      s"the guard's checkpoint scan must prune id buckets:\n$gp")
+    // the raise resurrection's shape: ledger slice pruned to changed tiers
+    val raise = LedgerState.view(spark, tbl, exclude = 4L,
+      scorePrune = Some(("score", Set(300L, 400L))))
+    val rp = raise.queryExecution.executedPlan.toString
+    assert(rp.contains("PartitionFilters") && rp.contains("_s"),
+      s"the resurrection's checkpoint scan must prune score tiers:\n$rp")
+  }
 }

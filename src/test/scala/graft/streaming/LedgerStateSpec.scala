@@ -1,0 +1,228 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The bucketed-compaction ledger discipline: bounded directory count
+  * over a long soak, bit-exact row content (including arrival batches)
+  * across compactions, crash-window replay, and partition-pruned reads
+  * — the [[LedgerState]] contract every streaming ledger rides on. */
+class LedgerStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mk(ids: Seq[Long]) =
+    ids.map(i => (i, if (i % 2 == 0) "web" else "book", 5L + i % 7))
+      .toDF("doc_id", "source", "n_tokens")
+
+  private def freshPath() =
+    java.nio.file.Files.createTempDirectory("graft_ledger_").toString
+
+  test("soak: 40 folds at compactEvery=8 keep the ledger dir count bounded; verdicts and arrival batches stay exact") {
+    val path = freshPath()
+    val quota = 100000L
+    (0L until 40L).foreach { b =>
+      StreamingBudgetAdmission.foldBatch(
+        mk(b * 10 + 1 to b * 10 + 10), b, path, quota,
+        bucketK = 4, compactEvery = 8)
+    }
+    // unbounded layout would hold 40 dirs; the steady bound is
+    // compactEvery + 2: the new checkpoint plus its not-yet-GC'd inputs
+    // (the superseded checkpoint and up to compactEvery increments are
+    // deleted by the NEXT fold, never by the one that compacted — the
+    // crash-safety rule)
+    assert(LedgerState.dirCount(spark, s"$path/verdicts") <= 10,
+      "compaction must bound the ledger's directory count")
+    // row content is compaction-invariant: every doc's verdict equals
+    // the batch window replay over all 400 arrivals
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val ref = mk(1L to 400L)
+      .withColumn("src_cum", sum(col("n_tokens")).over(w).cast("long"))
+      .withColumn("admitted", col("src_cum") <= quota)
+      .select(col("doc_id").as("id"), col("source").as("group"),
+        col("n_tokens").as("tokens"), col("src_cum"), col("admitted"))
+      .orderBy("id").collect().toSeq
+    assert(StreamingBudgetAdmission.verdicts(spark, path)
+      .orderBy("id").collect().toSeq === ref)
+    // each row's original arrival batch survives compaction as `abatch`
+    val ab = LedgerState.view(spark, s"$path/verdicts", exclude = -1L)
+      .select(col("id"), col("abatch")).as[(Long, Long)].collect().toMap
+    assert(ab.size === 400)
+    (1L to 400L).foreach(i => assert(ab(i) === (i - 1) / 10,
+      s"doc $i must remember the batch it arrived in"))
+  }
+
+  test("replaying the compacting fold rewrites an identical checkpoint; state and verdicts bit-identical") {
+    val path = freshPath()
+    (0L until 8L).foreach { b =>
+      StreamingBudgetAdmission.foldBatch(
+        mk(b * 10 + 1 to b * 10 + 10), b, path, 100000L,
+        bucketK = 4, compactEvery = 8)
+    }
+    assert(LedgerState.ckpts(spark, s"$path/verdicts").map(_.id) === Seq(7L),
+      "fold 7 must have compacted (8 live increments)")
+    def snap() = (
+      StreamingBudgetAdmission.verdicts(spark, path)
+        .orderBy("id").collect().toSeq,
+      LedgerState.view(spark, s"$path/verdicts", exclude = -1L)
+        .orderBy("id").collect().toSeq)
+    val once = snap()
+    // foreachBatch re-delivers batch 7 (crash after the checkpoint write
+    // + marker, before the stream offset commit): the re-fold reads the
+    // pre-batch state — its own increment AND its own checkpoint are
+    // excluded, and GC never deleted their inputs — and rewrites both
+    StreamingBudgetAdmission.foldBatch(
+      mk(71L to 80L), 7L, path, 100000L, bucketK = 4, compactEvery = 8)
+    assert(snap() === once, "replay of the compacting fold must be bit-identical")
+  }
+
+  test("crash mid-compaction (marker never written) is invisible: inputs intact, next fold self-heals") {
+    val path = freshPath()
+    (0L until 8L).foreach { b =>
+      StreamingBudgetAdmission.foldBatch(
+        mk(b * 10 + 1 to b * 10 + 10), b, path, 100000L,
+        bucketK = 4, compactEvery = 8)
+    }
+    // simulate the crash: the ckpt=7 parquet exists but the marker does
+    // not — exactly the window between the write and the touch
+    val marker = new java.io.File(s"$path/verdicts/ckpt=7/_COMPACTED_4")
+    assert(marker.exists())
+    marker.delete()
+    assert(LedgerState.ckpts(spark, s"$path/verdicts").isEmpty,
+      "an unmarked checkpoint must be invisible")
+    // the view still resolves the full history off the un-GC'd increments
+    assert(LedgerState.view(spark, s"$path/verdicts", exclude = -1L)
+      .count() === 80L)
+    // the next fold recompacts over the same inputs and re-marks
+    StreamingBudgetAdmission.foldBatch(
+      mk(81L to 90L), 8L, path, 100000L, bucketK = 4, compactEvery = 8)
+    assert(LedgerState.ckpts(spark, s"$path/verdicts").map(_.id) === Seq(8L))
+    assert(StreamingBudgetAdmission.verdicts(spark, path).count() === 90L)
+  }
+
+  test("re-arrival guard prunes the checkpoint scan to the batch's buckets (PartitionFilters) and stays correct") {
+    val path = freshPath()
+    (0L until 8L).foreach { b =>
+      StreamingBudgetAdmission.foldBatch(
+        mk(b * 10 + 1 to b * 10 + 10), b, path, 100000L,
+        bucketK = 4, compactEvery = 8)
+    }
+    val tbl = s"$path/verdicts"
+    // a small batch touches fewer buckets than K → batchBuckets prunes
+    val probe = Seq(4L, 8L).toDF("id") // both ≡ 0 (mod 4)
+    val prune = LedgerState.batchBuckets(spark, tbl, 8L, probe, "id")
+    assert(prune === Some(Set(0L)))
+    val pruned = LedgerState.view(spark, tbl, 8L, idPrune = prune)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_b"),
+      s"the checkpoint scan must partition-prune on the id bucket:\n$plan")
+    // pruning is sound: every ledger id in those buckets is present
+    val ids = pruned.select("id").as[Long].collect().toSet
+    assert(ids === (1L to 80L).filter(_ % 4 == 0).toSet)
+    // and a batch covering every bucket skips the no-op filter
+    assert(LedgerState.batchBuckets(spark, tbl, 8L,
+      Seq(1L, 2L, 3L, 4L).toDF("id"), "id") === None)
+  }
+
+  test("score-graded ledgers sub-partition by tier; a tier-pruned view partition-prunes and stays sound") {
+    val path = freshPath()
+    val tbl = s"$path/led"
+    // hand-build a score-carrying ledger: 4 increments, then compact
+    (0L until 4L).foreach { b =>
+      (b * 5 + 1 to b * 5 + 5).map(i => (i, i % 3, i * 10))
+        .toDF("id", "score", "tokens")
+        .write.mode("overwrite").parquet(s"$tbl/batch=$b")
+    }
+    LedgerState.maintain(spark, tbl, 3L, idCol = "id",
+      scoreCol = Some("score"), bucketK = 4, compactEvery = 4)
+    assert(LedgerState.ckpts(spark, tbl).map(_.id) === Seq(3L))
+    val view = LedgerState.view(spark, tbl, exclude = -1L,
+      scorePrune = Some(("score", Set(2L))))
+    val plan = view.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_s"),
+      s"the checkpoint scan must partition-prune on the score tier:\n$plan")
+    assert(view.select("id").as[Long].collect().toSet ===
+      (1L to 20L).filter(_ % 3 == 2).toSet)
+    // the payload score column itself survives verbatim (the partition
+    // column is a synthetic copy)
+    assert(view.select("score").distinct().as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("quality head: a budget RAISE after compaction resurrects from the CHECKPOINT (score-pruned) and still equals the batch operator") {
+    val path = freshPath()
+    // 12 folds at compactEvery=4: ckpts at folds 3, 7, 11. Ten score
+    // tiers; a tight budget keeps most tiers rejected — their members
+    // exist ONLY in the arrivals ledger. The raise at fold 10 (after
+    // the fold-7 checkpoint, whose inputs are GC'd by fold 8) can only
+    // recover them through the compacted, score-partitioned ckpt=7.
+    def mkDocs(ids: Seq[Long]) =
+      ids.map(i => (i, (i % 10) * 100L, 10L + i % 3))
+        .toDF("doc_id", "score_k", "n_tokens")
+    val budgetOf: Long => Long = b => if (b >= 10) 800L else 60L
+    (0L until 12L).foreach { b =>
+      StreamingQualityHead.foldBatch(mkDocs(b * 8 + 1 to b * 8 + 8), b, path,
+        budgetOf(b), bucketK = 4, compactEvery = 4)
+    }
+    val streamed = StreamingQualityHead.head(spark, path)
+      .select("id").as[Long].collect().toSet
+    val batch = graft.ext.Mixture.qualityBudgetHead(mkDocs(1L to 96L), 800L)
+      .filter(col("admitted")).select("doc_id").as[Long].collect().toSet
+    assert(streamed === batch,
+      "post-compaction raise must resurrect ledger rows from the checkpoint")
+    assert(streamed.size > 5, "fixture must actually resurrect a head")
+    // lifecycle readmission counts resolve through the compacted view
+    val re = StreamingQualityHead.lifecycle(spark, path)
+      .filter(col("n_readmissions") > 0).count()
+    assert(re > 0, "the raise must have re-admitted previously-evicted docs")
+    // all three ledgers stay directory-bounded
+    Seq("arrivals", "evictions", "readmissions").foreach(t =>
+      assert(LedgerState.dirCount(spark, s"$path/$t") <= 6,
+        s"$t must stay compacted"))
+  }
+
+  test("group quality head: per-group raise after compaction resurrects only the raised group's cells from the checkpoint") {
+    val path = freshPath()
+    def mkDocs(ids: Seq[Long]) =
+      ids.map(i => (i, if (i % 2 == 0) "web" else "book",
+        (i % 5) * 100L, 10L + i % 3)).toDF("doc_id", "source", "score_k", "n_tokens")
+    val budgetsOf: Long => Map[String, Long] = b =>
+      if (b >= 10) Map("web" -> 500L, "book" -> 50L)
+      else Map("web" -> 50L, "book" -> 50L)
+    (0L until 12L).foreach { b =>
+      StreamingGroupQualityHead.foldBatch(mkDocs(b * 8 + 1 to b * 8 + 8), b,
+        path, budgetsOf(b), bucketK = 4, compactEvery = 4)
+    }
+    import org.apache.spark.sql.DataFrame
+    val streamed = StreamingGroupQualityHead.head(spark, path)
+      .select("id").as[Long].collect().toSet
+    val bDf: DataFrame = Seq(("web", 500L), ("book", 50L)).toDF("source", "budget")
+    val batch = graft.ext.Mixture.qualityBudgetHeadByGroup(
+        mkDocs(1L to 96L), bDf)
+      .filter(col("admitted")).select("doc_id").as[Long].collect().toSet
+    assert(streamed === batch,
+      "the raised group must recover its ledger rows from the checkpoint; " +
+        "the steady group must not move")
+    assert(streamed.exists(_ % 2 == 0) && streamed.exists(_ % 2 == 1))
+  }
+
+  test("GC keeps everything a replay needs: increments newer than the committed checkpoint survive until superseded") {
+    val path = freshPath()
+    (0L until 11L).foreach { b =>
+      StreamingBudgetAdmission.foldBatch(
+        mk(b * 10 + 1 to b * 10 + 10), b, path, 100000L,
+        bucketK = 4, compactEvery = 8)
+    }
+    val tbl = s"$path/verdicts"
+    // ckpt=7 committed; folds 8..10 are post-checkpoint increments; the
+    // pre-checkpoint increments 0..7 were GC'd by fold 8
+    assert(LedgerState.ckpts(spark, tbl).map(_.id) === Seq(7L))
+    assert(StreamState.generations(spark, tbl) === Seq(10L, 9L, 8L))
+    // replay of the newest batch still has its full pre-state
+    val once = StreamingBudgetAdmission.verdicts(spark, path)
+      .orderBy("id").collect().toSeq
+    StreamingBudgetAdmission.foldBatch(
+      mk(101L to 110L), 10L, path, 100000L, bucketK = 4, compactEvery = 8)
+    assert(StreamingBudgetAdmission.verdicts(spark, path)
+      .orderBy("id").collect().toSeq === once)
+  }
+}
