@@ -65,6 +65,13 @@ object ExtensionQueries {
   private val DsirBuckets = 1021   // x64 hashed-bigram feature space (PRIME — see Mixture.dsirLogWeights)
   private[queries] val NbBuckets = 2039     // x117 NB feature space (PRIME, same rationale)
   private[queries] val SrcQuotaTokens = 400L // x142 per-source token quota (bites at every tier)
+  // x167/x168 composed curated-pack pipeline: the quality floor sits at
+  // ~the 35th percentile of the fixture's 1e-6 score grid (5th pct
+  // 600000, median 620513 at sf0.01) so the floor genuinely drops docs,
+  // and the quota admits ~half of each source's ~1.1-1.6k quality-passed
+  // tokens so the gate bites mid-stream in every source
+  private[queries] val CuratedMinScoreK = 615000L
+  private[queries] val CuratedQuota = 700L
   // x143 global token budget — 250 lands INSIDE a multi-doc score tier at
   // the sf0.01 verify tier (prior 165 + docs 42,42,84), so the emitted sheet
   // shows full tiers, a frontier with BOTH verdicts, and rejected tiers

@@ -752,6 +752,84 @@ object StreamingQueries {
       graft.streaming.StreamingChunkPack.seqSheet(s, path,
           ExtensionQueries.PackSeqLen)
         .orderBy("shard", "seq")
+    }),
+
+    // the COMPOSED stream face of the end-to-end pipeline (x158's
+    // deployment shape, x167): raw document micro-batches → Bloom
+    // benchmark decontamination (x54) → quality floor + per-source
+    // token-quota admission (x142-class: the MONOTONE gate an immutable
+    // packer requires) → concat-and-chunk packing (x157), ONE attached
+    // foreachBatch pipeline behind one frontier. The accumulated
+    // fragments replay as the batch composition in arrival
+    // (= doc_id%4 batch, then doc_id) order.
+    "x167_stream_curated_pack" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      // benchmark = every 97th doc, the x44/x54 convention
+      val words = StreamingDecontaminate.bloomWords(
+        docs.filter(col("doc_id") % 97 === 0), n = 13,
+        bits = ExtensionQueries.BloomBits, k = ExtensionQueries.BloomK)
+      val rows = docs.as[(Long, String, String)].collect().toSeq
+      val residues = rows.map(_._1 % 4).toSet
+      require((0L until 4L).forall(residues.contains),
+        s"x167 harness needs all doc_id%4 residue classes non-empty; " +
+          s"missing ${(0L until 4L).filterNot(residues.contains).mkString(",")}")
+      val path = java.nio.file.Files.createTempDirectory("graft_x167_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x167_ck_").toString
+      val input = MemoryStream[(Long, String, String)]
+      val q = graft.streaming.StreamingCuratedPack.attach(
+        input.toDF().toDF("doc_id", "source", "text"), path, words,
+        minScoreK = ExtensionQueries.CuratedMinScoreK,
+        quota = ExtensionQueries.CuratedQuota,
+        seqLen = ExtensionQueries.PackSeqLen, numShards = 4,
+        bloomBits = ExtensionQueries.BloomBits,
+        bloomK = ExtensionQueries.BloomK)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try (0L until 4L).foreach { b =>
+        input.addData(rows.filter(_._1 % 4 == b))
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.StreamingCuratedPack.fragments(s, path)
+        .select(col("id").as("doc_id"), col("shard"), col("pos"),
+          col("seq"), col("frag_start"), col("frag_len"), col("doc_off"),
+          col("arrival_batch"))
+        .orderBy("doc_id", "seq")
+    }),
+
+    // the composed pipeline's cumulative per-source FUNNEL (x168): how
+    // many docs each curation stage dropped and the admitted token
+    // yield — the observability sheet a data owner reads against the
+    // x167 fragments (same composed run, same constants)
+    "x168_stream_curation_funnel" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val words = StreamingDecontaminate.bloomWords(
+        docs.filter(col("doc_id") % 97 === 0), n = 13,
+        bits = ExtensionQueries.BloomBits, k = ExtensionQueries.BloomK)
+      val rows = docs.as[(Long, String, String)].collect().toSeq
+      val path = java.nio.file.Files.createTempDirectory("graft_x168_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x168_ck_").toString
+      val input = MemoryStream[(Long, String, String)]
+      val q = graft.streaming.StreamingCuratedPack.attach(
+        input.toDF().toDF("doc_id", "source", "text"), path, words,
+        minScoreK = ExtensionQueries.CuratedMinScoreK,
+        quota = ExtensionQueries.CuratedQuota,
+        seqLen = ExtensionQueries.PackSeqLen, numShards = 4,
+        bloomBits = ExtensionQueries.BloomBits,
+        bloomK = ExtensionQueries.BloomK)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try (0L until 4L).foreach { b =>
+        input.addData(rows.filter(_._1 % 4 == b))
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.StreamingCuratedPack.funnel(s, path)
+        .orderBy("source")
     }))
 
   /** The x15 deterministic-recurrence centroids as KMeans.Centroid
@@ -961,6 +1039,128 @@ object StreamingQueries {
          |  seq < max(seq) OVER (PARTITION BY shard)
          |    OR filled = ${ExtensionQueries.PackSeqLen} AS is_final
          |FROM shq ORDER BY shard, seq""".stripMargin,
+
+    // x167: the composed pipeline replayed stage by stage — the x54
+    // Bloom candidate mechanics name the contaminated set, the x03
+    // quality chain scores the survivors, the x142 per-source quota
+    // window (in arrival = doc_id%4, doc_id order) admits, and the x157
+    // closed-form fragment tail packs the admitted set in the same order
+    "x167_stream_curated_pack" -> {
+      val aL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomA).mkString("[", ",", "]")
+      val bL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomB).mkString("[", ",", "]")
+      val mod = ExtensionQueries.Mod
+      val bits = ExtensionQueries.BloomBits
+      val k = ExtensionQueries.BloomK
+      val seqLen = ExtensionQueries.PackSeqLen
+      s"""WITH ${ExtensionQueries.sqlShnCte(13)},
+         |bpos AS (SELECT DISTINCT (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits AS pos
+         |  FROM bg CROSS JOIN range(0, $k) r(j)),
+         |cp AS (SELECT doc_id, h, unnest(list_transform(range(0, $k),
+         |    j -> (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits)) AS pos FROM cg),
+         |cand AS (SELECT doc_id, h FROM cp JOIN bpos USING (pos)
+         |  GROUP BY 1, 2 HAVING count(*) = $k),
+         |cont AS (SELECT DISTINCT doc_id FROM cand),
+         |${ExtensionQueries.sqlQualityCtes},
+         |q0 AS (SELECT doc_id,
+         |    CAST(round((${ExtensionQueries.sqlQualityScore}) * 1000000, 0)
+         |      AS BIGINT) AS score_k
+         |  FROM g),
+         |cb AS (SELECT d.doc_id, d.source,
+         |    CAST(d.doc_id % 4 AS BIGINT) AS ab,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents d
+         |  JOIN q0 ON q0.doc_id = d.doc_id
+         |  LEFT JOIN cont ON cont.doc_id = d.doc_id
+         |  WHERE cont.doc_id IS NULL
+         |    AND q0.score_k >= ${ExtensionQueries.CuratedMinScoreK}),
+         |ca AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY ab, doc_id) AS BIGINT) AS src_cum FROM cb),
+         |ptb AS (SELECT doc_id, ab AS arrival_batch,
+         |    CAST(${ExtensionQueries.sqlStringHash("CAST(doc_id AS VARCHAR) || ':ps'")} % 4
+         |      AS BIGINT) AS shard, n_tokens
+         |  FROM ca
+         |  WHERE src_cum <= ${ExtensionQueries.CuratedQuota} AND n_tokens > 0),
+         |po AS (SELECT doc_id, arrival_batch, shard, n_tokens,
+         |    CAST(row_number() OVER (PARTITION BY shard
+         |      ORDER BY arrival_batch, doc_id) AS BIGINT) AS pos,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard
+         |      ORDER BY arrival_batch, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum
+         |  FROM ptb),
+         |pf AS (SELECT doc_id, arrival_batch, shard, pos,
+         |    cum - n_tokens AS st, cum FROM po),
+         |px AS (SELECT *, unnest(range(st // $seqLen,
+         |    (cum - 1) // $seqLen + 1)) AS seq FROM pf)
+         |SELECT doc_id, shard, pos, CAST(seq AS BIGINT) AS seq,
+         |  CAST(greatest(st, seq * $seqLen) - seq * $seqLen AS BIGINT)
+         |    AS frag_start,
+         |  CAST(least(cum, (seq + 1) * $seqLen)
+         |    - greatest(st, seq * $seqLen) AS BIGINT) AS frag_len,
+         |  CAST(greatest(st, seq * $seqLen) - st AS BIGINT) AS doc_off,
+         |  arrival_batch
+         |FROM px ORDER BY doc_id, seq""".stripMargin
+    },
+
+    // x168: the same composed chain folded per source — the funnel's
+    // stage counts and admitted yield (no re-arrivals in the harness,
+    // so n_rearrived is identically 0)
+    "x168_stream_curation_funnel" -> {
+      val aL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomA).mkString("[", ",", "]")
+      val bL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomB).mkString("[", ",", "]")
+      val mod = ExtensionQueries.Mod
+      val bits = ExtensionQueries.BloomBits
+      val k = ExtensionQueries.BloomK
+      s"""WITH ${ExtensionQueries.sqlShnCte(13)},
+         |bpos AS (SELECT DISTINCT (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits AS pos
+         |  FROM bg CROSS JOIN range(0, $k) r(j)),
+         |cp AS (SELECT doc_id, h, unnest(list_transform(range(0, $k),
+         |    j -> (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits)) AS pos FROM cg),
+         |cand AS (SELECT doc_id, h FROM cp JOIN bpos USING (pos)
+         |  GROUP BY 1, 2 HAVING count(*) = $k),
+         |cont AS (SELECT DISTINCT doc_id FROM cand),
+         |${ExtensionQueries.sqlQualityCtes},
+         |q0 AS (SELECT doc_id,
+         |    CAST(round((${ExtensionQueries.sqlQualityScore}) * 1000000, 0)
+         |      AS BIGINT) AS score_k
+         |  FROM g),
+         |fl AS (SELECT d.doc_id, d.source,
+         |    CAST(d.doc_id % 4 AS BIGINT) AS ab,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    cont.doc_id IS NULL AS cl,
+         |    cont.doc_id IS NULL
+         |      AND q0.score_k >= ${ExtensionQueries.CuratedMinScoreK} AS qk
+         |  FROM documents d
+         |  JOIN q0 ON q0.doc_id = d.doc_id
+         |  LEFT JOIN cont ON cont.doc_id = d.doc_id),
+         |ca AS (SELECT doc_id,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY ab, doc_id) AS BIGINT) AS src_cum
+         |  FROM fl WHERE qk)
+         |SELECT fl.source,
+         |  CAST(count(*) AS BIGINT) AS n_arrived,
+         |  CAST(sum(CASE WHEN fl.cl THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         |  CAST(sum(CASE WHEN fl.qk THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_quality_ok,
+         |  CAST(0 AS BIGINT) AS n_rearrived,
+         |  CAST(sum(CASE WHEN fl.qk
+         |      AND ca.src_cum <= ${ExtensionQueries.CuratedQuota}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+         |  CAST(sum(CASE WHEN fl.qk
+         |      AND ca.src_cum > ${ExtensionQueries.CuratedQuota}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_quota_rejected,
+         |  CAST(sum(CASE WHEN fl.qk
+         |      AND ca.src_cum <= ${ExtensionQueries.CuratedQuota}
+         |    THEN fl.n_tokens ELSE 0 END) AS BIGINT) AS tokens_admitted
+         |FROM fl LEFT JOIN ca ON ca.doc_id = fl.doc_id
+         |GROUP BY fl.source ORDER BY fl.source""".stripMargin
+    },
 
     // x150: the evictive head replayed as one per-PREFIX tier pass —
     // for each arrival prefix b (docs with doc_id%4 <= b) the x143 tier

@@ -1,0 +1,248 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/**
+ * The composed stream face of the end-to-end pipeline (x158's deployment
+ * shape): raw document micro-batches → benchmark DECONTAMINATION →
+ * quality/budget ADMISSION → concat-and-chunk PACKING, as ONE attached
+ * foreachBatch sink behind one frontier — the LLM-data-pipeline analog
+ * of the reference's composed collect→evaluate→act loop
+ * (`src/main/scala/TrinoAutoscaler.scala:24-32` composes fetch, metric
+ * evaluation, and the resize action into the one poll loop a deployment
+ * actually runs; here the stages a trainer actually consumes compose
+ * the same way). A trainer reads final sequences behind the frontier
+ * while raw docs are still arriving.
+ *
+ * Stage choice — why the admission is the x142 QUOTA gate, not the x150
+ * evictive head: a packed fragment is immutable the moment its fold
+ * commits (that immutability is the whole train-behind-the-frontier
+ * contract), so the admission feeding the packer must be MONOTONE —
+ * verdicts that never revoke. The first-come per-source token quota is
+ * exactly that; an evictive head would retroactively unpack evicted
+ * docs. Quality enters as a score floor: a doc below `minScoreK` never
+ * reaches the quota. (A deployment that wants best-of curation runs the
+ * x150/x151 head UPSTREAM as its own stream and feeds this pipeline the
+ * head's final epoch — the x152/x154 pattern.)
+ *
+ * Composition mechanics: each stage reuses its standalone fold verbatim
+ * — [[StreamingBudgetAdmission.foldBatch]] then
+ * [[StreamingChunkPack.foldBatch]] — against sub-trees of one state
+ * path, so every exactly-once/replay/compaction property is inherited,
+ * not re-proven. The decontamination screen is the stateless
+ * [[StreamingDecontaminate]] Bloom-literal probe (one codegen'd loop
+ * per doc, no state store). The packer's input is the fold's OWN
+ * committed admission slice (`admission/verdicts/batch=<id>`, filtered
+ * to admitted) — deterministic under replay because the admission fold
+ * truncates-and-rewrites it from a state view that excludes itself.
+ *
+ * State layout under `path/`:
+ *  - `admission/` — a full [[StreamingBudgetAdmission]] tree (verdicts
+ *    ledger + totals);
+ *  - `pack/`      — a full [[StreamingChunkPack]] tree (frags ledger +
+ *    totals);
+ *  - `funnel/batch=<id>` — CUMULATIVE per-source stage counts after the
+ *    fold (arrived → clean → quality_ok → rearrived/admitted/
+ *    quota_rejected + admitted tokens): the observability sheet a data
+ *    owner reads. Dimension-sized, generation-superseded,
+ *    retention-pruned like the sub-streams' totals.
+ *
+ * Equivalence contract (the x167 oracle): the accumulated fragments
+ * equal the BATCH composition over everything ingested in arrival
+ * order — bloom-clean set → score floor → per-source running-quota
+ * window in (arrival batch, id) order → one closed-form
+ * [[graft.ext.Packing.packChunked]] pass over the admitted set in the
+ * same order.
+ */
+object StreamingCuratedPack {
+
+  /** Attach the composed sink over a raw stream carrying (idCol,
+    * groupCol, textCol). `bloomWords` is the benchmark's dense Bloom
+    * bitset ([[StreamingDecontaminate.bloomWords]], built batch-side
+    * once); `minScoreK` the 1e-6-grid quality floor; `quota` the
+    * per-source token budget; `numShards` the packer's tape count. */
+  def attach(
+      docs: DataFrame,
+      path: String,
+      bloomWords: Array[Long],
+      minScoreK: Long,
+      quota: Long,
+      seqLen: Long,
+      numShards: Int,
+      idCol: String = "doc_id",
+      groupCol: String = "source",
+      textCol: String = "text",
+      ngram: Int = 13,
+      bloomBits: Long = 1L << 16,
+      bloomK: Int = 4,
+      shardSalt: String = ":ps",
+      retainGenerations: Int = 3,
+      bucketK: Int = 64,
+      compactEvery: Int = 16): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(batch, batchId, path, bloomWords, minScoreK, quota, seqLen,
+          numShards, idCol, groupCol, textCol, ngram, bloomBits, bloomK,
+          shardSalt, retainGenerations, bucketK, compactEvery)
+      }
+
+  /** One composed fold — public so replay (foreachBatch re-delivering
+    * after any prefix of the three stages' writes committed) is
+    * directly spec-testable. */
+  def foldBatch(
+      batch: DataFrame,
+      batchId: Long,
+      path: String,
+      bloomWords: Array[Long],
+      minScoreK: Long,
+      quota: Long,
+      seqLen: Long,
+      numShards: Int,
+      idCol: String = "doc_id",
+      groupCol: String = "source",
+      textCol: String = "text",
+      ngram: Int = 13,
+      bloomBits: Long = 1L << 16,
+      bloomK: Int = 4,
+      shardSalt: String = ":ps",
+      retainGenerations: Int = 3,
+      bucketK: Int = 64,
+      compactEvery: Int = 16): Unit = {
+    require(numShards > 0, "numShards must be positive")
+    require(minScoreK >= 0, "minScoreK must be non-negative")
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      // ONE in-batch id dedup up front (representative = struct min, the
+      // sub-folds' rule) so every stage — including the funnel counts —
+      // sees the same one row per id and the attribution is coherent
+      val uniq = batch.groupBy(col(idCol))
+        .agg(min(struct(col(groupCol).cast("string").as("grp"),
+          col(textCol).cast("string").as("txt"))).as("_rep"))
+        .select(col(idCol).as("id"), col("_rep.grp").as("source"),
+          col("_rep.txt").as("text"))
+        .persist()
+      // stage 1: the Bloom screen (stateless literal probe; zero false
+      // negatives — no benchmark n-gram run slips through)
+      val clean = StreamingDecontaminate.withBloomHits(
+          uniq, bloomWords, ngram, bloomBits, bloomK, "text")
+        .filter(col("n_bloom_hits") === 0L)
+      // stage 2: quality score + token count, score floor
+      val scored = clean.select(col("id"), col("source"),
+          round(graft.ext.TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+            .cast("long").as("score_k"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        .persist()
+      val qualityOk = scored.filter(col("score_k") >= minScoreK)
+      // stage 3: the monotone per-source quota gate (its own fold —
+      // ledgered verdicts, re-arrival guard, bucketed compaction)
+      StreamingBudgetAdmission.foldBatch(qualityOk, batchId,
+        s"$path/admission", quota, "id", "source", "n_tokens",
+        retainGenerations, bucketK, compactEvery)
+      // stage 4: pack THIS fold's committed admission slice — the
+      // admission fold truncates-and-rewrites its batch dir from a
+      // self-excluding state view, so the slice is replay-deterministic;
+      // absent dir = the whole batch was re-arrivals or empty
+      val verdDir = s"$path/admission/verdicts/batch=$batchId"
+      val newVerdicts =
+        if (StreamState.exists(spark, verdDir))
+          spark.read.parquet(verdDir)
+            .select(col("id"), col("group"), col("tokens"), col("admitted"))
+            .persist()
+        else null
+      if (newVerdicts != null) {
+        val admitted = newVerdicts.filter(col("admitted"))
+          .select(col("id"),
+            pmod(graft.functions.HashExpressions.rolling_hash(
+              concat(col("id").cast("string"), lit(shardSalt))),
+              lit(numShards.toLong)).as("shard"),
+            col("tokens").as("n_tokens"))
+        StreamingChunkPack.foldBatch(admitted, batchId, s"$path/pack",
+          seqLen, "id", "shard", "n_tokens",
+          retainGenerations, bucketK, compactEvery)
+      }
+      // the cumulative funnel: prior generation + this batch's deltas
+      // (every frame here is batch- or dimension-sized). n_rearrived =
+      // quality-passed docs that already held a verdict (the admission
+      // fold's guard dropped them); they are NOT quota rejections.
+      val batchCounts = uniq.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_arrived"))
+        .join(clean.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_clean")), Seq("source"), "left")
+        .join(qualityOk.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_quality_ok")), Seq("source"), "left")
+        .join(
+          (if (newVerdicts == null)
+             uniq.limit(0).select(col("source"),
+               lit(0L).as("n_admitted"), lit(0L).as("n_quota_rejected"),
+               lit(0L).as("tokens_admitted"))
+           else newVerdicts.groupBy(col("group").as("source"))
+             .agg(sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+               sum(when(!col("admitted"), 1L).otherwise(0L)).as("n_quota_rejected"),
+               sum(when(col("admitted"), col("tokens")).otherwise(0L))
+                 .as("tokens_admitted"))),
+          Seq("source"), "left")
+        .select(col("source"),
+          col("n_arrived"),
+          coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+          coalesce(col("n_quality_ok"), lit(0L)).as("n_quality_ok"),
+          (coalesce(col("n_quality_ok"), lit(0L)) -
+            coalesce(col("n_admitted"), lit(0L)) -
+            coalesce(col("n_quota_rejected"), lit(0L))).as("n_rearrived"),
+          coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+          coalesce(col("n_quota_rejected"), lit(0L)).as("n_quota_rejected"),
+          coalesce(col("tokens_admitted"), lit(0L)).as("tokens_admitted"))
+      val priorFunnel: DataFrame =
+        if (StreamState.exists(spark, s"$path/funnel")) {
+          val t = spark.read.parquet(s"$path/funnel")
+            .filter(col("batch") =!= lit(batchId))
+          val mx = t.agg(max(col("batch").cast("long"))).head()
+          if (mx.isNullAt(0)) null
+          else t.filter(col("batch").cast("long") === lit(mx.getLong(0)))
+            .drop("batch")
+        } else null
+      val funnel =
+        if (priorFunnel == null) batchCounts
+        else batchCounts.unionByName(priorFunnel)
+          .groupBy(col("source"))
+          .agg(sum(col("n_arrived")).as("n_arrived"),
+            sum(col("n_clean")).as("n_clean"),
+            sum(col("n_quality_ok")).as("n_quality_ok"),
+            sum(col("n_rearrived")).as("n_rearrived"),
+            sum(col("n_admitted")).as("n_admitted"),
+            sum(col("n_quota_rejected")).as("n_quota_rejected"),
+            sum(col("tokens_admitted")).as("tokens_admitted"))
+      funnel.write.mode("overwrite").parquet(s"$path/funnel/batch=$batchId")
+      StreamState.pruneGenerations(spark, s"$path/funnel", retainGenerations)
+      if (newVerdicts != null) newVerdicts.unpersist(blocking = false)
+      scored.unpersist(blocking = false)
+      uniq.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** The accumulated packed fragments — must equal one batch
+    * [[graft.ext.Packing.packChunked]] pass over the composed chain's
+    * admitted set in arrival order. */
+  def fragments(spark: SparkSession, path: String): DataFrame =
+    StreamingChunkPack.fragments(spark, s"$path/pack")
+
+  /** The per-sequence trainer sheet over the composed output. */
+  def seqSheet(spark: SparkSession, path: String, seqLen: Long): DataFrame =
+    StreamingChunkPack.seqSheet(spark, s"$path/pack", seqLen)
+
+  /** The accumulated admission verdicts (post-decontamination,
+    * post-quality-floor docs only — earlier stages drop without a
+    * verdict; their counts live in [[funnel]]). */
+  def verdicts(spark: SparkSession, path: String): DataFrame =
+    StreamingBudgetAdmission.verdicts(spark, s"$path/admission")
+
+  /** The cumulative per-source funnel after the latest fold. */
+  def funnel(spark: SparkSession, path: String): DataFrame = {
+    val t = spark.read.parquet(s"$path/funnel")
+    val mx = t.agg(max(col("batch").cast("long"))).head().getLong(0)
+    t.filter(col("batch").cast("long") === lit(mx)).drop("batch")
+  }
+}

@@ -1,0 +1,164 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ext.Packing
+import org.apache.spark.sql.functions._
+
+/** The composed curated-pack pipeline must equal the BATCH composition
+  * over everything ingested in arrival order: bloom-clean set → quality
+  * floor → per-source running quota → one packChunked pass. Replay of
+  * any crash window is idempotent (each stage inherits its standalone
+  * fold's discipline). */
+class StreamingCuratedPackSpec extends SparkSpec {
+  import spark.implicits._
+
+  // fixture: 3 sources, some docs carrying a benchmark 13-gram run,
+  // some below the quality floor, quotas that bite mid-stream
+  private val bench = "alpha beta gamma delta epsilon zeta eta theta " +
+    "iota kappa lambda mu nu"
+  private def goodText(i: Long) =
+    s"the quick brown fox jumps over the lazy dog near bank $i of the " +
+      s"river and it was warm"
+  private def junkText(i: Long) =
+    s"zzzzzzzzzzzzzzzzzzzzzzzz!!!!!!!!!!?????....,,,, $i"
+  private def doc(i: Long): (Long, String, String) = {
+    val src = s"src${i % 3}"
+    val text =
+      if (i % 7 == 0) s"prefix $i $bench suffix"   // contaminated
+      else if (i % 5 == 0) junkText(i)             // below quality floor
+      else goodText(i)
+    (i, src, text)
+  }
+  private def docsDf(ids: Seq[Long]) =
+    ids.map(doc).toDF("doc_id", "source", "text")
+
+  private lazy val words = StreamingDecontaminate.bloomWords(
+    Seq((0L, bench)).toDF("doc_id", "text"))
+
+  private val MinScoreK = 600000L
+  private val Quota = 120L
+  private val SeqLen = 16L
+  private val Shards = 2
+
+  /** The batch composition in arrival (= batch, then id) order. */
+  private def batchReference(
+      batches: Seq[Seq[Long]]): Seq[(Long, Long, Long, Long, Long, Long, Long)] = {
+    val arr = batches.zipWithIndex.flatMap { case (ids, b) =>
+      ids.map(i => (i, b.toLong))
+    }.toDF("doc_id", "ab")
+    val all = docsDf(batches.flatten)
+    val clean = StreamingDecontaminate.withBloomHits(all, words)
+      .filter(col("n_bloom_hits") === 0L)
+    val scored = clean.select(col("doc_id"), col("source"),
+        round(graft.ext.TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+          .cast("long").as("score_k"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .filter(col("score_k") >= MinScoreK)
+      .join(arr, Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("ab", "doc_id")
+    val admitted = scored
+      .withColumn("src_cum", sum(col("n_tokens")).over(w).cast("long"))
+      .filter(col("src_cum") <= Quota)
+      .select(col("doc_id"),
+        pmod(graft.functions.HashExpressions.rolling_hash(
+          concat(col("doc_id").cast("string"), lit(":ps"))),
+          lit(Shards.toLong)).as("shard"),
+        col("n_tokens"), col("ab"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("ab", "doc_id")
+    val tape = admitted.filter(col("n_tokens") > 0)
+      .withColumn("pos", row_number().over(wS).cast("long"))
+      .select(lit(0L).as("epoch"), col("shard"), col("pos"),
+        col("doc_id"), col("n_tokens"))
+    Packing.packChunked(tape, SeqLen, Seq("shard"))
+      .select(col("doc_id"), col("shard"), col("pos"), col("seq"),
+        col("frag_start"), col("frag_len"), col("doc_off"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(r => (r._1, r._4))
+  }
+
+  private def streamedFragments(path: String) =
+    StreamingCuratedPack.fragments(spark, path)
+      .select(col("id"), col("shard"), col("pos"), col("seq"),
+        col("frag_start"), col("frag_len"), col("doc_off"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(r => (r._1, r._4))
+
+  private def fold(path: String, ids: Seq[Long], b: Long): Unit =
+    StreamingCuratedPack.foldBatch(docsDf(ids), b, path, words,
+      MinScoreK, Quota, SeqLen, Shards)
+
+  test("fold-by-fold the composed fragments equal the batch composition; the funnel attributes every drop") {
+    val path = java.nio.file.Files.createTempDirectory("graft_scp_").toString
+    val batches = Seq((1L to 20L).toSeq, (21L to 40L).toSeq, (41L to 60L).toSeq)
+    batches.zipWithIndex.foreach { case (ids, b) => fold(path, ids, b.toLong) }
+    assert(streamedFragments(path) === batchReference(batches))
+    assert(streamedFragments(path).nonEmpty, "fixture must actually pack")
+    // the funnel: arrived = 60 total; contaminated (i%7==0, 8 ids) and
+    // junk (i%5==0 minus overlaps) dropped before admission; every
+    // quality-passed doc holds a verdict; admitted tokens within quota
+    val f = StreamingCuratedPack.funnel(spark, path)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(f.values.map(_._2).sum === 60L, "every arrival counted")
+    f.values.foreach { r =>
+      assert(r._3 <= r._2, "clean <= arrived")
+      assert(r._4 <= r._3, "quality_ok <= clean")
+      assert(r._5 === 0L, "no re-arrivals in this run")
+      assert(r._4 === r._6 + r._7, "quality_ok = admitted + quota_rejected")
+      assert(r._8 <= Quota, "admitted tokens within the quota")
+    }
+    assert(f.values.map(_._7).sum > 0L, "quota must actually bite")
+    assert(f.values.map(_._2).sum > f.values.map(_._3).sum,
+      "decontamination must actually drop")
+    assert(f.values.map(_._3).sum > f.values.map(_._4).sum,
+      "the quality floor must actually drop")
+  }
+
+  test("replaying the last fold (all stages committed) is a no-op; re-arrivals in a later batch are not re-packed or re-charged") {
+    val path = java.nio.file.Files.createTempDirectory("graft_scp2_").toString
+    fold(path, 1L to 20L, 0L)
+    fold(path, 21L to 40L, 1L)
+    val once = streamedFragments(path)
+    val funnelOnce = StreamingCuratedPack.funnel(spark, path)
+      .orderBy("source").collect().toSeq
+    // crash after the stream processed batch 1 but before the offset
+    // commit: the whole composed fold re-runs
+    fold(path, 21L to 40L, 1L)
+    assert(streamedFragments(path) === once,
+      "replay must rewrite identical fragments, never duplicate")
+    assert(StreamingCuratedPack.funnel(spark, path)
+      .orderBy("source").collect().toSeq === funnelOnce,
+      "replay must not double-count the funnel")
+    // cross-batch re-arrival: already-verdicted docs no-op the quota
+    // and the tape; the funnel books them as re-arrivals
+    fold(path, 1L to 10L, 2L)
+    assert(streamedFragments(path) === once)
+    val f2 = StreamingCuratedPack.funnel(spark, path)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(f2.values.map(_._5).sum > 0L, "re-arrivals must be booked")
+    assert(f2.values.map(_._2).sum === 50L)
+  }
+
+  test("crash INSIDE the composed fold (admission committed, pack not) replays to the identical end state") {
+    val path = java.nio.file.Files.createTempDirectory("graft_scp3_").toString
+    fold(path, 1L to 20L, 0L)
+    val once = streamedFragments(path)
+    fold(path, 21L to 40L, 1L)
+    val twice = streamedFragments(path)
+    // simulate the window: batch 1's pack output vanishes (the fold
+    // died between the admission write and the pack write); admission's
+    // batch=1 verdicts stay durable
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"$path/pack/frags/batch=1"))
+    assert(streamedFragments(path) === once, "window state visible")
+    fold(path, 21L to 40L, 1L)
+    assert(streamedFragments(path) === twice,
+      "replay must converge to the committed composition")
+  }
+}
