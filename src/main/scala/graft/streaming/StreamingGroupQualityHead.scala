@@ -244,11 +244,23 @@ object StreamingGroupQualityHead {
           catch { case _: org.apache.spark.sql.AnalysisException =>
             Map.empty[String, Long] }
         }.getOrElse(Map.empty)
+        // Group-set dynamics: ADDING a group mid-stream is supported —
+        // it "starts fresh from its first curated fold". Its earlier
+        // arrivals were dropped WITHOUT a ledger row (explicit budgets
+        // are the curation contract, exactly as in batch), so there is
+        // deliberately nothing to resurrect: recovering them would
+        // require the raw corpus, which the stream never stores. A new
+        // group is NOT a raise (no stored budget to compare against) —
+        // its first fold runs the ordinary arrival path. REMOVING a
+        // group stays fail-loud: its cells would linger in hist/tiers
+        // with no budget to evaluate them under, a silently-frozen
+        // half-curation no deployment means to express (drop the stream
+        // and re-plan instead).
         if (priorBudgets.nonEmpty)
-          require(priorBudgets.keySet == budgets.keySet,
-            s"the curated group set is fixed for the life of the state path: " +
-              s"stored ${priorBudgets.keySet.toSeq.sorted} vs " +
-              s"supplied ${budgets.keySet.toSeq.sorted}")
+          require(priorBudgets.keySet.subsetOf(budgets.keySet),
+            s"a curated group cannot be REMOVED mid-stream (added is fine " +
+              s"— it starts fresh): stored ${priorBudgets.keySet.toSeq.sorted} " +
+              s"vs supplied ${budgets.keySet.toSeq.sorted}")
         val raisedGroups: Set[String] =
           budgets.collect { case (g, b) if priorBudgets.get(g).exists(b > _) => g }.toSet
         // merged per-(group, tier) token totals over everything ingested

@@ -310,14 +310,46 @@ class StreamingGroupQualityHeadSpec extends SparkSpec {
     }
   }
 
-  test("the group set is fixed: a fold with a different key set fails loudly") {
+  test("group-set dynamics: REMOVING a group fails loudly; a group ADDED mid-stream starts fresh from its first curated fold") {
     val path = newPath()
-    StreamingGroupQualityHead.foldBatch(docs(b0: _*), 0L, path, B)
+    // batch 0 carries docs of a, b AND the not-yet-curated group c —
+    // c's docs are dropped without a ledger row (explicit budgets are
+    // the contract)
+    StreamingGroupQualityHead.foldBatch(
+      docs((b0 :+ (21L, "c", 90L, 30L)): _*), 0L, path, B)
+    assert(headSet(path) === batchAdmitted(b0, B))
+    assert(!StreamingGroupQualityHead.ledger(spark, path)
+      .filter(col("grp") === "c").limit(1).collect().nonEmpty,
+      "a never-curated group's arrivals must leave no ledger row")
+    // removal stays fail-loud: a half-curated state is not expressible
     val e = intercept[IllegalArgumentException] {
       StreamingGroupQualityHead.foldBatch(
         docs(b1: _*), 1L, path, Map("a" -> 100L, "zz" -> 10L))
     }
-    assert(e.getMessage.contains("group set is fixed"))
+    assert(e.getMessage.contains("cannot be REMOVED"))
+    // addition: c enters the plan at fold 1 and starts FRESH — its
+    // batch-0 doc is NOT resurrected (it was never ledgered), and from
+    // here on c's head equals the batch operator over ONLY its curated
+    // arrivals. The other groups are untouched by the addition.
+    val B2 = B + ("c" -> 60L)
+    val c1 = Seq((22L, "c", 80L, 30L), (23L, "c", 70L, 40L))
+    StreamingGroupQualityHead.foldBatch(docs((b1 ++ c1): _*), 1L, path, B2)
+    assert(headSet(path) === batchAdmitted(b0 ++ b1 ++ c1, B2))
+    assert(!headSet(path).contains(21L),
+      "the pre-addition arrival must not retroactively enter the head")
+    // c's own evictive path works from its fresh start: a better doc
+    // arrives and evicts c's tail under its 60-token budget
+    val c2 = Seq((24L, "c", 95L, 40L))
+    StreamingGroupQualityHead.foldBatch(docs(c2: _*), 2L, path, B2)
+    assert(headSet(path) === batchAdmitted(b0 ++ b1 ++ c1 ++ c2, B2))
+    val lc = StreamingGroupQualityHead.lifecycle(spark, path)
+      .filter(col("grp") === "c")
+      .select("id", "admit", "admitted")
+      .as[(Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(lc.keySet === Set(22L, 23L, 24L),
+      "c's ledger must hold exactly its post-addition arrivals")
+    assert(lc(24L) === ((true, true)), "the late best doc must admit")
   }
 
   test("replaying a committed per-group RAISE fold is a no-op on every table") {
