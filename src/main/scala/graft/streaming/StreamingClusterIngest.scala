@@ -57,11 +57,14 @@ object StreamingClusterIngest {
       p: Dedup.MinHashParams = Dedup.MinHashParams(),
       maxBucket: Int = Dedup.DefaultMaxBucket,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataStreamWriter[Row] =
+      textCol: String = "text",
+      bucketK: Int = 64,
+      compactEvery: Int = 16): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldBatch(batch, batchId, path, threshold, p, maxBucket, idCol, textCol)
+        foldBatch(batch, batchId, path, threshold, p, maxBucket, idCol,
+          textCol, bucketK, compactEvery)
       }
 
   /** One micro-batch's fold into the state dir — public so the replay
@@ -76,7 +79,9 @@ object StreamingClusterIngest {
       p: Dedup.MinHashParams = Dedup.MinHashParams(),
       maxBucket: Int = Dedup.DefaultMaxBucket,
       idCol: String = "doc_id",
-      textCol: String = "text"): Unit = {
+      textCol: String = "text",
+      bucketK: Int = 64,
+      compactEvery: Int = 16): Unit = {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val hasState = StreamState.exists(spark, s"$path/labels")
@@ -100,9 +105,9 @@ object StreamingClusterIngest {
           if (!dedup.isEmpty) {
             val newSh = dedup.select(col(idCol).as("id"),
               sort_array(Dedup.shingleHashes(col(textCol))).as("sh"))
-            // read back WITHOUT the discovered batch partition column —
-            // state consumers are keyed on content, not arrival epoch —
-            // and EXCLUDING this batch's own batch=<id> partitions (the
+            // read back through the compacted-ledger view — state
+            // consumers are keyed on content, not arrival epoch — and
+            // EXCLUDING this batch's own batch=<id> partitions (the
             // StreamingWinnowIngest stateView discipline): a crashed
             // attempt that committed sh/banded but not labels must be
             // invisible to the rerun, or the replay probes buckets
@@ -111,11 +116,9 @@ object StreamingClusterIngest {
             val (oldLabels, oldSh, oldBanded) =
               if (hasState)
                 (spark.read.parquet(s"$path/labels"),
-                  spark.read.parquet(s"$path/sh")
-                    .filter(col("batch") =!= lit(batchId))
+                  LedgerState.view(spark, s"$path/sh", batchId)
                     .select(col("id"), col("sh")),
-                  spark.read.parquet(s"$path/banded")
-                    .filter(col("batch") =!= lit(batchId))
+                  LedgerState.view(spark, s"$path/banded", batchId)
                     .select(col("id"), col("band"), col("band_key")))
               else
                 (newSh.select(col("id"), col("id").as("component")).limit(0),
@@ -131,11 +134,17 @@ object StreamingClusterIngest {
             // presence is the replay sentinel above, so it must commit
             // only after the sh/banded rows it summarizes are durable —
             // and a replay of a half-committed batch rewrites the same
-            // batch=<id> dirs instead of appending a second copy
+            // batch=<id> dirs instead of appending a second copy;
+            // ledger compaction runs after the sentinel (its GC only
+            // ever deletes dirs redundant w.r.t. an earlier fold's
+            // checkpoint, so any crash window replays with inputs intact)
             newSh.write.mode("overwrite").parquet(s"$path/sh/batch=$batchId")
             Dedup.bandedFromShingles(newSh, p).write.mode("overwrite")
               .parquet(s"$path/banded/batch=$batchId")
             merged.write.mode("overwrite").parquet(s"$path/labels")
+            Seq("sh", "banded").foreach(t =>
+              LedgerState.maintain(spark, s"$path/$t", batchId,
+                bucketK = bucketK, compactEvery = compactEvery))
             pairs.unpersist(blocking = false)
           }
           dedup.unpersist(blocking = false)

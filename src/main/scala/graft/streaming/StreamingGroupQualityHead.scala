@@ -60,17 +60,20 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  * (per-`batch=<id>` overwrite generations; every read excludes the
  * fold's own batch, so crash-window replay recomputes identical frames
  * and truncates-and-rewrites), with every key widened by `grp`:
- *  - `hist/batch=<id>`  — (grp, score, bt) per-(group, tier) token
- *    totals over everything ingested. Groups × grid bounded.
+ *  - `meta/batch=<id>` — ONE groups × grid bounded (kind, grp, k1, v)
+ *    table holding every dimension-sized state, written LAST (the
+ *    generation's commit marker): 'hist' rows (grp, score → bt);
+ *    'tiers' rows (grp, score → head generation) — the head's read
+ *    index, emptied cells drop out (absence is the tombstone); 'cut'
+ *    rows, at most one per group (grp, frontier score → first rejected
+ *    id); 'budget' rows (grp → budget), the raise detector's
+ *    reference. One table instead of four (r16): all four are read
+ *    together every fold, so the split bought four parquet round-trips
+ *    and three extra collects per fold for no isolation; the per-cell
+ *    tier arithmetic (hist merge, per-group cumulative prior,
+ *    verdicts) is driver work over the collected grid.
  *  - `head/batch=<id>/grp=<g>/score=<s>/` — the CHANGED cells'
  *    admitted rows (id, tokens).
- *  - `tiers/batch=<id>` — (grp, score, gen): every currently-NONEMPTY
- *    cell mapped to the head generation holding its membership; the
- *    head's read index AND its commit marker (written after the head
- *    data). Emptied cells drop out of the map — absence is the
- *    tombstone.
- *  - `cut/batch=<id>`   — AT MOST ONE row PER GROUP (grp, score,
- *    cut_id): each group's frontier tier and first rejected id.
  *  - `arrivals/batch=<id>`  — append-only ledger (id, grp, score,
  *    tokens, admit); also the cross-batch re-arrival guard. A
  *    [[LedgerState]] ledger partitioned at compaction by id bucket AND
@@ -83,10 +86,10 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  *  - `readmissions/batch=<id>` — (id) re-admitted by a raise fold.
  *    Bucket-compacted.
  *
- * Retention: identical to [[StreamingQualityHead]] — hist/tiers/cut
- * prune to `retainGenerations`; head generations are reference-counted
- * against the retained tiers maps; the ledgers keep every ROW but
- * compact their DIRECTORIES ([[LedgerState.maintain]]).
+ * Retention: identical to [[StreamingQualityHead]] — meta prunes to
+ * `retainGenerations`; head generations are reference-counted against
+ * the retained tiers maps; the ledgers keep every ROW but compact
+ * their DIRECTORIES ([[LedgerState.maintain]]).
  */
 object StreamingGroupQualityHead {
 
@@ -135,16 +138,21 @@ object StreamingGroupQualityHead {
           scoreCol, tokCol, retainGenerations, bucketK, compactEvery)
       }
 
-  /** The (grp, score → head generation) map stored at generation `gen`
-    * — groups × grid bounded. The AnalysisException arm covers the
-    * all-generations-empty tree (every budget 0). */
+  /** The full dimension-sized state at generation `gen` — ONE collect
+    * over the groups × grid bounded meta table. */
+  private def metaAt(
+      spark: SparkSession, path: String, gen: Long): Seq[(String, String, Long, Long)] =
+    spark.read.parquet(s"$path/meta")
+      .filter(col("batch").cast("long") === lit(gen))
+      .select(col("kind"), col("grp"), col("k1").cast("long"),
+        col("v").cast("long"))
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+
+  /** The (grp, score → head generation) map stored at generation `gen`. */
   private def tiersAt(
       spark: SparkSession, path: String, gen: Long): Seq[(String, Long, Long)] =
-    try spark.read.parquet(s"$path/tiers")
-      .filter(col("batch").cast("long") === lit(gen))
-      .select(col("grp"), col("score").cast("long"), col("gen").cast("long"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-    catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
+    metaAt(spark, path, gen).collect { case ("tiers", g, s, hg) => (g, s, hg) }
 
   /** The head rows a (grp, score → gen) map selects: the head tree
     * joined to the broadcast map on (group, tier, generation). Rows
@@ -182,15 +190,14 @@ object StreamingGroupQualityHead {
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
-      val hasState = StreamState.exists(spark, s"$path/hist")
-      def stateView(sub: String): DataFrame =
-        spark.read.parquet(s"$path/$sub")
-          .filter(col("batch") =!= lit(batchId))
+      val hasState = StreamState.exists(spark, s"$path/meta")
       // dense integral gid per group (withPerKeyRunningSum's key
       // contract), deterministic across folds: sorted group order
+      val gidOf: Map[String, Long] = budgets.keySet.toSeq.sorted
+        .zipWithIndex.map { case (g, i) => g -> (i + 1).toLong }.toMap
       val dim = broadcast(spark.createDataFrame(
-          budgets.toSeq.sortBy(_._1).zipWithIndex
-            .map { case ((g, b), i) => (g, b, (i + 1).toLong) })
+          budgets.toSeq.sortBy(_._1)
+            .map { case (g, b) => (g, b, gidOf(g)) })
         .toDF("grp", "_budget", "_gid"))
       // in-batch id dedup: ONE representative ROW per id — max score,
       // ties to the smaller token count, then max group — never a
@@ -218,32 +225,26 @@ object StreamingGroupQualityHead {
         } else known.persist()
       if (!arrivals.isEmpty) {
         val priorGen: Option[Long] =
-          StreamState.generations(spark, s"$path/hist").find(_ != batchId)
+          StreamState.generations(spark, s"$path/meta").find(_ != batchId)
+        // ONE collect: the whole groups × grid prior state
+        val metaRows: Seq[(String, String, Long, Long)] =
+          priorGen.map(g => metaAt(spark, path, g)).getOrElse(Seq.empty)
+        val priorHist: Map[(String, Long), Long] =
+          metaRows.collect { case ("hist", g, s, bt) => (g, s) -> bt }.toMap
         val priorTiers: Seq[(String, Long, Long)] =
-          priorGen.map(g => tiersAt(spark, path, g)).getOrElse(Seq.empty)
+          metaRows.collect { case ("tiers", g, s, hg) => (g, s, hg) }
+        // stored per-group frontier cut markers: ≤1 per group
+        val priorCut: Map[String, (Long, Long)] =
+          metaRows.collect { case ("cut", g, s, cid) => g -> ((s, cid)) }.toMap
+        // the budget map in effect at the prior generation — raised
+        // groups flip onto the per-group ledger-resurrection path
+        val priorBudgets: Map[String, Long] =
+          metaRows.collect { case ("budget", g, _, b) => g -> b }.toMap
         val priorHead =
           if (priorTiers.isEmpty)
             arrivals.limit(0).select(col("id"), col("grp"), col("score"),
               col("tokens"))
           else headFor(spark, path, priorTiers)
-        // stored per-group frontier cut markers: ≤1 row per group
-        val priorCut: Map[String, (Long, Long)] = priorGen.map(g =>
-          stateView("cut").filter(col("batch").cast("long") === lit(g))
-            .select(col("grp"), col("score"), col("cut_id")).collect()
-            .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap)
-          .getOrElse(Map.empty)
-        // the budget map in effect at the prior generation — raised
-        // groups flip onto the per-group ledger-resurrection path. The
-        // group set is fixed for the life of the state path (a group
-        // added later could not recover its dropped arrivals); absent
-        // table (pre-dynamic tree) reads as "no change".
-        val priorBudgets: Map[String, Long] = priorGen.map { g =>
-          try stateView("budgets").filter(col("batch").cast("long") === lit(g))
-            .select(col("grp"), col("budget")).collect()
-            .map(r => r.getString(0) -> r.getLong(1)).toMap
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            Map.empty[String, Long] }
-        }.getOrElse(Map.empty)
         // Group-set dynamics: ADDING a group mid-stream is supported —
         // it "starts fresh from its first curated fold". Its earlier
         // arrivals were dropped WITHOUT a ledger row (explicit budgets
@@ -263,39 +264,37 @@ object StreamingGroupQualityHead {
               s"vs supplied ${budgets.keySet.toSeq.sorted}")
         val raisedGroups: Set[String] =
           budgets.collect { case (g, b) if priorBudgets.get(g).exists(b > _) => g }.toSet
-        // merged per-(group, tier) token totals over everything ingested
-        val batchHist = arrivals.groupBy(col("grp"), col("score"))
-          .agg(sum(col("tokens")).as("bt"))
-        val newHist = (priorGen match {
-          case Some(g) => stateView("hist")
-            .filter(col("batch").cast("long") === lit(g))
-            .select(col("grp"), col("score"), col("bt"))
-            .unionByName(batchHist)
-            .groupBy(col("grp"), col("score")).agg(sum(col("bt")).as("bt"))
-          case None => batchHist
-        }).localCheckpoint(true)
-        // per-group tier verdicts off the groups × grid cumulative
-        // window (the x144 arithmetic: per-group tokens-above as prior)
-        val wAbove = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("grp")).orderBy(col("score").desc)
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        val cum = newHist
-          .select(col("grp"), col("score"), col("bt"),
-            coalesce(sum(col("bt")).over(wAbove), lit(0L)).as("_prior"))
-          .join(dim, Seq("grp"))
-          .withColumn("_full", col("_prior") + col("bt") <= col("_budget"))
-          .withColumn("_rej", col("_prior") >= col("_budget"))
-          .localCheckpoint(true)
-        // groups × grid driver views of the verdicts
-        val verdicts: Map[(String, Long), (Boolean, Boolean)] = cum
-          .select(col("grp"), col("score"), col("_full"), col("_rej")).collect()
-          .map(r => (r.getString(0), r.getLong(1)) ->
-            ((r.getBoolean(2), r.getBoolean(3)))).toMap
+        // ONE distributed agg + collect: the batch's (group, tier)
+        // histogram. Everything downstream — hist merge, per-group
+        // cumulative prior, verdicts — is driver arithmetic over
+        // groups × grid rows (the r16 fold-floor consolidation).
+        val batchHist: Map[(String, Long), Long] =
+          arrivals.groupBy(col("grp"), col("score"))
+            .agg(sum(col("tokens")).as("bt")).collect()
+            .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val newHist: Map[(String, Long), Long] =
+          (priorHist.keySet ++ batchHist.keySet).iterator
+            .map(c => c -> (priorHist.getOrElse(c, 0L) + batchHist.getOrElse(c, 0L)))
+            .toMap
+        // the x144 arithmetic: per-group tokens-above as prior, walked
+        // down each group's score grid
+        val cumRows: Seq[(String, Long, Long, Boolean, Boolean, Long, Long)] =
+          newHist.keys.toSeq.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+            case (g, cells) =>
+              val bud = budgets(g)
+              var runAbove = 0L
+              cells.map(_._2).sorted(Ordering[Long].reverse).map { s =>
+                val bt = newHist((g, s))
+                val prior = runAbove
+                runAbove += bt
+                (g, s, prior, prior + bt <= bud, prior >= bud, bud, gidOf(g))
+              }
+          }
+        val verdicts: Map[(String, Long), (Boolean, Boolean)] =
+          cumRows.map(r => (r._1, r._2) -> ((r._4, r._5))).toMap
         val frontier: Map[String, Long] =
-          verdicts.collect { case ((g, s), (false, false)) => g -> s }
-        val arrivalCells: Set[(String, Long)] = batchHist
-          .select(col("grp"), col("score")).collect()
-          .map(r => (r.getString(0), r.getLong(1))).toSet
+          cumRows.collect { case (g, s, _, false, false, _, _) => g -> s }.toMap
+        val arrivalCells: Set[(String, Long)] = batchHist.keySet
         // CHANGED cells — the only (group, tier) cells whose membership
         // can move: non-rejected arrival cells, plus each group's
         // frontier when it was TOUCHED — it moved up, or the group got
@@ -337,8 +336,11 @@ object StreamingGroupQualityHead {
                 .join(broadcast(spark.createDataFrame(raisedCells.toSeq)
                   .toDF("grp", "score")), Seq("grp", "score"), "left_semi"))
             .distinct()
-        val flagged = candidates
-          .join(broadcast(cum.drop("bt")), Seq("grp", "score")).persist()
+        // the groups × grid verdict sheet enters the plan as a
+        // broadcast literal frame — no lineage back to any state read
+        val cumDf = broadcast(spark.createDataFrame(cumRows)
+          .toDF("grp", "score", "_prior", "_full", "_rej", "_budget", "_gid"))
+        val flagged = candidates.join(cumDf, Seq("grp", "score")).persist()
         val decidedFull = flagged.filter(col("_full"))
           .select(col("id"), col("grp"), col("score"), col("tokens"))
         val frontierAll = flagged.filter(!col("_full") && !col("_rej"))
@@ -380,7 +382,6 @@ object StreamingGroupQualityHead {
               guards.getOrElse(g, Long.MaxValue)))
         }
         refinedBase.unpersist(blocking = false)
-        val cutDf = spark.createDataFrame(newCuts).toDF("grp", "score", "cut_id")
         val changedWithRows: Set[(String, Long)] = newHeadChanged
           .groupBy(col("grp"), col("score")).count()
           .select(col("grp"), col("score")).collect()
@@ -418,26 +419,31 @@ object StreamingGroupQualityHead {
         evicted.write.mode("overwrite").parquet(s"$path/evictions/batch=$batchId")
         readmitted.write.mode("overwrite")
           .parquet(s"$path/readmissions/batch=$batchId")
-        newHist.write.mode("overwrite").parquet(s"$path/hist/batch=$batchId")
         if (changedWithRows.nonEmpty)
           newHeadChanged.select(col("id"), col("tokens"), col("grp"), col("score"))
             .write.partitionBy("grp", "score").mode("overwrite")
             .parquet(s"$path/head/batch=$batchId")
-        spark.createDataFrame(newTiers).toDF("grp", "score", "gen")
-          .write.mode("overwrite").parquet(s"$path/tiers/batch=$batchId")
-        cutDf.write.mode("overwrite").parquet(s"$path/cut/batch=$batchId")
-        spark.createDataFrame(budgets.toSeq).toDF("grp", "budget")
-          .write.mode("overwrite").parquet(s"$path/budgets/batch=$batchId")
-        Seq("hist", "tiers", "cut", "budgets").foreach(t =>
-          StreamState.pruneGenerations(spark, s"$path/$t", retainGenerations))
+        // ONE dimension-sized write carries everything the next fold
+        // reads back — written after the head data, it is the
+        // generation's commit marker
+        val metaOut: Seq[(String, String, Long, Long)] =
+          newHist.toSeq.sortBy(_._1).map { case ((g, s), bt) => ("hist", g, s, bt) } ++
+            newTiers.map { case (g, s, hg) => ("tiers", g, s, hg) } ++
+            newCuts.map { case (g, s, cid) => ("cut", g, s, cid) } ++
+            budgets.toSeq.sortBy(_._1).map { case (g, b) => ("budget", g, 0L, b) }
+        spark.createDataFrame(metaOut).toDF("kind", "grp", "k1", "v")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/meta/batch=$batchId")
+        StreamState.pruneGenerations(spark, s"$path/meta", retainGenerations)
         LedgerState.maintain(spark, s"$path/arrivals", batchId,
           scoreCol = Some("score"), bucketK = bucketK,
           compactEvery = compactEvery)
         Seq("evictions", "readmissions").foreach(t =>
           LedgerState.maintain(spark, s"$path/$t", batchId,
             bucketK = bucketK, compactEvery = compactEvery))
-        val referenced: Set[Long] = (try spark.read.parquet(s"$path/tiers")
-            .select(col("gen").cast("long")).distinct()
+        val referenced: Set[Long] = (try spark.read.parquet(s"$path/meta")
+            .filter(col("kind") === "tiers")
+            .select(col("v").cast("long")).distinct()
             .collect().map(_.getLong(0)).toSet
           catch { case _: org.apache.spark.sql.AnalysisException =>
             Set.empty[Long] }) + batchId
@@ -450,16 +456,14 @@ object StreamingGroupQualityHead {
     }
   }
 
-  /** The latest FULLY-COMMITTED generation — max batch id present in
-    * BOTH `hist` (written first) and `tiers` (the commit marker),
-    * filesystem-level so legitimately-empty generations count. */
-  private def latestCommitted(spark: SparkSession, path: String): Long = {
-    val histG = StreamState.generations(spark, s"$path/hist").toSet
-    val tiersG = StreamState.generations(spark, s"$path/tiers")
-    tiersG.find(histG.contains).getOrElse(throw new IllegalStateException(
-      s"no fully-committed generation under $path (crash before the first " +
-        "tiers write? restart the stream to replay the batch)"))
-  }
+  /** The latest committed generation: the newest `meta` dir (written
+    * after the head data it indexes), filesystem-level so
+    * legitimately-empty generations count. */
+  private def latestCommitted(spark: SparkSession, path: String): Long =
+    StreamState.generations(spark, s"$path/meta").headOption.getOrElse(
+      throw new IllegalStateException(
+        s"no committed generation under $path (crash before the first " +
+          "meta write? restart the stream to replay the batch)"))
 
   /** The current per-group head — must equal the admitted set of
     * [[graft.ext.Mixture.qualityBudgetHeadByGroup]] over everything

@@ -53,21 +53,29 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  * (the [[StreamingWinnowIngest]] discipline: every read excludes the
  * fold's own batch, so replay after any crash window recomputes
  * identical frames and truncates-and-rewrites):
- *  - `hist/batch=<id>`  — (score, bt) per-score-tier token totals over
- *    EVERYTHING ingested. Grid-bounded, non-empty from the first
- *    arrival on.
+ *  - `meta/batch=<id>` — ONE grid-bounded (kind, k1, v) table holding
+ *    everything dimension-sized the fold carries across batches,
+ *    written LAST (it is the generation's commit marker):
+ *     - 'hist'   rows (score → bt): per-tier token totals over
+ *       everything ingested — non-empty from the first arrival on;
+ *     - 'tiers'  rows (score → gen): every currently-NONEMPTY tier
+ *       mapped to the head generation holding its membership — the
+ *       head's read index; tombstones are plain absences;
+ *     - 'cut'    row  (score → cut_id), at most one: the frontier tier
+ *       and its first rejected id (fact 4's compression);
+ *     - 'budget' row  (0 → budget): the budget in effect after this
+ *       fold (the raise detector's reference point).
+ *    One table instead of four (r16): the four frames are read together
+ *    at every fold and are all grid-bounded, so splitting them bought
+ *    four parquet round-trips and three extra driver collects per fold
+ *    — the measured fixed floor of the x150 cost split — for no
+ *    isolation. The per-fold tier arithmetic (hist merge, cumulative
+ *    prior, verdicts) runs DRIVER-side over the collected grid: a
+ *    window over ≤grid rows is driver work, not a Spark job.
  *  - `head/batch=<id>/score=<s>/` — the CHANGED tiers' admitted rows
  *    (id, tokens), partitioned by tier. A tier's current membership
- *    lives in the generation the `tiers` map names — untouched tiers
- *    keep pointing at older generations.
- *  - `tiers/batch=<id>` — (score, gen): every currently-NONEMPTY tier
- *    mapped to the head generation holding its membership. Grid-
- *    bounded, rewritten every fold; it is the head's read index AND
- *    its commit marker (written after the head data), and tier
- *    tombstones are plain absences — an emptied tier simply drops out
- *    of the map, no sentinel rows, no filesystem-probing reads.
- *  - `cut/batch=<id>`   — AT MOST ONE row (score, cut_id): the current
- *    frontier tier and its first rejected id (fact 4's compression).
+ *    lives in the generation the meta tiers map names — untouched
+ *    tiers keep pointing at older generations.
  *  - `arrivals/batch=<id>`  — append-only ledger (id, score, tokens,
  *    admit) — the verdict each doc got ON ARRIVAL (also the
  *    cross-batch re-arrival guard, and the resurrection source for
@@ -84,17 +92,14 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  *    by the lifecycle sheets).
  *  - `readmissions/batch=<id>` — (id) re-admitted by this fold's
  *    budget raise (empty on every steady fold). Bucket-compacted.
- *  - `budget/batch=<id>` — ONE row: the budget in effect after this
- *    fold (the raise detector's reference point).
  *
- * Retention: hist/tiers/cut are generation-superseded (every read
- * targets the single latest committed generation), so each fold prunes
- * them to the newest `retainGenerations` dirs
- * ([[StreamState.pruneGenerations]]; ≥ 2 keeps the generation a
- * crash-replay reads). Head generations are reference-counted instead:
- * a head `batch=<id>` dir is deleted once NO retained tiers map
- * references it (an untouched tier legitimately pins a generation far
- * older than the retention window). The arrivals/evictions/readmissions
+ * Retention: meta generations are superseded (every read targets the
+ * single latest committed generation), so each fold prunes them to the
+ * newest `retainGenerations` dirs ([[StreamState.pruneGenerations]];
+ * ≥ 2 keeps the generation a crash-replay reads). Head generations are
+ * reference-counted instead: a head `batch=<id>` dir is deleted once NO
+ * retained tiers map references it (an untouched tier legitimately pins
+ * a generation far older than the retention window). The arrivals/evictions/readmissions
  * ledgers keep every ROW forever (they are history) but their
  * DIRECTORIES compact ([[LedgerState.maintain]]) — without that, a
  * 15 s trigger accrues ~5,800 dirs/day/table and every fold's listing
@@ -185,16 +190,18 @@ object StreamingQualityHead {
           tokCol, retainGenerations, bucketK, compactEvery)
       }
 
-  /** The (score → head generation) map stored at generation `gen` —
-    * grid-bounded. Empty when the head is empty; the AnalysisException
-    * arm covers the all-generations-empty tree (e.g. budget 0), where
-    * parquet has no footer to infer a schema from. */
-  private def tiersAt(spark: SparkSession, path: String, gen: Long): Seq[(Long, Long)] =
-    try spark.read.parquet(s"$path/tiers")
+  /** The full dimension-sized state at generation `gen` — ONE collect
+    * over the grid-bounded meta table: (kind, k1, v) rows the caller
+    * partitions driver-side into hist / tiers map / cut / budget. */
+  private def metaAt(spark: SparkSession, path: String, gen: Long): Seq[(String, Long, Long)] =
+    spark.read.parquet(s"$path/meta")
       .filter(col("batch").cast("long") === lit(gen))
-      .select(col("score").cast("long"), col("gen").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
+      .select(col("kind"), col("k1").cast("long"), col("v").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+  /** The (score → head generation) map stored at generation `gen`. */
+  private def tiersAt(spark: SparkSession, path: String, gen: Long): Seq[(Long, Long)] =
+    metaAt(spark, path, gen).collect { case ("tiers", s, g) => (s, g) }
 
   /** The head rows a (score → gen) map selects: the head tree joined to
     * the broadcast map on (tier, generation). Rows from uncommitted or
@@ -230,10 +237,7 @@ object StreamingQualityHead {
     require(budget >= 0, "budget must be non-negative")
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
-      val hasState = StreamState.exists(spark, s"$path/hist")
-      def stateView(sub: String): DataFrame =
-        spark.read.parquet(s"$path/$sub")
-          .filter(col("batch") =!= lit(batchId))
+      val hasState = StreamState.exists(spark, s"$path/meta")
       // in-batch id dedup (pure function of batch contents), then the
       // cross-batch re-arrival guard off the arrivals ledger — a doc
       // already holding an arrival verdict no-ops (column-pruned id
@@ -265,58 +269,53 @@ object StreamingQualityHead {
         // committed — the stream replays an uncommitted batch before
         // advancing, and that batch IS this one.
         val priorGen: Option[Long] =
-          StreamState.generations(spark, s"$path/hist").find(_ != batchId)
-        // the stored (tier → head generation) read index
+          StreamState.generations(spark, s"$path/meta").find(_ != batchId)
+        // ONE collect: the whole dimension-sized prior state
+        val metaRows: Seq[(String, Long, Long)] =
+          priorGen.map(g => metaAt(spark, path, g)).getOrElse(Seq.empty)
+        val priorHist: Map[Long, Long] =
+          metaRows.collect { case ("hist", s, bt) => s -> bt }.toMap
         val priorTiers: Seq[(Long, Long)] =
-          priorGen.map(g => tiersAt(spark, path, g)).getOrElse(Seq.empty)
+          metaRows.collect { case ("tiers", s, g) => (s, g) }
+        val priorCut: Option[(Long, Long)] =
+          metaRows.collectFirst { case ("cut", s, cid) => (s, cid) }
+        // the budget in effect at the prior generation; a raise flips
+        // the fold onto the ledger-resurrection path
+        val priorBudget: Option[Long] =
+          metaRows.collectFirst { case ("budget", _, b) => b }
+        val raised = priorBudget.exists(budget > _)
         val priorHead =
           if (priorTiers.isEmpty)
             arrivals.limit(0).select(col("id"), col("score"), col("tokens"))
           else headFor(spark, path, priorTiers)
-        // the stored frontier cut marker: ≤1 row, a driver scalar
-        val priorCut: Option[(Long, Long)] = priorGen.flatMap(g =>
-          stateView("cut").filter(col("batch").cast("long") === lit(g))
-            .select(col("score"), col("cut_id")).collect().headOption
-            .map(r => (r.getLong(0), r.getLong(1))))
-        // the budget in effect at the prior generation (≤1 row); a raise
-        // flips the fold onto the ledger-resurrection path. Absent table
-        // (a pre-dynamic state tree) reads as "no change".
-        val priorBudget: Option[Long] = priorGen.flatMap { g =>
-          try stateView("budget").filter(col("batch").cast("long") === lit(g))
-            .select(col("budget")).collect().headOption.map(_.getLong(0))
-          catch { case _: org.apache.spark.sql.AnalysisException => None }
-        }
-        val raised = priorBudget.exists(budget > _)
-        // merged per-tier token totals over everything ingested
-        val batchHist = arrivals.groupBy(col("score"))
-          .agg(sum(col("tokens")).as("bt"))
-        val newHist = (priorGen match {
-          case Some(g) => stateView("hist")
-            .filter(col("batch").cast("long") === lit(g))
-            .select(col("score"), col("bt"))
-            .unionByName(batchHist)
-            .groupBy(col("score")).agg(sum(col("bt")).as("bt"))
-          case None => batchHist
-        }).localCheckpoint(true)
-        // tier verdicts off the grid-bounded cumulative window (the
-        // x143 arithmetic: tokens-strictly-above as prior)
-        val wAbove = org.apache.spark.sql.expressions.Window
-          .orderBy(col("score").desc)
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        val cum = newHist.select(col("score"), col("bt"),
-          coalesce(sum(col("bt")).over(wAbove), lit(0L)).as("_prior"))
-          .withColumn("_full", col("_prior") + col("bt") <= budget)
-          .withColumn("_rej", col("_prior") >= budget)
-          .localCheckpoint(true)
-        // grid-bounded driver views of the verdicts: the changed-tier
-        // set and the map update are pure driver arithmetic over them
-        val verdicts: Map[Long, (Boolean, Boolean)] = cum
-          .select(col("score"), col("_full"), col("_rej")).collect()
-          .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+        // ONE distributed agg + collect: the batch's tier histogram.
+        // Everything downstream of it — hist merge, cumulative prior,
+        // tier verdicts — is driver arithmetic over ≤grid rows (the r16
+        // fold-floor consolidation: the old per-fold hist/cum frames
+        // cost two eager materialization jobs and two more collects for
+        // numbers already in driver hands).
+        val batchHist: Map[Long, Long] = arrivals.groupBy(col("score"))
+          .agg(sum(col("tokens")).as("bt")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val newHist: Map[Long, Long] =
+          (priorHist.keySet ++ batchHist.keySet).iterator
+            .map(s => s -> (priorHist.getOrElse(s, 0L) + batchHist.getOrElse(s, 0L)))
+            .toMap
+        // the x143 arithmetic: tokens-strictly-above as prior, walked
+        // down the score grid
+        var runAbove = 0L
+        val cumRows: Seq[(Long, Long, Boolean, Boolean)] =
+          newHist.keys.toSeq.sorted(Ordering[Long].reverse).map { s =>
+            val bt = newHist(s)
+            val prior = runAbove
+            runAbove += bt
+            (s, prior, prior + bt <= budget, prior >= budget)
+          }
+        val verdicts: Map[Long, (Boolean, Boolean)] =
+          cumRows.map(r => r._1 -> ((r._3, r._4))).toMap
         val frontierScore: Option[Long] =
-          verdicts.collectFirst { case (s, (false, false)) => s }
-        val arrivalScores: Set[Long] = batchHist
-          .select(col("score")).collect().map(_.getLong(0)).toSet
+          cumRows.collectFirst { case (s, _, false, false) => s }
+        val arrivalScores: Set[Long] = batchHist.keySet
         // CHANGED tiers — the only tiers whose membership can move
         // (facts 1–3): non-rejected arrival tiers, plus the frontier
         // when it was TOUCHED — it moved up, or arrivals landed
@@ -354,7 +353,11 @@ object StreamingQualityHead {
                 .select(col("id"), col("score").cast("long").as("score"),
                   col("tokens").cast("long").as("tokens")))
             .distinct()
-        val flagged = candidates.join(broadcast(cum), Seq("score")).persist()
+        // the grid-bounded verdict sheet enters the plan as a broadcast
+        // literal frame — no lineage back to any state read
+        val cumDf = broadcast(spark.createDataFrame(cumRows)
+          .toDF("score", "_prior", "_full", "_rej"))
+        val flagged = candidates.join(cumDf, Seq("score")).persist()
         val decidedFull = flagged.filter(col("_full"))
           .select(col("id"), col("score"), col("tokens"))
         val frontierAll = flagged.filter(!col("_full") && !col("_rej"))
@@ -394,7 +397,6 @@ object StreamingQualityHead {
           (fs, math.min(rejMin, cutGuard.getOrElse(Long.MaxValue)))
         }
         refinedBase.unpersist(blocking = false)
-        val cutDf = spark.createDataFrame(newCut.toSeq).toDF("score", "cut_id")
         // the updated read index: untouched non-rejected tiers keep
         // their generation; changed tiers with surviving rows point
         // here; emptied/rejected tiers drop out (the tombstone IS the
@@ -437,32 +439,37 @@ object StreamingQualityHead {
         evicted.write.mode("overwrite").parquet(s"$path/evictions/batch=$batchId")
         readmitted.write.mode("overwrite")
           .parquet(s"$path/readmissions/batch=$batchId")
-        newHist.write.mode("overwrite").parquet(s"$path/hist/batch=$batchId")
         if (changedWithRows.nonEmpty)
           newHeadChanged.select(col("id"), col("tokens"), col("score"))
             .write.partitionBy("score").mode("overwrite")
             .parquet(s"$path/head/batch=$batchId")
-        spark.createDataFrame(newTiers).toDF("score", "gen")
-          .write.mode("overwrite").parquet(s"$path/tiers/batch=$batchId")
-        cutDf.write.mode("overwrite").parquet(s"$path/cut/batch=$batchId")
-        spark.createDataFrame(Seq(Tuple1(budget))).toDF("budget")
-          .write.mode("overwrite").parquet(s"$path/budget/batch=$batchId")
+        // ONE dimension-sized write carries everything the next fold
+        // reads back — and, written after the head data, it is the
+        // generation's commit marker
+        val metaOut: Seq[(String, Long, Long)] =
+          newHist.toSeq.sorted.map { case (s, bt) => ("hist", s, bt) } ++
+            newTiers.map { case (s, g) => ("tiers", s, g) } ++
+            newCut.toSeq.map { case (s, cid) => ("cut", s, cid) } ++
+            Seq(("budget", 0L, budget))
+        spark.createDataFrame(metaOut).toDF("kind", "k1", "v")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/meta/batch=$batchId")
         // retention LAST (after this generation is fully written):
-        // superseded hist/tiers/cut/budget generations prune to the
-        // window; head generations are reference-counted — alive while
-        // ANY retained tiers map still points at them (an untouched tier
+        // superseded meta generations prune to the window; head
+        // generations are reference-counted — alive while ANY retained
+        // tiers map still points at them (an untouched tier
         // legitimately pins a generation older than the window); the
         // three ledgers keep their rows but compact their directories
-        Seq("hist", "tiers", "cut", "budget").foreach(t =>
-          StreamState.pruneGenerations(spark, s"$path/$t", retainGenerations))
+        StreamState.pruneGenerations(spark, s"$path/meta", retainGenerations)
         LedgerState.maintain(spark, s"$path/arrivals", batchId,
           scoreCol = Some("score"), bucketK = bucketK,
           compactEvery = compactEvery)
         Seq("evictions", "readmissions").foreach(t =>
           LedgerState.maintain(spark, s"$path/$t", batchId,
             bucketK = bucketK, compactEvery = compactEvery))
-        val referenced: Set[Long] = (try spark.read.parquet(s"$path/tiers")
-            .select(col("gen").cast("long")).distinct()
+        val referenced: Set[Long] = (try spark.read.parquet(s"$path/meta")
+            .filter(col("kind") === "tiers")
+            .select(col("v").cast("long")).distinct()
             .collect().map(_.getLong(0)).toSet
           catch { case _: org.apache.spark.sql.AnalysisException =>
             Set.empty[Long] }) + batchId
@@ -475,21 +482,17 @@ object StreamingQualityHead {
     }
   }
 
-  /** The latest FULLY-COMMITTED generation: the max batch id present in
-    * BOTH `hist` (written first) and `tiers` (written after the head
-    * data it indexes). Trusting hist alone would let a crash in the
-    * window between the writes (before the stream restart replays the
-    * batch) make readers resolve a head index that was never written —
-    * a silently empty or stale head. FILESYSTEM-level listings, not
-    * data-level: a legitimate generation can be EMPTY (budget 0), which
-    * a row-level distinct would miss. Both listings retention-bounded. */
-  private def latestCommitted(spark: SparkSession, path: String): Long = {
-    val histG = StreamState.generations(spark, s"$path/hist").toSet
-    val tiersG = StreamState.generations(spark, s"$path/tiers")
-    tiersG.find(histG.contains).getOrElse(throw new IllegalStateException(
-      s"no fully-committed generation under $path (crash before the first " +
-        "tiers write? restart the stream to replay the batch)"))
-  }
+  /** The latest committed generation: the newest `meta` dir — meta is
+    * written AFTER the head data it indexes, so a generation whose meta
+    * exists has its head rows in place (the old hist/tiers two-listing
+    * intersection collapsed when the four dimension tables merged).
+    * FILESYSTEM-level, not data-level: a legitimate generation can be
+    * EMPTY (budget 0). Listing retention-bounded. */
+  private def latestCommitted(spark: SparkSession, path: String): Long =
+    StreamState.generations(spark, s"$path/meta").headOption.getOrElse(
+      throw new IllegalStateException(
+        s"no committed generation under $path (crash before the first " +
+          "meta write? restart the stream to replay the batch)"))
 
   /** The current head — must equal the admitted set of
     * [[graft.ext.Mixture.qualityBudgetHead]] over everything ingested.

@@ -22,7 +22,12 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  * [[graft.ext.Dedup.incrementalWinnowDups]] contract).
  *
  * State layout under `path/` — per-`batch=<id>` OVERWRITE directories
- * throughout (the [[StreamingIndexIngest]] discipline):
+ * throughout (the [[StreamingIndexIngest]] discipline); all three are
+ * [[LedgerState]] ledgers (bucket-compacted every `compactEvery` folds
+ * so a long-running ingest's listing stays bounded; sh/prints are read
+ * whole each fold — their CONTENT is the candidate index — so the win
+ * there is the listing bound, while the re-arrival guard also
+ * partition-prunes to the batch's id buckets):
  *  - `sh/batch=<id>`     — (id, sh) sorted shingle-hash arrays;
  *  - `prints/batch=<id>` — (id, v) posted winnow print VALUES (the
  *    standing candidate index new batches probe — position-stable
@@ -64,11 +69,14 @@ object StreamingWinnowIngest {
       n: Int = 3,
       maxBucket: Int = Dedup.DefaultMaxBucket,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataStreamWriter[Row] =
+      textCol: String = "text",
+      bucketK: Int = 64,
+      compactEvery: Int = 16): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldBatch(batch, batchId, path, threshold, w, n, maxBucket, idCol, textCol)
+        foldBatch(batch, batchId, path, threshold, w, n, maxBucket, idCol,
+          textCol, bucketK, compactEvery)
       }
 
   /** One micro-batch's fold — public so the replay case (foreachBatch
@@ -84,34 +92,38 @@ object StreamingWinnowIngest {
       n: Int = 3,
       maxBucket: Int = Dedup.DefaultMaxBucket,
       idCol: String = "doc_id",
-      textCol: String = "text"): Unit = {
+      textCol: String = "text",
+      bucketK: Int = 64,
+      compactEvery: Int = 16): Unit = {
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
       val hasState = StreamState.exists(spark, s"$path/sh")
-      // state view EXCLUDING this batch's own partitions — the replay
+      // state views EXCLUDING this batch's own partitions — the replay
       // key: a crashed attempt's half-committed dirs are invisible to
       // the recomputation, so the rerun reproduces identical frames
-      def stateView(sub: String, cols: Seq[String]): DataFrame =
-        spark.read.parquet(s"$path/$sub")
-          .filter(col("batch") =!= lit(batchId))
-          .select(cols.map(col): _*)
       // in-batch id dedup (min text per id — a pure function of batch
       // contents), as every ingest here
       val batchDocs = batch.groupBy(col(idCol)).agg(min(col(textCol)).as(textCol))
       // cross-batch re-arrival guard: ids already in the accumulated
-      // state no-op (column-pruned scan, batch side broadcasts)
+      // state no-op (column-pruned scan restricted to the batch's own
+      // id buckets, batch side broadcasts)
       val dedup =
-        if (hasState)
+        if (hasState) {
+          val prune = LedgerState.batchBuckets(spark, s"$path/sh", batchId,
+            batchDocs.select(col(idCol).as("id")), "id")
           batchDocs.join(
-              stateView("sh", Seq("id")).select(col("id").as(idCol)),
+              LedgerState.view(spark, s"$path/sh", batchId, idPrune = prune)
+                .select(col("id").as(idCol)),
               Seq(idCol), "left_anti")
             .persist()
-        else batchDocs.persist()
+        } else batchDocs.persist()
       if (!dedup.isEmpty) {
         val (corpusSh, corpusPrints) =
           if (hasState)
-            (stateView("sh", Seq("id", "sh")),
-              stateView("prints", Seq("id", "v")))
+            (LedgerState.view(spark, s"$path/sh", batchId)
+               .select(col("id"), col("sh")),
+              LedgerState.view(spark, s"$path/prints", batchId)
+                .select(col("id"), col("v")))
           else {
             val (esh, epr) = Dedup.winnowState(dedup.limit(0), w, n, idCol, textCol)
             (esh, epr)
@@ -122,6 +134,10 @@ object StreamingWinnowIngest {
         newSh.write.mode("overwrite").parquet(s"$path/sh/batch=$batchId")
         newPrints.write.mode("overwrite").parquet(s"$path/prints/batch=$batchId")
         pairs.write.mode("overwrite").parquet(s"$path/pairs/batch=$batchId")
+        Seq("sh", "prints", "pairs").foreach(t =>
+          LedgerState.maintain(spark, s"$path/$t", batchId,
+            idCol = if (t == "pairs") "id_a" else "id",
+            bucketK = bucketK, compactEvery = compactEvery))
         pairs.unpersist(blocking = false)
       }
       dedup.unpersist(blocking = false)
@@ -133,6 +149,6 @@ object StreamingWinnowIngest {
     * [[graft.ext.Dedup.winnowNearDups]] over everything ingested
     * (the invariant x135's oracle checks against x129's chain). */
   def pairs(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/pairs")
+    LedgerState.view(spark, s"$path/pairs", exclude = -1L)
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"), col("jaccard"))
 }

@@ -205,6 +205,42 @@ class LedgerStateSpec extends SparkSpec {
     assert(streamed.exists(_ % 2 == 0) && streamed.exists(_ % 2 == 1))
   }
 
+  test("winnow ingest: pairs still equal the full rebuild after its sh/prints/pairs ledgers compact") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta one"
+    val b = "iota kappa lambda mu nu xi omicron pi rho two"
+    val path = freshPath()
+    // 6 folds at compactEvery=3: the candidate index (sh/prints) is
+    // probed THROUGH the compacted view from fold 3 on; late near-dups
+    // must still find their pre-compaction partners
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq((1L, a), (2L, a + " tail")),
+      Seq((10L, b)),
+      Seq((11L, b + " tail")),
+      Seq((20L, a + " tails")),       // near-dup of batch-0 docs
+      Seq((30L, "unrelated words entirely distinct tokens here now")),
+      Seq((21L, b + " more tail")))   // near-dup of batch-1/2 docs
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      import spark.implicits._
+      StreamingWinnowIngest.foldBatch(rows.toDF("doc_id", "text"), i.toLong,
+        path, threshold = 0.35, bucketK = 4, compactEvery = 3)
+    }
+    Seq("sh", "prints", "pairs").foreach { t =>
+      assert(LedgerState.ckpts(spark, s"$path/$t").nonEmpty, s"$t must have compacted")
+      assert(LedgerState.dirCount(spark, s"$path/$t") <= 5, s"$t dirs must stay bounded")
+    }
+    val streamed = StreamingWinnowIngest.pairs(spark, path)
+      .select("id_a", "id_b", "inter", "uni", "jaccard")
+      .orderBy("id_a", "id_b").collect().toSeq
+    import spark.implicits._
+    val full = graft.ext.Dedup.winnowNearDups(
+        batches.flatten.toDF("doc_id", "text"), threshold = 0.35)
+      .select("id_a", "id_b", "inter", "uni", "jaccard")
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(streamed === full)
+    assert(full.exists(r => r.getLong(0) == 10L || r.getLong(1) == 21L),
+      "fixture must produce a post-compaction cross-batch pair")
+  }
+
   test("GC keeps everything a replay needs: increments newer than the committed checkpoint survive until superseded") {
     val path = freshPath()
     (0L until 11L).foreach { b =>

@@ -32,6 +32,13 @@ class StreamingGroupQualityHeadSpec extends SparkSpec {
     StreamingGroupQualityHead.head(spark, path).select("id")
       .as[Long].collect().toSet
 
+  /** The cut rows of one meta generation: (grp, score, cut_id). */
+  private def cutAt(path: String, batch: Long): Set[(String, Long, Long)] =
+    spark.read.parquet(s"$path/meta")
+      .filter(col("batch").cast("long") === batch && col("kind") === "cut")
+      .select(col("grp"), col("k1").cast("long"), col("v").cast("long"))
+      .as[(String, Long, Long)].collect().toSet
+
   private def batchAdmitted(
       all: Seq[(Long, String, Long, Long)],
       budgets: Map[String, Long]): Set[Long] = {
@@ -106,7 +113,7 @@ class StreamingGroupQualityHeadSpec extends SparkSpec {
     StreamingGroupQualityHead.foldBatch(docs(b1: _*), 1L, path, B)
     def snap(sub: String) = spark.read.parquet(s"$path/$sub")
       .collect().map(_.toString).sorted.toSeq
-    val before = Seq("hist", "head", "tiers", "cut", "arrivals", "evictions")
+    val before = Seq("meta", "head", "arrivals", "evictions")
       .map(s => s -> snap(s))
     StreamingGroupQualityHead.foldBatch(docs(b1: _*), 1L, path, B)
     before.foreach { case (sub, rows) =>
@@ -121,10 +128,10 @@ class StreamingGroupQualityHeadSpec extends SparkSpec {
     val crashed = newPath()
     StreamingGroupQualityHead.foldBatch(docs(b0: _*), 0L, crashed, B)
     StreamingGroupQualityHead.foldBatch(docs(b1: _*), 1L, crashed, B)
-    for (sub <- Seq("hist", "head", "tiers", "cut"))
+    for (sub <- Seq("head", "meta"))
       rmGen(s"$crashed/$sub/batch=1")
     StreamingGroupQualityHead.foldBatch(docs(b1: _*), 1L, crashed, B)
-    for (sub <- Seq("hist", "head", "tiers", "cut", "arrivals", "evictions")) {
+    for (sub <- Seq("meta", "head", "arrivals", "evictions")) {
       val c = spark.read.parquet(s"$clean/$sub").collect().map(_.toString).sorted.toSeq
       val x = spark.read.parquet(s"$crashed/$sub").collect().map(_.toString).sorted.toSeq
       assert(x === c, s"crash-window replay diverged on $sub")
@@ -139,10 +146,7 @@ class StreamingGroupQualityHeadSpec extends SparkSpec {
     StreamingGroupQualityHead.foldBatch(docs(flood0: _*), 0L, path,
       Map("a" -> 35L, "b" -> 25L))
     assert(headSet(path) === Set(1L, 2L, 3L, 101L, 102L))
-    val cut0 = spark.read.parquet(s"$path/cut")
-      .select("grp", "score", "cut_id").as[(String, Long, Long)]
-      .collect().toSet
-    assert(cut0 === Set(("a", 7L, 4L), ("b", 7L, 103L)))
+    assert(cutAt(path, 0L) === Set(("a", 7L, 4L), ("b", 7L, 103L)))
     // arrivals past both cuts: rejected outright; the recomputed
     // frontier slices stay cut-bounded (5 head rows, not 45)
     val flood1 = (21L to 30L).map(i => (i, "a", 7L, 10L)) ++
@@ -169,11 +173,7 @@ class StreamingGroupQualityHeadSpec extends SparkSpec {
       flood0 ++ flood1 ++ Seq((31L, "a", 5L, 10L), (131L, "b", 5L, 10L),
         (0L, "a", 7L, 10L)),
       Map("a" -> 35L, "b" -> 25L)))
-    val cut3 = spark.read.parquet(s"$path/cut")
-      .filter(col("batch") === 3)
-      .select("grp", "score", "cut_id").as[(String, Long, Long)]
-      .collect().toSet
-    assert(cut3 === Set(("a", 7L, 3L), ("b", 7L, 103L)))
+    assert(cutAt(path, 3L) === Set(("a", 7L, 3L), ("b", 7L, 103L)))
   }
 
   test("arrivals above ONE group's surviving frontier slide only that group's cut down; the sibling group is untouched") {
@@ -191,9 +191,7 @@ class StreamingGroupQualityHeadSpec extends SparkSpec {
     assert(StreamingGroupQualityHead.ledger(spark, path)
       .filter(col("evict_batch") === 1L).select("id").as[Long]
       .collect().toSeq === Seq(2L))
-    val cut1 = spark.read.parquet(s"$path/cut").filter(col("batch") === 1)
-      .select("grp", "score", "cut_id").as[(String, Long, Long)].collect().toSet
-    assert(cut1 === Set(("a", 80L, 2L), ("b", 80L, 13L)))
+    assert(cutAt(path, 1L) === Set(("a", 80L, 2L), ("b", 80L, 13L)))
   }
 
   test("TWO tiers of one group rejected in a single fold evict BOTH members (rejected-cell set must not collapse per group)") {
@@ -217,7 +215,7 @@ class StreamingGroupQualityHeadSpec extends SparkSpec {
       .collect().toSet === Set(1L, 2L, 3L))
   }
 
-  test("generation retention: superseded hist/tiers/cut prune, head reference-counts, ledgers keep history, crash-replay survives") {
+  test("generation retention: superseded meta prunes, head reference-counts, ledgers keep history, crash-replay survives") {
     val path = newPath()
     val budgets = Map("a" -> 40L, "b" -> 40L)
     // rising scores in group a only; group b static after batch 0 — its
@@ -231,8 +229,7 @@ class StreamingGroupQualityHeadSpec extends SparkSpec {
         budgets, retainGenerations = 2)
     }
     def gens(sub: String) = StreamState.generations(spark, s"$path/$sub")
-    for (sub <- Seq("hist", "tiers", "cut"))
-      assert(gens(sub) === Seq(5L, 4L), s"$sub not pruned to the window")
+    assert(gens("meta") === Seq(5L, 4L), "meta not pruned to the window")
     // gen 0 must survive pruning: group b's tier still points at it
     assert(gens("head").contains(0L),
       "an untouched group's pinned head generation must survive pruning")
@@ -240,7 +237,7 @@ class StreamingGroupQualityHeadSpec extends SparkSpec {
     assert(headSet(path) === batchAdmitted(batches.flatten, budgets))
     assert(headSet(path).contains(900L))
     // crash-replay after pruning
-    for (sub <- Seq("hist", "head", "tiers", "cut"))
+    for (sub <- Seq("head", "meta"))
       rmGen(s"$path/$sub/batch=5")
     StreamingGroupQualityHead.foldBatch(docs(batches(5): _*), 5L, path,
       budgets, retainGenerations = 2)
@@ -360,7 +357,7 @@ class StreamingGroupQualityHeadSpec extends SparkSpec {
     StreamingGroupQualityHead.foldBatch(docs(b2: _*), 2L, path, B2)
     def snap(sub: String) = spark.read.parquet(s"$path/$sub")
       .collect().map(_.toString).sorted.toSeq
-    val tables = Seq("hist", "head", "tiers", "cut", "budgets",
+    val tables = Seq("meta", "head",
       "arrivals", "evictions", "readmissions")
     val before = tables.map(s => s -> snap(s))
     StreamingGroupQualityHead.foldBatch(docs(b2: _*), 2L, path, B2)

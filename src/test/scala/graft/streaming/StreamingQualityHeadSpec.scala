@@ -36,6 +36,13 @@ class StreamingQualityHeadSpec extends SparkSpec {
     Mixture.qualityBudgetHead(docs(all: _*), budget)
       .filter(col("admitted")).select("doc_id").as[Long].collect().toSet
 
+  /** The cut rows of one meta generation: (score, cut_id). */
+  private def cutAt(path: String, batch: Long): Seq[(Long, Long)] =
+    spark.read.parquet(s"$path/meta")
+      .filter(col("batch").cast("long") === batch && col("kind") === "cut")
+      .select(col("k1").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)].collect().toSeq
+
   private val b0 = Seq((1L, 100L, 40L), (2L, 100L, 40L), (3L, 50L, 30L))
   private val b1 = Seq((4L, 200L, 50L))
   private val b2 = Seq((5L, 100L, 5L))
@@ -77,7 +84,7 @@ class StreamingQualityHeadSpec extends SparkSpec {
     StreamingQualityHead.foldBatch(docs(b1: _*), 1L, path, budget = 100L)
     def snap(sub: String) = spark.read.parquet(s"$path/$sub")
       .collect().map(_.toString).sorted.toSeq
-    val before = Seq("hist", "head", "tiers", "cut", "arrivals", "evictions")
+    val before = Seq("meta", "head", "arrivals", "evictions")
       .map(s => s -> snap(s))
     StreamingQualityHead.foldBatch(docs(b1: _*), 1L, path, budget = 100L)
     before.foreach { case (sub, rows) =>
@@ -93,11 +100,11 @@ class StreamingQualityHeadSpec extends SparkSpec {
     StreamingQualityHead.foldBatch(docs(b0: _*), 0L, crashed, budget = 100L)
     StreamingQualityHead.foldBatch(docs(b1: _*), 1L, crashed, budget = 100L)
     // simulate the crash window: batch 1's arrivals+evictions committed,
-    // hist/head/tiers/cut not — delete the four generation dirs
-    for (sub <- Seq("hist", "head", "tiers", "cut"))
+    // head/meta not — delete the two generation dirs
+    for (sub <- Seq("head", "meta"))
       rmGen(s"$crashed/$sub/batch=1")
     StreamingQualityHead.foldBatch(docs(b1: _*), 1L, crashed, budget = 100L)
-    for (sub <- Seq("hist", "head", "tiers", "cut", "arrivals", "evictions")) {
+    for (sub <- Seq("meta", "head", "arrivals", "evictions")) {
       val c = spark.read.parquet(s"$clean/$sub").collect().map(_.toString).sorted.toSeq
       val x = spark.read.parquet(s"$crashed/$sub").collect().map(_.toString).sorted.toSeq
       assert(x === c, s"crash-window replay diverged on $sub")
@@ -130,9 +137,7 @@ class StreamingQualityHeadSpec extends SparkSpec {
       docs((1L to 20L).map(i => (i, 7L, 10L)): _*), 0L, path, budget = 35L)
     assert(headSet(path) === Set(1L, 2L, 3L))
     // the whole rejected roster compresses to ONE cut row (id 4)
-    val cut0 = spark.read.parquet(s"$path/cut")
-      .select("score", "cut_id").as[(Long, Long)].collect().toSeq
-    assert(cut0 === Seq((7L, 4L)))
+    assert(cutAt(path, 0L) === Seq((7L, 4L)))
     // arrivals past the cut are rejected outright — no state growth
     StreamingQualityHead.foldBatch(
       docs((21L to 30L).map(i => (i, 7L, 10L)): _*), 1L, path, budget = 35L)
@@ -142,17 +147,14 @@ class StreamingQualityHeadSpec extends SparkSpec {
     assert(headSet(path) === Set(0L, 1L, 2L))
     assert(headSet(path) === batchAdmitted(
       (0L to 30L).map(i => (i, 7L, 10L)), 35L))
-    val cut2 = spark.read.parquet(s"$path/cut")
-      .filter(col("batch") === 2)
-      .select("score", "cut_id").as[(Long, Long)].collect().toSeq
-    assert(cut2 === Seq((7L, 3L)))
+    assert(cutAt(path, 2L) === Seq((7L, 3L)))
     val led = StreamingQualityHead.ledger(spark, path)
     assert(led.filter(col("evict_batch") === 2L).select("id").as[Long]
       .collect().toSeq === Seq(3L))
     // boundedness: every generation's head+cut rows ≤ budget-sized,
     // regardless of how many docs the tier has rejected
     assert(spark.read.parquet(s"$path/head").filter(col("batch") === 1).count() === 3L)
-    assert(spark.read.parquet(s"$path/cut").filter(col("batch") === 1).count() === 1L)
+    assert(cutAt(path, 1L).length === 1)
   }
 
   test("tier-partitioned head: a fold rewrites only its changed tiers — untouched tiers pin their old generation") {
@@ -196,15 +198,13 @@ class StreamingQualityHeadSpec extends SparkSpec {
       Seq((1L, 90L, 50L), (2L, 80L, 30L), (3L, 80L, 30L), (4L, 80L, 30L),
         (5L, 95L, 25L)), 100L))
     assert(headSet(path) === Set(1L, 5L))
-    val cut1 = spark.read.parquet(s"$path/cut").filter(col("batch") === 1)
-      .select("score", "cut_id").as[(Long, Long)].collect().toSeq
-    assert(cut1 === Seq((80L, 2L)))
+    assert(cutAt(path, 1L) === Seq((80L, 2L)))
     assert(StreamingQualityHead.ledger(spark, path)
       .filter(col("evict_batch") === 1L).select("id").as[Long]
       .collect().toSeq === Seq(2L))
   }
 
-  test("generation retention: superseded hist/head/cut prune to the window, ledgers keep history, crash-replay survives") {
+  test("generation retention: superseded meta/head prune to the window, ledgers keep history, crash-replay survives") {
     val path = newPath()
     // rising scores so every fold evicts: the head churns, generations
     // supersede each other, and the batch-operator equality stays load-bearing
@@ -215,8 +215,7 @@ class StreamingQualityHeadSpec extends SparkSpec {
         budget = 40L, retainGenerations = 2)
     }
     def gens(sub: String) = StreamState.generations(spark, s"$path/$sub")
-    for (sub <- Seq("hist", "tiers", "cut"))
-      assert(gens(sub) === Seq(5L, 4L), s"$sub not pruned to the window")
+    assert(gens("meta") === Seq(5L, 4L), "meta not pruned to the window")
     // head generations are reference-counted: the retained tiers maps
     // (gens 5 and 4) pin gens {5, 4, 3} — map 4 still points tier 53 at
     // its gen-3 rewrite — and everything older is deleted
@@ -231,13 +230,12 @@ class StreamingQualityHeadSpec extends SparkSpec {
     assert(StreamingQualityHead.ledger(spark, path).count() === 12L)
     // crash-replay after pruning: batch 5's generation dirs vanish (the
     // crash window) — the retained generation 4 must reconstruct them
-    for (sub <- Seq("hist", "head", "tiers", "cut"))
+    for (sub <- Seq("head", "meta"))
       rmGen(s"$path/$sub/batch=5")
     StreamingQualityHead.foldBatch(docs(batches(5): _*), 5L, path,
       budget = 40L, retainGenerations = 2)
     assert(headSet(path) === batchAdmitted(batches.flatten, 40L))
-    for (sub <- Seq("hist", "tiers", "cut"))
-      assert(gens(sub) === Seq(5L, 4L))
+    assert(gens("meta") === Seq(5L, 4L))
     assert(gens("head") === Seq(5L, 4L, 3L))
   }
 
@@ -323,15 +321,11 @@ class StreamingQualityHeadSpec extends SparkSpec {
     val tier = (1L to 40L).map(i => (i, 100L, 10L)) // one tier, 400 tokens
     StreamingQualityHead.foldBatch(docs(tier: _*), 0L, path, budget = 100L)
     assert(headSet(path) === (1L to 10L).toSet)
-    val cut0 = spark.read.parquet(s"$path/cut").filter(col("batch") === 0)
-      .select("score", "cut_id").as[(Long, Long)].head()
-    assert(cut0 === ((100L, 11L)))
+    assert(cutAt(path, 0L) === Seq((100L, 11L)))
     StreamingQualityHead.foldBatch(docs((41L, 100L, 10L)), 1L, path, budget = 250L)
     // raise to 250: ids 1..25 fit (250 tokens), cut moves DOWN to 26
     assert(headSet(path) === (1L to 25L).toSet)
-    val cut1 = spark.read.parquet(s"$path/cut").filter(col("batch") === 1)
-      .select("score", "cut_id").as[(Long, Long)].head()
-    assert(cut1 === ((100L, 26L)))
+    assert(cutAt(path, 1L) === Seq((100L, 26L)))
     // next steady fold rides the re-armed cut: a past-cut arrival rejects
     StreamingQualityHead.foldBatch(docs((50L, 100L, 10L)), 2L, path, budget = 250L)
     assert(headSet(path) === (1L to 25L).toSet)
@@ -344,7 +338,7 @@ class StreamingQualityHeadSpec extends SparkSpec {
     StreamingQualityHead.foldBatch(docs(b2: _*), 2L, path, budget = 300L)
     def snap(sub: String) = spark.read.parquet(s"$path/$sub")
       .collect().map(_.toString).sorted.toSeq
-    val tables = Seq("hist", "head", "tiers", "cut", "budget",
+    val tables = Seq("meta", "head",
       "arrivals", "evictions", "readmissions")
     val before = tables.map(s => s -> snap(s))
     StreamingQualityHead.foldBatch(docs(b2: _*), 2L, path, budget = 300L)
