@@ -1090,6 +1090,41 @@ object ScaleProbe {
         println(f"mmr     lambda=$l%.1f gamma=$g%.1f  rel=$mr%.4f redundancy=$md%.4f")
       }
     }
+
+    // Ledger-compaction soak: per-fold cost FLATNESS over a long stream.
+    // 120 StreamingBudgetAdmission folds of 200 docs each, compacted
+    // (compactEvery=16) vs uncompacted (compactEvery larger than the
+    // soak); report the median fold time early (folds 10-29) vs late
+    // (folds 100-119) and the final ledger dir count. The uncompacted
+    // run's late folds pay a listing + id-scan that grows with stream
+    // age; the compacted run's must stay flat — the r16 "bounded
+    // per-fold listStatus work" observable.
+    if (on("ledgersoak")) {
+      import spark.implicits._
+      def run(compactEvery: Int, tag: String): Unit = {
+        val path = java.nio.file.Files
+          .createTempDirectory(s"graft_soak_$tag").toString
+        val times = (0 until 120).map { b =>
+          val rows = (b * 200L + 1 to b * 200L + 200)
+            .map(i => (i, s"src${i % 8}", 5L + i % 7))
+            .toDF("doc_id", "source", "n_tokens")
+          val t0 = System.nanoTime()
+          graft.streaming.StreamingBudgetAdmission.foldBatch(
+            rows, b.toLong, path, quota = 1000000L,
+            bucketK = 64, compactEvery = compactEvery)
+          (System.nanoTime() - t0) / 1e9
+        }
+        def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+        val early = med(times.slice(10, 30))
+        val late = med(times.slice(100, 120))
+        val dirs = graft.streaming.LedgerState
+          .dirCount(spark, s"$path/verdicts")
+        println(f"ledgersoak $tag%-12s early=$early%5.3f late=$late%5.3f " +
+          f"late/early=${late / early}%4.2f dirs=$dirs%4d")
+      }
+      run(compactEvery = 16, tag = "compacted")
+      run(compactEvery = 100000, tag = "uncompacted")
+    }
     spark.stop()
   }
 }
