@@ -888,6 +888,41 @@ object StreamingQueries {
       } finally q.stop()
       graft.streaming.StreamingCuratedPack.funnel(s, path)
         .orderBy("source")
+    }),
+
+    // the WHOLE-DOC face of the composed pipeline (x170): x167's chain
+    // with the greedy padded-loader packer instead of the concat-chunk
+    // tape — completes the composed matrix (standalone split x157 /
+    // whole x166 → composed split x167 / composed whole here)
+    "x170_stream_curated_greedy" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val words = StreamingDecontaminate.bloomWords(
+        docs.filter(col("doc_id") % 97 === 0), n = 13,
+        bits = ExtensionQueries.BloomBits, k = ExtensionQueries.BloomK)
+      val rows = docs.as[(Long, String, String)].collect().toSeq
+      val path = java.nio.file.Files.createTempDirectory("graft_x170_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x170_ck_").toString
+      val input = MemoryStream[(Long, String, String)]
+      val q = graft.streaming.StreamingCuratedPack.attachGreedy(
+        input.toDF().toDF("doc_id", "source", "text"), path, words,
+        minScoreK = ExtensionQueries.CuratedMinScoreK,
+        quota = ExtensionQueries.CuratedQuota,
+        seqLen = ExtensionQueries.PackSeqLen, numShards = 4,
+        bloomBits = ExtensionQueries.BloomBits,
+        bloomK = ExtensionQueries.BloomK)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try (0L until 4L).foreach { b =>
+        input.addData(rows.filter(_._1 % 4 == b))
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.StreamingCuratedPack.assignments(s, path)
+        .select(col("id").as("doc_id"), col("shard"), col("pos"),
+          col("bin"), col("n_tokens"), col("arrival_batch"))
+        .orderBy("doc_id")
     }))
 
   /** The x15 deterministic-recurrence centroids as KMeans.Centroid
@@ -1393,6 +1428,65 @@ object StreamingQueries {
          |  lc.admitted
          |FROM lc LEFT JOIN tr ON tr.doc_id = lc.doc_id
          |ORDER BY lc.doc_id""".stripMargin,
+
+    // x170: x167's admission chain feeding x166's recursive greedy walk
+    // in the same arrival order
+    "x170_stream_curated_greedy" -> {
+      val aL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomA).mkString("[", ",", "]")
+      val bL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomB).mkString("[", ",", "]")
+      val mod = ExtensionQueries.Mod
+      val bits = ExtensionQueries.BloomBits
+      val k = ExtensionQueries.BloomK
+      val seqLen = ExtensionQueries.PackSeqLen
+      s"""WITH RECURSIVE ${ExtensionQueries.sqlShnCte(13)},
+         |bpos AS (SELECT DISTINCT (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits AS pos
+         |  FROM bg CROSS JOIN range(0, $k) r(j)),
+         |cp AS (SELECT doc_id, h, unnest(list_transform(range(0, $k),
+         |    j -> (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits)) AS pos FROM cg),
+         |cand AS (SELECT doc_id, h FROM cp JOIN bpos USING (pos)
+         |  GROUP BY 1, 2 HAVING count(*) = $k),
+         |cont AS (SELECT DISTINCT doc_id FROM cand),
+         |${ExtensionQueries.sqlQualityCtes},
+         |q0 AS (SELECT doc_id,
+         |    CAST(round((${ExtensionQueries.sqlQualityScore}) * 1000000, 0)
+         |      AS BIGINT) AS score_k
+         |  FROM g),
+         |cb AS (SELECT d.doc_id, d.source,
+         |    CAST(d.doc_id % 4 AS BIGINT) AS ab,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents d
+         |  JOIN q0 ON q0.doc_id = d.doc_id
+         |  LEFT JOIN cont ON cont.doc_id = d.doc_id
+         |  WHERE cont.doc_id IS NULL
+         |    AND q0.score_k >= ${ExtensionQueries.CuratedMinScoreK}),
+         |ca AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY ab, doc_id) AS BIGINT) AS src_cum FROM cb),
+         |ptb AS (SELECT doc_id, ab AS arrival_batch,
+         |    CAST(${ExtensionQueries.sqlStringHash("CAST(doc_id AS VARCHAR) || ':ps'")} % 4
+         |      AS BIGINT) AS shard, n_tokens
+         |  FROM ca
+         |  WHERE src_cum <= ${ExtensionQueries.CuratedQuota} AND n_tokens > 0),
+         |po AS (SELECT doc_id, arrival_batch, shard, n_tokens,
+         |    CAST(row_number() OVER (PARTITION BY shard
+         |      ORDER BY arrival_batch, doc_id) AS BIGINT) AS pos
+         |  FROM ptb),
+         |walk(shard, pos, doc_id, arrival_batch, n_tokens, bin, acc) AS (
+         |  SELECT shard, pos, doc_id, arrival_batch, n_tokens,
+         |    CAST(0 AS BIGINT), n_tokens
+         |  FROM po WHERE pos = 1
+         |  UNION ALL
+         |  SELECT r.shard, r.pos, r.doc_id, r.arrival_batch, r.n_tokens,
+         |    CASE WHEN w.acc + r.n_tokens > $seqLen AND w.acc > 0
+         |         THEN w.bin + 1 ELSE w.bin END,
+         |    CASE WHEN w.acc + r.n_tokens > $seqLen AND w.acc > 0
+         |         THEN r.n_tokens ELSE w.acc + r.n_tokens END
+         |  FROM walk w JOIN po r ON r.shard = w.shard AND r.pos = w.pos + 1)
+         |SELECT doc_id, shard, pos, bin, n_tokens, arrival_batch
+         |FROM walk ORDER BY doc_id""".stripMargin
+    },
 
     // x169: x160's per-prefix replay with the added source's
     // pre-addition arrivals removed OUTRIGHT (they were never ledgered

@@ -89,9 +89,43 @@ object StreamingCuratedPack {
           shardSalt, retainGenerations, bucketK, compactEvery)
       }
 
+  /** [[attach]] with the WHOLE-DOC greedy packer
+    * ([[StreamingGreedyPack]], bins of ≤ `seqLen` tokens) instead of
+    * the concat-chunk layout — the padded-loader face of the composed
+    * pipeline. Completes the composed matrix the standalone stream
+    * faces span (split×stream x157 / whole×stream x166 → composed
+    * split x167 / composed whole here). Read with [[assignments]]. */
+  def attachGreedy(
+      docs: DataFrame,
+      path: String,
+      bloomWords: Array[Long],
+      minScoreK: Long,
+      quota: Long,
+      seqLen: Long,
+      numShards: Int,
+      idCol: String = "doc_id",
+      groupCol: String = "source",
+      textCol: String = "text",
+      ngram: Int = 13,
+      bloomBits: Long = 1L << 16,
+      bloomK: Int = 4,
+      shardSalt: String = ":ps",
+      retainGenerations: Int = 3,
+      bucketK: Int = 64,
+      compactEvery: Int = 16): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(batch, batchId, path, bloomWords, minScoreK, quota, seqLen,
+          numShards, idCol, groupCol, textCol, ngram, bloomBits, bloomK,
+          shardSalt, retainGenerations, bucketK, compactEvery,
+          wholeDoc = true)
+      }
+
   /** One composed fold — public so replay (foreachBatch re-delivering
     * after any prefix of the three stages' writes committed) is
-    * directly spec-testable. */
+    * directly spec-testable. `wholeDoc` selects the packer: the
+    * concat-chunk tape (default) or the whole-doc greedy bins. */
   def foldBatch(
       batch: DataFrame,
       batchId: Long,
@@ -110,7 +144,8 @@ object StreamingCuratedPack {
       shardSalt: String = ":ps",
       retainGenerations: Int = 3,
       bucketK: Int = 64,
-      compactEvery: Int = 16): Unit = {
+      compactEvery: Int = 16,
+      wholeDoc: Boolean = false): Unit = {
     require(numShards > 0, "numShards must be positive")
     require(minScoreK >= 0, "minScoreK must be non-negative")
     if (!batch.isEmpty) {
@@ -159,9 +194,14 @@ object StreamingCuratedPack {
               concat(col("id").cast("string"), lit(shardSalt))),
               lit(numShards.toLong)).as("shard"),
             col("tokens").as("n_tokens"))
-        StreamingChunkPack.foldBatch(admitted, batchId, s"$path/pack",
-          seqLen, "id", "shard", "n_tokens",
-          retainGenerations, bucketK, compactEvery)
+        if (wholeDoc)
+          StreamingGreedyPack.foldBatch(admitted, batchId, s"$path/pack",
+            seqLen, "id", "shard", "n_tokens",
+            retainGenerations, bucketK, compactEvery)
+        else
+          StreamingChunkPack.foldBatch(admitted, batchId, s"$path/pack",
+            seqLen, "id", "shard", "n_tokens",
+            retainGenerations, bucketK, compactEvery)
       }
       // the cumulative funnel: prior generation + this batch's deltas
       // (every frame here is batch- or dimension-sized). n_rearrived =
@@ -232,6 +272,12 @@ object StreamingCuratedPack {
   /** The per-sequence trainer sheet over the composed output. */
   def seqSheet(spark: SparkSession, path: String, seqLen: Long): DataFrame =
     StreamingChunkPack.seqSheet(spark, s"$path/pack", seqLen)
+
+  /** The accumulated whole-doc bin assignments of an [[attachGreedy]]
+    * pipeline — one [[graft.ext.Packing.packGreedyOrdered]] pass over
+    * the composed chain's admitted set in arrival order. */
+  def assignments(spark: SparkSession, path: String): DataFrame =
+    StreamingGreedyPack.assignments(spark, s"$path/pack")
 
   /** The accumulated admission verdicts (post-decontamination,
     * post-quality-floor docs only — earlier stages drop without a

@@ -142,6 +142,51 @@ class StreamingCuratedPackSpec extends SparkSpec {
     assert(f2.values.map(_._2).sum === 50L)
   }
 
+  test("whole-doc face: composed greedy assignments equal the batch composition in arrival order") {
+    val path = java.nio.file.Files.createTempDirectory("graft_scp4_").toString
+    val batches = Seq((1L to 20L).toSeq, (21L to 40L).toSeq)
+    batches.zipWithIndex.foreach { case (ids, b) =>
+      StreamingCuratedPack.foldBatch(docsDf(ids), b.toLong, path, words,
+        MinScoreK, Quota, SeqLen, Shards, wholeDoc = true)
+    }
+    val streamed = StreamingCuratedPack.assignments(spark, path)
+      .select(col("id"), col("shard"), col("pos"), col("bin"))
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // batch reference: same admission chain, then packGreedyOrdered over
+    // the admitted tape in (arrival batch, id) order per shard
+    val arr = batches.zipWithIndex.flatMap { case (ids, b) =>
+      ids.map(i => (i, b.toLong)) }.toDF("doc_id", "ab")
+    val all = docsDf(batches.flatten)
+    val clean = StreamingDecontaminate.withBloomHits(all, words)
+      .filter(col("n_bloom_hits") === 0L)
+    val scored = clean.select(col("doc_id"), col("source"),
+        round(graft.ext.TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+          .cast("long").as("score_k"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .filter(col("score_k") >= MinScoreK)
+      .join(arr, Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("ab", "doc_id")
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("ab", "doc_id")
+    val tape = scored
+      .withColumn("src_cum", sum(col("n_tokens")).over(w).cast("long"))
+      .filter(col("src_cum") <= Quota && col("n_tokens") > 0)
+      .select(col("doc_id"),
+        pmod(graft.functions.HashExpressions.rolling_hash(
+          concat(col("doc_id").cast("string"), lit(":ps"))),
+          lit(Shards.toLong)).as("shard"),
+        col("n_tokens"), col("ab"))
+      .withColumn("pos", row_number().over(wS).cast("long"))
+      .select(lit(0L).as("epoch"), col("shard"), col("pos"),
+        col("doc_id"), col("n_tokens"))
+    val ref = Packing.packGreedyOrdered(spark, tape, SeqLen)
+      .select(col("doc_id"), col("shard"), col("pos"), col("bin"))
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(streamed === ref)
+    assert(streamed.nonEmpty, "fixture must actually pack bins")
+  }
+
   test("crash INSIDE the composed fold (admission committed, pack not) replays to the identical end state") {
     val path = java.nio.file.Files.createTempDirectory("graft_scp3_").toString
     fold(path, 1L to 20L, 0L)
