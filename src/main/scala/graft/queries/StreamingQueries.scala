@@ -923,6 +923,59 @@ object StreamingQueries {
         .select(col("id").as("doc_id"), col("shard"), col("pos"),
           col("bin"), col("n_tokens"), col("arrival_batch"))
         .orderBy("doc_id")
+    }),
+
+    // the composed pipeline WITH the exact-dedup stage (x171): x167's
+    // chain plus first-arrival-wins content fingerprinting between the
+    // quality floor and the quota — duplicate content must never charge
+    // a quota or enter a tape twice. The fixture has no cross-id
+    // duplicate text, so the harness synthesizes it: every doc with
+    // doc_id % 10 == 3 re-arrives under id+1000001 (same source and
+    // text), landing at batch residue (id+1) % 4 — those ids are ODD,
+    // so the copies split across both directions: a residue-1
+    // original's copy arrives in batch 2 (after it — the copy drops)
+    // and a residue-3 original's copy arrives in batch 0 (BEFORE it —
+    // the copy WINS and the original drops: first arrival, not
+    // smallest id). An even-id rule like %10==0 would make the
+    // copy-first direction unreachable ((even+1) % 4 is never 0 when
+    // the original sits at residue 3). This is the last x158 batch stage that CAN compose
+    // (monotone); the near-dup CC keeper cannot (cluster merges revoke
+    // verdicts an immutable tape already consumed — documented in the
+    // operator).
+    "x171_stream_curated_dedup" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val words = StreamingDecontaminate.bloomWords(
+        docs.filter(col("doc_id") % 97 === 0), n = 13,
+        bits = ExtensionQueries.BloomBits, k = ExtensionQueries.BloomK)
+      val base = docs.as[(Long, String, String)].collect().toSeq
+      val rows = base ++ base.collect {
+        case (i, src, txt) if i % 10 == 3 => (i + 1000001L, src, txt)
+      }
+      val path = java.nio.file.Files.createTempDirectory("graft_x171_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x171_ck_").toString
+      val input = MemoryStream[(Long, String, String)]
+      val q = graft.streaming.StreamingCuratedPack.attach(
+        input.toDF().toDF("doc_id", "source", "text"), path, words,
+        minScoreK = ExtensionQueries.CuratedMinScoreK,
+        quota = ExtensionQueries.CuratedQuota,
+        seqLen = ExtensionQueries.PackSeqLen, numShards = 4,
+        bloomBits = ExtensionQueries.BloomBits,
+        bloomK = ExtensionQueries.BloomK,
+        dedupExact = true)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try (0L until 4L).foreach { b =>
+        input.addData(rows.filter(_._1 % 4 == b))
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.StreamingCuratedPack.fragments(s, path)
+        .select(col("id").as("doc_id"), col("shard"), col("pos"),
+          col("seq"), col("frag_start"), col("frag_len"), col("doc_off"),
+          col("arrival_batch"))
+        .orderBy("doc_id", "seq")
     }))
 
   /** The x15 deterministic-recurrence centroids as KMeans.Centroid
@@ -1486,6 +1539,83 @@ object StreamingQueries {
          |  FROM walk w JOIN po r ON r.shard = w.shard AND r.pos = w.pos + 1)
          |SELECT doc_id, shard, pos, bin, n_tokens, arrival_batch
          |FROM walk ORDER BY doc_id""".stripMargin
+    },
+
+    // x171: x167's chain over the duplicated input (every id%10==3 doc
+    // re-arrives under id+1000001), with the first-arrival-wins
+    // fingerprint stage between the quality floor and the quota —
+    // QUALIFY row_number over (fp ORDER BY arrival batch, id) = 1 IS
+    // the engine's in-batch-min-id + cross-batch-guard composition
+    "x171_stream_curated_dedup" -> {
+      val aL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomA).mkString("[", ",", "]")
+      val bL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomB).mkString("[", ",", "]")
+      val mod = ExtensionQueries.Mod
+      val bits = ExtensionQueries.BloomBits
+      val k = ExtensionQueries.BloomK
+      val seqLen = ExtensionQueries.PackSeqLen
+      s"""WITH ${ExtensionQueries.sqlShnCte(13)},
+         |bpos AS (SELECT DISTINCT (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits AS pos
+         |  FROM bg CROSS JOIN range(0, $k) r(j)),
+         |cp AS (SELECT doc_id, h, unnest(list_transform(range(0, $k),
+         |    j -> (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits)) AS pos FROM cg),
+         |cand AS (SELECT doc_id, h FROM cp JOIN bpos USING (pos)
+         |  GROUP BY 1, 2 HAVING count(*) = $k),
+         |cont AS (SELECT DISTINCT doc_id FROM cand),
+         |${ExtensionQueries.sqlQualityCtes},
+         |q0 AS (SELECT doc_id,
+         |    CAST(round((${ExtensionQueries.sqlQualityScore}) * 1000000, 0)
+         |      AS BIGINT) AS score_k
+         |  FROM g),
+         |fps AS (SELECT doc_id AS orig,
+         |    ${ExtensionQueries.sqlStringHash(ExtensionQueries.sqlNorm)} AS fp
+         |  FROM documents),
+         |inp AS (SELECT doc_id, doc_id AS orig, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000001, doc_id, source FROM documents
+         |  WHERE doc_id % 10 = 3),
+         |cb AS (SELECT i.doc_id, i.source,
+         |    CAST(i.doc_id % 4 AS BIGINT) AS ab,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    fps.fp
+         |  FROM inp i
+         |  JOIN documents d ON d.doc_id = i.orig
+         |  JOIN q0 ON q0.doc_id = i.orig
+         |  JOIN fps ON fps.orig = i.orig
+         |  LEFT JOIN cont ON cont.doc_id = i.orig
+         |  WHERE cont.doc_id IS NULL
+         |    AND q0.score_k >= ${ExtensionQueries.CuratedMinScoreK}),
+         |kept AS (SELECT * FROM cb
+         |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY ab, doc_id) = 1),
+         |ca AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY ab, doc_id) AS BIGINT) AS src_cum FROM kept),
+         |ptb AS (SELECT doc_id, ab AS arrival_batch,
+         |    CAST(${ExtensionQueries.sqlStringHash("CAST(doc_id AS VARCHAR) || ':ps'")} % 4
+         |      AS BIGINT) AS shard, n_tokens
+         |  FROM ca
+         |  WHERE src_cum <= ${ExtensionQueries.CuratedQuota} AND n_tokens > 0),
+         |po AS (SELECT doc_id, arrival_batch, shard, n_tokens,
+         |    CAST(row_number() OVER (PARTITION BY shard
+         |      ORDER BY arrival_batch, doc_id) AS BIGINT) AS pos,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard
+         |      ORDER BY arrival_batch, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum
+         |  FROM ptb),
+         |pf AS (SELECT doc_id, arrival_batch, shard, pos,
+         |    cum - n_tokens AS st, cum FROM po),
+         |px AS (SELECT *, unnest(range(st // $seqLen,
+         |    (cum - 1) // $seqLen + 1)) AS seq FROM pf)
+         |SELECT doc_id, shard, pos, CAST(seq AS BIGINT) AS seq,
+         |  CAST(greatest(st, seq * $seqLen) - seq * $seqLen AS BIGINT)
+         |    AS frag_start,
+         |  CAST(least(cum, (seq + 1) * $seqLen)
+         |    - greatest(st, seq * $seqLen) AS BIGINT) AS frag_len,
+         |  CAST(greatest(st, seq * $seqLen) - st AS BIGINT) AS doc_off,
+         |  arrival_batch
+         |FROM px ORDER BY doc_id, seq""".stripMargin
     },
 
     // x169: x160's per-prefix replay with the added source's

@@ -41,13 +41,20 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  * State layout under `path/`:
  *  - `admission/` — a full [[StreamingBudgetAdmission]] tree (verdicts
  *    ledger + totals);
- *  - `pack/`      — a full [[StreamingChunkPack]] tree (frags ledger +
- *    totals);
+ *  - `pack/`      — a full [[StreamingChunkPack]] (or, under
+ *    [[attachGreedy]], [[StreamingGreedyPack]]) tree;
+ *  - `fp/batch=<id>` — (opt-in `dedupExact`) the exact-dedup content
+ *    fingerprint ledger: one (fp, keeper id) row per fingerprint ever
+ *    kept, first-arrival-wins; a [[LedgerState]] table bucketed by
+ *    `pmod(fp, K)` so the guard prunes to the batch's own fp buckets;
  *  - `funnel/batch=<id>` — CUMULATIVE per-source stage counts after the
  *    fold (arrived → clean → quality_ok → rearrived/admitted/
  *    quota_rejected + admitted tokens): the observability sheet a data
  *    owner reads. Dimension-sized, generation-superseded,
- *    retention-pruned like the sub-streams' totals.
+ *    retention-pruned like the sub-streams' totals. With `dedupExact`
+ *    on, the `n_rearrived` residual also absorbs fingerprint-duplicate
+ *    drops — both are "already represented" outcomes: the doc reached
+ *    admission but its identity or content already holds a verdict.
  *
  * Equivalence contract (the x167 oracle): the accumulated fragments
  * equal the BATCH composition over everything ingested in arrival
@@ -80,13 +87,15 @@ object StreamingCuratedPack {
       shardSalt: String = ":ps",
       retainGenerations: Int = 3,
       bucketK: Int = 64,
-      compactEvery: Int = 16): DataStreamWriter[Row] =
+      compactEvery: Int = 16,
+      dedupExact: Boolean = false): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch, batchId, path, bloomWords, minScoreK, quota, seqLen,
           numShards, idCol, groupCol, textCol, ngram, bloomBits, bloomK,
-          shardSalt, retainGenerations, bucketK, compactEvery)
+          shardSalt, retainGenerations, bucketK, compactEvery,
+          dedupExact = dedupExact)
       }
 
   /** [[attach]] with the WHOLE-DOC greedy packer
@@ -145,7 +154,8 @@ object StreamingCuratedPack {
       retainGenerations: Int = 3,
       bucketK: Int = 64,
       compactEvery: Int = 16,
-      wholeDoc: Boolean = false): Unit = {
+      wholeDoc: Boolean = false,
+      dedupExact: Boolean = false): Unit = {
     require(numShards > 0, "numShards must be positive")
     require(minScoreK >= 0, "minScoreK must be non-negative")
     if (!batch.isEmpty) {
@@ -164,16 +174,61 @@ object StreamingCuratedPack {
       val clean = StreamingDecontaminate.withBloomHits(
           uniq, bloomWords, ngram, bloomBits, bloomK, "text")
         .filter(col("n_bloom_hits") === 0L)
-      // stage 2: quality score + token count, score floor
-      val scored = clean.select(col("id"), col("source"),
-          round(graft.ext.TextAnalysis.qualityScore(col("text")) * 1000000, 0)
-            .cast("long").as("score_k"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      // stage 2: quality score + token count, score floor (plus, when
+      // stage 2.5 is on, the exact-dedup content fingerprint — the x05
+      // portable rolling hash over normalized text)
+      val scored = clean.select(
+          (Seq(col("id"), col("source"),
+            round(graft.ext.TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+              .cast("long").as("score_k"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")) ++
+           (if (dedupExact)
+              Seq(graft.ext.TextAnalysis.fingerprint(col("text")).as("_fp"))
+            else Nil)): _*)
         .persist()
       val qualityOk = scored.filter(col("score_k") >= minScoreK)
+      // stage 2.5 (opt-in): exact-content dedup, FIRST-ARRIVAL-WINS —
+      // one representative per fingerprint per batch (min id), then the
+      // cross-batch guard off the fp ledger (a [[LedgerState]] table
+      // bucketed by pmod(fp, K), so the guard prunes to the batch's own
+      // fp buckets). Duplicate content must never charge the quota or
+      // enter a tape twice. This is the only remaining x158 batch stage
+      // that CAN compose here: it is monotone (a kept fingerprint stays
+      // kept). The near-dup CC keeper cannot — a later arrival can MERGE
+      // two clusters whose keepers are both already packed, revoking a
+      // verdict the immutable tape has consumed (the same argument that
+      // picked the quota gate over the evictive head).
+      val admInput =
+        if (!dedupExact) qualityOk
+        else {
+          val tbl = s"$path/fp"
+          val firstInBatch = qualityOk.groupBy(col("_fp"))
+            .agg(min(struct(col("id"), col("source"), col("score_k"),
+              col("n_tokens"))).as("_r"))
+            .select(col("_fp"), col("_r.id").as("id"),
+              col("_r.source").as("source"), col("_r.score_k").as("score_k"),
+              col("_r.n_tokens").as("n_tokens"))
+          val fresh =
+            if (!StreamState.exists(spark, tbl)) firstInBatch
+            else {
+              val prune = LedgerState.batchBuckets(spark, tbl, batchId,
+                firstInBatch.select(col("_fp").as("fp")), "fp")
+              firstInBatch.join(
+                LedgerState.view(spark, tbl, batchId, idCol = "fp",
+                    idPrune = prune)
+                  .select(col("fp").as("_fp")),
+                Seq("_fp"), "left_anti")
+            }
+          val kept = fresh.persist()
+          kept.select(col("_fp").as("fp"), col("id"))
+            .write.mode("overwrite").parquet(s"$tbl/batch=$batchId")
+          LedgerState.maintain(spark, tbl, batchId, idCol = "fp",
+            bucketK = bucketK, compactEvery = compactEvery)
+          kept.drop("_fp")
+        }
       // stage 3: the monotone per-source quota gate (its own fold —
       // ledgered verdicts, re-arrival guard, bucketed compaction)
-      StreamingBudgetAdmission.foldBatch(qualityOk, batchId,
+      StreamingBudgetAdmission.foldBatch(admInput, batchId,
         s"$path/admission", quota, "id", "source", "n_tokens",
         retainGenerations, bucketK, compactEvery)
       // stage 4: pack THIS fold's committed admission slice — the
@@ -257,6 +312,7 @@ object StreamingCuratedPack {
       funnel.write.mode("overwrite").parquet(s"$path/funnel/batch=$batchId")
       StreamState.pruneGenerations(spark, s"$path/funnel", retainGenerations)
       if (newVerdicts != null) newVerdicts.unpersist(blocking = false)
+      if (admInput ne qualityOk) admInput.unpersist(blocking = false)
       scored.unpersist(blocking = false)
       uniq.unpersist(blocking = false)
       ()

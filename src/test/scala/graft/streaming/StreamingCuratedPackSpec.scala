@@ -187,6 +187,37 @@ class StreamingCuratedPackSpec extends SparkSpec {
     assert(streamed.nonEmpty, "fixture must actually pack bins")
   }
 
+  test("exact-dedup stage: duplicate content never charges the quota or enters a tape twice; first ARRIVAL wins, not smallest id") {
+    val path = java.nio.file.Files.createTempDirectory("graft_scp5_").toString
+    def fold(ids: Seq[(Long, String, String)], b: Long): Unit =
+      StreamingCuratedPack.foldBatch(ids.toDF("doc_id", "source", "text"),
+        b, path, words, MinScoreK, Quota, SeqLen, Shards, dedupExact = true)
+    // batch 0 carries doc 501 whose TEXT equals doc 1's (1 arrives
+    // later) — the copy wins by arrival; batch 1 carries doc 601 whose
+    // text equals doc 2's (2 arrived first) — the original wins
+    val b0 = Seq((501L, "src1", goodText(1L)), doc(2L), doc(3L))
+    val b1 = Seq(doc(1L), (601L, "src2", goodText(2L)), doc(4L))
+    fold(b0, 0L); fold(b1, 1L)
+    val packedIds = StreamingCuratedPack.fragments(spark, path)
+      .select("id").as[Long].collect().toSet
+    assert(packedIds.contains(501L) && !packedIds.contains(1L),
+      "first ARRIVAL must win: the batch-0 copy keeps the fingerprint")
+    assert(packedIds.contains(2L) && !packedIds.contains(601L),
+      "an already-kept fingerprint must drop the later copy")
+    // the quota was charged once per fingerprint: verdicts hold only
+    // the kept representatives
+    val verd = StreamingCuratedPack.verdicts(spark, path)
+      .select("id").as[Long].collect().toSet
+    assert(!verd.contains(1L) && !verd.contains(601L),
+      "a dropped duplicate must never reach the quota gate")
+    // replay of batch 1 (all stages + fp ledger committed) is a no-op
+    val before = StreamingCuratedPack.fragments(spark, path)
+      .orderBy("id", "seq").collect().toSeq
+    fold(b1, 1L)
+    assert(StreamingCuratedPack.fragments(spark, path)
+      .orderBy("id", "seq").collect().toSeq === before)
+  }
+
   test("crash INSIDE the composed fold (admission committed, pack not) replays to the identical end state") {
     val path = java.nio.file.Files.createTempDirectory("graft_scp3_").toString
     fold(path, 1L to 20L, 0L)
