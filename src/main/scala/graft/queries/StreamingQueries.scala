@@ -659,6 +659,65 @@ object StreamingQueries {
         .orderBy("doc_id")
     }),
 
+    // GROUP RETIREMENT (x174): x160's harness with the lexicographic-min
+    // source RETIRED at fold 2 (drain-and-freeze): from that fold its
+    // arrivals drop without a ledger row — exactly like a never-curated
+    // group's — while its final head stays readable forever (its meta
+    // cells carry forward verbatim, its head generations stay
+    // reference-pinned). Budgets are constant, so the frozen head must
+    // equal the batch operator over the retired source's folds-0..1
+    // arrivals, and every other source must curate straight through as
+    // if nothing happened
+    "x174_stream_group_retired" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+      val availDf = d.groupBy(col("source"))
+        .agg(sum(ExtensionQueries.wsTokenCount(col("text"))).as("avail_tokens"))
+        .persist()
+      val minSrc = availDf.agg(min(col("source"))).head().getString(0)
+      val budgetsAll: Map[String, Long] = graft.ext.Mixture
+        .waterfillBudgets(availDf, ExtensionQueries.StreamGroupHeadBudget)
+        .select(col("source"), col("alloc").cast("long"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      availDf.unpersist(blocking = false)
+      val rows = d
+        .select(col("doc_id"), col("source"),
+          round(TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+            .cast("long").as("score_k"),
+          ExtensionQueries.wsTokenCount(col("text")).as("n_tokens"))
+        .as[(Long, String, Long, Long)].collect().toSeq
+      // x151/x160's decorrelated arrival split
+      val residues = rows.map(r => (r._1 / 4) % 4).toSet
+      require((0L until 4L).forall(residues.contains),
+        s"x174 harness needs all (doc_id/4)%4 classes non-empty; " +
+          s"missing ${(0L until 4L).filterNot(residues.contains).mkString(",")}")
+      require(rows.exists(r => r._2 == minSrc && (r._1 / 4) % 4 < 2) &&
+        rows.exists(r => r._2 == minSrc && (r._1 / 4) % 4 >= 2),
+        "x174 fixture must deliver the retired source both before and " +
+          "after the retirement fold")
+      val path = java.nio.file.Files.createTempDirectory("graft_x174_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x174_ck_").toString
+      val input = MemoryStream[(Long, String, Long, Long)]
+      val q = graft.streaming.StreamingGroupQualityHead.attachDynamic(
+        input.toDF().toDF("doc_id", "source", "score_k", "n_tokens"),
+        path,
+        budgetsOf = b => if (b < 2L) budgetsAll else budgetsAll - minSrc,
+        retireOf = b => if (b < 2L) Set.empty else Set(minSrc))
+        .option("checkpointLocation", ckpt)
+        .start()
+      try (0L until 4L).foreach { b =>
+        input.addData(rows.filter(r => (r._1 / 4) % 4 == b))
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.StreamingGroupQualityHead.lifecycle(s, path)
+        .select(col("id").as("doc_id"), col("grp").as("source"),
+          col("arrival_batch"), col("score").as("score_k"),
+          col("tokens").as("n_tokens"), col("admit"),
+          col("n_evictions"), col("n_readmissions"), col("admitted"))
+        .orderBy("doc_id")
+    }),
+
     // DYNAMIC-budget evictive quality head: x150 with the budget RAISED
     // mid-stream (250 → 900 at fold 2) — the raise re-admits the best
     // previously-evicted/rejected docs from the arrivals ledger (the
@@ -1660,6 +1719,77 @@ object StreamingQueries {
          |    CASE WHEN h.b < 2 THEN w.alloc ELSE w2.alloc END AS alloc
          |  FROM h LEFT JOIN wfo w ON h.source = w.source
          |  JOIN wfo2 w2 ON h.source = w2.source),
+         |t AS (SELECT p.b, p.doc_id, p.source, p.ab, p.score_k, p.n_tokens,
+         |    CASE WHEN c.prior + c.bt <= c.alloc THEN 'full'
+         |         WHEN c.prior >= c.alloc THEN 'rejected'
+         |         ELSE 'frontier' END AS tier,
+         |    c.prior + CAST(sum(p.n_tokens) OVER (PARTITION BY p.b, p.source,
+         |      p.score_k ORDER BY p.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS incl,
+         |    c.alloc
+         |  FROM p JOIN c ON p.b = c.b AND p.source = c.source
+         |    AND p.score_k = c.score_k),
+         |a AS (SELECT b, doc_id, source, ab, score_k, n_tokens,
+         |    CASE tier WHEN 'full' THEN TRUE WHEN 'rejected' THEN FALSE
+         |         ELSE incl <= alloc END AS adm
+         |  FROM t),
+         |tr AS (SELECT cur.doc_id,
+         |    CAST(count(*) FILTER (WHERE prv.adm AND NOT cur.adm) AS BIGINT)
+         |      AS n_ev,
+         |    CAST(count(*) FILTER (WHERE NOT prv.adm AND cur.adm) AS BIGINT)
+         |      AS n_re
+         |  FROM a cur JOIN a prv
+         |    ON prv.doc_id = cur.doc_id AND prv.b = cur.b - 1
+         |  GROUP BY cur.doc_id),
+         |lc AS (SELECT doc_id, source, ab AS arrival_batch, score_k, n_tokens,
+         |    bool_or(adm) FILTER (WHERE b = ab) AS admit,
+         |    bool_or(adm) FILTER (WHERE b = 3) AS admitted
+         |  FROM a GROUP BY doc_id, source, ab, score_k, n_tokens)
+         |SELECT lc.doc_id, lc.source, lc.arrival_batch, lc.score_k,
+         |  lc.n_tokens, lc.admit,
+         |  CAST(COALESCE(tr.n_ev, 0) AS BIGINT) AS n_evictions,
+         |  CAST(COALESCE(tr.n_re, 0) AS BIGINT) AS n_readmissions,
+         |  lc.admitted
+         |FROM lc LEFT JOIN tr ON tr.doc_id = lc.doc_id
+         |ORDER BY lc.doc_id""".stripMargin,
+
+    // x174: x160's per-prefix replay with a CONSTANT waterfill and the
+    // retired source's post-retirement arrivals removed OUTRIGHT (they
+    // were never ledgered). With constant budgets and no new arrivals,
+    // the per-prefix replay for the retired source at b >= 2 reproduces
+    // its fold-1 verdicts verbatim — the frozen head IS the fixpoint,
+    // so no special-case SQL is needed beyond the arrival exclusion
+    "x174_stream_group_retired" ->
+      s"""WITH ${ExtensionQueries.sqlQualityCtes},
+         |q0 AS (SELECT doc_id,
+         |    CAST(round((${ExtensionQueries.sqlQualityScore}) * 1000000, 0)
+         |      AS BIGINT) AS score_k
+         |  FROM g),
+         |ms AS (SELECT min(source) AS m FROM documents),
+         |qs AS (SELECT q0.doc_id, d.source, q0.score_k,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    CAST((q0.doc_id // 4) % 4 AS BIGINT) AS ab
+         |  FROM q0 JOIN documents d ON q0.doc_id = d.doc_id
+         |  WHERE NOT (d.source = (SELECT m FROM ms)
+         |             AND (q0.doc_id // 4) % 4 >= 2)),
+         |wfa AS (SELECT source,
+         |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         |      AS avail_tokens
+         |  FROM documents GROUP BY source),
+         |${ExtensionQueries.sqlWaterfillChain(ExtensionQueries.StreamGroupHeadBudget)},
+         |bs AS (SELECT CAST(b AS BIGINT) AS b FROM range(0, 4) t(b)),
+         |p AS (SELECT qs.*, bs.b FROM qs JOIN bs ON qs.ab <= bs.b),
+         |h AS (SELECT b, source, score_k, CAST(sum(n_tokens) AS BIGINT) AS bt
+         |  FROM p GROUP BY b, source, score_k),
+         |c AS (SELECT h.b, h.source, h.score_k, h.bt,
+         |    CAST(COALESCE(SUM(h.bt) OVER (PARTITION BY h.b, h.source
+         |      ORDER BY h.score_k DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS prior,
+         |    w.alloc AS alloc
+         |  FROM h JOIN wfo w ON h.source = w.source),
          |t AS (SELECT p.b, p.doc_id, p.source, p.ab, p.score_k, p.n_tokens,
          |    CASE WHEN c.prior + c.bt <= c.alloc THEN 'full'
          |         WHEN c.prior >= c.alloc THEN 'rejected'

@@ -4,179 +4,262 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
- * Bucketed, compacted storage for the streams' APPEND-ONLY ledgers
- * (arrival/verdict/eviction/fragment history). The per-batch overwrite
- * discipline ([[StreamingWinnowIngest]] et al.) keeps every fold
- * exactly-once without a replay sentinel, but left alone it accrues one
- * `batch=<id>` directory per micro-batch FOREVER — ~5,800 dirs per day
- * per table at a 15 s trigger. Column pruning bounds the bytes a
- * re-arrival anti-join reads; nothing bounds the file LISTING, and the
- * raise-fold resurrections ([[StreamingQualityHead]]) re-scan the whole
- * tree. This module closes both:
+ * Tiered (LSM-style leveled), bucketed storage for the streams'
+ * APPEND-ONLY ledgers (arrival/verdict/eviction/fragment history). The
+ * per-batch overwrite discipline ([[StreamingWinnowIngest]] et al.)
+ * keeps every fold exactly-once without a replay sentinel, but left
+ * alone it accrues one `batch=<id>` directory per micro-batch FOREVER —
+ * ~5,800 dirs per day per table at a 15 s trigger. Column pruning
+ * bounds the bytes a re-arrival anti-join reads; nothing bounds the
+ * file LISTING, and the raise-fold resurrections
+ * ([[StreamingQualityHead]]) re-scan the whole tree. This module closes
+ * both, with per-row write amplification O(log lifetime) — the r16
+ * single-checkpoint layout closed the listing but rewrote the FULL
+ * accumulated history every `compactEvery` folds, so a year-scale
+ * stream (~2M folds at 15 s) rewrote each row ~`2M/compactEvery` times;
+ * here a row is rewritten once per LEVEL it passes through,
+ * ≈ log_fanout(lifetime / compactEvery) times (≤ ~6 at year scale with
+ * the defaults), the classical LSM merge bound (O'Neil et al., The
+ * Log-Structured Merge-Tree, Acta Informatica 1996).
  *
- *  - '''Compaction''' (the [[graft.ext.IndexMaintenance]] generation-
- *    rewrite discipline, applied to the streamed ledgers): every
- *    `compactEvery` folds, the accumulated history is rewritten into
- *    ONE `ckpt=<batchId>` generation; the per-batch increment dirs it
- *    absorbed are garbage-collected by a LATER fold (never the writing
- *    one — see crash-safety below). Steady-state listing is one
- *    checkpoint + at most ~`compactEvery` increments, independent of
- *    stream lifetime.
- *  - '''Bucketing''': the checkpoint is partitioned by
- *    `_b = pmod(id, K)` — and, for score-graded ledgers, sub-partitioned
- *    by a copy of the score tier `_s` — so the hot-path readers PRUNE
- *    partitions instead of scanning history: a re-arrival anti-join
- *    reads only the buckets its batch's ids hash into (a small batch
- *    touches few of the K buckets), and a budget-raise resurrection
- *    reads only its changed score tiers. Payload columns stay verbatim
- *    in the data files (the partition columns are synthetic copies), so
- *    row content — including each row's original arrival batch, stored
- *    as the `abatch` data column — survives compaction bit-exactly.
+ *  - '''Level-1 compaction''': every `compactEvery` folds, the live
+ *    increments rewrite into ONE `run=…` generation (a level-1 run).
+ *  - '''Leveled merges''': when `fanout` runs accumulate at a level,
+ *    the oldest `fanout` of them merge into one next-level run. Runs
+ *    at a level tile contiguous batch ranges, and a merged run covers
+ *    exactly its inputs' union, so every run's range is nested-in or
+ *    disjoint-from every other's — the live view is the unique maximal
+ *    antichain (runs not contained in any other run) plus the
+ *    increments past its frontier.
+ *  - '''Bucketing''': every run is partitioned by
+ *    `_b = pmod(xxhash64(id), K)` — and, for score-graded ledgers,
+ *    sub-partitioned by a copy of the score tier `_s` — so the hot-path
+ *    readers PRUNE partitions instead of scanning history: a re-arrival
+ *    anti-join reads only the buckets its batch's ids hash into, and a
+ *    budget-raise resurrection reads only its changed score tiers.
+ *    Hashing (not the raw id) makes the bucket sound for ANY id type —
+ *    string keys and negative fingerprints included. Payload columns
+ *    stay verbatim in the data files (the partition columns are
+ *    synthetic copies), so row content — including each row's original
+ *    arrival batch, stored as the `abatch` data column — survives any
+ *    number of merges bit-exactly. K is self-described per run by its
+ *    commit marker, so readers always prune with the modulus each run
+ *    was hashed with, even across a K change at some later compaction.
  *
  * Layout under `table/`:
  *  - `batch=<id>/` — flat per-fold increments, written by the folds
  *    exactly as before this module existed (no change to the fold's
  *    hot write path; `abatch` is derived from the partition value on
  *    read).
- *  - `ckpt=<id>/_b=<b>[/_s=<s>]/` — the consolidated history up to and
- *    including batch `id`, plus the commit marker file
- *    `_COMPACTED_<K>` written LAST (parquet readers ignore `_`-prefixed
- *    files; an unmarked checkpoint is an ignored torso from a crash
- *    mid-compaction, and its input increments are still on disk).
+ *  - `run=<level>-<lo>-<hi>-<writer>/_b=<b>[/_s=<s>]/` — the ledger
+ *    rows whose arrival batch is in `[lo, hi]`, written by fold
+ *    `writer`, plus the commit marker file `_RUN_<K>` written LAST
+ *    (parquet readers ignore `_`-prefixed files; an unmarked run is an
+ *    ignored torso from a crash mid-write, and its input dirs are
+ *    still on disk).
  *
  * Crash-safety (foreachBatch replays the newest uncommitted batch):
- *  - Views exclude the folding batch's OWN increment dir and its own
- *    (possibly crashed) checkpoint, so a replayed fold reads the
- *    identical pre-batch state and truncates-and-rewrites.
- *  - GC deletes only directories REDUNDANT w.r.t. a checkpoint written
- *    by a STRICTLY EARLIER fold. Fold N runs only after every batch
- *    < N stream-committed, so a `ckpt=<C>` with C < N is final: the
- *    increments ≤ C and checkpoints < C it supersedes can vanish at any
- *    point of fold N without any crash window losing data. The
- *    compacting fold itself deletes NOTHING it wrote or read — a crash
- *    between its checkpoint write and the stream commit replays with
- *    every input intact.
+ *  - Views exclude the folding batch's OWN increment dir and any run
+ *    it wrote (`writer == batchId`), so a replayed fold reads the
+ *    identical pre-batch state and truncates-and-rewrites. Compaction
+ *    and merge DECISIONS are likewise functions of the pre-batch state
+ *    only, so a replay re-derives the same run names and overwrites.
+ *  - GC deletes only directories REDUNDANT w.r.t. a run committed by a
+ *    STRICTLY EARLIER fold — and then only after a GRACE window (see
+ *    below). Fold N runs only after every batch < N stream-committed,
+ *    so a run with writer W < N is final: the increments and smaller
+ *    runs inside its range can vanish at any point of a fold ≥ W+grace
+ *    without any crash window losing data. The writing fold itself
+ *    deletes NOTHING it wrote or read.
  *
- * Scale accounting: the listing bound costs write amplification — each
- * compaction rewrites the full accumulated ledger, so a row is
- * rewritten `lifetime_folds / compactEvery` times. `compactEvery` is
- * the amortization knob: a deployment sizes it so one checkpoint
- * rewrite amortizes over enough folds (e.g. ledger-bytes /
- * batch-bytes), trading steady-state directory count (≈ compactEvery)
- * against rewrite volume (ledger / compactEvery per fold). The bucket
- * count K is fixed per checkpoint and self-described by its marker, so
- * readers always prune with the modulus the data was hashed with, even
- * across a K change at some later compaction.
+ * Reader grace window: a concurrent external reader (the advertised
+ * trainer-behind-the-frontier in [[StreamingCuratedPack]]) resolves
+ * the antichain at some instant and then scans files; without a grace
+ * window, a reader racing two folds could have its just-resolved run
+ * GC'd mid-scan by the next fold (the superseding run commits at fold
+ * W, the very next fold deletes the inputs). A superseded directory is
+ * therefore deleted only by folds ≥ `writer_of_superseder + grace`
+ * (grace defaults to `compactEvery` folds ≈ one compaction cycle of
+ * wall-clock), giving any reader that resolved before the supersession
+ * a full cycle to finish. Readers slower than a whole compaction cycle
+ * must retry on FileNotFound — documented, not silent.
+ *
+ * Scale accounting: steady-state listing is ≤ `compactEvery` increments
+ * + (`fanout`−1) runs per level × ~log_fanout(lifetime/compactEvery)
+ * levels + one grace window's stragglers — bounded for any practical
+ * lifetime (≤ ~60 dirs at year scale with the defaults, vs ~2M
+ * unbounded). Per-fold compaction I/O is amortized-constant per level;
+ * cumulative rewrite bytes grow O(rows × levels) = O(n log n), not the
+ * single-checkpoint layout's O(n²/compactEvery).
  */
 private[graft] object LedgerState {
 
-  /** Synthetic partition column: `pmod(id, K)`. */
+  /** Synthetic partition column: `pmod(xxhash64(id), K)`. */
   val BucketCol = "_b"
   /** Synthetic partition column: a copy of the score tier. */
   val ScoreCol = "_s"
-  private val MarkerPrefix = "_COMPACTED_"
+  private val MarkerPrefix = "_RUN_"
 
-  /** A committed checkpoint: its generation id and the bucket modulus
-    * its `_b` partitioning was hashed with. */
-  final case class Ckpt(id: Long, k: Int)
+  /** A run: `level` ≥ 1, covering arrival batches `[lo, hi]`, written
+    * by fold `writer`, bucketed with modulus `k` (self-described by its
+    * marker so readers prune with the modulus the data was hashed
+    * with). */
+  final case class Run(level: Int, lo: Long, hi: Long, writer: Long, k: Int) {
+    def dirName: String = s"run=$level-$lo-$hi-$writer"
+    /** Strict containment — ranges are nested or disjoint by
+      * construction, so this is "superseded by". */
+    def supersedes(o: Run): Boolean =
+      lo <= o.lo && o.hi <= hi && (lo != o.lo || hi != o.hi)
+    def covers(g: Long): Boolean = lo <= g && g <= hi
+  }
+
+  /** The batch's bucket sets, one per distinct run modulus — opaque to
+    * callers, threaded from [[batchBuckets]] into [[view]]. */
+  type Prune = Map[Int, Set[Long]]
 
   private def fs(spark: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  /** MARKED checkpoints under `table`, newest first. An unmarked
-    * `ckpt=<id>` dir (crash mid-compaction) is invisible here — its
-    * input increments are still on disk, so views stay complete. */
-  def ckpts(spark: SparkSession, table: String): Seq[Ckpt] = {
+  private def parseRun(name: String, k: Int): Option[Run] =
+    name.stripPrefix("run=").split("-") match {
+      case Array(lvl, lo, hi, w) => scala.util.Try(
+        Run(lvl.toInt, lo.toLong, hi.toLong, w.toLong, k)).toOption
+      case _ => None
+    }
+
+  /** All parseable `run=` dirs under `table`, with their commit flag:
+    * marked runs carry their modulus, unmarked torsos carry k = -1 and
+    * marked = false. Fails fast on a pre-tiered `ckpt=<id>` tree — the
+    * old single-checkpoint layout is not readable by this module, and
+    * silently treating it as empty would re-initialize a ledger that
+    * has history (the exact failure mode the quality heads' layout
+    * probes exist to prevent). */
+  private def listRuns(spark: SparkSession, table: String): Seq[(Run, Boolean)] = {
     val (f, p) = fs(spark, table)
     if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("ckpt="))
-      .flatMap { s =>
-        scala.util.Try(s.getPath.getName.stripPrefix("ckpt=").toLong).toOption
-          .flatMap { id =>
-            f.listStatus(s.getPath).collectFirst {
-              case m if m.getPath.getName.startsWith(MarkerPrefix) =>
-                Ckpt(id, m.getPath.getName.stripPrefix(MarkerPrefix).toInt)
-            }
-          }
+    else f.listStatus(p).toSeq.filter(_.isDirectory).flatMap { s =>
+      val name = s.getPath.getName
+      if (name.startsWith("ckpt="))
+        throw new IllegalStateException(
+          s"$table holds a pre-tiered 'ckpt=' checkpoint ($name): this " +
+            "ledger was written by the old single-checkpoint layout. " +
+            "Drain and re-plan the stream into a fresh state path.")
+      else if (!name.startsWith("run=")) None
+      else {
+        val k = f.listStatus(s.getPath).collectFirst {
+          case m if m.getPath.getName.startsWith(MarkerPrefix) =>
+            m.getPath.getName.stripPrefix(MarkerPrefix).toInt
+        }
+        parseRun(name, k.getOrElse(-1)).map(r => (r, k.isDefined))
       }
-      .sortBy(-_.id)
+    }
   }
 
-  /** Every `ckpt=<id>` dir id, marked or not — the GC's candidate set. */
-  private def allCkptIds(spark: SparkSession, table: String): Seq[Long] = {
-    val (f, p) = fs(spark, table)
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("ckpt="))
-      .flatMap(s => scala.util.Try(
-        s.getPath.getName.stripPrefix("ckpt=").toLong).toOption)
-  }
+  /** MARKED (committed) runs under `table`. An unmarked run dir (crash
+    * mid-write) is invisible here — its input dirs are still on disk,
+    * so views stay complete. */
+  def runs(spark: SparkSession, table: String): Seq[Run] =
+    listRuns(spark, table).collect { case (r, true) => r }
 
-  /** The bucket modulus a fold must hash with to prune the view it will
-    * read (the newest committed checkpoint's K, skipping the fold's own
-    * crashed attempt); None while the table has no checkpoint — nothing
-    * to prune, the view is increments-only. */
-  def bucketK(spark: SparkSession, table: String, exclude: Long): Option[Int] =
-    ckpts(spark, table).find(_.id != exclude).map(_.k)
+  /** The live antichain: committed runs not superseded by any other
+    * committed run, ascending by range. Tiles `[0, frontier]`
+    * contiguously by construction. */
+  private def chain(committed: Seq[Run]): Seq[Run] =
+    committed.filterNot(r => committed.exists(_.supersedes(r))).sortBy(_.lo)
 
-  /** The bucket set of a batch's ids under the view's checkpoint
-    * modulus — the re-arrival anti-join's pruning predicate. None when
-    * there is no checkpoint, or when the batch touches EVERY bucket
-    * (the filter would be a no-op and only widen the plan). One narrow
-    * batch-sized distinct per fold; the ledger is never touched. */
+  /** The bucket sets of a batch's ids under each live run modulus — the
+    * re-arrival anti-join's pruning predicate. None when there are no
+    * runs; a modulus whose every bucket is touched is omitted (the
+    * filter would be a no-op and only widen the plan). ONE narrow
+    * batch-sized distinct per fold (≤ ∏K rows collected, typically ≤ K);
+    * the ledger is never touched. */
   def batchBuckets(
       spark: SparkSession,
       table: String,
       exclude: Long,
       ids: DataFrame,
-      idCol: String): Option[Set[Long]] =
-    bucketK(spark, table, exclude).flatMap { k =>
-      val bs = ids.select(pmod(col(idCol), lit(k.toLong)).as("_pb"))
-        .distinct().collect().map(_.getLong(0)).toSet
-      if (bs.size >= k) None else Some(bs)
+      idCol: String): Option[Prune] = {
+    val ks = chain(runs(spark, table).filterNot(_.writer == exclude))
+      .map(_.k).distinct.sorted
+    if (ks.isEmpty) None
+    else {
+      val exprs = ks.map(k =>
+        pmod(xxhash64(col(idCol)), lit(k.toLong)).as(s"_pb$k"))
+      val rows = ids.select(exprs: _*).distinct().collect()
+      val m: Prune = ks.zipWithIndex.flatMap { case (k, i) =>
+        val bs = rows.map(_.getLong(i)).toSet
+        if (bs.size >= k) None else Some(k -> bs)
+      }.toMap
+      if (m.isEmpty) None else Some(m)
     }
+  }
 
   /** The accumulated ledger rows as of (but excluding) batch `exclude`:
-    * the newest committed checkpoint not written by `exclude`, plus the
-    * increments after it. Returns payload columns + `abatch` (each
-    * row's original arrival batch). `idPrune` / `scorePrune` restrict
-    * the read to the named buckets / score tiers — partition-pruned on
-    * the checkpoint (the corpus-sized part), a cheap data filter on the
-    * batch-sized increments. Pass `exclude = -1` for the reader-side
-    * no-exclusion view. */
+    * the live run antichain not written by `exclude`, plus the
+    * increments past its frontier. Returns payload columns + `abatch`
+    * (each row's original arrival batch). `idPrune` / `scorePrune`
+    * restrict the read to the named buckets / score tiers —
+    * partition-pruned on every run (the corpus-sized part), a cheap
+    * data filter on the batch-sized increments. Pass `exclude = -1`
+    * for the reader-side no-exclusion view. */
   def view(
       spark: SparkSession,
       table: String,
       exclude: Long,
       idCol: String = "id",
-      idPrune: Option[Set[Long]] = None,
+      idPrune: Option[Prune] = None,
       scorePrune: Option[(String, Set[Long])] = None): DataFrame = {
-    val base = ckpts(spark, table).find(_.id != exclude)
+    val sel = chain(runs(spark, table).filterNot(_.writer == exclude))
+    val frontier = sel.lastOption.map(_.hi).getOrElse(-1L)
     val incrs = StreamState.generations(spark, table)
-      .filter(g => g != exclude && base.forall(g > _.id))
-    assemble(spark, table, base, incrs, idCol, idPrune, scorePrune)
+      .filter(g => g != exclude && g > frontier)
+    assemble(spark, table, sel, incrs, idCol, idPrune, scorePrune)
+  }
+
+  /** One run's frame: partition-pruned by its own modulus' bucket set
+    * and (when present) the score tier, synthetic columns dropped. */
+  private def runDf(
+      spark: SparkSession,
+      table: String,
+      r: Run,
+      idPrune: Option[Prune],
+      scorePrune: Option[(String, Set[Long])]): DataFrame = {
+    val raw = spark.read.parquet(s"$table/${r.dirName}")
+    val p1 = idPrune.flatMap(_.get(r.k)) match {
+      case Some(bs) => raw.filter(col(BucketCol).isin(bs.toSeq: _*))
+      case None => raw
+    }
+    val p2 = scorePrune match {
+      case Some((sc, ss)) =>
+        if (raw.columns.contains(ScoreCol))
+          p1.filter(col(ScoreCol).isin(ss.toSeq: _*))
+        else p1.filter(col(sc).isin(ss.toSeq: _*))
+      case None => p1
+    }
+    p2.drop(BucketCol, ScoreCol)
   }
 
   private def assemble(
       spark: SparkSession,
       table: String,
-      base: Option[Ckpt],
+      sel: Seq[Run],
       incrs: Seq[Long],
       idCol: String,
-      idPrune: Option[Set[Long]],
+      idPrune: Option[Prune],
       scorePrune: Option[(String, Set[Long])]): DataFrame = {
     val incrDf = if (incrs.isEmpty) None else Some {
       val raw = spark.read.option("basePath", table)
         .parquet(incrs.map(g => s"$table/batch=$g"): _*)
-      val p1 = (idPrune, base) match {
-        // the increments must be filtered with the CHECKPOINT's modulus
-        // — the caller derived the bucket set from it
-        case (Some(bs), Some(c)) =>
-          raw.filter(pmod(col(idCol), lit(c.k.toLong)).isin(bs.toSeq: _*))
-        case _ => raw
+      // increments are unbucketed: filter with ANY one modulus' set —
+      // every batch id passes every modulus' own set, so this is a
+      // sound (possibly loose) restriction
+      val p1 = idPrune.flatMap(_.headOption) match {
+        case Some((k, bs)) =>
+          raw.filter(pmod(xxhash64(col(idCol)), lit(k.toLong))
+            .isin(bs.toSeq: _*))
+        case None => raw
       }
       val p2 = scorePrune match {
         case Some((sc, ss)) => p1.filter(col(sc).isin(ss.toSeq: _*))
@@ -184,54 +267,38 @@ private[graft] object LedgerState {
       }
       p2.withColumn("abatch", col("batch").cast("long")).drop("batch")
     }
-    val baseDf = base.map { c =>
-      val raw = spark.read.parquet(s"$table/ckpt=${c.id}")
-      val p1 = idPrune match {
-        case Some(bs) => raw.filter(col(BucketCol).isin(bs.toSeq: _*))
-        case None => raw
+    val runDfs = sel.map(r => runDf(spark, table, r, idPrune, scorePrune))
+    (runDfs ++ incrDf.toSeq).reduceOption(_.unionByName(_)).getOrElse {
+      // every directory belongs to the excluded batch (its crashed
+      // first fold): an empty frame in the ledger's own schema, read
+      // from whatever dir exists
+      StreamState.generations(spark, table).headOption match {
+        case Some(g) => spark.read.option("basePath", table)
+          .parquet(s"$table/batch=$g")
+          .withColumn("abatch", col("batch").cast("long")).drop("batch")
+          .filter(lit(false))
+        case None =>
+          val any = listRuns(spark, table).headOption.getOrElse(
+            throw new IllegalStateException(
+              s"no ledger state under $table — callers must probe " +
+                "StreamState.exists before reading"))._1
+          spark.read.parquet(s"$table/${any.dirName}")
+            .drop(BucketCol, ScoreCol).filter(lit(false))
       }
-      val p2 = scorePrune match {
-        case Some((_, ss)) if raw.columns.contains(ScoreCol) =>
-          p1.filter(col(ScoreCol).isin(ss.toSeq: _*))
-        case Some((sc, ss)) => p1.filter(col(sc).isin(ss.toSeq: _*))
-        case None => p1
-      }
-      p2.drop(BucketCol, ScoreCol)
-    }
-    (baseDf, incrDf) match {
-      case (Some(b), Some(i)) => b.unionByName(i)
-      case (Some(b), None) => b
-      case (None, Some(i)) => i
-      case (None, None) =>
-        // every directory belongs to the excluded batch (its crashed
-        // first fold): an empty frame in the ledger's own schema, read
-        // from whatever dir exists
-        val anyIncr = StreamState.generations(spark, table).headOption
-        anyIncr match {
-          case Some(g) => spark.read.option("basePath", table)
-            .parquet(s"$table/batch=$g")
-            .withColumn("abatch", col("batch").cast("long")).drop("batch")
-            .filter(lit(false))
-          case None =>
-            val cid = allCkptIds(spark, table).headOption.getOrElse(
-              throw new IllegalStateException(
-                s"no ledger state under $table — callers must probe " +
-                  "StreamState.exists before reading"))
-            spark.read.parquet(s"$table/ckpt=$cid")
-              .drop(BucketCol, ScoreCol).filter(lit(false))
-        }
     }
   }
 
   /** Ledger maintenance, called by a fold AFTER its increment write:
-    * (1) GC every directory redundant w.r.t. the newest checkpoint
-    * committed by an EARLIER fold; (2) when `compactEvery` increments
-    * have accumulated past that checkpoint, rewrite checkpoint +
-    * increments (including this fold's own) into `ckpt=<batchId>`,
-    * bucketed by `pmod(idCol, bucketK)` and — when `scoreCol` is given
-    * — sub-partitioned by the score tier. Idempotent under replay: the
-    * rewrite's input is exactly the pre-existing dirs, which this call
-    * never deletes. */
+    * (1) GC every directory superseded ≥ `grace` folds ago; (2) when
+    * `compactEvery` increments have accumulated past the frontier,
+    * rewrite them (including this fold's own) into a level-1 run; (3)
+    * while any level holds ≥ `fanout` runs, merge its oldest `fanout`
+    * into one next-level run. Every run is bucketed by
+    * `pmod(xxhash64(idCol), bucketK)` and — when `scoreCol` is given —
+    * sub-partitioned by the score tier. Idempotent under replay: every
+    * decision is a function of the pre-batch state (runs with
+    * `writer == batchId` are ignored), and nothing this call deletes
+    * was written or read by it. */
   def maintain(
       spark: SparkSession,
       table: String,
@@ -239,51 +306,101 @@ private[graft] object LedgerState {
       idCol: String = "id",
       scoreCol: Option[String] = None,
       bucketK: Int = 64,
-      compactEvery: Int = 16): Unit = {
+      compactEvery: Int = 16,
+      fanout: Int = 8,
+      graceFolds: Int = -1): Unit = {
     require(bucketK >= 1, s"bucketK=$bucketK must be positive")
     require(compactEvery >= 2, s"compactEvery=$compactEvery below 2 would " +
-      "compact every fold — full-history rewrite amplification")
-    val marked = ckpts(spark, table)
-    val base = marked.find(_.id < batchId)
-    base.foreach { c =>
-      val (f, p) = fs(spark, table)
-      allCkptIds(spark, table).filter(_ < c.id).foreach(id =>
-        f.delete(new org.apache.hadoop.fs.Path(p, s"ckpt=$id"), true))
-      StreamState.deleteGenerations(spark, table,
-        StreamState.generations(spark, table).filter(_ <= c.id))
+      "compact every fold — pure write amplification")
+    require(fanout >= 2, s"fanout=$fanout below 2 cannot merge")
+    val grace = if (graceFolds >= 0) graceFolds else compactEvery
+    val listed = listRuns(spark, table)
+    val committed = listed.collect { case (r, true) => r }
+    val (f, p) = fs(spark, table)
+    def del(name: String): Unit =
+      f.delete(new org.apache.hadoop.fs.Path(p, name), true)
+    // ---- GC: only runs committed by STRICTLY EARLIER folds supersede
+    // (a fold must never delete inputs of its own, possibly crashed,
+    // writes), and only after the grace window has passed ----
+    val superseders = committed.filter(_.writer < batchId)
+    committed.foreach { r =>
+      val sup = superseders.filter(_.supersedes(r))
+      if (sup.nonEmpty && batchId >= sup.map(_.writer).min + grace)
+        del(r.dirName)
     }
-    val live = StreamState.generations(spark, table)
-      .filter(g => base.forall(g > _.id))
-    if (live.size >= compactEvery) {
-      val hist = assemble(spark, table, base, live, idCol, None, None)
-      val withBucket = hist
-        .withColumn(BucketCol, pmod(col(idCol), lit(bucketK.toLong)))
-      val withScore = scoreCol match {
-        case Some(sc) => withBucket.withColumn(ScoreCol, col(sc))
-        case None => withBucket
+    StreamState.generations(spark, table).foreach { g =>
+      val sup = superseders.filter(_.covers(g))
+      if (sup.nonEmpty && batchId >= sup.map(_.writer).min + grace)
+        StreamState.deleteGenerations(spark, table, Seq(g))
+    }
+    // defensive: an unmarked torso whose writer is a full grace window
+    // in the past can never be completed (its fold committed long ago)
+    listed.collect { case (r, false) => r }.foreach(r =>
+      if (r.writer < batchId - grace) del(r.dirName))
+    // ---- decisions off the PRE-batch state only ----
+    val pre = chain(committed.filterNot(_.writer == batchId))
+    val frontier = pre.lastOption.map(_.hi).getOrElse(-1L)
+    val live = StreamState.generations(spark, table).filter(_ > frontier)
+    def writeRun(r: Run, df: DataFrame): Unit = {
+      val withB = df.withColumn(BucketCol,
+        pmod(xxhash64(col(idCol)), lit(r.k.toLong)))
+      val withS = scoreCol match {
+        case Some(sc) => withB.withColumn(ScoreCol, col(sc))
+        case None => withB
       }
       // a partitioned write of an EMPTY frame emits no files at all and
-      // the checkpoint read could not infer a schema — an all-empty
-      // ledger (e.g. readmissions on a raise-free stream) compacts to a
-      // flat schema-bearing empty file instead (the synthetic columns
-      // become zero-row data columns, which the view handles uniformly)
+      // the run read could not infer a schema — an all-empty ledger
+      // (e.g. readmissions on a raise-free stream) writes a flat
+      // schema-bearing empty file instead (the synthetic columns become
+      // zero-row data columns, which the view handles uniformly)
       val out =
-        if (withScore.isEmpty) withScore.coalesce(1).write
+        if (withS.isEmpty) withS.coalesce(1).write
         else scoreCol match {
-          case Some(_) => withScore.repartition(col(BucketCol))
+          case Some(_) => withS.repartition(col(BucketCol))
             .write.partitionBy(BucketCol, ScoreCol)
-          case None => withScore.repartition(col(BucketCol))
+          case None => withS.repartition(col(BucketCol))
             .write.partitionBy(BucketCol)
         }
-      out.mode("overwrite").parquet(s"$table/ckpt=$batchId")
-      val (f, _) = fs(spark, table)
+      out.mode("overwrite").parquet(s"$table/${r.dirName}")
       f.create(new org.apache.hadoop.fs.Path(
-        s"$table/ckpt=$batchId/$MarkerPrefix$bucketK"), true).close()
+        s"$table/${r.dirName}/$MarkerPrefix${r.k}"), true).close()
+    }
+    var cur = pre
+    // ---- level-1 compaction of the live increments ----
+    if (live.size >= compactEvery) {
+      val lo = if (pre.isEmpty) 0L else frontier + 1
+      val r = Run(1, lo, live.max, batchId, bucketK)
+      writeRun(r, assemble(spark, table, Seq.empty, live, idCol, None, None))
+      cur = cur :+ r
+    }
+    // ---- cascading leveled merges (lowest level first; each level at
+    // most once per fold per cascade step) ----
+    var go = true
+    while (go) {
+      cur.groupBy(_.level).toSeq.sortBy(_._1)
+        .find(_._2.size >= fanout) match {
+        case Some((lvl, rs)) =>
+          val seg = rs.sortBy(_.lo).take(fanout)
+          // same-level runs tile contiguously by construction; guard it
+          // anyway — merging a gapped segment would corrupt nesting
+          val tiles = seg.sliding(2).forall {
+            case Seq(a, b) => b.lo == a.hi + 1
+            case _ => true
+          }
+          if (!tiles) go = false
+          else {
+            val m = Run(lvl + 1, seg.head.lo, seg.last.hi, batchId, bucketK)
+            writeRun(m, seg.map(r => runDf(spark, table, r, None, None))
+              .reduce(_.unionByName(_)))
+            cur = cur.filterNot(seg.toSet) :+ m
+          }
+        case None => go = false
+      }
     }
   }
 
-  /** Total `batch=`/`ckpt=` directory count — the soak-test observable
+  /** Total `batch=`/`run=` directory count — the soak-test observable
     * the compaction discipline bounds. */
   def dirCount(spark: SparkSession, table: String): Int =
-    StreamState.generations(spark, table).size + allCkptIds(spark, table).size
+    StreamState.generations(spark, table).size + listRuns(spark, table).size
 }

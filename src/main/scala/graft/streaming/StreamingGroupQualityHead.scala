@@ -48,13 +48,18 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  * down to its new head off existing state; a group whose budget GREW
  * breaks fact 1 upward and RESURRECTS candidates from the arrivals
  * ledger at its now-non-rejected tiers, with its cut guard disabled
- * for that one fold. The GROUP SET is still fixed for the life of the
- * state path (enforced loudly): arrivals of never-curated groups were
- * dropped without a ledger row, so a group added mid-stream could not
- * recover its past — only budget VALUES may move. Re-admissions land
- * in `readmissions/batch=<id>`; `budgets/batch=<id>` stores the map in
- * effect after each fold (the raise detector's reference);
- * [[lifecycle]] is the dynamics-aware reader.
+ * for that one fold. The GROUP SET itself may move in two explicit,
+ * monotone-history ways (x169/x174): a group ADDED to the map starts
+ * fresh from its first curated fold (its earlier arrivals were dropped
+ * without a ledger row — nothing exists to resurrect), and a group
+ * named in the `retire` set DRAINS-AND-FREEZES: it stops admitting
+ * (arrivals drop without a ledger row from that fold on) while its
+ * final head stays readable forever. Silent removal (absent from the
+ * map, not retired) stays fail-loud, and so does re-budgeting a
+ * retired group. Re-admissions land in `readmissions/batch=<id>`; the
+ * meta 'budget'/'retired' rows store the map in effect after each fold
+ * (the raise detector's reference); [[lifecycle]] is the
+ * dynamics-aware reader.
  *
  * State layout under `path/` — the [[StreamingQualityHead]] discipline
  * (per-`batch=<id>` overwrite generations; every read excludes the
@@ -130,12 +135,14 @@ object StreamingGroupQualityHead {
       tokCol: String = "n_tokens",
       retainGenerations: Int = 3,
       bucketK: Int = 64,
-      compactEvery: Int = 16): DataStreamWriter[Row] =
+      compactEvery: Int = 16,
+      retireOf: Long => Set[String] = _ => Set.empty): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch, batchId, path, budgetsOf(batchId), idCol, groupCol,
-          scoreCol, tokCol, retainGenerations, bucketK, compactEvery)
+          scoreCol, tokCol, retainGenerations, bucketK, compactEvery,
+          retire = retireOf(batchId))
       }
 
   /** The full dimension-sized state at generation `gen` — ONE collect
@@ -186,11 +193,25 @@ object StreamingGroupQualityHead {
       tokCol: String = "n_tokens",
       retainGenerations: Int = 3,
       bucketK: Int = 64,
-      compactEvery: Int = 16): Unit = {
+      compactEvery: Int = 16,
+      retire: Set[String] = Set.empty): Unit = {
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    require(retire.intersect(budgets.keySet).isEmpty,
+      s"a group cannot be retired AND budgeted in the same fold: " +
+        s"${retire.intersect(budgets.keySet).toSeq.sorted}")
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
       val hasState = StreamState.exists(spark, s"$path/meta")
+      // layout-migration guard: a state tree written by the pre-r16
+      // four-table layout has hist/ but no meta/ — silently treating it
+      // as hasState=false would re-initialize from empty while the old
+      // ledger dirs stay under the same path, and every re-arrival
+      // would ledger a duplicate row
+      if (!hasState && StreamState.exists(spark, s"$path/hist"))
+        throw new IllegalStateException(
+          s"$path holds a pre-consolidation quality-head layout (hist/ " +
+            "without meta/): refusing to re-initialize over it — drain " +
+            "and re-plan the stream into a fresh state path")
       // dense integral gid per group (withPerKeyRunningSum's key
       // contract), deterministic across folds: sorted group order
       val gidOf: Map[String, Long] = budgets.keySet.toSeq.sorted
@@ -252,16 +273,45 @@ object StreamingGroupQualityHead {
         // deliberately nothing to resurrect: recovering them would
         // require the raw corpus, which the stream never stores. A new
         // group is NOT a raise (no stored budget to compare against) —
-        // its first fold runs the ordinary arrival path. REMOVING a
-        // group stays fail-loud: its cells would linger in hist/tiers
-        // with no budget to evaluate them under, a silently-frozen
-        // half-curation no deployment means to express (drop the stream
-        // and re-plan instead).
+        // its first fold runs the ordinary arrival path.
+        //
+        // RETIRING a group (x174) is the drain-and-freeze contract a
+        // deployment decommissioning a source actually wants: an
+        // EXPLICITLY retired group stops admitting (its arrivals drop
+        // without a ledger row from this fold on, exactly like a
+        // never-curated group's) while its final head stays readable
+        // forever — its hist/tiers/cut meta rows carry forward verbatim
+        // and its head generations stay reference-pinned. Retirement
+        // must be explicit (the `retire` set), NOT inferred from a
+        // group's absence in `budgets`: an accidental omission would
+        // otherwise silently freeze a live source — absence stays
+        // fail-loud. Retirement is terminal: re-budgeting a retired
+        // group fails loud too (its post-retirement arrivals were never
+        // ledgered, so "resuming" would silently resurrect only the
+        // pre-retirement past — re-plan into a fresh path instead).
+        // Like a budget change, a retirement delivered alongside an
+        // empty-or-all-rearrival batch takes effect at the next folding
+        // batch (it is detected by state diff, not by the batch that
+        // carried it).
+        val priorRetired: Map[String, Long] =
+          metaRows.collect { case ("retired", g, _, b) => g -> b }.toMap
+        require(priorRetired.keySet.intersect(budgets.keySet).isEmpty,
+          s"a RETIRED group cannot be re-budgeted (its post-retirement " +
+            s"arrivals were never ledgered): " +
+            s"${priorRetired.keySet.intersect(budgets.keySet).toSeq.sorted}")
+        val newlyRetired = retire -- priorRetired.keySet
+        require(newlyRetired.subsetOf(priorBudgets.keySet),
+          s"only a currently-curated group can be retired: " +
+            s"${(newlyRetired -- priorBudgets.keySet).toSeq.sorted} never held " +
+            s"a budget under this state path")
         if (priorBudgets.nonEmpty)
-          require(priorBudgets.keySet.subsetOf(budgets.keySet),
-            s"a curated group cannot be REMOVED mid-stream (added is fine " +
-              s"— it starts fresh): stored ${priorBudgets.keySet.toSeq.sorted} " +
-              s"vs supplied ${budgets.keySet.toSeq.sorted}")
+          require(priorBudgets.keySet.subsetOf(budgets.keySet ++ retire),
+            s"a curated group cannot be REMOVED mid-stream without an " +
+              s"explicit retire (added is fine — it starts fresh): stored " +
+              s"${priorBudgets.keySet.toSeq.sorted} vs supplied " +
+              s"${budgets.keySet.toSeq.sorted} + retired ${retire.toSeq.sorted}")
+        val retiredAll: Map[String, Long] =
+          priorRetired ++ newlyRetired.map(g => g -> priorBudgets(g))
         val raisedGroups: Set[String] =
           budgets.collect { case (g, b) if priorBudgets.get(g).exists(b > _) => g }.toSet
         // ONE distributed agg + collect: the batch's (group, tier)
@@ -277,9 +327,12 @@ object StreamingGroupQualityHead {
             .map(c => c -> (priorHist.getOrElse(c, 0L) + batchHist.getOrElse(c, 0L)))
             .toMap
         // the x144 arithmetic: per-group tokens-above as prior, walked
-        // down each group's score grid
+        // down each group's score grid. Retired groups are SKIPPED —
+        // their hist cells carry forward below but nothing re-evaluates
+        // them (frozen verdicts are the retirement contract)
         val cumRows: Seq[(String, Long, Long, Boolean, Boolean, Long, Long)] =
-          newHist.keys.toSeq.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+          newHist.keys.toSeq.groupBy(_._1).toSeq.sortBy(_._1)
+            .filter { case (g, _) => budgets.contains(g) }.flatMap {
             case (g, cells) =>
               val bud = budgets(g)
               var runAbove = 0L
@@ -426,11 +479,17 @@ object StreamingGroupQualityHead {
         // ONE dimension-sized write carries everything the next fold
         // reads back — written after the head data, it is the
         // generation's commit marker
+        // retired groups' cut markers carry forward verbatim (frozen
+        // state stays whole), alongside their terminal 'retired' rows
+        val carriedCuts: Seq[(String, Long, Long)] =
+          priorCut.toSeq.collect { case (g, (s, cid)) if retiredAll.contains(g) =>
+            (g, s, cid) }
         val metaOut: Seq[(String, String, Long, Long)] =
           newHist.toSeq.sortBy(_._1).map { case ((g, s), bt) => ("hist", g, s, bt) } ++
             newTiers.map { case (g, s, hg) => ("tiers", g, s, hg) } ++
-            newCuts.map { case (g, s, cid) => ("cut", g, s, cid) } ++
-            budgets.toSeq.sortBy(_._1).map { case (g, b) => ("budget", g, 0L, b) }
+            (newCuts ++ carriedCuts).map { case (g, s, cid) => ("cut", g, s, cid) } ++
+            budgets.toSeq.sortBy(_._1).map { case (g, b) => ("budget", g, 0L, b) } ++
+            retiredAll.toSeq.sortBy(_._1).map { case (g, b) => ("retired", g, 0L, b) }
         spark.createDataFrame(metaOut).toDF("kind", "grp", "k1", "v")
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$path/meta/batch=$batchId")

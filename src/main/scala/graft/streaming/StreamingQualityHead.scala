@@ -238,6 +238,16 @@ object StreamingQualityHead {
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
       val hasState = StreamState.exists(spark, s"$path/meta")
+      // layout-migration guard: a state tree written by the pre-r16
+      // four-table layout has hist/ but no meta/ — silently treating it
+      // as hasState=false would re-initialize from empty while the old
+      // ledger dirs stay under the same path, and every re-arrival
+      // would ledger a duplicate row
+      if (!hasState && StreamState.exists(spark, s"$path/hist"))
+        throw new IllegalStateException(
+          s"$path holds a pre-consolidation quality-head layout (hist/ " +
+            "without meta/): refusing to re-initialize over it — drain " +
+            "and re-plan the stream into a fresh state path")
       // in-batch id dedup (pure function of batch contents), then the
       // cross-batch re-arrival guard off the arrivals ledger — a doc
       // already holding an arrival verdict no-ops (column-pruned id

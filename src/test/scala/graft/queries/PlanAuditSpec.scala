@@ -795,10 +795,11 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("streaming ledgers: the compacted checkpoint scans PARTITION-prune — id buckets for the re-arrival guard, score tiers for raise resurrections") {
-    // the last unbounded-growth path, closed in r16: the quality head's
-    // arrivals ledger compacts into a ckpt=<id> generation bucketed by
-    // pmod(id, K) and sub-partitioned by score tier. The two hot
-    // history reads must show PartitionFilters, not a full-tree scan.
+    // the last unbounded-growth path, closed in r16 (tiered in r17):
+    // the quality head's arrivals ledger compacts into run=<…>
+    // generations bucketed by pmod(xxhash64(id), K) and sub-partitioned
+    // by score tier. The two hot history reads must show
+    // PartitionFilters, not a full-tree scan.
     import graft.streaming.{LedgerState, StreamingQualityHead}
     import org.apache.spark.sql.functions.col
     import spark.implicits._
@@ -810,10 +811,10 @@ class PlanAuditSpec extends SparkSpec {
         budget = 100L, bucketK = 4, compactEvery = 4)
     }
     val tbl = s"$path/arrivals"
-    assert(LedgerState.ckpts(spark, tbl).nonEmpty, "fixture must have compacted")
+    assert(LedgerState.runs(spark, tbl).nonEmpty, "fixture must have compacted")
     // the re-arrival guard's shape: ledger ids pruned to the batch's buckets
     val guard = LedgerState.view(spark, tbl, exclude = 4L,
-      idPrune = Some(Set(1L))).select(col("id"))
+      idPrune = Some(Map(4 -> Set(1L)))).select(col("id"))
     val gp = guard.queryExecution.executedPlan.toString
     assert(gp.contains("PartitionFilters") && gp.contains("_b"),
       s"the guard's checkpoint scan must prune id buckets:\n$gp")

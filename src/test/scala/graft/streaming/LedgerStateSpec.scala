@@ -3,10 +3,12 @@ package graft.streaming
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** The bucketed-compaction ledger discipline: bounded directory count
-  * over a long soak, bit-exact row content (including arrival batches)
-  * across compactions, crash-window replay, and partition-pruned reads
-  * — the [[LedgerState]] contract every streaming ledger rides on. */
+/** The tiered (leveled) bucketed-ledger discipline: bounded directory
+  * count AND O(log lifetime) per-row rewrite over a long soak, bit-exact
+  * row content (including arrival batches) across level merges,
+  * crash-window replay, GC grace for concurrent readers, and
+  * partition-pruned reads — the [[LedgerState]] contract every
+  * streaming ledger rides on. */
 class LedgerStateSpec extends SparkSpec {
   import spark.implicits._
 
@@ -25,12 +27,12 @@ class LedgerStateSpec extends SparkSpec {
         mk(b * 10 + 1 to b * 10 + 10), b, path, quota,
         bucketK = 4, compactEvery = 8)
     }
-    // unbounded layout would hold 40 dirs; the steady bound is
-    // compactEvery + 2: the new checkpoint plus its not-yet-GC'd inputs
-    // (the superseded checkpoint and up to compactEvery increments are
-    // deleted by the NEXT fold, never by the one that compacted — the
-    // crash-safety rule)
-    assert(LedgerState.dirCount(spark, s"$path/verdicts") <= 10,
+    // unbounded layout would hold 40 dirs; the steady bound is the live
+    // level-1 runs (5 here — below the merge fanout) plus one grace
+    // window of not-yet-GC'd increments (≤ compactEvery): superseded
+    // dirs are retained `grace` folds past the superseding run's writer
+    // so a concurrent reader finishes its scan (the GC grace contract)
+    assert(LedgerState.dirCount(spark, s"$path/verdicts") <= 16,
       "compaction must bound the ledger's directory count")
     // row content is compaction-invariant: every doc's verdict equals
     // the batch window replay over all 400 arrivals
@@ -52,14 +54,53 @@ class LedgerStateSpec extends SparkSpec {
       s"doc $i must remember the batch it arrived in"))
   }
 
-  test("replaying the compacting fold rewrites an identical checkpoint; state and verdicts bit-identical") {
+  test("leveled merges: small fanout cascades runs up the levels; content bit-exact, listing bounded, per-row rewrites logarithmic") {
+    val path = freshPath()
+    val tbl = s"$path/led"
+    // 48 single-row increments at compactEvery=2, fanout=2: level-1
+    // runs every 2 folds (24 lifetime), pairs merge into level 2, then
+    // 3, … — a full cascade. Track every run dir ever written to count
+    // actual per-row rewrites.
+    val seen = scala.collection.mutable.Set[String]()
+    var rewrites = 0L
+    (0L until 48L).foreach { b =>
+      Seq((b * 10 + 1, b * 10)).toDF("id", "payload")
+        .write.mode("overwrite").parquet(s"$tbl/batch=$b")
+      LedgerState.maintain(spark, tbl, b, idCol = "id",
+        bucketK = 4, compactEvery = 2, fanout = 2, graceFolds = 2)
+      LedgerState.runs(spark, tbl).foreach { r =>
+        if (!seen.contains(r.dirName)) {
+          seen += r.dirName
+          rewrites += (r.hi - r.lo + 1) // rows rewritten into this run
+        }
+      }
+    }
+    val live = LedgerState.runs(spark, tbl)
+    assert(live.exists(_.level >= 3),
+      s"the cascade must reach level 3+: ${live.map(_.dirName)}")
+    // the antichain tiles [0, frontier] — every arrival batch readable
+    val v = LedgerState.view(spark, tbl, exclude = -1L)
+      .select(col("id"), col("abatch")).as[(Long, Long)].collect().toMap
+    assert(v.size === 48)
+    (0L until 48L).foreach(b => assert(v(b * 10 + 1) === b))
+    // write amplification is the LEVEL count, not lifetime/compactEvery:
+    // each of the 48 rows passed through ≤ ceil(log2(24)) + 1 runs; the
+    // old full-history layout would have rewritten Σ ledger ≈ 24·24 rows
+    val amp = rewrites.toDouble / 48
+    assert(amp <= 6.5, s"per-row rewrite count must stay logarithmic, got $amp")
+    assert(LedgerState.dirCount(spark, tbl) <= 12,
+      "listing must stay bounded through the cascade")
+  }
+
+  test("replaying the compacting fold rewrites an identical run; state and verdicts bit-identical") {
     val path = freshPath()
     (0L until 8L).foreach { b =>
       StreamingBudgetAdmission.foldBatch(
         mk(b * 10 + 1 to b * 10 + 10), b, path, 100000L,
         bucketK = 4, compactEvery = 8)
     }
-    assert(LedgerState.ckpts(spark, s"$path/verdicts").map(_.id) === Seq(7L),
+    assert(LedgerState.runs(spark, s"$path/verdicts") ===
+      Seq(LedgerState.Run(1, 0L, 7L, 7L, 4)),
       "fold 7 must have compacted (8 live increments)")
     def snap() = (
       StreamingBudgetAdmission.verdicts(spark, path)
@@ -67,10 +108,10 @@ class LedgerStateSpec extends SparkSpec {
       LedgerState.view(spark, s"$path/verdicts", exclude = -1L)
         .orderBy("id").collect().toSeq)
     val once = snap()
-    // foreachBatch re-delivers batch 7 (crash after the checkpoint write
-    // + marker, before the stream offset commit): the re-fold reads the
-    // pre-batch state — its own increment AND its own checkpoint are
-    // excluded, and GC never deleted their inputs — and rewrites both
+    // foreachBatch re-delivers batch 7 (crash after the run write +
+    // marker, before the stream offset commit): the re-fold reads the
+    // pre-batch state — its own increment AND its own run are excluded,
+    // and GC never deleted their inputs — and rewrites both
     StreamingBudgetAdmission.foldBatch(
       mk(71L to 80L), 7L, path, 100000L, bucketK = 4, compactEvery = 8)
     assert(snap() === once, "replay of the compacting fold must be bit-identical")
@@ -83,24 +124,25 @@ class LedgerStateSpec extends SparkSpec {
         mk(b * 10 + 1 to b * 10 + 10), b, path, 100000L,
         bucketK = 4, compactEvery = 8)
     }
-    // simulate the crash: the ckpt=7 parquet exists but the marker does
+    // simulate the crash: the run parquet exists but the marker does
     // not — exactly the window between the write and the touch
-    val marker = new java.io.File(s"$path/verdicts/ckpt=7/_COMPACTED_4")
+    val marker = new java.io.File(s"$path/verdicts/run=1-0-7-7/_RUN_4")
     assert(marker.exists())
     marker.delete()
-    assert(LedgerState.ckpts(spark, s"$path/verdicts").isEmpty,
-      "an unmarked checkpoint must be invisible")
+    assert(LedgerState.runs(spark, s"$path/verdicts").isEmpty,
+      "an unmarked run must be invisible")
     // the view still resolves the full history off the un-GC'd increments
     assert(LedgerState.view(spark, s"$path/verdicts", exclude = -1L)
       .count() === 80L)
-    // the next fold recompacts over the same inputs and re-marks
+    // the next fold recompacts over the same inputs and re-marks (its
+    // own level-1 run now spans through its own increment)
     StreamingBudgetAdmission.foldBatch(
       mk(81L to 90L), 8L, path, 100000L, bucketK = 4, compactEvery = 8)
-    assert(LedgerState.ckpts(spark, s"$path/verdicts").map(_.id) === Seq(8L))
+    assert(LedgerState.runs(spark, s"$path/verdicts").map(_.writer) === Seq(8L))
     assert(StreamingBudgetAdmission.verdicts(spark, path).count() === 90L)
   }
 
-  test("re-arrival guard prunes the checkpoint scan to the batch's buckets (PartitionFilters) and stays correct") {
+  test("re-arrival guard prunes the run scans to the batch's buckets (PartitionFilters) and stays correct") {
     val path = freshPath()
     (0L until 8L).foreach { b =>
       StreamingBudgetAdmission.foldBatch(
@@ -109,19 +151,48 @@ class LedgerStateSpec extends SparkSpec {
     }
     val tbl = s"$path/verdicts"
     // a small batch touches fewer buckets than K → batchBuckets prunes
-    val probe = Seq(4L, 8L).toDF("id") // both ≡ 0 (mod 4)
+    val probe = Seq(4L, 8L).toDF("id")
     val prune = LedgerState.batchBuckets(spark, tbl, 8L, probe, "id")
-    assert(prune === Some(Set(0L)))
+    assert(prune.isDefined && prune.get.contains(4) && prune.get(4).size < 4,
+      s"two ids must touch fewer than K=4 hash buckets: $prune")
     val pruned = LedgerState.view(spark, tbl, 8L, idPrune = prune)
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("_b"),
-      s"the checkpoint scan must partition-prune on the id bucket:\n$plan")
-    // pruning is sound: every ledger id in those buckets is present
+      s"the run scan must partition-prune on the id bucket:\n$plan")
+    // pruning is SOUND: every ledger row whose id is in the probe batch
+    // is present in the pruned view (the anti-join guard's requirement)
     val ids = pruned.select("id").as[Long].collect().toSet
-    assert(ids === (1L to 80L).filter(_ % 4 == 0).toSet)
+    assert(Set(4L, 8L).subsetOf(ids))
+    // …and exact w.r.t. the hash-bucket predicate itself
+    val wantBuckets = prune.get(4)
+    val all = LedgerState.view(spark, tbl, 8L)
+      .select(col("id"), pmod(xxhash64(col("id")), lit(4L)).as("b"))
+      .as[(Long, Long)].collect()
+    assert(ids === all.filter(x => wantBuckets.contains(x._2)).map(_._1).toSet)
     // and a batch covering every bucket skips the no-op filter
     assert(LedgerState.batchBuckets(spark, tbl, 8L,
-      Seq(1L, 2L, 3L, 4L).toDF("id"), "id") === None)
+      (1L to 64L).toDF("id"), "id") === None)
+  }
+
+  test("string-keyed ledgers bucket on the hash: prune stays sound for non-numeric ids") {
+    val path = freshPath()
+    val tbl = s"$path/led"
+    (0L until 4L).foreach { b =>
+      (b * 5 + 1 to b * 5 + 5).map(i => (s"doc-$i", i * 10))
+        .toDF("id", "tokens")
+        .write.mode("overwrite").parquet(s"$tbl/batch=$b")
+    }
+    LedgerState.maintain(spark, tbl, 3L, idCol = "id",
+      bucketK = 4, compactEvery = 4)
+    assert(LedgerState.runs(spark, tbl).nonEmpty)
+    val probe = Seq("doc-7", "doc-13").toDF("id")
+    val prune = LedgerState.batchBuckets(spark, tbl, 4L, probe, "id")
+    assert(prune.isDefined, "string ids must hash into buckets, not null out")
+    val pruned = LedgerState.view(spark, tbl, 4L, idCol = "id", idPrune = prune)
+      .select("id").as[String].collect().toSet
+    assert(Set("doc-7", "doc-13").subsetOf(pruned),
+      "every probed id must be readable through its own hash bucket")
+    assert(LedgerState.view(spark, tbl, 4L).count() === 20L)
   }
 
   test("score-graded ledgers sub-partition by tier; a tier-pruned view partition-prunes and stays sound") {
@@ -135,12 +206,12 @@ class LedgerStateSpec extends SparkSpec {
     }
     LedgerState.maintain(spark, tbl, 3L, idCol = "id",
       scoreCol = Some("score"), bucketK = 4, compactEvery = 4)
-    assert(LedgerState.ckpts(spark, tbl).map(_.id) === Seq(3L))
+    assert(LedgerState.runs(spark, tbl).map(_.writer) === Seq(3L))
     val view = LedgerState.view(spark, tbl, exclude = -1L,
       scorePrune = Some(("score", Set(2L))))
     val plan = view.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("_s"),
-      s"the checkpoint scan must partition-prune on the score tier:\n$plan")
+      s"the run scan must partition-prune on the score tier:\n$plan")
     assert(view.select("id").as[Long].collect().toSet ===
       (1L to 20L).filter(_ % 3 == 2).toSet)
     // the payload score column itself survives verbatim (the partition
@@ -148,13 +219,12 @@ class LedgerStateSpec extends SparkSpec {
     assert(view.select("score").distinct().as[Long].collect().toSeq === Seq(2L))
   }
 
-  test("quality head: a budget RAISE after compaction resurrects from the CHECKPOINT (score-pruned) and still equals the batch operator") {
+  test("quality head: a budget RAISE after compaction resurrects from the RUNS (score-pruned) and still equals the batch operator") {
     val path = freshPath()
-    // 12 folds at compactEvery=4: ckpts at folds 3, 7, 11. Ten score
+    // 12 folds at compactEvery=4: runs at folds 3, 7, 11. Ten score
     // tiers; a tight budget keeps most tiers rejected — their members
-    // exist ONLY in the arrivals ledger. The raise at fold 10 (after
-    // the fold-7 checkpoint, whose inputs are GC'd by fold 8) can only
-    // recover them through the compacted, score-partitioned ckpt=7.
+    // exist ONLY in the arrivals ledger. The raise at fold 10 recovers
+    // them through the compacted, score-partitioned runs.
     def mkDocs(ids: Seq[Long]) =
       ids.map(i => (i, (i % 10) * 100L, 10L + i % 3))
         .toDF("doc_id", "score_k", "n_tokens")
@@ -168,19 +238,20 @@ class LedgerStateSpec extends SparkSpec {
     val batch = graft.ext.Mixture.qualityBudgetHead(mkDocs(1L to 96L), 800L)
       .filter(col("admitted")).select("doc_id").as[Long].collect().toSet
     assert(streamed === batch,
-      "post-compaction raise must resurrect ledger rows from the checkpoint")
+      "post-compaction raise must resurrect ledger rows from the runs")
     assert(streamed.size > 5, "fixture must actually resurrect a head")
     // lifecycle readmission counts resolve through the compacted view
     val re = StreamingQualityHead.lifecycle(spark, path)
       .filter(col("n_readmissions") > 0).count()
     assert(re > 0, "the raise must have re-admitted previously-evicted docs")
-    // all three ledgers stay directory-bounded
+    // all three ledgers stay directory-bounded (3 runs + one grace
+    // window of retained increments)
     Seq("arrivals", "evictions", "readmissions").foreach(t =>
-      assert(LedgerState.dirCount(spark, s"$path/$t") <= 6,
+      assert(LedgerState.dirCount(spark, s"$path/$t") <= 9,
         s"$t must stay compacted"))
   }
 
-  test("group quality head: per-group raise after compaction resurrects only the raised group's cells from the checkpoint") {
+  test("group quality head: per-group raise after compaction resurrects only the raised group's cells from the runs") {
     val path = freshPath()
     def mkDocs(ids: Seq[Long]) =
       ids.map(i => (i, if (i % 2 == 0) "web" else "book",
@@ -200,7 +271,7 @@ class LedgerStateSpec extends SparkSpec {
         mkDocs(1L to 96L), bDf)
       .filter(col("admitted")).select("doc_id").as[Long].collect().toSet
     assert(streamed === batch,
-      "the raised group must recover its ledger rows from the checkpoint; " +
+      "the raised group must recover its ledger rows from the runs; " +
         "the steady group must not move")
     assert(streamed.exists(_ % 2 == 0) && streamed.exists(_ % 2 == 1))
   }
@@ -225,8 +296,8 @@ class LedgerStateSpec extends SparkSpec {
         path, threshold = 0.35, bucketK = 4, compactEvery = 3)
     }
     Seq("sh", "prints", "pairs").foreach { t =>
-      assert(LedgerState.ckpts(spark, s"$path/$t").nonEmpty, s"$t must have compacted")
-      assert(LedgerState.dirCount(spark, s"$path/$t") <= 5, s"$t dirs must stay bounded")
+      assert(LedgerState.runs(spark, s"$path/$t").nonEmpty, s"$t must have compacted")
+      assert(LedgerState.dirCount(spark, s"$path/$t") <= 6, s"$t dirs must stay bounded")
     }
     val streamed = StreamingWinnowIngest.pairs(spark, path)
       .select("id_a", "id_b", "inter", "uni", "jaccard")
@@ -241,24 +312,49 @@ class LedgerStateSpec extends SparkSpec {
       "fixture must produce a post-compaction cross-batch pair")
   }
 
-  test("GC keeps everything a replay needs: increments newer than the committed checkpoint survive until superseded") {
+  test("GC grace: superseded increments survive a full grace window for concurrent readers, then go") {
     val path = freshPath()
-    (0L until 11L).foreach { b =>
+    (0L until 9L).foreach { b =>
       StreamingBudgetAdmission.foldBatch(
         mk(b * 10 + 1 to b * 10 + 10), b, path, 100000L,
         bucketK = 4, compactEvery = 8)
     }
     val tbl = s"$path/verdicts"
-    // ckpt=7 committed; folds 8..10 are post-checkpoint increments; the
-    // pre-checkpoint increments 0..7 were GC'd by fold 8
-    assert(LedgerState.ckpts(spark, tbl).map(_.id) === Seq(7L))
-    assert(StreamState.generations(spark, tbl) === Seq(10L, 9L, 8L))
+    // run=1-0-7-7 committed at fold 7; its input increments 0..7 are
+    // redundant — but a reader that resolved its view just before fold
+    // 7 may still be scanning them, so fold 8 must NOT delete them
+    // (grace = compactEvery = 8 folds: deletable from fold 15 on)
+    assert(LedgerState.runs(spark, tbl).map(_.writer) === Seq(7L))
+    assert(StreamState.generations(spark, tbl).size === 9,
+      "all increments must survive the grace window")
     // replay of the newest batch still has its full pre-state
     val once = StreamingBudgetAdmission.verdicts(spark, path)
       .orderBy("id").collect().toSeq
     StreamingBudgetAdmission.foldBatch(
-      mk(101L to 110L), 10L, path, 100000L, bucketK = 4, compactEvery = 8)
+      mk(81L to 90L), 8L, path, 100000L, bucketK = 4, compactEvery = 8)
     assert(StreamingBudgetAdmission.verdicts(spark, path)
       .orderBy("id").collect().toSeq === once)
+    // past the grace window the superseded increments ARE collected
+    (9L until 16L).foreach { b =>
+      StreamingBudgetAdmission.foldBatch(
+        mk(b * 10 + 1 to b * 10 + 10), b, path, 100000L,
+        bucketK = 4, compactEvery = 8)
+    }
+    val gens = StreamState.generations(spark, tbl)
+    assert(!gens.exists(_ <= 7L),
+      s"increments 0..7 must be GC'd once the grace window passed: $gens")
+    assert(StreamingBudgetAdmission.verdicts(spark, path).count() === 160L)
+  }
+
+  test("a pre-tiered ckpt= tree fails fast instead of silently re-initializing") {
+    val path = freshPath()
+    val tbl = s"$path/verdicts"
+    Seq((1L, 2L)).toDF("id", "tokens")
+      .write.mode("overwrite").parquet(s"$tbl/batch=0")
+    new java.io.File(s"$tbl/ckpt=3").mkdirs()
+    val e = intercept[IllegalStateException] {
+      LedgerState.view(spark, tbl, exclude = -1L)
+    }
+    assert(e.getMessage.contains("pre-tiered"))
   }
 }

@@ -386,4 +386,84 @@ class StreamingGroupQualityHeadSpec extends SparkSpec {
     assert(lc(13L) === ((true, 0L, 0L, true)))
     assert(lc(12L) === ((true, 1L, 0L, false))) // evicted@1, b never raised
   }
+
+  test("x174 retirement: a retired group drains (no new ledger rows) and freezes (final head stays readable); siblings curate on") {
+    val path = newPath()
+    StreamingGroupQualityHead.foldBatch(docs(b0: _*), 0L, path, B)
+    StreamingGroupQualityHead.foldBatch(docs(b1: _*), 1L, path, B)
+    val frozenB = headSet(path).filter(_ >= 11L)
+    // fold 2 retires b; its arrival (14) must drop without a ledger row
+    // while a's arrival (5) curates normally
+    StreamingGroupQualityHead.foldBatch(docs(b2: _*), 2L, path,
+      B - "b", retire = Set("b"))
+    // fold 3: retirement already stored; a keeps moving, b stays frozen
+    StreamingGroupQualityHead.foldBatch(
+      docs((6L, "a", 300L, 10L), (15L, "b", 999L, 1L)), 3L, path,
+      B - "b", retire = Set("b"))
+    val h = StreamingGroupQualityHead.head(spark, path)
+      .select("id", "grp").as[(Long, String)].collect().toSet
+    // b's head is exactly its pre-retirement membership — even a
+    // would-be-perfect late arrival (15, score 999) cannot enter
+    assert(h.filter(_._2 == "b").map(_._1) === frozenB)
+    // a equals the batch operator over ALL its arrivals
+    val aBatch = batchAdmitted(
+      (b0 ++ b1 ++ b2 ++ Seq((6L, "a", 300L, 10L))).filter(_._2 == "a"),
+      Map("a" -> 100L))
+    assert(h.filter(_._2 == "a").map(_._1) === aBatch)
+    // post-retirement b arrivals hold no ledger row at all
+    val ledgerIds = StreamingGroupQualityHead.ledger(spark, path)
+      .select("id").as[Long].collect().toSet
+    assert(!ledgerIds.contains(14L) && !ledgerIds.contains(15L))
+    assert(ledgerIds.contains(11L))
+  }
+
+  test("x174 retirement is replay-idempotent and fail-loud where it must be") {
+    val path = newPath()
+    StreamingGroupQualityHead.foldBatch(docs(b0: _*), 0L, path, B)
+    StreamingGroupQualityHead.foldBatch(docs(b2: _*), 1L, path,
+      B - "b", retire = Set("b"))
+    def snap() = StreamingGroupQualityHead.lifecycle(spark, path)
+      .orderBy("id").collect().toSeq
+    val once = snap()
+    // crash-replay of the retirement fold: bit-identical state
+    StreamingGroupQualityHead.foldBatch(docs(b2: _*), 1L, path,
+      B - "b", retire = Set("b"))
+    assert(snap() === once)
+    // silent removal (absent, not retired) still fails loud — the batch
+    // must carry a doc of a CURATED group, or the fold no-ops before
+    // the group-set check (arrivals of unknown groups drop at the dim
+    // join)
+    val e1 = intercept[IllegalArgumentException] {
+      StreamingGroupQualityHead.foldBatch(docs((7L, "c", 100L, 10L)), 2L,
+        path, Map("c" -> 50L))
+    }
+    assert(e1.getMessage.contains("REMOVED"))
+    // re-budgeting a retired group fails loud (retirement is terminal)
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingGroupQualityHead.foldBatch(docs(b1: _*), 2L, path, B)
+    }
+    assert(e2.getMessage.contains("RETIRED"))
+    // retiring a never-curated group fails loud
+    val e3 = intercept[IllegalArgumentException] {
+      StreamingGroupQualityHead.foldBatch(docs(b1: _*), 2L, path,
+        B - "b", retire = Set("b", "zzz"))
+    }
+    assert(e3.getMessage.contains("never held"))
+    // retiring + budgeting the same group in one fold fails loud
+    val e4 = intercept[IllegalArgumentException] {
+      StreamingGroupQualityHead.foldBatch(docs(b1: _*), 2L, path,
+        B - "b" + ("a" -> 100L), retire = Set("a"))
+    }
+    assert(e4.getMessage.contains("retired AND budgeted"))
+  }
+
+  test("layout-migration guard: a pre-consolidation hist/ tree without meta/ fails fast instead of re-initializing") {
+    val path = newPath()
+    new java.io.File(s"$path/hist/batch=0").mkdirs()
+    val e = intercept[IllegalStateException] {
+      StreamingGroupQualityHead.foldBatch(docs(b0: _*), 1L, path, B)
+    }
+    assert(e.getMessage.contains("pre-consolidation"))
+    rmGen(path)
+  }
 }

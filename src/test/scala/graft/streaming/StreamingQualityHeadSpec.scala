@@ -366,4 +366,13 @@ class StreamingQualityHeadSpec extends SparkSpec {
     assert(lc(5L) === ((true, 1L, 0L, false)))  // admitted@2 (raised), evict@3
     assert(lc(60L) === ((false, 0L, 0L, false)))
   }
+
+  test("layout-migration guard: a pre-consolidation hist/ tree without meta/ fails fast instead of re-initializing") {
+    val path = newPath()
+    new java.io.File(s"$path/hist/batch=0").mkdirs()
+    val e = intercept[IllegalStateException] {
+      StreamingQualityHead.foldBatch(docs((1L, 100L, 10L)), 1L, path, 100L)
+    }
+    assert(e.getMessage.contains("pre-consolidation"))
+  }
 }
