@@ -337,6 +337,28 @@ object ExtensionQueries {
        |    (a, b) -> (a * $C + b) % $Mod) AS band_key
        |  FROM sig, range(0, ${P.bands}) r(band))""".stripMargin
 
+  /** Trigram-shingle + banded-minhash CTEs built over [[sqlShnCte]]'s
+    * `toh` token-hash chain (names `sh3`/`sig3`/`banded3`, so they
+    * coexist with the n-gram screen's `shn`/`bg`/`cg` in one WITH
+    * clause) — for oracles that need BOTH the benchmark Bloom screen and
+    * the LSH band gate in one composed replay (x172/x175). Identical
+    * hash arithmetic to [[sqlShingleCte]]+[[sqlBandedCte]]. */
+  private[queries] val sqlBanded3FromToh: String =
+    s"""sh3 AS (SELECT doc_id,
+       |  CASE WHEN len(th) < 3 THEN [list_reduce(list_concat([CAST(0 AS BIGINT)], th),
+       |                                (a, b) -> (a * $C + b) % $Mod)]
+       |       ELSE list_distinct(list_transform(range(0, len(th) - 2),
+       |              i -> ((th[i+1] * $C + th[i+2]) % $Mod * $C + th[i+3]) % $Mod))
+       |  END AS shingles FROM toh),
+       |sig3 AS (SELECT doc_id, list_transform(range(0, ${P.k}),
+       |  i -> list_min(list_transform(shingles, x -> ($aList[i+1] * x + $bList[i+1]) % $Mod))) AS sg
+       |  FROM sh3),
+       |banded3 AS (SELECT doc_id, band,
+       |  list_reduce(list_concat([CAST(0 AS BIGINT)],
+       |    list_slice(sg, band * ${P.rows} + 1, band * ${P.rows} + ${P.rows})),
+       |    (a, b) -> (a * $C + b) % $Mod) AS band_key
+       |  FROM sig3, range(0, ${P.bands}) r(band))""".stripMargin
+
   /** Banded CTE with the engine's degenerate-bucket cap applied
     * ([[Dedup.DefaultMaxBucket]]) — oracle-side parity with
     * [[Dedup.candidatePairs]]' drop policy. No sf0.01 bucket exceeds the

@@ -1035,6 +1035,101 @@ object StreamingQueries {
           col("seq"), col("frag_start"), col("frag_len"), col("doc_off"),
           col("arrival_batch"))
         .orderBy("doc_id", "seq")
+    }),
+
+    // the composed pipeline WITH the monotone near-dup BAND gate (x172):
+    // x167's chain plus first-arrival-wins MinHash-band dedup between
+    // the quality floor and the quota — a doc is kept iff every one of
+    // its LSH band buckets is fresh (no collision with an already-KEPT
+    // doc's ledgered bands; min id per bucket within its own batch).
+    // This is the monotone near-dup stage the CC keeper can never be
+    // (cluster merges revoke consumed verdicts — the exclusion argument
+    // in the operator's doc); only kept docs' bands are ledgered, so
+    // verdicts never revoke. Fixture: every doc_id%10==7 doc re-arrives
+    // VERBATIM under id+2000001 (all 16 bands collide — the limit case
+    // of a near-dup), landing at residue (id+1)%4, so the copies split
+    // across BOTH precedence directions (a residue-1 original's copy
+    // arrives in batch 2, AFTER it — the copy drops; a residue-3
+    // original's copy arrives in batch 0, BEFORE it — the copy WINS);
+    // the corpus's natural band collisions (the x07 candidate pairs)
+    // exercise the partial-collision and within-batch min-id paths.
+    "x172_stream_curated_neardup" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val words = StreamingDecontaminate.bloomWords(
+        docs.filter(col("doc_id") % 97 === 0), n = 13,
+        bits = ExtensionQueries.BloomBits, k = ExtensionQueries.BloomK)
+      val base = docs.as[(Long, String, String)].collect().toSeq
+      val rows = base ++ base.collect {
+        case (i, src, txt) if i % 10 == 7 => (i + 2000001L, src, txt)
+      }
+      val path = java.nio.file.Files.createTempDirectory("graft_x172_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x172_ck_").toString
+      val input = MemoryStream[(Long, String, String)]
+      val q = graft.streaming.StreamingCuratedPack.attach(
+        input.toDF().toDF("doc_id", "source", "text"), path, words,
+        minScoreK = ExtensionQueries.CuratedMinScoreK,
+        quota = ExtensionQueries.CuratedQuota,
+        seqLen = ExtensionQueries.PackSeqLen, numShards = 4,
+        bloomBits = ExtensionQueries.BloomBits,
+        bloomK = ExtensionQueries.BloomK,
+        dedupNear = true)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try (0L until 4L).foreach { b =>
+        input.addData(rows.filter(_._1 % 4 == b))
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.StreamingCuratedPack.fragments(s, path)
+        .select(col("id").as("doc_id"), col("shard"), col("pos"),
+          col("seq"), col("frag_start"), col("frag_len"), col("doc_off"),
+          col("arrival_batch"))
+        .orderBy("doc_id", "seq")
+    }),
+
+    // the composed pipeline's funnel with BOTH dedup stages on (x175):
+    // the x171 duplicated fixture (every id%10==3 doc re-arrives
+    // verbatim under id+1000001) through bloom → quality → exact-fp
+    // dedup → near-dup band gate → quota, read through the cumulative
+    // per-source funnel — the row that exercises the SPLIT drop
+    // columns: n_dup_content (the fp stage's drops — the copies) and
+    // n_neardup (the band gate's drops — the corpus's natural
+    // collisions among fp survivors) are separate outcomes, no longer
+    // conflated into the n_rearrived residual (which stays identically
+    // 0 here: no doc id is ever re-delivered).
+    "x175_stream_dedup_funnel" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val words = StreamingDecontaminate.bloomWords(
+        docs.filter(col("doc_id") % 97 === 0), n = 13,
+        bits = ExtensionQueries.BloomBits, k = ExtensionQueries.BloomK)
+      val base = docs.as[(Long, String, String)].collect().toSeq
+      val rows = base ++ base.collect {
+        case (i, src, txt) if i % 10 == 3 => (i + 1000001L, src, txt)
+      }
+      val path = java.nio.file.Files.createTempDirectory("graft_x175_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x175_ck_").toString
+      val input = MemoryStream[(Long, String, String)]
+      val q = graft.streaming.StreamingCuratedPack.attach(
+        input.toDF().toDF("doc_id", "source", "text"), path, words,
+        minScoreK = ExtensionQueries.CuratedMinScoreK,
+        quota = ExtensionQueries.CuratedQuota,
+        seqLen = ExtensionQueries.PackSeqLen, numShards = 4,
+        bloomBits = ExtensionQueries.BloomBits,
+        bloomK = ExtensionQueries.BloomK,
+        dedupExact = true, dedupNear = true)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try (0L until 4L).foreach { b =>
+        input.addData(rows.filter(_._1 % 4 == b))
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.StreamingCuratedPack.funnel(s, path)
+        .orderBy("source")
     }))
 
   /** The x15 deterministic-recurrence centroids as KMeans.Centroid
@@ -1045,6 +1140,42 @@ object StreamingQueries {
         Array.tabulate(64)(d => Similarity.centroidComponent(c, d)), 0L)
     }
 
+
+  /** Unrolled per-batch replay of the composed near-dup BAND gate
+    * (x172/x175): batch by batch, survivors `s_b` are the batch's rows
+    * of `$inp` with no band in the kept-band ledger `l_{b-1}`; kept
+    * rows `k_b` are survivors that are the min doc_id of EVERY band
+    * bucket they occupy among the batch's survivors; the ledger then
+    * absorbs the kept rows' bands. Assumes CTEs `$inp(doc_id, source,
+    * ab, n_tokens)` (the gate's input) and `bnd(doc_id, bkey)` (its
+    * rows' distinct band keys) are in scope; emits s0..l3 plus `bkept`
+    * (the gate's kept set) — the exact contract of the engine's
+    * stage 2.6 ([[graft.streaming.StreamingCuratedPack]]). */
+  private def sqlBandGateStages(inp: String, nBatches: Int = 4): String = {
+    val stages = (0 until nBatches).map { b =>
+      val guard =
+        if (b == 0) ""
+        else
+          s"""
+             |  AND NOT EXISTS (SELECT 1 FROM bnd n JOIN l${b - 1} l ON l.bkey = n.bkey
+             |    WHERE n.doc_id = c.doc_id)""".stripMargin
+      val ledger =
+        if (b == 0) "SELECT n.bkey FROM bnd n JOIN k0 k ON k.doc_id = n.doc_id"
+        else
+          s"""SELECT bkey FROM l${b - 1}
+             |  UNION SELECT n.bkey FROM bnd n JOIN k$b k ON k.doc_id = n.doc_id""".stripMargin
+      s"""s$b AS (SELECT c.* FROM $inp c WHERE c.ab = $b$guard),
+         |m$b AS (SELECT n.bkey, min(n.doc_id) AS mn FROM bnd n
+         |  JOIN s$b s ON s.doc_id = n.doc_id GROUP BY 1),
+         |k$b AS (SELECT s.* FROM s$b s WHERE NOT EXISTS (
+         |  SELECT 1 FROM bnd n JOIN m$b m ON m.bkey = n.bkey
+         |  WHERE n.doc_id = s.doc_id AND m.mn < s.doc_id)),
+         |l$b AS ($ledger)""".stripMargin
+    }
+    stages.mkString(",\n") + ",\nbkept AS (" +
+      (0 until nBatches).map(b => s"SELECT * FROM k$b").mkString(" UNION ALL ") +
+      ")"
+  }
 
   val oracleSql: Map[String, String] = Map(
 
@@ -1353,6 +1484,8 @@ object StreamingQueries {
          |  CAST(sum(CASE WHEN fl.cl THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
          |  CAST(sum(CASE WHEN fl.qk THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_quality_ok,
+         |  CAST(0 AS BIGINT) AS n_dup_content,
+         |  CAST(0 AS BIGINT) AS n_neardup,
          |  CAST(0 AS BIGINT) AS n_rearrived,
          |  CAST(sum(CASE WHEN fl.qk
          |      AND ca.src_cum <= ${ExtensionQueries.CuratedQuota}
@@ -1675,6 +1808,173 @@ object StreamingQueries {
          |  CAST(greatest(st, seq * $seqLen) - st AS BIGINT) AS doc_off,
          |  arrival_batch
          |FROM px ORDER BY doc_id, seq""".stripMargin
+    },
+
+    // x172: the composed chain with the near-dup band gate replayed
+    // batch by batch — x06's banded-minhash arithmetic (sh3/sig3/
+    // banded3, over the same token-hash chain the Bloom screen uses)
+    // names each doc's band buckets, and the unrolled
+    // [[sqlBandGateStages]] chain replays first-arrival-wins per bucket
+    // exactly as the engine folds it; the quota window and fragment
+    // tail then run over the gate's kept set as in x167
+    "x172_stream_curated_neardup" -> {
+      val aL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomA).mkString("[", ",", "]")
+      val bL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomB).mkString("[", ",", "]")
+      val mod = ExtensionQueries.Mod
+      val bits = ExtensionQueries.BloomBits
+      val k = ExtensionQueries.BloomK
+      val seqLen = ExtensionQueries.PackSeqLen
+      s"""WITH ${ExtensionQueries.sqlShnCte(13)},
+         |bpos AS (SELECT DISTINCT (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits AS pos
+         |  FROM bg CROSS JOIN range(0, $k) r(j)),
+         |cp AS (SELECT doc_id, h, unnest(list_transform(range(0, $k),
+         |    j -> (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits)) AS pos FROM cg),
+         |cand AS (SELECT doc_id, h FROM cp JOIN bpos USING (pos)
+         |  GROUP BY 1, 2 HAVING count(*) = $k),
+         |cont AS (SELECT DISTINCT doc_id FROM cand),
+         |${ExtensionQueries.sqlQualityCtes},
+         |q0 AS (SELECT doc_id,
+         |    CAST(round((${ExtensionQueries.sqlQualityScore}) * 1000000, 0)
+         |      AS BIGINT) AS score_k
+         |  FROM g),
+         |${ExtensionQueries.sqlBanded3FromToh},
+         |inp AS (SELECT doc_id, doc_id AS orig, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000001, doc_id, source FROM documents
+         |  WHERE doc_id % 10 = 7),
+         |cb AS (SELECT i.doc_id, i.source,
+         |    CAST(i.doc_id % 4 AS BIGINT) AS ab,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM inp i
+         |  JOIN documents d ON d.doc_id = i.orig
+         |  JOIN q0 ON q0.doc_id = i.orig
+         |  LEFT JOIN cont ON cont.doc_id = i.orig
+         |  WHERE cont.doc_id IS NULL
+         |    AND q0.score_k >= ${ExtensionQueries.CuratedMinScoreK}),
+         |bnd AS (SELECT DISTINCT i.doc_id, b.band * $mod + b.band_key AS bkey
+         |  FROM inp i
+         |  JOIN banded3 b ON b.doc_id = i.orig
+         |  JOIN cb c ON c.doc_id = i.doc_id),
+         |${sqlBandGateStages("cb")},
+         |ca AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY ab, doc_id) AS BIGINT) AS src_cum FROM bkept),
+         |ptb AS (SELECT doc_id, ab AS arrival_batch,
+         |    CAST(${ExtensionQueries.sqlStringHash("CAST(doc_id AS VARCHAR) || ':ps'")} % 4
+         |      AS BIGINT) AS shard, n_tokens
+         |  FROM ca
+         |  WHERE src_cum <= ${ExtensionQueries.CuratedQuota} AND n_tokens > 0),
+         |po AS (SELECT doc_id, arrival_batch, shard, n_tokens,
+         |    CAST(row_number() OVER (PARTITION BY shard
+         |      ORDER BY arrival_batch, doc_id) AS BIGINT) AS pos,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard
+         |      ORDER BY arrival_batch, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum
+         |  FROM ptb),
+         |pf AS (SELECT doc_id, arrival_batch, shard, pos,
+         |    cum - n_tokens AS st, cum FROM po),
+         |px AS (SELECT *, unnest(range(st // $seqLen,
+         |    (cum - 1) // $seqLen + 1)) AS seq FROM pf)
+         |SELECT doc_id, shard, pos, CAST(seq AS BIGINT) AS seq,
+         |  CAST(greatest(st, seq * $seqLen) - seq * $seqLen AS BIGINT)
+         |    AS frag_start,
+         |  CAST(least(cum, (seq + 1) * $seqLen)
+         |    - greatest(st, seq * $seqLen) AS BIGINT) AS frag_len,
+         |  CAST(greatest(st, seq * $seqLen) - st AS BIGINT) AS doc_off,
+         |  arrival_batch
+         |FROM px ORDER BY doc_id, seq""".stripMargin
+    },
+
+    // x175: the funnel of the doubly-gated chain — fp drops (the
+    // synthesized verbatim copies) land in n_dup_content, band-gate
+    // drops (the corpus's natural LSH collisions among fp survivors)
+    // in n_neardup, and n_rearrived stays identically 0 (no doc id is
+    // re-delivered): the three formerly-conflated outcomes, split
+    "x175_stream_dedup_funnel" -> {
+      val aL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomA).mkString("[", ",", "]")
+      val bL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomB).mkString("[", ",", "]")
+      val mod = ExtensionQueries.Mod
+      val bits = ExtensionQueries.BloomBits
+      val k = ExtensionQueries.BloomK
+      s"""WITH ${ExtensionQueries.sqlShnCte(13)},
+         |bpos AS (SELECT DISTINCT (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits AS pos
+         |  FROM bg CROSS JOIN range(0, $k) r(j)),
+         |cp AS (SELECT doc_id, h, unnest(list_transform(range(0, $k),
+         |    j -> (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits)) AS pos FROM cg),
+         |cand AS (SELECT doc_id, h FROM cp JOIN bpos USING (pos)
+         |  GROUP BY 1, 2 HAVING count(*) = $k),
+         |cont AS (SELECT DISTINCT doc_id FROM cand),
+         |${ExtensionQueries.sqlQualityCtes},
+         |q0 AS (SELECT doc_id,
+         |    CAST(round((${ExtensionQueries.sqlQualityScore}) * 1000000, 0)
+         |      AS BIGINT) AS score_k
+         |  FROM g),
+         |${ExtensionQueries.sqlBanded3FromToh},
+         |fps AS (SELECT doc_id AS orig,
+         |    ${ExtensionQueries.sqlStringHash(ExtensionQueries.sqlNorm)} AS fp
+         |  FROM documents),
+         |inp AS (SELECT doc_id, doc_id AS orig, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000001, doc_id, source FROM documents
+         |  WHERE doc_id % 10 = 3),
+         |fl AS (SELECT i.doc_id, i.source,
+         |    CAST(i.doc_id % 4 AS BIGINT) AS ab,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    fps.fp,
+         |    cont.doc_id IS NULL AS cl,
+         |    cont.doc_id IS NULL
+         |      AND q0.score_k >= ${ExtensionQueries.CuratedMinScoreK} AS qk
+         |  FROM inp i
+         |  JOIN documents d ON d.doc_id = i.orig
+         |  JOIN q0 ON q0.doc_id = i.orig
+         |  JOIN fps ON fps.orig = i.orig
+         |  LEFT JOIN cont ON cont.doc_id = i.orig),
+         |fpk AS (SELECT doc_id, source, ab, n_tokens FROM fl WHERE qk
+         |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY ab, doc_id) = 1),
+         |bnd AS (SELECT DISTINCT i.doc_id, b.band * $mod + b.band_key AS bkey
+         |  FROM inp i
+         |  JOIN banded3 b ON b.doc_id = i.orig
+         |  JOIN fpk f ON f.doc_id = i.doc_id),
+         |${sqlBandGateStages("fpk")},
+         |ca AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY ab, doc_id) AS BIGINT) AS src_cum FROM bkept),
+         |fpc AS (SELECT source, count(*) AS n_post_fp FROM fpk GROUP BY 1),
+         |bkc AS (SELECT source, count(*) AS n_post_band FROM bkept GROUP BY 1),
+         |adm AS (SELECT source,
+         |    CAST(sum(CASE WHEN src_cum <= ${ExtensionQueries.CuratedQuota}
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+         |    CAST(sum(CASE WHEN src_cum > ${ExtensionQueries.CuratedQuota}
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_quota_rejected,
+         |    CAST(sum(CASE WHEN src_cum <= ${ExtensionQueries.CuratedQuota}
+         |      THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_admitted
+         |  FROM ca GROUP BY 1),
+         |base AS (SELECT fl.source,
+         |    CAST(count(*) AS BIGINT) AS n_arrived,
+         |    CAST(sum(CASE WHEN fl.cl THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         |    CAST(sum(CASE WHEN fl.qk THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_quality_ok
+         |  FROM fl GROUP BY fl.source)
+         |SELECT base.source, base.n_arrived, base.n_clean, base.n_quality_ok,
+         |  base.n_quality_ok - CAST(COALESCE(fpc.n_post_fp, 0) AS BIGINT)
+         |    AS n_dup_content,
+         |  CAST(COALESCE(fpc.n_post_fp, 0) - COALESCE(bkc.n_post_band, 0)
+         |    AS BIGINT) AS n_neardup,
+         |  CAST(0 AS BIGINT) AS n_rearrived,
+         |  CAST(COALESCE(adm.n_admitted, 0) AS BIGINT) AS n_admitted,
+         |  CAST(COALESCE(adm.n_quota_rejected, 0) AS BIGINT)
+         |    AS n_quota_rejected,
+         |  CAST(COALESCE(adm.tokens_admitted, 0) AS BIGINT) AS tokens_admitted
+         |FROM base
+         |LEFT JOIN fpc ON fpc.source = base.source
+         |LEFT JOIN bkc ON bkc.source = base.source
+         |LEFT JOIN adm ON adm.source = base.source
+         |ORDER BY base.source""".stripMargin
     },
 
     // x169: x160's per-prefix replay with the added source's

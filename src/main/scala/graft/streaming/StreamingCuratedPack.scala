@@ -47,14 +47,49 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  *    fingerprint ledger: one (fp, keeper id) row per fingerprint ever
  *    kept, first-arrival-wins; a [[LedgerState]] table bucketed by
  *    `pmod(fp, K)` so the guard prunes to the batch's own fp buckets;
+ *  - `bands/batch=<id>` — (opt-in `dedupNear`) the near-dup gate's band
+ *    ledger: one (bkey, keeper id) row per MinHash LSH band bucket a
+ *    KEPT doc occupies ([[graft.ext.Dedup.bandedSignatures]], bkey =
+ *    band·mod + band_key); a [[LedgerState]] table bucketed by
+ *    `pmod(xxhash64(bkey), K)` so the gate prunes to the batch's own
+ *    band buckets;
  *  - `funnel/batch=<id>` — CUMULATIVE per-source stage counts after the
- *    fold (arrived → clean → quality_ok → rearrived/admitted/
- *    quota_rejected + admitted tokens): the observability sheet a data
- *    owner reads. Dimension-sized, generation-superseded,
- *    retention-pruned like the sub-streams' totals. With `dedupExact`
- *    on, the `n_rearrived` residual also absorbs fingerprint-duplicate
- *    drops — both are "already represented" outcomes: the doc reached
- *    admission but its identity or content already holds a verdict.
+ *    fold (arrived → clean → quality_ok → dup_content/neardup/
+ *    rearrived → admitted/quota_rejected + admitted tokens): the
+ *    observability sheet a data owner reads. Dimension-sized,
+ *    generation-superseded, retention-pruned like the sub-streams'
+ *    totals. The three "already represented / near-represented" drop
+ *    modes are SEPARATE columns because they are different upstream
+ *    problems: `n_dup_content` (same fingerprint — a re-crawl or
+ *    re-post), `n_neardup` (band collision — boilerplate or
+ *    templating), `n_rearrived` (same doc id re-delivered — an
+ *    upstream delivery bug). A funnel written by the pre-split layout
+ *    unions in with the new columns null; their cumulative counts
+ *    restart at the migration fold (documented additive migration, the
+ *    only kind the funnel permits).
+ *
+ * Near-dup stage monotonicity (why the band gate CAN compose where the
+ * CC keeper cannot): the gate keeps a doc iff EVERY one of its band
+ * buckets is fresh — no band collides with an already-KEPT doc's
+ * ledgered bands (cross-batch) and the doc is the minimum id of every
+ * bucket it occupies among its own batch's cross-batch survivors
+ * (within-batch; a micro-batch is one arrival instant, so the id is
+ * the deterministic tiebreak). Only KEPT docs' bands enter the ledger.
+ * Verdicts therefore never revoke: keeping doc d can only DROP later
+ * arrivals, never unseat a kept one — and because keeping requires all
+ * buckets fresh, no two kept docs ever share a bucket, so there is no
+ * later arrival that could "merge" two kept near-dup clusters the way
+ * a CC edge does (the x20 keeper's revocation mode). Collision CHAINS
+ * within one batch drop conservatively (A<B<C with A–B and B–C
+ * collisions drops both B and C even though a sequential scan would
+ * re-admit C): the kept set is still pairwise band-independent, and
+ * conservatism is the right side to err on for a gate whose drops are
+ * near-duplicates by construction. Cross-batch, a doc colliding ONLY
+ * with previously DROPPED docs' bands is kept — dropped docs are not
+ * in the ledger. Cost shape: the gate never materializes candidate
+ * PAIRS (no bucket self-join), so a degenerate hot bucket costs
+ * O(bucket), not O(bucket²) — no bucket cap needed, unlike
+ * [[graft.ext.Dedup.candidatePairs]].
  *
  * Equivalence contract (the x167 oracle): the accumulated fragments
  * equal the BATCH composition over everything ingested in arrival
@@ -88,14 +123,15 @@ object StreamingCuratedPack {
       retainGenerations: Int = 3,
       bucketK: Int = 64,
       compactEvery: Int = 16,
-      dedupExact: Boolean = false): DataStreamWriter[Row] =
+      dedupExact: Boolean = false,
+      dedupNear: Boolean = false): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch, batchId, path, bloomWords, minScoreK, quota, seqLen,
           numShards, idCol, groupCol, textCol, ngram, bloomBits, bloomK,
           shardSalt, retainGenerations, bucketK, compactEvery,
-          dedupExact = dedupExact)
+          dedupExact = dedupExact, dedupNear = dedupNear)
       }
 
   /** [[attach]] with the WHOLE-DOC greedy packer
@@ -121,14 +157,16 @@ object StreamingCuratedPack {
       shardSalt: String = ":ps",
       retainGenerations: Int = 3,
       bucketK: Int = 64,
-      compactEvery: Int = 16): DataStreamWriter[Row] =
+      compactEvery: Int = 16,
+      dedupExact: Boolean = false,
+      dedupNear: Boolean = false): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch, batchId, path, bloomWords, minScoreK, quota, seqLen,
           numShards, idCol, groupCol, textCol, ngram, bloomBits, bloomK,
           shardSalt, retainGenerations, bucketK, compactEvery,
-          wholeDoc = true)
+          wholeDoc = true, dedupExact = dedupExact, dedupNear = dedupNear)
       }
 
   /** One composed fold — public so replay (foreachBatch re-delivering
@@ -155,7 +193,8 @@ object StreamingCuratedPack {
       bucketK: Int = 64,
       compactEvery: Int = 16,
       wholeDoc: Boolean = false,
-      dedupExact: Boolean = false): Unit = {
+      dedupExact: Boolean = false,
+      dedupNear: Boolean = false): Unit = {
     require(numShards > 0, "numShards must be positive")
     require(minScoreK >= 0, "minScoreK must be non-negative")
     if (!batch.isEmpty) {
@@ -226,9 +265,55 @@ object StreamingCuratedPack {
             bucketK = bucketK, compactEvery = compactEvery)
           kept.drop("_fp")
         }
+      // stage 2.6 (opt-in): the monotone near-dup gate — FIRST-ARRIVAL-
+      // WINS per MinHash LSH band bucket. A doc is kept iff every one of
+      // its band buckets is fresh: no band in the kept-band ledger
+      // (cross-batch, partition-pruned to the batch's own buckets), and
+      // the doc is the min id of every bucket it occupies among this
+      // batch's cross-batch survivors. Only kept docs' bands are
+      // ledgered — the monotonicity proof is in the class doc. No pair
+      // join anywhere: hot buckets cost O(bucket), not O(bucket²).
+      val gated =
+        if (!dedupNear) admInput
+        else {
+          val tbl = s"$path/bands"
+          val bandRows = graft.ext.Dedup.bandedSignatures(
+              admInput.select(col("id")).join(uniq, Seq("id")),
+              idCol = "id", textCol = "text")
+            .select(col("id"),
+              (col("band").cast("long") * lit(graft.ext.TextAnalysis.HashMod)
+                + col("band_key")).as("bkey"))
+            .distinct().persist()
+          val surv =
+            if (!StreamState.exists(spark, tbl)) admInput
+            else {
+              val prune = LedgerState.batchBuckets(spark, tbl, batchId,
+                bandRows.select(col("bkey")), "bkey")
+              val hit = bandRows.join(
+                  LedgerState.view(spark, tbl, batchId, idCol = "bkey",
+                      idPrune = prune)
+                    .select(col("bkey")),
+                  Seq("bkey"), "left_semi")
+                .select(col("id")).distinct()
+              admInput.join(hit, Seq("id"), "left_anti")
+            }
+          val survBands = bandRows.join(surv.select("id"), Seq("id"), "left_semi")
+          val losers = survBands
+            .withColumn("_mn", min(col("id")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("bkey"))))
+            .filter(col("id") =!= col("_mn")).select(col("id")).distinct()
+          val kept = surv.join(losers, Seq("id"), "left_anti").persist()
+          survBands.join(losers, Seq("id"), "left_anti")
+            .select(col("bkey"), col("id"))
+            .write.mode("overwrite").parquet(s"$tbl/batch=$batchId")
+          LedgerState.maintain(spark, tbl, batchId, idCol = "bkey",
+            bucketK = bucketK, compactEvery = compactEvery)
+          bandRows.unpersist(blocking = false)
+          kept
+        }
       // stage 3: the monotone per-source quota gate (its own fold —
       // ledgered verdicts, re-arrival guard, bucketed compaction)
-      StreamingBudgetAdmission.foldBatch(admInput, batchId,
+      StreamingBudgetAdmission.foldBatch(gated, batchId,
         s"$path/admission", quota, "id", "source", "n_tokens",
         retainGenerations, bucketK, compactEvery)
       // stage 4: pack THIS fold's committed admission slice — the
@@ -259,15 +344,22 @@ object StreamingCuratedPack {
             retainGenerations, bucketK, compactEvery)
       }
       // the cumulative funnel: prior generation + this batch's deltas
-      // (every frame here is batch- or dimension-sized). n_rearrived =
-      // quality-passed docs that already held a verdict (the admission
-      // fold's guard dropped them); they are NOT quota rejections.
+      // (every frame here is batch- or dimension-sized). The three
+      // distinct drop modes between the quality floor and the verdicts
+      // get their own columns: n_dup_content (fingerprint already kept),
+      // n_neardup (band bucket already kept), n_rearrived (doc id
+      // already held a verdict — the admission fold's guard). None of
+      // them are quota rejections.
       val batchCounts = uniq.groupBy(col("source"))
         .agg(count(lit(1)).as("n_arrived"))
         .join(clean.groupBy(col("source"))
           .agg(count(lit(1)).as("n_clean")), Seq("source"), "left")
         .join(qualityOk.groupBy(col("source"))
           .agg(count(lit(1)).as("n_quality_ok")), Seq("source"), "left")
+        .join(admInput.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_post_fp")), Seq("source"), "left")
+        .join(gated.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_post_band")), Seq("source"), "left")
         .join(
           (if (newVerdicts == null)
              uniq.limit(0).select(col("source"),
@@ -284,6 +376,10 @@ object StreamingCuratedPack {
           coalesce(col("n_clean"), lit(0L)).as("n_clean"),
           coalesce(col("n_quality_ok"), lit(0L)).as("n_quality_ok"),
           (coalesce(col("n_quality_ok"), lit(0L)) -
+            coalesce(col("n_post_fp"), lit(0L))).as("n_dup_content"),
+          (coalesce(col("n_post_fp"), lit(0L)) -
+            coalesce(col("n_post_band"), lit(0L))).as("n_neardup"),
+          (coalesce(col("n_post_band"), lit(0L)) -
             coalesce(col("n_admitted"), lit(0L)) -
             coalesce(col("n_quota_rejected"), lit(0L))).as("n_rearrived"),
           coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
@@ -298,13 +394,19 @@ object StreamingCuratedPack {
           else t.filter(col("batch").cast("long") === lit(mx.getLong(0)))
             .drop("batch")
         } else null
+      // allowMissingColumns: a prior funnel written by the pre-split
+      // layout lacks n_dup_content/n_neardup — the additive migration
+      // fills null and the coalesced sums restart those two counters at
+      // the migration fold (class doc)
       val funnel =
         if (priorFunnel == null) batchCounts
-        else batchCounts.unionByName(priorFunnel)
+        else batchCounts.unionByName(priorFunnel, allowMissingColumns = true)
           .groupBy(col("source"))
           .agg(sum(col("n_arrived")).as("n_arrived"),
             sum(col("n_clean")).as("n_clean"),
             sum(col("n_quality_ok")).as("n_quality_ok"),
+            coalesce(sum(col("n_dup_content")), lit(0L)).as("n_dup_content"),
+            coalesce(sum(col("n_neardup")), lit(0L)).as("n_neardup"),
             sum(col("n_rearrived")).as("n_rearrived"),
             sum(col("n_admitted")).as("n_admitted"),
             sum(col("n_quota_rejected")).as("n_quota_rejected"),
@@ -312,6 +414,7 @@ object StreamingCuratedPack {
       funnel.write.mode("overwrite").parquet(s"$path/funnel/batch=$batchId")
       StreamState.pruneGenerations(spark, s"$path/funnel", retainGenerations)
       if (newVerdicts != null) newVerdicts.unpersist(blocking = false)
+      if (gated ne admInput) gated.unpersist(blocking = false)
       if (admInput ne qualityOk) admInput.unpersist(blocking = false)
       scored.unpersist(blocking = false)
       uniq.unpersist(blocking = false)
@@ -341,10 +444,19 @@ object StreamingCuratedPack {
   def verdicts(spark: SparkSession, path: String): DataFrame =
     StreamingBudgetAdmission.verdicts(spark, s"$path/admission")
 
-  /** The cumulative per-source funnel after the latest fold. */
+  /** The cumulative per-source funnel after the latest fold. Fails with
+    * a descriptive error — not an opaque NPE — when the stream attached
+    * but no fold has committed a funnel generation yet (mirrors
+    * foldBatch's own isNullAt probe on the same table). */
   def funnel(spark: SparkSession, path: String): DataFrame = {
+    if (!StreamState.exists(spark, s"$path/funnel"))
+      throw new IllegalStateException(
+        s"no funnel state under $path — no composed fold has committed yet")
     val t = spark.read.parquet(s"$path/funnel")
-    val mx = t.agg(max(col("batch").cast("long"))).head().getLong(0)
-    t.filter(col("batch").cast("long") === lit(mx)).drop("batch")
+    val mx = t.agg(max(col("batch").cast("long"))).head()
+    if (mx.isNullAt(0))
+      throw new IllegalStateException(
+        s"funnel table under $path is empty — no composed fold has committed yet")
+    t.filter(col("batch").cast("long") === lit(mx.getLong(0))).drop("batch")
   }
 }

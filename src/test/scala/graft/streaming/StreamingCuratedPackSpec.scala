@@ -99,17 +99,19 @@ class StreamingCuratedPackSpec extends SparkSpec {
     // junk (i%5==0 minus overlaps) dropped before admission; every
     // quality-passed doc holds a verdict; admitted tokens within quota
     val f = StreamingCuratedPack.funnel(spark, path)
-      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
       .collect().map(r => r._1 -> r).toMap
     assert(f.values.map(_._2).sum === 60L, "every arrival counted")
     f.values.foreach { r =>
       assert(r._3 <= r._2, "clean <= arrived")
       assert(r._4 <= r._3, "quality_ok <= clean")
-      assert(r._5 === 0L, "no re-arrivals in this run")
-      assert(r._4 === r._6 + r._7, "quality_ok = admitted + quota_rejected")
-      assert(r._8 <= Quota, "admitted tokens within the quota")
+      assert(r._5 === 0L, "no fp stage → no dup-content drops")
+      assert(r._6 === 0L, "no band gate → no near-dup drops")
+      assert(r._7 === 0L, "no re-arrivals in this run")
+      assert(r._4 === r._8 + r._9, "quality_ok = admitted + quota_rejected")
+      assert(r._10 <= Quota, "admitted tokens within the quota")
     }
-    assert(f.values.map(_._7).sum > 0L, "quota must actually bite")
+    assert(f.values.map(_._9).sum > 0L, "quota must actually bite")
     assert(f.values.map(_._2).sum > f.values.map(_._3).sum,
       "decontamination must actually drop")
     assert(f.values.map(_._3).sum > f.values.map(_._4).sum,
@@ -136,9 +138,11 @@ class StreamingCuratedPackSpec extends SparkSpec {
     fold(path, 1L to 10L, 2L)
     assert(streamedFragments(path) === once)
     val f2 = StreamingCuratedPack.funnel(spark, path)
-      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
       .collect().map(r => r._1 -> r).toMap
-    assert(f2.values.map(_._5).sum > 0L, "re-arrivals must be booked")
+    assert(f2.values.map(_._7).sum > 0L, "re-arrivals must be booked")
+    assert(f2.values.map(_._5).sum === 0L,
+      "id re-arrivals are NOT dup-content drops")
     assert(f2.values.map(_._2).sum === 50L)
   }
 
@@ -216,6 +220,84 @@ class StreamingCuratedPackSpec extends SparkSpec {
     fold(b1, 1L)
     assert(StreamingCuratedPack.fragments(spark, path)
       .orderBy("id", "seq").collect().toSeq === before)
+  }
+
+  test("near-dup band gate: first arrival wins per band bucket in both directions; only kept docs' bands are ledgered; the funnel books the drops") {
+    val path = java.nio.file.Files.createTempDirectory("graft_scp6_").toString
+    val BigQuota = 100000L
+    def fold(rows: Seq[(Long, String, String)], b: Long): Unit =
+      StreamingCuratedPack.foldBatch(rows.toDF("doc_id", "source", "text"),
+        b, path, words, MinScoreK, BigQuota, SeqLen, Shards, dedupNear = true)
+    // distinct high-quality sentences (no cross-collisions expected, but
+    // the REFERENCE below decides — the test never assumes band fates)
+    def uniqText(i: Long) = Seq(
+      "a silver train crossed the valley before dawn while miners slept",
+      "seven orange boats drifted past the harbor wall in heavy rain",
+      "the old library kept maps of rivers that no longer exist today",
+      "two gardeners argued about roses while the kettle boiled over",
+      "every winter the village carved lanterns from ice on the lake")(
+      (i % 5).toInt) + s" tag $i"
+    val b0 = Seq((701L, "src1", uniqText(0)), // copy arrives FIRST...
+      (3L, "src0", uniqText(3)), (6L, "src0", uniqText(1)),
+      (801L, "src2", uniqText(2)), (802L, "src2", uniqText(2))) // in-batch pair
+    val b1 = Seq((5L, "src1", uniqText(0)), //  ...original arrives later
+      (702L, "src0", uniqText(1)), // copy of 6 arrives AFTER — drops
+      (9L, "src2", uniqText(4)))
+    val batches = Seq(b0, b1)
+    batches.zipWithIndex.foreach { case (rows, b) => fold(rows, b.toLong) }
+    // independent replay of the gate contract: per batch, survivors have
+    // no band in the kept-band ledger; kept docs are the min id of every
+    // bucket they occupy among the batch's survivors; ledger absorbs
+    // kept docs' bands only
+    var ledger = Set.empty[Long]
+    var keptRef = Set.empty[Long]
+    batches.foreach { rows =>
+      val df = rows.toDF("doc_id", "source", "text")
+      val clean = StreamingDecontaminate.withBloomHits(df, words)
+        .filter(col("n_bloom_hits") === 0L)
+        .filter(round(graft.ext.TextAnalysis.qualityScore(col("text")) * 1000000, 0)
+          .cast("long") >= MinScoreK)
+      val bands = graft.ext.Dedup.bandedSignatures(clean)
+        .select(col("id"), (col("band").cast("long") *
+          lit(graft.ext.TextAnalysis.HashMod) + col("band_key")).as("bkey"))
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+      val surv = bands.keySet.filter(id => bands(id).intersect(ledger).isEmpty)
+      val bucketMin = surv.toSeq.flatMap(id => bands(id).map(_ -> id))
+        .groupBy(_._1).map { case (bk, xs) => bk -> xs.map(_._2).min }
+      val keptB = surv.filter(id => bands(id).forall(bk => bucketMin(bk) == id))
+      keptRef ++= keptB
+      ledger ++= keptB.flatMap(bands)
+    }
+    val verdIds = StreamingCuratedPack.verdicts(spark, path)
+      .select("id").as[Long].collect().toSet
+    assert(verdIds === keptRef, "the gate must match its contract replay")
+    // the fixture's directional guarantees (identical text = every band
+    // collides, so these fates are forced, not probabilistic)
+    assert(verdIds.contains(701L) && !verdIds.contains(5L),
+      "copy-first: the batch-0 copy keeps the buckets, the original drops")
+    assert(verdIds.contains(6L) && !verdIds.contains(702L),
+      "original-first: the later copy drops")
+    assert(verdIds.contains(801L) && !verdIds.contains(802L),
+      "within a batch the min id wins its buckets")
+    // funnel attribution: every gate drop lands in n_neardup, nothing
+    // in n_dup_content (no fp stage) or n_rearrived (no id re-delivery)
+    val f = StreamingCuratedPack.funnel(spark, path)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val qualityOkTotal = f.values.map(_._4).sum
+    assert(f.values.map(_._5).sum === 0L)
+    assert(f.values.map(_._6).sum === qualityOkTotal - keptRef.size,
+      "every quality-passed doc the gate dropped is booked as n_neardup")
+    assert(f.values.map(_._6).sum >= 3L, "the fixture must actually drop")
+    assert(f.values.map(_._7).sum === 0L)
+    // replay of the last fold (band ledger committed) is a no-op
+    val before = streamedFragments(path)
+    fold(b1, 1L)
+    assert(streamedFragments(path) === before)
+    assert(StreamingCuratedPack.verdicts(spark, path)
+      .select("id").as[Long].collect().toSet === verdIds,
+      "replay must not re-gate or duplicate verdicts")
   }
 
   test("crash INSIDE the composed fold (admission committed, pack not) replays to the identical end state") {
