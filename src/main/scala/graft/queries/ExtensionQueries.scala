@@ -72,6 +72,9 @@ object ExtensionQueries {
   // tokens so the gate bites mid-stream in every source
   private[queries] val CuratedMinScoreK = 615000L
   private[queries] val CuratedQuota = 700L
+  /** x173: the per-source quota after the mid-stream retarget (raise at
+    * fold 2) — epoch 1 opens with fresh accounting under this value. */
+  private[queries] val CuratedRaisedQuota = 1800L
   // x143 global token budget — 250 lands INSIDE a multi-doc score tier at
   // the sf0.01 verify tier (prior 165 + docs 42,42,84), so the emitted sheet
   // shows full tiers, a frontier with BOTH verdicts, and rejected tiers

@@ -1130,6 +1130,58 @@ object StreamingQueries {
       } finally q.stop()
       graft.streaming.StreamingCuratedPack.funnel(s, path)
         .orderBy("source")
+    }),
+
+    // QUOTA RETARGET via epoch'd tapes (x173): the composed pipeline
+    // under a quota SCHEDULE — folds 0-1 admit under the base quota
+    // (epoch 0), a raise lands at fold 2, and epoch 1 opens with FRESH
+    // per-source accounting and its own immutable pack tape (positions
+    // and sequences restart; epoch 0's fragments never change — the
+    // per-epoch monotone-tape contract in the operator's doc). Fixture:
+    // every doc_id%10==6 doc is RE-DELIVERED under the SAME id two
+    // residues away, so re-deliveries cross the epoch boundary in BOTH
+    // directions (residue-0/1 originals re-arrive in epoch 1 — the
+    // cross-epoch guard drops them; residue-2/3 docs' re-deliveries
+    // arrive FIRST in epoch 0 — the doc is accounted there and its
+    // "original" epoch-1 arrival is the re-arrival). A doc verdicted by
+    // ANY earlier epoch is never re-charged or re-packed.
+    "x173_stream_quota_retarget" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val words = StreamingDecontaminate.bloomWords(
+        docs.filter(col("doc_id") % 97 === 0), n = 13,
+        bits = ExtensionQueries.BloomBits, k = ExtensionQueries.BloomK)
+      val base = docs.as[(Long, String, String)].collect().toSeq
+      val deliveries: Seq[(Long, (Long, String, String))] =
+        base.map(r => (r._1 % 4, r)) ++
+          base.collect { case r if r._1 % 10 == 6 =>
+            ((r._1 % 4 + 2) % 4, r)
+          }
+      val path = java.nio.file.Files.createTempDirectory("graft_x173_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x173_ck_").toString
+      val input = MemoryStream[(Long, String, String)]
+      val q = graft.streaming.StreamingCuratedPack.attachScheduled(
+        input.toDF().toDF("doc_id", "source", "text"), path, words,
+        minScoreK = ExtensionQueries.CuratedMinScoreK,
+        quotaSchedule = Seq(
+          (0L, ExtensionQueries.CuratedQuota),
+          (2L, ExtensionQueries.CuratedRaisedQuota)),
+        seqLen = ExtensionQueries.PackSeqLen, numShards = 4,
+        bloomBits = ExtensionQueries.BloomBits,
+        bloomK = ExtensionQueries.BloomK)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try (0L until 4L).foreach { b =>
+        input.addData(deliveries.filter(_._1 == b).map(_._2))
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.StreamingCuratedPack.fragmentsEpoched(s, path)
+        .select(col("epoch"), col("id").as("doc_id"), col("shard"),
+          col("pos"), col("seq"), col("frag_start"), col("frag_len"),
+          col("doc_off"), col("arrival_batch"))
+        .orderBy("epoch", "doc_id", "seq")
     }))
 
   /** The x15 deterministic-recurrence centroids as KMeans.Centroid
@@ -1975,6 +2027,82 @@ object StreamingQueries {
          |LEFT JOIN bkc ON bkc.source = base.source
          |LEFT JOIN adm ON adm.source = base.source
          |ORDER BY base.source""".stripMargin
+    },
+
+    // x173: the epoch'd-tape retarget replayed in closed form — a doc's
+    // EFFECTIVE arrival is the min over its deliveries (the cross-epoch
+    // re-arrival guard makes every later delivery a no-op), its epoch
+    // falls out of that arrival, per-(source, epoch) running sums
+    // restart the accounting at the raise, and each epoch packs its own
+    // tape (positions and sequences partition by epoch)
+    "x173_stream_quota_retarget" -> {
+      val aL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomA).mkString("[", ",", "]")
+      val bL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomB).mkString("[", ",", "]")
+      val mod = ExtensionQueries.Mod
+      val bits = ExtensionQueries.BloomBits
+      val k = ExtensionQueries.BloomK
+      val seqLen = ExtensionQueries.PackSeqLen
+      s"""WITH ${ExtensionQueries.sqlShnCte(13)},
+         |bpos AS (SELECT DISTINCT (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits AS pos
+         |  FROM bg CROSS JOIN range(0, $k) r(j)),
+         |cp AS (SELECT doc_id, h, unnest(list_transform(range(0, $k),
+         |    j -> (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits)) AS pos FROM cg),
+         |cand AS (SELECT doc_id, h FROM cp JOIN bpos USING (pos)
+         |  GROUP BY 1, 2 HAVING count(*) = $k),
+         |cont AS (SELECT DISTINCT doc_id FROM cand),
+         |${ExtensionQueries.sqlQualityCtes},
+         |q0 AS (SELECT doc_id,
+         |    CAST(round((${ExtensionQueries.sqlQualityScore}) * 1000000, 0)
+         |      AS BIGINT) AS score_k
+         |  FROM g),
+         |del AS (SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS ab
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, CAST((doc_id % 4 + 2) % 4 AS BIGINT) AS ab
+         |  FROM documents WHERE doc_id % 10 = 6),
+         |eff AS (SELECT doc_id, min(ab) AS ab FROM del GROUP BY 1),
+         |cb AS (SELECT d.doc_id, d.source, eff.ab,
+         |    CAST(CASE WHEN eff.ab < 2 THEN 0 ELSE 1 END AS BIGINT) AS epoch,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents d
+         |  JOIN eff ON eff.doc_id = d.doc_id
+         |  JOIN q0 ON q0.doc_id = d.doc_id
+         |  LEFT JOIN cont ON cont.doc_id = d.doc_id
+         |  WHERE cont.doc_id IS NULL
+         |    AND q0.score_k >= ${ExtensionQueries.CuratedMinScoreK}),
+         |ca AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source, epoch
+         |    ORDER BY ab, doc_id) AS BIGINT) AS src_cum FROM cb),
+         |ptb AS (SELECT epoch, doc_id, ab AS arrival_batch,
+         |    CAST(${ExtensionQueries.sqlStringHash("CAST(doc_id AS VARCHAR) || ':ps'")} % 4
+         |      AS BIGINT) AS shard, n_tokens
+         |  FROM ca
+         |  WHERE src_cum <= CASE WHEN epoch = 0
+         |      THEN ${ExtensionQueries.CuratedQuota}
+         |      ELSE ${ExtensionQueries.CuratedRaisedQuota} END
+         |    AND n_tokens > 0),
+         |po AS (SELECT epoch, doc_id, arrival_batch, shard, n_tokens,
+         |    CAST(row_number() OVER (PARTITION BY epoch, shard
+         |      ORDER BY arrival_batch, doc_id) AS BIGINT) AS pos,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY epoch, shard
+         |      ORDER BY arrival_batch, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum
+         |  FROM ptb),
+         |pf AS (SELECT epoch, doc_id, arrival_batch, shard, pos,
+         |    cum - n_tokens AS st, cum FROM po),
+         |px AS (SELECT *, unnest(range(st // $seqLen,
+         |    (cum - 1) // $seqLen + 1)) AS seq FROM pf)
+         |SELECT epoch, doc_id, shard, pos, CAST(seq AS BIGINT) AS seq,
+         |  CAST(greatest(st, seq * $seqLen) - seq * $seqLen AS BIGINT)
+         |    AS frag_start,
+         |  CAST(least(cum, (seq + 1) * $seqLen)
+         |    - greatest(st, seq * $seqLen) AS BIGINT) AS frag_len,
+         |  CAST(greatest(st, seq * $seqLen) - st AS BIGINT) AS doc_off,
+         |  arrival_batch
+         |FROM px ORDER BY epoch, doc_id, seq""".stripMargin
     },
 
     // x169: x160's per-prefix replay with the added source's

@@ -97,6 +97,36 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  * window in (arrival batch, id) order → one closed-form
  * [[graft.ext.Packing.packChunked]] pass over the admitted set in the
  * same order.
+ *
+ * Quota retargets — EPOCH'D TAPES ([[attachScheduled]], x173): a fixed
+ * quota cannot simply be raised mid-stream, because the packer's
+ * train-behind-the-frontier contract depends on admission verdicts
+ * never revoking and fragments never moving — a raise would re-admit
+ * quota-rejected docs whose rejection the tape's consumers already
+ * observed, and a cut would revoke admissions already packed. The
+ * deployment-honest shape is a quota SCHEDULE `(startFold, quota)*`:
+ * at each retarget fold the current pack epoch CLOSES (its fragments
+ * are immutable forever — the trainer keeps reading them) and the next
+ * epoch opens under `admission/epoch=<e>/` + `pack/epoch=<e>/` with
+ * FRESH per-source accounting (running totals restart at zero under
+ * the new quota; positions/sequences restart — a new tape). The
+ * monotone-tape argument then holds PER EPOCH, which is exactly the
+ * granularity a trainer consumes ("this pack run used quota Q from
+ * fold a to fold b"). Docs are never re-charged across epochs: a doc
+ * id that holds a verdict in ANY earlier epoch is dropped before the
+ * new epoch's gate (one bucket-pruned anti-join per prior epoch;
+ * retargets are control-plane-rare, so the prior-epoch union stays a
+ * handful of ledger views) and books as `n_rearrived`. Quota-REJECTED
+ * docs of an old epoch do not resurrect either — they hold (negative)
+ * verdicts, and the stream never re-delivers content it already
+ * verdicted; a deployment that wants old rejects reconsidered under a
+ * raise re-plans those ids into the stream, which is a data-owner
+ * decision, not an engine default. The dedup ledgers (`fp/`, `bands/`)
+ * are epoch-INDEPENDENT: duplicate content stays duplicate across a
+ * retarget. The schedule is a pure function of batchId, so replay
+ * re-derives the same epoch and quota deterministically; single-entry
+ * schedules keep the flat legacy layout, and mixing the two layouts
+ * under one path fails loud in both directions.
  */
 object StreamingCuratedPack {
 
@@ -169,6 +199,40 @@ object StreamingCuratedPack {
           wholeDoc = true, dedupExact = dedupExact, dedupNear = dedupNear)
       }
 
+  /** [[attach]] with a quota SCHEDULE — `(startFold, quota)` entries,
+    * first at fold 0, strictly increasing: each retarget closes the
+    * current pack epoch and opens the next with fresh accounting (the
+    * epoch'd-tape contract in the class doc). Read the per-epoch tapes
+    * with [[fragmentsEpoched]]. */
+  def attachScheduled(
+      docs: DataFrame,
+      path: String,
+      bloomWords: Array[Long],
+      minScoreK: Long,
+      quotaSchedule: Seq[(Long, Long)],
+      seqLen: Long,
+      numShards: Int,
+      idCol: String = "doc_id",
+      groupCol: String = "source",
+      textCol: String = "text",
+      ngram: Int = 13,
+      bloomBits: Long = 1L << 16,
+      bloomK: Int = 4,
+      shardSalt: String = ":ps",
+      retainGenerations: Int = 3,
+      bucketK: Int = 64,
+      compactEvery: Int = 16,
+      dedupExact: Boolean = false,
+      dedupNear: Boolean = false): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatchScheduled(batch, batchId, path, bloomWords, minScoreK,
+          quotaSchedule, seqLen, numShards, idCol, groupCol, textCol, ngram,
+          bloomBits, bloomK, shardSalt, retainGenerations, bucketK,
+          compactEvery, dedupExact = dedupExact, dedupNear = dedupNear)
+      }
+
   /** One composed fold — public so replay (foreachBatch re-delivering
     * after any prefix of the three stages' writes committed) is
     * directly spec-testable. `wholeDoc` selects the packer: the
@@ -194,11 +258,69 @@ object StreamingCuratedPack {
       compactEvery: Int = 16,
       wholeDoc: Boolean = false,
       dedupExact: Boolean = false,
+      dedupNear: Boolean = false): Unit =
+    foldBatchScheduled(batch, batchId, path, bloomWords, minScoreK,
+      Seq((0L, quota)), seqLen, numShards, idCol, groupCol, textCol, ngram,
+      bloomBits, bloomK, shardSalt, retainGenerations, bucketK, compactEvery,
+      wholeDoc, dedupExact, dedupNear)
+
+  /** [[foldBatch]] under a quota schedule: the fold resolves its epoch
+    * index and quota from `quotaSchedule` (a pure function of batchId —
+    * replay-deterministic), runs the admission and pack stages against
+    * the epoch's own sub-trees, and anti-joins prior epochs' verdict
+    * ids so a retarget never re-charges or re-packs content an earlier
+    * epoch already verdicted. Single-entry schedules use the flat
+    * legacy layout (`admission/`, `pack/`) unchanged. */
+  def foldBatchScheduled(
+      batch: DataFrame,
+      batchId: Long,
+      path: String,
+      bloomWords: Array[Long],
+      minScoreK: Long,
+      quotaSchedule: Seq[(Long, Long)],
+      seqLen: Long,
+      numShards: Int,
+      idCol: String = "doc_id",
+      groupCol: String = "source",
+      textCol: String = "text",
+      ngram: Int = 13,
+      bloomBits: Long = 1L << 16,
+      bloomK: Int = 4,
+      shardSalt: String = ":ps",
+      retainGenerations: Int = 3,
+      bucketK: Int = 64,
+      compactEvery: Int = 16,
+      wholeDoc: Boolean = false,
+      dedupExact: Boolean = false,
       dedupNear: Boolean = false): Unit = {
     require(numShards > 0, "numShards must be positive")
     require(minScoreK >= 0, "minScoreK must be non-negative")
+    require(quotaSchedule.nonEmpty && quotaSchedule.head._1 == 0L,
+      "quotaSchedule must start at fold 0")
+    require(quotaSchedule.map(_._1) == quotaSchedule.map(_._1).sorted.distinct,
+      "quotaSchedule start folds must be strictly increasing")
+    val epochIdx = quotaSchedule.lastIndexWhere(_._1 <= batchId)
+    val quota = quotaSchedule(epochIdx)._2
+    val epoched = quotaSchedule.size > 1
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
+      val admPath =
+        if (epoched) s"$path/admission/epoch=$epochIdx" else s"$path/admission"
+      val packPath =
+        if (epoched) s"$path/pack/epoch=$epochIdx" else s"$path/pack"
+      // layout guards, both directions: an epoch'd schedule over a flat
+      // legacy tree (or vice versa) must fail loud, not silently fork a
+      // second accounting next to history it cannot see
+      if (epoched && StreamState.exists(spark, s"$path/admission/verdicts"))
+        throw new IllegalStateException(
+          s"$path/admission holds a flat (single-quota) layout but the " +
+            "supplied quotaSchedule has retargets: drain and re-plan the " +
+            "stream into a fresh state path, or keep a single-entry schedule")
+      if (!epoched && StreamState.exists(spark, s"$path/admission/epoch=0"))
+        throw new IllegalStateException(
+          s"$path/admission holds an epoch'd layout but the supplied " +
+            "schedule has a single entry: pass the full quota schedule " +
+            "this stream was planned with")
       // ONE in-batch id dedup up front (representative = struct min, the
       // sub-folds' rule) so every stage — including the funnel counts —
       // sees the same one row per id and the attribution is coherent
@@ -311,16 +433,36 @@ object StreamingCuratedPack {
           bandRows.unpersist(blocking = false)
           kept
         }
+      // stage 2.8 (epoch'd schedules only): drop ids verdicted by ANY
+      // earlier epoch — a retarget must never re-charge or re-pack
+      // content history already accounted for. One bucket-pruned
+      // anti-join per prior epoch; retargets are control-plane-rare, so
+      // this union is a handful of frozen ledger views, not a scan that
+      // grows with stream age.
+      val deliverable =
+        if (epochIdx == 0) gated
+        else (0 until epochIdx).foldLeft(gated) { (df, pe) =>
+          val vt = s"$path/admission/epoch=$pe/verdicts"
+          if (!StreamState.exists(spark, vt)) df
+          else {
+            val prune = LedgerState.batchBuckets(spark, vt, batchId,
+              df.select(col("id")), "id")
+            df.join(
+              LedgerState.view(spark, vt, batchId, idPrune = prune)
+                .select(col("id")),
+              Seq("id"), "left_anti")
+          }
+        }
       // stage 3: the monotone per-source quota gate (its own fold —
       // ledgered verdicts, re-arrival guard, bucketed compaction)
-      StreamingBudgetAdmission.foldBatch(gated, batchId,
-        s"$path/admission", quota, "id", "source", "n_tokens",
+      StreamingBudgetAdmission.foldBatch(deliverable, batchId,
+        admPath, quota, "id", "source", "n_tokens",
         retainGenerations, bucketK, compactEvery)
       // stage 4: pack THIS fold's committed admission slice — the
       // admission fold truncates-and-rewrites its batch dir from a
       // self-excluding state view, so the slice is replay-deterministic;
       // absent dir = the whole batch was re-arrivals or empty
-      val verdDir = s"$path/admission/verdicts/batch=$batchId"
+      val verdDir = s"$admPath/verdicts/batch=$batchId"
       val newVerdicts =
         if (StreamState.exists(spark, verdDir))
           spark.read.parquet(verdDir)
@@ -335,11 +477,11 @@ object StreamingCuratedPack {
               lit(numShards.toLong)).as("shard"),
             col("tokens").as("n_tokens"))
         if (wholeDoc)
-          StreamingGreedyPack.foldBatch(admitted, batchId, s"$path/pack",
+          StreamingGreedyPack.foldBatch(admitted, batchId, packPath,
             seqLen, "id", "shard", "n_tokens",
             retainGenerations, bucketK, compactEvery)
         else
-          StreamingChunkPack.foldBatch(admitted, batchId, s"$path/pack",
+          StreamingChunkPack.foldBatch(admitted, batchId, packPath,
             seqLen, "id", "shard", "n_tokens",
             retainGenerations, bucketK, compactEvery)
       }
@@ -443,6 +585,42 @@ object StreamingCuratedPack {
     * verdict; their counts live in [[funnel]]). */
   def verdicts(spark: SparkSession, path: String): DataFrame =
     StreamingBudgetAdmission.verdicts(spark, s"$path/admission")
+
+  private def listEpochs(spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong)
+      .sorted
+  }
+
+  /** The pack epochs a scheduled pipeline has opened so far. */
+  def epochs(spark: SparkSession, path: String): Seq[Long] =
+    listEpochs(spark, s"$path/pack")
+
+  /** Every epoch's accumulated fragments, tagged with its epoch index —
+    * each epoch is one immutable tape packed under its own quota; a
+    * closed epoch's rows never change again ([[attachScheduled]]). */
+  def fragmentsEpoched(spark: SparkSession, path: String): DataFrame = {
+    val es = epochs(spark, path)
+    es.map { e =>
+      StreamingChunkPack.fragments(spark, s"$path/pack/epoch=$e")
+        .withColumn("epoch", lit(e))
+    }.reduceOption(_.unionByName(_)).getOrElse(
+      throw new IllegalStateException(
+        s"no epoch'd pack state under $path — attachScheduled streams " +
+          "write pack/epoch=<e>; flat pipelines read fragments()"))
+  }
+
+  /** Every epoch's admission verdicts, tagged with the epoch index. */
+  def verdictsEpoched(spark: SparkSession, path: String): DataFrame =
+    listEpochs(spark, s"$path/admission").map { e =>
+      StreamingBudgetAdmission.verdicts(spark, s"$path/admission/epoch=$e")
+        .withColumn("epoch", lit(e))
+    }.reduceOption(_.unionByName(_)).getOrElse(
+      throw new IllegalStateException(
+        s"no epoch'd admission state under $path"))
 
   /** The cumulative per-source funnel after the latest fold. Fails with
     * a descriptive error — not an opaque NPE — when the stream attached

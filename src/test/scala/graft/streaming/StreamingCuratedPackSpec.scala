@@ -300,6 +300,52 @@ class StreamingCuratedPackSpec extends SparkSpec {
       "replay must not re-gate or duplicate verdicts")
   }
 
+  test("quota retarget (epoch'd tapes): the pre-raise tape is byte-identical to the no-raise run; epoch 1 opens fresh accounting; cross-epoch re-arrivals never re-charge; layout mixing fails loud") {
+    val flat = java.nio.file.Files.createTempDirectory("graft_scp7a_").toString
+    val ep = java.nio.file.Files.createTempDirectory("graft_scp7b_").toString
+    val Raised = Quota * 10
+    val sched = Seq((0L, Quota), (2L, Raised))
+    def foldSched(path: String, ids: Seq[Long], b: Long): Unit =
+      StreamingCuratedPack.foldBatchScheduled(docsDf(ids), b, path, words,
+        MinScoreK, sched, SeqLen, Shards)
+    // the no-raise run: folds 0-1 under the base quota (flat layout)
+    fold(flat, 1L to 20L, 0L); fold(flat, 21L to 40L, 1L)
+    // the scheduled run: identical folds 0-1, raise lands at fold 2
+    foldSched(ep, 1L to 20L, 0L); foldSched(ep, 21L to 40L, 1L)
+    def epochFrags(e: Long) = StreamingCuratedPack.fragmentsEpoched(spark, ep)
+      .filter(col("epoch") === e)
+      .select(col("id"), col("shard"), col("pos"), col("seq"),
+        col("frag_start"), col("frag_len"), col("doc_off"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(r => (r._1, r._4))
+    val preRaise = epochFrags(0L)
+    assert(preRaise === streamedFragments(flat),
+      "pre-raise the scheduled tape must equal the no-raise run byte for byte")
+    // folds 2-3 under the raise; fold 2 re-delivers ids 1-10 (verdicted
+    // or quality-dropped in epoch 0 — either way they must not re-enter)
+    foldSched(ep, (41L to 60L) ++ (1L to 10L), 2L)
+    foldSched(ep, 61L to 70L, 3L)
+    assert(epochFrags(0L) === preRaise,
+      "a closed epoch's fragments are immutable forever")
+    val v = StreamingCuratedPack.verdictsEpoched(spark, ep)
+      .select(col("epoch"), col("id"), col("src_cum"), col("admitted"))
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    val e1 = v.filter(_._1 == 1L)
+    assert(e1.nonEmpty, "the raise epoch must admit")
+    assert(e1.forall(_._2 >= 41L),
+      "no epoch-0 doc (or its re-delivery) may hold an epoch-1 verdict")
+    assert(e1.filter(_._4).map(_._3).max > Quota,
+      "fresh accounting must actually use the raised headroom")
+    assert(e1.forall(r => !r._4 || r._3 <= Raised))
+    // layout guards, both directions
+    intercept[IllegalStateException] {
+      fold(ep, 71L to 75L, 4L) // single-quota fold over an epoch'd tree
+    }
+    intercept[IllegalStateException] {
+      foldSched(flat, 71L to 75L, 2L) // scheduled fold over a flat tree
+    }
+  }
+
   test("crash INSIDE the composed fold (admission committed, pack not) replays to the identical end state") {
     val path = java.nio.file.Files.createTempDirectory("graft_scp3_").toString
     fold(path, 1L to 20L, 0L)
