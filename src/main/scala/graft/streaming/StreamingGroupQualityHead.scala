@@ -87,9 +87,11 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  *    (grp, score) cell membership is then refined by the broadcast
  *    semi-join — score alone is a superset across groups).
  *  - `evictions/batch=<id>` — (id) evicted by this fold.
- *    Bucket-compacted.
+ *    Bucket-compacted. Written only by folds whose driver-known
+ *    changed/rejected cells touch a prior cell (quiet folds skip the
+ *    empty write; readers probe existence).
  *  - `readmissions/batch=<id>` — (id) re-admitted by a raise fold.
- *    Bucket-compacted.
+ *    Bucket-compacted; written only by folds with raised groups.
  *
  * Retention: identical to [[StreamingQualityHead]] — meta prunes to
  * `retainGenerations`; head generations are reference-counted against
@@ -448,30 +450,44 @@ object StreamingGroupQualityHead {
             Seq("id"), "left")
           .select(col("id"), col("grp"), col("score"), col("tokens"),
             coalesce(col("admit"), lit(false)).as("admit"))
-        // NB: collect over the SEQ — Map.collect into (grp, score) pairs
-        // would rebuild a Map keyed by grp and silently keep ONE rejected
-        // tier per group
-        val rejDf = broadcast(spark.createDataFrame(
-            verdicts.toSeq.collect { case ((g, s), (_, true)) => (g, s) })
-          .toDF("grp", "score"))
-        val evictedFrom = priorHead.join(changedDf, Seq("grp", "score"), "left_semi")
-          .unionByName(priorHead.join(rejDf, Seq("grp", "score"), "left_semi"))
-        val evicted = evictedFrom
-          .join(newHeadChanged.select("id"), Seq("id"), "left_anti")
-          .select("id").distinct()
+        // evictions are possible only when a PRIOR cell changed or fell
+        // to rejected — both driver-known sets, so the common quiet fold
+        // (first fold, or arrivals that touch no prior cell) skips the
+        // computation and the write outright; absence of `batch=<id>`
+        // means "evicted nothing", exactly what an empty dir said
+        // (NB: collect over the SEQ — Map.collect into (grp, score)
+        // pairs would rebuild a Map keyed by grp and silently keep ONE
+        // rejected tier per group)
+        val rejCells: Seq[(String, Long)] =
+          verdicts.toSeq.collect { case ((g, s), (_, true)) => (g, s) }
+        val priorCells: Set[(String, Long)] =
+          priorTiers.map(t => (t._1, t._2)).toSet
+        val evictionPossible = priorCells.nonEmpty &&
+          (changed.exists(priorCells) || rejCells.exists(priorCells))
+        arrOut.write.mode("overwrite").parquet(s"$path/arrivals/batch=$batchId")
+        if (evictionPossible) {
+          val rejDf = broadcast(spark.createDataFrame(rejCells)
+            .toDF("grp", "score"))
+          val evictedFrom = priorHead.join(changedDf, Seq("grp", "score"), "left_semi")
+            .unionByName(priorHead.join(rejDf, Seq("grp", "score"), "left_semi"))
+          val evicted = evictedFrom
+            .join(newHeadChanged.select("id"), Seq("id"), "left_anti")
+            .select("id").distinct()
+          evicted.write.mode("overwrite")
+            .parquet(s"$path/evictions/batch=$batchId")
+        }
         // re-admissions: head members that were neither prior members of
         // their (changed) cell nor this batch's arrivals — non-empty
-        // only on a fold with raised groups
-        val readmitted =
-          if (raisedCells.isEmpty) arrivals.select("id").limit(0)
-          else newHeadChanged.select("id")
+        // only on a fold with raised groups (the write is skipped on
+        // every other fold)
+        if (raisedCells.nonEmpty) {
+          val readmitted = newHeadChanged.select("id")
             .join(arrivals.select("id"), Seq("id"), "left_anti")
             .join(priorHead.join(changedDf, Seq("grp", "score"), "left_semi")
               .select("id"), Seq("id"), "left_anti")
-        arrOut.write.mode("overwrite").parquet(s"$path/arrivals/batch=$batchId")
-        evicted.write.mode("overwrite").parquet(s"$path/evictions/batch=$batchId")
-        readmitted.write.mode("overwrite")
-          .parquet(s"$path/readmissions/batch=$batchId")
+          readmitted.write.mode("overwrite")
+            .parquet(s"$path/readmissions/batch=$batchId")
+        }
         if (changedWithRows.nonEmpty)
           newHeadChanged.select(col("id"), col("tokens"), col("grp"), col("score"))
             .write.partitionBy("grp", "score").mode("overwrite")
@@ -498,8 +514,9 @@ object StreamingGroupQualityHead {
           scoreCol = Some("score"), bucketK = bucketK,
           compactEvery = compactEvery)
         Seq("evictions", "readmissions").foreach(t =>
-          LedgerState.maintain(spark, s"$path/$t", batchId,
-            bucketK = bucketK, compactEvery = compactEvery))
+          if (StreamState.exists(spark, s"$path/$t"))
+            LedgerState.maintain(spark, s"$path/$t", batchId,
+              bucketK = bucketK, compactEvery = compactEvery))
         val referenced: Set[Long] = (try spark.read.parquet(s"$path/meta")
             .filter(col("kind") === "tiers")
             .select(col("v").cast("long")).distinct()
@@ -545,10 +562,17 @@ object StreamingGroupQualityHead {
       .select(col("id"), col("grp"),
         col("abatch").as("arrival_batch"),
         col("score"), col("tokens"), col("admit"))
-    val ev = LedgerState.view(spark, s"$path/evictions", exclude = -1L)
-      .groupBy(col("id"))
-      .agg(min(col("abatch")).as("evict_batch"))
-    arr.join(ev, Seq("id"), "left")
+    // a stream that never evicted never created the table (empty fold
+    // dirs are skipped, not written) — absence means zero evictions
+    val withEv =
+      if (!StreamState.exists(spark, s"$path/evictions"))
+        arr.withColumn("evict_batch", lit(null).cast("long"))
+      else arr.join(
+        LedgerState.view(spark, s"$path/evictions", exclude = -1L)
+          .groupBy(col("id"))
+          .agg(min(col("abatch")).as("evict_batch")),
+        Seq("id"), "left")
+    withEv
       .join(head(spark, path).select(col("id"), lit(true).as("_m")), Seq("id"), "left")
       .select(col("id"), col("grp"), col("arrival_batch"), col("score"),
         col("tokens"), col("admit"), col("evict_batch"),
@@ -564,12 +588,23 @@ object StreamingGroupQualityHead {
       .select(col("id"), col("grp"),
         col("abatch").as("arrival_batch"),
         col("score"), col("tokens"), col("admit"))
-    val ev = LedgerState.view(spark, s"$path/evictions", exclude = -1L)
-      .groupBy(col("id")).agg(count(lit(1)).as("n_evictions"))
-    val re = LedgerState.view(spark, s"$path/readmissions", exclude = -1L)
-      .groupBy(col("id")).agg(count(lit(1)).as("n_readmissions"))
-    arr.join(ev, Seq("id"), "left")
-      .join(re, Seq("id"), "left")
+    // eviction/readmission tables exist only once a fold actually
+    // evicted / re-admitted (empty fold dirs are skipped, not written)
+    val withEv =
+      if (!StreamState.exists(spark, s"$path/evictions"))
+        arr.withColumn("n_evictions", lit(0L))
+      else arr.join(
+        LedgerState.view(spark, s"$path/evictions", exclude = -1L)
+          .groupBy(col("id")).agg(count(lit(1)).as("n_evictions")),
+        Seq("id"), "left")
+    val withRe =
+      if (!StreamState.exists(spark, s"$path/readmissions"))
+        withEv.withColumn("n_readmissions", lit(0L))
+      else withEv.join(
+        LedgerState.view(spark, s"$path/readmissions", exclude = -1L)
+          .groupBy(col("id")).agg(count(lit(1)).as("n_readmissions")),
+        Seq("id"), "left")
+    withRe
       .join(head(spark, path).select(col("id"), lit(true).as("_m")), Seq("id"), "left")
       .select(col("id"), col("grp"), col("arrival_batch"), col("score"),
         col("tokens"), col("admit"),

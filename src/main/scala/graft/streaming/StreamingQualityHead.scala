@@ -89,9 +89,15 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  *    row per id ever under a constant budget (verdicts only degrade);
  *    budget raises can re-admit, so with dynamics an id may recur.
  *    Bucket-compacted like arrivals (no score level — read whole only
- *    by the lifecycle sheets).
+ *    by the lifecycle sheets). WRITTEN ONLY by folds whose driver-known
+ *    changed/rejected cells touch a prior tier — a quiet fold skips the
+ *    write entirely (the absent dir means what an empty dir meant, and
+ *    a stream that never evicts never creates the table; the readers
+ *    probe existence).
  *  - `readmissions/batch=<id>` — (id) re-admitted by this fold's
- *    budget raise (empty on every steady fold). Bucket-compacted.
+ *    budget raise. Bucket-compacted; written only by raise folds (the
+ *    steady fold skips the empty write — measured at ~100 ms of
+ *    four-drain floor per skipped write-action).
  *
  * Retention: meta generations are superseded (every read targets the
  * single latest committed generation), so each fold prunes them to the
@@ -427,28 +433,46 @@ object StreamingQualityHead {
             coalesce(col("admit"), lit(false)).as("admit"))
         // evicted: prior members of changed tiers that did not survive,
         // plus prior members of tiers that fell below the frontier
-        // (rejected now — their tier vanishes from the map entirely)
-        val rejDf = broadcast(spark.createDataFrame(
-            verdicts.collect { case (s, (_, true)) => Tuple1(s) }.toSeq)
-          .toDF("score"))
-        val evictedFrom = priorHead.join(changedDf, Seq("score"), "left_semi")
-          .unionByName(priorHead.join(rejDf, Seq("score"), "left_semi"))
-        val evicted = evictedFrom
-          .join(newHeadChanged.select("id"), Seq("id"), "left_anti")
-          .select("id").distinct()
+        // (rejected now — their tier vanishes from the map entirely).
+        // Both memberships are DRIVER-known sets, so a fold that touched
+        // no prior tier (first fold, or every arrival rejected at the
+        // cut with the frontier untouched) skips the whole computation
+        // AND the write — at ~100 ms per write-action on a small-batch
+        // fold, the skipped empty ledger dirs are a measurable slice of
+        // the four-drain harness floor; absence of `batch=<id>` simply
+        // means "that fold evicted nothing", which is what an empty dir
+        // said too. Replay-safe: the skip decision is a pure function of
+        // the same pre-batch state the frames are.
+        val rejScores: Set[Long] =
+          verdicts.collect { case (s, (_, true)) => s }.toSet
+        val evictionPossible = priorTiers.nonEmpty &&
+          (changed.exists(s => priorTiers.exists(_._1 == s)) ||
+            rejScores.exists(s => priorTiers.exists(_._1 == s)))
+        arrOut.write.mode("overwrite").parquet(s"$path/arrivals/batch=$batchId")
+        if (evictionPossible) {
+          val rejDf = broadcast(spark.createDataFrame(
+              rejScores.toSeq.map(Tuple1(_)))
+            .toDF("score"))
+          val evictedFrom = priorHead.join(changedDf, Seq("score"), "left_semi")
+            .unionByName(priorHead.join(rejDf, Seq("score"), "left_semi"))
+          val evicted = evictedFrom
+            .join(newHeadChanged.select("id"), Seq("id"), "left_anti")
+            .select("id").distinct()
+          evicted.write.mode("overwrite")
+            .parquet(s"$path/evictions/batch=$batchId")
+        }
         // re-admissions: head members that were neither prior members of
         // their (changed) tier nor this batch's arrivals — possible only
-        // on a raise fold (without one, candidates ⊆ priorHead ∪ arrivals)
-        val readmitted =
-          if (!raised) arrivals.select("id").limit(0)
-          else newHeadChanged.select("id")
+        // on a raise fold (without one, candidates ⊆ priorHead ∪
+        // arrivals, so the write is skipped outright — the common fold)
+        if (raised) {
+          val readmitted = newHeadChanged.select("id")
             .join(arrivals.select("id"), Seq("id"), "left_anti")
             .join(priorHead.join(changedDf, Seq("score"), "left_semi")
               .select("id"), Seq("id"), "left_anti")
-        arrOut.write.mode("overwrite").parquet(s"$path/arrivals/batch=$batchId")
-        evicted.write.mode("overwrite").parquet(s"$path/evictions/batch=$batchId")
-        readmitted.write.mode("overwrite")
-          .parquet(s"$path/readmissions/batch=$batchId")
+          readmitted.write.mode("overwrite")
+            .parquet(s"$path/readmissions/batch=$batchId")
+        }
         if (changedWithRows.nonEmpty)
           newHeadChanged.select(col("id"), col("tokens"), col("score"))
             .write.partitionBy("score").mode("overwrite")
@@ -475,8 +499,9 @@ object StreamingQualityHead {
           scoreCol = Some("score"), bucketK = bucketK,
           compactEvery = compactEvery)
         Seq("evictions", "readmissions").foreach(t =>
-          LedgerState.maintain(spark, s"$path/$t", batchId,
-            bucketK = bucketK, compactEvery = compactEvery))
+          if (StreamState.exists(spark, s"$path/$t"))
+            LedgerState.maintain(spark, s"$path/$t", batchId,
+              bucketK = bucketK, compactEvery = compactEvery))
         val referenced: Set[Long] = (try spark.read.parquet(s"$path/meta")
             .filter(col("kind") === "tiers")
             .select(col("v").cast("long")).distinct()
@@ -526,10 +551,17 @@ object StreamingQualityHead {
     val arr = LedgerState.view(spark, s"$path/arrivals", exclude = -1L)
       .select(col("id"), col("abatch").as("arrival_batch"),
         col("score"), col("tokens"), col("admit"))
-    val ev = LedgerState.view(spark, s"$path/evictions", exclude = -1L)
-      .groupBy(col("id"))
-      .agg(min(col("abatch")).as("evict_batch"))
-    arr.join(ev, Seq("id"), "left")
+    // a stream that never evicted never CREATED the table (empty fold
+    // dirs are skipped, not written) — absence means zero evictions
+    val withEv =
+      if (!StreamState.exists(spark, s"$path/evictions"))
+        arr.withColumn("evict_batch", lit(null).cast("long"))
+      else arr.join(
+        LedgerState.view(spark, s"$path/evictions", exclude = -1L)
+          .groupBy(col("id"))
+          .agg(min(col("abatch")).as("evict_batch")),
+        Seq("id"), "left")
+    withEv
       .join(head(spark, path).select(col("id"), lit(true).as("_m")), Seq("id"), "left")
       .select(col("id"), col("arrival_batch"), col("score"), col("tokens"),
         col("admit"), col("evict_batch"),
@@ -545,12 +577,23 @@ object StreamingQualityHead {
     val arr = LedgerState.view(spark, s"$path/arrivals", exclude = -1L)
       .select(col("id"), col("abatch").as("arrival_batch"),
         col("score"), col("tokens"), col("admit"))
-    val ev = LedgerState.view(spark, s"$path/evictions", exclude = -1L)
-      .groupBy(col("id")).agg(count(lit(1)).as("n_evictions"))
-    val re = LedgerState.view(spark, s"$path/readmissions", exclude = -1L)
-      .groupBy(col("id")).agg(count(lit(1)).as("n_readmissions"))
-    arr.join(ev, Seq("id"), "left")
-      .join(re, Seq("id"), "left")
+    // eviction/readmission tables exist only once a fold actually
+    // evicted / re-admitted (empty fold dirs are skipped, not written)
+    val withEv =
+      if (!StreamState.exists(spark, s"$path/evictions"))
+        arr.withColumn("n_evictions", lit(0L))
+      else arr.join(
+        LedgerState.view(spark, s"$path/evictions", exclude = -1L)
+          .groupBy(col("id")).agg(count(lit(1)).as("n_evictions")),
+        Seq("id"), "left")
+    val withRe =
+      if (!StreamState.exists(spark, s"$path/readmissions"))
+        withEv.withColumn("n_readmissions", lit(0L))
+      else withEv.join(
+        LedgerState.view(spark, s"$path/readmissions", exclude = -1L)
+          .groupBy(col("id")).agg(count(lit(1)).as("n_readmissions")),
+        Seq("id"), "left")
+    withRe
       .join(head(spark, path).select(col("id"), lit(true).as("_m")), Seq("id"), "left")
       .select(col("id"), col("arrival_batch"), col("score"), col("tokens"),
         col("admit"),

@@ -595,6 +595,69 @@ object ScaleProbe {
       }
     }
 
+    // Four-drain harness profile (r16 verdict "next" #6): run one
+    // four-drain battery row with a SparkListener accounting where the
+    // wall goes — Spark job count and summed job wall vs total wall.
+    // If summed job time tracks the wall but the JOB COUNT is large
+    // (hundreds for four tiny folds), the floor is per-action latency ×
+    // actions-per-fold, and the lever is FEWER actions per fold (merged
+    // state writes, fewer eager materializations), not faster tasks.
+    if (on("drainprofile")) {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val jobNanos = new java.util.concurrent.atomic.AtomicLong
+      val starts = new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Long]()
+      val sites = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+      val siteNanos = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+      val jobSite = new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          starts.put(e.jobId, System.nanoTime()); jobs.incrementAndGet()
+          // the stream's foreachBatch swallows callSite.short (every job
+          // reports the start() site) — fall through description →
+          // result-stage name for something distinguishing
+          val site = Option(e.properties).flatMap { p =>
+            Option(p.getProperty("spark.job.description")).filter(_.nonEmpty)
+              .orElse(Option(p.getProperty("callSite.long"))
+                .map(_.linesIterator.drop(1).take(1).mkString.trim)
+                .filter(_.nonEmpty))
+          }.orElse(e.stageInfos.lastOption.map(_.name.takeWhile(_ != '+').trim))
+            .getOrElse("?").take(90)
+          jobSite.put(e.jobId, site)
+          sites.merge(site, 1L, (a, b) => a + b); ()
+        }
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = starts.remove(e.jobId)
+          if (s != null) {
+            val d = System.nanoTime() - s
+            jobNanos.addAndGet(d)
+            Option(jobSite.remove(e.jobId)).foreach(site =>
+              siteNanos.merge(site, d, (a, b) => a + b))
+            ()
+          }
+        }
+      }
+      for (q <- Seq("x150_stream_quality_head", "x160_stream_group_dynamic_budgets",
+          "x167_stream_curated_pack", "x157_stream_chunk_pack")) {
+        def run(): Unit = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
+          .write.format("noop").mode("overwrite").save()
+        run() // warm-up
+        jobs.set(0); jobNanos.set(0); sites.clear(); siteNanos.clear()
+        spark.sparkContext.addSparkListener(l)
+        val t0 = System.nanoTime()
+        run()
+        val wall = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.removeSparkListener(l)
+        println(f"drainprofile $q%-28s jobs=${jobs.get}%4d " +
+          f"jobtime=${jobNanos.get / 1e9}%6.2f wall=$wall%6.2f " +
+          f"ms/job=${wall * 1000 / math.max(jobs.get, 1)}%6.1f")
+        import scala.jdk.CollectionConverters._
+        sites.asScala.toSeq.sortBy(-_._2).take(12).foreach { case (s, n) =>
+          val secs = Option(siteNanos.get(s)).map(_.longValue / 1e9).getOrElse(0.0)
+          println(f"  site $s%-40s n=$n%4d t=$secs%6.2f")
+        }
+      }
+    }
+
     // x151 hot-source skew probe: one source holds 90% of the corpus at
     // ONE score tier (the degenerate shape that would funnel a naive
     // per-source window) and the corpus grows 20×. Fold 0 must ingest
@@ -1099,12 +1162,28 @@ object ScaleProbe {
     // run's late folds pay a listing + id-scan that grows with stream
     // age; the compacted run's must stay flat — the r16 "bounded
     // per-fold listStatus work" observable.
+    // Ledger-compaction soak, tiered edition: 520 folds (> 32 level-1
+    // compactions, deep enough for level-3 merges with the defaults) on
+    // the tiered layout, tracking BOTH per-fold cost flatness
+    // (early/mid/late medians) AND cumulative compaction REWRITE BYTES
+    // at the quarter/half/full marks — the tiered claim is that doubling
+    // the stream's lifetime roughly doubles(+log) cumulative rewrite
+    // bytes (O(n log n)), where the r16 single-checkpoint layout grew
+    // quadratically (each compaction rewrote the FULL history). Bytes
+    // are accounted once per run directory at creation (runs are
+    // immutable; GC only ever deletes them), so the accounting is exact.
+    // A 120-fold uncompacted control keeps the listing-growth baseline.
     if (on("ledgersoak")) {
       import spark.implicits._
-      def run(compactEvery: Int, tag: String): Unit = {
+      def run(compactEvery: Int, folds: Int, tag: String): Unit = {
         val path = java.nio.file.Files
           .createTempDirectory(s"graft_soak_$tag").toString
-        val times = (0 until 120).map { b =>
+        val tbl = new org.apache.hadoop.fs.Path(s"$path/verdicts")
+        val fs = tbl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val seen = scala.collection.mutable.Set[String]()
+        var rewriteBytes = 0L
+        val marks = Set(folds / 4, folds / 2, folds)
+        val times = (0 until folds).map { b =>
           val rows = (b * 200L + 1 to b * 200L + 200)
             .map(i => (i, s"src${i % 8}", 5L + i % 7))
             .toDF("doc_id", "source", "n_tokens")
@@ -1112,18 +1191,32 @@ object ScaleProbe {
           graft.streaming.StreamingBudgetAdmission.foldBatch(
             rows, b.toLong, path, quota = 1000000L,
             bucketK = 64, compactEvery = compactEvery)
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (fs.exists(tbl)) fs.listStatus(tbl).foreach { st =>
+            val n = st.getPath.getName
+            if (st.isDirectory && n.startsWith("run=") && !seen.contains(n)) {
+              seen += n
+              rewriteBytes += fs.getContentSummary(st.getPath).getLength
+            }
+          }
+          if (marks.contains(b + 1)) {
+            val dirs = graft.streaming.LedgerState
+              .dirCount(spark, s"$path/verdicts")
+            println(f"ledgersoak $tag%-12s fold=${b + 1}%4d " +
+              f"cum_rewrite_mb=${rewriteBytes / 1e6}%8.2f runs_written=${seen.size}%4d " +
+              f"dirs=$dirs%4d")
+          }
+          dt
         }
         def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
         val early = med(times.slice(10, 30))
-        val late = med(times.slice(100, 120))
-        val dirs = graft.streaming.LedgerState
-          .dirCount(spark, s"$path/verdicts")
-        println(f"ledgersoak $tag%-12s early=$early%5.3f late=$late%5.3f " +
-          f"late/early=${late / early}%4.2f dirs=$dirs%4d")
+        val mid = med(times.slice(folds / 2 - 10, folds / 2 + 10))
+        val late = med(times.slice(folds - 20, folds))
+        println(f"ledgersoak $tag%-12s early=$early%5.3f mid=$mid%5.3f " +
+          f"late=$late%5.3f late/early=${late / early}%4.2f")
       }
-      run(compactEvery = 16, tag = "compacted")
-      run(compactEvery = 100000, tag = "uncompacted")
+      run(compactEvery = 16, folds = 520, tag = "tiered")
+      run(compactEvery = 100000, folds = 120, tag = "uncompacted")
     }
     spark.stop()
   }

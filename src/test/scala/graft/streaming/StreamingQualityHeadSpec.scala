@@ -223,7 +223,12 @@ class StreamingQualityHeadSpec extends SparkSpec {
       "head must keep exactly the generations the retained maps reference")
     assert(gens("arrivals") === (0L until 6L).reverse,
       "the arrivals ledger must keep full history")
-    assert(gens("evictions").length === 6)
+    // folds 0-1 fit everything under the budget — nothing CAN evict, so
+    // they skip the write (quiet folds write no eviction dir at all);
+    // folds 2-5 each push a prior tier past the budget and must write
+    assert(gens("evictions").length === 4)
+    assert(gens("evictions") === Seq(5L, 4L, 3L, 2L),
+      "every fold that could evict wrote its dir; no quiet fold did")
     assert(headSet(path) === batchAdmitted(batches.flatten, 40L))
     // ledger still reconstructs every doc's lifecycle from the full
     // arrivals history + the retained head generations
