@@ -989,7 +989,7 @@ object StreamingQueries {
     // quality floor and the quota — duplicate content must never charge
     // a quota or enter a tape twice. The fixture has no cross-id
     // duplicate text, so the harness synthesizes it: every doc with
-    // doc_id % 10 == 3 re-arrives under id+1000001 (same source and
+    // doc_id % 10 == 3 re-arrives under id+100000001 (same source and
     // text), landing at batch residue (id+1) % 4 — those ids are ODD,
     // so the copies split across both directions: a residue-1
     // original's copy arrives in batch 2 (after it — the copy drops)
@@ -1011,7 +1011,7 @@ object StreamingQueries {
         bits = ExtensionQueries.BloomBits, k = ExtensionQueries.BloomK)
       val base = docs.as[(Long, String, String)].collect().toSeq
       val rows = base ++ base.collect {
-        case (i, src, txt) if i % 10 == 3 => (i + 1000001L, src, txt)
+        case (i, src, txt) if i % 10 == 3 => (i + 100000001L, src, txt)
       }
       val path = java.nio.file.Files.createTempDirectory("graft_x171_").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_x171_ck_").toString
@@ -1046,7 +1046,7 @@ object StreamingQueries {
     // (cluster merges revoke consumed verdicts — the exclusion argument
     // in the operator's doc); only kept docs' bands are ledgered, so
     // verdicts never revoke. Fixture: every doc_id%10==7 doc re-arrives
-    // VERBATIM under id+2000001 (all 16 bands collide — the limit case
+    // VERBATIM under id+200000001 (all 16 bands collide — the limit case
     // of a near-dup), landing at residue (id+1)%4, so the copies split
     // across BOTH precedence directions (a residue-1 original's copy
     // arrives in batch 2, AFTER it — the copy drops; a residue-3
@@ -1063,7 +1063,7 @@ object StreamingQueries {
         bits = ExtensionQueries.BloomBits, k = ExtensionQueries.BloomK)
       val base = docs.as[(Long, String, String)].collect().toSeq
       val rows = base ++ base.collect {
-        case (i, src, txt) if i % 10 == 7 => (i + 2000001L, src, txt)
+        case (i, src, txt) if i % 10 == 7 => (i + 200000001L, src, txt)
       }
       val path = java.nio.file.Files.createTempDirectory("graft_x172_").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_x172_ck_").toString
@@ -1091,7 +1091,7 @@ object StreamingQueries {
 
     // the composed pipeline's funnel with BOTH dedup stages on (x175):
     // the x171 duplicated fixture (every id%10==3 doc re-arrives
-    // verbatim under id+1000001) through bloom → quality → exact-fp
+    // verbatim under id+100000001) through bloom → quality → exact-fp
     // dedup → near-dup band gate → quota, read through the cumulative
     // per-source funnel — the row that exercises the SPLIT drop
     // columns: n_dup_content (the fp stage's drops — the copies) and
@@ -1109,7 +1109,7 @@ object StreamingQueries {
         bits = ExtensionQueries.BloomBits, k = ExtensionQueries.BloomK)
       val base = docs.as[(Long, String, String)].collect().toSeq
       val rows = base ++ base.collect {
-        case (i, src, txt) if i % 10 == 3 => (i + 1000001L, src, txt)
+        case (i, src, txt) if i % 10 == 3 => (i + 100000001L, src, txt)
       }
       val path = java.nio.file.Files.createTempDirectory("graft_x175_").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_x175_ck_").toString
@@ -1216,13 +1216,13 @@ object StreamingQueries {
         else
           s"""SELECT bkey FROM l${b - 1}
              |  UNION SELECT n.bkey FROM bnd n JOIN k$b k ON k.doc_id = n.doc_id""".stripMargin
-      s"""s$b AS (SELECT c.* FROM $inp c WHERE c.ab = $b$guard),
-         |m$b AS (SELECT n.bkey, min(n.doc_id) AS mn FROM bnd n
+      s"""s$b AS MATERIALIZED (SELECT c.* FROM $inp c WHERE c.ab = $b$guard),
+         |m$b AS MATERIALIZED (SELECT n.bkey, min(n.doc_id) AS mn FROM bnd n
          |  JOIN s$b s ON s.doc_id = n.doc_id GROUP BY 1),
-         |k$b AS (SELECT s.* FROM s$b s WHERE NOT EXISTS (
+         |k$b AS MATERIALIZED (SELECT s.* FROM s$b s WHERE NOT EXISTS (
          |  SELECT 1 FROM bnd n JOIN m$b m ON m.bkey = n.bkey
          |  WHERE n.doc_id = s.doc_id AND m.mn < s.doc_id)),
-         |l$b AS ($ledger)""".stripMargin
+         |l$b AS MATERIALIZED ($ledger)""".stripMargin
     }
     stages.mkString(",\n") + ",\nbkept AS (" +
       (0 until nBatches).map(b => s"SELECT * FROM k$b").mkString(" UNION ALL ") +
@@ -1786,7 +1786,7 @@ object StreamingQueries {
     },
 
     // x171: x167's chain over the duplicated input (every id%10==3 doc
-    // re-arrives under id+1000001), with the first-arrival-wins
+    // re-arrives under id+100000001), with the first-arrival-wins
     // fingerprint stage between the quality floor and the quota —
     // QUALIFY row_number over (fp ORDER BY arrival batch, id) = 1 IS
     // the engine's in-batch-min-id + cross-batch-guard composition
@@ -1817,9 +1817,9 @@ object StreamingQueries {
          |  FROM documents),
          |inp AS (SELECT doc_id, doc_id AS orig, source FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 1000001, doc_id, source FROM documents
+         |  SELECT doc_id + 100000001, doc_id, source FROM documents
          |  WHERE doc_id % 10 = 3),
-         |cb AS (SELECT i.doc_id, i.source,
+         |cb AS MATERIALIZED (SELECT i.doc_id, i.source,
          |    CAST(i.doc_id % 4 AS BIGINT) AS ab,
          |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
          |      AS n_tokens,
@@ -1894,9 +1894,9 @@ object StreamingQueries {
          |${ExtensionQueries.sqlBanded3FromToh},
          |inp AS (SELECT doc_id, doc_id AS orig, source FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 2000001, doc_id, source FROM documents
+         |  SELECT doc_id + 200000001, doc_id, source FROM documents
          |  WHERE doc_id % 10 = 7),
-         |cb AS (SELECT i.doc_id, i.source,
+         |cb AS MATERIALIZED (SELECT i.doc_id, i.source,
          |    CAST(i.doc_id % 4 AS BIGINT) AS ab,
          |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
          |      AS n_tokens
@@ -1906,7 +1906,7 @@ object StreamingQueries {
          |  LEFT JOIN cont ON cont.doc_id = i.orig
          |  WHERE cont.doc_id IS NULL
          |    AND q0.score_k >= ${ExtensionQueries.CuratedMinScoreK}),
-         |bnd AS (SELECT DISTINCT i.doc_id, b.band * $mod + b.band_key AS bkey
+         |bnd AS MATERIALIZED (SELECT DISTINCT i.doc_id, b.band * $mod + b.band_key AS bkey
          |  FROM inp i
          |  JOIN banded3 b ON b.doc_id = i.orig
          |  JOIN cb c ON c.doc_id = i.doc_id),
@@ -1972,9 +1972,9 @@ object StreamingQueries {
          |  FROM documents),
          |inp AS (SELECT doc_id, doc_id AS orig, source FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 1000001, doc_id, source FROM documents
+         |  SELECT doc_id + 100000001, doc_id, source FROM documents
          |  WHERE doc_id % 10 = 3),
-         |fl AS (SELECT i.doc_id, i.source,
+         |fl AS MATERIALIZED (SELECT i.doc_id, i.source,
          |    CAST(i.doc_id % 4 AS BIGINT) AS ab,
          |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
          |      AS n_tokens,
@@ -1987,9 +1987,9 @@ object StreamingQueries {
          |  JOIN q0 ON q0.doc_id = i.orig
          |  JOIN fps ON fps.orig = i.orig
          |  LEFT JOIN cont ON cont.doc_id = i.orig),
-         |fpk AS (SELECT doc_id, source, ab, n_tokens FROM fl WHERE qk
+         |fpk AS MATERIALIZED (SELECT doc_id, source, ab, n_tokens FROM fl WHERE qk
          |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY ab, doc_id) = 1),
-         |bnd AS (SELECT DISTINCT i.doc_id, b.band * $mod + b.band_key AS bkey
+         |bnd AS MATERIALIZED (SELECT DISTINCT i.doc_id, b.band * $mod + b.band_key AS bkey
          |  FROM inp i
          |  JOIN banded3 b ON b.doc_id = i.orig
          |  JOIN fpk f ON f.doc_id = i.doc_id),
