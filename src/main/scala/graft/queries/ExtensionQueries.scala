@@ -30,10 +30,10 @@ object ExtensionQueries {
   /** x43: flag docs whose trigram containment in the benchmark gram set
     * reaches this fraction (shared with the oracle SQL). */
   private val ContainmentThreshold = 0.5
-  private val CosineThreshold = 0.30
+  private[queries] val CosineThreshold = 0.30
   private val Planes = 8        // x11 bucket-assignment surface
-  private val CosinePlanes = 16 // x12 near-dup banding (65k buckets + multiprobe)
-  private val CosineMaxBucket = 1000
+  private[queries] val CosinePlanes = 16 // x12 near-dup banding (65k buckets + multiprobe)
+  private[queries] val CosineMaxBucket = 1000
   private[queries] val Dim = 64
   private[queries] val KmClusters = 8    // x34 trained-IVF coarse quantizer
   private[queries] val KmIters = 2
@@ -415,7 +415,7 @@ object ExtensionQueries {
 
   /** Fold-order dot product of two DuckDB lists (matches the Catalyst
     * expressions' sequential accumulation). */
-  private def sqlDot(a: String, b: String): String =
+  private[queries] def sqlDot(a: String, b: String): String =
     s"""list_reduce(list_transform(range(1, ${Dim + 1}),
        |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
 
@@ -425,7 +425,7 @@ object ExtensionQueries {
     s"""list_transform(range(1, ${Dim + 1}),
        |  d -> CAST(CAST((((1 + $j * 1009 + (d - 1) * 9176) % 1999) - 999) / 999.0 AS FLOAT) AS DOUBLE))""".stripMargin
 
-  private def sqlBucket(vec: String, planes: Int = Planes): String =
+  private[queries] def sqlBucket(vec: String, planes: Int = Planes): String =
     (0 until planes).map { j =>
       s"(CASE WHEN ${sqlDot(vec, sqlPlane(j))} > 0.0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")

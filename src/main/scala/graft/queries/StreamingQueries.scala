@@ -1182,6 +1182,113 @@ object StreamingQueries {
           col("pos"), col("seq"), col("frag_start"), col("frag_len"),
           col("doc_off"), col("arrival_batch"))
         .orderBy("epoch", "doc_id", "seq")
+    }),
+
+    // the composed pipeline with the monotone SEMANTIC near-dup gate
+    // (x176): x167's chain plus first-arrival-wins embedding dedup
+    // between the quality floor and the quota — a doc drops iff an
+    // already-KEPT doc within Hamming ≤ 1 of its SRP signature verifies
+    // at exact cosine ≥ threshold (the x12 bucketing + the x10 verify,
+    // composed as a monotone stream gate; the SemDeDup-style CC keeper
+    // cannot compose — cluster merges revoke consumed verdicts — but
+    // this gate never revokes: only kept docs' vectors enter the
+    // ledger). Fixture: docs stream WITH their embeddings (documents ⋈
+    // embeddings on id); every doc_id%10==7 doc re-arrives with the
+    // SAME embedding under id+300000001 (identical vector → identical
+    // signature, Hamming 0 — the forced-collision limit case), landing
+    // at residue (id+1)%4 so the copies split across BOTH precedence
+    // directions; the corpus's natural cosine-≥-τ pairs exercise the
+    // partial (Hamming-1, sub-identical cosine) and within-batch
+    // min-id paths.
+    "x176_stream_curated_semdedup" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("source"), col("text"), col("embedding"))
+      val words = StreamingDecontaminate.bloomWords(
+        Tables.documents(s, dir).filter(col("doc_id") % 97 === 0), n = 13,
+        bits = ExtensionQueries.BloomBits, k = ExtensionQueries.BloomK)
+      val base = docs.as[(Long, String, String, Array[Float])].collect().toSeq
+      val rows = base ++ base.collect {
+        case (i, src, txt, v) if i % 10 == 7 => (i + 300000001L, src, txt, v)
+      }
+      val path = java.nio.file.Files.createTempDirectory("graft_x176_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x176_ck_").toString
+      val input = MemoryStream[(Long, String, String, Array[Float])]
+      val q = graft.streaming.StreamingCuratedPack.attach(
+        input.toDF().toDF("doc_id", "source", "text", "embedding"), path,
+        words,
+        minScoreK = ExtensionQueries.CuratedMinScoreK,
+        quota = ExtensionQueries.CuratedQuota,
+        seqLen = ExtensionQueries.PackSeqLen, numShards = 4,
+        bloomBits = ExtensionQueries.BloomBits,
+        bloomK = ExtensionQueries.BloomK,
+        dedupSem = true,
+        semThreshold = ExtensionQueries.CosineThreshold,
+        semPlanes = ExtensionQueries.CosinePlanes,
+        semMaxBucket = ExtensionQueries.CosineMaxBucket)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try (0L until 4L).foreach { b =>
+        input.addData(rows.filter(_._1 % 4 == b))
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.StreamingCuratedPack.fragments(s, path)
+        .select(col("id").as("doc_id"), col("shard"), col("pos"),
+          col("seq"), col("frag_start"), col("frag_len"), col("doc_off"),
+          col("arrival_batch"))
+        .orderBy("doc_id", "seq")
+    }),
+
+    // the composed pipeline's funnel with the COMPLETE dedup stack on
+    // (x177): bloom → quality floor → exact-fp dedup → MinHash band
+    // gate → embedding-cosine semantic gate → quota, read through the
+    // cumulative per-source funnel — all three "already represented"
+    // columns exercised in one run: n_dup_content (the verbatim copies
+    // drop at the fp stage before their bands or vectors are ever
+    // consulted), n_neardup (natural band collisions among fp
+    // survivors), n_semdup (natural cosine-≥-τ pairs among band
+    // survivors — the paraphrase-layer duplication the lexical gates
+    // can't see). Fixture: every doc_id%10==3 doc re-arrives verbatim
+    // (same text AND embedding) under id+400000001, both precedence
+    // directions.
+    "x177_stream_dedup_stack_funnel" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("source"), col("text"), col("embedding"))
+      val words = StreamingDecontaminate.bloomWords(
+        Tables.documents(s, dir).filter(col("doc_id") % 97 === 0), n = 13,
+        bits = ExtensionQueries.BloomBits, k = ExtensionQueries.BloomK)
+      val base = docs.as[(Long, String, String, Array[Float])].collect().toSeq
+      val rows = base ++ base.collect {
+        case (i, src, txt, v) if i % 10 == 3 => (i + 400000001L, src, txt, v)
+      }
+      val path = java.nio.file.Files.createTempDirectory("graft_x177_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x177_ck_").toString
+      val input = MemoryStream[(Long, String, String, Array[Float])]
+      val q = graft.streaming.StreamingCuratedPack.attach(
+        input.toDF().toDF("doc_id", "source", "text", "embedding"), path,
+        words,
+        minScoreK = ExtensionQueries.CuratedMinScoreK,
+        quota = ExtensionQueries.CuratedQuota,
+        seqLen = ExtensionQueries.PackSeqLen, numShards = 4,
+        bloomBits = ExtensionQueries.BloomBits,
+        bloomK = ExtensionQueries.BloomK,
+        dedupExact = true, dedupNear = true, dedupSem = true,
+        semThreshold = ExtensionQueries.CosineThreshold,
+        semPlanes = ExtensionQueries.CosinePlanes,
+        semMaxBucket = ExtensionQueries.CosineMaxBucket)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try (0L until 4L).foreach { b =>
+        input.addData(rows.filter(_._1 % 4 == b))
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.StreamingCuratedPack.funnel(s, path)
+        .orderBy("source")
     }))
 
   /** The x15 deterministic-recurrence centroids as KMeans.Centroid
@@ -1227,6 +1334,92 @@ object StreamingQueries {
     stages.mkString(",\n") + ",\nbkept AS (" +
       (0 until nBatches).map(b => s"SELECT * FROM k$b").mkString(" UNION ALL ") +
       ")"
+  }
+
+  /** Exact double cosine in the engine's fold order — byte-for-byte the
+    * formula [[ExtensionQueries.sqlCosinePairCtes]] holds x12/x49 to. */
+  private def sqlCos(a: String, b: String): String =
+    s"""(${ExtensionQueries.sqlDot(a, b)} /
+       |  (sqrt(${ExtensionQueries.sqlDot(a, a)}) *
+       |   sqrt(${ExtensionQueries.sqlDot(b, b)})))""".stripMargin
+
+  /** Unrolled per-batch replay of the composed SEMANTIC near-dup gate
+    * (x176/x177): batch by batch, survivors `ss_b` are the batch's rows
+    * of `$inp` with no cosine-≥-τ match against the kept-vector ledger
+    * `sl_{b-1}` within Hamming ≤ 1 of their SRP signature (candidates
+    * whose LEDGER endpoint sits in an over-`cap` bucket are skipped —
+    * admitted, never revoked); kept rows `sk_b` are survivors with no
+    * cosine-≥-τ match against a LOWER-id survivor of their own batch
+    * (the earlier endpoint's base-bucket population capped the same
+    * way); the ledger then absorbs the kept rows' (signature, id)
+    * pairs. Assumes CTEs `$inp(doc_id, source, ab, n_tokens)` (the
+    * gate's input), `vb(doc_id, sg)` (its rows' SRP signatures),
+    * `prb(doc_id, bucket)` (signature + Hamming-1 probe buckets), and
+    * `ev(doc_id, embedding)` (its rows' vectors) are in scope; emits
+    * ss0..slc{n-1} plus `skept` (the gate's kept set) — the exact
+    * contract of the engine's stage 2.7
+    * ([[graft.streaming.StreamingCuratedPack]]). */
+  private def sqlSemGateStages(inp: String, nBatches: Int = 4): String = {
+    val cap = ExtensionQueries.CosineMaxBucket
+    val thr = ExtensionQueries.CosineThreshold
+    val cos = sqlCos("ea.embedding", "eb.embedding")
+    val stages = (0 until nBatches).map { b =>
+      val guard =
+        if (b == 0) ""
+        else
+          s"""
+             |  AND NOT EXISTS (SELECT 1 FROM prb n
+             |    JOIN sl${b - 1} l ON l.bucket = n.bucket
+             |    JOIN slc${b - 1} lc ON lc.bucket = l.bucket AND lc.cc <= $cap
+             |    JOIN ev ea ON ea.doc_id = c.doc_id
+             |    JOIN ev eb ON eb.doc_id = l.doc_id
+             |    WHERE n.doc_id = c.doc_id AND $cos >= $thr)""".stripMargin
+      val ledger =
+        if (b == 0)
+          "SELECT v.sg AS bucket, k.doc_id FROM vb v JOIN sk0 k ON k.doc_id = v.doc_id"
+        else
+          s"""SELECT bucket, doc_id FROM sl${b - 1}
+             |  UNION ALL
+             |  SELECT v.sg, k.doc_id FROM vb v JOIN sk$b k ON k.doc_id = v.doc_id""".stripMargin
+      s"""ss$b AS MATERIALIZED (SELECT c.* FROM $inp c WHERE c.ab = $b$guard),
+         |sbc$b AS MATERIALIZED (SELECT v.sg AS bucket, count(*) AS cc
+         |  FROM vb v JOIN ss$b s ON s.doc_id = v.doc_id GROUP BY 1),
+         |sk$b AS MATERIALIZED (SELECT s.* FROM ss$b s WHERE NOT EXISTS (
+         |  SELECT 1 FROM prb a
+         |  JOIN vb r ON r.sg = a.bucket
+         |  JOIN ss$b s2 ON s2.doc_id = r.doc_id AND s2.doc_id < s.doc_id
+         |  JOIN sbc$b bc ON bc.bucket = r.sg AND bc.cc <= $cap
+         |  JOIN ev ea ON ea.doc_id = s.doc_id
+         |  JOIN ev eb ON eb.doc_id = s2.doc_id
+         |  WHERE a.doc_id = s.doc_id AND $cos >= $thr)),
+         |sl$b AS MATERIALIZED ($ledger),
+         |slc$b AS MATERIALIZED (SELECT bucket, count(*) AS cc FROM sl$b GROUP BY 1)""".stripMargin
+    }
+    stages.mkString(",\n") + ",\nskept AS (" +
+      (0 until nBatches).map(b => s"SELECT * FROM sk$b").mkString(" UNION ALL ") +
+      ")"
+  }
+
+  /** The shared x176/x177 vector-side CTEs over a gate input `$inp`
+    * carrying (doc_id, orig): per-doc SRP signature (the engine's
+    * [[graft.ext.Similarity.bucketId]] replicated plane by plane),
+    * probe buckets (signature + every Hamming-1 flip), and the vector
+    * itself — all restricted to `$scope`'s doc_ids. */
+  private def sqlSemVecCtes(scope: String): String = {
+    val planes = ExtensionQueries.CosinePlanes
+    s"""sg0 AS MATERIALIZED (SELECT vec_id,
+       |    CAST(${ExtensionQueries.sqlBucket("embedding", planes)} AS BIGINT) AS sg
+       |  FROM embeddings),
+       |vb AS MATERIALIZED (SELECT i.doc_id, s.sg FROM inp i
+       |  JOIN sg0 s ON s.vec_id = i.orig
+       |  JOIN $scope c ON c.doc_id = i.doc_id),
+       |ev AS MATERIALIZED (SELECT i.doc_id, e.embedding FROM inp i
+       |  JOIN embeddings e ON e.vec_id = i.orig
+       |  JOIN $scope c ON c.doc_id = i.doc_id),
+       |prb AS MATERIALIZED (SELECT v.doc_id,
+       |    unnest([v.sg] || list_transform(range(0, $planes),
+       |      j -> xor(v.sg, CAST(1 AS BIGINT) << j))) AS bucket
+       |  FROM vb v)""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -1538,6 +1731,7 @@ object StreamingQueries {
          |    AS n_quality_ok,
          |  CAST(0 AS BIGINT) AS n_dup_content,
          |  CAST(0 AS BIGINT) AS n_neardup,
+         |  CAST(0 AS BIGINT) AS n_semdup,
          |  CAST(0 AS BIGINT) AS n_rearrived,
          |  CAST(sum(CASE WHEN fl.qk
          |      AND ca.src_cum <= ${ExtensionQueries.CuratedQuota}
@@ -2017,6 +2211,7 @@ object StreamingQueries {
          |    AS n_dup_content,
          |  CAST(COALESCE(fpc.n_post_fp, 0) - COALESCE(bkc.n_post_band, 0)
          |    AS BIGINT) AS n_neardup,
+         |  CAST(0 AS BIGINT) AS n_semdup,
          |  CAST(0 AS BIGINT) AS n_rearrived,
          |  CAST(COALESCE(adm.n_admitted, 0) AS BIGINT) AS n_admitted,
          |  CAST(COALESCE(adm.n_quota_rejected, 0) AS BIGINT)
@@ -2025,6 +2220,177 @@ object StreamingQueries {
          |FROM base
          |LEFT JOIN fpc ON fpc.source = base.source
          |LEFT JOIN bkc ON bkc.source = base.source
+         |LEFT JOIN adm ON adm.source = base.source
+         |ORDER BY base.source""".stripMargin
+    },
+
+    // x176: the composed chain with the SEMANTIC gate replayed batch by
+    // batch — per-doc SRP signatures and probe buckets from the
+    // embeddings table (planes replicated component by component, the
+    // x11/x12 discipline), kept-vector ledger growing append-only, the
+    // same exact-double cosine the x12/x49 oracles pin
+    "x176_stream_curated_semdedup" -> {
+      val aL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomA).mkString("[", ",", "]")
+      val bL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomB).mkString("[", ",", "]")
+      val mod = ExtensionQueries.Mod
+      val bits = ExtensionQueries.BloomBits
+      val k = ExtensionQueries.BloomK
+      val seqLen = ExtensionQueries.PackSeqLen
+      s"""WITH ${ExtensionQueries.sqlShnCte(13)},
+         |bpos AS (SELECT DISTINCT (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits AS pos
+         |  FROM bg CROSS JOIN range(0, $k) r(j)),
+         |cp AS (SELECT doc_id, h, unnest(list_transform(range(0, $k),
+         |    j -> (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits)) AS pos FROM cg),
+         |cand AS (SELECT doc_id, h FROM cp JOIN bpos USING (pos)
+         |  GROUP BY 1, 2 HAVING count(*) = $k),
+         |cont AS (SELECT DISTINCT doc_id FROM cand),
+         |${ExtensionQueries.sqlQualityCtes},
+         |q0 AS (SELECT doc_id,
+         |    CAST(round((${ExtensionQueries.sqlQualityScore}) * 1000000, 0)
+         |      AS BIGINT) AS score_k
+         |  FROM g),
+         |inp AS (SELECT d.doc_id, d.doc_id AS orig, d.source FROM documents d
+         |  JOIN embeddings em ON em.vec_id = d.doc_id
+         |  UNION ALL
+         |  SELECT d.doc_id + 300000001, d.doc_id, d.source FROM documents d
+         |  JOIN embeddings em ON em.vec_id = d.doc_id
+         |  WHERE d.doc_id % 10 = 7),
+         |cb AS MATERIALIZED (SELECT i.doc_id, i.orig, i.source,
+         |    CAST(i.doc_id % 4 AS BIGINT) AS ab,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM inp i
+         |  JOIN documents d ON d.doc_id = i.orig
+         |  JOIN q0 ON q0.doc_id = i.orig
+         |  LEFT JOIN cont ON cont.doc_id = i.orig
+         |  WHERE cont.doc_id IS NULL
+         |    AND q0.score_k >= ${ExtensionQueries.CuratedMinScoreK}),
+         |${sqlSemVecCtes("cb")},
+         |${sqlSemGateStages("cb")},
+         |ca AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY ab, doc_id) AS BIGINT) AS src_cum FROM skept),
+         |ptb AS (SELECT doc_id, ab AS arrival_batch,
+         |    CAST(${ExtensionQueries.sqlStringHash("CAST(doc_id AS VARCHAR) || ':ps'")} % 4
+         |      AS BIGINT) AS shard, n_tokens
+         |  FROM ca
+         |  WHERE src_cum <= ${ExtensionQueries.CuratedQuota} AND n_tokens > 0),
+         |po AS (SELECT doc_id, arrival_batch, shard, n_tokens,
+         |    CAST(row_number() OVER (PARTITION BY shard
+         |      ORDER BY arrival_batch, doc_id) AS BIGINT) AS pos,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard
+         |      ORDER BY arrival_batch, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum
+         |  FROM ptb),
+         |pf AS (SELECT doc_id, arrival_batch, shard, pos,
+         |    cum - n_tokens AS st, cum FROM po),
+         |px AS (SELECT *, unnest(range(st // $seqLen,
+         |    (cum - 1) // $seqLen + 1)) AS seq FROM pf)
+         |SELECT doc_id, shard, pos, CAST(seq AS BIGINT) AS seq,
+         |  CAST(greatest(st, seq * $seqLen) - seq * $seqLen AS BIGINT)
+         |    AS frag_start,
+         |  CAST(least(cum, (seq + 1) * $seqLen)
+         |    - greatest(st, seq * $seqLen) AS BIGINT) AS frag_len,
+         |  CAST(greatest(st, seq * $seqLen) - st AS BIGINT) AS doc_off,
+         |  arrival_batch
+         |FROM px ORDER BY doc_id, seq""".stripMargin
+    },
+
+    // x177: the complete dedup stack's funnel — fp stage (x175's fpk),
+    // band stages over the fp survivors, sem stages over the band
+    // survivors, admission over the sem survivors; every stage's
+    // per-source count lands in its own funnel column
+    "x177_stream_dedup_stack_funnel" -> {
+      val aL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomA).mkString("[", ",", "]")
+      val bL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomB).mkString("[", ",", "]")
+      val mod = ExtensionQueries.Mod
+      val bits = ExtensionQueries.BloomBits
+      val k = ExtensionQueries.BloomK
+      s"""WITH ${ExtensionQueries.sqlShnCte(13)},
+         |bpos AS (SELECT DISTINCT (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits AS pos
+         |  FROM bg CROSS JOIN range(0, $k) r(j)),
+         |cp AS (SELECT doc_id, h, unnest(list_transform(range(0, $k),
+         |    j -> (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits)) AS pos FROM cg),
+         |cand AS (SELECT doc_id, h FROM cp JOIN bpos USING (pos)
+         |  GROUP BY 1, 2 HAVING count(*) = $k),
+         |cont AS (SELECT DISTINCT doc_id FROM cand),
+         |${ExtensionQueries.sqlQualityCtes},
+         |q0 AS (SELECT doc_id,
+         |    CAST(round((${ExtensionQueries.sqlQualityScore}) * 1000000, 0)
+         |      AS BIGINT) AS score_k
+         |  FROM g),
+         |${ExtensionQueries.sqlBanded3FromToh},
+         |fps AS (SELECT doc_id AS orig,
+         |    ${ExtensionQueries.sqlStringHash(ExtensionQueries.sqlNorm)} AS fp
+         |  FROM documents),
+         |inp AS (SELECT d.doc_id, d.doc_id AS orig, d.source FROM documents d
+         |  JOIN embeddings em ON em.vec_id = d.doc_id
+         |  UNION ALL
+         |  SELECT d.doc_id + 400000001, d.doc_id, d.source FROM documents d
+         |  JOIN embeddings em ON em.vec_id = d.doc_id
+         |  WHERE d.doc_id % 10 = 3),
+         |fl AS MATERIALIZED (SELECT i.doc_id, i.orig, i.source,
+         |    CAST(i.doc_id % 4 AS BIGINT) AS ab,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    fps.fp,
+         |    cont.doc_id IS NULL AS cl,
+         |    cont.doc_id IS NULL
+         |      AND q0.score_k >= ${ExtensionQueries.CuratedMinScoreK} AS qk
+         |  FROM inp i
+         |  JOIN documents d ON d.doc_id = i.orig
+         |  JOIN q0 ON q0.doc_id = i.orig
+         |  JOIN fps ON fps.orig = i.orig
+         |  LEFT JOIN cont ON cont.doc_id = i.orig),
+         |fpk AS MATERIALIZED (SELECT doc_id, orig, source, ab, n_tokens
+         |  FROM fl WHERE qk
+         |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY ab, doc_id) = 1),
+         |bnd AS MATERIALIZED (SELECT DISTINCT i.doc_id, b.band * $mod + b.band_key AS bkey
+         |  FROM inp i
+         |  JOIN banded3 b ON b.doc_id = i.orig
+         |  JOIN fpk f ON f.doc_id = i.doc_id),
+         |${sqlBandGateStages("fpk")},
+         |${sqlSemVecCtes("fpk")},
+         |${sqlSemGateStages("bkept")},
+         |ca AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY ab, doc_id) AS BIGINT) AS src_cum FROM skept),
+         |fpc AS (SELECT source, count(*) AS n_post_fp FROM fpk GROUP BY 1),
+         |bkc AS (SELECT source, count(*) AS n_post_band FROM bkept GROUP BY 1),
+         |smc AS (SELECT source, count(*) AS n_post_sem FROM skept GROUP BY 1),
+         |adm AS (SELECT source,
+         |    CAST(sum(CASE WHEN src_cum <= ${ExtensionQueries.CuratedQuota}
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+         |    CAST(sum(CASE WHEN src_cum > ${ExtensionQueries.CuratedQuota}
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_quota_rejected,
+         |    CAST(sum(CASE WHEN src_cum <= ${ExtensionQueries.CuratedQuota}
+         |      THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_admitted
+         |  FROM ca GROUP BY 1),
+         |base AS (SELECT fl.source,
+         |    CAST(count(*) AS BIGINT) AS n_arrived,
+         |    CAST(sum(CASE WHEN fl.cl THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         |    CAST(sum(CASE WHEN fl.qk THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_quality_ok
+         |  FROM fl GROUP BY fl.source)
+         |SELECT base.source, base.n_arrived, base.n_clean, base.n_quality_ok,
+         |  base.n_quality_ok - CAST(COALESCE(fpc.n_post_fp, 0) AS BIGINT)
+         |    AS n_dup_content,
+         |  CAST(COALESCE(fpc.n_post_fp, 0) - COALESCE(bkc.n_post_band, 0)
+         |    AS BIGINT) AS n_neardup,
+         |  CAST(COALESCE(bkc.n_post_band, 0) - COALESCE(smc.n_post_sem, 0)
+         |    AS BIGINT) AS n_semdup,
+         |  CAST(0 AS BIGINT) AS n_rearrived,
+         |  CAST(COALESCE(adm.n_admitted, 0) AS BIGINT) AS n_admitted,
+         |  CAST(COALESCE(adm.n_quota_rejected, 0) AS BIGINT)
+         |    AS n_quota_rejected,
+         |  CAST(COALESCE(adm.tokens_admitted, 0) AS BIGINT) AS tokens_admitted
+         |FROM base
+         |LEFT JOIN fpc ON fpc.source = base.source
+         |LEFT JOIN bkc ON bkc.source = base.source
+         |LEFT JOIN smc ON smc.source = base.source
          |LEFT JOIN adm ON adm.source = base.source
          |ORDER BY base.source""".stripMargin
     },

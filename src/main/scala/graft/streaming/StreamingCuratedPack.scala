@@ -53,20 +53,58 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  *    band·mod + band_key); a [[LedgerState]] table bucketed by
  *    `pmod(xxhash64(bkey), K)` so the gate prunes to the batch's own
  *    band buckets;
+ *  - `sem/batch=<id>` — (opt-in `dedupSem`) the SEMANTIC near-dup
+ *    gate's vector ledger: one (bucket, keeper id, vec) row per KEPT
+ *    doc, `bucket` its sign-random-projection signature
+ *    ([[graft.ext.Similarity.bucketId]], `semPlanes` hyperplane bits in
+ *    one long — Charikar, STOC 2002); the kept VECTOR rides in the row
+ *    because semantic identity, unlike a band key, needs an exact
+ *    cosine verify against the candidate. A [[LedgerState]] table
+ *    bucketed by `pmod(xxhash64(bucket), K)` so the gate prunes to the
+ *    batch's own probe buckets;
  *  - `funnel/batch=<id>` — CUMULATIVE per-source stage counts after the
- *    fold (arrived → clean → quality_ok → dup_content/neardup/
+ *    fold (arrived → clean → quality_ok → dup_content/neardup/semdup/
  *    rearrived → admitted/quota_rejected + admitted tokens): the
  *    observability sheet a data owner reads. Dimension-sized,
  *    generation-superseded, retention-pruned like the sub-streams'
- *    totals. The three "already represented / near-represented" drop
+ *    totals. The four "already represented / near-represented" drop
  *    modes are SEPARATE columns because they are different upstream
  *    problems: `n_dup_content` (same fingerprint — a re-crawl or
  *    re-post), `n_neardup` (band collision — boilerplate or
- *    templating), `n_rearrived` (same doc id re-delivered — an
- *    upstream delivery bug). A funnel written by the pre-split layout
- *    unions in with the new columns null; their cumulative counts
- *    restart at the migration fold (documented additive migration, the
- *    only kind the funnel permits).
+ *    templating), `n_semdup` (embedding-cosine collision — paraphrase
+ *    or translation-layer duplication the lexical gates can't see),
+ *    `n_rearrived` (same doc id re-delivered — an upstream delivery
+ *    bug). A funnel written by an earlier layout unions in with the
+ *    newer columns null; their cumulative counts restart at the
+ *    migration fold (documented additive migration, the only kind the
+ *    funnel permits).
+ *
+ * Semantic gate monotonicity (stage 2.7, `dedupSem`): the same
+ * first-arrival-wins shape as the band gate, one level up the
+ * representation stack — a doc is dropped iff some ALREADY-KEPT doc
+ * within Hamming ≤ 1 of its SRP signature verifies at exact cosine ≥
+ * `semThreshold` (cross-batch, against the vector ledger,
+ * partition-pruned to the batch's probe buckets), or some LOWER-ID
+ * cross-batch survivor of its own batch does (within-batch; a
+ * micro-batch is one arrival instant, so the id is the deterministic
+ * tiebreak). Only kept docs' (signature, vector) rows are ledgered, so
+ * verdicts never revoke: keeping doc d can only DROP later arrivals.
+ * Unlike the band gate, two KEPT docs may share a bucket (cosine below
+ * the threshold) — monotonicity never needed bucket exclusivity, only
+ * that the kept set grows append-only. Within-batch chains drop
+ * conservatively exactly as in the band gate (A<B<C with A~B, B~C
+ * drops both B and C even where a sequential scan would re-admit C);
+ * the error side is duplicates dropped, never duplicates kept twice.
+ * Cost shape: semantic identity requires an exact cosine VERIFY per
+ * candidate (a band key needs none), so candidates here are genuine
+ * pairs — bounded by `semMaxBucket`: a candidate pair whose
+ * kept/earlier endpoint sits in an over-populated base bucket
+ * (embedding boilerplate: collapsed clusters, zero vectors) is skipped
+ * outright, the [[graft.ext.Similarity.cosineNearDups]] degenerate-
+ * bucket rule. Skipping only ADMITS (never revokes), so the cap trades
+ * recall for a hard per-doc bound of (semPlanes+1)·semMaxBucket
+ * cosines; the ledger itself stays append-only and bounded-listed by
+ * [[LedgerState]] regardless.
  *
  * Near-dup stage monotonicity (why the band gate CAN compose where the
  * CC keeper cannot): the gate keeps a doc iff EVERY one of its band
@@ -154,14 +192,21 @@ object StreamingCuratedPack {
       bucketK: Int = 64,
       compactEvery: Int = 16,
       dedupExact: Boolean = false,
-      dedupNear: Boolean = false): DataStreamWriter[Row] =
+      dedupNear: Boolean = false,
+      dedupSem: Boolean = false,
+      semThreshold: Double = 0.30,
+      semPlanes: Int = 16,
+      semMaxBucket: Int = 1000,
+      vecCol: String = "embedding"): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch, batchId, path, bloomWords, minScoreK, quota, seqLen,
           numShards, idCol, groupCol, textCol, ngram, bloomBits, bloomK,
           shardSalt, retainGenerations, bucketK, compactEvery,
-          dedupExact = dedupExact, dedupNear = dedupNear)
+          dedupExact = dedupExact, dedupNear = dedupNear,
+          dedupSem = dedupSem, semThreshold = semThreshold,
+          semPlanes = semPlanes, semMaxBucket = semMaxBucket, vecCol = vecCol)
       }
 
   /** [[attach]] with the WHOLE-DOC greedy packer
@@ -189,14 +234,21 @@ object StreamingCuratedPack {
       bucketK: Int = 64,
       compactEvery: Int = 16,
       dedupExact: Boolean = false,
-      dedupNear: Boolean = false): DataStreamWriter[Row] =
+      dedupNear: Boolean = false,
+      dedupSem: Boolean = false,
+      semThreshold: Double = 0.30,
+      semPlanes: Int = 16,
+      semMaxBucket: Int = 1000,
+      vecCol: String = "embedding"): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatch(batch, batchId, path, bloomWords, minScoreK, quota, seqLen,
           numShards, idCol, groupCol, textCol, ngram, bloomBits, bloomK,
           shardSalt, retainGenerations, bucketK, compactEvery,
-          wholeDoc = true, dedupExact = dedupExact, dedupNear = dedupNear)
+          wholeDoc = true, dedupExact = dedupExact, dedupNear = dedupNear,
+          dedupSem = dedupSem, semThreshold = semThreshold,
+          semPlanes = semPlanes, semMaxBucket = semMaxBucket, vecCol = vecCol)
       }
 
   /** [[attach]] with a quota SCHEDULE — `(startFold, quota)` entries,
@@ -223,14 +275,21 @@ object StreamingCuratedPack {
       bucketK: Int = 64,
       compactEvery: Int = 16,
       dedupExact: Boolean = false,
-      dedupNear: Boolean = false): DataStreamWriter[Row] =
+      dedupNear: Boolean = false,
+      dedupSem: Boolean = false,
+      semThreshold: Double = 0.30,
+      semPlanes: Int = 16,
+      semMaxBucket: Int = 1000,
+      vecCol: String = "embedding"): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldBatchScheduled(batch, batchId, path, bloomWords, minScoreK,
           quotaSchedule, seqLen, numShards, idCol, groupCol, textCol, ngram,
           bloomBits, bloomK, shardSalt, retainGenerations, bucketK,
-          compactEvery, dedupExact = dedupExact, dedupNear = dedupNear)
+          compactEvery, dedupExact = dedupExact, dedupNear = dedupNear,
+          dedupSem = dedupSem, semThreshold = semThreshold,
+          semPlanes = semPlanes, semMaxBucket = semMaxBucket, vecCol = vecCol)
       }
 
   /** One composed fold — public so replay (foreachBatch re-delivering
@@ -258,11 +317,17 @@ object StreamingCuratedPack {
       compactEvery: Int = 16,
       wholeDoc: Boolean = false,
       dedupExact: Boolean = false,
-      dedupNear: Boolean = false): Unit =
+      dedupNear: Boolean = false,
+      dedupSem: Boolean = false,
+      semThreshold: Double = 0.30,
+      semPlanes: Int = 16,
+      semMaxBucket: Int = 1000,
+      vecCol: String = "embedding"): Unit =
     foldBatchScheduled(batch, batchId, path, bloomWords, minScoreK,
       Seq((0L, quota)), seqLen, numShards, idCol, groupCol, textCol, ngram,
       bloomBits, bloomK, shardSalt, retainGenerations, bucketK, compactEvery,
-      wholeDoc, dedupExact, dedupNear)
+      wholeDoc, dedupExact, dedupNear, dedupSem, semThreshold, semPlanes,
+      semMaxBucket, vecCol)
 
   /** [[foldBatch]] under a quota schedule: the fold resolves its epoch
     * index and quota from `quotaSchedule` (a pure function of batchId —
@@ -292,9 +357,16 @@ object StreamingCuratedPack {
       compactEvery: Int = 16,
       wholeDoc: Boolean = false,
       dedupExact: Boolean = false,
-      dedupNear: Boolean = false): Unit = {
+      dedupNear: Boolean = false,
+      dedupSem: Boolean = false,
+      semThreshold: Double = 0.30,
+      semPlanes: Int = 16,
+      semMaxBucket: Int = 1000,
+      vecCol: String = "embedding"): Unit = {
     require(numShards > 0, "numShards must be positive")
     require(minScoreK >= 0, "minScoreK must be non-negative")
+    require(semPlanes >= 1 && semPlanes <= 62,
+      "semPlanes must fit a non-negative long signature")
     require(quotaSchedule.nonEmpty && quotaSchedule.head._1 == 0L,
       "quotaSchedule must start at fold 0")
     require(quotaSchedule.map(_._1) == quotaSchedule.map(_._1).sorted.distinct,
@@ -323,12 +395,19 @@ object StreamingCuratedPack {
             "this stream was planned with")
       // ONE in-batch id dedup up front (representative = struct min, the
       // sub-folds' rule) so every stage — including the funnel counts —
-      // sees the same one row per id and the attribution is coherent
+      // sees the same one row per id and the attribution is coherent.
+      // With the semantic gate on, the row's vector rides in the
+      // representative struct (arrays of atomics are orderable, so the
+      // min stays total and deterministic).
+      val repFields = Seq(col(groupCol).cast("string").as("grp"),
+        col(textCol).cast("string").as("txt")) ++
+        (if (dedupSem) Seq(col(vecCol).as("vec")) else Nil)
+      val uniqCols = Seq(col(idCol).as("id"), col("_rep.grp").as("source"),
+        col("_rep.txt").as("text")) ++
+        (if (dedupSem) Seq(col("_rep.vec").as("vec")) else Nil)
       val uniq = batch.groupBy(col(idCol))
-        .agg(min(struct(col(groupCol).cast("string").as("grp"),
-          col(textCol).cast("string").as("txt"))).as("_rep"))
-        .select(col(idCol).as("id"), col("_rep.grp").as("source"),
-          col("_rep.txt").as("text"))
+        .agg(min(struct(repFields: _*)).as("_rep"))
+        .select(uniqCols: _*)
         .persist()
       // stage 1: the Bloom screen (stateless literal probe; zero false
       // negatives — no benchmark n-gram run slips through)
@@ -353,9 +432,9 @@ object StreamingCuratedPack {
       // cross-batch guard off the fp ledger (a [[LedgerState]] table
       // bucketed by pmod(fp, K), so the guard prunes to the batch's own
       // fp buckets). Duplicate content must never charge the quota or
-      // enter a tape twice. This is the only remaining x158 batch stage
-      // that CAN compose here: it is monotone (a kept fingerprint stays
-      // kept). The near-dup CC keeper cannot — a later arrival can MERGE
+      // enter a tape twice. Monotone by construction (a kept
+      // fingerprint stays kept), like the band and semantic gates
+      // below. The near-dup CC keeper is not — a later arrival can MERGE
       // two clusters whose keepers are both already packed, revoking a
       // verdict the immutable tape has consumed (the same argument that
       // picked the quota gate over the evictive head).
@@ -433,6 +512,72 @@ object StreamingCuratedPack {
           bandRows.unpersist(blocking = false)
           kept
         }
+      // stage 2.7 (opt-in): the monotone SEMANTIC near-dup gate —
+      // FIRST-ARRIVAL-WINS per embedding neighborhood. A doc drops iff
+      // an already-KEPT doc within Hamming ≤ 1 of its SRP signature
+      // verifies at exact cosine ≥ semThreshold (cross-batch, vector
+      // ledger pruned to the batch's probe buckets), or a LOWER-ID
+      // cross-batch survivor of its own batch does. Only kept docs'
+      // (signature, vector) rows are ledgered — monotonicity proof in
+      // the class doc. Candidates are genuine pairs (semantic identity
+      // needs the cosine verify), so the kept/earlier endpoint's base
+      // bucket is capped at semMaxBucket: degenerate buckets are
+      // SKIPPED (admitting, never revoking) — the cosineNearDups rule.
+      val semGated =
+        if (!dedupSem) gated
+        else {
+          val tbl = s"$path/sem"
+          val cosine = graft.functions.VectorFunctions.vec_cosine _
+          val sigs = gated.select(col("id"))
+            .join(uniq.select(col("id"), col("vec")), Seq("id"))
+            .withColumn("sig",
+              graft.ext.Similarity.bucketId(col("vec"), semPlanes, 64))
+            .persist()
+          def probeArr = array((col("sig") +: (0 until semPlanes).map(j =>
+            col("sig").bitwiseXOR(lit(1L << j)))): _*)
+          val surv =
+            if (!StreamState.exists(spark, tbl)) gated
+            else {
+              val probed = sigs.select(col("id"), col("vec"),
+                explode(probeArr).as("bucket"))
+              val prune = LedgerState.batchBuckets(spark, tbl, batchId,
+                probed.select(col("bucket")).distinct(), "bucket")
+              val lv = LedgerState.view(spark, tbl, batchId,
+                  idCol = "bucket", idPrune = prune)
+                .select(col("bucket"), col("vec").as("_kvec"))
+              val over = lv.groupBy("bucket").agg(count(lit(1)).as("_c"))
+                .filter(col("_c") > semMaxBucket).select("bucket")
+              val hit = probed
+                .join(lv.join(broadcast(over), Seq("bucket"), "left_anti"),
+                  Seq("bucket"))
+                .filter(cosine(col("vec"), col("_kvec")) >= semThreshold)
+                .select(col("id")).distinct()
+              gated.join(hit, Seq("id"), "left_anti")
+            }
+          val svSigs = sigs.join(surv.select("id"), Seq("id"), "left_semi")
+            .persist()
+          val overB = svSigs.groupBy(col("sig").as("bucket"))
+            .agg(count(lit(1)).as("_c"))
+            .filter(col("_c") > semMaxBucket).select("bucket")
+          val lhs = svSigs.select(col("id").as("_ia"), col("vec").as("_va"),
+            explode(probeArr).as("bucket"))
+          val rhs = svSigs.select(col("sig").as("bucket"),
+              col("id").as("_ib"), col("vec").as("_vb"))
+            .join(broadcast(overB), Seq("bucket"), "left_anti")
+          val losers = lhs.join(rhs, Seq("bucket"))
+            .filter(col("_ia") > col("_ib"))
+            .filter(cosine(col("_va"), col("_vb")) >= semThreshold)
+            .select(col("_ia").as("id")).distinct()
+          val kept = surv.join(losers, Seq("id"), "left_anti").persist()
+          svSigs.join(kept.select("id"), Seq("id"), "left_semi")
+            .select(col("sig").as("bucket"), col("id"), col("vec"))
+            .write.mode("overwrite").parquet(s"$tbl/batch=$batchId")
+          LedgerState.maintain(spark, tbl, batchId, idCol = "bucket",
+            bucketK = bucketK, compactEvery = compactEvery)
+          svSigs.unpersist(blocking = false)
+          sigs.unpersist(blocking = false)
+          kept
+        }
       // stage 2.8 (epoch'd schedules only): drop ids verdicted by ANY
       // earlier epoch — a retarget must never re-charge or re-pack
       // content history already accounted for. One bucket-pruned
@@ -440,8 +585,8 @@ object StreamingCuratedPack {
       // this union is a handful of frozen ledger views, not a scan that
       // grows with stream age.
       val deliverable =
-        if (epochIdx == 0) gated
-        else (0 until epochIdx).foldLeft(gated) { (df, pe) =>
+        if (epochIdx == 0) semGated
+        else (0 until epochIdx).foldLeft(semGated) { (df, pe) =>
           val vt = s"$path/admission/epoch=$pe/verdicts"
           if (!StreamState.exists(spark, vt)) df
           else {
@@ -486,12 +631,13 @@ object StreamingCuratedPack {
             retainGenerations, bucketK, compactEvery)
       }
       // the cumulative funnel: prior generation + this batch's deltas
-      // (every frame here is batch- or dimension-sized). The three
+      // (every frame here is batch- or dimension-sized). The four
       // distinct drop modes between the quality floor and the verdicts
       // get their own columns: n_dup_content (fingerprint already kept),
-      // n_neardup (band bucket already kept), n_rearrived (doc id
-      // already held a verdict — the admission fold's guard). None of
-      // them are quota rejections.
+      // n_neardup (band bucket already kept), n_semdup (embedding-
+      // cosine collision with a kept doc), n_rearrived (doc id already
+      // held a verdict — the admission fold's guard). None of them are
+      // quota rejections.
       val batchCounts = uniq.groupBy(col("source"))
         .agg(count(lit(1)).as("n_arrived"))
         .join(clean.groupBy(col("source"))
@@ -502,6 +648,8 @@ object StreamingCuratedPack {
           .agg(count(lit(1)).as("n_post_fp")), Seq("source"), "left")
         .join(gated.groupBy(col("source"))
           .agg(count(lit(1)).as("n_post_band")), Seq("source"), "left")
+        .join(semGated.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_post_sem")), Seq("source"), "left")
         .join(
           (if (newVerdicts == null)
              uniq.limit(0).select(col("source"),
@@ -522,6 +670,8 @@ object StreamingCuratedPack {
           (coalesce(col("n_post_fp"), lit(0L)) -
             coalesce(col("n_post_band"), lit(0L))).as("n_neardup"),
           (coalesce(col("n_post_band"), lit(0L)) -
+            coalesce(col("n_post_sem"), lit(0L))).as("n_semdup"),
+          (coalesce(col("n_post_sem"), lit(0L)) -
             coalesce(col("n_admitted"), lit(0L)) -
             coalesce(col("n_quota_rejected"), lit(0L))).as("n_rearrived"),
           coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
@@ -549,6 +699,7 @@ object StreamingCuratedPack {
             sum(col("n_quality_ok")).as("n_quality_ok"),
             coalesce(sum(col("n_dup_content")), lit(0L)).as("n_dup_content"),
             coalesce(sum(col("n_neardup")), lit(0L)).as("n_neardup"),
+            coalesce(sum(col("n_semdup")), lit(0L)).as("n_semdup"),
             sum(col("n_rearrived")).as("n_rearrived"),
             sum(col("n_admitted")).as("n_admitted"),
             sum(col("n_quota_rejected")).as("n_quota_rejected"),
@@ -556,6 +707,7 @@ object StreamingCuratedPack {
       funnel.write.mode("overwrite").parquet(s"$path/funnel/batch=$batchId")
       StreamState.pruneGenerations(spark, s"$path/funnel", retainGenerations)
       if (newVerdicts != null) newVerdicts.unpersist(blocking = false)
+      if (semGated ne gated) semGated.unpersist(blocking = false)
       if (gated ne admInput) gated.unpersist(blocking = false)
       if (admInput ne qualityOk) admInput.unpersist(blocking = false)
       scored.unpersist(blocking = false)

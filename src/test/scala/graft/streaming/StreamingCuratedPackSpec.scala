@@ -99,7 +99,7 @@ class StreamingCuratedPackSpec extends SparkSpec {
     // junk (i%5==0 minus overlaps) dropped before admission; every
     // quality-passed doc holds a verdict; admitted tokens within quota
     val f = StreamingCuratedPack.funnel(spark, path)
-      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
       .collect().map(r => r._1 -> r).toMap
     assert(f.values.map(_._2).sum === 60L, "every arrival counted")
     f.values.foreach { r =>
@@ -107,11 +107,12 @@ class StreamingCuratedPackSpec extends SparkSpec {
       assert(r._4 <= r._3, "quality_ok <= clean")
       assert(r._5 === 0L, "no fp stage → no dup-content drops")
       assert(r._6 === 0L, "no band gate → no near-dup drops")
-      assert(r._7 === 0L, "no re-arrivals in this run")
-      assert(r._4 === r._8 + r._9, "quality_ok = admitted + quota_rejected")
-      assert(r._10 <= Quota, "admitted tokens within the quota")
+      assert(r._7 === 0L, "no semantic gate → no sem-dup drops")
+      assert(r._8 === 0L, "no re-arrivals in this run")
+      assert(r._4 === r._9 + r._10, "quality_ok = admitted + quota_rejected")
+      assert(r._11 <= Quota, "admitted tokens within the quota")
     }
-    assert(f.values.map(_._9).sum > 0L, "quota must actually bite")
+    assert(f.values.map(_._10).sum > 0L, "quota must actually bite")
     assert(f.values.map(_._2).sum > f.values.map(_._3).sum,
       "decontamination must actually drop")
     assert(f.values.map(_._3).sum > f.values.map(_._4).sum,
@@ -138,9 +139,9 @@ class StreamingCuratedPackSpec extends SparkSpec {
     fold(path, 1L to 10L, 2L)
     assert(streamedFragments(path) === once)
     val f2 = StreamingCuratedPack.funnel(spark, path)
-      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
       .collect().map(r => r._1 -> r).toMap
-    assert(f2.values.map(_._7).sum > 0L, "re-arrivals must be booked")
+    assert(f2.values.map(_._8).sum > 0L, "re-arrivals must be booked")
     assert(f2.values.map(_._5).sum === 0L,
       "id re-arrivals are NOT dup-content drops")
     assert(f2.values.map(_._2).sum === 50L)
@@ -281,9 +282,10 @@ class StreamingCuratedPackSpec extends SparkSpec {
     assert(verdIds.contains(801L) && !verdIds.contains(802L),
       "within a batch the min id wins its buckets")
     // funnel attribution: every gate drop lands in n_neardup, nothing
-    // in n_dup_content (no fp stage) or n_rearrived (no id re-delivery)
+    // in n_dup_content (no fp stage), n_semdup (no semantic gate), or
+    // n_rearrived (no id re-delivery)
     val f = StreamingCuratedPack.funnel(spark, path)
-      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
       .collect().map(r => r._1 -> r).toMap
     val qualityOkTotal = f.values.map(_._4).sum
     assert(f.values.map(_._5).sum === 0L)
@@ -291,6 +293,7 @@ class StreamingCuratedPackSpec extends SparkSpec {
       "every quality-passed doc the gate dropped is booked as n_neardup")
     assert(f.values.map(_._6).sum >= 3L, "the fixture must actually drop")
     assert(f.values.map(_._7).sum === 0L)
+    assert(f.values.map(_._8).sum === 0L)
     // replay of the last fold (band ledger committed) is a no-op
     val before = streamedFragments(path)
     fold(b1, 1L)
@@ -298,6 +301,111 @@ class StreamingCuratedPackSpec extends SparkSpec {
     assert(StreamingCuratedPack.verdicts(spark, path)
       .select("id").as[Long].collect().toSet === verdIds,
       "replay must not re-gate or duplicate verdicts")
+  }
+
+  test("semantic gate: first arrival wins per embedding neighborhood in both directions; only kept vectors are ledgered; over-cap buckets admit; the funnel books the drops") {
+    val path = java.nio.file.Files.createTempDirectory("graft_scp8_").toString
+    val BigQuota = 100000L
+    val Planes = 16
+    val Thr = 0.30
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(d => (((seed * 31 + d * 17) % 97) - 48) / 48.0f)
+    // positive scaling preserves every hyperplane sign → identical SRP
+    // signature (Hamming 0, so the collision is FORCED, not
+    // probabilistic) while the bytes differ; cosine ≈ 1 ≥ the threshold
+    def near(v: Array[Float]): Array[Float] = v.map(_ * 0.75f)
+    def fold(rows: Seq[(Long, String, String, Array[Float])], b: Long,
+        cap: Int = 1000, p: String = path): Unit =
+      StreamingCuratedPack.foldBatch(
+        rows.toDF("doc_id", "source", "text", "embedding"),
+        b, p, words, MinScoreK, BigQuota, SeqLen, Shards,
+        dedupSem = true, semMaxBucket = cap)
+    val b0 = Seq(
+      (901L, "src1", goodText(901L), vec(0)),        // copy arrives FIRST...
+      (3L, "src0", goodText(3L), vec(3)),
+      (6L, "src0", goodText(6L), vec(6)),
+      (802L, "src2", goodText(802L), vec(8)),
+      (803L, "src2", goodText(803L), near(vec(8))))  // in-batch pair: min id wins
+    val b1 = Seq(
+      (5L, "src1", goodText(5L), near(vec(0))),      // ...original arrives later
+      (702L, "src0", goodText(702L), near(vec(6))),  // copy of 6 arrives AFTER — drops
+      (9L, "src2", goodText(9L), vec(9)))
+    val batches = Seq(b0, b1)
+    batches.zipWithIndex.foreach { case (rows, b) => fold(rows, b.toLong) }
+    // independent replay of the gate contract: per batch, a doc drops
+    // iff a kept doc within Hamming ≤ 1 of its signature verifies at
+    // cosine ≥ threshold (cross-batch), or a lower-id survivor of its
+    // own batch does (within-batch, conservative chains); ledger
+    // absorbs kept docs' (signature, vector) rows only
+    val allRows = batches.flatten
+    val sigMap = allRows.toDF("doc_id", "source", "text", "embedding")
+      .select(col("doc_id"),
+        graft.ext.Similarity.bucketId(col("embedding"), Planes, 64).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val vecMap = allRows.map(r => r._1 -> r._4).toMap
+    def probes(id: Long): Set[Long] =
+      Set(sigMap(id)) ++ (0 until Planes).map(j => sigMap(id) ^ (1L << j))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var ledger = Map.empty[Long, Seq[Long]] // bucket -> kept ids
+    var keptRef = Set.empty[Long]
+    batches.foreach { rows =>
+      val ids = rows.map(_._1)
+      val surv = ids.filter { id =>
+        !probes(id).exists(bk => ledger.getOrElse(bk, Nil)
+          .exists(k => cos(vecMap(id), vecMap(k)) >= Thr))
+      }
+      val keptB = surv.filter { id =>
+        !surv.exists(o => o < id && probes(id).contains(sigMap(o)) &&
+          cos(vecMap(id), vecMap(o)) >= Thr)
+      }
+      keptRef ++= keptB
+      keptB.foreach(k =>
+        ledger += sigMap(k) -> (ledger.getOrElse(sigMap(k), Nil) :+ k))
+    }
+    val verdIds = StreamingCuratedPack.verdicts(spark, path)
+      .select("id").as[Long].collect().toSet
+    assert(verdIds === keptRef, "the gate must match its contract replay")
+    // directional guarantees (scaled vectors: Hamming 0, cosine ≈ 1 —
+    // forced fates)
+    assert(verdIds.contains(901L) && !verdIds.contains(5L),
+      "copy-first: the batch-0 copy keeps the neighborhood, the original drops")
+    assert(verdIds.contains(6L) && !verdIds.contains(702L),
+      "original-first: the later copy drops")
+    assert(verdIds.contains(802L) && !verdIds.contains(803L),
+      "within a batch the min id wins its neighborhood")
+    // funnel attribution: every gate drop lands in n_semdup
+    val f = StreamingCuratedPack.funnel(spark, path)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val qualityOkTotal = f.values.map(_._4).sum
+    assert(f.values.map(_._5).sum === 0L, "no fp stage")
+    assert(f.values.map(_._6).sum === 0L, "no band gate")
+    assert(f.values.map(_._7).sum === qualityOkTotal - keptRef.size,
+      "every quality-passed doc the gate dropped is booked as n_semdup")
+    assert(f.values.map(_._7).sum >= 3L, "the fixture must actually drop")
+    assert(f.values.map(_._8).sum === 0L, "no id re-delivery")
+    // replay of the last fold (vector ledger committed) is a no-op
+    val before = streamedFragments(path)
+    fold(b1, 1L)
+    assert(streamedFragments(path) === before)
+    assert(StreamingCuratedPack.verdicts(spark, path)
+      .select("id").as[Long].collect().toSet === verdIds,
+      "replay must not re-gate or duplicate verdicts")
+    // the cap skips (admits) over-populated buckets: with semMaxBucket=0
+    // every bucket is over cap, so even a bit-identical vector is kept
+    val capPath = java.nio.file.Files.createTempDirectory("graft_scp8c_").toString
+    fold(Seq((1L, "src0", goodText(1L), vec(0))), 0L, cap = 0, p = capPath)
+    fold(Seq((2L, "src0", goodText(2L), vec(0))), 1L, cap = 0, p = capPath)
+    assert(StreamingCuratedPack.verdicts(spark, capPath)
+      .select("id").as[Long].collect().toSet === Set(1L, 2L),
+      "an over-cap bucket is skipped, never revoked: both copies admit")
   }
 
   test("quota retarget (epoch'd tapes): the pre-raise tape is byte-identical to the no-raise run; epoch 1 opens fresh accounting; cross-epoch re-arrivals never re-charge; layout mixing fails loud") {
