@@ -410,10 +410,19 @@ object StreamingCuratedPack {
         .select(uniqCols: _*)
         .persist()
       // stage 1: the Bloom screen (stateless literal probe; zero false
-      // negatives — no benchmark n-gram run slips through)
+      // negatives — no benchmark n-gram run slips through).
+      // localCheckpoint(true), not persist, on this and every deep stage
+      // output below: the composed fold issues ~15 actions, and with a
+      // full dedup stack each action's plan would carry the bloom probe
+      // + quality + fingerprint + MinHash + SRP expression trees through
+      // Catalyst analysis AGAIN (persist caches data, not analysis —
+      // measured ~50 s/run driver-side on x177, more than its Spark job
+      // time). The eager cut materializes each batch-sized stage once
+      // and every downstream action analyzes a flat scan.
       val clean = StreamingDecontaminate.withBloomHits(
           uniq, bloomWords, ngram, bloomBits, bloomK, "text")
         .filter(col("n_bloom_hits") === 0L)
+        .localCheckpoint(true)
       // stage 2: quality score + token count, score floor (plus, when
       // stage 2.5 is on, the exact-dedup content fingerprint — the x05
       // portable rolling hash over normalized text)
@@ -425,7 +434,7 @@ object StreamingCuratedPack {
            (if (dedupExact)
               Seq(graft.ext.TextAnalysis.fingerprint(col("text")).as("_fp"))
             else Nil)): _*)
-        .persist()
+        .localCheckpoint(true)
       val qualityOk = scored.filter(col("score_k") >= minScoreK)
       // stage 2.5 (opt-in): exact-content dedup, FIRST-ARRIVAL-WINS —
       // one representative per fingerprint per batch (min id), then the
@@ -459,7 +468,7 @@ object StreamingCuratedPack {
                   .select(col("fp").as("_fp")),
                 Seq("_fp"), "left_anti")
             }
-          val kept = fresh.persist()
+          val kept = fresh.localCheckpoint(true)
           kept.select(col("_fp").as("fp"), col("id"))
             .write.mode("overwrite").parquet(s"$tbl/batch=$batchId")
           LedgerState.maintain(spark, tbl, batchId, idCol = "fp",
@@ -484,7 +493,7 @@ object StreamingCuratedPack {
             .select(col("id"),
               (col("band").cast("long") * lit(graft.ext.TextAnalysis.HashMod)
                 + col("band_key")).as("bkey"))
-            .distinct().persist()
+            .distinct().localCheckpoint(true)
           val surv =
             if (!StreamState.exists(spark, tbl)) admInput
             else {
@@ -503,13 +512,13 @@ object StreamingCuratedPack {
             .withColumn("_mn", min(col("id")).over(
               org.apache.spark.sql.expressions.Window.partitionBy(col("bkey"))))
             .filter(col("id") =!= col("_mn")).select(col("id")).distinct()
-          val kept = surv.join(losers, Seq("id"), "left_anti").persist()
+          val kept = surv.join(losers, Seq("id"), "left_anti")
+            .localCheckpoint(true)
           survBands.join(losers, Seq("id"), "left_anti")
             .select(col("bkey"), col("id"))
             .write.mode("overwrite").parquet(s"$tbl/batch=$batchId")
           LedgerState.maintain(spark, tbl, batchId, idCol = "bkey",
             bucketK = bucketK, compactEvery = compactEvery)
-          bandRows.unpersist(blocking = false)
           kept
         }
       // stage 2.7 (opt-in): the monotone SEMANTIC near-dup gate —
@@ -532,7 +541,7 @@ object StreamingCuratedPack {
             .join(uniq.select(col("id"), col("vec")), Seq("id"))
             .withColumn("sig",
               graft.ext.Similarity.bucketId(col("vec"), semPlanes, 64))
-            .persist()
+            .localCheckpoint(true)
           def probeArr = array((col("sig") +: (0 until semPlanes).map(j =>
             col("sig").bitwiseXOR(lit(1L << j)))): _*)
           val surv =
@@ -568,14 +577,14 @@ object StreamingCuratedPack {
             .filter(col("_ia") > col("_ib"))
             .filter(cosine(col("_va"), col("_vb")) >= semThreshold)
             .select(col("_ia").as("id")).distinct()
-          val kept = surv.join(losers, Seq("id"), "left_anti").persist()
+          val kept = surv.join(losers, Seq("id"), "left_anti")
+            .localCheckpoint(true)
           svSigs.join(kept.select("id"), Seq("id"), "left_semi")
             .select(col("sig").as("bucket"), col("id"), col("vec"))
             .write.mode("overwrite").parquet(s"$tbl/batch=$batchId")
           LedgerState.maintain(spark, tbl, batchId, idCol = "bucket",
             bucketK = bucketK, compactEvery = compactEvery)
           svSigs.unpersist(blocking = false)
-          sigs.unpersist(blocking = false)
           kept
         }
       // stage 2.8 (epoch'd schedules only): drop ids verdicted by ANY
@@ -707,10 +716,6 @@ object StreamingCuratedPack {
       funnel.write.mode("overwrite").parquet(s"$path/funnel/batch=$batchId")
       StreamState.pruneGenerations(spark, s"$path/funnel", retainGenerations)
       if (newVerdicts != null) newVerdicts.unpersist(blocking = false)
-      if (semGated ne gated) semGated.unpersist(blocking = false)
-      if (gated ne admInput) gated.unpersist(blocking = false)
-      if (admInput ne qualityOk) admInput.unpersist(blocking = false)
-      scored.unpersist(blocking = false)
       uniq.unpersist(blocking = false)
       ()
     }

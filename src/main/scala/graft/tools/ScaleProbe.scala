@@ -636,8 +636,11 @@ object ScaleProbe {
           }
         }
       }
-      for (q <- Seq("x150_stream_quality_head", "x160_stream_group_dynamic_budgets",
-          "x167_stream_curated_pack", "x157_stream_chunk_pack")) {
+      val profiled = sys.env.get("SPARK_GRAFT_PROFILE")
+        .map(_.split(",").toSeq).getOrElse(
+          Seq("x150_stream_quality_head", "x160_stream_group_dynamic_budgets",
+            "x167_stream_curated_pack", "x157_stream_chunk_pack"))
+      for (q <- profiled) {
         def run(): Unit = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
           .write.format("noop").mode("overwrite").save()
         run() // warm-up
