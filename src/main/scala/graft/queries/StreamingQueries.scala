@@ -1289,6 +1289,51 @@ object StreamingQueries {
       } finally q.stop()
       graft.streaming.StreamingCuratedPack.funnel(s, path)
         .orderBy("source")
+    }),
+
+    // scheduled source RETIREMENT in the composed pipeline (x178):
+    // drain-and-freeze — src5 and src11 retire at fold 2, so their
+    // folds 0-1 arrivals admit and pack normally (that tape prefix is
+    // frozen forever, the trainer keeps reading it) while their folds
+    // 2-3 arrivals drop pre-verdict and book as n_retired. The
+    // schedule is explicit per source and a pure function of batchId
+    // (replay-deterministic); absence from the schedule means live —
+    // an accidental omission cannot silently freeze a source (the
+    // x174 fail-loud rationale, composed-face form). Batch split is
+    // (doc_id % 16) / 4, NOT doc_id % 4: the fixture's sources are
+    // residue-locked (source ≡ doc_id mod 20, and gcd(20, 4) = 4 pins
+    // every source to ONE doc_id%4 residue), so a mod-4 split would
+    // land each retired source entirely before or entirely after the
+    // retirement fold; the mod-16 quartile split spreads every source
+    // across all four folds and the drain actually happens mid-stream.
+    "x178_stream_curated_retirement" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val words = StreamingDecontaminate.bloomWords(
+        docs.filter(col("doc_id") % 97 === 0), n = 13,
+        bits = ExtensionQueries.BloomBits, k = ExtensionQueries.BloomK)
+      val rows = docs.as[(Long, String, String)].collect().toSeq
+      val path = java.nio.file.Files.createTempDirectory("graft_x178_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x178_ck_").toString
+      val input = MemoryStream[(Long, String, String)]
+      val q = graft.streaming.StreamingCuratedPack.attach(
+        input.toDF().toDF("doc_id", "source", "text"), path, words,
+        minScoreK = ExtensionQueries.CuratedMinScoreK,
+        quota = ExtensionQueries.CuratedQuota,
+        seqLen = ExtensionQueries.PackSeqLen, numShards = 4,
+        bloomBits = ExtensionQueries.BloomBits,
+        bloomK = ExtensionQueries.BloomK,
+        retireSchedule = Map("src5" -> 2L, "src11" -> 2L))
+        .option("checkpointLocation", ckpt)
+        .start()
+      try (0L until 4L).foreach { b =>
+        input.addData(rows.filter(r => r._1 % 16 / 4 == b))
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.StreamingCuratedPack.funnel(s, path)
+        .orderBy("source")
     }))
 
   /** The x15 deterministic-recurrence centroids as KMeans.Centroid
@@ -1729,6 +1774,7 @@ object StreamingQueries {
          |  CAST(sum(CASE WHEN fl.cl THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
          |  CAST(sum(CASE WHEN fl.qk THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_quality_ok,
+         |  CAST(0 AS BIGINT) AS n_retired,
          |  CAST(0 AS BIGINT) AS n_dup_content,
          |  CAST(0 AS BIGINT) AS n_neardup,
          |  CAST(0 AS BIGINT) AS n_semdup,
@@ -2207,6 +2253,7 @@ object StreamingQueries {
          |      AS n_quality_ok
          |  FROM fl GROUP BY fl.source)
          |SELECT base.source, base.n_arrived, base.n_clean, base.n_quality_ok,
+         |  CAST(0 AS BIGINT) AS n_retired,
          |  base.n_quality_ok - CAST(COALESCE(fpc.n_post_fp, 0) AS BIGINT)
          |    AS n_dup_content,
          |  CAST(COALESCE(fpc.n_post_fp, 0) - COALESCE(bkc.n_post_band, 0)
@@ -2376,6 +2423,7 @@ object StreamingQueries {
          |      AS n_quality_ok
          |  FROM fl GROUP BY fl.source)
          |SELECT base.source, base.n_arrived, base.n_clean, base.n_quality_ok,
+         |  CAST(0 AS BIGINT) AS n_retired,
          |  base.n_quality_ok - CAST(COALESCE(fpc.n_post_fp, 0) AS BIGINT)
          |    AS n_dup_content,
          |  CAST(COALESCE(fpc.n_post_fp, 0) - COALESCE(bkc.n_post_band, 0)
@@ -2393,6 +2441,71 @@ object StreamingQueries {
          |LEFT JOIN smc ON smc.source = base.source
          |LEFT JOIN adm ON adm.source = base.source
          |ORDER BY base.source""".stripMargin
+    },
+
+    // x178: the retirement funnel in closed form — a quality-passed doc
+    // of a retired source with ab >= its retirement fold drops
+    // pre-verdict (n_retired); everything else runs the ordinary
+    // per-source quota window over the DRAINED input
+    "x178_stream_curated_retirement" -> {
+      val aL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomA).mkString("[", ",", "]")
+      val bL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomB).mkString("[", ",", "]")
+      val mod = ExtensionQueries.Mod
+      val bits = ExtensionQueries.BloomBits
+      val k = ExtensionQueries.BloomK
+      s"""WITH ${ExtensionQueries.sqlShnCte(13)},
+         |bpos AS (SELECT DISTINCT (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits AS pos
+         |  FROM bg CROSS JOIN range(0, $k) r(j)),
+         |cp AS (SELECT doc_id, h, unnest(list_transform(range(0, $k),
+         |    j -> (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits)) AS pos FROM cg),
+         |cand AS (SELECT doc_id, h FROM cp JOIN bpos USING (pos)
+         |  GROUP BY 1, 2 HAVING count(*) = $k),
+         |cont AS (SELECT DISTINCT doc_id FROM cand),
+         |${ExtensionQueries.sqlQualityCtes},
+         |q0 AS (SELECT doc_id,
+         |    CAST(round((${ExtensionQueries.sqlQualityScore}) * 1000000, 0)
+         |      AS BIGINT) AS score_k
+         |  FROM g),
+         |fl AS (SELECT d.doc_id, d.source,
+         |    CAST((d.doc_id % 16) // 4 AS BIGINT) AS ab,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    cont.doc_id IS NULL AS cl,
+         |    cont.doc_id IS NULL
+         |      AND q0.score_k >= ${ExtensionQueries.CuratedMinScoreK} AS qk,
+         |    d.source IN ('src5', 'src11')
+         |      AND CAST((d.doc_id % 16) // 4 AS BIGINT) >= 2 AS ret
+         |  FROM documents d
+         |  JOIN q0 ON q0.doc_id = d.doc_id
+         |  LEFT JOIN cont ON cont.doc_id = d.doc_id),
+         |ca AS (SELECT doc_id,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY ab, doc_id) AS BIGINT) AS src_cum
+         |  FROM fl WHERE qk AND NOT ret)
+         |SELECT fl.source,
+         |  CAST(count(*) AS BIGINT) AS n_arrived,
+         |  CAST(sum(CASE WHEN fl.cl THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         |  CAST(sum(CASE WHEN fl.qk THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_quality_ok,
+         |  CAST(sum(CASE WHEN fl.qk AND fl.ret THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_retired,
+         |  CAST(0 AS BIGINT) AS n_dup_content,
+         |  CAST(0 AS BIGINT) AS n_neardup,
+         |  CAST(0 AS BIGINT) AS n_semdup,
+         |  CAST(0 AS BIGINT) AS n_rearrived,
+         |  CAST(sum(CASE WHEN fl.qk AND NOT fl.ret
+         |      AND ca.src_cum <= ${ExtensionQueries.CuratedQuota}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+         |  CAST(sum(CASE WHEN fl.qk AND NOT fl.ret
+         |      AND ca.src_cum > ${ExtensionQueries.CuratedQuota}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_quota_rejected,
+         |  CAST(sum(CASE WHEN fl.qk AND NOT fl.ret
+         |      AND ca.src_cum <= ${ExtensionQueries.CuratedQuota}
+         |    THEN fl.n_tokens ELSE 0 END) AS BIGINT) AS tokens_admitted
+         |FROM fl LEFT JOIN ca ON ca.doc_id = fl.doc_id
+         |GROUP BY fl.source ORDER BY fl.source""".stripMargin
     },
 
     // x173: the epoch'd-tape retarget replayed in closed form — a doc's

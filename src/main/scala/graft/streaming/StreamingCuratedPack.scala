@@ -63,8 +63,9 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  *    bucketed by `pmod(xxhash64(bucket), K)` so the gate prunes to the
  *    batch's own probe buckets;
  *  - `funnel/batch=<id>` — CUMULATIVE per-source stage counts after the
- *    fold (arrived → clean → quality_ok → dup_content/neardup/semdup/
- *    rearrived → admitted/quota_rejected + admitted tokens): the
+ *    fold (arrived → clean → quality_ok → retired →
+ *    dup_content/neardup/semdup/rearrived → admitted/quota_rejected +
+ *    admitted tokens): the
  *    observability sheet a data owner reads. Dimension-sized,
  *    generation-superseded, retention-pruned like the sub-streams'
  *    totals. The four "already represented / near-represented" drop
@@ -197,7 +198,8 @@ object StreamingCuratedPack {
       semThreshold: Double = 0.30,
       semPlanes: Int = 16,
       semMaxBucket: Int = 1000,
-      vecCol: String = "embedding"): DataStreamWriter[Row] =
+      vecCol: String = "embedding",
+      retireSchedule: Map[String, Long] = Map.empty): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -206,7 +208,8 @@ object StreamingCuratedPack {
           shardSalt, retainGenerations, bucketK, compactEvery,
           dedupExact = dedupExact, dedupNear = dedupNear,
           dedupSem = dedupSem, semThreshold = semThreshold,
-          semPlanes = semPlanes, semMaxBucket = semMaxBucket, vecCol = vecCol)
+          semPlanes = semPlanes, semMaxBucket = semMaxBucket, vecCol = vecCol,
+          retireSchedule = retireSchedule)
       }
 
   /** [[attach]] with the WHOLE-DOC greedy packer
@@ -239,7 +242,8 @@ object StreamingCuratedPack {
       semThreshold: Double = 0.30,
       semPlanes: Int = 16,
       semMaxBucket: Int = 1000,
-      vecCol: String = "embedding"): DataStreamWriter[Row] =
+      vecCol: String = "embedding",
+      retireSchedule: Map[String, Long] = Map.empty): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -248,7 +252,8 @@ object StreamingCuratedPack {
           shardSalt, retainGenerations, bucketK, compactEvery,
           wholeDoc = true, dedupExact = dedupExact, dedupNear = dedupNear,
           dedupSem = dedupSem, semThreshold = semThreshold,
-          semPlanes = semPlanes, semMaxBucket = semMaxBucket, vecCol = vecCol)
+          semPlanes = semPlanes, semMaxBucket = semMaxBucket, vecCol = vecCol,
+          retireSchedule = retireSchedule)
       }
 
   /** [[attach]] with a quota SCHEDULE — `(startFold, quota)` entries,
@@ -280,7 +285,8 @@ object StreamingCuratedPack {
       semThreshold: Double = 0.30,
       semPlanes: Int = 16,
       semMaxBucket: Int = 1000,
-      vecCol: String = "embedding"): DataStreamWriter[Row] =
+      vecCol: String = "embedding",
+      retireSchedule: Map[String, Long] = Map.empty): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -289,7 +295,8 @@ object StreamingCuratedPack {
           bloomBits, bloomK, shardSalt, retainGenerations, bucketK,
           compactEvery, dedupExact = dedupExact, dedupNear = dedupNear,
           dedupSem = dedupSem, semThreshold = semThreshold,
-          semPlanes = semPlanes, semMaxBucket = semMaxBucket, vecCol = vecCol)
+          semPlanes = semPlanes, semMaxBucket = semMaxBucket, vecCol = vecCol,
+          retireSchedule = retireSchedule)
       }
 
   /** One composed fold — public so replay (foreachBatch re-delivering
@@ -322,12 +329,13 @@ object StreamingCuratedPack {
       semThreshold: Double = 0.30,
       semPlanes: Int = 16,
       semMaxBucket: Int = 1000,
-      vecCol: String = "embedding"): Unit =
+      vecCol: String = "embedding",
+      retireSchedule: Map[String, Long] = Map.empty): Unit =
     foldBatchScheduled(batch, batchId, path, bloomWords, minScoreK,
       Seq((0L, quota)), seqLen, numShards, idCol, groupCol, textCol, ngram,
       bloomBits, bloomK, shardSalt, retainGenerations, bucketK, compactEvery,
       wholeDoc, dedupExact, dedupNear, dedupSem, semThreshold, semPlanes,
-      semMaxBucket, vecCol)
+      semMaxBucket, vecCol, retireSchedule)
 
   /** [[foldBatch]] under a quota schedule: the fold resolves its epoch
     * index and quota from `quotaSchedule` (a pure function of batchId —
@@ -362,7 +370,8 @@ object StreamingCuratedPack {
       semThreshold: Double = 0.30,
       semPlanes: Int = 16,
       semMaxBucket: Int = 1000,
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding",
+      retireSchedule: Map[String, Long] = Map.empty): Unit = {
     require(numShards > 0, "numShards must be positive")
     require(minScoreK >= 0, "minScoreK must be non-negative")
     require(semPlanes >= 1 && semPlanes <= 62,
@@ -436,6 +445,25 @@ object StreamingCuratedPack {
             else Nil)): _*)
         .localCheckpoint(true)
       val qualityOk = scored.filter(col("score_k") >= minScoreK)
+      // stage 2.4 (opt-in): scheduled source RETIREMENT — drain-and-
+      // freeze, the composed-face mirror of the group head's x174
+      // contract. A source retired at fold k stops admitting from that
+      // fold on: its arrivals drop here, BEFORE any dedup ledger or the
+      // quota (nothing of a retired source is ever "kept" again, so no
+      // ledger row, no verdict, no tape entry) — while everything it
+      // packed before fold k stays frozen in the immutable tape a
+      // trainer keeps reading. The schedule is a pure function of
+      // batchId (replay-deterministic), EXPLICIT per source — absence
+      // from the schedule means live, so an accidental omission cannot
+      // silently freeze a source (the x174 fail-loud rationale).
+      // Retirement is terminal by construction: post-retirement
+      // arrivals leave no ledger row, so "resuming" could only
+      // resurrect the pre-retirement past — re-plan into a fresh path
+      // instead.
+      val retiredNow = retireSchedule.filter(_._2 <= batchId).keys.toSeq.sorted
+      val active =
+        if (retiredNow.isEmpty) qualityOk
+        else qualityOk.filter(!col("source").isin(retiredNow: _*))
       // stage 2.5 (opt-in): exact-content dedup, FIRST-ARRIVAL-WINS —
       // one representative per fingerprint per batch (min id), then the
       // cross-batch guard off the fp ledger (a [[LedgerState]] table
@@ -448,10 +476,10 @@ object StreamingCuratedPack {
       // verdict the immutable tape has consumed (the same argument that
       // picked the quota gate over the evictive head).
       val admInput =
-        if (!dedupExact) qualityOk
+        if (!dedupExact) active
         else {
           val tbl = s"$path/fp"
-          val firstInBatch = qualityOk.groupBy(col("_fp"))
+          val firstInBatch = active.groupBy(col("_fp"))
             .agg(min(struct(col("id"), col("source"), col("score_k"),
               col("n_tokens"))).as("_r"))
             .select(col("_fp"), col("_r.id").as("id"),
@@ -640,19 +668,21 @@ object StreamingCuratedPack {
             retainGenerations, bucketK, compactEvery)
       }
       // the cumulative funnel: prior generation + this batch's deltas
-      // (every frame here is batch- or dimension-sized). The four
+      // (every frame here is batch- or dimension-sized). The five
       // distinct drop modes between the quality floor and the verdicts
-      // get their own columns: n_dup_content (fingerprint already kept),
-      // n_neardup (band bucket already kept), n_semdup (embedding-
-      // cosine collision with a kept doc), n_rearrived (doc id already
-      // held a verdict — the admission fold's guard). None of them are
-      // quota rejections.
+      // get their own columns: n_retired (source retired by schedule),
+      // n_dup_content (fingerprint already kept), n_neardup (band
+      // bucket already kept), n_semdup (embedding-cosine collision with
+      // a kept doc), n_rearrived (doc id already held a verdict — the
+      // admission fold's guard). None of them are quota rejections.
       val batchCounts = uniq.groupBy(col("source"))
         .agg(count(lit(1)).as("n_arrived"))
         .join(clean.groupBy(col("source"))
           .agg(count(lit(1)).as("n_clean")), Seq("source"), "left")
         .join(qualityOk.groupBy(col("source"))
           .agg(count(lit(1)).as("n_quality_ok")), Seq("source"), "left")
+        .join(active.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_post_ret")), Seq("source"), "left")
         .join(admInput.groupBy(col("source"))
           .agg(count(lit(1)).as("n_post_fp")), Seq("source"), "left")
         .join(gated.groupBy(col("source"))
@@ -675,6 +705,8 @@ object StreamingCuratedPack {
           coalesce(col("n_clean"), lit(0L)).as("n_clean"),
           coalesce(col("n_quality_ok"), lit(0L)).as("n_quality_ok"),
           (coalesce(col("n_quality_ok"), lit(0L)) -
+            coalesce(col("n_post_ret"), lit(0L))).as("n_retired"),
+          (coalesce(col("n_post_ret"), lit(0L)) -
             coalesce(col("n_post_fp"), lit(0L))).as("n_dup_content"),
           (coalesce(col("n_post_fp"), lit(0L)) -
             coalesce(col("n_post_band"), lit(0L))).as("n_neardup"),
@@ -706,6 +738,7 @@ object StreamingCuratedPack {
           .agg(sum(col("n_arrived")).as("n_arrived"),
             sum(col("n_clean")).as("n_clean"),
             sum(col("n_quality_ok")).as("n_quality_ok"),
+            coalesce(sum(col("n_retired")), lit(0L)).as("n_retired"),
             coalesce(sum(col("n_dup_content")), lit(0L)).as("n_dup_content"),
             coalesce(sum(col("n_neardup")), lit(0L)).as("n_neardup"),
             coalesce(sum(col("n_semdup")), lit(0L)).as("n_semdup"),

@@ -1221,6 +1221,87 @@ object ScaleProbe {
       run(compactEvery = 16, folds = 520, tag = "tiered")
       run(compactEvery = 100000, folds = 120, tag = "uncompacted")
     }
+
+    // Composed-pipeline soak: the full dedup stack (fp + band + sem)
+    // folded for a stream lifetime. Each fold delivers 200 docs: 80%
+    // fresh (unique text + unique vector), 10% exact re-deliveries of a
+    // doc from ~5 folds back under a new id (drop at the fp stage), 10%
+    // same-VECTOR/new-text deliveries (pass fp and bands, drop at the
+    // sem gate) — so every ledger is consulted AND written every fold.
+    // The observable: per-fold wall stays flat while all three ledgers'
+    // listings stay bounded (the LedgerState tiering at work under the
+    // composed fold), i.e. the gates cost O(batch) forever, not
+    // O(history).
+    if (on("curatedsoak")) {
+      import spark.implicits._
+      val folds = sys.env.getOrElse("SPARK_GRAFT_SOAK_FOLDS", "120").toInt
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_soak_cur").toString
+      val words = graft.streaming.StreamingDecontaminate.bloomWords(
+        Seq((0L, "benchmarkonlyrun alpha beta gamma delta epsilon zeta " +
+          "eta theta iota kappa lambda mu nu")).toDF("doc_id", "text"))
+      // globally UNIQUE tokens per doc (no unplanned fp/band collisions
+      // — the planted duplicates below are the only cross-doc content)
+      // and murmur-finalized vector components (a linear recurrence
+      // yields shifted arithmetic progressions — near-duplicate
+      // DIRECTIONS en masse — which collapses the corpus onto a few SRP
+      // buckets and makes every doc a semantic dup of a kept one; the
+      // bit mixer gives iid-ish components, so random cosines
+      // concentrate near 0 and only the planted copies collide)
+      def text(seed: Long): String =
+        (0 until 30).map(k => s"w${seed}t$k").mkString(" ")
+      def mix(a: Long, b: Long): Long = {
+        var v = a * 2654435761L + b * -7046029254386353131L
+        v ^= (v >>> 33); v *= -49064778989728563L
+        v ^= (v >>> 33); v
+      }
+      def vec(seed: Long): Array[Float] =
+        Array.tabulate(64) { d =>
+          (java.lang.Math.floorMod(mix(seed, d.toLong), 97L) - 48L) / 48.0f
+        }
+      // a copy slot must reference a doc that was delivered with its OWN
+      // content (a copy-of-a-copy-slot would copy text the stream never
+      // saw and silently pass the gate)
+      def freshBack(id: Long): Long = {
+        val bk = id - 1000L
+        if (bk % 10 == 3 || bk % 10 == 7) bk - 1 else bk
+      }
+      def mkRows(b: Long): Seq[(Long, String, String, Array[Float])] =
+        (0 until 200).map { j =>
+          val id = b * 200 + j
+          if (b > 5 && j % 10 == 7) {
+            val k = freshBack(id); (id, s"src${j % 8}", text(k), vec(k))
+          } else if (b > 5 && j % 10 == 3) {
+            val k = freshBack(id); (id, s"src${j % 8}", text(id), vec(k))
+          } else (id, s"src${j % 8}", text(id), vec(id))
+        }
+      val marks = Set(folds / 4, folds / 2, folds)
+      val times = (0 until folds).map { b =>
+        val rows = mkRows(b.toLong).toDF("doc_id", "source", "text", "embedding")
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingCuratedPack.foldBatch(
+          rows, b.toLong, path, words, minScoreK = 0L, quota = 1000000000L,
+          seqLen = 256L, numShards = 4, bucketK = 16, compactEvery = 16,
+          dedupExact = true, dedupNear = true, dedupSem = true)
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (marks.contains(b + 1)) {
+          val d = Seq("fp", "bands", "sem").map(t =>
+            s"$t=${graft.streaming.LedgerState.dirCount(spark, s"$path/$t")}")
+          println(f"curatedsoak fold=${b + 1}%4d wall=$dt%6.2f dirs: " +
+            d.mkString(" "))
+        }
+        dt
+      }
+      def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+      val early = med(times.slice(10, 30))
+      val mid = med(times.slice(folds / 2 - 10, folds / 2 + 10))
+      val late = med(times.slice(folds - 20, folds))
+      println(f"curatedsoak early=$early%5.2f mid=$mid%5.2f late=$late%5.2f " +
+        f"late/early=${late / early}%4.2f")
+      // the funnel must account every delivery across the whole soak
+      val f = graft.streaming.StreamingCuratedPack.funnel(spark, path)
+      f.orderBy("source").show(10, truncate = false)
+    }
     spark.stop()
   }
 }

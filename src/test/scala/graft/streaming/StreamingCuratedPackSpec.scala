@@ -99,20 +99,21 @@ class StreamingCuratedPackSpec extends SparkSpec {
     // junk (i%5==0 minus overlaps) dropped before admission; every
     // quality-passed doc holds a verdict; admitted tokens within quota
     val f = StreamingCuratedPack.funnel(spark, path)
-      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
       .collect().map(r => r._1 -> r).toMap
     assert(f.values.map(_._2).sum === 60L, "every arrival counted")
     f.values.foreach { r =>
       assert(r._3 <= r._2, "clean <= arrived")
       assert(r._4 <= r._3, "quality_ok <= clean")
-      assert(r._5 === 0L, "no fp stage → no dup-content drops")
-      assert(r._6 === 0L, "no band gate → no near-dup drops")
-      assert(r._7 === 0L, "no semantic gate → no sem-dup drops")
-      assert(r._8 === 0L, "no re-arrivals in this run")
-      assert(r._4 === r._9 + r._10, "quality_ok = admitted + quota_rejected")
-      assert(r._11 <= Quota, "admitted tokens within the quota")
+      assert(r._5 === 0L, "no retirement schedule → no retired drops")
+      assert(r._6 === 0L, "no fp stage → no dup-content drops")
+      assert(r._7 === 0L, "no band gate → no near-dup drops")
+      assert(r._8 === 0L, "no semantic gate → no sem-dup drops")
+      assert(r._9 === 0L, "no re-arrivals in this run")
+      assert(r._4 === r._10 + r._11, "quality_ok = admitted + quota_rejected")
+      assert(r._12 <= Quota, "admitted tokens within the quota")
     }
-    assert(f.values.map(_._10).sum > 0L, "quota must actually bite")
+    assert(f.values.map(_._11).sum > 0L, "quota must actually bite")
     assert(f.values.map(_._2).sum > f.values.map(_._3).sum,
       "decontamination must actually drop")
     assert(f.values.map(_._3).sum > f.values.map(_._4).sum,
@@ -139,10 +140,10 @@ class StreamingCuratedPackSpec extends SparkSpec {
     fold(path, 1L to 10L, 2L)
     assert(streamedFragments(path) === once)
     val f2 = StreamingCuratedPack.funnel(spark, path)
-      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
       .collect().map(r => r._1 -> r).toMap
-    assert(f2.values.map(_._8).sum > 0L, "re-arrivals must be booked")
-    assert(f2.values.map(_._5).sum === 0L,
+    assert(f2.values.map(_._9).sum > 0L, "re-arrivals must be booked")
+    assert(f2.values.map(_._6).sum === 0L,
       "id re-arrivals are NOT dup-content drops")
     assert(f2.values.map(_._2).sum === 50L)
   }
@@ -285,15 +286,16 @@ class StreamingCuratedPackSpec extends SparkSpec {
     // in n_dup_content (no fp stage), n_semdup (no semantic gate), or
     // n_rearrived (no id re-delivery)
     val f = StreamingCuratedPack.funnel(spark, path)
-      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
       .collect().map(r => r._1 -> r).toMap
     val qualityOkTotal = f.values.map(_._4).sum
     assert(f.values.map(_._5).sum === 0L)
-    assert(f.values.map(_._6).sum === qualityOkTotal - keptRef.size,
+    assert(f.values.map(_._6).sum === 0L)
+    assert(f.values.map(_._7).sum === qualityOkTotal - keptRef.size,
       "every quality-passed doc the gate dropped is booked as n_neardup")
-    assert(f.values.map(_._6).sum >= 3L, "the fixture must actually drop")
-    assert(f.values.map(_._7).sum === 0L)
+    assert(f.values.map(_._7).sum >= 3L, "the fixture must actually drop")
     assert(f.values.map(_._8).sum === 0L)
+    assert(f.values.map(_._9).sum === 0L)
     // replay of the last fold (band ledger committed) is a no-op
     val before = streamedFragments(path)
     fold(b1, 1L)
@@ -382,15 +384,16 @@ class StreamingCuratedPackSpec extends SparkSpec {
       "within a batch the min id wins its neighborhood")
     // funnel attribution: every gate drop lands in n_semdup
     val f = StreamingCuratedPack.funnel(spark, path)
-      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
       .collect().map(r => r._1 -> r).toMap
     val qualityOkTotal = f.values.map(_._4).sum
-    assert(f.values.map(_._5).sum === 0L, "no fp stage")
-    assert(f.values.map(_._6).sum === 0L, "no band gate")
-    assert(f.values.map(_._7).sum === qualityOkTotal - keptRef.size,
+    assert(f.values.map(_._5).sum === 0L, "no retirement schedule")
+    assert(f.values.map(_._6).sum === 0L, "no fp stage")
+    assert(f.values.map(_._7).sum === 0L, "no band gate")
+    assert(f.values.map(_._8).sum === qualityOkTotal - keptRef.size,
       "every quality-passed doc the gate dropped is booked as n_semdup")
-    assert(f.values.map(_._7).sum >= 3L, "the fixture must actually drop")
-    assert(f.values.map(_._8).sum === 0L, "no id re-delivery")
+    assert(f.values.map(_._8).sum >= 3L, "the fixture must actually drop")
+    assert(f.values.map(_._9).sum === 0L, "no id re-delivery")
     // replay of the last fold (vector ledger committed) is a no-op
     val before = streamedFragments(path)
     fold(b1, 1L)
@@ -406,6 +409,45 @@ class StreamingCuratedPackSpec extends SparkSpec {
     assert(StreamingCuratedPack.verdicts(spark, capPath)
       .select("id").as[Long].collect().toSet === Set(1L, 2L),
       "an over-cap bucket is skipped, never revoked: both copies admit")
+  }
+
+  test("scheduled source retirement: drain-and-freeze — the retired source stops admitting at its fold, its packed prefix stays frozen, the funnel books the drops") {
+    val path = java.nio.file.Files.createTempDirectory("graft_scp9_").toString
+    // src1 (ids ≡ 1 mod 3) retires at fold 1
+    val sched = Map("src1" -> 1L)
+    val batches = Seq((1L to 20L).toSeq, (21L to 40L).toSeq, (41L to 60L).toSeq)
+    batches.zipWithIndex.foreach { case (ids, b) =>
+      StreamingCuratedPack.foldBatch(docsDf(ids), b.toLong, path, words,
+        MinScoreK, Quota, SeqLen, Shards, retireSchedule = sched)
+    }
+    // reference: the batch composition with src1's post-retirement
+    // arrivals removed BEFORE the quota window (they drop pre-verdict)
+    val refBatches = batches.zipWithIndex.map { case (ids, b) =>
+      if (b < 1) ids else ids.filterNot(_ % 3 == 1)
+    }
+    assert(streamedFragments(path) === batchReference(refBatches),
+      "retirement must equal the batch composition over the drained input")
+    // the pre-retirement prefix is frozen: src1 docs packed in fold 0
+    // are still in the tape
+    val packedSrc1 = StreamingCuratedPack.fragments(spark, path)
+      .filter(col("id") % 3 === 1).select("id").as[Long].collect().toSet
+    assert(packedSrc1.nonEmpty && packedSrc1.forall(_ <= 20L),
+      "the retired source's fold-0 tape prefix stays frozen; nothing later enters")
+    // funnel: src1's post-retirement quality-passed arrivals are booked
+    // as n_retired; its verdict counts are frozen at the fold-0 state
+    val f = StreamingCuratedPack.funnel(spark, path)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(f("src1")._5 > 0L, "retired drops must be booked")
+    assert(f("src1")._4 === f("src1")._5 + f("src1")._10 + f("src1")._11,
+      "retired + admitted + quota_rejected account every quality-passed src1 doc")
+    assert(f.filterKeys(_ != "src1").values.map(_._5).sum === 0L,
+      "live sources book no retired drops")
+    // replay of the last fold is a no-op under the schedule
+    val before = streamedFragments(path)
+    StreamingCuratedPack.foldBatch(docsDf(batches(2)), 2L, path, words,
+      MinScoreK, Quota, SeqLen, Shards, retireSchedule = sched)
+    assert(streamedFragments(path) === before)
   }
 
   test("quota retarget (epoch'd tapes): the pre-raise tape is byte-identical to the no-raise run; epoch 1 opens fresh accounting; cross-epoch re-arrivals never re-charge; layout mixing fails loud") {
