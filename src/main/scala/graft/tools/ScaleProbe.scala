@@ -1279,10 +1279,18 @@ object ScaleProbe {
       val times = (0 until folds).map { b =>
         val rows = mkRows(b.toLong).toDF("doc_id", "source", "text", "embedding")
         val t0 = System.nanoTime()
+        // semThreshold 0.85, not the battery's 0.30: random iid 64-dim
+        // cosines have σ = 1/√64 = 0.125, so a 0.30 screen over a
+        // 20k-vector accumulated kept set near-collides most fresh docs
+        // (≈2.4σ, ~0.8% per pair × 20k partners) — correct gate
+        // behavior, wrong soak fixture; a production semantic screen
+        // sits where random pairs are impossible and only the planted
+        // copies (cosine 1.0) collide
         graft.streaming.StreamingCuratedPack.foldBatch(
           rows, b.toLong, path, words, minScoreK = 0L, quota = 1000000000L,
           seqLen = 256L, numShards = 4, bucketK = 16, compactEvery = 16,
-          dedupExact = true, dedupNear = true, dedupSem = true)
+          dedupExact = true, dedupNear = true, dedupSem = true,
+          semThreshold = 0.85)
         val dt = (System.nanoTime() - t0) / 1e9
         if (marks.contains(b + 1)) {
           val d = Seq("fp", "bands", "sem").map(t =>
