@@ -1334,6 +1334,57 @@ object StreamingQueries {
       } finally q.stop()
       graft.streaming.StreamingCuratedPack.funnel(s, path)
         .orderBy("source")
+    }),
+
+    // exact dedup ACROSS a quota retarget (x179): the class doc's
+    // epoch-independence claim under oracle — the fp ledger is shared
+    // across pack epochs, so duplicate content stays duplicate through
+    // a retarget while the admission accounting restarts. Fixture:
+    // x173's schedule (raise at fold 2) with every doc_id%10==3 doc
+    // re-arriving VERBATIM under id+500000001 at residue (id+1)%4, so
+    // copies cross the epoch boundary in BOTH directions: a residue-1
+    // original (epoch 0) has its copy arrive at residue 2 (epoch 1) —
+    // the copy is fp-dropped by a ledger row written in the EARLIER
+    // epoch; a residue-3 original (epoch 1) has its copy arrive at
+    // residue 0 (epoch 0) — the copy wins the fingerprint in epoch 0
+    // and the original is dropped in epoch 1. Per-epoch tapes pack the
+    // fp survivors under their epoch's quota.
+    "x179_stream_retarget_dedup" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val words = StreamingDecontaminate.bloomWords(
+        docs.filter(col("doc_id") % 97 === 0), n = 13,
+        bits = ExtensionQueries.BloomBits, k = ExtensionQueries.BloomK)
+      val base = docs.as[(Long, String, String)].collect().toSeq
+      val rows = base ++ base.collect {
+        case (i, src, txt) if i % 10 == 3 => (i + 500000001L, src, txt)
+      }
+      val path = java.nio.file.Files.createTempDirectory("graft_x179_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x179_ck_").toString
+      val input = MemoryStream[(Long, String, String)]
+      val q = graft.streaming.StreamingCuratedPack.attachScheduled(
+        input.toDF().toDF("doc_id", "source", "text"), path, words,
+        minScoreK = ExtensionQueries.CuratedMinScoreK,
+        quotaSchedule = Seq(
+          (0L, ExtensionQueries.CuratedQuota),
+          (2L, ExtensionQueries.CuratedRaisedQuota)),
+        seqLen = ExtensionQueries.PackSeqLen, numShards = 4,
+        bloomBits = ExtensionQueries.BloomBits,
+        bloomK = ExtensionQueries.BloomK,
+        dedupExact = true)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try (0L until 4L).foreach { b =>
+        input.addData(rows.filter(_._1 % 4 == b))
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.StreamingCuratedPack.fragmentsEpoched(s, path)
+        .select(col("epoch"), col("id").as("doc_id"), col("shard"),
+          col("pos"), col("seq"), col("frag_start"), col("frag_len"),
+          col("doc_off"), col("arrival_batch"))
+        .orderBy("epoch", "doc_id", "seq")
     }))
 
   /** The x15 deterministic-recurrence centroids as KMeans.Centroid
@@ -2554,6 +2605,89 @@ object StreamingQueries {
          |    AND q0.score_k >= ${ExtensionQueries.CuratedMinScoreK}),
          |ca AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source, epoch
          |    ORDER BY ab, doc_id) AS BIGINT) AS src_cum FROM cb),
+         |ptb AS (SELECT epoch, doc_id, ab AS arrival_batch,
+         |    CAST(${ExtensionQueries.sqlStringHash("CAST(doc_id AS VARCHAR) || ':ps'")} % 4
+         |      AS BIGINT) AS shard, n_tokens
+         |  FROM ca
+         |  WHERE src_cum <= CASE WHEN epoch = 0
+         |      THEN ${ExtensionQueries.CuratedQuota}
+         |      ELSE ${ExtensionQueries.CuratedRaisedQuota} END
+         |    AND n_tokens > 0),
+         |po AS (SELECT epoch, doc_id, arrival_batch, shard, n_tokens,
+         |    CAST(row_number() OVER (PARTITION BY epoch, shard
+         |      ORDER BY arrival_batch, doc_id) AS BIGINT) AS pos,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY epoch, shard
+         |      ORDER BY arrival_batch, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum
+         |  FROM ptb),
+         |pf AS (SELECT epoch, doc_id, arrival_batch, shard, pos,
+         |    cum - n_tokens AS st, cum FROM po),
+         |px AS (SELECT *, unnest(range(st // $seqLen,
+         |    (cum - 1) // $seqLen + 1)) AS seq FROM pf)
+         |SELECT epoch, doc_id, shard, pos, CAST(seq AS BIGINT) AS seq,
+         |  CAST(greatest(st, seq * $seqLen) - seq * $seqLen AS BIGINT)
+         |    AS frag_start,
+         |  CAST(least(cum, (seq + 1) * $seqLen)
+         |    - greatest(st, seq * $seqLen) AS BIGINT) AS frag_len,
+         |  CAST(greatest(st, seq * $seqLen) - st AS BIGINT) AS doc_off,
+         |  arrival_batch
+         |FROM px ORDER BY epoch, doc_id, seq""".stripMargin
+    },
+
+    // x179: the epoch-INDEPENDENT fp ledger under a retarget — one
+    // GLOBAL first-arrival-wins QUALIFY over (ab, doc_id) across both
+    // epochs (the ledger is shared, so the partition is NOT keyed by
+    // epoch), then x173's per-(source, epoch) quota windows and
+    // per-epoch tapes over the fp survivors
+    "x179_stream_retarget_dedup" -> {
+      val aL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomA).mkString("[", ",", "]")
+      val bL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomB).mkString("[", ",", "]")
+      val mod = ExtensionQueries.Mod
+      val bits = ExtensionQueries.BloomBits
+      val k = ExtensionQueries.BloomK
+      val seqLen = ExtensionQueries.PackSeqLen
+      s"""WITH ${ExtensionQueries.sqlShnCte(13)},
+         |bpos AS (SELECT DISTINCT (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits AS pos
+         |  FROM bg CROSS JOIN range(0, $k) r(j)),
+         |cp AS (SELECT doc_id, h, unnest(list_transform(range(0, $k),
+         |    j -> (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits)) AS pos FROM cg),
+         |cand AS (SELECT doc_id, h FROM cp JOIN bpos USING (pos)
+         |  GROUP BY 1, 2 HAVING count(*) = $k),
+         |cont AS (SELECT DISTINCT doc_id FROM cand),
+         |${ExtensionQueries.sqlQualityCtes},
+         |q0 AS (SELECT doc_id,
+         |    CAST(round((${ExtensionQueries.sqlQualityScore}) * 1000000, 0)
+         |      AS BIGINT) AS score_k
+         |  FROM g),
+         |fps AS (SELECT doc_id AS orig,
+         |    ${ExtensionQueries.sqlStringHash(ExtensionQueries.sqlNorm)} AS fp
+         |  FROM documents),
+         |inp AS (SELECT doc_id, doc_id AS orig, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 500000001, doc_id, source FROM documents
+         |  WHERE doc_id % 10 = 3),
+         |cb AS MATERIALIZED (SELECT i.doc_id, i.source,
+         |    CAST(i.doc_id % 4 AS BIGINT) AS ab,
+         |    CAST(CASE WHEN i.doc_id % 4 < 2 THEN 0 ELSE 1 END AS BIGINT)
+         |      AS epoch,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    fps.fp
+         |  FROM inp i
+         |  JOIN documents d ON d.doc_id = i.orig
+         |  JOIN q0 ON q0.doc_id = i.orig
+         |  JOIN fps ON fps.orig = i.orig
+         |  LEFT JOIN cont ON cont.doc_id = i.orig
+         |  WHERE cont.doc_id IS NULL
+         |    AND q0.score_k >= ${ExtensionQueries.CuratedMinScoreK}),
+         |fpk AS MATERIALIZED (SELECT doc_id, source, ab, epoch, n_tokens
+         |  FROM cb
+         |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY ab, doc_id) = 1),
+         |ca AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source, epoch
+         |    ORDER BY ab, doc_id) AS BIGINT) AS src_cum FROM fpk),
          |ptb AS (SELECT epoch, doc_id, ab AS arrival_batch,
          |    CAST(${ExtensionQueries.sqlStringHash("CAST(doc_id AS VARCHAR) || ':ps'")} % 4
          |      AS BIGINT) AS shard, n_tokens
