@@ -138,9 +138,9 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     require(planes <= 62, "signature must fit a non-negative long")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
-      bucketId(col(vecCol), planes, dim).as("sig_q"))
+      bucketId(col(vecCol), planes).as("sig_q"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"),
-      bucketId(col(vecCol), planes, dim).as("sig_n"))
+      bucketId(col(vecCol), planes).as("sig_n"))
     val w1 = Window.partitionBy("query_id")
       .orderBy(col("hamming"), col("neighbor_id"))
     val w2 = Window.partitionBy("query_id")
@@ -238,15 +238,37 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "label_q", "label_n", "cosine", "list")
   }
 
+  /** Default SRP planes / degenerate-bucket cap / cosine threshold for
+    * the semantic near-dup gate — ONE source of truth shared by the
+    * composed stream face ([[graft.streaming.StreamingCuratedPack]])
+    * and the oracle battery, so the knobs cannot drift apart.
+    *
+    * Threshold scale math (why the default is 0.85, not a fixture-scale
+    * 0.30): for iid random unit vectors in d dimensions the cosine of an
+    * unrelated pair concentrates around 0 with σ = 1/√d — at d = 64,
+    * σ = 0.125, so a 0.30 threshold sits at ≈ 2.4σ and UNRELATED pairs
+    * collide at ≈ 0.8% each (one-sided normal tail). Against an
+    * accumulated kept set of n vectors a fresh doc then expects ≈ 0.008·n
+    * random partners (~165 at n = 20k, growing linearly) — the gate
+    * becomes noise-dominated at exactly the scale it exists for. At
+    * 0.85 (6.8σ) a random collision is impossible in practice
+    * (p ≈ 5e-12 per pair) and only genuine paraphrase/translation-layer
+    * duplication collides. Battery fixtures that PLANT clustered
+    * vectors keep passing their own explicit 0.30. */
+  val SemPlanes = 16
+  val SemMaxBucket = 1000
+  val SemThresholdDefault = 0.85
+
   /** Sign-pattern LSH bucket id from `planes` hyperplanes (bit j set iff
     * dot(vec, plane_j) > 0). */
   /** Backed by the codegen'd [[graft.functions.SrpSignature]] — one
     * two-level loop instead of a `planes`-deep when/vec_dot tree (the
     * tree is interpreted AND Catalyst inlines it into every consumer;
     * at 48 planes that made signatures the x80 bottleneck). Values are
-    * bit-identical to the tree, so the x11 oracle is unchanged. `dim`
-    * is implied by the vector and kept for signature stability. */
-  def bucketId(vec: Column, planes: Int, dim: Int): Column =
+    * bit-identical to the tree, so the x11 oracle is unchanged. The
+    * dimension is read off the vector itself ([[graft.functions
+    * .SrpSignature]] uses the array length), so no dim parameter. */
+  def bucketId(vec: Column, planes: Int): Column =
     graft.functions.VectorFunctions.srp_signature(vec, planes)
 
   /** Corpus → (id, bucket) assignment. */
@@ -257,7 +279,7 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
     corpus.select(col(idCol), col(vecCol),
-      bucketId(col(vecCol), planes, dim).as("bucket"))
+      bucketId(col(vecCol), planes).as("bucket"))
 
   /** Bucketed ANN top-k: score only corpus vectors in the query's bucket.
     * Same output shape as [[bruteForceTopK]]; recall < 1 by construction. */

@@ -30,10 +30,16 @@ object ExtensionQueries {
   /** x43: flag docs whose trigram containment in the benchmark gram set
     * reaches this fraction (shared with the oracle SQL). */
   private val ContainmentThreshold = 0.5
+  /** Battery-FIXTURE cosine threshold: the synthetic embeddings are
+    * clustered, so 0.30 exercises the partial-collision paths. A
+    * production screen sits at [[graft.ext.Similarity.SemThresholdDefault]]
+    * (0.85) — the scale math (σ = 1/√d) lives on that constant. */
   private[queries] val CosineThreshold = 0.30
   private val Planes = 8        // x11 bucket-assignment surface
-  private[queries] val CosinePlanes = 16 // x12 near-dup banding (65k buckets + multiprobe)
-  private[queries] val CosineMaxBucket = 1000
+  // x12 near-dup banding — shared with the composed stream face's sem
+  // gate through the ONE constants home in graft.ext.Similarity
+  private[queries] val CosinePlanes = graft.ext.Similarity.SemPlanes
+  private[queries] val CosineMaxBucket = graft.ext.Similarity.SemMaxBucket
   private[queries] val Dim = 64
   private[queries] val KmClusters = 8    // x34 trained-IVF coarse quantizer
   private[queries] val KmIters = 2
@@ -75,6 +81,15 @@ object ExtensionQueries {
   /** x173: the per-source quota after the mid-stream retarget (raise at
     * fold 2) — epoch 1 opens with fresh accounting under this value. */
   private[queries] val CuratedRaisedQuota = 1800L
+  /** x180 PER-SOURCE budget schedule: epoch 0 pins src1/src4 to their
+    * own quotas (below/at half the 700 default — both must genuinely
+    * reject), the fold-2 retarget re-pins them against the 1800
+    * default. Values bite at every tier: per-source quality-passed
+    * token mass is ≥ ~1.1k per source at sf0.01 and grows with sf. */
+  private[queries] val PerSrcQ0Src1 = 400L
+  private[queries] val PerSrcQ0Src4 = 250L
+  private[queries] val PerSrcQ1Src1 = 1800L
+  private[queries] val PerSrcQ1Src4 = 700L
   // x143 global token budget — 250 lands INSIDE a multi-doc score tier at
   // the sf0.01 verify tier (prior 165 + docs 42,42,84), so the emitted sheet
   // shows full tiers, a frontier with BOTH verdicts, and rejected tiers

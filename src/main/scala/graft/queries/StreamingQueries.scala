@@ -1385,6 +1385,101 @@ object StreamingQueries {
           col("pos"), col("seq"), col("frag_start"), col("frag_len"),
           col("doc_off"), col("arrival_batch"))
         .orderBy("epoch", "doc_id", "seq")
+    }),
+
+    // PER-SOURCE budget schedules in the composed pipeline (x180): the
+    // schedule pins src1/src4 to their OWN quotas while every other
+    // source admits against the epoch default, and the fold-2 retarget
+    // re-pins both against a raised default — the group head's
+    // per-group budget semantics (x160) on the composed admission,
+    // riding the x173 epoch'd-tape contract unchanged. Batch split is
+    // (doc_id % 16) / 4 (the x178 rationale: sources are residue-locked
+    // mod 4, so a mod-4 split would land each source entirely in one
+    // epoch; the quartile split spreads every source across all four
+    // folds and the per-source retarget actually bites mid-source).
+    // Read through the cumulative funnel: per-source n_admitted /
+    // n_quota_rejected / tokens_admitted are exactly where different
+    // budgets must show.
+    "x180_stream_per_source_budgets" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val words = StreamingDecontaminate.bloomWords(
+        docs.filter(col("doc_id") % 97 === 0), n = 13,
+        bits = ExtensionQueries.BloomBits, k = ExtensionQueries.BloomK)
+      val rows = docs.as[(Long, String, String)].collect().toSeq
+      val path = java.nio.file.Files.createTempDirectory("graft_x180_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x180_ck_").toString
+      val input = MemoryStream[(Long, String, String)]
+      val q = graft.streaming.StreamingCuratedPack.attachPerSource(
+        input.toDF().toDF("doc_id", "source", "text"), path, words,
+        minScoreK = ExtensionQueries.CuratedMinScoreK,
+        quotaSchedule = Seq(
+          (0L, Map("src1" -> ExtensionQueries.PerSrcQ0Src1,
+            "src4" -> ExtensionQueries.PerSrcQ0Src4),
+            ExtensionQueries.CuratedQuota),
+          (2L, Map("src1" -> ExtensionQueries.PerSrcQ1Src1,
+            "src4" -> ExtensionQueries.PerSrcQ1Src4),
+            ExtensionQueries.CuratedRaisedQuota)),
+        seqLen = ExtensionQueries.PackSeqLen, numShards = 4,
+        bloomBits = ExtensionQueries.BloomBits,
+        bloomK = ExtensionQueries.BloomK)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try (0L until 4L).foreach { b =>
+        input.addData(rows.filter(r => r._1 % 16 / 4 == b))
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.StreamingCuratedPack.funnel(s, path)
+        .orderBy("source")
+    }),
+
+    // EPOCH'D WHOLE-DOC TAPES (x181): the x173 quota retarget on the
+    // greedy padded-loader packer — completes the epoch × packer matrix
+    // (split×epoch x173 / whole×epoch here). Same fixture as x173
+    // (every doc_id%10==6 doc re-delivered under the SAME id two
+    // residues away, so re-deliveries cross the epoch boundary in both
+    // directions); each epoch packs its own greedy bin sequence (bins
+    // and positions restart at the raise; epoch 0's closed bins never
+    // change — the per-epoch monotone-tape contract on whole docs).
+    "x181_stream_retarget_greedy" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val words = StreamingDecontaminate.bloomWords(
+        docs.filter(col("doc_id") % 97 === 0), n = 13,
+        bits = ExtensionQueries.BloomBits, k = ExtensionQueries.BloomK)
+      val base = docs.as[(Long, String, String)].collect().toSeq
+      val deliveries: Seq[(Long, (Long, String, String))] =
+        base.map(r => (r._1 % 4, r)) ++
+          base.collect { case r if r._1 % 10 == 6 =>
+            ((r._1 % 4 + 2) % 4, r)
+          }
+      val path = java.nio.file.Files.createTempDirectory("graft_x181_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x181_ck_").toString
+      val input = MemoryStream[(Long, String, String)]
+      val q = graft.streaming.StreamingCuratedPack.attachScheduled(
+        input.toDF().toDF("doc_id", "source", "text"), path, words,
+        minScoreK = ExtensionQueries.CuratedMinScoreK,
+        quotaSchedule = Seq(
+          (0L, ExtensionQueries.CuratedQuota),
+          (2L, ExtensionQueries.CuratedRaisedQuota)),
+        seqLen = ExtensionQueries.PackSeqLen, numShards = 4,
+        bloomBits = ExtensionQueries.BloomBits,
+        bloomK = ExtensionQueries.BloomK,
+        wholeDoc = true)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try (0L until 4L).foreach { b =>
+        input.addData(deliveries.filter(_._1 == b).map(_._2))
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.StreamingCuratedPack.assignmentsEpoched(s, path)
+        .select(col("epoch"), col("id").as("doc_id"), col("shard"),
+          col("pos"), col("bin"), col("n_tokens"), col("arrival_batch"))
+        .orderBy("epoch", "doc_id")
     }))
 
   /** The x15 deterministic-recurrence centroids as KMeans.Centroid
@@ -2716,6 +2811,155 @@ object StreamingQueries {
          |  CAST(greatest(st, seq * $seqLen) - st AS BIGINT) AS doc_off,
          |  arrival_batch
          |FROM px ORDER BY epoch, doc_id, seq""".stripMargin
+    },
+
+    // x180: the per-source-budget funnel in closed form — per-(source,
+    // epoch) running sums over the quality-passed docs in ((doc_id%16)
+    // //4, doc_id) order, admitted iff within the source's OWN budget
+    // for its epoch (src1/src4 pinned, everything else the epoch
+    // default), aggregated per source exactly as x178's funnel
+    "x180_stream_per_source_budgets" -> {
+      val aL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomA).mkString("[", ",", "]")
+      val bL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomB).mkString("[", ",", "]")
+      val mod = ExtensionQueries.Mod
+      val bits = ExtensionQueries.BloomBits
+      val k = ExtensionQueries.BloomK
+      val budget =
+        s"""CASE WHEN epoch = 0 THEN
+           |      CASE source WHEN 'src1' THEN ${ExtensionQueries.PerSrcQ0Src1}
+           |        WHEN 'src4' THEN ${ExtensionQueries.PerSrcQ0Src4}
+           |        ELSE ${ExtensionQueries.CuratedQuota} END
+           |    ELSE
+           |      CASE source WHEN 'src1' THEN ${ExtensionQueries.PerSrcQ1Src1}
+           |        WHEN 'src4' THEN ${ExtensionQueries.PerSrcQ1Src4}
+           |        ELSE ${ExtensionQueries.CuratedRaisedQuota} END
+           |    END""".stripMargin
+      s"""WITH ${ExtensionQueries.sqlShnCte(13)},
+         |bpos AS (SELECT DISTINCT (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits AS pos
+         |  FROM bg CROSS JOIN range(0, $k) r(j)),
+         |cp AS (SELECT doc_id, h, unnest(list_transform(range(0, $k),
+         |    j -> (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits)) AS pos FROM cg),
+         |cand AS (SELECT doc_id, h FROM cp JOIN bpos USING (pos)
+         |  GROUP BY 1, 2 HAVING count(*) = $k),
+         |cont AS (SELECT DISTINCT doc_id FROM cand),
+         |${ExtensionQueries.sqlQualityCtes},
+         |q0 AS (SELECT doc_id,
+         |    CAST(round((${ExtensionQueries.sqlQualityScore}) * 1000000, 0)
+         |      AS BIGINT) AS score_k
+         |  FROM g),
+         |fl AS (SELECT d.doc_id, d.source,
+         |    CAST((d.doc_id % 16) // 4 AS BIGINT) AS ab,
+         |    CAST(CASE WHEN (d.doc_id % 16) // 4 < 2 THEN 0 ELSE 1 END
+         |      AS BIGINT) AS epoch,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    cont.doc_id IS NULL AS cl,
+         |    cont.doc_id IS NULL
+         |      AND q0.score_k >= ${ExtensionQueries.CuratedMinScoreK} AS qk
+         |  FROM documents d
+         |  JOIN q0 ON q0.doc_id = d.doc_id
+         |  LEFT JOIN cont ON cont.doc_id = d.doc_id),
+         |ca AS (SELECT doc_id,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source, epoch
+         |      ORDER BY ab, doc_id) AS BIGINT) AS src_cum,
+         |    ($budget) AS budget
+         |  FROM fl WHERE qk)
+         |SELECT fl.source,
+         |  CAST(count(*) AS BIGINT) AS n_arrived,
+         |  CAST(sum(CASE WHEN fl.cl THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         |  CAST(sum(CASE WHEN fl.qk THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_quality_ok,
+         |  CAST(0 AS BIGINT) AS n_retired,
+         |  CAST(0 AS BIGINT) AS n_dup_content,
+         |  CAST(0 AS BIGINT) AS n_neardup,
+         |  CAST(0 AS BIGINT) AS n_semdup,
+         |  CAST(0 AS BIGINT) AS n_rearrived,
+         |  CAST(sum(CASE WHEN fl.qk AND ca.src_cum <= ca.budget
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+         |  CAST(sum(CASE WHEN fl.qk AND ca.src_cum > ca.budget
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_quota_rejected,
+         |  CAST(sum(CASE WHEN fl.qk AND ca.src_cum <= ca.budget
+         |    THEN fl.n_tokens ELSE 0 END) AS BIGINT) AS tokens_admitted
+         |FROM fl LEFT JOIN ca ON ca.doc_id = fl.doc_id
+         |GROUP BY fl.source ORDER BY fl.source""".stripMargin
+    },
+
+    // x181: the epoch'd whole-doc retarget replayed in closed form —
+    // x173's effective-arrival/epoch logic (min over deliveries; the
+    // cross-epoch guard makes later deliveries no-ops), per-(source,
+    // epoch) quota windows, then the x166 recursive greedy walk
+    // partitioned by (epoch, shard): bins and positions restart at the
+    // raise
+    "x181_stream_retarget_greedy" -> {
+      val aL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomA).mkString("[", ",", "]")
+      val bL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomB).mkString("[", ",", "]")
+      val mod = ExtensionQueries.Mod
+      val bits = ExtensionQueries.BloomBits
+      val k = ExtensionQueries.BloomK
+      s"""WITH RECURSIVE ${ExtensionQueries.sqlShnCte(13)},
+         |bpos AS (SELECT DISTINCT (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits AS pos
+         |  FROM bg CROSS JOIN range(0, $k) r(j)),
+         |cp AS (SELECT doc_id, h, unnest(list_transform(range(0, $k),
+         |    j -> (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits)) AS pos FROM cg),
+         |cand AS (SELECT doc_id, h FROM cp JOIN bpos USING (pos)
+         |  GROUP BY 1, 2 HAVING count(*) = $k),
+         |cont AS (SELECT DISTINCT doc_id FROM cand),
+         |${ExtensionQueries.sqlQualityCtes},
+         |q0 AS (SELECT doc_id,
+         |    CAST(round((${ExtensionQueries.sqlQualityScore}) * 1000000, 0)
+         |      AS BIGINT) AS score_k
+         |  FROM g),
+         |del AS (SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS ab
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, CAST((doc_id % 4 + 2) % 4 AS BIGINT) AS ab
+         |  FROM documents WHERE doc_id % 10 = 6),
+         |eff AS (SELECT doc_id, min(ab) AS ab FROM del GROUP BY 1),
+         |cb AS (SELECT d.doc_id, d.source, eff.ab,
+         |    CAST(CASE WHEN eff.ab < 2 THEN 0 ELSE 1 END AS BIGINT) AS epoch,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents d
+         |  JOIN eff ON eff.doc_id = d.doc_id
+         |  JOIN q0 ON q0.doc_id = d.doc_id
+         |  LEFT JOIN cont ON cont.doc_id = d.doc_id
+         |  WHERE cont.doc_id IS NULL
+         |    AND q0.score_k >= ${ExtensionQueries.CuratedMinScoreK}),
+         |ca AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source, epoch
+         |    ORDER BY ab, doc_id) AS BIGINT) AS src_cum FROM cb),
+         |o AS (SELECT epoch, doc_id, ab AS arrival_batch,
+         |    CAST(${ExtensionQueries.sqlStringHash("CAST(doc_id AS VARCHAR) || ':ps'")} % 4
+         |      AS BIGINT) AS shard, n_tokens,
+         |    CAST(row_number() OVER (PARTITION BY epoch,
+         |      CAST(${ExtensionQueries.sqlStringHash("CAST(doc_id AS VARCHAR) || ':ps'")} % 4
+         |        AS BIGINT)
+         |      ORDER BY ab, doc_id) AS BIGINT) AS pos
+         |  FROM ca
+         |  WHERE src_cum <= CASE WHEN epoch = 0
+         |      THEN ${ExtensionQueries.CuratedQuota}
+         |      ELSE ${ExtensionQueries.CuratedRaisedQuota} END
+         |    AND n_tokens > 0),
+         |walk(epoch, shard, pos, doc_id, arrival_batch, n_tokens, bin, acc) AS (
+         |  SELECT epoch, shard, pos, doc_id, arrival_batch, n_tokens,
+         |    CAST(0 AS BIGINT), n_tokens
+         |  FROM o WHERE pos = 1
+         |  UNION ALL
+         |  SELECT r.epoch, r.shard, r.pos, r.doc_id, r.arrival_batch,
+         |    r.n_tokens,
+         |    CASE WHEN w.acc + r.n_tokens > ${ExtensionQueries.PackSeqLen}
+         |              AND w.acc > 0
+         |         THEN w.bin + 1 ELSE w.bin END,
+         |    CASE WHEN w.acc + r.n_tokens > ${ExtensionQueries.PackSeqLen}
+         |              AND w.acc > 0
+         |         THEN r.n_tokens ELSE w.acc + r.n_tokens END
+         |  FROM walk w JOIN o r
+         |    ON r.epoch = w.epoch AND r.shard = w.shard AND r.pos = w.pos + 1)
+         |SELECT epoch, doc_id, shard, pos, bin, n_tokens, arrival_batch
+         |FROM walk ORDER BY epoch, doc_id""".stripMargin
     },
 
     // x169: x160's per-prefix replay with the added source's

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /**
  * Tiered (LSM-style leveled), bucketed storage for the streams'
@@ -53,10 +53,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *    read).
  *  - `run=<level>-<lo>-<hi>-<writer>/_b=<b>[/_s=<s>]/` — the ledger
  *    rows whose arrival batch is in `[lo, hi]`, written by fold
- *    `writer`, plus the commit marker file `_RUN_<K>` written LAST
- *    (parquet readers ignore `_`-prefixed files; an unmarked run is an
- *    ignored torso from a crash mid-write, and its input dirs are
- *    still on disk).
+ *    `writer`, plus a `_BLOOM_<bits>` kept-key Bloom sidecar (the
+ *    freshness fast path below) and the commit marker file `_RUN_<K>`
+ *    written LAST (parquet readers ignore `_`-prefixed files; an
+ *    unmarked run is an ignored torso from a crash mid-write, and its
+ *    input dirs are still on disk — marker-last also means every
+ *    MARKED run carries a sidecar).
+ *
+ * Freshness fast path ([[antiJoinSeen]]/[[semiJoinSeen]]/[[sidecars]]):
+ * bucket pruning bounds what a re-arrival guard reads only while the
+ * batch's keys touch FEW buckets — a gate emitting grid×bands keys per
+ * batch touches every bucket and the pruned read degrades to a full
+ * column scan of a ledger that grows for the stream's life (the one
+ * per-fold cost that grew with stream age, r17 curatedsoak). Each run
+ * therefore carries a Bloom filter over its kept keys: a batch key that
+ * misses EVERY live run's sidecar is provably fresh w.r.t. the runs
+ * (Bloom false negatives are impossible) and anti-joins only the
+ * bounded increments; hits fall through to the exact bucket-pruned
+ * scan. A false positive costs reads, never a wrong drop — and in
+ * steady state (mostly-fresh arrivals) the accumulated-ledger scan
+ * disappears from the fold entirely. A live run without a readable
+ * sidecar (pre-sidecar layout, GC race) disables the fast path for
+ * that fold — exactness never depends on the sidecars.
  *
  * Crash-safety (foreachBatch replays the newest uncommitted batch):
  *  - Views exclude the folding batch's OWN increment dir and any run
@@ -99,6 +117,27 @@ private[graft] object LedgerState {
   /** Synthetic partition column: a copy of the score tier. */
   val ScoreCol = "_s"
   private val MarkerPrefix = "_RUN_"
+  private val SidecarPrefix = "_BLOOM_"
+  /** Probe-hash count of the per-run kept-key Bloom sidecars. */
+  val SidecarK = 4
+
+  /** Sidecar sizing: ~10 bits/key (k = 4 → false-positive ≈ 1.2%; see
+    * the table in the [[maintain]] scaladoc), clamped to
+    * [2^10, maxBits]. A run bigger than maxBits/10 keys saturates its
+    * sidecar and the fast path degrades smoothly to the exact pruned
+    * scan — never to a wrong answer. */
+  private def bitsFor(n: Long, maxBits: Long): Long = {
+    var b = 1L << 10
+    while (b < n * 10 && b < maxBits) b <<= 1
+    b
+  }
+
+  /** The sidecar's key transform, IDENTICAL on build and probe sides:
+    * xxhash64 makes any key type (string ids, negative fingerprints)
+    * hashable, pmod into the affine family's modulus keeps the Bloom
+    * position arithmetic overflow-free and sign-safe. */
+  private def sidecarKey(c: Column): Column =
+    pmod(xxhash64(c), lit(graft.ext.TextAnalysis.HashMod))
 
   /** A run: `level` ≥ 1, covering arrival batches `[lo, hi]`, written
     * by fold `writer`, bucketed with modulus `k` (self-described by its
@@ -218,6 +257,150 @@ private[graft] object LedgerState {
     assemble(spark, table, sel, incrs, idCol, idPrune, scorePrune)
   }
 
+  /** The increment rows past the live frontier ONLY — the slice of
+    * [[view]] the run sidecars do NOT cover (≤ `compactEvery`−1
+    * batch-sized dirs by the compaction bound). The freshness fast
+    * path's fallthrough reads exactly this. */
+  def incrementsView(
+      spark: SparkSession,
+      table: String,
+      exclude: Long,
+      idCol: String = "id"): DataFrame = {
+    val sel = chain(runs(spark, table).filterNot(_.writer == exclude))
+    val frontier = sel.lastOption.map(_.hi).getOrElse(-1L)
+    val incrs = StreamState.generations(spark, table)
+      .filter(g => g != exclude && g > frontier)
+    assemble(spark, table, Seq.empty, incrs, idCol, None, None)
+  }
+
+  /** The live antichain's kept-key Bloom sidecars, OR-merged per bit
+    * size (control-plane bytes: ≤ `sidecarMaxBits`/8 per distinct size,
+    * sizes ≤ the level count). `None` when ANY live run lacks a
+    * readable sidecar (a pre-sidecar run, or a GC race mid-read) —
+    * callers MUST then fall back to the exact pruned scan, because
+    * freshness can only be proven against every run at once.
+    * `Some(Nil)` when there are no live runs at all (nothing compacted
+    * yet — the view IS the increments). */
+  def sidecars(
+      spark: SparkSession,
+      table: String,
+      exclude: Long): Option[Seq[(Long, Array[Long])]] = {
+    val live = chain(runs(spark, table).filterNot(_.writer == exclude))
+    if (live.isEmpty) Some(Seq.empty)
+    else {
+      val (f, p) = fs(spark, table)
+      val per = live.map { r =>
+        scala.util.Try {
+          f.listStatus(new org.apache.hadoop.fs.Path(p, r.dirName))
+            .collectFirst {
+              case s if s.getPath.getName.startsWith(SidecarPrefix) =>
+                val bits = s.getPath.getName.stripPrefix(SidecarPrefix).toLong
+                val in = new java.io.DataInputStream(
+                  new java.io.BufferedInputStream(f.open(s.getPath)))
+                val words =
+                  try Array.fill((bits / 64).toInt)(in.readLong())
+                  finally in.close()
+                (bits, words)
+            }
+        }.toOption.flatten
+      }
+      if (per.exists(_.isEmpty)) None
+      else Some(per.flatten.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (bits, ws) =>
+          val acc = new Array[Long]((bits / 64).toInt)
+          ws.foreach { case (_, w) =>
+            var i = 0
+            while (i < acc.length) { acc(i) |= w(i); i += 1 }
+          }
+          (bits, acc)
+      })
+    }
+  }
+
+  /** True iff `key` MIGHT be a kept key of some live run (standard Bloom
+    * contract over [[sidecars]]' merged bitsets: false negatives
+    * impossible, so `!mightContain` PROVES freshness w.r.t. every run).
+    * One codegen'd probe per distinct sidecar size — the
+    * [[graft.ext.Sketches.bloomCandidates]] native screen over the
+    * xxhash64 of the key, the same hash the build side used. */
+  def mightContain(
+      scs: Seq[(Long, Array[Long])], key: Column): Column =
+    scs.map { case (bits, words) =>
+      size(graft.ext.Sketches.bloomCandidates(
+        array(sidecarKey(key)), words, bits, SidecarK)) > 0
+    }.reduceOption(_ || _).getOrElse(lit(false))
+
+  /** `df` minus the rows whose `keyCol` already holds a ledger row under
+    * `ledgerKey` — the gates' first-arrival guard, with the
+    * Bloom-sidecar freshness fast path: batch keys that miss every live
+    * run's sidecar are PROVABLY fresh w.r.t. the runs and anti-join only
+    * the (≤ `compactEvery`−1 batch-sized) increments; hits fall through
+    * to the exact bucket-pruned scan, so a false positive costs reads,
+    * never a wrong drop. This kills the one per-fold term that grew
+    * with stream age: when a batch's keys touch every hash bucket (a
+    * band gate emits ~grid×bands keys per batch), [[batchBuckets]]
+    * pruning degrades to a full column scan of the accumulated ledger —
+    * with sidecars, only the (rare, steady-state) re-arrivals pay it. */
+  def antiJoinSeen(
+      spark: SparkSession,
+      table: String,
+      exclude: Long,
+      df: DataFrame,
+      keyCol: String,
+      ledgerKey: String = "id"): DataFrame =
+    joinSeen(spark, table, exclude, df, keyCol, ledgerKey, "left_anti")
+
+  /** The rows of `df` whose `keyCol` (possibly) already holds a ledger
+    * row — [[antiJoinSeen]]'s semi-join complement, same fast path. */
+  def semiJoinSeen(
+      spark: SparkSession,
+      table: String,
+      exclude: Long,
+      df: DataFrame,
+      keyCol: String,
+      ledgerKey: String = "id"): DataFrame =
+    joinSeen(spark, table, exclude, df, keyCol, ledgerKey, "left_semi")
+
+  private def joinSeen(
+      spark: SparkSession,
+      table: String,
+      exclude: Long,
+      df: DataFrame,
+      keyCol: String,
+      ledgerKey: String,
+      how: String): DataFrame = {
+    def exact(part: DataFrame): DataFrame = {
+      val prune = batchBuckets(spark, table, exclude,
+        part.select(col(keyCol).as(ledgerKey)), ledgerKey)
+      part.join(
+        view(spark, table, exclude, idCol = ledgerKey, idPrune = prune)
+          .select(col(ledgerKey).as(keyCol)),
+        Seq(keyCol), how)
+    }
+    if (!StreamState.exists(spark, table)) {
+      if (how == "left_anti") df else df.filter(lit(false))
+    } else sidecars(spark, table, exclude) match {
+      case Some(scs) if scs.nonEmpty =>
+        // coalesce: a null key probes to a non-null hash, but stay
+        // null-safe — a null-key row takes the fresh side and keeps
+        // the exact join's null semantics (null never equal → kept by
+        // anti, dropped by semi), identical to the no-sidecar path
+        val maybe = coalesce(mightContain(scs, col(keyCol)), lit(false))
+        df.filter(!maybe)
+          .join(
+            incrementsView(spark, table, exclude, idCol = ledgerKey)
+              .select(col(ledgerKey).as(keyCol)),
+            Seq(keyCol), how)
+          .unionByName(exact(df.filter(maybe)))
+      case _ =>
+        // Some(Nil): no live runs — the view IS the increments, the
+        // exact path is already batch-bounded. None: a live run lacks
+        // its sidecar (pre-sidecar layout / GC race) — freshness is
+        // unprovable, fall back to the exact pruned scan.
+        exact(df)
+    }
+  }
+
   /** One run's frame: partition-pruned by its own modulus' bucket set
     * and (when present) the score tier, synthetic columns dropped. */
   private def runDf(
@@ -295,10 +478,27 @@ private[graft] object LedgerState {
     * while any level holds ≥ `fanout` runs, merge its oldest `fanout`
     * into one next-level run. Every run is bucketed by
     * `pmod(xxhash64(idCol), bucketK)` and — when `scoreCol` is given —
-    * sub-partitioned by the score tier. Idempotent under replay: every
+    * sub-partitioned by the score tier, and carries a kept-key Bloom
+    * sidecar (the freshness fast path). Idempotent under replay: every
     * decision is a function of the pre-batch state (runs with
     * `writer == batchId` are ignored), and nothing this call deletes
-    * was written or read by it. */
+    * was written or read by it.
+    *
+    * `sidecarMaxBits` caps one sidecar's bitset (bytes = bits/8; the
+    * default 2^23 bits = 1 MiB). Sizing is ~10 bits/key up to the cap;
+    * false-positive rate at k = 4 per the standard (1 − e^(−kn/m))^k:
+    *
+    *  | bits/key m/n | fp rate  | effect at the cap                    |
+    *  |--------------|----------|--------------------------------------|
+    *  | 16           | 0.24%    | runs ≤ cap/16 keys                   |
+    *  | 10 (sizing)  | 1.2%     | runs ≤ cap/10 keys (~840k @ default) |
+    *  | 4            | 16%      | fast path still wins 5/6 of the scan |
+    *  | ≤ 1 (sat.)   | → 100%   | degrades to the exact pruned scan    |
+    *
+    * A false positive only routes that key through the exact
+    * bucket-pruned anti-join — the sidecars affect COST, never results.
+    * Driver memory: ≤ cap/8 bytes × live runs (≤ ~36), ≈ 36 MiB at the
+    * default — control-plane-sized. */
   def maintain(
       spark: SparkSession,
       table: String,
@@ -308,8 +508,11 @@ private[graft] object LedgerState {
       bucketK: Int = 64,
       compactEvery: Int = 16,
       fanout: Int = 8,
-      graceFolds: Int = -1): Unit = {
+      graceFolds: Int = -1,
+      sidecarMaxBits: Long = 1L << 23): Unit = {
     require(bucketK >= 1, s"bucketK=$bucketK must be positive")
+    require(sidecarMaxBits >= 1024 && (sidecarMaxBits & 63) == 0,
+      s"sidecarMaxBits=$sidecarMaxBits must be a 64-aligned size ≥ 1024")
     require(compactEvery >= 2, s"compactEvery=$compactEvery below 2 would " +
       "compact every fold — pure write amplification")
     require(fanout >= 2, s"fanout=$fanout below 2 cannot merge")
@@ -362,6 +565,22 @@ private[graft] object LedgerState {
             .write.partitionBy(BucketCol)
         }
       out.mode("overwrite").parquet(s"$table/${r.dirName}")
+      // kept-key Bloom sidecar, written BEFORE the marker so every
+      // MARKED run carries one (the marker stays the single commit
+      // point; a crash between the two leaves an unmarked, invisible
+      // torso). Built from a read-back of the just-written run — a
+      // column-pruned scan of one key column; the count() is
+      // metadata-only on parquet. The parquet overwrite above wiped
+      // any prior attempt's sidecar/marker, so replay is idempotent.
+      val keys = spark.read.parquet(s"$table/${r.dirName}")
+        .select(sidecarKey(col(idCol)).as("key"))
+      val bits = bitsFor(keys.count(), sidecarMaxBits)
+      val words = graft.ext.Sketches.bloomDenseWords(
+        graft.ext.Sketches.bloomBuild(keys, "key", bits, SidecarK), bits)
+      val sOut = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        f.create(new org.apache.hadoop.fs.Path(
+          s"$table/${r.dirName}/$SidecarPrefix$bits"), true)))
+      try words.foreach(sOut.writeLong) finally sOut.close()
       f.create(new org.apache.hadoop.fs.Path(
         s"$table/${r.dirName}/$MarkerPrefix${r.k}"), true).close()
     }

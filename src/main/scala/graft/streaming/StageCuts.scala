@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Eager stage cuts for a fold's intermediate frames, with
+ * cluster-honest failure semantics.
+ *
+ * A composed fold ([[StreamingCuratedPack]], [[StreamingBudgetAdmission]],
+ * [[StreamingChunkPack]]) issues ~15 actions per micro-batch; without a
+ * cut, every action's plan re-carries the bloom-probe + quality +
+ * fingerprint + MinHash + SRP expression trees through Catalyst analysis
+ * (persist caches DATA, not ANALYSIS — measured ~50 s/fold of pure
+ * driver-side re-analysis on the full dedup stack, more than its Spark
+ * job time; the x177 lineage-cut took the row 83 s → 26 s).
+ *
+ * The cut itself is master-dependent:
+ *  - '''local masters''' (`local[*]` — a single JVM, no executor loss
+ *    possible): `localCheckpoint(eager = true)` — truncates lineage onto
+ *    executor-local blocks, so every downstream action analyzes a flat
+ *    scan. Safe precisely because the blocks cannot be lost.
+ *  - '''cluster masters''': localCheckpoint would put each stage on
+ *    SINGLE-REPLICA executor-local blocks with the lineage gone — any
+ *    executor loss or dynamic-allocation reclaim mid-fold would fail the
+ *    micro-batch unrecoverably (the truncated plan cannot recompute lost
+ *    blocks), terminating the streaming query instead of retrying tasks.
+ *    There the cut falls back to `persist()`: lineage intact (lost
+ *    blocks recompute), the analysis cost paid per action as before the
+ *    cut existed — correctness over the driver-side constant.
+ *
+ * [[release]] at fold end restores deterministic block cleanup for the
+ * persist path (no reliance on ContextCleaner GC of dataset references
+ * during a long-lived stream). localCheckpoint blocks cannot be
+ * unpersisted without destroying the checkpoint data they ARE; they are
+ * freed by the ContextCleaner when the fold's references drop — bounded
+ * in local mode where each fold's frames are batch-sized.
+ */
+private[streaming] final class StageCuts(spark: SparkSession) {
+  private val local = spark.sparkContext.isLocal
+  private val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+
+  /** Cut `df`'s lineage (local) or cache it with lineage intact
+    * (cluster); either way downstream actions stop recomputing it. */
+  def apply(df: DataFrame): DataFrame =
+    if (local) df.localCheckpoint(true)
+    else { df.persist(); persisted += df; df }
+
+  /** Deterministically drop the persist-path blocks at fold end. */
+  def release(): Unit = {
+    persisted.foreach(_.unpersist(blocking = false))
+    persisted.clear()
+  }
+}

@@ -78,6 +78,31 @@ object StreamingBudgetAdmission {
       tokCol: String = "n_tokens",
       retainGenerations: Int = 3,
       bucketK: Int = 64,
+      compactEvery: Int = 16): Unit =
+    foldBatchBudgets(batch, batchId, path, Map.empty, quota, idCol,
+      groupCol, tokCol, retainGenerations, bucketK, compactEvery)
+
+  /** [[foldBatch]] with PER-SOURCE budgets — the group-head budget
+    * semantics (x160) on the admission gate: a source named in
+    * `budgets` is admitted against its OWN quota, every other source
+    * against `defaultQuota`. A real data owner sets different token
+    * budgets per source; one scalar for the whole stream is the
+    * fixture shape, not the deployment shape. The budget lookup is a
+    * map LITERAL over the dimension-sized source set (plan metadata —
+    * no join, no state), so admission stays a pure function of the
+    * per-source running sum and the streamed verdicts still equal one
+    * batch window pass with a per-source threshold. */
+  def foldBatchBudgets(
+      batch: DataFrame,
+      batchId: Long,
+      path: String,
+      budgets: Map[String, Long],
+      defaultQuota: Long,
+      idCol: String = "doc_id",
+      groupCol: String = "source",
+      tokCol: String = "n_tokens",
+      retainGenerations: Int = 3,
+      bucketK: Int = 64,
       compactEvery: Int = 16): Unit = {
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
@@ -85,21 +110,18 @@ object StreamingBudgetAdmission {
       // in-batch id dedup (pure function of batch contents), then the
       // cross-batch re-arrival guard: a doc id that already holds a
       // verdict no-ops — a quota gate must never double-charge a replay.
-      // The guard reads the compacted ledger pruned to the batch's own
-      // id buckets ([[LedgerState.view]]) — never the whole history tree.
+      // The guard ([[LedgerState.antiJoinSeen]]) proves most batch ids
+      // fresh against the runs' Bloom sidecars and anti-joins only the
+      // bounded increments; sidecar hits fall through to the exact
+      // bucket-pruned ledger read — never the whole history tree.
       val batchDocs = batch.groupBy(col(idCol))
         .agg(min(col(groupCol)).as(groupCol), min(col(tokCol)).as(tokCol))
       val dedup =
-        if (hasState) {
-          val tbl = s"$path/verdicts"
-          val prune = LedgerState.batchBuckets(spark, tbl, batchId,
-            batchDocs.select(col(idCol).as("id")), "id")
-          batchDocs.join(
-              LedgerState.view(spark, tbl, batchId, idPrune = prune)
-                .select(col("id").as(idCol)),
-              Seq(idCol), "left_anti")
-            .persist()
-        } else batchDocs.persist()
+        if (hasState)
+          LedgerState.antiJoinSeen(spark, s"$path/verdicts", batchId,
+            batchDocs, idCol).persist()
+        else batchDocs.persist()
+      val cuts = new StageCuts(spark)
       if (!dedup.isEmpty) {
         // latest PRIOR totals partition: dimension-sized (one row per
         // source); the max-batch probe is a control-plane scalar over
@@ -122,23 +144,28 @@ object StreamingBudgetAdmission {
               Seq(groupCol), "left")
             .withColumn("_prior", coalesce(col("total"), lit(0L)))
             .drop("total")
+        val budgetE =
+          if (budgets.isEmpty) lit(defaultQuota)
+          else coalesce(
+            element_at(typedlit(budgets), col(groupCol).cast("string")),
+            lit(defaultQuota))
         val verd = withPrior
           .withColumn("src_cum", (col("_prior") + sum(col(tokCol)).over(w)).cast("long"))
-          .withColumn("admitted", col("src_cum") <= lit(quota))
+          .withColumn("admitted", col("src_cum") <= budgetE)
           .select(col(idCol).as("id"), col(groupCol).as("group"),
             col(tokCol).cast("long").as("tokens"),
             col("src_cum"), col("admitted"))
-          .localCheckpoint(true)
+        val verdCut = cuts(verd)
         // totals AFTER this batch: prior rows merged with this batch's
         // per-source inclusive maxima (sources absent from the batch
         // carry forward)
-        val batchTot = verd.groupBy(col("group"))
+        val batchTot = verdCut.groupBy(col("group"))
           .agg(max(col("src_cum")).as("total"))
         val totals =
           if (priors == null) batchTot
           else batchTot.unionByName(
             priors.join(batchTot.select("group"), Seq("group"), "left_anti"))
-        verd.write.mode("overwrite").parquet(s"$path/verdicts/batch=$batchId")
+        verdCut.write.mode("overwrite").parquet(s"$path/verdicts/batch=$batchId")
         totals.write.mode("overwrite").parquet(s"$path/totals/batch=$batchId")
         // retention: totals generations are superseded snapshots (every
         // read targets the latest); the verdicts ledger keeps its ROWS
@@ -148,6 +175,7 @@ object StreamingBudgetAdmission {
           bucketK = bucketK, compactEvery = compactEvery)
       }
       dedup.unpersist(blocking = false)
+      cuts.release()
       ()
     }
   }

@@ -77,16 +77,11 @@ object StreamingGreedyPack {
           col("_rep.tokens").as("tokens"))
         .filter(col("tokens") > 0L)
       val dedup =
-        if (hasState) {
-          val tbl = s"$path/bins"
-          val prune = LedgerState.batchBuckets(spark, tbl, batchId,
-            batchDocs.select(col(idCol).as("id")), "id")
-          batchDocs.join(
-              LedgerState.view(spark, tbl, batchId, idPrune = prune)
-                .select(col("id").as(idCol)).distinct(),
-              Seq(idCol), "left_anti")
-            .persist()
-        } else batchDocs.persist()
+        if (hasState)
+          LedgerState.antiJoinSeen(spark, s"$path/bins", batchId,
+            batchDocs, idCol).persist()
+        else batchDocs.persist()
+      val cuts = new StageCuts(spark)
       if (!dedup.isEmpty) {
         val priors: Map[Long, (Long, Long, Long)] =
           if (hasState && StreamState.exists(spark, s"$path/totals")) {
@@ -120,15 +115,15 @@ object StreamingGreedyPack {
             }
           }
           .toDF("id", "shard", "pos", "bin", "n_tokens")
-          .localCheckpoint(true)
-        val batchTot = placed.groupBy(col("shard"))
+        val placedCut = cuts(placed)
+        val batchTot = placedCut.groupBy(col("shard"))
           .agg(max(struct(col("pos"), col("bin"), col("n_tokens"))).as("_last"))
           .select(col("shard"), col("_last.bin").as("bin"),
             col("_last.pos").as("n_docs"))
         // acc of the open bin = this batch's tokens in the final bin,
         // PLUS the carried acc iff the final bin IS the carried open
         // bin (the batch never closed it)
-        val accDf = placed
+        val accDf = placedCut
           .join(batchTot.select(col("shard"), col("bin")), Seq("shard", "bin"))
           .groupBy(col("shard"), col("bin"))
           .agg(sum(col("n_tokens")).as("_bacc"))
@@ -145,13 +140,14 @@ object StreamingGreedyPack {
         val carried = priorDf
           .join(newTot.select("shard"), Seq("shard"), "left_anti")
         val totals = newTot.unionByName(carried)
-        placed.write.mode("overwrite").parquet(s"$path/bins/batch=$batchId")
+        placedCut.write.mode("overwrite").parquet(s"$path/bins/batch=$batchId")
         totals.write.mode("overwrite").parquet(s"$path/totals/batch=$batchId")
         StreamState.pruneGenerations(spark, s"$path/totals", retainGenerations)
         LedgerState.maintain(spark, s"$path/bins", batchId,
           bucketK = bucketK, compactEvery = compactEvery)
       }
       dedup.unpersist(blocking = false)
+      cuts.release()
       ()
     }
   }
@@ -248,8 +244,9 @@ object StreamingChunkPack {
       // minimum — never aggregates mixed across duplicate rows), then
       // the cross-batch re-arrival guard: a doc already on some tape
       // must not be appended twice. Zero-token docs carry no fragment
-      // and no tape position (packChunked's rule). The guard reads the
-      // compacted fragment ledger pruned to the batch's id buckets.
+      // and no tape position (packChunked's rule). The guard
+      // ([[LedgerState.antiJoinSeen]]) proves fresh ids against the
+      // runs' Bloom sidecars and exact-scans only sidecar hits.
       val batchDocs = batch
         .groupBy(col(idCol))
         .agg(min(struct(col(shardCol).cast("long").as("shard"),
@@ -258,16 +255,11 @@ object StreamingChunkPack {
           col("_rep.tokens").as("tokens"))
         .filter(col("tokens") > 0L)
       val dedup =
-        if (hasState) {
-          val tbl = s"$path/frags"
-          val prune = LedgerState.batchBuckets(spark, tbl, batchId,
-            batchDocs.select(col(idCol).as("id")), "id")
-          batchDocs.join(
-              LedgerState.view(spark, tbl, batchId, idPrune = prune)
-                .select(col("id").as(idCol)).distinct(),
-              Seq(idCol), "left_anti")
-            .persist()
-        } else batchDocs.persist()
+        if (hasState)
+          LedgerState.antiJoinSeen(spark, s"$path/frags", batchId,
+            batchDocs, idCol).persist()
+        else batchDocs.persist()
+      val cuts = new StageCuts(spark)
       if (!dedup.isEmpty) {
         // latest PRIOR totals partition: one row per shard ever seen
         val priors: DataFrame =
@@ -305,7 +297,7 @@ object StreamingChunkPack {
             (col("_fs") - col("seq") * seqLen).as("frag_start"),
             (col("_fe") - col("_fs")).as("frag_len"),
             (col("_fs") - col("_st")).as("doc_off"))
-          .localCheckpoint(true)
+        val fragsCut = cuts(frags)
         // totals AFTER this batch: shards absent from it carry forward
         val batchTot = placed.groupBy(col("shard"))
           .agg(max(col("_cum")).as("total"), max(col("pos")).as("n_docs"))
@@ -313,7 +305,7 @@ object StreamingChunkPack {
           if (priors == null) batchTot
           else batchTot.unionByName(
             priors.join(batchTot.select("shard"), Seq("shard"), "left_anti"))
-        frags.write.mode("overwrite").parquet(s"$path/frags/batch=$batchId")
+        fragsCut.write.mode("overwrite").parquet(s"$path/frags/batch=$batchId")
         totals.write.mode("overwrite").parquet(s"$path/totals/batch=$batchId")
         // retention: totals generations are superseded snapshots (every
         // read targets the latest); the fragment ledger keeps its ROWS
@@ -323,6 +315,7 @@ object StreamingChunkPack {
           bucketK = bucketK, compactEvery = compactEvery)
       }
       dedup.unpersist(blocking = false)
+      cuts.release()
       ()
     }
   }

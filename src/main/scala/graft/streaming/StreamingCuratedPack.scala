@@ -105,7 +105,14 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  * bucket rule. Skipping only ADMITS (never revokes), so the cap trades
  * recall for a hard per-doc bound of (semPlanes+1)·semMaxBucket
  * cosines; the ledger itself stays append-only and bounded-listed by
- * [[LedgerState]] regardless.
+ * [[LedgerState]] regardless. Threshold choice: `semThreshold` defaults
+ * to [[graft.ext.Similarity.SemThresholdDefault]] (0.85) — for iid
+ * random d-dim vectors cosine concentrates at 0 with σ = 1/√d, so at
+ * d = 64 a 0.30 screen (≈2.4σ) collides unrelated pairs at ~0.8% each
+ * and a fresh doc expects ~0.008·n random partners against an n-vector
+ * kept set (noise-dominated at scale); 0.85 (6.8σ) admits only genuine
+ * paraphrase-layer duplication. The full derivation lives on the
+ * constant; clustered test fixtures pass their own explicit threshold.
  *
  * Near-dup stage monotonicity (why the band gate CAN compose where the
  * CC keeper cannot): the gate keeps a doc iff EVERY one of its band
@@ -195,9 +202,9 @@ object StreamingCuratedPack {
       dedupExact: Boolean = false,
       dedupNear: Boolean = false,
       dedupSem: Boolean = false,
-      semThreshold: Double = 0.30,
-      semPlanes: Int = 16,
-      semMaxBucket: Int = 1000,
+      semThreshold: Double = graft.ext.Similarity.SemThresholdDefault,
+      semPlanes: Int = graft.ext.Similarity.SemPlanes,
+      semMaxBucket: Int = graft.ext.Similarity.SemMaxBucket,
       vecCol: String = "embedding",
       retireSchedule: Map[String, Long] = Map.empty): DataStreamWriter[Row] =
     docs.writeStream
@@ -239,9 +246,9 @@ object StreamingCuratedPack {
       dedupExact: Boolean = false,
       dedupNear: Boolean = false,
       dedupSem: Boolean = false,
-      semThreshold: Double = 0.30,
-      semPlanes: Int = 16,
-      semMaxBucket: Int = 1000,
+      semThreshold: Double = graft.ext.Similarity.SemThresholdDefault,
+      semPlanes: Int = graft.ext.Similarity.SemPlanes,
+      semMaxBucket: Int = graft.ext.Similarity.SemMaxBucket,
       vecCol: String = "embedding",
       retireSchedule: Map[String, Long] = Map.empty): DataStreamWriter[Row] =
     docs.writeStream
@@ -260,7 +267,9 @@ object StreamingCuratedPack {
     * first at fold 0, strictly increasing: each retarget closes the
     * current pack epoch and opens the next with fresh accounting (the
     * epoch'd-tape contract in the class doc). Read the per-epoch tapes
-    * with [[fragmentsEpoched]]. */
+    * with [[fragmentsEpoched]] — or, under `wholeDoc = true` (x181:
+    * epoch'd tapes × the greedy padded-loader packer, completing the
+    * epoch × packer matrix), with [[assignmentsEpoched]]. */
   def attachScheduled(
       docs: DataFrame,
       path: String,
@@ -279,12 +288,13 @@ object StreamingCuratedPack {
       retainGenerations: Int = 3,
       bucketK: Int = 64,
       compactEvery: Int = 16,
+      wholeDoc: Boolean = false,
       dedupExact: Boolean = false,
       dedupNear: Boolean = false,
       dedupSem: Boolean = false,
-      semThreshold: Double = 0.30,
-      semPlanes: Int = 16,
-      semMaxBucket: Int = 1000,
+      semThreshold: Double = graft.ext.Similarity.SemThresholdDefault,
+      semPlanes: Int = graft.ext.Similarity.SemPlanes,
+      semMaxBucket: Int = graft.ext.Similarity.SemMaxBucket,
       vecCol: String = "embedding",
       retireSchedule: Map[String, Long] = Map.empty): DataStreamWriter[Row] =
     docs.writeStream
@@ -293,7 +303,53 @@ object StreamingCuratedPack {
         foldBatchScheduled(batch, batchId, path, bloomWords, minScoreK,
           quotaSchedule, seqLen, numShards, idCol, groupCol, textCol, ngram,
           bloomBits, bloomK, shardSalt, retainGenerations, bucketK,
-          compactEvery, dedupExact = dedupExact, dedupNear = dedupNear,
+          compactEvery, wholeDoc = wholeDoc,
+          dedupExact = dedupExact, dedupNear = dedupNear,
+          dedupSem = dedupSem, semThreshold = semThreshold,
+          semPlanes = semPlanes, semMaxBucket = semMaxBucket, vecCol = vecCol,
+          retireSchedule = retireSchedule)
+      }
+
+  /** [[attachScheduled]] with PER-SOURCE budget schedules (x180): each
+    * entry is `(startFold, Map[source, quota], defaultQuota)` — the
+    * group head's per-group budget semantics on the composed admission.
+    * A per-source retarget closes/opens epochs exactly as the scalar
+    * schedule does. */
+  def attachPerSource(
+      docs: DataFrame,
+      path: String,
+      bloomWords: Array[Long],
+      minScoreK: Long,
+      quotaSchedule: Seq[(Long, Map[String, Long], Long)],
+      seqLen: Long,
+      numShards: Int,
+      idCol: String = "doc_id",
+      groupCol: String = "source",
+      textCol: String = "text",
+      ngram: Int = 13,
+      bloomBits: Long = 1L << 16,
+      bloomK: Int = 4,
+      shardSalt: String = ":ps",
+      retainGenerations: Int = 3,
+      bucketK: Int = 64,
+      compactEvery: Int = 16,
+      wholeDoc: Boolean = false,
+      dedupExact: Boolean = false,
+      dedupNear: Boolean = false,
+      dedupSem: Boolean = false,
+      semThreshold: Double = graft.ext.Similarity.SemThresholdDefault,
+      semPlanes: Int = graft.ext.Similarity.SemPlanes,
+      semMaxBucket: Int = graft.ext.Similarity.SemMaxBucket,
+      vecCol: String = "embedding",
+      retireSchedule: Map[String, Long] = Map.empty): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatchPerSource(batch, batchId, path, bloomWords, minScoreK,
+          quotaSchedule, seqLen, numShards, idCol, groupCol, textCol, ngram,
+          bloomBits, bloomK, shardSalt, retainGenerations, bucketK,
+          compactEvery, wholeDoc = wholeDoc,
+          dedupExact = dedupExact, dedupNear = dedupNear,
           dedupSem = dedupSem, semThreshold = semThreshold,
           semPlanes = semPlanes, semMaxBucket = semMaxBucket, vecCol = vecCol,
           retireSchedule = retireSchedule)
@@ -326,9 +382,9 @@ object StreamingCuratedPack {
       dedupExact: Boolean = false,
       dedupNear: Boolean = false,
       dedupSem: Boolean = false,
-      semThreshold: Double = 0.30,
-      semPlanes: Int = 16,
-      semMaxBucket: Int = 1000,
+      semThreshold: Double = graft.ext.Similarity.SemThresholdDefault,
+      semPlanes: Int = graft.ext.Similarity.SemPlanes,
+      semMaxBucket: Int = graft.ext.Similarity.SemMaxBucket,
       vecCol: String = "embedding",
       retireSchedule: Map[String, Long] = Map.empty): Unit =
     foldBatchScheduled(batch, batchId, path, bloomWords, minScoreK,
@@ -367,11 +423,89 @@ object StreamingCuratedPack {
       dedupExact: Boolean = false,
       dedupNear: Boolean = false,
       dedupSem: Boolean = false,
-      semThreshold: Double = 0.30,
-      semPlanes: Int = 16,
-      semMaxBucket: Int = 1000,
+      semThreshold: Double = graft.ext.Similarity.SemThresholdDefault,
+      semPlanes: Int = graft.ext.Similarity.SemPlanes,
+      semMaxBucket: Int = graft.ext.Similarity.SemMaxBucket,
       vecCol: String = "embedding",
-      retireSchedule: Map[String, Long] = Map.empty): Unit = {
+      retireSchedule: Map[String, Long] = Map.empty): Unit =
+    foldImpl(batch, batchId, path, bloomWords, minScoreK,
+      quotaSchedule.map { case (f, q) => (f, Map.empty[String, Long], q) },
+      seqLen, numShards, idCol, groupCol, textCol, ngram, bloomBits, bloomK,
+      shardSalt, retainGenerations, bucketK, compactEvery, wholeDoc,
+      dedupExact, dedupNear, dedupSem, semThreshold, semPlanes,
+      semMaxBucket, vecCol, retireSchedule)
+
+  /** [[foldBatchScheduled]] with PER-SOURCE budgets (x180): each
+    * schedule entry carries a `Map[source, quota]` — a source named in
+    * the epoch's map is admitted against its OWN quota, every other
+    * source against the entry's `default`. A retarget of ANY source's
+    * budget is a schedule entry like the scalar case: the pack epoch
+    * closes, accounting restarts — per-source budgets ride the same
+    * epoch'd-tape contract (x173), they do not weaken it. The budget
+    * resolution is a pure function of (batchId, source), so replay is
+    * deterministic and the admission stays monotone per epoch. */
+  def foldBatchPerSource(
+      batch: DataFrame,
+      batchId: Long,
+      path: String,
+      bloomWords: Array[Long],
+      minScoreK: Long,
+      quotaSchedule: Seq[(Long, Map[String, Long], Long)],
+      seqLen: Long,
+      numShards: Int,
+      idCol: String = "doc_id",
+      groupCol: String = "source",
+      textCol: String = "text",
+      ngram: Int = 13,
+      bloomBits: Long = 1L << 16,
+      bloomK: Int = 4,
+      shardSalt: String = ":ps",
+      retainGenerations: Int = 3,
+      bucketK: Int = 64,
+      compactEvery: Int = 16,
+      wholeDoc: Boolean = false,
+      dedupExact: Boolean = false,
+      dedupNear: Boolean = false,
+      dedupSem: Boolean = false,
+      semThreshold: Double = graft.ext.Similarity.SemThresholdDefault,
+      semPlanes: Int = graft.ext.Similarity.SemPlanes,
+      semMaxBucket: Int = graft.ext.Similarity.SemMaxBucket,
+      vecCol: String = "embedding",
+      retireSchedule: Map[String, Long] = Map.empty): Unit =
+    foldImpl(batch, batchId, path, bloomWords, minScoreK, quotaSchedule,
+      seqLen, numShards, idCol, groupCol, textCol, ngram, bloomBits, bloomK,
+      shardSalt, retainGenerations, bucketK, compactEvery, wholeDoc,
+      dedupExact, dedupNear, dedupSem, semThreshold, semPlanes,
+      semMaxBucket, vecCol, retireSchedule)
+
+  private def foldImpl(
+      batch: DataFrame,
+      batchId: Long,
+      path: String,
+      bloomWords: Array[Long],
+      minScoreK: Long,
+      quotaSchedule: Seq[(Long, Map[String, Long], Long)],
+      seqLen: Long,
+      numShards: Int,
+      idCol: String,
+      groupCol: String,
+      textCol: String,
+      ngram: Int,
+      bloomBits: Long,
+      bloomK: Int,
+      shardSalt: String,
+      retainGenerations: Int,
+      bucketK: Int,
+      compactEvery: Int,
+      wholeDoc: Boolean,
+      dedupExact: Boolean,
+      dedupNear: Boolean,
+      dedupSem: Boolean,
+      semThreshold: Double,
+      semPlanes: Int,
+      semMaxBucket: Int,
+      vecCol: String,
+      retireSchedule: Map[String, Long]): Unit = {
     require(numShards > 0, "numShards must be positive")
     require(minScoreK >= 0, "minScoreK must be non-negative")
     require(semPlanes >= 1 && semPlanes <= 62,
@@ -381,7 +515,8 @@ object StreamingCuratedPack {
     require(quotaSchedule.map(_._1) == quotaSchedule.map(_._1).sorted.distinct,
       "quotaSchedule start folds must be strictly increasing")
     val epochIdx = quotaSchedule.lastIndexWhere(_._1 <= batchId)
-    val quota = quotaSchedule(epochIdx)._2
+    val budgets = quotaSchedule(epochIdx)._2
+    val quota = quotaSchedule(epochIdx)._3
     val epoched = quotaSchedule.size > 1
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
@@ -420,30 +555,31 @@ object StreamingCuratedPack {
         .persist()
       // stage 1: the Bloom screen (stateless literal probe; zero false
       // negatives — no benchmark n-gram run slips through).
-      // localCheckpoint(true), not persist, on this and every deep stage
-      // output below: the composed fold issues ~15 actions, and with a
-      // full dedup stack each action's plan would carry the bloom probe
-      // + quality + fingerprint + MinHash + SRP expression trees through
-      // Catalyst analysis AGAIN (persist caches data, not analysis —
-      // measured ~50 s/run driver-side on x177, more than its Spark job
-      // time). The eager cut materializes each batch-sized stage once
-      // and every downstream action analyzes a flat scan.
-      val clean = StreamingDecontaminate.withBloomHits(
+      // cuts(...) on this and every deep stage output below: the
+      // composed fold issues ~15 actions, and with a full dedup stack
+      // each action's plan would carry the bloom probe + quality +
+      // fingerprint + MinHash + SRP expression trees through Catalyst
+      // analysis AGAIN (persist caches data, not analysis — measured
+      // ~50 s/run driver-side on x177, more than its Spark job time).
+      // On local masters the cut is an eager localCheckpoint (flat
+      // downstream plans); on a CLUSTER it falls back to persist —
+      // lineage intact so executor loss retries instead of killing the
+      // stream (the cluster caveat lives on [[StageCuts]]).
+      val cuts = new StageCuts(spark)
+      val clean = cuts(StreamingDecontaminate.withBloomHits(
           uniq, bloomWords, ngram, bloomBits, bloomK, "text")
-        .filter(col("n_bloom_hits") === 0L)
-        .localCheckpoint(true)
+        .filter(col("n_bloom_hits") === 0L))
       // stage 2: quality score + token count, score floor (plus, when
       // stage 2.5 is on, the exact-dedup content fingerprint — the x05
       // portable rolling hash over normalized text)
-      val scored = clean.select(
+      val scored = cuts(clean.select(
           (Seq(col("id"), col("source"),
             round(graft.ext.TextAnalysis.qualityScore(col("text")) * 1000000, 0)
               .cast("long").as("score_k"),
             size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")) ++
            (if (dedupExact)
               Seq(graft.ext.TextAnalysis.fingerprint(col("text")).as("_fp"))
-            else Nil)): _*)
-        .localCheckpoint(true)
+            else Nil)): _*))
       val qualityOk = scored.filter(col("score_k") >= minScoreK)
       // stage 2.4 (opt-in): scheduled source RETIREMENT — drain-and-
       // freeze, the composed-face mirror of the group head's x174
@@ -460,10 +596,17 @@ object StreamingCuratedPack {
       // arrivals leave no ledger row, so "resuming" could only
       // resurrect the pre-retirement past — re-plan into a fresh path
       // instead.
+      // Null-safe on source: under three-valued logic a bare
+      // !isin(...) evaluates to null for a null-source row and the
+      // filter would silently drop it (booked as n_retired) whenever
+      // ANY schedule is present — contradicting "absence from the
+      // schedule means live". coalesce(..., true) keeps a null-source
+      // row's fate identical with and without a schedule.
       val retiredNow = retireSchedule.filter(_._2 <= batchId).keys.toSeq.sorted
       val active =
         if (retiredNow.isEmpty) qualityOk
-        else qualityOk.filter(!col("source").isin(retiredNow: _*))
+        else qualityOk.filter(
+          coalesce(!col("source").isin(retiredNow: _*), lit(true)))
       // stage 2.5 (opt-in): exact-content dedup, FIRST-ARRIVAL-WINS —
       // one representative per fingerprint per batch (min id), then the
       // cross-batch guard off the fp ledger (a [[LedgerState]] table
@@ -485,18 +628,12 @@ object StreamingCuratedPack {
             .select(col("_fp"), col("_r.id").as("id"),
               col("_r.source").as("source"), col("_r.score_k").as("score_k"),
               col("_r.n_tokens").as("n_tokens"))
-          val fresh =
-            if (!StreamState.exists(spark, tbl)) firstInBatch
-            else {
-              val prune = LedgerState.batchBuckets(spark, tbl, batchId,
-                firstInBatch.select(col("_fp").as("fp")), "fp")
-              firstInBatch.join(
-                LedgerState.view(spark, tbl, batchId, idCol = "fp",
-                    idPrune = prune)
-                  .select(col("fp").as("_fp")),
-                Seq("_fp"), "left_anti")
-            }
-          val kept = fresh.localCheckpoint(true)
+          // sidecar fast path: most fingerprints are fresh in steady
+          // state — they miss every run's Bloom and anti-join only the
+          // bounded increments; hits exact-scan their pruned buckets
+          val fresh = LedgerState.antiJoinSeen(spark, tbl, batchId,
+            firstInBatch, "_fp", "fp")
+          val kept = cuts(fresh)
           kept.select(col("_fp").as("fp"), col("id"))
             .write.mode("overwrite").parquet(s"$tbl/batch=$batchId")
           LedgerState.maintain(spark, tbl, batchId, idCol = "fp",
@@ -515,23 +652,25 @@ object StreamingCuratedPack {
         if (!dedupNear) admInput
         else {
           val tbl = s"$path/bands"
-          val bandRows = graft.ext.Dedup.bandedSignatures(
+          val bandRows = cuts(graft.ext.Dedup.bandedSignatures(
               admInput.select(col("id")).join(uniq, Seq("id")),
               idCol = "id", textCol = "text")
             .select(col("id"),
               (col("band").cast("long") * lit(graft.ext.TextAnalysis.HashMod)
                 + col("band_key")).as("bkey"))
-            .distinct().localCheckpoint(true)
+            .distinct())
           val surv =
             if (!StreamState.exists(spark, tbl)) admInput
             else {
-              val prune = LedgerState.batchBuckets(spark, tbl, batchId,
-                bandRows.select(col("bkey")), "bkey")
-              val hit = bandRows.join(
-                  LedgerState.view(spark, tbl, batchId, idCol = "bkey",
-                      idPrune = prune)
-                    .select(col("bkey")),
-                  Seq("bkey"), "left_semi")
+              // the sidecar fast path matters MOST here: the gate emits
+              // ~grid×bands keys per batch, which touch every hash
+              // bucket and degraded the pruned read to a full scan of
+              // the accumulated band ledger (the r17 curatedsoak's one
+              // growing per-fold term) — fresh bands now prove
+              // themselves against the run Blooms and read only the
+              // bounded increments
+              val hit = LedgerState.semiJoinSeen(spark, tbl, batchId,
+                  bandRows, "bkey", "bkey")
                 .select(col("id")).distinct()
               admInput.join(hit, Seq("id"), "left_anti")
             }
@@ -540,8 +679,7 @@ object StreamingCuratedPack {
             .withColumn("_mn", min(col("id")).over(
               org.apache.spark.sql.expressions.Window.partitionBy(col("bkey"))))
             .filter(col("id") =!= col("_mn")).select(col("id")).distinct()
-          val kept = surv.join(losers, Seq("id"), "left_anti")
-            .localCheckpoint(true)
+          val kept = cuts(surv.join(losers, Seq("id"), "left_anti"))
           survBands.join(losers, Seq("id"), "left_anti")
             .select(col("bkey"), col("id"))
             .write.mode("overwrite").parquet(s"$tbl/batch=$batchId")
@@ -565,30 +703,59 @@ object StreamingCuratedPack {
         else {
           val tbl = s"$path/sem"
           val cosine = graft.functions.VectorFunctions.vec_cosine _
-          val sigs = gated.select(col("id"))
+          val sigs = cuts(gated.select(col("id"))
             .join(uniq.select(col("id"), col("vec")), Seq("id"))
             .withColumn("sig",
-              graft.ext.Similarity.bucketId(col("vec"), semPlanes, 64))
-            .localCheckpoint(true)
+              graft.ext.Similarity.bucketId(col("vec"), semPlanes)))
           def probeArr = array((col("sig") +: (0 until semPlanes).map(j =>
             col("sig").bitwiseXOR(lit(1L << j)))): _*)
+          // per-probe candidate join against a ledger slice + the
+          // over-cap exclusion (degenerate buckets admit outright)
+          def hitIds(probes: DataFrame, lv: DataFrame): DataFrame = {
+            val over = lv.groupBy("bucket").agg(count(lit(1)).as("_c"))
+              .filter(col("_c") > semMaxBucket).select("bucket")
+            probes
+              .join(lv.join(broadcast(over), Seq("bucket"), "left_anti"),
+                Seq("bucket"))
+              .filter(cosine(col("vec"), col("_kvec")) >= semThreshold)
+              .select(col("id"))
+          }
           val surv =
             if (!StreamState.exists(spark, tbl)) gated
             else {
               val probed = sigs.select(col("id"), col("vec"),
                 explode(probeArr).as("bucket"))
-              val prune = LedgerState.batchBuckets(spark, tbl, batchId,
-                probed.select(col("bucket")).distinct(), "bucket")
-              val lv = LedgerState.view(spark, tbl, batchId,
-                  idCol = "bucket", idPrune = prune)
-                .select(col("bucket"), col("vec").as("_kvec"))
-              val over = lv.groupBy("bucket").agg(count(lit(1)).as("_c"))
-                .filter(col("_c") > semMaxBucket).select("bucket")
-              val hit = probed
-                .join(lv.join(broadcast(over), Seq("bucket"), "left_anti"),
-                  Seq("bucket"))
-                .filter(cosine(col("vec"), col("_kvec")) >= semThreshold)
-                .select(col("id")).distinct()
+              // sidecar freshness split: a probe bucket missing every
+              // live run's Bloom can only match increment rows, so it
+              // skips the accumulated-ledger read. Per-bucket ledger
+              // populations (the over-cap rule) are unchanged by the
+              // split: a fresh bucket's ONLY ledger rows are its
+              // increment rows (no false negatives), a maybe bucket
+              // reads the full pruned view as before.
+              val hit = LedgerState.sidecars(spark, tbl, batchId) match {
+                case Some(scs) if scs.nonEmpty =>
+                  val maybe = coalesce(
+                    LedgerState.mightContain(scs, col("bucket")), lit(false))
+                  val mProbes = probed.filter(maybe)
+                  val prune = LedgerState.batchBuckets(spark, tbl, batchId,
+                    mProbes.select(col("bucket")).distinct(), "bucket")
+                  val lvM = LedgerState.view(spark, tbl, batchId,
+                      idCol = "bucket", idPrune = prune)
+                    .select(col("bucket"), col("vec").as("_kvec"))
+                  val lvI = LedgerState.incrementsView(spark, tbl, batchId,
+                      idCol = "bucket")
+                    .select(col("bucket"), col("vec").as("_kvec"))
+                  hitIds(mProbes, lvM)
+                    .unionByName(hitIds(probed.filter(!maybe), lvI))
+                    .distinct()
+                case _ =>
+                  val prune = LedgerState.batchBuckets(spark, tbl, batchId,
+                    probed.select(col("bucket")).distinct(), "bucket")
+                  val lv = LedgerState.view(spark, tbl, batchId,
+                      idCol = "bucket", idPrune = prune)
+                    .select(col("bucket"), col("vec").as("_kvec"))
+                  hitIds(probed, lv).distinct()
+              }
               gated.join(hit, Seq("id"), "left_anti")
             }
           val svSigs = sigs.join(surv.select("id"), Seq("id"), "left_semi")
@@ -605,8 +772,7 @@ object StreamingCuratedPack {
             .filter(col("_ia") > col("_ib"))
             .filter(cosine(col("_va"), col("_vb")) >= semThreshold)
             .select(col("_ia").as("id")).distinct()
-          val kept = surv.join(losers, Seq("id"), "left_anti")
-            .localCheckpoint(true)
+          val kept = cuts(surv.join(losers, Seq("id"), "left_anti"))
           svSigs.join(kept.select("id"), Seq("id"), "left_semi")
             .select(col("sig").as("bucket"), col("id"), col("vec"))
             .write.mode("overwrite").parquet(s"$tbl/batch=$batchId")
@@ -624,21 +790,15 @@ object StreamingCuratedPack {
       val deliverable =
         if (epochIdx == 0) semGated
         else (0 until epochIdx).foldLeft(semGated) { (df, pe) =>
-          val vt = s"$path/admission/epoch=$pe/verdicts"
-          if (!StreamState.exists(spark, vt)) df
-          else {
-            val prune = LedgerState.batchBuckets(spark, vt, batchId,
-              df.select(col("id")), "id")
-            df.join(
-              LedgerState.view(spark, vt, batchId, idPrune = prune)
-                .select(col("id")),
-              Seq("id"), "left_anti")
-          }
+          LedgerState.antiJoinSeen(spark,
+            s"$path/admission/epoch=$pe/verdicts", batchId, df, "id")
         }
       // stage 3: the monotone per-source quota gate (its own fold —
-      // ledgered verdicts, re-arrival guard, bucketed compaction)
-      StreamingBudgetAdmission.foldBatch(deliverable, batchId,
-        admPath, quota, "id", "source", "n_tokens",
+      // ledgered verdicts, re-arrival guard, bucketed compaction);
+      // sources named in the epoch's budget map admit against their own
+      // quota, the rest against the epoch default
+      StreamingBudgetAdmission.foldBatchBudgets(deliverable, batchId,
+        admPath, budgets, quota, "id", "source", "n_tokens",
         retainGenerations, bucketK, compactEvery)
       // stage 4: pack THIS fold's committed admission slice — the
       // admission fold truncates-and-rewrites its batch dir from a
@@ -750,6 +910,7 @@ object StreamingCuratedPack {
       StreamState.pruneGenerations(spark, s"$path/funnel", retainGenerations)
       if (newVerdicts != null) newVerdicts.unpersist(blocking = false)
       uniq.unpersist(blocking = false)
+      cuts.release()
       ()
     }
   }
@@ -801,6 +962,22 @@ object StreamingCuratedPack {
       throw new IllegalStateException(
         s"no epoch'd pack state under $path — attachScheduled streams " +
           "write pack/epoch=<e>; flat pipelines read fragments()"))
+  }
+
+  /** Every epoch's accumulated whole-doc bin assignments, tagged with
+    * the epoch index — the [[assignments]] face of the epoch'd-tape
+    * contract (x181): each epoch is its own greedy bin sequence (bins
+    * and positions restart at the retarget), and a closed epoch's
+    * assignments never change again. */
+  def assignmentsEpoched(spark: SparkSession, path: String): DataFrame = {
+    val es = epochs(spark, path)
+    es.map { e =>
+      StreamingGreedyPack.assignments(spark, s"$path/pack/epoch=$e")
+        .withColumn("epoch", lit(e))
+    }.reduceOption(_.unionByName(_)).getOrElse(
+      throw new IllegalStateException(
+        s"no epoch'd pack state under $path — attachScheduled(wholeDoc) " +
+          "streams write pack/epoch=<e>; flat pipelines read assignments()"))
   }
 
   /** Every epoch's admission verdicts, tagged with the epoch index. */

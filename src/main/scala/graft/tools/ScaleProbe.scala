@@ -636,10 +636,15 @@ object ScaleProbe {
           }
         }
       }
+      // blank entries (empty var, trailing comma) would otherwise reach
+      // SparkEntry.queries as "" and die in an opaque NoSuchElementException
       val profiled = sys.env.get("SPARK_GRAFT_PROFILE")
-        .map(_.split(",").toSeq).getOrElse(
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(
           Seq("x150_stream_quality_head", "x160_stream_group_dynamic_budgets",
             "x167_stream_curated_pack", "x157_stream_chunk_pack"))
+      profiled.find(q => !graft.SparkEntry.queries.contains(q)).foreach(q =>
+        sys.error(s"SPARK_GRAFT_PROFILE names unknown query '$q' — " +
+          "pick keys from graft.SparkEntry.queries"))
       for (q <- profiled) {
         def run(): Unit = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
           .write.format("noop").mode("overwrite").save()
@@ -1235,6 +1240,12 @@ object ScaleProbe {
     if (on("curatedsoak")) {
       import spark.implicits._
       val folds = sys.env.getOrElse("SPARK_GRAFT_SOAK_FOLDS", "120").toInt
+      // the early/mid/late medians below index fixed 20-fold windows
+      // (10..30, mid±10, last 20); fewer than 40 folds would slice them
+      // empty (IndexOutOfBounds) or overlapping (misleading medians)
+      require(folds >= 40,
+        s"SPARK_GRAFT_SOAK_FOLDS=$folds — the soak's early/mid/late " +
+          "medians need at least 40 folds")
       val path = java.nio.file.Files
         .createTempDirectory("graft_soak_cur").toString
       val words = graft.streaming.StreamingDecontaminate.bloomWords(

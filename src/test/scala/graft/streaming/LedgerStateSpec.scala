@@ -357,4 +357,109 @@ class LedgerStateSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("pre-tiered"))
   }
+
+  // builds a raw ledger with compacted runs AND live increments: ids
+  // 1..20 across 4 folds at compactEvery=2, fanout=2 → multi-level runs
+  // plus post-frontier increments — the full anatomy the sidecar fast
+  // path must stay exact over
+  private def mkSidecarLedger(): String = {
+    val tbl = s"${freshPath()}/led"
+    (0L until 4L).foreach { b =>
+      (b * 5 + 1 to b * 5 + 5).map(i => (i, i * 10)).toDF("id", "payload")
+        .write.mode("overwrite").parquet(s"$tbl/batch=$b")
+      LedgerState.maintain(spark, tbl, b, idCol = "id",
+        bucketK = 4, compactEvery = 2, fanout = 2, graceFolds = 1)
+    }
+    // one live post-frontier increment the sidecars must NOT cover
+    Seq((21L, 210L)).toDF("id", "payload")
+      .write.mode("overwrite").parquet(s"$tbl/batch=4")
+    tbl
+  }
+
+  test("sidecars: every marked run carries a Bloom; ledgered keys never probe fresh; anti/semi joins equal the exact path") {
+    val tbl = mkSidecarLedger()
+    val runs = LedgerState.runs(spark, tbl)
+    assert(runs.nonEmpty)
+    runs.foreach { r =>
+      val dir = new java.io.File(s"$tbl/${r.dirName}")
+      assert(dir.listFiles().exists(_.getName.startsWith("_BLOOM_")),
+        s"marked run ${r.dirName} must carry its kept-key Bloom sidecar")
+    }
+    val scs = LedgerState.sidecars(spark, tbl, exclude = 5L)
+    assert(scs.isDefined && scs.get.nonEmpty)
+    // no false negatives: every key the RUNS hold must probe maybe-seen
+    val frontier = runs.map(_.hi).max
+    val runKeys = LedgerState.view(spark, tbl, exclude = 5L)
+      .filter(col("abatch") <= frontier).select("id").as[Long].collect().toSet
+    val probed = runKeys.toSeq.toDF("id")
+      .select(col("id"),
+        LedgerState.mightContain(scs.get, col("id")).as("m"))
+      .as[(Long, Boolean)].collect().toMap
+    runKeys.foreach(k => assert(probed(k),
+      s"ledgered key $k probed fresh — a Bloom false negative"))
+    // the probe batch mixes: run-covered keys, an increment-only key
+    // (21 — past the frontier, invisible to every sidecar), and fresh
+    // keys; the fast-path joins must equal the plain exact path
+    val batch = (Seq(3L, 7L, 21L) ++ (100L to 140L)).toDF("id")
+    val anti = LedgerState.antiJoinSeen(spark, tbl, 5L, batch, "id")
+      .select("id").as[Long].collect().toSet
+    assert(anti === (100L to 140L).toSet,
+      "anti-join must drop run keys AND increment keys, keep fresh ones")
+    val semi = LedgerState.semiJoinSeen(spark, tbl, 5L, batch, "id")
+      .select("id").as[Long].collect().toSet
+    assert(semi === Set(3L, 7L, 21L))
+  }
+
+  test("sidecars: a marked run missing its Bloom (pre-sidecar layout) disables the fast path — results stay exact") {
+    val tbl = mkSidecarLedger()
+    val victim = LedgerState.runs(spark, tbl).head
+    val bloom = new java.io.File(s"$tbl/${victim.dirName}").listFiles()
+      .find(_.getName.startsWith("_BLOOM_")).get
+    assert(bloom.delete())
+    assert(LedgerState.sidecars(spark, tbl, exclude = 5L) === None,
+      "freshness is only provable against EVERY live run at once")
+    val batch = (Seq(3L, 21L) ++ (100L to 110L)).toDF("id")
+    assert(LedgerState.antiJoinSeen(spark, tbl, 5L, batch, "id")
+      .select("id").as[Long].collect().toSet === (100L to 110L).toSet,
+      "the exact fallback must still drop every seen key")
+  }
+
+  test("sidecars: a run written by the excluded (replaying) fold is invisible to the probe set, like its data") {
+    val tbl = mkSidecarLedger()
+    val writers = LedgerState.runs(spark, tbl).map(_.writer)
+    val last = writers.max
+    // excluding the newest run's writer drops that run from the probe
+    // set — the replayed fold sees the identical pre-batch state
+    val withAll = LedgerState.sidecars(spark, tbl, exclude = 5L).get
+    val without = LedgerState.sidecars(spark, tbl, exclude = last)
+    assert(without.isDefined)
+    // the excluded run's keys may now probe fresh; every SURVIVING
+    // run's key must still probe maybe-seen
+    val keep = LedgerState.runs(spark, tbl).filterNot(_.writer == last)
+    if (keep.nonEmpty) {
+      val keys = keep.flatMap(r =>
+        spark.read.parquet(s"$tbl/${r.dirName}")
+          .select("id").as[Long].collect()).toDF("id")
+      val ok = keys.select(LedgerState.mightContain(without.get, col("id"))
+        .as("m")).as[Boolean].collect()
+      assert(ok.forall(identity))
+    }
+    assert(withAll.map(_._1).nonEmpty) // sanity: probe set was non-trivial
+  }
+
+  test("sidecars: an all-empty run writes a zero Bloom that proves everything fresh") {
+    val tbl = s"${freshPath()}/led"
+    (0L until 2L).foreach { b =>
+      Seq.empty[(Long, Long)].toDF("id", "payload")
+        .write.mode("overwrite").parquet(s"$tbl/batch=$b")
+      LedgerState.maintain(spark, tbl, b, idCol = "id",
+        bucketK = 4, compactEvery = 2)
+    }
+    assert(LedgerState.runs(spark, tbl).nonEmpty)
+    val scs = LedgerState.sidecars(spark, tbl, exclude = 9L)
+    assert(scs.isDefined && scs.get.forall(_._2.forall(_ == 0L)))
+    val batch = (1L to 50L).toDF("id")
+    assert(LedgerState.antiJoinSeen(spark, tbl, 9L, batch, "id")
+      .count() === 50L, "an empty ledger must keep every batch key")
+  }
 }

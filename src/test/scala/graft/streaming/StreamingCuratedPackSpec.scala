@@ -321,7 +321,7 @@ class StreamingCuratedPackSpec extends SparkSpec {
       StreamingCuratedPack.foldBatch(
         rows.toDF("doc_id", "source", "text", "embedding"),
         b, p, words, MinScoreK, BigQuota, SeqLen, Shards,
-        dedupSem = true, semMaxBucket = cap)
+        dedupSem = true, semThreshold = Thr, semMaxBucket = cap)
     val b0 = Seq(
       (901L, "src1", goodText(901L), vec(0)),        // copy arrives FIRST...
       (3L, "src0", goodText(3L), vec(3)),
@@ -342,7 +342,7 @@ class StreamingCuratedPackSpec extends SparkSpec {
     val allRows = batches.flatten
     val sigMap = allRows.toDF("doc_id", "source", "text", "embedding")
       .select(col("doc_id"),
-        graft.ext.Similarity.bucketId(col("embedding"), Planes, 64).as("sig"))
+        graft.ext.Similarity.bucketId(col("embedding"), Planes).as("sig"))
       .as[(Long, Long)].collect().toMap
     val vecMap = allRows.map(r => r._1 -> r._4).toMap
     def probes(id: Long): Set[Long] =
@@ -493,6 +493,89 @@ class StreamingCuratedPackSpec extends SparkSpec {
     }
     intercept[IllegalStateException] {
       foldSched(flat, 71L to 75L, 2L) // scheduled fold over a flat tree
+    }
+  }
+
+  test("per-source budgets: a pinned source admits against its OWN quota, the rest against the epoch default; a per-source retarget closes the epoch like a scalar one") {
+    val path = java.nio.file.Files.createTempDirectory("graft_scp9_").toString
+    // epoch 0: src0 pinned LOW (bites immediately), src1 pinned HIGH
+    // (never bites here), src2 on the default; fold-2 retarget re-pins
+    // src0 high — its epoch-1 accounting restarts under the new budget
+    val sched = Seq(
+      (0L, Map("src0" -> 30L, "src1" -> 100000L), Quota),
+      (2L, Map("src0" -> 100000L), Quota))
+    def foldPS(ids: Seq[Long], b: Long): Unit =
+      StreamingCuratedPack.foldBatchPerSource(docsDf(ids), b, path, words,
+        MinScoreK, sched, SeqLen, Shards)
+    val batches = Seq(1L to 20L, 21L to 40L, 41L to 60L, 61L to 80L)
+    batches.zipWithIndex.foreach { case (ids, b) => foldPS(ids, b.toLong) }
+    def budget(epoch: Long, src: String): Long = {
+      val (_, m, d) = sched(epoch.toInt)
+      m.getOrElse(src, d)
+    }
+    val v = StreamingCuratedPack.verdictsEpoched(spark, path)
+      .select(col("epoch"), col("id"), col("group"), col("src_cum"),
+        col("admitted"))
+      .as[(Long, Long, String, Long, Boolean)].collect().toSeq
+    assert(v.nonEmpty)
+    // every verdict equals the per-source threshold rule for its epoch
+    v.foreach { case (e, id, g, cum, adm) =>
+      assert(adm === (cum <= budget(e, g)),
+        s"doc $id ($g, epoch $e): src_cum=$cum vs budget=${budget(e, g)}")
+    }
+    // the pinned-low source must actually reject in epoch 0 AND admit
+    // past its old cap in epoch 1 (fresh accounting under the re-pin)
+    assert(v.exists(r => r._1 == 0L && r._3 == "src0" && !r._5),
+      "src0 must reject against its own low epoch-0 budget")
+    assert(v.exists(r => r._1 == 0L && r._3 == "src2" && r._5),
+      "a default source must admit where the pinned one rejects")
+    assert(v.filter(r => r._1 == 1L && r._3 == "src0" && r._5)
+      .map(_._4).max > 30L,
+      "the retarget must open fresh headroom for the re-pinned source")
+    // the funnel books per-source rejections coherently with verdicts
+    val f = StreamingCuratedPack.funnel(spark, path)
+      .select(col("source"), col("n_admitted"), col("n_quota_rejected"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    Seq("src0", "src1", "src2").foreach { s =>
+      assert(f(s)._1 === v.count(r => r._3 == s && r._5))
+      assert(f(s)._2 === v.count(r => r._3 == s && !r._5))
+    }
+  }
+
+  test("epoch'd whole-doc tapes: pre-raise greedy bins equal the flat wholeDoc run; the closed epoch is immutable; epoch 1 restarts bins and positions") {
+    val flat = java.nio.file.Files.createTempDirectory("graft_scpA_").toString
+    val ep = java.nio.file.Files.createTempDirectory("graft_scpB_").toString
+    val sched = Seq((0L, Quota), (2L, Quota * 10))
+    def foldFlat(ids: Seq[Long], b: Long): Unit =
+      StreamingCuratedPack.foldBatch(docsDf(ids), b, flat, words,
+        MinScoreK, Quota, SeqLen, Shards, wholeDoc = true)
+    def foldEp(ids: Seq[Long], b: Long): Unit =
+      StreamingCuratedPack.foldBatchScheduled(docsDf(ids), b, ep, words,
+        MinScoreK, sched, SeqLen, Shards, wholeDoc = true)
+    foldFlat(1L to 20L, 0L); foldFlat(21L to 40L, 1L)
+    foldEp(1L to 20L, 0L); foldEp(21L to 40L, 1L)
+    def epochBins(e: Long) =
+      StreamingCuratedPack.assignmentsEpoched(spark, ep)
+        .filter(col("epoch") === e)
+        .select(col("id"), col("shard"), col("pos"), col("bin"),
+          col("n_tokens"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val pre = epochBins(0L)
+    assert(pre === StreamingCuratedPack.assignments(spark, flat)
+      .select(col("id"), col("shard"), col("pos"), col("bin"),
+        col("n_tokens"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1),
+      "pre-raise the epoch'd greedy tape must equal the flat wholeDoc run")
+    foldEp(41L to 60L, 2L); foldEp(61L to 80L, 3L)
+    assert(epochBins(0L) === pre,
+      "a closed epoch's bin assignments are immutable forever")
+    val e1 = epochBins(1L)
+    assert(e1.nonEmpty && e1.forall(_._1 >= 41L))
+    // a new tape: every shard's positions restart at 1, bins at 0
+    e1.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).min === 1L)
+      assert(rows.map(_._4).min === 0L)
     }
   }
 
