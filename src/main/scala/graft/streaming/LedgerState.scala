@@ -121,14 +121,17 @@ private[graft] object LedgerState {
   /** Probe-hash count of the per-run kept-key Bloom sidecars. */
   val SidecarK = 4
 
-  /** Sidecar sizing: ~10 bits/key (k = 4 → false-positive ≈ 1.2%; see
-    * the table in the [[maintain]] scaladoc), clamped to
-    * [2^10, maxBits]. A run bigger than maxBits/10 keys saturates its
+  /** Sidecar sizing: ~32 bits/key (k = 4 → false-positive ≈ 1.9e-4;
+    * see the table in the [[maintain]] scaladoc), clamped to
+    * [2^10, maxBits]. The budget is deliberately generous: per-run
+    * SKIPPING needs the whole batch's keys (thousands) to miss a run's
+    * sidecar at once, so the per-key rate must sit well below
+    * 1/batch-keys. A run bigger than maxBits/32 keys saturates its
     * sidecar and the fast path degrades smoothly to the exact pruned
     * scan — never to a wrong answer. */
   private def bitsFor(n: Long, maxBits: Long): Long = {
     var b = 1L << 10
-    while (b < n * 10 && b < maxBits) b <<= 1
+    while (b < n * 32 && b < maxBits) b <<= 1
     b
   }
 
@@ -284,28 +287,9 @@ private[graft] object LedgerState {
   def sidecars(
       spark: SparkSession,
       table: String,
-      exclude: Long): Option[Seq[(Long, Array[Long])]] = {
-    val live = chain(runs(spark, table).filterNot(_.writer == exclude))
-    if (live.isEmpty) Some(Seq.empty)
-    else {
-      val (f, p) = fs(spark, table)
-      val per = live.map { r =>
-        scala.util.Try {
-          f.listStatus(new org.apache.hadoop.fs.Path(p, r.dirName))
-            .collectFirst {
-              case s if s.getPath.getName.startsWith(SidecarPrefix) =>
-                val bits = s.getPath.getName.stripPrefix(SidecarPrefix).toLong
-                val in = new java.io.DataInputStream(
-                  new java.io.BufferedInputStream(f.open(s.getPath)))
-                val words =
-                  try Array.fill((bits / 64).toInt)(in.readLong())
-                  finally in.close()
-                (bits, words)
-            }
-        }.toOption.flatten
-      }
-      if (per.exists(_.isEmpty)) None
-      else Some(per.flatten.groupBy(_._1).toSeq.sortBy(_._1).map {
+      exclude: Long): Option[Seq[(Long, Array[Long])]] =
+    runSidecars(spark, table, exclude).map(per =>
+      per.map(_._2).groupBy(_._1).toSeq.sortBy(_._1).map {
         case (bits, ws) =>
           val acc = new Array[Long]((bits / 64).toInt)
           ws.foreach { case (_, w) =>
@@ -314,6 +298,60 @@ private[graft] object LedgerState {
           }
           (bits, acc)
       })
+
+  /** Per-run sidecar cache: a MARKED run is immutable (replay rewrites
+    * the identical bytes under the identical name), so its Bloom never
+    * changes and re-reading it every fold would dominate the fast path
+    * (≤ cap/8 bytes × runs × gates per fold). Bounded by total retained
+    * words — on overflow the whole cache drops and rebuilds from disk
+    * (runs re-read once); GC'd runs leave stale-but-never-queried
+    * entries that the same bound reclaims. */
+  private val sidecarCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[Long])]()
+  private val sidecarCacheWords = new java.util.concurrent.atomic.AtomicLong
+  private val SidecarCacheMaxWords = 32L << 20 // 256 MiB of bitsets
+
+  /** Every live run's own sidecar, in antichain order. `None` when any
+    * live run lacks a readable one (pre-sidecar layout, GC race) —
+    * freshness is only provable against every run at once. `Some(Nil)`
+    * when there are no live runs. */
+  private def runSidecars(
+      spark: SparkSession,
+      table: String,
+      exclude: Long): Option[Seq[(Run, (Long, Array[Long]))]] = {
+    val live = chain(runs(spark, table).filterNot(_.writer == exclude))
+    if (live.isEmpty) Some(Seq.empty)
+    else {
+      val (f, p) = fs(spark, table)
+      val per = live.map { r =>
+        val ck = s"$table/${r.dirName}"
+        Option(sidecarCache.get(ck)).orElse {
+          val read = scala.util.Try {
+            f.listStatus(new org.apache.hadoop.fs.Path(p, r.dirName))
+              .collectFirst {
+                case s if s.getPath.getName.startsWith(SidecarPrefix) =>
+                  val bits = s.getPath.getName.stripPrefix(SidecarPrefix).toLong
+                  val in = new java.io.DataInputStream(
+                    new java.io.BufferedInputStream(f.open(s.getPath)))
+                  val words =
+                    try Array.fill((bits / 64).toInt)(in.readLong())
+                    finally in.close()
+                  (bits, words)
+              }
+          }.toOption.flatten
+          read.foreach { v =>
+            if (sidecarCacheWords.addAndGet(v._2.length.toLong)
+                > SidecarCacheMaxWords) {
+              sidecarCache.clear()
+              sidecarCacheWords.set(v._2.length.toLong)
+            }
+            sidecarCache.put(ck, v)
+            ()
+          }
+          read
+        }.map(r -> _)
+      }
+      if (per.exists(_.isEmpty)) None else Some(per.flatten)
     }
   }
 
@@ -329,6 +367,61 @@ private[graft] object LedgerState {
       size(graft.ext.Sketches.bloomCandidates(
         array(sidecarKey(key)), words, bits, SidecarK)) > 0
     }.reduceOption(_ || _).getOrElse(lit(false))
+
+  /** One batch's freshness machinery, resolved at PER-RUN granularity:
+    *  - `mightSeen` — null-safe predicate over `keyCol`: false PROVES
+    *    the key absent from every live run (Bloom no-false-negatives);
+    *  - `seenView` — the ledger rows a maybe-seen key could match: each
+    *    run restricted to the hash buckets of the keys that hit ITS OWN
+    *    sidecar, runs that no key hits skipped outright, plus the
+    *    increments. Per-run granularity is what makes steady state
+    *    O(batch): a re-arrival's keys hit only the (recent, small) runs
+    *    that ledgered them, so old top-level runs stop being read at
+    *    all — merged-Bloom pruning would still scan every run once ANY
+    *    key hit ANY sidecar;
+    *  - `increments` — the post-frontier slice alone (the provably
+    *    fresh side's only exact check).
+    * Resolution costs ONE narrow aggregate job over the batch's keys
+    * (per-run hit-bucket sets, collected as one row) — the same cost
+    * class as the [[batchBuckets]] collect it replaces. */
+  final case class SeenProbe(
+      mightSeen: Column, seenView: DataFrame, increments: DataFrame)
+
+  /** [[SeenProbe]] for `keys` (a one-column batch frame under `keyCol`)
+    * against `table`'s ledger — `None` when a live run lacks a sidecar
+    * (callers fall back to the exact pruned scan). */
+  def seenProbe(
+      spark: SparkSession,
+      table: String,
+      exclude: Long,
+      keys: DataFrame,
+      keyCol: String,
+      ledgerIdCol: String = "id"): Option[SeenProbe] =
+    runSidecars(spark, table, exclude).map { per =>
+      val incr = incrementsView(spark, table, exclude, idCol = ledgerIdCol)
+      if (per.isEmpty) SeenProbe(lit(false), incr, incr)
+      else {
+        def probe(bits: Long, words: Array[Long], c: Column): Column =
+          size(graft.ext.Sketches.bloomCandidates(
+            array(sidecarKey(c)), words, bits, SidecarK)) > 0
+        val aggs = per.zipWithIndex.map { case ((r, (bits, words)), i) =>
+          collect_set(when(probe(bits, words, col(keyCol)),
+            pmod(xxhash64(col(keyCol)), lit(r.k.toLong)))).as(s"_s$i")
+        }
+        val row = keys.agg(aggs.head, aggs.tail: _*).head()
+        val prunedRuns = per.zipWithIndex.flatMap { case ((r, _), i) =>
+          val bs = row.getSeq[Long](i).toSet
+          if (bs.isEmpty) None
+          else Some(runDf(spark, table, r, Some(Map(r.k -> bs)), None))
+        }
+        val mightSeen = coalesce(
+          per.map { case (_, (bits, words)) =>
+            probe(bits, words, col(keyCol))
+          }.reduce(_ || _), lit(false))
+        SeenProbe(mightSeen,
+          (prunedRuns :+ incr).reduce(_.unionByName(_)), incr)
+      }
+    }
 
   /** `df` minus the rows whose `keyCol` already holds a ledger row under
     * `ledgerKey` — the gates' first-arrival guard, with the
@@ -379,24 +472,23 @@ private[graft] object LedgerState {
     }
     if (!StreamState.exists(spark, table)) {
       if (how == "left_anti") df else df.filter(lit(false))
-    } else sidecars(spark, table, exclude) match {
-      case Some(scs) if scs.nonEmpty =>
-        // coalesce: a null key probes to a non-null hash, but stay
-        // null-safe — a null-key row takes the fresh side and keeps
-        // the exact join's null semantics (null never equal → kept by
-        // anti, dropped by semi), identical to the no-sidecar path
-        val maybe = coalesce(mightContain(scs, col(keyCol)), lit(false))
-        df.filter(!maybe)
-          .join(
-            incrementsView(spark, table, exclude, idCol = ledgerKey)
-              .select(col(ledgerKey).as(keyCol)),
+    } else seenProbe(spark, table, exclude,
+        df.select(col(keyCol)), keyCol, ledgerKey) match {
+      case Some(sp) =>
+        // null-safety: mightSeen coalesces to false, so a null-key row
+        // takes the fresh side and keeps the exact join's null
+        // semantics (null never equal → kept by anti, dropped by
+        // semi), identical to the no-sidecar path
+        df.filter(!sp.mightSeen)
+          .join(sp.increments.select(col(ledgerKey).as(keyCol)),
             Seq(keyCol), how)
-          .unionByName(exact(df.filter(maybe)))
-      case _ =>
-        // Some(Nil): no live runs — the view IS the increments, the
-        // exact path is already batch-bounded. None: a live run lacks
-        // its sidecar (pre-sidecar layout / GC race) — freshness is
-        // unprovable, fall back to the exact pruned scan.
+          .unionByName(
+            df.filter(sp.mightSeen)
+              .join(sp.seenView.select(col(ledgerKey).as(keyCol)),
+                Seq(keyCol), how))
+      case None =>
+        // a live run lacks its sidecar (pre-sidecar layout / GC race):
+        // freshness is unprovable — fall back to the exact pruned scan
         exact(df)
     }
   }
@@ -485,20 +577,23 @@ private[graft] object LedgerState {
     * was written or read by it.
     *
     * `sidecarMaxBits` caps one sidecar's bitset (bytes = bits/8; the
-    * default 2^23 bits = 1 MiB). Sizing is ~10 bits/key up to the cap;
-    * false-positive rate at k = 4 per the standard (1 − e^(−kn/m))^k:
+    * default 2^26 bits = 8 MiB covers runs to ~2M keys at full budget).
+    * Sizing is ~32 bits/key up to the cap; false-positive rate at k = 4
+    * per the standard (1 − e^(−kn/m))^k:
     *
-    *  | bits/key m/n | fp rate  | effect at the cap                    |
-    *  |--------------|----------|--------------------------------------|
-    *  | 16           | 0.24%    | runs ≤ cap/16 keys                   |
-    *  | 10 (sizing)  | 1.2%     | runs ≤ cap/10 keys (~840k @ default) |
-    *  | 4            | 16%      | fast path still wins 5/6 of the scan |
-    *  | ≤ 1 (sat.)   | → 100%   | degrades to the exact pruned scan    |
+    *  | bits/key m/n | fp rate | per-run skip: expected hits at 3k keys |
+    *  |--------------|---------|-----------------------------------------|
+    *  | 32 (sizing)  | 1.9e-4  | 0.55 — a cold run is SKIPPED most folds |
+    *  | 16           | 0.24%   | ~7 — every run read, but bucket-pruned  |
+    *  | 10           | 1.2%    | ~34 — bucket pruning only               |
+    *  | ≤ 1 (sat.)   | → 100%  | degrades to the exact pruned scan       |
     *
-    * A false positive only routes that key through the exact
-    * bucket-pruned anti-join — the sidecars affect COST, never results.
-    * Driver memory: ≤ cap/8 bytes × live runs (≤ ~36), ≈ 36 MiB at the
-    * default — control-plane-sized. */
+    * The rate matters PER RUN: a run is skipped outright only when the
+    * batch's every key misses its sidecar, so the budget is set by
+    * 1/batch-keys, not by per-key aesthetics. A false positive only
+    * routes that key's hash bucket through the exact anti-join — the
+    * sidecars affect COST, never results. Driver/cache memory: ≤ cap/8
+    * bytes × live runs, bounded by the 256 MiB sidecar cache. */
   def maintain(
       spark: SparkSession,
       table: String,
@@ -509,7 +604,7 @@ private[graft] object LedgerState {
       compactEvery: Int = 16,
       fanout: Int = 8,
       graceFolds: Int = -1,
-      sidecarMaxBits: Long = 1L << 23): Unit = {
+      sidecarMaxBits: Long = 1L << 26): Unit = {
     require(bucketK >= 1, s"bucketK=$bucketK must be positive")
     require(sidecarMaxBits >= 1024 && (sidecarMaxBits & 63) == 0,
       s"sidecarMaxBits=$sidecarMaxBits must be a 64-aligned size ≥ 1024")

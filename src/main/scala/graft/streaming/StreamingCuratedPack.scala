@@ -725,30 +725,28 @@ object StreamingCuratedPack {
             else {
               val probed = sigs.select(col("id"), col("vec"),
                 explode(probeArr).as("bucket"))
-              // sidecar freshness split: a probe bucket missing every
-              // live run's Bloom can only match increment rows, so it
-              // skips the accumulated-ledger read. Per-bucket ledger
-              // populations (the over-cap rule) are unchanged by the
-              // split: a fresh bucket's ONLY ledger rows are its
-              // increment rows (no false negatives), a maybe bucket
-              // reads the full pruned view as before.
-              val hit = LedgerState.sidecars(spark, tbl, batchId) match {
-                case Some(scs) if scs.nonEmpty =>
-                  val maybe = coalesce(
-                    LedgerState.mightContain(scs, col("bucket")), lit(false))
-                  val mProbes = probed.filter(maybe)
-                  val prune = LedgerState.batchBuckets(spark, tbl, batchId,
-                    mProbes.select(col("bucket")).distinct(), "bucket")
-                  val lvM = LedgerState.view(spark, tbl, batchId,
-                      idCol = "bucket", idPrune = prune)
+              // sidecar freshness split at per-run granularity
+              // ([[LedgerState.seenProbe]]): a probe bucket missing
+              // every live run's Bloom can only match increment rows;
+              // a hitting bucket reads only the runs whose OWN sidecar
+              // it hit, each pruned to the hit hash buckets. Per-bucket
+              // ledger populations (the over-cap rule) are unchanged by
+              // the split: a bucket's rows live exactly in the runs
+              // whose sidecar it hits (no false negatives) plus the
+              // increments, so the counts a probed bucket sees are the
+              // full-view counts.
+              val hit = LedgerState.seenProbe(spark, tbl, batchId,
+                  probed.select(col("bucket")).distinct(), "bucket",
+                  "bucket") match {
+                case Some(sp) =>
+                  val lvM = sp.seenView
                     .select(col("bucket"), col("vec").as("_kvec"))
-                  val lvI = LedgerState.incrementsView(spark, tbl, batchId,
-                      idCol = "bucket")
+                  val lvI = sp.increments
                     .select(col("bucket"), col("vec").as("_kvec"))
-                  hitIds(mProbes, lvM)
-                    .unionByName(hitIds(probed.filter(!maybe), lvI))
+                  hitIds(probed.filter(sp.mightSeen), lvM)
+                    .unionByName(hitIds(probed.filter(!sp.mightSeen), lvI))
                     .distinct()
-                case _ =>
+                case None =>
                   val prune = LedgerState.batchBuckets(spark, tbl, batchId,
                     probed.select(col("bucket")).distinct(), "bucket")
                   val lv = LedgerState.view(spark, tbl, batchId,
