@@ -404,20 +404,33 @@ private[graft] object LedgerState {
         def probe(bits: Long, words: Array[Long], c: Column): Column =
           size(graft.ext.Sketches.bloomCandidates(
             array(sidecarKey(c)), words, bits, SidecarK)) > 0
+        // the multi-MiB sidecar bitsets ride the task binary of any job
+        // whose plan references them — so the probes are evaluated in
+        // exactly ONE job (this aggregate), which also collects the
+        // HIT-KEY set (batch-bounded by construction: it is a subset of
+        // the batch's keys). The split predicate handed to callers is
+        // then a compact InSet over the hits — kilobytes in every
+        // downstream plan instead of the bitsets again.
+        val anyProbe = per.map { case (_, (bits, words)) =>
+          probe(bits, words, col(keyCol))
+        }.reduce(_ || _)
         val aggs = per.zipWithIndex.map { case ((r, (bits, words)), i) =>
           collect_set(when(probe(bits, words, col(keyCol)),
             pmod(xxhash64(col(keyCol)), lit(r.k.toLong)))).as(s"_s$i")
-        }
+        } :+ collect_set(when(anyProbe, col(keyCol))).as("_hits")
         val row = keys.agg(aggs.head, aggs.tail: _*).head()
         val prunedRuns = per.zipWithIndex.flatMap { case ((r, _), i) =>
           val bs = row.getSeq[Long](i).toSet
           if (bs.isEmpty) None
           else Some(runDf(spark, table, r, Some(Map(r.k -> bs)), None))
         }
-        val mightSeen = coalesce(
-          per.map { case (_, (bits, words)) =>
-            probe(bits, words, col(keyCol))
-          }.reduce(_ || _), lit(false))
+        val hits = row.getSeq[Any](per.size)
+        // null-safe: a null key is not collectable into the hit set and
+        // isInCollection(null) is null — coalesce sends it to the fresh
+        // side, preserving the exact join's null semantics
+        val mightSeen =
+          if (hits.isEmpty) lit(false)
+          else coalesce(col(keyCol).isInCollection(hits), lit(false))
         SeenProbe(mightSeen,
           (prunedRuns :+ incr).reduce(_.unionByName(_)), incr)
       }
