@@ -236,16 +236,10 @@ object StreamingGroupQualityHead {
       val known = batchDocs.join(dim, Seq("grp"))
         .select(col("id"), col("grp"), col("score"), col("tokens"))
       val arrivals =
-        if (hasState) {
-          val tbl = s"$path/arrivals"
-          val prune = LedgerState.batchBuckets(spark, tbl, batchId,
-            known.select(col("id")), "id")
-          known.join(
-              LedgerState.view(spark, tbl, batchId, idPrune = prune)
-                .select("id"),
-              Seq("id"), "left_anti")
-            .persist()
-        } else known.persist()
+        if (hasState)
+          LedgerState.antiJoinSeen(spark, s"$path/arrivals", batchId,
+            known, "id").persist()
+        else known.persist()
       if (!arrivals.isEmpty) {
         val priorGen: Option[Long] =
           StreamState.generations(spark, s"$path/meta").find(_ != batchId)

@@ -268,16 +268,10 @@ object StreamingQualityHead {
         .select(col(idCol).as("id"), col("_rep.score").as("score"),
           (-col("_rep._ntok")).as("tokens"))
       val arrivals =
-        if (hasState) {
-          val tbl = s"$path/arrivals"
-          val prune = LedgerState.batchBuckets(spark, tbl, batchId,
-            batchDocs.select(col("id")), "id")
-          batchDocs.join(
-              LedgerState.view(spark, tbl, batchId, idPrune = prune)
-                .select("id"),
-              Seq("id"), "left_anti")
-            .persist()
-        } else batchDocs.persist()
+        if (hasState)
+          LedgerState.antiJoinSeen(spark, s"$path/arrivals", batchId,
+            batchDocs, "id").persist()
+        else batchDocs.persist()
       if (!arrivals.isEmpty) {
         // latest PRIOR generation: filesystem-level so legitimately-empty
         // generations still count, own batch excluded (replay reads the

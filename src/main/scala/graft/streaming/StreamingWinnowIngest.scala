@@ -108,15 +108,10 @@ object StreamingWinnowIngest {
       // state no-op (column-pruned scan restricted to the batch's own
       // id buckets, batch side broadcasts)
       val dedup =
-        if (hasState) {
-          val prune = LedgerState.batchBuckets(spark, s"$path/sh", batchId,
-            batchDocs.select(col(idCol).as("id")), "id")
-          batchDocs.join(
-              LedgerState.view(spark, s"$path/sh", batchId, idPrune = prune)
-                .select(col("id").as(idCol)),
-              Seq(idCol), "left_anti")
-            .persist()
-        } else batchDocs.persist()
+        if (hasState)
+          LedgerState.antiJoinSeen(spark, s"$path/sh", batchId,
+            batchDocs, idCol).persist()
+        else batchDocs.persist()
       if (!dedup.isEmpty) {
         val (corpusSh, corpusPrints) =
           if (hasState)
