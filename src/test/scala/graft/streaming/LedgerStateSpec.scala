@@ -447,6 +447,26 @@ class LedgerStateSpec extends SparkSpec {
     assert(withAll.map(_._1).nonEmpty) // sanity: probe set was non-trivial
   }
 
+  test("sidecars: a fresh-only batch's guard plan never touches a run directory; a hit batch reads only the hit run") {
+    val tbl = mkSidecarLedger()
+    val runDirs = LedgerState.runs(spark, tbl).map(_.dirName)
+    assert(runDirs.nonEmpty)
+    // all-fresh batch: the anti-join's physical plan must scan ONLY the
+    // increments — no run= path anywhere (cold runs skipped outright)
+    val freshPlan = LedgerState.antiJoinSeen(spark, tbl, 5L,
+        (1000L to 1040L).toDF("id"), "id")
+      .queryExecution.executedPlan.toString
+    runDirs.foreach(d => assert(!freshPlan.contains(d),
+      s"fresh-only batch must not plan a scan of $d:\n$freshPlan"))
+    // a batch hitting one ledgered key reads the run(s) holding it —
+    // and still no run that holds none of the batch's keys
+    val hitPlan = LedgerState.antiJoinSeen(spark, tbl, 5L,
+        Seq(3L).toDF("id"), "id")
+      .queryExecution.executedPlan.toString
+    assert(runDirs.exists(hitPlan.contains),
+      s"a ledgered key must fall through to its run:\n$hitPlan")
+  }
+
   test("sidecars: an all-empty run writes a zero Bloom that proves everything fresh") {
     val tbl = s"${freshPath()}/led"
     (0L until 2L).foreach { b =>
