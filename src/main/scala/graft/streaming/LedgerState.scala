@@ -390,6 +390,25 @@ private[graft] object LedgerState {
   /** [[SeenProbe]] for `keys` (a one-column batch frame under `keyCol`)
     * against `table`'s ledger — `None` when a live run lacks a sidecar
     * (callers fall back to the exact pruned scan). */
+  /** Driver-side mirror of the sidecar probe — BIT-IDENTICAL position
+    * math to [[graft.functions.BloomCandidates.screen]] and to
+    * [[graft.ext.Sketches.bloomBuild]]'s declarative build (`((a·g + b)
+    * % Mod) % bits`, word = pos/64; inputs and coefficients < Mod ≈
+    * 2^30, so the product never wraps). `g` is the [[sidecarKey]] value
+    * computed ENGINE-side and collected — the driver never re-derives
+    * xxhash64 for arbitrary key types. */
+  private def probeWords(bits: Long, words: Array[Long], g: Long): Boolean = {
+    var j = 0
+    var ok = true
+    while (ok && j < SidecarK) {
+      val pos = ((graft.ext.Sketches.bloomA(j) * g +
+        graft.ext.Sketches.bloomB(j)) % graft.ext.TextAnalysis.HashMod) % bits
+      ok = ((words((pos >> 6).toInt) >>> (pos & 63L).toInt) & 1L) == 1L
+      j += 1
+    }
+    ok
+  }
+
   def seenProbe(
       spark: SparkSession,
       table: String,
@@ -401,36 +420,50 @@ private[graft] object LedgerState {
       val incr = incrementsView(spark, table, exclude, idCol = ledgerIdCol)
       if (per.isEmpty) SeenProbe(lit(false), incr, incr)
       else {
-        def probe(bits: Long, words: Array[Long], c: Column): Column =
-          size(graft.ext.Sketches.bloomCandidates(
-            array(sidecarKey(c)), words, bits, SidecarK)) > 0
-        // the multi-MiB sidecar bitsets ride the task binary of any job
-        // whose plan references them — so the probes are evaluated in
-        // exactly ONE job (this aggregate), which also collects the
-        // HIT-KEY set (batch-bounded by construction: it is a subset of
-        // the batch's keys). The split predicate handed to callers is
-        // then a compact InSet over the hits — kilobytes in every
-        // downstream plan instead of the bitsets again.
-        val anyProbe = per.map { case (_, (bits, words)) =>
-          probe(bits, words, col(keyCol))
-        }.reduce(_ || _)
-        val aggs = per.zipWithIndex.map { case ((r, (bits, words)), i) =>
-          collect_set(when(probe(bits, words, col(keyCol)),
-            pmod(xxhash64(col(keyCol)), lit(r.k.toLong)))).as(s"_s$i")
-        } :+ collect_set(when(anyProbe, col(keyCol))).as("_hits")
-        val row = keys.agg(aggs.head, aggs.tail: _*).head()
+        // ONE narrow distinct-collect of the batch's keys + their
+        // sidecar/bucket hashes (batch-bounded by construction — the
+        // same cost class as the batchBuckets collect this replaces),
+        // probed ON THE DRIVER against the cached sidecars. The
+        // multi-MiB bitsets therefore never enter ANY task binary (an
+        // expression reference object rides the serialized plan of
+        // every job that evaluates it — the soak caught that as a
+        // per-fold cost growing with the run count), and no extra
+        // Spark job is spent: downstream plans see only a compact
+        // InSet over the hit keys and the per-run bucket prunes.
+        val rows = keys.select(col(keyCol).as("_k"),
+            sidecarKey(col(keyCol)).as("_g"),
+            xxhash64(col(keyCol)).as("_x"))
+          .distinct().collect()
+        val hitKeys = scala.collection.mutable.ArrayBuffer.empty[Any]
+        val runBuckets = Array.fill(per.size)(Set.newBuilder[Long])
+        rows.foreach { r =>
+          if (!r.isNullAt(0)) {
+            val g = r.getLong(1)
+            val x = r.getLong(2)
+            var any = false
+            var i = 0
+            while (i < per.size) {
+              val (run, (bits, words)) = per(i)
+              if (probeWords(bits, words, g)) {
+                any = true
+                runBuckets(i) += java.lang.Math.floorMod(x, run.k.toLong)
+              }
+              i += 1
+            }
+            if (any) hitKeys += r.get(0)
+          }
+        }
         val prunedRuns = per.zipWithIndex.flatMap { case ((r, _), i) =>
-          val bs = row.getSeq[Long](i).toSet
+          val bs = runBuckets(i).result()
           if (bs.isEmpty) None
           else Some(runDf(spark, table, r, Some(Map(r.k -> bs)), None))
         }
-        val hits = row.getSeq[Any](per.size)
-        // null-safe: a null key is not collectable into the hit set and
+        // null-safe: a null key never enters the hit set and
         // isInCollection(null) is null — coalesce sends it to the fresh
         // side, preserving the exact join's null semantics
         val mightSeen =
-          if (hits.isEmpty) lit(false)
-          else coalesce(col(keyCol).isInCollection(hits), lit(false))
+          if (hitKeys.isEmpty) lit(false)
+          else coalesce(col(keyCol).isInCollection(hitKeys.toSeq), lit(false))
         SeenProbe(mightSeen,
           (prunedRuns :+ incr).reduce(_.unionByName(_)), incr)
       }

@@ -1317,6 +1317,14 @@ object ScaleProbe {
       val late = med(times.slice(folds - 20, folds))
       println(f"curatedsoak early=$early%5.2f mid=$mid%5.2f late=$late%5.2f " +
         f"late/early=${late / early}%4.2f")
+      // per-segment medians (folds/8 each): the trend's SHAPE — a step
+      // at a merge fold vs a steady slope vs single-JVM age read very
+      // differently, and three summary medians can't tell them apart
+      val seg = math.max(folds / 8, 5)
+      val segs = times.grouped(seg).filter(_.size >= seg / 2).toSeq
+        .map(s => f"${med(s)}%4.2f")
+      println(s"curatedsoak segment medians (per $seg folds): " +
+        segs.mkString(" "))
       // the funnel must account every delivery across the whole soak
       val f = graft.streaming.StreamingCuratedPack.funnel(spark, path)
       f.orderBy("source").show(10, truncate = false)
