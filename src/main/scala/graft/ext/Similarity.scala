@@ -132,7 +132,6 @@ object Similarity {
       queries: DataFrame,
       k: Int,
       planes: Int = 48,
-      dim: Int = 64,
       expand: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
@@ -275,7 +274,6 @@ object Similarity {
   def lshBuckets(
       corpus: DataFrame,
       planes: Int = 8,
-      dim: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
     corpus.select(col(idCol), col(vecCol),
@@ -288,12 +286,11 @@ object Similarity {
       queries: DataFrame,
       k: Int,
       planes: Int = 8,
-      dim: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val cb = lshBuckets(corpus, planes, dim, idCol, vecCol)
+    val cb = lshBuckets(corpus, planes, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"), col("bucket"))
-    val qb = lshBuckets(queries, planes, dim, idCol, vecCol)
+    val qb = lshBuckets(queries, planes, idCol, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"), col("bucket"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -921,7 +918,6 @@ object Similarity {
       corpus: DataFrame,
       threshold: Double,
       planes: Int = 16,
-      dim: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       maxBucket: Int = 1000): DataFrame = {
@@ -932,7 +928,7 @@ object Similarity {
     // membership into one task just to drop it, the exact skew funnel
     // the cap exists to avoid (groupBy sizes aggregate map-side, as
     // overCapEmbeddingBuckets already does).
-    val buckets = lshBuckets(corpus, planes, dim, idCol, vecCol).persist()
+    val buckets = lshBuckets(corpus, planes, idCol, vecCol).persist()
     val over = buckets.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)
       .select("bucket")
@@ -1237,11 +1233,10 @@ object Similarity {
   def overCapEmbeddingBuckets(
       corpus: DataFrame,
       planes: Int = 16,
-      dim: Int = 64,
       maxBucket: Int = 1000,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
-    lshBuckets(corpus, planes, dim, idCol, vecCol)
+    lshBuckets(corpus, planes, idCol, vecCol)
       .groupBy("bucket")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)

@@ -75,7 +75,18 @@ object Sketches {
     * key cardinality — the membership analog of [[countMin]]: at 100 TB
     * the build is one map-side pass over the key side, and the probe is
     * pure per-row bit arithmetic with NO join against the key set. */
-  def bloomBuild(keys: DataFrame, keyCol: String, bits: Long, k: Int): DataFrame = {
+  def bloomBuild(keys: DataFrame, keyCol: String, bits: Long, k: Int): DataFrame =
+    bloomBuildCounted(keys, keyCol, bits, k).select(col("bloom"))
+
+  /** [[bloomBuild]] plus the input ROW COUNT riding the same
+    * aggregation — one row `(bloom, n_keys)` from ONE Spark job, for
+    * callers that need the count only to size a derived structure (the
+    * [[graft.streaming.LedgerState]] sidecars previously paid a
+    * separate count() job per run write). The count is exact for
+    * non-null keys: explode emits exactly `k` rows per input row, so
+    * `Σ per-word row counts / k` recovers the input cardinality
+    * (duplicates included, matching what a bare count() returned). */
+  def bloomBuildCounted(keys: DataFrame, keyCol: String, bits: Long, k: Int): DataFrame = {
     val posCol = pmod(
       element_at(typedlit((0 until k).map(bloomA)), (col("j") + 1).cast("int")) * col("key") +
         element_at(typedlit((0 until k).map(bloomB)), (col("j") + 1).cast("int")),
@@ -85,8 +96,9 @@ object Sketches {
         explode(sequence(lit(0), lit(k - 1))).as("j"))
       .select((posCol / 64L).cast("long").as("word"),
         call_function("shiftleft", lit(1L), (posCol % 64L).cast("int")).as("mask"))
-      .groupBy("word").agg(bit_or(col("mask")).as("wbits"))
-      .agg(map_from_entries(collect_list(struct(col("word"), col("wbits")))).as("bloom"))
+      .groupBy("word").agg(bit_or(col("mask")).as("wbits"), count(lit(1)).as("_c"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("wbits")))).as("bloom"),
+        (coalesce(sum(col("_c")), lit(0L)) / k).cast("long").as("n_keys"))
   }
 
   /** Membership probe against [[bloomBuild]]'s map column: true iff all k

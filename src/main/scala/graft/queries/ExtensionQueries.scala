@@ -1478,7 +1478,7 @@ object ExtensionQueries {
     "x80_srp_hamming" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.srpHammingTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
-          planes = SrpPlanes, dim = Dim, expand = TruncExpand)
+          planes = SrpPlanes, expand = TruncExpand)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), round(col("cosine"), 6).as("cosine_r"),
           col("hamming"))
@@ -1487,7 +1487,7 @@ object ExtensionQueries {
 
     // random-hyperplane LSH bucket assignment
     "x11_lsh_buckets" -> ((s, dir) =>
-      Similarity.lshBuckets(Tables.embeddings(s, dir), Planes, Dim)
+      Similarity.lshBuckets(Tables.embeddings(s, dir), Planes)
         .select(col("vec_id"), col("bucket"))
         .orderBy("vec_id")),
 
@@ -1495,7 +1495,7 @@ object ExtensionQueries {
     // + Hamming-1 multiprobe + exact cosine verify
     "x12_cosine_neardups" -> ((s, dir) =>
       Similarity.cosineNearDups(Tables.embeddings(s, dir), CosineThreshold,
-          CosinePlanes, Dim, maxBucket = CosineMaxBucket)
+          CosinePlanes, maxBucket = CosineMaxBucket)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
         .orderBy("id_a", "id_b")),
 

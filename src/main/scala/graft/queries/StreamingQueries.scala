@@ -1480,6 +1480,60 @@ object StreamingQueries {
         .select(col("epoch"), col("id").as("doc_id"), col("shard"),
           col("pos"), col("bin"), col("n_tokens"), col("arrival_batch"))
         .orderBy("epoch", "doc_id")
+    }),
+
+    // THE FULL PER-SOURCE MATRIX (x182): per-source budget schedules
+    // (x180's pins + fold-2 retarget) × a scheduled retirement (x178's
+    // src5/src11 at fold 2) × a MID-STREAM SOURCE ADDITION — 'src20'
+    // never arrives before fold 2 and admits against the epoch DEFAULT
+    // (a source needs no registration: absent from the budget map means
+    // default, absent from the retire schedule means live — the two
+    // fail-open/fail-loud conventions composing). A data owner runs all
+    // three at once; this row pins that the funnel's per-source
+    // attribution is the x178 retirement arithmetic and the x180 budget
+    // arithmetic SIMULTANEOUSLY, neither perturbing the other. Added
+    // docs are doc_id%10==3 texts re-delivered under fresh ids
+    // (+600000001) and the new source label, at fold 2 + (doc_id//10)%2
+    // — entirely inside epoch 1.
+    "x182_stream_matrix" -> ((s, dir) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val words = StreamingDecontaminate.bloomWords(
+        docs.filter(col("doc_id") % 97 === 0), n = 13,
+        bits = ExtensionQueries.BloomBits, k = ExtensionQueries.BloomK)
+      val base = docs.as[(Long, String, String)].collect().toSeq
+      val deliveries: Seq[(Long, (Long, String, String))] =
+        base.map(r => (r._1 % 16 / 4, r)) ++
+          base.collect { case (i, _, txt) if i % 10 == 3 =>
+            (2L + (i / 10) % 2, (i + 600000001L, "src20", txt))
+          }
+      val path = java.nio.file.Files.createTempDirectory("graft_x182_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_x182_ck_").toString
+      val input = MemoryStream[(Long, String, String)]
+      val q = graft.streaming.StreamingCuratedPack.attachPerSource(
+        input.toDF().toDF("doc_id", "source", "text"), path, words,
+        minScoreK = ExtensionQueries.CuratedMinScoreK,
+        quotaSchedule = Seq(
+          (0L, Map("src1" -> ExtensionQueries.PerSrcQ0Src1,
+            "src4" -> ExtensionQueries.PerSrcQ0Src4),
+            ExtensionQueries.CuratedQuota),
+          (2L, Map("src1" -> ExtensionQueries.PerSrcQ1Src1,
+            "src4" -> ExtensionQueries.PerSrcQ1Src4),
+            ExtensionQueries.CuratedRaisedQuota)),
+        seqLen = ExtensionQueries.PackSeqLen, numShards = 4,
+        bloomBits = ExtensionQueries.BloomBits,
+        bloomK = ExtensionQueries.BloomK,
+        retireSchedule = Map("src5" -> 2L, "src11" -> 2L))
+        .option("checkpointLocation", ckpt)
+        .start()
+      try (0L until 4L).foreach { b =>
+        input.addData(deliveries.filter(_._1 == b).map(_._2))
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.StreamingCuratedPack.funnel(s, path)
+        .orderBy("source")
     }))
 
   /** The x15 deterministic-recurrence centroids as KMeans.Centroid
@@ -2960,6 +3014,93 @@ object StreamingQueries {
          |    ON r.epoch = w.epoch AND r.shard = w.shard AND r.pos = w.pos + 1)
          |SELECT epoch, doc_id, shard, pos, bin, n_tokens, arrival_batch
          |FROM walk ORDER BY epoch, doc_id""".stripMargin
+    },
+
+    // x182: the full matrix funnel in closed form — x178's retirement
+    // predicate AND x180's per-(source, epoch) budget windows over a
+    // delivery set widened by the added source (doc_id%10==3 texts
+    // under fresh ids +600000001 and label src20, arriving at fold
+    // 2 + (doc_id//10)%2 — epoch 1 only, admitted against the epoch
+    // default). Contamination and quality join on the ORIGINAL id (the
+    // text is verbatim), everything downstream treats the added rows as
+    // first-class arrivals.
+    "x182_stream_matrix" -> {
+      val aL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomA).mkString("[", ",", "]")
+      val bL = (0 until ExtensionQueries.BloomK)
+        .map(graft.ext.Sketches.bloomB).mkString("[", ",", "]")
+      val mod = ExtensionQueries.Mod
+      val bits = ExtensionQueries.BloomBits
+      val k = ExtensionQueries.BloomK
+      val budget =
+        s"""CASE WHEN epoch = 0 THEN
+           |      CASE source WHEN 'src1' THEN ${ExtensionQueries.PerSrcQ0Src1}
+           |        WHEN 'src4' THEN ${ExtensionQueries.PerSrcQ0Src4}
+           |        ELSE ${ExtensionQueries.CuratedQuota} END
+           |    ELSE
+           |      CASE source WHEN 'src1' THEN ${ExtensionQueries.PerSrcQ1Src1}
+           |        WHEN 'src4' THEN ${ExtensionQueries.PerSrcQ1Src4}
+           |        ELSE ${ExtensionQueries.CuratedRaisedQuota} END
+           |    END""".stripMargin
+      s"""WITH ${ExtensionQueries.sqlShnCte(13)},
+         |bpos AS (SELECT DISTINCT (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits AS pos
+         |  FROM bg CROSS JOIN range(0, $k) r(j)),
+         |cp AS (SELECT doc_id, h, unnest(list_transform(range(0, $k),
+         |    j -> (($aL[j+1] * h + $bL[j+1]) % $mod) % $bits)) AS pos FROM cg),
+         |cand AS (SELECT doc_id, h FROM cp JOIN bpos USING (pos)
+         |  GROUP BY 1, 2 HAVING count(*) = $k),
+         |cont AS (SELECT DISTINCT doc_id FROM cand),
+         |${ExtensionQueries.sqlQualityCtes},
+         |q0 AS (SELECT doc_id,
+         |    CAST(round((${ExtensionQueries.sqlQualityScore}) * 1000000, 0)
+         |      AS BIGINT) AS score_k
+         |  FROM g),
+         |uni AS (SELECT doc_id, doc_id AS oid, source,
+         |    CAST((doc_id % 16) // 4 AS BIGINT) AS ab
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 600000001, doc_id, 'src20',
+         |    CAST(2 + (doc_id // 10) % 2 AS BIGINT)
+         |  FROM documents WHERE doc_id % 10 = 3),
+         |fl AS (SELECT u.doc_id, u.source, u.ab,
+         |    CAST(CASE WHEN u.ab < 2 THEN 0 ELSE 1 END AS BIGINT) AS epoch,
+         |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    cont.doc_id IS NULL AS cl,
+         |    cont.doc_id IS NULL
+         |      AND q0.score_k >= ${ExtensionQueries.CuratedMinScoreK} AS qk,
+         |    u.source IN ('src5', 'src11') AND u.ab >= 2 AS ret
+         |  FROM uni u
+         |  JOIN documents d ON d.doc_id = u.oid
+         |  JOIN q0 ON q0.doc_id = u.oid
+         |  LEFT JOIN cont ON cont.doc_id = u.oid),
+         |ca AS (SELECT doc_id,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source, epoch
+         |      ORDER BY ab, doc_id) AS BIGINT) AS src_cum,
+         |    ($budget) AS budget
+         |  FROM fl WHERE qk AND NOT ret)
+         |SELECT fl.source,
+         |  CAST(count(*) AS BIGINT) AS n_arrived,
+         |  CAST(sum(CASE WHEN fl.cl THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         |  CAST(sum(CASE WHEN fl.qk THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_quality_ok,
+         |  CAST(sum(CASE WHEN fl.qk AND fl.ret THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_retired,
+         |  CAST(0 AS BIGINT) AS n_dup_content,
+         |  CAST(0 AS BIGINT) AS n_neardup,
+         |  CAST(0 AS BIGINT) AS n_semdup,
+         |  CAST(0 AS BIGINT) AS n_rearrived,
+         |  CAST(sum(CASE WHEN fl.qk AND NOT fl.ret
+         |      AND ca.src_cum <= ca.budget
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+         |  CAST(sum(CASE WHEN fl.qk AND NOT fl.ret
+         |      AND ca.src_cum > ca.budget
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_quota_rejected,
+         |  CAST(sum(CASE WHEN fl.qk AND NOT fl.ret
+         |      AND ca.src_cum <= ca.budget
+         |    THEN fl.n_tokens ELSE 0 END) AS BIGINT) AS tokens_admitted
+         |FROM fl LEFT JOIN ca ON ca.doc_id = fl.doc_id
+         |GROUP BY fl.source ORDER BY fl.source""".stripMargin
     },
 
     // x169: x160's per-prefix replay with the added source's

@@ -302,14 +302,39 @@ private[graft] object LedgerState {
   /** Per-run sidecar cache: a MARKED run is immutable (replay rewrites
     * the identical bytes under the identical name), so its Bloom never
     * changes and re-reading it every fold would dominate the fast path
-    * (≤ cap/8 bytes × runs × gates per fold). Bounded by total retained
-    * words — on overflow the whole cache drops and rebuilds from disk
-    * (runs re-read once); GC'd runs leave stale-but-never-queried
-    * entries that the same bound reclaims. */
+    * (≤ cap/8 bytes × runs × gates per fold). LRU by access with an
+    * exact word budget: eviction drops the least-recently-probed runs
+    * one at a time (a many-table deployment near the bound evicts cold
+    * tables' runs, not everything), and GC'd runs' stale entries age
+    * out the same way. All access is driver-side and per-fold-rare, so
+    * one lock is cheaper than lock-free accounting that can drift
+    * (put-racing-put double-counted words and forced premature whole-
+    * cache flushes). */
   private val sidecarCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[Long])]()
-  private val sidecarCacheWords = new java.util.concurrent.atomic.AtomicLong
+    new java.util.LinkedHashMap[String, (Long, Array[Long])](64, 0.75f, true)
+  private var sidecarCacheWords = 0L
   private val SidecarCacheMaxWords = 32L << 20 // 256 MiB of bitsets
+
+  private def sidecarCacheGet(k: String): Option[(Long, Array[Long])] =
+    sidecarCache.synchronized(Option(sidecarCache.get(k)))
+
+  private def sidecarCachePut(k: String, v: (Long, Array[Long])): Unit =
+    sidecarCache.synchronized {
+      val prev = sidecarCache.put(k, v)
+      sidecarCacheWords += v._2.length.toLong -
+        (if (prev != null) prev._2.length.toLong else 0L)
+      val it = sidecarCache.entrySet().iterator()
+      // evict eldest-by-access first, never the entry just inserted (a
+      // single over-budget entry stays — the cache must hold at least
+      // the run being probed)
+      while (sidecarCacheWords > SidecarCacheMaxWords && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != k) {
+          sidecarCacheWords -= e.getValue._2.length.toLong
+          it.remove()
+        }
+      }
+    }
 
   /** Every live run's own sidecar, in antichain order. `None` when any
     * live run lacks a readable one (pre-sidecar layout, GC race) —
@@ -325,7 +350,7 @@ private[graft] object LedgerState {
       val (f, p) = fs(spark, table)
       val per = live.map { r =>
         val ck = s"$table/${r.dirName}"
-        Option(sidecarCache.get(ck)).orElse {
+        sidecarCacheGet(ck).orElse {
           val read = scala.util.Try {
             f.listStatus(new org.apache.hadoop.fs.Path(p, r.dirName))
               .collectFirst {
@@ -339,15 +364,7 @@ private[graft] object LedgerState {
                   (bits, words)
               }
           }.toOption.flatten
-          read.foreach { v =>
-            if (sidecarCacheWords.addAndGet(v._2.length.toLong)
-                > SidecarCacheMaxWords) {
-              sidecarCache.clear()
-              sidecarCacheWords.set(v._2.length.toLong)
-            }
-            sidecarCache.put(ck, v)
-            ()
-          }
+          read.foreach(sidecarCachePut(ck, _))
           read
         }.map(r -> _)
       }
@@ -389,7 +406,8 @@ private[graft] object LedgerState {
 
   /** [[SeenProbe]] for `keys` (a one-column batch frame under `keyCol`)
     * against `table`'s ledger — `None` when a live run lacks a sidecar
-    * (callers fall back to the exact pruned scan). */
+    * OR more than [[SeenProbeMaxHitKeys]] keys hit one (callers fall
+    * back to the exact pruned scan in both cases). */
   /** Driver-side mirror of the sidecar probe — BIT-IDENTICAL position
     * math to [[graft.functions.BloomCandidates.screen]] and to
     * [[graft.ext.Sketches.bloomBuild]]'s declarative build (`((a·g + b)
@@ -409,6 +427,36 @@ private[graft] object LedgerState {
     ok
   }
 
+  /** Hit-key ceiling for the freshness split: `mightSeen` embeds the
+    * hitting keys as an `isInCollection` literal, which rides the
+    * serialized plan of EVERY downstream job in the fold — compact when
+    * re-arrivals are the steady-state exception, but on a re-arrival-
+    * heavy batch (the band gate emits ~grid×bands keys and near-dup-
+    * heavy streams are that gate's normal case) the hit set approaches
+    * the full batch key set and the InSet re-creates the per-fold
+    * plan-bloat the sidecars were built to remove. Past the cap the
+    * probe reports `None` and callers take the exact bucket-pruned scan
+    * — the right plan anyway when most keys must consult the ledger
+    * (the split's fresh side would be near-empty). 4096 longs ≈ 32 KB
+    * serialized; string keys a few ×. */
+  val SeenProbeMaxHitKeys = 4096
+
+  /** Profiling counters for the DRIVER-side probe loop (the bitset
+    * walk between the collect job and the plan build): cumulative
+    * nanos and probed (key × live-run) pairs. The loop is O(batch keys
+    * × live runs) — bounded per fold, but the run count grows
+    * logarithmically with stream life, so tools
+    * ([[graft.tools.ScaleProbe]] drainprofile/probedepth) read deltas
+    * of these to pin the probe's absolute cost at depth. Never read on
+    * a hot path. */
+  private[graft] val probeNanos = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val probePairs = new java.util.concurrent.atomic.AtomicLong
+
+  /** Sidecar cache occupancy `(entries, words)` — tools/specs assert
+    * the cache stays within its word budget at run-count depth. */
+  private[graft] def sidecarCacheStats: (Int, Long) =
+    sidecarCache.synchronized((sidecarCache.size, sidecarCacheWords))
+
   def seenProbe(
       spark: SparkSession,
       table: String,
@@ -416,9 +464,9 @@ private[graft] object LedgerState {
       keys: DataFrame,
       keyCol: String,
       ledgerIdCol: String = "id"): Option[SeenProbe] =
-    runSidecars(spark, table, exclude).map { per =>
+    runSidecars(spark, table, exclude).flatMap { per =>
       val incr = incrementsView(spark, table, exclude, idCol = ledgerIdCol)
-      if (per.isEmpty) SeenProbe(lit(false), incr, incr)
+      if (per.isEmpty) Some(SeenProbe(lit(false), incr, incr))
       else {
         // ONE narrow distinct-collect of the batch's keys + their
         // sidecar/bucket hashes (batch-bounded by construction — the
@@ -434,6 +482,7 @@ private[graft] object LedgerState {
             sidecarKey(col(keyCol)).as("_g"),
             xxhash64(col(keyCol)).as("_x"))
           .distinct().collect()
+        val probeT0 = System.nanoTime()
         val hitKeys = scala.collection.mutable.ArrayBuffer.empty[Any]
         val runBuckets = Array.fill(per.size)(Set.newBuilder[Long])
         rows.foreach { r =>
@@ -453,19 +502,24 @@ private[graft] object LedgerState {
             if (any) hitKeys += r.get(0)
           }
         }
-        val prunedRuns = per.zipWithIndex.flatMap { case ((r, _), i) =>
-          val bs = runBuckets(i).result()
-          if (bs.isEmpty) None
-          else Some(runDf(spark, table, r, Some(Map(r.k -> bs)), None))
+        probeNanos.addAndGet(System.nanoTime() - probeT0)
+        probePairs.addAndGet(rows.length.toLong * per.size)
+        if (hitKeys.size > SeenProbeMaxHitKeys) None
+        else {
+          val prunedRuns = per.zipWithIndex.flatMap { case ((r, _), i) =>
+            val bs = runBuckets(i).result()
+            if (bs.isEmpty) None
+            else Some(runDf(spark, table, r, Some(Map(r.k -> bs)), None))
+          }
+          // null-safe: a null key never enters the hit set and
+          // isInCollection(null) is null — coalesce sends it to the fresh
+          // side, preserving the exact join's null semantics
+          val mightSeen =
+            if (hitKeys.isEmpty) lit(false)
+            else coalesce(col(keyCol).isInCollection(hitKeys.toSeq), lit(false))
+          Some(SeenProbe(mightSeen,
+            (prunedRuns :+ incr).reduce(_.unionByName(_)), incr))
         }
-        // null-safe: a null key never enters the hit set and
-        // isInCollection(null) is null — coalesce sends it to the fresh
-        // side, preserving the exact join's null semantics
-        val mightSeen =
-          if (hitKeys.isEmpty) lit(false)
-          else coalesce(col(keyCol).isInCollection(hitKeys.toSeq), lit(false))
-        SeenProbe(mightSeen,
-          (prunedRuns :+ incr).reduce(_.unionByName(_)), incr)
       }
     }
 
@@ -652,8 +706,11 @@ private[graft] object LedgerState {
       graceFolds: Int = -1,
       sidecarMaxBits: Long = 1L << 26): Unit = {
     require(bucketK >= 1, s"bucketK=$bucketK must be positive")
-    require(sidecarMaxBits >= 1024 && (sidecarMaxBits & 63) == 0,
-      s"sidecarMaxBits=$sidecarMaxBits must be a 64-aligned size ≥ 1024")
+    require(sidecarMaxBits >= 1024 &&
+        (sidecarMaxBits & (sidecarMaxBits - 1)) == 0,
+      s"sidecarMaxBits=$sidecarMaxBits must be a power of two ≥ 1024 — " +
+        "the one-job sidecar build folds the cap-sized sparse map down " +
+        "to the sized bitset, which is exact only when bits divides the cap")
     require(compactEvery >= 2, s"compactEvery=$compactEvery below 2 would " +
       "compact every fold — pure write amplification")
     require(fanout >= 2, s"fanout=$fanout below 2 cannot merge")
@@ -709,15 +766,25 @@ private[graft] object LedgerState {
       // kept-key Bloom sidecar, written BEFORE the marker so every
       // MARKED run carries one (the marker stays the single commit
       // point; a crash between the two leaves an unmarked, invisible
-      // torso). Built from a read-back of the just-written run — a
-      // column-pruned scan of one key column; the count() is
-      // metadata-only on parquet. The parquet overwrite above wiped
-      // any prior attempt's sidecar/marker, so replay is idempotent.
+      // torso). Built from a read-back of the just-written run — ONE
+      // aggregate job over a column-pruned scan of one key column: the
+      // sparse word map is built at the CAP size with the row count
+      // riding the same aggregation, then folded down to the sized
+      // bitset on the driver. The fold is BIT-IDENTICAL to a direct
+      // build at `bits`: positions are `x % cap` on the build side and
+      // `x % bits` on the probe side, and with both powers of two and
+      // bits | cap, (x % cap) % bits == x % bits — word-aligned since
+      // 64 | bits, so folding is a word-block OR (spec'd in
+      // SketchesSpec). The parquet overwrite above wiped any prior
+      // attempt's sidecar/marker, so replay is idempotent.
       val keys = spark.read.parquet(s"$table/${r.dirName}")
         .select(sidecarKey(col(idCol)).as("key"))
-      val bits = bitsFor(keys.count(), sidecarMaxBits)
-      val words = graft.ext.Sketches.bloomDenseWords(
-        graft.ext.Sketches.bloomBuild(keys, "key", bits, SidecarK), bits)
+      val built = graft.ext.Sketches
+        .bloomBuildCounted(keys, "key", sidecarMaxBits, SidecarK).head()
+      val sparse = built.getMap[Long, Long](0)
+      val bits = bitsFor(built.getLong(1), sidecarMaxBits)
+      val words = new Array[Long]((bits / 64).toInt)
+      sparse.foreach { case (w, v) => words((w % words.length).toInt) |= v }
       val sOut = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
         f.create(new org.apache.hadoop.fs.Path(
           s"$table/${r.dirName}/$SidecarPrefix$bits"), true)))

@@ -116,12 +116,13 @@ object StreamingBudgetAdmission {
       // bucket-pruned ledger read — never the whole history tree.
       val batchDocs = batch.groupBy(col(idCol))
         .agg(min(col(groupCol)).as(groupCol), min(col(tokCol)).as(tokCol))
-      val dedup =
+      val cuts = new StageCuts(spark, Some(s"$path/_stage"))
+      try {
+      val dedup = cuts.track(
         if (hasState)
           LedgerState.antiJoinSeen(spark, s"$path/verdicts", batchId,
-            batchDocs, idCol).persist()
-        else batchDocs.persist()
-      val cuts = new StageCuts(spark)
+            batchDocs, idCol)
+        else batchDocs)
       if (!dedup.isEmpty) {
         // latest PRIOR totals partition: dimension-sized (one row per
         // source); the max-batch probe is a control-plane scalar over
@@ -174,8 +175,10 @@ object StreamingBudgetAdmission {
         LedgerState.maintain(spark, s"$path/verdicts", batchId,
           bucketK = bucketK, compactEvery = compactEvery)
       }
-      dedup.unpersist(blocking = false)
-      cuts.release()
+      // release in `finally`: a throwing fold must not leak its tracked
+      // blocks to the ContextCleaner (a retry-wrapped deployment keeps
+      // the JVM alive across fold failures)
+      } finally cuts.release()
       ()
     }
   }

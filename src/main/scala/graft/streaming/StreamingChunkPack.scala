@@ -76,12 +76,13 @@ object StreamingGreedyPack {
         .select(col(idCol), col("_rep.shard").as("shard"),
           col("_rep.tokens").as("tokens"))
         .filter(col("tokens") > 0L)
-      val dedup =
+      val cuts = new StageCuts(spark, Some(s"$path/_stage"))
+      try {
+      val dedup = cuts.track(
         if (hasState)
           LedgerState.antiJoinSeen(spark, s"$path/bins", batchId,
-            batchDocs, idCol).persist()
-        else batchDocs.persist()
-      val cuts = new StageCuts(spark)
+            batchDocs, idCol)
+        else batchDocs)
       if (!dedup.isEmpty) {
         val priors: Map[Long, (Long, Long, Long)] =
           if (hasState && StreamState.exists(spark, s"$path/totals")) {
@@ -146,8 +147,10 @@ object StreamingGreedyPack {
         LedgerState.maintain(spark, s"$path/bins", batchId,
           bucketK = bucketK, compactEvery = compactEvery)
       }
-      dedup.unpersist(blocking = false)
-      cuts.release()
+      // release in `finally`: a throwing fold must not leak its tracked
+      // blocks to the ContextCleaner (a retry-wrapped deployment keeps
+      // the JVM alive across fold failures)
+      } finally cuts.release()
       ()
     }
   }
@@ -254,12 +257,13 @@ object StreamingChunkPack {
         .select(col(idCol), col("_rep.shard").as("shard"),
           col("_rep.tokens").as("tokens"))
         .filter(col("tokens") > 0L)
-      val dedup =
+      val cuts = new StageCuts(spark, Some(s"$path/_stage"))
+      try {
+      val dedup = cuts.track(
         if (hasState)
           LedgerState.antiJoinSeen(spark, s"$path/frags", batchId,
-            batchDocs, idCol).persist()
-        else batchDocs.persist()
-      val cuts = new StageCuts(spark)
+            batchDocs, idCol)
+        else batchDocs)
       if (!dedup.isEmpty) {
         // latest PRIOR totals partition: one row per shard ever seen
         val priors: DataFrame =
@@ -314,8 +318,10 @@ object StreamingChunkPack {
         LedgerState.maintain(spark, s"$path/frags", batchId,
           bucketK = bucketK, compactEvery = compactEvery)
       }
-      dedup.unpersist(blocking = false)
-      cuts.release()
+      // release in `finally`: a throwing fold must not leak its tracked
+      // blocks to the ContextCleaner (a retry-wrapped deployment keeps
+      // the JVM alive across fold failures)
+      } finally cuts.release()
       ()
     }
   }

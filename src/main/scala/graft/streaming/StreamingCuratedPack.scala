@@ -478,6 +478,49 @@ object StreamingCuratedPack {
       dedupExact, dedupNear, dedupSem, semThreshold, semPlanes,
       semMaxBucket, vecCol, retireSchedule)
 
+  /** Once-per-JVM warning guard for [[checkSemThreshold]]. */
+  private val warnedSemMeta =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Semantic-threshold PROVENANCE: the gate's verdicts depend on
+    * `semThreshold`, so a stream resuming over sem state built under a
+    * DIFFERENT threshold applies a different collision rule than the
+    * one that built the kept set — reachable by default-drift alone
+    * since the default moved 0.30 → [[graft.ext.Similarity
+    * .SemThresholdDefault]] (0.85) in r18 (docs that collided at 0.30
+    * now pass). The first fold writes `_THRESHOLD` next to the sem
+    * ledger (parquet ignores `_`-files); later folds compare and WARN
+    * once per JVM on mismatch, keeping the ORIGINAL value in place (it
+    * records what built the ledger). Pre-provenance state (no meta)
+    * adopts the current threshold — nothing to compare against. The
+    * check never alters results; callers who meant the change ignore
+    * the warning, the rest re-plan or pass the original threshold. */
+  private def checkSemThreshold(
+      spark: SparkSession, tbl: String, threshold: Double): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$tbl/_THRESHOLD")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val prev =
+        try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+      if (scala.util.Try(prev.toDouble).toOption
+            .exists(d => math.abs(d - threshold) > 1e-9) &&
+          warnedSemMeta.add(tbl))
+        System.err.println(
+          s"[graft] WARNING: sem ledger $tbl was built under " +
+            s"semThreshold=$prev but this stream resumes with " +
+            s"semThreshold=$threshold — the semantic gate now applies a " +
+            "different collision rule than the one that built the kept " +
+            "set. Pass the original threshold, or re-plan into a fresh " +
+            "state path if the change is intentional.")
+    } else {
+      val out = fs.create(p, true)
+      try out.write(threshold.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
   private def foldImpl(
       batch: DataFrame,
       batchId: Long,
@@ -549,23 +592,25 @@ object StreamingCuratedPack {
       val uniqCols = Seq(col(idCol).as("id"), col("_rep.grp").as("source"),
         col("_rep.txt").as("text")) ++
         (if (dedupSem) Seq(col("_rep.vec").as("vec")) else Nil)
-      val uniq = batch.groupBy(col(idCol))
+      // cuts(...) on every deep stage output below: the composed fold
+      // issues ~15 actions, and with a full dedup stack each action's
+      // plan would carry the bloom probe + quality + fingerprint +
+      // MinHash + SRP expression trees through Catalyst analysis AGAIN
+      // (persist caches data, not analysis — measured ~50 s/run
+      // driver-side on x177, more than its Spark job time). On local
+      // masters the cut is an eager localCheckpoint (flat downstream
+      // plans); on a CLUSTER it is a durable parquet cut into the
+      // fold's `_stage` scratch — lineage-free AND loss-recoverable
+      // (the mode table lives on [[StageCuts]]). The whole fold body
+      // runs under try/finally so a throwing fold releases its tracked
+      // blocks and scratch deterministically.
+      val cuts = new StageCuts(spark, Some(s"$path/_stage"))
+      try {
+      val uniq = cuts.track(batch.groupBy(col(idCol))
         .agg(min(struct(repFields: _*)).as("_rep"))
-        .select(uniqCols: _*)
-        .persist()
+        .select(uniqCols: _*))
       // stage 1: the Bloom screen (stateless literal probe; zero false
       // negatives — no benchmark n-gram run slips through).
-      // cuts(...) on this and every deep stage output below: the
-      // composed fold issues ~15 actions, and with a full dedup stack
-      // each action's plan would carry the bloom probe + quality +
-      // fingerprint + MinHash + SRP expression trees through Catalyst
-      // analysis AGAIN (persist caches data, not analysis — measured
-      // ~50 s/run driver-side on x177, more than its Spark job time).
-      // On local masters the cut is an eager localCheckpoint (flat
-      // downstream plans); on a CLUSTER it falls back to persist —
-      // lineage intact so executor loss retries instead of killing the
-      // stream (the cluster caveat lives on [[StageCuts]]).
-      val cuts = new StageCuts(spark)
       val clean = cuts(StreamingDecontaminate.withBloomHits(
           uniq, bloomWords, ngram, bloomBits, bloomK, "text")
         .filter(col("n_bloom_hits") === 0L))
@@ -756,8 +801,8 @@ object StreamingCuratedPack {
               }
               gated.join(hit, Seq("id"), "left_anti")
             }
-          val svSigs = sigs.join(surv.select("id"), Seq("id"), "left_semi")
-            .persist()
+          val svSigs = cuts.track(
+            sigs.join(surv.select("id"), Seq("id"), "left_semi"))
           val overB = svSigs.groupBy(col("sig").as("bucket"))
             .agg(count(lit(1)).as("_c"))
             .filter(col("_c") > semMaxBucket).select("bucket")
@@ -776,7 +821,7 @@ object StreamingCuratedPack {
             .write.mode("overwrite").parquet(s"$tbl/batch=$batchId")
           LedgerState.maintain(spark, tbl, batchId, idCol = "bucket",
             bucketK = bucketK, compactEvery = compactEvery)
-          svSigs.unpersist(blocking = false)
+          checkSemThreshold(spark, tbl, semThreshold)
           kept
         }
       // stage 2.8 (epoch'd schedules only): drop ids verdicted by ANY
@@ -805,9 +850,8 @@ object StreamingCuratedPack {
       val verdDir = s"$admPath/verdicts/batch=$batchId"
       val newVerdicts =
         if (StreamState.exists(spark, verdDir))
-          spark.read.parquet(verdDir)
-            .select(col("id"), col("group"), col("tokens"), col("admitted"))
-            .persist()
+          cuts.track(spark.read.parquet(verdDir)
+            .select(col("id"), col("group"), col("tokens"), col("admitted")))
         else null
       if (newVerdicts != null) {
         val admitted = newVerdicts.filter(col("admitted"))
@@ -906,9 +950,10 @@ object StreamingCuratedPack {
             sum(col("tokens_admitted")).as("tokens_admitted"))
       funnel.write.mode("overwrite").parquet(s"$path/funnel/batch=$batchId")
       StreamState.pruneGenerations(spark, s"$path/funnel", retainGenerations)
-      if (newVerdicts != null) newVerdicts.unpersist(blocking = false)
-      uniq.unpersist(blocking = false)
-      cuts.release()
+      // release in `finally`: a throwing fold must not leak its tracked
+      // blocks to the ContextCleaner (a retry-wrapped deployment keeps
+      // the JVM alive across fold failures)
+      } finally cuts.release()
       ()
     }
   }

@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * The cluster posture of the composed fold's stage cuts, measured on a
+ * `local-cluster[N,C,MEM]` master — real separate-process executors,
+ * where `localCheckpoint` is GENUINELY unsafe (an executor loss drops
+ * single-replica blocks with the lineage gone) and the r18 engine fell
+ * back to `persist()`, re-paying the per-action Catalyst re-analysis
+ * the local cut was built to kill (~50 s/fold measured on the full
+ * dedup stack — the r18 verdict's lead item).
+ *
+ * Modes (arg 1): `durable` (the r19 [[graft.streaming.StageCuts]]
+ * parquet cut into the fold's `_stage` scratch — lineage-free AND
+ * loss-recoverable) vs `cache` (the r18 persist fallback). Arg 2 =
+ * master (default `local-cluster[2,2,2048]`; pass `local[8]` for the
+ * single-JVM baseline). Runs `folds` composed folds (fp+band+sem all
+ * on — the x177 shape) and prints per-fold walls + a bit-exactness
+ * hash of the fragments tape so the two modes are provably computing
+ * the same stream.
+ */
+object ClusterCutProbe {
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("durable")
+    val master = args.drop(1).headOption.getOrElse("local-cluster[2,2,2048]")
+    val folds = sys.env.getOrElse("SPARK_GRAFT_CUT_FOLDS", "12").toInt
+    val b = SparkSession.builder()
+      .master(master)
+      .appName(s"graft-clustercut-$mode")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.executor.memory", "1536m")
+    // local-cluster executors are separate JVMs launched from
+    // SPARK_HOME: they need the graft classes shipped as a jar
+    // (`sbt package` + SPARK_GRAFT_JAR=target/scala-2.13/<jar>)
+    val spark = sys.env.get("SPARK_GRAFT_JAR")
+      .fold(b)(j => b.config("spark.jars", j)).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // the curatedsoak fixture shape (globally unique tokens, mixed
+    // planted duplicates) at 200 docs/fold
+    def text(seed: Long): String =
+      (0 until 30).map(k => s"w${seed}t$k").mkString(" ")
+    def mix(a: Long, b: Long): Long = {
+      var v = a * 2654435761L + b * -7046029254386353131L
+      v ^= (v >>> 33); v *= -49064778989728563L
+      v ^= (v >>> 33); v
+    }
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(64) { d =>
+        (java.lang.Math.floorMod(mix(seed, d.toLong), 97L) - 48L) / 48.0f
+      }
+    def freshBack(id: Long): Long = {
+      val bk = id - 1000L
+      if (bk % 10 == 3 || bk % 10 == 7) bk - 1 else bk
+    }
+    def mkRows(b: Long): Seq[(Long, String, String, Array[Float])] =
+      (0 until 200).map { j =>
+        val id = b * 200 + j
+        if (b > 5 && j % 10 == 7) {
+          val k = freshBack(id); (id, s"src${j % 8}", text(k), vec(k))
+        } else if (b > 5 && j % 10 == 3) {
+          val k = freshBack(id); (id, s"src${j % 8}", text(id), vec(k))
+        } else (id, s"src${j % 8}", text(id), vec(id))
+      }
+
+    val path = java.nio.file.Files
+      .createTempDirectory(s"graft_cut_$mode").toString
+    val words = graft.streaming.StreamingDecontaminate.bloomWords(
+      Seq((0L, "benchmarkonlyrun alpha beta gamma delta epsilon zeta " +
+        "eta theta iota kappa lambda mu nu")).toDF("doc_id", "text"))
+    sys.props.put("graft.stagecuts.force", mode)
+    val times = (0 until folds).map { b =>
+      val rows = mkRows(b.toLong).toDF("doc_id", "source", "text", "embedding")
+      val t0 = System.nanoTime()
+      graft.streaming.StreamingCuratedPack.foldBatch(
+        rows, b.toLong, path, words, minScoreK = 0L, quota = 1000000000L,
+        seqLen = 256L, numShards = 4, bucketK = 16, compactEvery = 16,
+        dedupExact = true, dedupNear = true, dedupSem = true,
+        semThreshold = 0.85)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"clustercut mode=$mode%-7s fold=$b%3d wall=$dt%6.2f")
+      dt
+    }
+    def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+    // bit-exactness witness: the packed tape + funnel must not depend on
+    // the cut mode or the master
+    val frag = graft.streaming.StreamingCuratedPack
+      .fragments(spark, path)
+      .select(concat_ws("|", col("id"), col("shard"), col("pos"),
+        col("seq"), col("frag_start"), col("frag_len"), col("doc_off")))
+      .as[String].collect().sorted
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(frag.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    println(f"clustercut mode=$mode%-7s master=$master folds=$folds " +
+      f"median=${med(times)}%6.2f total=${times.sum}%7.2f " +
+      f"frags=${frag.length} hash=$digest")
+    spark.stop()
+  }
+}

@@ -650,14 +650,21 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
         run() // warm-up
         jobs.set(0); jobNanos.set(0); sites.clear(); siteNanos.clear()
+        val pn0 = graft.streaming.LedgerState.probeNanos.get
+        val pp0 = graft.streaming.LedgerState.probePairs.get
         spark.sparkContext.addSparkListener(l)
         val t0 = System.nanoTime()
         run()
         val wall = (System.nanoTime() - t0) / 1e9
         spark.sparkContext.removeSparkListener(l)
+        // sidecar-probe DRIVER loop: (key × live-run) pairs walked and
+        // the nanos spent between the collect and the plan build — the
+        // O(batch × runs) term the run count grows (logarithmically)
         println(f"drainprofile $q%-28s jobs=${jobs.get}%4d " +
           f"jobtime=${jobNanos.get / 1e9}%6.2f wall=$wall%6.2f " +
-          f"ms/job=${wall * 1000 / math.max(jobs.get, 1)}%6.1f")
+          f"ms/job=${wall * 1000 / math.max(jobs.get, 1)}%6.1f " +
+          f"probe_pairs=${graft.streaming.LedgerState.probePairs.get - pp0}%7d " +
+          f"probe_ms=${(graft.streaming.LedgerState.probeNanos.get - pn0) / 1e6}%7.2f")
         import scala.jdk.CollectionConverters._
         sites.asScala.toSeq.sortBy(-_._2).take(12).foreach { case (s, n) =>
           val secs = Option(siteNanos.get(s)).map(_.longValue / 1e9).getOrElse(0.0)
@@ -1240,6 +1247,15 @@ object ScaleProbe {
     if (on("curatedsoak")) {
       import spark.implicits._
       val folds = sys.env.getOrElse("SPARK_GRAFT_SOAK_FOLDS", "120").toInt
+      // SPARK_GRAFT_SOAK_GATES=off: the ATTRIBUTION variant — fp/band/
+      // sem all disabled, leaving the pure fold floor (bloom screen +
+      // quality + quota + pack + funnel). Subtracting this soak's
+      // early/mid/late from the gates-on run isolates what the gates'
+      // control plane contributes to the residual late/early slope vs
+      // what is single-JVM age + per-fold action constants (the r18
+      // open question: the data-read term is pinned flat structurally,
+      // the residual was attributed but not isolated).
+      val gatesOn = sys.env.getOrElse("SPARK_GRAFT_SOAK_GATES", "on") != "off"
       // the early/mid/late medians below index fixed 20-fold windows
       // (10..30, mid±10, last 20); fewer than 40 folds would slice them
       // empty (IndexOutOfBounds) or overlapping (misleading medians)
@@ -1300,7 +1316,7 @@ object ScaleProbe {
         graft.streaming.StreamingCuratedPack.foldBatch(
           rows, b.toLong, path, words, minScoreK = 0L, quota = 1000000000L,
           seqLen = 256L, numShards = 4, bucketK = 16, compactEvery = 16,
-          dedupExact = true, dedupNear = true, dedupSem = true,
+          dedupExact = gatesOn, dedupNear = gatesOn, dedupSem = gatesOn,
           semThreshold = 0.85)
         val dt = (System.nanoTime() - t0) / 1e9
         if (marks.contains(b + 1)) {
@@ -1315,7 +1331,8 @@ object ScaleProbe {
       val early = med(times.slice(10, 30))
       val mid = med(times.slice(folds / 2 - 10, folds / 2 + 10))
       val late = med(times.slice(folds - 20, folds))
-      println(f"curatedsoak early=$early%5.2f mid=$mid%5.2f late=$late%5.2f " +
+      println(f"curatedsoak gates=${if (gatesOn) "on" else "OFF"} " +
+        f"early=$early%5.2f mid=$mid%5.2f late=$late%5.2f " +
         f"late/early=${late / early}%4.2f")
       // per-segment medians (folds/8 each): the trend's SHAPE — a step
       // at a merge fold vs a steady slope vs single-JVM age read very
@@ -1328,6 +1345,49 @@ object ScaleProbe {
       // the funnel must account every delivery across the whole soak
       val f = graft.streaming.StreamingCuratedPack.funnel(spark, path)
       f.orderBy("source").show(10, truncate = false)
+    }
+
+    // Sidecar-probe cost AT RUN-COUNT DEPTH (the r18 verdict's missing
+    // #6): the driver probe is O(batch keys × live runs); at year scale
+    // runs ≈ levels × (fanout−1) ≈ tens. Build a genuinely deep tree —
+    // 520 folds at compactEvery=2 / fanout=2 cascade to ~8 levels —
+    // then measure the probe's driver-loop cost and the sidecar cache's
+    // occupancy against a batch-sized key set, split fresh vs ledgered.
+    if (on("probedepth")) {
+      import spark.implicits._
+      val tbl = s"${java.nio.file.Files
+        .createTempDirectory("graft_depth").toString}/led"
+      val folds = sys.env.getOrElse("SPARK_GRAFT_DEPTH_FOLDS", "520").toInt
+      val t0 = System.nanoTime()
+      (0L until folds.toLong).foreach { b =>
+        Seq((b, b * 10)).toDF("id", "payload")
+          .write.mode("overwrite").parquet(s"$tbl/batch=$b")
+        graft.streaming.LedgerState.maintain(spark, tbl, b, idCol = "id",
+          bucketK = 4, compactEvery = 2, fanout = 2)
+      }
+      val build = (System.nanoTime() - t0) / 1e9
+      val runs = graft.streaming.LedgerState.runs(spark, tbl)
+      val levels = runs.map(_.level).max
+      println(f"probedepth folds=$folds build=$build%7.1f s " +
+        f"runs=${runs.size} levels=$levels dirs=${graft.streaming
+          .LedgerState.dirCount(spark, tbl)}")
+      for ((tag, keys) <- Seq(
+          ("fresh", (1000000L to 1003000L).toDF("id")),
+          ("ledgered", (0L until math.min(folds.toLong, 3000L)).toDF("id")),
+          ("mixed", ((0L until 200L) ++ (2000000L to 2002800L)).toDF("id")))) {
+        val pn0 = graft.streaming.LedgerState.probeNanos.get
+        val pp0 = graft.streaming.LedgerState.probePairs.get
+        val w0 = System.nanoTime()
+        val kept = graft.streaming.LedgerState
+          .antiJoinSeen(spark, tbl, folds + 9L, keys, "id").count()
+        val wall = (System.nanoTime() - w0) / 1e9
+        val (ce, cw) = graft.streaming.LedgerState.sidecarCacheStats
+        println(f"probedepth probe=$tag%-8s keys=${keys.count()}%5d " +
+          f"kept=$kept%5d wall=$wall%6.2f " +
+          f"pairs=${graft.streaming.LedgerState.probePairs.get - pp0}%8d " +
+          f"driver_ms=${(graft.streaming.LedgerState.probeNanos.get - pn0) / 1e6}%7.2f " +
+          f"cache_entries=$ce cache_mib=${cw * 8.0 / (1 << 20)}%6.2f")
+      }
     }
     spark.stop()
   }

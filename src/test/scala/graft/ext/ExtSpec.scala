@@ -407,9 +407,9 @@ class ExtSpec extends SparkSpec {
     val emb = (0L until 50L).map { i =>
       (i, Array.tabulate(64)(d => (((i * 31 + d * 17) % 101).toFloat - 50f) / 50f))
     }.toDF("vec_id", "embedding")
-    val b1 = Similarity.lshBuckets(emb, 8, 64).select("vec_id", "bucket")
+    val b1 = Similarity.lshBuckets(emb, 8).select("vec_id", "bucket")
       .as[(Long, Long)].collect().toMap
-    val b2 = Similarity.lshBuckets(emb.repartition(7), 8, 64).select("vec_id", "bucket")
+    val b2 = Similarity.lshBuckets(emb.repartition(7), 8).select("vec_id", "bucket")
       .as[(Long, Long)].collect().toMap
     assert(b1 === b2)
   }

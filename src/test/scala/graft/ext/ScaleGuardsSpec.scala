@@ -28,7 +28,7 @@ class ScaleGuardsSpec extends SparkSpec {
     val emb = (0L until 200L).map { i =>
       (i, Array.tabulate(64)(d => (((i * 31 + d * 17) % 101).toFloat - 50f) / 50f))
     }.toDF("vec_id", "embedding")
-    Similarity.lshBuckets(emb, 8, 64)
+    Similarity.lshBuckets(emb, 8)
       .write.partitionBy("bucket").mode("overwrite").parquet(dir)
 
     val probe = spark.read.parquet(dir).filter(col("bucket") === 37)

@@ -80,6 +80,35 @@ class SketchesSpec extends SparkSpec {
     assert(native.nonEmpty, "fixture must exercise at least one surviving gram")
   }
 
+  test("bloomBuildCounted: the count rides the build job; folding the cap-sized map down is bit-identical to a direct build") {
+    import org.apache.spark.sql.functions._
+    // duplicates included on purpose: the count contract matches what a
+    // bare count() over the key frame returned (rows, not distinct keys)
+    val keys = ((1L to 300L) ++ (1L to 20L)).map(_ * 104729L % graft.ext.TextAnalysis.HashMod).toDF("h")
+    val capBits = 1L << 18
+    val row = Sketches.bloomBuildCounted(keys, "h", capBits, BloomK).head()
+    assert(row.getLong(1) === 320L, "n_keys must equal the input row count")
+    // fold the cap-sized sparse map down to a divisor size: positions are
+    // ((a·g+b) % Mod) % bits, and with bits | cap (both powers of two)
+    // (x % cap) % bits == x % bits — word-aligned, so the fold is a
+    // word-block OR. Must reproduce a direct build at `bits` EXACTLY
+    // (the LedgerState sidecar write depends on this identity).
+    for (bits <- Seq(1L << 12, 1L << 14, capBits)) {
+      val folded = new Array[Long]((bits / 64).toInt)
+      row.getMap[Long, Long](0).foreach { case (w, v) =>
+        folded((w % folded.length).toInt) |= v
+      }
+      val direct = Sketches.bloomDenseWords(
+        Sketches.bloomBuild(keys, "h", bits, BloomK), bits)
+      assert(java.util.Arrays.equals(folded, direct),
+        s"fold to $bits bits must be bit-identical to the direct build")
+    }
+    // empty input: one row, empty map, zero count (the all-empty-run path)
+    val empty = Sketches.bloomBuildCounted(
+      Seq.empty[Long].toDF("h"), "h", capBits, BloomK).head()
+    assert(empty.getLong(1) === 0L && empty.getMap[Long, Long](0).isEmpty)
+  }
+
   test("bloom false-positive rate at 65536 bits / 500 keys is tiny") {
     import org.apache.spark.sql.functions._
     val keys = (1L to 500L).map(_ * 7919L).toDF("h")

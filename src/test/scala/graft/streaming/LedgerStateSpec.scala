@@ -467,6 +467,68 @@ class LedgerStateSpec extends SparkSpec {
       s"a ledgered key must fall through to its run:\n$hitPlan")
   }
 
+  test("sidecars: a re-arrival-heavy batch past the hit-key cap skips the split (no batch-sized InSet) and stays exact") {
+    val tbl = s"${freshPath()}/led"
+    // two folds of 2,600 keys each, compacted — 5,200 ledgered keys so a
+    // probe of all of them crosses SeenProbeMaxHitKeys (4,096)
+    (0L until 2L).foreach { b =>
+      (b * 2600 + 1 to b * 2600 + 2600).map(i => (i, i * 10)).toDF("id", "payload")
+        .write.mode("overwrite").parquet(s"$tbl/batch=$b")
+      LedgerState.maintain(spark, tbl, b, idCol = "id",
+        bucketK = 4, compactEvery = 2)
+    }
+    assert(LedgerState.runs(spark, tbl).nonEmpty)
+    // a small probe keeps the fast path…
+    assert(LedgerState.seenProbe(spark, tbl, 9L,
+      Seq(3L, 99999L).toDF("id"), "id").isDefined)
+    // …an all-re-arrival probe crosses the cap: the probe declines (the
+    // InSet would approach the batch size — the plan-bloat class the
+    // sidecars exist to remove) and the guard falls back to the exact
+    // bucket-pruned scan, which must still drop every seen key
+    val heavy = (1L to 5200L).toDF("id")
+    assert(LedgerState.seenProbe(spark, tbl, 9L, heavy, "id") === None,
+      "past the cap the probe must hand callers to the exact scan")
+    val mixed = (1L to 5200L).union(Seq(900001L, 900002L)).toDF("id")
+    assert(LedgerState.antiJoinSeen(spark, tbl, 9L, mixed, "id")
+      .select("id").as[Long].collect().toSet === Set(900001L, 900002L))
+  }
+
+  test("sidecars at DEPTH: an 8-level tree keeps the probe exact, the fresh-batch plan run-free, and the cache within budget") {
+    // 300 one-row folds at compactEvery=2 / fanout=2 cascade the runs
+    // to ≥ 8 levels — the year-scale tree shape (runs ≈ levels ×
+    // (fanout−1)) the driver probe and sidecar cache must behave under
+    val tbl = s"${freshPath()}/led"
+    val folds = 300L
+    (0L until folds).foreach { b =>
+      Seq((b, b * 10)).toDF("id", "payload")
+        .write.mode("overwrite").parquet(s"$tbl/batch=$b")
+      LedgerState.maintain(spark, tbl, b, idCol = "id",
+        bucketK = 4, compactEvery = 2, fanout = 2, graceFolds = 1)
+    }
+    val runs = LedgerState.runs(spark, tbl)
+    assert(runs.map(_.level).max >= 8,
+      s"fixture must reach 8 levels (got ${runs.map(_.level).max})")
+    assert(LedgerState.dirCount(spark, tbl) <= 30,
+      "listing must stay bounded at depth")
+    // exactness at depth: a mixed batch drops exactly its ledgered keys
+    val mixed = (Seq(0L, 137L, 255L, 299L) ++ (5000L to 5040L)).toDF("id")
+    assert(LedgerState.antiJoinSeen(spark, tbl, folds + 9L, mixed, "id")
+      .select("id").as[Long].collect().toSet === (5000L to 5040L).toSet)
+    // per-run granularity survives depth: a fresh-only batch's guard
+    // plan scans NO run directory — every level's Bloom skips it
+    val freshPlan = LedgerState.antiJoinSeen(spark, tbl, folds + 9L,
+        (900000L to 900040L).toDF("id"), "id")
+      .queryExecution.executedPlan.toString
+    runs.map(_.dirName).foreach(d => assert(!freshPlan.contains(d),
+      s"fresh-only batch must not scan $d at depth"))
+    // the cache holds every live run's sidecar and stays within budget
+    val live = runs.filterNot(r => runs.exists(_.supersedes(r)))
+    val (entries, words) = LedgerState.sidecarCacheStats
+    assert(entries >= live.size,
+      "every live run's sidecar should be cached after the probes")
+    assert(words * 8 <= (256L << 20), "cache must respect its word budget")
+  }
+
   test("sidecars: an all-empty run writes a zero Bloom that proves everything fresh") {
     val tbl = s"${freshPath()}/led"
     (0L until 2L).foreach { b =>
