@@ -402,7 +402,15 @@ private[graft] object LedgerState {
     * (per-run hit-bucket sets, collected as one row) — the same cost
     * class as the [[batchBuckets]] collect it replaces. */
   final case class SeenProbe(
-      mightSeen: Column, seenView: DataFrame, increments: DataFrame)
+      mightSeen: Column, seenView: DataFrame, increments: DataFrame,
+      /** True when NO batch key can be ledgered beyond the increments
+        * (no live runs, or zero sidecar hits): `mightSeen` is the
+        * literal false, so a split plan's hit leg is provably empty —
+        * callers skip the two-leg union and check the increments alone
+        * (half the plan, half the per-action sub-jobs; the bench's
+        * four-fold drains and steady-state no-hit batches are this case
+        * every fold). */
+      allFresh: Boolean = false)
 
   /** [[SeenProbe]] for `keys` (a one-column batch frame under `keyCol`)
     * against `table`'s ledger — `None` when a live run lacks a sidecar
@@ -466,7 +474,8 @@ private[graft] object LedgerState {
       ledgerIdCol: String = "id"): Option[SeenProbe] =
     runSidecars(spark, table, exclude).flatMap { per =>
       val incr = incrementsView(spark, table, exclude, idCol = ledgerIdCol)
-      if (per.isEmpty) Some(SeenProbe(lit(false), incr, incr))
+      if (per.isEmpty)
+        Some(SeenProbe(lit(false), incr, incr, allFresh = true))
       else {
         // ONE narrow distinct-collect of the batch's keys + their
         // sidecar/bucket hashes (batch-bounded by construction — the
@@ -518,7 +527,8 @@ private[graft] object LedgerState {
             if (hitKeys.isEmpty) lit(false)
             else coalesce(col(keyCol).isInCollection(hitKeys.toSeq), lit(false))
           Some(SeenProbe(mightSeen,
-            (prunedRuns :+ incr).reduce(_.unionByName(_)), incr))
+            (prunedRuns :+ incr).reduce(_.unionByName(_)), incr,
+            allFresh = hitKeys.isEmpty))
         }
       }
     }
@@ -574,6 +584,15 @@ private[graft] object LedgerState {
       if (how == "left_anti") df else df.filter(lit(false))
     } else seenProbe(spark, table, exclude,
         df.select(col(keyCol)), keyCol, ledgerKey) match {
+      case Some(sp) if sp.allFresh =>
+        // every key provably fresh w.r.t. the runs: the split's hit leg
+        // would be a filter(lit(false)) — provably empty — so build the
+        // single increments-only join instead of a two-leg union whose
+        // dead half still pays analysis, broadcast builds and AQE
+        // stage-jobs on EVERY fold of a never-compacted or no-hit
+        // stream (the common case; optimization guide §2.4)
+        df.join(sp.increments.select(col(ledgerKey).as(keyCol)),
+          Seq(keyCol), how)
       case Some(sp) =>
         // null-safety: mightSeen coalesces to false, so a null-key row
         // takes the fresh side and keeps the exact join's null

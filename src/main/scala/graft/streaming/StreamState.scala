@@ -49,6 +49,21 @@ private[streaming] object StreamState {
       .sortBy(-_)
   }
 
+  /** Newest committed generation id under `table`, excluding
+    * `excludeBatch` (a replaying fold must not read its own, possibly
+    * torn, generation). The generation id IS the `batch=<id>` directory
+    * name, so this is one filesystem listing — the Spark-job alternative
+    * (`read.parquet(table).agg(max(batch)).head()`) pays partition
+    * discovery over every generation plus a scan job per fold for a
+    * value the directory names already carry (optimization guide §5:
+    * the driver should do almost no data work — and a fold should not
+    * launch jobs for control-plane scalars). */
+  def latestGeneration(
+      spark: SparkSession,
+      table: String,
+      excludeBatch: Long): Option[Long] =
+    generations(spark, table).find(_ != excludeBatch)
+
   /** Delete all but the newest `keep` `batch=<id>` generation dirs under
     * `table` — retention for GENERATION-SUPERSEDED state tables only
     * (tables whose every read targets the single latest committed

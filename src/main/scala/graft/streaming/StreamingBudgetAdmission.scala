@@ -125,19 +125,20 @@ object StreamingBudgetAdmission {
         else batchDocs)
       if (!dedup.isEmpty) {
         // latest PRIOR totals partition: dimension-sized (one row per
-        // source); the max-batch probe is a control-plane scalar over
-        // that dimension-sized table, not a corpus scan
+        // source). The generation id is the directory name, so the
+        // max-batch probe is ONE filesystem listing and the read
+        // targets that single partition dir — no Spark job, no
+        // partition discovery over every retained generation (every
+        // generation < batchId is complete: the checkpoint only
+        // advances after its fold returns, so a torn dir can only be
+        // batchId's own, which the probe excludes)
         val priors: DataFrame =
-          if (hasState && StreamState.exists(spark, s"$path/totals")) {
-            val t = spark.read.parquet(s"$path/totals")
-              .filter(col("batch") =!= lit(batchId))
-            // partition discovery infers batch= as INT when ids are
-            // small — go through cast("long") for the scalar probe
-            val mx = t.agg(max(col("batch").cast("long"))).head()
-            if (mx.isNullAt(0)) null
-            else t.filter(col("batch").cast("long") === lit(mx.getLong(0)))
-              .select(col("group"), col("total"))
-          } else null
+          if (hasState)
+            StreamState.latestGeneration(spark, s"$path/totals", batchId)
+              .map(mx => spark.read.parquet(s"$path/totals/batch=$mx")
+                .select(col("group"), col("total")))
+              .orNull
+          else null
         val w = Window.partitionBy(groupCol).orderBy(idCol)
         val withPrior =
           if (priors == null) dedup.withColumn("_prior", lit(0L))

@@ -84,18 +84,23 @@ object StreamingGreedyPack {
             batchDocs, idCol)
         else batchDocs)
       if (!dedup.isEmpty) {
+        // latest PRIOR totals via ONE filesystem listing + a direct
+        // read of that single partition dir (the generation id IS the
+        // dir name; every generation < batchId is complete because the
+        // checkpoint advances only after its fold returns) — replaces a
+        // per-fold Spark max-aggregation job over all retained
+        // generations
         val priors: Map[Long, (Long, Long, Long)] =
-          if (hasState && StreamState.exists(spark, s"$path/totals")) {
-            val t = spark.read.parquet(s"$path/totals")
-              .filter(col("batch") =!= lit(batchId))
-            val mx = t.agg(max(col("batch").cast("long"))).head()
-            if (mx.isNullAt(0)) Map.empty
-            else t.filter(col("batch").cast("long") === lit(mx.getLong(0)))
-              .select(col("shard"), col("bin"), col("acc"), col("n_docs"))
-              .collect()
-              .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
-              .toMap
-          } else Map.empty
+          if (hasState)
+            StreamState.latestGeneration(spark, s"$path/totals", batchId)
+              .map(mx => spark.read.parquet(s"$path/totals/batch=$mx")
+                .select(col("shard"), col("bin"), col("acc"), col("n_docs"))
+                .collect()
+                .map(r =>
+                  r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+                .toMap)
+              .getOrElse(Map.empty)
+          else Map.empty
         // per-shard sequential greedy over THIS batch, continuing each
         // shard's open bin (dimension-sized priors broadcast via the
         // task closure); sorted by id — the in-batch arrival order
@@ -265,16 +270,17 @@ object StreamingChunkPack {
             batchDocs, idCol)
         else batchDocs)
       if (!dedup.isEmpty) {
-        // latest PRIOR totals partition: one row per shard ever seen
+        // latest PRIOR totals partition (one row per shard ever seen)
+        // via ONE filesystem listing + a direct single-dir read — no
+        // per-fold max-aggregation job (generation id = dir name; every
+        // generation < batchId is complete)
         val priors: DataFrame =
-          if (hasState && StreamState.exists(spark, s"$path/totals")) {
-            val t = spark.read.parquet(s"$path/totals")
-              .filter(col("batch") =!= lit(batchId))
-            val mx = t.agg(max(col("batch").cast("long"))).head()
-            if (mx.isNullAt(0)) null
-            else t.filter(col("batch").cast("long") === lit(mx.getLong(0)))
-              .select(col("shard"), col("total"), col("n_docs"))
-          } else null
+          if (hasState)
+            StreamState.latestGeneration(spark, s"$path/totals", batchId)
+              .map(mx => spark.read.parquet(s"$path/totals/batch=$mx")
+                .select(col("shard"), col("total"), col("n_docs")))
+              .orNull
+          else null
         val w = Window.partitionBy("shard").orderBy(idCol)
         val withPrior =
           if (priors == null)

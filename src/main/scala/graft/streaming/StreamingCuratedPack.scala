@@ -783,6 +783,15 @@ object StreamingCuratedPack {
               val hit = LedgerState.seenProbe(spark, tbl, batchId,
                   probed.select(col("bucket")).distinct(), "bucket",
                   "bucket") match {
+                case Some(sp) if sp.allFresh =>
+                  // no probe bucket hits any run sidecar: the seen-view
+                  // leg would filter(lit(false)) to empty — candidates
+                  // can only live in the increments, one leg, half the
+                  // plan (the never-compacted bench drains and no-hit
+                  // steady-state folds take this every time)
+                  hitIds(probed, sp.increments
+                    .select(col("bucket"), col("vec").as("_kvec")))
+                    .distinct()
                 case Some(sp) =>
                   val lvM = sp.seenView
                     .select(col("bucket"), col("vec").as("_kvec"))
@@ -877,58 +886,55 @@ object StreamingCuratedPack {
       // bucket already kept), n_semdup (embedding-cosine collision with
       // a kept doc), n_rearrived (doc id already held a verdict — the
       // admission fold's guard). None of them are quota rejections.
-      val batchCounts = uniq.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_arrived"))
-        .join(clean.groupBy(col("source"))
-          .agg(count(lit(1)).as("n_clean")), Seq("source"), "left")
-        .join(qualityOk.groupBy(col("source"))
-          .agg(count(lit(1)).as("n_quality_ok")), Seq("source"), "left")
-        .join(active.groupBy(col("source"))
-          .agg(count(lit(1)).as("n_post_ret")), Seq("source"), "left")
-        .join(admInput.groupBy(col("source"))
-          .agg(count(lit(1)).as("n_post_fp")), Seq("source"), "left")
-        .join(gated.groupBy(col("source"))
-          .agg(count(lit(1)).as("n_post_band")), Seq("source"), "left")
-        .join(semGated.groupBy(col("source"))
-          .agg(count(lit(1)).as("n_post_sem")), Seq("source"), "left")
-        .join(
-          (if (newVerdicts == null)
-             uniq.limit(0).select(col("source"),
-               lit(0L).as("n_admitted"), lit(0L).as("n_quota_rejected"),
-               lit(0L).as("tokens_admitted"))
-           else newVerdicts.groupBy(col("group").as("source"))
-             .agg(sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
-               sum(when(!col("admitted"), 1L).otherwise(0L)).as("n_quota_rejected"),
-               sum(when(col("admitted"), col("tokens")).otherwise(0L))
-                 .as("tokens_admitted"))),
-          Seq("source"), "left")
-        .select(col("source"),
-          col("n_arrived"),
-          coalesce(col("n_clean"), lit(0L)).as("n_clean"),
-          coalesce(col("n_quality_ok"), lit(0L)).as("n_quality_ok"),
-          (coalesce(col("n_quality_ok"), lit(0L)) -
-            coalesce(col("n_post_ret"), lit(0L))).as("n_retired"),
-          (coalesce(col("n_post_ret"), lit(0L)) -
-            coalesce(col("n_post_fp"), lit(0L))).as("n_dup_content"),
-          (coalesce(col("n_post_fp"), lit(0L)) -
-            coalesce(col("n_post_band"), lit(0L))).as("n_neardup"),
-          (coalesce(col("n_post_band"), lit(0L)) -
-            coalesce(col("n_post_sem"), lit(0L))).as("n_semdup"),
-          (coalesce(col("n_post_sem"), lit(0L)) -
-            coalesce(col("n_admitted"), lit(0L)) -
-            coalesce(col("n_quota_rejected"), lit(0L))).as("n_rearrived"),
-          coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
-          coalesce(col("n_quota_rejected"), lit(0L)).as("n_quota_rejected"),
-          coalesce(col("tokens_admitted"), lit(0L)).as("tokens_admitted"))
+      // ONE union + ONE aggregation instead of eight per-stage
+      // aggregates stitched with seven broadcast joins: each stage
+      // frame is already cut (flat scan), so tagging its (source, 1)
+      // rows and conditional-summing per tag computes every column in
+      // a single exchange with ZERO join builds. The old shape paid
+      // ~15 sub-jobs for the funnel action alone (measured via
+      // FoldProbe: 8 aggregate legs + their broadcast builds), pure
+      // per-fold constant at any scale — optimization guide §2.4
+      // (remove shuffles outright) + §3 (don't join what one pass can
+      // aggregate). Row set is unchanged: every stage is a subset of
+      // uniq's sources, and verdict groups come from deliverable ⊆
+      // uniq, so grouping the union by source yields exactly uniq's
+      // source set, with n_arrived non-null as before.
+      def leg(df: DataFrame, stage: String): DataFrame =
+        df.select(col("source"), lit(stage).as("_stage"), lit(1L).as("_w"))
+      val legs = Seq(leg(uniq, "arr"), leg(clean, "cln"),
+        leg(qualityOk, "qok"), leg(active, "ret"), leg(admInput, "fp"),
+        leg(gated, "band"), leg(semGated, "sem")) ++
+        (if (newVerdicts == null) Nil
+         else Seq(
+           newVerdicts.select(col("group").as("source"),
+             when(col("admitted"), "adm").otherwise("rej").as("_stage"),
+             lit(1L).as("_w")),
+           newVerdicts.filter(col("admitted"))
+             .select(col("group").as("source"), lit("tok").as("_stage"),
+               col("tokens").cast("long").as("_w"))))
+      def st(stage: String) =
+        coalesce(sum(when(col("_stage") === stage, col("_w"))), lit(0L))
+      val batchCounts = legs.reduce(_.unionByName(_))
+        .groupBy(col("source"))
+        .agg(
+          sum(when(col("_stage") === "arr", col("_w"))).as("n_arrived"),
+          st("cln").as("n_clean"),
+          st("qok").as("n_quality_ok"),
+          (st("qok") - st("ret")).as("n_retired"),
+          (st("ret") - st("fp")).as("n_dup_content"),
+          (st("fp") - st("band")).as("n_neardup"),
+          (st("band") - st("sem")).as("n_semdup"),
+          (st("sem") - st("adm") - st("rej")).as("n_rearrived"),
+          st("adm").as("n_admitted"),
+          st("rej").as("n_quota_rejected"),
+          st("tok").as("tokens_admitted"))
+      // prior funnel generation via ONE filesystem listing + direct
+      // single-dir read (generation id = dir name; every generation <
+      // batchId is complete) — no per-fold max-aggregation job
       val priorFunnel: DataFrame =
-        if (StreamState.exists(spark, s"$path/funnel")) {
-          val t = spark.read.parquet(s"$path/funnel")
-            .filter(col("batch") =!= lit(batchId))
-          val mx = t.agg(max(col("batch").cast("long"))).head()
-          if (mx.isNullAt(0)) null
-          else t.filter(col("batch").cast("long") === lit(mx.getLong(0)))
-            .drop("batch")
-        } else null
+        StreamState.latestGeneration(spark, s"$path/funnel", batchId)
+          .map(mx => spark.read.parquet(s"$path/funnel/batch=$mx"))
+          .orNull
       // allowMissingColumns: a prior funnel written by the pre-split
       // layout lacks n_dup_content/n_neardup — the additive migration
       // fills null and the coalesced sums restart those two counters at
@@ -1036,15 +1042,12 @@ object StreamingCuratedPack {
     * a descriptive error — not an opaque NPE — when the stream attached
     * but no fold has committed a funnel generation yet (mirrors
     * foldBatch's own isNullAt probe on the same table). */
-  def funnel(spark: SparkSession, path: String): DataFrame = {
-    if (!StreamState.exists(spark, s"$path/funnel"))
-      throw new IllegalStateException(
-        s"no funnel state under $path — no composed fold has committed yet")
-    val t = spark.read.parquet(s"$path/funnel")
-    val mx = t.agg(max(col("batch").cast("long"))).head()
-    if (mx.isNullAt(0))
-      throw new IllegalStateException(
-        s"funnel table under $path is empty — no composed fold has committed yet")
-    t.filter(col("batch").cast("long") === lit(mx.getLong(0))).drop("batch")
-  }
+  def funnel(spark: SparkSession, path: String): DataFrame =
+    // newest generation by directory name — one filesystem listing and
+    // a direct read of that single partition dir (no discovery over
+    // every retained generation, no max-aggregation job)
+    StreamState.latestGeneration(spark, s"$path/funnel", excludeBatch = -1L)
+      .map(mx => spark.read.parquet(s"$path/funnel/batch=$mx"))
+      .getOrElse(throw new IllegalStateException(
+        s"no funnel state under $path — no composed fold has committed yet"))
 }
