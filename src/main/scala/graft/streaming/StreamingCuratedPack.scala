@@ -704,7 +704,9 @@ object StreamingCuratedPack {
               (col("band").cast("long") * lit(graft.ext.TextAnalysis.HashMod)
                 + col("band_key")).as("bkey"))
             .distinct())
-          val surv =
+          // surv feeds two actions (survBands' materialization and the
+          // kept cut): track() runs the cross-batch guard subtree once
+          val surv = cuts.track(
             if (!StreamState.exists(spark, tbl)) admInput
             else {
               // the sidecar fast path matters MOST here: the gate emits
@@ -718,12 +720,19 @@ object StreamingCuratedPack {
                   bandRows, "bkey", "bkey")
                 .select(col("id")).distinct()
               admInput.join(hit, Seq("id"), "left_anti")
-            }
-          val survBands = bandRows.join(surv.select("id"), Seq("id"), "left_semi")
-          val losers = survBands
+            })
+          // survBands and losers are each consumed by TWO actions (the
+          // kept cut and the ledger write) — track() materializes the
+          // semi-join + window subtree once instead of re-running it,
+          // with its broadcast builds and AQE stage-jobs, in the write
+          // action's plan (guide §5: persist when reused and
+          // recomputation costs more than the memory)
+          val survBands = cuts.track(
+            bandRows.join(surv.select("id"), Seq("id"), "left_semi"))
+          val losers = cuts.track(survBands
             .withColumn("_mn", min(col("id")).over(
               org.apache.spark.sql.expressions.Window.partitionBy(col("bkey"))))
-            .filter(col("id") =!= col("_mn")).select(col("id")).distinct()
+            .filter(col("id") =!= col("_mn")).select(col("id")).distinct())
           val kept = cuts(surv.join(losers, Seq("id"), "left_anti"))
           survBands.join(losers, Seq("id"), "left_anti")
             .select(col("bkey"), col("id"))
@@ -765,7 +774,10 @@ object StreamingCuratedPack {
               .filter(cosine(col("vec"), col("_kvec")) >= semThreshold)
               .select(col("id"))
           }
-          val surv =
+          // surv feeds two actions (svSigs' materialization and the
+          // kept cut): track() runs the probe + cosine-verify guard
+          // subtree once instead of per consumer
+          val surv = cuts.track(
             if (!StreamState.exists(spark, tbl)) gated
             else {
               val probed = sigs.select(col("id"), col("vec"),
@@ -809,7 +821,7 @@ object StreamingCuratedPack {
                   hitIds(probed, lv).distinct()
               }
               gated.join(hit, Seq("id"), "left_anti")
-            }
+            })
           val svSigs = cuts.track(
             sigs.join(surv.select("id"), Seq("id"), "left_semi"))
           val overB = svSigs.groupBy(col("sig").as("bucket"))
