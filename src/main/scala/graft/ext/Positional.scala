@@ -114,6 +114,34 @@ object Positional {
    */
   def withGlobalRunningSum(df: DataFrame, order: Seq[Column],
                            valueCol: String, outCol: String): DataFrame = {
+    val (out, local) = globalRunningSumPlan(df, order, valueCol, outCol)
+    out.count()
+    local.unpersist(blocking = false)
+    out
+  }
+
+  /** [[withGlobalRunningSum]] with the eager materialization LIFTED to
+    * the caller: returns the lazily-persisted result plus a release
+    * handle freeing both internal persists. The eager variant pays one
+    * extra count() job to materialize before releasing its
+    * intermediate; a per-micro-batch fold that immediately consumes the
+    * result with its own actions skips that job (optimization guide
+    * §1.2: fewer per-fold actions) and calls release at fold end. Same
+    * plan, same rows — only WHO materializes moves. */
+  def withGlobalRunningSumStaged(
+      df: DataFrame, order: Seq[Column],
+      valueCol: String, outCol: String): (DataFrame, () => Unit) = {
+    val (out, local) = globalRunningSumPlan(df, order, valueCol, outCol)
+    (out, () => {
+      out.unpersist(blocking = false)
+      local.unpersist(blocking = false)
+      ()
+    })
+  }
+
+  private def globalRunningSumPlan(
+      df: DataFrame, order: Seq[Column],
+      valueCol: String, outCol: String): (DataFrame, DataFrame) = {
     val local = df
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
@@ -135,9 +163,7 @@ object Positional {
       .withColumn(outCol, col(OffCol) + sum(col(valueCol)).over(w))
       .drop(PidCol, OffCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    local.unpersist(blocking = false)
-    out
+    (out, local)
   }
 
   /**
@@ -203,6 +229,32 @@ object Positional {
   def withPerKeyRunningSum(df: DataFrame, order: Seq[Column],
                            keyCol: String, valueCol: String,
                            outCol: String): DataFrame = {
+    val (out, local) = perKeyRunningSumPlan(df, order, keyCol, valueCol, outCol)
+    out.count()
+    local.unpersist(blocking = false)
+    out
+  }
+
+  /** [[withPerKeyRunningSum]] with the eager materialization LIFTED to
+    * the caller — the keyed analogue of [[withGlobalRunningSumStaged]]:
+    * lazily-persisted result plus a release handle for both internal
+    * persists; skips the eager variant's count() job. */
+  def withPerKeyRunningSumStaged(
+      df: DataFrame, order: Seq[Column],
+      keyCol: String, valueCol: String,
+      outCol: String): (DataFrame, () => Unit) = {
+    val (out, local) = perKeyRunningSumPlan(df, order, keyCol, valueCol, outCol)
+    (out, () => {
+      out.unpersist(blocking = false)
+      local.unpersist(blocking = false)
+      ()
+    })
+  }
+
+  private def perKeyRunningSumPlan(
+      df: DataFrame, order: Seq[Column],
+      keyCol: String, valueCol: String,
+      outCol: String): (DataFrame, DataFrame) = {
     val local = df
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
@@ -223,9 +275,7 @@ object Positional {
       .withColumn(outCol, col(OffCol) + sum(col(valueCol)).over(w))
       .drop(PidCol, OffCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    local.unpersist(blocking = false)
-    out
+    (out, local)
   }
 
   /**

@@ -104,4 +104,48 @@ private[streaming] object StreamState {
         fs.delete(new org.apache.hadoop.fs.Path(p, s"batch=$g"), true)
       }
     }
+
+  /** Schema cache for the operators' OWN state tables (meta / head /
+    * ledger trees). `spark.read.parquet` without a schema runs a
+    * footer-reading schema-inference Spark job PER OPEN, and the
+    * streaming folds re-open several state tables every micro-batch —
+    * each open paying one job's fixed latency for a schema that cannot
+    * change for the life of a state path (the writer is the operator
+    * itself, with a fixed frame shape). LRU-bounded by entry count
+    * (schemas are a few hundred bytes). NOT a result cache: only the
+    * STRUCTURE is remembered — every read still scans the files.
+    *
+    * Contract for `cacheKey`: one key per (table × read shape). A key
+    * must always be used with the same `basePath` discipline — a schema
+    * inferred WITH a `batch` partition column reused on a single-dir
+    * read (where no partition discovery happens) would surface `batch`
+    * as an all-null data column. */
+  private val schemaCache =
+    new java.util.LinkedHashMap[String, org.apache.spark.sql.types.StructType](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, org.apache.spark.sql.types.StructType])
+        : Boolean = size() > 4096
+    }
+
+  /** Parquet read of an operator-owned state table with the schema
+    * served from [[schemaCache]] after the first open of `cacheKey` in
+    * this JVM (first open infers and caches; replay in a fresh JVM
+    * simply re-infers). */
+  def readStable(
+      spark: SparkSession,
+      cacheKey: String,
+      paths: Seq[String],
+      basePath: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    val rd0 = spark.read
+    val rd = basePath.fold(rd0)(bp => rd0.option("basePath", bp))
+    val cached = schemaCache.synchronized(Option(schemaCache.get(cacheKey)))
+    cached match {
+      case Some(s) => rd.schema(s).parquet(paths: _*)
+      case None =>
+        val df = rd.parquet(paths: _*)
+        schemaCache.synchronized { schemaCache.put(cacheKey, df.schema); () }
+        df
+    }
+  }
 }

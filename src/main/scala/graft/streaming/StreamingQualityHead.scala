@@ -72,10 +72,15 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  *    isolation. The per-fold tier arithmetic (hist merge, cumulative
  *    prior, verdicts) runs DRIVER-side over the collected grid: a
  *    window over ≤grid rows is driver work, not a Spark job.
- *  - `head/batch=<id>/score=<s>/` — the CHANGED tiers' admitted rows
- *    (id, tokens), partitioned by tier. A tier's current membership
- *    lives in the generation the meta tiers map names — untouched
- *    tiers keep pointing at older generations.
+ *  - `head/batch=<id>` — the CHANGED tiers' admitted rows
+ *    (id, tokens, score), one FLAT dir per generation (r19: the old
+ *    `score=<s>` partition dirs exploded into tiers × generations
+ *    directories that nothing partition-pruned — every read resolves
+ *    through the tiers-map join — and at a few hundred tiers one open
+ *    of that tree cost ~57 listing/inference jobs; pre-r19 trees fail
+ *    loud, see the layout guard). A tier's current membership lives in
+ *    the generation the meta tiers map names — untouched tiers keep
+ *    pointing at older generations.
  *  - `arrivals/batch=<id>`  — append-only ledger (id, score, tokens,
  *    admit) — the verdict each doc got ON ARRIVAL (also the
  *    cross-batch re-arrival guard, and the resurrection source for
@@ -198,10 +203,14 @@ object StreamingQualityHead {
 
   /** The full dimension-sized state at generation `gen` — ONE collect
     * over the grid-bounded meta table: (kind, k1, v) rows the caller
-    * partitions driver-side into hist / tiers map / cut / budget. */
+    * partitions driver-side into hist / tiers map / cut / budget. The
+    * generation directory is read DIRECTLY (the `batch=<id>` name IS the
+    * generation id — no need to discover and filter the whole retained
+    * tree) with the schema served from the [[StreamState.readStable]]
+    * cache, so the per-fold open costs neither a partition-discovery
+    * listing of sibling generations nor a schema-inference job. */
   private def metaAt(spark: SparkSession, path: String, gen: Long): Seq[(String, Long, Long)] =
-    spark.read.parquet(s"$path/meta")
-      .filter(col("batch").cast("long") === lit(gen))
+    StreamState.readStable(spark, s"$path/meta#one", Seq(s"$path/meta/batch=$gen"))
       .select(col("kind"), col("k1").cast("long"), col("v").cast("long"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
 
@@ -209,14 +218,40 @@ object StreamingQualityHead {
   private def tiersAt(spark: SparkSession, path: String, gen: Long): Seq[(Long, Long)] =
     metaAt(spark, path, gen).collect { case ("tiers", s, g) => (s, g) }
 
-  /** The head rows a (score → gen) map selects: the head tree joined to
-    * the broadcast map on (tier, generation). Rows from uncommitted or
-    * superseded generations never match the map, so no explicit
-    * exclusion filtering is needed. */
+  /** One-per-JVM guard against the pre-r19 head layout (`score=<s>`
+    * partition dirs inside each generation): that layout exploded into
+    * tiers × generations directories — a measured ~57 listing/inference
+    * jobs per fold at a few hundred tiers, for a tree NOTHING ever
+    * partition-pruned (every read resolves through the tiers map join).
+    * Reading it with the flat-generation schema would misparse, so fail
+    * loud exactly like the r16 meta-consolidation guard. */
+  private val headLayoutOk = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def assertHeadLayout(spark: SparkSession, path: String, gen: Long): Unit =
+    if (!headLayoutOk.contains(path)) {
+      if (StreamState.hasChildWithPrefix(spark, s"$path/head/batch=$gen", "score="))
+        throw new IllegalStateException(
+          s"$path holds a pre-r19 tier-partitioned head layout (score= " +
+            "dirs inside head generations): refusing to read it with the " +
+            "flat-generation schema — drain and re-plan the stream into " +
+            "a fresh state path")
+      headLayoutOk.add(path); ()
+    }
+
+  /** The head rows a (score → gen) map selects: ONLY the referenced
+    * generation dirs (driver-known from the map — unreferenced retained
+    * generations are never listed, let alone read) joined to the
+    * broadcast map on (tier, generation). Rows from superseded
+    * generations inside a referenced dir never match the map, so no
+    * explicit exclusion filtering is needed. `score` is a DATA column
+    * (flat generation dirs — see [[assertHeadLayout]]); `batch` stays
+    * the generation partition column via basePath. */
   private def headFor(
       spark: SparkSession, path: String, tiers: Seq[(Long, Long)]): DataFrame = {
+    val gens = tiers.map(_._2).distinct.sorted
+    assertHeadLayout(spark, path, gens.head)
     val mapDf = spark.createDataFrame(tiers).toDF("_mscore", "_gen")
-    spark.read.parquet(s"$path/head")
+    StreamState.readStable(spark, s"$path/head#gen",
+        gens.map(g => s"$path/head/batch=$g"), basePath = Some(s"$path/head"))
       .select(col("id"), col("tokens").cast("long").as("tokens"),
         col("score").cast("long").as("score"),
         col("batch").cast("long").as("_b"))
@@ -272,7 +307,18 @@ object StreamingQualityHead {
           LedgerState.antiJoinSeen(spark, s"$path/arrivals", batchId,
             batchDocs, "id").persist()
         else batchDocs.persist()
-      if (!arrivals.isEmpty) {
+      try {
+      // ONE distributed agg + collect: the batch's tier histogram — it
+      // DOUBLES as the emptiness probe (empty map ⟺ empty arrivals),
+      // replacing the old separate isEmpty action (a measured 4
+      // sub-jobs per fold for a bit the histogram already carries).
+      // Everything downstream of it — hist merge, cumulative prior,
+      // tier verdicts — is driver arithmetic over ≤grid rows (the r16
+      // fold-floor consolidation).
+      val batchHist: Map[Long, Long] = arrivals.groupBy(col("score"))
+        .agg(sum(col("tokens")).as("bt")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      if (batchHist.nonEmpty) {
         // latest PRIOR generation: filesystem-level so legitimately-empty
         // generations still count, own batch excluded (replay reads the
         // state as of the generation before it). Every gen < batchId is
@@ -298,15 +344,6 @@ object StreamingQualityHead {
           if (priorTiers.isEmpty)
             arrivals.limit(0).select(col("id"), col("score"), col("tokens"))
           else headFor(spark, path, priorTiers)
-        // ONE distributed agg + collect: the batch's tier histogram.
-        // Everything downstream of it — hist merge, cumulative prior,
-        // tier verdicts — is driver arithmetic over ≤grid rows (the r16
-        // fold-floor consolidation: the old per-fold hist/cum frames
-        // cost two eager materialization jobs and two more collects for
-        // numbers already in driver hands).
-        val batchHist: Map[Long, Long] = arrivals.groupBy(col("score"))
-          .agg(sum(col("tokens")).as("bt")).collect()
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
         val newHist: Map[Long, Long] =
           (priorHist.keySet ++ batchHist.keySet).iterator
             .map(s => s -> (priorHist.getOrElse(s, 0L) + batchHist.getOrElse(s, 0L)))
@@ -368,6 +405,7 @@ object StreamingQualityHead {
         val cumDf = broadcast(spark.createDataFrame(cumRows)
           .toDF("score", "_prior", "_full", "_rej"))
         val flagged = candidates.join(cumDf, Seq("score")).persist()
+        try {
         val decidedFull = flagged.filter(col("_full"))
           .select(col("id"), col("score"), col("tokens"))
         val frontierAll = flagged.filter(!col("_full") && !col("_rej"))
@@ -386,34 +424,46 @@ object StreamingQualityHead {
           case Some(cid) => frontierAll.filter(col("id") < cid)
           case None => frontierAll
         }
-        val refinedBase = Positional.withGlobalRunningSum(
+        // the helper's eager count() is skipped (staged variant): the
+        // fused stats action below materializes the running sum once —
+        // both internal persists release in the fold's finally
+        val (refinedBase, releaseRunningSum) = Positional.withGlobalRunningSumStaged(
             preCut, Seq(col("id")), "tokens", "_pfx")
         val refined = refinedBase
           .withColumn("_adm", col("_prior") + col("_pfx") <= budget)
-        // localCheckpoint(true) is EAGER — the frame materializes here,
-        // so the helper's internal persist can be released per fold
-        // (a stream must not accumulate cached frames across batches)
+        // persisted, NOT eagerly checkpointed: the consumers below
+        // materialize it once into cache (the old eager localCheckpoint
+        // paid a dedicated per-fold job); released in the finally so a
+        // stream never accumulates cached frames across batches
         val newHeadChanged = decidedFull
           .unionByName(refined.filter(col("_adm")).select("id", "score", "tokens"))
-          .localCheckpoint(true)
+          .persist()
+        try {
+        // ONE action replaces the old rejected-min aggregate AND the
+        // per-tier survivor count: per (score, admitted) min id over
+        // decided ∪ refined — an admitted group's presence is the
+        // survivor bit; the min over rejected groups is the cut
+        val stats = decidedFull
+          .select(col("score"), lit(true).as("_a"), col("id"))
+          .unionByName(refined.select(col("score"), col("_adm").as("_a"), col("id")))
+          .groupBy(col("score"), col("_a")).agg(min(col("id")).as("_mn"))
+          .collect()
+        val rejMin: Long = stats.filter(r => !r.getBoolean(1))
+          .map(_.getLong(2)).foldLeft(Long.MaxValue)(math.min)
         // new cut: the first rejected id among the recomputed slice, or
         // the old marker if the whole slice fits (the old cut doc only
         // got worse). A frontier tier always HAS a rejected doc (its
         // last inclusive sum is prior + bt > budget), so cut is defined
         // whenever the frontier is.
         val newCut: Option[(Long, Long)] = frontierScore.map { fs =>
-          val mn = refined.filter(!col("_adm")).agg(min(col("id"))).head()
-          val rejMin = if (mn.isNullAt(0)) Long.MaxValue else mn.getLong(0)
           (fs, math.min(rejMin, cutGuard.getOrElse(Long.MaxValue)))
         }
-        refinedBase.unpersist(blocking = false)
         // the updated read index: untouched non-rejected tiers keep
         // their generation; changed tiers with surviving rows point
         // here; emptied/rejected tiers drop out (the tombstone IS the
         // absence)
-        val changedWithRows: Set[Long] = newHeadChanged
-          .groupBy(col("score")).count()
-          .select(col("score")).collect().map(_.getLong(0)).toSet
+        val changedWithRows: Set[Long] =
+          stats.filter(_.getBoolean(1)).map(_.getLong(0)).toSet
         val newTiers: Seq[(Long, Long)] =
           priorTiers.filter { case (s, _) =>
             !verdicts.get(s).exists(_._2) && !changed.contains(s)
@@ -444,12 +494,14 @@ object StreamingQualityHead {
             rejScores.exists(s => priorTiers.exists(_._1 == s)))
         arrOut.write.mode("overwrite").parquet(s"$path/arrivals/batch=$batchId")
         if (evictionPossible) {
-          val rejDf = broadcast(spark.createDataFrame(
-              rejScores.toSeq.map(Tuple1(_)))
+          // ONE semi-join against the union of the changed and rejected
+          // tier sets (disjoint: a changed tier is never rejected) —
+          // the old two-leg union ran the priorHead subtree (generation
+          // read + tiers-map broadcast join) twice per evicting fold
+          val evictScoresDf = broadcast(spark.createDataFrame(
+              (changed ++ rejScores).toSeq.map(Tuple1(_)))
             .toDF("score"))
-          val evictedFrom = priorHead.join(changedDf, Seq("score"), "left_semi")
-            .unionByName(priorHead.join(rejDf, Seq("score"), "left_semi"))
-          val evicted = evictedFrom
+          val evicted = priorHead.join(evictScoresDf, Seq("score"), "left_semi")
             .join(newHeadChanged.select("id"), Seq("id"), "left_anti")
             .select("id").distinct()
           evicted.write.mode("overwrite")
@@ -467,9 +519,14 @@ object StreamingQualityHead {
           readmitted.write.mode("overwrite")
             .parquet(s"$path/readmissions/batch=$batchId")
         }
+        // flat generation dir, score as a DATA column: the old
+        // partitionBy("score") exploded the head tree into tiers ×
+        // generations directories that NOTHING partition-pruned (every
+        // read resolves through the tiers-map join) — at a few hundred
+        // tiers one read of that tree cost ~57 listing/inference jobs
         if (changedWithRows.nonEmpty)
           newHeadChanged.select(col("id"), col("tokens"), col("score"))
-            .write.partitionBy("score").mode("overwrite")
+            .write.mode("overwrite")
             .parquet(s"$path/head/batch=$batchId")
         // ONE dimension-sized write carries everything the next fold
         // reads back — and, written after the head data, it is the
@@ -496,17 +553,25 @@ object StreamingQualityHead {
           if (StreamState.exists(spark, s"$path/$t"))
             LedgerState.maintain(spark, s"$path/$t", batchId,
               bucketK = bucketK, compactEvery = compactEvery))
-        val referenced: Set[Long] = (try spark.read.parquet(s"$path/meta")
-            .filter(col("kind") === "tiers")
-            .select(col("v").cast("long")).distinct()
-            .collect().map(_.getLong(0)).toSet
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            Set.empty[Long] }) + batchId
+        // the retained generation set is driver-known (just pruned), so
+        // read exactly those dirs — this fold's own meta write
+        // guarantees the list is non-empty
+        val referenced: Set[Long] = StreamState.readStable(spark,
+            s"$path/meta#one",
+            StreamState.generations(spark, s"$path/meta")
+              .map(g => s"$path/meta/batch=$g"))
+          .filter(col("kind") === "tiers")
+          .select(col("v").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSet + batchId
         StreamState.deleteGenerations(spark, s"$path/head",
           StreamState.generations(spark, s"$path/head").filterNot(referenced))
-        flagged.unpersist(blocking = false)
+        } finally {
+          newHeadChanged.unpersist(blocking = false)
+          releaseRunningSum()
+        }
+        } finally flagged.unpersist(blocking = false)
       }
-      arrivals.unpersist(blocking = false)
+      } finally arrivals.unpersist(blocking = false)
       ()
     }
   }

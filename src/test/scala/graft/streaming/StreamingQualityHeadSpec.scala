@@ -18,7 +18,7 @@ class StreamingQualityHeadSpec extends SparkSpec {
   private def newPath() =
     java.nio.file.Files.createTempDirectory("graft_sqh_").toString
 
-  /** Recursive delete — head generations nest score= partition dirs. */
+  /** Recursive delete of a generation dir. */
   private def rmGen(dir: String): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
@@ -172,9 +172,12 @@ class StreamingQualityHeadSpec extends SparkSpec {
     // written in generation 2; tier 100 still reads from generation 0
     StreamingQualityHead.foldBatch(docs((7L, 70L, 10L)), 2L, path, budget = 100L)
     assert(headGens === Seq(2L, 0L))
-    val gen2Tiers = new java.io.File(s"$path/head/batch=2").listFiles()
-      .filter(_.isDirectory).map(_.getName).toSet
-    assert(gen2Tiers === Set("score=70"),
+    // r19 flat-generation layout: score is a data column — the
+    // write-volume property (a fold rewrites ONLY its changed tiers)
+    // is pinned on the generation's row contents
+    val gen2Tiers = spark.read.parquet(s"$path/head/batch=2")
+      .select("score").distinct().as[Long].collect().toSet
+    assert(gen2Tiers === Set(70L),
       "generation 2 must carry ONLY the changed tier")
     assert(headSet(path) === Set(1L, 2L, 7L))
     assert(headSet(path) === batchAdmitted(
