@@ -11,6 +11,27 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Each suite runs in its OWN forked JVM (own SparkContext on local[4]),
+// up to 6 suites concurrently: 490 serial tests on a local[4] session used
+// 4 of the box's 32 cores and took ~58 min — past the CI step's time
+// budget (r19's driver test step was killed at ~60 min, taking the whole
+// round's correctness evidence with it). Suites share no mutable state
+// (SparkSpec.session is per-JVM, fixtures are createTempDirectory-unique,
+// only BucketedJoinSpec touches spark-warehouse and no other suite does),
+// so suite-level parallelism is semantics-preserving; measured 21:38 at
+// 7-way on this box. 6 × local[4] ≈ 24 cores leaves headroom so
+// latency-budget specs are not starved by neighbor JVMs; 6 × 10g ≤ RAM.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value
+    .filterNot(_.startsWith("-Xmx")).toVector :+ "-Xmx10g"
+  tests.sortBy(_.name).map { t =>
+    Tests.Group(t.name, Seq(t),
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+  }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 6), Tags.limitAll(24))
 // Forked run output must go straight to stdout (no sbt "[info] " log
 // prefix) so the driver can parse Bench's single JSON line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)

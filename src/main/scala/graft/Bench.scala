@@ -88,11 +88,40 @@ object Bench {
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       } catch { case _: Throwable => Map.empty }
+    // PARTIAL-RESULT insurance: round 19's driver battery was killed by
+    // the harness timeout (rc 124) with ZERO queries recorded — the
+    // whole round's bench evidence was lost even though most rows had
+    // finished. If the JVM gets SIGTERM'd mid-battery, this hook prints
+    // the SAME one-line JSON over the queries that DID complete, marked
+    // "partial":true, so a timeout degrades to a partial battery instead
+    // of nothing. It formats strings only (no Spark calls — Spark's own
+    // shutdown hook is stopping the context concurrently) and never
+    // touches BENCH_LOCAL.json (a partial run must not clobber the
+    // authoritative committed record).
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double, Boolean)]()
+    val finishedNormally = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def jsonFor(rs: Seq[(String, Double, Boolean)],
+        adjJson: String, partial: Boolean): String = {
+      val qs = rs.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val failed = rs.collect { case (k, _, false) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val total = rs.collect { case (_, v, true) => v }.sum
+      val p = if (partial) "\"partial\":true," else ""
+      f"""{"metric":"total",$p"value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"adjudications":$adjJson,"sf":"$sfDir"}"""
+    }
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      if (!finishedNormally.get()) {
+        import scala.jdk.CollectionConverters._
+        println(jsonFor(done.asScala.toSeq.sortBy(_._1), "{}", partial = true))
+        System.out.flush()
+      }))
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       settle()
       val trials = (1 to runs).map(_ => timeOnce(name, fn))
       val ok = trials.forall(_._2)
       val m = median(trials.map(_._1))
+      done.add((name, if (ok) m else -m, ok))
       (name, if (ok) m else -m, ok)
     }
     // SELF-ADJUDICATING battery: every mover vs the prior committed
@@ -119,16 +148,11 @@ object Bench {
           case _ => Seq.empty
         }
       }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
     val adjJson = adjudications.map { case (k, v, p, iso) =>
       "\"" + k + "\":" + f"""{"battery":$v%.3f,"prior":$p%.3f,"isolated_median":$iso%.3f}"""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, true) => v }.sum
-    val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"adjudications":$adjJson,"sf":"$sfDir"}"""
+    finishedNormally.set(true)
+    val json = jsonFor(results, adjJson, partial = false)
     // The driver's record keeps only the last 2000 chars of output — too
     // short for the full per-query map at 110+ queries. Persist the full
     // JSON as a repo artifact so per-query baselines never depend on

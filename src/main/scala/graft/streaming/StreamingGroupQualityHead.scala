@@ -77,8 +77,15 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  *    and three extra collects per fold for no isolation; the per-cell
  *    tier arithmetic (hist merge, per-group cumulative prior,
  *    verdicts) is driver work over the collected grid.
- *  - `head/batch=<id>/grp=<g>/score=<s>/` — the CHANGED cells'
- *    admitted rows (id, tokens).
+ *  - `head/batch=<id>` — the CHANGED cells' admitted rows
+ *    (id, tokens, grp, score), one FLAT dir per generation (r20: the
+ *    old `grp=<g>/score=<s>` partition dirs exploded into groups ×
+ *    tiers × generations directories that nothing partition-pruned —
+ *    every read resolves through the tiers-map join — the same
+ *    measured ~57-listing/inference-job failure mode the r19
+ *    global-head flattening killed; pre-r20 trees fail loud, see the
+ *    layout guard). A cell's current membership lives in the
+ *    generation the meta tiers map names.
  *  - `arrivals/batch=<id>`  — append-only ledger (id, grp, score,
  *    tokens, admit); also the cross-batch re-arrival guard. A
  *    [[LedgerState]] ledger partitioned at compaction by id bucket AND
@@ -148,11 +155,16 @@ object StreamingGroupQualityHead {
       }
 
   /** The full dimension-sized state at generation `gen` — ONE collect
-    * over the groups × grid bounded meta table. */
+    * over the groups × grid bounded meta table. The generation dir is
+    * read DIRECTLY (its name IS the generation id) with the schema
+    * served from the [[StreamState.readStable]] cache, so the per-fold
+    * open pays neither a partition-discovery listing of sibling
+    * generations nor a schema-inference job (r20: the full-tree
+    * `read.parquet(path/meta)` open this replaces ran BOTH, every fold
+    * — the r19 global-head fix ported to the group head). */
   private def metaAt(
       spark: SparkSession, path: String, gen: Long): Seq[(String, String, Long, Long)] =
-    spark.read.parquet(s"$path/meta")
-      .filter(col("batch").cast("long") === lit(gen))
+    StreamState.readStable(spark, s"$path/meta#one", Seq(s"$path/meta/batch=$gen"))
       .select(col("kind"), col("grp"), col("k1").cast("long"),
         col("v").cast("long"))
       .collect().map(r =>
@@ -163,14 +175,40 @@ object StreamingGroupQualityHead {
       spark: SparkSession, path: String, gen: Long): Seq[(String, Long, Long)] =
     metaAt(spark, path, gen).collect { case ("tiers", g, s, hg) => (g, s, hg) }
 
-  /** The head rows a (grp, score → gen) map selects: the head tree
-    * joined to the broadcast map on (group, tier, generation). Rows
-    * from uncommitted or superseded generations never match the map. */
+  /** One-per-JVM guard against the pre-r20 head layout (`grp=<g>/
+    * score=<s>` partition dirs inside each generation): that layout
+    * exploded into groups × tiers × generations directories that
+    * NOTHING partition-pruned (every read resolves through the tiers-
+    * map join) — the same measured ~57-listing/inference-job failure
+    * mode the r19 global-head flattening killed. Reading it with the
+    * flat-generation schema would misparse, so fail loud. */
+  private val headLayoutOk = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def assertHeadLayout(spark: SparkSession, path: String, gen: Long): Unit =
+    if (!headLayoutOk.contains(path)) {
+      if (StreamState.hasChildWithPrefix(spark, s"$path/head/batch=$gen", "grp="))
+        throw new IllegalStateException(
+          s"$path holds a pre-r20 cell-partitioned group-head layout " +
+            "(grp= dirs inside head generations): refusing to read it " +
+            "with the flat-generation schema — drain and re-plan the " +
+            "stream into a fresh state path")
+      headLayoutOk.add(path); ()
+    }
+
+  /** The head rows a (grp, score → gen) map selects: ONLY the
+    * referenced generation dirs (driver-known from the map) joined to
+    * the broadcast map on (group, tier, generation). Rows from
+    * superseded generations inside a referenced dir never match the
+    * map. `grp`/`score` are DATA columns (flat generation dirs — see
+    * [[assertHeadLayout]]); `batch` stays the generation partition
+    * column via basePath. */
   private def headFor(
       spark: SparkSession, path: String,
       tiers: Seq[(String, Long, Long)]): DataFrame = {
+    val gens = tiers.map(_._3).distinct.sorted
+    assertHeadLayout(spark, path, gens.head)
     val mapDf = spark.createDataFrame(tiers).toDF("_mgrp", "_mscore", "_gen")
-    spark.read.parquet(s"$path/head")
+    StreamState.readStable(spark, s"$path/head#gen",
+        gens.map(g => s"$path/head/batch=$g"), basePath = Some(s"$path/head"))
       .select(col("id"), col("tokens").cast("long").as("tokens"),
         col("grp").cast("string").as("grp"),
         col("score").cast("long").as("score"),
@@ -240,7 +278,17 @@ object StreamingGroupQualityHead {
           LedgerState.antiJoinSeen(spark, s"$path/arrivals", batchId,
             known, "id").persist()
         else known.persist()
-      if (!arrivals.isEmpty) {
+      try {
+      // ONE distributed agg + collect: the batch's (group, tier)
+      // histogram — it DOUBLES as the emptiness probe (empty map ⟺
+      // empty arrivals), replacing the old separate isEmpty action.
+      // Everything downstream — hist merge, per-group cumulative prior,
+      // verdicts — is driver arithmetic over groups × grid rows.
+      val batchHist: Map[(String, Long), Long] =
+        arrivals.groupBy(col("grp"), col("score"))
+          .agg(sum(col("tokens")).as("bt")).collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      if (batchHist.nonEmpty) {
         val priorGen: Option[Long] =
           StreamState.generations(spark, s"$path/meta").find(_ != batchId)
         // ONE collect: the whole groups × grid prior state
@@ -310,14 +358,6 @@ object StreamingGroupQualityHead {
           priorRetired ++ newlyRetired.map(g => g -> priorBudgets(g))
         val raisedGroups: Set[String] =
           budgets.collect { case (g, b) if priorBudgets.get(g).exists(b > _) => g }.toSet
-        // ONE distributed agg + collect: the batch's (group, tier)
-        // histogram. Everything downstream — hist merge, per-group
-        // cumulative prior, verdicts — is driver arithmetic over
-        // groups × grid rows (the r16 fold-floor consolidation).
-        val batchHist: Map[(String, Long), Long] =
-          arrivals.groupBy(col("grp"), col("score"))
-            .agg(sum(col("tokens")).as("bt")).collect()
-            .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
         val newHist: Map[(String, Long), Long] =
           (priorHist.keySet ++ batchHist.keySet).iterator
             .map(c => c -> (priorHist.getOrElse(c, 0L) + batchHist.getOrElse(c, 0L)))
@@ -390,6 +430,7 @@ object StreamingGroupQualityHead {
         val cumDf = broadcast(spark.createDataFrame(cumRows)
           .toDF("grp", "score", "_prior", "_full", "_rej", "_budget", "_gid"))
         val flagged = candidates.join(cumDf, Seq("grp", "score")).persist()
+        try {
         val decidedFull = flagged.filter(col("_full"))
           .select(col("id"), col("grp"), col("score"), col("tokens"))
         val frontierAll = flagged.filter(!col("_full") && !col("_rej"))
@@ -410,30 +451,48 @@ object StreamingGroupQualityHead {
           .toDF("grp", "_guard"))
         val preCut = frontierAll.join(guardDf, Seq("grp"), "left")
           .filter(col("_guard").isNull || col("id") < col("_guard"))
-        val refinedBase = Positional.withPerKeyRunningSum(
+        // staged variant: the helper's eager count() is skipped — the
+        // fused stats action below materializes the running sum once;
+        // both internal persists release in the fold's finally
+        val (refinedBase, releaseRunningSum) = Positional.withPerKeyRunningSumStaged(
             preCut, Seq(col("id")), "_gid", "tokens", "_pfx")
         val refined = refinedBase
           .withColumn("_adm", col("_prior") + col("_pfx") <= col("_budget"))
+        // persisted, NOT eagerly checkpointed: the consumers below
+        // materialize it once into cache (the old eager localCheckpoint
+        // paid a dedicated per-fold job); released in the finally
         val newHeadChanged = decidedFull
           .unionByName(refined.filter(col("_adm"))
             .select("id", "grp", "score", "tokens"))
-          .localCheckpoint(true)
+          .persist()
+        try {
+        // ONE action replaces the old per-group rejected-min aggregate
+        // AND the per-cell survivor count: per (grp, score, admitted)
+        // min id over decided ∪ refined — an admitted cell's presence
+        // is the survivor bit; the per-group min over rejected rows is
+        // the cut
+        val stats = decidedFull
+          .select(col("grp"), col("score"), lit(true).as("_a"), col("id"))
+          .unionByName(refined.select(col("grp"), col("score"),
+            col("_adm").as("_a"), col("id")))
+          .groupBy(col("grp"), col("score"), col("_a"))
+          .agg(min(col("id")).as("_mn"))
+          .collect()
         // per-group new cut: the first rejected id among the recomputed
         // slice, or the surviving guard. A frontier tier always HAS a
         // rejected doc (its last inclusive sum overflows the budget),
         // so the cut is defined for every frontier group.
-        val rejMin: Map[String, Long] = refined.filter(!col("_adm"))
-          .groupBy(col("grp")).agg(min(col("id")).as("_mn"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val rejMin: Map[String, Long] = stats
+          .filter(r => !r.getBoolean(2))
+          .groupBy(_.getString(0))
+          .map { case (g, rs) => g -> rs.map(_.getLong(3)).min }
         val newCuts: Seq[(String, Long, Long)] = frontier.toSeq.map {
           case (g, fs) => (g, fs,
             math.min(rejMin.getOrElse(g, Long.MaxValue),
               guards.getOrElse(g, Long.MaxValue)))
         }
-        refinedBase.unpersist(blocking = false)
-        val changedWithRows: Set[(String, Long)] = newHeadChanged
-          .groupBy(col("grp"), col("score")).count()
-          .select(col("grp"), col("score")).collect()
+        val changedWithRows: Set[(String, Long)] = stats
+          .filter(_.getBoolean(2))
           .map(r => (r.getString(0), r.getLong(1))).toSet
         val newTiers: Seq[(String, Long, Long)] =
           priorTiers.filter { case (g, s, _) =>
@@ -482,9 +541,16 @@ object StreamingGroupQualityHead {
           readmitted.write.mode("overwrite")
             .parquet(s"$path/readmissions/batch=$batchId")
         }
+        // flat generation dir, grp/score as DATA columns: the old
+        // partitionBy("grp", "score") exploded the head tree into
+        // groups × tiers × generations directories that NOTHING ever
+        // partition-pruned (every read resolves through the tiers-map
+        // join) — the r19 global-head flattening (a measured ~57
+        // listing/inference jobs per open at a few hundred cells),
+        // ported; pre-r20 trees fail loud (see assertHeadLayout)
         if (changedWithRows.nonEmpty)
           newHeadChanged.select(col("id"), col("tokens"), col("grp"), col("score"))
-            .write.partitionBy("grp", "score").mode("overwrite")
+            .write.mode("overwrite")
             .parquet(s"$path/head/batch=$batchId")
         // ONE dimension-sized write carries everything the next fold
         // reads back — written after the head data, it is the
@@ -511,17 +577,25 @@ object StreamingGroupQualityHead {
           if (StreamState.exists(spark, s"$path/$t"))
             LedgerState.maintain(spark, s"$path/$t", batchId,
               bucketK = bucketK, compactEvery = compactEvery))
-        val referenced: Set[Long] = (try spark.read.parquet(s"$path/meta")
-            .filter(col("kind") === "tiers")
-            .select(col("v").cast("long")).distinct()
-            .collect().map(_.getLong(0)).toSet
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            Set.empty[Long] }) + batchId
+        // the retained generation set is driver-known (just pruned), so
+        // read exactly those dirs with the cached schema — this fold's
+        // own meta write guarantees the list is non-empty
+        val referenced: Set[Long] = StreamState.readStable(spark,
+            s"$path/meta#one",
+            StreamState.generations(spark, s"$path/meta")
+              .map(g => s"$path/meta/batch=$g"))
+          .filter(col("kind") === "tiers")
+          .select(col("v").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSet + batchId
         StreamState.deleteGenerations(spark, s"$path/head",
           StreamState.generations(spark, s"$path/head").filterNot(referenced))
-        flagged.unpersist(blocking = false)
+        } finally {
+          newHeadChanged.unpersist(blocking = false)
+          releaseRunningSum()
+        }
+        } finally flagged.unpersist(blocking = false)
       }
-      arrivals.unpersist(blocking = false)
+      } finally arrivals.unpersist(blocking = false)
       ()
     }
   }
