@@ -89,6 +89,53 @@ private[streaming] object StageCuts {
     }
 }
 
+/** Overlap INDEPENDENT per-fold actions from a small driver-side pool
+  * (optimization guide §2.6: Spark happily runs several jobs at once;
+  * actions are only sequential because the driver calls them
+  * sequentially). Used by the fold bodies for state writes whose inputs
+  * are already staged (persisted / cut) and whose target dirs are
+  * disjoint — each other's ordering is irrelevant, only the fold's
+  * RETURN must cover them all (the stream's commit marker).
+  *
+  * Crash-safety: any SUBSET of a fold's writes was already a reachable
+  * crash state under sequential writes (a crash can land between any
+  * two), and replay tolerates subsets — every state read excludes the
+  * fold's own batch and every write deterministically
+  * truncates-and-rewrites its own dir. Concurrency only widens WHICH
+  * subsets occur, not their semantics.
+  *
+  * [[barrier]] awaits everything submitted so far and rethrows the
+  * first failure — used before a commit-marker write that must follow
+  * the data it marks. [[shutdownAwait]] awaits all, shuts the pool
+  * down, and RETURNS failures instead of throwing, for `finally` paths
+  * that must not mask the main path's own exception. */
+private[streaming] final class FoldAsync(
+    spark: SparkSession, label: String, threads: Int = 3) {
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+  private val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+  private val pending =
+    scala.collection.mutable.Buffer.empty[scala.concurrent.Future[Unit]]
+  def apply(desc: String)(body: => Unit): Unit = synchronized {
+    pending += scala.concurrent.Future {
+      spark.sparkContext.setJobDescription(s"$label async: $desc")
+      body
+    }(ec)
+    ()
+  }
+  private def drainAwait(): Seq[Throwable] = synchronized {
+    val fs = pending.toSeq
+    pending.clear()
+    fs.flatMap(f => scala.util.Try(scala.concurrent.Await.result(
+      f, scala.concurrent.duration.Duration.Inf)).failed.toOption)
+  }
+  def barrier(): Unit = drainAwait().headOption.foreach(t => throw t)
+  def shutdownAwait(): Seq[Throwable] = {
+    val fs = drainAwait()
+    pool.shutdown()
+    fs
+  }
+}
+
 private[streaming] final class StageCuts(
     spark: SparkSession,
     scratch: Option[String] = None,

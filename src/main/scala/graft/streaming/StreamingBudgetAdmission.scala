@@ -167,8 +167,22 @@ object StreamingBudgetAdmission {
           if (priors == null) batchTot
           else batchTot.unionByName(
             priors.join(batchTot.select("group"), Seq("group"), "left_anti"))
-        verdCut.write.mode("overwrite").parquet(s"$path/verdicts/batch=$batchId")
-        totals.write.mode("overwrite").parquet(s"$path/totals/batch=$batchId")
+        // the two writes consume the same cut frame and target disjoint
+        // dirs — overlap them ([[FoldAsync]], guide §2.6); the barrier
+        // keeps the fold's contract that BOTH are durable when it
+        // returns (the composed fold reads verdicts/batch=<id> next)
+        val async = new FoldAsync(spark, "budget-admission", threads = 2)
+        try {
+          async("verdicts write") {
+            verdCut.write.mode("overwrite")
+              .parquet(s"$path/verdicts/batch=$batchId")
+          }
+          async("totals write") {
+            totals.write.mode("overwrite")
+              .parquet(s"$path/totals/batch=$batchId")
+          }
+          async.barrier()
+        } finally async.shutdownAwait()
         // retention: totals generations are superseded snapshots (every
         // read targets the latest); the verdicts ledger keeps its ROWS
         // forever but its DIRECTORIES compact ([[LedgerState.maintain]])

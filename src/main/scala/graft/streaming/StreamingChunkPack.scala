@@ -146,8 +146,20 @@ object StreamingGreedyPack {
         val carried = priorDf
           .join(newTot.select("shard"), Seq("shard"), "left_anti")
         val totals = newTot.unionByName(carried)
-        placedCut.write.mode("overwrite").parquet(s"$path/bins/batch=$batchId")
-        totals.write.mode("overwrite").parquet(s"$path/totals/batch=$batchId")
+        // the two writes consume already-cut/staged frames and target
+        // disjoint dirs — overlap them ([[FoldAsync]], guide §2.6)
+        val async = new FoldAsync(spark, "greedy-pack", threads = 2)
+        try {
+          async("bins write") {
+            placedCut.write.mode("overwrite")
+              .parquet(s"$path/bins/batch=$batchId")
+          }
+          async("totals write") {
+            totals.write.mode("overwrite")
+              .parquet(s"$path/totals/batch=$batchId")
+          }
+          async.barrier()
+        } finally async.shutdownAwait()
         StreamState.pruneGenerations(spark, s"$path/totals", retainGenerations)
         LedgerState.maintain(spark, s"$path/bins", batchId,
           bucketK = bucketK, compactEvery = compactEvery)
@@ -315,8 +327,22 @@ object StreamingChunkPack {
           if (priors == null) batchTot
           else batchTot.unionByName(
             priors.join(batchTot.select("shard"), Seq("shard"), "left_anti"))
-        fragsCut.write.mode("overwrite").parquet(s"$path/frags/batch=$batchId")
-        totals.write.mode("overwrite").parquet(s"$path/totals/batch=$batchId")
+        // the two writes consume already-cut/staged frames and target
+        // disjoint dirs — overlap them ([[FoldAsync]], guide §2.6); the
+        // barrier keeps the fold's contract that both are durable when
+        // it returns
+        val async = new FoldAsync(spark, "chunk-pack", threads = 2)
+        try {
+          async("frags write") {
+            fragsCut.write.mode("overwrite")
+              .parquet(s"$path/frags/batch=$batchId")
+          }
+          async("totals write") {
+            totals.write.mode("overwrite")
+              .parquet(s"$path/totals/batch=$batchId")
+          }
+          async.barrier()
+        } finally async.shutdownAwait()
         // retention: totals generations are superseded snapshots (every
         // read targets the latest); the fragment ledger keeps its ROWS
         // forever but its DIRECTORIES compact ([[LedgerState.maintain]])

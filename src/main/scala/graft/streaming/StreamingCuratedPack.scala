@@ -605,6 +605,23 @@ object StreamingCuratedPack {
       // runs under try/finally so a throwing fold releases its tracked
       // blocks and scratch deterministically.
       val cuts = new StageCuts(spark, Some(s"$path/_stage"))
+      // Overlap INDEPENDENT per-fold actions (optimization guide §2.6:
+      // actions are only sequential because the driver calls them
+      // sequentially): each gate's ledger write + maintenance consumes
+      // only frames the downstream stages never mutate, and the pack
+      // sub-fold and the funnel aggregation consume the same committed
+      // verdict slice without ordering between them — so they run on a
+      // small pool while the main thread advances the stage chain. The
+      // fold AWAITS every future before it returns (the stream's commit
+      // must cover all writes) and before cuts.release() (a Durable-mode
+      // release deletes scratch a late job could still be reading).
+      // Crash-safety is unchanged: any SUBSET of a fold's writes was
+      // already a reachable crash state (writes were sequential but a
+      // crash could land between any two), and replay tolerates subsets
+      // — every state read excludes the fold's own batch and every
+      // write deterministically truncates-and-rewrites its own dir.
+      val async = new FoldAsync(spark, "curated-pack")
+      var mainOk = false
       try {
       val uniq = cuts.track(batch.groupBy(col(idCol))
         .agg(min(struct(repFields: _*)).as("_rep"))
@@ -679,10 +696,12 @@ object StreamingCuratedPack {
           val fresh = LedgerState.antiJoinSeen(spark, tbl, batchId,
             firstInBatch, "_fp", "fp")
           val kept = cuts(fresh)
-          kept.select(col("_fp").as("fp"), col("id"))
-            .write.mode("overwrite").parquet(s"$tbl/batch=$batchId")
-          LedgerState.maintain(spark, tbl, batchId, idCol = "fp",
-            bucketK = bucketK, compactEvery = compactEvery)
+          async("fp ledger") {
+            kept.select(col("_fp").as("fp"), col("id"))
+              .write.mode("overwrite").parquet(s"$tbl/batch=$batchId")
+            LedgerState.maintain(spark, tbl, batchId, idCol = "fp",
+              bucketK = bucketK, compactEvery = compactEvery)
+          }
           kept.drop("_fp")
         }
       // stage 2.6 (opt-in): the monotone near-dup gate — FIRST-ARRIVAL-
@@ -734,11 +753,13 @@ object StreamingCuratedPack {
               org.apache.spark.sql.expressions.Window.partitionBy(col("bkey"))))
             .filter(col("id") =!= col("_mn")).select(col("id")).distinct())
           val kept = cuts(surv.join(losers, Seq("id"), "left_anti"))
-          survBands.join(losers, Seq("id"), "left_anti")
-            .select(col("bkey"), col("id"))
-            .write.mode("overwrite").parquet(s"$tbl/batch=$batchId")
-          LedgerState.maintain(spark, tbl, batchId, idCol = "bkey",
-            bucketK = bucketK, compactEvery = compactEvery)
+          async("band ledger") {
+            survBands.join(losers, Seq("id"), "left_anti")
+              .select(col("bkey"), col("id"))
+              .write.mode("overwrite").parquet(s"$tbl/batch=$batchId")
+            LedgerState.maintain(spark, tbl, batchId, idCol = "bkey",
+              bucketK = bucketK, compactEvery = compactEvery)
+          }
           kept
         }
       // stage 2.7 (opt-in): the monotone SEMANTIC near-dup gate —
@@ -837,12 +858,14 @@ object StreamingCuratedPack {
             .filter(cosine(col("_va"), col("_vb")) >= semThreshold)
             .select(col("_ia").as("id")).distinct()
           val kept = cuts(surv.join(losers, Seq("id"), "left_anti"))
-          svSigs.join(kept.select("id"), Seq("id"), "left_semi")
-            .select(col("sig").as("bucket"), col("id"), col("vec"))
-            .write.mode("overwrite").parquet(s"$tbl/batch=$batchId")
-          LedgerState.maintain(spark, tbl, batchId, idCol = "bucket",
-            bucketK = bucketK, compactEvery = compactEvery)
-          checkSemThreshold(spark, tbl, semThreshold)
+          async("sem ledger") {
+            svSigs.join(kept.select("id"), Seq("id"), "left_semi")
+              .select(col("sig").as("bucket"), col("id"), col("vec"))
+              .write.mode("overwrite").parquet(s"$tbl/batch=$batchId")
+            LedgerState.maintain(spark, tbl, batchId, idCol = "bucket",
+              bucketK = bucketK, compactEvery = compactEvery)
+            checkSemThreshold(spark, tbl, semThreshold)
+          }
           kept
         }
       // stage 2.8 (epoch'd schedules only): drop ids verdicted by ANY
@@ -881,14 +904,20 @@ object StreamingCuratedPack {
               concat(col("id").cast("string"), lit(shardSalt))),
               lit(numShards.toLong)).as("shard"),
             col("tokens").as("n_tokens"))
-        if (wholeDoc)
-          StreamingGreedyPack.foldBatch(admitted, batchId, packPath,
-            seqLen, "id", "shard", "n_tokens",
-            retainGenerations, bucketK, compactEvery)
-        else
-          StreamingChunkPack.foldBatch(admitted, batchId, packPath,
-            seqLen, "id", "shard", "n_tokens",
-            retainGenerations, bucketK, compactEvery)
+        // the pack sub-fold and the funnel aggregation below both
+        // consume the persisted verdict slice and write disjoint state
+        // sub-trees — no ordering between them, so the pack fold runs
+        // concurrently while the main thread computes the funnel
+        async("pack fold") {
+          if (wholeDoc)
+            StreamingGreedyPack.foldBatch(admitted, batchId, packPath,
+              seqLen, "id", "shard", "n_tokens",
+              retainGenerations, bucketK, compactEvery)
+          else
+            StreamingChunkPack.foldBatch(admitted, batchId, packPath,
+              seqLen, "id", "shard", "n_tokens",
+              retainGenerations, bucketK, compactEvery)
+        }
       }
       // the cumulative funnel: prior generation + this batch's deltas
       // (every frame here is batch- or dimension-sized). The five
@@ -968,10 +997,18 @@ object StreamingCuratedPack {
             sum(col("tokens_admitted")).as("tokens_admitted"))
       funnel.write.mode("overwrite").parquet(s"$path/funnel/batch=$batchId")
       StreamState.pruneGenerations(spark, s"$path/funnel", retainGenerations)
-      // release in `finally`: a throwing fold must not leak its tracked
-      // blocks to the ContextCleaner (a retry-wrapped deployment keeps
-      // the JVM alive across fold failures)
-      } finally cuts.release()
+      mainOk = true
+      // await-then-release in `finally`: every async write must land
+      // before the fold returns (the stream's commit covers them) and
+      // before release() (Durable mode deletes scratch a late job could
+      // still read); a throwing fold must not leak its tracked blocks.
+      // An async failure fails the fold exactly like a sync one — but
+      // never masks the main path's own exception.
+      } finally {
+        val failures = async.shutdownAwait()
+        cuts.release()
+        if (mainOk) failures.headOption.foreach(t => throw t)
+      }
       ()
     }
   }

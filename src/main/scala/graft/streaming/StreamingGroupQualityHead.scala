@@ -278,6 +278,12 @@ object StreamingGroupQualityHead {
           LedgerState.antiJoinSeen(spark, s"$path/arrivals", batchId,
             known, "id").persist()
         else known.persist()
+      // independent state writes overlap from a small pool ([[FoldAsync]]
+      // — optimization guide §2.6); the barrier() before the meta write
+      // keeps the commit-marker ordering (meta lands only after the data
+      // it indexes), and the fold returns only after every future landed
+      val async = new FoldAsync(spark, "group-quality-head")
+      var mainOk = false
       try {
       // ONE distributed agg + collect: the batch's (group, tier)
       // histogram — it DOUBLES as the emptiness probe (empty map ⟺
@@ -517,17 +523,29 @@ object StreamingGroupQualityHead {
           priorTiers.map(t => (t._1, t._2)).toSet
         val evictionPossible = priorCells.nonEmpty &&
           (changed.exists(priorCells) || rejCells.exists(priorCells))
-        arrOut.write.mode("overwrite").parquet(s"$path/arrivals/batch=$batchId")
+        async("arrivals write") {
+          arrOut.write.mode("overwrite").parquet(s"$path/arrivals/batch=$batchId")
+        }
         if (evictionPossible) {
-          val rejDf = broadcast(spark.createDataFrame(rejCells)
+          // ONE semi-join against the union of the changed and rejected
+          // cell sets (disjoint: a changed cell is never rejected) — the
+          // two-leg union ran the priorHead subtree (generation read +
+          // tiers-map broadcast join) twice per evicting fold; profiled
+          // as x160's single largest job site (27 jobs / 8.1 s of job
+          // time over one 4-drain run). Same rows: a priorHead row
+          // matches at most one leg, and the trailing distinct() already
+          // dedups.
+          val evictCellsDf = broadcast(spark.createDataFrame(
+              (changed ++ rejCells).toSeq)
             .toDF("grp", "score"))
-          val evictedFrom = priorHead.join(changedDf, Seq("grp", "score"), "left_semi")
-            .unionByName(priorHead.join(rejDf, Seq("grp", "score"), "left_semi"))
-          val evicted = evictedFrom
+          val evicted = priorHead
+            .join(evictCellsDf, Seq("grp", "score"), "left_semi")
             .join(newHeadChanged.select("id"), Seq("id"), "left_anti")
             .select("id").distinct()
-          evicted.write.mode("overwrite")
-            .parquet(s"$path/evictions/batch=$batchId")
+          async("evictions write") {
+            evicted.write.mode("overwrite")
+              .parquet(s"$path/evictions/batch=$batchId")
+          }
         }
         // re-admissions: head members that were neither prior members of
         // their (changed) cell nor this batch's arrivals — non-empty
@@ -538,8 +556,10 @@ object StreamingGroupQualityHead {
             .join(arrivals.select("id"), Seq("id"), "left_anti")
             .join(priorHead.join(changedDf, Seq("grp", "score"), "left_semi")
               .select("id"), Seq("id"), "left_anti")
-          readmitted.write.mode("overwrite")
-            .parquet(s"$path/readmissions/batch=$batchId")
+          async("readmissions write") {
+            readmitted.write.mode("overwrite")
+              .parquet(s"$path/readmissions/batch=$batchId")
+          }
         }
         // flat generation dir, grp/score as DATA columns: the old
         // partitionBy("grp", "score") exploded the head tree into
@@ -549,9 +569,14 @@ object StreamingGroupQualityHead {
         // listing/inference jobs per open at a few hundred cells),
         // ported; pre-r20 trees fail loud (see assertHeadLayout)
         if (changedWithRows.nonEmpty)
-          newHeadChanged.select(col("id"), col("tokens"), col("grp"), col("score"))
-            .write.mode("overwrite")
-            .parquet(s"$path/head/batch=$batchId")
+          async("head write") {
+            newHeadChanged.select(col("id"), col("tokens"), col("grp"), col("score"))
+              .write.mode("overwrite")
+              .parquet(s"$path/head/batch=$batchId")
+          }
+        // the marker barrier: every data write this generation indexes
+        // must be durable before the meta (commit-marker) write below
+        async.barrier()
         // ONE dimension-sized write carries everything the next fold
         // reads back — written after the head data, it is the
         // generation's commit marker
@@ -570,13 +595,15 @@ object StreamingGroupQualityHead {
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$path/meta/batch=$batchId")
         StreamState.pruneGenerations(spark, s"$path/meta", retainGenerations)
-        LedgerState.maintain(spark, s"$path/arrivals", batchId,
-          scoreCol = Some("score"), bucketK = bucketK,
-          compactEvery = compactEvery)
-        Seq("evictions", "readmissions").foreach(t =>
-          if (StreamState.exists(spark, s"$path/$t"))
-            LedgerState.maintain(spark, s"$path/$t", batchId,
-              bucketK = bucketK, compactEvery = compactEvery))
+        async("ledger maintenance") {
+          LedgerState.maintain(spark, s"$path/arrivals", batchId,
+            scoreCol = Some("score"), bucketK = bucketK,
+            compactEvery = compactEvery)
+          Seq("evictions", "readmissions").foreach(t =>
+            if (StreamState.exists(spark, s"$path/$t"))
+              LedgerState.maintain(spark, s"$path/$t", batchId,
+                bucketK = bucketK, compactEvery = compactEvery))
+        }
         // the retained generation set is driver-known (just pruned), so
         // read exactly those dirs with the cached schema — this fold's
         // own meta write guarantees the list is non-empty
@@ -589,13 +616,18 @@ object StreamingGroupQualityHead {
           .collect().map(_.getLong(0)).toSet + batchId
         StreamState.deleteGenerations(spark, s"$path/head",
           StreamState.generations(spark, s"$path/head").filterNot(referenced))
+        mainOk = true
         } finally {
           newHeadChanged.unpersist(blocking = false)
           releaseRunningSum()
         }
         } finally flagged.unpersist(blocking = false)
+      } else mainOk = true
+      } finally {
+        val failures = async.shutdownAwait()
+        arrivals.unpersist(blocking = false)
+        if (mainOk) failures.headOption.foreach(t => throw t)
       }
-      } finally arrivals.unpersist(blocking = false)
       ()
     }
   }

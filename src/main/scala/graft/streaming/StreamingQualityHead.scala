@@ -307,6 +307,12 @@ object StreamingQualityHead {
           LedgerState.antiJoinSeen(spark, s"$path/arrivals", batchId,
             batchDocs, "id").persist()
         else batchDocs.persist()
+      // independent state writes overlap from a small pool ([[FoldAsync]]
+      // — optimization guide §2.6); the barrier() before the meta write
+      // keeps the commit-marker ordering (meta lands only after the data
+      // it indexes), and the fold returns only after every future landed
+      val async = new FoldAsync(spark, "quality-head")
+      var mainOk = false
       try {
       // ONE distributed agg + collect: the batch's tier histogram — it
       // DOUBLES as the emptiness probe (empty map ⟺ empty arrivals),
@@ -492,7 +498,9 @@ object StreamingQualityHead {
         val evictionPossible = priorTiers.nonEmpty &&
           (changed.exists(s => priorTiers.exists(_._1 == s)) ||
             rejScores.exists(s => priorTiers.exists(_._1 == s)))
-        arrOut.write.mode("overwrite").parquet(s"$path/arrivals/batch=$batchId")
+        async("arrivals write") {
+          arrOut.write.mode("overwrite").parquet(s"$path/arrivals/batch=$batchId")
+        }
         if (evictionPossible) {
           // ONE semi-join against the union of the changed and rejected
           // tier sets (disjoint: a changed tier is never rejected) —
@@ -504,8 +512,10 @@ object StreamingQualityHead {
           val evicted = priorHead.join(evictScoresDf, Seq("score"), "left_semi")
             .join(newHeadChanged.select("id"), Seq("id"), "left_anti")
             .select("id").distinct()
-          evicted.write.mode("overwrite")
-            .parquet(s"$path/evictions/batch=$batchId")
+          async("evictions write") {
+            evicted.write.mode("overwrite")
+              .parquet(s"$path/evictions/batch=$batchId")
+          }
         }
         // re-admissions: head members that were neither prior members of
         // their (changed) tier nor this batch's arrivals — possible only
@@ -516,8 +526,10 @@ object StreamingQualityHead {
             .join(arrivals.select("id"), Seq("id"), "left_anti")
             .join(priorHead.join(changedDf, Seq("score"), "left_semi")
               .select("id"), Seq("id"), "left_anti")
-          readmitted.write.mode("overwrite")
-            .parquet(s"$path/readmissions/batch=$batchId")
+          async("readmissions write") {
+            readmitted.write.mode("overwrite")
+              .parquet(s"$path/readmissions/batch=$batchId")
+          }
         }
         // flat generation dir, score as a DATA column: the old
         // partitionBy("score") exploded the head tree into tiers ×
@@ -525,9 +537,14 @@ object StreamingQualityHead {
         // read resolves through the tiers-map join) — at a few hundred
         // tiers one read of that tree cost ~57 listing/inference jobs
         if (changedWithRows.nonEmpty)
-          newHeadChanged.select(col("id"), col("tokens"), col("score"))
-            .write.mode("overwrite")
-            .parquet(s"$path/head/batch=$batchId")
+          async("head write") {
+            newHeadChanged.select(col("id"), col("tokens"), col("score"))
+              .write.mode("overwrite")
+              .parquet(s"$path/head/batch=$batchId")
+          }
+        // the marker barrier: every data write this generation indexes
+        // must be durable before the meta (commit-marker) write below
+        async.barrier()
         // ONE dimension-sized write carries everything the next fold
         // reads back — and, written after the head data, it is the
         // generation's commit marker
@@ -546,13 +563,15 @@ object StreamingQualityHead {
         // legitimately pins a generation older than the window); the
         // three ledgers keep their rows but compact their directories
         StreamState.pruneGenerations(spark, s"$path/meta", retainGenerations)
-        LedgerState.maintain(spark, s"$path/arrivals", batchId,
-          scoreCol = Some("score"), bucketK = bucketK,
-          compactEvery = compactEvery)
-        Seq("evictions", "readmissions").foreach(t =>
-          if (StreamState.exists(spark, s"$path/$t"))
-            LedgerState.maintain(spark, s"$path/$t", batchId,
-              bucketK = bucketK, compactEvery = compactEvery))
+        async("ledger maintenance") {
+          LedgerState.maintain(spark, s"$path/arrivals", batchId,
+            scoreCol = Some("score"), bucketK = bucketK,
+            compactEvery = compactEvery)
+          Seq("evictions", "readmissions").foreach(t =>
+            if (StreamState.exists(spark, s"$path/$t"))
+              LedgerState.maintain(spark, s"$path/$t", batchId,
+                bucketK = bucketK, compactEvery = compactEvery))
+        }
         // the retained generation set is driver-known (just pruned), so
         // read exactly those dirs — this fold's own meta write
         // guarantees the list is non-empty
@@ -565,13 +584,18 @@ object StreamingQualityHead {
           .collect().map(_.getLong(0)).toSet + batchId
         StreamState.deleteGenerations(spark, s"$path/head",
           StreamState.generations(spark, s"$path/head").filterNot(referenced))
+        mainOk = true
         } finally {
           newHeadChanged.unpersist(blocking = false)
           releaseRunningSum()
         }
         } finally flagged.unpersist(blocking = false)
+      } else mainOk = true
+      } finally {
+        val failures = async.shutdownAwait()
+        arrivals.unpersist(blocking = false)
+        if (mainOk) failures.headOption.foreach(t => throw t)
       }
-      } finally arrivals.unpersist(blocking = false)
       ()
     }
   }
